@@ -1,0 +1,100 @@
+package graft.rules
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Expression, LambdaFunction => CatalystLambda, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.graft.Bridge
+
+/**
+ * SQL lambda functions stored as data (reference: docs/advanced/userFunctions.md,
+ * impl/RuleImpl.scala LambdaFunctionImpl).
+ *
+ * Spark-first design difference: instead of a runtime function-forwarding
+ * expression family (the reference's FunN/FunForward), lambdas are expanded by
+ * *parse-time macro substitution* — a call site `myFun(x, y)` inside any rule
+ * is replaced by the lambda body with parameters substituted. The resulting
+ * plan is plain Catalyst, fully analyzable and optimizable, with zero runtime
+ * dispatch overhead.
+ *
+ * Partial application: a call site may pass `_()` placeholders; the result is
+ * a Catalyst lambda usable where higher-order functions expect one, e.g.
+ * `aggregate(arr, 0L, myFun(_(), _()))`.
+ */
+object Lambdas {
+
+  final case class Parsed(params: Seq[String], body: Expression)
+
+  /** Parse a stored lambda SQL: either `(a, b) -> expr`, `a -> expr`, or a
+   * zero-arg plain expression. */
+  def parse(sql: String): Parsed =
+    Bridge.parse(sql) match {
+      case CatalystLambda(body, args, _) =>
+        Parsed(args.map(a => a.name), body)
+      case e => Parsed(Seq.empty, e)
+    }
+
+  def toMap(fns: Seq[LambdaFunction]): Map[String, Parsed] =
+    fns.map(f => f.name.toLowerCase -> parse(f.sql)).toMap
+
+  private val MaxDepth = 64
+
+  /** Expand all registered lambda call sites in an expression tree. */
+  def substitute(expr: Expression, lambdas: Map[String, Parsed], depth: Int = 0): Expression = {
+    if (lambdas.isEmpty) return expr
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(
+        s"lambda expansion exceeded depth $MaxDepth - recursive lambda definitions are not supported")
+    expr.transformUp {
+      case uf: UnresolvedFunction if lambdas.contains(fnName(uf)) =>
+        val lam = lambdas(fnName(uf))
+        val args = uf.arguments
+        if (args.exists(isPlaceholder))
+          partialApply(lam, args, lambdas, depth)
+        else {
+          if (args.size != lam.params.size)
+            throw new IllegalArgumentException(
+              s"lambda ${fnName(uf)} expects ${lam.params.size} args, got ${args.size}")
+          val bound = bind(lam.body, lam.params.zip(args).toMap)
+          substitute(bound, lambdas, depth + 1)
+        }
+    }
+  }
+
+  private def fnName(uf: UnresolvedFunction): String = uf.nameParts.last.toLowerCase
+
+  private def isPlaceholder(e: Expression): Boolean = e match {
+    case uf: UnresolvedFunction => fnName(uf) == "_" && uf.arguments.isEmpty
+    case _ => false
+  }
+
+  /** `myFun(_(), lit)` → Catalyst lambda `(p0) -> body[param0 := p0, param1 := lit]`. */
+  private def partialApply(
+      lam: Parsed, args: Seq[Expression],
+      lambdas: Map[String, Parsed], depth: Int): Expression = {
+    if (args.size != lam.params.size)
+      throw new IllegalArgumentException(
+        s"partial application expects ${lam.params.size} args, got ${args.size}")
+    val fresh = args.zipWithIndex.collect {
+      case (a, i) if isPlaceholder(a) =>
+        i -> UnresolvedNamedLambdaVariable(Seq(s"graft_ph_$i"))
+    }.toMap
+    val substArgs = args.zipWithIndex.map { case (a, i) => fresh.getOrElse(i, a) }
+    val bound = bind(lam.body, lam.params.zip(substArgs).toMap)
+    CatalystLambda(substitute(bound, lambdas, depth + 1), fresh.values.toSeq.sortBy(_.name))
+  }
+
+  /** Replace parameter references in a lambda body with argument expressions.
+   * Matches simple attributes and dotted paths rooted at a parameter
+   * (`a.field` → extract field from the substituted arg). */
+  private def bind(body: Expression, params: Map[String, Expression]): Expression = {
+    val ci = params.map { case (k, v) => k.toLowerCase -> v }
+    body.transformUp {
+      case UnresolvedAttribute(parts) if ci.contains(parts.head.toLowerCase) =>
+        parts.tail.foldLeft(ci(parts.head.toLowerCase)) { (e, field) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            e, org.apache.spark.sql.catalyst.expressions.Literal(field))
+        }
+      case v: UnresolvedNamedLambdaVariable if ci.contains(v.name.toLowerCase) =>
+        ci(v.name.toLowerCase)
+    }
+  }
+}

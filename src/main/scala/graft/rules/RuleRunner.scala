@@ -1,0 +1,155 @@
+package graft.rules
+
+import graft.functions.RuleResultCoerce
+import graft.rules.RuleResults._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * The DQ rule runner (reference: impl/RuleRunner.scala, docs/getting_started).
+ *
+ * Spark-first: each rule's SQL parses to a Catalyst expression, is wrapped in
+ * one small codegen coercion node, and the whole suite becomes a single
+ * projection — an array of per-rule ints, then a nested result struct:
+ *
+ *   struct<id: bigint,
+ *          overallResult: int,
+ *          ruleSetResults: map<bigint, struct<overallResult: int,
+ *                                             ruleResults: map<bigint, int>>>>
+ *
+ * (schema per reference impl/RuleSparkTypes.scala:9-23; ids packed
+ * (id<<32)|version). Whole-stage codegen fuses every rule into one generated
+ * function; at 100 TB this is a narrow map with zero shuffle.
+ */
+object RuleRunner {
+
+  /** Parse one rule, expanding any suite lambdas. */
+  def parseRule(sql: String, suite: RuleSuite): Column = {
+    val lambdas = Lambdas.toMap(suite.lambdaFunctions)
+    Bridge.column(Lambdas.substitute(Bridge.parse(sql), lambdas))
+  }
+
+  private def coerced(suite: RuleSuite): Seq[Column] =
+    suite.rules.map { case (_, r) =>
+      Bridge.column(RuleResultCoerce(Bridge.expression(parseRule(r.sql, suite))))
+    }
+
+  /** Fold rule-result ints into an overall result
+   * (reference: impl/OverallResult.scala:21-30): Failed dominates,
+   * Soft/Disabled neutral, probability below threshold fails. */
+  def overall(results: Column, probablePass: Double): Column = {
+    val threshold = probablePass * PassedInt
+    aggregate(results, lit(PassedInt), (acc, r) =>
+      when(acc === FailedInt, FailedInt)
+        .when(r === PassedInt || r === SoftFailedInt || r === DisabledRuleInt, acc)
+        .when(r === FailedInt, FailedInt)
+        .when(r.cast("double") < threshold, FailedInt)
+        .otherwise(acc))
+  }
+
+  private val TmpCol = "graft_rr_tmp"
+
+  /** Build the nested DQ struct from the temp results array. */
+  private def dqStruct(suite: RuleSuite, tmp: Column, withOverall: Boolean): Column = {
+    // global rule index, in ruleSet order — element_at is 1-based
+    var idx = 0
+    val setEntries: Seq[Column] = suite.ruleSets.flatMap { rs =>
+      val ruleEntries: Seq[Column] = rs.rules.flatMap { r =>
+        idx += 1
+        Seq(lit(Id.pack(r.id)), element_at(tmp, idx))
+      }
+      val setResults = array(ruleEntries.grouped(2).map(_.last).toSeq: _*)
+      Seq(
+        lit(Id.pack(rs.id)),
+        struct(
+          overall(setResults, suite.probablePass).as("overallResult"),
+          map(ruleEntries: _*).as("ruleResults")))
+    }
+    val fields = Seq(lit(Id.pack(suite.id)).as("id")) ++
+      (if (withOverall) Seq(overall(tmp, suite.probablePass).as("overallResult")) else Nil) ++
+      Seq(map(setEntries: _*).as("ruleSetResults"))
+    struct(fields: _*)
+  }
+
+  /** Add the nested DQ result column. Two stacked projections (results array,
+   * then struct assembly) guarantee each rule evaluates exactly once;
+   * Catalyst collapses them into one physical projection. */
+  def addDataQuality(df: DataFrame, suite: RuleSuite, name: String = "DataQuality"): DataFrame =
+    df.withColumn(TmpCol, array(coerced(suite): _*))
+      .withColumn(name, dqStruct(suite, col(TmpCol), withOverall = true))
+      .drop(TmpCol)
+
+  /** Reference's addOverallResultsAndDetailsF: overall as its own top-level
+   * column (fast predicate pushdown) + details struct without it. */
+  def addOverallResultsAndDetails(
+      df: DataFrame, suite: RuleSuite,
+      overallName: String = "DQ_overallResult",
+      detailsName: String = "DQ_details"): DataFrame =
+    df.withColumn(TmpCol, array(coerced(suite): _*))
+      .withColumn(overallName, overall(col(TmpCol), suite.probablePass))
+      .withColumn(detailsName, dqStruct(suite, col(TmpCol), withOverall = false))
+      .drop(TmpCol)
+
+  /** Single-Column variant, usable as `df.select(ruleRunner(suite))`. */
+  def ruleRunner(suite: RuleSuite): Column = {
+    val tmp = array(coerced(suite): _*)
+    dqStruct(suite, tmp, withOverall = true)
+  }
+
+  private def idHi(l: Column): Column = shiftright(l, 32).cast(IntegerType)
+  // low 32 bits, sign-preserving (ANSI-safe: plain cast overflows on packed ids)
+  private def idLo(l: Column): Column = shiftright(shiftleft(l, 32), 32).cast(IntegerType)
+
+  /**
+   * flatten_results(dq) → array<struct<ruleSuiteId, ruleSuiteVersion,
+   * ruleSuiteResult, ruleSetResult, ruleSetId, ruleSetVersion, ruleId,
+   * ruleVersion, ruleResult>> (reference: impl/FlattenResultsExpression.scala:19-28).
+   * Pure higher-order-function composition — stays in codegen.
+   */
+  def flattenResults(dq: Column): Column = {
+    val suiteId = dq.getField("id")
+    flatten(transform(map_entries(dq.getField("ruleSetResults")), se =>
+      transform(map_entries(se.getField("value").getField("ruleResults")), re =>
+        struct(
+          idHi(suiteId).as("ruleSuiteId"),
+          idLo(suiteId).as("ruleSuiteVersion"),
+          dq.getField("overallResult").as("ruleSuiteResult"),
+          se.getField("value").getField("overallResult").as("ruleSetResult"),
+          idHi(se.getField("key")).as("ruleSetId"),
+          idLo(se.getField("key")).as("ruleSetVersion"),
+          idHi(re.getField("key")).as("ruleId"),
+          idLo(re.getField("key")).as("ruleVersion"),
+          re.getField("value").as("ruleResult")))))
+  }
+
+  /** Details variant (no suite overall). */
+  def flattenRuleResults(details: Column): Column = {
+    val suiteId = details.getField("id")
+    flatten(transform(map_entries(details.getField("ruleSetResults")), se =>
+      transform(map_entries(se.getField("value").getField("ruleResults")), re =>
+        struct(
+          idHi(suiteId).as("ruleSuiteId"),
+          idLo(suiteId).as("ruleSuiteVersion"),
+          se.getField("value").getField("overallResult").as("ruleSetResult"),
+          idHi(se.getField("key")).as("ruleSetId"),
+          idLo(se.getField("key")).as("ruleSetVersion"),
+          idHi(re.getField("key")).as("ruleId"),
+          idLo(re.getField("key")).as("ruleVersion"),
+          re.getField("value").as("ruleResult")))))
+  }
+
+  /** rule_result(dq, packedSuiteId, packedSetId, packedRuleId) → int or null. */
+  def ruleResult(dq: Column, suiteId: Column, setId: Column, ruleId: Column): Column =
+    when(dq.getField("id") === suiteId.cast(LongType),
+      element_at(
+        element_at(dq.getField("ruleSetResults"), setId.cast(LongType)).getField("ruleResults"),
+        ruleId.cast(LongType)))
+
+  /** rule_suite_result_details(dq) — strip the overall result. */
+  def details(dq: Column): Column =
+    struct(
+      dq.getField("id").as("id"),
+      dq.getField("ruleSetResults").as("ruleSetResults"))
+}

@@ -1,0 +1,96 @@
+package graft.rules
+
+import graft.TestSpark
+import graft.rules.RuleResults._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RuleRunnerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val suite: RuleSuite = RuleSuite(
+    Id(1, 2),
+    Seq(
+      RuleSet(Id(10, 1), Seq(
+        Rule(Id(100, 1), "q <= 50"),
+        Rule(Id(101, 1), "p > 0"))),
+      RuleSet(Id(20, 1), Seq(
+        Rule(Id(200, 1), "CASE WHEN d <= 0.06 THEN 1 ELSE -1 END"),
+        Rule(Id(201, 1), "CASE WHEN t < 0.04 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END")))))
+
+  def df = Seq(
+    // q, p, d, t
+    (10.0, 5.0, 0.01, 0.01),  // all pass
+    (60.0, 5.0, 0.01, 0.01),  // rule 100 fails
+    (10.0, 5.0, 0.10, 0.01),  // rule 200 soft-fails
+    (10.0, 5.0, 0.01, 0.05)   // rule 201 probability 0.5 < 0.8 => overall fail
+  ).toDF("q", "p", "d", "t")
+
+  test("addDataQuality builds packed nested struct with correct results") {
+    val out = RuleRunner.addDataQuality(df, suite)
+    val rows = out.select(
+      col("DataQuality.id"),
+      col("DataQuality.overallResult"),
+      element_at(element_at(col("DataQuality.ruleSetResults"), Id.pack(Id(10, 1))).getField("ruleResults"), Id.pack(Id(100, 1))),
+      element_at(element_at(col("DataQuality.ruleSetResults"), Id.pack(Id(20, 1))).getField("ruleResults"), Id.pack(Id(200, 1))),
+      element_at(element_at(col("DataQuality.ruleSetResults"), Id.pack(Id(20, 1))).getField("ruleResults"), Id.pack(Id(201, 1)))
+    ).collect()
+
+    assert(rows.forall(_.getLong(0) == Id.pack(Id(1, 2))))
+    assert(rows(0).getInt(1) == PassedInt)
+    assert(rows(1).getInt(1) == FailedInt)     // bool fail dominates
+    assert(rows(2).getInt(1) == PassedInt)     // soft fail is neutral
+    assert(rows(3).getInt(1) == FailedInt)     // probability 0.5 < 0.8
+    assert(rows(2).getInt(3) == SoftFailedInt)
+    assert(rows(3).getInt(4) == 50000)         // probability encoding
+  }
+
+  test("flattenResults explodes to one row per rule with ids unpacked") {
+    val out = RuleRunner.addDataQuality(df, suite)
+      .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
+      .select("r.*")
+    assert(out.count() == 16)
+    assert(out.columns.toSeq == Seq(
+      "ruleSuiteId", "ruleSuiteVersion", "ruleSuiteResult", "ruleSetResult",
+      "ruleSetId", "ruleSetVersion", "ruleId", "ruleVersion", "ruleResult"))
+    val byRule = out.groupBy("ruleId").agg(sum(when(col("ruleResult") === PassedInt, 1).otherwise(0)).as("passes"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byRule(100) == 3)
+    assert(byRule(101) == 4)
+    assert(byRule(200) == 3)
+  }
+
+  test("addOverallResultsAndDetails splits overall to top level") {
+    val out = RuleRunner.addOverallResultsAndDetails(df, suite)
+    assert(out.columns.contains("DQ_overallResult"))
+    val overall = out.select("DQ_overallResult").as[Int].collect()
+    assert(overall.toSeq == Seq(PassedInt, FailedInt, PassedInt, FailedInt))
+    assert(!out.select("DQ_details.*").columns.contains("overallResult"))
+  }
+
+  test("disabled and string coercions") {
+    val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+      Rule(Id(3, 1), "-2"),
+      Rule(Id(4, 1), "'passed'"),
+      Rule(Id(5, 1), "'maybe'"),
+      Rule(Id(6, 1), "cast(null as boolean)")))))
+    val out = RuleRunner.addDataQuality(Seq(1).toDF("x"), s)
+      .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
+      .select("r.ruleId", "r.ruleResult")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out(3) == DisabledRuleInt)
+    assert(out(4) == PassedInt)
+    assert(out(5) == SoftFailedInt)
+    assert(out(6) == FailedInt)
+  }
+
+  test("lambda substitution in rules") {
+    val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+      Rule(Id(3, 1), "within(x, 1, 10)")))),
+      Seq(LambdaFunction("within", "(v, lo, hi) -> v >= lo AND v <= hi", Id(9, 1))))
+    val out = RuleRunner.addDataQuality(Seq(5, 50).toDF("x"), s)
+      .select(col("DataQuality.overallResult")).as[Int].collect()
+    assert(out.toSeq == Seq(PassedInt, FailedInt))
+  }
+}
