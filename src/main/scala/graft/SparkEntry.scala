@@ -22,6 +22,28 @@ object SparkEntry {
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+
+  /** Engine suite over orders: salience picks the tightest price band. */
+  def ordersEngineSuite: RuleSuite = RuleSuite(
+    Id(2, 1),
+    Seq(RuleSet(Id(30, 1), Seq(
+      Rule(Id(300, 1), "o_totalprice >= 300000", Some(OutputExpression(10, Id(400, 1), "'high'"))),
+      Rule(Id(301, 1), "o_totalprice >= 100000", Some(OutputExpression(20, Id(401, 1), "'mid'"))),
+      Rule(Id(302, 1), "o_totalprice >= 0", Some(OutputExpression(30, Id(402, 1), "'low'")))))))
+
+  /** Folder suite over lineitem: discount then surcharge, salience-ordered. */
+  def lineitemFolderSuite: RuleSuite = RuleSuite(
+    Id(3, 1),
+    Seq(RuleSet(Id(40, 1), Seq(
+      Rule(Id(500, 1), "l_discount > 0.02",
+        Some(OutputExpression(10, Id(600, 1),
+          "set(price = currentResult.price * (1 - currentResult.discount))"))),
+      Rule(Id(501, 1), "l_tax > 0.04",
+        Some(OutputExpression(20, Id(601, 1),
+          "acc -> update_field(acc, 'price', acc.price + 10)")))))))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     RuleRunner
@@ -41,7 +63,81 @@ object SparkEntry {
       RuleRunner.addDataQuality(lineitem(s, dir), lineitemSuite)
         .groupBy(col("DataQuality.overallResult").as("overallResult"))
         .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_dq_prob" -> ((s, dir) => {
+      // probability(): rule-result int → double
+      RuleRunner.addDataQuality(lineitem(s, dir), lineitemSuite)
+        .select(graft.functions.Registry.rewriteCol(
+          RuleRunner.ruleResult(col("DataQuality"),
+            lit(Id.pack(Id(1, 1))), lit(Id.pack(Id(20, 1))), lit(Id.pack(Id(201, 1))))
+            .cast("double").divide(lit(100000)).as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    }),
+    "q_rule_engine" -> ((s, dir) => {
+      RuleEngine.addRuleEngine(orders(s, dir), ordersEngineSuite, "re")
+        .groupBy(col("re.result").as("category"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_rule_engine_debug" -> ((s, dir) => {
+      RuleEngine.addRuleEngine(orders(s, dir), ordersEngineSuite, "re", debugMode = true)
+        .groupBy(size(col("re.result")).as("triggers"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_rule_folder" -> ((s, dir) => {
+      RuleFolder.addRuleFolder(
+          lineitem(s, dir), lineitemFolderSuite,
+          struct(col("l_extendedprice").as("price"), col("l_discount").as("discount")), "rf")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("rf.result.price").as("folded_price"))
+    }),
+    "q_expression_runner" -> ((s, dir) => {
+      val suite = RuleSuite(Id(5, 1), Seq(RuleSet(Id(50, 1), Seq(
+        Rule(Id(510, 1), "CAST(l_quantity AS INT) * 2"),
+        Rule(Id(511, 1), "upper(l_returnflag)")))))
+      val set = Id.pack(Id(50, 1))
+      ExpressionRunner.addExpressionResults(lineitem(s, dir), suite, "er")
+        .select(
+          element_at(element_at(col("er.ruleSetResults"), set), Id.pack(Id(510, 1))).getField("result").as("r1"),
+          element_at(element_at(col("er.ruleSetResults"), set), Id.pack(Id(510, 1))).getField("resultDDL").as("ddl1"),
+          element_at(element_at(col("er.ruleSetResults"), set), Id.pack(Id(511, 1))).getField("result").as("r2"))
+        .groupBy(col("r1"), col("ddl1"), col("r2"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_lambda" -> ((s, dir) => {
+      val suite = RuleSuite(Id(6, 1),
+        Seq(RuleSet(Id(60, 1), Seq(Rule(Id(610, 1), "disc_price(l_extendedprice, l_discount) < 90000")))),
+        Seq(LambdaFunction("disc_price", "(p, d) -> p * (1 - d)", Id(900, 1))))
+      RuleRunner.addDataQuality(lineitem(s, dir), suite)
+        .groupBy(col("DataQuality.overallResult").as("overallResult"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_pack_ints" -> ((s, dir) => {
+      lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.Registry.packInts(
+          col("l_partkey").cast("int"), col("l_suppkey").cast("int")).as("packed"))
+        .withColumn("unpacked_id", graft.functions.Registry.idHi(col("packed")))
+        .withColumn("unpacked_version", graft.functions.Registry.idLo(col("packed")))
+    }),
+    "q_update_field" -> ((s, dir) => {
+      orders(s, dir)
+        .select(col("o_orderkey"),
+          struct(col("o_totalprice").as("price"), col("o_orderstatus").as("status")).as("sdata"))
+        .select(col("o_orderkey"),
+          graft.functions.Registry.updateField(col("sdata"),
+            Seq("price" -> col("sdata.price") * 2, "flag" -> lit("x"))).as("s2"))
+        .select(col("o_orderkey"),
+          col("s2.price").as("price2"), col("s2.status").as("status"), col("s2.flag").as("flag"))
+    }),
+    "q_as_uuid" -> ((s, dir) => {
+      lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Bridge.column(graft.functions.AsUuidExpr(
+          Bridge.expression(col("l_orderkey")), Bridge.expression(col("l_partkey")))).as("uuid"))
     }))
+
+  private val Bridge = org.apache.spark.sql.graft.Bridge
 
   /** DuckDB oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -56,5 +152,52 @@ object SparkEntry {
       """SELECT CASE WHEN l_quantity <= 50 AND l_extendedprice > 0 AND l_tax < 0.04
         |            THEN 100000 ELSE 0 END AS overallResult,
         |       count(*) AS cnt
-        |FROM lineitem GROUP BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_dq_prob" ->
+      """SELECT CAST(CASE WHEN l_tax < 0.04 THEN 100000 ELSE 50000 END AS DOUBLE) / 100000 AS p,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_rule_engine" ->
+      """SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+        |            WHEN o_totalprice >= 100000 THEN 'mid'
+        |            WHEN o_totalprice >= 0 THEN 'low' END AS category,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_rule_engine_debug" ->
+      """SELECT (CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS triggers,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_rule_folder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_discount > 0.02 OR l_tax > 0.04 THEN
+        |         (CASE WHEN l_discount > 0.02 THEN l_extendedprice * (1 - l_discount)
+        |               ELSE l_extendedprice END
+        |          + CASE WHEN l_tax > 0.04 THEN 10 ELSE 0 END)
+        |       END AS folded_price
+        |FROM lineitem""".stripMargin,
+    "q_expression_runner" ->
+      """SELECT CAST(CAST(l_quantity AS INT) * 2 AS VARCHAR) AS r1,
+        |       'INT' AS ddl1, upper(l_returnflag) AS r2, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
+    "q_lambda" ->
+      """SELECT CASE WHEN l_extendedprice * (1 - l_discount) < 90000 THEN 100000 ELSE 0 END AS overallResult,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_pack_ints" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       (CAST(l_partkey AS BIGINT) << 32) | (CAST(l_suppkey AS BIGINT) & 4294967295) AS packed,
+        |       CAST(l_partkey AS INT) AS unpacked_id,
+        |       CAST(l_suppkey AS INT) AS unpacked_version
+        |FROM lineitem""".stripMargin,
+    "q_update_field" ->
+      """SELECT o_orderkey, o_totalprice * 2 AS price2, o_orderstatus AS status, 'x' AS flag
+        |FROM orders""".stripMargin,
+    "q_as_uuid" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       lower(concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',substr(l,1,4),'-',substr(l,5,12))) AS uuid
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             lpad(hex(l_partkey),16,'0') AS h, lpad(hex(l_orderkey),16,'0') AS l
+        |      FROM lineitem) t""".stripMargin)
 }

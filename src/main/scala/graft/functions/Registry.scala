@@ -1,0 +1,150 @@
+package graft.functions
+
+import graft.rules.RuleResults._
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * The graft SQL function surface (reference inventory:
+ * impl/RuleRegistrationFunctions.scala:54-65). Each function is a builder
+ * from argument expressions to an expression tree; most compose existing
+ * Catalyst operators (codegen for free), a few are small custom expressions.
+ *
+ * Functions are usable two ways:
+ *  - `Registry.rewrite` expands them inside parsed rule texts (no session
+ *    state needed — rules stay self-contained),
+ *  - `Registry.registerAll(spark)` registers them in the session's
+ *    FunctionRegistry for plain `spark.sql` use.
+ *
+ * Names are registered snake_case plus the underscore-free alias, matching
+ * the reference's convention (e.g. `soft_fail` and `softfail`).
+ */
+object Registry {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal, got $e")
+  }
+
+  /** Coerce any rule output to the result-int encoding. */
+  def coerce(c: Column): Column = col(RuleResultCoerce(ex(c)))
+
+  /** soft_fail: failed→-1.0, passed→1.0, disabled→-2.0, probability kept
+   * (reference impl/SoftFailExpr.scala). */
+  def softFail(c: Column): Column = {
+    val r = coerce(c)
+    when(r === FailedInt || r === SoftFailedInt, -1.0)
+      .when(r === PassedInt, 1.0)
+      .when(r === DisabledRuleInt, -2.0)
+      .otherwise(r.cast(DoubleType) / PassedInt)
+  }
+
+  def packInts(id: Column, version: Column): Column =
+    shiftleft(id.cast(LongType), 32)
+      .bitwiseOR(version.cast(LongType).bitwiseAND(lit(0xffffffffL)))
+
+  def idHi(l: Column): Column = shiftright(l, 32).cast(IntegerType)
+  def idLo(l: Column): Column = shiftright(shiftleft(l, 32), 32).cast(IntegerType)
+
+  def unpackCol(l: Column): Column =
+    struct(idHi(l).as("id"), idLo(l).as("version"))
+
+  def unpackIdTripleCol(t: Column): Column = struct(
+    idHi(t.getField("ruleSuiteId")).as("ruleSuiteId"),
+    idLo(t.getField("ruleSuiteId")).as("ruleSuiteVersion"),
+    idHi(t.getField("ruleSetId")).as("ruleSetId"),
+    idLo(t.getField("ruleSetId")).as("ruleSetVersion"),
+    idHi(t.getField("ruleId")).as("ruleId"),
+    idLo(t.getField("ruleId")).as("ruleVersion"))
+
+  def longPair(lower: Column, higher: Column): Column =
+    struct(lower.cast(LongType).as("lower"), higher.cast(LongType).as("higher"))
+
+  /** Field-path update on nested structs — native Column.withField
+   * (reference update_field: impl/util/StructFunctions.scala). */
+  def updateField(structCol: Column, pairs: Seq[(String, Column)]): Column =
+    pairs.foldLeft(structCol) { case (c, (path, v)) => c.withField(path, v) }
+
+  def dropField(structCol: Column, paths: Seq[String]): Column =
+    structCol.dropFields(paths: _*)
+
+  /** The builder table: canonical snake_case name → builder. */
+  val builders: Map[String, Builder] = Map[String, Builder](
+    "passed" -> (_ => Literal(PassedInt, IntegerType)),
+    "failed" -> (_ => Literal(FailedInt, IntegerType)),
+    "soft_failed" -> (_ => Literal(SoftFailedInt, IntegerType)),
+    "disabled_rule" -> (_ => Literal(DisabledRuleInt, IntegerType)),
+    "probability" -> (es => ex(col(es.head).cast(DoubleType) / PassedInt)),
+    "soft_fail" -> (es => ex(softFail(col(es.head)))),
+    "pack_ints" -> (es => ex(packInts(col(es(0)), col(es(1))))),
+    "unpack" -> (es => ex(unpackCol(col(es.head)))),
+    "unpack_id_triple" -> (es => ex(unpackIdTripleCol(col(es.head)))),
+    "as_uuid" -> (es => AsUuidExpr(es(0), es(1))),
+    "long_pair" -> (es => ex(longPair(col(es(0)), col(es(1))))),
+    "long_pair_from_uuid" -> (es => UuidToLongPairExpr(es.head)),
+    "rng_uuid" -> (es => BytesAsUuidExpr(es.head)),
+    "rule_result" -> (es =>
+      ex(graft.rules.RuleRunner.ruleResult(col(es(0)), col(es(1)), col(es(2)), col(es(3))))),
+    "rule_suite_result_details" -> (es => ex(graft.rules.RuleRunner.details(col(es.head)))),
+    "flatten_results" -> (es => ex(graft.rules.RuleRunner.flattenResults(col(es.head)))),
+    "flatten_rule_results" -> (es => ex(graft.rules.RuleEngine.flattenRuleResults(col(es.head)))),
+    "flatten_folder_results" -> (es => ex(graft.rules.RuleFolder.flattenFolderResults(col(es.head)))),
+    "update_field" -> (es => {
+      val pairs = es.tail.grouped(2).map(p => str(p.head, "update_field path") -> col(p.last)).toSeq
+      ex(updateField(col(es.head), pairs))
+    }),
+    "drop_field" -> (es =>
+      ex(dropField(col(es.head), es.tail.zipWithIndex.map { case (p, i) => str(p, s"drop_field path $i") }))),
+    "long_pair_equal" -> (es => {
+      val (a, b) = (str(es(0), "prefix a"), str(es(1), "prefix b"))
+      Bridge.parse(s"${a}_lower = ${b}_lower AND ${a}_higher = ${b}_higher")
+    }),
+    "id_equal" -> (es => {
+      val (a, b) = (str(es(0), "prefix a"), str(es(1), "prefix b"))
+      Bridge.parse(s"${a}_base = ${b}_base AND ${a}_i0 = ${b}_i0 AND ${a}_i1 = ${b}_i1")
+    }),
+    "print_expr" -> (es => es.last),  // debug passthrough: value unchanged
+    "print_code" -> (es => es.last)
+  )
+
+  private def canonical(n: String): String = n.toLowerCase.replaceAll("_", "")
+
+  /** flattened-name → builder, so fooBar / foo_bar / foobar all resolve. */
+  private lazy val byFlat: Map[String, Builder] =
+    builders.map { case (k, v) => canonical(k) -> v }
+
+  def lookup(name: String): Option[Builder] = byFlat.get(canonical(name))
+
+  /** Expand graft function calls appearing in a parsed expression tree. */
+  def rewrite(e: Expression): Expression = e.transformUp {
+    case uf: UnresolvedFunction if lookup(uf.nameParts.last).isDefined &&
+        // never shadow real catalog functions in multipart form
+        uf.nameParts.size == 1 =>
+      lookup(uf.nameParts.last).get(uf.arguments)
+  }
+
+  def rewriteCol(c: Column): Column = Bridge.column(rewrite(Bridge.expression(c)))
+
+  /** Register every function (snake + flat alias) in the session registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      Seq(name, name.replaceAll("_", "")).distinct.foreach { n =>
+        reg.registerFunction(
+          FunctionIdentifier(n),
+          new ExpressionInfo("graft.functions.Registry", n),
+          (es: Seq[Expression]) => b(es))
+      }
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.rules
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * The expression runner (reference: impl/ExpressionRunner.scala,
+ * docs/advanced/expressionRunner.md): run arbitrary expressions (including
+ * agg_expr aggregations) per rule, keeping results as strings plus their
+ * DDL type:
+ *   struct<id: bigint, ruleSetResults:
+ *          map<bigint, map<bigint, struct<result: string, resultDDL: string>>>>
+ * The typed variant keeps results as a caller-supplied type instead.
+ */
+object ExpressionRunner {
+
+  /** Analyze the suite's expressions against the frame to learn result types. */
+  private def ddls(df: DataFrame, suite: RuleSuite): Seq[String] = {
+    val probe = df.select(suite.rules.zipWithIndex.map { case ((_, r), i) =>
+      Parsing.parseCol(r.sql, suite).as(s"e$i")
+    }: _*)
+    probe.schema.fields.map(_.dataType.sql).toSeq
+  }
+
+  private def assemble(suite: RuleSuite, value: (Rule, Int) => Column): Column = {
+    var i = -1
+    val setEntries = suite.ruleSets.flatMap { rs =>
+      val ruleEntries = rs.rules.flatMap { r =>
+        i += 1
+        Seq(lit(Id.pack(r.id)), value(r, i))
+      }
+      Seq(lit(Id.pack(rs.id)), map(ruleEntries: _*))
+    }
+    struct(
+      lit(Id.pack(suite.id)).as("id"),
+      map(setEntries: _*).as("ruleSetResults"))
+  }
+
+  /** String+DDL results (the reference's default expressionRunner shape). */
+  def addExpressionResults(
+      df: DataFrame, suite: RuleSuite, name: String = "expressionResults"): DataFrame = {
+    val types = ddls(df, suite)
+    val out = assemble(suite, (r, i) =>
+      struct(
+        Parsing.parseCol(r.sql, suite).cast(StringType).as("result"),
+        lit(types(i)).as("resultDDL")))
+    df.withColumn(name, out)
+  }
+
+  /** Typed results: every expression cast to `ddl`. */
+  def addTypedExpressionResults(
+      df: DataFrame, suite: RuleSuite, ddl: String,
+      name: String = "expressionResults"): DataFrame =
+    df.withColumn(name, assemble(suite, (r, _) => Parsing.parseCol(r.sql, suite).cast(ddl)))
+
+  /** strip_result_ddl: drop the DDL field, keeping result strings
+   * (reference: impl/ExpressionRunner.scala StripResultTypes). */
+  def stripResultDdl(c: Column): Column =
+    struct(
+      c.getField("id").as("id"),
+      transform_values(c.getField("ruleSetResults"), (_, rules) =>
+        transform_values(rules, (_, v) => v.getField("result"))).as("ruleSetResults"))
+}

@@ -53,7 +53,7 @@ object Lambdas {
           if (args.size != lam.params.size)
             throw new IllegalArgumentException(
               s"lambda ${fnName(uf)} expects ${lam.params.size} args, got ${args.size}")
-          val bound = bind(lam.body, lam.params.zip(args).toMap)
+          val bound = bindParams(lam.body, lam.params.zip(args).toMap)
           substitute(bound, lambdas, depth + 1)
         }
     }
@@ -78,23 +78,27 @@ object Lambdas {
         i -> UnresolvedNamedLambdaVariable(Seq(s"graft_ph_$i"))
     }.toMap
     val substArgs = args.zipWithIndex.map { case (a, i) => fresh.getOrElse(i, a) }
-    val bound = bind(lam.body, lam.params.zip(substArgs).toMap)
+    val bound = bindParams(lam.body, lam.params.zip(substArgs).toMap)
     CatalystLambda(substitute(bound, lambdas, depth + 1), fresh.values.toSeq.sortBy(_.name))
   }
 
   /** Replace parameter references in a lambda body with argument expressions.
    * Matches simple attributes and dotted paths rooted at a parameter
    * (`a.field` → extract field from the substituted arg). */
-  private def bind(body: Expression, params: Map[String, Expression]): Expression = {
+  def bindParams(body: Expression, params: Map[String, Expression]): Expression = {
     val ci = params.map { case (k, v) => k.toLowerCase -> v }
+    def extract(parts: Seq[String]): Expression =
+      parts.tail.foldLeft(ci(parts.head.toLowerCase)) { (e, field) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          e, org.apache.spark.sql.catalyst.expressions.Literal(field))
+      }
     body.transformUp {
       case UnresolvedAttribute(parts) if ci.contains(parts.head.toLowerCase) =>
-        parts.tail.foldLeft(ci(parts.head.toLowerCase)) { (e, field) =>
-          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
-            e, org.apache.spark.sql.catalyst.expressions.Literal(field))
-        }
-      case v: UnresolvedNamedLambdaVariable if ci.contains(v.name.toLowerCase) =>
-        ci(v.name.toLowerCase)
+        extract(parts)
+      // arrow-syntax bodies wrap references as lambda variables, incl. dotted
+      // paths (`acc.amount` → UnresolvedNamedLambdaVariable(Seq(acc, amount)))
+      case UnresolvedNamedLambdaVariable(parts) if ci.contains(parts.head.toLowerCase) =>
+        extract(parts)
     }
   }
 }

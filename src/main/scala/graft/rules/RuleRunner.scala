@@ -25,15 +25,13 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object RuleRunner {
 
-  /** Parse one rule, expanding any suite lambdas. */
-  def parseRule(sql: String, suite: RuleSuite): Column = {
-    val lambdas = Lambdas.toMap(suite.lambdaFunctions)
-    Bridge.column(Lambdas.substitute(Bridge.parse(sql), lambdas))
-  }
+  /** Parse one rule, expanding suite lambdas + graft functions. */
+  def parseRule(sql: String, suite: RuleSuite): Column =
+    Parsing.parseCol(sql, suite)
 
   private def coerced(suite: RuleSuite): Seq[Column] =
     suite.rules.map { case (_, r) =>
-      Bridge.column(RuleResultCoerce(Bridge.expression(parseRule(r.sql, suite))))
+      Bridge.column(RuleResultCoerce(Parsing.parse(r.sql, suite)))
     }
 
   /** Fold rule-result ints into an overall result
@@ -50,6 +48,11 @@ object RuleRunner {
   }
 
   private val TmpCol = "graft_rr_tmp"
+
+  /** Full DQ struct (with overall) from an existing results-array column —
+   * shared with the engine/folder runners. */
+  private[rules] def dqStructFrom(suite: RuleSuite, tmp: Column): Column =
+    dqStruct(suite, tmp, withOverall = true)
 
   /** Build the nested DQ struct from the temp results array. */
   private def dqStruct(suite: RuleSuite, tmp: Column, withOverall: Boolean): Column = {

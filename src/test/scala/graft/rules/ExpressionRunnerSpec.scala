@@ -1,0 +1,34 @@
+package graft.rules
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionRunnerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val suite: RuleSuite = RuleSuite(Id(5, 1), Seq(RuleSet(Id(6, 1), Seq(
+    Rule(Id(60, 1), "x + 1"),
+    Rule(Id(61, 1), "concat('v:', cast(x as string))")))))
+
+  test("expressionRunner stores string results with DDL") {
+    val out = ExpressionRunner.addExpressionResults(Seq(41).toDF("x"), suite, "er")
+    val r60 = out.select(
+      element_at(element_at(col("er.ruleSetResults"), Id.pack(Id(6, 1))), Id.pack(Id(60, 1)))).collect()(0).getStruct(0)
+    assert(r60.getString(0) == "42")
+    assert(r60.getString(1) == "INT")
+    val stripped = out.select(ExpressionRunner.stripResultDdl(col("er")).as("s"))
+      .select(element_at(element_at(col("s.ruleSetResults"), Id.pack(Id(6, 1))), Id.pack(Id(61, 1))))
+      .as[String].collect()
+    assert(stripped(0) == "v:41")
+  }
+
+  test("typedExpressionRunner keeps typed results") {
+    val s = RuleSuite(Id(5, 1), Seq(RuleSet(Id(6, 1), Seq(Rule(Id(60, 1), "x * 2.5")))))
+    val out = ExpressionRunner.addTypedExpressionResults(Seq(4).toDF("x"), s, "double", "er")
+      .select(element_at(element_at(col("er.ruleSetResults"), Id.pack(Id(6, 1))), Id.pack(Id(60, 1))))
+      .as[Double].collect()
+    assert(out(0) == 10.0)
+  }
+}
