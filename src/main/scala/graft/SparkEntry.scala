@@ -130,6 +130,21 @@ object SparkEntry {
         .select(col("o_orderkey"),
           col("s2.price").as("price2"), col("s2.status").as("status"), col("s2.flag").as("flag"))
     }),
+    "q_agg_expr" -> ((s, dir) => {
+      val su = RuleSuite(Id(0, 0), Nil)
+      lineitem(s, dir).select(
+        RuleRunner.parseRule(
+          "agg_expr('BIGINT', l_quantity > 25, sum_with(s -> s + CAST(l_quantity AS BIGINT)), return_sum())", su).as("qty_sum"),
+        RuleRunner.parseRule(
+          "agg_expr(l_quantity > 25, inc(CAST(l_quantity AS BIGINT)), meanF())", su).as("mean_qty"))
+    }),
+    "q_agg_map_with" -> ((s, dir) => {
+      val su = RuleSuite(Id(0, 0), Nil)
+      lineitem(s, dir).select(
+        RuleRunner.parseRule(
+          "agg_expr('MAP<STRING,BIGINT>', 1 > 0, map_with(l_returnflag, e -> e + 1), return_sum())", su).as("m"))
+        .select(explode(col("m")).as(Seq("flag", "flag_cnt")))
+    }),
     "q_as_uuid" -> ((s, dir) => {
       lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -194,6 +209,14 @@ object SparkEntry {
     "q_update_field" ->
       """SELECT o_orderkey, o_totalprice * 2 AS price2, o_orderstatus AS status, 'x' AS flag
         |FROM orders""".stripMargin,
+    "q_agg_expr" ->
+      """SELECT CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity > 25) AS BIGINT) AS qty_sum,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity > 25) AS DOUBLE)
+        |         / count(*) FILTER (WHERE l_quantity > 25) AS mean_qty
+        |FROM lineitem""".stripMargin,
+    "q_agg_map_with" ->
+      """SELECT l_returnflag AS flag, count(*) AS flag_cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_as_uuid" ->
       """SELECT l_orderkey, l_linenumber,
         |       lower(concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',substr(l,1,4),'-',substr(l,5,12))) AS uuid

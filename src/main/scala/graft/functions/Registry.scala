@@ -114,7 +114,15 @@ object Registry {
       Bridge.parse(s"${a}_base = ${b}_base AND ${a}_i0 = ${b}_i0 AND ${a}_i1 = ${b}_i1")
     }),
     "print_expr" -> (es => es.last),  // debug passthrough: value unchanged
-    "print_code" -> (es => es.last)
+    "print_code" -> (es => es.last),
+    // aggregation family (see AggExprs.scala)
+    "agg_expr" -> (AggExprBuilder.aggExpr _),
+    "sum_with" -> (AggExprBuilder.sumWith _),
+    "results_with" -> (AggExprBuilder.resultsWith _),
+    "map_with" -> (AggExprBuilder.mapWith _),
+    "inc" -> (AggExprBuilder.inc _),
+    "meanf" -> (AggExprBuilder.meanF _),
+    "return_sum" -> (AggExprBuilder.returnSum _)
   )
 
   private def canonical(n: String): String = n.toLowerCase.replaceAll("_", "")
