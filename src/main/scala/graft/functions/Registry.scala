@@ -36,6 +36,18 @@ object Registry {
     case _ => throw new IllegalArgumentException(s"$what must be a string literal, got $e")
   }
 
+  private def litLong(e: Expression): Long = e match {
+    case Literal(i: Int, IntegerType) => i.toLong
+    case Literal(l: Long, LongType) => l
+    case _ => throw new IllegalArgumentException(s"expected an integer literal, got $e")
+  }
+
+  // algo parameter accepted for reference-API parity; implementation is fixed
+  private def requireAlgo(e: Expression): Unit = str(e, "algo")
+
+  private def struct(cs: Column*): Column = org.apache.spark.sql.functions.struct(cs: _*)
+  private def array(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+
   /** Coerce any rule output to the result-int encoding. */
   def coerce(c: Column): Column = col(RuleResultCoerce(ex(c)))
 
@@ -89,7 +101,8 @@ object Registry {
     "pack_ints" -> (es => ex(packInts(col(es(0)), col(es(1))))),
     "unpack" -> (es => ex(unpackCol(col(es.head)))),
     "unpack_id_triple" -> (es => ex(unpackIdTripleCol(col(es.head)))),
-    "as_uuid" -> (es => AsUuidExpr(es(0), es(1))),
+    "as_uuid" -> (es => AsUuidExpr(
+      ex(col(es(0)).cast(LongType)), ex(col(es(1)).cast(LongType)))),
     "long_pair" -> (es => ex(longPair(col(es(0)), col(es(1))))),
     "long_pair_from_uuid" -> (es => UuidToLongPairExpr(es.head)),
     "rng_uuid" -> (es => BytesAsUuidExpr(es.head)),
@@ -115,6 +128,61 @@ object Registry {
     }),
     "print_expr" -> (es => es.last),  // debug passthrough: value unchanged
     "print_code" -> (es => es.last),
+    // ids, hashes, rng (see IdExprs/HashExprs/RngExprs)
+    "digest_to_longs" -> (es => DigestToLongsExpression(es.tail, str(es.head, "algo"), asStruct = false)),
+    "digest_to_longs_struct" -> (es => DigestToLongsExpression(es.tail, str(es.head, "algo"), asStruct = true)),
+    "hash_with" -> (es => { requireAlgo(es.head); Murmur128Expression(es.tail) }),
+    "hash_with_struct" -> (es => { requireAlgo(es.head); Murmur128Expression(es.tail) }),
+    "za_hash_with" -> (es => { requireAlgo(es.head)
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(es.tail, 42L) }),
+    "za_hash_with_struct" -> (es => { requireAlgo(es.head)
+      ex(struct(col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.tail, 42L)).as("i0"))) }),
+    "za_hash_longs_with" -> (es => { requireAlgo(es.head)
+      ex(array(
+        col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.tail, 42L)),
+        col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.tail, 43L)))) }),
+    "za_hash_longs_with_struct" -> (es => { requireAlgo(es.head)
+      ex(struct(
+        col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.tail, 42L)).as("i0"),
+        col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.tail, 43L)).as("i1"))) }),
+    "murmur3_id" -> (es =>
+      LongsIdExpression(str(es.head, "prefix"), IdModel.FieldBasedHeader, Murmur128Expression(es.tail))),
+    "hash_field_based_id" -> (es =>
+      LongsIdExpression(str(es.head, "prefix"), IdModel.FieldBasedHeader,
+        Murmur128Expression(es.drop(2)))),
+    "field_based_id" -> (es =>
+      LongsIdExpression(str(es.head, "prefix"), IdModel.FieldBasedHeader,
+        DigestToLongsExpression(es.drop(2), str(es(1), "algo"), asStruct = true))),
+    "za_field_based_id" -> (es =>
+      LongsIdExpression(str(es.head, "prefix"), IdModel.FieldBasedHeader,
+        ex(struct(
+          col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.drop(2), 42L)).as("i0"),
+          col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.drop(2), 43L)).as("i1"))))),
+    "za_longs_field_based_id" -> (es =>
+      LongsIdExpression(str(es.head, "prefix"), IdModel.FieldBasedHeader,
+        ex(struct(
+          col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.drop(2), 42L)).as("i0"),
+          col(new org.apache.spark.sql.catalyst.expressions.XxHash64(es.drop(2), 43L)).as("i1"))))),
+    "provided_id" -> (es =>
+      LongsIdExpression(str(es.head, "prefix"), IdModel.ProvidedHeader, es(1))),
+    "unique_id" -> (es => GuaranteedUniqueIdExpression(str(es.head, "prefix"))),
+    "rng_id" -> (es => RngIdExpression(str(es.head, "prefix"),
+      if (es.size >= 3) litLong(es(2)) else 0L)),
+    "rng" -> (es => RandomLongsExpression(if (es.size >= 2) litLong(es(1)) else 0L)),
+    "rng_bytes" -> (es => RandomBytesExpression(
+      if (es.size >= 3) litLong(es(2)).toInt else 16,
+      if (es.size >= 2) litLong(es(1)) else 0L)),
+    "id_size" -> (es => IdSizeExpression(es.head)),
+    "id_raw_type" -> (es => IdRawTypeExpression(es.head)),
+    "id_base64" -> (es => IdBase64Expression(es)),
+    "id_from_base64" -> (es => IdFromBase64Expression(es.head,
+      if (es.size >= 2) litLong(es(1)).toInt else 2)),
+    "prefixed_to_long_pair" -> (es => {
+      val p = str(es.head, "prefix")
+      ex(struct(
+        col(es(1)).getField(s"${p}_i0").as("lower"),
+        col(es(1)).getField(s"${p}_i1").as("higher")))
+    }),
     // aggregation family (see AggExprs.scala)
     "agg_expr" -> (AggExprBuilder.aggExpr _),
     "sum_with" -> (AggExprBuilder.sumWith _),
