@@ -145,6 +145,50 @@ object SparkEntry {
           "agg_expr('MAP<STRING,BIGINT>', 1 > 0, map_with(l_returnflag, e -> e + 1), return_sum())", su).as("m"))
         .select(explode(col("m")).as(Seq("flag", "flag_cnt")))
     }),
+    "q_map_lookup" -> ((s, dir) => {
+      graft.lookups.Lookups.registerMapLookups(s, Map(
+        "nations" -> (() => {
+          val n = s.read.parquet(s"$dir/nation.parquet")
+          (n, col("n_nationkey"), col("n_name"))
+        })))
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          RuleRunner.parseRule("map_lookup(c_nationkey, 'nations')", RuleSuite(Id(0, 0), Nil)).as("n_name"),
+          RuleRunner.parseRule("map_contains(c_nationkey, 'nations')", RuleSuite(Id(0, 0), Nil)).as("known"))
+    }),
+    "q_bloom" -> ((s, dir) => {
+      // rows-only: bloom guarantees no false negatives, so every lineitem
+      // orderkey (all present in orders) must probe positive
+      graft.lookups.Lookups.registerBloomFrom(s, "ordkeys",
+        orders(s, dir), col("o_orderkey"), 200000, 0.01)
+      lineitem(s, dir)
+        .select(RuleRunner.parseRule("probability_in(l_orderkey, 'ordkeys')", RuleSuite(Id(0, 0), Nil)).as("p"))
+        .groupBy((col("p") > 0).as("hit")).agg(count(lit(1)).as("cnt"))
+    }),
+    "q_yaml" -> ((s, dir) => {
+      orders(s, dir).select(col("o_orderkey"),
+        RuleRunner.parseRule("to_yaml(struct(o_orderstatus AS s))", RuleSuite(Id(0, 0), Nil)).as("y"))
+    }),
+    "q_comparable_maps" -> ((s, dir) => {
+      val su = RuleSuite(Id(0, 0), Nil)
+      lineitem(s, dir)
+        .select(RuleRunner.parseRule("comparable_maps(map('rf', l_returnflag, 'ls', l_linestatus))", su).as("cm"))
+        .groupBy(col("cm")).agg(count(lit(1)).as("cnt"))
+        .select(
+          element_at(col("cm"), 1).getField("value").as("ls"),
+          element_at(col("cm"), 2).getField("value").as("rf"),
+          col("cnt"))
+    }),
+    "q_rules_roundtrip" -> ((s, dir) => {
+      // serialize → DF → read back → run: must equal q_dq_overall
+      val df = Serialization.toRuleSuiteDF(s, lineitemSuite)
+      val read = Serialization.readRulesFromDF(df,
+        col("ruleSuiteId"), col("ruleSuiteVersion"), col("ruleSetId"), col("ruleSetVersion"),
+        col("ruleId"), col("ruleVersion"), col("ruleExpr"))
+      RuleRunner.addDataQuality(lineitem(s, dir), read(Id(1, 1)))
+        .groupBy(col("DataQuality.overallResult").as("overallResult"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
     "q_as_uuid" -> ((s, dir) => {
       lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -209,6 +253,19 @@ object SparkEntry {
     "q_update_field" ->
       """SELECT o_orderkey, o_totalprice * 2 AS price2, o_orderstatus AS status, 'x' AS flag
         |FROM orders""".stripMargin,
+    "q_map_lookup" ->
+      """SELECT c_custkey, n_name, n_name IS NOT NULL AS known
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q_yaml" ->
+      """SELECT o_orderkey, concat('s: ', o_orderstatus, chr(10)) AS y FROM orders""".stripMargin,
+    "q_comparable_maps" ->
+      """SELECT l_linestatus AS ls, l_returnflag AS rf, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_rules_roundtrip" ->
+      """SELECT CASE WHEN l_quantity <= 50 AND l_extendedprice > 0 AND l_tax < 0.04
+        |            THEN 100000 ELSE 0 END AS overallResult,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_agg_expr" ->
       """SELECT CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity > 25) AS BIGINT) AS qty_sum,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity > 25) AS DOUBLE)

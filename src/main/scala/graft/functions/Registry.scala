@@ -45,6 +45,13 @@ object Registry {
   // algo parameter accepted for reference-API parity; implementation is fixed
   private def requireAlgo(e: Expression): Unit = str(e, "algo")
 
+  private def litDouble(e: Expression): Double = e match {
+    case Literal(d: Double, DoubleType) => d
+    case Literal(d: Decimal, _) => d.toDouble
+    case Literal(i: Int, IntegerType) => i.toDouble
+    case _ => throw new IllegalArgumentException(s"expected a numeric literal, got $e")
+  }
+
   private def struct(cs: Column*): Column = org.apache.spark.sql.functions.struct(cs: _*)
   private def array(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
 
@@ -128,6 +135,18 @@ object Registry {
     }),
     "print_expr" -> (es => es.last),  // debug passthrough: value unchanged
     "print_code" -> (es => es.last),
+    "to_yaml" -> (es => YamlEncodeExpression(es.head)),
+    "from_yaml" -> (es => YamlDecodeExpression(es(0), str(es(1), "ddl"))),
+    "comparable_maps" -> (es => ComparableMapsExpression(es.head)),
+    "reverse_comparable_maps" -> (es => ReverseComparableMapsExpression(es.head)),
+    // lookups + blooms (see graft.lookups / graft.bloom)
+    "map_lookup" -> (es => graft.lookups.MapLookupExpression(es(0), str(es(1), "map name"))),
+    "map_contains" -> (es => graft.lookups.MapContainsExpression(es(0), str(es(1), "map name"))),
+    "probability_in" -> (es => graft.lookups.ProbabilityInExpression(es(0), str(es(1), "bloom name"))),
+    "small_bloom" -> (es =>
+      graft.bloom.BloomAggregate(es(0), litLong(es(1)), litDouble(es(2))).toAggregateExpression()),
+    "big_bloom" -> (es =>
+      graft.bloom.BigBloomAggregate(es(0), litLong(es(1)), litDouble(es(2))).toAggregateExpression()),
     // ids, hashes, rng (see IdExprs/HashExprs/RngExprs)
     "digest_to_longs" -> (es => DigestToLongsExpression(es.tail, str(es.head, "algo"), asStruct = false)),
     "digest_to_longs_struct" -> (es => DigestToLongsExpression(es.tail, str(es.head, "algo"), asStruct = true)),

@@ -1,0 +1,114 @@
+package graft.lookups
+
+import graft.bloom.{Bloom, BloomAggregate}
+import graft.functions.ValueBytes
+import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * In-memory lookups (reference: impl/mapLookup and impl/bloom/
+ * BloomFilterLookupImports — docs/advanced/mapFunctions.md, blooms.md):
+ * broadcast maps / bloom filters consulted per row with zero joins.
+ * At 100 TB these replace shuffling a dimension join for small reference
+ * data; for big reference data use a real (broadcast) join instead.
+ */
+object Lookups {
+
+  final case class MapLookup(
+      data: Broadcast[Map[Any, Any]], keyType: DataType, valueType: DataType)
+
+  final case class BloomEntry(buckets: Broadcast[Array[Array[Byte]]], fpp: Double)
+
+  private val maps = new java.util.concurrent.ConcurrentHashMap[String, MapLookup]()
+  private val blooms = new java.util.concurrent.ConcurrentHashMap[String, BloomEntry]()
+
+  /** mapLookupsFromDFs: name → (df, keyExpr, valueExpr); collects each to a
+   * broadcast catalyst-value map (reference mapLookupsFromDFs). */
+  def registerMapLookups(
+      spark: SparkSession,
+      creators: Map[String, () => (DataFrame, Column, Column)]): Unit =
+    creators.foreach { case (name, mk) =>
+      val (df, k, v) = mk()
+      val pair = df.select(k.as("k"), v.as("v"))
+      val schema = pair.schema
+      val kConv = CatalystTypeConverters.createToCatalystConverter(schema(0).dataType)
+      val vConv = CatalystTypeConverters.createToCatalystConverter(schema(1).dataType)
+      val data = pair.collect().map(r => kConv(r.get(0)) -> vConv(r.get(1))).toMap
+      maps.put(name, MapLookup(
+        spark.sparkContext.broadcast(data), schema(0).dataType, schema(1).dataType))
+    }
+
+  def mapLookup(name: String): MapLookup = {
+    val m = maps.get(name)
+    require(m != null, s"map lookup '$name' is not registered - call registerMapLookups first")
+    m
+  }
+
+  /** registerBloomMapAndFunction equivalent: name → (bloom buckets, fpp). */
+  def registerBloom(spark: SparkSession, name: String, buckets: Array[Array[Byte]], fpp: Double): Unit =
+    blooms.put(name, BloomEntry(spark.sparkContext.broadcast(buckets), fpp))
+
+  /** Build + register a bloom from a dataframe column in one pass. */
+  def registerBloomFrom(spark: SparkSession, name: String, df: DataFrame, col: Column,
+      expected: Long, fpp: Double): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    val agg = Bridge.column(
+      BloomAggregate(Bridge.expression(col), expected, fpp).toAggregateExpression())
+    val bytes = df.select(agg.as("b")).collect()(0).getAs[Array[Byte]](0)
+    registerBloom(spark, name, Array(bytes), fpp)
+  }
+
+  def bloom(name: String): BloomEntry = {
+    val b = blooms.get(name)
+    require(b != null, s"bloom '$name' is not registered - call registerBloom first")
+    b
+  }
+
+  private[graft] def clear(): Unit = { maps.clear(); blooms.clear() }
+}
+
+/** map_lookup(expr, 'name') — broadcast map get, null when missing. */
+case class MapLookupExpression(child: Expression, name: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val lk = Lookups.mapLookup(name)
+  override def dataType: DataType = lk.valueType
+  override def nullable: Boolean = true
+  override def nullSafeEval(k: Any): Any = lk.data.value.getOrElse(k, null)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** map_contains(expr, 'name'). */
+case class MapContainsExpression(child: Expression, name: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val lk = Lookups.mapLookup(name)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val k = child.eval(input)
+    k != null && lk.data.value.contains(k)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** probability_in(expr, 'name') — 0.0 if definitely absent, else the
+ * registered filter's confidence (reference probabilityIn). */
+case class ProbabilityInExpression(child: Expression, name: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val entry = Lookups.bloom(name)
+  @transient private lazy val filters: Array[BlockSplitBloomFilter] =
+    entry.buckets.value.map(new BlockSplitBloomFilter(_))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def nullSafeEval(v: Any): Any = {
+    val h = Bloom.hashOf(v, child.dataType, filters(0))
+    val bucket = if (filters.length == 1) 0 else ((h >>> 33) % filters.length).toInt
+    if (filters(bucket).findHash(h)) entry.fpp else 0.0
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,61 @@
+package graft.lookups
+
+import graft.TestSpark
+import graft.rules.{Id, RuleSuite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LookupsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def c(sql: String) = graft.rules.RuleRunner.parseRule(sql, RuleSuite(Id(0, 0), Nil))
+
+  test("map_lookup / map_contains over a broadcast map") {
+    Lookups.registerMapLookups(spark, Map(
+      "ccy" -> (() => {
+        val df = Seq(("CH", "CHF"), ("GB", "GBP"), ("US", "USD")).toDF("country", "ccy")
+        (df, col("country"), col("ccy"))
+      })))
+    val out = Seq("CH", "US", "XX").toDF("ctry")
+      .select(c("map_lookup(ctry, 'ccy')").as("ccy"), c("map_contains(ctry, 'ccy')").as("has"))
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("CHF", true), ("USD", true), (null, false)))
+  }
+
+  test("map_lookup with struct values") {
+    Lookups.registerMapLookups(spark, Map(
+      "cc2" -> (() => {
+        val df = Seq(("CH", 1, "CHF")).toDF("country", "chk", "ccy")
+        (df, col("country"), struct(col("chk"), col("ccy")))
+      })))
+    val out = Seq("CH").toDF("ctry").select(c("map_lookup(ctry, 'cc2')").as("s")).select("s.*")
+    assert(out.collect()(0).toSeq == Seq(1, "CHF"))
+  }
+
+  test("small_bloom build + probability_in") {
+    val ids = spark.range(0, 1000).toDF("id")
+    Lookups.registerBloomFrom(spark, "ids", ids, col("id"), 1000, 0.01)
+    val out = Seq(5L, 999L, 123456L, 998877L).toDF("x")
+      .select(c("probability_in(x, 'ids')").as("p")).as[Double].collect()
+    assert(out(0) == 0.01 && out(1) == 0.01)
+    // absent keys: overwhelmingly 0.0 (allow the fpp edge)
+    assert(out.drop(2).count(_ == 0.0) >= 1)
+  }
+
+  test("small_bloom merges across partitions; no false negatives") {
+    val ids = spark.range(0, 5000).toDF("id").repartition(8)
+    Lookups.registerBloomFrom(spark, "ids2", ids, col("id"), 5000, 0.01)
+    val hits = spark.range(0, 5000).toDF("x")
+      .select(c("probability_in(x, 'ids2')").as("p")).where("p = 0.0").count()
+    assert(hits == 0) // bloom guarantees no false negatives
+  }
+
+  test("big_bloom via SQL aggregate returns buckets") {
+    val out = spark.range(0, 100).toDF("id")
+      .select(c("big_bloom(id, 100, 0.01)").as("b"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(out.nonEmpty)
+  }
+}
