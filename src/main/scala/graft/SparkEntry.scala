@@ -25,6 +25,24 @@ object SparkEntry {
   private def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
 
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents plus constructed near-duplicates: for doc_id % 10 == 0, a copy
+   * with the last two words dropped, id + 10000 — deterministic in SQL so the
+   * DuckDB oracle can rebuild the identical corpus. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val words = split(col("text"), " ")
+    val mutated = d.where(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 10000).as("doc_id"),
+      array_join(slice(words, lit(1), size(words) - 2), " ").as("text"))
+    d.unionAll(mutated)
+  }
+
   /** Engine suite over orders: salience picks the tightest price band. */
   def ordersEngineSuite: RuleSuite = RuleSuite(
     Id(2, 1),
@@ -189,6 +207,80 @@ object SparkEntry {
         .groupBy(col("DataQuality.overallResult").as("overallResult"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    // ---- LLM-pipeline operators over documents/embeddings ----
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.unionAll(
+        d.where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.pipeline.Dedup.exact(corpus, col("doc_id"), col("text"))
+        .select(col("doc_id"))
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      graft.pipeline.Dedup.minhashNearDups(
+          nearDupCorpus(s, dir), col("doc_id"), col("text"), shingleSize = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      graft.pipeline.Dedup.simhashNearDups(
+          nearDupCorpus(s, dir), col("doc_id"), col("text"), shingleSize = 3, maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // rows-only: exact pair-level jaccard on the constructed near-dups
+      val c = nearDupCorpus(s, dir)
+      val a = c.where(col("doc_id") < 10000).as("a")
+      val b = c.where(col("doc_id") >= 10000).as("b")
+      a.join(b, col("a.doc_id") + 10000 === col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          graft.pipeline.Dedup.ngramJaccard(col("a.text"), col("b.text")).as("jaccard"))
+    }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val corpus = e.unionAll(
+        e.where(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 10000))
+      graft.pipeline.Similarity.embeddingNearDups(corpus, "vec_id", "embedding", 0.999)
+        .select(col("id_a"), col("id_b"))
+    }),
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.pipeline.Similarity.bruteForceTopK(
+          e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      // rows-only: recall vs brute force asserted in PipelineSpec
+      val e = embeddings(s, dir)
+      graft.pipeline.Similarity.lshTopK(
+          e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "q_text_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.tokenCount(col("text")).as("n_tokens"),
+        graft.pipeline.Text.bpeTokenEstimate(col("text")).as("n_bpe"))
+    }),
+    "q_text_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.qualityScore(col("text")).as("q"))
+    }),
+    "q_text_langid" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.langId(col("text")).as("lang_guess"))
+    }),
+    "q_text_fingerprint" -> ((s, dir) => {
+      // rows-only: winnowing fingerprints; equal texts share fingerprints
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"))
+    }),
+    "q_multimodal_features" -> ((s, dir) => {
+      // rows-only: stubbed decode (no codecs in container); plumbing is real
+      val media = graft.pipeline.Multimodal.mediaFromText(docs(s, dir), "doc_id", "text")
+      graft.pipeline.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("decodedOk"),
+          size(col("feature")).as("feat_dim"))
+    }),
     "q_as_uuid" -> ((s, dir) => {
       lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -266,6 +358,82 @@ object SparkEntry {
         |            THEN 100000 ELSE 0 END AS overallResult,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+        |) SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text""".stripMargin,
+    // exact all-pairs trigram jaccard over the same constructed corpus —
+    // the testdata also contains organic planted near-dups the LSH must find
+    "q_dedup_minhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string(w[1:len(w)-2], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM corpus)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
+        |         string_split(trim(lower(array_to_string(w, ' '))), ' ') AS wa,
+        |         string_split(trim(lower(array_to_string(w[1:len(w)-2], ' '))), ' ') AS wb
+        |  FROM d),
+        |sh AS (
+        |  SELECT id_a, id_b,
+        |         list_distinct([array_to_string(wa[i:i+2], ' ') for i in range(1, len(wa) - 1)]) AS sa,
+        |         list_distinct([array_to_string(wb[i:i+2], ' ') for i in range(1, len(wb) - 1)]) AS sb
+        |  FROM pairs)
+        |SELECT id_a, id_b,
+        |       len(list_intersect(sa, sb))::DOUBLE
+        |       / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+        |FROM sh""".stripMargin,
+    "q_dedup_embedding" ->
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+    "q_ann_bruteforce" ->
+      """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |FROM embeddings q, embeddings n
+        |WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) <= 3""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |       CAST(ceil(length(text) / 4.0) AS INT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       (CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+        |       + (1.0 - (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |                 / CAST(length(text) AS DOUBLE))) AS q
+        |FROM documents""".stripMargin,
+    "q_text_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |         len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS de,
+        |         len(regexp_extract_all(lower(text), '\b(el|la|los|que)\b')) AS es,
+        |         len(regexp_extract_all(lower(text), '\b(le|les|et|est)\b')) AS fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+        |            WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+        |            WHEN es > 0 AND es >= fr THEN 'es'
+        |            WHEN fr > 0 THEN 'fr'
+        |            ELSE 'und' END AS lang_guess
+        |FROM h""".stripMargin,
     "q_agg_expr" ->
       """SELECT CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity > 25) AS BIGINT) AS qty_sum,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity > 25) AS DOUBLE)

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Deduplication operators for training-data pipelines.
+ *
+ * Scale design (100 TB):
+ *  - exact: one shuffle on the content hash (not the content), keep-first
+ *    deterministic via min(id) — map-side partial aggregation applies.
+ *  - minhash LSH: signatures are a narrow projection; the only shuffle is on
+ *    (band, bucket) keys whose cardinality ≈ docs × bands; candidate
+ *    verification joins only bucket-colliding pairs, never the full cross
+ *    product.
+ *  - simhash: same banding idea over 16-bit chunks of a 64-bit signature.
+ */
+object Dedup {
+
+  /** Exact dedup on content: keeps the lowest id per distinct content. */
+  def exact(df: DataFrame, idCol: Column, contentCols: Column*): DataFrame = {
+    val h = xxhash64(contentCols: _*)
+    // shuffle carries (hash, id), not content — tiny rows
+    val keep = df.select(h.as("graft_fp"), idCol.as("graft_id"))
+      .groupBy(col("graft_fp")).agg(min(col("graft_id")).as("graft_keep"))
+    df.join(keep, h === col("graft_fp") && idCol === col("graft_keep"), "leftsemi")
+  }
+
+  /** Candidate pairs whose exact shingle-Jaccard ≥ threshold, found via
+   * MinHash + LSH banding. Returns (id_a, id_b, jaccard), id_a < id_b. */
+  def minhashNearDups(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rowsPerBand = numHashes / bands
+    val base = df.select(idCol.as("id"), Text.shingles(textCol, shingleSize).as("sh"))
+      .withColumn("sig", Text.minhash(col("sh"), numHashes))
+
+    // band rows: (band, bucket=hash of the band's signature slice, id)
+    val bandRows = base.select(col("id"), col("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
+
+    val l = bandRows.as("l")
+    val r = bandRows.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard over shingle sets
+    val sh = base.select(col("id"), col("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dups: pairs with Hamming distance ≤ maxHamming, candidates
+   * from 16-bit bands of the 64-bit signature. */
+  def simhashNearDups(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, maxHamming: Int = 8): DataFrame = {
+    val base = df.select(idCol.as("id"),
+      Text.simhash(Text.shingles(textCol, shingleSize)).as("sig"))
+    val bandRows = base.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        expr("shiftrightunsigned(sig, band * 16)").bitwiseAND(lit(0xffffL)).as("bucket"))
+    val l = bandRows.as("l")
+    val r = bandRows.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for a pair frame carrying two text columns. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column = {
+    val a = Text.shingles(textA, n)
+    val b = Text.shingles(textB, n)
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  }
+}

@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text-analysis operators for training-data pipelines: token counting,
+ * language id, quality scoring, shingling, minhash/simhash signatures,
+ * winnowing fingerprints. Everything scalar is a narrow projection — no
+ * shuffle, safe at any scale; the heuristics are deliberately simple,
+ * deterministic SQL so the DuckDB oracle can replicate them exactly.
+ */
+object Text {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish size estimate: ~4 chars/token heuristic. */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast(IntegerType)
+
+  /** Stopword-majority language id over a fixed marker table; ties resolve
+   * in the declared language order. */
+  def langId(text: Column): Column = {
+    val markers = Seq(
+      "en" -> "\\b(the|and|of|is)\\b",
+      "de" -> "\\b(der|die|das|und)\\b",
+      "es" -> "\\b(el|la|los|que)\\b",
+      "fr" -> "\\b(le|les|et|est)\\b")
+    val hits = markers.map { case (l, p) => l -> regexp_count(lower(text), lit(p)) }
+    // argmax with first-declared-wins ties: fold in reverse so earlier
+    // languages overwrite later ones at equal counts
+    val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
+      when(h > 0 && h === maxHits, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Simple quality score: whitespace ratio + alpha ratio - digit ratio,
+   * computed with a fixed operation order so oracles match bit-for-bit. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast(DoubleType)
+    val spaces = (length(text) - length(regexp_replace(text, " ", ""))).cast(DoubleType)
+    val digits = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast(DoubleType)
+    (spaces / n) + (lit(1.0) - (digits / n))
+  }
+
+  /** Distinct word n-gram shingles (lowercased). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  def minhash(shingleCol: Column, numHashes: Int = 64): Column =
+    Bridge.column(MinHashExpression(Bridge.expression(shingleCol), numHashes))
+
+  def simhash(shingleCol: Column): Column =
+    Bridge.column(SimHashExpression(Bridge.expression(shingleCol)))
+
+  def fingerprint(text: Column, k: Int = 9, window: Int = 4): Column =
+    Bridge.column(WinnowFingerprintExpression(Bridge.expression(text), k, window))
+}
+
+/** xxhash-style 64-bit string mix shared by the signature expressions. */
+object TextHash {
+  def hash64(s: UTF8String, seed: Long): Long = {
+    // FNV-1a over bytes then SplitMix64 finisher with seed fold — simple,
+    // fast, deterministic across JVMs
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature: per permutation j, min over shingles of hash64(s, j). */
+case class MinHashExpression(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = TextHash.hash64(s, j.toLong)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over shingle features. */
+case class SimHashExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = TextHash.hash64(arr.getUTF8String(i), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+ * k-gram rolling hashes, min per sliding window, distinct sorted. */
+case class WinnowFingerprintExpression(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    if (s.length < k) return new GenericArrayData(Array.empty[Long])
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { h ^= s.charAt(i + j).toLong; h *= 0x100000001b3L; j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    i = 0
+    val lastWin = math.max(n - window, 0)
+    while (i <= lastWin) {
+      var min = Long.MaxValue
+      var j = i
+      val end = math.min(i + window, n)
+      while (j < end) { if (hashes(j) < min) min = hashes(j); j += 1 }
+      picked += min
+      i += 1
+    }
+    new GenericArrayData(picked.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import graft.rules.{RuleRunner, RuleSuite}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Structured-Streaming DQ (reference: docs — Quality rules run identically in
+ * streaming apps since rule evaluation is a stateless projection).
+ *
+ * addDataQuality composes directly onto a streaming DataFrame; the windowed
+ * aggregation below adds watermarked pass/fail-rate monitoring — the
+ * standard "DQ dashboard" stream shape.
+ */
+object StreamingDq {
+
+  /** Stateless: works identically on batch and streaming frames. */
+  def withDataQuality(stream: DataFrame, suite: RuleSuite, name: String = "DataQuality"): DataFrame =
+    RuleRunner.addDataQuality(stream, suite, name)
+
+  /** Watermarked per-window pass/fail counts of the suite's overall result. */
+  def windowedPassRate(
+      stream: DataFrame, suite: RuleSuite,
+      tsCol: String, windowDuration: String, watermark: String): DataFrame =
+    withDataQuality(stream, suite)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("DataQuality.overallResult") === graft.rules.RuleResults.PassedInt, 1L)
+          .otherwise(0L)).as("passed"))
+      .select(col("window.start").as("window_start"), col("rows"), col("passed"),
+        (col("passed").cast("double") / col("rows")).as("pass_rate"))
+}

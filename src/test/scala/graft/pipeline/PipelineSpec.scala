@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),     // near-dup of 0
+    (2L, "completely different content about spark sql engines and shuffles here"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("minhash LSH finds near and exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"), shingleSize = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash finds near dups") {
+    val pairs = Dedup.simhashNearDups(docs, col("doc_id"), col("text"), shingleSize = 2, maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    val out = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text"), 2).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 3L)) == 1.0)
+    assert(out((0L, 2L)) == 0.0)
+  }
+
+  test("text functions: tokens, lang, quality") {
+    val out = Seq("the cat and the dog", "der hund und die katze und")
+      .toDF("text")
+      .select(
+        Text.tokenCount(col("text")).as("n"),
+        Text.langId(col("text")).as("lang"),
+        Text.qualityScore(col("text")).as("q"))
+      .collect()
+    assert(out(0).getInt(0) == 5 && out(0).getString(1) == "en")
+    assert(out(1).getInt(0) == 6 && out(1).getString(1) == "de")
+    assert(out(0).getDouble(2) > 1.0)
+  }
+
+  test("fingerprint: identical docs match, different docs do not") {
+    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L) != fp(2L))
+    assert(fp(0L).nonEmpty && fp(0L) == fp(0L).sorted)
+  }
+
+  val embs: Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(7)
+    (0L until 50L).map { i =>
+      val base = Array.fill(16)(rng.nextGaussian().toFloat)
+      i -> base
+    }
+  }
+
+  test("brute force topk is self-consistent and complete") {
+    val df = embs.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.where(col("vec_id") < 5), "vec_id", "embedding", 3)
+    assert(out.count() == 15)
+    assert(out.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 3))
+  }
+
+  test("lsh topk recall vs brute force is reasonable") {
+    val df = embs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(df, q, "vec_id", "embedding", 3, nPlanes = 4, dim = 16, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall > 0.6, s"recall $recall")
+  }
+
+  test("embedding near dups finds duplicated vectors") {
+    val withDup = (embs :+ (999L -> embs.head._2)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(withDup, "vec_id", "embedding", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 999L)))
+  }
+
+  test("multimodal plumbing: features + frames with stubbed decode") {
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 4)
+    assert(feats.forall(f => f.decodedOk && f.feature.length == 16))
+    assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
+    // deterministic: same text → same feature
+    val byId = feats.map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(byId(0L) == byId(3L))
+    val frames = Multimodal.sampleFrames(media, stride = 16, frameSize = 8).collect()
+    assert(frames.forall(_.frame.length <= 8))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.rules._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingDqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val suite: RuleSuite = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+    Rule(Id(3, 1), "value >= 0")))))
+
+  test("DQ column on a stream with windowed pass rate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "value")
+
+    val out = StreamingDq.windowedPassRate(stream, suite, "ts", "10 minutes", "5 minutes")
+    val query = out.writeStream.format("memory").queryName("dq_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:01:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:05:00")
+      val late = Timestamp.valueOf("2026-01-01 11:00:00") // advances watermark, closes window
+      mem.addData((t0, 1.0), (t0, -2.0), (t1, 3.0))
+      query.processAllAvailable()
+      mem.addData((late, 5.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT rows, passed, pass_rate FROM dq_stream").collect()
+      assert(rows.nonEmpty)
+      val first = rows.head
+      assert(first.getLong(0) == 3 && first.getLong(1) == 2)
+      assert(math.abs(first.getDouble(2) - 2.0 / 3.0) < 1e-9)
+    } finally query.stop()
+  }
+
+  test("plain DQ column composes on streaming frames") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val stream = mem.toDF().toDF("value")
+    val out = StreamingDq.withDataQuality(stream, suite)
+      .select(col("DataQuality.overallResult").as("o"))
+    val query = out.writeStream.format("memory").queryName("dq_plain").outputMode("append").start()
+    try {
+      mem.addData(1.0, -1.0)
+      query.processAllAvailable()
+      val res = spark.sql("SELECT o FROM dq_plain").as[Int].collect().sorted
+      assert(res.toSeq == Seq(0, 100000))
+    } finally query.stop()
+  }
+}
