@@ -15,8 +15,11 @@ object Bridge {
   /** Wrap a Catalyst expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
-  /** Unwrap a Column into the Catalyst expression it denotes. */
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Unwrap a Column into the Catalyst expression it denotes — eagerly
+   * converted (a lazy ColumnNodeExpression wrapper would survive into
+   * FunctionRegistry-built trees and fail codegen). */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Parse a SQL expression string with the active session's parser. */
   def parse(sql: String): Expression =

@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.rules._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("AsUuidRewrite turns uuid equality into pushable long equality") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AsUuidRewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_uuid").toString
+    Seq((42L, 77L, "keep"), (1L, 2L, "drop")).toDF("lo", "hi", "tag")
+      .write.mode("overwrite").parquet(dir)
+    val uuid = new java.util.UUID(77L, 42L).toString // msb=higher, lsb=lower
+    val df = spark.read.parquet(dir)
+      .where(Bridge.column(graft.functions.AsUuidExpr(
+        Bridge.expression(col("lo")), Bridge.expression(col("hi")))) === uuid)
+    assert(df.select("tag").as[String].collect().toSeq == Seq("keep"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") && physical.contains("EqualTo(lo,42)"),
+      s"filter not pushed:\n$physical")
+  }
+
+  test("registerAll makes functions available to spark.sql") {
+    graft.functions.Registry.registerAll(spark)
+    val out = spark.sql("SELECT pack_ints(3, 4) AS p, packints(3, 4) AS p2, soft_fail(1 > 2) AS sf")
+      .collect()(0)
+    assert(out.getLong(0) == (3L << 32 | 4L))
+    assert(out.getLong(1) == out.getLong(0))
+    assert(out.getDouble(2) == -1.0)
+  }
+
+  test("processIfAttributeMissing picks first present alternative") {
+    val suite = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+      Rule(Id(3, 1), "coalesce_if_attributes_missing(new_col > 0, old_col > 0)"),
+      Rule(Id(4, 1), "coalesce_if_attributes_missing_disable(gone_a > 0, gone_b > 0)")))))
+    val schema = Seq((1, 2)).toDF("old_col", "other").schema
+    val processed = MissingAttributes.processIfAttributeMissing(suite, schema)
+    val rules = processed.ruleSets.head.rules
+    assert(rules(0).sql.toLowerCase.contains("old_col"))
+    assert(!rules(0).sql.toLowerCase.contains("new_col"))
+    // disabled variant collapses to the DisabledRule token
+    val out = RuleRunner.addDataQuality(Seq((1, 2)).toDF("old_col", "other"), processed)
+      .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
+      .select("r.ruleId", "r.ruleResult")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out(3) == RuleResults.PassedInt)
+    assert(out(4) == RuleResults.DisabledRuleInt)
+  }
+}
