@@ -84,13 +84,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
-   * All-pairs — use only on bounded candidate sets; LSH-bucket first at scale. */
+  /**
+   * Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+   * Candidates come from multi-table LSH buckets (high thresholds ⇒ near-
+   * identical vectors ⇒ identical signatures in some table with overwhelming
+   * probability), then exact cosine verification — the bucket join replaces
+   * the O(n²) cross product with a per-bucket product, which at 100 TB is the
+   * difference between feasible and not.
+   */
   def embeddingNearDups(
-      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int = 64, nPlanes: Int = 16, tables: Int = 4): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t * 1000L)): _*)
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(buckets).as(Seq("table", "bucket")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .distinct()
       .withColumn("sim", cosine(col("va"), col("vb")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

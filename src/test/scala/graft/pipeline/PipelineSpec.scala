@@ -93,7 +93,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("embedding near dups finds duplicated vectors") {
     val withDup = (embs :+ (999L -> embs.head._2)).toDF("vec_id", "embedding")
-    val pairs = Similarity.embeddingNearDups(withDup, "vec_id", "embedding", 0.999)
+    val pairs = Similarity.embeddingNearDups(withDup, "vec_id", "embedding", 0.999, dim = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 999L)))
   }
