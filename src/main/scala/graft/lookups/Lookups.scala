@@ -44,6 +44,44 @@ object Lookups {
         spark.sparkContext.broadcast(data), schema(0).dataType, schema(1).dataType))
     }
 
+  final case class MapConfig(
+      name: String, token: Option[String], filter: Option[String],
+      sql: Option[String], key: String, value: String)
+
+  /** Config-table-driven map loading (reference loadMapConfigs): columns
+   * name/token/filter/sql/key/value; token resolves through the loader,
+   * sql runs against the session (views included). Returns configs plus the
+   * names that had neither token nor sql. */
+  def loadMapConfigs(
+      df: DataFrame,
+      name: Column, token: Column, filter: Column, sqlCol: Column,
+      key: Column, value: Column): (Seq[MapConfig], Set[String]) = {
+    val rows = df.select(name, token, filter, sqlCol, key, value).collect().map { r =>
+      MapConfig(r.getString(0), Option(r.getString(1)), Option(r.getString(2)),
+        Option(r.getString(3)), r.getString(4), r.getString(5))
+    }.toSeq
+    val bad = rows.filter(c => c.token.isEmpty && c.sql.isEmpty).map(_.name).toSet
+    (rows.filterNot(c => bad(c.name)), bad)
+  }
+
+  /** Materialize + register each config as a broadcast map. */
+  def loadMaps(
+      spark: SparkSession,
+      configs: Seq[MapConfig],
+      loader: graft.rules.ViewLoader.DataFrameLoader = null): Unit =
+    registerMapLookups(spark, configs.map { c =>
+      c.name -> (() => {
+        val base = (c.token, c.sql) match {
+          case (Some(t), _) =>
+            require(loader != null, s"map '${c.name}' needs a DataFrameLoader for token $t")
+            c.filter.map(loader.load(t).where).getOrElse(loader.load(t))
+          case (None, Some(s)) => spark.sql(s)
+          case _ => throw new IllegalArgumentException(s"map '${c.name}' has neither token nor sql")
+        }
+        (base, org.apache.spark.sql.functions.expr(c.key), org.apache.spark.sql.functions.expr(c.value))
+      })
+    }.toMap)
+
   def mapLookup(name: String): MapLookup = {
     val m = maps.get(name)
     require(m != null, s"map lookup '$name' is not registered - call registerMapLookups first")

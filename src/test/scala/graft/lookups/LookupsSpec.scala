@@ -58,4 +58,17 @@ class LookupsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Array[Byte]](0)
     assert(out.nonEmpty)
   }
+
+  test("loadMapConfigs + loadMaps from a config table") {
+    Seq((10, "ten"), (20, "twenty")).toDF("k", "v").createOrReplaceTempView("graft_kv")
+    val cfg = Seq(("numbers", null: String, null: String, "SELECT * FROM graft_kv", "k", "upper(v)"))
+      .toDF("name", "token", "filter", "sql", "key", "value")
+    val (configs, bad) = Lookups.loadMapConfigs(cfg,
+      col("name"), col("token"), col("filter"), col("sql"), col("key"), col("value"))
+    assert(bad.isEmpty)
+    Lookups.loadMaps(spark, configs)
+    val out = Seq(10, 99).toDF("x").select(c("map_lookup(x, 'numbers')").as("v"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("TEN", null))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.rules
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LambdaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def run(sql: String, lambdas: Seq[LambdaFunction], df: org.apache.spark.sql.DataFrame) =
+    df.select(RuleRunner.parseRule(sql, RuleSuite(Id(0, 0), Nil, lambdas)).as("r"))
+
+  test("nested lambdas expand recursively") {
+    val ls = Seq(
+      LambdaFunction("twice", "x -> x * 2", Id(1, 1)),
+      LambdaFunction("quad", "x -> twice(twice(x))", Id(2, 1)))
+    val out = run("quad(v)", ls, Seq(3).toDF("v")).as[Int].collect()
+    assert(out.toSeq == Seq(12))
+  }
+
+  test("partial application with _() yields a usable higher-order lambda") {
+    val ls = Seq(LambdaFunction("plus", "(a, b) -> a + b", Id(1, 1)))
+    val out = run("aggregate(array(1L, 2L, 3L), 10L, plus(_(), _()))", ls, Seq(1).toDF("v"))
+      .as[Long].collect()
+    assert(out.toSeq == Seq(16L))
+  }
+
+  test("partial application binds fixed args") {
+    val ls = Seq(LambdaFunction("addn", "(a, n) -> a + n", Id(1, 1)))
+    val out = run("transform(array(1L, 2L), addn(_(), 10L))", ls, Seq(1).toDF("v"))
+      .as[Seq[Long]].collect()
+    assert(out(0) == Seq(11L, 12L))
+  }
+
+  test("recursive lambdas are rejected, not looped") {
+    val ls = Seq(LambdaFunction("loop", "x -> loop(x)", Id(1, 1)))
+    val e = intercept[IllegalArgumentException] {
+      run("loop(v)", ls, Seq(1).toDF("v")).collect()
+    }
+    assert(e.getMessage.contains("depth"))
+  }
+
+  test("lambda names are case-insensitive like Spark functions") {
+    val ls = Seq(LambdaFunction("MyFun", "x -> x + 1", Id(1, 1)))
+    assert(run("myfun(v)", ls, Seq(1).toDF("v")).as[Int].collect().toSeq == Seq(2))
+  }
+}
