@@ -207,6 +207,19 @@ object SparkEntry {
         .groupBy(col("DataQuality.overallResult").as("overallResult"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    "q_events_window" -> ((s, dir) => {
+      // batch shape of the streaming windowed pass-rate (events table);
+      // the parquet stores TIMESTAMP(NANOS) which Spark only reads as long
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("rows"),
+          sum(when(col("value") >= 0, 1L).otherwise(0L)).as("passed"))
+    }),
     // ---- LLM-pipeline operators over documents/embeddings ----
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -358,6 +371,10 @@ object SparkEntry {
         |            THEN 100000 ELSE 0 END AS overallResult,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

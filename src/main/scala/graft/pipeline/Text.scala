@@ -87,20 +87,33 @@ object TextHash {
   }
 }
 
-/** MinHash signature: per permutation j, min over shingles of hash64(s, j). */
+/** MinHash signature: each shingle is string-hashed ONCE, then permutation j
+ * applies a SplitMix64 remix of (h ^ oddConst_j) — one byte-scan per shingle
+ * instead of numHashes scans, standard tabulation-style minhash. */
 case class MinHashExpression(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(j => j.toLong * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L)
+
+  @inline private def remix(h: Long, c: Long): Long = {
+    var z = (h ^ c) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
+      val h = TextHash.hash64(arr.getUTF8String(i), 0L)
       var j = 0
       while (j < numHashes) {
-        val h = TextHash.hash64(s, j.toLong)
-        if (h < sig(j)) sig(j) = h
+        val m = remix(h, seeds(j))
+        if (m < sig(j)) sig(j) = m
         j += 1
       }
       i += 1

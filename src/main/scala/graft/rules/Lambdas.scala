@@ -44,6 +44,20 @@ object Lambdas {
       throw new IllegalArgumentException(
         s"lambda expansion exceeded depth $MaxDepth - recursive lambda definitions are not supported")
     expr.transformUp {
+      // callFun(<lambda-valued expression>, args...): apply a partial
+      // returned by a lambda (curried lambdas expand to nested arrows)
+      case uf: UnresolvedFunction if fnName(uf) == "callfun" || fnName(uf) == "call_fun" =>
+        uf.arguments.head match {
+          case CatalystLambda(body, params, _) =>
+            val args = uf.arguments.tail
+            if (args.size != params.size)
+              throw new IllegalArgumentException(
+                s"callFun: partial expects ${params.size} args, got ${args.size}")
+            substitute(bindParams(body, params.map(_.name).zip(args).toMap), lambdas, depth + 1)
+          case other =>
+            throw new IllegalArgumentException(
+              s"callFun's first argument must be a lambda-valued expression, got $other")
+        }
       case uf: UnresolvedFunction if lambdas.contains(fnName(uf)) =>
         val lam = lambdas(fnName(uf))
         val args = uf.arguments

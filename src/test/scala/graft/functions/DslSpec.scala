@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DslSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.functions.dsl._
+
+  test("column DSL smoke across families") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val row = df.select(
+      pack_ints(col("a"), lit(2)).as("p"),
+      as_uuid(lit(1L), lit(2L)).as("u"),
+      soft_fail(col("a") > 5).as("sf"),
+      murmur3_id("m", col("a"), col("b")).as("id"),
+      digest_to_longs("MD5", col("b")).as("dl"),
+      to_yaml(struct(col("a"))).as("y"),
+      comparable_maps(map(col("b"), col("a"))).as("cm")
+    ).collect()(0)
+    assert(row.getLong(0) == (1L << 32 | 2L))
+    assert(row.getString(1) == new java.util.UUID(2L, 1L).toString)
+    assert(row.getDouble(2) == -1.0)
+    assert(row.getStruct(3).length == 3)
+    assert(row.getSeq[Long](4).size == 2)
+    assert(row.getString(5).contains("a: 1"))
+  }
+
+  test("DSL aggregates work in groupBy") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+    val out = df.groupBy("g").agg(small_bloom(col("v"), 10, 0.01).as("bloom"))
+    assert(out.count() == 2)
+  }
+}

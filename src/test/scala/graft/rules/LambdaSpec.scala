@@ -41,6 +41,12 @@ class LambdaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("depth"))
   }
 
+  test("callFun applies a lambda-valued partial from a curried lambda") {
+    val ls = Seq(LambdaFunction("mult", "a -> b -> a * b", Id(1, 1)))
+    val out = run("callFun(mult(2), v)", ls, Seq(5).toDF("v")).as[Int].collect()
+    assert(out.toSeq == Seq(10))
+  }
+
   test("lambda names are case-insensitive like Spark functions") {
     val ls = Seq(LambdaFunction("MyFun", "x -> x + 1", Id(1, 1)))
     assert(run("myfun(v)", ls, Seq(1).toDF("v")).as[Int].collect().toSeq == Seq(2))
