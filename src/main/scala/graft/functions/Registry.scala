@@ -135,6 +135,13 @@ object Registry {
     }),
     "print_expr" -> (es => es.last),  // debug passthrough: value unchanged
     "print_code" -> (es => es.last),
+    "strip_result_ddl" -> (es => ex(graft.rules.ExpressionRunner.stripResultDdl(col(es.head)))),
+    // these are placeholders resolved by MissingAttributes.processIfAttributeMissing
+    // BEFORE planning; reaching the registry means that step was skipped
+    "coalesce_if_attributes_missing" -> (_ => throw new IllegalArgumentException(
+      "coalesce_if_attributes_missing must be rewritten via MissingAttributes.processIfAttributeMissing before running")),
+    "coalesce_if_attributes_missing_disable" -> (_ => throw new IllegalArgumentException(
+      "coalesce_if_attributes_missing_disable must be rewritten via MissingAttributes.processIfAttributeMissing before running")),
     "to_yaml" -> (es => YamlEncodeExpression(es.head)),
     "from_yaml" -> (es => YamlDecodeExpression(es(0), str(es(1), "ddl"))),
     "comparable_maps" -> (es => ComparableMapsExpression(es.head)),

@@ -54,6 +54,36 @@ object ExpressionRunner {
       name: String = "expressionResults"): DataFrame =
     df.withColumn(name, assemble(suite, (r, _) => Parsing.parseCol(r.sql, suite).cast(ddl)))
 
+  /**
+   * Aggregate-rule variant (reference: docs/advanced/expressionRunner.md —
+   * "manage multiple agg_expr aggregations in a single pass"): every rule is
+   * an aggregate (agg_expr/sum_with/…); returns the one-row result frame.
+   * One pass over the data, all aggregations partial-aggregated map-side.
+   */
+  def aggExpressionResults(
+      df: DataFrame, suite: RuleSuite, name: String = "expressionResults"): DataFrame = {
+    val probe = df.groupBy().agg(
+      Parsing.parseCol(suite.rules.head._2.sql, suite).as("e0"),
+      suite.rules.tail.zipWithIndex.map { case ((_, r), i) =>
+        Parsing.parseCol(r.sql, suite).as(s"e${i + 1}")
+      }: _*)
+    val types = probe.schema.fields.map(_.dataType.sql)
+    var i = -1
+    val flat = probe.columns
+    val renamed = probe // single row of aggregate results
+    val setEntries = suite.ruleSets.flatMap { rs =>
+      val ruleEntries = rs.rules.flatMap { r =>
+        i += 1
+        Seq(lit(Id.pack(r.id)),
+          struct(col(flat(i)).cast(StringType).as("result"), lit(types(i)).as("resultDDL")))
+      }
+      Seq(lit(Id.pack(rs.id)), map(ruleEntries: _*))
+    }
+    renamed.select(struct(
+      lit(Id.pack(suite.id)).as("id"),
+      map(setEntries: _*).as("ruleSetResults")).as(name))
+  }
+
   /** strip_result_ddl: drop the DDL field, keeping result strings
    * (reference: impl/ExpressionRunner.scala StripResultTypes). */
   def stripResultDdl(c: Column): Column =

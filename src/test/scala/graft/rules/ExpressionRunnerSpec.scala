@@ -24,6 +24,20 @@ class ExpressionRunnerSpec extends AnyFunSuite {
     assert(stripped(0) == "v:41")
   }
 
+  test("aggExpressionResults runs agg_expr rules in one pass") {
+    val s = RuleSuite(Id(7, 1), Seq(RuleSet(Id(8, 1), Seq(
+      Rule(Id(80, 1), "agg_expr('BIGINT', x > 1, sum_with(s -> s + x), return_sum())"),
+      Rule(Id(81, 1), "agg_expr(x > 0, inc(), return_sum())")))))
+    val out = ExpressionRunner.aggExpressionResults(
+      Seq(1L, 2L, 3L).toDF("x"), s, "er")
+    val r = out.select(
+      element_at(element_at(col("er.ruleSetResults"), Id.pack(Id(8, 1))), Id.pack(Id(80, 1))).getField("result"),
+      element_at(element_at(col("er.ruleSetResults"), Id.pack(Id(8, 1))), Id.pack(Id(81, 1))).getField("result"))
+      .collect()(0)
+    assert(r.getString(0) == "5")
+    assert(r.getString(1) == "3")
+  }
+
   test("typedExpressionRunner keeps typed results") {
     val s = RuleSuite(Id(5, 1), Seq(RuleSet(Id(6, 1), Seq(Rule(Id(60, 1), "x * 2.5")))))
     val out = ExpressionRunner.addTypedExpressionResults(Seq(4).toDF("x"), s, "double", "er")

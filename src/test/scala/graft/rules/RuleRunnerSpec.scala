@@ -85,6 +85,29 @@ class RuleRunnerSpec extends AnyFunSuite {
     assert(out(6) == FailedInt)
   }
 
+  test("coercion edge cases match the reference's token table") {
+    // derived from reference qualityTests/BaseFunctionalityTest.scala:254-259
+    val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+      Rule(Id(1, 1), "-1657899192881000L"),
+      Rule(Id(2, 1), "-4"),
+      Rule(Id(3, 1), "cast(-1.32 as float)"),
+      Rule(Id(4, 1), "cast(-2 as short)"),
+      Rule(Id(5, 1), "cast(-2 as byte)"),
+      Rule(Id(6, 1), "cast(-1.32 as double)"),
+      Rule(Id(7, 1), "0.75")))))
+    val out = RuleRunner.addDataQuality(Seq(1).toDF("x"), s)
+      .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
+      .select("r.ruleId", "r.ruleResult")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out(1) == FailedInt)            // arbitrary long → Failed
+    assert(out(2) == FailedInt)            // -4 is not a token
+    assert(out(3) == -131999 || out(3) == -132000) // float widening of -1.32
+    assert(out(4) == DisabledRuleInt)
+    assert(out(5) == DisabledRuleInt)
+    assert(out(6) == -132000)              // probability encoding kept raw
+    assert(out(7) == 75000)
+  }
+
   test("lambda substitution in rules") {
     val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
       Rule(Id(3, 1), "within(x, 1, 10)")))),
