@@ -53,12 +53,14 @@ object Text {
     (spaces / n) + (lit(1.0) - (digits / n))
   }
 
-  /** Distinct word n-gram shingles (lowercased). */
+  /** Distinct word n-gram shingles (lowercased). The words array is bound as
+   * a lambda variable (single-element transform) so the split runs ONCE per
+   * row — inlining it into the per-shingle lambda would be O(words²). */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    val sh = transform(array(split(trim(lower(text)), "\\s+")), ws =>
+      transform(sequence(lit(0), greatest(size(ws) - n, lit(0))),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+    array_distinct(element_at(sh, 1))
   }
 
   def minhash(shingleCol: Column, numHashes: Int = 64): Column =
