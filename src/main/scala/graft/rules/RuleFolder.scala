@@ -29,12 +29,20 @@ object RuleFolder {
 
     def res(i: RuleEngine.Indexed): Column = element_at(tmp, i.idx)
 
-    // unroll the fold: acc_i = triggered ? output_i(acc_{i-1}) : acc_{i-1}
+    // unroll the fold: acc_i = triggered ? output_i(acc_{i-1}) : acc_{i-1}.
+    // Each step binds the previous accumulator as a lambda variable via a
+    // single-element transform — a Catalyst "let" — so the expression tree
+    // grows linearly with rule count instead of doubling per rule.
     val steps: Seq[(RuleEngine.Indexed, Column)] = {
       var acc: Column = start
       ordered.map { i =>
-        val applied = Parsing.applyFolderOutput(i.rule.output.get.sql, suite, acc)
-        acc = when(res(i) === PassedInt, applied).otherwise(acc)
+        val stepped = element_at(
+          transform(array(acc), prev =>
+            when(res(i) === PassedInt,
+              Parsing.applyFolderOutput(i.rule.output.get.sql, suite, prev))
+              .otherwise(prev)),
+          1)
+        acc = stepped
         (i, acc)
       }
     }
