@@ -268,6 +268,15 @@ object SparkEntry {
           e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "q_curate" -> ((s, dir) => {
+      // end-to-end curation: near-dedup (keep lowest id) + quality gates
+      val kept = graft.pipeline.Dedup.dropNearDups(
+        nearDupCorpus(s, dir), col("doc_id"), col("text"))
+      kept
+        .where(graft.pipeline.Text.tokenCount(col("text")) >= 50)
+        .where(graft.pipeline.Text.langId(col("text")) === "en")
+        .select(col("doc_id"))
+    }),
     "q_text_tokens" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.tokenCount(col("text")).as("n_tokens"),
@@ -425,6 +434,37 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) <= 3""".stripMargin,
+    "q_curate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string(w[1:len(w)-2], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM corpus)
+        |), losers AS (
+        |  SELECT DISTINCT b.doc_id AS d
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        |), h AS (
+        |  SELECT doc_id, text,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |         len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS de,
+        |         len(regexp_extract_all(lower(text), '\b(el|la|los|que)\b')) AS es,
+        |         len(regexp_extract_all(lower(text), '\b(le|les|et|est)\b')) AS fr
+        |  FROM corpus WHERE doc_id NOT IN (SELECT d FROM losers)
+        |)
+        |SELECT doc_id FROM h
+        |WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 50
+        |  AND CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+        |           WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+        |           WHEN es > 0 AND es >= fr THEN 'es'
+        |           WHEN fr > 0 THEN 'fr' ELSE 'und' END = 'en'""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -191,27 +191,9 @@ case class AggExpr(
     copy(filter = cs(0), sumBody = cs(1), resultBody = cs(2))
 }
 
-/**
- * Parse-time carrier for sum_with/results_with/map_with lambdas sitting
- * between the inner rewrite (which creates them) and the enclosing agg_expr
- * rewrite (which consumes them). Never survives to analysis.
- */
-case class AggLambdaMarker(
-    kind: String,                       // sum_with | results_with | map_with
-    params: Seq[String],
-    body: Expression,
-    declaredType: Option[DataType],
-    keyExpr: Option[Expression] = None) // map_with grouping key
-    extends Expression with Unevaluable {
-  override def children: Seq[Expression] = Nil
-  override def dataType: DataType = NullType
-  override def nullable: Boolean = true
-  override lazy val resolved: Boolean = false
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = this
-}
-
 object AggExprBuilder {
   import graft.rules.Lambdas
+  import org.apache.spark.sql.graft.AggLambdaMarker
 
   private def parseDdl(s: String): DataType = DataType.fromDDL(s)
 
@@ -224,10 +206,29 @@ object AggExprBuilder {
    * an already-built marker. */
   private def lambdaOf(e: Expression, kind: String): AggLambdaMarker = e match {
     case m: AggLambdaMarker => m
-    case LambdaFunction(body, args, _) =>
-      AggLambdaMarker(kind, args.map(_.name), body, None)
+    case lf: LambdaFunction => AggLambdaMarker(kind, lf, None)
     case other => throw new IllegalArgumentException(
       s"expected a $kind lambda, got $other")
+  }
+
+  private def paramsOf(m: AggLambdaMarker): Seq[String] = m.lambda match {
+    case LambdaFunction(_, args, _) => args.map(_.name)
+  }
+
+  private def bodyOf(m: AggLambdaMarker): Expression = m.lambda match {
+    case LambdaFunction(body, _, _) => body
+  }
+
+  private def mk(params: Seq[String], body: Expression): LambdaFunction =
+    LambdaFunction(body, params.map(p => UnresolvedNamedLambdaVariable(Seq(p))))
+
+  /** Arrow-syntax bodies wrap ALL references as lambda variables; once the
+   * marker params are bound, whatever remains is a real column reference —
+   * convert it so the analyzer resolves it (ResolveLambdaVariables prunes
+   * subtrees without LambdaFunction nodes and would never reach these). */
+  private def attrify(e: Expression): Expression = e.transformUp {
+    case UnresolvedNamedLambdaVariable(parts) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts)
   }
 
   def sumWith(args: Seq[Expression]): Expression = args match {
@@ -253,18 +254,16 @@ object AggExprBuilder {
   }
 
   def inc(args: Seq[Expression]): Expression = args match {
-    case Seq() => AggLambdaMarker("sum_with", Seq("s"),
-      Add(attr("s"), Literal(1L)), None)
-    case Seq(e) => AggLambdaMarker("sum_with", Seq("s"),
-      Add(attr("s"), e), None)
+    case Seq() => AggLambdaMarker("sum_with", mk(Seq("s"), Add(attr("s"), Literal(1L))), None)
+    case Seq(e) => AggLambdaMarker("sum_with", mk(Seq("s"), Add(attr("s"), e)), None)
     case _ => throw new IllegalArgumentException("inc([expr])")
   }
 
   def meanF(args: Seq[Expression]): Expression =
-    AggLambdaMarker("results_with", Seq("s", "c"), Divide(attr("s"), attr("c")), None)
+    AggLambdaMarker("results_with", mk(Seq("s", "c"), Divide(attr("s"), attr("c"))), None)
 
   def returnSum(args: Seq[Expression]): Expression =
-    AggLambdaMarker("results_with", Seq("s", "c"), attr("s"), None)
+    AggLambdaMarker("results_with", mk(Seq("s", "c"), attr("s")), None)
 
   private def attr(n: String) =
     org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))
@@ -300,22 +299,22 @@ object AggExprBuilder {
         val current = Coalesce(Seq(
           org.apache.spark.sql.catalyst.expressions.GetMapValue(sumVar, key),
           AggMonoid.zeroLit(mt.valueType)))
-        val valueBody = Lambdas.bindParams(sumM.body, sumM.params.map(_ -> (entryVar: Expression)).toMap)
+        val valueBody = Lambdas.bindParams(bodyOf(sumM), paramsOf(sumM).map(_ -> (entryVar: Expression)).toMap)
           .transformUp { case v: NamedLambdaVariable if v.exprId == entryVar.exprId => current }
         MapUpdateExpr(sumVar, key, valueBody)
       case "sum_with" =>
-        Lambdas.bindParams(sumM.body, Map(sumM.params.head -> (sumVar: Expression)))
+        Lambdas.bindParams(bodyOf(sumM), Map(paramsOf(sumM).head -> (sumVar: Expression)))
       case other => throw new IllegalArgumentException(s"unexpected sum lambda kind $other")
     }
 
     val resBody: Expression = {
       require(resM.kind == "results_with", s"expected results_with, got ${resM.kind}")
-      val m: Map[String, Expression] = resM.params match {
+      val m: Map[String, Expression] = paramsOf(resM) match {
         case Seq(s) => Map(s -> sumVar)
         case Seq(s, c) => Map(s -> sumVar, c -> countVar)
         case _ => throw new IllegalArgumentException("results_with lambda takes (sum[, count])")
       }
-      Lambdas.bindParams(resM.body, m)
+      Lambdas.bindParams(bodyOf(resM), m)
     }
 
     AggExpr(filter, sumBody, resBody, sumVar, countVar).toAggregateExpression()

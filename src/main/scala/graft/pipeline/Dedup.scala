@@ -85,6 +85,17 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Curation: remove near-duplicates keeping the lowest id of each pair
+   * (every doc that appears as the higher id of a verified pair is dropped).
+   * One anti-join against the (small) pair frame. */
+  def dropNearDups(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val losers = minhashNearDups(df, idCol, textCol, shingleSize = shingleSize, threshold = threshold)
+      .select(col("id_b").as("graft_drop_id")).distinct()
+    df.join(losers, idCol === col("graft_drop_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for a pair frame carrying two text columns. */
   def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column = {
     val a = Text.shingles(textA, n)

@@ -35,6 +35,15 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out.getDouble(2) == -1.0)
   }
 
+  test("registered aggregates work from plain spark.sql") {
+    graft.functions.Registry.registerAll(spark)
+    spark.range(1, 20).toDF("id").createOrReplaceTempView("graft_sql_agg")
+    val out = spark.sql(
+      "SELECT agg_expr('BIGINT', id % 2 > 0, sum_with(s -> s + id), results_with((s, c) -> s / c)) AS m FROM graft_sql_agg")
+      .as[Double].collect()
+    assert(out.toSeq == Seq(10.0))
+  }
+
   test("processIfAttributeMissing picks first present alternative") {
     val suite = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
       Rule(Id(3, 1), "coalesce_if_attributes_missing(new_col > 0, old_col > 0)"),
