@@ -42,6 +42,21 @@ class RuleEngineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10, "small:A"), (10, "mid:B"), (10, "big:C"), (10, null)))
   }
 
+  test("typed array-of-struct outputs with explicit output DDL") {
+    // mirrors the reference's account_row example (docs/advanced/ruleEngine.md)
+    val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+      Rule(Id(10, 1), "amount >= 100", Some(OutputExpression(1, Id(9, 1),
+        "array(named_struct('transfer_type', 'from', 'account', tag), named_struct('transfer_type', 'to', 'account', 'other'))"))),
+      Rule(Id(11, 1), "amount < 100", Some(OutputExpression(2, Id(8, 1),
+        "array(named_struct('transfer_type', 'none', 'account', tag))")))))))
+    val out = RuleEngine.addRuleEngine(df, s, "re",
+        outputDdl = Some("ARRAY<STRUCT<transfer_type: STRING, account: STRING>>"))
+      .select(col("re.result"))
+      .as[Seq[(String, String)]].collect()
+    assert(out(2) == Seq(("from", "C"), ("to", "other")))
+    assert(out(0) == Seq(("none", "A")))
+  }
+
   test("triggered rule with null output keeps salientRule, null result") {
     val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
       Rule(Id(10, 1), "amount > 0", Some(OutputExpression(1, Id(9, 1), "cast(null as string)")))))))
