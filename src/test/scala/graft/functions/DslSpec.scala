@@ -28,6 +28,22 @@ class DslSpec extends AnyFunSuite {
     assert(row.getString(5).contains("a: 1"))
   }
 
+  test("id_equal / long_pair_equal compare exploded prefixed columns") {
+    val df = Seq((1L, 2L, 1L, 2L, 3L, 4L)).toDF(
+      "a_lower", "a_higher", "b_lower", "b_higher", "c_lower", "c_higher")
+    val out = df.select(
+      long_pair_equal("a", "b").as("ab"),
+      long_pair_equal("a", "c").as("ac")).collect()(0)
+    assert(out.getBoolean(0) && !out.getBoolean(1))
+
+    val ids = Seq(("x", 7)).toDF("s", "i").select(
+      murmur3_id("m", col("s"), col("i")).as("m1"),
+      murmur3_id("n", col("s"), col("i")).as("n1"))
+      .select(col("m1.*"), col("n1.*"))
+    // same fields different prefixes: m_base/m_i0/m_i1 vs n_*
+    assert(ids.select(id_equal("m", "n")).collect()(0).getBoolean(0))
+  }
+
   test("DSL aggregates work in groupBy") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
     val out = df.groupBy("g").agg(small_bloom(col("v"), 10, 0.01).as("bloom"))

@@ -46,6 +46,27 @@ class SerializationSpec extends AnyFunSuite {
     assert(withOut.output.contains(OutputExpression(5, Id(700, 1), "concat('x', c)")))
   }
 
+  test("engine suite round-trips and runs end-to-end") {
+    val engineSuite = RuleSuite(Id(4, 1), Seq(RuleSet(Id(41, 1), Seq(
+      Rule(Id(410, 1), "x >= 10", Some(OutputExpression(1, Id(710, 1), "'big'"))),
+      Rule(Id(411, 1), "x < 10", Some(OutputExpression(2, Id(711, 1), "'small'")))))))
+    val ruleDf = Serialization.toRuleSuiteDF(spark, engineSuite)
+    val outDf = Seq(("'big'", 710, 1, 4, 1), ("'small'", 711, 1, 4, 1)).toDF(
+      "ruleExpr", "functionId", "functionVersion", "ruleSuiteId", "ruleSuiteVersion")
+    val read = Serialization.readRulesFromDF(ruleDf,
+      col("ruleSuiteId"), col("ruleSuiteVersion"), col("ruleSetId"), col("ruleSetVersion"),
+      col("ruleId"), col("ruleVersion"), col("ruleExpr"),
+      Some(col("ruleEngineSalience")), Some(col("ruleEngineId")), Some(col("ruleEngineVersion")))
+    val outputs = Serialization.readOutputExpressionsFromDF(outDf,
+      col("ruleExpr"), col("functionId"), col("functionVersion"),
+      col("ruleSuiteId"), col("ruleSuiteVersion"))
+    val (suites, missing) = Serialization.integrateOutputExpressions(read, outputs)
+    assert(missing.isEmpty)
+    val res = RuleEngine.addRuleEngine(Seq(5, 50).toDF("x"), suites(Id(4, 1)), "re")
+      .select(col("re.result")).as[String].collect()
+    assert(res.toSeq == Seq("small", "big"))
+  }
+
   test("latestVersions keeps newest rule versions and drops DELETED") {
     val rows = Seq(
       (1, 1, 1, 1, 1, 1, "a > 0", -1, -1, -1),
