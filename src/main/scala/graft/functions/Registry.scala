@@ -237,16 +237,22 @@ object Registry {
 
   def rewriteCol(c: Column): Column = Bridge.column(rewrite(Bridge.expression(c)))
 
-  /** Register every function (snake + flat alias) in the session registry. */
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      Seq(name, name.replaceAll("_", "")).distinct.foreach { n =>
-        reg.registerFunction(
-          FunctionIdentifier(n),
+  /** (identifier, info, builder) triples for FunctionRegistry /
+   * SparkSessionExtensions.injectFunction — snake_case + flattened alias. */
+  def functionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.toSeq.flatMap { case (name, b) =>
+      Seq(name, name.replaceAll("_", "")).distinct.map { n =>
+        (FunctionIdentifier(n),
           new ExpressionInfo("graft.functions.Registry", n),
           (es: Seq[Expression]) => b(es))
       }
+    }
+
+  /** Register every function in an existing session's registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functionDescriptions.foreach { case (id, info, fb) =>
+      reg.registerFunction(id, info, fb)
     }
   }
 }

@@ -16,12 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 class GraftExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectCheckRule { session =>
-      // piggyback function registration at session build; the check rule
-      // itself is a no-op
-      Registry.registerAll(session)
-      _ => ()
-    }
+    Registry.functionDescriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => AsUuidRewrite)
   }
 }

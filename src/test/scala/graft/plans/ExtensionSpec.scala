@@ -26,6 +26,12 @@ class ExtensionSpec extends AnyFunSuite {
       s"filter not pushed:\n$physical")
   }
 
+  test("GraftExtension injects functions + optimizer rule") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtension().apply(ext)  // must not throw; functions + rule land
+    assert(graft.functions.Registry.functionDescriptions.size > 100)
+  }
+
   test("registerAll makes functions available to spark.sql") {
     graft.functions.Registry.registerAll(spark)
     val out = spark.sql("SELECT pack_ints(3, 4) AS p, packints(3, 4) AS p2, soft_fail(1 > 2) AS sf")
