@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // test parquet is one ~60MB file; split it so scans + generates run
+      // with the parallelism a many-file production table would get
+      .config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
