@@ -77,6 +77,12 @@ object SparkEntry {
         .groupBy(col("r.ruleId").as("ruleId"), col("r.ruleResult").as("ruleResult"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    "q_dq_flatten_fast" -> ((s, dir) => {
+      // scale path: direct flattened rows, no intermediate map structs
+      RuleRunner.addFlattenedResults(lineitem(s, dir), lineitemSuite)
+        .groupBy(col("ruleId"), col("ruleResult"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
     "q_dq_overall" -> ((s, dir) => {
       RuleRunner.addDataQuality(lineitem(s, dir), lineitemSuite)
         .groupBy(col("DataQuality.overallResult").as("overallResult"))
@@ -315,6 +321,13 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "q_dq_flatten" ->
+      """WITH r AS (
+        |  SELECT 100 AS ruleId, CASE WHEN l_quantity <= 50 THEN 100000 ELSE 0 END AS ruleResult FROM lineitem
+        |  UNION ALL SELECT 101, CASE WHEN l_extendedprice > 0 THEN 100000 ELSE 0 END FROM lineitem
+        |  UNION ALL SELECT 200, CASE WHEN l_discount <= 0.06 THEN 100000 ELSE -1 END FROM lineitem
+        |  UNION ALL SELECT 201, CASE WHEN l_tax < 0.04 THEN 100000 ELSE 50000 END FROM lineitem
+        |) SELECT ruleId, ruleResult, count(*) AS cnt FROM r GROUP BY 1, 2""".stripMargin,
+    "q_dq_flatten_fast" ->
       """WITH r AS (
         |  SELECT 100 AS ruleId, CASE WHEN l_quantity <= 50 THEN 100000 ELSE 0 END AS ruleResult FROM lineitem
         |  UNION ALL SELECT 101, CASE WHEN l_extendedprice > 0 THEN 100000 ELSE 0 END FROM lineitem

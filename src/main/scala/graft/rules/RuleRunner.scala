@@ -143,6 +143,41 @@ object RuleRunner {
           re.getField("value").as("ruleResult")))))
   }
 
+  /**
+   * Scale path for flatten-then-aggregate pipelines: produces the exploded
+   * rows DIRECTLY from the results array — ids are per-rule literals, no
+   * intermediate maps, no map_entries transforms — so the generator input is
+   * minimal and downstream column pruning actually applies.
+   * Output schema matches explode(flattenResults(dq)).
+   */
+  def addFlattenedResults(df: DataFrame, suite: RuleSuite): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, struct}
+    val tmp = col(TmpCol)
+    val suiteOverall = overall(tmp, suite.probablePass)
+    var idx = 0
+    val rowCols: Seq[Column] = suite.ruleSets.flatMap { rs =>
+      val start = idx
+      val setIdxs = rs.rules.indices.map(_ + start + 1)
+      val setOverall = overall(array(setIdxs.map(i => element_at(tmp, i)): _*), suite.probablePass)
+      rs.rules.map { r =>
+        idx += 1
+        struct(
+          lit(suite.id.id).as("ruleSuiteId"),
+          lit(suite.id.version).as("ruleSuiteVersion"),
+          suiteOverall.as("ruleSuiteResult"),
+          setOverall.as("ruleSetResult"),
+          lit(rs.id.id).as("ruleSetId"),
+          lit(rs.id.version).as("ruleSetVersion"),
+          lit(r.id.id).as("ruleId"),
+          lit(r.id.version).as("ruleVersion"),
+          element_at(tmp, idx).as("ruleResult"))
+      }
+    }
+    df.withColumn(TmpCol, array(coerced(suite): _*))
+      .select(explode(array(rowCols: _*)).as("r"))
+      .select("r.*")
+  }
+
   /** rule_result(dq, packedSuiteId, packedSetId, packedRuleId) → int or null. */
   def ruleResult(dq: Column, suiteId: Column, setId: Column, ruleId: Column): Column =
     when(dq.getField("id") === suiteId.cast(LongType),

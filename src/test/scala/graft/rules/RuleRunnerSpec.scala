@@ -85,6 +85,31 @@ class RuleRunnerSpec extends AnyFunSuite {
     assert(out(6) == FailedInt)
   }
 
+  test("addFlattenedResults matches explode(flattenResults)") {
+    val viaStruct = RuleRunner.addDataQuality(df, suite)
+      .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
+      .select("r.*").collect().map(_.toSeq).toSet
+    val direct = RuleRunner.addFlattenedResults(df, suite).collect().map(_.toSeq).toSet
+    assert(direct == viaStruct)
+  }
+
+  test("wide suites (40 rules) plan and run without blowup") {
+    val wide = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1),
+      (1 to 40).map(i => Rule(Id(i, 1), s"q + $i > $i")))))
+    val t0 = System.nanoTime()
+    val out = RuleRunner.addDataQuality(df, wide)
+      .select(col("DataQuality.overallResult")).as[Int].collect()
+    assert(out.length == 4)
+    val engineWide = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1),
+      (1 to 40).map(i => Rule(Id(i, 1), s"q > $i",
+        Some(OutputExpression(i, Id(100 + i, 1), s"'band$i'")))))))
+    val eng = RuleEngine.addRuleEngine(df, engineWide, "re")
+      .select(col("re.result")).as[String].collect()
+    assert(eng.length == 4)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60, s"wide suite took ${secs}s")
+  }
+
   test("coercion edge cases match the reference's token table") {
     // derived from reference qualityTests/BaseFunctionalityTest.scala:254-259
     val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
