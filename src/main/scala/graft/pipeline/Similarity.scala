@@ -76,8 +76,10 @@ object Similarity {
       .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qv"))
     qb.join(cb, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      // score before dedup: recomputing a dot product on multi-table repeats
+      // is far cheaper than shuffling the vectors through a distinct
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
