@@ -18,13 +18,22 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Dedup {
 
-  /** Exact dedup on content: keeps the lowest id per distinct content. */
+  /** Exact dedup on content: keeps the lowest id per distinct content.
+   * Fingerprint is 128 bits (two independent xxhash64 seeds, both codegen) —
+   * a single 64-bit hash collides with ~50% probability around 5 billion
+   * distinct rows, which a 100 TB corpus exceeds; 128 bits keeps the
+   * collision odds negligible while the shuffle still carries only
+   * (fingerprint, id), never the content. */
   def exact(df: DataFrame, idCol: Column, contentCols: Column*): DataFrame = {
-    val h = xxhash64(contentCols: _*)
-    // shuffle carries (hash, id), not content — tiny rows
-    val keep = df.select(h.as("graft_fp"), idCol.as("graft_id"))
+    import org.apache.spark.sql.graft.Bridge
+    def fp: Column = struct(
+      Bridge.column(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        contentCols.map(Bridge.expression), 42L)).as("h1"),
+      Bridge.column(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        contentCols.map(Bridge.expression), 43L)).as("h2"))
+    val keep = df.select(fp.as("graft_fp"), idCol.as("graft_id"))
       .groupBy(col("graft_fp")).agg(min(col("graft_id")).as("graft_keep"))
-    df.join(keep, h === col("graft_fp") && idCol === col("graft_keep"), "leftsemi")
+    df.join(keep, fp === col("graft_fp") && idCol === col("graft_keep"), "leftsemi")
   }
 
   /** Candidate pairs whose exact shingle-Jaccard ≥ threshold, found via
