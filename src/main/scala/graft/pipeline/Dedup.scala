@@ -41,17 +41,31 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     val base = df.select(idCol.as("id"), Text.shingles(textCol, shingleSize).as("sh"))
       .withColumn("sig", Text.minhash(col("sh"), numHashes))
 
     // band rows: (band, bucket=hash of the band's signature slice, id)
-    val bandRows = base.select(col("id"), col("sig"))
+    val rawBandRows = base.select(col("id"), col("sig"))
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
+
+    // skew guard: a corpus with massive exact-duplicate clusters puts whole
+    // clusters into one bucket in EVERY band → O(cluster²·bands) candidate
+    // pairs. Capping bucket size bounds the join (run `exact` dedup first to
+    // keep recall); 0 = uncapped.
+    val bandRows =
+      if (maxBucketSize <= 0) rawBandRows
+      else {
+        val sizes = rawBandRows.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("graft_bsz"))
+          .where(col("graft_bsz") <= maxBucketSize)
+          .select(col("band"), col("bucket"))
+        rawBandRows.join(sizes, Seq("band", "bucket"), "leftsemi")
+      }
 
     val l = bandRows.as("l")
     val r = bandRows.as("r")

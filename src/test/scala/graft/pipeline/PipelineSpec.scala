@@ -28,6 +28,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhash bucket cap bounds mega-cluster blowup") {
+    // 30 exact copies + 1 outlier: capped buckets drop the flood but the
+    // operator still terminates with pairs only from small buckets
+    val flood = (0L until 30L).map(i => (i, "same text repeated for everyone here today"))
+    val floodDf = (flood :+ (99L, "an entirely different document about engines")).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDups(floodDf, col("doc_id"), col("text"), shingleSize = 2).count()
+    assert(uncapped == 30L * 29 / 2)
+    val capped = Dedup.minhashNearDups(floodDf, col("doc_id"), col("text"), shingleSize = 2,
+      maxBucketSize = 10).count()
+    assert(capped == 0)
+  }
+
   test("simhash finds near dups") {
     val pairs = Dedup.simhashNearDups(docs, col("doc_id"), col("text"), shingleSize = 2, maxHamming = 12)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
