@@ -2,6 +2,7 @@ package graft.lookups
 
 import graft.bloom.{Bloom, BloomAggregate}
 import graft.functions.ValueBytes
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -21,7 +22,23 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Lookups {
 
   final case class MapLookup(
-      data: Broadcast[Map[Any, Any]], keyType: DataType, valueType: DataType)
+      data: Broadcast[Map[Any, Any]], keyType: DataType, valueType: DataType) {
+    // struct/array/map keys arrive as UnsafeRow at eval time but were stored
+    // as GenericInternalRow — equality fails across representations, so
+    // complex keys are canonicalized to their type-stable byte serialization
+    private[lookups] val complexKey: Boolean = keyType match {
+      case _: StructType | _: ArrayType | _: MapType => true
+      case _ => false
+    }
+    private[lookups] def canonical(k: Any): Any =
+      if (!complexKey || k == null) k
+      else {
+        val buf = new java.io.ByteArrayOutputStream(32)
+        ValueBytes.append(buf, k, keyType)
+        // ArraySeq: serializable (broadcast) with structural equals/hashCode
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(buf.toByteArray)
+      }
+  }
 
   final case class BloomEntry(buckets: Broadcast[Array[Array[Byte]]], fpp: Double)
 
@@ -39,9 +56,10 @@ object Lookups {
       val schema = pair.schema
       val kConv = CatalystTypeConverters.createToCatalystConverter(schema(0).dataType)
       val vConv = CatalystTypeConverters.createToCatalystConverter(schema(1).dataType)
-      val data = pair.collect().map(r => kConv(r.get(0)) -> vConv(r.get(1))).toMap
-      maps.put(name, MapLookup(
-        spark.sparkContext.broadcast(data), schema(0).dataType, schema(1).dataType))
+      val proto = MapLookup(null, schema(0).dataType, schema(1).dataType)
+      val data = pair.collect()
+        .map(r => proto.canonical(kConv(r.get(0))) -> vConv(r.get(1))).toMap
+      maps.put(name, proto.copy(data = spark.sparkContext.broadcast(data)))
     }
 
   final case class MapConfig(
@@ -117,7 +135,7 @@ case class MapLookupExpression(child: Expression, name: String)
   @transient private lazy val lk = Lookups.mapLookup(name)
   override def dataType: DataType = lk.valueType
   override def nullable: Boolean = true
-  override def nullSafeEval(k: Any): Any = lk.data.value.getOrElse(k, null)
+  override def nullSafeEval(k: Any): Any = lk.data.value.getOrElse(lk.canonical(k), null)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -129,7 +147,7 @@ case class MapContainsExpression(child: Expression, name: String)
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
     val k = child.eval(input)
-    k != null && lk.data.value.contains(k)
+    k != null && lk.data.value.contains(lk.canonical(k))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

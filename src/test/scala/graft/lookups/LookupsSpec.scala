@@ -71,4 +71,16 @@ class LookupsSpec extends AnyFunSuite {
       .as[String].collect()
     assert(out.toSeq == Seq("TEN", null))
   }
+
+  test("map_lookup with STRUCT keys (unsafe-row canonicalization)") {
+    Lookups.registerMapLookups(spark, Map(
+      "pairkey" -> (() => {
+        val df = Seq((1, "a", "one-a"), (2, "b", "two-b")).toDF("n", "s", "v")
+        (df, struct(col("n"), col("s")), col("v"))
+      })))
+    val out = Seq((1, "a"), (2, "x")).toDF("n", "s")
+      .select(c("map_lookup(struct(n, s), 'pairkey')").as("v"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("one-a", null))
+  }
 }
