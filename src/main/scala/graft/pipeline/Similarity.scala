@@ -33,6 +33,8 @@ object Similarity {
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
+      // zero-norm vectors give NaN, which sorts ABOVE every real sim
+      .where(!isnan(col("sim")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
@@ -79,6 +81,7 @@ object Similarity {
       // score before dedup: recomputing a dot product on multi-table repeats
       // is far cheaper than shuffling the vectors through a distinct
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .where(!isnan(col("sim")))
       .distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
@@ -105,11 +108,10 @@ object Similarity {
     val r = banded.as("r")
     l.join(r, col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
+      // score before dedup — cheaper than shuffling vectors through distinct
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+        cosine(col("l.v"), col("r.v")).as("sim"))
+      .where(!isnan(col("sim")) && col("sim") >= threshold)
       .distinct()
-      .withColumn("sim", cosine(col("va"), col("vb")))
-      .where(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }
