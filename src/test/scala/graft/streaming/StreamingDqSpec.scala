@@ -38,6 +38,31 @@ class StreamingDqSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-source stream over the events parquet with engine runner") {
+    // nanos timestamps read as long under the legacy flag; windowing uses
+    // the converted micros column — same shape as the batch q_events_window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-source streams need a directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val suite = RuleSuite(Id(7, 1), Seq(RuleSet(Id(8, 1), Seq(
+      Rule(Id(80, 1), "value >= 0", Some(OutputExpression(1, Id(90, 1), "'ok'"))),
+      Rule(Id(81, 1), "value < 0", Some(OutputExpression(2, Id(91, 1), "'neg'")))))))
+    val out = RuleEngine.addRuleEngine(stream, suite, "re")
+      .select(col("re.result").as("band"))
+    val q = out.writeStream.format("memory").queryName("dq_files").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val bands = spark.sql("SELECT band, count(*) c FROM dq_files GROUP BY 1").collect()
+      assert(bands.map(_.getString(0)).toSet.subsetOf(Set("ok", "neg")))
+      assert(bands.map(_.getLong(1)).sum > 0)
+    } finally q.stop()
+  }
+
   test("plain DQ column composes on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Double]
