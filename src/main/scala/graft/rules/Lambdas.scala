@@ -32,13 +32,17 @@ object Lambdas {
       case e => Parsed(Seq.empty, e)
     }
 
-  def toMap(fns: Seq[LambdaFunction]): Map[String, Parsed] =
-    fns.map(f => f.name.toLowerCase -> parse(f.sql)).toMap
+  /** name → arity → body: same-name lambdas with different parameter counts
+   * overload, like the reference (docs/advanced/userFunctions.md:42). */
+  def toMap(fns: Seq[LambdaFunction]): Map[String, Map[Int, Parsed]] =
+    fns.groupBy(_.name.toLowerCase).map { case (n, fs) =>
+      n -> fs.map { f => val p = parse(f.sql); p.params.size -> p }.toMap
+    }
 
   private val MaxDepth = 64
 
   /** Expand all registered lambda call sites in an expression tree. */
-  def substitute(expr: Expression, lambdas: Map[String, Parsed], depth: Int = 0): Expression = {
+  def substitute(expr: Expression, lambdas: Map[String, Map[Int, Parsed]], depth: Int = 0): Expression = {
     if (lambdas.isEmpty) return expr
     if (depth > MaxDepth)
       throw new IllegalArgumentException(
@@ -59,17 +63,15 @@ object Lambdas {
               s"callFun's first argument must be a lambda-valued expression, got $other")
         }
       case uf: UnresolvedFunction if lambdas.contains(fnName(uf)) =>
-        val lam = lambdas(fnName(uf))
+        val byArity = lambdas(fnName(uf))
         val args = uf.arguments
+        val lam = byArity.getOrElse(args.size,
+          throw new IllegalArgumentException(
+            s"lambda ${fnName(uf)} has arities ${byArity.keys.toSeq.sorted.mkString("/")}, got ${args.size} args"))
         if (args.exists(isPlaceholder))
           partialApply(lam, args, lambdas, depth)
-        else {
-          if (args.size != lam.params.size)
-            throw new IllegalArgumentException(
-              s"lambda ${fnName(uf)} expects ${lam.params.size} args, got ${args.size}")
-          val bound = bindParams(lam.body, lam.params.zip(args).toMap)
-          substitute(bound, lambdas, depth + 1)
-        }
+        else
+          substitute(bindParams(lam.body, lam.params.zip(args).toMap), lambdas, depth + 1)
     }
   }
 
@@ -83,7 +85,7 @@ object Lambdas {
   /** `myFun(_(), lit)` → Catalyst lambda `(p0) -> body[param0 := p0, param1 := lit]`. */
   private def partialApply(
       lam: Parsed, args: Seq[Expression],
-      lambdas: Map[String, Parsed], depth: Int): Expression = {
+      lambdas: Map[String, Map[Int, Parsed]], depth: Int): Expression = {
     if (args.size != lam.params.size)
       throw new IllegalArgumentException(
         s"partial application expects ${lam.params.size} args, got ${args.size}")

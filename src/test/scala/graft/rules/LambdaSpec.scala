@@ -41,6 +41,18 @@ class LambdaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("depth"))
   }
 
+  test("same-name lambdas overload by arity") {
+    val ls = Seq(
+      LambdaFunction("add", "(a, b) -> a + b", Id(1, 1)),
+      LambdaFunction("add", "(a, b, c) -> a + b + c", Id(2, 1)))
+    val out = run("add(v, 1) + add(v, 1, 2)", ls, Seq(10).toDF("v")).as[Int].collect()
+    assert(out.toSeq == Seq(11 + 13))
+    val e = intercept[IllegalArgumentException] {
+      run("add(v)", ls, Seq(1).toDF("v")).collect()
+    }
+    assert(e.getMessage.contains("arities 2/3"))
+  }
+
   test("callFun applies a lambda-valued partial from a curried lambda") {
     val ls = Seq(LambdaFunction("mult", "a -> b -> a * b", Id(1, 1)))
     val out = run("callFun(mult(2), v)", ls, Seq(5).toDF("v")).as[Int].collect()
