@@ -133,8 +133,19 @@ object Registry {
       val (a, b) = (str(es(0), "prefix a"), str(es(1), "prefix b"))
       Bridge.parse(s"${a}_base = ${b}_base AND ${a}_i0 = ${b}_i0 AND ${a}_i1 = ${b}_i1")
     }),
-    "print_expr" -> (es => es.last),  // debug passthrough: value unchanged
-    "print_code" -> (es => es.last),
+    // debug passthroughs: log the expression/plan at build time, value unchanged
+    "print_expr" -> (es => {
+      val (msg, e) = if (es.size == 2) (str(es.head, "msg"), es.last) else ("print_expr", es.last)
+      // scalastyle:off println
+      println(s"[$msg] ${e.sql}")
+      // scalastyle:on println
+      e
+    }),
+    "print_code" -> (es => {
+      val (msg, e) = if (es.size == 2) (str(es.head, "msg"), es.last) else ("print_code", es.last)
+      println(s"[$msg] ${e.treeString}")
+      e
+    }),
     "strip_result_ddl" -> (es => ex(graft.rules.ExpressionRunner.stripResultDdl(col(es.head)))),
     // these are placeholders resolved by MissingAttributes.processIfAttributeMissing
     // BEFORE planning; reaching the registry means that step was skipped

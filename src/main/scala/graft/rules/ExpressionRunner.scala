@@ -37,13 +37,21 @@ object ExpressionRunner {
       map(setEntries: _*).as("ruleSetResults"))
   }
 
-  /** String+DDL results (the reference's default expressionRunner shape). */
+  /** String+DDL results (the reference's default expressionRunner shape).
+   * `yamlResults=true` stores to_yaml renderings instead of plain casts —
+   * the newer reference encoding, round-trippable via from_yaml. */
   def addExpressionResults(
-      df: DataFrame, suite: RuleSuite, name: String = "expressionResults"): DataFrame = {
+      df: DataFrame, suite: RuleSuite, name: String = "expressionResults",
+      yamlResults: Boolean = false): DataFrame = {
     val types = ddls(df, suite)
+    def render(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (yamlResults)
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.YamlEncodeExpression(org.apache.spark.sql.graft.Bridge.expression(c)))
+      else c.cast(StringType)
     val out = assemble(suite, (r, i) =>
       struct(
-        Parsing.parseCol(r.sql, suite).cast(StringType).as("result"),
+        render(Parsing.parseCol(r.sql, suite)).as("result"),
         lit(types(i)).as("resultDDL")))
     df.withColumn(name, out)
   }

@@ -24,6 +24,19 @@ class ExpressionRunnerSpec extends AnyFunSuite {
     assert(stripped(0) == "v:41")
   }
 
+  test("yaml expression results round-trip via from_yaml") {
+    val s = RuleSuite(Id(5, 1), Seq(RuleSet(Id(6, 1), Seq(Rule(Id(60, 1), "array(x, x + 1)")))))
+    val out = ExpressionRunner.addExpressionResults(Seq(4).toDF("x"), s, "er", yamlResults = true)
+      .select(element_at(element_at(col("er.ruleSetResults"), Id.pack(Id(6, 1))), Id.pack(Id(60, 1))))
+      .select(col("col.result"), col("col.resultDDL"))
+    val row = out.collect()(0)
+    assert(row.getString(1).toUpperCase.startsWith("ARRAY"))
+    val back = Seq(row.getString(0)).toDF("y")
+      .select(graft.rules.RuleRunner.parseRule("from_yaml(y, 'ARRAY<INT>')", RuleSuite(Id(0, 0), Nil)).as("v"))
+      .as[Seq[Int]].collect()(0)
+    assert(back == Seq(4, 5))
+  }
+
   test("aggExpressionResults runs agg_expr rules in one pass") {
     val s = RuleSuite(Id(7, 1), Seq(RuleSet(Id(8, 1), Seq(
       Rule(Id(80, 1), "agg_expr('BIGINT', x > 1, sum_with(s -> s + x), return_sum())"),
