@@ -27,8 +27,8 @@ class ExpressionRunnerSpec extends AnyFunSuite {
   test("yaml expression results round-trip via from_yaml") {
     val s = RuleSuite(Id(5, 1), Seq(RuleSet(Id(6, 1), Seq(Rule(Id(60, 1), "array(x, x + 1)")))))
     val out = ExpressionRunner.addExpressionResults(Seq(4).toDF("x"), s, "er", yamlResults = true)
-      .select(element_at(element_at(col("er.ruleSetResults"), Id.pack(Id(6, 1))), Id.pack(Id(60, 1))))
-      .select(col("col.result"), col("col.resultDDL"))
+      .select(element_at(element_at(col("er.ruleSetResults"), Id.pack(Id(6, 1))), Id.pack(Id(60, 1))).as("e"))
+      .select(col("e.result"), col("e.resultDDL"))
     val row = out.collect()(0)
     assert(row.getString(1).toUpperCase.startsWith("ARRAY"))
     val back = Seq(row.getString(0)).toDF("y")
