@@ -88,6 +88,33 @@ object dsl {
   def big_bloom(c: Column, expected: Long, fpp: Double): Column =
     col(graft.bloom.BigBloomAggregate(ex(c), expected, fpp).toAggregateExpression())
 
+  // aggregate family — typed variants of the SQL agg_expr surface:
+  //   df.select(agg_expr("BIGINT", $"v" > 0, sum_with(s => s + $"v"), return_sum))
+  private def lamVar(n: String) =
+    org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq(n))
+  private def marker(kind: String, params: Seq[String], body: Column,
+      key: Option[Column] = None): Column =
+    col(org.apache.spark.sql.graft.AggLambdaMarker(kind,
+      org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+        ex(body), params.map(lamVar)),
+      None, key.map(ex)))
+
+  def sum_with(f: Column => Column): Column =
+    marker("sum_with", Seq("graft_s"), f(col(lamVar("graft_s"))))
+  def results_with(f: (Column, Column) => Column): Column =
+    marker("results_with", Seq("graft_s", "graft_c"),
+      f(col(lamVar("graft_s")), col(lamVar("graft_c"))))
+  def map_with(key: Column, f: Column => Column): Column =
+    marker("map_with", Seq("graft_e"), f(col(lamVar("graft_e"))), Some(key))
+  def inc(): Column = col(AggExprBuilder.inc(Nil))
+  def inc(c: Column): Column = col(AggExprBuilder.inc(Seq(ex(c))))
+  def meanF: Column = col(AggExprBuilder.meanF(Nil))
+  def return_sum: Column = col(AggExprBuilder.returnSum(Nil))
+  def agg_expr(ddl: String, filter: Column, sum: Column, result: Column): Column =
+    col(AggExprBuilder.aggExpr(Seq(lits(ddl), ex(filter), ex(sum), ex(result))))
+  def agg_expr(filter: Column, sum: Column, result: Column): Column =
+    col(AggExprBuilder.aggExpr(Seq(ex(filter), ex(sum), ex(result))))
+
   // structs, maps, yaml
   def update_field(struct: Column, pairs: (String, Column)*): Column =
     Registry.updateField(struct, pairs)

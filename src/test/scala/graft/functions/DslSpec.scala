@@ -44,6 +44,21 @@ class DslSpec extends AnyFunSuite {
     assert(ids.select(id_equal("m", "n")).collect()(0).getBoolean(0))
   }
 
+  test("typed aggregate DSL matches the SQL path") {
+    val df = spark.range(1, 20).toDF("id")
+    val out = df.select(
+      agg_expr("BIGINT", col("id") % 2 > 0,
+        sum_with(s => s + col("id")),
+        results_with((s, c) => s / c)).as("mean"),
+      agg_expr(col("id") % 2 > 0, inc(), return_sum).as("n"),
+      agg_expr("MAP<BOOLEAN,BIGINT>", lit(true),
+        map_with(col("id") % 2 === 0, e => e + 1), return_sum).as("m"))
+      .collect()(0)
+    assert(out.getDouble(0) == 10.0)
+    assert(out.getLong(1) == 10L)
+    assert(out.getMap[Boolean, Long](2) == Map(true -> 9L, false -> 10L))
+  }
+
   test("DSL aggregates work in groupBy") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
     val out = df.groupBy("g").agg(small_bloom(col("v"), 10, 0.01).as("bloom"))
