@@ -51,6 +51,15 @@ class ExpressionRunnerSpec extends AnyFunSuite {
     assert(r.getString(1) == "3")
   }
 
+  test("rule_result works on expressionRunner results (docs parity)") {
+    val out = ExpressionRunner.addExpressionResults(Seq(41).toDF("x"), suite, "er")
+      .select(RuleRunner.ruleResult(col("er"),
+        lit(Id.pack(Id(5, 1))), lit(Id.pack(Id(6, 1))), lit(Id.pack(Id(60, 1)))).as("r"))
+      .select(col("r.result"), col("r.resultDDL"))
+      .collect()(0)
+    assert(out.getString(0) == "42" && out.getString(1) == "INT")
+  }
+
   test("typedExpressionRunner keeps typed results") {
     val s = RuleSuite(Id(5, 1), Seq(RuleSet(Id(6, 1), Seq(Rule(Id(60, 1), "x * 2.5")))))
     val out = ExpressionRunner.addTypedExpressionResults(Seq(4).toDF("x"), s, "double", "er")
