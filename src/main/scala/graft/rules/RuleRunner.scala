@@ -178,12 +178,12 @@ object RuleRunner {
       .select("r.*")
   }
 
-  /** rule_result(dq, packedSuiteId, packedSetId, packedRuleId) → int or null. */
+  /** rule_result(results, packedSuiteId, packedSetId, packedRuleId) — works
+   * on both DQ and expressionRunner shapes (see RuleResultLookup). */
   def ruleResult(dq: Column, suiteId: Column, setId: Column, ruleId: Column): Column =
-    when(dq.getField("id") === suiteId.cast(LongType),
-      element_at(
-        element_at(dq.getField("ruleSetResults"), setId.cast(LongType)).getField("ruleResults"),
-        ruleId.cast(LongType)))
+    Bridge.column(graft.functions.RuleResultLookup(
+      Bridge.expression(dq), Bridge.expression(suiteId.cast(LongType)),
+      Bridge.expression(setId.cast(LongType)), Bridge.expression(ruleId.cast(LongType))))
 
   /** rule_suite_result_details(dq) — strip the overall result. */
   def details(dq: Column): Column =
