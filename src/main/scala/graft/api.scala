@@ -49,6 +49,9 @@ object api {
     Serialization.toRuleSuiteDF(spark, suites: _*)
   def toLambdaDS(spark: SparkSession, suites: RuleSuite*): DataFrame =
     Serialization.toLambdaDF(spark, suites: _*)
+  /** Reference's toDS: rule rows incl. the three ruleEngine fields. */
+  def toDS(spark: SparkSession, suite: RuleSuite): DataFrame =
+    Serialization.toRuleSuiteDF(spark, suite)
   def readRulesFromDF(df: DataFrame,
       ruleSuiteId: Column, ruleSuiteVersion: Column,
       ruleSetId: Column, ruleSetVersion: Column,

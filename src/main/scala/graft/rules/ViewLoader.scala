@@ -27,6 +27,16 @@ object ViewLoader {
       ViewConfig(r.getString(0), Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3)))
     }.toSeq
 
+  /** Suite-scoped variant (reference ViewLoaderImports.loadViewConfigs):
+   * only rows whose (ruleSuiteId, ruleSuiteVersion) match `ruleSuiteId`. */
+  def loadViewConfigs(
+      df: DataFrame, ruleSuiteIdColumn: Column, ruleSuiteVersionColumn: Column,
+      ruleSuiteId: Id, name: Column, token: Column, filter: Column, sql: Column): Seq[ViewConfig] =
+    loadViewConfigs(
+      df.where(ruleSuiteIdColumn === ruleSuiteId.id &&
+        ruleSuiteVersionColumn === ruleSuiteId.version),
+      name, token, filter, sql)
+
   /** Register each config as a temp view; token + optional filter, or sql.
    * Returns which views loaded / were replaced / could not load. */
   def loadViews(spark: SparkSession, loader: DataFrameLoader, configs: Seq[ViewConfig]): ViewLoadResults = {
