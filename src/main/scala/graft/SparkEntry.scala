@@ -283,6 +283,11 @@ object SparkEntry {
         .where(graft.pipeline.Text.langId(col("text")) === "en")
         .select(col("doc_id"))
     }),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // connected components over the verified near-dup graph
+      graft.pipeline.Dedup.nearDupClusters(
+        nearDupCorpus(s, dir), col("doc_id"), col("text"))
+    }),
     "q_text_tokens" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.tokenCount(col("text")).as("n_tokens"),
@@ -478,6 +483,32 @@ object SparkEntry {
         |           WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
         |           WHEN es > 0 AND es >= fr THEN 'es'
         |           WHEN fr > 0 THEN 'fr' ELSE 'und' END = 'en'""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string(w[1:len(w)-2], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM corpus
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        |)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

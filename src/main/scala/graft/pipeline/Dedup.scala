@@ -108,6 +108,42 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Near-duplicate CLUSTERS via connected components over the verified pair
+   * graph: iterative min-label propagation (each round every node takes the
+   * minimum label among itself and its neighbours), converging in
+   * O(component diameter) rounds — the standard distributed CC shape, each
+   * round one join + one aggregation, no driver-side graph state. Returns
+   * (id, cluster_id) for every input row; singletons cluster to themselves.
+   */
+  def nearDupClusters(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxIterations: Int = 20): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleSize = shingleSize, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst").cache()
+    var labels = df.select(idCol.as("id")).withColumn("label", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Curation: remove near-duplicates keeping the lowest id of each pair
    * (every doc that appears as the higher id of a verified pair is dropped).
    * One anti-join against the (small) pair frame. */

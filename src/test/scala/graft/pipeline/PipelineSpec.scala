@@ -47,6 +47,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("connected-component clusters chain transitively") {
+    // 0≈1≈3 form one cluster through pairwise similarity; 2 is a singleton
+    val clusters = Dedup.nearDupClusters(docs, col("doc_id"), col("text"),
+        shingleSize = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(3L) == 0L)
+    assert(clusters(2L) == 2L)
+  }
+
   test("ngram jaccard: identical=1, disjoint=0") {
     val out = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
