@@ -87,19 +87,24 @@ case class RngIdExpression(prefix: String, seed: Long)
 /** Generic re-tag of a longs payload: field_based_id / provided_id families. */
 case class LongsIdExpression(prefix: String, header: Int, child: Expression)
     extends UnaryExpression with CodegenFallback {
+  // array<long> payloads declare a fixed 2-long id (the type must be known at
+  // analysis time); eval enforces length==2 with a clear error rather than
+  // mis-casting (reference requires a fixed long count too)
   @transient private lazy val nLongs = child.dataType match {
     case s: StructType if s.fields.forall(_.dataType == LongType) => s.fields.length
-    case ArrayType(LongType, _) => -1 // determined per row; reference requires fixed, we probe lazily
+    case ArrayType(LongType, _) => 2
     case other => throw new IllegalArgumentException(
       s"id payload must be a struct of longs or array<long>, got ${other.sql}")
   }
-  override def dataType: DataType = child.dataType match {
-    case s: StructType => IdModel.idType(prefix, s.fields.length)
-    case _ => IdModel.idType(prefix, 2)
-  }
+  override def dataType: DataType = IdModel.idType(prefix, nLongs)
   override def nullSafeEval(v: Any): Any = {
-    val row = v.asInstanceOf[InternalRow]
-    val longs = (0 until nLongs).map(row.getLong)
+    val longs = v match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        require(a.numElements() == nLongs,
+          s"array<long> id payload must have exactly $nLongs elements, got ${a.numElements()}")
+        (0 until nLongs).map(a.getLong)
+      case row: InternalRow => (0 until nLongs).map(row.getLong)
+    }
     InternalRow.fromSeq(IdModel.base(longs.length, header) +: longs)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

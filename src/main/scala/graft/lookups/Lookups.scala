@@ -164,7 +164,9 @@ case class ProbabilityInExpression(child: Expression, name: String)
   override def nullSafeEval(v: Any): Any = {
     val h = Bloom.hashOf(v, child.dataType, filters(0))
     val bucket = if (filters.length == 1) 0 else ((h >>> 33) % filters.length).toInt
-    if (filters(bucket).findHash(h)) entry.fpp else 0.0
+    // probable hit → confidence = 1 - fpp (reference probabilityIn semantics:
+    // "present" yields e.g. 0.99 at fpp=0.01, so probability_in(x,'ids') > 0.9 passes)
+    if (filters(bucket).findHash(h)) 1.0 - entry.fpp else 0.0
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -38,8 +38,12 @@ object MissingAttributes {
     case uf: UnresolvedFunction
         if Names(flat(uf.nameParts.last)) || DisableNames(flat(uf.nameParts.last)) =>
       val disabled = DisableNames(flat(uf.nameParts.last))
+      // a dotted path counts as present if the full nested path is known OR its
+      // root column exists (map/array element access isn't enumerable from the
+      // schema) — but a missing root always counts as missing
       uf.arguments
-        .find(a => attributesOf(a).forall(n => names(n) || n.contains(".")))
+        .find(a => attributesOf(a).forall(n =>
+          names(n) || (n.contains(".") && names(n.substring(0, n.indexOf('.'))))))
         .getOrElse(
           if (disabled) Literal(graft.rules.RuleResults.DisabledRuleInt)
           else Literal(null, NullType))

@@ -140,11 +140,14 @@ object Serialization {
     import org.apache.spark.sql.expressions.Window
     val bySuite = Window.partitionBy(col("ruleSuiteId"))
     val byRule = Window.partitionBy(col("ruleSuiteId"), col("ruleSetId"), col("ruleId"))
-      .orderBy(col("ruleSetVersion").desc, col("ruleVersion").desc)
+      .orderBy(col("ruleSuiteVersion").desc, col("ruleSetVersion").desc, col("ruleVersion").desc)
     rows
       .withColumn("graft_max_sv", max(col("ruleSuiteVersion")).over(bySuite))
       .withColumn("graft_rn", row_number().over(byRule))
       .where(col("graft_rn") === 1 && col("ruleExpr") =!= Serialization.Deleted)
+      // surviving rows all report the latest suite version so the result
+      // reads back (readRulesFromDF keys on (id, version)) as ONE suite
+      .withColumn("ruleSuiteVersion", col("graft_max_sv"))
       .drop("graft_max_sv", "graft_rn")
   }
 }

@@ -31,6 +31,18 @@ class IdHashRngSpec extends AnyFunSuite {
     assert(r2.columns.length == 5) // base + 4 longs
   }
 
+  test("provided_id accepts array<long> payloads (exactly 2 elements)") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val row = df.select(c("provided_id('p', array(a, b))").as("id")).select("id.*").collect()(0)
+    assert(IdModel.headerOf(row.getInt(0)) == IdModel.ProvidedHeader)
+    assert(row.getLong(1) == 1L && row.getLong(2) == 2L)
+    val err = intercept[Exception] {
+      df.select(c("provided_id('p', array(a, b, a))").as("id")).collect()
+    }
+    assert(err.getMessage.contains("exactly 2") ||
+      Option(err.getCause).exists(_.getMessage.contains("exactly 2")))
+  }
+
   test("za hashes codegen-compose") {
     val df = Seq(("x", 7), ("y", 8)).toDF("s", "i")
     val out = df.select(c("za_hash_with('ZA', s, i)").as("h")).as[Long].collect()

@@ -39,7 +39,7 @@ class LookupsSpec extends AnyFunSuite {
     Lookups.registerBloomFrom(spark, "ids", ids, col("id"), 1000, 0.01)
     val out = Seq(5L, 999L, 123456L, 998877L).toDF("x")
       .select(c("probability_in(x, 'ids')").as("p")).as[Double].collect()
-    assert(out(0) == 0.01 && out(1) == 0.01)
+    assert(out(0) == 0.99 && out(1) == 0.99) // hit → confidence 1 - fpp
     // absent keys: overwhelmingly 0.0 (allow the fpp edge)
     assert(out.drop(2).count(_ == 0.0) >= 1)
   }

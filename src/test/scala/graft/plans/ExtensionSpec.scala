@@ -67,4 +67,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(3) == RuleResults.PassedInt)
     assert(out(4) == RuleResults.DisabledRuleInt)
   }
+
+  test("processIfAttributeMissing treats dotted path with missing root as missing") {
+    val suite = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+      Rule(Id(3, 1), "coalesce_if_attributes_missing(gone.inner > 0, old_col > 0)")))))
+    val schema = Seq((1, 2)).toDF("old_col", "other").schema
+    val rules = MissingAttributes.processIfAttributeMissing(suite, schema).ruleSets.head.rules
+    // the dotted alternative's root column doesn't exist → falls through to old_col
+    assert(rules(0).sql.toLowerCase.contains("old_col"))
+    assert(!rules(0).sql.toLowerCase.contains("gone"))
+  }
+
+  test("processIfAttributeMissing keeps dotted paths whose root is a map/array column") {
+    import org.apache.spark.sql.functions.map
+    val df = Seq((1, 2)).toDF("k", "v").select(map(col("k"), col("v")).as("m"), col("k"))
+    val suite = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+      Rule(Id(3, 1), "coalesce_if_attributes_missing(m.missing_key > 0, k > 0)")))))
+    val rules = MissingAttributes.processIfAttributeMissing(suite, df.schema).ruleSets.head.rules
+    // root `m` exists, so the dotted access is kept even though the schema
+    // can't enumerate map keys
+    assert(rules(0).sql.toLowerCase.contains("m"))
+  }
 }

@@ -75,9 +75,12 @@ class SerializationSpec extends AnyFunSuite {
       (1, 3, 1, 3, 2, 2, "DELETED", -1, -1, -1)       // tombstone
     ).toDF("ruleSuiteId", "ruleSuiteVersion", "ruleSetId", "ruleSetVersion",
       "ruleId", "ruleVersion", "ruleExpr", "ruleEngineSalience", "ruleEngineId", "ruleEngineVersion")
-    val latest = Serialization.latestVersions(rows).select("ruleId", "ruleExpr")
-      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
-    assert(latest == Set((1, "a > 1")))
+    val latest = Serialization.latestVersions(rows)
+      .select("ruleId", "ruleExpr", "ruleSuiteVersion")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    // surviving rows report the max suite version (3) so readRulesFromDF
+    // re-assembles them into ONE latest-version suite
+    assert(latest == Set((1, "a > 1", 3)))
   }
 
   test("validation reports unresolvable rules and bad lambdas") {
