@@ -18,6 +18,9 @@ class GraftExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.functionDescriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => AsUuidRewrite)
+    // runs inside the operator-optimization fixed point, interleaved with
+    // SimplifyExtractValueOps/CollapseProject so unrolled constructors fold away
+    ext.injectOptimizerRule(_ => StaticHofUnroll)
   }
 }
 

@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/**
+ * Statically unrolls higher-order functions applied to literal collection
+ * constructors, so flatten-style APIs plan as well as hand-built flat output.
+ *
+ * The DQ flatten path builds a nested result struct (maps of per-rule ints)
+ * and immediately takes it apart again with map_entries/transform/flatten
+ * (RuleRunner.flattenResults). Left to run time, every row materializes the
+ * intermediate maps and walks them with interpreted lambdas inside the
+ * Generate. Unrolled, the chain collapses to the same minimal
+ * explode-over-array-of-structs plan RuleRunner.addFlattenedResults emits by
+ * hand: rule expressions stay in whole-stage codegen, the intermediate maps
+ * never exist, and column pruning reaches the scan.
+ *
+ * Two cooperating rewrites (both only touch literal constructors, so data
+ * read from tables is never affected):
+ *
+ * 1. Expression-level unroll, run everywhere:
+ *      map_entries(map(k1,v1,…))   ⇒ array(struct(k1,v1),…)
+ *      transform(array(e1,…), λ)   ⇒ array(λ(e1,0), …)     [guarded]
+ *      flatten(array(array(…),…))  ⇒ array(…)
+ *    An element is only substituted into a lambda body if it is deterministic
+ *    or referenced at most once — otherwise unrolling would change how many
+ *    times a nondeterministic expression evaluates.
+ *
+ * 2. Generate-input inlining: a generator that references a deterministic
+ *    alias built by its child Project (the struct assembled by
+ *    addDataQuality) is substituted + unrolled speculatively; the rewrite is
+ *    kept ONLY if no runtime HOF node survives, i.e. the whole chain folded
+ *    to constructors. Otherwise the original plan is returned untouched, so
+ *    a generator over genuinely dynamic data never regresses.
+ *
+ * Registered through GraftExtension, the rule runs inside the operator-
+ * optimization fixed point, interleaved with CollapseProject/ColumnPruning/
+ * SimplifyExtractValueOps, which clean up the folded residue.
+ */
+object StaticHofUnroll extends Rule[LogicalPlan] {
+
+  /** Plans stay linear in rule count; genuinely huge literal arrays keep the
+   * runtime HOF path. */
+  private val MaxElems = 1024
+
+  private def countRefs(e: Expression, id: ExprId): Int = {
+    var n = 0
+    e.foreach {
+      case v: NamedLambdaVariable if v.exprId == id => n += 1
+      case _ => ()
+    }
+    n
+  }
+
+  /** Inline one lambda application; None when substitution would duplicate a
+   * nondeterministic element expression. */
+  private def bind(fn: LambdaFunction, elem: Expression, idx: Int): Option[Expression] = {
+    val vars = fn.arguments.collect { case v: NamedLambdaVariable => v }
+    if (vars.size != fn.arguments.size || vars.isEmpty) return None
+    val bindings: Seq[(NamedLambdaVariable, Expression)] =
+      vars.zip(elem +: (if (vars.size > 1) Seq(Literal(idx)) else Nil))
+    val safe = bindings.forall { case (v, e) =>
+      e.deterministic || countRefs(fn.function, v.exprId) <= 1
+    }
+    if (!safe) None
+    else Some(fn.function.transformUp {
+      case v: NamedLambdaVariable =>
+        bindings.collectFirst { case (b, e) if b.exprId == v.exprId => e }.getOrElse(v)
+    })
+  }
+
+  private def unrollOnce(root: Expression): Expression = root.transformUp {
+    case MapEntries(cm: CreateMap) if cm.keys.nonEmpty && cm.keys.size <= MaxElems =>
+      CreateArray(cm.keys.zip(cm.values).map { case (k, v) =>
+        CreateNamedStruct(Seq(Literal("key"), k, Literal("value"), v))
+      })
+    case t @ ArrayTransform(ca: CreateArray, fn: LambdaFunction)
+        if ca.children.nonEmpty && ca.children.size <= MaxElems =>
+      val inlined = ca.children.zipWithIndex.map { case (e, i) => bind(fn, e, i) }
+      if (inlined.forall(_.isDefined)) CreateArray(inlined.map(_.get)) else t
+    case Flatten(ca: CreateArray)
+        if ca.children.nonEmpty && ca.children.forall(_.isInstanceOf[CreateArray]) &&
+          ca.children.map(_.children.size).sum <= MaxElems &&
+          ca.children.exists(_.children.nonEmpty) =>
+      CreateArray(ca.children.flatMap(_.children))
+    // local extract-folding so nested unrolls see constructors; the stock
+    // SimplifyExtractValueOps does the same outside this rule
+    case GetStructField(cns: CreateNamedStruct, ordinal, _) => cns.valExprs(ordinal)
+  }
+
+  private def fixpoint(e: Expression): Expression = {
+    var cur = e
+    var i = 0
+    while (i < 16) {
+      val next = unrollOnce(cur)
+      if (next fastEquals cur) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  private def hasRuntimeHof(e: Expression): Boolean = e.exists {
+    case _: MapEntries | _: ArrayTransform | _: Flatten => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val unrolled = plan.transformAllExpressions {
+      case e @ (_: MapEntries | _: ArrayTransform | _: Flatten) => fixpoint(e)
+    }
+    unrolled.transformUp {
+      case g @ Generate(gen, _, _, _, _, p @ Project(projList, pchild))
+          if hasRuntimeHof(gen) =>
+        val aliasMap: Map[ExprId, Expression] = projList.collect {
+          case a: Alias if a.child.deterministic => a.exprId -> a.child
+        }.toMap
+        val hit = gen.references.exists(r => aliasMap.contains(r.exprId))
+        if (!hit) g
+        else {
+          val substituted = gen.transformUp {
+            case ar: AttributeReference if aliasMap.contains(ar.exprId) => aliasMap(ar.exprId)
+          }
+          val simplified = fixpoint(substituted)
+          val extraRefs = simplified.references.filterNot(p.outputSet.contains)
+          if (hasRuntimeHof(simplified) || !simplified.isInstanceOf[Generator] ||
+              !extraRefs.forall(pchild.outputSet.contains)) g
+          else {
+            // pass newly-referenced child attributes through the Project;
+            // ColumnPruning later drops the now-unused alias
+            val newProj = Project(projList ++ extraRefs.toSeq, pchild)
+            g.copy(generator = simplified.asInstanceOf[Generator], child = newProj)
+          }
+        }
+    }
+  }
+}

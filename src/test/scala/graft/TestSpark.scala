@@ -7,6 +7,7 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      .config("spark.sql.extensions", "graft.plans.GraftExtension")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -26,6 +26,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen stage in:\n$plan")
   }
 
+  test("flattenResults unrolls to the addFlattenedResults plan shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_unroll").toString
+    Seq((1, 2)).toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = RuleRunner.addDataQuality(spark.read.parquet(dir), suite)
+      .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
+      .groupBy(col("r.ruleId")).agg(count(lit(1)))
+    val opt = df.queryExecution.optimizedPlan.toString
+    // StaticHofUnroll must eliminate the runtime map_entries/transform/flatten
+    // chain — the generator input becomes a literal array of structs
+    assert(!opt.contains("map_entries("), s"map_entries survived:\n$opt")
+    assert(!opt.contains("transform("), s"transform survived:\n$opt")
+    assert(!opt.contains("flatten("), s"flatten survived:\n$opt")
+    // and results still match the direct path
+    val viaFlatten = RuleRunner.addDataQuality(spark.read.parquet(dir), suite)
+      .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
+      .select("r.*").collect().map(_.toSeq).toSet
+    val direct = RuleRunner.addFlattenedResults(spark.read.parquet(dir), suite)
+      .collect().map(_.toSeq).toSet
+    assert(viaFlatten == direct)
+  }
+
   test("parquet scan prunes to rule-referenced columns only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Seq((1, 2, "unused", 9.9)).toDF("a", "b", "c", "d").write.mode("overwrite").parquet(dir)
