@@ -288,6 +288,17 @@ object SparkEntry {
       graft.pipeline.Dedup.nearDupClusters(
         nearDupCorpus(s, dir), col("doc_id"), col("text"))
     }),
+    "q_dedup_skew" -> ((s, dir) => {
+      // planted skew: 10k exact copies of doc 1's text — the exact-content
+      // pre-collapse keeps the LSH bucket join bounded (one representative)
+      // while curation still drops every copy
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val one = d.where(col("doc_id") === 1).select(col("text").as("t1"))
+      val copies = s.range(10000).crossJoin(one)
+        .select((col("id") + 100000).as("doc_id"), col("t1").as("text"))
+      graft.pipeline.Dedup.dropNearDups(d.unionAll(copies), col("doc_id"), col("text"))
+        .select(col("doc_id"))
+    }),
     "q_text_tokens" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.tokenCount(col("text")).as("n_tokens"),
@@ -509,6 +520,30 @@ object SparkEntry {
         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
         |)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    // skew oracle mirrors the exact-collapse semantics: reps = min doc_id per
+    // distinct text, then near-dup losers among reps only (cheap all-pairs
+    // over ~500 distinct texts, never the 10k copies)
+    "q_dedup_skew" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 100000 + r.range AS doc_id,
+        |         (SELECT text FROM documents WHERE doc_id = 1) AS text
+        |  FROM range(10000) r
+        |), reps AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM reps)
+        |), losers AS (
+        |  SELECT DISTINCT b.doc_id AS d
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        |)
+        |SELECT doc_id FROM reps WHERE doc_id NOT IN (SELECT d FROM losers)""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

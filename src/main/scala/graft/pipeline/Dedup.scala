@@ -24,16 +24,28 @@ object Dedup {
    * distinct rows, which a 100 TB corpus exceeds; 128 bits keeps the
    * collision odds negligible while the shuffle still carries only
    * (fingerprint, id), never the content. */
-  def exact(df: DataFrame, idCol: Column, contentCols: Column*): DataFrame = {
+  /** 128-bit content fingerprint (two independent xxhash64 seeds, codegen). */
+  private[pipeline] def fingerprint(contentCols: Seq[Column]): Column = {
     import org.apache.spark.sql.graft.Bridge
-    def fp: Column = struct(
+    struct(
       Bridge.column(new org.apache.spark.sql.catalyst.expressions.XxHash64(
         contentCols.map(Bridge.expression), 42L)).as("h1"),
       Bridge.column(new org.apache.spark.sql.catalyst.expressions.XxHash64(
         contentCols.map(Bridge.expression), 43L)).as("h2"))
+  }
+
+  def exact(df: DataFrame, idCol: Column, contentCols: Column*): DataFrame = {
+    def fp: Column = fingerprint(contentCols)
     val keep = df.select(fp.as("graft_fp"), idCol.as("graft_id"))
       .groupBy(col("graft_fp")).agg(min(col("graft_id")).as("graft_keep"))
     df.join(keep, fp === col("graft_fp") && idCol === col("graft_keep"), "leftsemi")
+  }
+
+  /** (id, rep) membership of exact-content groups: rep = min id of the group.
+   * One shuffle on the 128-bit fingerprint; content never shuffles. */
+  private def exactMembership(base: DataFrame): DataFrame = {
+    val repOf = base.groupBy(col("graft_fp")).agg(min(col("id")).as("rep"))
+    base.join(repOf, "graft_fp").select(col("id"), col("rep"))
   }
 
   /** Candidate pairs whose exact shingle-Jaccard ≥ threshold, found via
@@ -41,7 +53,7 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucketSize: Int = 0): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     val base = df.select(idCol.as("id"), Text.shingles(textCol, shingleSize).as("sh"))
@@ -53,10 +65,13 @@ object Dedup {
       .select(col("id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
 
-    // skew guard: a corpus with massive exact-duplicate clusters puts whole
-    // clusters into one bucket in EVERY band → O(cluster²·bands) candidate
-    // pairs. Capping bucket size bounds the join (run `exact` dedup first to
-    // keep recall); 0 = uncapped.
+    // skew guard, ON by default: a corpus with massive exact-duplicate
+    // clusters puts whole clusters into one bucket in EVERY band →
+    // O(cluster²·bands) candidate pairs; a 100 TB web corpus WILL contain
+    // million-copy boilerplate. Buckets over the cap are skipped — note the
+    // pair list of such a cluster is itself O(cluster²), so the pair-level
+    // API cannot report it tractably anyway; nearDupClusters/dropNearDups
+    // collapse exact groups first and lose nothing. 0 = uncapped.
     val bandRows =
       if (maxBucketSize <= 0) rawBandRows
       else {
@@ -119,40 +134,78 @@ object Dedup {
   def nearDupClusters(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, threshold: Double = 0.7,
-      maxIterations: Int = 20): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, shingleSize = shingleSize, threshold = threshold)
+      maxIterations: Int = 20, checkpointInterval: Int = 2): DataFrame = {
+    // exact-content pre-collapse: LSH runs over unique contents only, so a
+    // million-copy boilerplate cluster contributes ONE doc to the bucket
+    // join instead of an O(cluster²·bands) pair explosion; members rejoin
+    // their representative through direct (member, rep) edges.
+    val base = df.select(idCol.as("id"), textCol.as("text"))
+      .withColumn("graft_fp", fingerprint(Seq(col("text"))))
+    val membership = exactMembership(base)
+    val repDocs = base.join(
+      membership.where(col("id") === col("rep")).select(col("id").as("rep_id")),
+      col("id") === col("rep_id"), "leftsemi")
+    val pairs = minhashNearDups(repDocs, col("id"), col("text"),
+        shingleSize = shingleSize, threshold = threshold)
       .select(col("id_a"), col("id_b"))
-    val edges = pairs.unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst").cache()
+    val memberEdges = membership.where(col("id") =!= col("rep"))
+    // localCheckpoint (not cache): truncates the whole LSH pipeline out of the
+    // loop's lineage — every iteration otherwise embeds it twice, growing the
+    // plan exponentially, and a late executor loss would recompute it all
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b"), col("id_a")))
+      .unionAll(memberEdges.select(col("id"), col("rep")))
+      .unionAll(memberEdges.select(col("rep"), col("id")))
+      .toDF("src", "dst").localCheckpoint(true)
     var labels = df.select(idCol.as("id")).withColumn("label", col("id")).cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      // one join per round: neighbour-min then fold into current labels; the
+      // convergence check reuses the cached join output instead of a second join
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val joined = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), col("label"),
+          coalesce(col("nlabel"), col("label")).as("nl"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count()
+      val changed = joined.where(col("nl") < col("label")).limit(1).count()
+      val nextRaw = joined.select(col("id"), least(col("label"), col("nl")).as("label"))
+      iter += 1
+      // frequent lineage truncation (GraphFrames-style): the label plan
+      // references itself twice per round, so cache-only iterations double
+      // the plan tree each round and a late executor loss recomputes the run
+      val next =
+        if (iter % checkpointInterval == 0) nextRaw.localCheckpoint(true)
+        else { val c = nextRaw.cache(); c.count(); c }
+      joined.unpersist()
       labels.unpersist()
       labels = next
       converged = changed == 0
-      iter += 1
     }
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
-  /** Curation: remove near-duplicates keeping the lowest id of each pair
-   * (every doc that appears as the higher id of a verified pair is dropped).
-   * One anti-join against the (small) pair frame. */
+  /** Curation: remove near-duplicates keeping the lowest id of each group.
+   * Exact-content groups collapse to their representative first (skew-safe:
+   * LSH never sees a duplicate cluster), then LSH losers among the unique
+   * contents are dropped. One anti-join against the (small) drop set. */
   def dropNearDups(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val losers = minhashNearDups(df, idCol, textCol, shingleSize = shingleSize, threshold = threshold)
-      .select(col("id_b").as("graft_drop_id")).distinct()
-    df.join(losers, idCol === col("graft_drop_id"), "left_anti")
+    val base = df.select(idCol.as("id"), textCol.as("text"))
+      .withColumn("graft_fp", fingerprint(Seq(col("text"))))
+    val membership = exactMembership(base)
+    val nonReps = membership.where(col("id") =!= col("rep")).select(col("id"))
+    val repDocs = base.join(
+      membership.where(col("id") === col("rep")).select(col("id").as("rep_id")),
+      col("id") === col("rep_id"), "leftsemi")
+    val losers = minhashNearDups(repDocs, col("id"), col("text"),
+        shingleSize = shingleSize, threshold = threshold)
+      .select(col("id_b").as("id")).distinct()
+    val dropIds = nonReps.unionAll(losers).withColumnRenamed("id", "graft_drop_id")
+    df.join(dropIds, idCol === col("graft_drop_id"), "left_anti")
   }
 
   /** Exact n-gram Jaccard for a pair frame carrying two text columns. */

@@ -40,6 +40,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == 0)
   }
 
+  test("nearDupClusters handles long chains (diameter > 10) with checkpointing") {
+    // sliding windows over distinct words: adjacent docs share 37/39 shingles
+    // (J≈0.95 ≥ 0.93) but offset-2 pairs only 36/40 (0.9 < 0.93) — a 15-node
+    // path graph, diameter 14, needing >10 label-propagation rounds with
+    // repeated localCheckpoint lineage truncation
+    val words = (0 until 60).map(i => s"w$i")
+    val chain = (0 until 15).map(i => (i.toLong, words.slice(i, i + 40).mkString(" ")))
+    val clusters = Dedup.nearDupClusters(chain.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), threshold = 0.93)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 15)
+    assert(clusters.values.toSet == Set(0L), s"chain did not converge to one cluster: $clusters")
+  }
+
+  test("planted exact-dup flood: clusters and curation stay correct via exact pre-collapse") {
+    // 2000 identical docs would explode the LSH bucket join (bucket cap would
+    // silently drop them at pair level); the exact pre-collapse sends ONE
+    // representative to LSH and rejoins members by direct edges
+    val flood = (0L until 2000L).map(i => (i, "the same exact boilerplate text for every single row here"))
+    val extras = Seq(
+      (5000L, "the same exact boilerplate text for every single row here today"), // near-dup of flood
+      (6000L, "an entirely unrelated document about distributed query engines"))
+    val df = (flood ++ extras).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(df, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 2000L).forall(clusters(_) == 0L), "flood members must join rep's cluster")
+    assert(clusters(5000L) == 0L, "near-dup of the flood rep must join the cluster")
+    assert(clusters(6000L) == 6000L)
+    val kept = Dedup.dropNearDups(df, col("doc_id"), col("text"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 6000L), s"curation must keep one flood rep + the unrelated doc: $kept")
+  }
+
   test("simhash finds near dups") {
     val pairs = Dedup.simhashNearDups(docs, col("doc_id"), col("text"), shingleSize = 2, maxHamming = 12)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
