@@ -136,6 +136,17 @@ object SparkEntry {
         .groupBy(col("DataQuality.overallResult").as("overallResult"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    "q_lambda_sql" -> ((s, dir) => {
+      // session-global lambdas: callable from plain spark.sql, nested bodies
+      // expand through the same substitution as rule-embedded usage
+      graft.rules.Lambdas.registerLambdaFunctions(s, Seq(
+        LambdaFunction("disc_price", "(p, d) -> p * (1 - d)", Id(901, 1)),
+        LambdaFunction("net_price", "(p, d, t) -> disc_price(p, d) * (1 + t)", Id(902, 1))))
+      lineitem(s, dir).createOrReplaceTempView("graft_li_sql")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |       net_price(l_extendedprice, l_discount, l_tax) AS net
+              |FROM graft_li_sql""".stripMargin)
+    }),
     "q_pack_ints" -> ((s, dir) => {
       lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -387,6 +398,10 @@ object SparkEntry {
       """SELECT CASE WHEN l_extendedprice * (1 - l_discount) < 90000 THEN 100000 ELSE 0 END AS overallResult,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_lambda_sql" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net
+        |FROM lineitem""".stripMargin,
     "q_pack_ints" ->
       """SELECT l_orderkey, l_linenumber,
         |       (CAST(l_partkey AS BIGINT) << 32) | (CAST(l_suppkey AS BIGINT) & 4294967295) AS packed,

@@ -77,9 +77,59 @@ object Lambdas {
 
   private def fnName(uf: UnresolvedFunction): String = uf.nameParts.last.toLowerCase
 
+  /** What the session-registered `_` function resolves to: the analyzer
+   * resolves `_()` before the enclosing lambda call reaches its builder, and
+   * a builder only fires once its children are RESOLVED — so the marker must
+   * be a resolved leaf. It is always consumed by the enclosing lambda
+   * builder; evaluating one means `_()` was used outside a lambda call. */
+  private[rules] case class PlaceholderExpression()
+      extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def nullable: Boolean = true
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.NullType
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      throw new IllegalStateException(
+        "_() placeholder used outside a registered lambda call")
+  }
+
   private def isPlaceholder(e: Expression): Boolean = e match {
     case uf: UnresolvedFunction => fnName(uf) == "_" && uf.arguments.isEmpty
+    case PlaceholderExpression() => true
     case _ => false
+  }
+
+  /**
+   * Session-global lambda registration (reference:
+   * impl/imports/LambdaFunctionsImports.scala:17-18 registerLambdaFunctions):
+   * stored lambdas become callable from ANY `spark.sql(...)` string — not just
+   * inside suite-parsed rules. Nested lambda calls in bodies expand through
+   * the same parse-time substitution, so the resulting plans are identical to
+   * rule-embedded usage. Re-registering a name replaces it (latest wins).
+   */
+  def registerLambdaFunctions(spark: org.apache.spark.sql.SparkSession, fns: Seq[LambdaFunction]): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val byName = toMap(fns)
+    val reg = spark.sessionState.functionRegistry
+    byName.foreach { case (name, byArity) =>
+      val builder: Seq[Expression] => Expression = args => {
+        val lam = byArity.getOrElse(args.size,
+          throw new IllegalArgumentException(
+            s"lambda $name has arities ${byArity.keys.toSeq.sorted.mkString("/")}, got ${args.size} args"))
+        if (args.exists(isPlaceholder)) partialApply(lam, args, byName, 0)
+        else substitute(bindParams(lam.body, lam.params.zip(args).toMap), byName, 1)
+      }
+      reg.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo("graft.rules.Lambdas", name), builder)
+    }
+    if (byName.nonEmpty)
+      reg.registerFunction(
+        FunctionIdentifier("_"), new ExpressionInfo("graft.rules.Lambdas", "_"),
+        args => {
+          require(args.isEmpty, "placeholder _() takes no arguments")
+          PlaceholderExpression()
+        })
   }
 
   /** `myFun(_(), lit)` → Catalyst lambda `(p0) -> body[param0 := p0, param1 := lit]`. */

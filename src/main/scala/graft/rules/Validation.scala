@@ -22,14 +22,31 @@ object Validation {
     validate(empty, suite)
   }
 
-  def validate(df: DataFrame, suite: RuleSuite): Seq[Issue] = {
-    def tryResolve(sql: String, mk: String => Issue, path: Seq[Id]): Seq[Issue] =
-      try {
-        df.select(Parsing.parseCol(sql, suite)).queryExecution.assertAnalyzed()
-        Seq.empty
-      } catch {
-        case t: Throwable => Seq(mk(t.getMessage))
-      }
+  /**
+   * Validate rules AND output expressions against `df`'s schema.
+   *
+   * Output-expression depth (reference impl/Validation.scala resolves these
+   * too, not just parse-checks):
+   *  - engine-style outputs (plain expressions) resolve against the frame, so
+   *    a typo'd column fails validation instead of run time;
+   *  - folder-style outputs (`acc -> …` lambdas / `set(field = …)` sugar)
+   *    resolve against the frame PLUS the folder's accumulator when
+   *    `folderStart` is supplied — a misspelled `currentResult.field` is
+   *    caught here. Without `folderStart` the accumulator schema is unknown
+   *    and folder outputs fall back to a parse check.
+   */
+  def validate(
+      df: DataFrame, suite: RuleSuite,
+      folderStart: Option[org.apache.spark.sql.Column] = None): Seq[Issue] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction => CatalystLambda}
+
+    def assertResolves(c: org.apache.spark.sql.Column): Unit =
+      df.select(c).queryExecution.assertAnalyzed()
+
+    def tryResolve(sql: String, mk: String => Issue): Seq[Issue] =
+      try { assertResolves(Parsing.parseCol(sql, suite)); Seq.empty }
+      catch { case t: Throwable => Seq(mk(t.getMessage)) }
 
     val lambdaIssues = suite.lambdaFunctions.flatMap { l =>
       try { Lambdas.parse(l.sql); Seq.empty }
@@ -37,20 +54,33 @@ object Validation {
         Seq(LambdaError(Seq(suite.id, l.id), s"lambda ${l.name}: ${t.getMessage}")) }
     }
 
+    def validateOutput(o: OutputExpression, path: Seq[Id]): Seq[Issue] =
+      try {
+        val parsed = Lambdas.substitute(
+          org.apache.spark.sql.graft.Bridge.parse(o.sql),
+          Lambdas.toMap(suite.lambdaFunctions))
+        val folderShaped = parsed match {
+          case CatalystLambda(_, Seq(_), _) => true
+          case uf: UnresolvedFunction if uf.nameParts.last.equalsIgnoreCase("set") => true
+          case _ => false
+        }
+        (folderShaped, folderStart) match {
+          case (true, Some(acc)) =>
+            assertResolves(Parsing.applyFolderOutput(o.sql, suite, acc))
+          case (true, None) => () // accumulator schema unknown: parse check only
+          case (false, _) =>
+            assertResolves(Parsing.parseCol(o.sql, suite))
+        }
+        Seq.empty
+      } catch {
+        case t: Throwable => Seq(OutputError(path :+ o.id, t.getMessage))
+      }
+
     val ruleIssues = suite.ruleSets.flatMap { rs =>
       rs.rules.flatMap { r =>
         val path = Seq(suite.id, rs.id, r.id)
-        tryResolve(r.sql, m => RuleError(path, m), path) ++
-          r.output.toSeq.flatMap { o =>
-            try {
-              // folder/engine outputs are validated as parseable; full
-              // resolution needs the runner's accumulator context
-              org.apache.spark.sql.graft.Bridge.parse(o.sql)
-              Seq.empty
-            } catch {
-              case t: Throwable => Seq(OutputError(path :+ o.id, t.getMessage))
-            }
-          }
+        tryResolve(r.sql, m => RuleError(path, m)) ++
+          r.output.toSeq.flatMap(o => validateOutput(o, path))
       }
     }
     lambdaIssues ++ ruleIssues

@@ -38,27 +38,39 @@ object ViewLoader {
       name, token, filter, sql)
 
   /** Register each config as a temp view; token + optional filter, or sql.
+   * Views may depend on OTHER config-loaded views in any config order
+   * (reference impl/views/ViewLoading.scala resolves nested tokens the same
+   * way): configs that fail to analyze are retried after each pass until a
+   * fixpoint — only views that never resolve land in notLoaded.
    * Returns which views loaded / were replaced / could not load. */
   def loadViews(spark: SparkSession, loader: DataFrameLoader, configs: Seq[ViewConfig]): ViewLoadResults = {
     var loaded = Set.empty[String]
-    var failed = Set.empty[String]
     var replaced = Set.empty[String]
-    configs.foreach { c =>
-      val df: Option[DataFrame] = (c.token, c.sql) match {
-        case (Some(t), _) =>
-          val base = loader.load(t)
-          Some(c.filter.map(base.where).getOrElse(base))
-        case (None, Some(s)) => Some(spark.sql(s))
-        case _ => None
-      }
-      df match {
-        case Some(d) =>
+    val noSource = configs.filter(c => c.token.isEmpty && c.sql.isEmpty).map(_.name).toSet
+    var pending = configs.filterNot(c => noSource(c.name))
+    var progress = true
+    while (progress && pending.nonEmpty) {
+      progress = false
+      pending = pending.filterNot { c =>
+        try {
+          val d = (c.token, c.sql) match {
+            case (Some(t), _) =>
+              val base = loader.load(t)
+              c.filter.map(base.where).getOrElse(base)
+            case (None, Some(s)) => spark.sql(s)
+            case _ => throw new IllegalStateException("unreachable: filtered above")
+          }
           if (spark.catalog.tableExists(c.name)) replaced += c.name
           d.createOrReplaceTempView(c.name)
           loaded += c.name
-        case None => failed += c.name
+          progress = true
+          true
+        } catch {
+          // likely a dependency on a not-yet-loaded view: retry next pass
+          case scala.util.control.NonFatal(_) => false
+        }
       }
     }
-    ViewLoadResults(loaded, failed, replaced)
+    ViewLoadResults(loaded, noSource ++ pending.map(_.name), replaced)
   }
 }

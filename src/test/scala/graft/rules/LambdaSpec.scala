@@ -63,4 +63,31 @@ class LambdaSpec extends AnyFunSuite {
     val ls = Seq(LambdaFunction("MyFun", "x -> x + 1", Id(1, 1)))
     assert(run("myfun(v)", ls, Seq(1).toDF("v")).as[Int].collect().toSeq == Seq(2))
   }
+
+  test("registerLambdaFunctions makes lambdas callable from plain spark.sql") {
+    Lambdas.registerLambdaFunctions(spark, Seq(
+      LambdaFunction("g_disc", "(p, d) -> p * (1 - d)", Id(1, 1)),
+      LambdaFunction("g_net", "(p, d, t) -> g_disc(p, d) * (1 + t)", Id(2, 1))))
+    Seq((100.0, 0.1, 0.05)).toDF("p", "d", "t").createOrReplaceTempView("g_li")
+    // nested lambda bodies expand; case-insensitive like any SQL function
+    val out = spark.sql("SELECT G_NET(p, d, t) AS net FROM g_li").as[Double].collect()
+    assert(math.abs(out(0) - 100.0 * 0.9 * 1.05) < 1e-9)
+  }
+
+  test("registered lambdas support _() placeholders in spark.sql") {
+    Lambdas.registerLambdaFunctions(spark, Seq(
+      LambdaFunction("g_addn", "(a, n) -> a + n", Id(1, 1))))
+    val out = spark.sql("SELECT transform(array(1L, 2L), g_addn(_(), 10L)) AS r")
+      .as[Seq[Long]].collect()
+    assert(out(0) == Seq(11L, 12L))
+  }
+
+  test("registered lambdas report arity mismatches") {
+    Lambdas.registerLambdaFunctions(spark, Seq(
+      LambdaFunction("g_one", "x -> x + 1", Id(1, 1))))
+    val e = intercept[Exception] { spark.sql("SELECT g_one(1, 2)").collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("arities")))
+  }
 }

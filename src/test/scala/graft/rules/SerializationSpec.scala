@@ -93,6 +93,30 @@ class SerializationSpec extends AnyFunSuite {
     assert(Validation.docs(suite).contains("RuleSet 10"))
   }
 
+  test("validation resolves engine and folder output expressions, not just parses them") {
+    val df = Seq((1.0, 2.0)).toDF("price", "qty")
+    val engineSuite = RuleSuite(Id(9, 1), Seq(RuleSet(Id(91, 1), Seq(
+      Rule(Id(910, 1), "price > 0", Some(OutputExpression(10, Id(1, 1), "missing_col * 2"))),
+      Rule(Id(911, 1), "qty > 0", Some(OutputExpression(20, Id(2, 1), "price * 2")))))))
+    val engineIssues = Validation.validate(df, engineSuite)
+    assert(engineIssues.size == 1 && engineIssues.head.isInstanceOf[Validation.OutputError])
+    assert(engineIssues.head.message.contains("missing_col"))
+
+    // folder outputs resolve against the supplied accumulator: a misspelled
+    // currentResult field is caught at validation time
+    val folderSuite = RuleSuite(Id(9, 2), Seq(RuleSet(Id(92, 1), Seq(
+      Rule(Id(920, 1), "price > 0",
+        Some(OutputExpression(10, Id(3, 1), "set(p = currentResult.pricee * 2)"))),
+      Rule(Id(921, 1), "qty > 0",
+        Some(OutputExpression(20, Id(4, 1), "acc -> update_field(acc, 'p', acc.p + 1)")))))))
+    val start = org.apache.spark.sql.functions.struct(col("price").as("p"))
+    val folderIssues = Validation.validate(df, folderSuite, Some(start))
+    assert(folderIssues.size == 1 && folderIssues.head.isInstanceOf[Validation.OutputError])
+    assert(folderIssues.head.ruleId.last == Id(3, 1))
+    // without the accumulator context, folder outputs stay parse-checked only
+    assert(Validation.validate(df, folderSuite).isEmpty)
+  }
+
   test("view loader registers config-driven views") {
     val loader = new ViewLoader.DataFrameLoader {
       def load(token: String) = Seq((1, "x"), (2, "y")).toDF("id", "v")
@@ -105,5 +129,22 @@ class SerializationSpec extends AnyFunSuite {
     assert(res.loadedViews == Set("base_view", "derived_view"))
     assert(res.notLoaded == Set("broken"))
     assert(spark.sql("SELECT * FROM derived_view").as[String].collect().toSeq == Seq("y"))
+  }
+
+  test("view loader resolves nested view dependencies in any config order") {
+    val loader = new ViewLoader.DataFrameLoader {
+      def load(token: String) = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+    }
+    // chain c -> b -> a listed in REVERSE dependency order, plus one that can
+    // never resolve
+    val configs = Seq(
+      ViewLoader.ViewConfig("chain_c", None, None, Some("SELECT v FROM chain_b WHERE id > 1")),
+      ViewLoader.ViewConfig("chain_b", None, None, Some("SELECT id, v FROM chain_a WHERE id > 1")),
+      ViewLoader.ViewConfig("never_resolves", None, None, Some("SELECT * FROM no_such_view_anywhere")),
+      ViewLoader.ViewConfig("chain_a", Some("tok"), None, None))
+    val res = ViewLoader.loadViews(spark, loader, configs)
+    assert(res.loadedViews == Set("chain_a", "chain_b", "chain_c"))
+    assert(res.notLoaded == Set("never_resolves"))
+    assert(spark.sql("SELECT * FROM chain_c").as[String].collect().sorted.toSeq == Seq("y", "z"))
   }
 }
