@@ -60,15 +60,26 @@ object AggMonoid {
   }
 }
 
-/** Merge two maps, value-adding on key collision (recursive for nested maps). */
-case class MapMergeExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** Merge two maps, value-adding on key collision (recursive for nested maps).
+ * Codegen: one static call (the adder closure travels as a reference object),
+ * so map_with's aggregate update stays codegen-compatible. */
+case class MapMergeExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = left.dataType
   private lazy val mapType = left.dataType.asInstanceOf[MapType]
   private lazy val adder = AggMonoid.valueAdder(mapType.valueType)
 
   override def nullSafeEval(l: Any, r: Any): Any =
     MapMergeExpr.merge(l.asInstanceOf[MapData], r.asInstanceOf[MapData], mapType, adder)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val mtRef = ctx.addReferenceObj("graftMapType", mapType,
+      "org.apache.spark.sql.types.MapType")
+    val adderRef = ctx.addReferenceObj("graftAdder", adder, "scala.Function2")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.MapMergeExpr.merge($l, $r, $mtRef, $adderRef);")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -96,17 +107,39 @@ object MapMergeExpr {
   }
 }
 
-/** Set/replace one key in a map (used for the map_with update step). */
+/** Set/replace one key in a map (used for the map_with update step).
+ * Codegen: one static call with explicitly boxed key/value. */
 case class MapUpdateExpr(map: Expression, key: Expression, value: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = map
   override def second: Expression = key
   override def third: Expression = value
   override def dataType: DataType = map.dataType
   private lazy val mt = map.dataType.asInstanceOf[MapType]
 
-  override def nullSafeEval(m: Any, k: Any, v: Any): Any = {
-    val md = m.asInstanceOf[MapData]
+  override def nullSafeEval(m: Any, k: Any, v: Any): Any =
+    MapUpdateExpr.update(m.asInstanceOf[MapData], k, v, mt)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val mtRef = ctx.addReferenceObj("graftMapType", mt,
+      "org.apache.spark.sql.types.MapType")
+    def boxed(term: String, dt: DataType): String =
+      if (CodeGenerator.isPrimitiveType(dt)) s"((Object) ${CodeGenerator.boxedType(dt)}.valueOf($term))"
+      else term
+    nullSafeCodeGen(ctx, ev, (m, k, v) =>
+      s"${ev.value} = graft.functions.MapUpdateExpr.update($m, " +
+        s"${boxed(k, key.dataType)}, ${boxed(v, value.dataType)}, $mtRef);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(map = f, key = s, value = t)
+}
+
+object MapUpdateExpr {
+  def update(md: MapData, k: Any, v: Any, mt: MapType): MapData = {
     val n = md.numElements()
     val keys = new Array[Any](n + 1)
     val vals = new Array[Any](n + 1)
@@ -127,9 +160,6 @@ case class MapUpdateExpr(map: Expression, key: Expression, value: Expression)
       new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
     }
   }
-
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
-    copy(map = f, key = s, value = t)
 }
 
 /**

@@ -89,15 +89,13 @@ object TextHash {
   }
 }
 
-/** MinHash signature: each shingle is string-hashed ONCE, then permutation j
- * applies a SplitMix64 remix of (h ^ oddConst_j) — one byte-scan per shingle
- * instead of numHashes scans, standard tabulation-style minhash. */
-case class MinHashExpression(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  @transient private lazy val seeds: Array[Long] =
-    Array.tabulate(numHashes)(j => j.toLong * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L)
+/**
+ * Signature algorithms as static-forwarder methods so generated code can
+ * call them directly: the expressions below emit one static call in
+ * `doGenCode`, keeping the whole signature projection inside whole-stage
+ * codegen (a CodegenFallback would break the fused pipeline per row).
+ */
+object TextAlgos {
 
   @inline private def remix(h: Long, c: Long): Long = {
     var z = (h ^ c) + 0x9e3779b97f4a7c15L
@@ -106,15 +104,18 @@ case class MinHashExpression(child: Expression, numHashes: Int)
     z ^ (z >>> 31)
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Each shingle is string-hashed ONCE, then permutation j applies a
+   * SplitMix64 remix of (h ^ oddConst_j) — one byte-scan per shingle instead
+   * of numHashes scans, standard tabulation-style minhash. */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
       val h = TextHash.hash64(arr.getUTF8String(i), 0L)
       var j = 0
       while (j < numHashes) {
-        val m = remix(h, seeds(j))
+        val c = j.toLong * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+        val m = remix(h, c)
         if (m < sig(j)) sig(j) = m
         j += 1
       }
@@ -122,15 +123,8 @@ case class MinHashExpression(child: Expression, numHashes: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
 
-/** 64-bit SimHash over shingle features. */
-case class SimHashExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def simhash(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -147,16 +141,11 @@ case class SimHashExpression(child: Expression)
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
 
-/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
- * k-gram rolling hashes, min per sliding window, distinct sorted. */
-case class WinnowFingerprintExpression(child: Expression, k: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram rolling
+   * hashes, min per sliding window, distinct sorted. */
+  def winnow(v: UTF8String, k: Int, window: Int): ArrayData = {
+    val s = v.toString.toLowerCase
     if (s.length < k) return new GenericArrayData(Array.empty[Long])
     val n = s.length - k + 1
     val hashes = new Array[Long](n)
@@ -181,5 +170,43 @@ case class WinnowFingerprintExpression(child: Expression, k: Int, window: Int)
     }
     new GenericArrayData(picked.toArray)
   }
+}
+
+/** MinHash signature (see TextAlgos.minhash). Codegen: one static call. */
+case class MinHashExpression(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.minhash(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.minhash($c, $numHashes);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over shingle features. Codegen: one static call. */
+case class SimHashExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = TextAlgos.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.simhash($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing document fingerprint. Codegen: one static call. */
+case class WinnowFingerprintExpression(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.winnow(v.asInstanceOf[UTF8String], k, window)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.winnow($c, $k, $window);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -26,7 +26,7 @@ object Lambdas {
   /** Parse a stored lambda SQL: either `(a, b) -> expr`, `a -> expr`, or a
    * zero-arg plain expression. */
   def parse(sql: String): Parsed =
-    Bridge.parse(sql) match {
+    Bridge.parse(DocsParsing.stripComments(sql)) match {
       case CatalystLambda(body, args, _) =>
         Parsed(args.map(a => a.name), body)
       case e => Parsed(Seq.empty, e)

@@ -13,7 +13,7 @@ private[graft] object Parsing {
 
   def parse(sql: String, suite: RuleSuite): Expression = {
     val lambdas = Lambdas.toMap(suite.lambdaFunctions)
-    Registry.rewrite(Lambdas.substitute(Bridge.parse(sql), lambdas))
+    Registry.rewrite(Lambdas.substitute(Bridge.parse(DocsParsing.stripComments(sql)), lambdas))
   }
 
   def parseCol(sql: String, suite: RuleSuite): Column =
@@ -27,7 +27,7 @@ private[graft] object Parsing {
    */
   def applyFolderOutput(sql: String, suite: RuleSuite, acc: Column): Column = {
     val lambdas = Lambdas.toMap(suite.lambdaFunctions)
-    val parsed = Lambdas.substitute(Bridge.parse(sql), lambdas)
+    val parsed = Lambdas.substitute(Bridge.parse(DocsParsing.stripComments(sql)), lambdas)
     val accExpr = Bridge.expression(acc)
     val applied = parsed match {
       case CatalystLambda(body, Seq(param), _) =>

@@ -86,24 +86,44 @@ object Validation {
     lambdaIssues ++ ruleIssues
   }
 
-  /** Markdown documentation of a suite (reference: impl/util/Docs.scala). */
+  /** Markdown documentation of a suite (reference: impl/util/Docs.scala).
+   * Doc comments embedded in rule/lambda/output SQL (DocsParsing) become
+   * descriptions, per-parameter tables, and return notes. */
   def docs(suite: RuleSuite): String = {
+    import DocsParsing.{parse => docOf, stripComments}
     val sb = new StringBuilder
+    def describe(sql: String, indentHeader: String): Unit =
+      docOf(sql).filterNot(_.isEmpty).foreach { d =>
+        if (d.description.nonEmpty) sb.append(s"${d.description.replaceAll("\\s+", " ")}\n\n")
+        if (d.params.nonEmpty) {
+          sb.append(s"$indentHeader| param | doc |\n| --- | --- |\n")
+          d.params.foreach { case (n, t) => sb.append(s"| $n | ${t.replaceAll("\\s+", " ")} |\n") }
+          sb.append("\n")
+        }
+        if (d.returnDescription.nonEmpty)
+          sb.append(s"returns: ${d.returnDescription.replaceAll("\\s+", " ")}\n\n")
+      }
     sb.append(s"# RuleSuite ${suite.id.id} v${suite.id.version}\n\n")
     if (suite.lambdaFunctions.nonEmpty) {
-      sb.append("## Lambdas\n\n| name | id | expression |\n| --- | --- | --- |\n")
-      suite.lambdaFunctions.foreach(l =>
-        sb.append(s"| ${l.name} | ${l.id.id} v${l.id.version} | `${l.sql}` |\n"))
-      sb.append("\n")
+      sb.append("## Lambdas\n\n")
+      suite.lambdaFunctions.foreach { l =>
+        sb.append(s"### ${l.name} (${l.id.id} v${l.id.version})\n\n")
+        describe(l.sql, "")
+        sb.append(s"```sql\n${stripComments(l.sql)}\n```\n\n")
+      }
     }
     suite.ruleSets.foreach { rs =>
       sb.append(s"## RuleSet ${rs.id.id} v${rs.id.version}\n\n")
-      sb.append("| rule | expression | output (salience) |\n| --- | --- | --- |\n")
       rs.rules.foreach { r =>
-        val out = r.output.map(o => s"`${o.sql}` (${o.salience})").getOrElse("")
-        sb.append(s"| ${r.id.id} v${r.id.version} | `${r.sql}` | $out |\n")
+        sb.append(s"### Rule ${r.id.id} v${r.id.version}\n\n")
+        describe(r.sql, "")
+        sb.append(s"```sql\n${stripComments(r.sql)}\n```\n\n")
+        r.output.foreach { o =>
+          sb.append(s"Output ${o.id.id} v${o.id.version} (salience ${o.salience}):\n\n")
+          describe(o.sql, "")
+          sb.append(s"```sql\n${stripComments(o.sql)}\n```\n\n")
+        }
       }
-      sb.append("\n")
     }
     sb.toString
   }

