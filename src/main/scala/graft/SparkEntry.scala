@@ -285,6 +285,14 @@ object SparkEntry {
           e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // rows-only: IVF recall vs brute force asserted in PipelineSpec
+      val e = embeddings(s, dir)
+      graft.pipeline.Similarity.ivfTopK(
+          e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3,
+          nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "q_curate" -> ((s, dir) => {
       // end-to-end curation: near-dedup (keep lowest id) + quality gates
       val kept = graft.pipeline.Dedup.dropNearDups(

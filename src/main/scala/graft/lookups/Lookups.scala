@@ -1,6 +1,6 @@
 package graft.lookups
 
-import graft.bloom.{Bloom, BloomAggregate}
+import graft.bloom.{BigBloomAggregate, Bloom, BloomAggregate}
 import graft.functions.ValueBytes
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
@@ -118,6 +118,18 @@ object Lookups {
       BloomAggregate(Bridge.expression(col), expected, fpp).toAggregateExpression())
     val bytes = df.select(agg.as("b")).collect()(0).getAs[Array[Byte]](0)
     registerBloom(spark, name, Array(bytes), fpp)
+  }
+
+  /** Build + register a BUCKETED bloom (array-of-filters capacity scaling,
+   * reference big_bloom): one distributed aggregation pass. */
+  def registerBigBloomFrom(spark: SparkSession, name: String, df: DataFrame, col: Column,
+      expected: Long, fpp: Double): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    val agg = Bridge.column(
+      BigBloomAggregate(Bridge.expression(col), expected, fpp).toAggregateExpression())
+    val buckets = df.select(agg.as("b")).collect()(0)
+      .getSeq[Array[Byte]](0).toArray
+    registerBloom(spark, name, buckets, fpp)
   }
 
   def bloom(name: String): BloomEntry = {

@@ -89,6 +89,99 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- IVF ANN
+
+  /** Cosine against a constant centroid (array literal). */
+  private def cosineLit(vec: Column, c: Array[Double]): Column =
+    cosine(vec, array(c.map(lit): _*))
+
+  /** Array of struct(sim, cid) against every centroid — the building block
+   * for inline (no-shuffle) nearest-centroid selection: centroids are tiny
+   * and live in the plan as literals, so assignment is a pure projection. */
+  private def centroidSims(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal}
+    array(cents.map { case (cid, cv) =>
+      // nan-safe: zero-norm vectors rank below everything
+      val sim = coalesce(nanvl(cosineLit(vec, cv), lit(null).cast("double")), lit(-2.0))
+      Bridge.column(CreateNamedStruct(Seq(
+        Literal("s"), Bridge.expression(sim),
+        Literal("negc"), Literal(-cid))))
+    }: _*)
+  }
+
+  /** cid of the best (highest-sim, lowest-cid on ties) centroid. */
+  private def bestCid(vec: Column, cents: Array[(Int, Array[Double])]): Column =
+    -array_max(centroidSims(vec, cents)).getField("negc")
+
+  /** Top `nprobe` centroid ids by similarity. */
+  private def probeCids(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(centroidSims(vec, cents))), 1, nprobe),
+      s => -s.getField("negc"))
+
+  /**
+   * Lloyd's k-means over an embedding column, expressed as DataFrame
+   * aggregations: assignment is a broadcast-centroid projection (bestCid),
+   * the centroid update one groupBy per iteration — no MLlib, no driver
+   * iteration over rows. Returns (cid, cv: array<double>).
+   * Init: the nlist rows with the lowest vector hash (deterministic).
+   */
+  def kmeansCentroids(
+      df: DataFrame, vecCol: String, nlist: Int, iters: Int = 4): DataFrame = {
+    val v = df.select(col(vecCol).cast("array<double>").as("v")).where(size(col("v")) > 0)
+    var cents: Array[(Int, Array[Double])] = v
+      .withColumn("h", xxhash64(col("v")))
+      .orderBy(col("h")).limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](0).toArray }
+    var iter = 0
+    while (iter < iters) {
+      cents = v.select(bestCid(col("v"), cents).as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+      iter += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }.toSeq.toDF("cid", "cv")
+  }
+
+  /**
+   * IVF (inverted-file) ANN top-k — the index-based scale path beyond LSH:
+   * corpus vectors partition into nlist centroid cells (one projection, one
+   * shuffle on cid), queries probe only their nprobe nearest cells, exact
+   * cosine rerank inside the probed cells. At 100 TB the cell assignment is
+   * write-once (persist the assigned table partitioned by cid) and each
+   * query touches nprobe/nlist of the corpus.
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(corpus, vecCol, nlist, iters)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv0"),
+      bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+    val probes = broadcast(queries.select(
+        col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
+        explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid")))
+    probes.join(assigned, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv0")).as("sim"))
+      .where(!isnan(col("sim")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /**
    * Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
    * Candidates come from multi-table LSH buckets (high thresholds ⇒ near-

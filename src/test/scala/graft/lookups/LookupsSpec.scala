@@ -52,6 +52,22 @@ class LookupsSpec extends AnyFunSuite {
     assert(hits == 0) // bloom guarantees no false negatives
   }
 
+  test("bloom persistence: save, reload and probe without rebuilding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val ids = spark.range(0, 3000).toDF("id")
+    graft.bloom.BloomModel.buildSaveAndRegister(
+      spark, "persisted_ids", s"$dir/bloom", ids, col("id"), 3000, 0.01)
+    // wipe the registry: reload must come purely from the files
+    Lookups.clear()
+    graft.bloom.BloomModel.loadAndRegister(spark, "persisted_ids", s"$dir/bloom")
+    val misses = spark.range(0, 3000).toDF("x")
+      .select(c("probability_in(x, 'persisted_ids')").as("p")).where("p = 0.0").count()
+    assert(misses == 0) // no false negatives through the save/load round-trip
+    val absent = Seq(987654321L, 123456789L).toDF("x")
+      .select(c("probability_in(x, 'persisted_ids')").as("p")).as[Double].collect()
+    assert(absent.count(_ == 0.0) >= 1)
+  }
+
   test("big_bloom via SQL aggregate returns buckets") {
     val out = spark.range(0, 100).toDF("id")
       .select(c("big_bloom(id, 100, 0.01)").as("b"))

@@ -145,6 +145,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.6, s"recall $recall")
   }
 
+  test("ivf topk recall vs brute force on clustered vectors") {
+    // three well-separated clusters + noise: IVF with nprobe=2 of nlist=4
+    // must recover most of brute force's neighbours
+    val rng = new scala.util.Random(7)
+    val base = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 10) 1.0f else 0.0f))
+    val rows = (0L until 90L).map { id =>
+      val b = base((id % 3).toInt)
+      (id, b.map(x => x + rng.nextFloat() * 0.2f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 6)
+    val bf = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding", 5,
+        nlist = 4, nprobe = 2, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"ivf recall too low: $recall")
+  }
+
   test("embedding near dups finds duplicated vectors") {
     val withDup = (embs :+ (999L -> embs.head._2)).toDF("vec_id", "embedding")
     val pairs = Similarity.embeddingNearDups(withDup, "vec_id", "embedding", 0.999, dim = 16)
