@@ -55,6 +55,23 @@ object Registry {
   private def struct(cs: Column*): Column = org.apache.spark.sql.functions.struct(cs: _*)
   private def array(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
 
+  /** to_yaml render options: map('useFullScalarType','true') — string-literal
+   * pairs readable both pre-analysis (UnresolvedFunction map) and post
+   * (CreateMap). */
+  private def yamlFullScalar(es: Seq[Expression]): Boolean = es.headOption.exists { e =>
+    val kvs: Seq[Expression] = e match {
+      case cm: org.apache.spark.sql.catalyst.expressions.CreateMap => cm.children
+      case uf: UnresolvedFunction if uf.nameParts.last.equalsIgnoreCase("map") => uf.arguments
+      case _ => Seq.empty
+    }
+    kvs.grouped(2).exists {
+      case Seq(Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType),
+               Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        k.toString.equalsIgnoreCase("useFullScalarType") && v.toString.equalsIgnoreCase("true")
+      case _ => false
+    }
+  }
+
   /** Coerce any rule output to the result-int encoding. */
   def coerce(c: Column): Column = col(RuleResultCoerce(ex(c)))
 
@@ -153,7 +170,7 @@ object Registry {
       "coalesce_if_attributes_missing must be rewritten via MissingAttributes.processIfAttributeMissing before running")),
     "coalesce_if_attributes_missing_disable" -> (_ => throw new IllegalArgumentException(
       "coalesce_if_attributes_missing_disable must be rewritten via MissingAttributes.processIfAttributeMissing before running")),
-    "to_yaml" -> (es => YamlEncodeExpression(es.head)),
+    "to_yaml" -> (es => YamlEncodeExpression(es.head, yamlFullScalar(es.drop(1)))),
     "from_yaml" -> (es => YamlDecodeExpression(es(0), str(es(1), "ddl"))),
     "comparable_maps" -> (es => ComparableMapsExpression(es.head)),
     "reverse_comparable_maps" -> (es => ReverseComparableMapsExpression(es.head)),

@@ -96,13 +96,32 @@ object YamlConv {
   }
 }
 
-/** to_yaml(expr) → yaml string. */
-case class YamlEncodeExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+/** Representer tagging every scalar with its full Java class
+ * (reference impl/yaml/YamlEncoderExpr.scala:43-51 useFullScalarType):
+ * `!!java.lang.Long 5` instead of a plain `5`, so consumers outside
+ * from_yaml keep exact types/precision. */
+private[functions] class FullScalarRepresenter(opts: DumperOptions)
+    extends org.yaml.snakeyaml.representer.Representer(opts) {
+  import org.yaml.snakeyaml.nodes.{Node, Tag}
+  import org.yaml.snakeyaml.representer.Represent
+  private val full = new Represent {
+    override def representData(data: Object): Node =
+      representScalar(new Tag(data.getClass), data.toString)
+  }
+  Seq[Class[_]](classOf[java.lang.Boolean], classOf[java.lang.Byte], classOf[java.lang.Short],
+    classOf[java.lang.Integer], classOf[java.lang.Long], classOf[java.lang.Float],
+    classOf[java.lang.Double], classOf[java.math.BigDecimal], classOf[String])
+    .foreach(c => this.representers.put(c, full))
+}
+
+/** to_yaml(expr[, map('useFullScalarType','true')]) → yaml string. */
+case class YamlEncodeExpression(child: Expression, fullScalarType: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   @transient private lazy val yaml = {
     val opts = new DumperOptions()
     opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
-    new Yaml(opts)
+    if (fullScalarType) new Yaml(new FullScalarRepresenter(opts), opts) else new Yaml(opts)
   }
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -116,7 +135,20 @@ case class YamlEncodeExpression(child: Expression) extends UnaryExpression with 
 case class YamlDecodeExpression(child: Expression, ddl: String)
     extends UnaryExpression with CodegenFallback {
   override lazy val dataType: DataType = DataType.fromDDL(ddl)
-  @transient private lazy val yaml = new Yaml()
+  @transient private lazy val yaml = {
+    // accept useFullScalarType output: permit global tags ONLY for the safe
+    // boxed-scalar classes the encoder emits (snakeyaml 2.x rejects global
+    // tags by default; never allow arbitrary class construction)
+    val safe = Set("java.lang.Boolean", "java.lang.Byte", "java.lang.Short",
+      "java.lang.Integer", "java.lang.Long", "java.lang.Float",
+      "java.lang.Double", "java.math.BigDecimal", "java.lang.String")
+    val lo = new org.yaml.snakeyaml.LoaderOptions()
+    lo.setTagInspector(new org.yaml.snakeyaml.inspector.TagInspector {
+      override def isGlobalTagAllowed(tag: org.yaml.snakeyaml.nodes.Tag): Boolean =
+        safe.contains(tag.getClassName)
+    })
+    new Yaml(new org.yaml.snakeyaml.constructor.Constructor(lo))
+  }
   override def nullSafeEval(v: Any): Any =
     YamlConv.toCatalyst(yaml.load[Any](v.asInstanceOf[UTF8String].toString), dataType)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -25,7 +25,7 @@ object Dedup {
    * collision odds negligible while the shuffle still carries only
    * (fingerprint, id), never the content. */
   /** 128-bit content fingerprint (two independent xxhash64 seeds, codegen). */
-  private[pipeline] def fingerprint(contentCols: Seq[Column]): Column = {
+  private[graft] def fingerprint(contentCols: Seq[Column]): Column = {
     import org.apache.spark.sql.graft.Bridge
     struct(
       Bridge.column(new org.apache.spark.sql.catalyst.expressions.XxHash64(

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -91,34 +92,19 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF ANN
 
-  /** Cosine against a constant centroid (array literal). */
-  private def cosineLit(vec: Column, c: Array[Double]): Column =
-    cosine(vec, array(c.map(lit): _*))
-
-  /** Array of struct(sim, cid) against every centroid — the building block
-   * for inline (no-shuffle) nearest-centroid selection: centroids are tiny
-   * and live in the plan as literals, so assignment is a pure projection. */
-  private def centroidSims(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+  /** cid of the best (highest-sim, lowest-cid on ties) centroid — a single
+   * codegen'd expression: all centroid cosines in one tight static loop per
+   * row (the centroid matrix rides along as a reference object). */
+  private def bestCid(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
     import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal}
-    array(cents.map { case (cid, cv) =>
-      // nan-safe: zero-norm vectors rank below everything
-      val sim = coalesce(nanvl(cosineLit(vec, cv), lit(null).cast("double")), lit(-2.0))
-      Bridge.column(CreateNamedStruct(Seq(
-        Literal("s"), Bridge.expression(sim),
-        Literal("negc"), Literal(-cid))))
-    }: _*)
+    Bridge.column(BestCentroidExpression(Bridge.expression(vec), SimilarityAlgos.matrix(cents)))
   }
 
-  /** cid of the best (highest-sim, lowest-cid on ties) centroid. */
-  private def bestCid(vec: Column, cents: Array[(Int, Array[Double])]): Column =
-    -array_max(centroidSims(vec, cents)).getField("negc")
-
-  /** Top `nprobe` centroid ids by similarity. */
-  private def probeCids(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column =
-    transform(
-      slice(reverse(array_sort(centroidSims(vec, cents))), 1, nprobe),
-      s => -s.getField("negc"))
+  /** Top `nprobe` centroid ids by similarity, same single-call shape. */
+  private def probeCids(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ProbeCentroidsExpression(Bridge.expression(vec), SimilarityAlgos.matrix(cents), nprobe))
+  }
 
   /**
    * Lloyd's k-means over an embedding column, expressed as DataFrame
@@ -130,6 +116,7 @@ object Similarity {
   def kmeansCentroids(
       df: DataFrame, vecCol: String, nlist: Int, iters: Int = 4): DataFrame = {
     val v = df.select(col(vecCol).cast("array<double>").as("v")).where(size(col("v")) > 0)
+      .cache() // scanned once per Lloyd's iteration
     var cents: Array[(Int, Array[Double])] = v
       .withColumn("h", xxhash64(col("v")))
       .orderBy(col("h")).limit(nlist)
@@ -147,6 +134,7 @@ object Similarity {
         .sortBy(_._1)
       iter += 1
     }
+    v.unpersist()
     val spark = df.sparkSession
     import spark.implicits._
     cents.map { case (cid, cv) => (cid, cv.toSeq) }.toSeq.toDF("cid", "cv")
@@ -182,6 +170,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  // (IVF expression machinery lives below the object)
+
   /**
    * Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
    * Candidates come from multi-table LSH buckets (high thresholds ⇒ near-
@@ -207,4 +197,106 @@ object Similarity {
       .where(!isnan(col("sim")) && col("sim") >= threshold)
       .distinct()
   }
+}
+
+/** Centroid matrix carried into generated code as one reference object;
+ * norms precomputed so per-row work is nlist dot products + one vec norm. */
+final case class CentroidMatrix(ids: Array[Int], vecs: Array[Array[Double]], norms: Array[Double])
+
+object SimilarityAlgos {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def matrix(cents: Array[(Int, Array[Double])]): CentroidMatrix = {
+    val sorted = cents.sortBy(_._1)
+    CentroidMatrix(
+      sorted.map(_._1),
+      sorted.map(_._2),
+      sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
+  }
+
+  /** Cosine of `vec` against every centroid; zero norms score -2. */
+  private def sims(vec: ArrayData, m: CentroidMatrix): Array[Double] = {
+    val n = vec.numElements()
+    var vnorm = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getDouble(i); vnorm += x * x; i += 1 }
+    vnorm = math.sqrt(vnorm)
+    val out = new Array[Double](m.ids.length)
+    var c = 0
+    while (c < m.ids.length) {
+      val cv = m.vecs(c)
+      val dim = math.min(n, cv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += vec.getDouble(j) * cv(j); j += 1 }
+      val denom = vnorm * m.norms(c)
+      out(c) = if (denom == 0.0) -2.0 else dot / denom
+      c += 1
+    }
+    out
+  }
+
+  /** Best (highest-sim, lowest-cid on ties) centroid id. */
+  def best(vec: ArrayData, m: CentroidMatrix): Int = {
+    val s = sims(vec, m)
+    var bi = 0
+    var c = 1
+    while (c < s.length) { if (s(c) > s(bi)) bi = c; c += 1 }
+    m.ids(bi)
+  }
+
+  /** Top `nprobe` centroid ids by (sim desc, cid asc). */
+  def probes(vec: ArrayData, m: CentroidMatrix, nprobe: Int): ArrayData = {
+    val s = sims(vec, m)
+    val k = math.min(nprobe, s.length)
+    val used = new Array[Boolean](s.length)
+    val out = new Array[Int](k)
+    var t = 0
+    while (t < k) {
+      var bi = -1
+      var c = 0
+      while (c < s.length) {
+        if (!used(c) && (bi < 0 || s(c) > s(bi))) bi = c
+        c += 1
+      }
+      used(bi) = true
+      out(t) = m.ids(bi)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** argmax-centroid as one codegen'd static call per row. */
+case class BestCentroidExpression(child: Expression, m: CentroidMatrix)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    SimilarityAlgos.best(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val mRef = ctx.addReferenceObj("graftCentroids", m, "graft.pipeline.CentroidMatrix")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.SimilarityAlgos.best($c, $mRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** top-nprobe centroids as one codegen'd static call per row. */
+case class ProbeCentroidsExpression(child: Expression, m: CentroidMatrix, nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SimilarityAlgos.probes(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m, nprobe)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val mRef = ctx.addReferenceObj("graftCentroids", m, "graft.pipeline.CentroidMatrix")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.SimilarityAlgos.probes($c, $mRef, $nprobe);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -56,13 +56,26 @@ object StaticHofUnroll extends Rule[LogicalPlan] {
 
   /** Inline one lambda application; None when substitution would duplicate a
    * nondeterministic element expression. */
+  /** An element safe to substitute at MULTIPLE reference sites: constructors
+   * (their duplicates fold away through GetStructField/extract
+   * simplification) and leaves. An arbitrary expression (e.g. a split())
+   * must NOT be duplicated — the single-element-transform "let" pattern
+   * exists precisely to evaluate it once (Text.shingles hoists the word
+   * split this way; duplicating it is O(words²) per doc). */
+  private def foldsAway(e: Expression): Boolean = e match {
+    case _: CreateNamedStruct | _: CreateArray | _: CreateMap => true
+    case _: Literal | _: Attribute | _: NamedLambdaVariable => true
+    case g: GetStructField => foldsAway(g.child)
+    case _ => false
+  }
+
   private def bind(fn: LambdaFunction, elem: Expression, idx: Int): Option[Expression] = {
     val vars = fn.arguments.collect { case v: NamedLambdaVariable => v }
     if (vars.size != fn.arguments.size || vars.isEmpty) return None
     val bindings: Seq[(NamedLambdaVariable, Expression)] =
       vars.zip(elem +: (if (vars.size > 1) Seq(Literal(idx)) else Nil))
     val safe = bindings.forall { case (v, e) =>
-      e.deterministic || countRefs(fn.function, v.exprId) <= 1
+      countRefs(fn.function, v.exprId) <= 1 || (e.deterministic && foldsAway(e))
     }
     if (!safe) None
     else Some(fn.function.transformUp {

@@ -42,12 +42,15 @@ object ExpressionRunner {
    * the newer reference encoding, round-trippable via from_yaml. */
   def addExpressionResults(
       df: DataFrame, suite: RuleSuite, name: String = "expressionResults",
-      yamlResults: Boolean = false): DataFrame = {
+      yamlResults: Boolean = false,
+      renderOptions: Map[String, String] = Map.empty): DataFrame = {
     val types = ddls(df, suite)
+    val fullScalar = renderOptions.get("useFullScalarType").exists(_.toBoolean)
     def render(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (yamlResults)
         org.apache.spark.sql.graft.Bridge.column(
-          graft.functions.YamlEncodeExpression(org.apache.spark.sql.graft.Bridge.expression(c)))
+          graft.functions.YamlEncodeExpression(
+            org.apache.spark.sql.graft.Bridge.expression(c), fullScalar))
       else c.cast(StringType)
     val out = assemble(suite, (r, i) =>
       struct(

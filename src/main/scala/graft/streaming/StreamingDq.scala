@@ -18,6 +18,23 @@ object StreamingDq {
   def withDataQuality(stream: DataFrame, suite: RuleSuite, name: String = "DataQuality"): DataFrame =
     RuleRunner.addDataQuality(stream, suite, name)
 
+  /**
+   * Streaming exact dedup on a content fingerprint: keeps the FIRST arrival
+   * of each distinct content, with state bounded by the event-time watermark
+   * (dropDuplicatesWithinWatermark — late duplicates beyond the watermark
+   * age out of the state store instead of growing it forever, the only
+   * viable shape for an unbounded 100 TB/day stream). The shuffle carries the
+   * 128-bit fingerprint, never the content.
+   */
+  def streamingExactDedup(
+      stream: DataFrame, tsCol: String, watermark: String,
+      contentCols: org.apache.spark.sql.Column*): DataFrame =
+    stream
+      .withColumn("graft_fp", graft.pipeline.Dedup.fingerprint(contentCols))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("graft_fp")
+      .drop("graft_fp")
+
   /** Watermarked per-window pass/fail counts of the suite's overall result. */
   def windowedPassRate(
       stream: DataFrame, suite: RuleSuite,

@@ -21,6 +21,23 @@ class YamlAndMapsSpec extends AnyFunSuite {
     assert(back.toSeq == Seq(1, "x", 2.5))
   }
 
+  test("to_yaml useFullScalarType tags scalars with java classes and still round-trips") {
+    val df = Seq((1, "x", 2.5)).toDF("a", "b", "c")
+    val y = df.select(
+      c("to_yaml(struct(a, b, c), map('useFullScalarType', 'true'))").as("y"))
+      .as[String].collect()(0)
+    assert(y.contains("!!java.lang.Integer") && y.contains("!!java.lang.Double"),
+      s"missing full scalar tags in:\n$y")
+    val back = df.select(
+      c("from_yaml(to_yaml(struct(a, b, c), map('useFullScalarType', 'true')), " +
+        "'a INT, b STRING, c DOUBLE')").as("s"))
+      .select("s.*").collect()(0)
+    assert(back.toSeq == Seq(1, "x", 2.5))
+    // default stays untagged
+    val plain = df.select(c("to_yaml(struct(a))").as("y")).as[String].collect()(0)
+    assert(!plain.contains("!!"))
+  }
+
   test("from_yaml handles maps and arrays") {
     val df = Seq(1).toDF("x")
     val out = df.select(

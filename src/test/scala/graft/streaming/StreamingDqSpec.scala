@@ -63,6 +63,23 @@ class StreamingDqSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first arrival, bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+    val out = StreamingDq.streamingExactDedup(stream, "ts", "10 minutes", col("text"))
+    val query = out.writeStream.format("memory").queryName("dq_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:02:00")
+      mem.addData((t0, "alpha"), (t0, "beta"), (t1, "alpha")) // dup within watermark
+      query.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dq_dedup").as[String].collect().sorted
+      assert(texts.toSeq == Seq("alpha", "beta"))
+    } finally query.stop()
+  }
+
   test("plain DQ column composes on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Double]
