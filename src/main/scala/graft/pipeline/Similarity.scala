@@ -170,6 +170,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /**
+   * Persist an IVF index: centroids at `path`/centroids, the cell-assigned
+   * corpus at `path`/cells PARTITIONED BY cid — a probe then reads only its
+   * nprobe cell directories (partition pruning does the cell selection), so
+   * the train+assign cost is paid once per corpus, not per query batch.
+   */
+  def ivfBuild(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nlist: Int = 16, iters: Int = 4): Unit = {
+    val centroids = kmeansCentroids(corpus, vecCol, nlist, iters)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = centroids.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    corpus.select(
+        col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv0"),
+        bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /** Search a persisted IVF index: no re-train, no re-assign; the cid filter
+   * prunes to the probed cell partitions at the parquet scan. */
+  def ivfSearch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val cells = spark.read.parquet(s"$path/cells")
+    val probes = broadcast(queries.select(
+        col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
+        explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid")))
+    probes.join(cells, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv0")).as("sim"))
+      .where(!isnan(col("sim")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   // (IVF expression machinery lives below the object)
 
   /**

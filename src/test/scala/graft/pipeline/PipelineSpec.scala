@@ -168,6 +168,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ivf recall too low: $recall")
   }
 
+  test("ivf persisted index: search without retraining, cells partition-pruned") {
+    val rng = new scala.util.Random(11)
+    val base = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 10) 1.0f else 0.0f))
+    val rows = (0L until 90L).map { id =>
+      (id, base((id % 3).toInt).map(x => x + rng.nextFloat() * 0.2f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfBuild(df, "vec_id", "embedding", dir, nlist = 4, iters = 3)
+    val res = Similarity.ivfSearch(spark, dir, queries, "vec_id", "embedding", 5, nprobe = 2)
+    val ivf = res.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"persisted-ivf recall too low: $recall")
+    // the cells scan must be partitioned by cid so probes prune directories
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"no partition pruning on cells scan:\n$plan")
+  }
+
   test("embedding near dups finds duplicated vectors") {
     val withDup = (embs :+ (999L -> embs.head._2)).toDF("vec_id", "embedding")
     val pairs = Similarity.embeddingNearDups(withDup, "vec_id", "embedding", 0.999, dim = 16)

@@ -78,6 +78,26 @@ class PlanGuardSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("dedup family plans: bucketed equi-joins only, no cartesian products") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dplan").toString
+    (0L until 50L).map(i => (i, s"document number $i with some shared words and tail $i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val plans = Seq(
+      "minhash" -> graft.pipeline.Dedup
+        .minhashNearDups(docs, col("doc_id"), col("text")).queryExecution.executedPlan.toString,
+      "simhash" -> graft.pipeline.Dedup
+        .simhashNearDups(docs, col("doc_id"), col("text")).queryExecution.executedPlan.toString,
+      "dropNearDups" -> graft.pipeline.Dedup
+        .dropNearDups(docs, col("doc_id"), col("text")).queryExecution.executedPlan.toString)
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join:\n$p")
+    }
+    // the candidate join must be keyed on (band, bucket) — an equi-join
+    assert(plans.head._2.contains("band") && plans.head._2.contains("bucket"))
+  }
+
   test("parquet scan prunes to rule-referenced columns only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Seq((1, 2, "unused", 9.9)).toDF("a", "b", "c", "d").write.mode("overwrite").parquet(dir)

@@ -80,6 +80,33 @@ class StreamingDqSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming minhash near-dup flags colliding docs with banded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingDedup.streamingNearDupCandidates(
+      stream, "doc_id", "text", "ts", "10 minutes", shingleSize = 2)
+    val query = out.writeStream.format("memory").queryName("nd_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:03:00")
+      mem.addData(
+        (t0, 1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (t0, 2L, "completely different content about spark sql engines and state"))
+      query.processAllAvailable()
+      mem.addData(
+        (t1, 3L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (t1, 4L, "unrelated third text on streaming watermarks and bucket timeouts"))
+      query.processAllAvailable()
+      val hits = spark.sql("SELECT docId, firstId, count(*) AS nbands FROM nd_stream GROUP BY 1,2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // doc 3 near-duplicates doc 1: collides in many bands; 2 and 4 are clean
+      assert(hits.keySet == Set((3L, 1L)), s"unexpected collisions: $hits")
+      assert(hits((3L, 1L)) >= 2)
+    } finally query.stop()
+  }
+
   test("plain DQ column composes on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Double]
