@@ -41,6 +41,10 @@ object api {
   // ---- registration ----
   def registerQualityFunctions(spark: SparkSession): Unit =
     functions.Registry.registerAll(spark)
+  /** Reference registerLambdaFunctions: stored lambdas usable from any
+   * spark.sql string (impl/imports/LambdaFunctionsImports.scala:17). */
+  def registerLambdaFunctions(spark: SparkSession, fns: Seq[LambdaFunction]): Unit =
+    Lambdas.registerLambdaFunctions(spark, fns)
   def processIfAttributeMissing(suite: RuleSuite, schema: StructType): RuleSuite =
     MissingAttributes.processIfAttributeMissing(suite, schema)
 
@@ -80,6 +84,7 @@ object api {
     Validation.validate(df, suite)
   def validate(spark: SparkSession, schema: StructType, suite: RuleSuite): Seq[Validation.Issue] =
     Validation.validate(spark, schema, suite)
+  def ruleSuiteDocs(suite: RuleSuite): String = Validation.docs(suite)
 
   // ---- lookups ----
   def mapLookupsFromDFs(spark: SparkSession,
