@@ -157,7 +157,10 @@ object Dedup {
       .unionAll(memberEdges.select(col("id"), col("rep")))
       .unionAll(memberEdges.select(col("rep"), col("id")))
       .toDF("src", "dst").localCheckpoint(true)
-    var labels = df.select(idCol.as("id")).withColumn("label", col("id")).cache()
+    // seed labels with the exact-group representative: members start already
+    // merged with their rep (one fewer propagation round; at web scale most
+    // rows are exact-duplicates of something)
+    var labels = membership.select(col("id"), col("rep").as("label")).cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
