@@ -148,20 +148,19 @@ object Dedup {
     val pairs = minhashNearDups(repDocs, col("id"), col("text"),
         shingleSize = shingleSize, threshold = threshold)
       .select(col("id_a"), col("id_b"))
-    val memberEdges = membership.where(col("id") =!= col("rep"))
     // localCheckpoint (not cache): truncates the whole LSH pipeline out of the
     // loop's lineage — every iteration otherwise embeds it twice, growing the
     // plan exponentially, and a late executor loss would recompute it all
     val edges = pairs
       .unionAll(pairs.select(col("id_b"), col("id_a")))
-      .unionAll(memberEdges.select(col("id"), col("rep")))
-      .unionAll(memberEdges.select(col("rep"), col("id")))
       .toDF("src", "dst").localCheckpoint(true)
-    // seed labels with the exact-group representative: members start already
-    // merged with their rep (one fewer propagation round; at web scale most
-    // rows are exact-duplicates of something)
-    var labels = membership.select(col("id"), col("rep").as("label")).cache()
-    var converged = false
+    // label propagation runs over PAIR-GRAPH NODES ONLY — corpus rows outside
+    // the near-dup graph never change label, so iterating over them is pure
+    // waste (at 100 TB the pair graph is a tiny fraction of the corpus);
+    // everyone else rejoins through their exact-group representative below
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = labels.limit(1).count() == 0
     var iter = 0
     while (!converged && iter < maxIterations) {
       // one join per round: neighbour-min then fold into current labels; the
@@ -187,7 +186,14 @@ object Dedup {
       converged = changed == 0
     }
     edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // every row's cluster: its rep's pair-graph label when the rep is in the
+    // graph, otherwise the rep itself (exact groups + singletons)
+    val out = membership
+      .join(labels.withColumnRenamed("id", "graft_lbl_id"),
+        col("rep") === col("graft_lbl_id"), "left")
+      .select(col("id"), coalesce(col("label"), col("rep")).as("cluster_id"))
+    // labels stays cached/checkpointed: `out` still reads it lazily
+    out
   }
 
   /** Curation: remove near-duplicates keeping the lowest id of each group.
