@@ -73,6 +73,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(0L, 6000L), s"curation must keep one flood rep + the unrelated doc: $kept")
   }
 
+  test("nearDupClusters: all-distinct corpus yields singleton clusters") {
+    val distinct = Seq(
+      (10L, "first entirely unique document about parquet readers"),
+      (11L, "second text concerning watermark semantics in streams"),
+      (12L, "third unrelated piece on broadcast hash joins")).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(distinct, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(10L -> 10L, 11L -> 11L, 12L -> 12L))
+  }
+
   test("simhash finds near dups") {
     val pairs = Dedup.simhashNearDups(docs, col("doc_id"), col("text"), shingleSize = 2, maxHamming = 12)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
