@@ -164,6 +164,22 @@ object Registry {
       e
     }),
     "strip_result_ddl" -> (es => ex(graft.rules.ExpressionRunner.stripResultDdl(col(es.head)))),
+    // ---- training-data pipeline functions (graft.pipeline), SQL-callable ----
+    "shingles" -> (es => ex(graft.pipeline.Text.shingles(col(es.head),
+      if (es.size >= 2) litLong(es(1)).toInt else 3))),
+    "minhash" -> (es => graft.pipeline.MinHashExpression(es.head,
+      if (es.size >= 2) litLong(es(1)).toInt else 64)),
+    "simhash" -> (es => graft.pipeline.SimHashExpression(es.head)),
+    "winnow_fingerprint" -> (es => graft.pipeline.WinnowFingerprintExpression(es.head,
+      if (es.size >= 2) litLong(es(1)).toInt else 9,
+      if (es.size >= 3) litLong(es(2)).toInt else 4)),
+    "token_count" -> (es => ex(graft.pipeline.Text.tokenCount(col(es.head)))),
+    "bpe_token_estimate" -> (es => ex(graft.pipeline.Text.bpeTokenEstimate(col(es.head)))),
+    "lang_id" -> (es => ex(graft.pipeline.Text.langId(col(es.head)))),
+    "quality_score" -> (es => ex(graft.pipeline.Text.qualityScore(col(es.head)))),
+    "ngram_jaccard" -> (es => ex(graft.pipeline.Dedup.ngramJaccard(col(es(0)), col(es(1)),
+      if (es.size >= 3) litLong(es(2)).toInt else 3))),
+    "cosine_similarity" -> (es => ex(graft.pipeline.Similarity.cosine(col(es(0)), col(es(1))))),
     // these are placeholders resolved by MissingAttributes.processIfAttributeMissing
     // BEFORE planning; reaching the registry means that step was skipped
     "coalesce_if_attributes_missing" -> (_ => throw new IllegalArgumentException(

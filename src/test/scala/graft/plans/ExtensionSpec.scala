@@ -50,6 +50,23 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10.0))
   }
 
+  test("pipeline functions are callable from plain spark.sql") {
+    graft.functions.Registry.registerAll(spark)
+    Seq((1L, "the quick brown fox jumps again", "the quick brown fox jumps today"))
+      .toDF("id", "ta", "tb").createOrReplaceTempView("graft_sql_pipe")
+    val row = spark.sql(
+      """SELECT token_count(ta) AS tc, lang_id(ta) AS lang,
+        |       size(minhash(shingles(ta, 2), 16)) AS mh,
+        |       simhash(shingles(ta, 2)) AS sh,
+        |       size(winnow_fingerprint(ta)) AS fp,
+        |       ngram_jaccard(ta, ta, 2) AS self_j,
+        |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs
+        |FROM graft_sql_pipe""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 6 && row.getString(1) == "en")
+    assert(row.getInt(2) == 16 && row.getInt(4) > 0)
+    assert(row.getDouble(5) == 1.0 && math.abs(row.getDouble(6) - 1.0) < 1e-12)
+  }
+
   test("processIfAttributeMissing picks first present alternative") {
     val suite = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
       Rule(Id(3, 1), "coalesce_if_attributes_missing(new_col > 0, old_col > 0)"),
