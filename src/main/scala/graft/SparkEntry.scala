@@ -321,7 +321,8 @@ object SparkEntry {
     "q_text_tokens" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.tokenCount(col("text")).as("n_tokens"),
-        graft.pipeline.Text.bpeTokenEstimate(col("text")).as("n_bpe"))
+        graft.pipeline.Text.bpeTokenEstimate(col("text")).as("n_bpe"),
+        graft.pipeline.Text.bpeTokenCount(col("text")).as("n_bpe_regex"))
     }),
     "q_text_quality" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -570,7 +571,9 @@ object SparkEntry {
     "q_text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |       CAST(ceil(length(text) / 4.0) AS INT) AS n_bpe
+        |       CAST(ceil(length(text) / 4.0) AS INT) AS n_bpe,
+        |       len(regexp_extract_all(text,
+        |         '(''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+)')) AS n_bpe_regex
         |FROM documents""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,

@@ -175,6 +175,7 @@ object Registry {
       if (es.size >= 3) litLong(es(2)).toInt else 4)),
     "token_count" -> (es => ex(graft.pipeline.Text.tokenCount(col(es.head)))),
     "bpe_token_estimate" -> (es => ex(graft.pipeline.Text.bpeTokenEstimate(col(es.head)))),
+    "bpe_token_count" -> (es => ex(graft.pipeline.Text.bpeTokenCount(col(es.head)))),
     "lang_id" -> (es => ex(graft.pipeline.Text.langId(col(es.head)))),
     "quality_score" -> (es => ex(graft.pipeline.Text.qualityScore(col(es.head)))),
     "ngram_jaccard" -> (es => ex(graft.pipeline.Dedup.ngramJaccard(col(es(0)), col(es(1)),

@@ -27,6 +27,14 @@ object Text {
   def bpeTokenEstimate(text: Column): Column =
     ceil(length(text) / lit(4.0)).cast(IntegerType)
 
+  /** BPE-style regex pre-tokenizer count (GPT-2-family splitting: common
+   * contractions, space-prefixed letter runs, digit runs, punctuation runs).
+   * Counts pre-merge tokens — an upper bound on BPE tokens that tracks real
+   * tokenizer counts far closer than chars/4 on natural text. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text,
+      lit("""('s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+)"""))
+
   /** Stopword-majority language id over a fixed marker table; ties resolve
    * in the declared language order. */
   def langId(text: Column): Column = {

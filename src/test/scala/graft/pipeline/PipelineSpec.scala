@@ -108,6 +108,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(out((0L, 2L)) == 0.0)
   }
 
+  test("bpe-style regex token count splits like a GPT-2 pre-tokenizer") {
+    val out = Seq(
+      "Hello world",            // 2 word tokens
+      "I'm fine, thanks!",      // I + 'm + fine + , + thanks + ! = 6
+      "a1b2 33")                // a + 1 + b + 2 + 33 = 5
+      .toDF("text").select(Text.bpeTokenCount(col("text")).as("n")).as[Int].collect()
+    assert(out.toSeq == Seq(2, 6, 5))
+  }
+
   test("text functions: tokens, lang, quality") {
     val out = Seq("the cat and the dog", "der hund und die katze und")
       .toDF("text")
