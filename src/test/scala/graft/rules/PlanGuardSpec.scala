@@ -78,6 +78,29 @@ class PlanGuardSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("engine and folder runners stay inside whole-stage codegen with pruned scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ef").toString
+    Seq((1, 2, "unused", 9.9), (3, 4, "x", 0.1)).toDF("a", "b", "c", "d")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val engineSuite = RuleSuite(Id(5, 1), Seq(RuleSet(Id(50, 1), Seq(
+      Rule(Id(500, 1), "a > 2", Some(OutputExpression(10, Id(1, 1), "'big'"))),
+      Rule(Id(501, 1), "a >= 0", Some(OutputExpression(20, Id(2, 1), "'small'")))))))
+    val ePlan = RuleEngine.addRuleEngine(src, engineSuite, "re")
+      .select(col("re.result")).queryExecution.executedPlan
+    assert(ePlan.collectFirst { case w: WholeStageCodegenExec => w }.nonEmpty, s"engine no WSC:\n$ePlan")
+    assert(ePlan.toString.contains("ReadSchema: struct<a:int>"), s"engine not pruned:\n$ePlan")
+
+    val folderSuite = RuleSuite(Id(6, 1), Seq(RuleSet(Id(60, 1), Seq(
+      Rule(Id(600, 1), "b > 0",
+        Some(OutputExpression(10, Id(3, 1), "set(p = currentResult.p + a)")))))))
+    val fPlan = RuleFolder.addRuleFolder(src, folderSuite,
+        org.apache.spark.sql.functions.struct(col("a").cast("double").as("p")), "rf")
+      .select(col("rf.result.p")).queryExecution.executedPlan
+    assert(fPlan.collectFirst { case w: WholeStageCodegenExec => w }.nonEmpty, s"folder no WSC:\n$fPlan")
+    assert(fPlan.toString.contains("ReadSchema: struct<a:int,b:int>"), s"folder not pruned:\n$fPlan")
+  }
+
   test("dedup family plans: bucketed equi-joins only, no cartesian products") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dplan").toString
     (0L until 50L).map(i => (i, s"document number $i with some shared words and tail $i"))
