@@ -237,6 +237,20 @@ object SparkEntry {
           count(lit(1)).as("rows"),
           sum(when(col("value") >= 0, 1L).otherwise(0L)).as("passed"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time enrichment: each click gets the latest preceding view's
+      // value per user (window-based asof — one key shuffle, no range join)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOf.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+          rightPrefix = "view_")
+        .select(col("event_id"), col("view_value"))
+    }),
     // ---- LLM-pipeline operators over documents/embeddings ----
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -437,6 +451,11 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.event_id, v.value AS view_value
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof join picks the latest right row at-or-before each left ts") {
+    val trades = Seq(
+      (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 5L, "t0"),
+      (2L, 15L, "t3")).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 8L, 100.0), (1L, 10L, 101.0), (1L, 19L, 102.0),
+      (2L, 16L, 200.0)).toDF("k", "ts", "px")
+    val out = AsOf.asofJoin(trades, quotes, Seq("k"), "ts", "ts")
+      .select("trade", "px").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t0").isEmpty)               // no quote at or before ts=5
+    assert(out("t1").contains(101.0))       // inclusive: quote at exactly 10
+    assert(out("t2").contains(102.0))       // latest quote <= 20
+    assert(out("t3").isEmpty)               // quote arrives after the trade
+  }
+
+  test("asof join plan has no cartesian/nested-loop and one key shuffle shape") {
+    val left = (0L until 100L).map(i => (i % 5, i, s"l$i")).toDF("k", "ts", "lv")
+    val right = (0L until 100L).map(i => (i % 5, i, i * 1.0)).toDF("k", "ts", "rv")
+    val plan = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts", rightPrefix = "r_")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("Window"), s"expected window-based asof:\n$plan")
+  }
+
+  test("rightPrefix resolves column collisions") {
+    val l = Seq((1L, 10L, 1.0)).toDF("k", "ts", "value")
+    val r = Seq((1L, 9L, 2.0)).toDF("k", "ts", "value")
+    val out = AsOf.asofJoin(l, r, Seq("k"), "ts", "ts", rightPrefix = "prev_")
+    assert(out.columns.toSet == Set("k", "ts", "value", "prev_value"))
+    assert(out.select("prev_value").as[Double].collect().toSeq == Seq(2.0))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l, r, Seq("k"), "ts", "ts")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+}
