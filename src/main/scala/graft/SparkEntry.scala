@@ -251,6 +251,16 @@ object SparkEntry {
           rightPrefix = "view_")
         .select(col("event_id"), col("view_value"))
     }),
+    "q_range_join" -> ((s, dir) => {
+      // price-band assignment via the bin-bucketed interval join (overlapping
+      // bands, so rows can match twice) — equi-join on buckets, no cross
+      val bands = s.range(100).select(col("id").as("band_id"),
+        (col("id") * 1000).cast("double").as("lo"),
+        (col("id") * 1000 + 1500).cast("double").as("hi"))
+      val pts = lineitem(s, dir).select(col("l_extendedprice").as("p"))
+      graft.operators.RangeJoin.pointInInterval(pts, bands, "p", "lo", "hi", binWidth = 1000)
+        .groupBy(col("band_id")).agg(count(lit(1)).as("cnt"))
+    }),
     // ---- LLM-pipeline operators over documents/embeddings ----
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -456,6 +466,13 @@ object SparkEntry {
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "q_range_join" ->
+      """SELECT r.range AS band_id, count(*) AS cnt
+        |FROM lineitem l
+        |JOIN range(100) r
+        |  ON l.l_extendedprice >= r.range * 1000
+        | AND l.l_extendedprice <= r.range * 1000 + 1500
+        |GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

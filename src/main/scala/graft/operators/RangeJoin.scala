@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Range (interval) join: points matched to intervals containing them
+ * (start <= p <= end, optional extra equi-keys). Spark plans a raw range
+ * condition as a broadcast-nested-loop / per-key cross product; this
+ * composition bins the number line instead — intervals replicate to the
+ * buckets they span, points probe exactly ONE bucket, and the join is a
+ * plain equi-join on (keys…, bucket) followed by the exact containment
+ * filter. At 100 TB the cost is linear in points + interval-span/binWidth,
+ * never |points|×|intervals|.
+ *
+ * Pick binWidth near the typical interval span: much smaller multiplies the
+ * interval replication, much larger packs unrelated rows into one bucket.
+ */
+object RangeJoin {
+
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      binWidth: Double, on: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = intervals.columns.toSet.intersect(points.columns.toSet) -- on
+    require(overlap.isEmpty,
+      s"column collision between points and intervals: ${overlap.mkString(",")}")
+    val pb = points.withColumn("graft_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val ib = intervals.withColumn("graft_bin",
+      explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    pb.join(ib, on :+ "graft_bin")
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("graft_bin")
+  }
+}
