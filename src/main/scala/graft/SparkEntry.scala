@@ -237,6 +237,14 @@ object SparkEntry {
           count(lit(1)).as("rows"),
           sum(when(col("value") >= 0, 1L).otherwise(0L)).as("passed"))
     }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // misra-gries sketch: EXACT when distinct values fit in k (3 flags < 10),
+      // so the DuckDB group-by is a strict oracle
+      lineitem(s, dir)
+        .select(RuleRunner.parseRule("approx_heavy_hitters(l_returnflag, 10)",
+          RuleSuite(Id(0, 0), Nil)).as("hh"))
+        .select(explode(col("hh")).as(Seq("flag", "cnt")))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // point-in-time enrichment: each click gets the latest preceding view's
       // value per user (window-based asof — one key shuffle, no range join)
@@ -461,6 +469,8 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_heavy_hitters" ->
+      "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1",
     "q_asof_join" ->
       """SELECT c.event_id, v.value AS view_value
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c

@@ -195,6 +195,8 @@ object Registry {
     "map_lookup" -> (es => graft.lookups.MapLookupExpression(es(0), str(es(1), "map name"))),
     "map_contains" -> (es => graft.lookups.MapContainsExpression(es(0), str(es(1), "map name"))),
     "probability_in" -> (es => graft.lookups.ProbabilityInExpression(es(0), str(es(1), "bloom name"))),
+    "approx_heavy_hitters" -> (es =>
+      HeavyHittersAggregate(es(0), litLong(es(1)).toInt).toAggregateExpression()),
     "small_bloom" -> (es =>
       graft.bloom.BloomAggregate(es(0), litLong(es(1)), litDouble(es(2))).toAggregateExpression()),
     "big_bloom" -> (es =>
