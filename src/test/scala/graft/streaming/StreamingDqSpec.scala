@@ -107,6 +107,29 @@ class StreamingDqSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("heavy-hitters sketch aggregates inside a watermarked stream window") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.Registry.registerAll(spark)
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "v")
+    val out = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("approx_heavy_hitters(v, 4)").as("hh"))
+      .select(col("window.start").as("ws"), col("hh"))
+    val query = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:05:00")
+      mem.addData(Seq.fill(30)((t0, "hot")) ++ Seq.fill(5)((t0, "warm")) :+ ((t0, "cold")): _*)
+      query.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "later")) // close the window
+      query.processAllAvailable()
+      val m = spark.sql("SELECT hh FROM hh_stream LIMIT 1").collect()(0).getMap[String, Long](0)
+      assert(m("hot") == 30L && m("warm") == 5L)
+    } finally query.stop()
+  }
+
   test("plain DQ column composes on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Double]
