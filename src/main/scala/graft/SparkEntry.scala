@@ -237,6 +237,15 @@ object SparkEntry {
           count(lit(1)).as("rows"),
           sum(when(col("value") >= 0, 1L).otherwise(0L)).as("passed"))
     }),
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessions over the events table (30-minute gap, epoch secs)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
+      graft.operators.Sessionize.sessionStats(ev, "user_id", "tsec", maxGap = 1800L)
+        .select(col("user_id"), col("session_seq"), col("events"),
+          col("session_start"), col("duration"))
+    }),
     "q_heavy_hitters" -> ((s, dir) => {
       // misra-gries sketch: EXACT when distinct values fit in k (3 flags < 10),
       // so the DuckDB group-by is a strict oracle
@@ -469,6 +478,23 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec FROM events
+        |), flagged AS (
+        |  SELECT user_id, tsec,
+        |         CASE WHEN tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) > 1800
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, tsec,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsec
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq, count(*) AS events,
+        |       min(tsec) AS session_start, max(tsec) - min(tsec) AS duration
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1",
     "q_asof_join" ->
