@@ -369,6 +369,10 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.qualityScore(col("text")).as("q"))
     }),
+    "q_text_repetition" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.repetitionRatio(col("text")).as("rep"))
+    }),
     "q_text_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.langId(col("text")).as("lang_guess"))
@@ -652,6 +656,11 @@ object SparkEntry {
         |       (CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
         |       + (1.0 - (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
         |                 / CAST(length(text) AS DOUBLE))) AS q
+        |FROM documents""".stripMargin,
+    "q_text_repetition" ->
+      """SELECT doc_id,
+        |       1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |             / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS rep
         |FROM documents""".stripMargin,
     "q_text_langid" ->
       """WITH h AS (

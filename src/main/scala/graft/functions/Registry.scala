@@ -178,6 +178,7 @@ object Registry {
     "bpe_token_count" -> (es => ex(graft.pipeline.Text.bpeTokenCount(col(es.head)))),
     "lang_id" -> (es => ex(graft.pipeline.Text.langId(col(es.head)))),
     "quality_score" -> (es => ex(graft.pipeline.Text.qualityScore(col(es.head)))),
+    "repetition_ratio" -> (es => ex(graft.pipeline.Text.repetitionRatio(col(es.head)))),
     "ngram_jaccard" -> (es => ex(graft.pipeline.Dedup.ngramJaccard(col(es(0)), col(es(1)),
       if (es.size >= 3) litLong(es(2)).toInt else 3))),
     "cosine_similarity" -> (es => ex(graft.pipeline.Similarity.cosine(col(es(0)), col(es(1))))),

@@ -61,6 +61,13 @@ object Text {
     (spaces / n) + (lit(1.0) - (digits / n))
   }
 
+  /** Repetition ratio: 1 - distinct_words/words (lowercased whitespace
+   * tokens). 0 = no repetition; boilerplate/spam scores high. */
+  def repetitionRatio(text: Column): Column = {
+    val ws = split(trim(lower(text)), "\\s+")
+    lit(1.0) - size(array_distinct(ws)).cast(DoubleType) / size(ws).cast(DoubleType)
+  }
+
   /** Distinct word n-gram shingles (lowercased). The words array is bound as
    * a lambda variable (single-element transform) so the split runs ONCE per
    * row — inlining it into the per-shingle lambda would be O(words²). */

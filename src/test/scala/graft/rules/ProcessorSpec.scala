@@ -37,6 +37,20 @@ class ProcessorSpec extends AnyFunSuite {
     assert(jobsAfter == jobsBefore)
   }
 
+  test("engine processor evaluates salience + outputs locally with zero jobs") {
+    val schema = StructType(Seq(StructField("price", DoubleType)))
+    val suite = RuleSuite(Id(3, 1), Seq(RuleSet(Id(30, 1), Seq(
+      Rule(Id(300, 1), "price >= 100", Some(OutputExpression(10, Id(1, 1), "'high'"))),
+      Rule(Id(301, 1), "price >= 0", Some(OutputExpression(20, Id(2, 1), "'low'")))))))
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val process = Processor.createEngine(spark, schema, suite)
+    assert(process(Row(150.0)) == Processor.EngineOutcome(Some(Id(300, 1)), "high"))
+    assert(process(Row(50.0)) == Processor.EngineOutcome(Some(Id(301, 1)), "low"))
+    assert(process(Row(-5.0)) == Processor.EngineOutcome(None, null))
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore)
+  }
+
   test("processor supports lambdas and registry functions") {
     val schema = StructType(Seq(StructField("v", IntegerType)))
     val suite = RuleSuite(Id(1, 1),
