@@ -17,19 +17,25 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // per-query median over `reps` runs: single runs on a shared box swing
     // 2-4x per query (measured r1->r2), medians make rounds comparable
+    // A failed rep must not enter the median as a (fast) time — record the
+    // failure and keep only successful rep times; all-failed → time -1.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      var failed = false
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => failed = true; false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
-      name -> times(times.size / 2)
+      name -> (if (times.nonEmpty) times(times.size / 2) else -1.0, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     // single clean JSON line on stdout for the driver's parser
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -40,14 +40,24 @@ object AsOf {
     val lTypes = left.schema.map(f => f.name -> f.dataType).toMap
     val rTypes = right.schema.map(f => f.name -> f.dataType).toMap
 
+    // All right values travel as ONE struct: null for left rows, non-null
+    // (even when every field is null) for right rows. last(ignoreNulls) then
+    // picks the latest right ROW atomically — per-column last would tear
+    // columns across different right rows whenever a right value is null
+    // (matching DuckDB/pandas ASOF semantics, which return the whole row).
+    val rStruct = struct(rightVals.zip(outRight).map { case (c, o) => col(c).as(o) }: _*)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.zip(outRight).map { case (c, o) =>
+        org.apache.spark.sql.types.StructField(o, rTypes(c))
+      })
     val lAligned = left.select(
       on.map(col) ++ leftOther.map(col) ++
-        Seq(col(leftTsCol).as("graft_ts"), lit(1).as("graft_side")) ++
-        rightVals.map(c => lit(null).cast(rTypes(c)).as(rightPrefix + c)): _*)
+        Seq(col(leftTsCol).as("graft_ts"), lit(1).as("graft_side"),
+          lit(null).cast(rStructType).as("graft_rvals")): _*)
     val rAligned = right.select(
       on.map(col) ++ leftOther.map(c => lit(null).cast(lTypes(c)).as(c)) ++
-        Seq(col(rightTsCol).as("graft_ts"), lit(0).as("graft_side")) ++
-        rightVals.zip(outRight).map { case (c, o) => col(c).as(o) }: _*)
+        Seq(col(rightTsCol).as("graft_ts"), lit(0).as("graft_side"),
+          rStruct.as("graft_rvals")): _*)
 
     // right rows sort BEFORE left rows at equal ts (side 0 < 1) → inclusive
     val w = Window.partitionBy(on.map(col): _*)
@@ -57,8 +67,10 @@ object AsOf {
     lAligned.unionAll(rAligned)
       .select(
         (on ++ leftOther).map(col) ++ Seq(col("graft_side")) ++
-          outRight.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+          Seq(last(col("graft_rvals"), ignoreNulls = true).over(w).as("graft_rvals")): _*)
       .where(col("graft_side") === 1)
-      .drop("graft_side")
+      .select(
+        (on ++ leftOther).map(col) ++
+          outRight.map(o => col("graft_rvals").getField(o).as(o)): _*)
   }
 }

@@ -53,7 +53,7 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     val base = df.select(idCol.as("id"), Text.shingles(textCol, shingleSize).as("sh"))
@@ -65,13 +65,13 @@ object Dedup {
       .select(col("id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
 
-    // skew guard, ON by default: a corpus with massive exact-duplicate
+    // skew guard (maxBucketSize > 0): a corpus with massive exact-duplicate
     // clusters puts whole clusters into one bucket in EVERY band →
     // O(cluster²·bands) candidate pairs; a 100 TB web corpus WILL contain
-    // million-copy boilerplate. Buckets over the cap are skipped — note the
-    // pair list of such a cluster is itself O(cluster²), so the pair-level
-    // API cannot report it tractably anyway; nearDupClusters/dropNearDups
-    // collapse exact groups first and lose nothing. 0 = uncapped.
+    // million-copy boilerplate. Buckets over the cap are skipped — a RECALL
+    // change, so the pair-level default is 0 (uncapped, complete pairs) and
+    // the cap is opt-in; nearDupClusters/dropNearDups collapse exact groups
+    // first and then cap, which loses nothing for clustering/curation.
     val bandRows =
       if (maxBucketSize <= 0) rawBandRows
       else {
@@ -134,7 +134,8 @@ object Dedup {
   def nearDupClusters(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, threshold: Double = 0.7,
-      maxIterations: Int = 20, checkpointInterval: Int = 2): DataFrame = {
+      maxIterations: Int = 20, checkpointInterval: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
     // exact-content pre-collapse: LSH runs over unique contents only, so a
     // million-copy boilerplate cluster contributes ONE doc to the bucket
     // join instead of an O(cluster²·bands) pair explosion; members rejoin
@@ -146,7 +147,8 @@ object Dedup {
       membership.where(col("id") === col("rep")).select(col("id").as("rep_id")),
       col("id") === col("rep_id"), "leftsemi")
     val pairs = minhashNearDups(repDocs, col("id"), col("text"),
-        shingleSize = shingleSize, threshold = threshold)
+        shingleSize = shingleSize, threshold = threshold,
+        maxBucketSize = maxBucketSize)
       .select(col("id_a"), col("id_b"))
     // localCheckpoint (not cache): truncates the whole LSH pipeline out of the
     // loop's lineage — every iteration otherwise embeds it twice, growing the
@@ -202,7 +204,8 @@ object Dedup {
    * contents are dropped. One anti-join against the (small) drop set. */
   def dropNearDups(
       df: DataFrame, idCol: Column, textCol: Column,
-      shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
     val base = df.select(idCol.as("id"), textCol.as("text"))
       .withColumn("graft_fp", fingerprint(Seq(col("text"))))
     val membership = exactMembership(base)
@@ -211,7 +214,8 @@ object Dedup {
       membership.where(col("id") === col("rep")).select(col("id").as("rep_id")),
       col("id") === col("rep_id"), "leftsemi")
     val losers = minhashNearDups(repDocs, col("id"), col("text"),
-        shingleSize = shingleSize, threshold = threshold)
+        shingleSize = shingleSize, threshold = threshold,
+        maxBucketSize = maxBucketSize)
       .select(col("id_b").as("id")).distinct()
     val dropIds = nonReps.unionAll(losers).withColumnRenamed("id", "graft_drop_id")
     df.join(dropIds, idCol === col("graft_drop_id"), "left_anti")

@@ -35,6 +35,8 @@ object Processor {
     val bound = resolved.map(e =>
       org.apache.spark.sql.catalyst.expressions.BindReferences.bindReference(e, attrs))
     val projection = new InterpretedProjection(bound)
+    // required before eval for nondeterministic exprs (rng_id, rand, uuid…)
+    projection.initialize(0)
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
     val ids = suite.rules.map { case (setId, r) => (setId, r.id) }
 
@@ -90,6 +92,8 @@ object Processor {
     val bound = outExprs.map(e =>
       org.apache.spark.sql.catalyst.expressions.BindReferences.bindReference(e, baseAttrs))
     val projection = new InterpretedProjection(bound)
+    // required before eval for nondeterministic exprs (rng_id, rand, uuid…)
+    projection.initialize(0)
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
     val resultType = analyzed.output(1).dataType
     val toScala = CatalystTypeConverters.createToScalaConverter(resultType)

@@ -27,7 +27,20 @@ object Bucketed {
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** True when the physical plan contains no shuffle exchange — the
-   * co-location check for joins/aggregations over bucketed inputs. */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+   * co-location check for joins/aggregations over bucketed inputs.
+   * Walks the plan (recursing into AQE's dynamically-planned subtree)
+   * rather than string-matching, so AdaptiveSparkPlan/AQEShuffleRead
+   * renderings can't mask an exchange. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case q: QueryStageExec => hasShuffle(q.plan) // leaf node wrapping a materialized stage
+      case _: ShuffleExchangeLike => true
+      case other => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 }

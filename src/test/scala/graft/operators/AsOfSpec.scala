@@ -32,6 +32,30 @@ class AsOfSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected window-based asof:\n$plan")
   }
 
+  test("null right values do not tear columns across right rows") {
+    // latest quote (ts=10) has px=null, sz=7: a true asof join returns THAT
+    // row's values (null px), never an older row's non-null px
+    val trades = Seq((1L, 20L, "t1")).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 5L, Some(100.0), Some(3L)),
+      (1L, 10L, None: Option[Double], Some(7L))).toDF("k", "ts", "px", "sz")
+    val row = AsOf.asofJoin(trades, quotes, Seq("k"), "ts", "ts")
+      .select("px", "sz").collect().head
+    assert(row.isNullAt(0), "px must be the latest row's null, not an older non-null")
+    assert(row.getLong(1) == 7L)
+  }
+
+  test("a right row whose values are all null still matches (row-level, not value-level)") {
+    val trades = Seq((1L, 20L, "t1"), (2L, 20L, "t2")).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 10L, None: Option[Double]),
+      (2L, 30L, Some(5.0))).toDF("k", "ts", "px")
+    val out = AsOf.asofJoin(trades, quotes, Seq("k"), "ts", "ts")
+      .select("trade", "px").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t1").isEmpty) // matched the ts=10 row, whose px IS null
+    assert(out("t2").isEmpty) // no preceding row at all
+  }
+
   test("rightPrefix resolves column collisions") {
     val l = Seq((1L, 10L, 1.0)).toDF("k", "ts", "value")
     val r = Seq((1L, 9L, 2.0)).toDF("k", "ts", "value")
