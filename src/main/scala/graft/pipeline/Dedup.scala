@@ -54,13 +54,25 @@ object Dedup {
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 0): DataFrame = {
+    val docs = df.select(idCol.as("id"), textCol.as("text"))
+    minhashPairsOverDocs(docs, shingleSize, numHashes, bands, threshold, maxBucketSize)
+  }
+
+  /** LSH pipeline over a (id, text) frame. The expensive full-corpus pass
+   * (shingle → minhash signatures) appears ONLY under the band-bucket
+   * exchange, which the self-join reuses (one computation, Spark
+   * ReusedExchange); verification re-derives shingles from text for
+   * CANDIDATE rows only, so corpus-wide shingle work happens exactly once. */
+  private def minhashPairsOverDocs(
+      docs: DataFrame, shingleSize: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
-    val base = df.select(idCol.as("id"), Text.shingles(textCol, shingleSize).as("sh"))
-      .withColumn("sig", Text.minhash(col("sh"), numHashes))
+    val sigs = docs.select(col("id"),
+      Text.minhash(Text.shingles(col("text"), shingleSize), numHashes).as("sig"))
 
     // band rows: (band, bucket=hash of the band's signature slice, id)
-    val rawBandRows = base.select(col("id"), col("sig"))
+    val rawBandRows = sigs
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
@@ -90,11 +102,15 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
-    // verify candidates with exact Jaccard over shingle sets
-    val sh = base.select(col("id"), col("sh"))
+    // verify candidates with exact Jaccard over shingle sets, computed from
+    // the text of candidate rows only (two id-keyed equi-joins; the candidate
+    // side is small, AQE broadcasts it)
     candidates
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Text.shingles(col("text_a"), shingleSize).as("sh_a"),
+        Text.shingles(col("text_b"), shingleSize).as("sh_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -142,10 +158,18 @@ object Dedup {
     // their representative through direct (member, rep) edges.
     val base = df.select(idCol.as("id"), textCol.as("text"))
       .withColumn("graft_fp", fingerprint(Seq(col("text"))))
+    // (id, rep) is two longs per row — persist so the LSH pipeline (which
+    // references the rep-doc subtree three times: signatures + both verify
+    // joins) doesn't recompute the fingerprint groupBy per occurrence
     val membership = exactMembership(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the unique-content corpus backs every LSH occurrence: persist it
+    // (spills to executor disk — the staging write any 100 TB dedup does)
     val repDocs = base.join(
-      membership.where(col("id") === col("rep")).select(col("id").as("rep_id")),
-      col("id") === col("rep_id"), "leftsemi")
+        membership.where(col("id") === col("rep")).select(col("id").as("rep_id")),
+        col("id") === col("rep_id"), "leftsemi")
+      .select(col("id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = minhashNearDups(repDocs, col("id"), col("text"),
         shingleSize = shingleSize, threshold = threshold,
         maxBucketSize = maxBucketSize)
@@ -156,6 +180,7 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").localCheckpoint(true)
+    repDocs.unpersist()
     // label propagation runs over PAIR-GRAPH NODES ONLY — corpus rows outside
     // the near-dup graph never change label, so iterating over them is pure
     // waste (at 100 TB the pair graph is a tiny fraction of the corpus);
@@ -189,12 +214,16 @@ object Dedup {
     }
     edges.unpersist()
     // every row's cluster: its rep's pair-graph label when the rep is in the
-    // graph, otherwise the rep itself (exact groups + singletons)
+    // graph, otherwise the rep itself (exact groups + singletons).
+    // Materialized (localCheckpoint) so every internal frame can be
+    // unpersisted here instead of leaking into the caller's session.
     val out = membership
       .join(labels.withColumnRenamed("id", "graft_lbl_id"),
         col("rep") === col("graft_lbl_id"), "left")
       .select(col("id"), coalesce(col("label"), col("rep")).as("cluster_id"))
-    // labels stays cached/checkpointed: `out` still reads it lazily
+      .localCheckpoint(true)
+    labels.unpersist()
+    membership.unpersist()
     out
   }
 
@@ -209,15 +238,23 @@ object Dedup {
     val base = df.select(idCol.as("id"), textCol.as("text"))
       .withColumn("graft_fp", fingerprint(Seq(col("text"))))
     val membership = exactMembership(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nonReps = membership.where(col("id") =!= col("rep")).select(col("id"))
     val repDocs = base.join(
-      membership.where(col("id") === col("rep")).select(col("id").as("rep_id")),
-      col("id") === col("rep_id"), "leftsemi")
+        membership.where(col("id") === col("rep")).select(col("id").as("rep_id")),
+        col("id") === col("rep_id"), "leftsemi")
+      .select(col("id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = minhashNearDups(repDocs, col("id"), col("text"),
         shingleSize = shingleSize, threshold = threshold,
         maxBucketSize = maxBucketSize)
       .select(col("id_b").as("id")).distinct()
-    val dropIds = nonReps.unionAll(losers).withColumnRenamed("id", "graft_drop_id")
+    // materialize the (small) drop set so the persisted intermediates can be
+    // released before returning; the result is a lazy anti-join against it
+    val dropIds = nonReps.unionAll(losers)
+      .withColumnRenamed("id", "graft_drop_id").localCheckpoint(true)
+    repDocs.unpersist()
+    membership.unpersist()
     df.join(dropIds, idCol === col("graft_drop_id"), "left_anti")
   }
 
