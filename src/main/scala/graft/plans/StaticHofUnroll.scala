@@ -120,6 +120,50 @@ object StaticHofUnroll extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Generator-boundary common-subexpression elimination. Unrolling a
+   * flatten duplicates the shared per-row pieces (suite/set overall
+   * results) into EVERY generated element; the duplicates are semantically
+   * fine but quadratic in plan size — a fresh query pays seconds of
+   * optimizer + Janino time per run (measured 6-8 s/run on a 4-rule suite
+   * before this pass; the generated projection method also balloons).
+   * Hoist every deterministic subtree that occurs more than once into an
+   * alias computed ONCE in the Generate's child Project. */
+  private def hoistCommon(gen: Expression): (Expression, Seq[Alias]) = {
+    val counts = scala.collection.mutable.HashMap.empty[Expression, Int]
+    gen.foreach { e =>
+      if (worthHoisting(e)) {
+        val k = e.canonicalized
+        counts.update(k, counts.getOrElse(k, 0) + 1)
+      }
+    }
+    val hoisted = scala.collection.mutable.LinkedHashMap.empty[Expression, Alias]
+    var i = 0
+    // top-down: take the MAXIMAL repeated subtree, don't descend into it
+    def rewrite(e: Expression): Expression = {
+      if (worthHoisting(e) && counts.getOrElse(e.canonicalized, 0) > 1) {
+        val a = hoisted.getOrElseUpdate(e.canonicalized, {
+          i += 1
+          Alias(e, s"graft_cse_$i")()
+        })
+        a.toAttribute
+      } else e.mapChildren(rewrite)
+    }
+    // keep the generator node itself; rewrite only below it
+    val out = gen.mapChildren(rewrite)
+    (out, hoisted.values.toSeq)
+  }
+
+  /** Worth a column of its own: deterministic, no lambda variables, and not
+   * a trivial leaf/extract whose duplication is free. */
+  private def worthHoisting(e: Expression): Boolean = e match {
+    case _: Literal | _: Attribute | _: NamedLambdaVariable => false
+    case _: GetStructField | _: ElementAt | _: GetArrayItem => false
+    case _ if !e.deterministic => false
+    case _ if e.exists(_.isInstanceOf[NamedLambdaVariable]) => false
+    case _ if e.references.isEmpty => false // foldable-ish: ConstantFolding handles it
+    case _ => true
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val unrolled = plan.transformAllExpressions {
       case e @ (_: MapEntries | _: ArrayTransform | _: Flatten) => fixpoint(e)
@@ -141,10 +185,13 @@ object StaticHofUnroll extends Rule[LogicalPlan] {
           if (hasRuntimeHof(simplified) || !simplified.isInstanceOf[Generator] ||
               !extraRefs.forall(pchild.outputSet.contains)) g
           else {
+            // shared per-row pieces (overall results) computed once in the
+            // child Project, not once per generated element
+            val (hoistedGen, cseAliases) = hoistCommon(simplified)
             // pass newly-referenced child attributes through the Project;
             // ColumnPruning later drops the now-unused alias
-            val newProj = Project(projList ++ extraRefs.toSeq, pchild)
-            g.copy(generator = simplified.asInstanceOf[Generator], child = newProj)
+            val newProj = Project(projList ++ extraRefs.toSeq ++ cseAliases, pchild)
+            g.copy(generator = hoistedGen.asInstanceOf[Generator], child = newProj)
           }
         }
     }

@@ -47,6 +47,24 @@ object RuleRunner {
         .otherwise(acc))
   }
 
+  /** Same fold unrolled over a statically known element list: the fold only
+   * ever lands on Passed or Failed, so it reduces to "any element fails ⇒
+   * Failed". Plain comparisons + OR stay inside whole-stage codegen; the
+   * HOF `aggregate` above evaluates its lambda interpreted, which dominated
+   * the flatten hot path (8 interpreted array folds per row). */
+  private def overallStatic(results: Seq[Column], probablePass: Double): Column = {
+    val threshold = probablePass * PassedInt
+    val anyFailed = results.map { r =>
+      r =!= PassedInt && r =!= SoftFailedInt && r =!= DisabledRuleInt &&
+        (r === FailedInt || r.cast("double") < threshold)
+    }.reduce(_ || _)
+    when(anyFailed, FailedInt).otherwise(PassedInt)
+  }
+
+  /** Unrolled overall over the first `n` entries of the results array. */
+  private def overallStaticOf(tmp: Column, n: Int, probablePass: Double): Column =
+    overallStatic((1 to n).map(i => element_at(tmp, i)), probablePass)
+
   private val TmpCol = "graft_rr_tmp"
 
   /** Full DQ struct (with overall) from an existing results-array column —
@@ -63,15 +81,17 @@ object RuleRunner {
         idx += 1
         Seq(lit(Id.pack(r.id)), element_at(tmp, idx))
       }
-      val setResults = array(ruleEntries.grouped(2).map(_.last).toSeq: _*)
+      val setResults = ruleEntries.grouped(2).map(_.last).toSeq
       Seq(
         lit(Id.pack(rs.id)),
         struct(
-          overall(setResults, suite.probablePass).as("overallResult"),
+          overallStatic(setResults, suite.probablePass).as("overallResult"),
           map(ruleEntries: _*).as("ruleResults")))
     }
     val fields = Seq(lit(Id.pack(suite.id)).as("id")) ++
-      (if (withOverall) Seq(overall(tmp, suite.probablePass).as("overallResult")) else Nil) ++
+      (if (withOverall)
+        Seq(overallStaticOf(tmp, idx, suite.probablePass).as("overallResult"))
+      else Nil) ++
       Seq(map(setEntries: _*).as("ruleSetResults"))
     struct(fields: _*)
   }
@@ -91,7 +111,8 @@ object RuleRunner {
       overallName: String = "DQ_overallResult",
       detailsName: String = "DQ_details"): DataFrame =
     df.withColumn(TmpCol, array(coerced(suite): _*))
-      .withColumn(overallName, overall(col(TmpCol), suite.probablePass))
+      .withColumn(overallName,
+        overallStaticOf(col(TmpCol), suite.rules.size, suite.probablePass))
       .withColumn(detailsName, dqStruct(suite, col(TmpCol), withOverall = false))
       .drop(TmpCol)
 
@@ -153,19 +174,21 @@ object RuleRunner {
   def addFlattenedResults(df: DataFrame, suite: RuleSuite): DataFrame = {
     import org.apache.spark.sql.functions.{explode, struct}
     val tmp = col(TmpCol)
-    val suiteOverall = overall(tmp, suite.probablePass)
+    // suite/set overalls live in their own projected columns so each is
+    // computed ONCE per row; referencing the expression inside every struct
+    // would re-evaluate it per generated element (CollapseProject leaves
+    // non-cheap multi-referenced aliases in their own projection)
+    val suiteOvCol = "graft_ov_suite"
+    val setOvCol = (i: Int) => s"graft_ov_set_$i"
     var idx = 0
-    val rowCols: Seq[Column] = suite.ruleSets.flatMap { rs =>
-      val start = idx
-      val setIdxs = rs.rules.indices.map(_ + start + 1)
-      val setOverall = overall(array(setIdxs.map(i => element_at(tmp, i)): _*), suite.probablePass)
+    val rowCols: Seq[Column] = suite.ruleSets.zipWithIndex.flatMap { case (rs, si) =>
       rs.rules.map { r =>
         idx += 1
         struct(
           lit(suite.id.id).as("ruleSuiteId"),
           lit(suite.id.version).as("ruleSuiteVersion"),
-          suiteOverall.as("ruleSuiteResult"),
-          setOverall.as("ruleSetResult"),
+          col(suiteOvCol).as("ruleSuiteResult"),
+          col(setOvCol(si)).as("ruleSetResult"),
           lit(rs.id.id).as("ruleSetId"),
           lit(rs.id.version).as("ruleSetVersion"),
           lit(r.id.id).as("ruleId"),
@@ -173,7 +196,18 @@ object RuleRunner {
           element_at(tmp, idx).as("ruleResult"))
       }
     }
-    df.withColumn(TmpCol, array(coerced(suite): _*))
+    var start = 0
+    val withOveralls = suite.ruleSets.zipWithIndex.foldLeft(
+      df.withColumn(TmpCol, array(coerced(suite): _*))
+        .withColumn(suiteOvCol,
+          overallStaticOf(tmp, suite.rules.size, suite.probablePass))) {
+      case (acc, (rs, si)) =>
+        val setIdxs = rs.rules.indices.map(_ + start + 1)
+        start += rs.rules.size
+        acc.withColumn(setOvCol(si),
+          overallStatic(setIdxs.map(i => element_at(tmp, i)), suite.probablePass))
+    }
+    withOveralls
       .select(explode(array(rowCols: _*)).as("r"))
       .select("r.*")
   }
