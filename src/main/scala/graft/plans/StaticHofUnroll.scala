@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
 
 /**
  * Statically unrolls higher-order functions applied to literal collection
@@ -164,9 +165,88 @@ object StaticHofUnroll extends Rule[LogicalPlan] {
     case _ => true
   }
 
+  /** element_at over a literal array constructor with a literal index picks
+   * the element statically (the stock SimplifyExtractValueOps folds
+   * GetArrayItem but not ElementAt). Out-of-bounds is left for the runtime
+   * (ANSI error semantics). */
+  private def foldElementAt(ea: ElementAt): Option[Expression] = ea match {
+    case ElementAt(ca: CreateArray, idx: Literal, None, _) if idx.value != null =>
+      val i = idx.value.asInstanceOf[Number].intValue
+      if (i >= 1 && i <= ca.children.size) Some(ca.children(i - 1))
+      else if (i < 0 && -i <= ca.children.size) Some(ca.children(ca.children.size + i))
+      else None
+    case _ => None
+  }
+
+  /** rule_result(dqStruct, suiteId, setId, ruleId) over a struct CONSTRUCTOR
+   * with literal ids navigates the construction statically, so the per-row
+   * result struct (maps of every rule) never materializes and the lookup
+   * collapses to the single referenced rule expression — which then prunes
+   * the scan to that rule's columns. Returns None when anything is dynamic
+   * (the runtime lookup stays). */
+  private def foldRuleLookup(rl: graft.functions.RuleResultLookup): Option[Expression] = {
+    val (cns, s, set, r) = rl match {
+      case graft.functions.RuleResultLookup(c: CreateNamedStruct, a, b, d)
+          if a.foldable && b.foldable && d.foldable && c.resolved => (c, a, b, d)
+      case _ => return None
+    }
+    val names = cns.nameExprs.map {
+      case Literal(n, StringType) => n.toString
+      case _ => return None
+    }
+    def field(n: String): Option[Expression] =
+      names.indexOf(n) match { case -1 => None; case i => Some(cns.valExprs(i)) }
+    // literal-keyed map constructor lookup: Some(value) on a key hit, None =
+    // key statically absent; bails out of the whole fold if keys are dynamic
+    def mapGet(cm: CreateMap, key: Long): Option[Expression] = {
+      val keys = cm.keys.map {
+        case l: Literal if l.value != null => l.value.asInstanceOf[Number].longValue
+        case _ => return None // dynamic key -> cannot fold; propagate bail
+      }
+      keys.indexOf(key) match { case -1 => None; case i => Some(cm.values(i)) }
+    }
+    val nullLit = Literal.create(null, rl.dataType)
+    val (sV, setV, rV) = (s.eval(), set.eval(), r.eval())
+    if (sV == null || setV == null || rV == null) return Some(nullLit)
+    val idExpr = field("id").getOrElse(return None)
+    if (!idExpr.foldable) return None
+    if (idExpr.eval().asInstanceOf[Number].longValue != sV.asInstanceOf[Number].longValue)
+      return Some(nullLit)
+    field("ruleSetResults") match {
+      case Some(sets: CreateMap) =>
+        // dynamic-key bail must be distinguishable from a static miss
+        if (sets.keys.exists(k => !k.isInstanceOf[Literal])) return None
+        mapGet(sets, setV.asInstanceOf[Number].longValue) match {
+          case None => Some(nullLit)
+          case Some(setStruct: CreateNamedStruct) => // DQ shape
+            val setNames = setStruct.nameExprs.map {
+              case Literal(n, StringType) => n.toString
+              case _ => return None
+            }
+            setNames.indexOf("ruleResults") match {
+              case -1 => None
+              case i => setStruct.valExprs(i) match {
+                case rules: CreateMap =>
+                  if (rules.keys.exists(k => !k.isInstanceOf[Literal])) return None
+                  Some(mapGet(rules, rV.asInstanceOf[Number].longValue).getOrElse(nullLit))
+                case _ => None
+              }
+            }
+          case Some(rules: CreateMap) => // expressionRunner shape
+            if (rules.keys.exists(k => !k.isInstanceOf[Literal])) return None
+            Some(mapGet(rules, rV.asInstanceOf[Number].longValue).getOrElse(nullLit))
+          case Some(_) => None
+        }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val unrolled = plan.transformAllExpressions {
       case e @ (_: MapEntries | _: ArrayTransform | _: Flatten) => fixpoint(e)
+      case rl: graft.functions.RuleResultLookup if rl.childrenResolved =>
+        foldRuleLookup(rl).getOrElse(rl)
+      case ea: ElementAt => foldElementAt(ea).getOrElse(ea)
     }
     unrolled.transformUp {
       case g @ Generate(gen, _, _, _, _, p @ Project(projList, pchild))
