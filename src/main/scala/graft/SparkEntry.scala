@@ -348,6 +348,25 @@ object SparkEntry {
       graft.pipeline.Dedup.nearDupClusters(
         nearDupCorpus(s, dir), col("doc_id"), col("text"))
     }),
+    "q_split_hash" -> ((s, dir) => {
+      // deterministic content-addressed train/val/test split
+      graft.pipeline.Curation.splitByHash(
+        docs(s, dir).select(col("doc_id")), col("doc_id"))
+    }),
+    "q_bm25" -> ((s, dir) => {
+      // BM25 relevance vs a fixed query-term list; one corpus-stats row
+      // broadcast back, scoring pass is narrow
+      graft.pipeline.Curation.bm25(
+        docs(s, dir), col("doc_id"), col("text"), Seq("join", "vector", "stream"))
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing 8-gram(s) with the
+      // "benchmark" slice (docs with id % 25 == 0)
+      val d = docs(s, dir)
+      graft.pipeline.Curation.decontaminate(
+        d, col("doc_id"), col("text"),
+        d.where(col("doc_id") % 25 === 0), col("text"))
+    }),
     "q_dedup_skew" -> ((s, dir) => {
       // planted skew: 10k exact copies of doc 1's text — the exact-content
       // pre-collapse keeps the LSH bucket join bounded (one representative)
@@ -594,6 +613,51 @@ object SparkEntry {
         |           WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
         |           WHEN es > 0 AND es >= fr THEN 'es'
         |           WHEN fr > 0 THEN 'fr' ELSE 'und' END = 'en'""".stripMargin,
+    "q_split_hash" ->
+      """SELECT doc_id,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |      FROM documents)""".stripMargin,
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), b2 AS (
+        |  SELECT id, toks, len(toks)::DOUBLE AS dl FROM base
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl,
+        |         sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |         sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |         sum(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM b2
+        |), tf AS (
+        |  SELECT id, dl,
+        |         len(list_filter(toks, x -> x = 'join'))::DOUBLE AS tf0,
+        |         len(list_filter(toks, x -> x = 'vector'))::DOUBLE AS tf1,
+        |         len(list_filter(toks, x -> x = 'stream'))::DOUBLE AS tf2
+        |  FROM b2
+        |)
+        |SELECT id,
+        |       round(
+        |         ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |       + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |       + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS bm25
+        |FROM tf, stats""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+7], ' ')
+        |                        for i in range(1, greatest(len(w) - 8, 0) + 2)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |), bench AS (
+        |  SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 25 = 0
+        |), doc_ng AS (
+        |  SELECT doc_id, unnest(s) AS ng FROM sh
+        |)
+        |SELECT d.doc_id AS id, count(*) AS shared_ngrams
+        |FROM doc_ng d JOIN bench USING (ng)
+        |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
