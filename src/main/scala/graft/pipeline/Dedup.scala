@@ -49,7 +49,13 @@ object Dedup {
   }
 
   /** Candidate pairs whose exact shingle-Jaccard ≥ threshold, found via
-   * MinHash + LSH banding. Returns (id_a, id_b, jaccard), id_a < id_b. */
+   * MinHash + LSH banding. Returns (id_a, id_b, jaccard), id_a < id_b.
+   *
+   * WARNING — `maxBucketSize` defaults to 0 (uncapped) so no true pair is
+   * ever dropped. On a raw corpus with large exact-duplicate clusters this
+   * produces O(cluster²·bands) candidate pairs: pre-collapse exact
+   * duplicates first (see [[nearDupClusters]], which does this and caps by
+   * default) or pass an explicit `maxBucketSize`. */
   def minhashNearDups(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,

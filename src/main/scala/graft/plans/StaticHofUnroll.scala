@@ -129,7 +129,9 @@ object StaticHofUnroll extends Rule[LogicalPlan] {
    * before this pass; the generated projection method also balloons).
    * Hoist every deterministic subtree that occurs more than once into an
    * alias computed ONCE in the Generate's child Project. */
-  private def hoistCommon(gen: Expression): (Expression, Seq[Alias]) = {
+  private def hoistCommon(
+      gen: Expression,
+      childOutput: AttributeSet): (Expression, Seq[Alias]) = {
     val counts = scala.collection.mutable.HashMap.empty[Expression, Int]
     gen.foreach { e =>
       if (worthHoisting(e)) {
@@ -141,7 +143,11 @@ object StaticHofUnroll extends Rule[LogicalPlan] {
     var i = 0
     // top-down: take the MAXIMAL repeated subtree, don't descend into it
     def rewrite(e: Expression): Expression = {
-      if (worthHoisting(e) && counts.getOrElse(e.canonicalized, 0) > 1) {
+      // an alias hoisted into the child Project can only see the Project's
+      // child output — a subtree still referencing a sibling alias (e.g. a
+      // surviving nondeterministic alias not inlined above) must stay put
+      if (worthHoisting(e) && counts.getOrElse(e.canonicalized, 0) > 1 &&
+          e.references.subsetOf(childOutput)) {
         val a = hoisted.getOrElseUpdate(e.canonicalized, {
           i += 1
           Alias(e, s"graft_cse_$i")()
@@ -267,7 +273,7 @@ object StaticHofUnroll extends Rule[LogicalPlan] {
           else {
             // shared per-row pieces (overall results) computed once in the
             // child Project, not once per generated element
-            val (hoistedGen, cseAliases) = hoistCommon(simplified)
+            val (hoistedGen, cseAliases) = hoistCommon(simplified, pchild.outputSet)
             // pass newly-referenced child attributes through the Project;
             // ColumnPruning later drops the now-unused alias
             val newProj = Project(projList ++ extraRefs.toSeq ++ cseAliases, pchild)

@@ -52,14 +52,16 @@ object RuleRunner {
    * Failed". Plain comparisons + OR stay inside whole-stage codegen; the
    * HOF `aggregate` above evaluates its lambda interpreted, which dominated
    * the flatten hot path (8 interpreted array folds per row). */
-  private def overallStatic(results: Seq[Column], probablePass: Double): Column = {
-    val threshold = probablePass * PassedInt
-    val anyFailed = results.map { r =>
-      r =!= PassedInt && r =!= SoftFailedInt && r =!= DisabledRuleInt &&
-        (r === FailedInt || r.cast("double") < threshold)
-    }.reduce(_ || _)
-    when(anyFailed, FailedInt).otherwise(PassedInt)
-  }
+  private def overallStatic(results: Seq[Column], probablePass: Double): Column =
+    if (results.isEmpty) lit(PassedInt) // empty suite/set: vacuously passed
+    else {
+      val threshold = probablePass * PassedInt
+      val anyFailed = results.map { r =>
+        r =!= PassedInt && r =!= SoftFailedInt && r =!= DisabledRuleInt &&
+          (r === FailedInt || r.cast("double") < threshold)
+      }.reduce(_ || _)
+      when(anyFailed, FailedInt).otherwise(PassedInt)
+    }
 
   /** Unrolled overall over the first `n` entries of the results array. */
   private def overallStaticOf(tmp: Column, n: Int, probablePass: Double): Column =
@@ -207,9 +209,16 @@ object RuleRunner {
         acc.withColumn(setOvCol(si),
           overallStatic(setIdxs.map(i => element_at(tmp, i)), suite.probablePass))
     }
-    withOveralls
-      .select(explode(array(rowCols: _*)).as("r"))
-      .select("r.*")
+    if (rowCols.isEmpty) {
+      // no rules → no flattened rows, but keep the output schema
+      val names = Seq("ruleSuiteId", "ruleSuiteVersion", "ruleSuiteResult",
+        "ruleSetResult", "ruleSetId", "ruleSetVersion", "ruleId", "ruleVersion",
+        "ruleResult")
+      df.where(lit(false)).select(names.map(n => lit(0).as(n)): _*)
+    } else
+      withOveralls
+        .select(explode(array(rowCols: _*)).as("r"))
+        .select("r.*")
   }
 
   /** rule_result(results, packedSuiteId, packedSetId, packedRuleId) — works

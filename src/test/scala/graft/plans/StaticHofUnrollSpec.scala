@@ -59,6 +59,17 @@ class StaticHofUnrollSpec extends AnyFunSuite {
     assert(out.as[Double].collect().forall(_ == 0.0))
   }
 
+  test("generator CSE does not hoist subtrees referencing a sibling nondeterministic alias") {
+    // nd survives substitution as an attribute ref (nondeterministic aliases
+    // are never inlined); the repeated abs(nd*100) subtree must NOT be hoisted
+    // into the child Project, where nd is not visible
+    val out = df.withColumn("nd", rand())
+      .select(explode(transform(array(lit(1), lit(2)),
+        x => abs(col("nd") * 100) + abs(col("nd") * 100) + x)).as("e"))
+    val rows = out.as[Double].collect() // would fail attribute binding pre-fix
+    assert(rows.length == 4)
+  }
+
   test("dynamic (non-literal) arrays keep the runtime transform") {
     val arr = df.select(array(col("a"), col("b")).as("arr"))
     val dir = java.nio.file.Files.createTempDirectory("graft_hof2").toString

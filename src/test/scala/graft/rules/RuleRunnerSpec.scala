@@ -133,6 +133,24 @@ class RuleRunnerSpec extends AnyFunSuite {
     assert(out(7) == 75000)
   }
 
+  test("empty suite and empty rule set are vacuously passed") {
+    val empty = RuleSuite(Id(1, 1), Seq.empty)
+    val out = RuleRunner.addDataQuality(Seq(1).toDF("x"), empty)
+      .select(col("DataQuality.overallResult")).as[Int].collect()
+    assert(out.toSeq == Seq(PassedInt))
+
+    val emptySet = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq.empty)))
+    val out2 = RuleRunner.addOverallResultsAndDetails(Seq(1).toDF("x"), emptySet)
+      .select(
+        col("DQ_overallResult"),
+        element_at(col("DQ_details.ruleSetResults"), Id.pack(Id(2, 1))).getField("overallResult"))
+      .collect()
+    assert(out2.head.getInt(0) == PassedInt && out2.head.getInt(1) == PassedInt)
+
+    val flat = RuleRunner.addFlattenedResults(Seq(1).toDF("x"), empty)
+    assert(flat.count() == 0) // no rules → no flattened rows, but no crash
+  }
+
   test("lambda substitution in rules") {
     val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
       Rule(Id(3, 1), "within(x, 1, 10)")))),
