@@ -198,6 +198,11 @@ object Registry {
     "probability_in" -> (es => graft.lookups.ProbabilityInExpression(es(0), str(es(1), "bloom name"))),
     "approx_heavy_hitters" -> (es =>
       HeavyHittersAggregate(es(0), litLong(es(1)).toInt).toAggregateExpression()),
+    "top_k_by" -> (es =>
+      TopKAggregate(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType),
+        es(1), litLong(es(2)).toInt).toAggregateExpression()),
+    "vector_mean" -> (es => VectorMeanAggregate(es.head).toAggregateExpression()),
     "small_bloom" -> (es =>
       graft.bloom.BloomAggregate(es(0), litLong(es(1)), litDouble(es(2))).toAggregateExpression()),
     "big_bloom" -> (es =>

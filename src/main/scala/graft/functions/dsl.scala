@@ -119,6 +119,10 @@ object dsl {
   def update_field(struct: Column, pairs: (String, Column)*): Column =
     Registry.updateField(struct, pairs)
   def drop_field(struct: Column, paths: String*): Column = Registry.dropField(struct, paths)
+  def top_k_by(ord: Column, item: Column, k: Int): Column =
+    col(TopKAggregate(ex(ord.cast("double")), ex(item), k).toAggregateExpression())
+  def vector_mean(arr: Column): Column =
+    col(VectorMeanAggregate(ex(arr)).toAggregateExpression())
   def comparable_maps(c: Column): Column = col(ComparableMapsExpression(ex(c)))
   def reverse_comparable_maps(c: Column): Column = col(ReverseComparableMapsExpression(ex(c)))
   def to_yaml(c: Column): Column = col(YamlEncodeExpression(ex(c)))

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -10,7 +9,8 @@ import org.apache.spark.sql.{Column, DataFrame}
  *
  * Scale design: brute force broadcasts the (small) query set and scans the
  * corpus once — no corpus shuffle, no cross-partition state; per-query top-k
- * via window over (query, sim). The LSH variant buckets by random-hyperplane
+ * via the mergeable bounded-heap aggregate (map-side partials, ≤ k candidates
+ * per partition per query cross the wire). The LSH variant buckets by random-hyperplane
  * signature so each query only scans its bucket — the 100 TB path, trading
  * recall for a corpus-partition-local scan.
  */
@@ -24,6 +24,26 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Per-query top-k over a (query_id, neighbor_id, sim) candidate frame via
+   * the mergeable bounded-heap aggregate: map-side partial aggregation caps
+   * every partition's contribution at k candidates per query BEFORE the
+   * shuffle, so the reducer for a query receives O(partitions × k) rows —
+   * never the scored corpus (a row_number window would funnel all |corpus|
+   * scored rows of a query into one task). NaN sims are dropped by the
+   * aggregate itself (zero-norm vectors). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.dsl.top_k_by
+    scored
+      .groupBy(col("query_id"))
+      .agg(top_k_by(col("sim"), col("neighbor_id"), k).as("graft_topk"))
+      .select(col("query_id"), posexplode(col("graft_topk")).as(Seq("graft_pos", "graft_t")))
+      .select(
+        col("query_id"),
+        col("graft_t.item").as("neighbor_id"),
+        col("graft_t.ord").as("sim"),
+        (col("graft_pos") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force top-k: for each query row, the k nearest corpus rows.
    * Returns (query_id, neighbor_id, sim, rank). */
   def bruteForceTopK(
@@ -34,13 +54,7 @@ object Similarity {
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      // zero-norm vectors give NaN, which sorts ABOVE every real sim
-      .where(!isnan(col("sim")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic random hyperplanes: ±1 components seeded by (plane, dim). */
@@ -77,17 +91,14 @@ object Similarity {
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "cv")
     val qb = broadcast(bucketed(queries, idCol, vecCol)
       .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qv"))
-    qb.join(cb, Seq("table", "bucket"))
+    val scored = qb.join(cb, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       // score before dedup: recomputing a dot product on multi-table repeats
       // is far cheaper than shuffling the vectors through a distinct
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
       .where(!isnan(col("sim")))
       .distinct()
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   // ---------------------------------------------------------------- IVF ANN
@@ -124,11 +135,11 @@ object Similarity {
       .map { case (r, i) => i -> r.getSeq[Double](0).toArray }
     var iter = 0
     while (iter < iters) {
-      cents = v.select(bestCid(col("v"), cents).as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
+      // centroid update via the element-wise vector_mean aggregate: one
+      // (count, sums[dim]) partial per (partition, cid) crosses the wire —
+      // NOT rows×dim posexploded elements
+      cents = v.groupBy(bestCid(col("v"), cents).as("cid"))
+        .agg(graft.functions.dsl.vector_mean(col("v")).as("cv"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1)
@@ -160,14 +171,11 @@ object Similarity {
     val probes = broadcast(queries.select(
         col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
         explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid")))
-    probes.join(assigned, "cid")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv0")).as("sim"))
-      .where(!isnan(col("sim")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(
+      probes.join(assigned, "cid")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv0")).as("sim")),
+      k)
   }
 
   /**
@@ -200,14 +208,11 @@ object Similarity {
     val probes = broadcast(queries.select(
         col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
         explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid")))
-    probes.join(cells, "cid")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv0")).as("sim"))
-      .where(!isnan(col("sim")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(
+      probes.join(cells, "cid")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv0")).as("sim")),
+      k)
   }
 
   // (IVF expression machinery lives below the object)

@@ -153,6 +153,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 3))
   }
 
+  test("brute-force topk plan: bounded partial aggregation before the shuffle, no per-query window") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = embs.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.where(col("vec_id") < 5), "vec_id", "embedding", 3)
+    out.collect() // finalize AQE stages
+    // flatten the adaptively-planned tree (same walk as Bucketed.isShuffleFree)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val all = nodes(out.queryExecution.executedPlan)
+    // no window funnels scored corpus rows into one task per query
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"window survived:\n${out.queryExecution.executedPlan}")
+    // every shuffle sits above a Partial top-k aggregate: ≤ k candidates per
+    // query leave each map-side partition
+    def hasPartialTopK(p: SparkPlan): Boolean = nodes(p).exists {
+      case a: ObjectHashAggregateExec =>
+        a.aggregateExpressions.exists(ae => ae.mode == Partial &&
+          ae.aggregateFunction.isInstanceOf[graft.functions.TopKAggregate])
+      case _ => false
+    }
+    val shuffles = all.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(s => hasPartialTopK(s.child)),
+      s"shuffle without partial top-k below it:\n${out.queryExecution.executedPlan}")
+  }
+
   test("lsh topk recall vs brute force is reasonable") {
     val df = embs.toDF("vec_id", "embedding")
     val q = df.where(col("vec_id") < 10)
