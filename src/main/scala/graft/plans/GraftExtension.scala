@@ -1,11 +1,11 @@
 package graft.plans
 
-import graft.functions.{AsUuidExpr, Registry, UuidUtils}
+import graft.functions.{AsUuidExpr, IdBase64Expression, Registry}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GetStructField, In, Literal, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -13,14 +13,47 @@ import org.apache.spark.unsafe.types.UTF8String
  *   spark.sql.extensions=graft.plans.GraftExtension
  * registers every graft SQL function and injects the asymmetric-filter
  * optimizer rewrites.
+ *
+ * Rules can be disabled via the `graft_disable_optimiser_rules` system
+ * property or environment variable (reference SparkExtension.scala:17):
+ * `*` disables all graft rules, otherwise a comma-separated list of rule
+ * names — simple (`AsUuidRewrite`) or fully-qualified — is skipped. The
+ * kill-switch exists for the day a rewrite misfires in production: one
+ * property flip beats a redeploy.
  */
 class GraftExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.functionDescriptions.foreach(ext.injectFunction)
-    ext.injectOptimizerRule(_ => AsUuidRewrite)
-    // runs inside the operator-optimization fixed point, interleaved with
-    // SimplifyExtractValueOps/CollapseProject so unrolled constructors fold away
-    ext.injectOptimizerRule(_ => StaticHofUnroll)
+    // StaticHofUnroll runs inside the operator-optimization fixed point,
+    // interleaved with SimplifyExtractValueOps/CollapseProject so unrolled
+    // constructors fold away
+    GraftExtension.activeOptimizerRules.foreach { case (_, r) =>
+      ext.injectOptimizerRule(_ => r)
+    }
+  }
+}
+
+object GraftExtension {
+  /** Underscores because dots are invalid in environment-variable names and
+   * only env / system properties are readable at extension-apply time. */
+  val DisableRulesConf = "graft_disable_optimiser_rules"
+
+  def allOptimizerRules: Seq[(String, Rule[LogicalPlan])] = Seq(
+    (AsUuidRewrite.getClass.getName.stripSuffix("$"), AsUuidRewrite),
+    (IdBase64Rewrite.getClass.getName.stripSuffix("$"), IdBase64Rewrite),
+    (StaticHofUnroll.getClass.getName.stripSuffix("$"), StaticHofUnroll))
+
+  /** The rules that survive the `graft_disable_optimiser_rules` filter. */
+  def activeOptimizerRules: Seq[(String, Rule[LogicalPlan])] = {
+    val conf = sys.props.get(DisableRulesConf)
+      .orElse(sys.env.get(DisableRulesConf)).getOrElse("").trim
+    if (conf == "*") Seq.empty
+    else {
+      val disabled = conf.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      allOptimizerRules.filterNot { case (name, _) =>
+        disabled.contains(name) || disabled.contains(name.split('.').last)
+      }
+    }
   }
 }
 
@@ -53,5 +86,81 @@ object AsUuidRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, _) => f.copy(condition = rewrite(cond))
+  }
+}
+
+/**
+ * id_base64 comparison rewrites (reference: impl/extension/
+ * AsymmetricFilterExpressions.scala IDBase64Filter, SparkExtension.scala:61).
+ *
+ *  - `id_base64(base, i0, i1) = '<literal>'` — decode the base64 literal
+ *    once at plan time and compare the underlying int/long columns, so the
+ *    predicate reaches the parquet scan (rowgroup pruning) instead of
+ *    base64-encoding every row.
+ *  - `id_base64(idStruct) = '<literal>'` — same, via GetStructField, which
+ *    parquet pushes as nested-column filters.
+ *  - `id_base64(a…) = id_base64(b…)` (join keys / filters) — compare the
+ *    raw fields; a join keyed this way shuffles and compares longs, never
+ *    materializing base64 strings.
+ *  - `id_base64(…) IN ('l1','l2',…)` — OR of decoded conjunctions.
+ *
+ * A literal that fails to decode, or whose payload length disagrees with the
+ * id arity, cannot equal any id → folds to FALSE.
+ */
+object IdBase64Rewrite extends Rule[LogicalPlan] {
+
+  /** The int/long slot expressions an id_base64 call renders, when its input
+   * shape is statically known: (base:int, i0..iN:long). */
+  private def slots(idb: IdBase64Expression): Option[Seq[Expression]] = idb.children match {
+    case Seq(one) => one.dataType match {
+      case st: StructType
+          if st.fields.nonEmpty && st.fields.head.dataType == IntegerType &&
+            st.fields.tail.forall(_.dataType == LongType) =>
+        Some(st.fields.indices.map(i => GetStructField(one, i)))
+      case _ => None
+    }
+    case more
+        if more.nonEmpty && more.head.dataType == IntegerType &&
+          more.tail.forall(_.dataType == LongType) =>
+      Some(more)
+    case _ => None
+  }
+
+  private def litEquals(ss: Seq[Expression], s: UTF8String): Expression = {
+    val bytes =
+      try java.util.Base64.getUrlDecoder.decode(s.toString)
+      catch { case _: IllegalArgumentException => return Literal.FalseLiteral }
+    if (bytes.length != 4 + 8 * (ss.length - 1)) return Literal.FalseLiteral
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val eqs = EqualTo(ss.head, Literal(bb.getInt(), IntegerType)) +:
+      ss.tail.map(e => EqualTo(e, Literal(bb.getLong(), LongType)))
+    eqs.reduce(And)
+  }
+
+  private def rewrite(e: Expression): Expression = e.transformUp {
+    case eq @ EqualTo(idb: IdBase64Expression, Literal(s: UTF8String, StringType)) =>
+      slots(idb).map(litEquals(_, s)).getOrElse(eq)
+    case eq @ EqualTo(Literal(s: UTF8String, StringType), idb: IdBase64Expression) =>
+      slots(idb).map(litEquals(_, s)).getOrElse(eq)
+    case eq @ EqualTo(a: IdBase64Expression, b: IdBase64Expression) =>
+      (slots(a), slots(b)) match {
+        case (Some(sa), Some(sb)) if sa.length == sb.length =>
+          sa.lazyZip(sb).map(EqualTo(_, _): Expression).reduce(And)
+        case _ => eq
+      }
+    case in @ In(idb: IdBase64Expression, list)
+        if list.nonEmpty && list.forall {
+          case Literal(_: UTF8String, StringType) => true
+          case _ => false
+        } =>
+      slots(idb).map { ss =>
+        list.map { case Literal(s: UTF8String, StringType) => litEquals(ss, s) }
+          .reduce(Or)
+      }.getOrElse(in)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, _) => f.copy(condition = rewrite(cond))
+    case j @ Join(_, _, _, Some(cond), _) => j.copy(condition = Some(rewrite(cond)))
   }
 }

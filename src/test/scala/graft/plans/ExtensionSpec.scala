@@ -26,6 +26,81 @@ class ExtensionSpec extends AnyFunSuite {
       s"filter not pushed:\n$physical")
   }
 
+  private def b64Of(base: Int, longs: Long*): String = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * longs.length)
+    bb.putInt(base); longs.foreach(bb.putLong)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bb.array())
+  }
+
+  test("IdBase64Rewrite turns field-form base64 equality into pushable comparisons") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IdBase64Rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_idb64").toString
+    Seq((2, 42L, 77L, "keep"), (2, 1L, 2L, "drop"))
+      .toDF("base", "i0", "i1", "tag").write.mode("overwrite").parquet(dir)
+    val lit = b64Of(2, 42L, 77L)
+    val df = spark.read.parquet(dir)
+      .where(Bridge.column(graft.functions.IdBase64Expression(Seq(
+        Bridge.expression(col("base")), Bridge.expression(col("i0")),
+        Bridge.expression(col("i1"))))) === lit)
+    assert(df.select("tag").as[String].collect().toSeq == Seq("keep"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") && physical.contains("EqualTo(i0,42)"),
+      s"filter not pushed:\n$physical")
+    assert(!physical.toLowerCase.contains("idbase64"), s"base64 expr survived:\n$physical")
+  }
+
+  test("IdBase64Rewrite handles struct-form ids and malformed literals") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IdBase64Rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_idb64s").toString
+    Seq((2, 42L, 77L, "keep"), (2, 1L, 2L, "drop"))
+      .toDF("base", "i0", "i1", "tag")
+      .select(struct(col("base").as("id_base"), col("i0").as("id_i0"),
+        col("i1").as("id_i1")).as("id"), col("tag"))
+      .write.mode("overwrite").parquet(dir)
+    def filtered(lit: String) = spark.read.parquet(dir)
+      .where(Bridge.column(graft.functions.IdBase64Expression(Seq(
+        Bridge.expression(col("id"))))) === lit)
+    val df = filtered(b64Of(2, 42L, 77L))
+    assert(df.select("tag").as[String].collect().toSeq == Seq("keep"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.toLowerCase.contains("idbase64"), s"base64 expr survived:\n$physical")
+    // malformed literal / wrong payload length can match nothing → folds to false
+    assert(filtered("!!!not-base64!!!").count() == 0)
+    assert(filtered(b64Of(2, 42L)).count() == 0)
+  }
+
+  test("IdBase64Rewrite rewrites base64-keyed join conditions to raw fields") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IdBase64Rewrite
+    val left = Seq((2, 42L, 77L, "l1"), (2, 1L, 2L, "l2")).toDF("base", "i0", "i1", "lv")
+    val right = Seq((2, 42L, 77L, "r1"), (2, 9L, 9L, "r2")).toDF("base", "i0", "i1", "rv")
+    def b64(df: org.apache.spark.sql.DataFrame) =
+      Bridge.column(graft.functions.IdBase64Expression(Seq(
+        Bridge.expression(df("base")), Bridge.expression(df("i0")),
+        Bridge.expression(df("i1")))))
+    val joined = left.join(right, b64(left) === b64(right))
+    assert(joined.select("lv", "rv").as[(String, String)].collect().toSeq == Seq(("l1", "r1")))
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.toLowerCase.contains("idbase64"),
+      s"join still compares base64 strings:\n$physical")
+  }
+
+  test("graft_disable_optimiser_rules filters extension optimizer rules") {
+    val key = GraftExtension.DisableRulesConf
+    try {
+      sys.props -= key
+      assert(GraftExtension.activeOptimizerRules.map(_._1.split('.').last).toSet ==
+        Set("AsUuidRewrite", "IdBase64Rewrite", "StaticHofUnroll"))
+      sys.props(key) = "*"
+      assert(GraftExtension.activeOptimizerRules.isEmpty)
+      sys.props(key) = "IdBase64Rewrite, graft.plans.StaticHofUnroll"
+      assert(GraftExtension.activeOptimizerRules.map(_._1.split('.').last) ==
+        Seq("AsUuidRewrite"))
+    } finally sys.props -= key
+  }
+
   test("GraftExtension injects functions + optimizer rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtension().apply(ext)  // must not throw; functions + rule land
