@@ -403,7 +403,8 @@ object SparkEntry {
         .select(col("doc_id"), size(col("fp")).as("n_fp"))
     }),
     "q_multimodal_features" -> ((s, dir) => {
-      // rows-only: stubbed decode (no codecs in container); plumbing is real
+      // rows-only: image (ImageIO) + audio (AudioSystem WAV) decode are real;
+      // video has no JDK codec and falls back flagged decodedOk=false
       val media = graft.pipeline.Multimodal.mediaFromText(docs(s, dir), "doc_id", "text")
       graft.pipeline.Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("decodedOk"),

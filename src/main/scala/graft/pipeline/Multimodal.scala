@@ -10,10 +10,12 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  * Multimodal column plumbing: image/audio/video as opaque binary columns plus
  * typed metadata, processed with partition-batched decode → feature extract.
  *
- * Image decode is REAL: `javax.imageio.ImageIO` ships with the JDK
- * (PNG/JPEG/BMP/GIF), so image rows decode to pixels and featurize as a
- * 16-bin luminance histogram. Audio/video codecs are not in this container —
- * those kinds fall back to a deterministic byte histogram, clearly flagged by
+ * Image and audio decode are REAL: `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF)
+ * and `javax.sound.sampled.AudioSystem` (WAV/PCM, AIFF, AU) ship with the
+ * JDK, so image rows decode to pixels and featurize as a 16-bin luminance
+ * histogram, and audio rows decode to PCM samples and featurize as a 16-bin
+ * amplitude histogram. Video codecs are not in this container — that kind
+ * falls back to a deterministic byte histogram, clearly flagged by
  * `decodedOk = false`. Everything around the codec — the schema, the typed
  * Dataset pipeline, the mapPartitions batch shape (one decoder init per
  * partition, streamed rows), the frame sampler, resize — is the production
@@ -28,8 +30,9 @@ object Multimodal {
 
   /** Fabricate a deterministic media table from any string column — test
    * stand-in for `spark.read.format("binaryFile")`. Image-kind rows carry a
-   * REAL 8x8 PNG (pixels seeded from the text hash) so the ImageIO decode
-   * path is exercised end-to-end; audio/video rows carry raw text bytes. */
+   * REAL 8x8 PNG and audio-kind rows a REAL 16-bit PCM WAV (both seeded from
+   * the text hash) so the ImageIO / AudioSystem decode paths are exercised
+   * end-to-end; video rows carry raw text bytes. */
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -37,12 +40,17 @@ object Multimodal {
       .map { r =>
         val kind = Seq("image", "audio", "video")((r.getLong(0) % 3).toInt)
         val text = r.getString(1)
-        if (kind == "image") {
-          val bytes = syntheticPng(text.hashCode.toLong)
-          MediaRow(r.getLong(0), kind, bytes, MediaMeta(8, 8, "image/png", 0L))
-        } else {
-          val bytes = text.getBytes("UTF-8")
-          MediaRow(r.getLong(0), kind, bytes, MediaMeta(0, 0, "fake/" + kind, bytes.length.toLong))
+        kind match {
+          case "image" =>
+            val bytes = syntheticPng(text.hashCode.toLong)
+            MediaRow(r.getLong(0), kind, bytes, MediaMeta(8, 8, "image/png", 0L))
+          case "audio" =>
+            val bytes = syntheticWav(text.hashCode.toLong)
+            // 256 samples at 8 kHz = 32 ms
+            MediaRow(r.getLong(0), kind, bytes, MediaMeta(0, 0, "audio/wav", 32L))
+          case _ =>
+            val bytes = text.getBytes("UTF-8")
+            MediaRow(r.getLong(0), kind, bytes, MediaMeta(0, 0, "fake/" + kind, bytes.length.toLong))
         }
       }
   }
@@ -67,9 +75,32 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit mono PCM WAV: 256 samples of LCG noise at 8 kHz.
+   * The WAVE container writer is pure header + payload — no timestamps — so
+   * bytes are stable for a given seed. */
+  private[pipeline] def syntheticWav(seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](256 * 2)
+    var p = seed
+    var i = 0
+    while (i < 256) {
+      p = p * 6364136223846793005L + 1442695040888963407L
+      val s = (p >>> 32).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // 16-bit signed mono LE
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, 256L)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /**
    * Decode + feature-extract, batched per partition. Images decode through
-   * ImageIO → 16-bin luminance histogram (unit L1); undecodable or non-image
+   * ImageIO → 16-bin luminance histogram (unit L1); audio decodes through
+   * AudioSystem → PCM → 16-bin amplitude histogram; undecodable or video
    * bytes fall back to a byte histogram with decodedOk = false.
    */
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[FeatureRow] = {
@@ -85,15 +116,59 @@ object Multimodal {
     }
   }
 
-  /** (decodedOk, feature). Image kinds attempt a real ImageIO decode. */
+  /** (decodedOk, feature). Image kinds attempt a real ImageIO decode, audio
+   * kinds a real AudioSystem (WAV/AIFF/AU) decode. */
   private[pipeline] def decode(data: Array[Byte], kind: String): (Boolean, Array[Float]) =
-    if (kind == "image" && data != null && data.nonEmpty) {
+    if (data == null || data.isEmpty) (false, byteHistogram(data))
+    else if (kind == "image") {
       try {
         val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(data))
         if (img == null) (false, byteHistogram(data))
         else (true, luminanceHistogram(img))
       } catch { case _: Exception => (false, byteHistogram(data)) }
+    } else if (kind == "audio") {
+      try (true, amplitudeHistogram(data))
+      catch { case _: Exception => (false, byteHistogram(data)) }
     } else (false, byteHistogram(data))
+
+  /** Real audio decode: container → 16-bit signed little-endian PCM via
+   * AudioSystem (format conversion included, so 8-bit/big-endian/stereo
+   * sources normalize), then a 16-bin amplitude histogram, unit L1. Throws on
+   * undecodable bytes — callers fall back. */
+  private def amplitudeHistogram(data: Array[Byte]): Array[Float] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val base = AudioSystem.getAudioInputStream(new ByteArrayInputStream(data))
+    try {
+      val bf = base.getFormat
+      val target = new AudioFormat(bf.getSampleRate, 16, bf.getChannels, true, false)
+      val pcm = AudioSystem.getAudioInputStream(target, base)
+      val hist = new Array[Float](16)
+      var n = 0L
+      val buf = new Array[Byte](4096)
+      var read = pcm.read(buf)
+      var carry = -1 // low byte of a sample split across read() boundaries
+      while (read > 0) {
+        var i = 0
+        if (carry >= 0 && read > 0) {
+          val s = (carry | (buf(0) << 8)).toShort
+          hist((s + 32768) >> 12) += 1.0f; n += 1
+          carry = -1; i = 1
+        }
+        while (i + 1 < read) {
+          val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort
+          hist((s + 32768) >> 12) += 1.0f
+          n += 1
+          i += 2
+        }
+        if (i < read) carry = buf(i) & 0xff
+        read = pcm.read(buf)
+      }
+      require(n > 0, "no PCM samples decoded")
+      var j = 0
+      while (j < 16) { hist(j) /= n.toFloat; j += 1 }
+      hist
+    } finally base.close()
+  }
 
   /** 16-bin luminance histogram, unit L1 — deterministic across JVMs
    * (integer Rec.601 weights, no float rounding in the binning). */

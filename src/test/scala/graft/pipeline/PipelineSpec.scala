@@ -252,21 +252,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 999L)))
   }
 
-  test("multimodal: real ImageIO decode for images, flagged fallback otherwise") {
+  test("multimodal: real ImageIO/AudioSystem decode, flagged fallback otherwise") {
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 4)
     assert(feats.forall(_.feature.length == 16))
     assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
-    // ids 0 and 3 are kind=image (id % 3 == 0) and carry real PNGs: the
-    // ImageIO path must decode them; audio/video fall back, flagged false
+    // ids 0 and 3 are kind=image (id % 3 == 0) and carry real PNGs; id 1 is
+    // kind=audio and carries a real WAV — both must decode for real. id 2 is
+    // kind=video (no codec in the JDK): falls back, flagged false
     val byId = feats.map(f => f.media_id -> f).toMap
-    assert(byId(0L).decodedOk && byId(3L).decodedOk)
-    assert(!byId(1L).decodedOk && !byId(2L).decodedOk)
+    assert(byId(0L).decodedOk && byId(3L).decodedOk && byId(1L).decodedOk)
+    assert(!byId(2L).decodedOk)
     // deterministic: same text → same PNG → same luminance histogram
     assert(byId(0L).feature.toSeq == byId(3L).feature.toSeq)
     val frames = Multimodal.sampleFrames(media, stride = 16, frameSize = 8).collect()
     assert(frames.forall(_.frame.length <= 8))
+  }
+
+  test("multimodal audio: WAV decode histograms PCM amplitudes, not container bytes") {
+    // decode must route through AudioSystem: the amplitude histogram of the
+    // synthetic LCG noise differs from the byte histogram of the WAV bytes
+    val wav = Multimodal.syntheticWav(42L)
+    val (ok, feat) = Multimodal.decode(wav, "audio")
+    assert(ok && feat.length == 16 && math.abs(feat.sum - 1.0f) < 1e-3)
+    val (fb, byteFeat) = Multimodal.decode(wav, "video")
+    assert(!fb && feat.toSeq != byteFeat.toSeq)
+    // determinism + corrupt input falls back flagged
+    assert(Multimodal.decode(Multimodal.syntheticWav(42L), "audio")._2.toSeq == feat.toSeq)
+    val (okBad, _) = Multimodal.decode("not audio at all".getBytes, "audio")
+    assert(!okBad)
   }
 
   test("multimodal resize: images re-encode at the target size and still decode") {
@@ -278,6 +293,6 @@ class PipelineSpec extends AnyFunSuite {
     assert(decoded.getWidth == 4 && decoded.getHeight == 4)
     // non-image rows pass through untouched
     val audio = resized.find(_.kind == "audio").get
-    assert(audio.meta.format == "fake/audio")
+    assert(audio.meta.format == "audio/wav")
   }
 }
