@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData, TypeUtils}
 import org.apache.spark.sql.types._
@@ -86,14 +85,36 @@ object ComparableMaps {
   }
 }
 
-case class ComparableMapsExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+/** Codegen is one static call against the plan-time source type — the
+ * conversion is type-driven recursion, so there is nothing to specialize per
+ * row; what matters is staying inside whole-stage codegen rather than
+ * breaking the fused projection with a CodegenFallback. */
+case class ComparableMapsExpression(child: Expression) extends UnaryExpression {
   override lazy val dataType: DataType = ComparableMaps.convertType(child.dataType)
   override def nullSafeEval(v: Any): Any = ComparableMaps.convert(v, child.dataType)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val dt = ctx.addReferenceObj("cmSrcType", child.dataType,
+      "org.apache.spark.sql.types.DataType")
+    val javaT = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($javaT) graft.functions.ComparableMaps.convert($c, $dt);")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class ReverseComparableMapsExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ReverseComparableMapsExpression(child: Expression) extends UnaryExpression {
   override lazy val dataType: DataType = ComparableMaps.reverseType(child.dataType)
   override def nullSafeEval(v: Any): Any = ComparableMaps.reverse(v, child.dataType)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val dt = ctx.addReferenceObj("cmSrcType", child.dataType,
+      "org.apache.spark.sql.types.DataType")
+    val javaT = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($javaT) graft.functions.ComparableMaps.reverse($c, $dt);")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -58,6 +58,18 @@ class YamlAndMapsSpec extends AnyFunSuite {
     assert(back.toSet == Set(Map("a" -> 1, "b" -> 2), Map("z" -> 9)))
   }
 
+  test("comparable_maps projections stay inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // non-local source so the projection can't constant-fold away
+    val df = spark.range(1).select(
+        map(lit("b"), col("id") + 2, lit("a"), col("id") + 1).as("m"))
+      .select(c("reverse_comparable_maps(comparable_maps(m))").as("m2"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectFirst { case w: WholeStageCodegenExec => w }.nonEmpty,
+      s"comparable_maps fell out of codegen:\n$plan")
+    assert(df.as[Map[String, Int]].collect().toSeq == Seq(Map("a" -> 1, "b" -> 2)))
+  }
+
   test("comparable_maps handles nesting inside structs") {
     val df = Seq((1, Map("k" -> 2))).toDF("a", "m")
     val out = df.select(c("comparable_maps(struct(a, m))").as("s"))
