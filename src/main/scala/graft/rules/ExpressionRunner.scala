@@ -95,6 +95,62 @@ object ExpressionRunner {
       map(setEntries: _*).as("ruleSetResults")).as(name))
   }
 
+  /** Column name for one rule's flat result: `<name>_<rsId>_<rsV>_<rId>_<rV>`. */
+  def flatColumnName(name: String, ruleSet: Id, rule: Id): String =
+    s"${name}_${ruleSet.id}_${ruleSet.version}_${rule.id}_${rule.version}"
+
+  /**
+   * Flat-column emission: one `struct<result, resultDDL>` column per rule
+   * instead of the single nested map struct. Extracting one rule's result
+   * downstream is then a plain column reference — Catalyst prunes the scan to
+   * exactly that rule's input columns with no optimizer fold in the loop
+   * (the nested shape needs StaticHofUnroll's `rule_result` constant-fold to
+   * prune). Assemble the reference's nested shape only at persist time via
+   * [[assembleExpressionResults]].
+   */
+  def addFlatExpressionResults(
+      df: DataFrame, suite: RuleSuite, name: String = "expressionResults",
+      yamlResults: Boolean = false,
+      renderOptions: Map[String, String] = Map.empty): DataFrame = {
+    val types = ddls(df, suite)
+    val fullScalar = renderOptions.get("useFullScalarType").exists(_.toBoolean)
+    def render(c: Column): Column =
+      if (yamlResults)
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.YamlEncodeExpression(
+            org.apache.spark.sql.graft.Bridge.expression(c), fullScalar))
+      else c.cast(StringType)
+    var i = -1
+    val flatCols = suite.ruleSets.flatMap { rs =>
+      rs.rules.map { r =>
+        i += 1
+        struct(
+          render(Parsing.parseCol(r.sql, suite)).as("result"),
+          lit(types(i)).as("resultDDL")).as(flatColumnName(name, rs.id, r.id))
+      }
+    }
+    df.select(df.columns.map(col) ++ flatCols: _*)
+  }
+
+  /** Fold flat per-rule columns back into the reference's nested struct
+   * (dropping the flat columns) — the persist-time counterpart of
+   * [[addFlatExpressionResults]]. */
+  def assembleExpressionResults(
+      df: DataFrame, suite: RuleSuite, name: String = "expressionResults"): DataFrame = {
+    val flatNames = suite.ruleSets.flatMap(rs =>
+      rs.rules.map(r => flatColumnName(name, rs.id, r.id))).toSet
+    val setEntries = suite.ruleSets.flatMap { rs =>
+      val ruleEntries = rs.rules.flatMap { r =>
+        Seq(lit(Id.pack(r.id)), col(flatColumnName(name, rs.id, r.id)))
+      }
+      Seq(lit(Id.pack(rs.id)), map(ruleEntries: _*))
+    }
+    val nested = struct(
+      lit(Id.pack(suite.id)).as("id"),
+      map(setEntries: _*).as("ruleSetResults"))
+    df.select(df.columns.filterNot(flatNames).map(col) :+ nested.as(name): _*)
+  }
+
   /** strip_result_ddl: drop the DDL field, keeping result strings
    * (reference: impl/ExpressionRunner.scala StripResultTypes). */
   def stripResultDdl(c: Column): Column =

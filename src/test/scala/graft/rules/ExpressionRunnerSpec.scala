@@ -60,6 +60,37 @@ class ExpressionRunnerSpec extends AnyFunSuite {
     assert(out.getString(0) == "42" && out.getString(1) == "INT")
   }
 
+  test("flat emission matches the nested shape and reassembles for persist") {
+    val df = Seq(41).toDF("x")
+    val flat = ExpressionRunner.addFlatExpressionResults(df, suite, "er")
+    val c60 = ExpressionRunner.flatColumnName("er", Id(6, 1), Id(60, 1))
+    val c61 = ExpressionRunner.flatColumnName("er", Id(6, 1), Id(61, 1))
+    assert(flat.columns.toSeq == Seq("x", c60, c61))
+    val r = flat.select(col(s"`$c60`.result"), col(s"`$c60`.resultDDL"), col(s"`$c61`.result"))
+      .collect()(0)
+    assert(r.getString(0) == "42" && r.getString(1) == "INT" && r.getString(2) == "v:41")
+    // reassembled nested struct is byte-identical to the direct nested path
+    val nested = ExpressionRunner.assembleExpressionResults(flat, suite, "er")
+    assert(nested.columns.toSeq == Seq("x", "er"))
+    val direct = ExpressionRunner.addExpressionResults(df, suite, "er")
+    assert(nested.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("flat emission: single-rule extraction prunes the scan to that rule's inputs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flat_er").toString
+    Seq((1, 2, 3)).toDF("x", "y", "z").write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val s = RuleSuite(Id(5, 1), Seq(RuleSet(Id(6, 1), Seq(
+      Rule(Id(60, 1), "x + 1"),
+      Rule(Id(61, 1), "y * 10")))))
+    val one = ExpressionRunner.addFlatExpressionResults(src, s, "er")
+      .select(col(s"`${ExpressionRunner.flatColumnName("er", Id(6, 1), Id(60, 1))}`.result"))
+    val physical = one.queryExecution.executedPlan.toString
+    assert(physical.contains("ReadSchema: struct<x:int>"),
+      s"scan did not prune to the extracted rule's input:\n$physical")
+    assert(one.as[String].collect().toSeq == Seq("2"))
+  }
+
   test("typedExpressionRunner keeps typed results") {
     val s = RuleSuite(Id(5, 1), Seq(RuleSet(Id(6, 1), Seq(Rule(Id(60, 1), "x * 2.5")))))
     val out = ExpressionRunner.addTypedExpressionResults(Seq(4).toDF("x"), s, "double", "er")
