@@ -40,6 +40,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == 0)
   }
 
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+      case q: QueryStageExec => q +: planNodes(q.plan)
+      case other => other +: other.children.flatMap(planNodes)
+    }
+  }
+
+  test("minhash plan, no-broadcast regime: exactly one corpus signature pass via exchange reuse") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // with broadcasting disabled (the shape every join takes once the corpus
+    // outgrows the threshold — i.e. at 100 TB) the band self-join must reuse
+    // ONE shuffle exchange over the signature projection, not compute the
+    // corpus-wide shingle→minhash pass per side
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_plan").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir) // non-local source: projections can't constant-fold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Dedup.minhashNearDups(src, col("doc_id"), col("text"), shingleSize = 2, threshold = 0.5)
+      pairs.collect() // finalize AQE stages
+      val all = planNodes(pairs.queryExecution.executedPlan)
+      val sigNodes = all.count(_.expressions.exists(_.exists(_.isInstanceOf[MinHashExpression])))
+      assert(sigNodes == 1,
+        s"corpus signature pass planned $sigNodes times:\n${pairs.queryExecution.executedPlan}")
+      assert(all.exists(_.isInstanceOf[ReusedExchangeExec]),
+        s"no reused exchange:\n${pairs.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("minhash plan, default regime: broadcast candidate verify, no window") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"), shingleSize = 2, threshold = 0.5)
+    pairs.collect() // finalize AQE stages
+    val all = planNodes(pairs.queryExecution.executedPlan)
+    // the candidate side is tiny vs the corpus: verify joins must broadcast,
+    // and nothing may funnel the corpus through a single-partition window
+    val bhj = all.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"candidate-verify joins not broadcast:\n${pairs.queryExecution.executedPlan}")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
   test("nearDupClusters handles long chains (diameter > 10) with checkpointing") {
     // sliding windows over distinct words: adjacent docs share 37/39 shingles
     // (J≈0.95 ≥ 0.93) but offset-2 pairs only 36/40 (0.9 < 0.93) — a 15-node
