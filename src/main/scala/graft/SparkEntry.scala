@@ -128,6 +128,20 @@ object SparkEntry {
         .groupBy(col("r1"), col("ddl1"), col("r2"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    "q_expression_flat" -> ((s, dir) => {
+      // flat emission: one column per rule, struct assembled only on persist
+      val suite = RuleSuite(Id(5, 1), Seq(RuleSet(Id(50, 1), Seq(
+        Rule(Id(510, 1), "CAST(l_quantity AS INT) * 2"),
+        Rule(Id(511, 1), "upper(l_returnflag)")))))
+      val c510 = ExpressionRunner.flatColumnName("er", Id(50, 1), Id(510, 1))
+      val c511 = ExpressionRunner.flatColumnName("er", Id(50, 1), Id(511, 1))
+      ExpressionRunner.addFlatExpressionResults(lineitem(s, dir), suite, "er")
+        .select(
+          col(s"`$c510`.result").as("r1"), col(s"`$c510`.resultDDL").as("ddl1"),
+          col(s"`$c511`.result").as("r2"))
+        .groupBy(col("r1"), col("ddl1"), col("r2"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
     "q_lambda" -> ((s, dir) => {
       val suite = RuleSuite(Id(6, 1),
         Seq(RuleSet(Id(60, 1), Seq(Rule(Id(610, 1), "disc_price(l_extendedprice, l_discount) < 90000")))),
@@ -465,6 +479,10 @@ object SparkEntry {
         |       END AS folded_price
         |FROM lineitem""".stripMargin,
     "q_expression_runner" ->
+      """SELECT CAST(CAST(l_quantity AS INT) * 2 AS VARCHAR) AS r1,
+        |       'INT' AS ddl1, upper(l_returnflag) AS r2, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
+    "q_expression_flat" ->
       """SELECT CAST(CAST(l_quantity AS INT) * 2 AS VARCHAR) AS r1,
         |       'INT' AS ddl1, upper(l_returnflag) AS r2, count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2, 3""".stripMargin,

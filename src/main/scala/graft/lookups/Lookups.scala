@@ -138,6 +138,8 @@ object Lookups {
     b
   }
 
+  def isBloomRegistered(name: String): Boolean = blooms.containsKey(name)
+
   private[graft] def clear(): Unit = { maps.clear(); blooms.clear() }
 }
 

@@ -107,6 +107,37 @@ class StreamingDqSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming bloom build grows membership across batches and persists") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().toDF("k")
+    val path = java.nio.file.Files.createTempDirectory("graft_sbloom").toString + "/bloom"
+    val query = StreamingBloom.bloomBuilder(
+        stream, col("k"), "stream_keys", expected = 10000, fpp = 0.01,
+        persistPath = Some(path))
+      .start()
+    try {
+      mem.addData(1L to 50L: _*)
+      query.processAllAvailable()
+      def probe(k: Long): Double = Seq(k).toDF("k")
+        .select(graft.functions.dsl.probability_in(col("k"), "stream_keys").as("p"))
+        .as[Double].collect()(0)
+      assert(probe(7L) > 0.9)
+      assert(probe(9999L) == 0.0) // not yet streamed
+      mem.addData(9999L) // second batch ORs into the running filter
+      query.processAllAvailable()
+      assert(probe(9999L) > 0.9)
+      assert(probe(7L) > 0.9, "earlier batch lost in merge")
+      assert(probe(424242L) == 0.0)
+      // persisted bytes reload to the same membership (restart resume)
+      graft.bloom.BloomModel.loadAndRegister(spark, "stream_keys_reloaded", path)
+      val p = Seq(7L).toDF("k")
+        .select(graft.functions.dsl.probability_in(col("k"), "stream_keys_reloaded").as("p"))
+        .as[Double].collect()(0)
+      assert(p > 0.9)
+    } finally query.stop()
+  }
+
   test("heavy-hitters sketch aggregates inside a watermarked stream window") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.Registry.registerAll(spark)
