@@ -367,6 +367,12 @@ object SparkEntry {
       graft.pipeline.Curation.splitByHash(
         docs(s, dir).select(col("doc_id")), col("doc_id"))
     }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // concat-then-chunk sequence packing of the documents token stream
+      graft.pipeline.Curation.packSequences(
+        docs(s, dir), col("doc_id"),
+        graft.pipeline.Text.tokenCount(col("text")), contextLen = 512, numBuckets = 16)
+    }),
     "q_bm25" -> ((s, dir) => {
       // BM25 relevance vs a fixed query-term list; one corpus-stats row
       // broadcast back, scoring pass is narrow
@@ -638,6 +644,21 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM documents)""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS bucket
+        |  FROM documents
+        |), c AS (
+        |  SELECT id, bucket, tokens,
+        |         CAST(COALESCE(SUM(tokens) OVER (PARTITION BY bucket ORDER BY id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM base
+        |)
+        |SELECT id, bucket, s // 512 AS seq_start, s % 512 AS offset,
+        |       (s + GREATEST(tokens - 1, 0)) // 512 AS seq_end, tokens
+        |FROM c""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks

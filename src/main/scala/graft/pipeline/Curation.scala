@@ -19,13 +19,15 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Curation {
 
-  /** Content-addressed bucket in [0, 100): first 8 hex chars of md5 of the
+  /** Content-addressed bucket in [0, n): first 8 hex chars of md5 of the
    * key rendered as a string. Stable across engines (the DuckDB oracle
    * reproduces it exactly) and across runs — re-running a grown corpus
    * keeps every existing row's assignment. */
-  def hashBucket(key: Column): Column =
+  def hashBucketN(key: Column, n: Int): Column =
     conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long") % n
+
+  def hashBucket(key: Column): Column = hashBucketN(key, 100)
 
   /** Deterministic train/val/test split: train gets [0, trainPct), val gets
    * [trainPct, trainPct+valPct), test the rest. */
@@ -72,6 +74,84 @@ object Curation {
       idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("graft_dl").cast("double") / avgdl))
     }.reduce(_ + _)
     scored.select(col("id"), round(score, 6).as(name))
+  }
+
+  /**
+   * Sequence packing, concat-then-chunk scheme (how GPT-style pretraining
+   * lays out its token stream): documents are placed end-to-end in
+   * deterministic id order inside content-hash buckets, and the resulting
+   * token stream splits into fixed `contextLen`-token sequences. Emits one
+   * row per document — (id, bucket, seq_start, offset, seq_end, tokens) —
+   * where a document whose span crosses a boundary continues into the next
+   * sequence (seq_end > seq_start). Content-addressed bucketing makes the
+   * layout reproducible across runs and engines (DuckDB oracle matches).
+   *
+   * Scale: one shuffle keyed on the hash bucket, then a per-bucket ordered
+   * cumulative sum. Each bucket is ONE window partition, so `numBuckets`
+   * bounds task size: size it so corpus_rows / numBuckets rows of
+   * (id, tokens) fit a task comfortably (at 100 TB / ~1e10 docs, 100k
+   * buckets → ~100k 16-byte rows each). No global sort, no single-partition
+   * window.
+   */
+  def packSequences(
+      df: DataFrame, idCol: Column, tokensCol: Column,
+      contextLen: Long, numBuckets: Int = 1024): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.as("id"), tokensCol.cast("long").as("tokens"),
+      hashBucketN(idCol, numBuckets).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("graft_start", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("id"), col("bucket"),
+        expr(s"graft_start DIV $contextLen").as("seq_start"),
+        (col("graft_start") % contextLen).as("offset"),
+        expr(s"(graft_start + greatest(tokens - 1, 0L)) DIV $contextLen").as("seq_end"),
+        col("tokens"))
+  }
+
+  private[pipeline] final case class PackedDoc(
+      id: Long, bucket: Int, seq: Long, offset: Long, tokens: Long, oversize: Boolean)
+
+  /**
+   * Doc-atomic greedy packing: documents never split across sequences.
+   * Within each content-hash bucket, docs are walked in id order; a doc that
+   * would overflow the running `budget`-token bin closes it and starts the
+   * next. Docs longer than the budget occupy a bin alone, flagged
+   * `oversize` (callers usually chunk or drop those upstream). Deterministic
+   * for a given corpus — assignment is a pure function of (ids, tokens).
+   *
+   * Scale: one hash-partitioned shuffle of (id, tokens) — 16 bytes/doc, no
+   * text — then a sorted per-partition linear walk. Bucket count bounds the
+   * per-task row count the same way as [[packSequences]].
+   */
+  def packGreedy(
+      df: DataFrame, idCol: Column, tokensCol: Column,
+      budget: Long, numBuckets: Int = 1024): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), tokensCol.cast("long").as("tokens"),
+        hashBucketN(idCol, numBuckets).cast("int").as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { rows =>
+        // a partition holds whole buckets in (bucket, id) order; reset the
+        // running bin at every bucket change
+        var curBucket = Int.MinValue
+        var seq = 0L
+        var fill = 0L
+        rows.map { case (id, tokens, b) =>
+          if (b != curBucket) { curBucket = b; seq = 0L; fill = 0L }
+          if (fill > 0 && fill + tokens > budget) { seq += 1; fill = 0L }
+          val offset = fill
+          fill += tokens
+          PackedDoc(id, b, seq, offset, tokens, tokens > budget)
+        }
+      }
+      .toDF()
   }
 
   /**

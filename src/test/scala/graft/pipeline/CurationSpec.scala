@@ -69,6 +69,52 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) == score(3.0, 4.0, 2.0))
   }
 
+  test("packSequences chunks the per-bucket token stream at context boundaries") {
+    // one bucket so the layout is a single stream: tokens 300, 300, 600, 10
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 600L), (4L, 10L)).toDF("id", "tok")
+    val out = Curation.packSequences(df, col("id"), col("tok"), contextLen = 512, numBuckets = 1)
+      .orderBy("id")
+      .select("id", "seq_start", "offset", "seq_end", "tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L, 300L),     // [0, 300)
+      (2L, 0L, 300L, 1L, 300L),   // [300, 600) — crosses the 512 boundary
+      (3L, 1L, 88L, 2L, 600L),    // [600, 1200) — crosses 1024
+      (4L, 2L, 176L, 2L, 10L)))   // [1200, 1210)
+    // bucketed layout is deterministic and independent of input partitioning
+    val big = spark.range(500).select(col("id"), (col("id") % 37 + 1).as("tok"))
+    val p1 = Curation.packSequences(big, col("id"), col("tok"), 128, 8).collect().toSet
+    val p2 = Curation.packSequences(big.repartition(13), col("id"), col("tok"), 128, 8)
+      .collect().toSet
+    assert(p1 == p2)
+  }
+
+  test("packGreedy keeps docs atomic, bins under budget, oversize flagged") {
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 600L), (4L, 10L), (5L, 100L))
+      .toDF("id", "tok")
+    val out = Curation.packGreedy(df, col("id"), col("tok"), budget = 512, numBuckets = 1)
+      .orderBy("id")
+      .select("id", "seq", "offset", "oversize")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, false),   // bin 0: 300
+      (2L, 1L, 0L, false),   // 300+300 > 512 → bin 1: 300
+      (3L, 2L, 0L, true),    // 600 > budget → bin 2 alone, oversize
+      (4L, 3L, 0L, false),   // bin 3: 10
+      (5L, 3L, 10L, false))) // bin 3: 10+100
+    // invariant on a larger corpus: no bin exceeds budget unless oversize,
+    // and assignment is independent of input partitioning
+    val big = spark.range(800).select(col("id"), (col("id") % 97 + 1).as("tok"))
+    val packed = Curation.packGreedy(big, col("id"), col("tok"), 256, 8)
+    val bins = packed.groupBy("bucket", "seq")
+      .agg(sum("tokens").as("t"), max(when(col("oversize"), 1).otherwise(0)).as("os"))
+      .as[(Int, Long, Long, Int)].collect()
+    assert(bins.forall { case (_, _, t, os) => t <= 256 || os == 1 })
+    val again = Curation.packGreedy(big.repartition(11), col("id"), col("tok"), 256, 8)
+      .collect().toSet
+    assert(packed.collect().toSet == again)
+  }
+
   test("decontaminate flags docs overlapping benchmark n-grams") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),  // contains the bench 4-gram
