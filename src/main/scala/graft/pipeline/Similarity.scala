@@ -215,6 +215,50 @@ object Similarity {
       k)
   }
 
+  /**
+   * Auto-tune nprobe for a persisted IVF index: run a (small) query sample
+   * at doubling nprobe values and return the smallest one whose recall@k
+   * against the exact brute-force answer — computed over the index's own
+   * cells table — meets `targetRecall`, together with the measured recall.
+   * Tuning costs ≤ log2(nlist)+1 sample searches plus ONE brute-force pass
+   * over the corpus for the sample; pay it once per index build (alongside
+   * ivfBuild), never per query batch. Keep the sample small (tens of
+   * queries) — recall estimates converge fast and the brute-force ground
+   * truth is the expensive part.
+   */
+  def ivfAutoTuneNprobe(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      sampleQueries: DataFrame, idCol: String, vecCol: String, k: Int,
+      targetRecall: Double = 0.9): (Int, Double) = {
+    require(targetRecall > 0 && targetRecall <= 1, "targetRecall must be in (0, 1]")
+    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("neighbor_id").as(idCol), col("cv0").as(vecCol))
+    val truth = bruteForceTopK(cells, sampleQueries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val truthCount = truth.count().toDouble
+    try {
+      var nprobe = 1
+      var recall = 0.0
+      while (nprobe < nlist && recall < targetRecall) {
+        recall = recallAt(spark, path, sampleQueries, idCol, vecCol, k, nprobe, truth, truthCount)
+        if (recall < targetRecall) nprobe = math.min(nprobe * 2, nlist)
+      }
+      if (recall < targetRecall)
+        recall = recallAt(spark, path, sampleQueries, idCol, vecCol, k, nprobe, truth, truthCount)
+      (nprobe, recall)
+    } finally truth.unpersist()
+  }
+
+  private def recallAt(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      sampleQueries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, truth: DataFrame, truthCount: Double): Double = {
+    val got = ivfSearch(spark, path, sampleQueries, idCol, vecCol, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    got.join(truth, Seq("query_id", "neighbor_id"), "leftsemi").count() / truthCount
+  }
+
   // (IVF expression machinery lives below the object)
 
   /**

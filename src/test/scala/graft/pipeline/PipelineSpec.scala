@@ -290,6 +290,33 @@ class PipelineSpec extends AnyFunSuite {
       s"no partition pruning on cells scan:\n$plan")
   }
 
+  test("ivf nprobe auto-tune finds the smallest probe count hitting the recall target") {
+    val rng = new scala.util.Random(13)
+    val base = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 10) 1.0f else 0.0f))
+    val rows = (0L until 90L).map { id =>
+      (id, base((id % 3).toInt).map(x => x + rng.nextFloat() * 0.2f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_tune").toString
+    Similarity.ivfBuild(df, "vec_id", "embedding", dir, nlist = 4, iters = 3)
+    val sample = df.where(col("vec_id") < 8)
+    val (nprobe, recall) = Similarity.ivfAutoTuneNprobe(
+      spark, dir, sample, "vec_id", "embedding", k = 5, targetRecall = 0.9)
+    assert(nprobe >= 1 && nprobe <= 4)
+    assert(recall >= 0.9, s"auto-tune returned nprobe=$nprobe with recall=$recall")
+    // the tuned nprobe reproduces that recall through the public search path
+    val got = Similarity.ivfSearch(spark, dir, sample, "vec_id", "embedding", 5, nprobe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select(col("neighbor_id").as("vec_id"), col("cv0").as("embedding"))
+    val bf = Similarity.bruteForceTopK(cells, sample, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((bf intersect got).size.toDouble / bf.size >= 0.9)
+  }
+
   test("embedding near dups finds duplicated vectors") {
     val withDup = (embs :+ (999L -> embs.head._2)).toDF("vec_id", "embedding")
     val pairs = Similarity.embeddingNearDups(withDup, "vec_id", "embedding", 0.999, dim = 16)
