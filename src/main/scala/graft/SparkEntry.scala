@@ -367,6 +367,14 @@ object SparkEntry {
       graft.pipeline.Curation.splitByHash(
         docs(s, dir).select(col("doc_id")), col("doc_id"))
     }),
+    "q_sample_budget" -> ((s, dir) => {
+      // deterministic domain-mix sampling: src0 capped, others kept whole
+      graft.pipeline.Curation.sampleToTokenBudget(
+        docs(s, dir), col("doc_id"), col("source"),
+        graft.pipeline.Text.tokenCount(col("text")),
+        Map("src0" -> 2000L, "src1" -> 1000L))
+        .select(col("doc_id"), col("source"))
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // concat-then-chunk sequence packing of the documents token stream
       graft.pipeline.Curation.packSequences(
@@ -644,6 +652,23 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM documents)""".stripMargin,
+    "q_sample_budget" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents
+        |), fr AS (
+        |  SELECT source,
+        |         CASE source
+        |           WHEN 'src0' THEN LEAST(1.0, 2000.0 / SUM(tokens))
+        |           WHEN 'src1' THEN LEAST(1.0, 1000.0 / SUM(tokens))
+        |           ELSE 1.0 END AS frac
+        |  FROM base GROUP BY source
+        |)
+        |SELECT b.doc_id, b.source
+        |FROM base b JOIN fr USING (source)
+        |WHERE (CAST(concat('0x', substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       / 4294967296.0) < fr.frac""".stripMargin,
     "q_pack_sequences" ->
       """WITH base AS (
         |  SELECT doc_id AS id,

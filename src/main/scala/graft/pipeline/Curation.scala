@@ -77,6 +77,44 @@ object Curation {
   }
 
   /**
+   * Deterministic domain-mix sampling to token budgets — the "reweight web
+   * down, keep code at 100%" step of training-data prep. For every domain
+   * with a budget, rows are kept with probability
+   * min(1, budget / domainTokens); domains without a budget keep everything.
+   * Selection is content-addressed (keep iff the id's md5-fraction falls
+   * under the domain's keep-fraction), so the sample is a pure function of
+   * (id, fraction): reproducible across runs and engines, no RNG state.
+   *
+   * Scale: one small per-domain aggregate broadcast back onto a narrow
+   * filter — the corpus itself never shuffles.
+   */
+  def sampleToTokenBudget(
+      df: DataFrame, idCol: Column, domainCol: Column, tokensCol: Column,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "provide at least one domain budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.withColumn("graft_dom", domainCol)
+      .withColumn("graft_tok", tokensCol.cast("long"))
+    val budgetDf = budgets.toSeq.toDF("graft_dom", "graft_budget")
+    val fractions = base.groupBy(col("graft_dom"))
+      .agg(sum(col("graft_tok")).as("graft_tot"))
+      .join(budgetDf, Seq("graft_dom"), "left")
+      .select(col("graft_dom"),
+        when(col("graft_budget").isNull, lit(1.0))
+          .otherwise(least(lit(1.0),
+            col("graft_budget").cast("double") / col("graft_tot").cast("double")))
+          .as("graft_frac"))
+    // md5-fraction of the id in [0, 1): first 8 hex chars / 2^32 — the same
+    // content-addressed uniform the split/bucket operators use
+    val u = conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    base.join(broadcast(fractions), "graft_dom")
+      .where(u < col("graft_frac"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /**
    * Sequence packing, concat-then-chunk scheme (how GPT-style pretraining
    * lays out its token stream): documents are placed end-to-end in
    * deterministic id order inside content-hash buckets, and the resulting

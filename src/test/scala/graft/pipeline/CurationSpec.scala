@@ -69,6 +69,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) == score(3.0, 4.0, 2.0))
   }
 
+  test("sampleToTokenBudget hits budgets in expectation, keeps unbudgeted domains whole") {
+    val docs = (0L until 2000L).map { i =>
+      val dom = if (i % 2 == 0) "web" else "code"
+      (i, dom, 100L) // 1000 docs x 100 tokens per domain
+    }.toDF("id", "dom", "tok")
+    val out = Curation.sampleToTokenBudget(
+      docs, col("id"), col("dom"), col("tok"), Map("web" -> 25000L))
+    val byDom = out.groupBy("dom").agg(sum("tok").as("t"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // code has no budget: all 100k tokens survive
+    assert(byDom("code") == ((100000L, 1000L)))
+    // web budget 25k of 100k → keep-fraction 0.25; md5 uniform ⇒ ±5σ ≈ ±68
+    val kept = byDom("web")._2
+    assert(kept > 180 && kept < 320, s"web kept $kept of 1000 at fraction 0.25")
+    // content-addressed: identical resample, and budget ≥ total keeps all
+    val again = Curation.sampleToTokenBudget(
+      docs.repartition(7), col("id"), col("dom"), col("tok"), Map("web" -> 25000L))
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    val all = Curation.sampleToTokenBudget(
+      docs, col("id"), col("dom"), col("tok"), Map("web" -> 500000L))
+    assert(all.count() == 2000)
+  }
+
   test("packSequences chunks the per-bucket token stream at context boundaries") {
     // one bucket so the layout is a single stream: tokens 300, 300, 600, 10
     val df = Seq((1L, 300L), (2L, 300L), (3L, 600L), (4L, 10L)).toDF("id", "tok")
