@@ -77,11 +77,18 @@ object Dedup {
     val sigs = docs.select(col("id"),
       Text.minhash(Text.shingles(col("text"), shingleSize), numHashes).as("sig"))
 
-    // band rows: (band, bucket=hash of the band's signature slice, id)
+    // band rows: (band, bucket=hash of the band's signature slice, id).
+    // The explicit repartition on the self-join key materializes the corpus
+    // signature pass behind ONE exchange that every downstream consumer
+    // (bucket-size cap, both self-join sides) reads — the same exchange a
+    // sort-merge join would demand anyway, so no extra shuffle at scale,
+    // and a broadcast-demoted join can no longer recompute the signature
+    // subtree per side
     val rawBandRows = sigs
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
+      .repartition(col("band"), col("bucket"))
 
     // skew guard (maxBucketSize > 0): a corpus with massive exact-duplicate
     // clusters puts whole clusters into one bucket in EVERY band →
@@ -131,10 +138,16 @@ object Dedup {
       shingleSize: Int = 3, maxHamming: Int = 8): DataFrame = {
     val base = df.select(idCol.as("id"),
       Text.simhash(Text.shingles(textCol, shingleSize)).as("sig"))
+    // explicit shuffle on the join key: the band self-join's two sides then
+    // read ONE materialized exchange (the same exchange a sort-merge join
+    // would demand anyway), so the corpus-wide shingle→simhash pass is
+    // computed exactly once in every regime — without this, a broadcast-
+    // demoted join recomputes the signature subtree per side
     val bandRows = base.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("id"), col("sig"), col("band"),
         expr("shiftrightunsigned(sig, band * 16)").bitwiseAND(lit(0xffffL)).as("bucket"))
+      .repartition(col("band"), col("bucket"))
     val l = bandRows.as("l")
     val r = bandRows.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

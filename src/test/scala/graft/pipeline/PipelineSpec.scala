@@ -65,7 +65,13 @@ class PipelineSpec extends AnyFunSuite {
       val pairs = Dedup.minhashNearDups(src, col("doc_id"), col("text"), shingleSize = 2, threshold = 0.5)
       pairs.collect() // finalize AQE stages
       val all = planNodes(pairs.queryExecution.executedPlan)
-      val sigNodes = all.count(_.expressions.exists(_.exists(_.isInstanceOf[MinHashExpression])))
+      // count compute sites (projections) only — pushed-down null filters
+      // and scans echo the expression without evaluating the corpus pass
+      val sigNodes = all.count {
+        case p: org.apache.spark.sql.execution.ProjectExec =>
+          p.expressions.exists(_.exists(_.isInstanceOf[MinHashExpression]))
+        case _ => false
+      }
       assert(sigNodes == 1,
         s"corpus signature pass planned $sigNodes times:\n${pairs.queryExecution.executedPlan}")
       assert(all.exists(_.isInstanceOf[ReusedExchangeExec]),
@@ -83,6 +89,27 @@ class PipelineSpec extends AnyFunSuite {
     val bhj = all.collect { case b: BroadcastHashJoinExec => b }
     assert(bhj.size >= 2, s"candidate-verify joins not broadcast:\n${pairs.queryExecution.executedPlan}")
     assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
+  test("simhash plan: one corpus signature pass in any regime (explicit band shuffle)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_plan").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val pairs = Dedup.simhashNearDups(src, col("doc_id"), col("text"), shingleSize = 2)
+    pairs.collect() // finalize AQE stages
+    val all = planNodes(pairs.queryExecution.executedPlan)
+    // the explicit repartition on (band, bucket) materializes the signature
+    // projection behind one exchange both self-join sides read — even a
+    // broadcast-demoted join cannot recompute the corpus pass. Count compute
+    // sites (projections) only: the pushed-down isnotnull filter and the
+    // scan echo the expression without evaluating it per consumer.
+    val sigNodes = all.count {
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.expressions.exists(_.exists(_.isInstanceOf[SimHashExpression]))
+      case _ => false
+    }
+    assert(sigNodes == 1,
+      s"corpus simhash pass planned $sigNodes times:\n${pairs.queryExecution.executedPlan}")
   }
 
   test("nearDupClusters handles long chains (diameter > 10) with checkpointing") {
