@@ -274,8 +274,13 @@ object Similarity {
       dim: Int = 64, nPlanes: Int = 16, tables: Int = 4): DataFrame = {
     val buckets = array((0 until tables).map(t =>
       lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t * 1000L)): _*)
+    // explicit shuffle on the self-join key (same rationale as the minhash/
+    // simhash band shuffle): both sides read ONE materialized exchange, so
+    // the tables×nPlanes hyperplane projections run once per row in every
+    // regime instead of once per join side
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(buckets).as(Seq("table", "bucket")))
+        posexplode(buckets).as(Seq("table", "bucket")))
+      .repartition(col("table"), col("bucket"))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
