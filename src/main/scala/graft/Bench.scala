@@ -15,20 +15,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // per-query median over `reps` runs: single runs on a shared box swing
-    // 2-4x per query (measured r1->r2), medians make rounds comparable
+    // per-query median over `reps` INTERLEAVED suite passes: single runs on
+    // a shared box swing 2-4x per query (measured r1->r2); running the whole
+    // suite per rep (instead of reps back-to-back per query) decorrelates a
+    // transient load spike from any one query, so medians stay honest
+    // (r3's q_dedup_skew 10.7s scare was exactly such clustering).
     // A failed rep must not enter the median as a (fast) time — record the
     // failure and keep only successful rep times; all-failed → time -1.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var failed = false
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => failed = true; false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }.sorted
-      name -> (if (times.nonEmpty) times(times.size / 2) else -1.0, failed)
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val failedQ = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to reps; name <- names) {
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => failedQ += name; false }
+      if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    val results = names.map { name =>
+      val times = samples(name).sorted
+      name -> (if (times.nonEmpty) times(times.size / 2) else -1.0, failedQ.contains(name))
+    }.toMap
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, true)) => "\"" + k + "\"" }

@@ -35,6 +35,28 @@ object StreamingDq {
       .dropDuplicatesWithinWatermark("graft_fp")
       .drop("graft_fp")
 
+  /**
+   * Streaming gap-based sessionization — the streaming counterpart of
+   * `graft.operators.Sessionize.sessionStats`, on Spark's native
+   * `session_window`: a key's session stays open while events keep arriving
+   * within `gap` and closes once the watermark passes its end, so state is
+   * bounded and each finalized session emits exactly one append-mode row
+   * (key, session_start, session_end, events, duration_secs).
+   */
+  def streamingSessionStats(
+      stream: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("events"),
+        (unix_timestamp(col("session_window.end")) -
+          unix_timestamp(col("session_window.start"))).as("duration_secs"))
+
   /** Watermarked per-window pass/fail counts of the suite's overall result. */
   def windowedPassRate(
       stream: DataFrame, suite: RuleSuite,

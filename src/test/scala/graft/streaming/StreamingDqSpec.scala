@@ -107,6 +107,32 @@ class StreamingDqSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sessionization closes gap-separated sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "user")
+    val out = StreamingDq.streamingSessionStats(stream, "user", "ts", "5 minutes", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // u1: two events 2min apart (one session), then a 20-min gap → next
+      // event opens a second session; u2: one event
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "u1"),
+        (Timestamp.valueOf("2026-01-01 10:02:00"), "u1"),
+        (Timestamp.valueOf("2026-01-01 10:22:00"), "u1"),
+        (Timestamp.valueOf("2026-01-01 10:01:00"), "u2"))
+      query.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "u1")) // advance watermark
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user, events, duration_secs FROM sess_stream ORDER BY user, duration_secs DESC")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(rows == Seq(("u1", 2L, 420L), ("u1", 1L, 300L), ("u2", 1L, 300L)),
+        s"unexpected sessions: $rows")
+    } finally query.stop()
+  }
+
   test("streaming bloom build grows membership across batches and persists") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
