@@ -7,7 +7,8 @@ import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -143,44 +144,86 @@ object Lookups {
   private[graft] def clear(): Unit = { maps.clear(); blooms.clear() }
 }
 
-/** map_lookup(expr, 'name') — broadcast map get, null when missing. */
+/** map_lookup(expr, 'name') — broadcast map get, null when missing. These
+ * probe expressions run per row over whole-table scans (they exist to
+ * replace dimension joins), so they codegen as one instance call and keep
+ * the projection inside whole-stage codegen instead of falling back. */
 case class MapLookupExpression(child: Expression, name: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val lk = Lookups.mapLookup(name)
   override def dataType: DataType = lk.valueType
   override def nullable: Boolean = true
-  override def nullSafeEval(k: Any): Any = lk.data.value.getOrElse(lk.canonical(k), null)
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** map_contains(expr, 'name'). */
-case class MapContainsExpression(child: Expression, name: String)
-    extends UnaryExpression with CodegenFallback {
-  @transient private lazy val lk = Lookups.mapLookup(name)
-  override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
-  override def eval(input: InternalRow): Any = {
-    val k = child.eval(input)
-    k != null && lk.data.value.contains(lk.canonical(k))
+  override def nullSafeEval(k: Any): Any = probe(k)
+  /** Codegen entry point. */
+  def probe(k: Any): Any = lk.data.value.getOrElse(lk.canonical(k), null)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftMapLookup", this, classOf[MapLookupExpression].getName)
+    val res = ctx.freshName("graftProbe")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      ${CodeGenerator.javaType(dataType)} ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!${c.isNull}) {
+        Object $res = $ref.probe(${c.value});
+        if ($res != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $res;
+        }
+      }""")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** probability_in(expr, 'name') — 0.0 if definitely absent, else the
- * registered filter's confidence (reference probabilityIn). */
+/** map_contains(expr, 'name'); null keys are simply not contained. */
+case class MapContainsExpression(child: Expression, name: String)
+    extends UnaryExpression {
+  @transient private lazy val lk = Lookups.mapLookup(name)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = containsKey(child.eval(input))
+  /** Codegen entry point. */
+  def containsKey(k: Any): Boolean = k != null && lk.data.value.contains(lk.canonical(k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftMapContains", this, classOf[MapContainsExpression].getName)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.value} = false;
+      if (!${c.isNull}) { ${ev.value} = $ref.containsKey(${c.value}); }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** probability_in(expr, 'name') — 0.0 if definitely absent (null keys
+ * included), else the registered filter's confidence (reference
+ * probabilityIn). */
 case class ProbabilityInExpression(child: Expression, name: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val entry = Lookups.bloom(name)
   @transient private lazy val filters: Array[BlockSplitBloomFilter] =
     entry.buckets.value.map(new BlockSplitBloomFilter(_))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
-  override def nullSafeEval(v: Any): Any = {
+  override def eval(input: InternalRow): Any = probe(child.eval(input))
+  /** Codegen entry point. */
+  def probe(v: Any): Double = {
+    if (v == null) return 0.0
     val h = Bloom.hashOf(v, child.dataType, filters(0))
     val bucket = if (filters.length == 1) 0 else ((h >>> 33) % filters.length).toInt
     // probable hit → confidence = 1 - fpp (reference probabilityIn semantics:
     // "present" yields e.g. 0.99 at fpp=0.01, so probability_in(x,'ids') > 0.9 passes)
     if (filters(bucket).findHash(h)) 1.0 - entry.fpp else 0.0
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftProbIn", this, classOf[ProbabilityInExpression].getName)
+    ev.copy(code = code"""
+      ${c.code}
+      double ${ev.value} = 0.0;
+      if (!${c.isNull}) { ${ev.value} = $ref.probe(${c.value}); }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

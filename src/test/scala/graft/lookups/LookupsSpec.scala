@@ -24,6 +24,30 @@ class LookupsSpec extends AnyFunSuite {
       Seq(("CHF", true), ("USD", true), (null, false)))
   }
 
+  test("broadcast probes stay inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    Lookups.registerMapLookups(spark, Map(
+      "ccy_cg" -> (() => {
+        val df = Seq(("CH", "CHF"), ("US", "USD")).toDF("country", "ccy")
+        (df, col("country"), col("ccy"))
+      })))
+    Lookups.registerBloomFrom(spark, "ids_cg", spark.range(100).toDF("id"),
+      col("id"), 1000, 0.01)
+    // non-local source so the projection can't constant-fold away
+    val df = spark.range(3)
+      .select(when(col("id") === 0, "CH").when(col("id") === 1, "US").otherwise("XX").as("ctry"),
+        col("id"))
+      .select(
+        c("map_lookup(ctry, 'ccy_cg')").as("ccy"),
+        c("map_contains(ctry, 'ccy_cg')").as("has"),
+        c("probability_in(id, 'ids_cg')").as("p"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectFirst { case w: WholeStageCodegenExec => w }.nonEmpty,
+      s"lookup probes fell out of codegen:\n$plan")
+    val rows = df.collect().map(r => (r.getString(0), r.getBoolean(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("CHF", true, 0.99), ("USD", true, 0.99), (null, false, 0.99)))
+  }
+
   test("map_lookup with struct values") {
     Lookups.registerMapLookups(spark, Map(
       "cc2" -> (() => {
