@@ -381,6 +381,13 @@ object SparkEntry {
         docs(s, dir), col("doc_id"),
         graft.pipeline.Text.tokenCount(col("text")), contextLen = 512, numBuckets = 16)
     }),
+    "q_pack_greedy" -> ((s, dir) => {
+      // doc-atomic greedy first-fit packing; DuckDB replays the greedy
+      // recurrence with a recursive CTE
+      graft.pipeline.Curation.packGreedy(
+        docs(s, dir), col("doc_id"),
+        graft.pipeline.Text.tokenCount(col("text")), budget = 512, numBuckets = 16)
+    }),
     "q_bm25" -> ((s, dir) => {
       // BM25 relevance vs a fixed query-term list; one corpus-stats row
       // broadcast back, scoring pass is narrow
@@ -684,6 +691,26 @@ object SparkEntry {
         |SELECT id, bucket, s // 512 AS seq_start, s % 512 AS offset,
         |       (s + GREATEST(tokens - 1, 0)) // 512 AS seq_end, tokens
         |FROM c""".stripMargin,
+    "q_pack_greedy" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+        |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS INT) AS bucket
+        |  FROM documents
+        |), numbered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM base
+        |), packed AS (
+        |  SELECT bucket, rn, id, tokens, CAST(0 AS BIGINT) AS seq, tokens AS fill
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.bucket, n.rn, n.id, n.tokens,
+        |         CASE WHEN p.fill + n.tokens > 512 THEN p.seq + 1 ELSE p.seq END,
+        |         CASE WHEN p.fill + n.tokens > 512 THEN n.tokens ELSE p.fill + n.tokens END
+        |  FROM numbered n JOIN packed p ON n.bucket = p.bucket AND n.rn = p.rn + 1
+        |)
+        |SELECT id, bucket, seq, fill - tokens AS "offset", tokens,
+        |       (tokens > 512) AS oversize
+        |FROM packed""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
