@@ -419,6 +419,12 @@ object SparkEntry {
         graft.pipeline.Text.bpeTokenEstimate(col("text")).as("n_bpe"),
         graft.pipeline.Text.bpeTokenCount(col("text")).as("n_bpe_regex"))
     }),
+    "q_text_gopher" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), graft.pipeline.Text.gopherQuality(col("text"), minWords = 20).as("g"))
+        .select(col("doc_id"), col("g.word_count"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.alpha_word_ratio"), col("g.stopword_hits"), col("g.pass"))
+    }),
     "q_text_quality" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.qualityScore(col("text")).as("q"))
@@ -807,6 +813,26 @@ object SparkEntry {
         |       len(regexp_extract_all(text,
         |         '(''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+)')) AS n_bpe_regex
         |FROM documents""".stripMargin,
+    "q_text_gopher" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS word_count,
+        |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len,
+        |         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS symbol_ratio,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                              w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS alpha_word_ratio,
+        |         len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS stopword_hits
+        |  FROM documents
+        |)
+        |SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_word_ratio, stopword_hits,
+        |       (word_count >= 20 AND word_count <= 100000
+        |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        |        AND stopword_hits >= 2) AS pass
+        |FROM m""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |       (CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE))

@@ -68,6 +68,36 @@ object Text {
     lit(1.0) - size(array_distinct(ws)).cast(DoubleType) / size(ws).cast(DoubleType)
   }
 
+  /**
+   * Gopher-style document quality measures (Rae et al. 2021, "Scaling
+   * Language Models: Methods, Analysis & Insights from Training Gopher",
+   * table A1 heuristics): word count bounds, mean word length, symbol-to-
+   * word ratio (# and ellipsis), fraction of words containing an alphabetic
+   * character, and stop-word presence. Returns a struct of the measures plus
+   * the combined `pass` flag; every measure is plain deterministic SQL so
+   * the DuckDB oracle replicates it bit-for-bit. Narrow projection — no
+   * shuffle at any scale.
+   */
+  def gopherQuality(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val ws = split(trim(text), "\\s+")
+    val wc = size(ws)
+    val wcD = wc.cast(DoubleType)
+    val meanWordLen = length(regexp_replace(text, "\\s+", "")).cast(DoubleType) / wcD
+    val symbolRatio =
+      (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\."))).cast(DoubleType) / wcD
+    val alphaRatio = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / wcD
+    val stops = regexp_count(lower(text), lit("\\b(the|be|to|of|and|that|have|with)\\b"))
+    struct(
+      wc.as("word_count"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      stops.as("stopword_hits"),
+      (wc >= minWords && wc <= maxWords &&
+        meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+        symbolRatio <= 0.1 && alphaRatio >= 0.8 && stops >= 2).as("pass"))
+  }
+
   /** Distinct word n-gram shingles (lowercased). The words array is bound as
    * a lambda variable (single-element transform) so the split runs ONCE per
    * row — inlining it into the per-shingle lambda would be O(words²). */

@@ -189,6 +189,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(2, 6, 5))
   }
 
+  test("gopher quality heuristics measure and gate documents") {
+    val good = ("the data should be part of " * 10).trim // 60 words, clean
+    val symbols = "the be of ### and ... ### that ... have #" // symbol-heavy
+    val numeric = "the be 111 222 333 444 555 666 777 888"   // low alpha ratio
+    val out = Seq(good, symbols, numeric).toDF("text")
+      .select(Text.gopherQuality(col("text"), minWords = 5).as("g"))
+      .select("g.word_count", "g.mean_word_len", "g.symbol_ratio",
+        "g.alpha_word_ratio", "g.stopword_hits", "g.pass")
+      .collect()
+    assert(out(0).getInt(0) == 60 && out(0).getBoolean(5),
+      s"clean doc should pass: ${out(0)}")
+    assert(out(0).getDouble(3) == 1.0 && out(0).getInt(4) >= 2)
+    assert(!out(1).getBoolean(5) && out(1).getDouble(2) > 0.1,
+      s"symbol-heavy doc should fail on symbol_ratio: ${out(1)}")
+    assert(!out(2).getBoolean(5) && out(2).getDouble(3) < 0.8,
+      s"numeric doc should fail on alpha_word_ratio: ${out(2)}")
+  }
+
   test("text functions: tokens, lang, quality") {
     val out = Seq("the cat and the dog", "der hund und die katze und")
       .toDF("text")
