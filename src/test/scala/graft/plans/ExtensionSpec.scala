@@ -134,12 +134,14 @@ class ExtensionSpec extends AnyFunSuite {
         |       size(minhash(shingles(ta, 2), 16)) AS mh,
         |       simhash(shingles(ta, 2)) AS sh,
         |       size(winnow_fingerprint(ta)) AS fp,
+        |       gopher_quality(ta, 3).pass AS gq,
         |       ngram_jaccard(ta, ta, 2) AS self_j,
         |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs
         |FROM graft_sql_pipe""".stripMargin).collect()(0)
     assert(row.getInt(0) == 6 && row.getString(1) == "en")
     assert(row.getInt(2) == 16 && row.getInt(4) > 0)
-    assert(row.getDouble(5) == 1.0 && math.abs(row.getDouble(6) - 1.0) < 1e-12)
+    assert(!row.getBoolean(5)) // 6 words: no stopword hits → gopher gate fails
+    assert(row.getDouble(6) == 1.0 && math.abs(row.getDouble(7) - 1.0) < 1e-12)
   }
 
   test("processIfAttributeMissing picks first present alternative") {
