@@ -53,12 +53,15 @@ object Text {
   }
 
   /** Simple quality score: whitespace ratio + alpha ratio - digit ratio,
-   * computed with a fixed operation order so oracles match bit-for-bit. */
+   * computed with a fixed operation order so oracles match bit-for-bit.
+   * Empty text scores 0.0 — without the guard the ratio divisions raise
+   * DIVIDE_BY_ZERO under ANSI mode (Spark 4 default). */
   def qualityScore(text: Column): Column = {
     val n = length(text).cast(DoubleType)
     val spaces = (length(text) - length(regexp_replace(text, " ", ""))).cast(DoubleType)
     val digits = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast(DoubleType)
-    (spaces / n) + (lit(1.0) - (digits / n))
+    when(n === 0.0, lit(0.0))
+      .otherwise((spaces / n) + (lit(1.0) - (digits / n)))
   }
 
   /** Repetition ratio: 1 - distinct_words/words (lowercased whitespace
