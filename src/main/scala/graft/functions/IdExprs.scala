@@ -84,9 +84,11 @@ case class RngIdExpression(prefix: String, seed: Long)
     InternalRow(IdModel.base(2, IdModel.RandomHeader), rng.nextLong(), rng.nextLong())
 }
 
-/** Generic re-tag of a longs payload: field_based_id / provided_id families. */
+/** Generic re-tag of a longs payload: field_based_id / provided_id families.
+ * Codegen: one instance call (the id fns run in ingestion projections over
+ * whole tables — keep them fused). */
 case class LongsIdExpression(prefix: String, header: Int, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   // array<long> payloads declare a fixed 2-long id (the type must be known at
   // analysis time); eval enforces length==2 with a clear error rather than
   // mis-casting (reference requires a fixed long count too)
@@ -97,7 +99,9 @@ case class LongsIdExpression(prefix: String, header: Int, child: Expression)
       s"id payload must be a struct of longs or array<long>, got ${other.sql}")
   }
   override def dataType: DataType = IdModel.idType(prefix, nLongs)
-  override def nullSafeEval(v: Any): Any = {
+  override def nullSafeEval(v: Any): Any = retag(v)
+  /** Codegen entry point. */
+  def retag(v: Any): InternalRow = {
     val longs = v match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         require(a.numElements() == nLongs,
@@ -107,44 +111,71 @@ case class LongsIdExpression(prefix: String, header: Int, child: Expression)
     }
     InternalRow.fromSeq(IdModel.base(longs.length, header) +: longs)
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("graftLongsId", this, classOf[LongsIdExpression].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.retag($c);")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** id_size(id) → total bits (32 + 64*n). */
-case class IdSizeExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+/** id_size(id) → total bits (32 + 64*n) — a plan-time constant. */
+case class IdSizeExpression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   @transient private lazy val bits = child.dataType match {
     case s: StructType => 32 + 64 * (s.fields.length - 1)
     case other => throw new IllegalArgumentException(s"id_size expects an id struct, got ${other.sql}")
   }
   override def nullSafeEval(v: Any): Any = bits
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, _ => s"$bits")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** id_raw_type(id) → type name decoded from the header bits. */
-case class IdRawTypeExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+case class IdRawTypeExpression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any = {
-    val row = v.asInstanceOf[InternalRow]
-    UTF8String.fromString(IdModel.typeName(IdModel.headerOf(row.getInt(0))))
-  }
+  override def nullSafeEval(v: Any): Any = IdAlgos.rawType(v.asInstanceOf[InternalRow])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IdAlgos.rawType($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static forwarders for generated code. */
+object IdAlgos {
+  def rawType(row: InternalRow): UTF8String =
+    UTF8String.fromString(IdModel.typeName(IdModel.headerOf(row.getInt(0))))
+}
+
 /** id_base64(id | base, i0, i1…) → url-safe base64 of the packed bytes. */
-case class IdBase64Expression(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class IdBase64Expression(children: Seq[Expression]) extends Expression {
   override def nullable: Boolean = true
   override def dataType: DataType = StringType
+
+  @transient private lazy val structArity = children match {
+    case Seq(one) if one.dataType.isInstanceOf[StructType] =>
+      Some(one.dataType.asInstanceOf[StructType].fields.length)
+    case _ => None
+  }
+
   override def eval(input: InternalRow): Any = {
-    val parts: Seq[Any] = children match {
-      case Seq(one) if one.dataType.isInstanceOf[StructType] =>
-        val row = one.eval(input)
-        if (row == null) return null
-        val r = row.asInstanceOf[InternalRow]
-        val n = one.dataType.asInstanceOf[StructType].fields.length
+    val vals = children.map(_.eval(input)).toArray[Any]
+    renderParts(vals)
+  }
+
+  /** Codegen entry point: takes the already-evaluated (non-null) children. */
+  def renderParts(vals: Array[Any]): UTF8String = {
+    val parts: Seq[Any] = structArity match {
+      case Some(n) =>
+        if (vals(0) == null) return null
+        val r = vals(0).asInstanceOf[InternalRow]
         (0 until n).map(i => r.get(i, if (i == 0) IntegerType else LongType))
-      case more =>
-        more.map(_.eval(input))
+      case None => vals.toSeq
     }
     if (parts.contains(null)) return null
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * (parts.length - 1))
@@ -152,23 +183,55 @@ case class IdBase64Expression(children: Seq[Expression]) extends Expression with
     parts.tail.foreach(l => bb.putLong(l.asInstanceOf[Long]))
     UTF8String.fromString(java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bb.array()))
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{Block, EmptyBlock}
+    val gens = children.map(_.genCode(ctx))
+    val ref = ctx.addReferenceObj("graftIdB64", this, classOf[IdBase64Expression].getName)
+    val arr = ctx.freshName("graftParts")
+    val fill = gens.zipWithIndex.map { case (g, i) =>
+      s"$arr[$i] = ${g.isNull} ? null : (Object) ${g.value};"
+    }.mkString("\n")
+    val childCode = gens.map(_.code).foldLeft(EmptyBlock: Block)(_ + _)
+    ev.copy(code = code"""
+      $childCode
+      Object[] $arr = new Object[${gens.length}];
+      $fill
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = $ref.renderParts($arr);
+      boolean ${ev.isNull} = ${ev.value} == null;""")
+  }
+
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)
 }
 
 /** id_from_base64(str[, nLongs=2]) → id struct (null on malformed input). */
 case class IdFromBase64Expression(child: Expression, nLongs: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IdModel.idType("id", nLongs)
   override def nullable: Boolean = true
-  override def nullSafeEval(v: Any): Any =
+  override def nullSafeEval(v: Any): Any = decode(v.asInstanceOf[UTF8String])
+  /** Codegen entry point: null on malformed input. */
+  def decode(v: UTF8String): InternalRow =
     try {
-      val bytes = java.util.Base64.getUrlDecoder.decode(v.asInstanceOf[UTF8String].toString)
+      val bytes = java.util.Base64.getUrlDecoder.decode(v.toString)
       if (bytes.length != 4 + 8 * nLongs) null
       else {
         val bb = java.nio.ByteBuffer.wrap(bytes)
         InternalRow.fromSeq(bb.getInt() +: (0 until nLongs).map(_ => bb.getLong()))
       }
     } catch { case _: IllegalArgumentException => null }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("graftIdFromB64", this, classOf[IdFromBase64Expression].getName)
+    val res = ctx.freshName("graftDecoded")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow $res = $ref.decode($c);
+      if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }""")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

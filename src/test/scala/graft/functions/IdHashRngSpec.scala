@@ -83,6 +83,31 @@ class IdHashRngSpec extends AnyFunSuite {
     assert(out.getStruct(2).toSeq == out.getStruct(3).toSeq)
   }
 
+  test("id functions stay inside whole-stage codegen and match interpreted results") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // non-local source so nothing constant-folds; multi-arg + struct forms,
+    // decode, size, raw type all run through their generated paths
+    val df = spark.range(3).select(
+        col("id").cast("int").as("base"), col("id").as("i0"), (col("id") * 7).as("i1"))
+      .select(
+        c("id_base64(base, i0, i1)").as("b64_fields"),
+        c("id_base64(named_struct('id_base', base, 'id_i0', i0, 'id_i1', i1))").as("b64_struct"),
+        c("id_from_base64(id_base64(base, i0, i1), 2)").as("back"),
+        c("id_size(named_struct('id_base', base, 'id_i0', i0, 'id_i1', i1))").as("sz"),
+        c("id_raw_type(named_struct('id_base', base, 'id_i0', i0, 'id_i1', i1))").as("tp"),
+        col("base"), col("i0"), col("i1"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectFirst { case w: WholeStageCodegenExec => w }.nonEmpty,
+      s"id functions fell out of codegen:\n$plan")
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1)) // field and struct forms agree
+      assert(r.getStruct(2).toSeq ==
+        Seq(r.getInt(5), r.getLong(6), r.getLong(7))) // decode round-trips
+      assert(r.getInt(3) == 160)
+      assert(r.getString(4) == "random") // header bits of small base values
+    }
+  }
+
   test("prefixed_to_long_pair and long_pair_from_uuid round trip") {
     val df = Seq(1).toDF("x")
     val r = df.select(c("prefixed_to_long_pair('m', murmur3_id('m', x))").as("p")).select("p.*")
