@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{Block, CodeGenerator, CodegenContext, EmptyBlock, ExprCode}
 import org.apache.spark.sql.catalyst.util.MapData
 import org.apache.spark.sql.types._
 
@@ -13,10 +14,15 @@ import org.apache.spark.sql.types._
  *  - ruleRunner DQ: map<long, struct<overallResult, ruleResults: map<long,int>>> → int
  *  - expressionRunner: map<long, map<long, T>> → T
  * Null when any id misses or the suite id doesn't match.
+ *
+ * Extraction over a freshly-built struct constant-folds away entirely
+ * (StaticHofUnroll); this expression executes for real only against
+ * PERSISTED results, where it runs per row over whole tables — so it
+ * codegens as one instance call instead of a CodegenFallback.
  */
 case class RuleResultLookup(
     results: Expression, suiteId: Expression, setId: Expression, ruleId: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(results, suiteId, setId, ruleId)
   override def nullable: Boolean = true
@@ -61,18 +67,44 @@ case class RuleResultLookup(
     null
   }
 
-  override def eval(input: InternalRow): Any = {
-    val row = results.eval(input).asInstanceOf[InternalRow]
-    val (s, set, r) = (suiteId.eval(input), setId.eval(input), ruleId.eval(input))
-    if (row == null || s == null || set == null || r == null) return null
-    if (row.getLong(idOrdinal) != s.asInstanceOf[Number].longValue) return null
+  /** Codegen entry point: all inputs already evaluated and non-null. */
+  def lookup(row: InternalRow, s: Long, set: Long, r: Long): Any = {
+    if (row.getLong(idOrdinal) != s) return null
     val sets = row.getMap(setsOrdinal)
-    val setVal = mapGet(sets, set.asInstanceOf[Number].longValue, setsMap.valueType)
+    val setVal = mapGet(sets, set, setsMap.valueType)
     if (setVal == null) return null
     val rules =
       if (dqShape) setVal.asInstanceOf[InternalRow].getMap(ruleResultsOrdinal)
       else setVal.asInstanceOf[MapData]
-    mapGet(rules, r.asInstanceOf[Number].longValue, rulesMap.valueType)
+    mapGet(rules, r, rulesMap.valueType)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val row = results.eval(input).asInstanceOf[InternalRow]
+    val (s, set, r) = (suiteId.eval(input), setId.eval(input), ruleId.eval(input))
+    if (row == null || s == null || set == null || r == null) return null
+    lookup(row, s.asInstanceOf[Number].longValue,
+      set.asInstanceOf[Number].longValue, r.asInstanceOf[Number].longValue)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val ref = ctx.addReferenceObj("graftRuleResult", this, classOf[RuleResultLookup].getName)
+    val res = ctx.freshName("graftRr")
+    val childCode = gens.map(_.code).foldLeft(EmptyBlock: Block)(_ + _)
+    val anyNull = gens.map(_.isNull).mkString(" || ")
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = true;
+      ${CodeGenerator.javaType(dataType)} ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!($anyNull)) {
+        Object $res = $ref.lookup(${gens(0).value},
+          (long) ${gens(1).value}, (long) ${gens(2).value}, (long) ${gens(3).value});
+        if ($res != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $res;
+        }
+      }""")
   }
 
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =

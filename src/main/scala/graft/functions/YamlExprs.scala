@@ -2,7 +2,6 @@ package graft.functions
 
 import java.util.{LinkedHashMap => JLinkedMap, ArrayList => JArrayList}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, ArrayBasedMapData, MapData}
 import org.apache.spark.sql.types._
@@ -114,26 +113,40 @@ private[functions] class FullScalarRepresenter(opts: DumperOptions)
     .foreach(c => this.representers.put(c, full))
 }
 
-/** to_yaml(expr[, map('useFullScalarType','true')]) → yaml string. */
+/** to_yaml(expr[, map('useFullScalarType','true')]) → yaml string. snakeyaml
+ * dominates the per-row cost, but the instance-call codegen keeps the
+ * surrounding projection fused and the child codegen'd. */
 case class YamlEncodeExpression(child: Expression, fullScalarType: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   @transient private lazy val yaml = {
     val opts = new DumperOptions()
     opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
     if (fullScalarType) new Yaml(new FullScalarRepresenter(opts), opts) else new Yaml(opts)
   }
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any = encode(child.eval(input))
+  /** Codegen entry point; accepts null (yaml renders it). */
+  def encode(v: Any): UTF8String =
     UTF8String.fromString(yaml.dump(YamlConv.toJava(v, child.dataType)))
-  }
   override def nullable: Boolean = false
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftYamlEnc", this, classOf[YamlEncodeExpression].getName)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+        $ref.encode(${c.isNull} ? null : (Object) ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** from_yaml(yamlString, 'ddl') → typed value. */
 case class YamlDecodeExpression(child: Expression, ddl: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override lazy val dataType: DataType = DataType.fromDDL(ddl)
   @transient private lazy val yaml = {
     // accept useFullScalarType output: permit global tags ONLY for the safe
@@ -149,7 +162,20 @@ case class YamlDecodeExpression(child: Expression, ddl: String)
     })
     new Yaml(new org.yaml.snakeyaml.constructor.Constructor(lo))
   }
-  override def nullSafeEval(v: Any): Any =
-    YamlConv.toCatalyst(yaml.load[Any](v.asInstanceOf[UTF8String].toString), dataType)
+  override def nullSafeEval(v: Any): Any = decode(v.asInstanceOf[UTF8String])
+  /** Codegen entry point. */
+  def decode(v: UTF8String): Any =
+    YamlConv.toCatalyst(yaml.load[Any](v.toString), dataType)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val ref = ctx.addReferenceObj("graftYamlDec", this, classOf[YamlDecodeExpression].getName)
+    val res = ctx.freshName("graftYaml")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $res = $ref.decode($c);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $res; }""")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -26,6 +26,29 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen stage in:\n$plan")
   }
 
+  test("rule_result over PERSISTED results stays in codegen, both shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rr_persist").toString
+    RuleRunner.addDataQuality(
+      Seq((1, 2), (-1, 200)).toDF("a", "b"), suite).write.mode("overwrite").parquet(dir)
+    // persisted DQ shape: extraction cannot constant-fold — the generated
+    // instance call must keep the projection fused
+    val df = spark.read.parquet(dir)
+      .select(RuleRunner.ruleResult(col("DataQuality"),
+        lit(Id.pack(Id(1, 1))), lit(Id.pack(Id(2, 1))), lit(Id.pack(Id(10, 1)))).as("r"),
+        col("a"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty,
+      s"persisted rule_result fell out of codegen:\n$plan")
+    val byA = df.collect().map(r => r.getInt(1) -> r.getInt(0)).toMap
+    assert(byA(1) == RuleResults.PassedInt && byA(-1) == RuleResults.FailedInt)
+    // wrong suite id → null, not a crash
+    val miss = spark.read.parquet(dir)
+      .select(RuleRunner.ruleResult(col("DataQuality"),
+        lit(999L), lit(Id.pack(Id(2, 1))), lit(Id.pack(Id(10, 1)))).as("r"))
+      .collect()
+    assert(miss.forall(_.isNullAt(0)))
+  }
+
   test("flattenResults unrolls to the addFlattenedResults plan shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_unroll").toString
     Seq((1, 2)).toDF("a", "b").write.mode("overwrite").parquet(dir)
