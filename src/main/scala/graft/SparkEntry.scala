@@ -419,6 +419,15 @@ object SparkEntry {
         graft.pipeline.Text.bpeTokenEstimate(col("text")).as("n_bpe"),
         graft.pipeline.Text.bpeTokenCount(col("text")).as("n_bpe_regex"))
     }),
+    "q_url_parse" -> ((s, dir) => {
+      // deterministic fake URLs from documents; parse host/path/tld
+      val url = concat(lit("https://"), col("source"), lit(".example.co.uk:8080/docs/"),
+        col("doc_id").cast("string"), lit("?ref=x"))
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.urlHost(url).as("host"),
+        graft.pipeline.Text.urlPath(url).as("path"),
+        graft.pipeline.Text.urlTld(url).as("tld"))
+    }),
     "q_text_gopher" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), graft.pipeline.Text.gopherQuality(col("text"), minWords = 20).as("g"))
@@ -813,6 +822,19 @@ object SparkEntry {
         |       len(regexp_extract_all(text,
         |         '(''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+)')) AS n_bpe_regex
         |FROM documents""".stripMargin,
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         concat('https://', source, '.example.co.uk:8080/docs/',
+        |                CAST(doc_id AS VARCHAR), '?ref=x') AS url
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host,
+        |       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |       regexp_extract(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        |                      '\.([^.:]+)(?::\d+)?$', 1) AS tld
+        |FROM u""".stripMargin,
     "q_text_gopher" ->
       """WITH m AS (
         |  SELECT doc_id,

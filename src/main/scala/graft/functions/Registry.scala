@@ -178,6 +178,9 @@ object Registry {
     "bpe_token_count" -> (es => ex(graft.pipeline.Text.bpeTokenCount(col(es.head)))),
     "lang_id" -> (es => ex(graft.pipeline.Text.langId(col(es.head)))),
     "quality_score" -> (es => ex(graft.pipeline.Text.qualityScore(col(es.head)))),
+    "url_host" -> (es => ex(graft.pipeline.Text.urlHost(col(es.head)))),
+    "url_path" -> (es => ex(graft.pipeline.Text.urlPath(col(es.head)))),
+    "url_tld" -> (es => ex(graft.pipeline.Text.urlTld(col(es.head)))),
     "gopher_quality" -> (es => ex(graft.pipeline.Text.gopherQuality(col(es.head),
       if (es.size >= 2) litLong(es(1)).toInt else 50,
       if (es.size >= 3) litLong(es(2)).toInt else 100000))),

@@ -101,6 +101,19 @@ object Text {
         symbolRatio <= 0.1 && alphaRatio >= 0.8 && stops >= 2).as("pass"))
   }
 
+  /** URL pieces for domain-level curation (blocklists, per-host stats,
+   * domain caps). Pure regex projections — narrow at any scale, replicated
+   * exactly by the DuckDB oracle. Empty string when the piece is absent. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Last dot-separated label of the host (simple public-suffix-free TLD). */
+  def urlTld(url: Column): Column =
+    regexp_extract(urlHost(url), "\\.([^.:]+)(?::\\d+)?$", 1)
+
   /** Distinct word n-gram shingles (lowercased). The words array is bound as
    * a lambda variable (single-element transform) so the split runs ONCE per
    * row — inlining it into the per-shingle lambda would be O(words²). */

@@ -189,6 +189,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(2, 6, 5))
   }
 
+  test("url parsing: host/path/tld incl. ports, bare hosts, schemeless") {
+    val rows = Seq(
+      "https://a.example.com/x/y?q=1",
+      "http://example.org",
+      "https://sub.example.co.uk:8080/p",
+      "ftp://10.0.0.1/f.txt",
+      "not a url at all").toDF("u")
+      .select(Text.urlHost(col("u")).as("h"), Text.urlPath(col("u")).as("p"),
+        Text.urlTld(col("u")).as("t"))
+      .as[(String, String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("a.example.com", "/x/y", "com"),
+      ("example.org", "", "org"),
+      ("sub.example.co.uk:8080", "/p", "uk"),
+      ("10.0.0.1", "/f.txt", "1"), // naive TLD on IPs: documented simple split
+      ("", "", "")))
+  }
+
   test("gopher quality heuristics measure and gate documents") {
     val good = ("the data should be part of " * 10).trim // 60 words, clean
     val symbols = "the be of ### and ... ### that ... have #" // symbol-heavy
