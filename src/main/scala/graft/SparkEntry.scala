@@ -367,6 +367,12 @@ object SparkEntry {
       graft.pipeline.Curation.splitByHash(
         docs(s, dir).select(col("doc_id")), col("doc_id"))
     }),
+    "q_domain_cap" -> ((s, dir) => {
+      // at most 40 docs per source, lowest doc_ids win (deterministic)
+      graft.pipeline.Curation.capPerKey(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), 40)
+    }),
     "q_sample_budget" -> ((s, dir) => {
       // deterministic domain-mix sampling: src0 capped, others kept whole
       graft.pipeline.Curation.sampleToTokenBudget(
@@ -674,6 +680,12 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM documents)""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 40""".stripMargin,
     "q_sample_budget" ->
       """WITH base AS (
         |  SELECT doc_id, source,

@@ -77,6 +77,28 @@ object Curation {
   }
 
   /**
+   * Cap rows per key — "at most N documents per domain/host". Keeps the
+   * `maxPerKey` LOWEST ids of each key (deterministic, reproducible across
+   * runs), built on the bounded `top_k_by` aggregate: map-side partials cap
+   * every partition at N candidates per key before the shuffle, so a
+   * million-document domain ships N rows, not a million, and nothing
+   * funnels a whole key through one window task. `idCol` must be unique
+   * (the usual document id).
+   */
+  def capPerKey(df: DataFrame, keyCol: Column, idCol: Column, maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    val keep = df.select(keyCol.as("graft_key"), idCol.as("graft_id"))
+      .groupBy(col("graft_key"))
+      .agg(graft.functions.dsl.top_k_by(
+        -col("graft_id").cast("double"), col("graft_id"), maxPerKey).as("graft_ids"))
+      .select(explode(col("graft_ids")).as("graft_e"))
+      .select(col("graft_e.item").as("graft_keep"))
+    // keep-set size is #keys × N — small for real caps but not guaranteed
+    // broadcastable (1e6 domains × 1000); let AQE pick the join strategy
+    df.join(keep, idCol === col("graft_keep"), "leftsemi")
+  }
+
+  /**
    * Deterministic domain-mix sampling to token budgets — the "reweight web
    * down, keep code at 100%" step of training-data prep. For every domain
    * with a budget, rows are kept with probability

@@ -69,6 +69,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) == score(3.0, 4.0, 2.0))
   }
 
+  test("capPerKey keeps the N lowest ids per key, no per-key window") {
+    val df = (0L until 300L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
+    val out = Curation.capPerKey(df, col("dom"), col("id"), 10)
+    val byDom = out.as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq)
+    assert(byDom.values.forall(_.size == 10))
+    // lowest ids win: dom0 holds multiples of 3 → first ten are 0,3,...,27
+    assert(byDom("dom0") == (0L until 30L by 3).toSeq)
+    // cap above the group size keeps everything
+    assert(Curation.capPerKey(df, col("dom"), col("id"), 1000).count() == 300)
+    // plan: no window funnels a whole key into one task
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(out.queryExecution.executedPlan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("sampleToTokenBudget hits budgets in expectation, keeps unbudgeted domains whole") {
     val docs = (0L until 2000L).map { i =>
       val dom = if (i % 2 == 0) "web" else "code"
