@@ -731,8 +731,8 @@ object SparkEntry {
         |  FROM numbered WHERE rn = 1
         |  UNION ALL
         |  SELECT n.bucket, n.rn, n.id, n.tokens,
-        |         CASE WHEN p.fill + n.tokens > 512 THEN p.seq + 1 ELSE p.seq END,
-        |         CASE WHEN p.fill + n.tokens > 512 THEN n.tokens ELSE p.fill + n.tokens END
+        |         CASE WHEN p.fill > 0 AND p.fill + n.tokens > 512 THEN p.seq + 1 ELSE p.seq END,
+        |         CASE WHEN p.fill > 0 AND p.fill + n.tokens > 512 THEN n.tokens ELSE p.fill + n.tokens END
         |  FROM numbered n JOIN packed p ON n.bucket = p.bucket AND n.rn = p.rn + 1
         |)
         |SELECT id, bucket, seq, fill - tokens AS "offset", tokens,

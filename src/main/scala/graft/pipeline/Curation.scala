@@ -29,6 +29,13 @@ object Curation {
 
   def hashBucket(key: Column): Column = hashBucketN(key, 100)
 
+  /** Content-addressed uniform in [0, 1): the same md5 first-8-hex recipe as
+   * [[hashBucketN]], as a fraction — the single definition every sampling
+   * operator (and its DuckDB oracle) mirrors. */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
   /** Deterministic train/val/test split: train gets [0, trainPct), val gets
    * [trainPct, trainPct+valPct), test the rest. */
   def splitByHash(
@@ -87,6 +94,12 @@ object Curation {
    */
   def capPerKey(df: DataFrame, keyCol: Column, idCol: Column, maxPerKey: Int): DataFrame = {
     require(maxPerKey > 0, "maxPerKey must be positive")
+    // the ordering negates the id into the top-k ordinal: a non-numeric id
+    // would cast to null and be skipped by the aggregate — every row silently
+    // dropped. Fail loudly instead.
+    val idType = df.select(idCol.as("graft_id")).schema.head.dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"capPerKey needs a numeric id column to order on, got ${idType.sql}")
     val keep = df.select(keyCol.as("graft_key"), idCol.as("graft_id"))
       .groupBy(col("graft_key"))
       .agg(graft.functions.dsl.top_k_by(
@@ -124,15 +137,17 @@ object Curation {
       .join(budgetDf, Seq("graft_dom"), "left")
       .select(col("graft_dom"),
         when(col("graft_budget").isNull, lit(1.0))
+          // a zero-token budgeted domain: budget >= total, keep everything
+          // (and never divide by zero — ANSI mode throws)
+          .when(col("graft_tot") === 0L, lit(1.0))
           .otherwise(least(lit(1.0),
             col("graft_budget").cast("double") / col("graft_tot").cast("double")))
           .as("graft_frac"))
-    // md5-fraction of the id in [0, 1): first 8 hex chars / 2^32 — the same
-    // content-addressed uniform the split/bucket operators use
-    val u = conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
-    base.join(broadcast(fractions), "graft_dom")
-      .where(u < col("graft_frac"))
+    // LEFT join + coalesce(frac, 1.0): a null domain can't equi-join its own
+    // aggregate row, but the contract is "domains without a budget keep
+    // everything" — null-domain rows included
+    base.join(broadcast(fractions), Seq("graft_dom"), "left")
+      .where(hashFraction(idCol) < coalesce(col("graft_frac"), lit(1.0)))
       .select(df.columns.map(col): _*)
   }
 

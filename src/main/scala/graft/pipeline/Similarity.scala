@@ -237,6 +237,10 @@ object Similarity {
     val truth = bruteForceTopK(cells, sampleQueries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id")).persist()
     val truthCount = truth.count().toDouble
+    // an empty sample would make every recall 0/0 = NaN and "tune" to
+    // nprobe=1 with no error — fail loudly instead
+    require(truthCount > 0,
+      "ivfAutoTuneNprobe: sampleQueries produced no ground-truth neighbors (empty sample?)")
     try {
       var nprobe = 1
       var recall = 0.0

@@ -66,14 +66,36 @@ object GraftExtension {
  * string-building expression evaluated per row — the difference between a
  * full scan and rowgroup pruning at 100 TB.
  */
-object AsUuidRewrite extends Rule[LogicalPlan] {
+/** Shared traversal for the asymmetric-filter rewrites: a decomposed
+ * equality returns FALSE where the original returned NULL (null id parts
+ * short-circuit a multi-column AND), which is indistinguishable inside a
+ * Filter/Join condition ONLY along And/Or spines — under Not, IsNull,
+ * CASE WHEN etc. the difference is observable, so those subtrees are left
+ * untouched. */
+private[plans] trait MonotoneConditionRewrite {
+  /** Rewrite one predicate leaf; return it unchanged when not applicable. */
+  protected def rewriteLeaf(e: Expression): Expression
+
+  protected final def rewriteMonotone(e: Expression): Expression = e match {
+    case And(l, r) => And(rewriteMonotone(l), rewriteMonotone(r))
+    case Or(l, r) => Or(rewriteMonotone(l), rewriteMonotone(r))
+    case other => rewriteLeaf(other)
+  }
+
+  final def applyToConditions(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, _) => f.copy(condition = rewriteMonotone(cond))
+    case j @ Join(_, _, _, Some(cond), _) => j.copy(condition = Some(rewriteMonotone(cond)))
+  }
+}
+
+object AsUuidRewrite extends Rule[LogicalPlan] with MonotoneConditionRewrite {
   private def longsOf(uuid: String): Option[(Long, Long)] =
     try {
       val u = java.util.UUID.fromString(uuid)
       Some((u.getLeastSignificantBits, u.getMostSignificantBits))
     } catch { case _: IllegalArgumentException => None }
 
-  private def rewrite(e: Expression): Expression = e.transformUp {
+  override protected def rewriteLeaf(e: Expression): Expression = e match {
     case EqualTo(AsUuidExpr(lower, higher), Literal(s: UTF8String, StringType)) =>
       longsOf(s.toString)
         .map { case (l, h) =>
@@ -81,12 +103,11 @@ object AsUuidRewrite extends Rule[LogicalPlan] {
         }
         .getOrElse(Literal.FalseLiteral)
     case EqualTo(lit @ Literal(_: UTF8String, StringType), au: AsUuidExpr) =>
-      rewrite(EqualTo(au, lit))
+      rewriteLeaf(EqualTo(au, lit))
+    case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, _) => f.copy(condition = rewrite(cond))
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan = applyToConditions(plan)
 }
 
 /**
@@ -106,8 +127,13 @@ object AsUuidRewrite extends Rule[LogicalPlan] {
  *
  * A literal that fails to decode, or whose payload length disagrees with the
  * id arity, cannot equal any id → folds to FALSE.
+ *
+ * Rewrites apply only along And/Or spines of Filter/Join conditions (see
+ * [[MonotoneConditionRewrite]]): the decomposed form returns FALSE where the
+ * original returned NULL on null id parts, which only a negated or
+ * null-inspecting context can distinguish.
  */
-object IdBase64Rewrite extends Rule[LogicalPlan] {
+object IdBase64Rewrite extends Rule[LogicalPlan] with MonotoneConditionRewrite {
 
   /** The int/long slot expressions an id_base64 call renders, when its input
    * shape is statically known: (base:int, i0..iN:long). */
@@ -137,7 +163,7 @@ object IdBase64Rewrite extends Rule[LogicalPlan] {
     eqs.reduce(And)
   }
 
-  private def rewrite(e: Expression): Expression = e.transformUp {
+  override protected def rewriteLeaf(e: Expression): Expression = e match {
     case eq @ EqualTo(idb: IdBase64Expression, Literal(s: UTF8String, StringType)) =>
       slots(idb).map(litEquals(_, s)).getOrElse(eq)
     case eq @ EqualTo(Literal(s: UTF8String, StringType), idb: IdBase64Expression) =>
@@ -157,10 +183,8 @@ object IdBase64Rewrite extends Rule[LogicalPlan] {
         list.map { case Literal(s: UTF8String, StringType) => litEquals(ss, s) }
           .reduce(Or)
       }.getOrElse(in)
+    case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, _) => f.copy(condition = rewrite(cond))
-    case j @ Join(_, _, _, Some(cond), _) => j.copy(condition = Some(rewrite(cond)))
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan = applyToConditions(plan)
 }

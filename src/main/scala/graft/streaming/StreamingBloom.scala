@@ -38,14 +38,22 @@ object StreamingBloom {
         .agg(graft.functions.dsl.small_bloom(
           org.apache.spark.sql.functions.col("graft_bloom_key"), expected, fpp).as("b"))
         .collect()(0).getAs[Array[Byte]](0)
-      val current =
-        if (Lookups.isBloomRegistered(name)) Lookups.bloom(name).buckets.value(0)
-        else persistPath
-          .filter(p => new java.io.File(p).exists())
-          .map(p => BloomModel.load(spark, p)._1(0))
+      val previous = if (Lookups.isBloomRegistered(name)) Some(Lookups.bloom(name)) else None
+      val current = previous.map(_.buckets.value(0)).getOrElse {
+        // resume through the same (possibly remote — hdfs://, s3://) reader
+        // that wrote the bytes; a java.io.File existence probe would always
+        // miss non-local paths and silently restart from an empty filter
+        persistPath
+          .flatMap(p => scala.util.Try(BloomModel.load(spark, p)._1(0)).toOption)
           .getOrElse(Bloom.toBytes(Bloom.newFilter(expected, fpp)))
+      }
       val merged = Bloom.orBytes(current, batchBytes)
       Lookups.registerBloom(spark, name, Array(merged), fpp)
+      // drop the replaced batch's executor-side broadcast blocks — a
+      // long-running stream would otherwise accumulate one filter-sized
+      // broadcast per micro-batch (non-blocking: in-flight probes of the old
+      // entry refetch from the driver if they race the unpersist)
+      previous.foreach(_.buckets.unpersist(false))
       persistPath.foreach(p => BloomModel.save(spark, p, Array(merged), fpp))
     }
   }

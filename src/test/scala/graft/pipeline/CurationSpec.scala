@@ -83,6 +83,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.collect { case w: WindowExec => w }.isEmpty)
   }
 
+  test("capPerKey rejects non-numeric id columns instead of silently dropping rows") {
+    val df = Seq(("doc-1", "web"), ("doc-2", "web")).toDF("id", "dom")
+    val e = intercept[IllegalArgumentException] {
+      Curation.capPerKey(df, col("dom"), col("id"), 10)
+    }
+    assert(e.getMessage.contains("numeric id column"))
+  }
+
+  test("sampleToTokenBudget keeps null-domain rows and survives zero-token domains") {
+    val docs = Seq(
+      (1L, Some("web"), 100L), (2L, Some("web"), 100L),
+      (3L, None, 50L),                   // null domain: no budget → keep
+      (4L, Some("empty"), 0L), (5L, Some("empty"), 0L)) // budgeted, 0 total tokens
+      .toDF("id", "dom", "tok")
+    val out = Curation.sampleToTokenBudget(
+      docs, col("id"), col("dom"), col("tok"), Map("empty" -> 10L, "other" -> 1L))
+      .select("id").as[Long].collect().toSet
+    // web unbudgeted → kept; null domain → kept; zero-token budgeted domain →
+    // budget >= total, kept (and no ANSI divide-by-zero)
+    assert(out == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("sampleToTokenBudget hits budgets in expectation, keeps unbudgeted domains whole") {
     val docs = (0L until 2000L).map { i =>
       val dom = if (i % 2 == 0) "web" else "code"

@@ -71,6 +71,29 @@ class ExtensionSpec extends AnyFunSuite {
     assert(filtered(b64Of(2, 42L)).count() == 0)
   }
 
+  test("IdBase64Rewrite preserves null semantics under NOT") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IdBase64Rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_idb64n").toString
+    Seq((Some(2), Some(42L), Some(77L), "match"),
+        (Some(2), Some(1L), Some(2L), "nomatch"),
+        (Some(2), None, Some(77L), "nullpart"))
+      .toDF("base", "i0", "i1", "tag").write.mode("overwrite").parquet(dir)
+    val lit42 = b64Of(2, 42L, 77L)
+    def eqCol = Bridge.column(graft.functions.IdBase64Expression(Seq(
+      Bridge.expression(col("base")), Bridge.expression(col("i0")),
+      Bridge.expression(col("i1"))))) === lit42
+    // NOT(eq): the null-part row must stay dropped (NULL, not FALSE→TRUE) —
+    // the rewrite may not fire inside the negation
+    val kept = spark.read.parquet(dir).where(!eqCol)
+      .select("tag").as[String].collect().toSeq
+    assert(kept == Seq("nomatch"), s"null semantics changed under NOT: $kept")
+    // positive position still rewrites + pushes
+    val pos = spark.read.parquet(dir).where(eqCol)
+    assert(pos.select("tag").as[String].collect().toSeq == Seq("match"))
+    assert(!pos.queryExecution.executedPlan.toString.toLowerCase.contains("idbase64"))
+  }
+
   test("IdBase64Rewrite rewrites base64-keyed join conditions to raw fields") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ IdBase64Rewrite
