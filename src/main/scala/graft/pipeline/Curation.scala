@@ -89,8 +89,9 @@ object Curation {
    * runs), built on the bounded `top_k_by` aggregate: map-side partials cap
    * every partition at N candidates per key before the shuffle, so a
    * million-document domain ships N rows, not a million, and nothing
-   * funnels a whole key through one window task. `idCol` must be unique
-   * (the usual document id).
+   * funnels a whole key through one window task. `idCol` must be a unique
+   * NON-NULL numeric id (the usual document id); rows with a null id are
+   * dropped — they cannot participate in a deterministic id-ordered cap.
    */
   def capPerKey(df: DataFrame, keyCol: Column, idCol: Column, maxPerKey: Int): DataFrame = {
     require(maxPerKey > 0, "maxPerKey must be positive")
@@ -137,9 +138,11 @@ object Curation {
       .join(budgetDf, Seq("graft_dom"), "left")
       .select(col("graft_dom"),
         when(col("graft_budget").isNull, lit(1.0))
-          // a zero-token budgeted domain: budget >= total, keep everything
-          // (and never divide by zero — ANSI mode throws)
-          .when(col("graft_tot") === 0L, lit(1.0))
+          // zero or unknown (all-null tokensCol) domain total: budget >= what
+          // we can count, keep everything — explicit branches so the ANSI
+          // divide never sees 0/null and the coalesce below only ever covers
+          // the null-domain join miss
+          .when(col("graft_tot").isNull || col("graft_tot") === 0L, lit(1.0))
           .otherwise(least(lit(1.0),
             col("graft_budget").cast("double") / col("graft_tot").cast("double")))
           .as("graft_frac"))

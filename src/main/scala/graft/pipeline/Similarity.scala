@@ -236,12 +236,13 @@ object Similarity {
       .select(col("neighbor_id").as(idCol), col("cv0").as(vecCol))
     val truth = bruteForceTopK(cells, sampleQueries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id")).persist()
-    val truthCount = truth.count().toDouble
-    // an empty sample would make every recall 0/0 = NaN and "tune" to
-    // nprobe=1 with no error — fail loudly instead
-    require(truthCount > 0,
-      "ivfAutoTuneNprobe: sampleQueries produced no ground-truth neighbors (empty sample?)")
     try {
+      val truthCount = truth.count().toDouble
+      // an empty sample would make every recall 0/0 = NaN and "tune" to
+      // nprobe=1 with no error — fail loudly instead (inside the try so the
+      // persisted truth frame still unpersists)
+      require(truthCount > 0,
+        "ivfAutoTuneNprobe: sampleQueries produced no ground-truth neighbors (empty sample?)")
       var nprobe = 1
       var recall = 0.0
       while (nprobe < nlist && recall < targetRecall) {

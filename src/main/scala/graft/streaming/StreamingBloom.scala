@@ -40,12 +40,17 @@ object StreamingBloom {
         .collect()(0).getAs[Array[Byte]](0)
       val previous = if (Lookups.isBloomRegistered(name)) Some(Lookups.bloom(name)) else None
       val current = previous.map(_.buckets.value(0)).getOrElse {
-        // resume through the same (possibly remote — hdfs://, s3://) reader
-        // that wrote the bytes; a java.io.File existence probe would always
-        // miss non-local paths and silently restart from an empty filter
-        persistPath
-          .flatMap(p => scala.util.Try(BloomModel.load(spark, p)._1(0)).toOption)
-          .getOrElse(Bloom.toBytes(Bloom.newFilter(expected, fpp)))
+        // resume through the configured filesystem (hdfs://, s3://, local —
+        // a java.io.File probe would always miss non-local paths and
+        // silently restart from an empty filter). Only a MISSING path falls
+        // through to a fresh filter; a corrupt or unreadable persisted
+        // filter must propagate — swallowing it would turn every
+        // previously-streamed id into a bloom false negative.
+        persistPath.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(hp)) Some(BloomModel.load(spark, p)._1(0)) else None
+        }.getOrElse(Bloom.toBytes(Bloom.newFilter(expected, fpp)))
       }
       val merged = Bloom.orBytes(current, batchBytes)
       Lookups.registerBloom(spark, name, Array(merged), fpp)

@@ -89,6 +89,11 @@ class CurationSpec extends AnyFunSuite {
       Curation.capPerKey(df, col("dom"), col("id"), 10)
     }
     assert(e.getMessage.contains("numeric id column"))
+    // null ids are dropped by documented contract (no deterministic order)
+    val withNull = Seq((Some(1L), "a"), (None, "a"), (Some(2L), "a"))
+      .toDF("id", "dom")
+    assert(Curation.capPerKey(withNull, col("dom"), col("id"), 10)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("sampleToTokenBudget keeps null-domain rows and survives zero-token domains") {
