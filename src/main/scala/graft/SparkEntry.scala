@@ -842,10 +842,10 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host,
+        |       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1) AS host,
         |       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-        |       regexp_extract(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
-        |                      '\.([^.:]+)(?::\d+)?$', 1) AS tld
+        |       regexp_extract(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1),
+        |                      '\.([^.]+)$', 1) AS tld
         |FROM u""".stripMargin,
     "q_text_gopher" ->
       """WITH m AS (
@@ -853,18 +853,23 @@ object SparkEntry {
         |         len(regexp_split_to_array(trim(text), '\s+')) AS word_count,
         |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
         |           / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len,
-        |         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
-        |           / len(regexp_split_to_array(trim(text), '\s+')) AS symbol_ratio,
+        |         CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS hash_ratio,
+        |         CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS ellipsis_ratio,
         |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |                              w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
         |           / len(regexp_split_to_array(trim(text), '\s+')) AS alpha_word_ratio,
         |         len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS stopword_hits
         |  FROM documents
         |)
-        |SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_word_ratio, stopword_hits,
+        |SELECT doc_id, word_count, mean_word_len,
+        |       hash_ratio + ellipsis_ratio AS symbol_ratio,
+        |       alpha_word_ratio, stopword_hits,
         |       (word_count >= 20 AND word_count <= 100000
         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        |        AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+        |        AND alpha_word_ratio >= 0.8
         |        AND stopword_hits >= 2) AS pass
         |FROM m""".stripMargin,
     "q_text_quality" ->

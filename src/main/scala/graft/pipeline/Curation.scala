@@ -208,6 +208,15 @@ object Curation {
       df: DataFrame, idCol: Column, tokensCol: Column,
       budget: Long, numBuckets: Int = 1024): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // the packing walk is typed on (Long, Long): a non-numeric id/tokens
+    // column would cast to null and surface later as an opaque NPE. Fail
+    // loudly up front, same contract as capPerKey. (Ids are emitted as long
+    // — callers with string ids should map through a numeric surrogate.)
+    for ((c, what) <- Seq(idCol -> "id", tokensCol -> "tokens")) {
+      val dt = df.select(c.as("graft_probe")).schema.head.dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"packGreedy needs a numeric $what column, got ${dt.sql}")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     df.select(idCol.cast("long").as("id"), tokensCol.cast("long").as("tokens"),

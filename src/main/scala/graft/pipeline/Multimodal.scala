@@ -138,10 +138,11 @@ object Multimodal {
   private def amplitudeHistogram(data: Array[Byte]): Array[Float] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val base = AudioSystem.getAudioInputStream(new ByteArrayInputStream(data))
+    var pcm: javax.sound.sampled.AudioInputStream = null
     try {
       val bf = base.getFormat
       val target = new AudioFormat(bf.getSampleRate, 16, bf.getChannels, true, false)
-      val pcm = AudioSystem.getAudioInputStream(target, base)
+      pcm = AudioSystem.getAudioInputStream(target, base)
       val hist = new Array[Float](16)
       var n = 0L
       val buf = new Array[Byte](4096)
@@ -167,7 +168,10 @@ object Multimodal {
       var j = 0
       while (j < 16) { hist(j) /= n.toFloat; j += 1 }
       hist
-    } finally base.close()
+      // close the conversion stream too — it can hold codec buffers; closing
+      // pcm closes the wrapped base, so base.close() is only the fallback for
+      // a failure before the conversion stream exists
+    } finally { if (pcm != null) pcm.close() else base.close() }
   }
 
   /** 16-bin luminance histogram, unit L1 — deterministic across JVMs

@@ -86,8 +86,11 @@ object Text {
     val wc = size(ws)
     val wcD = wc.cast(DoubleType)
     val meanWordLen = length(regexp_replace(text, "\\s+", "")).cast(DoubleType) / wcD
-    val symbolRatio =
-      (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\."))).cast(DoubleType) / wcD
+    val hashRatio = regexp_count(text, lit("#")).cast(DoubleType) / wcD
+    val ellipsisRatio = regexp_count(text, lit("\\.\\.\\.")).cast(DoubleType) / wcD
+    // reported ratio stays the combined count for one summary number, but the
+    // gate follows Gopher table A1: EACH symbol's ratio must be <= 0.1
+    val symbolRatio = hashRatio + ellipsisRatio
     val alphaRatio = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / wcD
     val stops = regexp_count(lower(text), lit("\\b(the|be|to|of|and|that|have|with)\\b"))
     struct(
@@ -98,21 +101,26 @@ object Text {
       stops.as("stopword_hits"),
       (wc >= minWords && wc <= maxWords &&
         meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
-        symbolRatio <= 0.1 && alphaRatio >= 0.8 && stops >= 2).as("pass"))
+        hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+        alphaRatio >= 0.8 && stops >= 2).as("pass"))
   }
 
   /** URL pieces for domain-level curation (blocklists, per-host stats,
    * domain caps). Pure regex projections — narrow at any scale, replicated
-   * exactly by the DuckDB oracle. Empty string when the piece is absent. */
+   * exactly by the DuckDB oracle. Empty string when the piece is absent.
+   * The host strips `userinfo@` and `:port` so `example.com`,
+   * `example.com:8080` and `user@example.com` group as ONE domain —
+   * otherwise per-host caps/budgets would split across authority variants.
+   * (IPv6 bracket literals are out of scope for these regex parsers.) */
   def urlHost(url: Column): Column =
-    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
 
   def urlPath(url: Column): Column =
     regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
 
   /** Last dot-separated label of the host (simple public-suffix-free TLD). */
   def urlTld(url: Column): Column =
-    regexp_extract(urlHost(url), "\\.([^.:]+)(?::\\d+)?$", 1)
+    regexp_extract(urlHost(url), "\\.([^.]+)$", 1)
 
   /** Distinct word n-gram shingles (lowercased). The words array is bound as
    * a lambda variable (single-element transform) so the split runs ONCE per

@@ -194,6 +194,7 @@ class PipelineSpec extends AnyFunSuite {
       "https://a.example.com/x/y?q=1",
       "http://example.org",
       "https://sub.example.co.uk:8080/p",
+      "https://user:pw@example.com/secret",
       "ftp://10.0.0.1/f.txt",
       "not a url at all").toDF("u")
       .select(Text.urlHost(col("u")).as("h"), Text.urlPath(col("u")).as("p"),
@@ -202,7 +203,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows == Seq(
       ("a.example.com", "/x/y", "com"),
       ("example.org", "", "org"),
-      ("sub.example.co.uk:8080", "/p", "uk"),
+      // port and userinfo strip: one domain regardless of authority variant
+      ("sub.example.co.uk", "/p", "uk"),
+      ("example.com", "/secret", "com"),
       ("10.0.0.1", "/f.txt", "1"), // naive TLD on IPs: documented simple split
       ("", "", "")))
   }
@@ -211,7 +214,10 @@ class PipelineSpec extends AnyFunSuite {
     val good = ("the data should be part of " * 10).trim // 60 words, clean
     val symbols = "the be of ### and ... ### that ... have #" // symbol-heavy
     val numeric = "the be 111 222 333 444 555 666 777 888"   // low alpha ratio
-    val out = Seq(good, symbols, numeric).toDF("text")
+    // each symbol's ratio is 5/70 ≈ 0.07 ≤ 0.1 though combined is 0.14:
+    // Gopher table A1 gates the symbols independently, so this passes
+    val mixedSymbols = good + (" #" * 5) + (" ..." * 5)
+    val out = Seq(good, symbols, numeric, mixedSymbols).toDF("text")
       .select(Text.gopherQuality(col("text"), minWords = 5).as("g"))
       .select("g.word_count", "g.mean_word_len", "g.symbol_ratio",
         "g.alpha_word_ratio", "g.stopword_hits", "g.pass")
@@ -223,6 +229,8 @@ class PipelineSpec extends AnyFunSuite {
       s"symbol-heavy doc should fail on symbol_ratio: ${out(1)}")
     assert(!out(2).getBoolean(5) && out(2).getDouble(3) < 0.8,
       s"numeric doc should fail on alpha_word_ratio: ${out(2)}")
+    assert(out(3).getBoolean(5) && out(3).getDouble(2) > 0.1,
+      s"per-symbol gates pass though the combined ratio exceeds 0.1: ${out(3)}")
   }
 
   test("text functions: tokens, lang, quality") {
