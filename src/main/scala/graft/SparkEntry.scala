@@ -425,6 +425,33 @@ object SparkEntry {
         graft.pipeline.Text.bpeTokenEstimate(col("text")).as("n_bpe"),
         graft.pipeline.Text.bpeTokenCount(col("text")).as("n_bpe_regex"))
     }),
+    "q_dedup_lines" -> ((s, dir) => {
+      // wrap every document in shared chrome (nav header, copyright footer);
+      // line dedup must strip the chrome everywhere and keep original text
+      val framed = docs(s, dir).select(col("doc_id"),
+        concat(lit("NAV MENU HOME ABOUT\n"), col("text"),
+          lit("\nCopyright 2026 Example Corp")).as("t"))
+      graft.pipeline.Dedup.dedupLines(framed, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+    "q_pii" -> ((s, dir) => {
+      // plant deterministic PII spans in a slice of documents, then detect
+      // and redact; counts and redacted text both oracle-checked
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call +1 (555) 123-4567")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          graft.pipeline.Pii.piiSignals(col("t")).as("p"),
+          graft.pipeline.Pii.redactPii(col("t")).as("redacted"))
+        .select(col("doc_id"), col("p.emails").as("emails"), col("p.ipv4s").as("ipv4s"),
+          col("p.ssns").as("ssns"), col("p.phones").as("phones"),
+          col("p.has_pii").as("has_pii"), col("redacted"))
+    }),
     "q_url_parse" -> ((s, dir) => {
       // deterministic fake URLs from documents; parse host/path/tld
       val url = concat(lit("https://"), col("source"), lit(".example.co.uk:8080/docs/"),
@@ -834,6 +861,53 @@ object SparkEntry {
         |       len(regexp_extract_all(text,
         |         '(''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+)')) AS n_bpe_regex
         |FROM documents""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'NAV MENU HOME ABOUT' || chr(10) || text || chr(10) || 'Copyright 2026 Example Corp' AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(t, chr(10))) AS line,
+        |         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+        |  FROM d
+        |), dup AS (
+        |  SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        |), keep AS (
+        |  SELECT l.doc_id, l.line, l.pos FROM l ANTI JOIN dup USING (line)
+        |), r AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END
+        |         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+        |         || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, t,
+        |         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+')) AS emails,
+        |         len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ipv4s,
+        |         len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS ssns,
+        |         len(regexp_extract_all(t, '(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b')) AS phones
+        |  FROM p
+        |)
+        |SELECT doc_id, emails, ipv4s, ssns, phones,
+        |       (emails + ipv4s + ssns + phones) > 0 AS has_pii,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+        |             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |         '(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM m""".stripMargin,
     "q_url_parse" ->
       """WITH u AS (
         |  SELECT doc_id,

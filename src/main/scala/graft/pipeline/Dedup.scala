@@ -277,6 +277,45 @@ object Dedup {
     df.join(dropIds, idCol === col("graft_drop_id"), "left_anti")
   }
 
+  /**
+   * Cross-document line deduplication (RefinedWeb/CCNet-style boilerplate
+   * removal): a line occurring in at least `minDocs` DISTINCT documents is
+   * dropped from EVERY document — nav menus, cookie banners, license
+   * footers. Returns (id, text) with the surviving lines re-joined in their
+   * original order; a document made entirely of boilerplate comes back as
+   * the empty string (the row is preserved, callers gate on length). Blank
+   * lines count as lines: once two documents share one, blank lines vanish
+   * corpus-wide — the usual, desired behaviour for layout chrome.
+   *
+   * Scale: two shuffles, both keyed fine-grained. (1) The duplicate-line
+   * census groups exploded (line, id) pairs by the line itself — map-side
+   * partial distinct applies, and keying on the line (not a hash of it)
+   * makes equality exact, so a hash collision can never drop a unique line.
+   * (2) Surviving lines regroup by doc id for reassembly — the corpus
+   * shuffles once, unavoidable for order-preserving rebuild. The dup set
+   * after the >= minDocs filter is small by nature (boilerplate repeats);
+   * AQE turns the anti-join into a broadcast when it fits.
+   */
+  def dedupLines(
+      df: DataFrame, idCol: Column, textCol: Column, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2 — 1 would drop every line")
+    val lines = df.select(idCol.as("id"), textCol.as("graft_text"))
+      .select(col("id"), posexplode(split(col("graft_text"), "\n")).as(Seq("graft_pos", "graft_line")))
+    val dups = lines.groupBy(col("graft_line"))
+      .agg(countDistinct(col("id")).as("graft_docs"))
+      .where(col("graft_docs") >= minDocs)
+      .select(col("graft_line"))
+    val rebuilt = lines.join(dups, Seq("graft_line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("graft_pos"), col("graft_line")))),
+          s => s("graft_line")),
+        "\n").as("graft_clean"))
+    df.select(idCol.as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("graft_clean"), lit("")).as("text"))
+  }
+
   /** Exact n-gram Jaccard for a pair frame carrying two text columns. */
   def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column = {
     val a = Text.shingles(textA, n)

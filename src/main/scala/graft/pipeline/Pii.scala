@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * PII detection and redaction for training-data curation: emails, IPv4
+ * addresses, SSN-shaped ids and phone numbers, the categories every
+ * pre-training scrub pass covers first.
+ *
+ * The patterns live in the Java-regex ∩ RE2 common subset (no lookaround,
+ * no backreferences) so Spark and the DuckDB oracle match byte-for-byte;
+ * they favour determinism and engine parity over exhaustive recall — a
+ * production scrub would layer NER on top, but the regex tier is what runs
+ * over all 100 TB.
+ *
+ * Scale: both [[piiSignals]] and [[redactPii]] are narrow projections of
+ * codegen'd regexp expressions — no shuffle, no UDF, safe at any scale.
+ */
+object Pii {
+
+  /** user@host.tld with at least one dot in the host part. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+
+  /** Dotted quad (unvalidated octet range — deterministic over precise). */
+  val ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** 3-2-4 digit SSN shape. */
+  val ssnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** NANP-ish phone: optional +CC with separator, then 3-3-4 digits with
+   * optional separators. The 3-3-4 grouping cannot match the 3-2-4 SSN
+   * shape or dotted quads, so the categories count disjointly. */
+  val phoneRe =
+    "(?:\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\\b"
+
+  /** Per-category match counts over the raw text plus a combined flag.
+   * Counts are independent (each pattern scans the original text). */
+  def piiSignals(text: Column): Column = {
+    val emails = regexp_count(text, lit(emailRe))
+    val ipv4s = regexp_count(text, lit(ipv4Re))
+    val ssns = regexp_count(text, lit(ssnRe))
+    val phones = regexp_count(text, lit(phoneRe))
+    struct(
+      emails.as("emails"),
+      ipv4s.as("ipv4s"),
+      ssns.as("ssns"),
+      phones.as("phones"),
+      (emails + ipv4s + ssns + phones > 0).as("has_pii"))
+  }
+
+  /** Replace every match with a category token. Order matters and is part
+   * of the contract: emails first (an address can embed digit runs), then
+   * SSNs (3-2-4 must win over the looser phone shape), then IPv4, then
+   * phones. The tokens contain no digits, so later passes never re-match
+   * earlier redactions. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, lit(emailRe), lit("<EMAIL>"))
+    val s = regexp_replace(e, lit(ssnRe), lit("<SSN>"))
+    val i = regexp_replace(s, lit(ipv4Re), lit("<IP>"))
+    regexp_replace(i, lit(phoneRe), lit("<PHONE>"))
+  }
+
+  /** Fraction of whitespace tokens that are (part of) a PII match —
+   * a cheap "drop the whole document" gate (many pipelines drop docs
+   * above ~5% rather than redact). */
+  def piiDensity(text: Column): Column = {
+    val words = size(split(trim(text), "\\s+")).cast(DoubleType)
+    val hits = (regexp_count(text, lit(emailRe)) + regexp_count(text, lit(ipv4Re)) +
+      regexp_count(text, lit(ssnRe)) + regexp_count(text, lit(phoneRe))).cast(DoubleType)
+    when(words > 0, hits / words).otherwise(lit(0.0))
+  }
+}

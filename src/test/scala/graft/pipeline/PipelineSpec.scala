@@ -438,4 +438,58 @@ class PipelineSpec extends AnyFunSuite {
     val audio = resized.find(_.kind == "audio").get
     assert(audio.meta.format == "audio/wav")
   }
+
+  test("line dedup drops cross-doc boilerplate, keeps per-doc content in order") {
+    val d = Seq(
+      (0L, "COOKIE BANNER\nunique alpha content\nfooter text"),
+      (1L, "COOKIE BANNER\nunique beta content\nfooter text"),
+      (2L, "COOKIE BANNER\nfooter text"), // all boilerplate → empty
+      (3L, "solo document with its own lines\nsecond line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "unique alpha content")
+    assert(out(1L) == "unique beta content")
+    assert(out(2L) == "") // row preserved, text emptied
+    assert(out(3L) == "solo document with its own lines\nsecond line")
+    // minDocs=3: footer+banner appear in 3 docs → dropped; a 2-doc line survives
+    val d2 = d.union(Seq((4L, "unique alpha content\nCOOKIE BANNER")).toDF("doc_id", "text"))
+    val out3 = Dedup.dedupLines(d2, col("doc_id"), col("text"), minDocs = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out3(0L) == "unique alpha content\nfooter text")
+    assert(out3(4L) == "unique alpha content")
+  }
+
+  test("pii: signals count each category disjointly and redaction tokenizes them") {
+    val rows = Seq(
+      "write to alice.smith+x@mail.example.org today",
+      "server at 192.168.0.12 responded",
+      "ssn 123-45-6789 on file",
+      "call +1 (555) 123-4567 or 555.123.4567",
+      "dates 2026-08-12 and ranges 10-20-30 stay; price 1234 stays",
+      "").toDF("text")
+      .select(Pii.piiSignals(col("text")).as("s"), Pii.redactPii(col("text")).as("r"))
+      .select("s.emails", "s.ipv4s", "s.ssns", "s.phones", "s.has_pii", "r")
+      .collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).getBoolean(4) &&
+      rows(0).getString(5) == "write to <EMAIL> today")
+    assert(rows(1).getInt(1) == 1 && rows(1).getString(5) == "server at <IP> responded")
+    // the SSN shape must NOT also count as a phone (3-2-4 vs 3-3-4)
+    assert(rows(2).getInt(2) == 1 && rows(2).getInt(3) == 0 &&
+      rows(2).getString(5) == "ssn <SSN> on file")
+    assert(rows(3).getInt(3) == 2 && rows(3).getString(5) == "call <PHONE> or <PHONE>")
+    assert(!rows(4).getBoolean(4), s"false positives: ${rows(4)}")
+    assert(!rows(5).getBoolean(4) && rows(5).getString(5) == "")
+  }
+
+  test("pii: density gates on hits per word and is callable from SQL") {
+    val d = Seq(("a@b.co x y z", 4), ("clean words only here", 0)).toDF("text", "n")
+      .select(Pii.piiDensity(col("text")).as("d")).as[Double].collect()
+    assert(math.abs(d(0) - 0.25) < 1e-9 && d(1) == 0.0)
+    graft.functions.Registry.registerAll(spark)
+    val sql = spark.sql(
+      "SELECT pii_signals('mail me@x.io').emails AS e, redact_pii('at 10.0.0.1') AS r")
+      .collect().head
+    assert(sql.getInt(0) == 1 && sql.getString(1) == "at <IP>")
+  }
 }
