@@ -475,6 +475,22 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.repetitionRatio(col("text")).as("rep"))
     }),
+    "q_text_repsignals" -> ((s, dir) => {
+      // sentence-per-line framing + a planted duplicate boilerplate line so
+      // the line-dup and top-ngram signals fire; oracle covers the
+      // SQL-expressible subset (line fracs + top {2,3,4}-gram char fracs),
+      // the coverage metrics (dup 5-10 gram) are spec-verified
+      val t = concat(regexp_replace(col("text"), "\\. ", ".\n"),
+        lit("\nshare this post\nshare this post"))
+      docs(s, dir)
+        .select(col("doc_id"), graft.pipeline.Text.repetitionSignals(t).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_line_frac").as("dup_line_frac"),
+          col("r.dup_line_char_frac").as("dup_line_char_frac"),
+          col("r.top_2gram_char_frac").as("top_2gram_char_frac"),
+          col("r.top_3gram_char_frac").as("top_3gram_char_frac"),
+          col("r.top_4gram_char_frac").as("top_4gram_char_frac"))
+    }),
     "q_text_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.langId(col("text")).as("lang_guess"))
@@ -957,6 +973,59 @@ object SparkEntry {
         |       1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)
         |             / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS rep
         |FROM documents""".stripMargin,
+    "q_text_repsignals" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '\. ', '.' || chr(10), 'g')
+        |           || chr(10) || 'share this post' || chr(10) || 'share this post' AS txt
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, unnest(string_split(txt, chr(10))) AS line FROM t
+        |), lc AS (
+        |  SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |           / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+        |         CASE WHEN sum(c * len(line)) = 0 THEN 0.0
+        |              ELSE CAST(sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS DOUBLE)
+        |                   / CAST(sum(c * len(line)) AS DOUBLE) END AS dup_line_char_frac
+        |  FROM lc GROUP BY 1
+        |), w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(txt), '\s+'), x -> x <> '') AS ws
+        |  FROM t
+        |), wt AS (
+        |  SELECT doc_id, ws, len(array_to_string(ws, '')) AS totc FROM w
+        |), pos AS (
+        |  SELECT doc_id, n, totc, ws,
+        |         unnest(range(1, greatest(len(ws) - n + 2, 1))) AS i
+        |  FROM wt CROSS JOIN (VALUES (2), (3), (4)) AS ns(n)
+        |), grams AS (
+        |  SELECT doc_id, n, totc,
+        |         array_to_string(ws[i:i+n-1], ' ') AS g,
+        |         len(array_to_string(ws[i:i+n-1], '')) AS gl
+        |  FROM pos
+        |), gc AS (
+        |  SELECT doc_id, n, totc, g, gl, count(*) AS c FROM grams GROUP BY 1, 2, 3, 4, 5
+        |), ranked AS (
+        |  SELECT doc_id, n,
+        |         CAST(c AS DOUBLE) * CAST(gl AS DOUBLE) / CAST(totc AS DOUBLE) AS frac,
+        |         row_number() OVER (PARTITION BY doc_id, n
+        |                            ORDER BY c DESC, gl DESC, g ASC) AS rn
+        |  FROM gc
+        |), tg AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN n = 2 THEN frac END) AS t2,
+        |         max(CASE WHEN n = 3 THEN frac END) AS t3,
+        |         max(CASE WHEN n = 4 THEN frac END) AS t4
+        |  FROM ranked WHERE rn = 1 GROUP BY 1
+        |)
+        |SELECT lm.doc_id, dup_line_frac, dup_line_char_frac,
+        |       coalesce(t2, 0.0) AS top_2gram_char_frac,
+        |       coalesce(t3, 0.0) AS top_3gram_char_frac,
+        |       coalesce(t4, 0.0) AS top_4gram_char_frac
+        |FROM lm LEFT JOIN tg ON lm.doc_id = tg.doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH h AS (
         |  SELECT doc_id,

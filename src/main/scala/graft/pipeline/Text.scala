@@ -140,6 +140,25 @@ object Text {
 
   def fingerprint(text: Column, k: Int = 9, window: Int = 4): Column =
     Bridge.column(WinnowFingerprintExpression(Bridge.expression(text), k, window))
+
+  /**
+   * Full Gopher repetition-signal family (Rae et al. 2021 table A1, the
+   * MassiveText repetition filters): duplicate line / paragraph fractions
+   * (by unit count and by character mass), the character fraction of the
+   * single most frequent word {2,3,4}-gram, and the character fraction
+   * covered by ANY duplicated word {5..10}-gram (position coverage — an
+   * overlapping region counts once). One codegen'd expression, one pass
+   * per n — a narrow projection with no shuffle at any scale.
+   *
+   * Exact semantics (mirrored by the DuckDB oracle for the SQL-expressible
+   * subset): lines split on `\n` (exact content, untrimmed), paragraphs on
+   * `\n\n`; words are lowercased `\s+` tokens with empties dropped; n-gram
+   * character length counts word characters only (no joiner spaces); the
+   * top n-gram tie-breaks by (count desc, char length desc, lexicographic
+   * asc). Empty inputs score 0 everywhere.
+   */
+  def repetitionSignals(text: Column): Column =
+    Bridge.column(RepetitionSignalsExpression(Bridge.expression(text)))
 }
 
 /** xxhash-style 64-bit string mix shared by the signature expressions. */
@@ -211,6 +230,85 @@ object TextAlgos {
     out
   }
 
+  /** Gopher repetition signals — see [[Text.repetitionSignals]] for the
+   * semantics contract. Returns the 13-field struct as an InternalRow. */
+  def repetitionSignals(v: UTF8String): InternalRow = {
+    val text = v.toString
+    // duplicate-unit fractions over exact unit content (lines/paragraphs)
+    def dupFracs(units: Array[String]): (Double, Double) = {
+      if (units.isEmpty) return (0.0, 0.0)
+      val counts = new java.util.HashMap[String, Integer]()
+      units.foreach(u => counts.merge(u, 1, (a, b) => a + b))
+      var dupN = 0L; var dupC = 0L; var totC = 0L
+      units.foreach { u =>
+        totC += u.length
+        if (counts.get(u) > 1) { dupN += 1; dupC += u.length }
+      }
+      (dupN.toDouble / units.length, if (totC == 0L) 0.0 else dupC.toDouble / totC)
+    }
+    val (dlf, dlcf) = dupFracs(text.split("\n", -1))
+    val (dpf, dpcf) = dupFracs(text.split("\n\n", -1))
+
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    var totalWc = 0L
+    words.foreach(w => totalWc += w.length)
+
+    def ngramCounts(n: Int): java.util.HashMap[String, Integer] = {
+      val counts = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i + n <= words.length) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        counts.merge(sb.toString, 1, (a, b) => a + b)
+        i += 1
+      }
+      counts
+    }
+
+    // char mass of the most frequent n-gram; ties: longer chars, then lex asc
+    def topNgram(n: Int): Double = {
+      if (words.length < n || totalWc == 0L) return 0.0
+      var bestG: String = null; var bestC = 0; var bestL = -1
+      ngramCounts(n).forEach { (g, c) =>
+        val l = g.length - (n - 1)
+        if (c > bestC || (c == bestC && (l > bestL ||
+            (l == bestL && g.compareTo(bestG) < 0)))) {
+          bestG = g; bestC = c; bestL = l
+        }
+      }
+      bestC.toDouble * bestL / totalWc
+    }
+
+    // char mass covered by any occurrence of a >1-count n-gram (positions
+    // marked once, overlapping duplicated grams don't double count)
+    def dupNgram(n: Int): Double = {
+      if (words.length < n || totalWc == 0L) return 0.0
+      val counts = ngramCounts(n)
+      val covered = new Array[Boolean](words.length)
+      var i = 0
+      while (i + n <= words.length) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        if (counts.get(sb.toString) > 1) {
+          var p = i
+          while (p < i + n) { covered(p) = true; p += 1 }
+        }
+        i += 1
+      }
+      var cov = 0L
+      i = 0
+      while (i < words.length) { if (covered(i)) cov += words(i).length; i += 1 }
+      cov.toDouble / totalWc
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      dlf, dlcf, dpf, dpcf,
+      topNgram(2), topNgram(3), topNgram(4),
+      dupNgram(5), dupNgram(6), dupNgram(7), dupNgram(8), dupNgram(9), dupNgram(10)))
+  }
+
   /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram rolling
    * hashes, min per sliding window, distinct sorted. */
   def winnow(v: UTF8String, k: Int, window: Int): ArrayData = {
@@ -264,6 +362,28 @@ case class SimHashExpression(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.TextAlgos.simhash($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Gopher repetition-signal struct (see TextAlgos.repetitionSignals).
+ * Codegen: one static call per row. */
+case class RepetitionSignalsExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionSignalsExpression.schema
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.repetitionSignals(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.repetitionSignals($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RepetitionSignalsExpression {
+  val schema: StructType = StructType(
+    (Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac") ++
+      (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac"))
+      .map(StructField(_, DoubleType, nullable = false)))
 }
 
 /** Winnowing document fingerprint. Codegen: one static call. */
