@@ -434,6 +434,19 @@ object SparkEntry {
       graft.pipeline.Dedup.dedupLines(framed, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_dedup_spans" -> ((s, dir) => {
+      // plant a shared 27-word syndication notice on every 4th doc: its
+      // 20-word windows are corpus-duplicated, so every planted doc except
+      // the first keeps its own text but loses the notice span
+      val framed = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 4 === 0,
+          lit(" this article was syndicated from the example news network and" +
+            " may not be reproduced without permission from the original" +
+            " publisher all rights reserved worldwide in every region"))
+          .otherwise(lit(""))).as("t"))
+      graft.pipeline.Dedup.dedupSpans(framed, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_pii" -> ((s, dir) => {
       // plant deterministic PII spans in a slice of documents, then detect
       // and redact; counts and redacted text both oracle-checked
@@ -897,6 +910,41 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
+        |    THEN ' this article was syndicated from the example news network and may not be reproduced without permission from the original publisher all rights reserved worldwide in every region'
+        |    ELSE '' END AS t
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ws FROM d
+        |), win AS (
+        |  SELECT doc_id, unnest(range(1, greatest(len(ws) - 20 + 2, 1))) AS i, ws FROM w
+        |), g AS (
+        |  SELECT doc_id, i, array_to_string(ws[i:i+19], ' ') AS gram FROM win
+        |), f AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+        |    FROM g
+        |  ) WHERE rn > 1
+        |), p AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM w
+        |), cov AS (
+        |  SELECT DISTINCT p.doc_id, p.j
+        |  FROM p JOIN f ON f.doc_id = p.doc_id AND p.j >= f.i AND p.j < f.i + 20
+        |), rebuilt AS (
+        |  SELECT p.doc_id,
+        |         string_agg(CASE WHEN cov.j IS NULL THEN p.ws[p.j] END, ' ' ORDER BY p.j) AS text,
+        |         count(*) AS n_words,
+        |         count(cov.j) AS n_removed
+        |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.j = cov.j
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text,
+        |       coalesce(r.n_words, 0) AS n_words,
+        |       coalesce(r.n_removed, 0) AS n_removed
+        |FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
     "q_pii" ->
       """WITH p AS (
         |  SELECT doc_id,

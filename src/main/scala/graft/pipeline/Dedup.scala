@@ -322,4 +322,117 @@ object Dedup {
     val b = Text.shingles(textB, n)
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
   }
+
+  /**
+   * Exact-substring span deduplication (the distributed shape of Lee et al.
+   * 2021, "Deduplicating Training Data Makes Language Models Better"):
+   * every `windowWords`-word window whose content occurs more than once in
+   * the corpus — across documents or within one — keeps only its FIRST
+   * occurrence (minimum (id, position)); all other occurrences are removed
+   * from their documents, with overlapping flagged windows merging into one
+   * span. Text is canonicalized to single-space word joins (the window
+   * grammar requires it); returns (id, text, n_words, n_removed) for every
+   * input row, untouched docs included.
+   *
+   * Scale design: windows are keyed by a 64-bit xxhash of the window
+   * content, so the corpus-wide shuffle carries (id, pos, hash) — ~16 bytes
+   * per word, never the window text (which would inflate the shuffle by
+   * `windowWords`×). First-occurrence ranking is a row_number over the
+   * per-hash groups, whose size is the duplication count of one window
+   * content — bounded, never a corpus funnel. Flagged positions regroup by
+   * doc (second shuffle, O(duplicated windows) rows) and a codegen'd
+   * single-pass expression merges spans and rebuilds the text. Hash
+   * collisions conflating distinct windows are possible in principle
+   * (~N²/2⁶⁵) and accepted; the DuckDB oracle groups by the window string
+   * itself, so a collision would surface as a correctness mismatch.
+   */
+  def dedupSpans(
+      df: DataFrame, idCol: Column, textCol: Column, windowWords: Int = 20): DataFrame = {
+    require(windowWords >= 2, "windowWords must be at least 2")
+    val w = windowWords
+    val base = df.select(idCol.as("id"),
+      filter(split(textCol, "\\s+"), x => x =!= "").as("graft_ws"))
+    val wins = base
+      .where(size(col("graft_ws")) >= w)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("graft_ws")) - w),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("graft_ws"), i + 1, lit(w)))).as("h")))).as("win"))
+      .select(col("id"), col("win.pos").as("pos"), col("win.h").as("h"))
+    val flagged = wins.withColumn("graft_rn",
+        row_number().over(Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+      .where(col("graft_rn") > 1)
+    val spans = flagged.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("graft_starts"))
+    val Bridge = org.apache.spark.sql.graft.Bridge
+    base.join(spans, Seq("id"), "left")
+      .select(col("id"),
+        Bridge.column(RemoveWordSpansExpression(
+          Bridge.expression(col("graft_ws")),
+          Bridge.expression(coalesce(col("graft_starts"), array().cast("array<int>"))),
+          w)).as("graft_out"))
+      .select(col("id"), col("graft_out.text").as("text"),
+        col("graft_out.n_words").as("n_words"),
+        col("graft_out.n_removed").as("n_removed"))
+  }
+}
+
+/** Single-pass span merge + text rebuild for [[Dedup.dedupSpans]]: walks the
+ * word array once with a pointer into the SORTED flagged starts, tracking the
+ * running cover end — O(words + spans), no interval list materialized. */
+object SpanAlgos {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def removeSpans(ws: ArrayData, starts: ArrayData, w: Int): InternalRow = {
+    val n = ws.numElements()
+    val m = starts.numElements()
+    val sb = new java.lang.StringBuilder()
+    var removed = 0
+    var ptr = 0
+    var coverEnd = -1
+    var i = 0
+    while (i < n) {
+      while (ptr < m && starts.getInt(ptr) <= i) {
+        val e = starts.getInt(ptr) + w
+        if (e > coverEnd) coverEnd = e
+        ptr += 1
+      }
+      if (i < coverEnd) removed += 1
+      else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(ws.getUTF8String(i).toString)
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), n, removed))
+  }
+}
+
+/** struct<text, n_words, n_removed> of the span-cleaned word array.
+ * Codegen: one static call per row. */
+case class RemoveWordSpansExpression(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    windowWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+  override def nullSafeEval(ws: Any, st: Any): Any =
+    SpanAlgos.removeSpans(
+      ws.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      st.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], windowWords)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.pipeline.SpanAlgos.removeSpans($a, $b, $windowWords);")
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression) = copy(left = l, right = r)
 }

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-substring span dedup: duplicated windows keep only their first
+ * occurrence; spans merge; untouched docs pass through canonicalized. */
+class DedupSpansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+
+  private def run(rows: Seq[(Long, String)], w: Int = 20) =
+    Dedup.dedupSpans(rows.toDF("doc_id", "text"), col("doc_id"), col("text"), w)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+
+  test("cross-doc shared run removed from the later doc only") {
+    val a = s"u1 u2 u3 u4 u5 $shared"
+    val b = s"v1 v2 v3 v4 v5 $shared"
+    val out = run(Seq(0L -> a, 1L -> b))
+    assert(out(0L) == ((a, 30, 0)))
+    assert(out(1L) == (("v1 v2 v3 v4 v5", 30, 25)))
+  }
+
+  test("within-doc repeat keeps the first occurrence") {
+    val run20 = (1 to 20).map(i => s"r$i").mkString(" ")
+    val doc = s"$run20 middle words here $run20"
+    val out = run(Seq(5L -> doc))
+    // words 0..19 kept, 20..22 kept, 23..42 flagged (second occurrence)
+    assert(out(5L) == ((s"$run20 middle words here", 43, 20)))
+  }
+
+  test("short and empty docs pass through with whitespace canonicalized") {
+    val out = run(Seq(0L -> "only  a\tfew words", 1L -> "", 2L -> "   "))
+    assert(out(0L) == (("only a few words", 4, 0)))
+    assert(out(1L) == (("", 0, 0)))
+    assert(out(2L) == (("", 0, 0)))
+  }
+
+  test("three-way duplicate: first doc keeps, both later docs lose the span") {
+    val docs = Seq(10L -> s"a1 a2 $shared", 11L -> s"b1 b2 $shared", 12L -> s"c1 c2 $shared")
+    val out = run(docs)
+    assert(out(10L)._3 == 0)
+    assert(out(11L) == (("b1 b2", 27, 25)))
+    assert(out(12L) == (("c1 c2", 27, 25)))
+  }
+
+  test("overlapping flagged windows merge into one span (no double count)") {
+    // doc 1 duplicates doc 0 entirely at w=3: every window flagged, whole
+    // text removed, n_removed == n_words
+    val t = "w1 w2 w3 w4 w5 w6"
+    val out = run(Seq(0L -> t, 1L -> t), w = 3)
+    assert(out(0L) == ((t, 6, 0)))
+    assert(out(1L) == (("", 6, 6)))
+  }
+}
