@@ -400,6 +400,16 @@ object SparkEntry {
       graft.pipeline.Curation.bm25(
         docs(s, dir), col("doc_id"), col("text"), Seq("join", "vector", "stream"))
     }),
+    "q_lm_score" -> ((s, dir) => {
+      // train the bigram LM on the corpus, score the corpus plus planted
+      // gibberish suffixes (unseen words exercise the OOV/smoothing path)
+      val d = docs(s, dir)
+      val scoreSet = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
+      val model = graft.pipeline.Lm.train(d, col("text"))
+      graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: corpus docs sharing 8-gram(s) with the
       // "benchmark" slice (docs with id % 25 == 0)
@@ -794,6 +804,51 @@ object SparkEntry {
         |SELECT id, bucket, seq, fill - tokens AS "offset", tokens,
         |       (tokens > 512) AS oversize
         |FROM packed""".stripMargin,
+    "q_lm_score" ->
+      """WITH corpus AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), uw AS (
+        |  SELECT unnest(ws) AS w FROM corpus
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM uw GROUP BY 1
+        |), stats AS (
+        |  SELECT sum(c) AS n_tokens, count(*) AS vocab FROM uni
+        |), bit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM corpus)
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bit GROUP BY 1, 2
+        |), sdoc AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(
+        |           text || CASE WHEN doc_id % 6 = 0 THEN ' zzqx9 vvkk7 zzqx9' ELSE '' END
+        |         ), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM sdoc)
+        |), j AS (
+        |  SELECT st.doc_id,
+        |         0.5 * coalesce(CAST(bi.cb AS DOUBLE) / CAST(up.c AS DOUBLE), 0.0)
+        |           + 0.5 * ((coalesce(CAST(uc.c AS DOUBLE), 0.0) + 1.0)
+        |                    / (CAST(stats.n_tokens AS DOUBLE) + 1.0 * CAST(stats.vocab AS DOUBLE))) AS p,
+        |         uc.c AS cw
+        |  FROM st
+        |  LEFT JOIN bi ON bi.w1 = st.w1 AND bi.w2 = st.w2
+        |  LEFT JOIN uni up ON up.w = st.w1
+        |  LEFT JOIN uni uc ON uc.w = st.w2
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_trans,
+        |         sum(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS sum_prob_e12,
+        |         count(CASE WHEN cw IS NULL THEN 1 END) AS n_oov
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_trans, 0) AS n_trans,
+        |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
+        |       coalesce(n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks

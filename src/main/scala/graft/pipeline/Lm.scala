@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Corpus-trained interpolated bigram language-model scoring — the CCNet-style
+ * "perplexity filter" tier of a pre-training pipeline, expressed without any
+ * external LM artifact: the model IS two count aggregates over the corpus.
+ *
+ *   P(w | prev) = λ · c(prev,w)/c(prev)  +  (1-λ) · (c(w)+k)/(N + k·V)
+ *
+ * (bigram MLE interpolated with an add-k unigram; unseen words fall back to
+ * the smoothed unigram floor, so every transition has P > 0).
+ *
+ * Scale design (100 TB): training is two groupBy counts over exploded words /
+ * word pairs — map-side partial aggregation, shuffle keyed on the word
+ * (pair), no driver state. Scoring explodes each doc into (prev, word)
+ * transitions and equi-joins the two count tables — model tables are
+ * DataFrames, so a small model broadcasts under AQE and a huge one
+ * shuffle-joins; the single-row (N, V) stats frame is broadcast like the
+ * BM25 stats row. Per-transition probabilities are bit-deterministic doubles
+ * (fixed operation order) floored to 1e-12 fixed-point longs before the
+ * per-doc SUM, so the aggregate is exact, order-independent, and the DuckDB
+ * oracle hash-matches.
+ */
+object Lm {
+
+  /** The trained model: unigram counts (w, c), bigram counts (w1, w2, c) and
+   * the single-row stats frame (n_tokens, vocab). */
+  case class LmModel(unigrams: DataFrame, bigrams: DataFrame, stats: DataFrame)
+
+  private def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Count unigrams + bigrams over the corpus. Two shuffles, both keyed on
+   * word (pair) — the model stays distributed end to end. */
+  def train(df: DataFrame, textCol: Column): LmModel = {
+    val ws = df.select(words(textCol).as("graft_ws"))
+    val uni = ws.select(explode(col("graft_ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = ws.where(size(col("graft_ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("graft_ws"), lit(1), size(col("graft_ws")) - 1).as("p"),
+        slice(col("graft_ws"), lit(2), size(col("graft_ws")) - 1).as("n"))).as("t"))
+      .select(col("t.p").as("w1"), col("t.n").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val stats = uni.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    LmModel(uni, bi, stats)
+  }
+
+  /**
+   * Score every doc: (id, n_trans, sum_prob_e12, n_oov) where sum_prob_e12
+   * is the exact long sum of floor(P · 10¹²) over the n_trans transition
+   * probabilities (fixed-point micro-units: per-transition doubles are
+   * bit-identical across engines, and floor of an identical double is
+   * engine-independent, unlike double→decimal casts which round through
+   * the shortest string representation on the JVM) and n_oov counts
+   * transitions whose target word is outside the model vocabulary. Docs
+   * with fewer than two words score (0, 0, 0). With `includeLogScores`,
+   * adds avg_logp (mean natural-log probability) and ppl (exp(-avg_logp))
+   * — double aggregates whose value is order-of-summation dependent in
+   * the last ulps, so they're spec-tested rather than oracle-hashed.
+   */
+  def score(
+      model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
+      lambda: Double = 0.5, k: Double = 1.0,
+      includeLogScores: Boolean = false): DataFrame = {
+    val base = df.select(idCol.as("id"), words(textCol).as("graft_ws"))
+    val trans = base.where(size(col("graft_ws")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("graft_ws"), lit(1), size(col("graft_ws")) - 1).as("p"),
+        slice(col("graft_ws"), lit(2), size(col("graft_ws")) - 1).as("n"))).as("t"))
+      .select(col("id"), col("t.p").as("w1"), col("t.n").as("w2"))
+    val joined = trans
+      .join(model.bigrams.withColumnRenamed("c", "graft_cb"), Seq("w1", "w2"), "left")
+      .join(model.unigrams.select(col("w").as("w1"), col("c").as("graft_cp")), Seq("w1"), "left")
+      .join(model.unigrams.select(col("w").as("w2"), col("c").as("graft_cw")), Seq("w2"), "left")
+      .crossJoin(broadcast(model.stats))
+    // fixed operation order, mirrored token-for-token by the DuckDB oracle:
+    // identical IEEE ops on identical inputs → bit-identical doubles
+    val pBi = coalesce(col("graft_cb").cast("double") / col("graft_cp").cast("double"), lit(0.0))
+    val pUni = (coalesce(col("graft_cw").cast("double"), lit(0.0)) + lit(k)) /
+      (col("n_tokens").cast("double") + lit(k) * col("vocab").cast("double"))
+    val p = lit(lambda) * pBi + lit(1.0 - lambda) * pUni
+    val aggs = Seq(
+      count(lit(1)).as("n_trans"),
+      sum(floor(col("graft_p") * lit(1e12))).as("sum_prob_e12"),
+      count(when(col("graft_cw").isNull, 1)).as("n_oov")) ++
+      (if (includeLogScores) Seq(avg(log(col("graft_p"))).as("avg_logp")) else Nil)
+    val scored = joined
+      .select(col("id"), p.as("graft_p"), col("graft_cw"))
+      .groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val out = base.select(col("id")).join(scored, Seq("id"), "left")
+      .select(Seq(col("id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("sum_prob_e12"), lit(0L)).as("sum_prob_e12"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov")) ++
+        (if (includeLogScores) Seq(col("avg_logp")) else Nil): _*)
+    if (includeLogScores) out.withColumn("ppl", exp(-col("avg_logp"))) else out
+  }
+}
