@@ -327,6 +327,19 @@ object SparkEntry {
       graft.pipeline.Similarity.embeddingNearDups(corpus, "vec_id", "embedding", 0.999)
         .select(col("id_a"), col("id_b"))
     }),
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup with fixed one-hot centroids (engine-replicable assignment:
+      // argmax of the first four raw components); planted exact copies are
+      // the near pairs, the keep-lowest rule drops them
+      val e = embeddings(s, dir).where(col("vec_id") % 10 === 0)
+      val corpus = e.unionAll(
+        e.where(col("vec_id") % 20 === 0).withColumn("vec_id", col("vec_id") + 10000))
+      val cents = (0 until 4).map(i =>
+        i -> Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)).toArray
+      graft.pipeline.Similarity.semanticDedupWithCentroids(
+          corpus, "vec_id", "embedding", cents, 0.999)
+        .withColumnRenamed("id", "vec_id")
+    }),
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = embeddings(s, dir)
       graft.pipeline.Similarity.bruteForceTopK(
@@ -702,6 +715,26 @@ object SparkEntry {
     "q_dedup_embedding" ->
       """SELECT vec_id AS id_a, vec_id + 10000 AS id_b
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 20 = 0
+        |), a AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |                   AND embedding[1] >= embedding[4] THEN 0
+        |              WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |              WHEN embedding[3] >= embedding[4] THEN 2
+        |              ELSE 3 END AS cid
+        |  FROM base
+        |), drops AS (
+        |  SELECT DISTINCT r.vec_id
+        |  FROM a l JOIN a r ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+        |                               CAST(r.embedding AS DOUBLE[])) >= 0.999
+        |)
+        |SELECT vec_id, cid FROM a ANTI JOIN drops USING (vec_id)""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |FROM embeddings q, embeddings n

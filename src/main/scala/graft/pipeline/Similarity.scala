@@ -267,6 +267,47 @@ object Similarity {
   // (IVF expression machinery lives below the object)
 
   /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+   * embedding space, search for cosine-near pairs WITHIN each cluster only,
+   * and keep the lowest id of every near pair — the cluster pass turns the
+   * O(n²) all-pairs search into Σ|cell|², which is what makes semantic dedup
+   * feasible at corpus scale. Returns (id, cid) for every KEPT row.
+   *
+   * Scale: pick `nlist` so cells stay bounded (SemDeDup uses n/cell ≈ 10⁴-10⁵
+   * cells on web corpora) — the within-cell self-join reads ONE materialized
+   * exchange (explicit repartition on cid), assignment is the codegen'd
+   * centroid projection, and the drop set is applied as one anti-join.
+   */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nlist: Int = 16, iters: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(df, vecCol, nlist, iters)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    semanticDedupWithCentroids(df, idCol, vecCol, cents, threshold)
+  }
+
+  /** [[semanticDedup]] against an EXPLICIT centroid set — reproducible across
+   * runs and engines (the oracle replicates one-hot centroid assignment
+   * exactly: argmax of raw components, ties to the lowest cid). */
+  def semanticDedupWithCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], threshold: Double): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+      .repartition(col("cid"))
+    val l = assigned.as("l")
+    val r = assigned.as("r")
+    val drops = l.join(r, col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+      .select(col("r.id").as("graft_drop_id"),
+        cosine(col("l.v"), col("r.v")).as("graft_sim"))
+      .where(!isnan(col("graft_sim")) && col("graft_sim") >= threshold)
+      .select(col("graft_drop_id")).distinct()
+    assigned.join(drops, col("id") === col("graft_drop_id"), "left_anti")
+      .select(col("id"), col("cid"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
    * Candidates come from multi-table LSH buckets (high thresholds ⇒ near-
    * identical vectors ⇒ identical signatures in some table with overwhelming
