@@ -413,6 +413,22 @@ object SparkEntry {
       graft.pipeline.Curation.bm25(
         docs(s, dir), col("doc_id"), col("text"), Seq("join", "vector", "stream"))
     }),
+    "q_classifier" -> ((s, dir) => {
+      // rows-only: train the hashed-feature quality classifier on a
+      // deterministic labeled set (clean docs vs junk-suffixed copies) and
+      // emit per-doc predictions; separation semantics are spec-covered
+      val d = docs(s, dir)
+      val labeled = d.select(col("doc_id"), col("text"), lit(1.0).as("y"))
+        .unionAll(d.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"),
+            lit(" zz11 buy now $$$ click here free winner zz22")).as("text"),
+          lit(0.0).as("y")))
+      val model = graft.pipeline.Classifier.train(
+        labeled, col("text"), col("y"), dim = 4096, iters = 30, lr = 8.0)
+      labeled.select(col("doc_id"), col("y").cast("int").as("label"),
+        (graft.pipeline.Classifier.score(model, col("text")) > 0.5)
+          .cast("int").as("predicted"))
+    }),
     "q_lm_score" -> ((s, dir) => {
       // train the bigram LM on the corpus, score the corpus plus planted
       // gibberish suffixes (unseen words exercise the OOV/smoothing path)
