@@ -439,6 +439,11 @@ object SparkEntry {
       graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_collocations" -> ((s, dir) => {
+      // PMI-ranked bigram collocations from the corpus-trained LM counts
+      val model = graft.pipeline.Lm.train(docs(s, dir), col("text"))
+      graft.pipeline.Lm.collocations(model, minCount = 5L)
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: corpus docs sharing 8-gram(s) with the
       // "benchmark" slice (docs with id % 25 == 0)
@@ -898,6 +903,29 @@ object SparkEntry {
         |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
         |       coalesce(n_oov, 0) AS n_oov
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_collocations" ->
+      """WITH corpus AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), uw AS (
+        |  SELECT unnest(ws) AS w FROM corpus
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM uw GROUP BY 1
+        |), stats AS (
+        |  SELECT sum(c) AS n_tokens FROM uni
+        |), bit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM corpus)
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cab FROM bit GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT bi.w1, bi.w2, bi.cab AS c,
+        |       round(ln(CAST(bi.cab AS DOUBLE) * CAST(stats.n_tokens AS DOUBLE)
+        |                / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6) AS pmi
+        |FROM bi
+        |JOIN uni ua ON ua.w = bi.w1
+        |JOIN uni ub ON ub.w = bi.w2
+        |CROSS JOIN stats""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -50,6 +50,28 @@ object Lm {
   }
 
   /**
+   * Collocation extraction: bigrams ranked by pointwise mutual information
+   * PMI = ln(c(ab)·N / (c(a)·c(b))), the standard phrase-mining signal.
+   * `minCount` suppresses the low-count PMI explosion (hapax bigrams max
+   * out PMI by construction). Returns (w1, w2, c, pmi) with pmi rounded to
+   * 6 dp — deterministic across engines, and a stable secondary sort key.
+   *
+   * Scale: one join of the bigram table against the unigram table on each
+   * side (both keyed shuffles or broadcasts under AQE) plus the broadcast
+   * stats row — never touches the corpus again.
+   */
+  def collocations(model: LmModel, minCount: Long = 5L): DataFrame = {
+    model.bigrams.where(col("c") >= minCount)
+      .withColumnRenamed("c", "graft_cab")
+      .join(model.unigrams.select(col("w").as("w1"), col("c").as("graft_ca")), Seq("w1"))
+      .join(model.unigrams.select(col("w").as("w2"), col("c").as("graft_cb")), Seq("w2"))
+      .crossJoin(broadcast(model.stats))
+      .select(col("w1"), col("w2"), col("graft_cab").as("c"),
+        round(log(col("graft_cab").cast("double") * col("n_tokens").cast("double") /
+          (col("graft_ca").cast("double") * col("graft_cb").cast("double"))), 6).as("pmi"))
+  }
+
+  /**
    * Score every doc: (id, n_trans, sum_prob_e12, n_oov) where sum_prob_e12
    * is the exact long sum of floor(P · 10¹²) over the n_trans transition
    * probabilities (fixed-point micro-units: per-transition doubles are

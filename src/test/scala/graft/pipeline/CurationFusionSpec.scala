@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The whole per-row curation tier — gopher gate, repetition signals, PII,
+ * token counts, lang id, classifier score — must evaluate as ONE fused
+ * codegen stage over ONE scan: at 100 TB the difference between a single
+ * pass and one pass per signal IS the job cost. Fallback is disabled so any
+ * interpreted expression in the chain fails the spec, not just slows it. */
+class CurationFusionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("all per-row curation signals fuse into one codegen stage over one scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuse").toString
+    Seq((1L, "the quick brown fox a@b.com"), (2L, "zz11 buy now"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val model = Classifier.train(
+      Seq(("good text", 1.0), ("zz11 spam", 0.0)).toDF("text", "y"),
+      col("text"), col("y"), dim = 128, iters = 2)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.read.parquet(dir).select(
+        col("doc_id"),
+        Text.gopherQuality(col("text")).getField("pass").as("gopher_pass"),
+        Text.repetitionSignals(col("text")).getField("dup_5gram_char_frac").as("rep5"),
+        Pii.piiDensity(col("text")).as("pii"),
+        Text.bpeTokenCount(col("text")).as("toks"),
+        Text.langId(col("text")).as("lang"),
+        Classifier.score(model, col("text")).as("quality"))
+      assert(df.collect().length == 2) // evaluates with fallback disabled
+      val plan = df.queryExecution.executedPlan
+      val wscs = plan.collect { case w: WholeStageCodegenExec => w }
+      assert(wscs.size == 1, s"expected ONE fused codegen stage, got ${wscs.size}:\n$plan")
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1, s"expected one scan:\n$plan")
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
+  }
+}

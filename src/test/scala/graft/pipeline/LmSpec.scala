@@ -44,6 +44,18 @@ class LmSpec extends AnyFunSuite {
     }
   }
 
+  test("PMI collocations: hand-computed value, hapax suppressed by minCount") {
+    // unigrams: new=3 york=3 city=1, N=7; bigram (new,york)=3
+    val corpus = Seq("new york new york", "new york city").toDF("text")
+    val model = Lm.train(corpus, col("text"))
+    val out = Lm.collocations(model, minCount = 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("new", "york", 3L)))
+    assert(r.getDouble(3) == BigDecimal(math.log(7.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("perplexity ranks in-distribution text below shuffled gibberish") {
     val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
     val model = Lm.train(corpus, col("text"))
