@@ -424,7 +424,7 @@ object SparkEntry {
             lit(" zz11 buy now $$$ click here free winner zz22")).as("text"),
           lit(0.0).as("y")))
       val model = graft.pipeline.Classifier.train(
-        labeled, col("text"), col("y"), dim = 4096, iters = 30, lr = 8.0)
+        labeled, col("text"), col("y"), dim = 4096, iters = 20, lr = 8.0)
       labeled.select(col("doc_id"), col("y").cast("int").as("label"),
         (graft.pipeline.Classifier.score(model, col("text")) > 0.5)
           .cast("int").as("predicted"))
@@ -451,6 +451,26 @@ object SparkEntry {
       graft.pipeline.Curation.decontaminate(
         d, col("doc_id"), col("text"),
         d.where(col("doc_id") % 25 === 0), col("text"))
+    }),
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // bloom-screen variant of q_decontaminate: at fpp=0.001 over this
+      // benchmark set the screen is exact (verified), so the exact-overlap
+      // oracle applies; probes are deterministic, so that holds run to run
+      val d = docs(s, dir)
+      graft.pipeline.Curation.decontaminateBloom(
+        d, col("doc_id"), col("text"),
+        d.where(col("doc_id") % 25 === 0), col("text"),
+        expectedNgrams = 500000L, fpp = 0.001, bloomName = "graft_decontam_q")
+    }),
+    "q_temperature_sample" -> ((s, dir) => {
+      // alpha=0.5 temperature rebalancing across sources to a 20k-token
+      // budget; selection content-addressed, oracle hash-matches row-for-row
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.pipeline.Text.tokenCount(col("text")).as("toks"))
+      graft.pipeline.Curation.temperatureSample(
+          d, col("doc_id"), col("source"), col("toks"),
+          totalBudget = 20000L, alpha = 0.5)
+        .select(col("doc_id"), col("source"))
     }),
     "q_dedup_skew" -> ((s, dir) => {
       // planted skew: 10k exact copies of doc 1's text — the exact-content
@@ -965,6 +985,43 @@ object SparkEntry {
         |SELECT d.doc_id AS id, count(*) AS shared_ngrams
         |FROM doc_ng d JOIN bench USING (ng)
         |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+    "q_decontaminate_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+7], ' ')
+        |                        for i in range(1, greatest(len(w) - 8, 0) + 2)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |), bench AS (
+        |  SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 25 = 0
+        |), doc_ng AS (
+        |  SELECT doc_id, unnest(s) AS ng FROM sh
+        |)
+        |SELECT d.doc_id AS id, count(*) AS shared_ngrams
+        |FROM doc_ng d JOIN bench USING (ng)
+        |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), dom AS (
+        |  SELECT source, sum(toks) AS tot,
+        |         CAST(floor(pow(CAST(sum(toks) AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS w
+        |  FROM base GROUP BY 1
+        |), sw AS (
+        |  SELECT sum(w) AS sumw FROM dom
+        |), fr AS (
+        |  SELECT source,
+        |         CASE WHEN tot IS NULL OR tot <= 0 THEN 1.0
+        |              ELSE LEAST(1.0, 20000.0 * CAST(w AS DOUBLE) / CAST(sumw AS DOUBLE)
+        |                              / CAST(tot AS DOUBLE))
+        |         END AS frac
+        |  FROM dom CROSS JOIN sw
+        |)
+        |SELECT b.doc_id, b.source
+        |FROM base b JOIN fr USING (source)
+        |WHERE (CAST(concat('0x', substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       / 4294967296.0) < fr.frac""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -265,4 +265,73 @@ object Curation {
       .agg(count(lit(1)).as("shared_ngrams")) // doc n-grams are pre-distinct
       .where(col("shared_ngrams") >= minShared)
   }
+
+  /**
+   * Bloom-filter decontamination — [[decontaminate]] for benchmark sets too
+   * large to broadcast as an exact n-gram table: the benchmark n-grams
+   * OR-merge into one bloom (the small_bloom aggregate, map-side partials),
+   * registered once; the corpus side then counts shingles probing positive
+   * in a NARROW projection — no explode, no join, no corpus shuffle at all.
+   * Counts include bloom false positives at ≤ `fpp` per n-gram probe, so
+   * this is a superset screen: pipe flagged docs through the exact
+   * [[decontaminate]] when exactness matters (two-tier, like every bloom
+   * pipeline). Probes are deterministic (fixed hash), so results are
+   * reproducible run to run.
+   */
+  def decontaminateBloom(
+      df: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchTextCol: Column,
+      n: Int = 8, minShared: Int = 1,
+      expectedNgrams: Long = 10000000L, fpp: Double = 0.001,
+      bloomName: String = "graft_decontam"): DataFrame = {
+    val spark = df.sparkSession
+    graft.lookups.Lookups.registerBloomFrom(spark, bloomName,
+      bench.select(explode(Text.shingles(benchTextCol, n)).as("graft_ng")),
+      col("graft_ng"), expectedNgrams, fpp)
+    val Bridge = org.apache.spark.sql.graft.Bridge
+    def probe(c: Column): Column =
+      Bridge.column(graft.lookups.ProbabilityInExpression(Bridge.expression(c), bloomName))
+    df.select(idCol.as("id"),
+        size(filter(Text.shingles(textCol, n), s => probe(s) > 0.0)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
+  /**
+   * Temperature-based domain rebalancing (the multilingual/multi-domain
+   * sampling rule: p_d ∝ n_d^α, α<1 upsamples the tail): every domain d with
+   * n_d total tokens gets budget_d = B · w_d / Σw, w_d = n_d^α, and keeps
+   * rows with the [[hashFraction]] content-addressed rule at fraction
+   * min(1, budget_d / n_d). α = 1 reduces to proportional (no-op when
+   * B = Σn), α = 0 to uniform-across-domains.
+   *
+   * Scale: one small per-domain aggregate (broadcast back), corpus never
+   * shuffles. Determinism: w_d floors to 1e-6 fixed point so the Σw
+   * aggregate is exact and order-independent — keep fractions are
+   * bit-identical across engines and partitionings (the DuckDB oracle
+   * hash-matches row for row).
+   */
+  def temperatureSample(
+      df: DataFrame, idCol: Column, domainCol: Column, tokensCol: Column,
+      totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val base = df.withColumn("graft_dom", domainCol)
+      .withColumn("graft_tok", tokensCol.cast("long"))
+    val domTotals = base.groupBy(col("graft_dom"))
+      .agg(sum(col("graft_tok")).as("graft_tot"))
+      .select(col("graft_dom"), col("graft_tot"),
+        floor(pow(col("graft_tot").cast("double"), lit(alpha)) * lit(1e6))
+          .as("graft_w"))
+    val sumw = domTotals.agg(sum(col("graft_w")).as("graft_sumw"))
+    val fractions = domTotals.crossJoin(broadcast(sumw))
+      .select(col("graft_dom"),
+        when(col("graft_tot").isNull || col("graft_tot") <= 0L, lit(1.0))
+          .otherwise(least(lit(1.0),
+            lit(totalBudget.toDouble) * col("graft_w").cast("double")
+              / col("graft_sumw").cast("double") / col("graft_tot").cast("double")))
+          .as("graft_frac"))
+    base.join(broadcast(fractions), Seq("graft_dom"), "left")
+      .where(hashFraction(idCol) < coalesce(col("graft_frac"), lit(1.0)))
+      .select(df.columns.map(col): _*)
+  }
 }

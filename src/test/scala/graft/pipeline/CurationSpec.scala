@@ -210,4 +210,50 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"expected broadcast join in plan:\n$plan")
   }
+
+  test("decontaminateBloom matches the exact screen and stays join-free") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.where(col("doc_id") % 25 === 0)
+    val exact = Curation.decontaminate(
+        docs, col("doc_id"), col("text"), bench, col("text"))
+      .as[(Long, Long)].collect().toMap
+    val bloom = Curation.decontaminateBloom(
+        docs, col("doc_id"), col("text"), bench, col("text"),
+        expectedNgrams = 100000L, fpp = 0.001, bloomName = "graft_decontam_spec")
+      .as[(Long, Long)].collect().toMap
+    // blooms can only over-report: exact hits must survive with counts >=,
+    // and at this fpp over this set the screen is exactly the exact answer
+    exact.foreach { case (id, c) => assert(bloom.getOrElse(id, 0L) >= c) }
+    assert(bloom == exact, "fpp=0.001 screen expected to be exact on this corpus")
+    // the bloom path is a narrow projection: no join at all in the corpus plan
+    val plan = Curation.decontaminateBloom(
+        docs, col("doc_id"), col("text"), bench, col("text"),
+        bloomName = "graft_decontam_spec2")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free bloom screen:\n$plan")
+  }
+
+  test("temperatureSample rebalances toward tail domains, alpha=1 is proportional") {
+    val rows = ((0L until 900L).map(i => (i, "big", 10L)) ++
+      (1000L until 1100L).map(i => (i, "small", 10L))).toDF("id", "dom", "toks")
+    // budget = half the corpus tokens
+    val out5 = Curation.temperatureSample(rows, col("id"), col("dom"), col("toks"),
+      totalBudget = 5000L, alpha = 0.5)
+    val kept5 = out5.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // alpha=0.5: w_big/w_small = 3 -> big gets 3/4 of budget = 3750 of 9000
+    // tokens (keep ~0.417), small gets 1250 of 1000 -> capped at 1.0
+    assert(kept5("small") == 100L, s"tail domain should keep everything: $kept5")
+    assert(kept5("big") < 500L && kept5("big") > 300L, s"head domain downsampled: $kept5")
+    // alpha=1: both domains keep at the same global rate (budget/total)
+    val out1 = Curation.temperatureSample(rows, col("id"), col("dom"), col("toks"),
+      totalBudget = 5000L, alpha = 1.0)
+    val kept1 = out1.groupBy("dom").count().as[(String, Long)].collect().toMap
+    val rateBig = kept1("big") / 900.0
+    val rateSmall = kept1("small") / 100.0
+    assert(math.abs(rateBig - rateSmall) < 0.15, s"proportional rates: $kept1")
+    // content-addressed: identical output across runs
+    assert(out5.select("id").as[Long].collect().sorted.toSeq ==
+      Curation.temperatureSample(rows, col("id"), col("dom"), col("toks"), 5000L, 0.5)
+        .select("id").as[Long].collect().sorted.toSeq)
+  }
 }

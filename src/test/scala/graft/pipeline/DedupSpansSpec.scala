@@ -48,6 +48,28 @@ class DedupSpansSpec extends AnyFunSuite {
     assert(out(12L) == (("c1 c2", 27, 25)))
   }
 
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+      case q: QueryStageExec => q +: planNodes(q.plan)
+      case other => other +: other.children.flatMap(planNodes)
+    }
+  }
+
+  test("first-occurrence ranking partitions by window hash — never a corpus funnel") {
+    val df = Seq(0L -> shared, 1L -> shared).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, col("doc_id"), col("text"), 3)
+    out.collect() // finalize the adaptive plan
+    val windows = planNodes(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a WindowExec in the span-dedup plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"window must partition by the window hash, not globally:\n$w"))
+  }
+
   test("overlapping flagged windows merge into one span (no double count)") {
     // doc 1 duplicates doc 0 entirely at w=3: every window flagged, whole
     // text removed, n_removed == n_words
