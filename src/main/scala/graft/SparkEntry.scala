@@ -489,6 +489,17 @@ object SparkEntry {
         graft.pipeline.Text.bpeTokenEstimate(col("text")).as("n_bpe"),
         graft.pipeline.Text.bpeTokenCount(col("text")).as("n_bpe_regex"))
     }),
+    "q_bpe_tokens" -> ((s, dir) => {
+      // rows-only: learn a 150-merge BPE table from the corpus word counts
+      // (driver-side merge loop over the bounded dictionary, the standard
+      // trainer shape) and emit exact subword token counts per doc
+      val d = docs(s, dir)
+      val model = graft.pipeline.Bpe.learnMerges(
+        d, col("text"), numMerges = 150, minCount = 5L)
+      d.select(col("doc_id"),
+        graft.pipeline.Bpe.tokenCount(model, col("text")).as("n_bpe_exact"),
+        graft.pipeline.Text.tokenCount(col("text")).as("n_words"))
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       // wrap every document in shared chrome (nav header, copyright footer);
       // line dedup must strip the chrome everywhere and keep original text

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Classic BPE on the textbook low/lower/lowest corpus — merge order and
+ * greedy encoding are hand-verifiable. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq("low lower lowest").toDF("text")
+
+  test("merge order: count first, lexicographic pair on ties") {
+    val m = Bpe.learnMerges(corpus, col("text"), numMerges = 4, minCount = 1)
+    assert(m.merges.toSeq == Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")))
+  }
+
+  test("greedy encode follows merge ranks") {
+    val m = Bpe.learnMerges(corpus, col("text"), numMerges = 4, minCount = 1)
+    assert(BpeAlgos.encodeWord("low", m).toSeq == Seq("low"))
+    assert(BpeAlgos.encodeWord("lower", m).toSeq == Seq("lower"))
+    assert(BpeAlgos.encodeWord("lowest", m).toSeq == Seq("lowe", "s", "t"))
+    // unseen characters stay single symbols
+    assert(BpeAlgos.encodeWord("lox", m).toSeq == Seq("lo", "x"))
+  }
+
+  test("token count and token array columns, codegen enabled") {
+    val m = Bpe.learnMerges(corpus, col("text"), numMerges = 4, minCount = 1)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Seq("low lower lowest", "").toDF("t")
+        .select(Bpe.tokenCount(m, col("t")).as("n"), Bpe.tokens(m, col("t")).as("toks"))
+        .collect()
+      assert(r(0).getInt(0) == 5)
+      assert(r(0).getSeq[String](1) == Seq("low", "lower", "lowe", "s", "t"))
+      assert(r(1).getInt(0) == 0)
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
+  }
+
+  test("merges exhaust gracefully when no pairs remain") {
+    val m = Bpe.learnMerges(Seq("ab ab").toDF("text"), col("text"),
+      numMerges = 50, minCount = 1)
+    assert(m.merges.toSeq == Seq(("a", "b"))) // one possible merge, then stop
+  }
+
+  test("learned table is deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m1 = Bpe.learnMerges(docs, col("text"), numMerges = 30, minCount = 5)
+    val m2 = Bpe.learnMerges(docs.repartition(7), col("text"), numMerges = 30, minCount = 5)
+    assert(m1.merges.toSeq == m2.merges.toSeq)
+  }
+
+  test("token counts converge to word counts as the merge table grows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def total(numMerges: Int) = {
+      val m = Bpe.learnMerges(docs, col("text"), numMerges, minCount = 5)
+      docs.select(sum(Bpe.tokenCount(m, col("text"))).as("exact"))
+        .collect().head.getLong(0)
+    }
+    val words = docs.select(sum(Text.tokenCount(col("text"))).as("w"))
+      .collect().head.getLong(0)
+    val coarse = total(10)   // few merges: clearly subword
+    val fine = total(100)    // this corpus's small vocab merges to whole words
+    assert(coarse > fine, s"more merges must not increase counts ($coarse vs $fine)")
+    assert(coarse > words, s"10-merge tokenization must be subword ($coarse vs $words)")
+    assert(fine >= words, s"tokens can never undercut whitespace words ($fine vs $words)")
+  }
+}
