@@ -85,4 +85,50 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(Similarity.lshTopK(noEmbs, embs, "vec_id", "embedding", 3, dim = 2).count() == 0)
     assert(Similarity.embeddingNearDups(noEmbs, "vec_id", "embedding", 0.9, dim = 2).count() == 0)
   }
+
+  test("round-6 operators on empty, whitespace and single-row inputs") {
+    // line/span dedup: empty corpus -> empty; whitespace-only docs survive
+    assert(Dedup.dedupLines(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.dedupSpans(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    val ws = Seq((1L, "   "), (2L, "\t\n")).toDF("doc_id", "text")
+    assert(Dedup.dedupSpans(ws, col("doc_id"), col("text")).count() == 2)
+    // LM: empty training corpus still scores (everything OOV on the floor);
+    // guard requires only that nothing throws and rows survive
+    val emptyLm = Lm.train(emptyDocs, col("text"))
+    assert(Lm.score(emptyLm, oneDoc, col("doc_id"), col("text")).count() == 1)
+    assert(Lm.collocations(emptyLm).count() == 0)
+    // repetition/PII on degenerate strings (nothing throws, values defined)
+    val sigs = Seq("", "   ", "\n\n\n", "a").toDF("text")
+      .select(Text.repetitionSignals(col("text")).as("r"),
+        Pii.piiSignals(col("text")).as("p"),
+        Pii.redactPii(col("text")).as("red"),
+        Pii.piiDensity(col("text")).as("d"))
+      .collect()
+    assert(sigs.length == 4)
+    // semantic dedup over an empty embedding frame
+    val noEmbs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedupWithCentroids(noEmbs, "vec_id", "embedding",
+      Array(0 -> Array(1.0, 0.0)), 0.9).count() == 0)
+    // bloom decontamination with an empty benchmark: no doc can be flagged
+    assert(Curation.decontaminateBloom(
+      oneDoc, col("doc_id"), col("text"), emptyDocs, col("text"),
+      bloomName = "graft_decontam_degen").count() == 0)
+    // temperature sampling: empty input; single zero-token domain keeps all
+    assert(Curation.temperatureSample(
+      emptyDocs.withColumn("d", lit("x")), col("doc_id"), col("d"), lit(1L),
+      totalBudget = 10L).count() == 0)
+    assert(Curation.temperatureSample(
+      oneDoc.withColumn("d", lit("x")), col("doc_id"), col("d"), lit(0L),
+      totalBudget = 10L).count() == 1)
+    // BPE from an empty corpus: empty merge table, counts fall back to chars
+    val m = Bpe.learnMerges(emptyDocs, col("text"), numMerges = 5, minCount = 1)
+    assert(m.merges.isEmpty)
+    val bpeOut = Seq("ab", "").toDF("t")
+      .select(Bpe.tokenCount(m, col("t"))).as[Int].collect().toSeq
+    assert(bpeOut == Seq(2, 0))
+    // classifier training on a single-class frame converges without NaNs
+    val single = Seq(("only positive docs", 1.0)).toDF("text", "y")
+    val clf = Classifier.train(single, col("text"), col("y"), dim = 32, iters = 3)
+    assert(!clf.weights.exists(_.isNaN))
+  }
 }
