@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Parquet persistence for the pipeline's trainable models — train once on a
+ * (sampled) corpus, score any number of later jobs without retraining, the
+ * same build-once/reuse contract as [[graft.bloom.BloomModel]] and the IVF
+ * index. Each model round-trips byte-exactly: scores after load are
+ * bit-identical to scores before save (spec-asserted).
+ */
+object Models {
+
+  // ------------------------------------------------------------- classifier
+
+  def saveClassifier(spark: SparkSession, path: String, m: TextClassifierModel): Unit = {
+    import spark.implicits._
+    Seq((m.dim, m.seed, m.weights.toSeq)).toDF("dim", "seed", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadClassifier(spark: SparkSession, path: String): TextClassifierModel = {
+    val r = spark.read.parquet(path).select("dim", "seed", "weights").collect().head
+    TextClassifierModel(r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray)
+  }
+
+  // -------------------------------------------------------------------- bpe
+
+  def saveBpe(spark: SparkSession, path: String, m: Bpe.BpeModel): Unit = {
+    import spark.implicits._
+    m.merges.zipWithIndex
+      .map { case ((a, b), rank) => (rank, a, b) }.toSeq
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBpe(spark: SparkSession, path: String): Bpe.BpeModel =
+    Bpe.BpeModel(
+      spark.read.parquet(path).orderBy(col("rank"))
+        .select("left", "right").collect()
+        .map(r => r.getString(0) -> r.getString(1)))
+
+  // --------------------------------------------------------------------- lm
+
+  /** The LM "model" is two count tables + the stats row — written as three
+   * parquet directories under `path`. Unlike the driver-sized models above,
+   * these stay DISTRIBUTED: loading does not collect anything. */
+  def saveLm(spark: SparkSession, path: String, m: Lm.LmModel): Unit = {
+    m.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    m.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    m.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def loadLm(spark: SparkSession, path: String): Lm.LmModel =
+    Lm.LmModel(
+      spark.read.parquet(s"$path/unigrams"),
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/stats"))
+}

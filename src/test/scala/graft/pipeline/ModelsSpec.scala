@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model persistence round-trips: scores after load are bit-identical. */
+class ModelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("classifier round-trip scores bit-identically") {
+    val train = Seq(("good words here", 1.0), ("zz11 qq22 spam", 0.0)).toDF("text", "y")
+    val m = Classifier.train(train, col("text"), col("y"), dim = 128, iters = 5)
+    val path = tmp("graft_clf")
+    Models.saveClassifier(spark, path, m)
+    val loaded = Models.loadClassifier(spark, path)
+    assert(loaded.dim == m.dim && loaded.seed == m.seed)
+    assert(loaded.weights.sameElements(m.weights))
+    val docs = Seq("good words", "zz11 spam", "").toDF("t")
+    val before = docs.select(Classifier.score(m, col("t"))).as[Double].collect().toSeq
+    val after = docs.select(Classifier.score(loaded, col("t"))).as[Double].collect().toSeq
+    assert(before == after)
+  }
+
+  test("bpe round-trip preserves merge ranks") {
+    val m = Bpe.learnMerges(Seq("low lower lowest").toDF("text"), col("text"),
+      numMerges = 4, minCount = 1)
+    val path = tmp("graft_bpe")
+    Models.saveBpe(spark, path, m)
+    val loaded = Models.loadBpe(spark, path)
+    assert(loaded.merges.toSeq == m.merges.toSeq)
+    assert(BpeAlgos.encodeWord("lowest", loaded).toSeq == Seq("lowe", "s", "t"))
+  }
+
+  test("lm round-trip stays distributed and scores identically") {
+    val corpus = Seq("a b", "a c", "b a c").toDF("text")
+    val m = Lm.train(corpus, col("text"))
+    val path = tmp("graft_lm")
+    Models.saveLm(spark, path, m)
+    val loaded = Models.loadLm(spark, path)
+    val docs = Seq((1L, "a b c"), (2L, "c zzz")).toDF("id", "text")
+    def run(mm: Lm.LmModel) = Lm.score(mm, docs, col("id"), col("text"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(m) == run(loaded))
+  }
+}
