@@ -462,6 +462,12 @@ object SparkEntry {
         d.where(col("doc_id") % 25 === 0), col("text"),
         expectedNgrams = 500000L, fpp = 0.001, bloomName = "graft_decontam_q")
     }),
+    "q_corpus_report" -> ((s, dir) => {
+      // one-pass per-source observability report; quality mass in exact
+      // 1e-9 fixed point so the aggregate hash-matches the oracle
+      graft.pipeline.Curation.corpusReport(
+        docs(s, dir), col("text"), col("source"), gopherMinWords = 20)
+    }),
     "q_temperature_sample" -> ((s, dir) => {
       // alpha=0.5 temperature rebalancing across sources to a 20k-token
       // budget; selection content-addressed, oracle hash-matches row-for-row
@@ -1010,6 +1016,40 @@ object SparkEntry {
         |SELECT d.doc_id AS id, count(*) AS shared_ngrams
         |FROM doc_ng d JOIN bench USING (ng)
         |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+    "q_corpus_report" ->
+      """WITH m AS (
+        |  SELECT source AS domain,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |         (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+'))
+        |          + len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |          + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |          + len(regexp_extract_all(text, '(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b'))) > 0 AS has_pii,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE (CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+        |                   + (1.0 - (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |                             / CAST(length(text) AS DOUBLE))) END AS q,
+        |         (len(regexp_split_to_array(trim(text), '\s+')) >= 20
+        |          AND len(regexp_split_to_array(trim(text), '\s+')) <= 100000
+        |          AND (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |               / len(regexp_split_to_array(trim(text), '\s+'))) >= 3.0
+        |          AND (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |               / len(regexp_split_to_array(trim(text), '\s+'))) <= 10.0
+        |          AND (CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+        |               / len(regexp_split_to_array(trim(text), '\s+'))) <= 0.1
+        |          AND (CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |               / len(regexp_split_to_array(trim(text), '\s+'))) <= 0.1
+        |          AND (CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |               / len(regexp_split_to_array(trim(text), '\s+'))) >= 0.8
+        |          AND len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) >= 2) AS gpass
+        |  FROM documents
+        |)
+        |SELECT domain, count(*) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |       count(CASE WHEN has_pii THEN 1 END) AS pii_docs,
+        |       count(CASE WHEN gpass THEN 1 END) AS gopher_pass_docs,
+        |       CAST(sum(CAST(floor(q * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_quality_e9
+        |FROM m GROUP BY 1""".stripMargin,
     "q_temperature_sample" ->
       """WITH base AS (
         |  SELECT doc_id, source,

@@ -61,8 +61,11 @@ object Classifier {
       dim: Int = 1 << 15, iters: Int = 30, lr: Double = 0.5,
       seed: Long = 7L): TextClassifierModel = {
     require(dim > 0 && iters > 0, "dim and iters must be positive")
+    // null labels/texts can't contribute a gradient but WOULD inflate the
+    // 1/n step scale — drop them up front so n matches the gradient sum
     val feats = df.select(labelCol.cast("double").as("graft_y"),
         hashedFeatures(textCol, dim, seed).as("graft_f"))
+      .where(col("graft_y").isNotNull && col("graft_f").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = feats.count().toDouble

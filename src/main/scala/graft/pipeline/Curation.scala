@@ -297,6 +297,32 @@ object Curation {
   }
 
   /**
+   * Per-domain corpus observability report in ONE pass: document and token
+   * counts, PII prevalence, Gopher-gate pass counts and an exact quality
+   * mass (1e-9 fixed-point sum, so the aggregate is order-independent and
+   * engine-portable — divide by n_docs for the mean). Every signal is a
+   * codegen'd scalar, so the whole report is one fused scan + one keyed
+   * aggregation with map-side partials: the pipeline-health dashboard a
+   * 100 TB curation run prints per ingest batch.
+   */
+  def corpusReport(
+      df: DataFrame, textCol: Column, domainCol: Column,
+      gopherMinWords: Int = 50): DataFrame = {
+    df.select(domainCol.as("domain"), textCol.as("graft_t"))
+      .select(col("domain"),
+        Text.tokenCount(col("graft_t")).as("graft_tok"),
+        Pii.piiSignals(col("graft_t")).getField("has_pii").as("graft_pii"),
+        Text.qualityScore(col("graft_t")).as("graft_q"),
+        Text.gopherQuality(col("graft_t"), gopherMinWords).getField("pass").as("graft_g"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("graft_tok").cast("long")).as("n_tokens"),
+        count(when(col("graft_pii"), 1)).as("pii_docs"),
+        count(when(col("graft_g"), 1)).as("gopher_pass_docs"),
+        sum(floor(col("graft_q") * lit(1e9))).as("sum_quality_e9"))
+  }
+
+  /**
    * Temperature-based domain rebalancing (the multilingual/multi-domain
    * sampling rule: p_d ∝ n_d^α, α<1 upsamples the tail): every domain d with
    * n_d total tokens gets budget_d = B · w_d / Σw, w_d = n_d^α, and keeps

@@ -350,8 +350,10 @@ object Dedup {
       df: DataFrame, idCol: Column, textCol: Column, windowWords: Int = 20): DataFrame = {
     require(windowWords >= 2, "windowWords must be at least 2")
     val w = windowWords
+    // null text behaves like empty (same contract as dedupLines's "")
     val base = df.select(idCol.as("id"),
-      filter(split(textCol, "\\s+"), x => x =!= "").as("graft_ws"))
+      coalesce(filter(split(textCol, "\\s+"), x => x =!= ""),
+        array().cast("array<string>")).as("graft_ws"))
     val wins = base
       .where(size(col("graft_ws")) >= w)
       .select(col("id"), explode(transform(

@@ -42,6 +42,16 @@ class ClassifierSpec extends AnyFunSuite {
     assert(m1.weights.sameElements(m2.weights))
   }
 
+  test("null-label rows are excluded from training, not silently miscounted") {
+    val base = Seq(("good words here", Some(1.0)), ("zz11 qq22 xx33", Some(0.0)))
+    val withNulls = base ++ Seq(("ignored doc one", None), ("ignored doc two", None))
+    val m1 = Classifier.train(base.toDF("text", "y"), col("text"), col("y"),
+      dim = 64, iters = 4)
+    val m2 = Classifier.train(withNulls.toDF("text", "y"), col("text"), col("y"),
+      dim = 64, iters = 4)
+    assert(m1.weights.sameElements(m2.weights))
+  }
+
   test("empty text scores the intercept prior, no crash") {
     val train = Seq(("good words here", 1.0), ("zz11 qq22 xx33", 0.0)).toDF("text", "y")
     val model = Classifier.train(train, col("text"), col("y"), dim = 64, iters = 3)

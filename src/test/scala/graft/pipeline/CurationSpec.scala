@@ -233,6 +233,34 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"expected join-free bloom screen:\n$plan")
   }
 
+  test("corpusReport aggregates all signals in one pass over one scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_report").toString
+    Seq(("a", "the quick brown fox email a@b.com goes to of and that have with words"),
+      ("a", "1 2 3"), ("b", "clean text of and the that have with here and more tokens everywhere"))
+      .toDF("source", "text").write.mode("overwrite").parquet(dir)
+    val out = Curation.corpusReport(spark.read.parquet(dir), col("text"), col("source"),
+      gopherMinWords = 5)
+    val rows = out.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows("a") == ((2L, 17L, 1L, 1L))) // one doc with PII, one gopher pass
+    assert(rows("b") == ((1L, 13L, 0L, 1L)))
+    // one scan, one aggregation exchange — the whole report is a single pass
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => q +: nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+    }
+    val plan = nodes(out.queryExecution.executedPlan)
+    assert(plan.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) == 1)
+    val exchanges = plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges == 1, s"expected one aggregation exchange, got $exchanges")
+  }
+
   test("temperatureSample rebalances toward tail domains, alpha=1 is proportional") {
     val rows = ((0L until 900L).map(i => (i, "big", 10L)) ++
       (1000L until 1100L).map(i => (i, "small", 10L))).toDF("id", "dom", "toks")

@@ -40,6 +40,15 @@ class DedupSpansSpec extends AnyFunSuite {
     assert(out(2L) == (("", 0, 0)))
   }
 
+  test("null text behaves like empty, same contract as dedupLines") {
+    val out = Dedup.dedupSpans(
+        Seq((1L, Option.empty[String]), (2L, Some("a b"))).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("", 0, 0)))
+    assert(out(2L) == (("a b", 2, 0)))
+  }
+
   test("three-way duplicate: first doc keeps, both later docs lose the span") {
     val docs = Seq(10L -> s"a1 a2 $shared", 11L -> s"b1 b2 $shared", 12L -> s"c1 c2 $shared")
     val out = run(docs)
