@@ -57,6 +57,34 @@ object StreamingDq {
         (unix_timestamp(col("session_window.end")) -
           unix_timestamp(col("session_window.start"))).as("duration_secs"))
 
+  /**
+   * Streaming corpus report — the live-ingest counterpart of
+   * `graft.pipeline.Curation.corpusReport`: the same codegen'd per-row
+   * signals (token count, PII flag, quality mass, Gopher gate) aggregated
+   * per (window, domain) under a watermark. Signals are stateless, the
+   * aggregation is the standard windowed-agg state shape — one append-mode
+   * row per closed (window, domain).
+   */
+  def streamingCorpusReport(
+      stream: DataFrame, tsCol: String, textCol: String, domainCol: String,
+      window: String, slide: String, watermark: String,
+      gopherMinWords: Int = 50): DataFrame = {
+    import graft.pipeline.{Pii, Text}
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(domainCol).as("domain"),
+        Text.tokenCount(col(textCol)).as("graft_tok"),
+        Pii.piiSignals(col(textCol)).getField("has_pii").as("graft_pii"),
+        Text.qualityScore(col(textCol)).as("graft_q"),
+        Text.gopherQuality(col(textCol), gopherMinWords).getField("pass").as("graft_g"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide), col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("graft_tok").cast("long")).as("n_tokens"),
+        count(when(col("graft_pii"), 1)).as("pii_docs"),
+        count(when(col("graft_g"), 1)).as("gopher_pass_docs"),
+        sum(floor(col("graft_q") * lit(1e9))).as("sum_quality_e9"))
+  }
+
   /** Watermarked per-window pass/fail counts of the suite's overall result. */
   def windowedPassRate(
       stream: DataFrame, suite: RuleSuite,

@@ -14,6 +14,33 @@ class StreamingCurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("windowed corpus report closes per (window, domain) at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val out = StreamingDq.streamingCorpusReport(
+      mem.toDF().toDF("ts", "source", "text"),
+      "ts", "text", "source", "10 minutes", "10 minutes", "5 minutes",
+      gopherMinWords = 2)
+    val q = out.writeStream.format("memory").queryName("corpus_report_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:01:00")
+      mem.addData(
+        (t0, "web", "the cat and the dog have fun with that"),
+        (t0, "web", "short"),
+        (t0, "code", "email me at a@b.com about the code that we have with us"))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2026-01-01 11:00:00"), "web", "late doc"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT domain, n_docs, n_tokens, pii_docs FROM corpus_report_stream")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(rows("web") == ((2L, 10L, 0L)))
+      assert(rows("code") == ((1L, 12L, 1L)))
+    } finally q.stop()
+  }
+
   test("PII redaction + repetition + classifier score on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val model = Classifier.train(
