@@ -585,6 +585,14 @@ object SparkEntry {
           col("r.top_3gram_char_frac").as("top_3gram_char_frac"),
           col("r.top_4gram_char_frac").as("top_4gram_char_frac"))
     }),
+    "q_text_clean" -> ((s, dir) => {
+      // plant control chars, tab runs, ragged spacing and blank-line floods;
+      // cleaning must normalize all of it (oracle replicates byte-for-byte)
+      val messy = concat(lit("  \u0007head\t\t"), col("text"),
+        lit("   \nline  \n\n\n\ntail  "))
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.cleanText(messy).as("clean"))
+    }),
     "q_text_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.langId(col("text")).as("lang_guess"))
@@ -1260,6 +1268,17 @@ object SparkEntry {
       """SELECT doc_id,
         |       1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)
         |             / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS rep
+        |FROM documents""".stripMargin,
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         '  ' || chr(7) || 'head' || chr(9) || chr(9) || text
+        |           || '   ' || chr(10) || 'line  ' || repeat(chr(10), 4) || 'tail  ',
+        |         '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |         '[ \t]+', ' ', 'g'),
+        |         ' *\n *', chr(10), 'g'),
+        |         '\n{3,}', chr(10) || chr(10), 'g'),
+        |         '^\s+|\s+$', '', 'g') AS clean
         |FROM documents""".stripMargin,
     "q_text_repsignals" ->
       """WITH t AS (

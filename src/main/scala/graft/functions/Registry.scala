@@ -186,6 +186,7 @@ object Registry {
       if (es.size >= 3) litLong(es(2)).toInt else 100000))),
     "repetition_ratio" -> (es => ex(graft.pipeline.Text.repetitionRatio(col(es.head)))),
     "repetition_signals" -> (es => graft.pipeline.RepetitionSignalsExpression(es.head)),
+    "clean_text" -> (es => ex(graft.pipeline.Text.cleanText(col(es.head)))),
     "pii_signals" -> (es => ex(graft.pipeline.Pii.piiSignals(col(es.head)))),
     "redact_pii" -> (es => ex(graft.pipeline.Pii.redactPii(col(es.head)))),
     "pii_density" -> (es => ex(graft.pipeline.Pii.piiDensity(col(es.head)))),

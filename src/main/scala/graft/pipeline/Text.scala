@@ -122,6 +122,21 @@ object Text {
   def urlTld(url: Column): Column =
     regexp_extract(urlHost(url), "\\.([^.]+)$", 1)
 
+  /** Deterministic text cleaning for ingest normalization: strip control
+   * characters (keeping \n and \t), collapse space/tab runs to one space,
+   * tighten spaces around newlines, cap blank-line runs at one (paragraph
+   * break preserved), trim the ends. Pure regex projection in the Java∩RE2
+   * subset — the DuckDB oracle replicates it byte-for-byte; narrow at any
+   * scale. */
+  def cleanText(text: Column, lowercase: Boolean = false): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    val tightNl = regexp_replace(oneSpace, " *\\n *", "\n")
+    val para = regexp_replace(tightNl, "\\n{3,}", "\n\n")
+    val trimmed = regexp_replace(para, "^\\s+|\\s+$", "")
+    if (lowercase) lower(trimmed) else trimmed
+  }
+
   /** Distinct word n-gram shingles (lowercased). The words array is bound as
    * a lambda variable (single-element transform) so the split runs ONCE per
    * row — inlining it into the per-shingle lambda would be O(words²). */

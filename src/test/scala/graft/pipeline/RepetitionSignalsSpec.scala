@@ -66,6 +66,15 @@ class RepetitionSignalsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("cleanText normalizes controls, tab runs, ragged spacing, blank floods") {
+    val out = Seq("  a\t\tb   \nc  \n\n\n\nd  ", "", "ok").toDF("t")
+      .select(Text.cleanText(col("t"))).as[String].collect().toSeq
+    assert(out == Seq("a b\nc\n\nd", "", "ok"))
+    val lower = Seq("A\tB").toDF("t")
+      .select(Text.cleanText(col("t"), lowercase = true)).as[String].collect().head
+    assert(lower == "a b")
+  }
+
   test("SQL-registered and codegen-compiled") {
     graft.functions.Registry.registerAll(spark)
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
