@@ -67,7 +67,7 @@ class RepetitionSignalsSpec extends AnyFunSuite {
   }
 
   test("cleanText normalizes controls, tab runs, ragged spacing, blank floods") {
-    val out = Seq("  a\t\tb   \nc  \n\n\n\nd  ", "", "ok").toDF("t")
+    val out = Seq("  \u0007a\t\tb   \nc  \n\n\n\nd  ", "", "ok").toDF("t")
       .select(Text.cleanText(col("t"))).as[String].collect().toSeq
     assert(out == Seq("a b\nc\n\nd", "", "ok"))
     val lower = Seq("A\tB").toDF("t")
