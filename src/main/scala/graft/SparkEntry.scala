@@ -462,6 +462,12 @@ object SparkEntry {
         d.where(col("doc_id") % 25 === 0), col("text"),
         expectedNgrams = 500000L, fpp = 0.001, bloomName = "graft_decontam_q")
     }),
+    "q_chunk_docs" -> ((s, dir) => {
+      // word-aligned 40-word chunks with 8-word overlap (stride 32)
+      graft.pipeline.Curation.chunkDocs(
+          docs(s, dir), col("doc_id"), col("text"), maxWords = 40, overlapWords = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_corpus_report" -> ((s, dir) => {
       // one-pass per-source observability report; quality mass in exact
       // 1e-9 fixed point so the aggregate hash-matches the oracle
@@ -1024,6 +1030,20 @@ object SparkEntry {
         |SELECT d.doc_id AS id, count(*) AS shared_ngrams
         |FROM doc_ng d JOIN bench USING (ng)
         |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ws,
+        |         unnest(range(0, ((greatest(len(ws) - 40, 0) + 31) // 32) + 1)) AS chunk
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(chunk AS INTEGER) AS chunk,
+        |       len(ws[chunk*32+1 : chunk*32+40]) AS n_words,
+        |       array_to_string(ws[chunk*32+1 : chunk*32+40], ' ') AS text
+        |FROM c""".stripMargin,
     "q_corpus_report" ->
       """WITH m AS (
         |  SELECT source AS domain,

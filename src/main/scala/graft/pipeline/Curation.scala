@@ -297,6 +297,40 @@ object Curation {
   }
 
   /**
+   * Word-aligned document chunking with overlap — the standard oversize-doc
+   * step before sequence packing: every document splits into windows of
+   * `maxWords` words, consecutive chunks sharing `overlapWords` (stride =
+   * maxWords − overlapWords), short docs pass through as chunk 0. Emits
+   * (id, chunk, n_words, text); chunk ids are 0-based in document order, so
+   * (id, chunk) is a stable key for downstream dedup/packing. Narrow
+   * projection (per-row transform + explode) — no shuffle at any scale,
+   * and the canonical single-space join makes the DuckDB oracle exact.
+   */
+  def chunkDocs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      maxWords: Int, overlapWords: Int = 0): DataFrame = {
+    require(maxWords > 0, "maxWords must be positive")
+    require(overlapWords >= 0 && overlapWords < maxWords,
+      "overlapWords must be in [0, maxWords)")
+    val stride = maxWords - overlapWords
+    val ws = filter(split(textCol, "\\s+"), w => w =!= "")
+    // chunk count = ceil(max(n − maxWords, 0) / stride) + 1: the last chunk
+    // reaches the end without emitting a redundant tail already covered by
+    // its predecessor; empty/short docs get exactly one chunk
+    val lastChunk = floor(
+      (greatest(size(ws) - maxWords, lit(0)) + lit(stride - 1)).cast("double")
+        / lit(stride.toDouble)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), lastChunk),
+      c => struct(c.as("chunk"),
+        slice(ws, c * stride + 1, lit(maxWords)).as("graft_cw")))
+    df.select(idCol.as("id"), explode(chunks).as("graft_c"))
+      .select(col("id"), col("graft_c.chunk").as("chunk"),
+        size(col("graft_c.graft_cw")).as("n_words"),
+        concat_ws(" ", col("graft_c.graft_cw")).as("text"))
+  }
+
+  /**
    * Per-domain corpus observability report in ONE pass: document and token
    * counts, PII prevalence, Gopher-gate pass counts and an exact quality
    * mass (1e-9 fixed-point sum, so the aggregate is order-independent and

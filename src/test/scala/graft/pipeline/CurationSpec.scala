@@ -233,6 +233,26 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"expected join-free bloom screen:\n$plan")
   }
 
+  test("chunkDocs: overlapping word windows, no redundant tail, edge docs") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, ten), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocs(rows, col("doc_id"), col("text"),
+        maxWords = 8, overlapWords = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    // 10 words, stride 4: chunk 0 = w1..w8, chunk 1 = w5..w10 — no chunk 2
+    assert(out((1L, 0)) == ((8, (1 to 8).map(i => s"w$i").mkString(" "))))
+    assert(out((1L, 1)) == ((6, (5 to 10).map(i => s"w$i").mkString(" "))))
+    assert(!out.contains((1L, 2)))
+    assert(out((2L, 0)) == ((2, "a b"))) // short doc: one chunk
+    assert(out((3L, 0)) == ((0, "")))    // empty doc: one empty chunk
+    // zero overlap: disjoint cover
+    val flat = Curation.chunkDocs(rows.where(col("doc_id") === 1), col("doc_id"),
+        col("text"), maxWords = 4)
+      .collect().map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(flat == Map(0 -> "w1 w2 w3 w4", 1 -> "w5 w6 w7 w8", 2 -> "w9 w10"))
+  }
+
   test("corpusReport aggregates all signals in one pass over one scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_report").toString
     Seq(("a", "the quick brown fox email a@b.com goes to of and that have with words"),
