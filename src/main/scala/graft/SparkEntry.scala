@@ -1033,7 +1033,7 @@ object SparkEntry {
     "q_chunk_docs" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ws
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, ws,
@@ -1098,7 +1098,7 @@ object SparkEntry {
         |  FROM dom CROSS JOIN sw
         |)
         |SELECT b.doc_id, b.source
-        |FROM base b JOIN fr USING (source)
+        |FROM base b JOIN fr ON b.source IS NOT DISTINCT FROM fr.source
         |WHERE (CAST(concat('0x', substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |       / 4294967296.0) < fr.frac""".stripMargin,
     "q_dedup_clusters" ->

@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Determinism: merge selection breaks count ties lexicographically on the
  * pair, so the learned merge table is a pure function of the word counts;
- * `minCount` bounds the dictionary (sample the corpus first at 100 TB —
- * standard practice, the frequency table converges long before full scans).
+ * `maxVocab` HARD-bounds the driver-side dictionary (top-K by count via a
+ * distributed TakeOrderedAndProject — minCount alone is not a bound on a
+ * web corpus), and sampling the corpus first remains standard practice at
+ * 100 TB (the frequency table converges long before full scans).
  */
 object Bpe {
 
@@ -38,14 +40,27 @@ object Bpe {
   private def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => w =!= "")
 
-  /** Learn `numMerges` merges from the corpus word-frequency table. */
+  /** Learn `numMerges` merges from the corpus word-frequency table.
+   *
+   * `maxVocab` makes the driver-side dictionary PROVABLY bounded: the
+   * frequency table is cut to the `maxVocab` most frequent words (ties
+   * broken lexicographically, so the cut — like the merges — is a pure
+   * function of the counts) with a sort+limit that Spark executes as
+   * TakeOrderedAndProject: per-partition top-K map-side, one K-row merge —
+   * the driver never sees more than `maxVocab` rows even on a 100 TB
+   * corpus whose ≥minCount vocabulary is 10⁸+. Tail words barely move
+   * pair counts, so the cap is the standard trainer trade. */
   def learnMerges(
       df: DataFrame, textCol: Column,
-      numMerges: Int = 200, minCount: Long = 2L): BpeModel = {
+      numMerges: Int = 200, minCount: Long = 2L,
+      maxVocab: Int = 1000000): BpeModel = {
     require(numMerges > 0, "numMerges must be positive")
+    require(maxVocab > 0, "maxVocab must be positive — it bounds the driver-side dictionary")
     val counts = df.select(explode(words(textCol)).as("graft_w"))
       .groupBy(col("graft_w")).agg(count(lit(1)).as("graft_c"))
       .where(col("graft_c") >= minCount)
+      .orderBy(col("graft_c").desc, col("graft_w").asc)
+      .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     // dict: word as symbol sequence -> count. Driver-side merge loop over
     // the bounded dictionary (the standard BPE trainer shape).

@@ -19,6 +19,9 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Curation {
 
+  /** Per-call bloom registry names for [[decontaminateBloom]] — see there. */
+  private[pipeline] val bloomNameCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Content-addressed bucket in [0, n): first 8 hex chars of md5 of the
    * key rendered as a string. Stable across engines (the DuckDB oracle
    * reproduces it exactly) and across runs — re-running a grown corpus
@@ -283,14 +286,22 @@ object Curation {
       bench: DataFrame, benchTextCol: Column,
       n: Int = 8, minShared: Int = 1,
       expectedNgrams: Long = 10000000L, fpp: Double = 0.001,
-      bloomName: String = "graft_decontam"): DataFrame = {
+      bloomName: String = ""): DataFrame = {
     val spark = df.sparkSession
-    graft.lookups.Lookups.registerBloomFrom(spark, bloomName,
+    // registry names are process-global and the probe resolves its bloom by
+    // name at EXECUTION time — with a fixed default, a second call would
+    // overwrite the filter and a lazily-evaluated earlier result would probe
+    // the wrong benchmark. Each call binds a fresh name unless the caller
+    // explicitly manages one.
+    val name =
+      if (bloomName.nonEmpty) bloomName
+      else s"graft_decontam_${Curation.bloomNameCounter.incrementAndGet()}"
+    graft.lookups.Lookups.registerBloomFrom(spark, name,
       bench.select(explode(Text.shingles(benchTextCol, n)).as("graft_ng")),
       col("graft_ng"), expectedNgrams, fpp)
     val Bridge = org.apache.spark.sql.graft.Bridge
     def probe(c: Column): Column =
-      Bridge.column(graft.lookups.ProbabilityInExpression(Bridge.expression(c), bloomName))
+      Bridge.column(graft.lookups.ProbabilityInExpression(Bridge.expression(c), name))
     df.select(idCol.as("id"),
         size(filter(Text.shingles(textCol, n), s => probe(s) > 0.0)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
@@ -313,7 +324,10 @@ object Curation {
     require(overlapWords >= 0 && overlapWords < maxWords,
       "overlapWords must be in [0, maxWords)")
     val stride = maxWords - overlapWords
-    val ws = filter(split(textCol, "\\s+"), w => w =!= "")
+    // null text behaves like empty (the dedupSpans/dedupLines contract):
+    // chunk 0 with n_words 0 and text "", never a NULL n_words
+    val ws = coalesce(filter(split(textCol, "\\s+"), w => w =!= ""),
+      array().cast("array<string>"))
     // chunk count = ceil(max(n − maxWords, 0) / stride) + 1: the last chunk
     // reaches the end without emitting a redundant tail already covered by
     // its predecessor; empty/short docs get exactly one chunk
@@ -390,7 +404,12 @@ object Curation {
             lit(totalBudget.toDouble) * col("graft_w").cast("double")
               / col("graft_sumw").cast("double") / col("graft_tot").cast("double")))
           .as("graft_frac"))
-    base.join(broadcast(fractions), Seq("graft_dom"), "left")
+    // null-safe join: a NULL domain is a domain like any other — groupBy
+    // already computed its token total and weight, and a plain equi-join
+    // would drop the match, coalesce frac to 1.0 and keep every null-domain
+    // row unconditionally, silently bypassing the budget.
+    val fr = fractions.withColumnRenamed("graft_dom", "graft_dom_f")
+    base.join(broadcast(fr), col("graft_dom") <=> col("graft_dom_f"), "left")
       .where(hashFraction(idCol) < coalesce(col("graft_frac"), lit(1.0)))
       .select(df.columns.map(col): _*)
   }

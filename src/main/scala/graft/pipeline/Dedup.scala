@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -287,21 +286,39 @@ object Dedup {
    * lines count as lines: once two documents share one, blank lines vanish
    * corpus-wide — the usual, desired behaviour for layout chrome.
    *
-   * Scale: two shuffles, both keyed fine-grained. (1) The duplicate-line
-   * census groups exploded (line, id) pairs by the line itself — map-side
-   * partial distinct applies, and keying on the line (not a hash of it)
-   * makes equality exact, so a hash collision can never drop a unique line.
-   * (2) Surviving lines regroup by doc id for reassembly — the corpus
-   * shuffles once, unavoidable for order-preserving rebuild. The dup set
-   * after the >= minDocs filter is small by nature (boilerplate repeats);
-   * AQE turns the anti-join into a broadcast when it fits.
+   * Scale: two corpus shuffles, both keyed fine-grained, NEITHER carrying
+   * line text. (1) The duplicate-line census is two-phase: a hashed census
+   * groups (xxhash64(line), id) — ~16 bytes per line instead of the line
+   * itself, a ~10× shuffle cut on prose-length lines — and an exact verify
+   * pass then re-counts ONLY the hash-flagged candidate lines by their full
+   * text. Collision safety: a unique line colliding with a boilerplate
+   * line's hash merely enters the candidate set, where its true per-text
+   * doc count (< minDocs) keeps it — a hash collision can never drop a
+   * unique line, the drop decision is always exact. The candidate set is
+   * small by nature (boilerplate + ~N²/2⁶⁴ collisions), so the verify
+   * census shuffles a negligible byte volume. (2) Surviving lines regroup
+   * by doc id for reassembly — unavoidable for order-preserving rebuild.
+   * The dup set after the >= minDocs filter is small; AQE turns the
+   * anti-join into a broadcast when it fits.
    */
   def dedupLines(
       df: DataFrame, idCol: Column, textCol: Column, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2 — 1 would drop every line")
     val lines = df.select(idCol.as("id"), textCol.as("graft_text"))
       .select(col("id"), posexplode(split(col("graft_text"), "\n")).as(Seq("graft_pos", "graft_line")))
-    val dups = lines.groupBy(col("graft_line"))
+    // phase 1: hashed census — the corpus-wide shuffle carries (hash, id)
+    val flaggedHashes = lines
+      .select(xxhash64(col("graft_line")).as("graft_lh"), col("id"))
+      .groupBy(col("graft_lh"))
+      .agg(countDistinct(col("id")).as("graft_hdocs"))
+      .where(col("graft_hdocs") >= minDocs)
+      .select(col("graft_lh"))
+    // phase 2: exact verify over hash-flagged candidates only (semi-join is
+    // a broadcast — the flagged-hash set is small); grouping by the line
+    // TEXT makes the final >= minDocs decision collision-proof
+    val dups = lines
+      .join(flaggedHashes, xxhash64(col("graft_line")) === col("graft_lh"), "leftsemi")
+      .groupBy(col("graft_line"))
       .agg(countDistinct(col("id")).as("graft_docs"))
       .where(col("graft_docs") >= minDocs)
       .select(col("graft_line"))
@@ -337,9 +354,10 @@ object Dedup {
    * Scale design: windows are keyed by a 64-bit xxhash of the window
    * content, so the corpus-wide shuffle carries (id, pos, hash) — ~16 bytes
    * per word, never the window text (which would inflate the shuffle by
-   * `windowWords`×). First-occurrence ranking is a row_number over the
-   * per-hash groups, whose size is the duplication count of one window
-   * content — bounded, never a corpus funnel. Flagged positions regroup by
+   * `windowWords`×). First-occurrence ranking is a mergeable
+   * `min(struct(id,pos))` aggregate (map-side partials — a hyper-duplicated
+   * boilerplate window never becomes a hot reducer key) followed by a
+   * join-back against the duplicated hashes only. Flagged positions regroup by
    * doc (second shuffle, O(duplicated windows) rows) and a codegen'd
    * single-pass expression merges spans and rebuilds the text. Hash
    * collisions conflating distinct windows are possible in principle
@@ -361,9 +379,21 @@ object Dedup {
         i => struct(i.as("pos"),
           xxhash64(concat_ws(" ", slice(col("graft_ws"), i + 1, lit(w)))).as("h")))).as("win"))
       .select(col("id"), col("win.pos").as("pos"), col("win.h").as("h"))
-    val flagged = wins.withColumn("graft_rn",
-        row_number().over(Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
-      .where(col("graft_rn") > 1)
+    // first-occurrence ranking is a MERGEABLE aggregate, never a window: a
+    // row_number over partitionBy(h) funnels every occurrence of one window
+    // content through a single task — web-corpus boilerplate puts 10⁷+ rows
+    // on one hash. min(struct(id,pos)) builds map-side partials instead
+    // (struct ordering is lexicographic, so the minimum IS the (id, pos)
+    // first occurrence); only hashes seen more than once survive to the
+    // join-back, so the build side is O(distinct duplicated windows) — AQE
+    // broadcasts it — and flagged rows are every occurrence except the min.
+    val firsts = wins.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("graft_first"),
+        count(lit(1)).as("graft_cnt"))
+      .where(col("graft_cnt") > 1L)
+      .select(col("h"), col("graft_first"))
+    val flagged = wins.join(firsts, Seq("h"))
+      .where(struct(col("id"), col("pos")) =!= col("graft_first"))
     val spans = flagged.groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("graft_starts"))
     val Bridge = org.apache.spark.sql.graft.Bridge

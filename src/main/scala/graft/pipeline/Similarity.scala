@@ -44,11 +44,35 @@ object Similarity {
         (col("graft_pos") + 1).cast("int").as("rank"))
   }
 
+  /** Default cap on query rows a search will broadcast: each row carries an
+   * embedding (~0.5–1 KB at dim 64–128), so 65k rows ≈ tens of MB on the
+   * driver and per executor — comfortably inside default memory, loudly NOT
+   * a corpus. */
+  val MaxBroadcastQueries: Int = 65536
+
+  /** Loud guard for query-side broadcasts: probes at most `maxRows + 1`
+   * rows (the limit stops the scan early, so the check is O(maxRows) even
+   * on a corpus-sized frame) and fails with guidance instead of letting an
+   * unbounded broadcast OOM the driver. */
+  private def requireBroadcastable(queries: DataFrame, maxRows: Int, op: String): Unit = {
+    val n = queries.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$op would broadcast a query set of > $maxRows rows — that is a corpus, not a " +
+        s"query batch. Pass broadcastQueries = false for a shuffle-join plan " +
+        s"(lsh/ivf paths), raise maxBroadcastQueries deliberately, or batch the queries.")
+  }
+
   /** Brute-force top-k: for each query row, the k nearest corpus rows.
-   * Returns (query_id, neighbor_id, sim, rank). */
+   * Returns (query_id, neighbor_id, sim, rank). The query set is broadcast
+   * — guarded at `maxBroadcastQueries` rows, because brute force against a
+   * corpus-sized query side is an O(n²) scored cross product no join
+   * strategy saves; use [[lshTopK]]/[[ivfTopK]] with broadcastQueries =
+   * false for query frames beyond the cap. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxBroadcastQueries: Int = MaxBroadcastQueries): DataFrame = {
+    requireBroadcastable(queries, maxBroadcastQueries, "bruteForceTopK")
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.crossJoin(c)
@@ -58,21 +82,30 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: ±1 components seeded by (plane, dim). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+    Array.fill(nPlanes)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** All `tables` LSH signatures of an embedding in ONE codegen'd static
+   * call per row (the hyperplane tensor rides along as a reference object,
+   * exactly like CentroidMatrix): tables × nPlanes interpreted
+   * `aggregate(zip_with(...))` HOF trees were the cost that kept q_ann_lsh
+   * the slowest ANN path. Table t is seeded `baseSeed + t·1000`, matching
+   * the historical per-table seeds bit for bit. */
+  private def lshSignatures(
+      vec: Column, nPlanes: Int, dim: Int, tables: Int, baseSeed: Long = 42L): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    require(nPlanes >= 1 && nPlanes <= 64, "nPlanes must be in [1, 64] (bits of one signature)")
+    val m = HyperplaneMatrix(
+      (0 until tables).map(t => planes(nPlanes, dim, baseSeed + t * 1000L)).toArray)
+    Bridge.column(HyperplaneSignaturesExpression(Bridge.expression(vec), m))
   }
 
   /** LSH signature bucket for an embedding: sign bits against nPlanes fixed
    * hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val ps = planes(nPlanes, dim, seed)
-    ps.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val d = aggregate(zip_with(vec, planeLit, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    lshSignatures(vec, nPlanes, dim, tables = 1, baseSeed = seed).getItem(0)
 
   /** Multi-table bucketed ANN: L independent hyperplane tables; a candidate
    * only needs to collide with the query in ONE table (standard LSH recall
@@ -81,16 +114,22 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, dim: Int = 64, tables: Int = 8): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64, tables: Int = 8,
+      broadcastQueries: Boolean = true,
+      maxBroadcastQueries: Int = MaxBroadcastQueries): DataFrame = {
+    if (broadcastQueries) requireBroadcastable(queries, maxBroadcastQueries, "lshTopK")
     def bucketed(df: DataFrame, id: String, vec: String) = {
-      val buckets = array((0 until tables).map(t =>
-        lshBucket(col(vec), nPlanes, dim, seed = 42L + t * 1000L)): _*)
+      val buckets = lshSignatures(col(vec), nPlanes, dim, tables)
       df.select(col(id), col(vec), posexplode(buckets).as(Seq("table", "bucket")))
     }
     val cb = bucketed(corpus, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "cv")
-    val qb = broadcast(bucketed(queries, idCol, vecCol)
-      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qv"))
+    // broadcastQueries = false is the query-frame-at-scale path: the join
+    // keys on (table, bucket), so both sides shuffle-partition by bucket and
+    // no frame ever lands whole on the driver or one executor
+    val qbBase = bucketed(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qv")
+    val qb = if (broadcastQueries) broadcast(qbBase) else qbBase
     val scored = qb.join(cb, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       // score before dedup: recomputing a dot product on multi-table repeats
@@ -162,15 +201,20 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 4,
+      broadcastQueries: Boolean = true,
+      maxBroadcastQueries: Int = MaxBroadcastQueries): DataFrame = {
+    if (broadcastQueries) requireBroadcastable(queries, maxBroadcastQueries, "ivfTopK")
     val cents = kmeansCentroids(corpus, vecCol, nlist, iters)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     val assigned = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv0"),
       bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
-    val probes = broadcast(queries.select(
-        col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
-        explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid")))
+    // non-broadcast path: keyed on cid, both sides shuffle-partition by cell
+    val probesBase = queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
+      explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid"))
+    val probes = if (broadcastQueries) broadcast(probesBase) else probesBase
     topKPerQuery(
       probes.join(assigned, "cid")
         .where(col("query_id") =!= col("neighbor_id"))
@@ -201,13 +245,17 @@ object Similarity {
   def ivfSearch(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      broadcastQueries: Boolean = true,
+      maxBroadcastQueries: Int = MaxBroadcastQueries): DataFrame = {
+    if (broadcastQueries) requireBroadcastable(queries, maxBroadcastQueries, "ivfSearch")
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     val cells = spark.read.parquet(s"$path/cells")
-    val probes = broadcast(queries.select(
-        col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
-        explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid")))
+    val probesBase = queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
+      explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid"))
+    val probes = if (broadcastQueries) broadcast(probesBase) else probesBase
     topKPerQuery(
       probes.join(cells, "cid")
         .where(col("query_id") =!= col("neighbor_id"))
@@ -318,8 +366,7 @@ object Similarity {
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int = 64, nPlanes: Int = 16, tables: Int = 4): DataFrame = {
-    val buckets = array((0 until tables).map(t =>
-      lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t * 1000L)): _*)
+    val buckets = lshSignatures(col(vecCol), nPlanes, dim, tables)
     // explicit shuffle on the self-join key (same rationale as the minhash/
     // simhash band shuffle): both sides read ONE materialized exchange, so
     // the tables×nPlanes hyperplane projections run once per row in every
@@ -342,6 +389,67 @@ object Similarity {
 /** Centroid matrix carried into generated code as one reference object;
  * norms precomputed so per-row work is nlist dot products + one vec norm. */
 final case class CentroidMatrix(ids: Array[Int], vecs: Array[Array[Double]], norms: Array[Double])
+
+/** Hyperplane tensor (table → plane → component) carried into generated code
+ * as one reference object — the LSH analogue of [[CentroidMatrix]]. */
+final case class HyperplaneMatrix(tables: Array[Array[Array[Double]]])
+
+object HyperplaneAlgos {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** One signature long per table: bit i set iff dot(vec, plane_i) >= 0 —
+   * the sign pattern the interpreted zip_with chains used to compute, in
+   * one tight loop. `isFloat` dispatches on the array element type so both
+   * raw array<float> embeddings and array<double> casts avoid a per-element
+   * branch in the hot loop. */
+  def signatures(vec: ArrayData, m: HyperplaneMatrix, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](m.tables.length)
+    var t = 0
+    while (t < m.tables.length) {
+      val ps = m.tables(t)
+      var sig = 0L
+      var i = 0
+      while (i < ps.length) {
+        val p = ps(i)
+        val dim = math.min(n, p.length)
+        var dot = 0.0
+        var j = 0
+        if (isFloat)
+          while (j < dim) { dot += vec.getFloat(j) * p(j); j += 1 }
+        else
+          while (j < dim) { dot += vec.getDouble(j) * p(j); j += 1 }
+        if (dot >= 0) sig |= (1L << i)
+        i += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All per-table LSH signatures as one codegen'd static call per row. */
+case class HyperplaneSignaturesExpression(child: Expression, m: HyperplaneMatrix)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneAlgos.signatures(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m, isFloat)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val mRef = ctx.addReferenceObj("graftHyperplanes", m, "graft.pipeline.HyperplaneMatrix")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HyperplaneAlgos.signatures($c, $mRef, $isFloat);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
 
 object SimilarityAlgos {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}

@@ -40,6 +40,27 @@ class BpeSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
   }
 
+  test("maxVocab caps the trainer dictionary at the most frequent words") {
+    // vocab of 4; cap of 2 keeps {aaaa, bbbb} (top counts) and drops the
+    // c/d words entirely — no learned merge may involve their symbols
+    val docs = (Seq.fill(10)("aaaa") ++ Seq.fill(5)("bbbb") ++
+      Seq.fill(2)("cccc") ++ Seq.fill(2)("dddd")).toDF("text")
+    val capped = Bpe.learnMerges(docs, col("text"), numMerges = 50,
+      minCount = 1, maxVocab = 2)
+    assert(capped.merges.nonEmpty)
+    assert(capped.merges.forall { case (a, b) =>
+      !(a + b).exists(ch => ch == 'c' || ch == 'd') },
+      s"capped trainer must never see c/d words: ${capped.merges.toSeq}")
+    // uncapped control DOES learn c merges, proving the cap did the cutting
+    val full = Bpe.learnMerges(docs, col("text"), numMerges = 50, minCount = 1)
+    assert(full.merges.exists { case (a, b) => (a + b).contains('c') })
+    // cap ties break lexicographically: cccc vs dddd tie at count 2, cap=3 keeps cccc
+    val cap3 = Bpe.learnMerges(docs, col("text"), numMerges = 50,
+      minCount = 1, maxVocab = 3)
+    assert(cap3.merges.exists { case (a, b) => (a + b).contains('c') })
+    assert(cap3.merges.forall { case (a, b) => !(a + b).contains('d') })
+  }
+
   test("merges exhaust gracefully when no pairs remain") {
     val m = Bpe.learnMerges(Seq("ab ab").toDF("text"), col("text"),
       numMerges = 50, minCount = 1)

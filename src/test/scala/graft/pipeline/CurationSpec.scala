@@ -304,4 +304,44 @@ class CurationSpec extends AnyFunSuite {
       Curation.temperatureSample(rows, col("id"), col("dom"), col("toks"), 5000L, 0.5)
         .select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("temperatureSample budgets NULL-domain rows like any other domain") {
+    // 900 null-domain rows vs 100 'small' rows, budget far below the corpus:
+    // null rows must be SAMPLED by their computed fraction, not kept
+    // wholesale through a dropped equi-join match
+    val rows = ((0L until 900L).map(i => (i, Option.empty[String], 10L)) ++
+      (1000L until 1100L).map(i => (i, Some("small"), 10L))).toDF("id", "dom", "toks")
+    val kept = Curation.temperatureSample(rows, col("id"), col("dom"), col("toks"),
+        totalBudget = 2000L, alpha = 0.5)
+      .groupBy("dom").count().as[(Option[String], Long)].collect().toMap
+    val keptNull = kept.getOrElse(None, 0L)
+    // w_null/w_small = 3 → null budget = 1500 of 9000 tokens ≈ keep 1/6
+    assert(keptNull < 400L && keptNull > 50L,
+      s"null domain must be downsampled toward its budget, kept $keptNull of 900")
+  }
+
+  test("chunkDocs null text behaves like empty: one chunk, n_words 0") {
+    val out = Curation.chunkDocs(
+        Seq((1L, Option.empty[String]), (2L, Some("a b c"))).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), maxWords = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(out((1L, 0)) == ((0, "")))
+    assert(out((2L, 0)) == ((2, "a b")))
+    assert(out((2L, 1)) == ((1, "c")))
+  }
+
+  test("decontaminateBloom calls don't alias: earlier lazy result keeps its own bloom") {
+    val corpus = Seq((0L, "a b c d e f g h i j"), (1L, "p q r s t u v w x y"))
+      .toDF("doc_id", "text")
+    val benchA = Seq(Tuple1("a b c d e f g h i j")).toDF("btext")
+    val benchB = Seq(Tuple1("p q r s t u v w x y")).toDF("btext")
+    // build BOTH screens before evaluating EITHER: with a fixed registry
+    // name the second registration would overwrite the first's filter
+    val hitsA = Curation.decontaminateBloom(
+      corpus, col("doc_id"), col("text"), benchA, col("btext"), n = 3)
+    val hitsB = Curation.decontaminateBloom(
+      corpus, col("doc_id"), col("text"), benchB, col("btext"), n = 3)
+    assert(hitsA.select("id").as[Long].collect().toSet == Set(0L))
+    assert(hitsB.select("id").as[Long].collect().toSet == Set(1L))
+  }
 }

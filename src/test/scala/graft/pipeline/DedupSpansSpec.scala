@@ -67,16 +67,29 @@ class DedupSpansSpec extends AnyFunSuite {
     }
   }
 
-  test("first-occurrence ranking partitions by window hash — never a corpus funnel") {
+  test("first-occurrence ranking is a mergeable aggregate — no window operator") {
     val df = Seq(0L -> shared, 1L -> shared).toDF("doc_id", "text")
     val out = Dedup.dedupSpans(df, col("doc_id"), col("text"), 3)
     out.collect() // finalize the adaptive plan
     val windows = planNodes(out.queryExecution.executedPlan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.nonEmpty, "expected a WindowExec in the span-dedup plan")
-    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-      s"window must partition by the window hash, not globally:\n$w"))
+    assert(windows.isEmpty,
+      "span dedup must rank first occurrences with min(struct(id,pos)) partial " +
+        s"aggregation, never a per-hash window (hot-key funnel at scale):\n${windows.mkString}")
+  }
+
+  test("hyper-duplicated window floods stay bounded: 100k copies of one content") {
+    // one window content occurring 100k times: with a per-hash window this is
+    // a single 100k-row reducer key; the aggregate path pre-combines map-side
+    val n = 100000
+    val df = spark.range(n).select(col("id").as("doc_id"), lit("x1 x2 x3").as("text"))
+    val out = Dedup.dedupSpans(df, col("doc_id"), col("text"), 3)
+      .agg(sum(when(col("n_removed") > 0, 1).otherwise(0)).as("docs_hit"),
+        sum(col("n_removed")).as("words_removed"))
+      .collect()(0)
+    assert(out.getLong(0) == n - 1)      // every copy but the (0,0) first loses its span
+    assert(out.getLong(1) == 3L * (n - 1))
   }
 
   test("overlapping flagged windows merge into one span (no double count)") {

@@ -313,6 +313,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.6, s"recall $recall")
   }
 
+  test("query-side broadcast is guarded; broadcastQueries=false keeps a shuffle join") {
+    val df = embs.toDF("vec_id", "embedding")
+    // over-cap query frame + broadcast path → loud require, not a driver OOM
+    val big = df // 60 rows; cap of 10 makes it "too big"
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(df, big, "vec_id", "embedding", 3, maxBroadcastQueries = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(df, big, "vec_id", "embedding", 3, dim = 16,
+        maxBroadcastQueries = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(df, big, "vec_id", "embedding", 3, nlist = 4,
+        maxBroadcastQueries = 10)
+    }
+    // the scale path: no broadcast hint — the bucket-keyed join shuffles both
+    // sides instead of collecting the query frame to the driver (broadcast
+    // thresholds off so AQE can't re-promote the tiny test frame)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prevT)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Similarity.lshTopK(df, big, "vec_id", "embedding", 3,
+        nPlanes = 4, dim = 16, tables = 8, broadcastQueries = false,
+        maxBroadcastQueries = 10)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"broadcastQueries=false must not broadcast the query side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
+
+  test("lsh signatures evaluate with codegen fallback disabled (no interpreted HOFs)") {
+    // the hyperplane projection used to be tables × nPlanes interpreted
+    // aggregate(zip_with(...)) trees; it is now one codegen'd static call,
+    // so the whole bucket pipeline must survive fallback=false
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = embs.toDF("vec_id", "embedding")
+      val out = Similarity.lshTopK(df, df.where(col("vec_id") < 3),
+        "vec_id", "embedding", 3, nPlanes = 4, dim = 16, tables = 8)
+      assert(out.count() > 0)
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
+  }
+
   test("ivf topk recall vs brute force on clustered vectors") {
     // three well-separated clusters + noise: IVF with nprobe=2 of nlist=4
     // must recover most of brute force's neighbours
