@@ -361,6 +361,18 @@ object SparkEntry {
           nlist = 16, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // rows-only: IVF-PQ build + ADC search + exact rerank; recall vs the
+      // uncompressed path and the >=4x cells size cut asserted in PqSpec
+      val e = embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q_ivfpq").toString
+      graft.pipeline.Pq.ivfPqBuild(e, "vec_id", "embedding", path,
+        nlist = 16, mSub = 8, ksub = 16)
+      graft.pipeline.Pq.ivfPqSearch(s, path, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", 3, nprobe = 4, rerankFactor = 4,
+          rerankVectors = Some(e))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "q_curate" -> ((s, dir) => {
       // end-to-end curation: near-dedup (keep lowest id) + quality gates
       val kept = graft.pipeline.Dedup.dropNearDups(
@@ -570,6 +582,20 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.qualityScore(col("text")).as("q"))
+    }),
+    "q_quality_gate" -> ((s, dir) => {
+      // the fused streaming/batch curation gate: gopher + repetition + PII
+      // in ONE projection. PII planted on doc_id % 3; maxPiiDensity = 0 so
+      // any hit fails the gate, and the repetition cap is 1.0 (the dup-5gram
+      // coverage fraction is not SQL-expressible — its threshold behaviour
+      // is spec-covered) so the oracle replicates the gate exactly
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")))
+      graft.streaming.StreamingGate.gate(
+          docs(s, dir).select(col("doc_id"), planted.as("t")), col("t"),
+          gopherMinWords = 20, maxDup5gramCharFrac = 1.0, maxPiiDensity = 0.0)
+        .select(col("doc_id"))
     }),
     "q_text_repetition" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -1284,6 +1310,38 @@ object SparkEntry {
         |       + (1.0 - (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
         |                 / CAST(length(text) AS DOUBLE))) AS q
         |FROM documents""".stripMargin,
+    "q_quality_gate" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || CASE WHEN doc_id % 3 = 0
+        |                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |                      ELSE '' END AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(t), '\s+')) AS word_count,
+        |         CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(t), '\s+')) AS mean_word_len,
+        |         CAST(len(regexp_extract_all(t, '#')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(t), '\s+')) AS hash_ratio,
+        |         CAST(len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(t), '\s+')) AS ellipsis_ratio,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |                              w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(t), '\s+')) AS alpha_word_ratio,
+        |         len(regexp_extract_all(lower(t), '\b(the|be|to|of|and|that|have|with)\b')) AS stopword_hits,
+        |         (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+'))
+        |          + len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |          + len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |          + len(regexp_extract_all(t, '(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b'))) AS pii_hits
+        |  FROM p
+        |)
+        |SELECT doc_id FROM m
+        |WHERE word_count >= 20 AND word_count <= 100000
+        |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |  AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+        |  AND alpha_word_ratio >= 0.8 AND stopword_hits >= 2
+        |  AND pii_hits = 0""".stripMargin,
     "q_text_repetition" ->
       """SELECT doc_id,
         |       1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)

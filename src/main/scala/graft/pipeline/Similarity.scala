@@ -31,7 +31,7 @@ object Similarity {
    * never the scored corpus (a row_number window would funnel all |corpus|
    * scored rows of a query into one task). NaN sims are dropped by the
    * aggregate itself (zero-norm vectors). */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[pipeline] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.dsl.top_k_by
     scored
       .groupBy(col("query_id"))
@@ -54,7 +54,7 @@ object Similarity {
    * rows (the limit stops the scan early, so the check is O(maxRows) even
    * on a corpus-sized frame) and fails with guidance instead of letting an
    * unbounded broadcast OOM the driver. */
-  private def requireBroadcastable(queries: DataFrame, maxRows: Int, op: String): Unit = {
+  private[pipeline] def requireBroadcastable(queries: DataFrame, maxRows: Int, op: String): Unit = {
     val n = queries.limit(maxRows + 1).count()
     require(n <= maxRows,
       s"$op would broadcast a query set of > $maxRows rows — that is a corpus, not a " +
@@ -145,13 +145,13 @@ object Similarity {
   /** cid of the best (highest-sim, lowest-cid on ties) centroid — a single
    * codegen'd expression: all centroid cosines in one tight static loop per
    * row (the centroid matrix rides along as a reference object). */
-  private def bestCid(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+  private[pipeline] def bestCid(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(BestCentroidExpression(Bridge.expression(vec), SimilarityAlgos.matrix(cents)))
   }
 
   /** Top `nprobe` centroid ids by similarity, same single-call shape. */
-  private def probeCids(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column = {
+  private[pipeline] def probeCids(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(ProbeCentroidsExpression(Bridge.expression(vec), SimilarityAlgos.matrix(cents), nprobe))
   }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.pipeline.{Classifier, Pii, Text, TextClassifierModel}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Streaming counterpart of the batch per-row curation tier: the fused
+ * quality signals (Gopher gate, repetition fraction, PII density, optional
+ * classifier score) evaluated as ONE stateless projection per arriving
+ * document — the CurationFusionSpec guarantee, live. Two operators share the
+ * projection shape:
+ *
+ *  - [[gate]]: filters a (streaming or batch) frame to passing documents —
+ *    append mode, zero state, survives any 100 TB/day ingest because it is
+ *    a pure codegen'd map.
+ *  - [[windowedGateReport]]: watermarked per-window pass rate WITH
+ *    per-signal failure counts — the live dashboard that tells an ingest
+ *    operator WHICH filter started eating the corpus when a crawl goes bad.
+ *
+ * All thresholds are explicit parameters so the gate is a pure function of
+ * (text, config) — reproducible across engines, no session state.
+ */
+object StreamingGate {
+
+  /** One fused struct of per-signal verdicts + overall pass. Every signal
+   * is a codegen'd scalar, so any plan containing this struct stays inside
+   * one WholeStageCodegen span over one scan (spec-pinned with fallback
+   * disabled, mirroring CurationFusionSpec). */
+  def qualitySignals(
+      textCol: Column,
+      gopherMinWords: Int = 50,
+      maxDup5gramCharFrac: Double = 0.30,
+      maxPiiDensity: Double = 0.05,
+      classifier: Option[TextClassifierModel] = None,
+      minClassifierScore: Double = 0.5): Column = {
+    val gopherPass = Text.gopherQuality(textCol, gopherMinWords).getField("pass")
+    val repPass =
+      Text.repetitionSignals(textCol).getField("dup_5gram_char_frac") <= maxDup5gramCharFrac
+    val piiPass = Pii.piiDensity(textCol) <= maxPiiDensity
+    val clsPass = classifier
+      .map(m => Classifier.score(m, textCol) >= minClassifierScore)
+      .getOrElse(lit(true))
+    struct(
+      gopherPass.as("gopher_pass"),
+      repPass.as("repetition_pass"),
+      piiPass.as("pii_pass"),
+      clsPass.as("classifier_pass"),
+      (gopherPass && repPass && piiPass && clsPass).as("pass"))
+  }
+
+  /** Documents passing every signal — stateless, append-safe, identical on
+   * batch and streaming frames. */
+  def gate(
+      stream: DataFrame, textCol: Column,
+      gopherMinWords: Int = 50,
+      maxDup5gramCharFrac: Double = 0.30,
+      maxPiiDensity: Double = 0.05,
+      classifier: Option[TextClassifierModel] = None,
+      minClassifierScore: Double = 0.5): DataFrame =
+    stream.where(qualitySignals(textCol, gopherMinWords, maxDup5gramCharFrac,
+      maxPiiDensity, classifier, minClassifierScore).getField("pass"))
+
+  /**
+   * Watermarked per-window gate telemetry: one append-mode row per closed
+   * window — (window_start, rows, passed, pass_rate, gopher_fail,
+   * repetition_fail, pii_fail, classifier_fail). Failure counts are
+   * per-signal (a document failing two signals counts in both), so a rate
+   * regression points at the responsible filter directly.
+   */
+  def windowedGateReport(
+      stream: DataFrame, tsCol: String, textCol: Column,
+      windowDuration: String, watermark: String,
+      gopherMinWords: Int = 50,
+      maxDup5gramCharFrac: Double = 0.30,
+      maxPiiDensity: Double = 0.05,
+      classifier: Option[TextClassifierModel] = None,
+      minClassifierScore: Double = 0.5): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        qualitySignals(textCol, gopherMinWords, maxDup5gramCharFrac,
+          maxPiiDensity, classifier, minClassifierScore).as("graft_sig"))
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("graft_sig.pass"), 1L).otherwise(0L)).as("passed"),
+        sum(when(!col("graft_sig.gopher_pass"), 1L).otherwise(0L)).as("gopher_fail"),
+        sum(when(!col("graft_sig.repetition_pass"), 1L).otherwise(0L)).as("repetition_fail"),
+        sum(when(!col("graft_sig.pii_pass"), 1L).otherwise(0L)).as("pii_fail"),
+        sum(when(!col("graft_sig.classifier_pass"), 1L).otherwise(0L)).as("classifier_fail"))
+      .select(col("window.start").as("window_start"), col("rows"), col("passed"),
+        (col("passed").cast("double") / col("rows")).as("pass_rate"),
+        col("gopher_fail"), col("repetition_fail"), col("pii_fail"),
+        col("classifier_fail"))
+}

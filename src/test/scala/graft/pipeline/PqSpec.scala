@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-PQ: compressed cells must (a) shrink the persisted index materially
+ * and (b) with exact rerank, match the uncompressed IVF path's recall at
+ * equal nprobe. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // three well-separated clusters in 16 dims, like the IVF recall spec
+  private lazy val corpus = {
+    val rng = new scala.util.Random(11)
+    val base = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 10) 1.0f else 0.0f))
+    // 1500 rows so the size comparison measures data, not parquet footers
+    (0L until 1500L).map { id =>
+      val b = base((id % 3).toInt)
+      (id, b.map(x => x + rng.nextFloat() * 0.2f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def dirBytes(p: String): Long = {
+    val root = new java.io.File(p)
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(root)
+  }
+
+  test("codebook round-trips through parquet and codes are deterministic") {
+    val cb = Pq.trainCodebook(corpus, "embedding", mSub = 4, ksub = 8, iters = 2)
+    assert(cb.m == 4 && cb.dsub == 4 && cb.ksub == 8)
+    assert(cb.cents.forall(_.length == 8))
+    val Bridge = org.apache.spark.sql.graft.Bridge
+    def codes = corpus
+      .select(Bridge.column(PqEncodeExpression(
+        Bridge.expression(col("embedding").cast("array<double>")), cb)).as("c"))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(codes.toSeq == codes.toSeq) // two evaluations, same codes
+    assert(codes.forall(c => c.length == 4 && c.forall(b => (b & 0xff) < 8)))
+  }
+
+  test("ivf-pq with exact rerank matches uncompressed ivf recall at equal nprobe") {
+    val queries = corpus.where(col("vec_id") < 6)
+    val k = 5
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    val flatPath = java.nio.file.Files.createTempDirectory("graft_ivf_flat").toString
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", flatPath, nlist = 4, iters = 3)
+    val flat = Similarity.ivfSearch(spark, flatPath, queries, "vec_id", "embedding", k,
+        nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val flatRecall = (bf intersect flat).size.toDouble / bf.size
+
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_ivf_pq").toString
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", pqPath,
+      nlist = 4, mSub = 4, ksub = 8, iters = 3)
+    // this corpus is the quantizer worst case — tight clusters of near-ties,
+    // where ADC cannot order near-identical codes — so use a shortlist that
+    // covers the probed candidates: the claim under test is that exact
+    // rerank RECOVERS uncompressed recall at equal nprobe, and the ADC
+    // ordering quality on separable points is covered by the adc-only test
+    val pq = Pq.ivfPqSearch(spark, pqPath, queries, "vec_id", "embedding", k,
+        nprobe = 2, rerankFactor = 250, rerankVectors = Some(corpus))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqRecall = (bf intersect pq).size.toDouble / bf.size
+
+    assert(flatRecall >= 0.8, s"flat ivf recall sanity: $flatRecall")
+    assert(pqRecall >= flatRecall,
+      s"pq+rerank recall $pqRecall must be >= uncompressed $flatRecall at equal nprobe")
+
+    // compressed cells must be materially smaller than full-vector cells
+    val flatBytes = dirBytes(s"$flatPath/cells")
+    val pqBytes = dirBytes(s"$pqPath/cells")
+    assert(pqBytes * 4 <= flatBytes,
+      s"pq cells ($pqBytes B) must be >= 4x smaller than flat cells ($flatBytes B)")
+  }
+
+  test("adc-only search (no rerank frame) still finds cluster neighbors") {
+    val queries = corpus.where(col("vec_id") < 3)
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_ivf_pq2").toString
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", pqPath,
+      nlist = 4, mSub = 4, ksub = 8, iters = 3)
+    val out = Pq.ivfPqSearch(spark, pqPath, queries, "vec_id", "embedding", 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    // ADC neighbors of a cluster-0 query should overwhelmingly be cluster-0
+    val sameCluster = out.count { case (q, n, _, _) => q % 3 == n % 3 }
+    assert(sameCluster.toDouble / out.length >= 0.8,
+      s"adc neighbors should stay in-cluster: $sameCluster/${out.length}")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.pipeline.Classifier
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** The streaming quality gate must (a) be the same fused one-projection
+ * tier the batch side guarantees (CurationFusionSpec), and (b) gate and
+ * report correctly under a watermark on a live stream. */
+class StreamingGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val goodText =
+    ("the quick brown fox jumps over the lazy dog and then wanders " +
+      "through a long meadow describing many different things with " +
+      "plenty of unique words that have reasonable lengths and the " +
+      "usual function words like of and that with here to be found").trim
+
+  test("gate signals fuse into one codegen stage over one scan, fallback disabled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    Seq((1L, goodText), (2L, "spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val model = Classifier.train(
+      Seq((goodText, 1.0), ("zz11 buy now spam", 0.0)).toDF("text", "y"),
+      col("text"), col("y"), dim = 128, iters = 2)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.read.parquet(dir).select(
+        col("doc_id"),
+        StreamingGate.qualitySignals(col("text"), gopherMinWords = 10,
+          classifier = Some(model)).as("sig"))
+      assert(df.collect().length == 2) // evaluates with fallback disabled
+      val plan = df.queryExecution.executedPlan
+      val wscs = plan.collect { case w: WholeStageCodegenExec => w }
+      assert(wscs.size == 1, s"expected ONE fused codegen stage, got ${wscs.size}:\n$plan")
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1, s"expected one scan:\n$plan")
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
+  }
+
+  test("gate filters failing docs; per-signal report counts under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+
+    // repeated-phrase doc trips the repetition signal; the word-soup doc
+    // trips the Gopher gate (too few words); the good doc passes
+    val repText = Array.fill(30)("one two three four five six").mkString(" ")
+    val shortText = "too short"
+
+    val gated = StreamingGate.gate(stream, col("text"), gopherMinWords = 10)
+    val gq = gated.writeStream.format("memory").queryName("gate_rows")
+      .outputMode("append").start()
+    val report = StreamingGate.windowedGateReport(
+      stream, "ts", col("text"), "10 minutes", "5 minutes", gopherMinWords = 10)
+    val rq = report.writeStream.format("memory").queryName("gate_report")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:01:00")
+      val late = Timestamp.valueOf("2026-01-01 11:00:00")
+      mem.addData((t0, goodText), (t0, repText), (t0, shortText))
+      gq.processAllAvailable(); rq.processAllAvailable()
+      mem.addData((late, goodText)) // advance watermark, close the window
+      gq.processAllAvailable(); rq.processAllAvailable()
+
+      val kept = spark.sql("SELECT text FROM gate_rows").as[String].collect()
+      assert(kept.count(_ == goodText) >= 1)
+      assert(!kept.contains(repText) && !kept.contains(shortText))
+
+      val r = spark.sql(
+        """SELECT rows, passed, gopher_fail, repetition_fail, pii_fail
+          |FROM gate_report ORDER BY window_start LIMIT 1""".stripMargin).collect().head
+      assert(r.getLong(0) == 3 && r.getLong(1) == 1)
+      assert(r.getLong(2) >= 1) // shortText fails the word-count gate
+      assert(r.getLong(3) >= 1) // repText fails the repetition cap
+      assert(r.getLong(4) == 0)
+    } finally { gq.stop(); rq.stop() }
+  }
+}
