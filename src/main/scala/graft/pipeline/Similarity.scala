@@ -16,12 +16,17 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, double accumulation in
-   * index order (deterministic). */
+  /** Cosine similarity of two float/double-array columns, double
+   * accumulation in index order (deterministic) — ONE codegen'd static call
+   * per row (was three interpreted aggregate(zip_with(...)) trees, the same
+   * per-row HOF cost the HyperplaneMatrix/CentroidMatrix work removed from
+   * the other hot paths; cosine sits inside EVERY ANN scoring join).
+   * Semantics replicate the HOF formulation exactly: float×float products
+   * stay float multiplies before the double-widened add, length mismatches
+   * and null elements yield NULL, zero norms yield NaN. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(CosineSimilarityExpression(Bridge.expression(a), Bridge.expression(b)))
   }
 
   /** Per-query top-k over a (query_id, neighbor_id, sim) candidate frame via
@@ -454,6 +459,38 @@ case class HyperplaneSignaturesExpression(child: Expression, m: HyperplaneMatrix
 object SimilarityAlgos {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
+  /** Cosine in one pass, boxed so NULL (length mismatch / null element) can
+   * propagate. Float inputs replicate Spark's zip_with arithmetic: the
+   * product of two float elements is a FLOAT multiply (then widened into
+   * the double accumulator), and a float side's self-dot for the norm is
+   * likewise float-multiplied — bit-identical to the HOF formulation this
+   * replaced, so thresholded oracles see the exact same values. */
+  def cosineBoxed(
+      a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (aFloat) { val af = a.getFloat(i); na += af * af }
+      else { val ad = a.getDouble(i); na += ad * ad }
+      if (bFloat) { val bf = b.getFloat(i); nb += bf * bf }
+      else { val bd = b.getDouble(i); nb += bd * bd }
+      if (aFloat && bFloat) dot += a.getFloat(i) * b.getFloat(i)
+      else {
+        val ad = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val bd = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += ad * bd
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
   def matrix(cents: Array[(Int, Array[Double])]): CentroidMatrix = {
     val sorted = cents.sortBy(_._1)
     CentroidMatrix(
@@ -513,6 +550,51 @@ object SimilarityAlgos {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Cosine similarity as one codegen'd static call per row; NULL on length
+ * mismatch or null elements (the zip_with contract it replaced). */
+case class CosineSimilarityExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    SimilarityAlgos.cosineBoxed(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("graftCos")
+    ev.copy(code = code"""
+      ${l.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${l.isNull}) {
+        ${r.code}
+        if (!${r.isNull}) {
+          java.lang.Double $boxed = graft.pipeline.SimilarityAlgos.cosineBoxed(
+            ${l.value}, ${r.value}, ${isFloat(left)}, ${isFloat(right)});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }
+      }""")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** argmax-centroid as one codegen'd static call per row. */

@@ -349,6 +349,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen cosine is bit-identical to the zip_with formulation it replaced") {
+    // the HOF formulation: float×float products are FLOAT multiplies before
+    // the double-widened fold — the codegen expression must reproduce the
+    // exact bits so thresholded oracles and recall specs are unaffected
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    val f = embs.toDF("vec_id", "embedding") // array<float>
+    val pairsF = f.as("l").crossJoin(f.as("r")).limit(500)
+      .select(hofCosine(col("l.embedding"), col("r.embedding")).as("hof"),
+        Similarity.cosine(col("l.embedding"), col("r.embedding")).as("cg"))
+      .collect()
+    pairsF.foreach { row =>
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1)),
+        s"float-array mismatch: ${row.getDouble(0)} vs ${row.getDouble(1)}")
+    }
+    val d = f.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pairsD = d.as("l").crossJoin(d.as("r")).limit(500)
+      .select(hofCosine(col("l.embedding"), col("r.embedding")).as("hof"),
+        Similarity.cosine(col("l.embedding"), col("r.embedding")).as("cg"))
+      .collect()
+    pairsD.foreach { row =>
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1)),
+        s"double-array mismatch: ${row.getDouble(0)} vs ${row.getDouble(1)}")
+    }
+    // NULL contract: mismatched lengths and null arrays stay NULL
+    val odd = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), (null, Seq(1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(odd.forall(_.isNullAt(0)))
+  }
+
   test("lsh signatures evaluate with codegen fallback disabled (no interpreted HOFs)") {
     // the hyperplane projection used to be tables × nPlanes interpreted
     // aggregate(zip_with(...)) trees; it is now one codegen'd static call,
