@@ -372,13 +372,17 @@ object Dedup {
     val base = df.select(idCol.as("id"),
       coalesce(filter(split(textCol, "\\s+"), x => x =!= ""),
         array().cast("array<string>")).as("graft_ws"))
+    // window hashing is ONE codegen'd O(words) rolling pass per doc — the
+    // transform(sequence(...)) + concat_ws + xxhash64 formulation it
+    // replaced cost O(words × windowWords) byte work per doc in an
+    // interpreted HOF tree. Hash identity is internal-only (equal windows
+    // collide by construction, distinct windows at ~2⁻⁶⁴; the oracle groups
+    // by the window STRING, so any collision surfaces as a mismatch).
+    val Bridge0 = org.apache.spark.sql.graft.Bridge
     val wins = base
       .where(size(col("graft_ws")) >= w)
-      .select(col("id"), explode(transform(
-        sequence(lit(0), size(col("graft_ws")) - w),
-        i => struct(i.as("pos"),
-          xxhash64(concat_ws(" ", slice(col("graft_ws"), i + 1, lit(w)))).as("h")))).as("win"))
-      .select(col("id"), col("win.pos").as("pos"), col("win.h").as("h"))
+      .select(col("id"), posexplode(Bridge0.column(WindowHashesExpression(
+        Bridge0.expression(col("graft_ws")), w))).as(Seq("pos", "h")))
     // first-occurrence ranking is a MERGEABLE aggregate, never a window: a
     // row_number over partitionBy(h) funnels every occurrence of one window
     // content through a single task — web-corpus boilerplate puts 10⁷+ rows
@@ -415,8 +419,47 @@ object Dedup {
 object SpanAlgos {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   import org.apache.spark.unsafe.types.UTF8String
+
+  /** All w-word window hashes of a word array in one O(words) pass:
+   * per-word 64-bit hashes combined by a position-weighted polynomial
+   * rolling hash (odd multiplier, 2⁶⁴ wraparound), each window value run
+   * through a bijective SplitMix finisher so downstream groupBy keys
+   * distribute well. Equal windows hash equal by construction; distinct
+   * windows collide at ~2⁻⁶⁴ per pair — internal-only identity, the same
+   * contract as the string-concat xxhash it replaced. */
+  def windowHashes(ws: ArrayData, w: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) { wh(i) = TextHash.hash64(ws.getUTF8String(i), 0x5eedL); i += 1 }
+    val R = 0x100000001b3L // odd multiplier (FNV prime)
+    var rw = 1L // R^(w-1) for the rolling eviction
+    var j = 0
+    while (j < w - 1) { rw *= R; j += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * R + wh(i); i += 1 }
+    out(0) = mix(h)
+    var pos = 1
+    while (pos <= n - w) {
+      h = (h - wh(pos - 1) * rw) * R + wh(pos + w - 1)
+      out(pos) = mix(h)
+      pos += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SplitMix64 finisher — bijective, so it preserves hash equality. */
+  private def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   def removeSpans(ws: ArrayData, starts: ArrayData, w: Int): InternalRow = {
     val n = ws.numElements()
@@ -441,6 +484,25 @@ object SpanAlgos {
     }
     new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), n, removed))
   }
+}
+
+/** All w-word window hashes (array<long>) of a word array.
+ * Codegen: one static call per row, O(words) total. */
+case class WindowHashesExpression(
+    child: org.apache.spark.sql.catalyst.expressions.Expression, windowWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SpanAlgos.windowHashes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], windowWords)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.SpanAlgos.windowHashes($c, $windowWords);")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
 }
 
 /** struct<text, n_words, n_removed> of the span-cleaned word array.
