@@ -137,15 +137,17 @@ object Text {
     if (lowercase) lower(trimmed) else trimmed
   }
 
-  /** Distinct word n-gram shingles (lowercased). The words array is bound as
-   * a lambda variable (single-element transform) so the split runs ONCE per
-   * row — inlining it into the per-shingle lambda would be O(words²). */
-  def shingles(text: Column, n: Int): Column = {
-    val sh = transform(array(split(trim(lower(text)), "\\s+")), ws =>
-      transform(sequence(lit(0), greatest(size(ws) - n, lit(0))),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-    array_distinct(element_at(sh, 1))
-  }
+  /** Distinct word n-gram shingles (lowercased), first-occurrence order —
+   * ONE codegen'd static call per row. This feeds every minhash/simhash
+   * corpus pass and the Jaccard verify joins, so it was the hottest
+   * remaining interpreted HOF tree (transform + sequence + concat_ws +
+   * slice, O(words × n) byte work through expression-tree walks).
+   * Semantics replicate the HOF formulation exactly (spec-pinned against
+   * it string-for-string): Spark lower/trim on the UTF8String, Java-regex
+   * `\s+` split, short docs yield one sub-n shingle, empty docs one empty
+   * shingle. */
+  def shingles(text: Column, n: Int): Column =
+    Bridge.column(ShinglesExpression(Bridge.expression(text), n))
 
   def minhash(shingleCol: Column, numHashes: Int = 64): Column =
     Bridge.column(MinHashExpression(Bridge.expression(shingleCol), numHashes))
@@ -199,6 +201,39 @@ object TextHash {
  * codegen (a CodegenFallback would break the fused pipeline per row).
  */
 object TextAlgos {
+
+  private val WhitespaceRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct word n-gram shingles, first-occurrence order — exact
+   * replication of the HOF formulation this replaced:
+   * `array_distinct(transform(sequence(0, max(len-n, 0)), i =>
+   * concat_ws(" ", slice(split(trim(lower(text)), "\s+"), i+1, n))))`.
+   * Lower/trim use the UTF8String methods (what Spark's lower/trim
+   * evaluate to), the split is the same Java regex, a short doc yields one
+   * sub-n shingle and an empty doc one empty shingle. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val words = WhitespaceRe.split(text.toLowerCase.trim.toString, -1)
+    val last = math.max(words.length - n, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, words.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
 
   @inline private def remix(h: Long, c: Long): Long = {
     var z = (h ^ c) + 0x9e3779b97f4a7c15L
@@ -352,6 +387,20 @@ object TextAlgos {
     }
     new GenericArrayData(picked.toArray)
   }
+}
+
+/** Distinct word n-gram shingles (see TextAlgos.shingles). Codegen: one
+ * static call per row. */
+case class ShinglesExpression(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.shingles($c, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** MinHash signature (see TextAlgos.minhash). Codegen: one static call. */

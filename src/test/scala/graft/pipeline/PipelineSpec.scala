@@ -349,6 +349,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen shingles replicate the HOF formulation string-for-string") {
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val sh = transform(array(split(trim(lower(text)), "\\s+")), ws =>
+        transform(sequence(lit(0), greatest(size(ws) - n, lit(0))),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      array_distinct(element_at(sh, 1))
+    }
+    val edge = Seq("", "   ", "a", "a b", "A\tB\nC  d", "one two three four five",
+      "Dup dup DUP dup", "Ünïcode ÉDGE Ünïcode ÉDGE x")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(200)
+      .union(edge.toDF("text"))
+    for (n <- Seq(1, 3, 5)) {
+      val rows = docs.select(hofShingles(col("text"), n).as("hof"),
+        Text.shingles(col("text"), n).as("cg")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n mismatch:\n${r.getSeq[String](0)}\nvs\n${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("codegen cosine is bit-identical to the zip_with formulation it replaced") {
     // the HOF formulation: float×float products are FLOAT multiplies before
     // the double-widened fold — the codegen expression must reproduce the
