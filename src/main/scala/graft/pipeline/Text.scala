@@ -81,29 +81,8 @@ object Text {
    * the DuckDB oracle replicates it bit-for-bit. Narrow projection — no
    * shuffle at any scale.
    */
-  def gopherQuality(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
-    val ws = split(trim(text), "\\s+")
-    val wc = size(ws)
-    val wcD = wc.cast(DoubleType)
-    val meanWordLen = length(regexp_replace(text, "\\s+", "")).cast(DoubleType) / wcD
-    val hashRatio = regexp_count(text, lit("#")).cast(DoubleType) / wcD
-    val ellipsisRatio = regexp_count(text, lit("\\.\\.\\.")).cast(DoubleType) / wcD
-    // reported ratio stays the combined count for one summary number, but the
-    // gate follows Gopher table A1: EACH symbol's ratio must be <= 0.1
-    val symbolRatio = hashRatio + ellipsisRatio
-    val alphaRatio = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / wcD
-    val stops = regexp_count(lower(text), lit("\\b(the|be|to|of|and|that|have|with)\\b"))
-    struct(
-      wc.as("word_count"),
-      meanWordLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"),
-      alphaRatio.as("alpha_word_ratio"),
-      stops.as("stopword_hits"),
-      (wc >= minWords && wc <= maxWords &&
-        meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
-        hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
-        alphaRatio >= 0.8 && stops >= 2).as("pass"))
-  }
+  def gopherQuality(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column =
+    Bridge.column(GopherQualityExpression(Bridge.expression(text), minWords, maxWords))
 
   /** URL pieces for domain-level curation (blocklists, per-host stats,
    * domain caps). Pure regex projections — narrow at any scale, replicated
@@ -233,6 +212,49 @@ object TextAlgos {
     val it = seen.iterator()
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
+  }
+
+  private val HashRe = java.util.regex.Pattern.compile("#")
+  private val EllipsisRe = java.util.regex.Pattern.compile("\\.\\.\\.")
+  private val AlphaRe = java.util.regex.Pattern.compile("[A-Za-z]")
+  private val StopRe =
+    java.util.regex.Pattern.compile("\\b(the|be|to|of|and|that|have|with)\\b")
+
+  private def countMatches(p: java.util.regex.Pattern, s: String): Int = {
+    val m = p.matcher(s)
+    var c = 0
+    while (m.find()) c += 1
+    c
+  }
+
+  /** Gopher quality gate in one static call — exact replication of the
+   * Column formulation it replaced (same trim/split/regex/arithmetic
+   * order, spec-pinned value-for-value): word count of the space-trimmed
+   * split, mean word length over code points, per-symbol ratios, fraction
+   * of words containing an ASCII letter, stopword regex hits, and the
+   * table-A1 pass with EACH symbol ratio gated at 0.1. wc is never 0
+   * (splitting "" yields one empty word), so the divisions are safe. */
+  def gopherQuality(text: UTF8String, minWords: Int, maxWords: Int): InternalRow = {
+    val words = WhitespaceRe.split(text.trim.toString, -1)
+    val wc = words.length
+    val wcD = wc.toDouble
+    val full = text.toString
+    val noWs = WhitespaceRe.matcher(full).replaceAll("")
+    val meanWordLen = noWs.codePointCount(0, noWs.length) / wcD
+    val hashRatio = countMatches(HashRe, full) / wcD
+    val ellipsisRatio = countMatches(EllipsisRe, full) / wcD
+    val symbolRatio = hashRatio + ellipsisRatio
+    var alpha = 0
+    var i = 0
+    while (i < wc) { if (AlphaRe.matcher(words(i)).find()) alpha += 1; i += 1 }
+    val alphaRatio = alpha / wcD
+    val stops = countMatches(StopRe, text.toLowerCase.toString)
+    val pass = wc >= minWords && wc <= maxWords &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+      alphaRatio >= 0.8 && stops >= 2
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](wc, meanWordLen, symbolRatio, alphaRatio, stops, pass))
   }
 
   @inline private def remix(h: Long, c: Long): Long = {
@@ -387,6 +409,28 @@ object TextAlgos {
     }
     new GenericArrayData(picked.toArray)
   }
+}
+
+/** Gopher quality-gate struct (see TextAlgos.gopherQuality). Codegen: one
+ * static call per row — the gate used to carry an interpreted filter+rlike
+ * HOF inside the fused curation tier. */
+case class GopherQualityExpression(child: Expression, minWords: Int, maxWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("word_count", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("symbol_ratio", DoubleType, nullable = false),
+    StructField("alpha_word_ratio", DoubleType, nullable = false),
+    StructField("stopword_hits", IntegerType, nullable = false),
+    StructField("pass", BooleanType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.gopherQuality(v.asInstanceOf[UTF8String], minWords, maxWords)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.gopherQuality($c, $minWords, $maxWords);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Distinct word n-gram shingles (see TextAlgos.shingles). Codegen: one

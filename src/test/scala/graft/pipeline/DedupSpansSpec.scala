@@ -92,6 +92,32 @@ class DedupSpansSpec extends AnyFunSuite {
     assert(out.getLong(1) == 3L * (n - 1))
   }
 
+  test("rolling window hashes: equal windows collide, distinct windows don't (randomized)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "ab", "ba", "aa", "longword", "x1", "x2")
+    for (_ <- 1 to 200) {
+      val w = 2 + rng.nextInt(4)
+      val n = w + rng.nextInt(30)
+      val words = Array.fill(n)(vocab(rng.nextInt(vocab.size)))
+      val arr = new GenericArrayData(words.map(UTF8String.fromString(_)): Array[Any])
+      val hs = SpanAlgos.windowHashes(arr, w)
+      assert(hs.numElements() == n - w + 1)
+      // the rolling recurrence must agree with hash equality semantics:
+      // equal word windows hash equal, distinct windows hash distinct
+      // (2^-64 collisions would need ~2^32 windows to plausibly appear)
+      val byContent = (0 until hs.numElements()).groupBy(i => words.slice(i, i + w).toSeq)
+      byContent.foreach { case (_, idxs) =>
+        assert(idxs.map(hs.getLong).distinct.size == 1, "equal windows must collide")
+      }
+      val distinctContents = byContent.keySet.size
+      val distinctHashes = (0 until hs.numElements()).map(hs.getLong).distinct.size
+      assert(distinctHashes == distinctContents,
+        s"distinct windows must hash apart: $distinctHashes hashes for $distinctContents contents")
+    }
+  }
+
   test("overlapping flagged windows merge into one span (no double count)") {
     // doc 1 duplicates doc 0 entirely at w=3: every window flagged, whole
     // text removed, n_removed == n_words

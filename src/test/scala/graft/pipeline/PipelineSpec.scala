@@ -349,6 +349,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen gopher gate replicates the Column formulation value-for-value") {
+    def hofGopher(text: org.apache.spark.sql.Column, minWords: Int, maxWords: Int) = {
+      val ws = split(trim(text), "\\s+")
+      val wc = size(ws)
+      val wcD = wc.cast("double")
+      val meanWordLen = length(regexp_replace(text, "\\s+", "")).cast("double") / wcD
+      val hashRatio = regexp_count(text, lit("#")).cast("double") / wcD
+      val ellipsisRatio = regexp_count(text, lit("\\.\\.\\.")).cast("double") / wcD
+      val symbolRatio = hashRatio + ellipsisRatio
+      val alphaRatio = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / wcD
+      val stops = regexp_count(lower(text), lit("\\b(the|be|to|of|and|that|have|with)\\b"))
+      struct(wc.as("word_count"), meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
+        stops.as("stopword_hits"),
+        (wc >= minWords && wc <= maxWords && meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+          hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+          alphaRatio >= 0.8 && stops >= 2).as("pass"))
+    }
+    val edge = Seq("", "   ", "# ### x", "a... b... c...", "\tTabbed start THE the of",
+      "the be to of and that have with words more here ok fine good yes")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(200).union(edge.toDF("text"))
+    val rows = docs.select(hofGopher(col("text"), 20, 100000).as("h"),
+      Text.gopherQuality(col("text"), 20).as("c")).collect()
+    rows.foreach { r =>
+      val (h, c) = (r.getStruct(0), r.getStruct(1))
+      assert(h.getInt(0) == c.getInt(0))
+      for (i <- Seq(1, 2, 3))
+        assert(java.lang.Double.doubleToLongBits(h.getDouble(i)) ==
+          java.lang.Double.doubleToLongBits(c.getDouble(i)), s"field $i: $h vs $c")
+      assert(h.getInt(4) == c.getInt(4))
+      assert(h.getBoolean(5) == c.getBoolean(5))
+    }
+  }
+
   test("codegen shingles replicate the HOF formulation string-for-string") {
     def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
       val sh = transform(array(split(trim(lower(text)), "\\s+")), ws =>
