@@ -583,6 +583,11 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.qualityScore(col("text")).as("q"))
     }),
+    "q_top_ngrams" -> ((s, dir) => {
+      // corpus boilerplate report: top-100 trigrams by doc frequency,
+      // deterministic (count desc, ngram asc) — distributed top-k shape
+      graft.pipeline.Curation.topNgrams(docs(s, dir), col("text"), n = 3, k = 100)
+    }),
     "q_quality_gate" -> ((s, dir) => {
       // the fused streaming/batch curation gate: gopher + repetition + PII
       // in ONE projection. PII planted on doc_id % 3; maxPiiDensity = 0 so
@@ -1310,6 +1315,18 @@ object SparkEntry {
         |       + (1.0 - (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
         |                 / CAST(length(text) AS DOUBLE))) AS q
         |FROM documents""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+2], ' ') for i in range(1, greatest(len(ws) - 2, 1) + 1)])) AS ngram
+        |  FROM w
+        |)
+        |SELECT ngram, COUNT(*) AS doc_freq
+        |FROM sh GROUP BY ngram
+        |ORDER BY doc_freq DESC, ngram ASC
+        |LIMIT 100""".stripMargin,
     "q_quality_gate" ->
       """WITH p AS (
         |  SELECT doc_id,

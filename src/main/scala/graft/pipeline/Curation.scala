@@ -371,6 +371,26 @@ object Curation {
   }
 
   /**
+   * Corpus-level top-k n-grams by DOCUMENT frequency — the boilerplate /
+   * contamination inspection report (an n-gram in thousands of documents is
+   * chrome, a license header, or a benchmark leak). Shingles are distinct
+   * per document, so the count is doc frequency, the signal that matters;
+   * ties break lexicographically so the report is deterministic.
+   *
+   * Scale: one explode + one keyed count aggregate (map-side partials),
+   * then a distributed top-k (sort+limit executes as TakeOrderedAndProject:
+   * per-partition top-k map-side, one k-row merge — the driver and the
+   * final task never see more than k rows).
+   */
+  def topNgrams(df: DataFrame, textCol: Column, n: Int = 3, k: Int = 100): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    df.select(explode(Text.shingles(textCol, n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /**
    * Temperature-based domain rebalancing (the multilingual/multi-domain
    * sampling rule: p_d ∝ n_d^α, α<1 upsamples the tail): every domain d with
    * n_d total tokens gets budget_d = B · w_d / Σw, w_d = n_d^α, and keeps

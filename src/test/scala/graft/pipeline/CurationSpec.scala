@@ -330,6 +330,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out((2L, 1)) == ((1, "c")))
   }
 
+  test("topNgrams ranks by doc frequency with deterministic ties, plan is top-k") {
+    val docs = Seq(
+      (1L, "share this post now ok"),
+      (2L, "share this post again yes"),
+      (3L, "share this post maybe"),
+      (4L, "totally different words here"),
+      (5L, "share this post share this post")  // distinct per doc: counts once
+    ).toDF("doc_id", "text")
+    val out = Curation.topNgrams(docs, col("text"), n = 3, k = 3)
+    val rows = out.collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.head == ("share this post" -> 4L)) // doc 5 counts once
+    assert(rows.length == 3)
+    // ties at doc_freq=1 break lexicographically
+    assert(rows(1)._1 < rows(2)._1)
+    // distributed top-k: the plan is TakeOrderedAndProject, not a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("decontaminateBloom calls don't alias: earlier lazy result keeps its own bloom") {
     val corpus = Seq((0L, "a b c d e f g h i j"), (1L, "p q r s t u v w x y"))
       .toDF("doc_id", "text")
