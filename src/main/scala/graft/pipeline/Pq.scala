@@ -34,8 +34,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Pq {
 
   /** Per-subspace k-means codebooks over the normalized corpus: m × ksub ×
-   * dsub. Training cost: m × iters aggregation jobs over one cached narrow
-   * projection (train on a sample at 100 TB — standard PQ practice). */
+   * dsub. ALL subspaces train together over ONE cached (sub, subvector)
+   * frame — assignment for every subspace is one codegen'd expression and
+   * the centroid update is ONE keyed aggregate per Lloyd's iteration
+   * (grouped by (sub, code), map-side vector_mean partials), not one scan
+   * per subspace: at 100 TB that is the difference between iters and
+   * m × iters corpus passes. Assignment is L2 argmin (ties to the lowest
+   * code) — the same metric [[PqAlgos.encode]] uses, so training and
+   * encoding are consistent. Init per subspace: the ksub lowest-xxhash
+   * subvectors (deterministic). Empty cells keep their previous centroid.
+   * Train on a sample at 100 TB — standard PQ practice. */
   def trainCodebook(
       df: DataFrame, vecCol: String, mSub: Int, ksub: Int = 16,
       iters: Int = 4): PqCodebook = {
@@ -45,19 +53,40 @@ object Pq {
     val normed = df.select(Bridge.column(NormalizeVectorExpression(
         Bridge.expression(col(vecCol).cast("array<double>")))).as("graft_nv"))
       .where(size(col("graft_nv")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = normed.select(size(col("graft_nv"))).head().getInt(0)
     require(dim % mSub == 0, s"vector dim $dim must divide into $mSub subvectors")
     val dsub = dim / mSub
-    val books = (0 until mSub).map { s =>
-      val sub = normed.select(slice(col("graft_nv"), s * dsub + 1, dsub).as("v"))
-      val cents = Similarity.kmeansCentroids(sub, "v", ksub, iters)
-        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-      // pad short codebooks (tiny/degenerate training sets) to fixed ksub
+    val subv = normed.select(
+        posexplode(transform(sequence(lit(0), lit(mSub - 1)),
+          s => slice(col("graft_nv"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: ksub lowest-hash subvectors per subspace (each a
+    // bounded TakeOrdered over the cached frame)
+    var books: Array[Array[Array[Double]]] = (0 until mSub).map { s =>
+      val cents = subv.where(col("sub") === s)
+        .withColumn("graft_h", xxhash64(col("sv")))
+        .orderBy(col("graft_h")).limit(ksub)
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(cents.nonEmpty, "cannot train a PQ codebook on an empty corpus")
       if (cents.length >= ksub) cents.take(ksub)
       else cents ++ Array.fill(ksub - cents.length)(cents.head)
     }.toArray
-    normed.unpersist()
+    var iter = 0
+    while (iter < iters) {
+      val cb = PqCodebook(mSub, dsub, ksub, books)
+      val updated = subv.groupBy(col("sub"),
+          Bridge.column(SubspaceBestCodeExpression(
+            Bridge.expression(col("sub")), Bridge.expression(col("sv")), cb)).as("code"))
+        .agg(graft.functions.dsl.vector_mean(col("sv")).as("cv"))
+        .collect()
+      val next = books.map(_.clone())
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      books = next
+      iter += 1
+    }
+    subv.unpersist()
     PqCodebook(mSub, dsub, ksub, books)
   }
 
@@ -229,6 +258,28 @@ object PqAlgos {
     new GenericArrayData(out)
   }
 
+  /** L2-argmin code of ONE subvector against its subspace codebook (ties
+   * to the lowest code) — the training-assignment twin of [[encode]]. */
+  def bestSubCode(sub: Int, sv: ArrayData, cb: PqCodebook): Int = {
+    val n = sv.numElements()
+    var bestCode = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb.ksub) {
+      val cent = cb.cents(sub)(c)
+      var d = 0.0
+      var j = 0
+      while (j < cb.dsub && j < n) {
+        val diff = sv.getDouble(j) - cent(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; bestCode = c }
+      c += 1
+    }
+    bestCode
+  }
+
   /** Approximate cosine: Σ_s lut(s·ksub + code(s)). */
   def adc(lut: ArrayData, code: Array[Byte], ksub: Int): Double = {
     var sim = 0.0
@@ -288,6 +339,25 @@ case class PqLutExpression(child: Expression, cb: PqCodebook)
       s"${ev.value} = graft.pipeline.PqAlgos.lut($c, $cbRef);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Training-time L2-argmin code of a (sub, subvector) row; codegen'd. */
+case class SubspaceBestCodeExpression(left: Expression, right: Expression, cb: PqCodebook)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(s: Any, v: Any): Any =
+    PqAlgos.bestSubCode(s.asInstanceOf[Int],
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cb)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val cbRef = ctx.addReferenceObj("graftPqCb", cb, "graft.pipeline.PqCodebook")
+    nullSafeCodeGen(ctx, ev, (s, v) =>
+      s"${ev.value} = graft.pipeline.PqAlgos.bestSubCode($s, $v, $cbRef);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** ADC score (lut, code) → approximate cosine; codegen'd static call. */
