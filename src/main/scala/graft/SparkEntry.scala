@@ -533,6 +533,15 @@ object SparkEntry {
       graft.pipeline.Dedup.dedupLines(framed, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      // shared consent paragraph on every doc + a per-doc unique paragraph:
+      // paragraph dedup strips the chrome everywhere, keeps the unique one
+      val framed = docs(s, dir).select(col("doc_id"),
+        concat(lit("We use cookies to improve your experience.\n\n"), col("text"),
+          lit("\n\nSubscribe to our newsletter for updates.")).as("t"))
+      graft.pipeline.Dedup.dedupParagraphs(framed, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_dedup_spans" -> ((s, dir) => {
       // plant a shared 27-word syndication notice on every 4th doc: its
       // 20-word windows are corpus-duplicated, so every planted doc except
@@ -1205,6 +1214,27 @@ object SparkEntry {
         |  SELECT l.doc_id, l.line, l.pos FROM l ANTI JOIN dup USING (line)
         |), r AS (
         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q_dedup_paragraphs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'We use cookies to improve your experience.' || chr(10) || chr(10) || text
+        |           || chr(10) || chr(10) || 'Subscribe to our newsletter for updates.' AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(t, '\n\n+')) AS para,
+        |         unnest(range(1, len(regexp_split_to_array(t, '\n\n+')) + 1)) AS pos
+        |  FROM d
+        |), dup AS (
+        |  SELECT para FROM l GROUP BY para HAVING count(DISTINCT doc_id) >= 2
+        |), keep AS (
+        |  SELECT l.doc_id, l.para, l.pos FROM l ANTI JOIN dup USING (para)
+        |), r AS (
+        |  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
         |  FROM keep GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(r.text, '') AS text

@@ -302,10 +302,25 @@ object Dedup {
    * anti-join into a broadcast when it fits.
    */
   def dedupLines(
-      df: DataFrame, idCol: Column, textCol: Column, minDocs: Int = 2): DataFrame = {
+      df: DataFrame, idCol: Column, textCol: Column, minDocs: Int = 2): DataFrame =
+    dedupUnits(df, idCol, textCol, minDocs, "\n", "\n")
+
+  /** [[dedupLines]] at PARAGRAPH granularity (RefinedWeb runs both): units
+   * are runs split on 2+ newlines, so a cookie-consent or subscription
+   * paragraph repeated across ≥ minDocs documents vanishes corpus-wide
+   * while single-doc paragraphs survive. Rebuild joins with exactly one
+   * blank line (3+ newline runs normalize to a paragraph break — the
+   * cleanText contract). */
+  def dedupParagraphs(
+      df: DataFrame, idCol: Column, textCol: Column, minDocs: Int = 2): DataFrame =
+    dedupUnits(df, idCol, textCol, minDocs, "\n\n+", "\n\n")
+
+  private def dedupUnits(
+      df: DataFrame, idCol: Column, textCol: Column, minDocs: Int,
+      splitRe: String, joinSep: String): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2 — 1 would drop every line")
     val lines = df.select(idCol.as("id"), textCol.as("graft_text"))
-      .select(col("id"), posexplode(split(col("graft_text"), "\n")).as(Seq("graft_pos", "graft_line")))
+      .select(col("id"), posexplode(split(col("graft_text"), splitRe)).as(Seq("graft_pos", "graft_line")))
     // phase 1: hashed census — the corpus-wide shuffle carries (hash, id)
     val flaggedHashes = lines
       .select(xxhash64(col("graft_line")).as("graft_lh"), col("id"))
@@ -328,7 +343,7 @@ object Dedup {
         transform(
           array_sort(collect_list(struct(col("graft_pos"), col("graft_line")))),
           s => s("graft_line")),
-        "\n").as("graft_clean"))
+        joinSep).as("graft_clean"))
     df.select(idCol.as("id")).join(rebuilt, Seq("id"), "left")
       .select(col("id"), coalesce(col("graft_clean"), lit("")).as("text"))
   }

@@ -256,11 +256,23 @@ object Similarity {
     if (broadcastQueries) requireBroadcastable(queries, maxBroadcastQueries, "ivfSearch")
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cellsRaw = spark.read.parquet(s"$path/cells")
     val probesBase = queries.select(
       col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
       explode(probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid"))
     val probes = if (broadcastQueries) broadcast(probesBase) else probesBase
+    // broadcast path: dynamic partition pruning prunes the cells scan from
+    // the broadcast join. Non-broadcast (corpus-sized query frame): DPP
+    // can't fire across a shuffle join, so collect the distinct probed cids
+    // (bounded by nlist — one narrow aggregation over the query frame) and
+    // prune the scan with a STATIC partition filter instead; a shuffle-join
+    // plan reading every cell directory would forfeit the index's point.
+    val cells =
+      if (broadcastQueries) cellsRaw
+      else {
+        val cids = probesBase.select(col("cid")).distinct().collect().map(_.getInt(0))
+        cellsRaw.where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
+      }
     topKPerQuery(
       probes.join(cells, "cid")
         .where(col("query_id") =!= col("neighbor_id"))

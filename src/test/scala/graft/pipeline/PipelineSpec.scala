@@ -602,6 +602,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out3(4L) == "unique alpha content")
   }
 
+  test("paragraph dedup drops cross-doc chrome paragraphs, keeps per-doc content") {
+    val consent = "We use cookies.\nSee our policy."  // multi-line paragraph
+    val d = Seq(
+      (0L, s"$consent\n\nalpha body text"),
+      (1L, s"$consent\n\nbeta body text"),
+      (2L, s"$consent\n\n\n\ngamma body text"), // 4-newline run still splits
+      (3L, "solo paragraph\n\nwith another")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(d, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "alpha body text")
+    assert(out(1L) == "beta body text")
+    assert(out(2L) == "gamma body text")
+    assert(out(3L) == "solo paragraph\n\nwith another")
+  }
+
   test("pii: signals count each category disjointly and redaction tokenizes them") {
     val rows = Seq(
       "write to alice.smith+x@mail.example.org today",
