@@ -38,7 +38,7 @@ object Bpe {
   }
 
   private def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => w =!= "")
+    Text.words(text, lowercase = true)
 
   /** Learn `numMerges` merges from the corpus word-frequency table.
    *

@@ -326,8 +326,7 @@ object Curation {
     val stride = maxWords - overlapWords
     // null text behaves like empty (the dedupSpans/dedupLines contract):
     // chunk 0 with n_words 0 and text "", never a NULL n_words
-    val ws = coalesce(filter(split(textCol, "\\s+"), w => w =!= ""),
-      array().cast("array<string>"))
+    val ws = coalesce(Text.words(textCol), array().cast("array<string>"))
     // chunk count = ceil(max(n − maxWords, 0) / stride) + 1: the last chunk
     // reaches the end without emitting a redundant tail already covered by
     // its predecessor; empty/short docs get exactly one chunk

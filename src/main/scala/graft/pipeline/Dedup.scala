@@ -385,7 +385,7 @@ object Dedup {
     val w = windowWords
     // null text behaves like empty (same contract as dedupLines's "")
     val base = df.select(idCol.as("id"),
-      coalesce(filter(split(textCol, "\\s+"), x => x =!= ""),
+      coalesce(Text.words(textCol),
         array().cast("array<string>")).as("graft_ws"))
     // window hashing is ONE codegen'd O(words) rolling pass per doc — the
     // transform(sequence(...)) + concat_ws + xxhash64 formulation it

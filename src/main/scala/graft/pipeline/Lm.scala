@@ -31,7 +31,7 @@ object Lm {
   case class LmModel(unigrams: DataFrame, bigrams: DataFrame, stats: DataFrame)
 
   private def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => w =!= "")
+    Text.words(text, lowercase = true)
 
   /** Count unigrams + bigrams over the corpus. Two shuffles, both keyed on
    * word (pair) — the model stays distributed end to end. */

@@ -128,6 +128,12 @@ object Text {
   def shingles(text: Column, n: Int): Column =
     Bridge.column(ShinglesExpression(Bridge.expression(text), n))
 
+  /** Whitespace words with empties dropped — one codegen'd call, shared by
+   * span dedup, chunking, BPE and LM tokenization (replaces interpreted
+   * filter(split(...)) HOF pairs in those corpus passes). */
+  def words(text: Column, lowercase: Boolean = false): Column =
+    Bridge.column(SplitWordsExpression(Bridge.expression(text), lowercase))
+
   def minhash(shingleCol: Column, numHashes: Int = 64): Column =
     Bridge.column(MinHashExpression(Bridge.expression(shingleCol), numHashes))
 
@@ -211,6 +217,24 @@ object TextAlgos {
     var k = 0
     val it = seen.iterator()
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Whitespace word split with empties dropped (optionally lowercased) —
+   * exact replication of `filter(split([lower(]text[)], "\s+"), _ != "")`. */
+  def splitWords(text: UTF8String, lowercase: Boolean): ArrayData = {
+    val s = if (lowercase) text.toLowerCase.toString else text.toString
+    val parts = WhitespaceRe.split(s, -1)
+    var cnt = 0
+    var i = 0
+    while (i < parts.length) { if (!parts(i).isEmpty) cnt += 1; i += 1 }
+    val out = new Array[Any](cnt)
+    var k = 0
+    i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { out(k) = UTF8String.fromString(parts(i)); k += 1 }
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -430,6 +454,20 @@ case class GopherQualityExpression(child: Expression, minWords: Int, maxWords: I
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.TextAlgos.gopherQuality($c, $minWords, $maxWords);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Whitespace word split, empties dropped (see TextAlgos.splitWords). */
+case class SplitWordsExpression(child: Expression, lowercase: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.splitWords(v.asInstanceOf[UTF8String], lowercase)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.splitWords($c, $lowercase);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
