@@ -53,7 +53,10 @@ object Pq {
     val normed = df.select(Bridge.column(NormalizeVectorExpression(
         Bridge.expression(col(vecCol).cast("array<double>")))).as("graft_nv"))
       .where(size(col("graft_nv")) > 0)
-    val dim = normed.select(size(col("graft_nv"))).head().getInt(0)
+    val dimRow = normed.select(size(col("graft_nv"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      "cannot train a PQ codebook on an empty corpus (no non-empty vectors)")
+    val dim = dimRow(0).getInt(0)
     require(dim % mSub == 0, s"vector dim $dim must divide into $mSub subvectors")
     val dsub = dim / mSub
     val subv = normed.select(

@@ -131,4 +131,33 @@ class DegenerateInputSpec extends AnyFunSuite {
     val clf = Classifier.train(single, col("text"), col("y"), dim = 32, iters = 3)
     assert(!clf.weights.exists(_.isNaN))
   }
+
+  test("round-7 operators on empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val nullish = Seq((1L, Option.empty[String]), (2L, Some(""))).toDF("doc_id", "text")
+    // top-ngram report: empty corpus → empty report; null/empty text → the
+    // single empty shingle, never a crash
+    assert(Curation.topNgrams(emptyDocs, col("text")).count() == 0)
+    val tn = Curation.topNgrams(nullish, col("text"), n = 3, k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tn == Map("" -> 1L)) // null text yields no shingles, "" yields [""]
+    // paragraph dedup: empty corpus, null text, whitespace-only
+    assert(Dedup.dedupParagraphs(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    val dp = Dedup.dedupParagraphs(nullish, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(dp(1L) == "" && dp(2L) == "")
+    // quality gate on an empty frame and a null-text frame: no rows pass,
+    // nothing throws
+    assert(graft.streaming.StreamingGate.gate(emptyDocs, col("text")).count() == 0)
+    assert(graft.streaming.StreamingGate.gate(nullish, col("text")).count() == 0)
+    // PQ training on an empty corpus fails loudly, not with an opaque head()
+    val noEmbs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.trainCodebook(noEmbs, "embedding", mSub = 2, ksub = 4)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    // codegen word splitter: null → null (guarded by coalesce at call sites)
+    val w = nullish.select(Text.words(col("text")).as("w")).collect()
+    assert(w(0).isNullAt(0) && w(1).getSeq[String](0).isEmpty)
+  }
 }
