@@ -147,20 +147,32 @@ object Pq {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4, rerankFactor: Int = 4,
       rerankVectors: Option[DataFrame] = None,
+      broadcastQueries: Boolean = true,
       maxBroadcastQueries: Int = Similarity.MaxBroadcastQueries): DataFrame = {
     require(rerankFactor >= 1, "rerankFactor must be >= 1")
-    Similarity.requireBroadcastable(queries, maxBroadcastQueries, "ivfPqSearch")
+    if (broadcastQueries)
+      Similarity.requireBroadcastable(queries, maxBroadcastQueries, "ivfPqSearch")
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     val cb = codebookFromDf(spark.read.parquet(s"$path/pq_codebook"))
-    val cells = spark.read.parquet(s"$path/cells")
+    val cellsRaw = spark.read.parquet(s"$path/cells")
     val Bridge = org.apache.spark.sql.graft.Bridge
-    val probes = broadcast(queries.select(
+    val probesBase = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"),
       Bridge.column(PqLutExpression(
         Bridge.expression(col(vecCol).cast("array<double>")), cb)).as("graft_lut"),
-      explode(Similarity.probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid")))
+      explode(Similarity.probeCids(col(vecCol).cast("array<double>"), cents, nprobe)).as("cid"))
+    val probes = if (broadcastQueries) broadcast(probesBase) else probesBase
+    // same pruning contract as ivfSearch: the broadcast join gets dynamic
+    // partition pruning; the shuffle-join path (corpus-sized query frames)
+    // collects the ≤ nlist distinct probed cids and prunes statically
+    val cells =
+      if (broadcastQueries) cellsRaw
+      else {
+        val cids = probesBase.select(col("cid")).distinct().collect().map(_.getInt(0))
+        cellsRaw.where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
+      }
     val adcScored = probes.join(cells, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"),

@@ -83,6 +83,31 @@ class PqSpec extends AnyFunSuite {
       s"pq cells ($pqBytes B) must be >= 4x smaller than flat cells ($flatBytes B)")
   }
 
+  test("non-broadcast pq search prunes cells statically and skips the broadcast") {
+    val queries = corpus.where(col("vec_id") < 3)
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_ivf_pq3").toString
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", pqPath,
+      nlist = 4, mSub = 4, ksub = 8, iters = 2)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prevT)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Pq.ivfPqSearch(spark, pqPath, queries, "vec_id", "embedding", 5,
+        nprobe = 2, broadcastQueries = false)
+      assert(out.count() > 0)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"broadcastQueries=false must not broadcast:\n$plan")
+      assert(plan.contains("cid") && (plan.contains("IN (") || plan.contains("isin")
+        || plan.contains("PartitionFilters: [") || plan.contains("cid IN")),
+        s"expected a static cid partition filter on the cells scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
+
   test("adc-only search (no rerank frame) still finds cluster neighbors") {
     val queries = corpus.where(col("vec_id") < 3)
     val pqPath = java.nio.file.Files.createTempDirectory("graft_ivf_pq2").toString
