@@ -66,7 +66,9 @@ object StreamingGate {
    * window — (window_start, rows, passed, pass_rate, gopher_fail,
    * repetition_fail, pii_fail, classifier_fail). Failure counts are
    * per-signal (a document failing two signals counts in both), so a rate
-   * regression points at the responsible filter directly.
+   * regression points at the responsible filter directly. A null-text row
+   * counts in `rows` and never in `passed` (it can't pass), but appears in
+   * no per-signal bucket — signals are null, not failed, for null input.
    */
   def windowedGateReport(
       stream: DataFrame, tsCol: String, textCol: Column,
