@@ -66,7 +66,7 @@ class StreamingGateSpec extends AnyFunSuite {
     try {
       val t0 = Timestamp.valueOf("2026-01-01 10:01:00")
       val late = Timestamp.valueOf("2026-01-01 11:00:00")
-      mem.addData((t0, goodText), (t0, repText), (t0, shortText))
+      mem.addData((t0, goodText), (t0, repText), (t0, shortText), (t0, null))
       gq.processAllAvailable(); rq.processAllAvailable()
       mem.addData((late, goodText)) // advance watermark, close the window
       gq.processAllAvailable(); rq.processAllAvailable()
@@ -74,13 +74,19 @@ class StreamingGateSpec extends AnyFunSuite {
       val kept = spark.sql("SELECT text FROM gate_rows").as[String].collect()
       assert(kept.count(_ == goodText) >= 1)
       assert(!kept.contains(repText) && !kept.contains(shortText))
+      assert(!kept.contains(null)) // null text can never pass the gate
 
       val r = spark.sql(
         """SELECT rows, passed, gopher_fail, repetition_fail, pii_fail
           |FROM gate_report ORDER BY window_start LIMIT 1""".stripMargin).collect().head
-      assert(r.getLong(0) == 3 && r.getLong(1) == 1)
-      assert(r.getLong(2) >= 1) // shortText fails the word-count gate
-      assert(r.getLong(3) >= 1) // repText fails the repetition cap
+      // null-text row counts in rows, never in passed, and (documented
+      // contract) in no per-signal failure bucket — signals are null for it
+      assert(r.getLong(0) == 4 && r.getLong(1) == 1)
+      // shortText fails the word-count gate; repText also fails gopher (its
+      // six-word loop has zero stopwords) AND the repetition cap — failure
+      // buckets overlap by design
+      assert(r.getLong(2) == 2)
+      assert(r.getLong(3) == 1)
       assert(r.getLong(4) == 0)
     } finally { gq.stop(); rq.stop() }
   }
