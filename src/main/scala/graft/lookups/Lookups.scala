@@ -141,6 +141,16 @@ object Lookups {
 
   def isBloomRegistered(name: String): Boolean = blooms.containsKey(name)
 
+  /** Remove a registered bloom and free its broadcast — the counterpart to
+   * [[registerBloom]] for long-lived sessions that register many filters
+   * (e.g. repeated decontamination screens). Callers must have consumed
+   * every frame that probes the name; a later probe fails loudly with the
+   * usual not-registered error. */
+  def unregisterBloom(name: String): Unit = {
+    val e = blooms.remove(name)
+    if (e != null) e.buckets.destroy()
+  }
+
   private[graft] def clear(): Unit = { maps.clear(); blooms.clear() }
 }
 

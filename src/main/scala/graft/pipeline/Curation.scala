@@ -302,9 +302,20 @@ object Curation {
     val Bridge = org.apache.spark.sql.graft.Bridge
     def probe(c: Column): Column =
       Bridge.column(graft.lookups.ProbabilityInExpression(Bridge.expression(c), name))
-    df.select(idCol.as("id"),
+    val flagged = df.select(idCol.as("id"),
         size(filter(Text.shingles(textCol, n), s => probe(s) > 0.0)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
+    if (bloomName.nonEmpty) flagged
+    else {
+      // auto-named registration: materialize the (flagged-docs-only, small)
+      // result now and free the bloom immediately — otherwise every call
+      // leaks a registry entry + broadcast for the life of the session.
+      // Callers who want the lazy frame pass and manage an explicit
+      // bloomName (and may unregisterBloom themselves when done).
+      val out = flagged.localCheckpoint(true)
+      graft.lookups.Lookups.unregisterBloom(name)
+      out
+    }
   }
 
   /**

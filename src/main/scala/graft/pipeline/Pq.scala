@@ -130,6 +130,9 @@ object Pq {
         Bridge.column(PqEncodeExpression(
           Bridge.expression(col(vecCol).cast("array<double>")), cb)).as("code"),
         Similarity.bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+      // degenerate rows (wrong dim / zero norm) encode to NULL — keep them
+      // out of the index entirely, consistent with every exact-cosine path
+      .where(col("code").isNotNull)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
   }
 
@@ -219,9 +222,23 @@ object PqAlgos {
     new GenericArrayData(out)
   }
 
+  /** Norm of a double-array column value. */
+  private def normOf(vec: ArrayData): Double = {
+    val n = vec.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getDouble(i); ss += x * x; i += 1 }
+    math.sqrt(ss)
+  }
+
   /** m-byte PQ code of the normalized vector: per subspace, the argmin-L2
-   * codebook entry (ties to the lowest code — deterministic). */
+   * codebook entry (ties to the lowest code — deterministic). Degenerate
+   * vectors (length != m·dsub, or zero norm) encode to NULL instead of a
+   * plausible zero-padded code, so ADC-only search excludes them exactly
+   * like the exact-cosine paths (where cosine yields NULL/NaN and
+   * topKPerQuery drops the row). */
   def encode(vec: ArrayData, cb: PqCodebook): Array[Byte] = {
+    if (vec.numElements() != cb.m * cb.dsub || normOf(vec) == 0.0) return null
     val nv = normalize(vec)
     val out = new Array[Byte](cb.m)
     var s = 0
@@ -234,7 +251,7 @@ object PqAlgos {
         val cent = cb.cents(s)(c)
         var d = 0.0
         var j = 0
-        while (j < cb.dsub && base + j < nv.numElements()) {
+        while (j < cb.dsub) {
           val diff = nv.getDouble(base + j) - cent(j)
           d += diff * diff
           j += 1
@@ -249,10 +266,17 @@ object PqAlgos {
   }
 
   /** ADC lookup table for one query: lut(s·ksub + c) = normalizedQuery_s ·
-   * codebook(s)(c) — after this, scoring any corpus code is m adds. */
+   * codebook(s)(c) — after this, scoring any corpus code is m adds.
+   * Degenerate queries (length != m·dsub, or zero norm) get an all-NaN
+   * table: every ADC sum is then NaN and topKPerQuery's NaN drop applies
+   * uniformly, matching the exact-cosine paths. */
   def lut(vec: ArrayData, cb: PqCodebook): ArrayData = {
-    val nv = normalize(vec)
     val out = new Array[Double](cb.m * cb.ksub)
+    if (vec.numElements() != cb.m * cb.dsub || normOf(vec) == 0.0) {
+      java.util.Arrays.fill(out, Double.NaN)
+      return new GenericArrayData(out)
+    }
+    val nv = normalize(vec)
     var s = 0
     while (s < cb.m) {
       val base = s * cb.dsub
@@ -261,7 +285,7 @@ object PqAlgos {
         val cent = cb.cents(s)(c)
         var dot = 0.0
         var j = 0
-        while (j < cb.dsub && base + j < nv.numElements()) {
+        while (j < cb.dsub) {
           dot += nv.getDouble(base + j) * cent(j)
           j += 1
         }
@@ -322,19 +346,24 @@ case class NormalizeVectorExpression(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** PQ encode as one codegen'd static call per row. */
+/** PQ encode as one codegen'd static call per row; NULL for degenerate
+ * vectors (wrong dimension / zero norm) — see [[PqAlgos.encode]]. */
 case class PqEncodeExpression(child: Expression, cb: PqCodebook)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types._
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     PqAlgos.encode(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cb)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
     val cbRef = ctx.addReferenceObj("graftPqCb", cb, "graft.pipeline.PqCodebook")
+    // nullable=true forces the isNull-variable template, so the helper's
+    // null return propagates as SQL NULL instead of a null-valued non-null
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.pipeline.PqAlgos.encode($c, $cbRef);")
+      s"""${ev.value} = graft.pipeline.PqAlgos.encode($c, $cbRef);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

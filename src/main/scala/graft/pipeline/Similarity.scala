@@ -418,9 +418,18 @@ object HyperplaneAlgos {
    * the sign pattern the interpreted zip_with chains used to compute, in
    * one tight loop. `isFloat` dispatches on the array element type so both
    * raw array<float> embeddings and array<double> casts avoid a per-element
-   * branch in the hot loop. */
+   * branch in the hot loop. Malformed vectors (length != plane dimension, or
+   * a null element) get the ALL-ZERO signature in every table — the prior
+   * zip_with HOF semantics (each plane dot nulled → no bit set), so they
+   * stay inert in one bucket instead of scattering across plausible buckets;
+   * the exact-cosine verify then nulls them out of any result. */
   def signatures(vec: ArrayData, m: HyperplaneMatrix, isFloat: Boolean): ArrayData = {
     val n = vec.numElements()
+    val dim = m.tables(0)(0).length
+    var malformed = n != dim
+    var e = 0
+    while (!malformed && e < n) { if (vec.isNullAt(e)) malformed = true; e += 1 }
+    if (malformed) return new GenericArrayData(new Array[Long](m.tables.length))
     val out = new Array[Long](m.tables.length)
     var t = 0
     while (t < m.tables.length) {
@@ -429,7 +438,6 @@ object HyperplaneAlgos {
       var i = 0
       while (i < ps.length) {
         val p = ps(i)
-        val dim = math.min(n, p.length)
         var dot = 0.0
         var j = 0
         if (isFloat)

@@ -363,4 +363,21 @@ class CurationSpec extends AnyFunSuite {
     assert(hitsA.select("id").as[Long].collect().toSet == Set(0L))
     assert(hitsB.select("id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("auto-named decontaminateBloom frees its bloom registration (no registry leak)") {
+    val corpus = Seq((0L, "a b c d e f g h i j"), (1L, "p q r s t u v w x y"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b c d e f g h i j")).toDF("btext")
+    val before = Curation.bloomNameCounter.get()
+    val hits = Curation.decontaminateBloom(
+      corpus, col("doc_id"), col("text"), bench, col("btext"), n = 3)
+    val after = Curation.bloomNameCounter.get()
+    // results are already materialized and correct...
+    assert(hits.select("id").as[Long].collect().toSet == Set(0L))
+    // ...and every auto-generated name this call minted is unregistered again
+    (before + 1 to after).foreach { i =>
+      assert(!graft.lookups.Lookups.isBloomRegistered(s"graft_decontam_$i"),
+        s"auto bloom graft_decontam_$i leaked")
+    }
+  }
 }

@@ -650,4 +650,27 @@ class PipelineSpec extends AnyFunSuite {
       .collect().head
     assert(sql.getInt(0) == 1 && sql.getString(1) == "at <IP>")
   }
+
+  test("malformed vectors get the inert all-zero lsh signature, not plausible buckets") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val m = HyperplaneMatrix(Array(Array(
+      Array(1.0, -1.0, 1.0, -1.0), Array(-1.0, 1.0, 1.0, 1.0))))
+    def sig(xs: Array[Any]): Long =
+      HyperplaneAlgos.signatures(new GenericArrayData(xs), m, isFloat = false).getLong(0)
+    // well-formed: at least one vector sets a bit (sanity that zero isn't universal)
+    assert(sig(Array[Any](1.0, 0.0, 1.0, 0.0)) != 0L)
+    // wrong dimension (short and long) and null elements → all-zero signature,
+    // the prior zip_with HOF semantics: malformed rows collapse into one inert
+    // bucket where the exact-cosine verify nulls them out
+    assert(sig(Array[Any](1.0, 0.0)) == 0L)
+    assert(sig(Array[Any](1.0, 0.0, 1.0, 0.0, 1.0)) == 0L)
+    assert(sig(Array[Any](1.0, null, 1.0, 0.0)) == 0L)
+    // end to end: a planted wrong-dimension row never appears in lshTopK output
+    val bad = (0L until 40L).map(i => (i, Seq.fill(16)(scala.util.Random.nextFloat()))) :+
+      (99L, Seq(1.0f, 2.0f))
+    val df = bad.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, df.where(col("vec_id") < 3),
+      "vec_id", "embedding", 5, nPlanes = 4, dim = 16, tables = 8)
+    assert(!out.select("neighbor_id").as[Long].collect().contains(99L))
+  }
 }

@@ -121,4 +121,32 @@ class PqSpec extends AnyFunSuite {
     assert(sameCluster.toDouble / out.length >= 0.8,
       s"adc neighbors should stay in-cluster: $sameCluster/${out.length}")
   }
+
+  test("degenerate vectors are excluded from ADC-only search like every exact path") {
+    // plant a zero-norm row and a wrong-dimension row in the corpus: encode
+    // must NULL them (they never enter the cells table), and a degenerate
+    // QUERY must return nothing (all-NaN LUT → NaN ADC → top-k drop)
+    val tainted = corpus.unionByName(Seq(
+      (9000L, Seq.fill(16)(0.0f)),          // zero norm
+      (9001L, Seq(1.0f, 2.0f))              // wrong dimension
+    ).toDF("vec_id", "embedding"))
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_ivf_pq3").toString
+    Pq.ivfPqBuild(tainted, "vec_id", "embedding", pqPath,
+      nlist = 4, mSub = 4, ksub = 8, iters = 2)
+    val cellIds = spark.read.parquet(s"$pqPath/cells")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!cellIds.contains(9000L) && !cellIds.contains(9001L),
+      "degenerate rows must not receive plausible PQ codes")
+    // ADC-only search (no rerank — nothing downstream to null them out)
+    val out = Pq.ivfPqSearch(spark, pqPath, tainted.where(col("vec_id") < 3),
+      "vec_id", "embedding", 5, nprobe = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(!out.contains(9000L) && !out.contains(9001L))
+    // degenerate queries: all-NaN LUT means no results rather than sim-0 ranks
+    val qOut = Pq.ivfPqSearch(spark, pqPath,
+      Seq((9000L, Seq.fill(16)(0.0f)), (9001L, Seq(1.0f, 2.0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 5, nprobe = 4)
+    assert(qOut.count() == 0)
+  }
 }
