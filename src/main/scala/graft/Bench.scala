@@ -36,13 +36,19 @@ object Bench {
       val times = samples(name).sorted
       name -> (if (times.nonEmpty) times(times.size / 2) else -1.0, failedQ.contains(name))
     }.toMap
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // 3-decimal times cut the JSON line ~3x, and errors/count print BEFORE
+    // the long queries map — the driver's tail capture truncated mid-map in
+    // r7 and lost 4 queries, so the cheap fields go first (full-ms precision
+    // is noise on this box anyway; medians swing 2-4x between sessions)
+    def f3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     // single clean JSON line on stdout for the driver's parser
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":$errs,"n":${names.size},"sf":"$sfDir","reps":$reps,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -31,6 +31,18 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** One prebuilt IVF-PQ index per (process, sf dir): q_ann_ivfpq measures
+   * steady-state search (build is q_ann_ivfpq_build's job); in the bench the
+   * first rep pays the build once and the median lands on search-only. */
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexFor(s: SparkSession, dir: String): String =
+    ivfPqIndexCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_q_ivfpq_idx").toString
+      graft.pipeline.Pq.ivfPqBuild(embeddings(s, dir), "vec_id", "embedding", path,
+        nlist = 16, mSub = 8, ksub = 16)
+      path
+    })
+
   /** documents plus constructed near-duplicates: for doc_id % 10 == 0, a copy
    * with the last two words dropped, id + 10000 — deterministic in SQL so the
    * DuckDB oracle can rebuild the identical corpus. */
@@ -361,13 +373,24 @@ object SparkEntry {
           nlist = 16, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
-    "q_ann_ivfpq" -> ((s, dir) => {
-      // rows-only: IVF-PQ build + ADC search + exact rerank; recall vs the
-      // uncompressed path and the >=4x cells size cut asserted in PqSpec
+    "q_ann_ivfpq_build" -> ((s, dir) => {
+      // rows-only: the once-per-corpus index-build cost, measured on its own
+      // (VERDICT r7 #4 — the old q_ann_ivfpq conflated build with search).
+      // A fresh build every call, so the bench times train + encode + write.
       val e = embeddings(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q_ivfpq").toString
+      val path = java.nio.file.Files.createTempDirectory("graft_q_ivfpq_b").toString
       graft.pipeline.Pq.ivfPqBuild(e, "vec_id", "embedding", path,
         nlist = 16, mSub = 8, ksub = 16)
+      s.read.parquet(s"$path/cells").groupBy(col("cid")).count()
+        .orderBy(col("cid"))
+    }),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // rows-only: steady-state IVF-PQ SEARCH against a prebuilt persisted
+      // index (built once per process per sf dir, mirroring how a production
+      // probe never retrains); ADC + exact rerank; recall vs the uncompressed
+      // path and the >=4x cells size cut asserted in PqSpec
+      val e = embeddings(s, dir)
+      val path = ivfPqIndexFor(s, dir)
       graft.pipeline.Pq.ivfPqSearch(s, path, e.where(col("vec_id") < 10),
           "vec_id", "embedding", 3, nprobe = 4, rerankFactor = 4,
           rerankVectors = Some(e))
