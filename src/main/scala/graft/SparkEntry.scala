@@ -662,6 +662,26 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.cleanText(messy).as("clean"))
     }),
+    "q_html_extract" -> ((s, dir) => {
+      // wrap every document in a planted crawl-page shell: head with a
+      // script (containing decoy markup) + style, a comment, an all-link nav
+      // div and footer (boilerplate the 0.5 link-density cut must drop), and
+      // entity-encoded punctuation. The oracle computes the EXPECTED visible
+      // text directly from the raw text column, so a state-machine bug
+      // anywhere (raw-text skip, entity decode, block boundaries, link
+      // density) breaks the hash match on all 500 docs.
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><script type=\"text/javascript\">var s = \"<p>not text</p>\";</script>" +
+          "<style>.x{color:red}</style></head><body><!-- boilerplate -->" +
+          "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/more\">More</a></div><h1>Doc "), id,
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Tom &amp; Jerry &lt;3 &#65;&#x42;C</p>" +
+          "<div class=\"footer\"><a href=\"/about\">About</a></div></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.extractHtml(html, maxLinkDensity = 0.5).as("extracted"))
+    }),
     "q_text_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.langId(col("text")).as("lang_guess"))
@@ -1427,6 +1447,14 @@ object SparkEntry {
         |         ' *\n *', chr(10), 'g'),
         |         '\n{3,}', chr(10) || chr(10), 'g'),
         |         '^\s+|\s+$', '', 'g') AS clean
+        |FROM documents""".stripMargin,
+    "q_html_extract" ->
+      // the EXPECTED extraction, computed from the raw text column: title and
+      // h1 blocks, the document body, the entity-decoded paragraph; the
+      // all-link nav/footer blocks are dropped by the 0.5 link-density cut
+      """SELECT doc_id,
+        |       'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10)
+        |         || text || chr(10) || 'Tom & Jerry <3 ABC' AS extracted
         |FROM documents""".stripMargin,
     "q_text_repsignals" ->
       """WITH t AS (

@@ -187,6 +187,8 @@ object Registry {
     "repetition_ratio" -> (es => ex(graft.pipeline.Text.repetitionRatio(col(es.head)))),
     "repetition_signals" -> (es => graft.pipeline.RepetitionSignalsExpression(es.head)),
     "clean_text" -> (es => ex(graft.pipeline.Text.cleanText(col(es.head)))),
+    "extract_html" -> (es => graft.pipeline.HtmlExtractExpression(es.head,
+      if (es.size >= 2) litDouble(es(1)) else 1.0)),
     "pii_signals" -> (es => ex(graft.pipeline.Pii.piiSignals(col(es.head)))),
     "redact_pii" -> (es => ex(graft.pipeline.Pii.redactPii(col(es.head)))),
     "pii_density" -> (es => ex(graft.pipeline.Pii.piiDensity(col(es.head)))),

@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * HTML → text extraction — the front door of a crawl-corpus pipeline: real
+ * corpora arrive as tag soup, and every downstream gate (line/paragraph
+ * dedup, Gopher, PII, token counts) needs the visible text with real block
+ * boundaries. One linear state-machine pass per document (no DOM, no
+ * backtracking), codegen'd like every other per-row text operator, so the
+ * whole ingest tier stays a narrow fused projection at any scale.
+ *
+ * Contract (deterministic, mirrored by the q_html_extract oracle fixture):
+ *  - `<!-- … -->` comments are removed (unterminated → rest of input).
+ *  - `<script …>…</script>` / `<style …>…</style>` raw-text elements are
+ *    removed entirely, case-insensitive, markup inside them ignored
+ *    (unterminated → rest of input).
+ *  - Tags are `<` `/`? name `…` `>` with the name a letter/digit run; the
+ *    tag body is skipped to the next `>` (a literal `>` inside a quoted
+ *    attribute value is out of scope for this extractor, as for every
+ *    regex-class HTML stripper). A `<` that does not start a tag is text.
+ *  - Block-level tags (p, div, br, h1..h6, li, table/tr/td, header, footer,
+ *    nav, title, …) start a new output block; inline tags (a, b, span, …)
+ *    vanish so words they wrap stay joined.
+ *  - Entities decode: the HTML core set (&amp; &lt; &gt; &quot; &apos;) plus
+ *    &nbsp; (to a plain space) and numeric &#NN; / &#xHH; for valid
+ *    non-surrogate code points; anything else keeps its literal `&`.
+ *    Decoded characters are text — they are never re-parsed as markup.
+ *  - Per block: whitespace runs (including raw newlines in the source)
+ *    collapse to one space and the block is trimmed; empty blocks vanish.
+ *  - Link-density boilerplate cut (jusText-style, Pomikálek 2011): with
+ *    `maxLinkDensity` < 1, a block whose non-whitespace characters sit
+ *    inside `<a>…</a>` in a fraction exceeding the threshold is dropped —
+ *    nav bars and footer link farms disappear without a DOM.
+ *  - Output: surviving blocks joined with single `\n`, so dedupLines /
+ *    dedupParagraphs see one real unit per block.
+ */
+object HtmlAlgos {
+
+  private val BlockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](64)
+    Seq(
+      "html", "head", "body", "title", "p", "div", "br", "hr",
+      "h1", "h2", "h3", "h4", "h5", "h6",
+      "ul", "ol", "li", "dl", "dt", "dd",
+      "table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption",
+      "blockquote", "pre", "section", "article", "header", "footer",
+      "nav", "aside", "main", "form", "fieldset", "legend", "figure",
+      "figcaption", "address", "center", "option", "select", "textarea"
+    ).foreach(s.add)
+    s
+  }
+
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** True when s matches `word` case-insensitively at `at` AND the match is
+   * a complete tag name (next char is whitespace, '>', '/', or end). */
+  private def tagNameAt(s: String, at: Int, word: String): Boolean = {
+    if (!s.regionMatches(true, at, word, 0, word.length)) return false
+    val after = at + word.length
+    after >= s.length || {
+      val c = s.charAt(after)
+      Character.isWhitespace(c) || c == '>' || c == '/'
+    }
+  }
+
+  /** Skip a raw-text element (`script`/`style`): past the opening tag's `>`,
+   * through the matching case-insensitive `</name`, past its `>`.
+   * Unterminated at any step → end of input. */
+  private def skipRawText(s: String, start: Int, name: String): Int = {
+    val n = s.length
+    val open = s.indexOf('>', start)
+    if (open < 0) return n
+    var i = open + 1
+    while (i < n) {
+      if (s.charAt(i) == '<' && i + 1 < n && s.charAt(i + 1) == '/' &&
+          s.regionMatches(true, i + 2, name, 0, name.length)) {
+        val gt = s.indexOf('>', i + 2 + name.length)
+        return if (gt < 0) n else gt + 1
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** Decoded entity body (between '&' and ';'), or null if unknown/invalid. */
+  private def decodeEntity(ent: String): String = ent match {
+    case "amp" => "&"
+    case "lt" => "<"
+    case "gt" => ">"
+    case "quot" => "\""
+    case "apos" => "'"
+    case "nbsp" => " " // plain space so whitespace collapsing applies
+    case _ if ent.length >= 2 && ent.charAt(0) == '#' =>
+      try {
+        val cp =
+          if (ent.charAt(1) == 'x' || ent.charAt(1) == 'X')
+            Integer.parseInt(ent.substring(2), 16)
+          else Integer.parseInt(ent.substring(1), 10)
+        if (cp <= 0 || cp > 0x10FFFF || Character.isSurrogate(cp.toChar) && cp <= 0xFFFF) null
+        else new String(Character.toChars(cp))
+      } catch { case _: NumberFormatException => null }
+    case _ => null
+  }
+
+  def extract(html: UTF8String, maxLinkDensity: Double): UTF8String = {
+    val s = html.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val block = new java.lang.StringBuilder(256)
+    var linkDepth = 0
+    var linkChars = 0
+    var totalChars = 0
+
+    def appendChar(c: Char): Unit = {
+      block.append(c)
+      if (!Character.isWhitespace(c)) {
+        totalChars += 1
+        if (linkDepth > 0) linkChars += 1
+      }
+    }
+
+    def endBlock(): Unit = {
+      // collapse whitespace runs to one space + trim, in place over the block
+      val b = new java.lang.StringBuilder(block.length)
+      var i = 0
+      var pendingSpace = false
+      while (i < block.length) {
+        val c = block.charAt(i)
+        if (Character.isWhitespace(c)) { if (b.length > 0) pendingSpace = true }
+        else {
+          if (pendingSpace) { b.append(' '); pendingSpace = false }
+          b.append(c)
+        }
+        i += 1
+      }
+      if (b.length > 0 &&
+          (maxLinkDensity >= 1.0 || totalChars == 0 ||
+            linkChars.toDouble / totalChars <= maxLinkDensity)) {
+        if (out.length > 0) out.append('\n')
+        out.append(b)
+      }
+      block.setLength(0)
+      linkChars = 0
+      totalChars = 0
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          i = skipRawText(s, i, "script")
+        } else if (tagNameAt(s, i + 1, "style")) {
+          i = skipRawText(s, i, "style")
+        } else {
+          var j = i + 1
+          var closing = false
+          if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+          var k = j
+          while (k < n && isNameChar(s.charAt(k))) k += 1
+          if (k == j && !(j < n && s.charAt(j) == '!')) {
+            // '<' not followed by a tag name, '/name', or '<!…': literal text
+            appendChar(c)
+            i += 1
+          } else {
+            val name = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+            val gt = s.indexOf('>', k)
+            val selfClosed = gt > 0 && s.charAt(gt - 1) == '/'
+            if (BlockTags.contains(name)) endBlock()
+            if (name == "a") {
+              if (closing) { if (linkDepth > 0) linkDepth -= 1 }
+              else if (!selfClosed) linkDepth += 1
+            }
+            i = if (gt < 0) n else gt + 1
+          }
+        }
+      } else if (c == '&') {
+        // entity: a '#'-optional letter/digit run of ≤ 10 chars ending in ';'
+        val limit = math.min(n, i + 12)
+        var k = i + 1
+        if (k < limit && s.charAt(k) == '#') k += 1
+        while (k < limit && Character.isLetterOrDigit(s.charAt(k))) k += 1
+        val decoded =
+          if (k > i + 1 && k < n && s.charAt(k) == ';') decodeEntity(s.substring(i + 1, k))
+          else null
+        if (decoded != null) {
+          var d = 0
+          while (d < decoded.length) { appendChar(decoded.charAt(d)); d += 1 }
+          i = k + 1
+        } else {
+          appendChar('&')
+          i += 1
+        }
+      } else {
+        appendChar(c)
+        i += 1
+      }
+    }
+    endBlock()
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** HTML → visible text as one codegen'd static call per row (see
+ * [[HtmlAlgos.extract]] for the exact contract). */
+case class HtmlExtractExpression(child: Expression, maxLinkDensity: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    HtmlAlgos.extract(v.asInstanceOf[UTF8String], maxLinkDensity)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HtmlAlgos.extract($c, $maxLinkDensity);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

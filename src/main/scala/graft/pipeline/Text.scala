@@ -116,6 +116,17 @@ object Text {
     if (lowercase) lower(trimmed) else trimmed
   }
 
+  /** HTML → visible text: strip comments/script/style, decode entities,
+   * block-level tags become `\n` block boundaries (so dedupLines /
+   * dedupParagraphs see real units), inline tags vanish, whitespace
+   * collapses per block. With `maxLinkDensity` < 1, blocks whose
+   * non-whitespace characters are mostly inside `<a>` links (nav bars,
+   * footer link farms) are dropped — the jusText-style boilerplate cut.
+   * ONE codegen'd linear pass per row; see [[HtmlAlgos.extract]] for the
+   * exact contract the q_html_extract oracle fixture pins. */
+  def extractHtml(html: Column, maxLinkDensity: Double = 1.0): Column =
+    Bridge.column(HtmlExtractExpression(Bridge.expression(html), maxLinkDensity))
+
   /** Distinct word n-gram shingles (lowercased), first-occurrence order —
    * ONE codegen'd static call per row. This feeds every minhash/simhash
    * corpus pass and the Jaccard verify joins, so it was the hottest

@@ -24,7 +24,14 @@ class CurationFusionSpec extends AnyFunSuite {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val df = spark.read.parquet(dir).select(
+      // extractHtml chains IN FRONT of every signal — the crawl front door
+      // and the gate tier must still be one generated function over one scan
+      val df = spark.read.parquet(dir)
+        .select(col("doc_id"),
+          Text.extractHtml(
+            concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")),
+            maxLinkDensity = 0.5).as("text"))
+        .select(
         col("doc_id"),
         Text.gopherQuality(col("text")).getField("pass").as("gopher_pass"),
         Text.repetitionSignals(col("text")).getField("dup_5gram_char_frac").as("rep5"),

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML → text extraction: the state-machine contract HtmlAlgos documents,
+ * pinned case by case — raw-text element skipping, comments, entities,
+ * block boundaries, inline-tag removal, link-density boilerplate cut, and
+ * the degenerate tag-soup inputs every crawl corpus contains. */
+class HtmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ex(html: String, maxLinkDensity: Double = 1.0): String = {
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(Text.extractHtml(col("h"), maxLinkDensity).as("t"))
+      .collect()(0)
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("block tags become newlines, inline tags vanish, words stay joined") {
+    assert(ex("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(ex("a<b>b</b>c") == "abc")
+    assert(ex("<div>x<span>y</span></div><div>z</div>") == "xy\nz")
+    assert(ex("line<br>break") == "line\nbreak")
+    assert(ex("<h1>Title</h1>body text") == "Title\nbody text")
+    // raw newlines in source HTML are whitespace inside a block, not breaks
+    assert(ex("<p>one\ntwo</p>") == "one two")
+  }
+
+  test("script/style raw text is removed entirely, markup inside ignored") {
+    assert(ex("""a<script>var x = "<p>no</p>";</script>b""") == "ab")
+    assert(ex("a<style>p { color: red }</style>b") == "ab")
+    assert(ex("a<SCRIPT>x</SCRIPT>b") == "ab")
+    // unterminated raw text swallows the rest; a name PREFIX is not a match
+    assert(ex("a<script>forever") == "a")
+    assert(ex("<scripty>not raw</scripty>x") == "not rawx")
+  }
+
+  test("comments are removed, unterminated to end of input") {
+    assert(ex("a<!-- <p>gone</p> -->b") == "ab")
+    assert(ex("a<!-- no end") == "a")
+  }
+
+  test("entities decode; unknown or malformed keep their literal ampersand") {
+    assert(ex("Tom &amp; Jerry &lt;3 &#65;&#x42;C") == "Tom & Jerry <3 ABC")
+    assert(ex("a&nbsp;b") == "a b")
+    assert(ex("AT&T and R&amp;D") == "AT&T and R&D")
+    assert(ex("&unknown; &amp &#xZZ; &#0; trailing&") ==
+      "&unknown; &amp &#xZZ; &#0; trailing&")
+    // decoded '<' is text, never re-parsed as markup
+    assert(ex("&lt;p&gt;literal&lt;/p&gt;") == "<p>literal</p>")
+  }
+
+  test("tag soup: bare '<', unterminated tags, attribute noise") {
+    assert(ex("1 < 2 and 2 > 1") == "1 < 2 and 2 > 1")
+    assert(ex("a<p") == "a")
+    assert(ex("""<a href="x" class="y">link</a> text""") == "link text")
+    assert(ex("") == "")
+    assert(ex("   \n\t  ") == "")
+    assert(ex(null) == null)
+  }
+
+  test("whitespace collapses per block; empty blocks vanish") {
+    assert(ex("<p>  a   b  </p><p>   </p><p>c</p>") == "a b\nc")
+    assert(ex("<div></div><div></div>x") == "x")
+  }
+
+  test("link-density cut drops all-link nav blocks, keeps prose with links") {
+    val page = """<div><a href="/">Home</a> <a href="/b">Blog</a></div>""" +
+      """<p>Read our <a href="/p">paper</a> for details on the method</p>"""
+    // no cut: both blocks survive
+    assert(ex(page) == "Home Blog\nRead our paper for details on the method")
+    // 0.5 cut: the nav (100% link chars) drops, the prose (~14%) stays
+    assert(ex(page, 0.5) == "Read our paper for details on the method")
+    // self-closed <a/> opens nothing; unmatched </a> clamps at zero depth
+    assert(ex("""<p><a href="x"/>t</a>u</p>""", 0.5) == "tu")
+  }
+
+  test("extract_html is SQL-callable with the optional density argument") {
+    val r = spark.sql(
+      """SELECT extract_html('<p><a href="/">x</a></p><p>body text</p>', 0.5) AS t,
+        |       extract_html('<p>a &amp; b</p>') AS u""".stripMargin).collect()(0)
+    assert(r.getString(0) == "body text")
+    assert(r.getString(1) == "a & b")
+  }
+
+  test("extraction chains into dedupLines units: one line per block") {
+    val docsDf = Seq(
+      (1L, "<div>SUBSCRIBE NOW</div><p>alpha beta</p>"),
+      (2L, "<div>SUBSCRIBE NOW</div><p>gamma delta</p>"),
+      (3L, "<div>SUBSCRIBE NOW</div><p>epsilon zeta</p>")).toDF("doc_id", "html")
+      .select(col("doc_id"), Text.extractHtml(col("html")).as("text"))
+    val out = Dedup.dedupLines(docsDf, col("doc_id"), col("text"), minDocs = 3)
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.map(_._2).toSeq ==
+      Seq("alpha beta", "gamma delta", "epsilon zeta"))
+  }
+}
