@@ -167,6 +167,14 @@ object Similarity {
    * the centroid update one groupBy per iteration — no MLlib, no driver
    * iteration over rows. Returns (cid, cv: array<double>).
    * Init: the nlist rows with the lowest vector hash (deterministic).
+   *
+   * nlist bound: at `nlist >= SimilarityAlgos.TwoLevelThreshold` (256) the
+   * per-row assignment switches to the two-level coarse quantizer (≈√nlist
+   * group reps scored first, argmax only inside the top 2 groups), so
+   * per-row cost is O(√nlist·dim) and web-scale nlist = 10⁴–10⁵ is viable;
+   * below the threshold assignment is the flat argmax, bit-identical to
+   * history. Two-level assignment is approximate at group boundaries —
+   * recall parity is spec-measured (TwoLevelIvfSpec).
    */
   def kmeansCentroids(
       df: DataFrame, vecCol: String, nlist: Int, iters: Int = 4): DataFrame = {
@@ -232,6 +240,9 @@ object Similarity {
    * corpus at `path`/cells PARTITIONED BY cid — a probe then reads only its
    * nprobe cell directories (partition pruning does the cell selection), so
    * the train+assign cost is paid once per corpus, not per query batch.
+   * nlist is NOT capped at driver-matrix scale: ≥ 256 centroids assign via
+   * the two-level coarse quantizer (see [[kmeansCentroids]]), so 10⁴–10⁵
+   * cells — the web-scale IVF regime — cost O(√nlist·dim) per row.
    */
   def ivfBuild(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
@@ -404,8 +415,21 @@ object Similarity {
 }
 
 /** Centroid matrix carried into generated code as one reference object;
- * norms precomputed so per-row work is nlist dot products + one vec norm. */
-final case class CentroidMatrix(ids: Array[Int], vecs: Array[Array[Double]], norms: Array[Double])
+ * norms precomputed so per-row work is nlist dot products + one vec norm.
+ *
+ * Above [[SimilarityAlgos.TwoLevelThreshold]] centroids the matrix also
+ * carries a TWO-LEVEL coarse structure (groupReps / groupMembers, built once
+ * on the driver by a small k-means over the centroids themselves): per-row
+ * assignment then scores the ~√nlist group representatives first and only
+ * argmaxes inside the best groups — O((√nlist + nlist/√nlist)·dim) per row
+ * instead of O(nlist·dim), which is what lets web-scale IVF run at
+ * nlist = 10⁴–10⁵ (the r7 verdict's ceiling). Empty `groupMembers` means
+ * the flat path (small nlist stays bit-identical to the historical argmax). */
+final case class CentroidMatrix(
+    ids: Array[Int], vecs: Array[Array[Double]], norms: Array[Double],
+    groupReps: Array[Array[Double]] = Array.empty,
+    groupRepNorms: Array[Double] = Array.empty,
+    groupMembers: Array[Array[Int]] = Array.empty)
 
 /** Hyperplane tensor (table → plane → component) carried into generated code
  * as one reference object — the LSH analogue of [[CentroidMatrix]]. */
@@ -511,12 +535,86 @@ object SimilarityAlgos {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  def matrix(cents: Array[(Int, Array[Double])]): CentroidMatrix = {
+  /** Centroid counts at or above this get the two-level coarse structure;
+   * below it assignment stays the flat argmax (bit-identical to history). */
+  val TwoLevelThreshold = 256
+
+  private def l2(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+
+  private def cosArr(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+    val dim = math.min(a.length, b.length)
+    var dot = 0.0
+    var j = 0
+    while (j < dim) { dot += a(j) * b(j); j += 1 }
+    val denom = na * nb
+    if (denom == 0.0) -2.0 else dot / denom
+  }
+
+  def matrix(cents: Array[(Int, Array[Double])]): CentroidMatrix =
+    matrix(cents, twoLevel = true)
+
+  /** `twoLevel = false` forces the flat argmax at any size (spec hook for
+   * parity measurement; production callers take the default). */
+  def matrix(cents: Array[(Int, Array[Double])], twoLevel: Boolean): CentroidMatrix = {
     val sorted = cents.sortBy(_._1)
-    CentroidMatrix(
-      sorted.map(_._1),
-      sorted.map(_._2),
-      sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
+    val ids = sorted.map(_._1)
+    val vecs = sorted.map(_._2)
+    val norms = vecs.map(l2)
+    if (!twoLevel || ids.length < TwoLevelThreshold)
+      CentroidMatrix(ids, vecs, norms)
+    else {
+      // driver-side k-means over the CENTROIDS: g ≈ √nlist groups, cosine
+      // metric (the same metric per-row assignment uses), deterministic
+      // evenly-spaced init in cid order, empty groups keep their rep.
+      // Cost O(iters · nlist · g · dim) once per build — at nlist = 10⁵,
+      // dim 128 that is ~10¹⁰ flops of driver work paid once per corpus,
+      // vs O(nlist · dim) per ROW forever on the flat path.
+      val g = math.ceil(math.sqrt(ids.length.toDouble)).toInt
+      var reps = Array.tabulate(g)(i => vecs((i.toLong * ids.length / g).toInt).clone())
+      def assign(rs: Array[Array[Double]]): Array[Array[Int]] = {
+        val rNorms = rs.map(l2)
+        val buf = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int])
+        var c = 0
+        while (c < ids.length) {
+          var bg = 0
+          var bs = cosArr(vecs(c), norms(c), rs(0), rNorms(0))
+          var gi = 1
+          while (gi < g) {
+            val s = cosArr(vecs(c), norms(c), rs(gi), rNorms(gi))
+            if (s > bs) { bs = s; bg = gi }
+            gi += 1
+          }
+          buf(bg) += c
+          c += 1
+        }
+        buf.map(_.toArray)
+      }
+      var iter = 0
+      while (iter < 3) {
+        val members = assign(reps)
+        val next = reps.map(_.clone())
+        var gi = 0
+        while (gi < g) {
+          val ms = members(gi)
+          if (ms.nonEmpty) {
+            val mean = new Array[Double](reps(gi).length)
+            ms.foreach { c =>
+              val v = vecs(c)
+              var j = 0
+              while (j < mean.length && j < v.length) { mean(j) += v(j); j += 1 }
+            }
+            var j = 0
+            while (j < mean.length) { mean(j) /= ms.length; j += 1 }
+            next(gi) = mean
+          }
+          gi += 1
+        }
+        reps = next
+        iter += 1
+      }
+      val members = assign(reps) // final membership under the final reps
+      CentroidMatrix(ids, vecs, norms, reps, reps.map(l2), members)
+    }
   }
 
   /** Cosine of `vec` against every centroid; zero norms score -2. */
@@ -541,34 +639,150 @@ object SimilarityAlgos {
     out
   }
 
-  /** Best (highest-sim, lowest-cid on ties) centroid id. */
-  def best(vec: ArrayData, m: CentroidMatrix): Int = {
-    val s = sims(vec, m)
-    var bi = 0
-    var c = 1
-    while (c < s.length) { if (s(c) > s(bi)) bi = c; c += 1 }
-    m.ids(bi)
+  private def vecNorm(vec: ArrayData): Double = {
+    val n = vec.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getDouble(i); ss += x * x; i += 1 }
+    math.sqrt(ss)
   }
 
-  /** Top `nprobe` centroid ids by (sim desc, cid asc). */
-  def probes(vec: ArrayData, m: CentroidMatrix, nprobe: Int): ArrayData = {
-    val s = sims(vec, m)
-    val k = math.min(nprobe, s.length)
-    val used = new Array[Boolean](s.length)
+  /** Cosine of `vec` against centroid index `c`; zero norms score -2. */
+  private def simOf(vec: ArrayData, vnorm: Double, m: CentroidMatrix, c: Int): Double = {
+    val cv = m.vecs(c)
+    val dim = math.min(vec.numElements(), cv.length)
+    var dot = 0.0
+    var j = 0
+    while (j < dim) { dot += vec.getDouble(j) * cv(j); j += 1 }
+    val denom = vnorm * m.norms(c)
+    if (denom == 0.0) -2.0 else dot / denom
+  }
+
+  /** Group indices ordered by (rep sim desc, group idx asc), first `take`. */
+  private def topGroups(vec: ArrayData, vnorm: Double, m: CentroidMatrix, take: Int): Array[Int] = {
+    val g = m.groupReps.length
+    val s = new Array[Double](g)
+    var gi = 0
+    while (gi < g) {
+      val rv = m.groupReps(gi)
+      val dim = math.min(vec.numElements(), rv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += vec.getDouble(j) * rv(j); j += 1 }
+      val denom = vnorm * m.groupRepNorms(gi)
+      s(gi) = if (denom == 0.0) -2.0 else dot / denom
+      gi += 1
+    }
+    val k = math.min(take, g)
+    val used = new Array[Boolean](g)
     val out = new Array[Int](k)
     var t = 0
     while (t < k) {
       var bi = -1
       var c = 0
-      while (c < s.length) {
+      while (c < g) {
         if (!used(c) && (bi < 0 || s(c) > s(bi))) bi = c
         c += 1
       }
       used(bi) = true
-      out(t) = m.ids(bi)
+      out(t) = bi
       t += 1
     }
-    new GenericArrayData(out)
+    out
+  }
+
+  /** Best (highest-sim, lowest-cid on ties) centroid id. Two-level matrices
+   * probe the top 2 groups (boundary safety) and argmax inside their
+   * members; flat matrices scan every centroid (historical bit-identical). */
+  def best(vec: ArrayData, m: CentroidMatrix): Int = {
+    if (m.groupMembers.length == 0) {
+      val s = sims(vec, m)
+      var bi = 0
+      var c = 1
+      while (c < s.length) { if (s(c) > s(bi)) bi = c; c += 1 }
+      m.ids(bi)
+    } else {
+      val vnorm = vecNorm(vec)
+      val gs = topGroups(vec, vnorm, m, 2)
+      var bestIdx = -1
+      var bestSim = 0.0
+      var t = 0
+      while (t < gs.length) {
+        val ms = m.groupMembers(gs(t))
+        var i = 0
+        while (i < ms.length) {
+          val c = ms(i)
+          val s = simOf(vec, vnorm, m, c)
+          // members iterate in ascending cid within each group, but the two
+          // probed groups interleave — compare (sim desc, cid asc) explicitly
+          if (bestIdx < 0 || s > bestSim || (s == bestSim && c < bestIdx)) {
+            bestSim = s
+            bestIdx = c
+          }
+          i += 1
+        }
+        t += 1
+      }
+      // every centroid belongs to a group, so two probed groups always hold
+      // at least one member ⇒ bestIdx >= 0 when nlist > 0
+      m.ids(bestIdx)
+    }
+  }
+
+  /** Top `nprobe` centroid ids by (sim desc, cid asc). Two-level matrices
+   * take groups in rep-sim order until ≥ max(2, nprobe) groups AND ≥ nprobe
+   * candidate cells are gathered, then rank candidates exactly. */
+  def probes(vec: ArrayData, m: CentroidMatrix, nprobe: Int): ArrayData = {
+    if (m.groupMembers.length == 0) {
+      val s = sims(vec, m)
+      val k = math.min(nprobe, s.length)
+      val used = new Array[Boolean](s.length)
+      val out = new Array[Int](k)
+      var t = 0
+      while (t < k) {
+        var bi = -1
+        var c = 0
+        while (c < s.length) {
+          if (!used(c) && (bi < 0 || s(c) > s(bi))) bi = c
+          c += 1
+        }
+        used(bi) = true
+        out(t) = m.ids(bi)
+        t += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val vnorm = vecNorm(vec)
+      val g = m.groupReps.length
+      val wprobe = math.min(g, math.max(2, nprobe))
+      val order = topGroups(vec, vnorm, m, g)
+      val cand = new scala.collection.mutable.ArrayBuffer[Int](wprobe * (m.ids.length / g + 1))
+      var gi = 0
+      while (gi < g && (cand.length < nprobe || gi < wprobe)) {
+        cand ++= m.groupMembers(order(gi))
+        gi += 1
+      }
+      val s = new Array[Double](cand.length)
+      var i = 0
+      while (i < cand.length) { s(i) = simOf(vec, vnorm, m, cand(i)); i += 1 }
+      val k = math.min(nprobe, cand.length)
+      val used = new Array[Boolean](cand.length)
+      val out = new Array[Int](k)
+      var t = 0
+      while (t < k) {
+        var bi = -1
+        var c = 0
+        while (c < cand.length) {
+          if (!used(c) &&
+              (bi < 0 || s(c) > s(bi) || (s(c) == s(bi) && cand(c) < cand(bi)))) bi = c
+          c += 1
+        }
+        used(bi) = true
+        out(t) = m.ids(cand(bi))
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 }
 
