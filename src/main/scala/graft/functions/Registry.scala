@@ -174,6 +174,7 @@ object Registry {
       if (es.size >= 2) litLong(es(1)).toInt else 9,
       if (es.size >= 3) litLong(es(2)).toInt else 4)),
     "token_count" -> (es => ex(graft.pipeline.Text.tokenCount(col(es.head)))),
+    "token_count_cjk" -> (es => ex(graft.pipeline.Text.tokenCountCjk(col(es.head)))),
     "bpe_token_estimate" -> (es => ex(graft.pipeline.Text.bpeTokenEstimate(col(es.head)))),
     "bpe_token_count" -> (es => ex(graft.pipeline.Text.bpeTokenCount(col(es.head)))),
     "lang_id" -> (es => ex(graft.pipeline.Text.langId(col(es.head)))),

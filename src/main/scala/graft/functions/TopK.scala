@@ -33,12 +33,18 @@ case class TopKAggregate(
 
   require(k > 0, "top_k_by needs k > 0")
 
-  // atomic item types only: they compare via the interpreted ordering and
-  // serialize without a schema walk (same envelope as HeavyHittersAggregate)
-  private def supported(dt: DataType): Boolean = dt match {
+  // atomic item types (or arrays of them): they compare via the interpreted
+  // ordering and serialize without a full schema walk (same envelope as
+  // HeavyHittersAggregate). Arrays exist for grouped vector selections like
+  // the PQ codebook init (top-k subvectors per subspace in one pass).
+  private def supportedAtomic(dt: DataType): Boolean = dt match {
     case StringType | BooleanType | ByteType | ShortType | IntegerType |
          LongType | FloatType | DoubleType | DateType | TimestampType => true
     case _ => false
+  }
+  private def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => supportedAtomic(et)
+    case other => supportedAtomic(other)
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -47,7 +53,7 @@ case class TopKAggregate(
         s"top_k_by needs a double ordering expression, got ${ord.dataType.sql}")
     else if (!supported(item.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"top_k_by supports atomic item types, got ${item.dataType.sql}")
+        s"top_k_by supports atomic (or array-of-atomic) item types, got ${item.dataType.sql}")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(ord, item)
@@ -75,6 +81,7 @@ case class TopKAggregate(
 
   private def copyItem(v: Any): Any = v match {
     case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
     case other => other
   }
 
@@ -120,7 +127,7 @@ case class TopKAggregate(
     new GenericArrayData(rows)
   }
 
-  private def writeItem(dos: java.io.DataOutputStream, v: Any): Unit = item.dataType match {
+  private def writeAtomic(dos: java.io.DataOutputStream, dt: DataType, v: Any): Unit = dt match {
     case StringType =>
       val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
       dos.writeInt(b.length); dos.write(b)
@@ -134,7 +141,7 @@ case class TopKAggregate(
     case other => throw new IllegalStateException(s"unreachable item type $other")
   }
 
-  private def readItem(in: java.io.DataInputStream): Any = item.dataType match {
+  private def readAtomic(in: java.io.DataInputStream, dt: DataType): Any = dt match {
     case StringType =>
       val b = new Array[Byte](in.readInt()); in.readFully(b)
       org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
@@ -146,6 +153,34 @@ case class TopKAggregate(
     case FloatType => in.readFloat()
     case DoubleType => in.readDouble()
     case other => throw new IllegalStateException(s"unreachable item type $other")
+  }
+
+  private def writeItem(dos: java.io.DataOutputStream, v: Any): Unit = item.dataType match {
+    case ArrayType(et, _) =>
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      dos.writeInt(n)
+      var i = 0
+      while (i < n) {
+        val isNull = arr.isNullAt(i)
+        dos.writeBoolean(isNull)
+        if (!isNull) writeAtomic(dos, et, arr.get(i, et))
+        i += 1
+      }
+    case dt => writeAtomic(dos, dt, v)
+  }
+
+  private def readItem(in: java.io.DataInputStream): Any = item.dataType match {
+    case ArrayType(et, _) =>
+      val n = in.readInt()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (in.readBoolean()) null else readAtomic(in, et)
+        i += 1
+      }
+      new GenericArrayData(out)
+    case dt => readAtomic(in, dt)
   }
 
   override def serialize(buf: java.util.PriorityQueue[TopKEntry]): Array[Byte] = {

@@ -356,31 +356,80 @@ object Similarity {
    */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      nlist: Int = 16, iters: Int = 4): DataFrame = {
+      nlist: Int = 16, iters: Int = 4, maxCellSize: Int = 0): DataFrame = {
     val cents = kmeansCentroids(df, vecCol, nlist, iters)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    semanticDedupWithCentroids(df, idCol, vecCol, cents, threshold)
+    semanticDedupWithCentroids(df, idCol, vecCol, cents, threshold, maxCellSize)
   }
 
   /** [[semanticDedup]] against an EXPLICIT centroid set — reproducible across
    * runs and engines (the oracle replicates one-hot centroid assignment
-   * exactly: argmax of raw components, ties to the lowest cid). */
+   * exactly: argmax of raw components, ties to the lowest cid).
+   *
+   * `maxCellSize` > 0 turns on the oversized-cell auto-split (r8, VERDICT r7
+   * #8): cells whose row count exceeds the cap are re-clustered ONE level
+   * down — a per-cell k-means into ceil(|cell|/cap) sub-centroids — and the
+   * near-pair self-join keys on (cid, sub-cell), so Σ|cell|² stays bounded
+   * without hand-tuning nlist against skew. The split trades recall exactly
+   * the way a larger nlist would (a near pair straddling a sub-cell boundary
+   * is missed; near-identical vectors share the argmax sub-centroid in all
+   * but boundary cases), and costs one k-means per oversized cell, paid
+   * eagerly at call time. maxCellSize = 0 (default) keeps the historical
+   * single-level behavior bit-for-bit. */
   def semanticDedupWithCentroids(
       df: DataFrame, idCol: String, vecCol: String,
-      cents: Array[(Int, Array[Double])], threshold: Double): DataFrame = {
-    val assigned = df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"),
-        bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
-      .repartition(col("cid"))
+      cents: Array[(Int, Array[Double])], threshold: Double,
+      maxCellSize: Int = 0): DataFrame = {
+    val withSub = semanticCellAssignment(df, idCol, vecCol, cents, maxCellSize)
+    val assigned = withSub.repartition(col("cid"), col("graft_sub"))
     val l = assigned.as("l")
     val r = assigned.as("r")
-    val drops = l.join(r, col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+    val drops = l.join(r, col("l.cid") === col("r.cid") &&
+        col("l.graft_sub") === col("r.graft_sub") && col("l.id") < col("r.id"))
       .select(col("r.id").as("graft_drop_id"),
         cosine(col("l.v"), col("r.v")).as("graft_sim"))
       .where(!isnan(col("graft_sim")) && col("graft_sim") >= threshold)
       .select(col("graft_drop_id")).distinct()
     assigned.join(drops, col("id") === col("graft_drop_id"), "left_anti")
       .select(col("id"), col("cid"))
+  }
+
+  /** The (id, v, cid, graft_sub) assignment the SemDeDup self-join keys on.
+   * graft_sub = -1 outside the auto-split; oversized cells (count >
+   * maxCellSize, when > 0) are re-clustered one level down by a per-cell
+   * k-means into ceil(|cell|/cap) sub-centroids, paid eagerly here.
+   * Package-visible so specs can measure the actual cell-size bound. */
+  private[pipeline] def semanticCellAssignment(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], maxCellSize: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+    if (maxCellSize <= 0) base.withColumn("graft_sub", lit(-1))
+    else {
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val oversized = base.groupBy(col("cid")).count()
+          .where(col("count") > maxCellSize)
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+        if (oversized.isEmpty) base.withColumn("graft_sub", lit(-1))
+        else {
+          // one k-means per HOT cell (hot cells are few by construction —
+          // a corpus with many oversized cells wants a larger nlist)
+          var subExpr: Column = lit(-1)
+          oversized.foreach { case (cid, cnt) =>
+            val subNlist = math.min(4096,
+              math.max(2, math.ceil(cnt.toDouble / maxCellSize).toInt))
+            val subCents = kmeansCentroids(
+                base.where(col("cid") === cid), "v", subNlist, iters = 2)
+              .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+            subExpr = when(col("cid") === lit(cid), bestCid(col("v"), subCents))
+              .otherwise(subExpr)
+          }
+          base.withColumn("graft_sub", subExpr)
+        }
+      } finally base.unpersist() // eager phase done; the lazy plan recomputes
+    }
   }
 
   /**

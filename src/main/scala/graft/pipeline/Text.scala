@@ -141,9 +141,18 @@ object Text {
 
   /** Whitespace words with empties dropped — one codegen'd call, shared by
    * span dedup, chunking, BPE and LM tokenization (replaces interpreted
-   * filter(split(...)) HOF pairs in those corpus passes). */
-  def words(text: Column, lowercase: Boolean = false): Column =
-    Bridge.column(SplitWordsExpression(Bridge.expression(text), lowercase))
+   * filter(split(...)) HOF pairs in those corpus passes). `cjk = true`
+   * additionally makes every ideographic code point its own token
+   * (Character.isIdeographic), so unspaced CJK prose stops reading as one
+   * giant "word" in token counts, Gopher gates, BPE, chunking and span
+   * dedup. Default OFF: the oracle queries pin whitespace semantics, and
+   * mixed-script corpora should opt in deliberately. */
+  def words(text: Column, lowercase: Boolean = false, cjk: Boolean = false): Column =
+    Bridge.column(SplitWordsExpression(Bridge.expression(text), lowercase, cjk))
+
+  /** Whitespace + ideograph-aware token count (the `cjk` words variant). */
+  def tokenCountCjk(text: Column): Column =
+    size(words(text, lowercase = false, cjk = true))
 
   def minhash(shingleCol: Column, numHashes: Int = 64): Column =
     Bridge.column(MinHashExpression(Bridge.expression(shingleCol), numHashes))
@@ -233,20 +242,52 @@ object TextAlgos {
 
   /** Whitespace word split with empties dropped (optionally lowercased) —
    * exact replication of `filter(split([lower(]text[)], "\s+"), _ != "")`. */
-  def splitWords(text: UTF8String, lowercase: Boolean): ArrayData = {
+  def splitWords(text: UTF8String, lowercase: Boolean): ArrayData =
+    splitWords(text, lowercase, cjk = false)
+
+  /** With `cjk = true`, ideographic code points (Character.isIdeographic —
+   * CJK Unified Ideographs and extensions) become ONE token each, splitting
+   * whatever whitespace-run they sit in; surrounding non-ideograph text
+   * keeps the whitespace rule. CJK prose has no spaces, so the default
+   * split sees whole sentences as one "word" and every word-based signal
+   * (token counts, Gopher gates, BPE pre-tokens, chunking, span dedup)
+   * degenerates; per-character tokens are the standard public baseline
+   * (each hanzi ≈ one morpheme). Default OFF — oracle queries pin the
+   * whitespace semantics. */
+  def splitWords(text: UTF8String, lowercase: Boolean, cjk: Boolean): ArrayData = {
     val s = if (lowercase) text.toLowerCase.toString else text.toString
-    val parts = WhitespaceRe.split(s, -1)
-    var cnt = 0
-    var i = 0
-    while (i < parts.length) { if (!parts(i).isEmpty) cnt += 1; i += 1 }
-    val out = new Array[Any](cnt)
-    var k = 0
-    i = 0
-    while (i < parts.length) {
-      if (!parts(i).isEmpty) { out(k) = UTF8String.fromString(parts(i)); k += 1 }
-      i += 1
+    if (!cjk) {
+      val parts = WhitespaceRe.split(s, -1)
+      var cnt = 0
+      var i = 0
+      while (i < parts.length) { if (!parts(i).isEmpty) cnt += 1; i += 1 }
+      val out = new Array[Any](cnt)
+      var k = 0
+      i = 0
+      while (i < parts.length) {
+        if (!parts(i).isEmpty) { out(k) = UTF8String.fromString(parts(i)); k += 1 }
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new scala.collection.mutable.ArrayBuffer[Any](s.length / 4 + 1)
+      val word = new java.lang.StringBuilder(16)
+      def flush(): Unit =
+        if (word.length > 0) { out += UTF8String.fromString(word.toString); word.setLength(0) }
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val w = Character.charCount(cp)
+        if (Character.isWhitespace(cp)) flush()
+        else if (Character.isIdeographic(cp)) {
+          flush()
+          out += UTF8String.fromString(new String(Character.toChars(cp)))
+        } else word.appendCodePoint(cp)
+        i += w
+      }
+      flush()
+      new GenericArrayData(out.toArray)
     }
-    new GenericArrayData(out)
   }
 
   private val HashRe = java.util.regex.Pattern.compile("#")
@@ -468,17 +509,18 @@ case class GopherQualityExpression(child: Expression, minWords: Int, maxWords: I
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Whitespace word split, empties dropped (see TextAlgos.splitWords). */
-case class SplitWordsExpression(child: Expression, lowercase: Boolean)
+/** Whitespace word split, empties dropped (see TextAlgos.splitWords);
+ * `cjk = true` adds ideograph-per-character tokens for unspaced scripts. */
+case class SplitWordsExpression(child: Expression, lowercase: Boolean, cjk: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    TextAlgos.splitWords(v.asInstanceOf[UTF8String], lowercase)
+    TextAlgos.splitWords(v.asInstanceOf[UTF8String], lowercase, cjk)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.pipeline.TextAlgos.splitWords($c, $lowercase);")
+      s"${ev.value} = graft.pipeline.TextAlgos.splitWords($c, $lowercase, $cjk);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -31,6 +31,28 @@ class TopKSpec extends AnyFunSuite {
     assert(out == Seq(1L, 4L))
   }
 
+  test("top_k_by handles array items (the grouped PQ-init shape) across partitions") {
+    // per group, keep the 2 lowest-hash vectors — exactly how trainCodebook
+    // selects initial codebook entries in one pass; array items must survive
+    // buffer copy + partial-aggregate serialization across partitions
+    val df = Seq(
+      (0, Seq(1.0, 2.0)), (0, Seq(3.0, 4.0)), (0, Seq(5.0, 6.0)),
+      (1, Seq(7.0, 8.0)), (1, Seq(9.0, 10.0))
+    ).toDF("sub", "sv").repartition(5)
+    val out = df.groupBy(col("sub"))
+      .agg(top_k_by(-xxhash64(col("sv")).cast("double"), col("sv"), 2).as("t"))
+      .select(col("sub"), explode(col("t.item")).as("sv"))
+      .as[(Int, Seq[Double])].collect()
+    assert(out.count(_._1 == 0) == 2 && out.count(_._1 == 1) == 2)
+    // deterministic: same hash ordering on every run, no duplicated picks
+    assert(out.toSet.size == 4)
+    val again = df.repartition(2).groupBy(col("sub"))
+      .agg(top_k_by(-xxhash64(col("sv")).cast("double"), col("sv"), 2).as("t"))
+      .select(col("sub"), explode(col("t.item")).as("sv"))
+      .as[(Int, Seq[Double])].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("top_k_by works from SQL with string items") {
     Seq(("a", 1.0), ("b", 3.0), ("c", 2.0), ("d", 3.0)).toDF("w", "s")
       .createOrReplaceTempView("graft_topk_t")

@@ -651,6 +651,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(sql.getInt(0) == 1 && sql.getString(1) == "at <IP>")
   }
 
+  test("cjk-aware word split: ideographs tokenize per character, default unchanged") {
+    val mixed = "Spark 处理数据 fast ドラゴン 2024"
+    def split(cjk: Boolean) = Seq(Tuple1(mixed)).toDF("t")
+      .select(Text.words(col("t"), cjk = cjk).as("w"))
+      .collect()(0).getSeq[String](0).toSeq
+    // default: whitespace only — the unspaced runs stay single "words"
+    assert(split(cjk = false) == Seq("Spark", "处理数据", "fast", "ドラゴン", "2024"))
+    // cjk: each ideograph its own token; kana/latin/digits keep the
+    // whitespace rule (katakana is not ideographic — a segmenter concern)
+    assert(split(cjk = true) ==
+      Seq("Spark", "处", "理", "数", "据", "fast", "ドラゴン", "2024"))
+    // token counts follow: SQL-callable cjk count sees morpheme-grain units
+    val r = spark.sql(s"SELECT token_count('$mixed') AS a, token_count_cjk('$mixed') AS b")
+      .collect()(0)
+    assert(r.getInt(0) == 5 && r.getInt(1) == 8)
+    // degenerate: empty and pure-whitespace yield no tokens in cjk mode
+    assert(Seq(Tuple1("")).toDF("t").select(Text.words(col("t"), cjk = true))
+      .collect()(0).getSeq[String](0).isEmpty)
+  }
+
   test("malformed vectors get the inert all-zero lsh signature, not plausible buckets") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val m = HyperplaneMatrix(Array(Array(

@@ -58,4 +58,49 @@ class SemanticDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
     assert(run() == run())
   }
+
+  test("oversized-cell auto-split bounds the pair join on a one-cell flood") {
+    // 2000 diverse vectors that ALL land in centroid 0's cell (dominant
+    // first component), plus planted near-identical pairs that must still
+    // collapse after the split. Without the cap this cell self-joins 2000²
+    // pairs; with maxCellSize=200 the per-cell k-means re-clusters it and
+    // Σ|cell|² must drop by an order of magnitude.
+    val rng = new scala.util.Random(13)
+    val base = (0L until 1000L).map { i =>
+      val tail = Array.fill(7)((rng.nextDouble() - 0.5).toFloat)
+      (i, (5.0f +: tail).toSeq)
+    }
+    // near-dup of every 100th vector (tiny perturbation, cosine ~1)
+    val dups = base.collect { case (i, v) if i % 100 == 0 =>
+      (i + 100000L, v.updated(1, v(1) + 1e-5f))
+    }
+    val flood = (base ++ dups).toDF("vec_id", "embedding")
+    val cents = Array(0 -> Array(1.0, 0, 0, 0, 0, 0, 0, 0), 1 -> Array(-1.0, 0, 0, 0, 0, 0, 0, 0))
+    val cellSizes = Similarity.semanticCellAssignment(
+        flood, "vec_id", "embedding", cents, maxCellSize = 200)
+      .groupBy(col("cid"), col("graft_sub")).count()
+      .select(col("count")).as[Long].collect()
+    val n = cellSizes.sum
+    val sumSq = cellSizes.map(s => s * s).sum
+    assert(n == flood.count())
+    assert(cellSizes.length >= 5, s"flood cell did not split: ${cellSizes.length} cells")
+    assert(sumSq <= n * n / 4,
+      s"pair-join bound not improved: sum(|cell|^2)=$sumSq vs n^2=${n * n}")
+    // correctness: the planted near-identical pairs still collapse (they
+    // share the argmax sub-centroid), nothing else is dropped
+    val kept = Similarity.semanticDedupWithCentroids(
+        flood, "vec_id", "embedding", cents, 0.9999999, maxCellSize = 200)
+      .select(col("id")).as[Long].collect().toSet
+    dups.foreach { case (dupId, _) =>
+      assert(!kept.contains(dupId) || !kept.contains(dupId - 100000L),
+        s"planted near-dup pair ${dupId - 100000L}/$dupId survived intact")
+    }
+    assert(kept.size >= base.size - dups.size,
+      s"over-dropped: kept ${kept.size} of ${base.size + dups.size}")
+    // cap off: behavior unchanged (single-level cells, one per centroid side)
+    val flatCells = Similarity.semanticCellAssignment(
+        flood, "vec_id", "embedding", cents, maxCellSize = 0)
+      .groupBy(col("cid"), col("graft_sub")).count().count()
+    assert(flatCells == 1)
+  }
 }
