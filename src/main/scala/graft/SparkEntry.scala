@@ -605,6 +605,28 @@ object SparkEntry {
         graft.pipeline.Text.urlPath(url).as("path"),
         graft.pipeline.Text.urlTld(url).as("tld"))
     }),
+    "q_url_canonicalize" -> ((s, dir) => {
+      // messy-but-deterministic URL per doc: uppercase scheme/host, default
+      // https port, tracking params around a kept one, fragment, trailing
+      // slash — canonicalization must normalize all of it (oracle computes
+      // the expected canonical form directly)
+      val id = col("doc_id").cast("string")
+      val messy = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:443/Docs/Page"), id, lit("/?utm_source=feed&id="), id,
+        lit("&utm_campaign=x&gclid=abc#sec"), id)
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.urlCanonicalize(messy).as("canon_url"))
+    }),
+    "q_fix_encoding" -> ((s, dir) => {
+      // planted mojibake shell: latin-1 AND cp1252 double-decode sequences,
+      // raw smart punctuation, an accented-letter repair — the oracle
+      // computes the expected repaired text straight from the text column
+      val moji = "Don\u00E2\u0080\u0099t \u00E2\u0080\u009Cquote\u00E2\u0080\u009D " +
+        "caf\u00C3\u00A9 \u00E2\u20AC\u2122ok\u00E2\u20AC\u2122 \u2014 fin\u2026 "
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.fixEncoding(concat(lit(moji), col("text"))).as("fixed"))
+    }),
     "q_text_gopher" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), graft.pipeline.Text.gopherQuality(col("text"), minWords = 20).as("g"))
@@ -1357,6 +1379,19 @@ object SparkEntry {
         |       regexp_extract(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1),
         |                      '\.([^.]+)$', 1) AS tld
         |FROM u""".stripMargin,
+    "q_url_canonicalize" ->
+      // the EXPECTED canonical form computed directly: scheme/host lowered,
+      // :443 gone, tracking params and fragment gone, kept param preserved,
+      // trailing slash dropped
+      """SELECT doc_id,
+        |       'https://www.example' || (doc_id % 5) || '.com/Docs/Page' || doc_id
+        |         || '?id=' || doc_id AS canon_url
+        |FROM documents""".stripMargin,
+    "q_fix_encoding" ->
+      // the EXPECTED repaired text computed directly from the text column
+      """SELECT doc_id,
+        |       'Don''t "quote" café ''ok'' - fin... ' || text AS fixed
+        |FROM documents""".stripMargin,
     "q_text_gopher" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -190,6 +190,8 @@ object Registry {
     "clean_text" -> (es => ex(graft.pipeline.Text.cleanText(col(es.head)))),
     "extract_html" -> (es => graft.pipeline.HtmlExtractExpression(es.head,
       if (es.size >= 2) litDouble(es(1)) else 1.0)),
+    "url_canonicalize" -> (es => graft.pipeline.UrlCanonicalizeExpression(es.head)),
+    "fix_encoding" -> (es => graft.pipeline.FixEncodingExpression(es.head)),
     "pii_signals" -> (es => ex(graft.pipeline.Pii.piiSignals(col(es.head)))),
     "redact_pii" -> (es => ex(graft.pipeline.Pii.redactPii(col(es.head)))),
     "pii_density" -> (es => ex(graft.pipeline.Pii.piiDensity(col(es.head)))),

@@ -116,6 +116,21 @@ object Text {
     if (lowercase) lower(trimmed) else trimmed
   }
 
+  /** Canonical URL for crawl dedup and domain grouping: scheme/host
+   * lowercased, default ports and fragments stripped, utm_/click-id
+   * tracking params removed, trailing slash normalized — one codegen'd
+   * pass; see [[IngestAlgos.canonicalizeUrl]] for the exact contract the
+   * q_url_canonicalize oracle pins. */
+  def urlCanonicalize(url: Column): Column =
+    Bridge.column(UrlCanonicalizeExpression(Bridge.expression(url)))
+
+  /** Mojibake + unicode-punctuation repair (latin-1/cp1252 double-decode
+   * sequences → their real characters with ASCII punctuation, zero-widths
+   * and BOM removed, exotic spaces → space) in ONE longest-match pass; see
+   * [[IngestAlgos.fixEncoding]]. Chain in front of [[cleanText]] at ingest. */
+  def fixEncoding(text: Column): Column =
+    Bridge.column(FixEncodingExpression(Bridge.expression(text)))
+
   /** HTML → visible text: strip comments/script/style, decode entities,
    * block-level tags become `\n` block boundaries (so dedupLines /
    * dedupParagraphs see real units), inline tags vanish, whitespace
