@@ -605,6 +605,15 @@ object SparkEntry {
         graft.pipeline.Text.urlPath(url).as("path"),
         graft.pipeline.Text.urlTld(url).as("tld"))
     }),
+    "q_shards" -> ((s, dir) => {
+      // deterministic shard export + manifest: content-addressed shard and
+      // within-shard order; the oracle replicates the manifest from the
+      // same md5 recipe and the whitespace token count
+      val path = java.nio.file.Files.createTempDirectory("graft_q_shards").toString
+      graft.pipeline.Curation.writeShards(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"), graft.pipeline.Text.tokenCount(col("text")), path, 8)
+    }),
     "q_url_canonicalize" -> ((s, dir) => {
       // messy-but-deterministic URL per doc: uppercase scheme/host, default
       // https port, tracking params around a kept one, fragment, trailing
@@ -1379,6 +1388,12 @@ object SparkEntry {
         |       regexp_extract(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1),
         |                      '\.([^.]+)$', 1) AS tld
         |FROM u""".stripMargin,
+    "q_shards" ->
+      """SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |       count(*) AS docs,
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
     "q_url_canonicalize" ->
       // the EXPECTED canonical form computed directly: scheme/host lowered,
       // :443 gone, tracking params and fragment gone, kept param preserved,

@@ -39,6 +39,44 @@ object Curation {
     conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("double") / 4294967296.0
 
+  /**
+   * Deterministic training-shard export (r8): assign every row a
+   * content-addressed shard (the md5 bucket recipe — stable across runs,
+   * engines and corpus growth), pseudo-shuffle WITHIN each shard by a
+   * second content hash (training order becomes reproducible and
+   * uncorrelated with ingest order — the "global shuffle" a trainer wants,
+   * without a global sort), and write `path` partitioned by shard, one
+   * task per shard. Returns the manifest (shard, docs, tokens) read back
+   * from the written files, so the manifest can never drift from the data
+   * (`tokensCol` is re-evaluated over the written frame — pass a column or
+   * an expression over `df`'s columns; all of them are written).
+   *
+   * Scale: ONE shuffle keyed on shard; the within-shard sort is
+   * partition-local. Pick nShards so a shard fits a task comfortably
+   * (docs/nShards rows); shard files are independently consumable by a
+   * data loader. Oracle: q_shards replicates the manifest in DuckDB.
+   */
+  def writeShards(
+      df: DataFrame, idCol: Column, tokensCol: Column, path: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    df.withColumn("shard", hashBucketN(idCol, nShards).cast("int"))
+      // salt the order hash so it is independent of the shard hash
+      .withColumn("graft_ord", hashFraction(concat(idCol.cast("string"), lit("#ord"))))
+      .repartition(col("shard"))
+      // the dynamic-partition writer requires child ordering on the
+      // partition column and would insert its own (non-stable) sort if the
+      // child weren't already sorted by it — leading with `shard` keeps the
+      // content-addressed order intact inside each shard file
+      .sortWithinPartitions(col("shard"), col("graft_ord"), idCol)
+      .drop("graft_ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(tokensCol).as("tokens"))
+  }
+
   /** Deterministic train/val/test split: train gets [0, trainPct), val gets
    * [trainPct, trainPct+valPct), test the rest. */
   def splitByHash(
