@@ -352,6 +352,16 @@ object SparkEntry {
           corpus, "vec_id", "embedding", cents, 0.999)
         .withColumnRenamed("id", "vec_id")
     }),
+    "q_embedding_outliers" -> ((s, dir) => {
+      // corrupt/out-of-distribution embedding hygiene: cosine to the
+      // assigned one-hot centroid below threshold → outlier (oracle
+      // replicates the argmax and the double cosine in plain SQL)
+      val e = embeddings(s, dir)
+      val cents = (0 until 4).map(i =>
+        i -> Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)).toArray
+      graft.pipeline.Similarity.embeddingOutliers(e, "vec_id", "embedding", cents, 0.18)
+        .withColumnRenamed("id", "vec_id")
+    }),
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = embeddings(s, dir)
       graft.pipeline.Similarity.bruteForceTopK(
@@ -921,6 +931,18 @@ object SparkEntry {
         |                               CAST(r.embedding AS DOUBLE[])) >= 0.999
         |)
         |SELECT vec_id, cid FROM a ANTI JOIN drops USING (vec_id)""".stripMargin,
+    "q_embedding_outliers" ->
+      """WITH a AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+        |         CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |                   AND embedding[1] >= embedding[4] THEN 0
+        |              WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |              WHEN embedding[3] >= embedding[4] THEN 2
+        |              ELSE 3 END AS cid
+        |  FROM embeddings)
+        |SELECT vec_id, cid,
+        |       (ed[cid + 1] / sqrt(list_sum(list_transform(ed, x -> x * x)))) < 0.18 AS is_outlier
+        |FROM a""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |FROM embeddings q, embeddings n

@@ -394,6 +394,36 @@ object Similarity {
       .select(col("id"), col("cid"))
   }
 
+  /**
+   * Embedding outlier flags (r8): every row scored by the cosine to its
+   * assigned (argmax) centroid — rows far from EVERY centroid are corrupt
+   * or out-of-distribution embeddings (truncated vectors, zero pads, wrong
+   * model) that poison ANN cells and SemDeDup clusters. Returns
+   * (id, cid, is_outlier) with is_outlier = best-centroid cosine < minSim;
+   * NULL/NaN cosines (dimension mismatch, zero norm) flag as outliers too.
+   * One codegen'd narrow projection — no shuffle at any scale. Explicit
+   * centroids keep it engine-replicable (the oracle uses one-hot centroids
+   * where the assignment and the cosine are plain SQL).
+   */
+  def embeddingOutliers(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], minSim: Double): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.toSeq.toDF("cid", "graft_cv"))
+    val sim = cosine(col("graft_v"), col("graft_cv"))
+    df.select(col(idCol).as("id"), v.as("graft_v"), bestCid(v, cents).as("cid"))
+      .join(centDf, "cid") // tiny broadcast: one row per centroid
+      .select(col("id"), col("cid"),
+        // NULL (dim mismatch / null element) and NaN (zero norm) are
+        // outliers by definition; Spark's NaN > x semantics would otherwise
+        // let zero-norm rows pass a >= threshold
+        when(isnull(sim) || isnan(sim), lit(true))
+          .otherwise(sim < minSim).as("is_outlier"))
+  }
+
   /** The (id, v, cid, graft_sub) assignment the SemDeDup self-join keys on.
    * graft_sub = -1 outside the auto-split; oversized cells (count >
    * maxCellSize, when > 0) are re-clustered one level down by a per-cell

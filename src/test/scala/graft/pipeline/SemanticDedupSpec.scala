@@ -59,6 +59,20 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("embeddingOutliers flags far-from-every-centroid and degenerate rows") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),   // on centroid 0 → inlier
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),    // equidistant, sim 0.5 < 0.9 → outlier
+      (3L, Seq.fill(4)(0.0f)),              // zero norm → NaN cosine → outlier
+      (4L, Seq(1.0f, 2.0f))                 // wrong dimension → NULL cosine → outlier
+    ).toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(i =>
+      i -> Array.tabulate(4)(j => if (j == i) 1.0 else 0.0)).toArray
+    val out = Similarity.embeddingOutliers(rows, "vec_id", "embedding", cents, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
   test("oversized-cell auto-split bounds the pair join on a one-cell flood") {
     // 2000 diverse vectors that ALL land in centroid 0's cell (dominant
     // first component), plus planted near-identical pairs that must still
