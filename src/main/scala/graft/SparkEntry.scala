@@ -489,6 +489,15 @@ object SparkEntry {
       val model = graft.pipeline.Lm.train(docs(s, dir), col("text"))
       graft.pipeline.Lm.collocations(model, minCount = 5L)
     }),
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR targeted selection: importance-weight every doc against the
+      // English slice as the target distribution (hashed ngram LLR)
+      val d = docs(s, dir)
+      val model = graft.pipeline.Dsir.train(
+        d, col("text"), d.where(col("lang") === "en"), col("text"), nBuckets = 4096)
+      graft.pipeline.Dsir.weight(model, d, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: corpus docs sharing 8-gram(s) with the
       // "benchmark" slice (docs with id % 25 == 0)
@@ -1113,6 +1122,44 @@ object SparkEntry {
         |JOIN uni ua ON ua.w = bi.w1
         |JOIN uni ub ON ub.w = bi.w2
         |CROSS JOIN stats""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH wdoc AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, lang, f FROM (
+        |    SELECT doc_id, lang, unnest(ws) AS f FROM wdoc
+        |    UNION ALL
+        |    SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS f
+        |    FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM wdoc)
+        |  )
+        |), fb AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substring(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+        |  FROM feats
+        |), rc AS (
+        |  SELECT bucket, count(*) AS c FROM fb GROUP BY 1
+        |), tc AS (
+        |  SELECT bucket, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1
+        |), nr AS (SELECT sum(c) AS n FROM rc), nt AS (SELECT sum(c) AS n FROM tc),
+        |llr AS (
+        |  SELECT r.range AS bucket,
+        |         CAST(round(ln(
+        |           ((CAST(coalesce(tc.c, 0) AS DOUBLE) + 1.0) / (CAST(nt.n AS DOUBLE) + 1.0 * 4096))
+        |           / ((CAST(coalesce(rc.c, 0) AS DOUBLE) + 1.0) / (CAST(nr.n AS DOUBLE) + 1.0 * 4096))
+        |         ) * 1e6) AS BIGINT) AS llr_e6
+        |  FROM range(4096) r
+        |  LEFT JOIN rc ON rc.bucket = r.range
+        |  LEFT JOIN tc ON tc.bucket = r.range
+        |  CROSS JOIN nr CROSS JOIN nt
+        |), agg AS (
+        |  SELECT fb.doc_id, count(*) AS n_feats, sum(llr.llr_e6) AS weight_e6
+        |  FROM fb JOIN llr USING (bucket) GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+        |       CAST(coalesce(weight_e6, 0) AS BIGINT) AS weight_e6
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
