@@ -506,6 +506,14 @@ object SparkEntry {
         d, col("doc_id"), col("text"),
         d.where(col("doc_id") % 25 === 0), col("text"))
     }),
+    "q_badwords" -> ((s, dir) => {
+      // C4-style blocklist gate: one alternation regex over the list,
+      // word-boundary, multi-word phrases across whitespace
+      graft.pipeline.Curation.blocklistGate(
+        docs(s, dir).select(col("doc_id"), col("text")), col("text"),
+        Seq("slow", "hash value", "broken pipe"))
+        .select(col("doc_id"), col("n_blocklist_hits"), col("blocked"))
+    }),
     "q_decontaminate_bloom" -> ((s, dir) => {
       // bloom-screen variant of q_decontaminate: at fpp=0.001 over this
       // benchmark set the screen is exact (verified), so the exact-overlap
@@ -1199,6 +1207,13 @@ object SparkEntry {
         |SELECT d.doc_id AS id, count(*) AS shared_ngrams
         |FROM doc_ng d JOIN bench USING (ng)
         |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+    "q_badwords" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(lower(text),
+        |         '(?:\bslow\b|\bhash\s+value\b|\bbroken\s+pipe\b)')) AS n_blocklist_hits,
+        |       len(regexp_extract_all(lower(text),
+        |         '(?:\bslow\b|\bhash\s+value\b|\bbroken\s+pipe\b)')) > 0 AS blocked
+        |FROM documents""".stripMargin,
     "q_decontaminate_bloom" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -481,4 +481,43 @@ object Curation {
       .where(hashFraction(idCol) < coalesce(col("graft_frac"), lit(1.0)))
       .select(df.columns.map(col): _*)
   }
+
+  /** One case-insensitive word-boundary alternation over the phrase list —
+   * `(?:\bp1\b|\bp2\b|…)` with each phrase regex-quoted, its interior
+   * whitespace generalized to `\s+`, and a `\b` anchor only where the
+   * phrase edge is a word character (`\b` next to punctuation like `$` or
+   * `.` would never match). Kept to the Java∩RE2 subset (no lookarounds)
+   * so a DuckDB oracle can run the identical pattern. */
+  private[pipeline] def blocklistPattern(phrases: Seq[String]): String = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    val alts = phrases.map { p =>
+      val ws = p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      require(ws.nonEmpty, s"blank blocklist phrase: '$p'")
+      // quote each word; \Q…\E is Java-only, so escape char-by-char
+      val quoted = ws.map(_.flatMap(c =>
+        if (c.isLetterOrDigit) c.toString else "\\" + c)).mkString("\\s+")
+      val lead = if (ws.head.head.isLetterOrDigit) "\\b" else ""
+      val trail = if (ws.last.last.isLetterOrDigit) "\\b" else ""
+      lead + quoted + trail
+    }
+    "(?:" + alts.mkString("|") + ")"
+  }
+
+  /**
+   * C4-style blocklist gate: flag documents containing any phrase from a
+   * banned-word list (word-boundary, case-insensitive; multi-word phrases
+   * match across any whitespace). Adds `n_blocklist_hits` (total match
+   * count) and `blocked` (hits > maxHits). The whole list compiles to ONE
+   * alternation regex, so a K-phrase list costs one scan per row — a
+   * codegen'd narrow projection with no shuffle at any scale. Lists too
+   * large for a regex alternation (≫10³ phrases) should use the
+   * n-gram-join [[decontaminate]] shape instead.
+   */
+  def blocklistGate(
+      df: DataFrame, textCol: Column, phrases: Seq[String],
+      maxHits: Int = 0): DataFrame = {
+    val hits = regexp_count(lower(textCol), lit(blocklistPattern(phrases)))
+    df.withColumn("n_blocklist_hits", hits)
+      .withColumn("blocked", col("n_blocklist_hits") > maxHits)
+  }
 }

@@ -404,4 +404,27 @@ class CurationSpec extends AnyFunSuite {
         s"auto bloom graft_decontam_$i leaked")
     }
   }
+
+  test("blocklistGate: word boundaries, phrases across whitespace, case-insensitive") {
+    val docsDf = Seq(
+      (1L, "the slow train"),            // single word hit
+      (2L, "slowly is not slow-ness"),   // boundary: 'slowly' no, 'slow-ness' yes ('slow' before '-')
+      (3L, "a HASH   value appears"),    // phrase across runs of spaces, case-folded
+      (4L, "hash values differ"),        // 'values' != 'value' at the boundary
+      (5L, "clean text entirely"),
+      (6L, "slow and slow and slow")     // count = 3
+    ).toDF("doc_id", "text")
+    val out = Curation.blocklistGate(
+        docsDf, col("text"), Seq("slow", "hash value", "broken pipe"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(3))).toMap
+    assert(out == Map(1L -> (1, true), 2L -> (1, true), 3L -> (1, true),
+      4L -> (0, false), 5L -> (0, false), 6L -> (3, true)))
+  }
+
+  test("blocklistGate escapes regex metacharacters in phrases") {
+    val docsDf = Seq((1L, "price is $9.99 today"), (2L, "price is $9x99")).toDF("doc_id", "text")
+    val out = Curation.blocklistGate(docsDf, col("text"), Seq("$9.99"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 1, 2L -> 0))
+  }
 }
