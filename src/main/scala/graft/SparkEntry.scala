@@ -420,6 +420,33 @@ object SparkEntry {
       graft.pipeline.Dedup.nearDupClusters(
         nearDupCorpus(s, dir), col("doc_id"), col("text"))
     }),
+    "q_curate_crawl" -> ((s, dir) => {
+      // the full crawl front door end to end: HTML extraction → mojibake
+      // repair → URL canonicalization → exact URL dedup (crawlers re-fetch
+      // the same page under tracking-param/port/case variants; lowest id
+      // wins) → token + language gates. Every step is the r8 ingest tier
+      // chained the way a real pipeline runs it; the oracle computes each
+      // step's expected output directly.
+      val id = col("doc_id").cast("string")
+      val moji = "Don\u00E2\u0080\u0099t \u00E2\u0080\u009Cquote\u00E2\u0080\u009D caf\u00C3\u00A9 "
+      val html = concat(
+        lit("<html><head><script>var x = \"<p>no</p>\";</script><style>.x{}</style>" +
+          "</head><body><div class=\"nav\"><a href=\"/\">Home</a></div><h1>Doc "), id,
+        lit("</h1><p>"), lit(moji), col("text"),
+        lit("</p><div class=\"footer\"><a href=\"/a\">About</a></div></body></html>"))
+      val pg = (col("doc_id") % 250).cast("string")
+      val messyUrl = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:443/page"), pg, lit("/?utm_source=x&id="), pg, lit("#frag"))
+      val t = graft.pipeline.Text.fixEncoding(
+        graft.pipeline.Text.extractHtml(html, maxLinkDensity = 0.5))
+      val front = docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.urlCanonicalize(messyUrl).as("url"), t.as("t"))
+      graft.pipeline.Dedup.exact(front, col("doc_id"), col("url"))
+        .where(graft.pipeline.Text.tokenCount(col("t")) >= 50)
+        .where(graft.pipeline.Text.langId(col("t")) === "en")
+        .select(col("doc_id"), col("url"))
+    }),
     "q_split_hash" -> ((s, dir) => {
       // deterministic content-addressed train/val/test split
       graft.pipeline.Curation.splitByHash(
@@ -1590,6 +1617,35 @@ object SparkEntry {
         |       'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10)
         |         || text || chr(10) || 'Tom & Jerry <3 ABC' AS extracted
         |FROM documents""".stripMargin,
+    "q_curate_crawl" ->
+      // each front-door step's expected output computed directly: extracted
+      // text (h1 + repaired paragraph), canonical URL, then URL keep-first
+      // dedup and the token/language gates
+      """WITH front AS (
+        |  SELECT doc_id,
+        |         'https://www.example' || (doc_id % 5) || '.com/page' || (doc_id % 250)
+        |           || '?id=' || (doc_id % 250) AS url,
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text AS t
+        |  FROM documents
+        |), kept AS (
+        |  SELECT f.doc_id, f.url, f.t
+        |  FROM front f
+        |  JOIN (SELECT url, min(doc_id) AS keep FROM front GROUP BY 1) k
+        |    ON f.url = k.url AND f.doc_id = k.keep
+        |), h AS (
+        |  SELECT doc_id, url, t,
+        |         len(regexp_extract_all(lower(t), '\b(the|and|of|is)\b')) AS en,
+        |         len(regexp_extract_all(lower(t), '\b(der|die|das|und)\b')) AS de,
+        |         len(regexp_extract_all(lower(t), '\b(el|la|los|que)\b')) AS es,
+        |         len(regexp_extract_all(lower(t), '\b(le|les|et|est)\b')) AS fr
+        |  FROM kept
+        |)
+        |SELECT doc_id, url FROM h
+        |WHERE len(regexp_split_to_array(trim(t), '\s+')) >= 50
+        |  AND CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+        |           WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+        |           WHEN es > 0 AND es >= fr THEN 'es'
+        |           WHEN fr > 0 THEN 'fr' ELSE 'und' END = 'en'""".stripMargin,
     "q_text_repsignals" ->
       """WITH t AS (
         |  SELECT doc_id,
