@@ -375,6 +375,17 @@ object SparkEntry {
           e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "q_ann_sq" -> ((s, dir) => {
+      // SQ8 top-k: train per-dim ranges on the corpus, search the encoded
+      // (1 byte/dim) corpus with dequantized cosine; the oracle replicates
+      // quantize → dequantize → cosine → top-3 in SQL
+      val e = embeddings(s, dir)
+      val p = graft.pipeline.Sq.train(e, col("embedding"))
+      val enc = graft.pipeline.Sq.encodeDf(e, col("vec_id"), col("embedding"), p)
+      graft.pipeline.Sq.search(
+          enc, p, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // rows-only: IVF recall vs brute force asserted in PipelineSpec
       val e = embeddings(s, dir)
@@ -994,6 +1005,32 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) <= 3""".stripMargin,
+    "q_ann_sq" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), dims AS (
+        |  SELECT vec_id, i, v[i] AS x
+        |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+        |), mm AS (
+        |  SELECT i, min(x) AS lo, max(x) AS hi FROM dims GROUP BY 1
+        |), deq AS (
+        |  SELECT vec_id, d.i,
+        |         CASE WHEN hi - lo <= 0 THEN lo
+        |              ELSE lo + CAST(least(255, greatest(0,
+        |                     CAST(round((x - lo) / (hi - lo) * 255) AS INT))) AS DOUBLE)
+        |                   / 255.0 * (hi - lo) END AS xd
+        |  FROM dims d JOIN mm USING (i)
+        |), sims AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |         sum(q.x * d.xd)
+        |           / (sqrt(sum(q.x * q.x)) * sqrt(sum(d.xd * d.xd))) AS sim
+        |  FROM dims q JOIN deq d USING (i)
+        |  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id FROM sims
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 3""".stripMargin,
     "q_curate" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

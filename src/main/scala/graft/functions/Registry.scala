@@ -219,6 +219,7 @@ object Registry {
         org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType),
         es(1), litLong(es(2)).toInt).toAggregateExpression()),
     "vector_mean" -> (es => VectorMeanAggregate(es.head).toAggregateExpression()),
+    "vector_minmax" -> (es => VectorMinMaxAggregate(es.head).toAggregateExpression()),
     "small_bloom" -> (es =>
       graft.bloom.BloomAggregate(es(0), litLong(es(1)), litDouble(es(2))).toAggregateExpression()),
     "big_bloom" -> (es =>

@@ -123,6 +123,8 @@ object dsl {
     col(TopKAggregate(ex(ord.cast("double")), ex(item), k).toAggregateExpression())
   def vector_mean(arr: Column): Column =
     col(VectorMeanAggregate(ex(arr)).toAggregateExpression())
+  def vector_minmax(arr: Column): Column =
+    col(VectorMinMaxAggregate(ex(arr)).toAggregateExpression())
   def comparable_maps(c: Column): Column = col(ComparableMapsExpression(ex(c)))
   def reverse_comparable_maps(c: Column): Column = col(ReverseComparableMapsExpression(ex(c)))
   def to_yaml(c: Column): Column = col(YamlEncodeExpression(ex(c)))

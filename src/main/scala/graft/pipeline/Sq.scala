@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Trained SQ8 quantizer: per-dimension minima and (max - min) ranges.
+ * Constant dims (range 0) decode to their min. Top-level (not nested in
+ * [[Sq]]) so generated code can name the class. */
+case class SqParams(mins: Array[Double], ranges: Array[Double]) {
+  require(mins.length == ranges.length, "mins/ranges length mismatch")
+  def dim: Int = mins.length
+}
+
+/**
+ * SQ8 scalar quantization for embeddings — the light compression tier
+ * between raw float32 (4 bytes/dim) and IVF-PQ (sub-byte/dim): one byte
+ * per dimension, per-dimension [min, max] ranges learned from the corpus
+ * in a single mergeable aggregate. Dequantized ("asymmetric") cosine
+ * against the exact query recovers near-uncompressed recall at 4× less
+ * index memory — the standard first stop when a float32 index stops
+ * fitting (FAISS's SQ8, public knowledge).
+ *
+ * Scale design (100 TB): training is ONE aggregate whose state is two
+ * dim-length arrays (element-wise min/max, map-side partials — the
+ * [[graft.functions.VectorMinMaxAggregate]] shape, never an explode);
+ * driver state is 2·dim doubles. Encode is a codegen'd narrow projection
+ * (the params ride along as a reference object); search mirrors
+ * [[Similarity.bruteForceTopK]] — broadcast-guarded query side, one
+ * codegen'd dequantizing cosine per (query, code) pair, and the mergeable
+ * bounded-heap top-k. The encoded corpus column is dim bytes/row, so the
+ * scan side of a search reads 4× less than the float path.
+ *
+ * Degenerate-input contract (matches the PQ hardening): vectors whose
+ * length differs from the trained dim, or with null elements, encode to
+ * NULL and are dropped from the encoded corpus; zero-norm codes produce
+ * NaN sims that the top-k aggregate drops.
+ */
+object Sq {
+
+  /** Learn per-dimension ranges: one aggregate, state = 2·dim doubles. */
+  def train(df: DataFrame, vecCol: Column): SqParams = {
+    val row = df.select(
+      graft.functions.dsl.vector_minmax(vecCol.cast("array<double>")).as("mm"))
+      .select(col("mm.mins").as("mins"), col("mm.maxs").as("maxs"))
+      .head()
+    require(!row.isNullAt(0), "Sq.train: no non-null vectors to train on")
+    val mins = row.getSeq[Double](0).toArray
+    val maxs = row.getSeq[Double](1).toArray
+    SqParams(mins, maxs.zip(mins).map { case (hi, lo) => hi - lo })
+  }
+
+  private def bridge(c: Column): Expression =
+    org.apache.spark.sql.graft.Bridge.expression(c)
+  private def column(e: Expression): Column =
+    org.apache.spark.sql.graft.Bridge.column(e)
+
+  /** Byte-per-dimension code of a vector column (BinaryType, dim bytes);
+   * NULL for wrong-dimension or null-element vectors. */
+  def encode(vec: Column, params: SqParams): Column =
+    column(SqEncodeExpression(bridge(vec.cast("array<double>")), params))
+
+  /** Dequantizing cosine between an exact query vector and a code. */
+  def sqCosine(query: Column, code: Column, params: SqParams): Column =
+    column(SqCosineExpression(bridge(query.cast("array<double>")), bridge(code), params))
+
+  /** The encoded corpus: (id, code). Degenerate rows drop here, like the
+   * PQ cells table, so search can never return them. */
+  def encodeDf(df: DataFrame, idCol: Column, vecCol: Column, params: SqParams): DataFrame =
+    df.select(idCol.as("id"), encode(vecCol, params).as("code"))
+      .where(col("code").isNotNull)
+
+  /**
+   * Top-k search against an encoded corpus: (query_id, neighbor_id, sim,
+   * rank), sim = cosine(query, dequantize(code)). Same broadcast guard and
+   * top-k shape as [[Similarity.bruteForceTopK]].
+   */
+  def search(
+      encoded: DataFrame, params: SqParams,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxBroadcastQueries: Int = Similarity.MaxBroadcastQueries): DataFrame = {
+    Similarity.requireBroadcastable(queries, maxBroadcastQueries, "Sq.search")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = q.crossJoin(encoded.select(col("id").as("neighbor_id"), col("code")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sqCosine(col("qv"), col("code"), params))
+    Similarity.topKPerQuery(scored, k)
+  }
+}
+
+object SqAlgos {
+  /** Encode one vector; null on dimension mismatch or null element. */
+  def encode(v: ArrayData, p: SqParams): Array[Byte] = {
+    val dim = p.dim
+    if (v.numElements() != dim) return null
+    val out = new Array[Byte](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      val r = p.ranges(i)
+      val c =
+        if (r <= 0.0) 0
+        else {
+          val s = math.round((v.getDouble(i) - p.mins(i)) / r * 255.0)
+          if (s < 0L) 0 else if (s > 255L) 255 else s.toInt
+        }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine(query, dequantized code); null on degenerate inputs, NaN on a
+   * zero norm (dropped by the top-k aggregate, like every other path). */
+  def cosine(q: ArrayData, code: Array[Byte], p: SqParams): java.lang.Double = {
+    val dim = p.dim
+    if (q.numElements() != dim || code.length != dim) return null
+    var dot = 0.0
+    var nq = 0.0
+    var nx = 0.0
+    var i = 0
+    while (i < dim) {
+      if (q.isNullAt(i)) return null
+      val qd = q.getDouble(i)
+      val xd = p.mins(i) + (code(i) & 0xFF).toDouble / 255.0 * p.ranges(i)
+      dot += qd * xd
+      nq += qd * qd
+      nx += xd * xd
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(nq) * math.sqrt(nx)))
+  }
+}
+
+/** Byte-per-dim SQ8 code of an embedding, one codegen'd static call;
+ * NULL for wrong-dimension or null-element vectors. */
+case class SqEncodeExpression(child: Expression, p: SqParams)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SqAlgos.encode(v.asInstanceOf[ArrayData], p)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val pRef = ctx.addReferenceObj("graftSqParams", p, "graft.pipeline.SqParams")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      byte[] ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.pipeline.SqAlgos.encode(${c.value}, $pRef);
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Dequantizing cosine(query, code), one codegen'd static call per pair. */
+case class SqCosineExpression(left: Expression, right: Expression, p: SqParams)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    SqAlgos.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]], p)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val pRef = ctx.addReferenceObj("graftSqParams", p, "graft.pipeline.SqParams")
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("graftSqSim")
+    ev.copy(code = code"""
+      ${l.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${l.isNull}) {
+        ${r.code}
+        if (!${r.isNull}) {
+          java.lang.Double $boxed = graft.pipeline.SqAlgos.cosine(
+            ${l.value}, ${r.value}, $pRef);
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }
+      }""")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
