@@ -488,7 +488,7 @@ object Curation {
    * phrase edge is a word character (`\b` next to punctuation like `$` or
    * `.` would never match). Kept to the Java∩RE2 subset (no lookarounds)
    * so a DuckDB oracle can run the identical pattern. */
-  private[pipeline] def blocklistPattern(phrases: Seq[String]): String = {
+  private[graft] def blocklistPattern(phrases: Seq[String]): String = {
     require(phrases.nonEmpty, "blocklist must not be empty")
     val alts = phrases.map { p =>
       val ws = p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)

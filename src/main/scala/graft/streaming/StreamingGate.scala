@@ -33,7 +33,9 @@ object StreamingGate {
       maxDup5gramCharFrac: Double = 0.30,
       maxPiiDensity: Double = 0.05,
       classifier: Option[TextClassifierModel] = None,
-      minClassifierScore: Double = 0.5): Column = {
+      minClassifierScore: Double = 0.5,
+      blocklist: Seq[String] = Nil,
+      blocklistMaxHits: Int = 0): Column = {
     val gopherPass = Text.gopherQuality(textCol, gopherMinWords).getField("pass")
     val repPass =
       Text.repetitionSignals(textCol).getField("dup_5gram_char_frac") <= maxDup5gramCharFrac
@@ -41,12 +43,17 @@ object StreamingGate {
     val clsPass = classifier
       .map(m => Classifier.score(m, textCol) >= minClassifierScore)
       .getOrElse(lit(true))
+    val blockPass =
+      if (blocklist.isEmpty) lit(true)
+      else regexp_count(lower(textCol),
+        lit(graft.pipeline.Curation.blocklistPattern(blocklist))) <= blocklistMaxHits
     struct(
       gopherPass.as("gopher_pass"),
       repPass.as("repetition_pass"),
       piiPass.as("pii_pass"),
       clsPass.as("classifier_pass"),
-      (gopherPass && repPass && piiPass && clsPass).as("pass"))
+      blockPass.as("blocklist_pass"),
+      (gopherPass && repPass && piiPass && clsPass && blockPass).as("pass"))
   }
 
   /** Documents passing every signal — stateless, append-safe, identical on
@@ -57,9 +64,12 @@ object StreamingGate {
       maxDup5gramCharFrac: Double = 0.30,
       maxPiiDensity: Double = 0.05,
       classifier: Option[TextClassifierModel] = None,
-      minClassifierScore: Double = 0.5): DataFrame =
+      minClassifierScore: Double = 0.5,
+      blocklist: Seq[String] = Nil,
+      blocklistMaxHits: Int = 0): DataFrame =
     stream.where(qualitySignals(textCol, gopherMinWords, maxDup5gramCharFrac,
-      maxPiiDensity, classifier, minClassifierScore).getField("pass"))
+      maxPiiDensity, classifier, minClassifierScore, blocklist,
+      blocklistMaxHits).getField("pass"))
 
   /**
    * Watermarked per-window gate telemetry: one append-mode row per closed
@@ -77,12 +87,15 @@ object StreamingGate {
       maxDup5gramCharFrac: Double = 0.30,
       maxPiiDensity: Double = 0.05,
       classifier: Option[TextClassifierModel] = None,
-      minClassifierScore: Double = 0.5): DataFrame =
+      minClassifierScore: Double = 0.5,
+      blocklist: Seq[String] = Nil,
+      blocklistMaxHits: Int = 0): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
       .select(col(tsCol),
         qualitySignals(textCol, gopherMinWords, maxDup5gramCharFrac,
-          maxPiiDensity, classifier, minClassifierScore).as("graft_sig"))
+          maxPiiDensity, classifier, minClassifierScore, blocklist,
+          blocklistMaxHits).as("graft_sig"))
       .groupBy(window(col(tsCol), windowDuration))
       .agg(
         count(lit(1)).as("rows"),
@@ -90,9 +103,10 @@ object StreamingGate {
         sum(when(!col("graft_sig.gopher_pass"), 1L).otherwise(0L)).as("gopher_fail"),
         sum(when(!col("graft_sig.repetition_pass"), 1L).otherwise(0L)).as("repetition_fail"),
         sum(when(!col("graft_sig.pii_pass"), 1L).otherwise(0L)).as("pii_fail"),
-        sum(when(!col("graft_sig.classifier_pass"), 1L).otherwise(0L)).as("classifier_fail"))
+        sum(when(!col("graft_sig.classifier_pass"), 1L).otherwise(0L)).as("classifier_fail"),
+        sum(when(!col("graft_sig.blocklist_pass"), 1L).otherwise(0L)).as("blocklist_fail"))
       .select(col("window.start").as("window_start"), col("rows"), col("passed"),
         (col("passed").cast("double") / col("rows")).as("pass_rate"),
         col("gopher_fail"), col("repetition_fail"), col("pii_fail"),
-        col("classifier_fail"))
+        col("classifier_fail"), col("blocklist_fail"))
 }

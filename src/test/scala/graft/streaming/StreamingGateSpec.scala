@@ -90,4 +90,36 @@ class StreamingGateSpec extends AnyFunSuite {
       assert(r.getLong(4) == 0)
     } finally { gq.stop(); rq.stop() }
   }
+
+  test("blocklist signal gates a stream and reports its own failure bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+    val badText = goodText + " casino jackpot"
+
+    val gated = StreamingGate.gate(stream, col("text"), gopherMinWords = 10,
+      blocklist = Seq("casino jackpot"))
+    val gq = gated.writeStream.format("memory").queryName("bl_rows")
+      .outputMode("append").start()
+    val report = StreamingGate.windowedGateReport(
+      stream, "ts", col("text"), "10 minutes", "5 minutes", gopherMinWords = 10,
+      blocklist = Seq("casino jackpot"))
+    val rq = report.writeStream.format("memory").queryName("bl_report")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:01:00")
+      val late = Timestamp.valueOf("2026-01-01 11:00:00")
+      mem.addData((t0, goodText), (t0, badText))
+      gq.processAllAvailable(); rq.processAllAvailable()
+      mem.addData((late, goodText))
+      gq.processAllAvailable(); rq.processAllAvailable()
+
+      val kept = spark.sql("SELECT text FROM bl_rows").as[String].collect()
+      assert(kept.contains(goodText) && !kept.contains(badText))
+      val r = spark.sql(
+        """SELECT rows, passed, blocklist_fail
+          |FROM bl_report ORDER BY window_start LIMIT 1""".stripMargin).collect().head
+      assert(r.getLong(0) == 2 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    } finally { gq.stop(); rq.stop() }
+  }
 }
