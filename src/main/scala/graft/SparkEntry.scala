@@ -621,6 +621,16 @@ object SparkEntry {
       graft.pipeline.Dedup.dedupLines(framed, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_dedup_withindoc" -> ((s, dir) => {
+      // nav chrome stamped at the top AND bottom of the SAME page (plus
+      // sentence-per-line body): within-doc dedup keeps first occurrences
+      // only — no cross-doc count involved, and no shuffle in the plan
+      val framed = docs(s, dir).select(col("doc_id"),
+        concat(lit("NAV MENU\n"), regexp_replace(col("text"), "\\. ", ".\n"),
+          lit("\nNAV MENU\nCopyright 2026")).as("t"))
+      graft.pipeline.Dedup.dedupLinesWithinDoc(framed, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_dedup_paragraphs" -> ((s, dir) => {
       // shared consent paragraph on every doc + a per-doc unique paragraph:
       // paragraph dedup strips the chrome everywhere, keeps the unique one
@@ -1440,6 +1450,22 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q_dedup_withindoc" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'NAV MENU' || chr(10) || regexp_replace(text, '\. ', '.' || chr(10), 'g')
+        |           || chr(10) || 'NAV MENU' || chr(10) || 'Copyright 2026' AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(t, chr(10))) AS line,
+        |         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+        |  FROM d
+        |), firsts AS (
+        |  SELECT doc_id, line, min(pos) AS fpos FROM l GROUP BY 1, 2
+        |)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY fpos) AS text
+        |FROM firsts GROUP BY doc_id""".stripMargin,
     "q_dedup_paragraphs" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -315,6 +315,26 @@ object Dedup {
       df: DataFrame, idCol: Column, textCol: Column, minDocs: Int = 2): DataFrame =
     dedupUnits(df, idCol, textCol, minDocs, "\n\n+", "\n\n")
 
+  /** WITHIN-document repeated-unit removal: a line repeated inside one page
+   * (nav menus, share bars, pagination chrome stamped between sections)
+   * keeps its first occurrence only. Complements the cross-document
+   * [[dedupLines]]: that one needs a unit in ≥ minDocs docs, this one fires
+   * on repetition inside a single doc. Pure narrow projection —
+   * `array_distinct` keeps first-occurrence order, so there is NO shuffle
+   * at any corpus size. */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    dedupUnitsWithinDoc(df, idCol, textCol, "\n", "\n")
+
+  /** [[dedupLinesWithinDoc]] at paragraph granularity. */
+  def dedupParagraphsWithinDoc(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    dedupUnitsWithinDoc(df, idCol, textCol, "\n\n+", "\n\n")
+
+  private def dedupUnitsWithinDoc(
+      df: DataFrame, idCol: Column, textCol: Column,
+      splitRe: String, joinSep: String): DataFrame =
+    df.select(idCol.as("id"),
+      array_join(array_distinct(split(textCol, splitRe)), joinSep).as("text"))
+
   private def dedupUnits(
       df: DataFrame, idCol: Column, textCol: Column, minDocs: Int,
       splitRe: String, joinSep: String): DataFrame = {

@@ -602,6 +602,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out3(4L) == "unique alpha content")
   }
 
+  test("within-doc line dedup keeps first occurrences, never needs a shuffle") {
+    val d = Seq(
+      (0L, "NAV\nalpha\nNAV\nbeta\nNAV"),       // chrome stamped 3× in one page
+      (1L, "unique one\nunique two"),            // untouched
+      (2L, "")                                   // empty passes through
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithinDoc(d, col("doc_id"), col("text"))
+    assert(out.as[(Long, String)].collect().toMap ==
+      Map(0L -> "NAV\nalpha\nbeta", 1L -> "unique one\nunique two", 2L -> ""))
+    // narrow projection: no exchange anywhere in the plan
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "within-doc dedup must not shuffle")
+    // paragraph flavour: repeated consent paragraph collapses within the doc
+    val p = Seq((0L, "We use cookies.\n\nbody text\n\nWe use cookies.")).toDF("doc_id", "text")
+    assert(Dedup.dedupParagraphsWithinDoc(p, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().head._2 == "We use cookies.\n\nbody text")
+  }
+
   test("paragraph dedup drops cross-doc chrome paragraphs, keeps per-doc content") {
     val consent = "We use cookies.\nSee our policy."  // multi-line paragraph
     val d = Seq(
