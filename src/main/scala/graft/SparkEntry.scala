@@ -527,6 +527,20 @@ object SparkEntry {
       val model = graft.pipeline.Lm.train(docs(s, dir), col("text"))
       graft.pipeline.Lm.collocations(model, minCount = 5L)
     }),
+    "q_lm_filter" -> ((s, dir) => {
+      // CCNet paragraph filter: frame docs sentence-per-paragraph, plant a
+      // gibberish paragraph on doc_id % 4 == 0; paragraphs below the mean
+      // transition probability floor drop, survivors rebuild in order
+      val d = docs(s, dir)
+      val framed = d.select(col("doc_id"), concat(
+        regexp_replace(col("text"), "\\. ", ".\n\n"),
+        when(col("doc_id") % 4 === 0,
+          lit("\n\nzzqx9 vvkk7 zzqx9 qqy3")).otherwise(lit(""))).as("t"))
+      val model = graft.pipeline.Lm.train(d, col("text"))
+      graft.pipeline.Lm.filterParagraphs(
+          model, framed, col("doc_id"), col("t"), minMeanProbE12 = 1000000000L)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR targeted selection: importance-weight every doc against the
       // English slice as the target distribution (hashed ngram LLR)
@@ -1181,6 +1195,63 @@ object SparkEntry {
         |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
         |       coalesce(n_oov, 0) AS n_oov
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_lm_filter" ->
+      """WITH corpus AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), uw AS (
+        |  SELECT unnest(ws) AS w FROM corpus
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM uw GROUP BY 1
+        |), stats AS (
+        |  SELECT sum(c) AS n_tokens, count(*) AS vocab FROM uni
+        |), bit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM corpus)
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bit GROUP BY 1, 2
+        |), framed AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '\. ', '.' || chr(10) || chr(10), 'g')
+        |           || CASE WHEN doc_id % 4 = 0
+        |                   THEN chr(10) || chr(10) || 'zzqx9 vvkk7 zzqx9 qqy3'
+        |                   ELSE '' END AS t
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, pos, ps[pos] AS para
+        |  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS pos
+        |        FROM (SELECT doc_id, regexp_split_to_array(t, '\n\n+') AS ps FROM framed))
+        |), pw AS (
+        |  SELECT doc_id, pos, para,
+        |         list_filter(string_split_regex(lower(para), '\s+'), x -> x <> '') AS ws
+        |  FROM paras
+        |), st AS (
+        |  SELECT doc_id, pos, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, pos, ws, unnest(range(1, len(ws))) AS i FROM pw)
+        |), j AS (
+        |  SELECT st.doc_id, st.pos,
+        |         0.5 * coalesce(CAST(bi.cb AS DOUBLE) / CAST(up.c AS DOUBLE), 0.0)
+        |           + 0.5 * ((coalesce(CAST(uc.c AS DOUBLE), 0.0) + 1.0)
+        |                    / (CAST(stats.n_tokens AS DOUBLE) + 1.0 * CAST(stats.vocab AS DOUBLE))) AS p
+        |  FROM st
+        |  LEFT JOIN bi ON bi.w1 = st.w1 AND bi.w2 = st.w2
+        |  LEFT JOIN uni up ON up.w = st.w1
+        |  LEFT JOIN uni uc ON uc.w = st.w2
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT doc_id, pos, count(*) AS n_trans,
+        |         sum(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS s12
+        |  FROM j GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT p.doc_id, p.pos, p.para
+        |  FROM pw p LEFT JOIN agg a ON a.doc_id = p.doc_id AND a.pos = p.pos
+        |  WHERE a.n_trans IS NULL OR a.s12 >= 1000000000 * a.n_trans
+        |), r AS (
+        |  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
     "q_collocations" ->
       """WITH corpus AS (
         |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws

@@ -121,4 +121,44 @@ object Lm {
         (if (includeLogScores) Seq(col("avg_logp")) else Nil): _*)
     if (includeLogScores) out.withColumn("ppl", exp(-col("avg_logp"))) else out
   }
+
+  /**
+   * CCNet-style paragraph-level LM filter: split each document into
+   * paragraphs, score every paragraph with the corpus-trained model, DROP
+   * paragraphs whose mean transition probability falls below
+   * `minMeanProbE12` (1e-12 fixed-point units — gibberish, OOV floods,
+   * wrong-language fragments), and rebuild the survivors in order. CCNet
+   * filters on perplexity; mean transition probability is its monotone
+   * inverse proxy, and in fixed point the keep rule is the exact integer
+   * comparison `sum_prob_e12 >= minMeanProbE12 · n_trans` — engine-portable,
+   * so the DuckDB oracle hash-matches. Paragraphs with fewer than two words
+   * (n_trans = 0) are kept: too short to judge.
+   *
+   * Scale: the paragraph explode shuffles (id, pos) keyed rows through the
+   * [[score]] joins (model tables broadcast under AQE when small) and one
+   * rebuild aggregation keyed on the doc id — content shuffles once, as any
+   * order-preserving rebuild requires.
+   */
+  def filterParagraphs(
+      model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
+      minMeanProbE12: Long, lambda: Double = 0.5, k: Double = 1.0,
+      splitRe: String = "\n\n+", joinSep: String = "\n\n"): DataFrame = {
+    val units = df.select(idCol.as("id"),
+      posexplode(split(textCol, splitRe)).as(Seq("graft_pos", "graft_unit")))
+    val scored = score(model, units,
+      struct(col("id"), col("graft_pos")).as("graft_uid"), col("graft_unit"),
+      lambda, k)
+    val keep = scored.where(col("n_trans") === 0L ||
+        col("sum_prob_e12") >= lit(minMeanProbE12) * col("n_trans"))
+      .select(col("id.id").as("id"), col("id.graft_pos").as("graft_pos"))
+    val rebuilt = units.join(keep, Seq("id", "graft_pos"), "leftsemi")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("graft_pos"), col("graft_unit")))),
+          s => s("graft_unit")),
+        joinSep).as("graft_clean"))
+    df.select(idCol.as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("graft_clean"), lit("")).as("text"))
+  }
 }

@@ -66,4 +66,24 @@ class LmSpec extends AnyFunSuite {
       .select(col("id"), col("ppl")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out(1L) < out(2L), s"fluent ppl ${out(1L)} should beat shuffled ${out(2L)}")
   }
+
+  test("paragraph filter drops gibberish paragraphs, keeps order and short units") {
+    val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
+    val model = Lm.train(corpus, col("text"))
+    val docs = Seq(
+      (1L, "the quick brown fox\n\nzzq9 vvk7 qqx3 wwy5\n\nover the lazy dog"),
+      (2L, "the quick brown fox jumps"),       // single good paragraph
+      (3L, "zzq9 vvk7 qqx3\n\nvvk7 zzq9 wwy5"), // all gibberish → empty
+      (4L, "hi\n\nthe quick brown fox")         // 1-word para: n_trans=0, kept
+    ).toDF("id", "text")
+    // in-distribution transitions score ~0.5e12 (dominant bigram); the OOV
+    // floor is orders of magnitude below 1e10
+    val out = Lm.filterParagraphs(model, docs, col("id"), col("text"),
+        minMeanProbE12 = 10000000000L)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "the quick brown fox\n\nover the lazy dog")
+    assert(out(2L) == "the quick brown fox jumps")
+    assert(out(3L) == "")
+    assert(out(4L) == "hi\n\nthe quick brown fox")
+  }
 }
