@@ -740,6 +740,12 @@ object SparkEntry {
       // deterministic (count desc, ngram asc) — distributed top-k shape
       graft.pipeline.Curation.topNgrams(docs(s, dir), col("text"), n = 3, k = 100)
     }),
+    "q_tfidf" -> ((s, dir) => {
+      // per-doc top-5 tf-idf keywords (6-dp rounded scores, term-asc ties)
+      graft.pipeline.Curation.tfidfKeywords(
+          docs(s, dir), col("doc_id"), col("text"), topK = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_quality_gate" -> ((s, dir) => {
       // the fused streaming/batch curation gate: gopher + repetition + PII
       // in ONE projection. PII planted on doc_id % 3; maxPiiDensity = 0 so
@@ -1695,6 +1701,27 @@ object SparkEntry {
         |FROM sh GROUP BY ngram
         |ORDER BY doc_freq DESC, ngram ASC
         |LIMIT 100""".stripMargin,
+    "q_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, unnest(ws) AS w FROM w
+        |), tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2
+        |), n AS (
+        |  SELECT count(*) AS n FROM w
+        |), s AS (
+        |  SELECT doc_id, w AS term,
+        |         round(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+        |  FROM tf JOIN dfq USING (w) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, score,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        |FROM s
+        |QUALIFY rank <= 5""".stripMargin,
     "q_quality_gate" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -482,6 +482,42 @@ object Curation {
       .select(df.columns.map(col): _*)
   }
 
+  /**
+   * TF-IDF keyword extraction: the top-k highest tf·idf terms per document
+   * (idf = ln(N/df), scores rounded to 6 dp so both engines agree despite
+   * libm ln differences — the bm25 contract). Terms in fewer than `minDf`
+   * documents are excluded (typos and hapax noise dominate raw tf·idf).
+   * Returns (id, term, score, rank), rank 1 = best, ties broken term-asc.
+   *
+   * Scale: one (id, term) keyed count, a term-keyed document-frequency
+   * aggregate (≤ vocab rows, broadcast back under AQE), a single-row N
+   * broadcast, and the mergeable bounded-heap top-k per doc — map-side
+   * partials everywhere, no window, nothing driver-side.
+   */
+  def tfidfKeywords(
+      df: DataFrame, idCol: Column, textCol: Column,
+      topK: Int = 10, minDf: Int = 2): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    import graft.functions.dsl.top_k_by
+    val ws = df.select(idCol.as("id"), Text.words(textCol, lowercase = true).as("graft_ws"))
+    val tf = ws.select(col("id"), explode(col("graft_ws")).as("graft_w"))
+      .groupBy(col("id"), col("graft_w")).agg(count(lit(1)).as("graft_tf"))
+    val dfreq = tf.groupBy(col("graft_w")).agg(count(lit(1)).as("graft_df"))
+      .where(col("graft_df") >= minDf)
+    val nDocs = ws.agg(count(lit(1)).as("graft_n"))
+    val scored = tf.join(dfreq, Seq("graft_w"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("graft_w"),
+        round(col("graft_tf").cast("double") *
+          log(col("graft_n").cast("double") / col("graft_df").cast("double")), 6)
+          .as("graft_score"))
+    scored.groupBy(col("id"))
+      .agg(top_k_by(col("graft_score"), col("graft_w"), topK).as("graft_topk"))
+      .select(col("id"), posexplode(col("graft_topk")).as(Seq("graft_pos", "graft_t")))
+      .select(col("id"), col("graft_t.item").as("term"),
+        col("graft_t.ord").as("score"), (col("graft_pos") + 1).cast("int").as("rank"))
+  }
+
   /** One case-insensitive word-boundary alternation over the phrase list —
    * `(?:\bp1\b|\bp2\b|…)` with each phrase regex-quoted, its interior
    * whitespace generalized to `\s+`, and a `\b` anchor only where the

@@ -421,6 +421,27 @@ class CurationSpec extends AnyFunSuite {
       4L -> (0, false), 5L -> (0, false), 6L -> (3, true)))
   }
 
+  test("tfidfKeywords: hand-computed scores, minDf cut, term-asc ties") {
+    val d = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    // df: apple 2, banana 2, cherry 2, date 1 (cut by minDf=2); N=3
+    val out = Curation.tfidfKeywords(d, col("doc_id"), col("text"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getDouble(2))).toMap
+    def s(tf: Int, df: Int) =
+      BigDecimal(tf * math.log(3.0 / df)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple tf=2 beats banana/cherry tf=1 (banana wins the tie lex-asc)
+    assert(out((1L, 1)) == ("apple", s(2, 2)))
+    assert(out((1L, 2)) == ("banana", s(1, 2)))
+    // doc 2: cherry tf=2 first, banana second
+    assert(out((2L, 1)) == ("cherry", s(2, 2)))
+    assert(out((2L, 2)) == ("banana", s(1, 2)))
+    // doc 3: date is hapax (df=1 < minDf) → only apple remains
+    assert(out((3L, 1)) == ("apple", s(1, 2)))
+    assert(!out.contains((3L, 2)))
+  }
+
   test("blocklistGate escapes regex metacharacters in phrases") {
     val docsDf = Seq((1L, "price is $9.99 today"), (2L, "price is $9x99")).toDF("doc_id", "text")
     val out = Curation.blocklistGate(docsDf, col("text"), Seq("$9.99"))
