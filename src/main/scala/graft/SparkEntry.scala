@@ -746,6 +746,14 @@ object SparkEntry {
           docs(s, dir), col("doc_id"), col("text"), topK = 5)
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_percentiles" -> ((s, dir) => {
+      // gate-threshold reconnaissance: exact per-source token-count
+      // percentiles (Spark percentile == DuckDB quantile_cont, both
+      // (n-1)q linear interpolation on integral token counts)
+      graft.pipeline.Curation.percentileReport(
+        docs(s, dir), col("source"),
+        graft.pipeline.Text.tokenCount(col("text")))
+    }),
     "q_quality_gate" -> ((s, dir) => {
       // the fused streaming/batch curation gate: gopher + repetition + PII
       // in ONE projection. PII planted on doc_id % 3; maxPiiDensity = 0 so
@@ -1722,6 +1730,13 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
         |FROM s
         |QUALIFY rank <= 5""".stripMargin,
+    "q_percentiles" ->
+      """SELECT source AS domain, count(*) AS n_docs,
+        |       quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.1) AS p10,
+        |       quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.5) AS p50,
+        |       quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.9) AS p90,
+        |       quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.99) AS p99
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_quality_gate" ->
       """WITH p AS (
         |  SELECT doc_id,

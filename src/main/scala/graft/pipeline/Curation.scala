@@ -419,6 +419,46 @@ object Curation {
   }
 
   /**
+   * Per-domain distribution report: exact linear-interpolated percentiles
+   * of a numeric signal (doc length, token count, quality score) — what an
+   * operator reads before setting gate thresholds ("p10 length of this
+   * crawl is 12 tokens — the minWords gate will eat 10% of it"). Spark's
+   * `percentile` and DuckDB's `quantile_cont` share the (n-1)·q linear
+   * interpolation, so results are oracle-hashable when the signal is
+   * integral. `exact = false` switches to `approx_percentile` (t-digest,
+   * bounded memory) — the same report shape for corpus-scale groups where
+   * an exact per-group sort is not worth paying; rows-only checkable.
+   *
+   * Scale: one keyed aggregation. Exact percentile materializes each
+   * group's values on its reducer — fine for per-domain groups (a domain's
+   * doc count fits a task); use approx for groups that don't.
+   */
+  def percentileReport(
+      df: DataFrame, domainCol: Column, valueCol: Column,
+      percentiles: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99),
+      exact: Boolean = true): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
+      "percentiles must be fractions in [0, 1]")
+    val v = valueCol.cast("double")
+    val pArr = array(percentiles.map(lit): _*)
+    val agg =
+      if (exact) expr(s"percentile(graft_v, array(${percentiles.mkString(",")}))")
+      else percentile_approx(col("graft_v"), pArr, lit(10000))
+    df.select(domainCol.as("domain"), v.as("graft_v"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), agg.as("graft_ps"))
+      .select(Seq(col("domain"), col("n_docs")) ++
+        percentiles.zipWithIndex.map { case (p, i) =>
+          // name from the DECIMAL percentile (p=0.1 → "p10", 0.125 → "p12_5");
+          // BigDecimal.valueOf round-trips the double's short form, avoiding
+          // p*100 float dust like 10.000000000000002
+          val pct = (BigDecimal.valueOf(p) * 100).underlying
+            .stripTrailingZeros.toPlainString.replace(".", "_")
+          element_at(col("graft_ps"), i + 1).as("p" + pct)
+        }: _*)
+  }
+
+  /**
    * Corpus-level top-k n-grams by DOCUMENT frequency — the boilerplate /
    * contamination inspection report (an n-gram in thousands of documents is
    * chrome, a license header, or a benchmark leak). Shingles are distinct

@@ -442,6 +442,19 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains((3L, 2)))
   }
 
+  test("percentileReport: hand-computed interpolation, approx mode same shape") {
+    val d = Seq(("a", 10), ("a", 20), ("a", 30), ("a", 40), ("b", 5))
+      .toDF("dom", "n")
+    val out = Curation.percentileReport(d, col("dom"), col("n"), Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // a: sorted [10,20,30,40]; p50 at (4-1)*0.5=1.5 → 25.0; p90 at 2.7 → 37.0
+    assert(out("a") == (4L, 25.0, 37.0))
+    assert(out("b") == (1L, 5.0, 5.0))
+    val approx = Curation.percentileReport(d, col("dom"), col("n"), Seq(0.5, 0.9), exact = false)
+    assert(approx.columns.toSeq == Seq("domain", "n_docs", "p50", "p90"))
+    assert(approx.count() == 2)
+  }
+
   test("blocklistGate escapes regex metacharacters in phrases") {
     val docsDf = Seq((1L, "price is $9.99 today"), (2L, "price is $9x99")).toDF("doc_id", "text")
     val out = Curation.blocklistGate(docsDf, col("text"), Seq("$9.99"))
