@@ -352,6 +352,17 @@ object SparkEntry {
           corpus, "vec_id", "embedding", cents, 0.999)
         .withColumnRenamed("id", "vec_id")
     }),
+    "q_semdedup_bow" -> ((s, dir) => {
+      // model-free semantic dedup: hashed-BoW pseudo-embeddings feed the
+      // SemDeDup path on a corpus with NO neural embeddings (rows-only:
+      // the word hash is not SQL-expressible; contract spec-covered, and
+      // the planted truncated near-dups must collapse)
+      val vecs = nearDupCorpus(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.hashedBow(col("text"), 256).as("embedding"))
+      graft.pipeline.Similarity.semanticDedup(
+          vecs, "doc_id", "embedding", threshold = 0.95, nlist = 8, iters = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_embedding_outliers" -> ((s, dir) => {
       // corrupt/out-of-distribution embedding hygiene: cosine to the
       // assigned one-hot centroid below threshold → outlier (oracle

@@ -170,6 +170,8 @@ object Registry {
     "minhash" -> (es => graft.pipeline.MinHashExpression(es.head,
       if (es.size >= 2) litLong(es(1)).toInt else 64)),
     "simhash" -> (es => graft.pipeline.SimHashExpression(es.head)),
+    "hashed_bow" -> (es => graft.pipeline.HashedBowExpression(es.head,
+      if (es.size >= 2) litLong(es(1)).toInt else 256)),
     "winnow_fingerprint" -> (es => graft.pipeline.WinnowFingerprintExpression(es.head,
       if (es.size >= 2) litLong(es(1)).toInt else 9,
       if (es.size >= 3) litLong(es(2)).toInt else 4)),

@@ -196,6 +196,20 @@ object Text {
    */
   def repetitionSignals(text: Column): Column =
     Bridge.column(RepetitionSignalsExpression(Bridge.expression(text)))
+
+  /**
+   * Hashed bag-of-words pseudo-embedding: lowercased words hash into `dim`
+   * buckets, counts l2-normalize into an array<double> unit vector — a
+   * deterministic, model-free document vector whose cosine approximates
+   * lexical overlap. The bridge that runs the WHOLE embedding tier
+   * (SemDeDup, IVF/SQ8/PQ ANN, embeddingOutliers) on corpora with no
+   * neural embedding model: cosine of hashed BoW is a tight proxy for
+   * unigram cosine similarity at dim ≫ vocabulary-per-doc. One codegen'd
+   * call per row, no shuffle; empty/whitespace text yields the zero vector,
+   * which every downstream cosine path treats as degenerate (NaN → drop).
+   */
+  def hashedBow(text: Column, dim: Int = 256): Column =
+    Bridge.column(HashedBowExpression(Bridge.expression(text), dim))
 }
 
 /** xxhash-style 64-bit string mix shared by the signature expressions. */
@@ -259,6 +273,33 @@ object TextAlgos {
    * exact replication of `filter(split([lower(]text[)], "\s+"), _ != "")`. */
   def splitWords(text: UTF8String, lowercase: Boolean): ArrayData =
     splitWords(text, lowercase, cjk = false)
+
+  /** Hashed-BoW unit vector (see [[Text.hashedBow]]): lowercased words →
+   * hash64 buckets → counts → l2 normalization. Empty text → zero vector
+   * (degenerate by the cosine NaN contract). */
+  def hashedBow(text: UTF8String, dim: Int): ArrayData = {
+    val ws = splitWords(text, lowercase = true)
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < ws.numElements()) {
+      val b = ((TextHash.hash64(ws.getUTF8String(i), 0x9e3779b97f4a7c15L) % dim)
+        + dim) % dim
+      counts(b.toInt) += 1.0
+      i += 1
+    }
+    var norm2 = 0.0
+    i = 0
+    while (i < dim) { norm2 += counts(i) * counts(i); i += 1 }
+    if (norm2 > 0.0) {
+      val inv = 1.0 / math.sqrt(norm2)
+      i = 0
+      while (i < dim) { counts(i) *= inv; i += 1 }
+    }
+    val out = new Array[Any](dim)
+    i = 0
+    while (i < dim) { out(i) = counts(i); i += 1 }
+    new GenericArrayData(out)
+  }
 
   /** With `cjk = true`, ideographic code points (Character.isIdeographic —
    * CJK Unified Ideographs and extensions) become ONE token each, splitting
@@ -563,6 +604,19 @@ case class MinHashExpression(child: Expression, numHashes: Int) extends UnaryExp
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.TextAlgos.minhash($c, $numHashes);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hashed-BoW unit vector (see Text.hashedBow). Codegen: one static call. */
+case class HashedBowExpression(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.hashedBow(v.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.hashedBow($c, $dim);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
