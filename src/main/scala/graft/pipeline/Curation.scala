@@ -540,8 +540,16 @@ object Curation {
     require(topK > 0, "topK must be positive")
     import graft.functions.dsl.top_k_by
     val ws = df.select(idCol.as("id"), Text.words(textCol, lowercase = true).as("graft_ws"))
+    // tf feeds BOTH the score join and the document-frequency aggregate;
+    // without the persist Catalyst prunes the second consumer into a
+    // different (distinct) aggregate, the exchanges stop canonicalizing
+    // equal, and the corpus is exploded TWICE (probe-verified). Persisting
+    // the distinct (id, term) frame — far smaller than the corpus — is the
+    // deliberate staging I/O that keeps the heavy pass single, same as the
+    // dedup paths.
     val tf = ws.select(col("id"), explode(col("graft_ws")).as("graft_w"))
       .groupBy(col("id"), col("graft_w")).agg(count(lit(1)).as("graft_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("graft_w")).agg(count(lit(1)).as("graft_df"))
       .where(col("graft_df") >= minDf)
     val nDocs = ws.agg(count(lit(1)).as("graft_n"))
