@@ -37,14 +37,20 @@ object Lm {
    * word (pair) — the model stays distributed end to end. */
   def train(df: DataFrame, textCol: Column): LmModel = {
     val ws = df.select(words(textCol).as("graft_ws"))
+    // the model tables are consumed repeatedly (score joins unigrams on
+    // BOTH transition sides, stats derives from them, collocations joins
+    // twice more) — persist the vocab-sized aggregates so the corpus-wide
+    // counting pass runs once, not once per consumer
     val uni = ws.select(explode(col("graft_ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = ws.where(size(col("graft_ws")) >= 2)
       .select(explode(arrays_zip(
         slice(col("graft_ws"), lit(1), size(col("graft_ws")) - 1).as("p"),
         slice(col("graft_ws"), lit(2), size(col("graft_ws")) - 1).as("n"))).as("t"))
       .select(col("t.p").as("w1"), col("t.n").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = uni.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
     LmModel(uni, bi, stats)
   }
