@@ -61,9 +61,13 @@ object Dsir {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = raw.sparkSession
 
+    // each count frame is consumed twice (the llr join + its own total);
+    // persisting the ≤ nBuckets-row aggregates keeps each corpus's explode
+    // pass single instead of once per consumer
     def bucketCounts(df: DataFrame, text: Column): DataFrame =
       df.select(explode(featureBuckets(text, nBuckets)).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val rawC = bucketCounts(raw, rawText)
     val tgtC = bucketCounts(target, targetText)
@@ -80,8 +84,11 @@ object Dsir {
       (col("graft_nt").cast("double") + lit(k) * nBuckets)
     val pR = (coalesce(col("graft_cr"), lit(0L)).cast("double") + lit(k)) /
       (col("graft_nr").cast("double") + lit(k) * nBuckets)
+    // the model is re-broadcast by every weight() call — persist the
+    // ≤ nBuckets-row table so a call never re-derives the training passes
     val llr = joined.select(col("bucket"),
       round(log(pT / pR) * lit(1e6)).cast("long").as("llr_e6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DsirModel(llr, nBuckets, k)
   }
 
