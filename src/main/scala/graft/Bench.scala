@@ -26,11 +26,19 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failedQ = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to reps; name <- names) {
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-               catch { case _: Throwable => failedQ += name; false }
-      if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    for (rep <- 1 to reps) {
+      // several operators persist staging frames (model tables, dedup
+      // signatures, tf counts) that outlive their query; across 85 queries
+      // x reps the accumulated cache spills and GC-thrashes the shared JVM,
+      // inflating later medians. Clearing between suite passes bounds the
+      // leak while keeping every within-query cache benefit.
+      if (rep > 1) spark.catalog.clearCache()
+      for (name <- names) {
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+                 catch { case _: Throwable => failedQ += name; false }
+        if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
     val results = names.map { name =>
       val times = samples(name).sorted

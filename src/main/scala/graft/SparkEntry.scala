@@ -356,11 +356,15 @@ object SparkEntry {
       // model-free semantic dedup: hashed-BoW pseudo-embeddings feed the
       // SemDeDup path on a corpus with NO neural embeddings (rows-only:
       // the word hash is not SQL-expressible; contract spec-covered, and
-      // the planted truncated near-dups must collapse)
+      // the planted truncated near-dups must collapse). The vector frame
+      // persists because k-means iterations + assignment + the pair join
+      // would otherwise each recompute the hash projection; nlist sized so
+      // mean cells stay small (sum of cell^2 is the pair-join cost)
       val vecs = nearDupCorpus(s, dir).select(col("doc_id"),
-        graft.pipeline.Text.hashedBow(col("text"), 256).as("embedding"))
+        graft.pipeline.Text.hashedBow(col("text"), 128).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.pipeline.Similarity.semanticDedup(
-          vecs, "doc_id", "embedding", threshold = 0.95, nlist = 8, iters = 3)
+          vecs, "doc_id", "embedding", threshold = 0.95, nlist = 32, iters = 2)
         .withColumnRenamed("id", "doc_id")
     }),
     "q_embedding_outliers" -> ((s, dir) => {

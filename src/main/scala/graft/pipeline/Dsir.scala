@@ -85,7 +85,8 @@ object Dsir {
     val pR = (coalesce(col("graft_cr"), lit(0L)).cast("double") + lit(k)) /
       (col("graft_nr").cast("double") + lit(k) * nBuckets)
     // the model is re-broadcast by every weight() call — persist the
-    // ≤ nBuckets-row table so a call never re-derives the training passes
+    // ≤ nBuckets-row table (lazily: caches fill on first use, so training
+    // stays one pipelined job instead of serialized materialization jobs)
     val llr = joined.select(col("bucket"),
       round(log(pT / pR) * lit(1e6)).cast("long").as("llr_e6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
