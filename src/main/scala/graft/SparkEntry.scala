@@ -558,11 +558,14 @@ object SparkEntry {
     }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR targeted selection: importance-weight every doc against the
-      // English slice as the target distribution (hashed ngram LLR)
+      // English slice as the target distribution (hashed ngram LLR).
+      // Scoring runs the collected-model inline projection (zero shuffle,
+      // bit-identical to the join path — spec-pinned)
       val d = docs(s, dir)
       val model = graft.pipeline.Dsir.train(
         d, col("text"), d.where(col("lang") === "en"), col("text"), nBuckets = 4096)
-      graft.pipeline.Dsir.weight(model, d, col("doc_id"), col("text"))
+      graft.pipeline.Dsir.weightInline(
+          graft.pipeline.Dsir.collectModel(model), d, col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
     }),
     "q_decontaminate" -> ((s, dir) => {

@@ -1,6 +1,9 @@
 package graft.pipeline
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
@@ -115,6 +118,40 @@ object Dsir {
   }
 
   /**
+   * The collected model: llr_e6 by bucket index — nBuckets longs (32 KB at
+   * the 4096 default), bounded driver state that rides along executors as
+   * a codegen reference object (the CentroidMatrix pattern).
+   */
+  def collectModel(model: DsirModel): DsirArrayModel = {
+    val arr = new Array[Long](model.nBuckets)
+    model.llr.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    DsirArrayModel(arr)
+  }
+
+  /**
+   * Stateless per-row scoring against a collected model: ONE codegen'd
+   * projection emitting struct(n_feats, weight_e6) — no explode, no join,
+   * no shuffle, so it drops into a streaming gate or fuses into any batch
+   * projection. Bit-identical to [[weight]] (same md5 bucket recipe, same
+   * exact integer sum; spec-pinned), just with the nBuckets-row table held
+   * as an array instead of joined as a frame. Use [[weight]] only when
+   * nBuckets is too large to collect — at the paper's 10⁴–10⁵ buckets,
+   * this path is always right.
+   */
+  def weightColumn(text: Column, model: DsirArrayModel): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(DsirWeightExpression(Bridge.expression(text), model))
+  }
+
+  /** [[weight]] via the collected-model projection: same output contract
+   * (id, n_feats, weight_e6), zero shuffle. */
+  def weightInline(
+      model: DsirArrayModel, df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"), weightColumn(textCol, model).as("graft_w"))
+      .select(col("id"), col("graft_w.n_feats").as("n_feats"),
+        col("graft_w.weight_e6").as("weight_e6"))
+
+  /**
    * Gumbel-top-n importance resampling (the paper's sampling-without-
    * replacement step): keep the n docs with the largest
    * weight/τ + Gumbel(content-hash) — equivalent to sampling n docs
@@ -138,4 +175,79 @@ object Dsir {
       .limit(n)
       .drop("graft_key")
   }
+}
+
+/** Collected DSIR model: llr_e6 indexed by bucket (length = nBuckets). */
+case class DsirArrayModel(llrE6: Array[Long]) {
+  def nBuckets: Int = llrE6.length
+}
+
+object DsirAlgos {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** EXACTLY Curation.hashBucketN: md5 of the UTF-8 bytes, first 8 hex
+   * chars as a long, mod nBuckets. */
+  private def bucket(bytes: Array[Byte], off: Int, len: Int, n: Int): Int = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val h = d.digest()
+    // first 8 hex chars = first 4 bytes, parsed big-endian as unsigned
+    var v = 0L
+    var i = 0
+    while (i < 4) { v = (v << 8) | (h(i) & 0xFFL); i += 1 }
+    (v % n).toInt
+  }
+
+  /** struct(n_feats, weight_e6) over hashed unigrams + space-joined
+   * bigrams of the lowercased whitespace words — bit-identical to the
+   * distributed weight() join path. */
+  def score(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      m: DsirArrayModel): InternalRow = {
+    val ws = TextAlgos.splitWords(text, lowercase = true)
+    val nW = ws.numElements()
+    var nFeats = 0L
+    var weight = 0L
+    var i = 0
+    while (i < nW) {
+      val b = ws.getUTF8String(i).getBytes
+      weight += m.llrE6(bucket(b, 0, b.length, m.nBuckets))
+      nFeats += 1L
+      if (i + 1 < nW) {
+        val b2 = ws.getUTF8String(i + 1).getBytes
+        val joined = new Array[Byte](b.length + 1 + b2.length)
+        System.arraycopy(b, 0, joined, 0, b.length)
+        joined(b.length) = ' '
+        System.arraycopy(b2, 0, joined, b.length + 1, b2.length)
+        weight += m.llrE6(bucket(joined, 0, joined.length, m.nBuckets))
+        nFeats += 1L
+      }
+      i += 1
+    }
+    InternalRow(nFeats, weight)
+  }
+}
+
+/** Stateless DSIR weight of one text against a collected model — one
+ * codegen'd static call per row. */
+case class DsirWeightExpression(child: Expression, m: DsirArrayModel)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("weight_e6", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    DsirAlgos.score(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], m)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val mRef = ctx.addReferenceObj("graftDsirModel", m, "graft.pipeline.DsirArrayModel")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.DsirAlgos.score($c, $mRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

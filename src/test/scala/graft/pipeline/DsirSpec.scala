@@ -70,6 +70,24 @@ class DsirSpec extends AnyFunSuite {
     assert((s intersect top).size >= 2)
   }
 
+  test("inline projection scoring is bit-identical to the distributed join path") {
+    val model = Dsir.train(raw, col("text"), target, col("text"), nBuckets = 512)
+    val arr = Dsir.collectModel(model)
+    assert(arr.nBuckets == 512)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val joined = rows(Dsir.weight(model, raw, col("doc_id"), col("text")))
+    val inline = rows(Dsir.weightInline(arr, raw, col("doc_id"), col("text")))
+    assert(joined == inline)
+    // and the inline plan has NO shuffle — stateless, streaming-safe
+    val plan = Dsir.weightInline(arr, raw, col("doc_id"), col("text"))
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"inline scoring must not shuffle:\n$plan")
+  }
+
   test("unseen-bucket features get the pure smoothing ratio, not a crash") {
     val model = Dsir.train(raw, col("text"), target, col("text"), nBuckets = 256)
     val other = Seq((9L, "zzqx9 vvkk7")).toDF("doc_id", "text")
