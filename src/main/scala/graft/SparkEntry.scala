@@ -721,6 +721,23 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("text")),
         col("doc_id"), graft.pipeline.Text.tokenCount(col("text")), path, 8)
     }),
+    "q_ingest_jsonl" -> ((s, dir) => {
+      // JSONL round-trip with quarantine telemetry: export the corpus as
+      // jsonl, plant two malformed crawler lines, and read back through
+      // the corrupt-capture reader — nothing silently drops
+      val path = java.nio.file.Files.createTempDirectory("graft_q_jsonl").toString
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .coalesce(4).write.mode("overwrite").json(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "part-corrupt.json"),
+        "{\"doc_id\": 999999, \"text\": \"tru\nnot json at all\n")
+      graft.sources.Jsonl.readStats(s, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+    }),
     "q_url_canonicalize" -> ((s, dir) => {
       // messy-but-deterministic URL per doc: uppercase scheme/host, default
       // https port, tracking params around a kept one, fragment, trailing
@@ -1748,6 +1765,10 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
         |FROM s
         |QUALIFY rank <= 5""".stripMargin,
+    "q_ingest_jsonl" ->
+      """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
+        |       CAST(2 AS BIGINT) AS corrupt_lines
+        |FROM documents""".stripMargin,
     "q_percentiles" ->
       """SELECT source AS domain, count(*) AS n_docs,
         |       quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.1) AS p10,
