@@ -584,6 +584,14 @@ object SparkEntry {
         Seq("slow", "hash value", "broken pipe"))
         .select(col("doc_id"), col("n_blocklist_hits"), col("blocked"))
     }),
+    "q_decontaminate_attr" -> ((s, dir) => {
+      // attribution variant: WHICH benchmark doc leaked (most shared
+      // 8-grams, ties to the lowest bench id)
+      val d = docs(s, dir)
+      graft.pipeline.Curation.decontaminateAttributed(
+        d, col("doc_id"), col("text"),
+        d.where(col("doc_id") % 25 === 0), col("doc_id"), col("text"))
+    }),
     "q_decontaminate_bloom" -> ((s, dir) => {
       // bloom-screen variant of q_decontaminate: at fpp=0.001 over this
       // benchmark set the screen is exact (verified), so the exact-overlap
@@ -1401,6 +1409,23 @@ object SparkEntry {
         |SELECT d.doc_id AS id, count(*) AS shared_ngrams
         |FROM doc_ng d JOIN bench USING (ng)
         |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+    "q_decontaminate_attr" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+7], ' ')
+        |                        for i in range(1, greatest(len(w) - 8, 0) + 2)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |), bench AS (
+        |  SELECT DISTINCT doc_id AS bid, unnest(s) AS ng FROM sh WHERE doc_id % 25 = 0
+        |), doc_ng AS (
+        |  SELECT doc_id, unnest(s) AS ng FROM sh
+        |), pairs AS (
+        |  SELECT d.doc_id AS id, b.bid, count(*) AS c
+        |  FROM doc_ng d JOIN bench b USING (ng)
+        |  GROUP BY 1, 2 HAVING count(*) >= 1
+        |)
+        |SELECT id, bid AS bench_id, c AS shared_ngrams FROM pairs
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, bid) = 1""".stripMargin,
     "q_badwords" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(lower(text),

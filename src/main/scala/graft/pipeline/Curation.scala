@@ -308,6 +308,38 @@ object Curation {
   }
 
   /**
+   * [[decontaminate]] with ATTRIBUTION: which benchmark document leaked?
+   * Returns (id, bench_id, shared_ngrams) — the single benchmark doc
+   * sharing the most n-grams with each flagged corpus doc (ties to the
+   * lowest bench_id), so an operator can go read the offending eval item
+   * instead of grepping. Same broadcast join shape, keyed count on
+   * (id, bench_id), then the mergeable top-1 per doc — no window.
+   */
+  def decontaminateAttributed(
+      df: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchIdCol: Column, benchTextCol: Column,
+      n: Int = 8, minShared: Int = 1): DataFrame = {
+    import graft.functions.dsl.top_k_by
+    val benchNgrams = bench
+      .select(benchIdCol.as("graft_bid"),
+        explode(Text.shingles(benchTextCol, n)).as("graft_ng"))
+      .distinct()
+    val docNgrams = df.select(idCol.as("id"), explode(Text.shingles(textCol, n)).as("graft_ng"))
+    docNgrams
+      .join(broadcast(benchNgrams), "graft_ng")
+      .groupBy(col("id"), col("graft_bid"))
+      .agg(count(lit(1)).as("graft_c"))
+      .where(col("graft_c") >= minShared)
+      // top_k_by orders (ord desc, item asc), which is exactly the
+      // (count desc, bench_id asc) attribution rule
+      .groupBy(col("id"))
+      .agg(top_k_by(col("graft_c").cast("double"), col("graft_bid"), 1).as("graft_t"))
+      .select(col("id"),
+        element_at(col("graft_t"), 1).getField("item").as("bench_id"),
+        element_at(col("graft_t"), 1).getField("ord").cast("long").as("shared_ngrams"))
+  }
+
+  /**
    * Bloom-filter decontamination — [[decontaminate]] for benchmark sets too
    * large to broadcast as an exact n-gram table: the benchmark n-grams
    * OR-merge into one bloom (the small_bloom aggregate, map-side partials),
