@@ -160,4 +160,61 @@ class DegenerateInputSpec extends AnyFunSuite {
     val w = nullish.select(Text.words(col("text")).as("w")).collect()
     assert(w(0).isNullAt(0) && w(1).getSeq[String](0).isEmpty)
   }
+
+  test("r8 surface: nulls and empties through every new operator") {
+    val nullish = Seq((1L, null: String), (2L, ""), (3L, "real text here with words"))
+      .toDF("doc_id", "text")
+
+    // blocklist gate: null text → null hits/blocked (can never PASS a
+    // where(blocked) or where(!blocked) filter — the null-can't-pass rule)
+    val bl = Curation.blocklistGate(nullish, col("text"), Seq("words"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(bl(1L) == (None, None))
+    assert(bl(2L) == (Some(0), Some(false)))
+    assert(bl(3L) == (Some(1), Some(true)))
+
+    // tfidf: null/empty docs contribute no terms and vanish from the output
+    val tk = Curation.tfidfKeywords(nullish, col("doc_id"), col("text"), topK = 3, minDf = 1)
+    assert(tk.select("id").distinct().as[Long].collect().toSet == Set(3L))
+    assert(Curation.tfidfKeywords(emptyDocs, col("doc_id"), col("text")).count() == 0)
+
+    // percentile report: empty input → empty report, not a crash
+    assert(Curation.percentileReport(emptyDocs, col("text"), col("doc_id")).count() == 0)
+
+    // within-doc dedup: null text → empty-ish row preserved, nothing throws
+    val wd = Dedup.dedupLinesWithinDoc(nullish, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(wd(2L) == Some("") && wd(3L) == Some("real text here with words"))
+    assert(wd.contains(1L)) // row survives (null or "" both acceptable)
+
+    // LM paragraph filter: null text behaves like empty (row kept, text "")
+    val lm = Lm.train(Seq("the quick brown fox").toDF("text"), col("text"))
+    val lf = Lm.filterParagraphs(lm, nullish, col("doc_id"), col("text"), 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lf(1L) == "" && lf.contains(3L))
+
+    // DSIR: null text scores (0, 0) on BOTH scoring paths
+    val dm = Dsir.train(nullish, col("text"), nullish.where(col("doc_id") === 3), col("text"), 64)
+    val dw = Dsir.weight(dm, nullish, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dw(1L) == (0L, 0L) && dw(2L) == (0L, 0L))
+    val di = Dsir.weightInline(Dsir.collectModel(dm), nullish, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    // inline projection: null text → null struct → null fields (never rows dropped)
+    assert(di.size == 3 && di(2L) == (Some(0L), Some(0L)))
+
+    // hashed BoW: null → null vector; empty → zero vector
+    val hb = nullish.select(Text.hashedBow(col("text"), 32).as("v")).collect()
+    assert(hb(0).isNullAt(0))
+    assert(hb(1).getSeq[Double](0).forall(_ == 0.0))
+
+    // SQ: training on an empty corpus fails loudly
+    val noEmbs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Sq.train(noEmbs, col("embedding")))
+    assert(e.getMessage.contains("no non-null vectors"))
+
+    // embeddingOutliers: empty frame → empty, not a crash
+    val cents = Array(0 -> Array(1.0, 0.0))
+    assert(Similarity.embeddingOutliers(noEmbs, "vec_id", "embedding", cents, 0.5).count() == 0)
+  }
 }
