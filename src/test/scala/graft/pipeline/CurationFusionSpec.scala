@@ -49,4 +49,41 @@ class CurationFusionSpec extends AnyFunSuite {
       assert(scans.size == 1, s"expected one scan:\n$plan")
     } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
   }
+
+  test("the chained crawl front door shuffles only (fingerprint, id) — once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+    Seq((1L, "alpha body text"), (2L, "beta body text"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    // html extract → encoding repair → url canonicalize → exact URL dedup
+    // → token gate: the q_curate_crawl shape
+    val d = spark.read.parquet(dir)
+    val html = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+    val url = concat(lit("HTTPS://Example.COM:443/p"), col("doc_id").cast("string"),
+      lit("/?utm_source=x&id=1#f"))
+    val front = d.select(col("doc_id"),
+      Text.urlCanonicalize(url).as("url"),
+      Text.fixEncoding(Text.extractHtml(html, maxLinkDensity = 0.5)).as("t"))
+    val out = Dedup.exact(front, col("doc_id"), col("url"))
+      .where(Text.tokenCount(col("t")) >= 1)
+    assert(out.count() == 2)
+    def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p match {
+        case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+        case q: QueryStageExec => q +: planNodes(q.plan)
+        case other => other +: other.children.flatMap(planNodes)
+      }
+    }
+    val plan = out.queryExecution.executedPlan
+    // exactly ONE shuffle exchange (the fingerprint keep-first aggregate);
+    // page content (t) must not be among its output attributes
+    val exchanges = planNodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, s"expected one exchange:\n$plan")
+    val shuffled = exchanges.head.output.map(_.name).toSet
+    assert(!shuffled.exists(n => n == "t" || n == "text"),
+      s"content column must never shuffle, got $shuffled")
+  }
 }
