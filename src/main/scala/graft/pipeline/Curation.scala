@@ -77,6 +77,22 @@ object Curation {
       .agg(count(lit(1)).as("docs"), sum(tokensCol).as("tokens"))
   }
 
+  /** [[writeShards]] sized by a token budget: nShards = ceil(total /
+   * tokensPerShard), so every shard lands near the tokens a data loader
+   * wants per file. One extra single-row aggregate to size. NOTE: unlike a
+   * fixed nShards, the shard COUNT (and so every row's shard id) moves as
+   * the corpus grows — use explicit nShards when cross-run stability of
+   * the assignment matters more than shard size. */
+  def writeShardsByTokens(
+      df: DataFrame, idCol: Column, tokensCol: Column, path: String,
+      tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val row = df.agg(sum(tokensCol.cast("long")).as("t")).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val nShards = math.max(1L, (total + tokensPerShard - 1) / tokensPerShard).toInt
+    writeShards(df, idCol, tokensCol, path, nShards)
+  }
+
   /** Deterministic train/val/test split: train gets [0, trainPct), val gets
    * [trainPct, trainPct+valPct), test the rest. */
   def splitByHash(

@@ -421,6 +421,17 @@ class CurationSpec extends AnyFunSuite {
       4L -> (0, false), 5L -> (0, false), 6L -> (3, true)))
   }
 
+  test("writeShardsByTokens sizes shard count from the token budget") {
+    val d = (0L until 100L).map(i => (i, 10L)).toDF("doc_id", "tok") // 1000 tokens
+    val p1 = java.nio.file.Files.createTempDirectory("graft_wsbt1").toString
+    val m1 = Curation.writeShardsByTokens(d, col("doc_id"), col("tok"), p1, 250L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2))
+    assert(m1.length == 4 && m1.map(_._2).sum == 1000L) // ceil(1000/250)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_wsbt2").toString
+    val m2 = Curation.writeShardsByTokens(d, col("doc_id"), col("tok"), p2, 5000L)
+    assert(m2.count() == 1) // budget above total → one shard
+  }
+
   test("tfidfKeywords: hand-computed scores, minDf cut, term-asc ties") {
     val d = Seq(
       (1L, "apple apple banana cherry"),
