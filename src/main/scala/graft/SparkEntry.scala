@@ -746,6 +746,18 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    "q_domain_blocklist" -> ((s, dir) => {
+      // domain kill list with subdomain matching: tracker.com and all its
+      // subdomains drop; example.com (and its subdomains) survive
+      val host = when(col("doc_id") % 4 === 0, lit("ads.Tracker.com"))
+        .when(col("doc_id") % 4 === 1, lit("tracker.com"))
+        .when(col("doc_id") % 4 === 2, lit("example.com"))
+        .otherwise(lit("sub.example.com"))
+      val url = concat(lit("https://"), host, lit("/p"), col("doc_id").cast("string"))
+      graft.pipeline.Curation.filterBlockedDomains(
+          docs(s, dir).select(col("doc_id"), url.as("url")),
+          col("url"), Seq("tracker.com"))
+    }),
     "q_url_canonicalize" -> ((s, dir) => {
       // messy-but-deterministic URL per doc: uppercase scheme/host, default
       // https port, tracking params around a kept one, fragment, trailing
@@ -1713,6 +1725,15 @@ object SparkEntry {
         |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    "q_domain_blocklist" ->
+      """SELECT doc_id,
+        |       'https://' || CASE WHEN doc_id % 4 = 0 THEN 'ads.Tracker.com'
+        |                          WHEN doc_id % 4 = 1 THEN 'tracker.com'
+        |                          WHEN doc_id % 4 = 2 THEN 'example.com'
+        |                          ELSE 'sub.example.com' END
+        |         || '/p' || doc_id AS url
+        |FROM documents
+        |WHERE doc_id % 4 NOT IN (0, 1)""".stripMargin,
     "q_url_canonicalize" ->
       // the EXPECTED canonical form computed directly: scheme/host lowered,
       // :443 gone, tracking params and fragment gone, kept param preserved,

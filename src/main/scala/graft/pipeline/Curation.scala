@@ -636,6 +636,28 @@ object Curation {
   }
 
   /**
+   * Domain kill-list filter: drop rows whose URL host is a blocked domain
+   * or any subdomain of one (`ads.example.com` matches a blocked
+   * `example.com`). Host extraction is the [[Text.urlHost]] projection;
+   * matching folds the list into one codegen'd boolean chain — fine for
+   * the typical 10²–10⁴-domain kill list; for larger lists broadcast-join
+   * a domain table against `urlHost` instead. Case-insensitive on the
+   * host, narrow projection, no shuffle.
+   */
+  def filterBlockedDomains(
+      df: DataFrame, urlCol: Column, blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "blockedDomains must not be empty")
+    val host = lower(Text.urlHost(urlCol))
+    val blocked = blockedDomains
+      .map(_.trim.toLowerCase)
+      .map(d => host === d || host.endsWith("." + d))
+      .reduce(_ || _)
+    // a row with no parseable host has nothing to match — keep it (URL
+    // hygiene is urlCanonicalize/gate business, not the kill list's)
+    df.where(!coalesce(blocked, lit(false)))
+  }
+
+  /**
    * C4-style blocklist gate: flag documents containing any phrase from a
    * banned-word list (word-boundary, case-insensitive; multi-word phrases
    * match across any whitespace). Adds `n_blocklist_hits` (total match

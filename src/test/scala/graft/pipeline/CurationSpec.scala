@@ -405,6 +405,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("filterBlockedDomains: subdomains drop, lookalikes and hostless rows stay") {
+    val d = Seq(
+      (1L, "https://tracker.com/a"),        // exact → drop
+      (2L, "https://ads.TRACKER.com/b"),    // subdomain, case-folded → drop
+      (3L, "https://nottracker.com/c"),     // suffix lookalike → keep
+      (4L, "https://example.com/d"),        // unrelated → keep
+      (5L, "not a url at all")              // no host → keep
+    ).toDF("doc_id", "url")
+    val kept = Curation.filterBlockedDomains(d, col("url"), Seq("Tracker.com"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
   test("blocklistGate: word boundaries, phrases across whitespace, case-insensitive") {
     val docsDf = Seq(
       (1L, "the slow train"),            // single word hit
