@@ -57,4 +57,35 @@ object Models {
       spark.read.parquet(s"$path/unigrams"),
       spark.read.parquet(s"$path/bigrams"),
       spark.read.parquet(s"$path/stats"))
+
+  // ------------------------------------------------------------------- dsir
+
+  /** Persist the collected DSIR selector (llr_e6 by bucket — the inline
+   * scoring form; integer micro-units round-trip exactly). */
+  def saveDsir(spark: SparkSession, path: String, m: DsirArrayModel): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(m.llrE6.toSeq)).toDF("llr_e6")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadDsir(spark: SparkSession, path: String): DsirArrayModel =
+    DsirArrayModel(
+      spark.read.parquet(path).select("llr_e6").collect().head
+        .getSeq[Long](0).toArray)
+
+  // --------------------------------------------------------------------- sq
+
+  /** Persist the SQ8 quantizer params (per-dimension mins + ranges). The
+   * encoded corpus itself is ordinary parquet the caller writes from
+   * [[Sq.encodeDf]]. */
+  def saveSq(spark: SparkSession, path: String, p: SqParams): Unit = {
+    import spark.implicits._
+    Seq((p.mins.toSeq, p.ranges.toSeq)).toDF("mins", "ranges")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadSq(spark: SparkSession, path: String): SqParams = {
+    val r = spark.read.parquet(path).select("mins", "ranges").collect().head
+    SqParams(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+  }
 }

@@ -47,4 +47,29 @@ class ModelsSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(run(m) == run(loaded))
   }
+
+  test("dsir round-trip scores bit-identically through the inline path") {
+    val raw = Seq((1L, "cat dog bird"), (2L, "stock market crash")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("cat dog")).toDF("text")
+    val m = Dsir.collectModel(Dsir.train(raw, col("text"), target, col("text"), 128))
+    val path = tmp("graft_dsir")
+    Models.saveDsir(spark, path, m)
+    val loaded = Models.loadDsir(spark, path)
+    assert(loaded.llrE6.toSeq == m.llrE6.toSeq)
+    def run(mm: DsirArrayModel) = Dsir.weightInline(mm, raw, col("doc_id"), col("text"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(m) == run(loaded))
+  }
+
+  test("sq round-trip encodes bit-identically") {
+    val embs = Seq((1L, Seq(0.1f, 0.9f)), (2L, Seq(0.5f, 0.2f))).toDF("vec_id", "embedding")
+    val p = Sq.train(embs, col("embedding"))
+    val path = tmp("graft_sq")
+    Models.saveSq(spark, path, p)
+    val loaded = Models.loadSq(spark, path)
+    assert(loaded.mins.toSeq == p.mins.toSeq && loaded.ranges.toSeq == p.ranges.toSeq)
+    def codes(pp: SqParams) = Sq.encodeDf(embs, col("vec_id"), col("embedding"), pp)
+      .orderBy("id").collect().map(_.getAs[Array[Byte]](1).toSeq).toSeq
+    assert(codes(p) == codes(loaded))
+  }
 }
