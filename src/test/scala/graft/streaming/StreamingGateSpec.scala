@@ -91,6 +91,26 @@ class StreamingGateSpec extends AnyFunSuite {
     } finally { gq.stop(); rq.stop() }
   }
 
+  test("a collected DSIR model gates a stream statelessly") {
+    import graft.pipeline.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Seq(Tuple1(goodText), Tuple1("buy cheap pills online now")).toDF("text")
+    val target = Seq(Tuple1(goodText)).toDF("text")
+    val model = Dsir.collectModel(Dsir.train(raw, col("text"), target, col("text"), 256))
+    val mem = MemoryStream[String]
+    // stateless projection → works as a plain where() on an append stream
+    val gated = mem.toDF().toDF("text")
+      .where(Dsir.weightColumn(col("text"), model).getField("weight_e6") > 0L)
+    val q = gated.writeStream.format("memory").queryName("dsir_rows")
+      .outputMode("append").start()
+    try {
+      mem.addData(goodText, "buy cheap pills online now")
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT text FROM dsir_rows").as[String].collect().toSet
+      assert(kept.contains(goodText) && !kept.exists(_.contains("pills")))
+    } finally q.stop()
+  }
+
   test("blocklist signal gates a stream and reports its own failure bucket") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
