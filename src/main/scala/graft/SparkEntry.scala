@@ -584,6 +584,21 @@ object SparkEntry {
         Seq("slow", "hash value", "broken pipe"))
         .select(col("doc_id"), col("n_blocklist_hits"), col("blocked"))
     }),
+    "q_decontaminate_spans" -> ((s, dir) => {
+      // exact-substring decontamination with REMOVAL: a 24-word benchmark
+      // passage planted into doc_id % 6 == 0 docs is excised verbatim
+      // (20-word windows, overlaps merged), docs rebuild around the hole
+      val passage = "the following question appeared in the held out evaluation " +
+        "benchmark suite and must never leak into any training corpus shard " +
+        "under penalty of overfitting"
+      val planted = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" " + passage)).otherwise(lit(""))).as("t"))
+      val bench = s.range(1).select(
+        lit("evaluation context " + passage + " end of item").as("btext"))
+      graft.pipeline.Dedup.decontaminateSpans(
+        planted, col("doc_id"), col("t"), bench, col("btext"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_decontaminate_attr" -> ((s, dir) => {
       // attribution variant: WHICH benchmark doc leaked (most shared
       // 8-grams, ties to the lowest bench id)
@@ -1421,6 +1436,45 @@ object SparkEntry {
         |SELECT d.doc_id AS id, count(*) AS shared_ngrams
         |FROM doc_ng d JOIN bench USING (ng)
         |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+    "q_decontaminate_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 6 = 0
+        |    THEN ' the following question appeared in the held out evaluation benchmark suite and must never leak into any training corpus shard under penalty of overfitting'
+        |    ELSE '' END AS t
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ws FROM d
+        |), win AS (
+        |  SELECT doc_id, unnest(range(1, greatest(len(ws) - 20 + 2, 1))) AS i, ws FROM w
+        |), g AS (
+        |  SELECT doc_id, i, array_to_string(ws[i:i+19], ' ') AS gram FROM win
+        |), b AS (
+        |  SELECT list_filter(string_split_regex(
+        |    'evaluation context the following question appeared in the held out evaluation benchmark suite and must never leak into any training corpus shard under penalty of overfitting end of item',
+        |    '\s+'), x -> x <> '') AS bw
+        |), bwin AS (
+        |  SELECT unnest(range(1, greatest(len(bw) - 20 + 2, 1))) AS i, bw FROM b
+        |), bg AS (
+        |  SELECT DISTINCT array_to_string(bw[i:i+19], ' ') AS gram FROM bwin
+        |), f AS (
+        |  SELECT g.doc_id, g.i FROM g JOIN bg USING (gram)
+        |), p AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM w
+        |), cov AS (
+        |  SELECT DISTINCT p.doc_id, p.j
+        |  FROM p JOIN f ON f.doc_id = p.doc_id AND p.j >= f.i AND p.j < f.i + 20
+        |), rebuilt AS (
+        |  SELECT p.doc_id,
+        |         string_agg(CASE WHEN cov.j IS NULL THEN p.ws[p.j] END, ' ' ORDER BY p.j) AS text,
+        |         count(*) AS n_words,
+        |         count(cov.j) AS n_removed
+        |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.j = cov.j
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text,
+        |       coalesce(r.n_words, 0) AS n_words,
+        |       coalesce(r.n_removed, 0) AS n_removed
+        |FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
     "q_decontaminate_attr" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -435,6 +435,56 @@ object Dedup {
       .where(struct(col("id"), col("pos")) =!= col("graft_first"))
     val spans = flagged.groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("graft_starts"))
+    rebuildWithoutSpans(base, spans, w)
+  }
+
+  /**
+   * Exact-substring DECONTAMINATION with removal (the cross-set face of
+   * [[dedupSpans]], per Lee et al. 2021's eval-hygiene use): every
+   * `windowWords`-word window of a corpus document that appears VERBATIM
+   * anywhere in the benchmark set is removed (overlapping matches merge
+   * into spans), and the document rebuilds around the holes — n-gram
+   * counting ([[Curation.decontaminate]]) flags leaks, this one excises
+   * them. Returns (id, text, n_words, n_removed).
+   *
+   * Scale: corpus windows are the same O(words) codegen'd rolling-hash
+   * pass as dedupSpans; the benchmark's distinct window hashes (bench sets
+   * are small) broadcast into a semi-join, so the corpus never shuffles
+   * its text — only flagged (id, pos) rows regroup for the rebuild. Hash
+   * identity is internal-only; at 2⁻⁶⁴ a collision could excise an
+   * innocent window (the oracle matches window STRINGS, so any collision
+   * surfaces as a hash mismatch there).
+   */
+  def decontaminateSpans(
+      df: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchTextCol: Column, windowWords: Int = 20): DataFrame = {
+    require(windowWords >= 2, "windowWords must be at least 2")
+    val w = windowWords
+    val Bridge0 = org.apache.spark.sql.graft.Bridge
+    val base = df.select(idCol.as("id"),
+      coalesce(Text.words(textCol),
+        array().cast("array<string>")).as("graft_ws"))
+    val wins = base
+      .where(size(col("graft_ws")) >= w)
+      .select(col("id"), posexplode(Bridge0.column(WindowHashesExpression(
+        Bridge0.expression(col("graft_ws")), w))).as(Seq("pos", "h")))
+    val benchH = bench
+      .select(coalesce(Text.words(benchTextCol),
+        array().cast("array<string>")).as("graft_ws"))
+      .where(size(col("graft_ws")) >= w)
+      .select(explode(Bridge0.column(WindowHashesExpression(
+        Bridge0.expression(col("graft_ws")), w))).as("h"))
+      .distinct()
+    val flagged = wins.join(broadcast(benchH), Seq("h"), "leftsemi")
+    val spans = flagged.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("graft_starts"))
+    rebuildWithoutSpans(base, spans, w)
+  }
+
+  /** Shared rebuild tail: remove the merged w-word spans at the flagged
+   * starts from each doc's word array in one codegen pass. */
+  private def rebuildWithoutSpans(
+      base: DataFrame, spans: DataFrame, w: Int): DataFrame = {
     val Bridge = org.apache.spark.sql.graft.Bridge
     base.join(spans, Seq("id"), "left")
       .select(col("id"),

@@ -67,6 +67,23 @@ class DedupSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("span decontamination excises verbatim benchmark passages only") {
+    val passage = (1 to 6).map(i => s"bench$i").mkString(" ") // 6-word benchmark
+    val d = Seq(
+      (1L, s"clean words before $passage clean words after ok"),   // leak in the middle
+      (2L, "totally unrelated document with its own words here"),  // untouched
+      (3L, passage)                                                // pure leak → emptied
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(s"some context $passage more context")).toDF("text")
+    val out = Dedup.decontaminateSpans(d, col("doc_id"), col("text"), bench, col("text"),
+        windowWords = 6)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(out(1L)._1 == "clean words before clean words after ok")
+    assert(out(1L)._2 == 6)
+    assert(out(2L) == ("totally unrelated document with its own words here", 0))
+    assert(out(3L) == ("", 6))
+  }
+
   test("first-occurrence ranking is a mergeable aggregate — no window operator") {
     val df = Seq(0L -> shared, 1L -> shared).toDF("doc_id", "text")
     val out = Dedup.dedupSpans(df, col("doc_id"), col("text"), 3)
