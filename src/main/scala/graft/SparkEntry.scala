@@ -95,6 +95,20 @@ object SparkEntry {
         .groupBy(col("ruleId"), col("ruleResult"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    "q_dq_curation" -> ((s, dir) => {
+      // the two halves of the library meet: data-quality RULES evaluate
+      // curation gates — pipeline functions (token_count, lang_id) are
+      // SQL-registered, so they compose into rule expressions and the
+      // whole suite compiles into ONE projection like any DQ run
+      val suite = RuleSuite(Id(2, 1), Seq(RuleSet(Id(30, 1), Seq(
+        Rule(Id(300, 1), "token_count(text) >= 20"),
+        Rule(Id(301, 1), "lang_id(text) = 'en'"),
+        Rule(Id(302, 1), "n_chars < 2000")))))
+      RuleRunner.addDataQuality(docs(s, dir), suite)
+        .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
+        .groupBy(col("r.ruleId").as("ruleId"), col("r.ruleResult").as("ruleResult"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
     "q_dq_overall" -> ((s, dir) => {
       RuleRunner.addDataQuality(lineitem(s, dir), lineitemSuite)
         .groupBy(col("DataQuality.overallResult").as("overallResult"))
@@ -934,6 +948,30 @@ object SparkEntry {
         |            THEN 100000 ELSE 0 END AS overallResult,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_dq_curation" ->
+      """WITH lang AS (
+        |  SELECT doc_id,
+        |         CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+        |              WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+        |              WHEN es > 0 AND es >= fr THEN 'es'
+        |              WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lg
+        |  FROM (SELECT doc_id,
+        |               len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |               len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS de,
+        |               len(regexp_extract_all(lower(text), '\b(el|la|los|que)\b')) AS es,
+        |               len(regexp_extract_all(lower(text), '\b(le|les|et|est)\b')) AS fr
+        |        FROM documents)
+        |), r AS (
+        |  SELECT 300 AS ruleId,
+        |         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 20
+        |              THEN 100000 ELSE 0 END AS ruleResult
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 301, CASE WHEN lg = 'en' THEN 100000 ELSE 0 END
+        |  FROM documents JOIN lang USING (doc_id)
+        |  UNION ALL
+        |  SELECT 302, CASE WHEN n_chars < 2000 THEN 100000 ELSE 0 END FROM documents
+        |) SELECT ruleId, ruleResult, count(*) AS cnt FROM r GROUP BY 1, 2""".stripMargin,
     "q_dq_prob" ->
       """SELECT CAST(CASE WHEN l_tax < 0.04 THEN 100000 ELSE 50000 END AS DOUBLE) / 100000 AS p,
         |       count(*) AS cnt
