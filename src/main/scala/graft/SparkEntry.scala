@@ -800,6 +800,13 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.Text.urlCanonicalize(messy).as("canon_url"))
     }),
+    "q_unicode_normalize" -> ((s, dir) => {
+      // NFC normalization of planted decomposed text: e + combining acute
+      // must collapse to the composed form (DuckDB nfc_normalize oracle)
+      val planted = concat(lit("cafe\u0301 nai\u0308ve "), col("text"))
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Text.normalizeUnicode(planted).as("norm"))
+    }),
     "q_fix_encoding" -> ((s, dir) => {
       // planted mojibake shell: latin-1 AND cp1252 double-decode sequences,
       // raw smart punctuation, an accented-letter repair — the oracle
@@ -1838,6 +1845,11 @@ object SparkEntry {
       // the EXPECTED repaired text computed directly from the text column
       """SELECT doc_id,
         |       'Don''t "quote" café ''ok'' - fin... ' || text AS fixed
+        |FROM documents""".stripMargin,
+    "q_unicode_normalize" ->
+      // nfc_normalize of the decomposed plant == Spark's NFC output
+      """SELECT doc_id,
+        |       nfc_normalize('cafe' || chr(769) || ' nai' || chr(776) || 've ' || text) AS norm
         |FROM documents""".stripMargin,
     "q_text_gopher" ->
       """WITH m AS (

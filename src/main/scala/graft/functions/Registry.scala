@@ -172,6 +172,8 @@ object Registry {
     "simhash" -> (es => graft.pipeline.SimHashExpression(es.head)),
     "hashed_bow" -> (es => graft.pipeline.HashedBowExpression(es.head,
       if (es.size >= 2) litLong(es(1)).toInt else 256)),
+    "unicode_normalize" -> (es => graft.pipeline.NormalizeUnicodeExpression(es.head,
+      if (es.size >= 2) str(es(1), "form") else "NFC")),
     "winnow_fingerprint" -> (es => graft.pipeline.WinnowFingerprintExpression(es.head,
       if (es.size >= 2) litLong(es(1)).toInt else 9,
       if (es.size >= 3) litLong(es(2)).toInt else 4)),

@@ -198,6 +198,21 @@ object Text {
     Bridge.column(RepetitionSignalsExpression(Bridge.expression(text)))
 
   /**
+   * Unicode normalization (JDK java.text.Normalizer): the dedup-key
+   * hygiene step — the same text in composed (NFC) vs decomposed (NFD)
+   * form, or with compatibility variants (ﬁ ligature, full-width digits),
+   * fingerprints as DIFFERENT content and sails through exact dedup.
+   * `form` is "NFC" (canonical, the web default — DuckDB's nfc_normalize
+   * replicates it, so oracles hash-match) or "NFKC" (adds compatibility
+   * folding — the aggressive dedup-key choice). One codegen'd call,
+   * already-normalized text is a fast no-op check inside the JDK.
+   */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form $form")
+    Bridge.column(NormalizeUnicodeExpression(Bridge.expression(text), form))
+  }
+
+  /**
    * Hashed bag-of-words pseudo-embedding: lowercased words hash into `dim`
    * buckets, counts l2-normalize into an array<double> unit vector — a
    * deterministic, model-free document vector whose cosine approximates
@@ -273,6 +288,15 @@ object TextAlgos {
    * exact replication of `filter(split([lower(]text[)], "\s+"), _ != "")`. */
   def splitWords(text: UTF8String, lowercase: Boolean): ArrayData =
     splitWords(text, lowercase, cjk = false)
+
+  /** Unicode normalization: fast path checks first (already-normalized
+   * text — the overwhelming majority — never re-encodes). */
+  def normalizeUnicode(text: UTF8String, form: String): UTF8String = {
+    val s = text.toString
+    val f = java.text.Normalizer.Form.valueOf(form)
+    if (java.text.Normalizer.isNormalized(s, f)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
 
   /** Hashed-BoW unit vector (see [[Text.hashedBow]]): lowercased words →
    * hash64 buckets → counts → l2 normalization. Empty text → zero vector
@@ -604,6 +628,20 @@ case class MinHashExpression(child: Expression, numHashes: Int) extends UnaryExp
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.TextAlgos.minhash($c, $numHashes);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unicode normalization via java.text.Normalizer. Codegen: one call. */
+case class NormalizeUnicodeExpression(child: Expression, form: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.normalizeUnicode(v.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.pipeline.TextAlgos.normalizeUnicode($c, "$form");""")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

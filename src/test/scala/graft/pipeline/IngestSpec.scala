@@ -69,4 +69,32 @@ class IngestSpec extends AnyFunSuite {
       assert(df.collect()(0).getString(1) == "café")
     } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
   }
+
+  test("unicode normalization: NFC unifies compositions, NFKC folds compatibility") {
+    val composed = "caf\u00e9"           // é as one code point
+    val decomposed = "cafe\u0301"        // e + combining acute
+    val compat = "\uFB01le \uFF11\uFF12"   // fi ligature + full-width digits
+    val d = Seq((1L, composed), (2L, decomposed), (3L, compat)).toDF("doc_id", "text")
+    val nfc = d.select(col("doc_id"), Text.normalizeUnicode(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc(1L) == composed && nfc(2L) == composed) // both collapse to NFC
+    assert(nfc(3L) == compat)                          // NFC leaves compatibility alone
+    val nfkc = d.select(Text.normalizeUnicode(col("text"), "NFKC").as("t"))
+      .collect().map(_.getString(0))
+    assert(nfkc(2) == "file 12")                       // ligature + digits folded
+    // the dedup-key payoff: composed and decomposed forms of the same text
+    // fingerprint identically only after normalization
+    val deduped = Dedup.exact(
+      d.select(col("doc_id"), Text.normalizeUnicode(col("text")).as("t")),
+      col("doc_id"), col("t"))
+    assert(deduped.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(Dedup.exact(d, col("doc_id"), col("text")).count() == 3) // without: missed
+    // SQL-registered
+    d.createOrReplaceTempView("graft_norm")
+    assert(spark.sql("SELECT unicode_normalize(text, 'NFKC') FROM graft_norm WHERE doc_id = 3")
+      .collect().head.getString(0) == "file 12")
+    // null passes through
+    assert(Seq(Tuple1(null: String)).toDF("t")
+      .select(Text.normalizeUnicode(col("t"))).collect().head.isNullAt(0))
+  }
 }
