@@ -837,6 +837,14 @@ object SparkEntry {
           docs(s, dir), col("doc_id"), col("text"), topK = 5)
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_quantile_gate" -> ((s, dir) => {
+      // adaptive threshold: keep the top 70% of docs by token count; the
+      // exact interpolated percentile is the same formula in DuckDB
+      graft.pipeline.Curation.gateByQuantile(
+          docs(s, dir).select(col("doc_id"),
+            graft.pipeline.Text.tokenCount(col("text")).as("n_tokens")),
+          col("n_tokens"), keepFraction = 0.7)
+    }),
     "q_percentiles" -> ((s, dir) => {
       // gate-threshold reconnaissance: exact per-source token-count
       // percentiles (Spark percentile == DuckDB quantile_cont, both
@@ -1919,6 +1927,14 @@ object SparkEntry {
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
         |FROM documents""".stripMargin,
+    "q_quantile_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |), thr AS (
+        |  SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.3) AS v FROM t
+        |)
+        |SELECT doc_id, n_tokens FROM t, thr WHERE CAST(n_tokens AS DOUBLE) >= thr.v""".stripMargin,
     "q_percentiles" ->
       """SELECT source AS domain, count(*) AS n_docs,
         |       quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.1) AS p10,

@@ -507,6 +507,32 @@ object Curation {
   }
 
   /**
+   * Quantile gate: keep the top `keepFraction` of rows by a score column —
+   * the adaptive-threshold companion to the fixed-threshold gates ("drop
+   * the worst 20% by LM score" instead of hand-picking a floor). The
+   * threshold is the exact (n-1)·q interpolated percentile (one single-row
+   * aggregate, broadcast back); rows AT the threshold are kept, so the
+   * kept fraction can exceed keepFraction under ties. `exact = false`
+   * swaps in the t-digest approx percentile for corpora where an exact
+   * global sort-on-one-reducer is not worth paying.
+   */
+  def gateByQuantile(
+      df: DataFrame, scoreCol: Column, keepFraction: Double,
+      exact: Boolean = true): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction must be in (0, 1]")
+    val q = 1.0 - keepFraction
+    val s = scoreCol.cast("double")
+    val thr =
+      if (exact) expr(s"percentile(graft_gq_s, $q)")
+      else percentile_approx(col("graft_gq_s"), lit(q), lit(10000))
+    val thresh = df.select(s.as("graft_gq_s"))
+      .agg(thr.as("graft_gq_thr"))
+    df.crossJoin(broadcast(thresh))
+      .where(s >= col("graft_gq_thr") || col("graft_gq_thr").isNull)
+      .drop("graft_gq_thr")
+  }
+
+  /**
    * Corpus-level top-k n-grams by DOCUMENT frequency — the boilerplate /
    * contamination inspection report (an n-gram in thousands of documents is
    * chrome, a license header, or a benchmark leak). Shingles are distinct

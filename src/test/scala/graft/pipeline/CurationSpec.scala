@@ -466,6 +466,20 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains((3L, 2)))
   }
 
+  test("gateByQuantile keeps the top fraction, ties inclusive, empty survives") {
+    val d = (1 to 10).map(i => (i.toLong, i)).toDF("id", "score")
+    // keep top 50%: threshold = percentile(0.5) over 1..10 = 5.5 → ids 6..10
+    val kept = Curation.gateByQuantile(d, col("score"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (6L to 10L).toSet)
+    // ties at the threshold are kept (can exceed the fraction)
+    val ties = Seq((1L, 1), (2L, 5), (3L, 5), (4L, 5)).toDF("id", "score")
+    assert(Curation.gateByQuantile(ties, col("score"), 0.5)
+      .count() == 3) // threshold 5.0; all three 5s kept
+    assert(Curation.gateByQuantile(
+      Seq.empty[(Long, Int)].toDF("id", "score"), col("score"), 0.5).count() == 0)
+  }
+
   test("percentileReport: hand-computed interpolation, approx mode same shape") {
     val d = Seq(("a", 10), ("a", 20), ("a", 30), ("a", 40), ("b", 5))
       .toDF("dom", "n")
