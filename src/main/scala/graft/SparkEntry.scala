@@ -35,6 +35,15 @@ object SparkEntry {
    * steady-state search (build is q_ann_ivfpq_build's job); in the bench the
    * first rep pays the build once and the median lands on search-only. */
   private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfSqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfSqIndexFor(s: SparkSession, dir: String): String =
+    ivfSqIndexCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_q_ivfsq_idx").toString
+      graft.pipeline.Sq.ivfSqBuild(embeddings(s, dir), "vec_id", "embedding", path,
+        nlist = 16)
+      path
+    })
   private def ivfPqIndexFor(s: SparkSession, dir: String): String =
     ivfPqIndexCache.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_q_ivfpq_idx").toString
@@ -444,6 +453,16 @@ object SparkEntry {
       graft.pipeline.Pq.ivfPqSearch(s, path, e.where(col("vec_id") < 10),
           "vec_id", "embedding", 3, nprobe = 4, rerankFactor = 4,
           rerankVectors = Some(e))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "q_ann_ivfsq" -> ((s, dir) => {
+      // rows-only: steady-state IVF-SQ8 search (FAISS "IVF,SQ8" — the
+      // middle quantization tier) against a prebuilt per-process index;
+      // dequantizing cosine + exact rerank; recall + size cut in SqSpec
+      val e = embeddings(s, dir)
+      val path = ivfSqIndexFor(s, dir)
+      graft.pipeline.Sq.ivfSqSearch(s, path, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", 3, nprobe = 4, rerankVectors = Some(e))
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     "q_curate" -> ((s, dir) => {

@@ -76,6 +76,44 @@ class SqSpec extends AnyFunSuite {
     assert(out.where(col("neighbor_id") === 9002L).count() == 0) // NaN dropped
   }
 
+  test("ivf-sq8 index: cell-pruned search recovers recall, cells shrink 4x-ish") {
+    val queries = corpus.where(col("vec_id") < 6)
+    val k = 5
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsq").toString
+    Sq.ivfSqBuild(corpus, "vec_id", "embedding", path, nlist = 4, iters = 3)
+    // ADC-only search
+    val adc = Sq.ivfSqSearch(spark, path, queries, "vec_id", "embedding", k, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = (bf intersect adc).size.toDouble / bf.size
+    assert(adcRecall >= 0.85, s"ivf-sq adc recall $adcRecall")
+    // exact rerank should match or beat ADC-only
+    val rr = Sq.ivfSqSearch(spark, path, queries, "vec_id", "embedding", k, nprobe = 2,
+        rerankVectors = Some(corpus))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rrRecall = (bf intersect rr).size.toDouble / bf.size
+    assert(rrRecall >= adcRecall, s"rerank $rrRecall < adc $adcRecall")
+    // the byte cells are materially smaller than a float index would be:
+    // 16 dims × 1 B vs 16 × 8 B doubles — compare against the raw vectors
+    val cellBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(s"$path/cells"))
+    }
+    val flatPath = java.nio.file.Files.createTempDirectory("graft_ivfflat").toString
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", flatPath, nlist = 4, iters = 3)
+    val flatBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(s"$flatPath/cells"))
+    }
+    assert(cellBytes.toDouble < flatBytes * 0.5,
+      s"sq cells $cellBytes should be well under half the flat $flatBytes")
+  }
+
   test("vector_minmax is SQL-registered and ignores nulls / short rows") {
     val df = Seq(
       Seq[java.lang.Double](1.0, 5.0),
