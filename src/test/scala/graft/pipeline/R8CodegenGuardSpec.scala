@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every round-8 custom expression must evaluate with codegen fallback
+ * DISABLED: a doGenCode bug would otherwise silently drop the whole stage
+ * to the interpreted path and read as a perf regression, not a failure. */
+class R8CodegenGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("r8 expressions evaluate under disabled codegen fallback") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val embs = Seq((1L, Seq(0.1f, 0.9f, 0.3f, 0.5f))).toDF("vec_id", "embedding")
+      val sq = Sq.train(embs, col("embedding"))
+      val sqOut = embs.select(
+        Sq.encode(col("embedding"), sq).as("code"),
+        Sq.sqCosine(col("embedding"), Sq.encode(col("embedding"), sq), sq).as("sim"))
+        .collect().head
+      assert(sqOut.getAs[Array[Byte]](0).length == 4)
+      assert(sqOut.getDouble(1) > 0.99) // self-similarity after quantization
+
+      val raw = Seq((1L, "cat dog"), (2L, "stock market")).toDF("doc_id", "text")
+      val dsir = Dsir.collectModel(
+        Dsir.train(raw, col("text"), raw.where(col("doc_id") === 1), col("text"), 64))
+      val w = raw.select(Dsir.weightColumn(col("text"), dsir).as("w"))
+        .select(col("w.n_feats")).as[Long].collect()
+      assert(w.toSeq == Seq(3L, 3L))
+
+      val txt = Seq(Tuple1("café ﬁle words here")).toDF("t")
+      val norm = txt.select(
+        Text.normalizeUnicode(col("t")).as("nfc"),
+        Text.normalizeUnicode(col("t"), "NFKC").as("nfkc"),
+        Text.hashedBow(col("t"), 32).as("bow"))
+        .collect().head
+      assert(norm.getString(0).startsWith("caf\u00e9"))
+      assert(norm.getString(1).contains("file"))
+      assert(math.abs(norm.getSeq[Double](2).map(x => x * x).sum - 1.0) < 1e-12)
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
+  }
+}
