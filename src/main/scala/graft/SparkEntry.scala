@@ -709,6 +709,31 @@ object SparkEntry {
       graft.pipeline.Dedup.dedupLines(framed, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_dedup_prioritized" -> ((s, dir) => {
+      // multi-source assembly: every doc exists as a crawl copy (priority
+      // 2) and every third also as a curated copy (priority 1, id+50000);
+      // identical content must keep the CURATED copy, not the lower id
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val crawl = d.select(col("doc_id"), col("text"), lit(2).as("prio"))
+      val curated = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"), lit(1).as("prio"))
+      graft.pipeline.Dedup.exactPrioritized(
+          crawl.unionAll(curated), col("doc_id"), col("prio"), col("text"))
+        .select(col("doc_id"), col("prio"))
+    }),
+    "q_corpus_diff" -> ((s, dir) => {
+      // release diff: v2 drops doc_id % 7 == 0, appends " v2" to
+      // doc_id % 5 == 0, and adds fresh ids above 90000
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(v1.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+      graft.pipeline.Curation.corpusDiff(v1, v2, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_dedup_withindoc" -> ((s, dir) => {
       // nav chrome stamped at the top AND bottom of the SAME page (plus
       // sentence-per-line body): within-doc dedup keeps first occurrences
@@ -1733,6 +1758,32 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q_dedup_prioritized" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, 2 AS prio FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000, text, 1 FROM documents WHERE doc_id % 3 = 0
+        |), k AS (
+        |  SELECT text, min(struct_pack(p := prio, i := doc_id)) AS keep
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT u.doc_id, u.prio
+        |FROM u JOIN k ON u.text = k.text
+        |WHERE u.prio = k.keep.p AND u.doc_id = k.keep.i""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 90000, text FROM documents WHERE doc_id % 11 = 0
+        |)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.text = b.text THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM documents a FULL OUTER JOIN v2 b USING (doc_id)""".stripMargin,
     "q_dedup_withindoc" ->
       """WITH d AS (
         |  SELECT doc_id,

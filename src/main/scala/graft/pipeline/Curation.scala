@@ -507,6 +507,27 @@ object Curation {
   }
 
   /**
+   * Corpus diff — dataset release engineering: what changed between two
+   * versions of a corpus? Returns (id, status) with status ∈ added /
+   * removed / changed / unchanged, decided by id presence and the 128-bit
+   * content fingerprint ([[Dedup]]'s). One full-outer join keyed on the id;
+   * content never shuffles (only fingerprints do).
+   */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: Column, contentCols: Column*): DataFrame = {
+    def keyed(df: DataFrame, fpName: String): DataFrame =
+      df.select(idCol.as("id"), Dedup.fingerprint(contentCols).as(fpName))
+    keyed(oldDf, "graft_old_fp")
+      .join(keyed(newDf, "graft_new_fp"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("graft_old_fp").isNull, "added")
+          .when(col("graft_new_fp").isNull, "removed")
+          .when(col("graft_old_fp") === col("graft_new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /**
    * Quantile gate: keep the top `keepFraction` of rows by a score column —
    * the adaptive-threshold companion to the fixed-threshold gates ("drop
    * the worst 20% by LM score" instead of hand-picking a floor). The

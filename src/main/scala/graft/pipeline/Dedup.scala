@@ -40,6 +40,30 @@ object Dedup {
     df.join(keep, fp === col("graft_fp") && idCol === col("graft_keep"), "leftsemi")
   }
 
+  /**
+   * [[exact]] with a PROVENANCE priority: when the same content appears in
+   * several sources, keep the copy from the most trusted one (lowest
+   * `priorityCol`; ties to lowest id) — multi-source corpus assembly wants
+   * the curated-wiki copy, not the crawl's. Same shape: the shuffle
+   * carries (fingerprint, priority, id), never content. NULL priority
+   * sorts LAST (an unlabeled source never outranks a labeled one).
+   */
+  def exactPrioritized(
+      df: DataFrame, idCol: Column, priorityCol: Column,
+      contentCols: Column*): DataFrame = {
+    def fp: Column = fingerprint(contentCols)
+    // min(struct) is lexicographic over (priority, id); map NULL priority
+    // to the max long so it loses to every labeled source
+    def prio: Column = coalesce(priorityCol.cast("long"), lit(Long.MaxValue))
+    val keep = df
+      .select(fp.as("graft_fp"), prio.as("graft_p"), idCol.as("graft_id"))
+      .groupBy(col("graft_fp"))
+      .agg(min(struct(col("graft_p"), col("graft_id"))).as("graft_keep"))
+    df.join(keep,
+        fp === col("graft_fp") &&
+          struct(prio, idCol) === col("graft_keep"), "leftsemi")
+  }
+
   /** (id, rep) membership of exact-content groups: rep = min id of the group.
    * One shuffle on the 128-bit fingerprint; content never shuffles. */
   private def exactMembership(base: DataFrame): DataFrame = {

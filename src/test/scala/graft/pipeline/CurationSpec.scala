@@ -466,6 +466,27 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains((3L, 2)))
   }
 
+  test("exactPrioritized keeps the trusted copy; null priority loses") {
+    import graft.pipeline.Dedup
+    val d = Seq(
+      (1L, "same content", Some(2)),   // crawl
+      (2L, "same content", Some(1)),   // curated wins despite higher id
+      (3L, "other content", Some(2)),
+      (4L, "other content", None)      // unlabeled loses
+    ).toDF("id", "text", "prio")
+    val kept = Dedup.exactPrioritized(d, col("id"), col("prio"), col("text"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("corpusDiff classifies added, removed, changed and unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "text")
+    val out = Curation.corpusDiff(v1, v2, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("gateByQuantile keeps the top fraction, ties inclusive, empty survives") {
     val d = (1 to 10).map(i => (i.toLong, i)).toDF("id", "score")
     // keep top 50%: threshold = percentile(0.5) over 1..10 = 5.5 → ids 6..10
