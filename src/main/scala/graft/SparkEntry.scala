@@ -118,6 +118,15 @@ object SparkEntry {
         .groupBy(col("r.ruleId").as("ruleId"), col("r.ruleResult").as("ruleResult"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    "q_dq_examples" -> ((s, dir) => {
+      // the debugging report: per failing rule, how many rows failed and
+      // the 5 lowest failing ids to go look at (curation-gate suite)
+      val suite = RuleSuite(Id(2, 1), Seq(RuleSet(Id(30, 1), Seq(
+        Rule(Id(300, 1), "token_count(text) >= 20"),
+        Rule(Id(301, 1), "lang_id(text) = 'en'"),
+        Rule(Id(302, 1), "n_chars < 2000")))))
+      RuleRunner.failureExamples(docs(s, dir), suite, col("doc_id"), k = 5)
+    }),
     "q_dq_overall" -> ((s, dir) => {
       RuleRunner.addDataQuality(lineitem(s, dir), lineitemSuite)
         .groupBy(col("DataQuality.overallResult").as("overallResult"))
@@ -1007,6 +1016,35 @@ object SparkEntry {
         |            THEN 100000 ELSE 0 END AS overallResult,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_dq_examples" ->
+      """WITH lang AS (
+        |  SELECT doc_id,
+        |         CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+        |              WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+        |              WHEN es > 0 AND es >= fr THEN 'es'
+        |              WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lg
+        |  FROM (SELECT doc_id,
+        |               len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |               len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS de,
+        |               len(regexp_extract_all(lower(text), '\b(el|la|los|que)\b')) AS es,
+        |               len(regexp_extract_all(lower(text), '\b(le|les|et|est)\b')) AS fr
+        |        FROM documents)
+        |), f AS (
+        |  SELECT 300 AS ruleId, doc_id FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) < 20
+        |  UNION ALL
+        |  SELECT 301, doc_id FROM documents JOIN lang USING (doc_id) WHERE lg <> 'en'
+        |  UNION ALL
+        |  SELECT 302, doc_id FROM documents WHERE n_chars >= 2000
+        |), agg AS (
+        |  SELECT ruleId, count(*) AS n_failed FROM f GROUP BY 1
+        |), ex AS (
+        |  SELECT ruleId, doc_id AS example_id,
+        |         CAST(row_number() OVER (PARTITION BY ruleId ORDER BY doc_id) AS INT) AS rank
+        |  FROM f
+        |)
+        |SELECT a.ruleId, a.n_failed, e.rank, e.example_id
+        |FROM agg a JOIN ex e USING (ruleId) WHERE e.rank <= 5""".stripMargin,
     "q_dq_curation" ->
       """WITH lang AS (
         |  SELECT doc_id,

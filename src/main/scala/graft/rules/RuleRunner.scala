@@ -233,4 +233,35 @@ object RuleRunner {
     struct(
       dq.getField("id").as("id"),
       dq.getField("ruleSetResults").as("ruleSetResults"))
+
+  /**
+   * Per-rule failure EXAMPLES — the report a rules operator debugs from:
+   * for every rule with failures, how many rows failed and the k lowest
+   * failing row ids to go look at. Returns (ruleId, n_failed, rank,
+   * example_id), rank 1..k. One suite evaluation + the mergeable
+   * bounded-heap top-k per rule (map-side partials ship ≤ k ids per rule
+   * per partition — a 10⁹-row failure flood never funnels one reducer).
+   */
+  def failureExamples(
+      df: DataFrame, suite: RuleSuite, idCol: Column, k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    import graft.functions.dsl.top_k_by
+    import org.apache.spark.sql.functions.{count, explode, lit, posexplode}
+    val flat = addDataQuality(df, suite)
+      .select(idCol.cast(LongType).as("graft_id"),
+        explode(flattenResults(col("DataQuality"))).as("r"))
+      .select(col("graft_id"), col("r.ruleId").as("ruleId"),
+        col("r.ruleResult").as("ruleResult"))
+    flat.where(col("ruleResult") === lit(RuleResults.FailedInt))
+      .groupBy(col("ruleId"))
+      .agg(count(lit(1)).as("n_failed"),
+        // ord = -id: top_k_by keeps the k LARGEST ord, so the k lowest ids
+        top_k_by((-col("graft_id")).cast("double"), col("graft_id"), k)
+          .as("graft_topk"))
+      .select(col("ruleId"), col("n_failed"),
+        posexplode(col("graft_topk")).as(Seq("graft_pos", "graft_t")))
+      .select(col("ruleId"), col("n_failed"),
+        (col("graft_pos") + 1).cast("int").as("rank"),
+        col("graft_t.item").as("example_id"))
+  }
 }

@@ -159,4 +159,17 @@ class RuleRunnerSpec extends AnyFunSuite {
       .select(col("DataQuality.overallResult")).as[Int].collect()
     assert(out.toSeq == Seq(PassedInt, FailedInt))
   }
+
+  test("failureExamples: per-rule counts and k lowest failing ids") {
+    val s = RuleSuite(Id(1, 1), Seq(RuleSet(Id(2, 1), Seq(
+      Rule(Id(100, 1), "x <= 6"),     // fails for 7..9
+      Rule(Id(101, 1), "x % 2 = 0"), // fails for odds
+      Rule(Id(102, 1), "x >= 0"))))) // never fails → absent
+    val df = (0 to 9).map(i => (i.toLong, i)).toDF("id", "x")
+    val out = RuleRunner.failureExamples(df, s, col("id"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out((100, 1)) == (3L, 7L) && out((100, 2)) == (3L, 8L))
+    assert(out((101, 1)) == (5L, 1L) && out((101, 2)) == (5L, 3L))
+    assert(!out.keys.exists(_._1 == 102))
+  }
 }
