@@ -584,6 +584,13 @@ object SparkEntry {
       val model = graft.pipeline.Lm.train(docs(s, dir), col("text"))
       graft.pipeline.Lm.collocations(model, minCount = 5L)
     }),
+    "q_lm_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail terciles by mean transition probability
+      val d = docs(s, dir)
+      val model = graft.pipeline.Lm.train(d, col("text"))
+      graft.pipeline.Lm.perplexityBuckets(model, d, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_lm_filter" -> ((s, dir) => {
       // CCNet paragraph filter: frame docs sentence-per-paragraph, plant a
       // gibberish paragraph on doc_id % 4 == 0; paragraphs below the mean
@@ -1414,6 +1421,54 @@ object SparkEntry {
         |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
         |       coalesce(n_oov, 0) AS n_oov
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_lm_buckets" ->
+      """WITH corpus AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), uw AS (
+        |  SELECT unnest(ws) AS w FROM corpus
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM uw GROUP BY 1
+        |), stats AS (
+        |  SELECT sum(c) AS n_tokens, count(*) AS vocab FROM uni
+        |), bit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM corpus)
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bit GROUP BY 1, 2
+        |), sdoc AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM sdoc)
+        |), j AS (
+        |  SELECT st.doc_id,
+        |         0.5 * coalesce(CAST(bi.cb AS DOUBLE) / CAST(up.c AS DOUBLE), 0.0)
+        |           + 0.5 * ((coalesce(CAST(uc.c AS DOUBLE), 0.0) + 1.0)
+        |                    / (CAST(stats.n_tokens AS DOUBLE) + 1.0 * CAST(stats.vocab AS DOUBLE))) AS p
+        |  FROM st
+        |  LEFT JOIN bi ON bi.w1 = st.w1 AND bi.w2 = st.w2
+        |  LEFT JOIN uni up ON up.w = st.w1
+        |  LEFT JOIN uni uc ON uc.w = st.w2
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_trans,
+        |         sum(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS s12
+        |  FROM j GROUP BY 1
+        |), m AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN coalesce(a.n_trans, 0) = 0 THEN 0.0
+        |              ELSE CAST(a.s12 AS DOUBLE) / CAST(a.n_trans AS DOUBLE) END AS mean
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)
+        |), thr AS (
+        |  SELECT quantile_cont(mean, 1.0/3) AS t1, quantile_cont(mean, 2.0/3) AS t2 FROM m
+        |)
+        |SELECT doc_id,
+        |       (CASE WHEN mean >= t1 THEN 1 ELSE 0 END
+        |        + CASE WHEN mean >= t2 THEN 1 ELSE 0 END) AS bucket
+        |FROM m, thr""".stripMargin,
     "q_lm_filter" ->
       """WITH corpus AS (
         |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws

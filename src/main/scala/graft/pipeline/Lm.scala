@@ -129,6 +129,35 @@ object Lm {
   }
 
   /**
+   * CCNet head/middle/tail bucketing: documents split into `nBuckets`
+   * groups by LM score quantiles (bucket nBuckets-1 = highest mean
+   * transition probability = "head"; bucket 0 = "tail" — CCNet trains on
+   * head+middle and drops the tail). Thresholds are exact interpolated
+   * percentiles of the mean transition probability (an integer ratio, so
+   * the doubles are engine-identical and the oracle hash-matches); docs
+   * with no transitions land in bucket 0. One scoring pass + one
+   * single-row percentile aggregate broadcast back. Returns (id, bucket).
+   */
+  def perplexityBuckets(
+      model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
+      nBuckets: Int = 3, lambda: Double = 0.5, k: Double = 1.0): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    val scored = score(model, df, idCol, textCol, lambda, k)
+    val mean = when(col("n_trans") === 0L, lit(0.0))
+      .otherwise(col("sum_prob_e12").cast("double") / col("n_trans").cast("double"))
+    val base = scored.select(col("id"), mean.as("graft_mean"))
+    val pcts = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val thr = base.agg(
+      expr(s"percentile(graft_mean, array(${pcts.mkString(",")}))").as("graft_thr"))
+    base.crossJoin(broadcast(thr))
+      .select(col("id"),
+        pcts.indices
+          .map(i => when(col("graft_mean") >= element_at(col("graft_thr"), i + 1), 1)
+            .otherwise(0))
+          .reduce(_ + _).as("bucket"))
+  }
+
+  /**
    * CCNet-style paragraph-level LM filter: split each document into
    * paragraphs, score every paragraph with the corpus-trained model, DROP
    * paragraphs whose mean transition probability falls below

@@ -67,6 +67,22 @@ class LmSpec extends AnyFunSuite {
     assert(out(1L) < out(2L), s"fluent ppl ${out(1L)} should beat shuffled ${out(2L)}")
   }
 
+  test("perplexity buckets: fluent text lands above gibberish, short docs in the tail") {
+    val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
+    val model = Lm.train(corpus, col("text"))
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // in-distribution
+      (2L, "fox the dog brown jumps lazy the over"),       // shuffled
+      (3L, "zzq9 vvk7 qqx3 wwy5 aab1 ccd2"),               // gibberish
+      (4L, "hi")                                           // no transitions → tail
+    ).toDF("id", "text")
+    val out = Lm.perplexityBuckets(model, docs, col("id"), col("text"), nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) > out(3L), s"fluent ${out(1L)} must outrank gibberish ${out(3L)}")
+    assert(out(4L) == 0)
+    assert(out.values.toSet.subsetOf(Set(0, 1, 2)))
+  }
+
   test("paragraph filter drops gibberish paragraphs, keeps order and short units") {
     val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
     val model = Lm.train(corpus, col("text"))
