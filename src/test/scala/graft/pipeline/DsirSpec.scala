@@ -88,6 +88,26 @@ class DsirSpec extends AnyFunSuite {
     assert(exchanges.isEmpty, s"inline scoring must not shuffle:\n$plan")
   }
 
+  test("inline/join parity holds on randomized unicode text (property)") {
+    val rng = new scala.util.Random(1234)
+    val alphabets = Seq(
+      ('a' to 'z').mkString, "äöüßéèêñç", "世界再见你好汉字文本",
+      "СЛОВАрусский", "🙂🚀‼", "0123456789$%&")
+    def word(): String = {
+      val a = alphabets(rng.nextInt(alphabets.size))
+      (0 until (1 + rng.nextInt(5))).map(_ => a(rng.nextInt(a.length))).mkString
+    }
+    val docsDf = (0L until 60L)
+      .map(i => (i, (0 until rng.nextInt(12)).map(_ => word()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val model = Dsir.train(docsDf, col("text"),
+      docsDf.where(col("doc_id") < 20), col("text"), nBuckets = 128)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(Dsir.weight(model, docsDf, col("doc_id"), col("text"))) ==
+      rows(Dsir.weightInline(Dsir.collectModel(model), docsDf, col("doc_id"), col("text"))))
+  }
+
   test("unseen-bucket features get the pure smoothing ratio, not a crash") {
     val model = Dsir.train(raw, col("text"), target, col("text"), nBuckets = 256)
     val other = Seq((9L, "zzqx9 vvkk7")).toDF("doc_id", "text")
