@@ -631,7 +631,7 @@ object Curation {
    */
   def tfidfKeywords(
       df: DataFrame, idCol: Column, textCol: Column,
-      topK: Int = 10, minDf: Int = 2): DataFrame = {
+      topK: Int = 10, minDf: Int = 2, cache: Boolean = true): DataFrame = {
     require(topK > 0, "topK must be positive")
     import graft.functions.dsl.top_k_by
     val ws = df.select(idCol.as("id"), Text.words(textCol, lowercase = true).as("graft_ws"))
@@ -641,10 +641,15 @@ object Curation {
     // equal, and the corpus is exploded TWICE (probe-verified). Persisting
     // the distinct (id, term) frame — far smaller than the corpus — is the
     // deliberate staging I/O that keeps the heavy pass single, same as the
-    // dedup paths.
-    val tf = ws.select(col("id"), explode(col("graft_ws")).as("graft_w"))
+    // dedup paths. The cache lives until Spark's LRU evicts it (there is
+    // no safe point to unpersist inside a lazy operator): long-lived
+    // drivers calling this repeatedly should pass cache = false (two
+    // corpus passes, zero cache residue) or clear the cache themselves.
+    val tfBase = ws.select(col("id"), explode(col("graft_ws")).as("graft_w"))
       .groupBy(col("id"), col("graft_w")).agg(count(lit(1)).as("graft_tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf =
+      if (cache) tfBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tfBase
     val dfreq = tf.groupBy(col("graft_w")).agg(count(lit(1)).as("graft_df"))
       .where(col("graft_df") >= minDf)
     val nDocs = ws.agg(count(lit(1)).as("graft_n"))
@@ -675,8 +680,15 @@ object Curation {
       // quote each word; \Q…\E is Java-only, so escape char-by-char
       val quoted = ws.map(_.flatMap(c =>
         if (c.isLetterOrDigit) c.toString else "\\" + c)).mkString("\\s+")
-      val lead = if (ws.head.head.isLetterOrDigit) "\\b" else ""
-      val trail = if (ws.last.last.isLetterOrDigit) "\\b" else ""
+      // \b is an ASCII word boundary in BOTH Java (default) and RE2: next
+      // to a non-ASCII letter (é, ß, CJK) it can NEVER match, so the
+      // phrase would silently never block. Anchor only at ASCII-word
+      // edges; non-ASCII edges fall back to substring semantics (may
+      // over-match inside longer words — the safe direction for a
+      // blocklist) rather than never matching.
+      def asciiWord(c: Char): Boolean = c < 0x80 && c.isLetterOrDigit
+      val lead = if (asciiWord(ws.head.head)) "\\b" else ""
+      val trail = if (asciiWord(ws.last.last)) "\\b" else ""
       lead + quoted + trail
     }
     "(?:" + alts.mkString("|") + ")"

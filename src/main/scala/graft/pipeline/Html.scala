@@ -173,7 +173,14 @@ object HtmlAlgos {
             val name = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
             val gt = s.indexOf('>', k)
             val selfClosed = gt > 0 && s.charAt(gt - 1) == '/'
-            if (BlockTags.contains(name)) endBlock()
+            if (BlockTags.contains(name)) {
+              endBlock()
+              // browsers auto-close inline elements at block boundaries;
+              // without this an UNCLOSED <a> (everyday tag soup) marks the
+              // whole rest of the document as link text and the density
+              // cut silently eats every later block
+              linkDepth = 0
+            }
             if (name == "a") {
               if (closing) { if (linkDepth > 0) linkDepth -= 1 }
               else if (!selfClosed) linkDepth += 1

@@ -130,14 +130,21 @@ object Incremental {
     val freshIds = survivors.select(col("id"))
       .join(sigsIdx.select(col("id")), Seq("id"), "left_anti")
       .localCheckpoint(true)
-    survivors.select(col("id"), col("sig"))
-      .join(freshIds, Seq("id"), "leftsemi")
-      .write.mode("append").parquet(s"$indexPath/sigs")
+    // bands FIRST, sigs second: the idempotency key is the sigs table, so
+    // a crash between the two appends must leave the retry able to heal.
+    // Crash after bands: retry still sees the ids as fresh (sigs missing),
+    // re-appends bands (duplicates are harmless — candidate generation
+    // dedups pairs) and then sigs. The old order left ids in sigs but
+    // never in bands — permanently invisible to candidate generation,
+    // unfixable by retry.
     bandRows
       .join(survivors.select(col("id")), Seq("id"), "leftsemi")
       .join(freshIds, Seq("id"), "leftsemi")
       .select(col("band"), col("bucket"), col("id"))
       .write.mode("append").parquet(s"$indexPath/bands")
+    survivors.select(col("id"), col("sig"))
+      .join(freshIds, Seq("id"), "leftsemi")
+      .write.mode("append").parquet(s"$indexPath/sigs")
     survivors.select(col("id"), col("text"))
   }
 

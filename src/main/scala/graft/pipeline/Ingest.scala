@@ -54,7 +54,15 @@ object IngestAlgos {
       if (c == '/' || c == '?' || c == '#') { aEnd = j; found = true }
       j += 1
     }
-    var authority = rest.substring(0, aEnd).toLowerCase(java.util.Locale.ROOT)
+    // lowercase the HOST only — userinfo is case-sensitive per RFC 3986
+    // (folding User:SeCrEt would both corrupt the credential and collapse
+    // semantically distinct URLs into one dedup key)
+    val rawAuthority = rest.substring(0, aEnd)
+    val at = rawAuthority.lastIndexOf('@')
+    var authority =
+      if (at < 0) rawAuthority.toLowerCase(java.util.Locale.ROOT)
+      else rawAuthority.substring(0, at + 1) +
+        rawAuthority.substring(at + 1).toLowerCase(java.util.Locale.ROOT)
     if (scheme == "http" && authority.endsWith(":80"))
       authority = authority.substring(0, authority.length - 3)
     else if (scheme == "https" && authority.endsWith(":443"))

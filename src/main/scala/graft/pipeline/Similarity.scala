@@ -155,6 +155,17 @@ object Similarity {
     Bridge.column(BestCentroidExpression(Bridge.expression(vec), SimilarityAlgos.matrix(cents)))
   }
 
+  /** Flat (exact) argmax at ANY centroid count — for the paths whose
+   * documented contract is exact assignment an external oracle can
+   * replicate (SemDeDup with explicit centroids, outlier flags). The IVF
+   * probe paths keep the two-level structure: there nlist reaches 10⁴⁺
+   * and the recall-parity trade is the point. */
+  private[pipeline] def bestCidFlat(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(BestCentroidExpression(
+      Bridge.expression(vec), SimilarityAlgos.matrix(cents, twoLevel = false)))
+  }
+
   /** Top `nprobe` centroid ids by similarity, same single-call shape. */
   private[pipeline] def probeCids(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column = {
     import org.apache.spark.sql.graft.Bridge
@@ -414,12 +425,15 @@ object Similarity {
     val centDf = broadcast(
       cents.map { case (cid, cv) => (cid, cv.toSeq) }.toSeq.toDF("cid", "graft_cv"))
     val sim = cosine(col("graft_v"), col("graft_cv"))
-    df.select(col(idCol).as("id"), v.as("graft_v"), bestCid(v, cents).as("cid"))
-      .join(centDf, "cid") // tiny broadcast: one row per centroid
-      .select(col("id"), col("cid"),
-        // NULL (dim mismatch / null element) and NaN (zero norm) are
-        // outliers by definition; Spark's NaN > x semantics would otherwise
-        // let zero-norm rows pass a >= threshold
+    // LEFT join: a fully-NULL embedding has cid NULL, and an inner join
+    // would silently drop it from the report — the one row this operator
+    // exists to flag. NULL cid surfaces as cid -1, is_outlier true.
+    df.select(col(idCol).as("id"), v.as("graft_v"), bestCidFlat(v, cents).as("cid"))
+      .join(centDf, Seq("cid"), "left") // tiny broadcast: one row per centroid
+      .select(col("id"), coalesce(col("cid"), lit(-1)).as("cid"),
+        // NULL (dim mismatch / null element / null row) and NaN (zero
+        // norm) are outliers by definition; Spark's NaN > x semantics
+        // would otherwise let zero-norm rows pass a >= threshold
         when(isnull(sim) || isnan(sim), lit(true))
           .otherwise(sim < minSim).as("is_outlier"))
   }
@@ -432,9 +446,12 @@ object Similarity {
   private[pipeline] def semanticCellAssignment(
       df: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Int, Array[Double])], maxCellSize: Int): DataFrame = {
+    // FLAT argmax: this path's documented contract is exact assignment an
+    // external oracle replicates; SemDeDup cost is the pair join, not the
+    // O(nlist·dim) assignment, so the two-level shortcut buys nothing here
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
-      bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+      bestCidFlat(col(vecCol).cast("array<double>"), cents).as("cid"))
     if (maxCellSize <= 0) base.withColumn("graft_sub", lit(-1))
     else {
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -453,7 +470,7 @@ object Similarity {
             val subCents = kmeansCentroids(
                 base.where(col("cid") === cid), "v", subNlist, iters = 2)
               .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-            subExpr = when(col("cid") === lit(cid), bestCid(col("v"), subCents))
+            subExpr = when(col("cid") === lit(cid), bestCidFlat(col("v"), subCents))
               .otherwise(subExpr)
           }
           base.withColumn("graft_sub", subExpr)

@@ -40,10 +40,21 @@ case class SqParams(mins: Array[Double], ranges: Array[Double]) {
  */
 object Sq {
 
-  /** Learn per-dimension ranges: one aggregate, state = 2·dim doubles. */
+  /** Learn per-dimension ranges: one aggregate, state = 2·dim doubles.
+   * The trained dim is the corpus's MODAL vector length (one extra tiny
+   * aggregate), not the longest seen — a single over-length corrupt row
+   * must not make every well-formed vector encode to NULL and silently
+   * empty the index; wrong-length rows are the ones dropped instead. */
   def train(df: DataFrame, vecCol: Column): SqParams = {
-    val row = df.select(
-      graft.functions.dsl.vector_minmax(vecCol.cast("array<double>")).as("mm"))
+    val v = vecCol.cast("array<double>")
+    val modal = df.where(v.isNotNull)
+      .groupBy(size(v).as("graft_d")).agg(count(lit(1)).as("graft_n"))
+      .orderBy(col("graft_n").desc, col("graft_d").asc).limit(1)
+      .collect()
+    require(modal.nonEmpty, "Sq.train: no non-null vectors to train on")
+    val dim = modal.head.getInt(0)
+    val row = df.where(size(v) === dim)
+      .select(graft.functions.dsl.vector_minmax(v).as("mm"))
       .select(col("mm.mins").as("mins"), col("mm.maxs").as("maxs"))
       .head()
     require(!row.isNullAt(0), "Sq.train: no non-null vectors to train on")

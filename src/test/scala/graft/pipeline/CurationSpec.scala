@@ -520,4 +520,18 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(out == Map(1L -> 1, 2L -> 0))
   }
+
+  test("blocklistGate matches phrases with non-ASCII letters (no dead \\b anchors)") {
+    // \b next to é/ß/CJK can never match in ASCII-boundary regex engines;
+    // such phrases must fall back to substring semantics, not silently
+    // never block
+    val docsDf = Seq(
+      (1L, "total scheiße content"),
+      (2L, "café reviews"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val out = Curation.blocklistGate(docsDf, col("text"),
+        Seq("scheiße", "café"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false))
+  }
 }

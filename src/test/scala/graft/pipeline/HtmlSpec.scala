@@ -76,6 +76,12 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex(page, 0.5) == "Read our paper for details on the method")
     // self-closed <a/> opens nothing; unmatched </a> clamps at zero depth
     assert(ex("""<p><a href="x"/>t</a>u</p>""", 0.5) == "tu")
+    // an UNCLOSED <a> (everyday tag soup — browsers auto-close at block
+    // boundaries) must not mark the whole rest of the document as link
+    // text: the article body after the malformed nav survives the cut
+    val soup = """<div class="nav"><a href="/">Home</div>""" +
+      """<p>the article body with many ordinary words to keep</p>"""
+    assert(ex(soup, 0.5) == "the article body with many ordinary words to keep")
   }
 
   test("extract_html is SQL-callable with the optional density argument") {

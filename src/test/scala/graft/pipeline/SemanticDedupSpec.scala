@@ -64,13 +64,16 @@ class SemanticDedupSpec extends AnyFunSuite {
       (1L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),   // on centroid 0 → inlier
       (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),    // equidistant, sim 0.5 < 0.9 → outlier
       (3L, Seq.fill(4)(0.0f)),              // zero norm → NaN cosine → outlier
-      (4L, Seq(1.0f, 2.0f))                 // wrong dimension → NULL cosine → outlier
+      (4L, Seq(1.0f, 2.0f)),                // wrong dimension → NULL cosine → outlier
+      (5L, null.asInstanceOf[Seq[Float]])   // NULL embedding → reported, cid -1
     ).toDF("vec_id", "embedding")
     val cents = (0 until 4).map(i =>
       i -> Array.tabulate(4)(j => if (j == i) 1.0 else 0.0)).toArray
     val out = Similarity.embeddingOutliers(rows, "vec_id", "embedding", cents, 0.9)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.view.mapValues(_._2).toMap ==
+      Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+    assert(out(5L)._1 == -1) // a fully-NULL row must appear, not vanish
   }
 
   test("oversized-cell auto-split bounds the pair join on a one-cell flood") {

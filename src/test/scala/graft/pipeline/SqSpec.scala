@@ -64,6 +64,16 @@ class SqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq recall $recall < 0.9")
   }
 
+  test("one over-length corrupt vector cannot empty the index (modal-dim training)") {
+    val poisoned = corpus.union(
+      Seq((9100L, Seq.fill(128)(0.5f))).toDF("vec_id", "embedding"))
+    val p = Sq.train(poisoned, col("embedding"))
+    assert(p.dim == 16) // modal length, not the corrupt max
+    val enc = Sq.encodeDf(poisoned, col("vec_id"), col("embedding"), p)
+    assert(enc.count() == 900)                         // well-formed rows all encode
+    assert(enc.where(col("id") === 9100L).count() == 0) // the corrupt row drops
+  }
+
   test("degenerate vectors encode to null and never reach search results") {
     val p = Sq.train(corpus, col("embedding"))
     val bad = Seq(
