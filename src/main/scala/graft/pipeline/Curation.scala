@@ -511,7 +511,9 @@ object Curation {
    * versions of a corpus? Returns (id, status) with status ∈ added /
    * removed / changed / unchanged, decided by id presence and the 128-bit
    * content fingerprint ([[Dedup]]'s). One full-outer join keyed on the id;
-   * content never shuffles (only fingerprints do).
+   * content never shuffles (only fingerprints do). Ids must be unique
+   * WITHIN each version (the corpus-id contract everywhere in this
+   * library); a duplicated id would cross-join its copies here.
    */
   def corpusDiff(
       oldDf: DataFrame, newDf: DataFrame,
@@ -533,7 +535,9 @@ object Curation {
    * the worst 20% by LM score" instead of hand-picking a floor). The
    * threshold is the exact (n-1)·q interpolated percentile (one single-row
    * aggregate, broadcast back); rows AT the threshold are kept, so the
-   * kept fraction can exceed keepFraction under ties. `exact = false`
+   * kept fraction can exceed keepFraction under ties. Rows with a NULL
+   * score are dropped (the null-can't-pass gate rule — the percentile
+   * ignores them and NULL ≥ threshold is never true). `exact = false`
    * swaps in the t-digest approx percentile for corpora where an exact
    * global sort-on-one-reducer is not worth paying.
    */
