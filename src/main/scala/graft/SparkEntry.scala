@@ -756,7 +756,7 @@ object SparkEntry {
       // only — no cross-doc count involved, and no shuffle in the plan
       val framed = docs(s, dir).select(col("doc_id"),
         concat(lit("NAV MENU\n"), regexp_replace(col("text"), "\\. ", ".\n"),
-          lit("\nNAV MENU\nCopyright 2026")).as("t"))
+          lit("\nNAV MENU\n\nCopyright 2026")).as("t"))
       graft.pipeline.Dedup.dedupLinesWithinDoc(framed, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
@@ -1878,21 +1878,25 @@ object SparkEntry {
         |            ELSE 'changed' END AS status
         |FROM documents a FULL OUTER JOIN v2 b USING (doc_id)""".stripMargin,
     "q_dedup_withindoc" ->
+      // empty lines are STRUCTURE (paragraph boundaries), kept verbatim;
+      // only non-empty lines census to their first occurrence
       """WITH d AS (
         |  SELECT doc_id,
         |         'NAV MENU' || chr(10) || regexp_replace(text, '\. ', '.' || chr(10), 'g')
-        |           || chr(10) || 'NAV MENU' || chr(10) || 'Copyright 2026' AS t
+        |           || chr(10) || 'NAV MENU' || chr(10) || chr(10) || 'Copyright 2026' AS t
         |  FROM documents
         |), l AS (
         |  SELECT doc_id,
         |         unnest(string_split(t, chr(10))) AS line,
         |         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
         |  FROM d
-        |), firsts AS (
-        |  SELECT doc_id, line, min(pos) AS fpos FROM l GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT doc_id, pos, line FROM l WHERE line = ''
+        |  UNION ALL
+        |  SELECT doc_id, min(pos) AS pos, line FROM l WHERE line <> '' GROUP BY doc_id, line
         |)
-        |SELECT doc_id, string_agg(line, chr(10) ORDER BY fpos) AS text
-        |FROM firsts GROUP BY doc_id""".stripMargin,
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM keep GROUP BY doc_id""".stripMargin,
     "q_dedup_paragraphs" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -2095,7 +2099,11 @@ object SparkEntry {
         |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         |  FROM documents
         |), thr AS (
-        |  SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.3) AS v FROM t
+        |  -- 1.0 - 0.7 (not literal 0.3): Spark computes the fraction as
+        |  -- 1.0 - keepFraction, whose double (0.30000000000000004) differs
+        |  -- from 0.3 by one ulp — both engines must share the dust or a
+        |  -- threshold landing exactly on an integer count hash-mismatches
+        |  SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 1.0 - 0.7) AS v FROM t
         |)
         |SELECT doc_id, n_tokens FROM t, thr WHERE CAST(n_tokens AS DOUBLE) >= thr.v""".stripMargin,
     "q_percentiles" ->

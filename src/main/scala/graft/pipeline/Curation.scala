@@ -552,8 +552,12 @@ object Curation {
       else percentile_approx(col("graft_gq_s"), lit(q), lit(10000))
     val thresh = df.select(s.as("graft_gq_s"))
       .agg(thr.as("graft_gq_thr"))
+    // NULL threshold happens only when every score is NULL (percentile
+    // ignores nulls): the null-can't-pass rule still applies — keep only
+    // rows with a real score (none, in that case), never "disable the gate"
     df.crossJoin(broadcast(thresh))
-      .where(s >= col("graft_gq_thr") || col("graft_gq_thr").isNull)
+      .where(s >= col("graft_gq_thr") ||
+        (col("graft_gq_thr").isNull && s.isNotNull))
       .drop("graft_gq_thr")
   }
 
@@ -679,7 +683,7 @@ object Curation {
   private[graft] def blocklistPattern(phrases: Seq[String]): String = {
     require(phrases.nonEmpty, "blocklist must not be empty")
     val alts = phrases.map { p =>
-      val ws = p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val ws = p.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       require(ws.nonEmpty, s"blank blocklist phrase: '$p'")
       // quote each word; \Q…\E is Java-only, so escape char-by-char
       val quoted = ws.map(_.flatMap(c =>
@@ -712,7 +716,7 @@ object Curation {
     require(blockedDomains.nonEmpty, "blockedDomains must not be empty")
     val host = lower(Text.urlHost(urlCol))
     val blocked = blockedDomains
-      .map(_.trim.toLowerCase)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .map(d => host === d || host.endsWith("." + d))
       .reduce(_ || _)
     // a row with no parseable host has nothing to match — keep it (URL

@@ -355,9 +355,17 @@ object Dedup {
 
   private def dedupUnitsWithinDoc(
       df: DataFrame, idCol: Column, textCol: Column,
-      splitRe: String, joinSep: String): DataFrame =
+      splitRe: String, joinSep: String): DataFrame = {
+    val Bridge = org.apache.spark.sql.graft.Bridge
+    // NOT array_distinct: that would dedup EMPTY units too, collapsing
+    // every paragraph boundary after the first (split on \n leaves "" at
+    // each blank line). Empty units are structure, not content — exempt.
     df.select(idCol.as("id"),
-      array_join(array_distinct(split(textCol, splitRe)), joinSep).as("text"))
+      array_join(
+        Bridge.column(FirstOccurrencesExpression(
+          Bridge.expression(split(textCol, splitRe)))),
+        joinSep).as("text"))
+  }
 
   private def dedupUnits(
       df: DataFrame, idCol: Column, textCol: Column, minDocs: Int,
@@ -638,4 +646,47 @@ case class RemoveWordSpansExpression(
   override protected def withNewChildrenInternal(
       l: org.apache.spark.sql.catalyst.expressions.Expression,
       r: org.apache.spark.sql.catalyst.expressions.Expression) = copy(left = l, right = r)
+}
+
+/** First occurrence of each NON-EMPTY unit, order preserved, empty units
+ * kept verbatim (they are structure — blank lines between paragraphs —
+ * not repeatable content). O(units) with a per-row seen-set; codegen:
+ * one static call. */
+case class FirstOccurrencesExpression(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(v: Any): Any =
+    DedupAlgos.firstOccurrences(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.DedupAlgos.firstOccurrences($c);")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+}
+
+object DedupAlgos {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def firstOccurrences(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) out.add(null)
+      else {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes() == 0) out.add(s)          // empties always kept
+        else if (seen.add(s.clone())) out.add(s)   // first occurrence only
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -77,7 +77,10 @@ object HtmlAlgos {
     var i = open + 1
     while (i < n) {
       if (s.charAt(i) == '<' && i + 1 < n && s.charAt(i + 1) == '/' &&
-          s.regionMatches(true, i + 2, name, 0, name.length)) {
+          s.regionMatches(true, i + 2, name, 0, name.length) &&
+          // name boundary: '</styleguide' must NOT close <style> — the
+          // next char has to end the tag name (browser raw-text rule)
+          (i + 2 + name.length >= n || !isNameChar(s.charAt(i + 2 + name.length)))) {
         val gt = s.indexOf('>', i + 2 + name.length)
         return if (gt < 0) n else gt + 1
       }

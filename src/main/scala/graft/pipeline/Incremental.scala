@@ -134,16 +134,21 @@ object Incremental {
     // a crash between the two appends must leave the retry able to heal.
     // Crash after bands: retry still sees the ids as fresh (sigs missing),
     // re-appends bands (duplicates are harmless — candidate generation
-    // dedups pairs) and then sigs. The old order left ids in sigs but
+    // dedups pairs) and then sigs. The reverse order left ids in sigs but
     // never in bands — permanently invisible to candidate generation,
-    // unfixable by retry.
-    bandRows
-      .join(survivors.select(col("id")), Seq("id"), "leftsemi")
-      .join(freshIds, Seq("id"), "leftsemi")
-      .select(col("band"), col("bucket"), col("id"))
+    // unfixable by retry. Band rows for the append derive from the
+    // CHECKPOINTED survivors' sig column (a cheap projection of
+    // materialized data) — the pre-dedup bandRows lineage would re-run the
+    // whole within-batch LSH pass a second time.
+    val freshSurvivors = survivors.join(freshIds, Seq("id"), "leftsemi")
+    freshSurvivors
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("band"),
+        xxhash64(col("band"),
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"),
+        col("id"))
       .write.mode("append").parquet(s"$indexPath/bands")
-    survivors.select(col("id"), col("sig"))
-      .join(freshIds, Seq("id"), "leftsemi")
+    freshSurvivors.select(col("id"), col("sig"))
       .write.mode("append").parquet(s"$indexPath/sigs")
     survivors.select(col("id"), col("text"))
   }

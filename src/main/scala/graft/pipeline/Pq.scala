@@ -234,13 +234,26 @@ object PqAlgos {
     new GenericArrayData(out)
   }
 
-  /** Norm of a double-array column value. */
+  /** Norm of a double-array column value; NaN if any element is NULL, so
+   * the degenerate guards (`normOf(v) == 0.0` is false for NaN — callers
+   * also check `!isWellFormed`) treat null-element vectors like every
+   * exact-cosine path does (cosineBoxed NULLs them). */
   private def normOf(vec: ArrayData): Double = {
     val n = vec.numElements()
     var ss = 0.0
     var i = 0
-    while (i < n) { val x = vec.getDouble(i); ss += x * x; i += 1 }
+    while (i < n) {
+      if (vec.isNullAt(i)) return Double.NaN
+      val x = vec.getDouble(i); ss += x * x; i += 1
+    }
     math.sqrt(ss)
+  }
+
+  /** Length matches and no element is NULL and norm is positive. */
+  private def isWellFormed(vec: ArrayData, cb: PqCodebook): Boolean = {
+    if (vec.numElements() != cb.m * cb.dsub) return false
+    val nrm = normOf(vec)
+    !java.lang.Double.isNaN(nrm) && nrm != 0.0
   }
 
   /** m-byte PQ code of the normalized vector: per subspace, the argmin-L2
@@ -250,7 +263,7 @@ object PqAlgos {
    * like the exact-cosine paths (where cosine yields NULL/NaN and
    * topKPerQuery drops the row). */
   def encode(vec: ArrayData, cb: PqCodebook): Array[Byte] = {
-    if (vec.numElements() != cb.m * cb.dsub || normOf(vec) == 0.0) return null
+    if (!isWellFormed(vec, cb)) return null
     val nv = normalize(vec)
     val out = new Array[Byte](cb.m)
     var s = 0
@@ -284,7 +297,7 @@ object PqAlgos {
    * uniformly, matching the exact-cosine paths. */
   def lut(vec: ArrayData, cb: PqCodebook): ArrayData = {
     val out = new Array[Double](cb.m * cb.ksub)
-    if (vec.numElements() != cb.m * cb.dsub || normOf(vec) == 0.0) {
+    if (!isWellFormed(vec, cb)) {
       java.util.Arrays.fill(out, Double.NaN)
       return new GenericArrayData(out)
     }

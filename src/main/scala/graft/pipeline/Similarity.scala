@@ -456,8 +456,10 @@ object Similarity {
     else {
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // null-cid rows (null/degenerate embeddings) can't be sub-clustered
+        // — without the isNotNull filter a large null group NPEs the getInt
         val oversized = base.groupBy(col("cid")).count()
-          .where(col("count") > maxCellSize)
+          .where(col("count") > maxCellSize && col("cid").isNotNull)
           .collect().map(r => r.getInt(0) -> r.getLong(1))
         if (oversized.isEmpty) base.withColumn("graft_sub", lit(-1))
         else {

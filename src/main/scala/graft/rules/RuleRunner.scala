@@ -241,6 +241,11 @@ object RuleRunner {
    * example_id), rank 1..k. One suite evaluation + the mergeable
    * bounded-heap top-k per rule (map-side partials ship ≤ k ids per rule
    * per partition — a 10⁹-row failure flood never funnels one reducer).
+   *
+   * Id contract: ids must fit double precision (|id| < 2⁵³ — ordinary
+   * sequential document ids). Hash-derived full-64-bit ids lose low bits
+   * in the ranking cast, making "lowest" arbitrary among ids that collide
+   * at 53-bit precision (the examples are still genuine failing ids).
    */
   def failureExamples(
       df: DataFrame, suite: RuleSuite, idCol: Column, k: Int = 5): DataFrame = {

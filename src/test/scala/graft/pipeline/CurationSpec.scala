@@ -499,6 +499,10 @@ class CurationSpec extends AnyFunSuite {
       .count() == 3) // threshold 5.0; all three 5s kept
     assert(Curation.gateByQuantile(
       Seq.empty[(Long, Int)].toDF("id", "score"), col("score"), 0.5).count() == 0)
+    // all-NULL scores: the gate must not silently disable itself — the
+    // null-can't-pass rule drops every row
+    val allNull = Seq((1L, None: Option[Int]), (2L, None)).toDF("id", "score")
+    assert(Curation.gateByQuantile(allNull, col("score"), 0.5).count() == 0)
   }
 
   test("percentileReport: hand-computed interpolation, approx mode same shape") {

@@ -62,6 +62,11 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex(null) == null)
   }
 
+  test("raw-text close needs a name boundary: </styleguide does not end <style>") {
+    assert(ex("<style>/* </styleguide */ p{x}</style>visible") == "visible")
+    assert(ex("<script>var s = '</scripty>';</script>shown") == "shown")
+  }
+
   test("whitespace collapses per block; empty blocks vanish") {
     assert(ex("<p>  a   b  </p><p>   </p><p>c</p>") == "a b\nc")
     assert(ex("<div></div><div></div>x") == "x")

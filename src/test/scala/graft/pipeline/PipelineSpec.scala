@@ -611,6 +611,11 @@ class PipelineSpec extends AnyFunSuite {
     val out = Dedup.dedupLinesWithinDoc(d, col("doc_id"), col("text"))
     assert(out.as[(Long, String)].collect().toMap ==
       Map(0L -> "NAV\nalpha\nbeta", 1L -> "unique one\nunique two", 2L -> ""))
+    // blank lines are paragraph STRUCTURE, never deduped: both boundaries
+    // survive even though "" repeats
+    val para = Seq((9L, "intro\n\nsection one\n\nsection two")).toDF("doc_id", "text")
+    assert(Dedup.dedupLinesWithinDoc(para, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().head._2 == "intro\n\nsection one\n\nsection two")
     // narrow projection: no exchange anywhere in the plan
     val exchanges = out.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

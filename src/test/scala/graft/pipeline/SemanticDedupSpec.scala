@@ -76,6 +76,18 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out(5L)._1 == -1) // a fully-NULL row must appear, not vanish
   }
 
+  test("auto-split survives a large null-embedding group (no NPE on null cid)") {
+    val rows = ((1L to 40L).map(i => (i, Seq(1.0f, 0.0f))) ++
+      (100L to 160L).map(i => (i, null.asInstanceOf[Seq[Float]])))
+      .toDF("vec_id", "embedding")
+    val cents = Array(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    // null-cid group (61 rows) exceeds maxCellSize: must be skipped by the
+    // sub-cluster pass, not NPE the oversized-cell collect
+    val out = Similarity.semanticDedupWithCentroids(
+      rows, "vec_id", "embedding", cents, 0.999, maxCellSize = 30)
+    assert(out.where(col("id") === 1L).count() == 1) // near-dups still collapse
+  }
+
   test("oversized-cell auto-split bounds the pair join on a one-cell flood") {
     // 2000 diverse vectors that ALL land in centroid 0's cell (dominant
     // first component), plus planted near-identical pairs that must still
