@@ -157,4 +157,44 @@ object Incremental {
    * maps one-to-one here (same scale) — kept as a named hook so the two
    * verify regimes stay explicitly aligned. */
   private def estimateToExactThreshold(t: Double): Double = t
+
+  /**
+   * Compact an incremental index: every batch appends its own small
+   * parquet files, and after thousands of batches the file count — not the
+   * byte count — dominates index-read planning time. Rewrites each index
+   * table to `targetFilesPerTable` files via a temp directory + rename
+   * (the rename window is the only non-atomic moment; run compaction when
+   * no ingest batch is in flight, like any parquet maintenance job).
+   * Content is untouched — row counts and dedup results are identical
+   * before and after (spec-pinned).
+   */
+  def compact(
+      spark: SparkSession, indexPath: String, targetFilesPerTable: Int = 8): Unit = {
+    require(targetFilesPerTable > 0, "targetFilesPerTable must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def compactDir(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return
+      val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+      spark.read.parquet(dir).repartition(targetFilesPerTable)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(p, old)) throw new java.io.IOException(s"cannot move $dir aside")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p) // restore on failure
+        throw new java.io.IOException(s"cannot move compacted $dir into place")
+      }
+      fs.delete(old, true)
+    }
+    // a bare fingerprint index is the path itself; the minhash index is the
+    // sigs/bands pair underneath
+    val sub = Seq(s"$indexPath/sigs", s"$indexPath/bands")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(conf)
+    val hasSub = sub.exists(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (hasSub) sub.foreach(compactDir) else compactDir(indexPath)
+  }
 }

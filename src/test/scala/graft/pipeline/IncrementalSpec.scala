@@ -90,4 +90,43 @@ class IncrementalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/sigs").count() == sigRows, "retry appended sigs")
     assert(spark.read.parquet(s"$idx/bands").count() == bandRows, "retry appended bands")
   }
+
+  test("compact shrinks index files, leaves results and counts identical") {
+    def doc(i: Long) = s"document number $i with plenty of distinct words " +
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    val idx = tmp() + "/minhash_idx"
+    // several small batches -> many small files
+    (0 until 4).foreach { b =>
+      val batch = (b * 10L until b * 10L + 10L).map(i => (i, doc(i))).toDF("doc_id", "text")
+      Incremental.minhashIncremental(batch, col("doc_id"), col("text"), idx, threshold = 0.8)
+    }
+    def files(d: String) = {
+      val f = new java.io.File(d)
+      Option(f.listFiles()).map(_.count(x => x.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    def counts() = (
+      spark.read.parquet(s"$idx/sigs").count(),
+      spark.read.parquet(s"$idx/bands").count())
+    val before = counts()
+    val filesBefore = files(s"$idx/sigs")
+    Incremental.compact(spark, idx, targetFilesPerTable = 1)
+    assert(counts() == before)
+    assert(files(s"$idx/sigs") == 1 && files(s"$idx/sigs") < filesBefore)
+    // the compacted index still dedups: a near-dup of an indexed doc drops
+    val probe = Seq((999L, doc(5) + " slight tail")).toDF("doc_id", "text")
+    val kept = Incremental.minhashIncremental(probe, col("doc_id"), col("text"), idx,
+      threshold = 0.8)
+    assert(kept.count() == 0)
+
+    // bare fingerprint index compacts too
+    val fpIdx = tmp() + "/fp_idx"
+    (0 until 3).foreach { b =>
+      val batch = (b * 5L until b * 5L + 5L).map(i => (i, doc(i))).toDF("doc_id", "text")
+      Incremental.exactIncremental(batch, col("doc_id"), fpIdx, col("text"))
+    }
+    val fpBefore = spark.read.parquet(fpIdx).count()
+    Incremental.compact(spark, fpIdx, targetFilesPerTable = 1)
+    assert(spark.read.parquet(fpIdx).count() == fpBefore)
+    assert(files(fpIdx) == 1)
+  }
 }
