@@ -148,8 +148,12 @@ object Dsir {
   def weightInline(
       model: DsirArrayModel, df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(idCol.as("id"), weightColumn(textCol, model).as("graft_w"))
-      .select(col("id"), col("graft_w.n_feats").as("n_feats"),
-        col("graft_w.weight_e6").as("weight_e6"))
+      // NULL text -> NULL struct from the null-safe expression; the join
+      // path scores those rows (0, 0) - coalesce keeps the contract
+      // bit-identical across both paths
+      .select(col("id"),
+        coalesce(col("graft_w.n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("graft_w.weight_e6"), lit(0L)).as("weight_e6"))
 
   /**
    * Gumbel-top-n importance resampling (the paper's sampling-without-

@@ -166,8 +166,15 @@ object HtmlAlgos {
           var j = i + 1
           var closing = false
           if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+          // HTML5 rule: a tag opens only on an ASCII LETTER. "5<6 and 7>8"
+          // (math, prices, "<3") must render verbatim — treating "<6…>" as
+          // a tag silently deletes visible text at the corpus front door.
+          val startsName = j < n && {
+            val c0 = s.charAt(j)
+            (c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')
+          }
           var k = j
-          while (k < n && isNameChar(s.charAt(k))) k += 1
+          if (startsName) while (k < n && isNameChar(s.charAt(k))) k += 1
           if (k == j && !(j < n && s.charAt(j) == '!')) {
             // '<' not followed by a tag name, '/name', or '<!…': literal text
             appendChar(c)

@@ -104,12 +104,19 @@ object Incremental {
         xxhash64(col("band"),
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
 
-    // cross-batch candidates: batch band rows colliding with indexed buckets
-    // (different id — retried batches must not dedup against themselves)
+    // cross-batch candidates: batch band rows colliding with indexed buckets.
+    // BOTH guards are retry-idempotence guards: the same id never dedups
+    // against itself, and an indexed id that belongs to the CURRENT batch is
+    // this batch's own earlier (crashed) append — those pairs were already
+    // adjudicated by the within-batch EXACT verify, and re-judging them with
+    // the ESTIMATED agreement could drop rows run 1 kept (σ ≈ 0.06 at 64
+    // hashes straddles thresholds the exact verify resolved).
+    val batchIds = sigs.select(col("id"))
     val candidates = bandRows
       .join(bandsIdx.select(col("band"), col("bucket"), col("id").as("graft_old_id")),
         Seq("band", "bucket"))
       .where(col("id") =!= col("graft_old_id"))
+      .join(batchIds.select(col("id").as("graft_old_id")), Seq("graft_old_id"), "left_anti")
       .select(col("id"), col("graft_old_id")).distinct()
     // estimated-Jaccard verify: agreement fraction of signature components
     val drops = candidates

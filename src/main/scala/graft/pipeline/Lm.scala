@@ -145,7 +145,11 @@ object Lm {
     val scored = score(model, df, idCol, textCol, lambda, k)
     val mean = when(col("n_trans") === 0L, lit(0.0))
       .otherwise(col("sum_prob_e12").cast("double") / col("n_trans").cast("double"))
+    // persisted: the percentile aggregate AND the final projection both
+    // consume it - without the cache the full LM scoring pipeline
+    // (transition explode + three model joins) runs twice per call
     val base = scored.select(col("id"), mean.as("graft_mean"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pcts = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val thr = base.agg(
       expr(s"percentile(graft_mean, array(${pcts.mkString(",")}))").as("graft_thr"))

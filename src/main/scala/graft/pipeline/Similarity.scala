@@ -821,9 +821,19 @@ object SimilarityAlgos {
         }
         t += 1
       }
-      // every centroid belongs to a group, so two probed groups always hold
-      // at least one member ⇒ bestIdx >= 0 when nlist > 0
-      m.ids(bestIdx)
+      // every centroid belongs to SOME group, but the two PROBED groups can
+      // both be empty: k-means over the centroids leaves unupdated (stale)
+      // reps on empty groups, and a query can score a stale rep above every
+      // populated one (duplicate-heavy centroid sets, zero-norm vectors).
+      // Fall back to the flat argmax rather than indexing ids(-1).
+      if (bestIdx >= 0) m.ids(bestIdx)
+      else {
+        val s = sims(vec, m)
+        var bi = 0
+        var c = 1
+        while (c < s.length) { if (s(c) > s(bi)) bi = c; c += 1 }
+        m.ids(bi)
+      }
     }
   }
 

@@ -199,9 +199,9 @@ class DegenerateInputSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(dw(1L) == (0L, 0L) && dw(2L) == (0L, 0L))
     val di = Dsir.weightInline(Dsir.collectModel(dm), nullish, col("doc_id"), col("text"))
-      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
-    // inline projection: null text → null struct → null fields (never rows dropped)
-    assert(di.size == 3 && di(2L) == (Some(0L), Some(0L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // inline projection matches the join path on NULL text too: (0, 0)
+    assert(di.size == 3 && di(1L) == (0L, 0L) && di(2L) == (0L, 0L))
 
     // hashed BoW: null → null vector; empty → zero vector
     val hb = nullish.select(Text.hashedBow(col("text"), 32).as("v")).collect()

@@ -62,6 +62,11 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex(null) == null)
   }
 
+  test("literal '<' before a digit is text, not a tag (math, prices, <3)") {
+    assert(ex("<p>5<6 and 7>8</p>") == "5<6 and 7>8")
+    assert(ex("<p>i <3 this</p>") == "i <3 this")
+  }
+
   test("raw-text close needs a name boundary: </styleguide does not end <style>") {
     assert(ex("<style>/* </styleguide */ p{x}</style>visible") == "visible")
     assert(ex("<script>var s = '</scripty>';</script>shown") == "shown")

@@ -129,4 +129,23 @@ class IncrementalSpec extends AnyFunSuite {
     assert(spark.read.parquet(fpIdx).count() == fpBefore)
     assert(files(fpIdx) == 1)
   }
+
+  test("retry never re-judges within-batch pairs via the estimated verify") {
+    // two docs with HIGH but below-threshold overlap: the within-batch
+    // EXACT verify keeps both; on retry they are already indexed under
+    // each other's ids, and without the batch-id guard the ESTIMATED
+    // agreement (sigma ~0.06) could drop one — the guard makes the retry
+    // structurally identical to run 1
+    val words = (1 to 40).map(i => s"w$i")
+    val a = words.mkString(" ")                       // w1..w40
+    val b = (words.drop(8) ++ Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8"))
+      .mkString(" ")                                  // ~0.6 exact jaccard
+    val batch = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val idx = tmp()
+    val k1 = Incremental.minhashIncremental(batch, col("doc_id"), col("text"), idx,
+      threshold = 0.8).select("id").as[Long].collect().toSet
+    val k2 = Incremental.minhashIncremental(batch, col("doc_id"), col("text"), idx,
+      threshold = 0.8).select("id").as[Long].collect().toSet
+    assert(k1 == Set(1L, 2L) && k2 == k1, s"run1 $k1 retry $k2")
+  }
 }

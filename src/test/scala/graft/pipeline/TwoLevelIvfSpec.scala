@@ -114,4 +114,20 @@ class TwoLevelIvfSpec extends AnyFunSuite {
     }
     assert(agree >= (trials * 0.95).toInt, s"aligned-probe agreement too low: $agree/$trials")
   }
+
+  test("two-level argmax never indexes ids(-1): duplicate centroids + zero-norm query") {
+    // 300 near-duplicate centroids leave most centroid-groups empty after
+    // the driver-side k-means; a zero-norm query scores every group -2.0
+    // and probes blindly — best() must fall back to the flat argmax, not
+    // throw ArrayIndexOutOfBounds
+    val cents = Array.tabulate(300)(i => i -> Array(1.0, 0.0, 0.0, 1e-9 * i))
+    val m = SimilarityAlgos.matrix(cents)
+    val zero = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(0.0, 0.0, 0.0, 0.0))
+    val cid = SimilarityAlgos.best(zero, m)
+    assert(cents.exists(_._1 == cid)) // a real cid, no crash
+    val dup = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(1.0, 0.0, 0.0, 0.0))
+    assert(cents.exists(_._1 == SimilarityAlgos.best(dup, m)))
+  }
 }
