@@ -130,4 +130,17 @@ class TwoLevelIvfSpec extends AnyFunSuite {
       Array(1.0, 0.0, 0.0, 0.0))
     assert(cents.exists(_._1 == SimilarityAlgos.best(dup, m)))
   }
+
+  test("two-level probes survive duplicate centroids and zero-norm queries") {
+    val cents = Array.tabulate(300)(i => i -> Array(1.0, 0.0, 0.0, 1e-9 * i))
+    val m = SimilarityAlgos.matrix(cents)
+    for (v <- Seq(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 0.0, 0.0, 0.0))) {
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val out = SimilarityAlgos.probes(arr, m, 4)
+      assert(out.numElements() > 0, "probes must yield at least one cell")
+      (0 until out.numElements()).foreach { i =>
+        assert(cents.exists(_._1 == out.getInt(i)))
+      }
+    }
+  }
 }
