@@ -835,6 +835,53 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    "q_ingest_warc" -> ((s, dir) => {
+      // WARC round-trip: export the corpus as WARC/1.0 (odd ids WET-style
+      // conversion records, even ids full HTTP response records, one shard
+      // gzipped), plant three malformed records plus a resync survivor, and
+      // read back through the quarantining parser — the oracle reconstructs
+      // every parsed column from the documents table, so a silently dropped
+      // or mis-framed record is a row mismatch
+      val path = java.nio.file.Files.createTempDirectory("graft_q_warc").toString
+      val rows = docs(s, dir).select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val shards = 4
+      val outs: Seq[java.io.OutputStream] = (0 until shards).map { i =>
+        val gz = i == shards - 1
+        val f = new java.io.FileOutputStream(
+          new java.io.File(path, if (gz) s"part-$i.warc.gz" else s"part-$i.warc"))
+        if (gz) new java.util.zip.GZIPOutputStream(f) else f
+      }
+      rows.foreach { case (id, text) =>
+        val out = outs((id % shards).toInt)
+        val date = java.time.Instant.ofEpochSecond(1704067200L + id % 86400).toString
+        val url = s"https://example.com/doc/$id"
+        if (id % 2 == 0)
+          graft.sources.WarcAlgos.writeRecord(out, "response", url, date,
+            "application/http; msgtype=response",
+            graft.sources.WarcAlgos.httpResponsePayload(200, "text/html; charset=utf-8",
+              s"<html><body><p>$text</p></body></html>".getBytes("UTF-8")))
+        else
+          graft.sources.WarcAlgos.writeRecord(out, "conversion", url, date,
+            "text/plain", text.getBytes("UTF-8"))
+      }
+      // planted corruptions in shard 0: garbage framing, a record missing
+      // Content-Length, a good record proving resync, a truncated tail
+      outs.head.write("NOT A WARC RECORD\r\njunk\r\n".getBytes("UTF-8"))
+      outs.head.write(("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        "WARC-Target-URI: https://example.com/bad\r\n\r\n").getBytes("UTF-8"))
+      graft.sources.WarcAlgos.writeRecord(outs.head, "conversion",
+        "https://example.com/resync", "2024-01-01T00:00:00Z", "text/plain",
+        "resync ok".getBytes("UTF-8"))
+      outs.head.write(("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        "WARC-Target-URI: https://example.com/trunc\r\n" +
+        "Content-Type: text/plain\r\nContent-Length: 100000\r\n\r\nshort").getBytes("UTF-8"))
+      outs.foreach(_.close())
+      val (parsed, _) = graft.sources.Warc.read(s, path)
+      parsed.select(col("url"), col("warc_type"), col("mime"), col("http_status"),
+        length(col("payload")).as("payload_len"), col("fetch_epoch"),
+        md5(col("text").cast("binary")).as("text_md5"))
+    }),
     "q_domain_blocklist" -> ((s, dir) => {
       // domain kill list with subdomain matching: tracker.com and all its
       // subdomains drop; example.com (and its subdomains) survive
@@ -2094,6 +2141,24 @@ object SparkEntry {
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
         |FROM documents""".stripMargin,
+    "q_ingest_warc" ->
+      // every parsed column rebuilt from the documents table (even ids were
+      // exported as HTTP responses wrapping the text in the html shell, odd
+      // ids as WET conversion records) plus the one planted resync record;
+      // the three malformed records must NOT appear
+      """SELECT concat('https://example.com/doc/', doc_id) AS url,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'response' ELSE 'conversion' END AS warc_type,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS mime,
+        |       CASE WHEN doc_id % 2 = 0 THEN 200 END AS http_status,
+        |       CAST(octet_length(encode(CASE WHEN doc_id % 2 = 0
+        |         THEN '<html><body><p>' || text || '</p></body></html>' ELSE text END)) AS INT) AS payload_len,
+        |       1704067200 + doc_id % 86400 AS fetch_epoch,
+        |       md5(CASE WHEN doc_id % 2 = 0
+        |         THEN '<html><body><p>' || text || '</p></body></html>' ELSE text END) AS text_md5
+        |FROM documents
+        |UNION ALL
+        |SELECT 'https://example.com/resync', 'conversion', 'text/plain', NULL,
+        |       9, 1704067200, md5('resync ok')""".stripMargin,
     "q_quantile_gate" ->
       """WITH t AS (
         |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
