@@ -716,6 +716,25 @@ object SparkEntry {
         graft.pipeline.Bpe.tokenCount(model, col("text")).as("n_bpe_exact"),
         graft.pipeline.Text.tokenCount(col("text")).as("n_words"))
     }),
+    "q_bpe_gpt2" -> ((s, dir) => {
+      // rows-only (merge semantics are not SQL-expressible; GptBpeSpec pins
+      // them by hand-derivation): import a GPT-2-format merges.txt/vocab.json
+      // pair and emit exact pretrained token counts — the byte-level
+      // alphabet is closed, so n_oov_ids counts vocab gaps, never misses
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_q_gptbpe")
+      java.nio.file.Files.writeString(dir0.resolve("merges.txt"),
+        "#version: 0.2\nt h\nth e\nĠ t\nĠt he\ni n\ne r\no n\na n\nan d\n" +
+          "Ġ a\nĠ s\nĠ w\no r\nr e\na t\ne n\no u\ni t\ni s\nĠa nd\n")
+      java.nio.file.Files.writeString(dir0.resolve("vocab.json"),
+        """{"Ġthe": 262, "Ġand": 290, "the": 1169, "and": 392, "in": 259, "er": 263}""")
+      val model = graft.pipeline.GptBpe.load(
+        s, dir0.resolve("merges.txt").toString, dir0.resolve("vocab.json").toString)
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.GptBpe.tokenCount(model, col("text")).as("n_gpt2_tokens"),
+        graft.pipeline.Text.tokenCount(col("text")).as("n_words"),
+        size(filter(graft.pipeline.GptBpe.tokenIds(model, col("text")),
+          i => i === -1)).as("n_oov_ids"))
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       // wrap every document in shared chrome (nav header, copyright footer);
       // line dedup must strip the chrome everywhere and keep original text

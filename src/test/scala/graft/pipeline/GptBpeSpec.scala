@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Pretrained GPT-2-format BPE import: merges.txt/vocab.json loading, the
+ * byte-level alphabet closure, the pre-tokenizer contract, and exact
+ * hand-computed token counts through the codegen'd column path. */
+class GptBpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A hand-sized merge table whose encodings are derivable on paper:
+   * "hello" collapses to one token through 4 merges, " world" to one
+   * through 5 (Ġ is the mapped space byte, exactly GPT-2's convention). */
+  private def fixture(): (String, String) = {
+    val dir = Files.createTempDirectory("graft_gptbpe")
+    val merges = dir.resolve("merges.txt")
+    Files.writeString(merges,
+      """#version: 0.2
+        |h e
+        |l l
+        |he ll
+        |hell o
+        |Ġ w
+        |o r
+        |l d
+        |Ġw or
+        |Ġwor ld
+        |""".stripMargin)
+    val vocab = dir.resolve("vocab.json")
+    Files.writeString(vocab, """{"hello": 31373, "Ġworld": 995, "Ġ": 220}""")
+    (merges.toString, vocab.toString)
+  }
+
+  test("hello world encodes to the two trained tokens with vocab ids") {
+    val (m, v) = fixture()
+    val model = GptBpe.load(spark, m, v)
+    val row = Seq("hello world").toDF("t")
+      .select(GptBpe.tokenCount(model, col("t")).as("n"),
+        GptBpe.tokens(model, col("t")).as("toks"),
+        GptBpe.tokenIds(model, col("t")).as("ids"))
+      .as[(Int, Seq[String], Seq[Int])].collect().head
+    assert(row._1 == 2)
+    assert(row._2 == Seq("hello", "Ġworld"))
+    assert(row._3 == Seq(31373, 995))
+  }
+
+  test("pre-tokenizer: double space yields a standalone-space token; contractions split") {
+    val (m, v) = fixture()
+    val model = GptBpe.load(spark, m, v)
+    val rows = Seq("hello  world", "don't").toDF("t")
+      .select(col("t"), GptBpe.tokens(model, col("t")).as("toks"),
+        GptBpe.tokenIds(model, col("t")).as("ids"))
+      .as[(String, Seq[String], Seq[Int])].collect().map(r => r._1 -> r).toMap
+    // "hello" + lone " " (→ Ġ, id 220) + " world"
+    assert(rows("hello  world")._2 == Seq("hello", "Ġ", "Ġworld"))
+    assert(rows("hello  world")._3 == Seq(31373, 220, 995))
+    // GPT-2 splits don / 't; no merges apply so bytes stay single; every
+    // token outside the fixture vocab maps to -1
+    assert(rows("don't")._2 == Seq("d", "o", "n", "'", "t"))
+    assert(rows("don't")._3 == Seq(-1, -1, -1, -1, -1))
+  }
+
+  test("alphabet closure: zero-merge count equals the UTF-8 byte length — nothing is OOV") {
+    val dir = Files.createTempDirectory("graft_gptbpe0")
+    Files.writeString(dir.resolve("merges.txt"), "#version: 0.2\n")
+    val model = GptBpe.load(spark, dir.resolve("merges.txt").toString)
+    val texts = Seq("café ñ", "hello world", "字 test", "a\tb\nc", "")
+    val got = texts.toDF("t")
+      .select(col("t"), GptBpe.tokenCount(model, col("t")).as("n"))
+      .as[(String, Int)].collect().toMap
+    texts.foreach { t =>
+      assert(got(t) == t.getBytes("UTF-8").length, s"for '$t'")
+    }
+  }
+
+  test("merge order is rank order, not greedy-longest") {
+    // with ranks [l l] < [he ll], "hello" must merge ll BEFORE hell exists;
+    // dropping the "l l" merge changes the path: he,l,l,o has no ll so only
+    // "h e" applies and the word stays 4 symbols
+    val dir = Files.createTempDirectory("graft_gptbpe_rank")
+    Files.writeString(dir.resolve("merges.txt"), "h e\nhe ll\nhell o\n")
+    val model = GptBpe.load(spark, dir.resolve("merges.txt").toString)
+    val toks = Seq("hello").toDF("t")
+      .select(GptBpe.tokens(model, col("t")).as("toks"))
+      .as[Seq[String]].collect().head
+    assert(toks == Seq("he", "l", "l", "o"))
+  }
+
+  test("token budgets flow through: counts are stable across the memo and reps") {
+    val (m, v) = fixture()
+    val model = GptBpe.load(spark, m, v)
+    val df = Seq.fill(500)("hello world hello").toDF("t")
+    val counts = df.select(GptBpe.tokenCount(model, col("t")).as("n"))
+      .agg(sum(col("n"))).as[Long].collect().head
+    // "hello world hello" = hello / Ġworld / Ġ? no — " hello" has no Ġh
+    // merge: Ġ,h,e,l,l,o → "h e","l l" → Ġ,he,ll,o → "he ll" needs
+    // adjacency (he,ll adjacent after Ġ) → Ġ,hell,o → "hell o" → Ġ,hello =
+    // 2 tokens. Total per row: 1 + 1 + 2 = 4.
+    assert(counts == 500L * 4)
+  }
+}
