@@ -735,6 +735,14 @@ object SparkEntry {
         size(filter(graft.pipeline.GptBpe.tokenIds(model, col("text")),
           i => i === -1)).as("n_oov_ids"))
     }),
+    "q_image_phash" -> ((s, dir) => {
+      // rows-only (DCT arithmetic is not SQL-expressible; PhashSpec pins the
+      // hash by hand-checked invariances): perceptual-hash image dedup over
+      // a planted corpus — resized and JPEG-recompressed copies must land
+      // within the Hamming radius through the 8-band join, no all-pairs
+      val media = graft.pipeline.Multimodal.imageDupTable(docs(s, dir), "doc_id")
+      graft.pipeline.Phash.nearDups(media, col("id"), col("data"), maxHamming = 12)
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       // wrap every document in shared chrome (nav header, copyright footer);
       // line dedup must strip the chrome everywhere and keep original text

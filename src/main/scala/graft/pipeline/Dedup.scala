@@ -161,15 +161,29 @@ object Dedup {
       shingleSize: Int = 3, maxHamming: Int = 8): DataFrame = {
     val base = df.select(idCol.as("id"),
       Text.simhash(Text.shingles(textCol, shingleSize)).as("sig"))
+    hammingBandPairs(base, maxHamming)
+  }
+
+  /** The 64-bit Hamming band join shared by text simhash and image pHash:
+   * candidates from `nBands` equal-width band collisions (Hamming ≤
+   * nBands-1 caught exactly by pigeonhole — simhash's 4×16 catches ≤ 3,
+   * pHash's 8×8 catches ≤ 7), verified by bit_count over the full
+   * signature. `base` is (id, sig BIGINT); returns (id_a, id_b,
+   * hamming ≤ maxHamming). */
+  private[pipeline] def hammingBandPairs(
+      base: DataFrame, maxHamming: Int, nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, "nBands must divide 64")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     // explicit shuffle on the join key: the band self-join's two sides then
     // read ONE materialized exchange (the same exchange a sort-merge join
-    // would demand anyway), so the corpus-wide shingle→simhash pass is
-    // computed exactly once in every regime — without this, a broadcast-
-    // demoted join recomputes the signature subtree per side
+    // would demand anyway), so the corpus-wide signature pass is computed
+    // exactly once in every regime — without this, a broadcast-demoted
+    // join recomputes the signature subtree per side
     val bandRows = base.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .select(col("id"), col("sig"), col("band"),
-        expr("shiftrightunsigned(sig, band * 16)").bitwiseAND(lit(0xffffL)).as("bucket"))
+        expr(s"shiftrightunsigned(sig, band * $width)").bitwiseAND(lit(mask)).as("bucket"))
       .repartition(col("band"), col("bucket"))
     val l = bandRows.as("l")
     val r = bandRows.as("r")

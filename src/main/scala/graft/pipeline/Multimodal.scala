@@ -75,6 +75,84 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic LOW-FREQUENCY image: two seeded cosine waves over a
+   * gradient — smooth content whose 8×8 DCT block survives resizing and
+   * JPEG recompression, unlike LCG noise (which is all high frequency), so
+   * perceptual-hash tests exercise what real photographs do. */
+  private[pipeline] def syntheticSmoothPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    // splitmix64 over the seed → wave frequencies (1..3 periods) and phases
+    var z = seed + 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      z += 0x9e3779b97f4a7c15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    // six non-separable waves with 1/k amplitude decay: a spread of DCT
+    // coefficient magnitudes like a natural image, so the median threshold
+    // is meaningful (a 1-2 wave image leaves 60 coefficients at ~0 and
+    // their sign bits are pure noise under resampling)
+    val waves = Array.tabulate(6) { k =>
+      val fx = (next() & 0x7fffffff) % 5
+      val fy = if (fx == 0) 1 + (next() & 0x7fffffff) % 4 else (next() & 0x7fffffff) % 5
+      val ph = (next() & 0xffff) / 65536.0 * 2 * math.Pi
+      (fx, fy, ph, 0.45 / (k + 1))
+    }
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = 0.5
+        waves.foreach { case (fx, fy, ph, a) =>
+          v += a * math.cos(2 * math.Pi * (fx.toDouble * x / w + fy.toDouble * y / h) + ph)
+        }
+        val lum = math.max(0, math.min(255, (v * 255).toInt))
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Re-encode an image as JPEG at the given quality — the lossy round-trip
+   * a crawled duplicate typically went through. */
+  private[pipeline] def recompressJpeg(data: Array[Byte], quality: Float): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(data))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbour resize of one image binary, re-encoded as PNG. */
+  private[pipeline] def resizeOne(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(data))
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic 16-bit mono PCM WAV: 256 samples of LCG noise at 8 kHz.
    * The WAVE container writer is pure header + payload — no timestamps — so
    * bytes are stable for a given seed. */
@@ -239,6 +317,22 @@ object Multimodal {
           } catch { case _: Exception => m }
       }
     }
+  }
+
+  /** Planted image-dedup table from an id column — a smooth synthetic
+   * original per id, a 48×48 resized copy for ids ≡ 0 (mod 5) at id+1e6, a
+   * JPEG-recompressed copy for ids ≡ 0 (mod 7) at id+2e6. The distributed
+   * stand-in for a crawled image corpus with re-hosted duplicates. */
+  def imageDupTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
+      val orig = syntheticSmoothPng(id, 64, 64)
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]((id, orig))
+      if (id % 5 == 0) rows += ((id + 1000000L, resizeOne(orig, 48, 48)))
+      if (id % 7 == 0) rows += ((id + 2000000L, recompressJpeg(orig, 0.8f)))
+      rows
+    }.toDF("id", "data")
   }
 
   /** Frame sampling for "video" rows: every `stride` bytes window as a fake
