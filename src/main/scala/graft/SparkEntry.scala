@@ -579,6 +579,18 @@ object SparkEntry {
       graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_lm3_score" -> ((s, dir) => {
+      // interpolated trigram LM (recursive Jelinek–Mercer backoff): train at
+      // order 3, score the corpus plus the same planted gibberish suffixes —
+      // no trigram OR bigram match, so they fall to the smoothed unigram
+      // floor and separate harder than under the bigram model
+      val d = docs(s, dir)
+      val scoreSet = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
+      val model = graft.pipeline.Lm.train(d, col("text"), order = 3)
+      graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_collocations" -> ((s, dir) => {
       // PMI-ranked bigram collocations from the corpus-trained LM counts
       val model = graft.pipeline.Lm.train(docs(s, dir), col("text"))
@@ -1484,6 +1496,59 @@ object SparkEntry {
         |  LEFT JOIN bi ON bi.w1 = st.w1 AND bi.w2 = st.w2
         |  LEFT JOIN uni up ON up.w = st.w1
         |  LEFT JOIN uni uc ON uc.w = st.w2
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_trans,
+        |         sum(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS sum_prob_e12,
+        |         count(CASE WHEN cw IS NULL THEN 1 END) AS n_oov
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_trans, 0) AS n_trans,
+        |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
+        |       coalesce(n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_lm3_score" ->
+      """WITH corpus AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), uw AS (
+        |  SELECT unnest(ws) AS w FROM corpus
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM uw GROUP BY 1
+        |), stats AS (
+        |  SELECT sum(c) AS n_tokens, count(*) AS vocab FROM uni
+        |), bit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM corpus)
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bit GROUP BY 1, 2
+        |), trit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM corpus)
+        |), tri AS (
+        |  SELECT w1, w2, w3, count(*) AS ct FROM trit GROUP BY 1, 2, 3
+        |), sdoc AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(
+        |           text || CASE WHEN doc_id % 6 = 0 THEN ' zzqx9 vvkk7 zzqx9' ELSE '' END
+        |         ), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM sdoc)
+        |), j AS (
+        |  SELECT st.doc_id,
+        |         0.5 * coalesce(CAST(tri.ct AS DOUBLE) / CAST(b12.cb AS DOUBLE), 0.0)
+        |           + 0.5 * (0.5 * coalesce(CAST(b23.cb AS DOUBLE) / CAST(u2.c AS DOUBLE), 0.0)
+        |                    + 0.5 * ((coalesce(CAST(u3.c AS DOUBLE), 0.0) + 1.0)
+        |                             / (CAST(stats.n_tokens AS DOUBLE) + 1.0 * CAST(stats.vocab AS DOUBLE)))) AS p,
+        |         u3.c AS cw
+        |  FROM st
+        |  LEFT JOIN tri ON tri.w1 = st.w1 AND tri.w2 = st.w2 AND tri.w3 = st.w3
+        |  LEFT JOIN bi b12 ON b12.w1 = st.w1 AND b12.w2 = st.w2
+        |  LEFT JOIN bi b23 ON b23.w1 = st.w2 AND b23.w2 = st.w3
+        |  LEFT JOIN uni u2 ON u2.w = st.w2
+        |  LEFT JOIN uni u3 ON u3.w = st.w3
         |  CROSS JOIN stats
         |), agg AS (
         |  SELECT doc_id, count(*) AS n_trans,

@@ -4,38 +4,68 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
- * Corpus-trained interpolated bigram language-model scoring — the CCNet-style
+ * Corpus-trained interpolated n-gram language-model scoring — the CCNet-style
  * "perplexity filter" tier of a pre-training pipeline, expressed without any
- * external LM artifact: the model IS two count aggregates over the corpus.
+ * external LM artifact: the model IS the count aggregates over the corpus.
+ *
+ * Bigram model (order = 2):
  *
  *   P(w | prev) = λ · c(prev,w)/c(prev)  +  (1-λ) · (c(w)+k)/(N + k·V)
  *
- * (bigram MLE interpolated with an add-k unigram; unseen words fall back to
- * the smoothed unigram floor, so every transition has P > 0).
+ * Trigram model (order = 3, recursive Jelinek–Mercer — each order backs off
+ * into the fully interpolated lower order, so every transition has P > 0):
  *
- * Scale design (100 TB): training is two groupBy counts over exploded words /
- * word pairs — map-side partial aggregation, shuffle keyed on the word
- * (pair), no driver state. Scoring explodes each doc into (prev, word)
- * transitions and equi-joins the two count tables — model tables are
+ *   P(w | w1 w2) = λ₃ · c(w1,w2,w)/c(w1,w2)
+ *                + (1-λ₃) · [ λ · c(w2,w)/c(w2) + (1-λ) · (c(w)+k)/(N + k·V) ]
+ *
+ * (CCNet used a 5-gram KenLM; the interpolated trigram is the practical
+ * Spark-aggregate step up from the bigram and materially sharpens the
+ * perplexity signal — a seen trigram continuation is strong evidence the
+ * text is fluent, while gibberish never finds a trigram OR bigram match and
+ * falls to the unigram floor.)
+ *
+ * Scale design (100 TB): training is two (three) groupBy counts over
+ * exploded words / word n-grams — map-side partial aggregation, shuffle
+ * keyed on the n-gram, no driver state. Scoring explodes each doc into
+ * transitions and equi-joins the count tables — model tables are
  * DataFrames, so a small model broadcasts under AQE and a huge one
  * shuffle-joins; the single-row (N, V) stats frame is broadcast like the
  * BM25 stats row. Per-transition probabilities are bit-deterministic doubles
  * (fixed operation order) floored to 1e-12 fixed-point longs before the
  * per-doc SUM, so the aggregate is exact, order-independent, and the DuckDB
- * oracle hash-matches.
+ * oracle hash-matches — for the trigram exactly as for the bigram.
  */
 object Lm {
 
-  /** The trained model: unigram counts (w, c), bigram counts (w1, w2, c) and
-   * the single-row stats frame (n_tokens, vocab). */
-  case class LmModel(unigrams: DataFrame, bigrams: DataFrame, stats: DataFrame)
+  /** The trained model: unigram counts (w, c), bigram counts (w1, w2, c),
+   * the single-row stats frame (n_tokens, vocab), and — for an order-3
+   * model — trigram counts (w1, w2, w3, c). Scoring, bucketing and
+   * paragraph filtering dispatch on `trigrams`, so every downstream
+   * operator is parameterized over the model order by construction. */
+  case class LmModel(
+      unigrams: DataFrame, bigrams: DataFrame, stats: DataFrame,
+      trigrams: Option[DataFrame] = None) {
+    def order: Int = if (trigrams.isDefined) 3 else 2
+  }
 
   private def words(text: Column): Column =
     Text.words(text, lowercase = true)
 
-  /** Count unigrams + bigrams over the corpus. Two shuffles, both keyed on
-   * word (pair) — the model stays distributed end to end. */
-  def train(df: DataFrame, textCol: Column): LmModel = {
+  /** Explode a word-array column into adjacent n-gram structs of the given
+   * arity (columns w1..wN) — one arrays_zip of shifted slices, no join. */
+  private def ngrams(ws: Column, n: Int): Column = {
+    val names = (1 to n).map(i => s"w$i")
+    explode(arrays_zip(
+      names.zipWithIndex.map { case (nm, i) =>
+        slice(ws, lit(i + 1), size(ws) - (n - 1)).as(nm)
+      }: _*))
+  }
+
+  /** Count unigrams + bigrams (+ trigrams for order = 3) over the corpus.
+   * One shuffle per count table, each keyed on the n-gram — the model stays
+   * distributed end to end. */
+  def train(df: DataFrame, textCol: Column, order: Int = 2): LmModel = {
+    require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
     val ws = df.select(words(textCol).as("graft_ws"))
     // the model tables are consumed repeatedly (score joins unigrams on
     // BOTH transition sides, stats derives from them, collocations joins
@@ -45,14 +75,18 @@ object Lm {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = ws.where(size(col("graft_ws")) >= 2)
-      .select(explode(arrays_zip(
-        slice(col("graft_ws"), lit(1), size(col("graft_ws")) - 1).as("p"),
-        slice(col("graft_ws"), lit(2), size(col("graft_ws")) - 1).as("n"))).as("t"))
-      .select(col("t.p").as("w1"), col("t.n").as("w2"))
+      .select(ngrams(col("graft_ws"), 2).as("t"))
+      .select(col("t.w1"), col("t.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = uni.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
-    LmModel(uni, bi, stats)
+    val tri = if (order < 3) None else Some(
+      ws.where(size(col("graft_ws")) >= 3)
+        .select(ngrams(col("graft_ws"), 3).as("t"))
+        .select(col("t.w1"), col("t.w2"), col("t.w3"))
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    LmModel(uni, bi, stats, tri)
   }
 
   /**
@@ -85,40 +119,67 @@ object Lm {
    * engine-independent, unlike double→decimal casts which round through
    * the shortest string representation on the JVM) and n_oov counts
    * transitions whose target word is outside the model vocabulary. Docs
-   * with fewer than two words score (0, 0, 0). With `includeLogScores`,
+   * with fewer than `order` words score (0, 0, 0). With `includeLogScores`,
    * adds avg_logp (mean natural-log probability) and ppl (exp(-avg_logp))
    * — double aggregates whose value is order-of-summation dependent in
    * the last ulps, so they're spec-tested rather than oracle-hashed.
+   *
+   * For an order-3 model the transition unit is the trigram (n-2 per doc;
+   * the target word is w3, so n_oov counts unseen TARGETS exactly as the
+   * bigram path does) and the probability is the recursive Jelinek–Mercer
+   * interpolation with trigram weight `lambda3` — same fixed operation
+   * order, same 1e-12 fixed-point contract, oracle-hashable.
    */
   def score(
       model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
       lambda: Double = 0.5, k: Double = 1.0,
-      includeLogScores: Boolean = false): DataFrame = {
+      includeLogScores: Boolean = false, lambda3: Double = 0.5): DataFrame = {
     val base = df.select(idCol.as("id"), words(textCol).as("graft_ws"))
-    val trans = base.where(size(col("graft_ws")) >= 2)
-      .select(col("id"), explode(arrays_zip(
-        slice(col("graft_ws"), lit(1), size(col("graft_ws")) - 1).as("p"),
-        slice(col("graft_ws"), lit(2), size(col("graft_ws")) - 1).as("n"))).as("t"))
-      .select(col("id"), col("t.p").as("w1"), col("t.n").as("w2"))
-    val joined = trans
-      .join(model.bigrams.withColumnRenamed("c", "graft_cb"), Seq("w1", "w2"), "left")
-      .join(model.unigrams.select(col("w").as("w1"), col("c").as("graft_cp")), Seq("w1"), "left")
-      .join(model.unigrams.select(col("w").as("w2"), col("c").as("graft_cw")), Seq("w2"), "left")
-      .crossJoin(broadcast(model.stats))
     // fixed operation order, mirrored token-for-token by the DuckDB oracle:
     // identical IEEE ops on identical inputs → bit-identical doubles
-    val pBi = coalesce(col("graft_cb").cast("double") / col("graft_cp").cast("double"), lit(0.0))
-    val pUni = (coalesce(col("graft_cw").cast("double"), lit(0.0)) + lit(k)) /
+    def pUni(target: Column) = (coalesce(target.cast("double"), lit(0.0)) + lit(k)) /
       (col("n_tokens").cast("double") + lit(k) * col("vocab").cast("double"))
-    val p = lit(lambda) * pBi + lit(1.0 - lambda) * pUni
+    // (graft_p, graft_cw) per transition; graft_cw null ⇔ OOV target
+    val scoredTrans = model.trigrams match {
+      case None =>
+        val trans = base.where(size(col("graft_ws")) >= 2)
+          .select(col("id"), ngrams(col("graft_ws"), 2).as("t"))
+          .select(col("id"), col("t.w1"), col("t.w2"))
+        val joined = trans
+          .join(model.bigrams.withColumnRenamed("c", "graft_cb"), Seq("w1", "w2"), "left")
+          .join(model.unigrams.select(col("w").as("w1"), col("c").as("graft_cp")), Seq("w1"), "left")
+          .join(model.unigrams.select(col("w").as("w2"), col("c").as("graft_cw")), Seq("w2"), "left")
+          .crossJoin(broadcast(model.stats))
+        val pBi = coalesce(col("graft_cb").cast("double") / col("graft_cp").cast("double"), lit(0.0))
+        joined.select(col("id"),
+          (lit(lambda) * pBi + lit(1.0 - lambda) * pUni(col("graft_cw"))).as("graft_p"),
+          col("graft_cw"))
+      case Some(tri) =>
+        val trans = base.where(size(col("graft_ws")) >= 3)
+          .select(col("id"), ngrams(col("graft_ws"), 3).as("t"))
+          .select(col("id"), col("t.w1"), col("t.w2"), col("t.w3"))
+        val joined = trans
+          .join(tri.withColumnRenamed("c", "graft_ct"), Seq("w1", "w2", "w3"), "left")
+          .join(model.bigrams.select(col("w1"), col("w2"), col("c").as("graft_c12")),
+            Seq("w1", "w2"), "left")
+          .join(model.bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+            col("c").as("graft_c23")), Seq("w2", "w3"), "left")
+          .join(model.unigrams.select(col("w").as("w2"), col("c").as("graft_c2")), Seq("w2"), "left")
+          .join(model.unigrams.select(col("w").as("w3"), col("c").as("graft_cw")), Seq("w3"), "left")
+          .crossJoin(broadcast(model.stats))
+        val pTri = coalesce(col("graft_ct").cast("double") / col("graft_c12").cast("double"), lit(0.0))
+        val pBi = coalesce(col("graft_c23").cast("double") / col("graft_c2").cast("double"), lit(0.0))
+        joined.select(col("id"),
+          (lit(lambda3) * pTri + lit(1.0 - lambda3) *
+            (lit(lambda) * pBi + lit(1.0 - lambda) * pUni(col("graft_cw")))).as("graft_p"),
+          col("graft_cw"))
+    }
     val aggs = Seq(
       count(lit(1)).as("n_trans"),
       sum(floor(col("graft_p") * lit(1e12))).as("sum_prob_e12"),
       count(when(col("graft_cw").isNull, 1)).as("n_oov")) ++
       (if (includeLogScores) Seq(avg(log(col("graft_p"))).as("avg_logp")) else Nil)
-    val scored = joined
-      .select(col("id"), p.as("graft_p"), col("graft_cw"))
-      .groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val scored = scoredTrans.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val out = base.select(col("id")).join(scored, Seq("id"), "left")
       .select(Seq(col("id"),
         coalesce(col("n_trans"), lit(0L)).as("n_trans"),
@@ -140,9 +201,10 @@ object Lm {
    */
   def perplexityBuckets(
       model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
-      nBuckets: Int = 3, lambda: Double = 0.5, k: Double = 1.0): DataFrame = {
+      nBuckets: Int = 3, lambda: Double = 0.5, k: Double = 1.0,
+      lambda3: Double = 0.5): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be at least 2")
-    val scored = score(model, df, idCol, textCol, lambda, k)
+    val scored = score(model, df, idCol, textCol, lambda, k, lambda3 = lambda3)
     val mean = when(col("n_trans") === 0L, lit(0.0))
       .otherwise(col("sum_prob_e12").cast("double") / col("n_trans").cast("double"))
     // persisted: the percentile aggregate AND the final projection both
@@ -181,12 +243,13 @@ object Lm {
   def filterParagraphs(
       model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
       minMeanProbE12: Long, lambda: Double = 0.5, k: Double = 1.0,
-      splitRe: String = "\n\n+", joinSep: String = "\n\n"): DataFrame = {
+      splitRe: String = "\n\n+", joinSep: String = "\n\n",
+      lambda3: Double = 0.5): DataFrame = {
     val units = df.select(idCol.as("id"),
       posexplode(split(textCol, splitRe)).as(Seq("graft_pos", "graft_unit")))
     val scored = score(model, units,
       struct(col("id"), col("graft_pos")).as("graft_uid"), col("graft_unit"),
-      lambda, k)
+      lambda, k, lambda3 = lambda3)
     val keep = scored.where(col("n_trans") === 0L ||
         col("sum_prob_e12") >= lit(minMeanProbE12) * col("n_trans"))
       .select(col("id.id").as("id"), col("id.graft_pos").as("graft_pos"))

@@ -43,20 +43,27 @@ object Models {
 
   // --------------------------------------------------------------------- lm
 
-  /** The LM "model" is two count tables + the stats row — written as three
-   * parquet directories under `path`. Unlike the driver-sized models above,
-   * these stay DISTRIBUTED: loading does not collect anything. */
+  /** The LM "model" is two (order-3: three) count tables + the stats row —
+   * written as parquet directories under `path`. Unlike the driver-sized
+   * models above, these stay DISTRIBUTED: loading does not collect
+   * anything. The model order round-trips via the presence of the
+   * `trigrams` directory. */
   def saveLm(spark: SparkSession, path: String, m: Lm.LmModel): Unit = {
     m.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
     m.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
     m.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    m.trigrams.foreach(_.write.mode("overwrite").parquet(s"$path/trigrams"))
   }
 
-  def loadLm(spark: SparkSession, path: String): Lm.LmModel =
+  def loadLm(spark: SparkSession, path: String): Lm.LmModel = {
+    val triPath = new org.apache.hadoop.fs.Path(s"$path/trigrams")
+    val fs = triPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Lm.LmModel(
       spark.read.parquet(s"$path/unigrams"),
       spark.read.parquet(s"$path/bigrams"),
-      spark.read.parquet(s"$path/stats"))
+      spark.read.parquet(s"$path/stats"),
+      if (fs.exists(triPath)) Some(spark.read.parquet(s"$path/trigrams")) else None)
+  }
 
   // ------------------------------------------------------------------- dsir
 

@@ -83,6 +83,79 @@ class LmSpec extends AnyFunSuite {
     assert(out.values.toSet.subsetOf(Set(0, 1, 2)))
   }
 
+  test("trigram: hand-computed recursive Jelinek-Mercer interpolation") {
+    // corpus: "a b c", "a b d" -> N=6, V=4; c(a)=c(b)=2, c(c)=c(d)=1
+    // bigrams: (a,b)=2, (b,c)=1, (b,d)=1; trigrams: (a,b,c)=1, (a,b,d)=1
+    val corpus = Seq("a b c", "a b d").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    assert(model.order == 3)
+    val out = Lm.score(model, Seq((1L, "a b c")).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    assert(out.getLong(1) == 1) // one trigram transition
+    // p3 = c(a,b,c)/c(a,b) = 1/2; p2 = c(b,c)/c(b) = 1/2; pU = (1+1)/(6+4) = 0.2
+    // P = 0.5*0.5 + 0.5*(0.5*0.5 + 0.5*0.2) = 0.25 + 0.5*0.35 = 0.425
+    assert(out.getLong(2) == math.floor(0.425 * 1e12).toLong)
+    assert(out.getLong(3) == 0)
+  }
+
+  test("trigram: OOV target falls through both orders to the unigram floor") {
+    val corpus = Seq("a b c", "a b d").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    val out = Lm.score(model, Seq((1L, "a b zzz")).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    // p3 = 0 (no trigram), p2 = 0 (no bigram (b,zzz)), pU = (0+1)/(6+4) = 0.1
+    // P = 0.5*0 + 0.5*(0.5*0 + 0.5*0.1) = 0.025
+    assert(out.getLong(2) == math.floor(0.025 * 1e12).toLong)
+    assert(out.getLong(3) == 1)
+  }
+
+  test("trigram: docs with fewer than three words score zero, rows preserved") {
+    val corpus = Seq("a b c").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    val out = Lm.score(model, Seq((1L, "a b"), (2L, "a"), (3L, "")).toDF("id", "text"),
+      col("id"), col("text")).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0)
+    }
+  }
+
+  test("trigram sharpens the fluent/gibberish separation vs the bigram model") {
+    val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
+    val m2 = Lm.train(corpus, col("text"))
+    val m3 = Lm.train(corpus, col("text"), order = 3)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "dog the over fox quick jumps")).toDF("id", "text")
+    def meanP(m: Lm.LmModel) = Lm.score(m, docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) == 0) 0.0 else r.getLong(2).toDouble / r.getLong(1))).toMap
+    val (p2, p3) = (meanP(m2), meanP(m3))
+    assert(p3(1L) > p3(2L), "trigram must rank fluent above shuffled")
+    // the shuffled doc finds SOME bigram mass under m2 but almost no trigram
+    // mass under m3, so the fluent/shuffled ratio must widen at order 3
+    assert(p3(1L) / p3(2L) > p2(1L) / p2(2L),
+      s"trigram ratio ${p3(1L) / p3(2L)} should exceed bigram ${p2(1L) / p2(2L)}")
+  }
+
+  test("perplexityBuckets and filterParagraphs run on the trigram model") {
+    val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzq9 vvk7 qqx3 wwy5 aab1 ccd2"),
+      (3L, "hi")).toDF("id", "text")
+    val buckets = Lm.perplexityBuckets(model, docs, col("id"), col("text"), nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(buckets(1L) > buckets(2L) && buckets(3L) == 0)
+    val filtered = Lm.filterParagraphs(model,
+        Seq((1L, "the quick brown fox jumps\n\nzzq9 vvk7 qqx3 wwy5\n\nover the lazy dog"))
+          .toDF("id", "text"),
+        col("id"), col("text"), minMeanProbE12 = 10000000000L)
+      .as[(Long, String)].collect().toMap
+    assert(filtered(1L) == "the quick brown fox jumps\n\nover the lazy dog")
+  }
+
   test("paragraph filter drops gibberish paragraphs, keeps order and short units") {
     val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
     val model = Lm.train(corpus, col("text"))

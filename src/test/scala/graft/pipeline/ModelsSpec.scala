@@ -48,6 +48,24 @@ class ModelsSpec extends AnyFunSuite {
     assert(run(m) == run(loaded))
   }
 
+  test("order-3 lm round-trips via the trigrams directory, order preserved") {
+    val corpus = Seq("a b c", "a b d", "b a c").toDF("text")
+    val m = Lm.train(corpus, col("text"), order = 3)
+    val path = tmp("graft_lm3")
+    Models.saveLm(spark, path, m)
+    val loaded = Models.loadLm(spark, path)
+    assert(loaded.order == 3)
+    val docs = Seq((1L, "a b c d"), (2L, "c b zzz")).toDF("id", "text")
+    def run(mm: Lm.LmModel) = Lm.score(mm, docs, col("id"), col("text"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(m) == run(loaded))
+    // an order-2 save must load back as order 2 even beside an order-3 dir
+    val m2 = Lm.train(corpus, col("text"))
+    val path2 = tmp("graft_lm2")
+    Models.saveLm(spark, path2, m2)
+    assert(Models.loadLm(spark, path2).order == 2)
+  }
+
   test("dsir round-trip scores bit-identically through the inline path") {
     val raw = Seq((1L, "cat dog bird"), (2L, "stock market crash")).toDF("doc_id", "text")
     val target = Seq(Tuple1("cat dog")).toDF("text")
