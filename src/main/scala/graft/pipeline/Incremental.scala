@@ -35,8 +35,12 @@ object Incremental {
 
   /** The index at `path`, or an empty frame with its schema on first use —
    * resolved through the Hadoop filesystem of the path, so object stores
-   * work the same as local disk. */
+   * work the same as local disk. Repairs a crashed compaction FIRST: a
+   * mid-swap crash leaves the table aside as `path__compact_old`, and
+   * without the repair this exists-check would silently treat the index as
+   * empty — every indexed fingerprint forgotten, the whole batch kept. */
   private def indexOrEmpty(spark: SparkSession, path: String, schemaDdl: String): DataFrame = {
+    repairDir(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(path)
@@ -165,43 +169,125 @@ object Incremental {
    * verify regimes stay explicitly aligned. */
   private def estimateToExactThreshold(t: Double): Double = t
 
+  // ------------------------------------------------------- compaction swap
+
+  private def parquetFileCount(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Long = {
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
+  /**
+   * Repair a crashed [[compact]] swap on one table directory. The two-rename
+   * swap (dir → dir__compact_old, dir__compact_tmp → dir) is NOT atomic —
+   * on a real filesystem rename is a metadata op, but on S3-style object
+   * stores it's copy+delete, and a crash between the renames leaves the
+   * live index ASIDE: `dir` missing, content intact under `__compact_old`.
+   * The manifest written before the swap makes that state detectable, and
+   * this repair rolls it forward (tmp complete per its manifest file count
+   * — a listing, never a data scan) or back (otherwise). Idempotent; called
+   * automatically by every index load and by [[compact]] itself.
+   */
+  private[pipeline] def repairDir(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    val manifest = new org.apache.hadoop.fs.Path(dir + "__compact_manifest")
+    if (!fs.exists(tmp) && !fs.exists(old) && !fs.exists(manifest)) return
+    if (!fs.exists(p) && fs.exists(old)) {
+      // crashed BETWEEN the renames: the live table is aside
+      val expected: Long =
+        if (!fs.exists(manifest)) -1L
+        else {
+          val in = fs.open(manifest)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        }
+      if (fs.exists(tmp) && expected >= 0 && parquetFileCount(fs, tmp) == expected) {
+        // the compacted copy is complete — roll the swap forward
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"repair: cannot finish swap of $dir")
+        fs.delete(old, true)
+      } else {
+        // tmp absent or unverifiable — roll back to the original
+        if (!fs.rename(old, p))
+          throw new java.io.IOException(s"repair: cannot restore $dir")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+    }
+    // p exists (swap finished, or crashed before the first rename, or the
+    // branch above restored it): scrap whatever leftovers remain
+    if (fs.exists(p)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(manifest)) fs.delete(manifest, false)
+    }
+  }
+
   /**
    * Compact an incremental index: every batch appends its own small
    * parquet files, and after thousands of batches the file count — not the
    * byte count — dominates index-read planning time. Rewrites each index
-   * table to `targetFilesPerTable` files via a temp directory + rename
-   * (the rename window is the only non-atomic moment; run compaction when
-   * no ingest batch is in flight, like any parquet maintenance job).
-   * Content is untouched — row counts and dedup results are identical
-   * before and after (spec-pinned).
+   * table to `targetFilesPerTable` files via a temp directory + a
+   * manifest-guarded two-rename swap: the manifest (the compacted copy's
+   * expected parquet-file count) is written BEFORE the swap, so a crash in
+   * the non-atomic rename window (object-store rename = copy+delete) is
+   * detected and repaired on the next load or compact instead of the index
+   * silently reading as empty — see [[repairDir]]. Run compaction when no
+   * ingest batch is in flight, like any parquet maintenance job. Content
+   * is untouched — row counts and dedup results are identical before and
+   * after (spec-pinned). Handles the fingerprint layout (the path itself),
+   * the minhash layout (sigs/bands), and IVF/IVF-SQ8 cells tables (cid
+   * partitioning preserved, targetFilesPerTable interpreted per index).
    */
   def compact(
       spark: SparkSession, indexPath: String, targetFilesPerTable: Int = 8): Unit = {
     require(targetFilesPerTable > 0, "targetFilesPerTable must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    def compactDir(dir: String): Unit = {
+    def compactDir(dir: String, partitionCols: Seq[String]): Unit = {
+      repairDir(spark, dir) // heal any earlier crash before touching the dir
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return
       val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
       val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      if (fs.exists(old)) fs.delete(old, true)
-      spark.read.parquet(dir).repartition(targetFilesPerTable)
-        .write.mode("overwrite").parquet(tmp.toString)
+      val manifest = new org.apache.hadoop.fs.Path(dir + "__compact_manifest")
+      val df = spark.read.parquet(dir)
+      val writer = partitionCols match {
+        case Seq() => df.repartition(targetFilesPerTable).write
+        case cols =>
+          // hash each partition key to one task → exactly one file per
+          // key, partition layout preserved for pruning
+          df.repartition(targetFilesPerTable, cols.map(col): _*)
+            .write.partitionBy(cols: _*)
+      }
+      writer.mode("overwrite").parquet(tmp.toString)
+      val out = fs.create(manifest, true)
+      try out.write(parquetFileCount(fs, tmp).toString.getBytes("UTF-8"))
+      finally out.close()
       if (!fs.rename(p, old)) throw new java.io.IOException(s"cannot move $dir aside")
       if (!fs.rename(tmp, p)) {
         fs.rename(old, p) // restore on failure
         throw new java.io.IOException(s"cannot move compacted $dir into place")
       }
       fs.delete(old, true)
+      fs.delete(manifest, false)
     }
     // a bare fingerprint index is the path itself; the minhash index is the
-    // sigs/bands pair underneath
-    val sub = Seq(s"$indexPath/sigs", s"$indexPath/bands")
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(conf)
-    val hasSub = sub.exists(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    if (hasSub) sub.foreach(compactDir) else compactDir(indexPath)
+    // sigs/bands pair underneath; an ANN index carries a cid-partitioned
+    // cells table (centroids/sq are single driver-written files — no churn)
+    val flatSub = Seq(s"$indexPath/sigs", s"$indexPath/bands")
+    val cells = s"$indexPath/cells"
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+    def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+    val hasFlat = flatSub.exists(exists)
+    val hasCells = exists(cells)
+    if (hasFlat) flatSub.foreach(compactDir(_, Nil))
+    if (hasCells) compactDir(cells, Seq("cid"))
+    if (!hasFlat && !hasCells) compactDir(indexPath, Nil)
   }
 }

@@ -257,14 +257,55 @@ object Similarity {
    */
   def ivfBuild(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      nlist: Int = 16, iters: Int = 4): Unit = {
-    val centroids = kmeansCentroids(corpus, vecCol, nlist, iters)
+      nlist: Int = 16, iters: Int = 4,
+      centroidsFrom: Option[String] = None): Unit = {
+    // centroidsFrom: rebuild the cells table against an EXISTING index's
+    // frozen centroids (post-append re-shard, A/B index rebuilds) instead
+    // of retraining — assignment stays deterministic across the two builds
+    require(!centroidsFrom.contains(path),
+      "ivfBuild: centroidsFrom must point at a different index (read-then-overwrite)")
+    val centroids = centroidsFrom match {
+      case Some(src) => corpus.sparkSession.read.parquet(s"$src/centroids")
+      case None => kmeansCentroids(corpus, vecCol, nlist, iters)
+    }
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cents = centroids.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     corpus.select(
         col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv0"),
         bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /**
+   * Append a new batch to a persisted IVF index WITHOUT retraining: vectors
+   * assign to the EXISTING centroids and their cell rows append to the
+   * cells table — so a growing corpus pays O(batch) per ingest, not a
+   * per-batch rebuild, and search results are identical to a full rebuild
+   * over the same centroids (spec-pinned). Centroid drift is a maintenance
+   * decision: rebuild when the appended fraction is large enough to matter
+   * (the centroids table records what the cells were assigned with).
+   *
+   * Retry-idempotent: batch ids are anti-joined against the index before
+   * appending — and because assignment is deterministic given the frozen
+   * centroids, a retried batch lands in the SAME cells, so the anti-join
+   * scan prunes to just the cell partitions the batch assigns to (bounded
+   * by the batch's distinct-cid set, never the whole index).
+   */
+  def ivfAppend(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val assigned = newBatch.select(
+        col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv0"),
+        bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+      .localCheckpoint(true) // one assignment pass feeds cid-list + append
+    val cids = assigned.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val existing = spark.read.parquet(s"$path/cells")
+      .where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
+      .select(col("neighbor_id"))
+    assigned.join(existing, Seq("neighbor_id"), "left_anti")
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
   }
 
   /** Search a persisted IVF index: no re-train, no re-assign; the cid filter

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -109,12 +109,24 @@ object Sq {
    */
   def ivfSqBuild(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      nlist: Int = 16, iters: Int = 4): Unit = {
+      nlist: Int = 16, iters: Int = 4,
+      modelFrom: Option[String] = None): Unit = {
+    // modelFrom: rebuild the cells table against an EXISTING index's frozen
+    // centroids AND quantizer ranges instead of retraining either — code
+    // bytes and cell assignment stay deterministic across the two builds
+    require(!modelFrom.contains(path),
+      "ivfSqBuild: modelFrom must point at a different index (read-then-overwrite)")
     val spark = corpus.sparkSession
-    val centroids = Similarity.kmeansCentroids(corpus, vecCol, nlist, iters)
+    val centroids = modelFrom match {
+      case Some(src) => spark.read.parquet(s"$src/centroids")
+      case None => Similarity.kmeansCentroids(corpus, vecCol, nlist, iters)
+    }
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cents = centroids.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    val params = train(corpus, col(vecCol))
+    val params = modelFrom match {
+      case Some(src) => Models.loadSq(spark, s"$src/sq")
+      case None => train(corpus, col(vecCol))
+    }
     Models.saveSq(spark, s"$path/sq", params)
     corpus.select(
         col(idCol).as("neighbor_id"),
@@ -122,6 +134,36 @@ object Sq {
         Similarity.bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
       .where(col("code").isNotNull)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /**
+   * Append a new batch to a persisted IVF-SQ8 index WITHOUT retraining:
+   * vectors encode with the EXISTING quantizer ranges and assign to the
+   * EXISTING centroids (both frozen at build time — out-of-range components
+   * clamp, exactly as any post-train vector does), so search-after-append
+   * equals search-after-rebuild over the same model (spec-pinned).
+   * Retry-idempotent via the same pruned anti-join as
+   * [[Similarity.ivfAppend]]: deterministic assignment means a retried
+   * batch lands in the same cells, so only those partitions are scanned.
+   */
+  def ivfSqAppend(
+      spark: SparkSession, path: String,
+      newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val params = Models.loadSq(spark, s"$path/sq")
+    val assigned = newBatch.select(
+        col(idCol).as("neighbor_id"),
+        encode(col(vecCol), params).as("code"),
+        Similarity.bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+      .where(col("code").isNotNull)
+      .localCheckpoint(true) // one encode+assign pass feeds cid-list + append
+    val cids = assigned.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val existing = spark.read.parquet(s"$path/cells")
+      .where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
+      .select(col("neighbor_id"))
+    assigned.join(existing, Seq("neighbor_id"), "left_anti")
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
   }
 
   /**
