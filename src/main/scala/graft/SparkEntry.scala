@@ -1073,11 +1073,29 @@ object SparkEntry {
     }),
     "q_multimodal_features" -> ((s, dir) => {
       // rows-only: image (ImageIO) + audio (AudioSystem WAV) decode are real;
-      // video has no JDK codec and falls back flagged decodedOk=false
+      // video pixel decode has no JDK codec and stays flagged decodedOk=false
+      // (container parsing is q_video_meta's job)
       val media = graft.pipeline.Multimodal.mediaFromText(docs(s, dir), "doc_id", "text")
       graft.pipeline.Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("decodedOk"),
           size(col("feature")).as("feat_dim"))
+    }),
+    "q_video_meta" -> ((s, dir) => {
+      // rows-only (the ISO-BMFF fixture bytes aren't SQL-buildable):
+      // container parse of every video row — duration/dims/codec from the
+      // box walk, keyframe payloads located through the sample tables;
+      // Mp4Spec pins the parser against hand-built containers
+      val media = graft.pipeline.Multimodal.mediaFromText(docs(s, dir), "doc_id", "text")
+      val meta = graft.pipeline.Multimodal.extractVideoMeta(media)
+      val frames = graft.pipeline.Multimodal.sampleKeyframes(media).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_keyframes"),
+          sum(length(col("frame"))).as("keyframe_bytes"))
+      meta.join(frames, Seq("media_id"), "left")
+        .select(col("media_id"), col("parsed_ok"), col("brand"),
+          col("duration_ms"), col("width"), col("height"), col("video_codec"),
+          coalesce(col("n_keyframes"), lit(0L)).as("n_keyframes"),
+          coalesce(col("keyframe_bytes"), lit(0L)).as("keyframe_bytes"))
     }),
     "q_as_uuid" -> ((s, dir) => {
       lineitem(s, dir).select(

@@ -14,12 +14,15 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  * and `javax.sound.sampled.AudioSystem` (WAV/PCM, AIFF, AU) ship with the
  * JDK, so image rows decode to pixels and featurize as a 16-bin luminance
  * histogram, and audio rows decode to PCM samples and featurize as a 16-bin
- * amplitude histogram. Video codecs are not in this container — that kind
- * falls back to a deterministic byte histogram, clearly flagged by
- * `decodedOk = false`. Everything around the codec — the schema, the typed
- * Dataset pipeline, the mapPartitions batch shape (one decoder init per
- * partition, streamed rows), the frame sampler, resize — is the production
- * plumbing a full codec stack would drop into.
+ * amplitude histogram. Video CONTAINER parsing is real too ([[Mp4]],
+ * ISO-BMFF): [[extractVideoMeta]] reads duration/dimensions/codec fourccs
+ * and [[sampleKeyframes]] extracts the actual sync-sample payloads at their
+ * sample-table byte offsets. Only PIXEL decode of those frames is absent
+ * (no H.264 codec in the JDK), so video feature rows keep
+ * `decodedOk = false` — the flag means "pixels decoded", and it stays
+ * honest. The mapPartitions batch shape (one decoder init per partition,
+ * streamed rows), schema, frame sampler and resize are the production
+ * plumbing a codec stack would drop into.
  */
 object Multimodal {
 
@@ -30,9 +33,9 @@ object Multimodal {
 
   /** Fabricate a deterministic media table from any string column — test
    * stand-in for `spark.read.format("binaryFile")`. Image-kind rows carry a
-   * REAL 8x8 PNG and audio-kind rows a REAL 16-bit PCM WAV (both seeded from
-   * the text hash) so the ImageIO / AudioSystem decode paths are exercised
-   * end-to-end; video rows carry raw text bytes. */
+   * REAL 8x8 PNG, audio-kind rows a REAL 16-bit PCM WAV, and video-kind
+   * rows a REAL minimal ISO-BMFF MP4 (all seeded from the text hash) so the
+   * ImageIO / AudioSystem / [[Mp4]] parse paths are exercised end-to-end. */
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -49,10 +52,28 @@ object Multimodal {
             // 256 samples at 8 kHz = 32 ms
             MediaRow(r.getLong(0), kind, bytes, MediaMeta(0, 0, "audio/wav", 32L))
           case _ =>
-            val bytes = text.getBytes("UTF-8")
-            MediaRow(r.getLong(0), kind, bytes, MediaMeta(0, 0, "fake/" + kind, bytes.length.toLong))
+            val bytes = syntheticMp4(text.hashCode.toLong)
+            MediaRow(r.getLong(0), kind, bytes, MediaMeta(64, 48, "video/mp4", 2000L))
         }
       }
+  }
+
+  /** Deterministic minimal MP4: four 16-byte LCG samples (sync samples 1
+   * and 3), one avc1 video track, 64×48, 2 s at timescale 1000. */
+  private[pipeline] def syntheticMp4(seed: Long): Array[Byte] = {
+    var p = seed
+    val samples = Seq.fill(4) {
+      val b = new Array[Byte](16)
+      var i = 0
+      while (i < 16) {
+        p = p * 6364136223846793005L + 1442695040888963407L
+        b(i) = (p >>> 56).toByte
+        i += 1
+      }
+      b
+    }
+    Mp4.build(samples, syncSamples = Seq(1, 3),
+      width = 64, height = 48, timescale = 1000L, duration = 2000L)
   }
 
   /** Deterministic 8x8 PNG: LCG-colored pixels from a seed. ImageIO's PNG
@@ -336,7 +357,8 @@ object Multimodal {
   }
 
   /** Frame sampling for "video" rows: every `stride` bytes window as a fake
-   * frame — the real version would seek keyframes; partition shape identical. */
+   * frame — [[sampleKeyframes]] is the container-aware version; this stays
+   * as the format-agnostic fallback with the same partition shape. */
   def sampleFrames(ds: Dataset[MediaRow], stride: Int, frameSize: Int): Dataset[FrameRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -344,6 +366,55 @@ object Multimodal {
       m.data.grouped(stride).take(8).zipWithIndex.map { case (chunk, i) =>
         FrameRow(m.media_id, i, chunk.take(frameSize))
       }
+    }
+  }
+
+  /** Container-level video metadata per row — a narrow per-partition
+   * projection (the [[Mp4]] box walk is one linear scan of the byte array,
+   * no codec): (media_id, parsed_ok, brand, duration_ms, width, height,
+   * video_codec, audio_codec, n_samples, n_sync_samples). Non-video rows
+   * are excluded; unparseable containers report parsed_ok = false with
+   * zeroed fields — same never-silently-drop contract as the WARC door. */
+  def extractVideoMeta(ds: Dataset[MediaRow]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "video").map { m =>
+      Mp4.parse(m.data) match {
+        case Some(meta) =>
+          (m.media_id, true, meta.brand, meta.durationMs, meta.width, meta.height,
+            meta.videoCodec, meta.audioCodec, meta.nSamples, meta.nSyncSamples)
+        case None =>
+          (m.media_id, false, "", 0L, 0, 0, "", "", 0L, 0L)
+      }
+    }.toDF("media_id", "parsed_ok", "brand", "duration_ms", "width", "height",
+      "video_codec", "audio_codec", "n_samples", "n_sync_samples")
+  }
+
+  /** REAL keyframe extraction for video rows: sync samples located through
+   * the container's sample tables (stss × stsc × stsz × stco) and their
+   * compressed payloads sliced at the exact byte offsets — up to
+   * `maxFrames` per row, `frameIdx` = the container's 1-based sample
+   * number. Rows whose container doesn't parse fall back to the
+   * byte-window sampler so no video row silently vanishes. Pixel decode of
+   * the extracted access units still needs a codec — these are the
+   * compressed frames a downstream decoder (or a frame-level hash) would
+   * consume. */
+  def sampleKeyframes(ds: Dataset[MediaRow], maxFrames: Int = 8): Dataset[FrameRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "video").flatMap { m =>
+      val ranges = Mp4.sampleRanges(m.data).filter(_.sync).take(maxFrames)
+      if (ranges.nonEmpty)
+        ranges.flatMap { r =>
+          if (r.offset >= 0 && r.offset + r.size <= m.data.length && r.size > 0)
+            Some(FrameRow(m.media_id, r.sample,
+              java.util.Arrays.copyOfRange(m.data, r.offset.toInt, (r.offset + r.size).toInt)))
+          else None
+        }
+      else // unparseable container: format-agnostic byte-window fallback
+        m.data.grouped(4096).take(maxFrames).zipWithIndex.map { case (chunk, i) =>
+          FrameRow(m.media_id, i, chunk)
+        }.toSeq
     }
   }
 }
