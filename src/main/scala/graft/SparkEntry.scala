@@ -579,6 +579,17 @@ object SparkEntry {
       graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_bm25_search" -> ((s, dir) => {
+      // batch retrieval: build the inverted index over the corpus, answer
+      // every 50th doc as a query (top-5 by fixed-point BM25, rank ties by
+      // id). Index layout + pruning are RetrievalSpec's job; values + ranks
+      // hash-match the DuckDB replication.
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+      graft.pipeline.Retrieval.buildIndex(d, "doc_id", "text", path)
+      val queries = d.where(col("doc_id") % 50 === 0)
+      graft.pipeline.Retrieval.searchTopK(s, path, queries, "doc_id", "text", k = 5)
+    }),
     "q_lm3_score" -> ((s, dir) => {
       // interpolated trigram LM (recursive Jelinek–Mercer backoff): train at
       // order 3, score the corpus plus the same planted gibberish suffixes —
@@ -1525,6 +1536,46 @@ object SparkEntry {
         |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
         |       coalesce(n_oov, 0) AS n_oov
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_bm25_search" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), docs AS (
+        |  SELECT id, toks, len(toks) AS dl FROM base
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs
+        |), postings AS (
+        |  SELECT term, id, dl, count(*) AS tf
+        |  FROM (SELECT id, dl, unnest(toks) AS term FROM docs)
+        |  GROUP BY 1, 2, 3
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM postings GROUP BY 1
+        |), qt AS (
+        |  SELECT DISTINCT id AS query_id, unnest(toks) AS term FROM docs WHERE id % 50 = 0
+        |), j AS (
+        |  SELECT qt.query_id, p.id,
+        |         CAST(floor(
+        |           (ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |            * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |               / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |                  + 0.75 * CAST(dl AS DOUBLE)
+        |                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |           * 1000000000.0) AS BIGINT) AS p9
+        |  FROM qt
+        |  JOIN postings p USING (term)
+        |  JOIN dfs USING (term)
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT query_id, id, CAST(sum(p9) AS BIGINT) AS score_e9 FROM j GROUP BY 1, 2
+        |)
+        |SELECT query_id, id, score_e9, CAST(rnk AS INT) AS rank FROM (
+        |  SELECT query_id, id, score_e9,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score_e9 DESC, id) AS rnk
+        |  FROM agg)
+        |WHERE rnk <= 5""".stripMargin,
     "q_lm3_score" ->
       """WITH corpus AS (
         |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * BM25 batch retrieval over a persisted inverted index — the retrieval tier
+ * of a curation/decontamination stack ([[Curation.bm25]] scores every doc
+ * against ONE term list; this answers a BATCH of queries with top-k docs
+ * each, against an index built once per corpus).
+ *
+ * Index layout at `path` (all parquet, all distributed):
+ *  - `postings/` (term, id, tf, dl) — one row per distinct (term, doc),
+ *    denormalized with the doc length so scoring never joins a doc table;
+ *    repartitioned BY TERM and sorted within partitions, so a term-set
+ *    predicate prunes row groups via parquet min/max stats.
+ *  - `dfs/` (term, df) — document frequencies.
+ *  - `stats/` — single row (n_docs, sum_dl).
+ *
+ * Search cost is O(postings of the query's terms), never O(corpus): the
+ * distinct query terms (bounded by the query batch, guarded broadcastable)
+ * become an IN filter pushed into BOTH parquet scans before the joins.
+ *
+ * Scoring is the standard BM25 (Robertson–Spärck Jones idf, k1/b length
+ * normalization) with each per-term partial floored to 1e-9 fixed point
+ * BEFORE the per-(query, doc) sum — the [[Lm]] contract: identical IEEE
+ * ops in a fixed order, then an exact order-independent integer aggregate,
+ * so scores AND top-k ranks (score desc, id asc) hash-match the DuckDB
+ * oracle. Query term frequency is set semantics (distinct terms), matching
+ * what the oracle can express.
+ */
+object Retrieval {
+
+  private def toks(text: org.apache.spark.sql.Column) =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= lit(""))
+
+  /** Build the inverted index at `path`: one tokenize pass, one (term, id)
+   * count aggregate, one keyed df aggregate — content never shuffles, only
+   * terms and counts. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val base = df.select(col(idCol).cast("long").as("id"), toks(col(textCol)).as("graft_toks"))
+      .withColumn("dl", size(col("graft_toks")))
+    val postings = base
+      .select(col("id"), col("dl"), explode(col("graft_toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings
+      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    // (term, id) is unique in postings, so df is a plain count per term
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfs")
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    postings.unpersist()
+  }
+
+  /**
+   * Top-k docs per query from the index at `path`. Returns
+   * (query_id, id, score_e9, rank) — score in 1e-9 fixed-point units,
+   * rank 1-based by (score desc, id asc). Queries with no matching term
+   * return no rows.
+   */
+  def searchTopK(
+      spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxBroadcastQueries: Int = Similarity.MaxBroadcastQueries): DataFrame = {
+    require(k > 0, "searchTopK needs k > 0")
+    Similarity.requireBroadcastable(queries, maxBroadcastQueries, "searchTopK")
+    val qterms = queries
+      .select(col(qidCol).cast("long").as("query_id"),
+        explode(array_distinct(toks(col(textCol)))).as("term"))
+    // the distinct term set is bounded by the (guarded) query batch — as a
+    // driver-side IN list it prunes BOTH parquet scans' row groups before
+    // any join runs
+    val termList = qterms.select(col("term")).distinct().collect().map(_.getString(0))
+    if (termList.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, id BIGINT, score_e9 BIGINT, rank INT"))
+    val inTerms = termList.toSeq
+    val postings = spark.read.parquet(s"$path/postings").where(col("term").isin(inTerms: _*))
+    val dfs = spark.read.parquet(s"$path/dfs").where(col("term").isin(inTerms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+
+    // fixed operation order, mirrored token-for-token by the DuckDB oracle
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val dfT = col("df").cast("double")
+    val tf = col("tf").cast("double")
+    val idf = log((nD - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0))
+    val norm = tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val partial = idf * norm
+
+    val scored = broadcast(qterms.join(broadcast(dfs), Seq("term")))
+      .join(postings, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"),
+        floor(partial * lit(1e9)).as("graft_p9"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("graft_p9")).as("score_e9"))
+    Similarity.topKPerQuery(
+        scored.select(col("query_id"), col("id").as("neighbor_id"),
+          col("score_e9").cast("double").as("sim")), k)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("sim").cast("long").as("score_e9"), col("rank"))
+  }
+}

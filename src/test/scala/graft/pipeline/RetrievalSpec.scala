@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 batch retrieval over the persisted inverted index: hand-checked
+ * ranking, term-filter pushdown into the postings scan, and edge cases. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_retr").toString
+
+  private lazy val corpus = Seq(
+    (1L, "spark shuffles data across the cluster"),
+    (2L, "spark spark spark tuning guide"),
+    (3L, "a completely unrelated cooking recipe"),
+    (4L, "cluster sizing and data layout"),
+    (5L, "the spark cluster handles data")).toDF("doc_id", "text")
+
+  test("top-k ranking: tf boosts, rare terms outweigh common, ties by id") {
+    val idx = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", idx)
+    val queries = Seq((100L, "spark cluster")).toDF("qid", "q")
+    val out = Retrieval.searchTopK(spark, idx, queries, "qid", "q", k = 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getLong(0) == 100L))
+    // doc 5 matches both terms; doc 2 has tf=3 on one term; doc 1 both? no:
+    // doc 1 has spark+cluster too. The exact order is pinned by the scores:
+    val ids = out.map(_.getLong(1)).toSeq
+    val scores = out.map(_.getLong(2)).toSeq
+    assert(scores == scores.sorted.reverse, "ranks must follow descending score")
+    assert(ids.toSet.subsetOf(Set(1L, 2L, 4L, 5L)))
+    assert(!ids.contains(3L), "non-matching doc must not appear")
+    // both-term docs beat the single-term doc 4
+    assert(out.take(2).map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L, 5L)))
+  }
+
+  test("scores match a direct BM25 computation on a tiny fixture") {
+    val idx = tmp()
+    val docs = Seq((1L, "a b"), (2L, "a a"), (3L, "c d")).toDF("doc_id", "text")
+    Retrieval.buildIndex(docs, "doc_id", "text", idx)
+    val out = Retrieval.searchTopK(spark, idx,
+        Seq((9L, "a")).toDF("qid", "q"), "qid", "q", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // n=3, avgdl=2, df(a)=2; idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    // doc1: tf=1, dl=2 → norm = 2.2/(1+1.2*1) = 1.0; doc2: tf=2 → 4.4/(2+1.2)
+    val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+    def e9(norm: Double) = math.floor(idf * norm * 1e9).toLong
+    assert(out(1L) == e9(1.0 * (1.2 + 1.0) / (1.0 + 1.2 * ((1.0 - 0.75) + 0.75 * 2.0 / 2.0))))
+    assert(out(2L) == e9(2.0 * (1.2 + 1.0) / (2.0 + 1.2 * ((1.0 - 0.75) + 0.75 * 2.0 / 2.0))))
+    assert(out(2L) > out(1L), "higher tf must score higher at equal dl")
+    assert(!out.contains(3L))
+  }
+
+  test("the query term set pushes into the postings parquet scan") {
+    val idx = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", idx)
+    val queries = Seq((1L, "spark")).toDF("qid", "q")
+    val plan = Retrieval.searchTopK(spark, idx, queries, "qid", "q", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"postings scan must carry a pushed term filter:\n$plan")
+  }
+
+  test("no matching terms / empty query text return empty, typed frames") {
+    val idx = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", idx)
+    val noHit = Retrieval.searchTopK(spark, idx,
+      Seq((1L, "zzzqqq vvvkkk")).toDF("qid", "q"), "qid", "q", k = 3)
+    assert(noHit.count() == 0)
+    val empty = Retrieval.searchTopK(spark, idx,
+      Seq((1L, "   ")).toDF("qid", "q"), "qid", "q", k = 3)
+    assert(empty.columns.toSeq == Seq("query_id", "id", "score_e9", "rank"))
+    assert(empty.count() == 0)
+  }
+
+  test("multi-query batch keeps queries independent") {
+    val idx = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", idx)
+    val queries = Seq((1L, "cooking recipe"), (2L, "spark")).toDF("qid", "q")
+    val out = Retrieval.searchTopK(spark, idx, queries, "qid", "q", k = 2)
+      .collect().groupBy(_.getLong(0))
+    assert(out(1L).map(_.getLong(1)).toSet == Set(3L))
+    assert(out(2L).length == 2 && !out(2L).map(_.getLong(1)).contains(3L))
+  }
+}
