@@ -28,6 +28,22 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Events table with `ts` normalized to TIMESTAMP micros regardless of how
+   * the parquet stores it — the driver has shipped both TIMESTAMP(NANOS)
+   * (readable only as long via nanosAsLong) and timestamp[us] (read as
+   * TIMESTAMP_NTZ). Session timeZone is UTC everywhere, so the NTZ→TS cast
+   * is wall-clock-identity and matches DuckDB's naive-timestamp reading. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -283,11 +299,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
     "q_events_window" -> ((s, dir) => {
-      // batch shape of the streaming windowed pass-rate (events table);
-      // the parquet stores TIMESTAMP(NANOS) which Spark only reads as long
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // batch shape of the streaming windowed pass-rate (events table)
+      events(s, dir)
         .groupBy(
           window(col("ts"), "1 hour").getField("start").as("window_start"),
           col("event_type"))
@@ -297,9 +310,8 @@ object SparkEntry {
     }),
     "q_sessionize" -> ((s, dir) => {
       // gap-based sessions over the events table (30-minute gap, epoch secs)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("tsec"))
       graft.operators.Sessionize.sessionStats(ev, "user_id", "tsec", maxGap = 1800L)
         .select(col("user_id"), col("session_seq"), col("events"),
           col("session_start"), col("duration"))
@@ -315,9 +327,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => {
       // point-in-time enrichment: each click gets the latest preceding view's
       // value per user (window-based asof — one key shuffle, no range join)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = events(s, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"))
       val views = ev.where(col("event_type") === "view")
