@@ -36,23 +36,57 @@ object Retrieval {
 
   /** Build the inverted index at `path`: one tokenize pass, one (term, id)
    * count aggregate, one keyed df aggregate — content never shuffles, only
-   * terms and counts. */
-  def buildIndex(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+   * terms and counts.
+   *
+   * Skew bound: the postings write repartitions on (term, pmod(hash(id),
+   * saltBuckets)), NOT term alone — at web scale df("the") ~ n_docs, so a
+   * term-only shuffle sends ~10^10 stopword rows to one task while the rest
+   * idle. Salting caps any single term's share of a partition at ~df/salt
+   * while files stay term-sorted, so the search side's term-IN predicate
+   * still prunes row groups via parquet min/max stats.
+   *
+   * `maxDfFraction` < 1 additionally drops terms appearing in more than
+   * that fraction of docs from postings AND dfs (standard IR stopword cut:
+   * their idf = ln((n-df+.5)/(df+.5)+1) ≈ 0, so they cost index space and
+   * scoring time while moving scores ~nothing). The dropped-term list is
+   * bounded by avg_dl/maxDfFraction (each doc has avg_dl distinct-ish
+   * terms; only so many can clear the df bar), so collecting it to the
+   * driver is safe at any corpus size. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+      maxDfFraction: Double = 1.0, saltBuckets: Int = 16): Unit = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     val base = df.select(col(idCol).cast("long").as("id"), toks(col(textCol)).as("graft_toks"))
       .withColumn("dl", size(col("graft_toks")))
-    val postings = base
+    val postingsAll = base
       .select(col("id"), col("dl"), explode(col("graft_toks")).as("term"))
       .groupBy(col("term"), col("id"), col("dl")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (term, id) is unique in postings, so df is a plain count per term;
+    // the partial-aggregate reduce side sees at most one row per (term,
+    // input partition) — no stopword skew here
+    val dfsAll = postingsAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropTerms: Seq[String] =
+      if (maxDfFraction < 1.0) {
+        val nDocs = base.agg(count(lit(1))).collect()(0).getLong(0)
+        dfsAll.where(col("df") > maxDfFraction * nDocs)
+          .select(col("term")).collect().map(_.getString(0)).toSeq
+      } else Nil
+    val (postings, dfs) =
+      if (dropTerms.isEmpty) (postingsAll, dfsAll)
+      else (postingsAll.where(!col("term").isin(dropTerms: _*)),
+            dfsAll.where(!col("term").isin(dropTerms: _*)))
     postings
-      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .repartition(col("term"), pmod(hash(col("id")), lit(saltBuckets)))
+      .sortWithinPartitions(col("term"), col("id"))
       .write.mode("overwrite").parquet(s"$path/postings")
-    // (term, id) is unique in postings, so df is a plain count per term
-    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/dfs")
+    dfs.write.mode("overwrite").parquet(s"$path/dfs")
     base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    postings.unpersist()
+    postingsAll.unpersist()
+    dfsAll.unpersist()
   }
 
   /**

@@ -77,6 +77,59 @@ class RetrievalSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("hot-term postings spread across partitions: no file exceeds 2x the mean") {
+    // planted stopword corpus: "the" appears in EVERY doc, so a term-only
+    // repartition would land all 2000 of its postings in one task; the
+    // salted build must spread them while keeping files term-sorted
+    val idx = tmp()
+    val docs = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        concat(lit("the w"), col("id")).as("text"))
+    // AQE rightly coalesces this tiny shuffle to one partition; disable it
+    // here so the test observes the salted layout a real-size build gets
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Retrieval.buildIndex(docs, "doc_id", "text", idx)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    val perFile = spark.read.parquet(s"$idx/postings")
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(_.getLong(1))
+    val mean = perFile.sum.toDouble / perFile.length
+    assert(perFile.length > 1, "expected a multi-file postings layout")
+    assert(perFile.max < 2000, s"stopword postings all in one file: ${perFile.toSeq}")
+    assert(perFile.max <= 2.0 * mean,
+      s"skew bound violated: max=${perFile.max} mean=$mean files=${perFile.toSeq}")
+    // search across the salted layout still finds and ranks correctly
+    val hits = Retrieval.searchTopK(spark, idx,
+        Seq((1L, "w42 the")).toDF("qid", "q"), "qid", "q", k = 1).collect()
+    assert(hits.length == 1 && hits(0).getLong(1) == 42L)
+  }
+
+  test("maxDfFraction cuts stopword postings from the index, scores unchanged for rare terms") {
+    val idxFull = tmp(); val idxCut = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", idxFull)
+    // "spark" df=3/5, "the" df=2/5, "data" df=3/5 — cut at 0.5 drops df>2.5
+    Retrieval.buildIndex(corpus, "doc_id", "text", idxCut, maxDfFraction = 0.5)
+    val cutTerms = spark.read.parquet(s"$idxCut/dfs")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(!cutTerms.contains("spark") && !cutTerms.contains("data"))
+    assert(cutTerms.contains("cooking"), "rare terms must survive the cut")
+    assert(spark.read.parquet(s"$idxCut/postings")
+      .where(col("term") === "spark").count() == 0)
+    // a rare-term query scores IDENTICALLY on both indexes: the cut keeps
+    // full corpus stats (n_docs, sum_dl, surviving dfs), only drops terms
+    val q = Seq((7L, "cooking recipe")).toDF("qid", "q")
+    val full = Retrieval.searchTopK(spark, idxFull, q, "qid", "q", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val cut = Retrieval.searchTopK(spark, idxCut, q, "qid", "q", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(full == cut)
+    // a cut term in the query contributes nothing instead of erroring
+    val sparkQ = Retrieval.searchTopK(spark, idxCut,
+      Seq((8L, "spark")).toDF("qid", "q"), "qid", "q", k = 5)
+    assert(sparkQ.count() == 0)
+  }
+
   test("multi-query batch keeps queries independent") {
     val idx = tmp()
     Retrieval.buildIndex(corpus, "doc_id", "text", idx)
