@@ -52,7 +52,7 @@ object SparkEntry {
         // otherwise be silently read 1000x/1000000x off. Nanos for any
         // epoch past mid-1970 exceed 1e16; micros top out ~3e15 this
         // century, so the bound separates the encodings cleanly.
-        if (eventsTsChecked.add(dir)) {
+        if (!eventsTsChecked.contains(dir)) {
           df.select(col("ts")).where(col("ts").isNotNull).limit(1)
             .collect().headOption.foreach { r =>
               val v = r.getLong(0)
@@ -60,6 +60,9 @@ object SparkEntry {
                 s"events.parquet ts=$v is too small for epoch-nanos; " +
                   "file likely stores micros/millis — refusing to div 1000")
             }
+          // mark checked only once the guard passes, so a failing file is
+          // re-checked (and re-refused) on every subsequent read of the dir
+          eventsTsChecked.add(dir)
         }
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case other =>
@@ -93,6 +96,17 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory("graft_q_ivfpq_idx").toString
       graft.pipeline.Pq.ivfPqBuild(embeddings(s, dir), "vec_id", "embedding", path,
         nlist = 16, mSub = 8, ksub = 16)
+      path
+    })
+
+  /** One prebuilt BM25 inverted index per (process, sf dir): q_bm25_search
+   * measures steady-state batch retrieval (the build is q_bm25_index_build's
+   * job — conflating them hid search regressions behind the ~4 s build). */
+  private val bm25IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25IndexFor(s: SparkSession, dir: String): String =
+    bm25IndexCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_q_bm25_idx").toString
+      graft.pipeline.Retrieval.buildIndex(docs(s, dir), "doc_id", "text", path)
       path
     })
 
@@ -634,16 +648,27 @@ object SparkEntry {
       graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
-    "q_bm25_search" -> ((s, dir) => {
-      // batch retrieval: build the inverted index over the corpus, answer
-      // every 50th doc as a query (top-5 by fixed-point BM25, rank ties by
-      // id). Index layout + pruning are RetrievalSpec's job; values + ranks
-      // hash-match the DuckDB replication.
+    "q_bm25_index_build" -> ((s, dir) => {
+      // the once-per-corpus inverted-index build cost measured on its own
+      // (the q_ann_ivfpq_build pattern): a FRESH build every call, so the
+      // bench times tokenize + postings aggregate + skew-salted write; the
+      // dfs table is the deterministic, oracle-checkable build artifact
       val d = docs(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+      val path = java.nio.file.Files.createTempDirectory("graft_q_bm25_b").toString
       graft.pipeline.Retrieval.buildIndex(d, "doc_id", "text", path)
+      s.read.parquet(s"$path/dfs")
+    }),
+    "q_bm25_search" -> ((s, dir) => {
+      // steady-state batch retrieval against the PREBUILT per-process index
+      // (built once per (process, sf dir) — a production search tier never
+      // rebuilds per query batch): every 50th doc as a query, top-5 by
+      // fixed-point BM25, rank ties by id. Index layout + pruning are
+      // RetrievalSpec's job; values + ranks hash-match the DuckDB
+      // replication.
+      val d = docs(s, dir)
       val queries = d.where(col("doc_id") % 50 === 0)
-      graft.pipeline.Retrieval.searchTopK(s, path, queries, "doc_id", "text", k = 5)
+      graft.pipeline.Retrieval.searchTopK(
+        s, bm25IndexFor(s, dir), queries, "doc_id", "text", k = 5)
     }),
     "q_lm3_score" -> ((s, dir) => {
       // interpolated trigram LM (recursive Jelinek–Mercer backoff): train at
@@ -654,6 +679,17 @@ object SparkEntry {
       val scoreSet = d.select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
       val model = graft.pipeline.Lm.train(d, col("text"), order = 3)
+      graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+    "q_lm5_score" -> ((s, dir) => {
+      // CCNet-shape interpolated 5-gram LM (recursive Jelinek–Mercer down
+      // through 4/3/2-grams to the smoothed unigram floor): train at order
+      // 5, score the corpus plus the planted gibberish suffixes
+      val d = docs(s, dir)
+      val scoreSet = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
+      val model = graft.pipeline.Lm.train(d, col("text"), order = 5)
       graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
@@ -1128,8 +1164,38 @@ object SparkEntry {
         graft.pipeline.Text.extractHtml(html, maxLinkDensity = 0.5).as("extracted"))
     }),
     "q_text_langid" -> ((s, dir) => {
+      // breadth corpus built deterministically in SQL (so DuckDB rebuilds it
+      // byte-identically): every 20th-residue class swaps in a snippet of a
+      // different language/script; ELSE rows keep the English-ish doc text.
+      // lang_guess stays the pinned 4-language langId over the ORIGINAL text.
+      val m = col("doc_id") % 20
+      val txt = when(m === 0, lit("这是一个中文的测试文本内容"))
+        .when(m === 1, lit("これはテスト用の日本語の文章です"))
+        .when(m === 2, lit("이것은 한국어 테스트 문장입니다"))
+        .when(m === 3, lit("это тестовый текст на русском языке"))
+        .when(m === 4, lit("هذا نص تجريبي باللغة العربية"))
+        .when(m === 5, lit("यह हिंदी में परीक्षण पाठ है"))
+        .when(m === 6, lit("αυτό είναι ένα ελληνικό κείμενο"))
+        .when(m === 7, lit("זהו טקסט בדיקה בעברית"))
+        .when(m === 8, lit("นี่คือข้อความทดสอบภาษาไทย"))
+        .when(m === 9, lit("uma frase para testar com mais palavras"))
+        .when(m === 10, lit("di prova che serve il testo per noi"))
+        .when(m === 11, lit("het is een tekst voor niet veel"))
+        .when(m === 12, lit("to jest nie tekst w probie"))
+        .when(m === 13, lit("och att det som en test"))
+        .when(m === 14, lit("bir ve bu metin ile deneme"))
+        .when(m === 15, lit("este cu din pentru un test"))
+        .when(m === 16, lit("yang dan untuk ini teks uji"))
+        .when(m === 17, lit("der die das und ein test"))
+        .when(m === 18, lit("le les et est un texte"))
+        .otherwise(col("text"))
       docs(s, dir).select(col("doc_id"),
-        graft.pipeline.Text.langId(col("text")).as("lang_guess"))
+          graft.pipeline.Text.langId(col("text")).as("lang_guess"),
+          graft.pipeline.Text.langIdFull(txt).as("graft_lid"))
+        .select(col("doc_id"), col("lang_guess"),
+          col("graft_lid.lang").as("lang"),
+          col("graft_lid.script").as("script"),
+          col("graft_lid.confidence").as("confidence"))
     }),
     "q_text_fingerprint" -> ((s, dir) => {
       // rows-only: winnowing fingerprints; equal texts share fingerprints
@@ -1591,6 +1657,15 @@ object SparkEntry {
         |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
         |       coalesce(n_oov, 0) AS n_oov
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_bm25_index_build" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df
+        |FROM (SELECT DISTINCT id, unnest(toks) AS term FROM base)
+        |GROUP BY 1""".stripMargin,
     "q_bm25_search" ->
       """WITH base AS (
         |  SELECT doc_id AS id,
@@ -1673,6 +1748,78 @@ object SparkEntry {
         |  LEFT JOIN bi b23 ON b23.w1 = st.w2 AND b23.w2 = st.w3
         |  LEFT JOIN uni u2 ON u2.w = st.w2
         |  LEFT JOIN uni u3 ON u3.w = st.w3
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_trans,
+        |         sum(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS sum_prob_e12,
+        |         count(CASE WHEN cw IS NULL THEN 1 END) AS n_oov
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_trans, 0) AS n_trans,
+        |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
+        |       coalesce(n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_lm5_score" ->
+      """WITH corpus AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), uw AS (
+        |  SELECT unnest(ws) AS w FROM corpus
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM uw GROUP BY 1
+        |), stats AS (
+        |  SELECT sum(c) AS n_tokens, count(*) AS vocab FROM uni
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM (
+        |    SELECT ws[i] AS w1, ws[i+1] AS w2
+        |    FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM corpus))
+        |  GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT w1, w2, w3, count(*) AS ct FROM (
+        |    SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |    FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM corpus))
+        |  GROUP BY 1, 2, 3
+        |), qua AS (
+        |  SELECT w1, w2, w3, w4, count(*) AS cq FROM (
+        |    SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, ws[i+3] AS w4
+        |    FROM (SELECT ws, unnest(range(1, len(ws) - 2)) AS i FROM corpus))
+        |  GROUP BY 1, 2, 3, 4
+        |), qui AS (
+        |  SELECT w1, w2, w3, w4, w5, count(*) AS c5 FROM (
+        |    SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, ws[i+3] AS w4, ws[i+4] AS w5
+        |    FROM (SELECT ws, unnest(range(1, len(ws) - 3)) AS i FROM corpus))
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), sdoc AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(
+        |           text || CASE WHEN doc_id % 6 = 0 THEN ' zzqx9 vvkk7 zzqx9' ELSE '' END
+        |         ), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, ws[i+3] AS w4, ws[i+4] AS w5
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM sdoc)
+        |), j AS (
+        |  SELECT st.doc_id,
+        |         0.5 * coalesce(CAST(q5.c5 AS DOUBLE) / CAST(q14.cq AS DOUBLE), 0.0)
+        |           + 0.5 * (0.5 * coalesce(CAST(q25.cq AS DOUBLE) / CAST(t24.ct AS DOUBLE), 0.0)
+        |             + 0.5 * (0.5 * coalesce(CAST(t35.ct AS DOUBLE) / CAST(b34.cb AS DOUBLE), 0.0)
+        |               + 0.5 * (0.5 * coalesce(CAST(b45.cb AS DOUBLE) / CAST(u4.c AS DOUBLE), 0.0)
+        |                 + 0.5 * ((coalesce(CAST(u5.c AS DOUBLE), 0.0) + 1.0)
+        |                          / (CAST(stats.n_tokens AS DOUBLE) + 1.0 * CAST(stats.vocab AS DOUBLE)))))) AS p,
+        |         u5.c AS cw
+        |  FROM st
+        |  LEFT JOIN qui q5 ON q5.w1 = st.w1 AND q5.w2 = st.w2 AND q5.w3 = st.w3
+        |                   AND q5.w4 = st.w4 AND q5.w5 = st.w5
+        |  LEFT JOIN qua q14 ON q14.w1 = st.w1 AND q14.w2 = st.w2 AND q14.w3 = st.w3
+        |                    AND q14.w4 = st.w4
+        |  LEFT JOIN qua q25 ON q25.w1 = st.w2 AND q25.w2 = st.w3 AND q25.w3 = st.w4
+        |                    AND q25.w4 = st.w5
+        |  LEFT JOIN tri t24 ON t24.w1 = st.w2 AND t24.w2 = st.w3 AND t24.w3 = st.w4
+        |  LEFT JOIN tri t35 ON t35.w1 = st.w3 AND t35.w2 = st.w4 AND t35.w3 = st.w5
+        |  LEFT JOIN bi b34 ON b34.w1 = st.w3 AND b34.w2 = st.w4
+        |  LEFT JOIN bi b45 ON b45.w1 = st.w4 AND b45.w2 = st.w5
+        |  LEFT JOIN uni u4 ON u4.w = st.w4
+        |  LEFT JOIN uni u5 ON u5.w = st.w5
         |  CROSS JOIN stats
         |), agg AS (
         |  SELECT doc_id, count(*) AS n_trans,
@@ -2533,20 +2680,115 @@ object SparkEntry {
         |       coalesce(t4, 0.0) AS top_4gram_char_frac
         |FROM lm LEFT JOIN tg ON lm.doc_id = tg.doc_id""".stripMargin,
     "q_text_langid" ->
-      """WITH h AS (
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         CASE doc_id % 20
+        |           WHEN 0 THEN '这是一个中文的测试文本内容'
+        |           WHEN 1 THEN 'これはテスト用の日本語の文章です'
+        |           WHEN 2 THEN '이것은 한국어 테스트 문장입니다'
+        |           WHEN 3 THEN 'это тестовый текст на русском языке'
+        |           WHEN 4 THEN 'هذا نص تجريبي باللغة العربية'
+        |           WHEN 5 THEN 'यह हिंदी में परीक्षण पाठ है'
+        |           WHEN 6 THEN 'αυτό είναι ένα ελληνικό κείμενο'
+        |           WHEN 7 THEN 'זהו טקסט בדיקה בעברית'
+        |           WHEN 8 THEN 'นี่คือข้อความทดสอบภาษาไทย'
+        |           WHEN 9 THEN 'uma frase para testar com mais palavras'
+        |           WHEN 10 THEN 'di prova che serve il testo per noi'
+        |           WHEN 11 THEN 'het is een tekst voor niet veel'
+        |           WHEN 12 THEN 'to jest nie tekst w probie'
+        |           WHEN 13 THEN 'och att det som en test'
+        |           WHEN 14 THEN 'bir ve bu metin ile deneme'
+        |           WHEN 15 THEN 'este cu din pentru un test'
+        |           WHEN 16 THEN 'yang dan untuk ini teks uji'
+        |           WHEN 17 THEN 'der die das und ein test'
+        |           WHEN 18 THEN 'le les et est un texte'
+        |           ELSE text END AS txt
+        |  FROM documents
+        |), sc AS (
         |  SELECT doc_id,
-        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
-        |         len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS de,
-        |         len(regexp_extract_all(lower(text), '\b(el|la|los|que)\b')) AS es,
-        |         len(regexp_extract_all(lower(text), '\b(le|les|et|est)\b')) AS fr
-        |  FROM documents)
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS g_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS g_de,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|que)\b')) AS g_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|et|est)\b')) AS g_fr,
+        |    len(regexp_extract_all(txt, '[A-Za-zÀ-ÖØ-öø-ÿĀ-ɏ]')) AS s_latin,
+        |    len(regexp_extract_all(txt, '[\x{4E00}-\x{9FFF}]')) AS s_han,
+        |    len(regexp_extract_all(txt, '[\x{3040}-\x{309F}]')) AS s_hira,
+        |    len(regexp_extract_all(txt, '[\x{30A0}-\x{30FF}]')) AS s_kata,
+        |    len(regexp_extract_all(txt, '[\x{AC00}-\x{D7A3}]')) AS s_hang,
+        |    len(regexp_extract_all(txt, '[\x{0400}-\x{04FF}]')) AS s_cyr,
+        |    len(regexp_extract_all(txt, '[\x{0600}-\x{06FF}]')) AS s_arab,
+        |    len(regexp_extract_all(txt, '[\x{0900}-\x{097F}]')) AS s_deva,
+        |    len(regexp_extract_all(txt, '[\x{0370}-\x{03FF}]')) AS s_greek,
+        |    len(regexp_extract_all(txt, '[\x{0590}-\x{05FF}]')) AS s_heb,
+        |    len(regexp_extract_all(txt, '[\x{0E00}-\x{0E7F}]')) AS s_thai,
+        |    len(regexp_extract_all(lower(txt), '\b(the|and|of|is)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(txt), '\b(der|die|das|und)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(txt), '\b(el|la|los|que)\b')) AS h_es,
+        |    len(regexp_extract_all(lower(txt), '\b(le|les|et|est)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(txt), '\b(uma|para|com|mais)\b')) AS h_pt,
+        |    len(regexp_extract_all(lower(txt), '\b(di|che|il|per)\b')) AS h_it,
+        |    len(regexp_extract_all(lower(txt), '\b(het|een|voor|niet)\b')) AS h_nl,
+        |    len(regexp_extract_all(lower(txt), '\b(jest|nie|to|w)\b')) AS h_pl,
+        |    len(regexp_extract_all(lower(txt), '\b(och|att|som|det)\b')) AS h_sv,
+        |    len(regexp_extract_all(lower(txt), '\b(bir|ve|bu|ile)\b')) AS h_tr,
+        |    len(regexp_extract_all(lower(txt), '\b(cu|din|este|pentru)\b')) AS h_ro,
+        |    len(regexp_extract_all(lower(txt), '\b(yang|dan|untuk|ini)\b')) AS h_id
+        |  FROM c
+        |), agg AS (
+        |  SELECT *,
+        |    s_latin+s_han+s_hira+s_kata+s_hang+s_cyr+s_arab+s_deva+s_greek+s_heb+s_thai AS s_total,
+        |    greatest(s_latin,s_han,s_hira,s_kata,s_hang,s_cyr,s_arab,s_deva,s_greek,s_heb,s_thai) AS s_best,
+        |    h_en+h_de+h_es+h_fr+h_pt+h_it+h_nl+h_pl+h_sv+h_tr+h_ro+h_id AS h_total,
+        |    greatest(h_en,h_de,h_es,h_fr,h_pt,h_it,h_nl,h_pl,h_sv,h_tr,h_ro,h_id) AS h_best
+        |  FROM sc
+        |), scr AS (
+        |  SELECT *,
+        |    CASE WHEN s_total = 0 THEN 'none'
+        |         WHEN s_latin = s_best THEN 'latin'
+        |         WHEN s_han = s_best THEN 'han'
+        |         WHEN s_hira = s_best THEN 'hiragana'
+        |         WHEN s_kata = s_best THEN 'katakana'
+        |         WHEN s_hang = s_best THEN 'hangul'
+        |         WHEN s_cyr = s_best THEN 'cyrillic'
+        |         WHEN s_arab = s_best THEN 'arabic'
+        |         WHEN s_deva = s_best THEN 'devanagari'
+        |         WHEN s_greek = s_best THEN 'greek'
+        |         WHEN s_heb = s_best THEN 'hebrew'
+        |         ELSE 'thai' END AS script
+        |  FROM agg
+        |)
         |SELECT doc_id,
-        |       CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
-        |            WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
-        |            WHEN es > 0 AND es >= fr THEN 'es'
-        |            WHEN fr > 0 THEN 'fr'
-        |            ELSE 'und' END AS lang_guess
-        |FROM h""".stripMargin,
+        |  CASE WHEN g_en > 0 AND g_en >= g_de AND g_en >= g_es AND g_en >= g_fr THEN 'en'
+        |       WHEN g_de > 0 AND g_de >= g_es AND g_de >= g_fr THEN 'de'
+        |       WHEN g_es > 0 AND g_es >= g_fr THEN 'es'
+        |       WHEN g_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_guess,
+        |  CASE WHEN script = 'none' THEN 'und'
+        |       WHEN script = 'latin' THEN
+        |         CASE WHEN h_total = 0 THEN 'und'
+        |              WHEN h_en = h_best THEN 'en' WHEN h_de = h_best THEN 'de'
+        |              WHEN h_es = h_best THEN 'es' WHEN h_fr = h_best THEN 'fr'
+        |              WHEN h_pt = h_best THEN 'pt' WHEN h_it = h_best THEN 'it'
+        |              WHEN h_nl = h_best THEN 'nl' WHEN h_pl = h_best THEN 'pl'
+        |              WHEN h_sv = h_best THEN 'sv' WHEN h_tr = h_best THEN 'tr'
+        |              WHEN h_ro = h_best THEN 'ro' ELSE 'id' END
+        |       WHEN script = 'han' AND s_hira + s_kata > 0 THEN 'ja'
+        |       WHEN script = 'han' THEN 'zh'
+        |       WHEN script IN ('hiragana','katakana') THEN 'ja'
+        |       WHEN script = 'hangul' THEN 'ko'
+        |       WHEN script = 'cyrillic' THEN 'ru'
+        |       WHEN script = 'arabic' THEN 'ar'
+        |       WHEN script = 'devanagari' THEN 'hi'
+        |       WHEN script = 'greek' THEN 'el'
+        |       WHEN script = 'hebrew' THEN 'he'
+        |       ELSE 'th' END AS lang,
+        |  script,
+        |  CASE WHEN s_total = 0 THEN 0.0
+        |       WHEN script = 'latin' THEN
+        |         CASE WHEN h_total = 0 THEN 0.0
+        |              ELSE CAST(h_best AS DOUBLE) / h_total END
+        |       ELSE CAST(s_best AS DOUBLE) / s_total END AS confidence
+        |FROM scr""".stripMargin,
     "q_agg_expr" ->
       """SELECT CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity > 25) AS BIGINT) AS qty_sum,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity > 25) AS DOUBLE)

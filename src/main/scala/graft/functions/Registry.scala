@@ -182,6 +182,7 @@ object Registry {
     "bpe_token_estimate" -> (es => ex(graft.pipeline.Text.bpeTokenEstimate(col(es.head)))),
     "bpe_token_count" -> (es => ex(graft.pipeline.Text.bpeTokenCount(col(es.head)))),
     "lang_id" -> (es => ex(graft.pipeline.Text.langId(col(es.head)))),
+    "lang_id_full" -> (es => graft.pipeline.LangIdFullExpression(es.head)),
     "quality_score" -> (es => ex(graft.pipeline.Text.qualityScore(col(es.head)))),
     "url_host" -> (es => ex(graft.pipeline.Text.urlHost(col(es.head)))),
     "url_path" -> (es => ex(graft.pipeline.Text.urlPath(col(es.head)))),

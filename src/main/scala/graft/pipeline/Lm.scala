@@ -38,14 +38,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Lm {
 
   /** The trained model: unigram counts (w, c), bigram counts (w1, w2, c),
-   * the single-row stats frame (n_tokens, vocab), and — for an order-3
-   * model — trigram counts (w1, w2, w3, c). Scoring, bucketing and
-   * paragraph filtering dispatch on `trigrams`, so every downstream
-   * operator is parameterized over the model order by construction. */
+   * the single-row stats frame (n_tokens, vocab), optional trigram counts
+   * (w1, w2, w3, c) and — for orders 4–5, the CCNet 5-gram shape — the
+   * `higher` n-gram tables (index 0 = 4-grams, 1 = 5-grams; columns
+   * w1..wN, c). Scoring, bucketing and paragraph filtering dispatch on
+   * [[order]], so every downstream operator is parameterized over the
+   * model order by construction. */
   case class LmModel(
       unigrams: DataFrame, bigrams: DataFrame, stats: DataFrame,
-      trigrams: Option[DataFrame] = None) {
-    def order: Int = if (trigrams.isDefined) 3 else 2
+      trigrams: Option[DataFrame] = None,
+      higher: Seq[DataFrame] = Nil) {
+    require(higher.isEmpty || trigrams.isDefined,
+      "higher-order tables require the trigram table")
+    def order: Int = if (trigrams.isEmpty) 2 else 3 + higher.length
+    /** The arity-m count table (1-based; columns w1..wm, c). */
+    def table(m: Int): DataFrame = m match {
+      case 1 => unigrams.select(col("w").as("w1"), col("c"))
+      case 2 => bigrams
+      case 3 => trigrams.get
+      case _ => higher(m - 4)
+    }
   }
 
   private def words(text: Column): Column =
@@ -61,11 +73,11 @@ object Lm {
       }: _*))
   }
 
-  /** Count unigrams + bigrams (+ trigrams for order = 3) over the corpus.
-   * One shuffle per count table, each keyed on the n-gram — the model stays
-   * distributed end to end. */
+  /** Count unigrams + bigrams (+ tri/4/5-grams as `order` asks, the CCNet
+   * 5-gram shape at order 5) over the corpus. One shuffle per count table,
+   * each keyed on the n-gram — the model stays distributed end to end. */
   def train(df: DataFrame, textCol: Column, order: Int = 2): LmModel = {
-    require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
+    require(order >= 2 && order <= 5, s"order must be in 2..5, got $order")
     val ws = df.select(words(textCol).as("graft_ws"))
     // the model tables are consumed repeatedly (score joins unigrams on
     // BOTH transition sides, stats derives from them, collocations joins
@@ -74,19 +86,17 @@ object Lm {
     val uni = ws.select(explode(col("graft_ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bi = ws.where(size(col("graft_ws")) >= 2)
-      .select(ngrams(col("graft_ws"), 2).as("t"))
-      .select(col("t.w1"), col("t.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def countN(n: Int): DataFrame =
+      ws.where(size(col("graft_ws")) >= n)
+        .select(ngrams(col("graft_ws"), n).as("t"))
+        .select((1 to n).map(i => col(s"t.w$i")): _*)
+        .groupBy((1 to n).map(i => col(s"w$i")): _*).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = countN(2)
     val stats = uni.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
-    val tri = if (order < 3) None else Some(
-      ws.where(size(col("graft_ws")) >= 3)
-        .select(ngrams(col("graft_ws"), 3).as("t"))
-        .select(col("t.w1"), col("t.w2"), col("t.w3"))
-        .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    LmModel(uni, bi, stats, tri)
+    val tri = if (order < 3) None else Some(countN(3))
+    val higher = (4 to order).map(countN)
+    LmModel(uni, bi, stats, tri, higher)
   }
 
   /**
@@ -124,55 +134,63 @@ object Lm {
    * — double aggregates whose value is order-of-summation dependent in
    * the last ulps, so they're spec-tested rather than oracle-hashed.
    *
-   * For an order-3 model the transition unit is the trigram (n-2 per doc;
-   * the target word is w3, so n_oov counts unseen TARGETS exactly as the
-   * bigram path does) and the probability is the recursive Jelinek–Mercer
-   * interpolation with trigram weight `lambda3` — same fixed operation
-   * order, same 1e-12 fixed-point contract, oracle-hashable.
+   * For an order-n model (n up to 5) the transition unit is the n-gram
+   * (n-(n-1) per doc; the target word is wN, so n_oov counts unseen TARGETS
+   * exactly as the bigram path does) and the probability is the recursive
+   * Jelinek–Mercer interpolation — each order m contributes
+   * λ_m · c(suffix m-gram)/c(its prefix) and backs off into the fully
+   * interpolated order below, down to the smoothed unigram floor. Weights:
+   * λ₂ = `lambda`, λ₃ = `lambda3`, λ₄ = λ₅ = `lambdaN`. Same fixed
+   * operation order at every order, same 1e-12 fixed-point contract,
+   * oracle-hashable.
    */
   def score(
       model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
       lambda: Double = 0.5, k: Double = 1.0,
-      includeLogScores: Boolean = false, lambda3: Double = 0.5): DataFrame = {
+      includeLogScores: Boolean = false, lambda3: Double = 0.5,
+      lambdaN: Double = 0.5): DataFrame = {
     val base = df.select(idCol.as("id"), words(textCol).as("graft_ws"))
     // fixed operation order, mirrored token-for-token by the DuckDB oracle:
     // identical IEEE ops on identical inputs → bit-identical doubles
     def pUni(target: Column) = (coalesce(target.cast("double"), lit(0.0)) + lit(k)) /
       (col("n_tokens").cast("double") + lit(k) * col("vocab").cast("double"))
-    // (graft_p, graft_cw) per transition; graft_cw null ⇔ OOV target
-    val scoredTrans = model.trigrams match {
-      case None =>
-        val trans = base.where(size(col("graft_ws")) >= 2)
-          .select(col("id"), ngrams(col("graft_ws"), 2).as("t"))
-          .select(col("id"), col("t.w1"), col("t.w2"))
-        val joined = trans
-          .join(model.bigrams.withColumnRenamed("c", "graft_cb"), Seq("w1", "w2"), "left")
-          .join(model.unigrams.select(col("w").as("w1"), col("c").as("graft_cp")), Seq("w1"), "left")
-          .join(model.unigrams.select(col("w").as("w2"), col("c").as("graft_cw")), Seq("w2"), "left")
-          .crossJoin(broadcast(model.stats))
-        val pBi = coalesce(col("graft_cb").cast("double") / col("graft_cp").cast("double"), lit(0.0))
-        joined.select(col("id"),
-          (lit(lambda) * pBi + lit(1.0 - lambda) * pUni(col("graft_cw"))).as("graft_p"),
-          col("graft_cw"))
-      case Some(tri) =>
-        val trans = base.where(size(col("graft_ws")) >= 3)
-          .select(col("id"), ngrams(col("graft_ws"), 3).as("t"))
-          .select(col("id"), col("t.w1"), col("t.w2"), col("t.w3"))
-        val joined = trans
-          .join(tri.withColumnRenamed("c", "graft_ct"), Seq("w1", "w2", "w3"), "left")
-          .join(model.bigrams.select(col("w1"), col("w2"), col("c").as("graft_c12")),
-            Seq("w1", "w2"), "left")
-          .join(model.bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
-            col("c").as("graft_c23")), Seq("w2", "w3"), "left")
-          .join(model.unigrams.select(col("w").as("w2"), col("c").as("graft_c2")), Seq("w2"), "left")
-          .join(model.unigrams.select(col("w").as("w3"), col("c").as("graft_cw")), Seq("w3"), "left")
-          .crossJoin(broadcast(model.stats))
-        val pTri = coalesce(col("graft_ct").cast("double") / col("graft_c12").cast("double"), lit(0.0))
-        val pBi = coalesce(col("graft_c23").cast("double") / col("graft_c2").cast("double"), lit(0.0))
-        joined.select(col("id"),
-          (lit(lambda3) * pTri + lit(1.0 - lambda3) *
-            (lit(lambda) * pBi + lit(1.0 - lambda) * pUni(col("graft_cw")))).as("graft_p"),
-          col("graft_cw"))
+    def lambdaOf(m: Int): Double = m match {
+      case 2 => lambda; case 3 => lambda3; case _ => lambdaN
+    }
+    // (graft_p, graft_cw) per transition; graft_cw null ⇔ OOV target.
+    // General n: join, for each order m = n..2, the count of the LAST m
+    // words (numerator) and of its (m-1)-word prefix (denominator) — the
+    // 2(n-1) model-table joins of a backoff LM — plus the target unigram
+    // and the broadcast stats row. The probability folds inside-out from
+    // the unigram floor, so orders 2 and 3 produce the exact expression
+    // (and bits) the dedicated paths always produced.
+    val n = model.order
+    val scoredTrans = {
+      val trans = base.where(size(col("graft_ws")) >= n)
+        .select(col("id"), ngrams(col("graft_ws"), n).as("t"))
+        .select(col("id") +: (1 to n).map(i => col(s"t.w$i")): _*)
+      var joined = trans
+      for (m <- n to 2 by -1) {
+        val p = n - m + 1 // start position of the m-gram suffix
+        val num = model.table(m).select(
+          (1 to m).map(i => col(s"w$i").as(s"w${p + i - 1}")) :+
+            col("c").as(s"graft_cn_$m"): _*)
+        joined = joined.join(num, (p until p + m).map(i => s"w$i").toSeq, "left")
+        val den = model.table(m - 1).select(
+          (1 until m).map(i => col(s"w$i").as(s"w${p + i - 1}")) :+
+            col("c").as(s"graft_cd_$m"): _*)
+        joined = joined.join(den, (p until p + m - 1).map(i => s"w$i").toSeq, "left")
+      }
+      joined = joined
+        .join(model.unigrams.select(col("w").as(s"w$n"), col("c").as("graft_cw")),
+          Seq(s"w$n"), "left")
+        .crossJoin(broadcast(model.stats))
+      val pFull = (2 to n).foldLeft(pUni(col("graft_cw"))) { (lower, m) =>
+        val pm = coalesce(
+          col(s"graft_cn_$m").cast("double") / col(s"graft_cd_$m").cast("double"), lit(0.0))
+        lit(lambdaOf(m)) * pm + lit(1.0 - lambdaOf(m)) * lower
+      }
+      joined.select(col("id"), pFull.as("graft_p"), col("graft_cw"))
     }
     val aggs = Seq(
       count(lit(1)).as("n_trans"),
@@ -202,9 +220,10 @@ object Lm {
   def perplexityBuckets(
       model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
       nBuckets: Int = 3, lambda: Double = 0.5, k: Double = 1.0,
-      lambda3: Double = 0.5): DataFrame = {
+      lambda3: Double = 0.5, lambdaN: Double = 0.5): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be at least 2")
-    val scored = score(model, df, idCol, textCol, lambda, k, lambda3 = lambda3)
+    val scored = score(model, df, idCol, textCol, lambda, k,
+      lambda3 = lambda3, lambdaN = lambdaN)
     val mean = when(col("n_trans") === 0L, lit(0.0))
       .otherwise(col("sum_prob_e12").cast("double") / col("n_trans").cast("double"))
     // persisted: the percentile aggregate AND the final projection both
@@ -244,12 +263,12 @@ object Lm {
       model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
       minMeanProbE12: Long, lambda: Double = 0.5, k: Double = 1.0,
       splitRe: String = "\n\n+", joinSep: String = "\n\n",
-      lambda3: Double = 0.5): DataFrame = {
+      lambda3: Double = 0.5, lambdaN: Double = 0.5): DataFrame = {
     val units = df.select(idCol.as("id"),
       posexplode(split(textCol, splitRe)).as(Seq("graft_pos", "graft_unit")))
     val scored = score(model, units,
       struct(col("id"), col("graft_pos")).as("graft_uid"), col("graft_unit"),
-      lambda, k, lambda3 = lambda3)
+      lambda, k, lambda3 = lambda3, lambdaN = lambdaN)
     val keep = scored.where(col("n_trans") === 0L ||
         col("sum_prob_e12") >= lit(minMeanProbE12) * col("n_trans"))
       .select(col("id.id").as("id"), col("id.graft_pos").as("graft_pos"))

@@ -43,26 +43,38 @@ object Models {
 
   // --------------------------------------------------------------------- lm
 
-  /** The LM "model" is two (order-3: three) count tables + the stats row —
-   * written as parquet directories under `path`. Unlike the driver-sized
-   * models above, these stay DISTRIBUTED: loading does not collect
-   * anything. The model order round-trips via the presence of the
-   * `trigrams` directory. */
+  /** The LM "model" is the per-order count tables + the stats row — written
+   * as parquet directories under `path`. Unlike the driver-sized models
+   * above, these stay DISTRIBUTED: loading does not collect anything. The
+   * model order round-trips via the presence of the `trigrams` /
+   * `ngrams4` / `ngrams5` directories. */
   def saveLm(spark: SparkSession, path: String, m: Lm.LmModel): Unit = {
     m.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
     m.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
     m.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     m.trigrams.foreach(_.write.mode("overwrite").parquet(s"$path/trigrams"))
+    m.higher.zipWithIndex.foreach { case (df, i) =>
+      df.write.mode("overwrite").parquet(s"$path/ngrams${i + 4}")
+    }
   }
 
   def loadLm(spark: SparkSession, path: String): Lm.LmModel = {
-    val triPath = new org.apache.hadoop.fs.Path(s"$path/trigrams")
-    val fs = triPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def existing(sub: String): Option[String] = {
+      val p = s"$path/$sub"
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(p) else None
+    }
+    // higher orders load contiguously from 4 up — a gap ends the model, so
+    // a partially-written save never yields a model with a missing order
+    val higher = Iterator.from(4).map(i => existing(s"ngrams$i"))
+      .takeWhile(_.isDefined).flatten.map(spark.read.parquet(_)).toSeq
     Lm.LmModel(
       spark.read.parquet(s"$path/unigrams"),
       spark.read.parquet(s"$path/bigrams"),
       spark.read.parquet(s"$path/stats"),
-      if (fs.exists(triPath)) Some(spark.read.parquet(s"$path/trigrams")) else None)
+      existing("trigrams").map(spark.read.parquet(_)),
+      higher)
   }
 
   // ------------------------------------------------------------------- dsir

@@ -8,7 +8,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 /**
  * Perceptual image hashing (DCT pHash, public knowledge — the pHash.org /
- * Zauner 2010 construction): decode → 32×32 nearest-neighbour luminance →
+ * Zauner 2010 construction): decode → 32×32 box-filter (area-averaged)
+ * luminance downsample →
  * 2-D orthonormal DCT-II → keep the top-left 8×8 low-frequency block →
  * threshold each coefficient against the block median → 64-bit sign hash.
  * Re-encoded, recompressed and resized copies of an image keep their

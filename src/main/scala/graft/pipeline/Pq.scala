@@ -129,12 +129,25 @@ object Pq {
    */
   def ivfPqBuild(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      nlist: Int = 16, mSub: Int = 8, ksub: Int = 16, iters: Int = 4): Unit = {
+      nlist: Int = 16, mSub: Int = 8, ksub: Int = 16, iters: Int = 4,
+      modelFrom: Option[String] = None): Unit = {
+    // modelFrom: rebuild the cells table against an EXISTING index's frozen
+    // coarse centroids AND PQ codebooks instead of retraining either — codes
+    // and cell assignment stay deterministic across the two builds (the
+    // append==rebuild parity contract, same shape as Sq.ivfSqBuild)
+    require(!modelFrom.contains(path),
+      "ivfPqBuild: modelFrom must point at a different index (read-then-overwrite)")
     val spark = corpus.sparkSession
-    val centroids = Similarity.kmeansCentroids(corpus, vecCol, nlist, iters)
+    val centroids = modelFrom match {
+      case Some(src) => spark.read.parquet(s"$src/centroids")
+      case None => Similarity.kmeansCentroids(corpus, vecCol, nlist, iters)
+    }
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cents = centroids.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    val cb = trainCodebook(corpus, vecCol, mSub, ksub, iters)
+    val cb = modelFrom match {
+      case Some(src) => codebookFromDf(spark.read.parquet(s"$src/pq_codebook"))
+      case None => trainCodebook(corpus, vecCol, mSub, ksub, iters)
+    }
     codebookToDf(spark, cb).coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
     val Bridge = org.apache.spark.sql.graft.Bridge
     corpus.select(
@@ -146,6 +159,38 @@ object Pq {
       // out of the index entirely, consistent with every exact-cosine path
       .where(col("code").isNotNull)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /**
+   * Append a new batch to a persisted IVF-PQ index WITHOUT retraining:
+   * vectors encode with the EXISTING per-subspace codebooks and assign to
+   * the EXISTING coarse centroids (both frozen at build time), so
+   * search-after-append equals search-after-rebuild over the same model
+   * (spec-pinned, mirroring [[Sq.ivfSqAppend]]). Retry-idempotent via the
+   * same pruned anti-join: deterministic assignment means a retried batch
+   * lands in the same cells, so only those cid partitions are scanned —
+   * O(batch + matching cells), never a full index pass.
+   */
+  def ivfPqAppend(
+      spark: SparkSession, path: String,
+      newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val cb = codebookFromDf(spark.read.parquet(s"$path/pq_codebook"))
+    val Bridge = org.apache.spark.sql.graft.Bridge
+    val assigned = newBatch.select(
+        col(idCol).as("neighbor_id"),
+        Bridge.column(PqEncodeExpression(
+          Bridge.expression(col(vecCol).cast("array<double>")), cb)).as("code"),
+        Similarity.bestCid(col(vecCol).cast("array<double>"), cents).as("cid"))
+      .where(col("code").isNotNull)
+      .localCheckpoint(true) // one encode+assign pass feeds cid-list + append
+    val cids = assigned.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val existing = spark.read.parquet(s"$path/cells")
+      .where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
+      .select(col("neighbor_id"))
+    assigned.join(existing, Seq("neighbor_id"), "left_anti")
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
   }
 
   /**

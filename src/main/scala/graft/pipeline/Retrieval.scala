@@ -51,12 +51,17 @@ object Retrieval {
    * scoring time while moving scores ~nothing). The dropped-term list is
    * bounded by avg_dl/maxDfFraction (each doc has avg_dl distinct-ish
    * terms; only so many can clear the df bar), so collecting it to the
-   * driver is safe at any corpus size. */
+   * driver is safe at any corpus size; past [[MaxIsinTerms]] terms the cut
+   * switches from an `isin` literal predicate to a broadcast anti-join
+   * (a thousand-entry isin list bloats the generated predicate and the
+   * plan string, while an anti-join against a broadcast frame stays O(1)
+   * in plan size). */
   def buildIndex(df: DataFrame, idCol: String, textCol: String, path: String,
       maxDfFraction: Double = 1.0, saltBuckets: Int = 16): Unit = {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    val spark = df.sparkSession
     val base = df.select(col(idCol).cast("long").as("id"), toks(col(textCol)).as("graft_toks"))
       .withColumn("dl", size(col("graft_toks")))
     val postingsAll = base
@@ -68,26 +73,40 @@ object Retrieval {
     // input partition) — no stopword skew here
     val dfsAll = postingsAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE corpus-stats pass: the collected (n_docs, sum_dl) row feeds the
+    // dropTerms threshold AND the stats/ table — not one tokenize pass each
+    val statsRow = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .collect()(0)
+    val nDocs = statsRow.getLong(0)
     val dropTerms: Seq[String] =
-      if (maxDfFraction < 1.0) {
-        val nDocs = base.agg(count(lit(1))).collect()(0).getLong(0)
+      if (maxDfFraction < 1.0)
         dfsAll.where(col("df") > maxDfFraction * nDocs)
           .select(col("term")).collect().map(_.getString(0)).toSeq
-      } else Nil
-    val (postings, dfs) =
-      if (dropTerms.isEmpty) (postingsAll, dfsAll)
-      else (postingsAll.where(!col("term").isin(dropTerms: _*)),
-            dfsAll.where(!col("term").isin(dropTerms: _*)))
-    postings
+      else Nil
+    def cut(t: DataFrame): DataFrame =
+      if (dropTerms.isEmpty) t
+      else if (dropTerms.length <= MaxIsinTerms) t.where(!col("term").isin(dropTerms: _*))
+      else {
+        import spark.implicits._
+        t.join(broadcast(dropTerms.toDF("term")), Seq("term"), "left_anti")
+      }
+    cut(postingsAll)
       .repartition(col("term"), pmod(hash(col("id")), lit(saltBuckets)))
       .sortWithinPartitions(col("term"), col("id"))
       .write.mode("overwrite").parquet(s"$path/postings")
-    dfs.write.mode("overwrite").parquet(s"$path/dfs")
-    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    cut(dfsAll).write.mode("overwrite").parquet(s"$path/dfs")
+    spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          nDocs, if (statsRow.isNullAt(1)) null else statsRow.getLong(1))),
+        org.apache.spark.sql.types.StructType.fromDDL("n_docs BIGINT, sum_dl BIGINT"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     postingsAll.unpersist()
     dfsAll.unpersist()
   }
+
+  /** Above this many dropped stopword terms, the df cut uses a broadcast
+   * anti-join instead of an isin literal list. */
+  private[pipeline] val MaxIsinTerms = 256
 
   /**
    * Top-k docs per query from the index at `path`. Returns

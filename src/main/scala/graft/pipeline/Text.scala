@@ -52,6 +52,33 @@ object Text {
     }
   }
 
+  /**
+   * Full-breadth language ID: struct(lang, script, confidence) in ONE
+   * codegen'd pass per row — no UDF, no per-language scans. Two tiers:
+   *
+   *  1. Unicode-script census over the tracked BMP ranges (Latin, Han,
+   *     Hiragana, Katakana, Hangul, Cyrillic, Arabic, Devanagari, Greek,
+   *     Hebrew, Thai). The dominant script (argmax, earlier-declared wins
+   *     ties) decides the language outright for single-language scripts
+   *     (Hangul → ko, Cyrillic → ru, Arabic → ar, Devanagari → hi,
+   *     Greek → el, Hebrew → he, Thai → th, any Kana → ja, Han alone → zh);
+   *     confidence is dominant-script codepoints / tracked codepoints.
+   *  2. Latin-dominant text falls to stopword profiles for the 12 biggest
+   *     Latin-script web languages (en, de, es, fr, pt, it, nl, pl, sv, tr,
+   *     ro, id) — whole-token hits on the lowercased text, argmax with
+   *     earlier-declared tie-break (en/de/es/fr lists identical to
+   *     [[langId]], so the four pinned languages classify unchanged);
+   *     confidence is winner hits / total profile hits.
+   *
+   * Zero tracked codepoints → ("und", "none", 0.0); Latin with zero profile
+   * hits → ("und", "latin", 0.0). Every rule is range counts + integer
+   * argmax + one IEEE division, so a DuckDB oracle replicates it exactly
+   * (script ranges as RE2 character classes, profiles as `\b(...)\b`
+   * counts).
+   */
+  def langIdFull(text: Column): Column =
+    Bridge.column(LangIdFullExpression(Bridge.expression(text)))
+
   /** Simple quality score: whitespace ratio + alpha ratio - digit ratio,
    * computed with a fixed operation order so oracles match bit-for-bit.
    * Empty text scores 0.0 — without the guard the ratio divisions raise
@@ -413,6 +440,124 @@ object TextAlgos {
       Array[Any](wc, meanWordLen, symbolRatio, alphaRatio, stops, pass))
   }
 
+  // ------------------------------------------------------- full language id
+
+  /** Declared order IS the tie-break: en/de/es/fr first (pinned to the
+   * [[Text.langId]] marker lists), then the next-biggest Latin-script web
+   * languages. ASCII-only words so whole-token matching is exactly the
+   * ASCII `\b(...)\b` regex count the DuckDB oracle runs. */
+  private[pipeline] val LatinLangs: Array[String] =
+    Array("en", "de", "es", "fr", "pt", "it", "nl", "pl", "sv", "tr", "ro", "id")
+  private[pipeline] val LatinProfiles: Array[Array[String]] = Array(
+    Array("the", "and", "of", "is"),
+    Array("der", "die", "das", "und"),
+    Array("el", "la", "los", "que"),
+    Array("le", "les", "et", "est"),
+    Array("uma", "para", "com", "mais"),
+    Array("di", "che", "il", "per"),
+    Array("het", "een", "voor", "niet"),
+    Array("jest", "nie", "to", "w"),
+    Array("och", "att", "som", "det"),
+    Array("bir", "ve", "bu", "ile"),
+    Array("cu", "din", "este", "pentru"),
+    Array("yang", "dan", "untuk", "ini"))
+  private val StopwordLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    for (li <- LatinProfiles.indices; w <- LatinProfiles(li)) {
+      val prev = m.get(w)
+      m.put(w, if (prev == null) Array(li) else prev :+ li)
+    }
+    m
+  }
+  private[pipeline] val ScriptNames: Array[String] = Array(
+    "latin", "han", "hiragana", "katakana", "hangul", "cyrillic", "arabic",
+    "devanagari", "greek", "hebrew", "thai")
+  private val ScriptLangs: Array[String] = Array(
+    /* latin: profiles */ null, "zh", "ja", "ja", "ko", "ru", "ar", "hi",
+    "el", "he", "th")
+
+  @inline private def scriptOf(cp: Int): Int = {
+    // Latin letters: ASCII + Latin-1 letters (× U+00D7 / ÷ U+00F7 excluded)
+    // + Extended-A/B — the `[A-Za-zÀ-ÖØ-öø-ÿĀ-ɏ]` class of the oracle
+    if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+      (cp >= 0xC0 && cp <= 0x24F && cp != 0xD7 && cp != 0xF7)) 0
+    else if (cp >= 0x4E00 && cp <= 0x9FFF) 1
+    else if (cp >= 0x3040 && cp <= 0x309F) 2
+    else if (cp >= 0x30A0 && cp <= 0x30FF) 3
+    else if (cp >= 0xAC00 && cp <= 0xD7A3) 4
+    else if (cp >= 0x400 && cp <= 0x4FF) 5
+    else if (cp >= 0x600 && cp <= 0x6FF) 6
+    else if (cp >= 0x900 && cp <= 0x97F) 7
+    else if (cp >= 0x370 && cp <= 0x3FF) 8
+    else if (cp >= 0x590 && cp <= 0x5FF) 9
+    else if (cp >= 0xE00 && cp <= 0xE7F) 10
+    else -1
+  }
+
+  /** See [[Text.langIdFull]] for the contract this implements. One pass for
+   * the script census; Latin-dominant text takes a second linear pass for
+   * whole-token stopword hits (maximal `[a-z0-9_]` runs of the lowercased
+   * string — the ASCII `\b` token, so profile counts equal the oracle's
+   * regex counts). */
+  def langIdFull(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val counts = new Array[Int](ScriptNames.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val sc = scriptOf(cp)
+      if (sc >= 0) counts(sc) += 1
+      i += Character.charCount(cp)
+    }
+    var total = 0
+    var bi = 0
+    var j = 0
+    while (j < counts.length) {
+      total += counts(j)
+      if (counts(j) > counts(bi)) bi = j // strict > = earlier wins ties
+      j += 1
+    }
+    if (total == 0) return langIdRow("und", "none", 0.0)
+    val script = ScriptNames(bi)
+    if (bi != 0) {
+      val kana = counts(2) + counts(3)
+      val lang = if (bi == 1 && kana > 0) "ja" else ScriptLangs(bi)
+      return langIdRow(lang, script, counts(bi).toDouble / total)
+    }
+    // Latin: whole-token stopword census over the lowercased text
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val hits = new Array[Int](LatinLangs.length)
+    var start = -1
+    var k = 0
+    while (k <= lower.length) {
+      val isWord = k < lower.length && {
+        val c = lower.charAt(k)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+      }
+      if (isWord && start < 0) start = k
+      else if (!isWord && start >= 0) {
+        val langs = StopwordLangs.get(lower.substring(start, k))
+        if (langs != null) { var t = 0; while (t < langs.length) { hits(langs(t)) += 1; t += 1 } }
+        start = -1
+      }
+      k += 1
+    }
+    var sumH = 0
+    var bh = 0
+    j = 0
+    while (j < hits.length) {
+      sumH += hits(j)
+      if (hits(j) > hits(bh)) bh = j
+      j += 1
+    }
+    if (sumH == 0) langIdRow("und", "latin", 0.0)
+    else langIdRow(LatinLangs(bh), "latin", hits(bh).toDouble / sumH)
+  }
+
+  private def langIdRow(lang: String, script: String, conf: Double): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(lang), UTF8String.fromString(script), conf))
+
   @inline private def remix(h: Long, c: Long): Long = {
     var z = (h ^ c) + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -586,6 +731,23 @@ case class GopherQualityExpression(child: Expression, minWords: Int, maxWords: I
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.TextAlgos.gopherQuality($c, $minWords, $maxWords);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Full language id → struct(lang, script, confidence); one codegen'd
+ * static call per row (see [[TextAlgos.langIdFull]]). */
+case class LangIdFullExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("script", StringType, nullable = false),
+    StructField("confidence", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.langIdFull(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.langIdFull($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * WARC/WET crawl-archive ingest — the format raw web corpora (Common Crawl)
@@ -47,40 +47,64 @@ object Warc {
 
   private[sources] val QuarantineCap = 4096
 
-  /** (well-formed records, quarantined malformed regions) — each side a
-   * narrow per-file streaming parse, no shuffle. */
-  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val rows: Dataset[WarcRow] = spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        WarcAlgos.parseFile(file, pds.open()).flatMap(_.toOption)
-      }.toDS()
-    val bad: Dataset[WarcBad] = spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        WarcAlgos.parseFile(file, pds.open()).flatMap(_.left.toOption)
-      }.toDS()
-    (rows.toDF(), bad.toDF())
-  }
+  /** Every record of every archive — well-formed AND quarantined — from ONE
+   * `binaryFiles` parse, tagged by `ok`. ok=true rows carry the [[WarcRow]]
+   * fields; ok=false rows carry (reason, raw_prefix). This is the primitive
+   * the other readers filter/aggregate over: a caller that needs both sides
+   * in one job (split-and-route, stats alongside content) reads THIS frame
+   * and each action decompresses + parses every archive exactly once — at
+   * 100 TB of .warc.gz the parse is the job, so a second pass is a 2×. */
+  case class WarcTagged(
+      file: String, offset: Long, ok: Boolean, reason: String,
+      record_id: String, warc_type: String, url: String, fetch_epoch: Option[Long],
+      mime: String, charset: String, http_status: Option[Int],
+      payload: Array[Byte], text: String, raw_prefix: Array[Byte])
 
-  /** Ingest telemetry in one pass: (total_records, ok_records,
-   * quarantined_records). */
-  def readStats(spark: SparkSession, path: String): DataFrame = {
+  def readTagged(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
-        WarcAlgos.parseFile(file, pds.open()).map(e => if (e.isRight) 1 else 0)
-      }.toDS().toDF("graft_ok")
-      .agg(
-        count(lit(1)).as("total_records"),
-        count(when(col("graft_ok") === 1, 1)).as("ok_records"),
-        count(when(col("graft_ok") === 0, 1)).as("quarantined_records"))
+        WarcAlgos.parseFile(file, pds.open()).map {
+          case Right(r) => WarcTagged(r.file, r.offset, ok = true, null,
+            r.record_id, r.warc_type, r.url, r.fetch_epoch, r.mime, r.charset,
+            r.http_status, r.payload, r.text, null)
+          case Left(b) => WarcTagged(b.file, b.offset, ok = false, b.reason,
+            null, null, null, None, null, null, None, null, null, b.raw_prefix)
+        }
+      }.toDS().toDF()
   }
+
+  /** (well-formed records, quarantined malformed regions) — filters over the
+   * single-parse [[readTagged]] frame; an action on either side streams each
+   * file through the parser once, no shuffle. */
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val tagged = readTagged(spark, path)
+    val rows = tagged.where(col("ok")).select(
+      "file", "offset", "record_id", "warc_type", "url", "fetch_epoch",
+      "mime", "charset", "http_status", "payload", "text")
+    val bad = tagged.where(!col("ok"))
+      .select(col("file"), col("offset"), col("reason"), col("raw_prefix"))
+    (rows, bad)
+  }
+
+  /** Ingest telemetry in one pass: (total_records, ok_records,
+   * quarantined_records) — an aggregate over the single-parse frame. */
+  def readStats(spark: SparkSession, path: String): DataFrame =
+    readTagged(spark, path).agg(
+      count(lit(1)).as("total_records"),
+      count(when(col("ok"), 1)).as("ok_records"),
+      count(when(!col("ok"), 1)).as("quarantined_records"))
 }
 
 /** The streaming record parser — plain JVM code called once per file from
  * the executor task; no Spark types so it unit-tests without a session. */
 object WarcAlgos {
   import Warc.{QuarantineCap, WarcBad, WarcRow}
+
+  /** Files handed to [[parseFile]] in this JVM — the test hook behind the
+   * one-parse-per-action contract (local mode shares the JVM, so a spec can
+   * diff it around an action; a metrics-free counter, not used in planning). */
+  val filesParsed = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Byte-counting stream so quarantine offsets refer to the (uncompressed)
    * record stream position. */
@@ -98,6 +122,7 @@ object WarcAlgos {
    * of a .warc.gz transparently). Streaming and constant-memory apart from
    * the current record's payload. */
   def parseFile(file: String, raw: java.io.InputStream): Iterator[Either[WarcBad, WarcRow]] = {
+    filesParsed.incrementAndGet()
     val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
     buffered.mark(2)
     val b0 = buffered.read(); val b1 = buffered.read()

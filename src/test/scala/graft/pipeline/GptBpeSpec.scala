@@ -90,6 +90,55 @@ class GptBpeSpec extends AnyFunSuite {
     assert(toks == Seq("he", "l", "l", "o"))
   }
 
+  test("realistic 50k-merge artifact: load bound, exact counts, memo cap, throughput") {
+    // a deterministic merges.txt at REAL GPT-2 artifact size (50,000 merges,
+    // ~0.5 MB): layer 1 = all 676 letter pairs ("a b" → ab), layer 2 = all
+    // 17,576 3-char extensions ("ab c" → abc), layer 3 = the first 31,748
+    // 4-char extensions — every merge's operands exist before it, like a
+    // genuinely trained table
+    val chars = ('a' to 'z').map(_.toString)
+    val sb = new StringBuilder("#version: 0.2\n")
+    var n = 0
+    for (a <- chars; b <- chars) { sb.append(s"$a $b\n"); n += 1 }
+    for (a <- chars; b <- chars; c <- chars) { sb.append(s"$a$b $c\n"); n += 1 }
+    val iter = for (a <- chars.iterator; b <- chars.iterator; c <- chars.iterator; d <- chars.iterator)
+      yield s"$a$b$c $d"
+    while (n < 50000) { sb.append(iter.next()).append('\n'); n += 1 }
+    val dir = Files.createTempDirectory("graft_gptbpe50k")
+    Files.writeString(dir.resolve("merges.txt"), sb.toString)
+
+    val t0 = System.nanoTime()
+    val model = GptBpe.load(spark, dir.resolve("merges.txt").toString)
+    val loadSec = (System.nanoTime() - t0) / 1e9
+    assert(model.ranks.size == 50000)
+    assert(loadSec < 10.0, f"50k-merge load took $loadSec%.1f s — not linear?")
+
+    // exact counts at artifact size: every 3-char letter word with first
+    // letter < second letter is one trained token — the a<b constraint makes
+    // rank("a b") < rank("b c"), so greedy-by-rank merges left-first and the
+    // "ab c" layer-2 merge always completes. Doc = w0 + 39 space-prefixed
+    // words → 1 + 39·2 tokens (the Ġ byte never merges here and stays its
+    // own token)
+    val toks3 = (for (a <- chars; b <- chars; c <- chars; if a < b) yield s"$a$b$c").toIndexedSeq
+    val docs = (0 until 2000).map { i =>
+      (0 until 40).map(j => toks3((i * 31 + j * 7) % toks3.length)).mkString(" ")
+    }.toDF("t")
+    val tEnc = System.nanoTime()
+    val total = docs.select(GptBpe.tokenCount(model, col("t")).as("n"))
+      .agg(sum(col("n"))).as[Long].collect().head
+    val encSec = (System.nanoTime() - tEnc) / 1e9
+    assert(total == 2000L * (1 + 39 * 2))
+    assert(encSec < 60.0, f"encoding 2000 docs took $encSec%.1f s under the 50k table")
+
+    // the per-executor memo stays bounded under an adversarial flood of
+    // distinct pre-tokens (every numbered word is unique, no merges apply)
+    (0 until 70000).foreach(i => GptBpeAlgos.encodePreToken(" w" + i, model))
+    assert(model.memo.size() <= 65536,
+      s"memo grew past its cap: ${model.memo.size()}")
+    // ...and a capped memo still encodes correctly (cap only stops caching)
+    assert(GptBpeAlgos.encodePreToken("abc", model).toSeq == Seq("abc"))
+  }
+
   test("token budgets flow through: counts are stable across the memo and reps") {
     val (m, v) = fixture()
     val model = GptBpe.load(spark, m, v)

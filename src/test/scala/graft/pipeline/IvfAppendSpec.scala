@@ -67,6 +67,75 @@ class IvfAppendSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$incr/cells").count() == before, "retry appended rows")
   }
 
+  test("ivfPqAppend == full rebuild over the same centroids and codebooks") {
+    val b1 = mkVecs(0 until 300, 43)
+    val b2 = mkVecs(300 until 450, 47)
+    val queries = mkVecs(9000 until 9010, 53)
+    val incr = tmp("graft_ivfpq_incr")
+    val full = tmp("graft_ivfpq_full")
+    Pq.ivfPqBuild(b1, "vec_id", "embedding", incr, nlist = 4, mSub = 4, ksub = 8, iters = 3)
+    Pq.ivfPqAppend(spark, incr, b2, "vec_id", "embedding")
+    Pq.ivfPqBuild(b1.unionAll(b2), "vec_id", "embedding", full, modelFrom = Some(incr))
+    def search(p: String) = pairs(
+      Pq.ivfPqSearch(spark, p, queries, "vec_id", "embedding", 5, nprobe = 2))
+    assert(search(incr) == search(full),
+      "pq append-then-search must equal rebuild-then-search on the frozen model")
+    val before = spark.read.parquet(s"$incr/cells").count()
+    Pq.ivfPqAppend(spark, incr, b2, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$incr/cells").count() == before, "retry appended rows")
+    assert(search(incr) == search(full))
+  }
+
+  test("ivfPqAppend drops degenerate vectors and appended codes match rebuild bytes") {
+    val b1 = mkVecs(0 until 200, 59)
+    val degenerate = Seq(
+      (9901L, Seq(1.0, 2.0)),                    // wrong dimension
+      (9902L, Seq.fill(8)(0.0))                  // zero norm
+    ).toDF("vec_id", "embedding")
+    val b2 = mkVecs(200 until 260, 61).unionAll(degenerate)
+    val incr = tmp("graft_ivfpq_degen")
+    Pq.ivfPqBuild(b1, "vec_id", "embedding", incr, nlist = 4, mSub = 4, ksub = 8, iters = 3)
+    Pq.ivfPqAppend(spark, incr, b2, "vec_id", "embedding")
+    val ids = spark.read.parquet(s"$incr/cells")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!ids.contains(9901L) && !ids.contains(9902L),
+      "degenerate vectors must not enter the index")
+    assert(ids == ((0 until 260).map(_.toLong)).toSet)
+    // byte-identical codes vs a rebuild over the frozen model: appends are
+    // not just set-equal on ids, the compressed payloads agree too
+    val full = tmp("graft_ivfpq_degen_full")
+    Pq.ivfPqBuild(b1.unionAll(b2), "vec_id", "embedding", full, modelFrom = Some(incr))
+    def codes(p: String) = spark.read.parquet(s"$p/cells")
+      .select(col("neighbor_id"), hex(col("code")).as("h"), col("cid"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(codes(incr) == codes(full), "appended (id, code, cid) must match rebuild")
+  }
+
+  test("compact handles the PQ cells layout, search unchanged") {
+    val b1 = mkVecs(0 until 200, 67)
+    val queries = mkVecs(9000 until 9006, 71)
+    val idx = tmp("graft_ivfpq_compact")
+    Pq.ivfPqBuild(b1, "vec_id", "embedding", idx, nlist = 4, mSub = 4, ksub = 8, iters = 3)
+    (0 until 3).foreach { i =>
+      Pq.ivfPqAppend(spark, idx,
+        mkVecs((200 + 50 * i) until (250 + 50 * i), 73 + i), "vec_id", "embedding")
+    }
+    def fileCount(d: java.io.File): Int =
+      if (d.isFile) (if (d.getName.endsWith(".parquet")) 1 else 0)
+      else Option(d.listFiles()).map(_.map(fileCount).sum).getOrElse(0)
+    val cellsDir = new java.io.File(s"$idx/cells")
+    def search() = pairs(
+      Pq.ivfPqSearch(spark, idx, queries, "vec_id", "embedding", 5, nprobe = 2))
+    val before = search()
+    val filesBefore = fileCount(cellsDir)
+    Incremental.compact(spark, idx, targetFilesPerTable = 2)
+    assert(fileCount(cellsDir) < filesBefore,
+      s"compaction should shrink ${filesBefore} pq cell files")
+    assert(cellsDir.listFiles().exists(_.getName.startsWith("cid=")),
+      "pq cells must stay partitioned by cid after compaction")
+    assert(search() == before, "compaction changed pq search results")
+  }
+
   test("compact handles the cid-partitioned cells table, search unchanged") {
     val b1 = mkVecs(0 until 200, 31)
     val queries = mkVecs(9000 until 9006, 37)

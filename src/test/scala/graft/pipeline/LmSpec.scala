@@ -156,6 +156,67 @@ class LmSpec extends AnyFunSuite {
     assert(filtered(1L) == "the quick brown fox jumps\n\nover the lazy dog")
   }
 
+  test("order-5: hand-computed recursive interpolation through all five levels") {
+    // corpus: "a b c d e", "a b c d f" → N=10, V=6
+    // c(a)=c(b)=c(c)=c(d)=2, c(e)=c(f)=1
+    // suffix tables for scoring "a b c d e":
+    //   c5(a,b,c,d,e)=1, c4(a,b,c,d)=2, c4(b,c,d,e)=1, c3(b,c,d)=2,
+    //   c3(c,d,e)=1, c2(c,d)=2, c2(d,e)=1, c1(d)=2, c1(e)=1
+    val corpus = Seq("a b c d e", "a b c d f").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 5)
+    assert(model.order == 5)
+    val out = Lm.score(model, Seq((1L, "a b c d e")).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    assert(out.getLong(1) == 1) // one 5-gram transition
+    // p5=1/2; p4=1/2; p3=1/2; p2=1/2; pU=(1+1)/(10+6)=0.125
+    // P = .5*.5 + .5*(.5*.5 + .5*(.5*.5 + .5*(.5*.5 + .5*0.125)))
+    val p = 0.5 * 0.5 + 0.5 * (0.5 * 0.5 + 0.5 * (0.5 * 0.5 + 0.5 * (0.5 * 0.5 + 0.5 * 0.125)))
+    assert(out.getLong(2) == math.floor(p * 1e12).toLong)
+    assert(out.getLong(3) == 0)
+  }
+
+  test("order-4: OOV target falls through every order to the unigram floor") {
+    val corpus = Seq("a b c d e", "a b c d f").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 4)
+    assert(model.order == 4)
+    val out = Lm.score(model, Seq((1L, "a b c zzz")).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    // all n-gram numerators 0 → P = (1-λ)^3 · pU = 0.125 · (0+1)/(10+6)
+    assert(out.getLong(2) == math.floor(0.125 * (1.0 / 16.0) * 1e12).toLong)
+    assert(out.getLong(3) == 1)
+  }
+
+  test("order-5: docs with fewer than five words score zero, rows preserved") {
+    val corpus = Seq("a b c d e").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 5)
+    val out = Lm.score(model, Seq((1L, "a b c d"), (2L, "a"), (3L, "")).toDF("id", "text"),
+      col("id"), col("text")).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0)
+    }
+  }
+
+  test("perplexityBuckets and filterParagraphs dispatch on the order-5 model") {
+    val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 5)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzq9 vvk7 qqx3 wwy5 aab1 ccd2"),
+      (3L, "hi there you")).toDF("id", "text")
+    val buckets = Lm.perplexityBuckets(model, docs, col("id"), col("text"), nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(buckets(1L) > buckets(2L) && buckets(3L) == 0)
+    val filtered = Lm.filterParagraphs(model,
+        Seq((1L, "the quick brown fox jumps over\n\nzzq9 vvk7 qqx3 wwy5 aab1\n\nover the lazy dog"))
+          .toDF("id", "text"),
+        col("id"), col("text"), minMeanProbE12 = 10000000000L)
+      .as[(Long, String)].collect().toMap
+    // the 3-word tail paragraph has no 5-gram transitions → kept (too short
+    // to judge), the gibberish 5-gram paragraph drops
+    assert(filtered(1L) == "the quick brown fox jumps over\n\nover the lazy dog")
+  }
+
   test("paragraph filter drops gibberish paragraphs, keeps order and short units") {
     val corpus = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog").toDF("text")
     val model = Lm.train(corpus, col("text"))

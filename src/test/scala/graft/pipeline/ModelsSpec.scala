@@ -66,6 +66,24 @@ class ModelsSpec extends AnyFunSuite {
     assert(Models.loadLm(spark, path2).order == 2)
   }
 
+  test("order-5 lm round-trips via the ngrams4/ngrams5 directories, order preserved") {
+    val corpus = Seq("a b c d e", "a b c d f", "b a c e d").toDF("text")
+    val m = Lm.train(corpus, col("text"), order = 5)
+    val path = tmp("graft_lm5")
+    Models.saveLm(spark, path, m)
+    val loaded = Models.loadLm(spark, path)
+    assert(loaded.order == 5)
+    val docs = Seq((1L, "a b c d e f"), (2L, "c b a d zzz")).toDF("id", "text")
+    def run(mm: Lm.LmModel) = Lm.score(mm, docs, col("id"), col("text"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(m) == run(loaded))
+    // order 4 loads back as 4 (no ngrams5 dir ends the contiguous scan)
+    val m4 = Lm.train(corpus, col("text"), order = 4)
+    val path4 = tmp("graft_lm4")
+    Models.saveLm(spark, path4, m4)
+    assert(Models.loadLm(spark, path4).order == 4)
+  }
+
   test("dsir round-trip scores bit-identically through the inline path") {
     val raw = Seq((1L, "cat dog bird"), (2L, "stock market crash")).toDF("doc_id", "text")
     val target = Seq(Tuple1("cat dog")).toDF("text")

@@ -246,6 +246,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0).getDouble(2) > 1.0)
   }
 
+  test("langIdFull: script breadth, mixed scripts, kana rule, pinned latin four") {
+    def lid(texts: String*): Array[(String, String, Double)] =
+      texts.toDF("text")
+        .select(Text.langIdFull(col("text")).as("l"))
+        .select(col("l.lang"), col("l.script"), col("l.confidence"))
+        .as[(String, String, Double)].collect()
+    // script-determined languages
+    val Array(zh, ko, ru, ar, hi, el, he, th) = lid(
+      "这是中文文本", "한국어 문장입니다", "русский текст тут", "نص عربي هنا",
+      "हिंदी पाठ यहां", "ελληνικό κείμενο εδώ", "טקסט בעברית כאן", "ข้อความภาษาไทย")
+    assert(zh == (("zh", "han", 1.0)))
+    assert(ko._1 == "ko" && ko._2 == "hangul" && ko._3 == 1.0)
+    assert(ru == (("ru", "cyrillic", 1.0)) && ar == (("ar", "arabic", 1.0)))
+    assert(hi == (("hi", "devanagari", 1.0)) && el == (("el", "greek", 1.0)))
+    assert(he == (("he", "hebrew", 1.0)) && th == (("th", "thai", 1.0)))
+    // the kana rule: Han-dominant text with ANY kana is ja, not zh
+    val Array(jaHan, jaKana) = lid("日本語の文章漢字多め", "これはひらがなだけ")
+    assert(jaHan._1 == "ja" && jaHan._2 == "han" && jaHan._3 < 1.0)
+    assert(jaKana == (("ja", "hiragana", 1.0)))
+    // pinned four classify identically to langId's marker lists
+    val Array(en, de, es, fr) = lid(
+      "the cat and the dog is here", "der hund und die katze",
+      "el perro y la casa los dos que", "le chien et les chats est la")
+    assert(en._1 == "en" && de._1 == "de" && es._1 == "es" && fr._1 == "fr")
+    assert(en._2 == "latin" && en._3 == 1.0)
+    // breadth: one per added Latin language
+    val added = lid(
+      "uma frase para testar com mais palavras", "di prova che serve il per noi",
+      "het is een tekst voor niet veel", "to jest nie tekst w probie",
+      "och att det som en test", "bir ve bu metin ile deneme",
+      "este cu din pentru un test", "yang dan untuk ini teks uji")
+    assert(added.map(_._1).toSeq == Seq("pt", "it", "nl", "pl", "sv", "tr", "ro", "id"))
+    // mixed Latin + Cyrillic: majority script wins; confidence is its share
+    val Array(mixed) = lid("слово and слово here слово слово слово ок")
+    assert(mixed._2 == "cyrillic" && mixed._1 == "ru" && mixed._3 > 0.5 && mixed._3 < 1.0)
+    // degenerate: no tracked script, latin with no stopword hits, ties
+    val Array(und, undLatin) = lid("12345 !!!", "zzz qqq xyz")
+    assert(und == (("und", "none", 0.0)))
+    assert(undLatin == (("und", "latin", 0.0)))
+    // nl "is" overlap: en hit loses to 4 nl hits, confidence 4/5
+    val Array(nl) = lid("het is een tekst voor niet veel")
+    assert(nl._1 == "nl" && nl._3 == 0.8)
+  }
+
   test("fingerprint: identical docs match, different docs do not") {
     val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .as[(Long, Seq[Long])].collect().toMap

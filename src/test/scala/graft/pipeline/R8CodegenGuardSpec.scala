@@ -42,4 +42,18 @@ class R8CodegenGuardSpec extends AnyFunSuite {
       assert(math.abs(norm.getSeq[Double](2).map(x => x * x).sum - 1.0) < 1e-12)
     } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
   }
+
+  test("r11 langIdFull evaluates under disabled codegen fallback") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq(("the cat and dog is here", 1), ("это русский текст", 2))
+        .toDF("t", "i")
+        .select(col("i"), Text.langIdFull(col("t")).as("l"))
+        .select(col("i"), col("l.lang"), col("l.script"), col("l.confidence"))
+        .as[(Int, String, String, Double)].collect().sortBy(_._1)
+      assert(out(0) == ((1, "en", "latin", 1.0)))
+      assert(out(1) == ((2, "ru", "cyrillic", 1.0)))
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
+  }
 }

@@ -130,6 +130,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(sparkQ.count() == 0)
   }
 
+  test("an aggressive cut past the isin bound takes the anti-join path, same semantics") {
+    // >256 terms above the df bar: every doc shares 300 planted stopwords,
+    // plus one rare term per doc — the drop list (300) exceeds MaxIsinTerms
+    // so the cut runs as a broadcast anti-join, and must behave exactly like
+    // the literal-isin path does on a small list
+    assert(Retrieval.MaxIsinTerms == 256)
+    val stop = (0 until 300).map(i => s"stop$i").mkString(" ")
+    val docs = spark.range(40)
+      .select(col("id").as("doc_id"),
+        concat(lit(stop + " rare"), col("id")).as("text"))
+    val idx = tmp()
+    Retrieval.buildIndex(docs, "doc_id", "text", idx, maxDfFraction = 0.5)
+    val kept = spark.read.parquet(s"$idx/dfs")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(kept.size == 40 && kept.forall(_.startsWith("rare")),
+      s"only the 40 rare terms may survive, got ${kept.size}")
+    assert(spark.read.parquet(s"$idx/postings").count() == 40)
+    // stats keep FULL corpus figures (dl includes cut terms), so rare-term
+    // scores are the same as an uncut index would give
+    val stats = spark.read.parquet(s"$idx/stats").collect().head
+    assert(stats.getLong(0) == 40 && stats.getLong(1) == 40L * 301)
+    val hit = Retrieval.searchTopK(spark, idx,
+      Seq((1L, "rare7")).toDF("qid", "q"), "qid", "q", k = 1).collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 7L)
+  }
+
   test("multi-query batch keeps queries independent") {
     val idx = tmp()
     Retrieval.buildIndex(corpus, "doc_id", "text", idx)

@@ -110,6 +110,30 @@ class WarcSpec extends AnyFunSuite {
     assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((5L, 2L, 3L)))
   }
 
+  test("one parse per action: read sides, stats and tagged all single-pass") {
+    val dir = Files.createTempDirectory("graft_warc_once")
+    writeFixture(dir, gzip = false)
+    writeGarbageFile(dir)
+    val nFiles = 2L
+    def parses(action: => Unit): Long = {
+      val before = WarcAlgos.filesParsed.get()
+      action
+      WarcAlgos.filesParsed.get() - before
+    }
+    val (rows, bad) = Warc.read(spark, dir.toString)
+    assert(parses(rows.count()) == nFiles, "ok side must parse each file once")
+    assert(parses(bad.count()) == nFiles, "bad side must parse each file once")
+    assert(parses(Warc.readStats(spark, dir.toString).collect()) == nFiles,
+      "stats must be ONE pass, not one per side")
+    // the tagged primitive: both sides + stats derivable from one action
+    val tagged = Warc.readTagged(spark, dir.toString)
+    val agg = new Array[org.apache.spark.sql.Row](1)
+    assert(parses { agg(0) = tagged.agg(
+        count(lit(1)), count(when(col("ok"), 1)), count(when(!col("ok"), 1))).collect().head
+      } == nFiles)
+    assert((agg(0).getLong(0), agg(0).getLong(1), agg(0).getLong(2)) == ((10L, 7L, 3L)))
+  }
+
   test("e2e: WARC response chains into extractHtml + fixEncoding") {
     val dir = Files.createTempDirectory("graft_warc_e2e")
     val out = new java.io.FileOutputStream(dir.resolve("c.warc").toFile)
