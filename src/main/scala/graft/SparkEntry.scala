@@ -866,6 +866,31 @@ object SparkEntry {
       graft.pipeline.Dedup.dedupLines(framed, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_hll_domains" -> ((s, dir) => {
+      // rows-only (xxhash64-seeded registers aren't SQL-portable): per-source
+      // HLL distinct-doc sketches built per half-corpus batch, rolled up with
+      // hll_merge — the incremental cross-batch telemetry path; HllSpec pins
+      // union==full-scan byte identity and the error bound
+      val d = docs(s, dir)
+      val half = d.select(col("source"), col("doc_id"),
+        (col("doc_id") % 2).as("graft_batch"))
+      half.groupBy(col("source"), col("graft_batch"))
+        .agg(graft.functions.dsl.hll_sketch(col("doc_id")).as("graft_s"))
+        .groupBy(col("source"))
+        .agg(graft.functions.dsl.hll_merge(col("graft_s")).as("graft_m"))
+        .select(col("source"), graft.functions.dsl.hll_estimate(col("graft_m")).as("est_docs"))
+    }),
+    "q_dedup_sentences" -> ((s, dir) => {
+      // boilerplate that shares a line with content: every doc gets a
+      // subscribe pitch PREPENDED to its own text on one line — line dedup
+      // can't fire (the full line differs per doc), sentence dedup strips
+      // the pitch corpus-wide and keeps each doc's own sentences
+      val framed = docs(s, dir).select(col("doc_id"),
+        concat(lit("Subscribe to our newsletter today! "), col("text"),
+          lit(" Visit example dot com for more.")).as("t"))
+      graft.pipeline.Dedup.dedupSentences(framed, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_dedup_prioritized" -> ((s, dir) => {
       // multi-source assembly: every doc exists as a crawl copy (priority
       // 2) and every third also as a curated copy (priority 1, id+50000);
@@ -2257,6 +2282,31 @@ object SparkEntry {
         |  SELECT l.doc_id, l.line, l.pos FROM l ANTI JOIN dup USING (line)
         |), r AS (
         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q_dedup_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'Subscribe to our newsletter today! ' || text || ' Visit example dot com for more.' AS t
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(regexp_extract_all(t, '[^.!?]+(?:[.!?]+|$)'), x -> trim(x)),
+        |           x -> regexp_matches(x, '[\p{L}\p{N}]')) AS units
+        |  FROM d
+        |), l AS (
+        |  SELECT doc_id, unnest(units) AS sent,
+        |         unnest(range(1, len(units) + 1)) AS pos
+        |  FROM u
+        |), dup AS (
+        |  SELECT sent FROM l GROUP BY sent HAVING count(DISTINCT doc_id) >= 2
+        |), keep AS (
+        |  SELECT l.doc_id, l.sent, l.pos FROM l ANTI JOIN dup USING (sent)
+        |), r AS (
+        |  SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text
         |  FROM keep GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(r.text, '') AS text

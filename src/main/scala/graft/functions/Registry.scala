@@ -183,6 +183,7 @@ object Registry {
     "bpe_token_count" -> (es => ex(graft.pipeline.Text.bpeTokenCount(col(es.head)))),
     "lang_id" -> (es => ex(graft.pipeline.Text.langId(col(es.head)))),
     "lang_id_full" -> (es => graft.pipeline.LangIdFullExpression(es.head)),
+    "sentence_split" -> (es => ex(graft.pipeline.Text.sentences(col(es.head)))),
     "quality_score" -> (es => ex(graft.pipeline.Text.qualityScore(col(es.head)))),
     "url_host" -> (es => ex(graft.pipeline.Text.urlHost(col(es.head)))),
     "url_path" -> (es => ex(graft.pipeline.Text.urlPath(col(es.head)))),
@@ -225,6 +226,10 @@ object Registry {
         es(1), litLong(es(2)).toInt).toAggregateExpression()),
     "vector_mean" -> (es => VectorMeanAggregate(es.head).toAggregateExpression()),
     "vector_minmax" -> (es => VectorMinMaxAggregate(es.head).toAggregateExpression()),
+    "hll_sketch" -> (es => HllSketchAggregate(es.head,
+      if (es.size >= 2) litLong(es(1)).toInt else 12).toAggregateExpression()),
+    "hll_merge" -> (es => HllMergeAggregate(es.head).toAggregateExpression()),
+    "hll_estimate" -> (es => HllEstimateExpression(es.head)),
     "small_bloom" -> (es =>
       graft.bloom.BloomAggregate(es(0), litLong(es(1)), litDouble(es(2))).toAggregateExpression()),
     "big_bloom" -> (es =>

@@ -121,6 +121,11 @@ object dsl {
   def drop_field(struct: Column, paths: String*): Column = Registry.dropField(struct, paths)
   def top_k_by(ord: Column, item: Column, k: Int): Column =
     col(TopKAggregate(ex(ord.cast("double")), ex(item), k).toAggregateExpression())
+  def hll_sketch(c: Column, p: Int = 12): Column =
+    col(HllSketchAggregate(ex(c), p).toAggregateExpression())
+  def hll_merge(sketch: Column): Column =
+    col(HllMergeAggregate(ex(sketch)).toAggregateExpression())
+  def hll_estimate(sketch: Column): Column = col(HllEstimateExpression(ex(sketch)))
   def vector_mean(arr: Column): Column =
     col(VectorMeanAggregate(ex(arr)).toAggregateExpression())
   def vector_minmax(arr: Column): Column =

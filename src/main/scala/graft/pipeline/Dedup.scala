@@ -367,6 +367,27 @@ object Dedup {
   def dedupParagraphsWithinDoc(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     dedupUnitsWithinDoc(df, idCol, textCol, "\n\n+", "\n\n")
 
+  /** [[dedupLines]] at SENTENCE granularity ([[Text.sentences]] units):
+   * boilerplate that shares a LINE with real content ("Subscribe now! Real
+   * paragraph text…") survives line- and paragraph-level dedup because the
+   * full unit differs per doc — sentence units catch it. Rebuild joins the
+   * surviving sentences with a single space (the segmentation consumed the
+   * original separators). Same 2-phase hashed census as the line tier. */
+  def dedupSentences(
+      df: DataFrame, idCol: Column, textCol: Column, minDocs: Int = 2): DataFrame =
+    dedupUnitsOf(df, idCol, Text.sentences(textCol), minDocs, " ")
+
+  /** WITHIN-document repeated-sentence removal (first occurrence kept) —
+   * the sentence-granularity [[dedupLinesWithinDoc]]. */
+  def dedupSentencesWithinDoc(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val Bridge = org.apache.spark.sql.graft.Bridge
+    df.select(idCol.as("id"),
+      array_join(
+        Bridge.column(FirstOccurrencesExpression(
+          Bridge.expression(Text.sentences(textCol)))),
+        " ").as("text"))
+  }
+
   private def dedupUnitsWithinDoc(
       df: DataFrame, idCol: Column, textCol: Column,
       splitRe: String, joinSep: String): DataFrame = {
@@ -383,10 +404,17 @@ object Dedup {
 
   private def dedupUnits(
       df: DataFrame, idCol: Column, textCol: Column, minDocs: Int,
-      splitRe: String, joinSep: String): DataFrame = {
+      splitRe: String, joinSep: String): DataFrame =
+    dedupUnitsOf(df, idCol, split(textCol, splitRe), minDocs, joinSep)
+
+  /** Cross-doc unit-census dedup over an ALREADY-EXTRACTED unit array
+   * column — the shared engine behind line / paragraph / sentence tiers. */
+  private def dedupUnitsOf(
+      df: DataFrame, idCol: Column, unitsCol: Column, minDocs: Int,
+      joinSep: String): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2 — 1 would drop every line")
-    val lines = df.select(idCol.as("id"), textCol.as("graft_text"))
-      .select(col("id"), posexplode(split(col("graft_text"), splitRe)).as(Seq("graft_pos", "graft_line")))
+    val lines = df.select(idCol.as("id"), unitsCol.as("graft_units"))
+      .select(col("id"), posexplode(col("graft_units")).as(Seq("graft_pos", "graft_line")))
     // phase 1: hashed census — the corpus-wide shuffle carries (hash, id)
     val flaggedHashes = lines
       .select(xxhash64(col("graft_line")).as("graft_lh"), col("id"))

@@ -128,6 +128,21 @@ object Text {
   def urlTld(url: Column): Column =
     regexp_extract(urlHost(url), "\\.([^.]+)$", 1)
 
+  /** Rule-based sentence segmentation: maximal runs of non-terminator
+   * characters followed by a `.`/`!`/`?` run (or end of text), space-trimmed,
+   * units with no letter or digit dropped (pure-punctuation/whitespace
+   * fragments are separators, not sentences). Deliberately simple — the
+   * regex lives in the Java∩RE2 subset (no lookaround), so the DuckDB
+   * oracle replicates it exactly; abbreviation handling is out of scope and
+   * the contract is deterministic either way. Chain after [[cleanText]] so
+   * interior whitespace is already normalized. Built-in functions only —
+   * codegen'd narrow projection, no shuffle at any scale. */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+(?:[.!?]+|$)"), lit(0)),
+        s => trim(s)),
+      s => s.rlike("[\\p{L}\\p{N}]"))
+
   /** Deterministic text cleaning for ingest normalization: strip control
    * characters (keeping \n and \t), collapse space/tab runs to one space,
    * tighten spaces around newlines, cap blank-line runs at one (paragraph

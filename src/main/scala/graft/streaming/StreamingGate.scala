@@ -109,4 +109,31 @@ object StreamingGate {
         (col("passed").cast("double") / col("rows")).as("pass_rate"),
         col("gopher_fail"), col("repetition_fail"), col("pii_fail"),
         col("classifier_fail"), col("blocklist_fail"))
+
+  /**
+   * Streaming benchmark decontamination: drop arriving documents sharing
+   * >= `minShared` word `n`-grams with a benchmark set whose n-gram bloom
+   * was registered (batch-side, once) under `bloomName` — see
+   * [[graft.lookups.Lookups.registerBloomFrom]] /
+   * [[graft.pipeline.Curation.decontaminateBloom]], which share the exact
+   * probe semantics, so batch and stream agree on what is contaminated
+   * (modulo the bloom's one-sided fpp: false positives over-drop, never
+   * under-drop — the safe direction for eval hygiene).
+   *
+   * Stateless codegen'd projection + filter, append-safe: the bloom rides
+   * the registry broadcast, so a 100 TB/day ingest pays one shingle pass
+   * per doc and ZERO shuffles or state stores. The eval-set bloom is MB-
+   * scale (benchmarks are small) — broadcast is the right regime at any
+   * corpus size.
+   */
+  def decontaminationGate(
+      stream: DataFrame, textCol: Column, bloomName: String,
+      n: Int = 8, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    val Bridge = org.apache.spark.sql.graft.Bridge
+    def probe(c: Column): Column =
+      Bridge.column(graft.lookups.ProbabilityInExpression(Bridge.expression(c), bloomName))
+    stream.where(
+      size(filter(Text.shingles(textCol, n), s => probe(s) > 0.0)) < minShared)
+  }
 }

@@ -246,6 +246,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0).getDouble(2) > 1.0)
   }
 
+  test("sentence split: terminator runs, unterminated tail, junk units dropped") {
+    def sents(t: String): Seq[String] =
+      Seq(Tuple1(t)).toDF("t").select(Text.sentences(col("t")).as("s"))
+        .as[Seq[String]].collect().head
+    assert(sents("First one. Second two! Third three?") ==
+      Seq("First one.", "Second two!", "Third three?"))
+    // terminator RUNS stay attached; the unterminated tail is a sentence
+    assert(sents("Really?! Yes... and the tail goes on") ==
+      Seq("Really?!", "Yes...", "and the tail goes on"))
+    // pure punctuation / whitespace / empty → no units
+    assert(sents("") == Seq.empty)
+    assert(sents("... !!! ???") == Seq.empty)
+    assert(sents("one") == Seq("one"))
+  }
+
+  test("sentence dedup: cross-doc pitch sentences drop, within-doc repeats keep first") {
+    val d = Seq(
+      (1L, "Subscribe now! Alpha fact one. Visit us."),
+      (2L, "Subscribe now! Beta fact two. Visit us."),
+      (3L, "Gamma only fact. Gamma only fact. Other gamma news.")).toDF("id", "t")
+    val cross = Dedup.dedupSentences(d, col("id"), col("t"))
+      .as[(Long, String)].collect().toMap
+    // "Subscribe now!" and "Visit us." appear in 2 docs → dropped there;
+    // doc 3's internal repeat is NOT cross-doc and survives both copies
+    assert(cross(1L) == "Alpha fact one.")
+    assert(cross(2L) == "Beta fact two.")
+    assert(cross(3L) == "Gamma only fact. Gamma only fact. Other gamma news.")
+    val within = Dedup.dedupSentencesWithinDoc(d, col("id"), col("t"))
+      .as[(Long, String)].collect().toMap
+    assert(within(3L) == "Gamma only fact. Other gamma news.")
+    assert(within(1L) == "Subscribe now! Alpha fact one. Visit us.")
+  }
+
   test("langIdFull: script breadth, mixed scripts, kana rule, pinned latin four") {
     def lid(texts: String*): Array[(String, String, Double)] =
       texts.toDF("text")

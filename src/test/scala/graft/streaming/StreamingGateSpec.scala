@@ -91,6 +91,40 @@ class StreamingGateSpec extends AnyFunSuite {
     } finally { gq.stop(); rq.stop() }
   }
 
+  test("benchmark-bloom decontamination gates a stream, agreeing with the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchSent = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq(Tuple1(benchSent)).toDF("text")
+    // register the eval-set 8-gram bloom ONCE, batch-side
+    graft.lookups.Lookups.registerBloomFrom(spark, "graft_stream_decontam",
+      bench.select(explode(graft.pipeline.Text.shingles(col("text"), 8)).as("ng")),
+      col("ng"), expected = 1000L, fpp = 0.001)
+    val contaminated = s"intro words then $benchSent and a tail"
+    val clean = "totally different content with many of its own unique words here"
+    val mem = MemoryStream[(Long, String)]
+    val gated = StreamingGate.decontaminationGate(
+      mem.toDF().toDF("id", "text"), col("text"), "graft_stream_decontam")
+    val q = gated.writeStream.format("memory").queryName("decontam_rows")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, contaminated), (2L, clean), (3L, "short"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT id FROM decontam_rows").as[Long].collect().toSet
+      // contaminated doc shares 8-grams with the benchmark → dropped; the
+      // clean and too-short-to-shingle docs pass
+      assert(kept == Set(2L, 3L), s"kept $kept")
+      // batch parity: decontaminateBloom flags exactly the dropped doc
+      val flagged = graft.pipeline.Curation.decontaminateBloom(
+          Seq((1L, contaminated), (2L, clean)).toDF("id", "text"),
+          col("id"), col("text"), bench, col("text"))
+        .select("id").as[Long].collect().toSet
+      assert(flagged == Set(1L))
+    } finally {
+      q.stop()
+      graft.lookups.Lookups.unregisterBloom("graft_stream_decontam")
+    }
+  }
+
   test("a collected DSIR model gates a stream statelessly") {
     import graft.pipeline.Dsir
     implicit val sqlCtx = spark.sqlContext
