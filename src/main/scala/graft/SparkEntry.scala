@@ -419,6 +419,21 @@ object SparkEntry {
           nearDupCorpus(s, dir), col("doc_id"), col("text"), shingleSize = 3, threshold = 0.7)
         .select(col("id_a"), col("id_b"))
     }),
+    "q_dedup_crosscorpus" -> ((s, dir) => {
+      // new-crawl-vs-reference attribution: the mutated slice plays the
+      // incoming batch, full documents the frozen reference; LSH band join
+      // across the two corpora must surface exactly the true >= 0.7 pairs
+      // (DuckDB computes TRUE all-pairs A x B Jaccard)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val words = split(col("text"), " ")
+      val mutated = d.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(words, lit(1), size(words) - 2), " ").as("text"))
+      graft.pipeline.Dedup.minhashNearDupJoin(
+          d, col("doc_id"), col("text"),
+          mutated, col("doc_id"), col("text"), shingleSize = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       graft.pipeline.Dedup.simhashNearDups(
           nearDupCorpus(s, dir), col("doc_id"), col("text"), shingleSize = 3, maxHamming = 8)
@@ -601,6 +616,14 @@ object SparkEntry {
         docs(s, dir), col("doc_id"), col("source"),
         graft.pipeline.Text.tokenCount(col("text")),
         Map("src0" -> 2000L, "src1" -> 1000L))
+        .select(col("doc_id"), col("source"))
+    }),
+    "q_weighted_sample" -> ((s, dir) => {
+      // per-source weighted sample without replacement (exponential
+      // clocks): longer docs proportionally likelier; the draw is a pure
+      // function of (doc_id, n_chars) so DuckDB replays it row-for-row
+      graft.pipeline.Curation.weightedSamplePerKey(
+          docs(s, dir), col("source"), col("doc_id"), col("n_chars"), k = 20)
         .select(col("doc_id"), col("source"))
     }),
     "q_pack_sequences" -> ((s, dir) => {
@@ -1458,6 +1481,24 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s))::DOUBLE
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin,
+    "q_dedup_crosscorpus" ->
+      """WITH m AS (
+        |  SELECT doc_id + 10000 AS doc_id, array_to_string(w[1:len(w)-2], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), sha AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents)
+        |), shb AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM m)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sha a, shb b
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
         |pairs AS (
@@ -1602,6 +1643,19 @@ object SparkEntry {
         |FROM base b JOIN fr USING (source)
         |WHERE (CAST(concat('0x', substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |       / 4294967296.0) < fr.frac""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |         -ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+        |             / 4294967296.0) / CAST(n_chars AS DOUBLE) AS clock
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY clock, doc_id) AS rn
+        |  FROM c
+        |)
+        |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin,
     "q_pack_sequences" ->
       """WITH base AS (
         |  SELECT doc_id AS id,

@@ -170,6 +170,46 @@ object Curation {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement, k rows per key — the
+   * "keep the best-quality / longest documents with probability
+   * proportional to weight, but still diverse" curation step. Exponential
+   * clocks (Efraimidis–Spirakis 2006): every row draws
+   * clock = -ln(u) / w with u a CONTENT-ADDRESSED uniform in (0, 1] (the
+   * md5 first-8-hex recipe every sampler here uses — no RNG state, stable
+   * across runs AND engines) and w the row's weight; the k smallest clocks
+   * per key are a weight-proportional without-replacement sample. The
+   * whole draw is a pure function of (id, weight), so the DuckDB oracle
+   * replays it row-for-row. Rows with null or non-positive weight are
+   * never sampled. Ids must be unique.
+   *
+   * Scale: the per-key selection is the bounded mergeable top-k heap
+   * (map-side partials ship ≤ k rows per (partition, key)), never a
+   * per-key sort or window over the corpus; the keep-set joins back
+   * semi-join style with AQE picking the strategy — the [[capPerKey]]
+   * shape with a weighted ordinal.
+   */
+  def weightedSamplePerKey(
+      df: DataFrame, keyCol: Column, idCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // u in (0, 1]: the +1 keeps ln away from 0 (u = 0 would give clock
+    // +inf deterministically, but -ln(0) is engine-dependent noise)
+    val u = (conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val w = weightCol.cast("double")
+    val clock = -log(u) / w
+    val keep = df
+      .where(w.isNotNull && w > 0.0)
+      .select(keyCol.as("graft_key"), idCol.as("graft_id"), (-clock).as("graft_ord"))
+      .groupBy(col("graft_key"))
+      .agg(graft.functions.dsl.top_k_by(
+        col("graft_ord"), col("graft_id"), k).as("graft_ids"))
+      .select(explode(col("graft_ids")).as("graft_e"))
+      .select(col("graft_e.item").as("graft_keep"))
+    df.join(keep, idCol === col("graft_keep"), "leftsemi")
+  }
+
+  /**
    * Deterministic domain-mix sampling to token budgets — the "reweight web
    * down, keep code at 100%" step of training-data prep. For every domain
    * with a budget, rows are kept with probability

@@ -154,6 +154,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /**
+   * Cross-corpus near-duplicate JOIN: (id_a from `left`, id_b from `right`,
+   * jaccard) for pairs whose exact shingle Jaccard meets `threshold`, with
+   * candidates from minhash LSH band buckets — the "dedup the new crawl
+   * against the frozen reference corpus, with ATTRIBUTION" operator
+   * ([[Incremental.minhashIncremental]] answers drop-or-keep against an
+   * index; this returns the matched PAIRS, e.g. for contamination reports
+   * or provenance audits, and verifies with exact Jaccard since both texts
+   * are at hand).
+   *
+   * Scale: each side makes one shingle→signature pass; the candidate join
+   * is an equi-join on (band, bucket) — both sides shuffle once on that
+   * key, NEVER an all-pairs product; verification re-derives shingles for
+   * candidate rows only via two id-keyed joins (candidate side is small,
+   * AQE broadcasts it). `maxBucketSize` caps boilerplate buckets on each
+   * side independently (opt-in recall trade, as in [[minhashNearDups]]).
+   */
+  def minhashNearDupJoin(
+      left: DataFrame, leftId: Column, leftText: Column,
+      right: DataFrame, rightId: Column, rightText: Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rowsPerBand = numHashes / bands
+    def bandRows(docs: DataFrame): DataFrame = {
+      val raw = docs.select(col("id"),
+          Text.minhash(Text.shingles(col("text"), shingleSize), numHashes).as("sig"))
+        .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+        .select(col("id"), col("band"),
+          xxhash64(col("band"),
+            slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
+        .repartition(col("band"), col("bucket"))
+      if (maxBucketSize <= 0) raw
+      else {
+        val sizes = raw.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("graft_bsz"))
+          .where(col("graft_bsz") <= maxBucketSize)
+          .select(col("band"), col("bucket"))
+        raw.join(sizes, Seq("band", "bucket"), "leftsemi")
+      }
+    }
+    val ldocs = left.select(leftId.as("id"), leftText.as("text"))
+    val rdocs = right.select(rightId.as("id"), rightText.as("text"))
+    val l = bandRows(ldocs).as("l")
+    val r = bandRows(rdocs).as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(ldocs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(rdocs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Text.shingles(col("text_a"), shingleSize).as("sh_a"),
+        Text.shingles(col("text_b"), shingleSize).as("sh_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** SimHash near-dups: pairs with Hamming distance ≤ maxHamming, candidates
    * from 16-bit bands of the 64-bit signature. */
   def simhashNearDups(

@@ -96,6 +96,37 @@ class CurationSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("weightedSamplePerKey: exact E-S selection, weight bias, degenerate weights") {
+    import spark.implicits._
+    // reference computation of the same exponential-clock formula
+    def md5frac(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+    }
+    val rows = (0L until 200L).map(i => (i, if (i < 100) "a" else "b", (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "key", "w")
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.map(r => (r._1, -math.log(md5frac(r._1)) / r._3))
+        .sortBy(_._2).take(5).map(_._1)
+    }.toSet
+    val got = Curation.weightedSamplePerKey(df, col("key"), col("id"), col("w"), 5)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected, s"selection must replay the clock formula: got $got")
+    // heavy weights dominate: ids 0-9 carry 1000x the weight of the rest
+    val skewed = (0L until 100L).map(i => (i, "k", if (i < 10) 1000.0 else 1.0)).toDF("id", "key", "w")
+    val heavy = Curation.weightedSamplePerKey(skewed, col("key"), col("id"), col("w"), 10)
+      .select("id").as[Long].collect()
+    assert(heavy.count(_ < 10) >= 8, s"heavy ids should dominate the sample: ${heavy.toSeq}")
+    // zero/negative/null weights never sampled; k >= group keeps all positive
+    val degenerate = Seq((1L, "k", Some(0.0)), (2L, "k", Some(-3.0)),
+      (3L, "k", None), (4L, "k", Some(2.0))).toDF("id", "key", "w")
+    val kept = Curation.weightedSamplePerKey(degenerate, col("key"), col("id"), col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(4L))
+  }
+
   test("sampleToTokenBudget keeps null-domain rows and survives zero-token domains") {
     val docs = Seq(
       (1L, Some("web"), 100L), (2L, Some("web"), 100L),

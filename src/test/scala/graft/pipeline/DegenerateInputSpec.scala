@@ -67,6 +67,37 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(!out(0).getStruct(4).getBoolean(5)) // empty text fails the gopher gate
   }
 
+  test("r11 operators on empty, null and whitespace-only input") {
+    // langIdFull / sentences: nothing throws; null text → null result
+    val out = Seq(Some(""), Some("   "), Some("\t\n"), Some("word. next!"), None)
+      .toDF("text")
+      .select(
+        Text.langIdFull(col("text")).as("lid"),
+        Text.sentences(col("text")).as("s"))
+      .collect()
+    assert(out.length == 5)
+    assert(out(0).getStruct(0).getString(0) == "und") // empty → und/none
+    assert(out(0).getStruct(0).getString(1) == "none")
+    assert(out(3).getStruct(0).getString(0) == "und") // "word next" has no profile hits
+    assert(out(3).getSeq[String](1) == Seq("word.", "next!"))
+    assert(out(4).isNullAt(0) && out(4).isNullAt(1)) // null in → null out
+    // whitespace-only → zero sentence units
+    assert(out(1).getSeq[String](1).isEmpty && out(2).getSeq[String](1).isEmpty)
+    // sentence dedup on empty corpus and all-junk docs
+    assert(Dedup.dedupSentences(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    val junk = Seq((1L, "!!! ..."), (2L, "??")).toDF("doc_id", "text")
+    val dj = Dedup.dedupSentences(junk, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(dj == Map(1L -> "", 2L -> "")) // rows preserved, text empty
+    // hll on empty input and all-null column
+    import graft.functions.dsl
+    val nulls = Seq[Option[String]](None, None).toDF("x")
+    assert(nulls.agg(dsl.hll_estimate(dsl.hll_sketch(col("x"))))
+      .as[Long].collect().head == 0L)
+    assert(emptyDocs.agg(dsl.hll_estimate(dsl.hll_sketch(col("text"))))
+      .as[Long].collect().head == 0L)
+  }
+
   test("curation scoring on empty corpora") {
     assert(Curation.splitByHash(emptyDocs, col("doc_id")).count() == 0)
     assert(Curation.bm25(emptyDocs, col("doc_id"), col("text"), Seq("term")).count() == 0)

@@ -28,6 +28,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("cross-corpus near-dup join: attribution pairs across two frames, no self pairs") {
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the meadow"),
+      (2L, "an entirely different reference document about engines and parts"),
+      (3L, "shared exact content that appears verbatim in both corpora")).toDF("id", "t")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog in the"), // near-dup of 1
+      (102L, "completely novel incoming content with its own words"),
+      (103L, "shared exact content that appears verbatim in both corpora") // exact dup of 3
+    ).toDF("id", "t")
+    val pairs = Dedup.minhashNearDupJoin(
+        reference, col("id"), col("t"), batch, col("id"), col("t"),
+        shingleSize = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.contains((1L, 101L)), s"near-dup pair missing: ${byPair.keys}")
+    assert(byPair((3L, 103L)) == 1.0, "exact cross-corpus dup must verify at 1.0")
+    // no within-corpus pairs, nothing touching the novel/unrelated docs
+    assert(pairs.forall(p => p._1 <= 3L && p._2 >= 101L))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 102L))
+    // disjoint corpora → empty
+    assert(Dedup.minhashNearDupJoin(
+      reference.where(col("id") === 2L), col("id"), col("t"),
+      batch.where(col("id") === 102L), col("id"), col("t"),
+      shingleSize = 2, threshold = 0.5).count() == 0)
+  }
+
   test("minhash bucket cap bounds mega-cluster blowup") {
     // 30 exact copies + 1 outlier: capped buckets drop the flood but the
     // operator still terminates with pairs only from small buckets
