@@ -618,6 +618,22 @@ object SparkEntry {
         Map("src0" -> 2000L, "src1" -> 1000L))
         .select(col("doc_id"), col("source"))
     }),
+    "q_length_quantiles" -> ((s, dir) => {
+      // per-source doc-length distribution as a mergeable log-histogram,
+      // built per half-corpus batch and rolled up (the cross-batch
+      // telemetry shape), quantiles read from the merged map; estimates
+      // rounded to 6 dp (the q_collocations libm contract) so DuckDB's
+      // replay of bucket walk + pow hash-matches
+      docs(s, dir)
+        .select(col("source"), (col("doc_id") % 2).as("graft_b"), col("n_chars"))
+        .groupBy(col("source"), col("graft_b"))
+        .agg(graft.functions.dsl.log_histogram(col("n_chars"), 20).as("graft_h"))
+        .groupBy(col("source"))
+        .agg(graft.functions.dsl.histogram_merge(col("graft_h")).as("graft_m"))
+        .select(col("source"),
+          round(graft.functions.dsl.histogram_quantile(col("graft_m"), lit(0.5), 20), 6).as("p50_est"),
+          round(graft.functions.dsl.histogram_quantile(col("graft_m"), lit(0.9), 20), 6).as("p90_est"))
+    }),
     "q_weighted_sample" -> ((s, dir) => {
       // per-source weighted sample without replacement (exponential
       // clocks): longer docs proportionally likelier; the draw is a pure
@@ -1643,6 +1659,27 @@ object SparkEntry {
         |FROM base b JOIN fr USING (source)
         |WHERE (CAST(concat('0x', substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |       / 4294967296.0) < fr.frac""".stripMargin,
+    "q_length_quantiles" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         CAST(floor(log10(CAST(n_chars AS DOUBLE)) * 20 + 0.000000001) AS INT) AS bucket,
+        |         count(*) AS c
+        |  FROM documents
+        |  WHERE n_chars > 0
+        |  GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, sum(c) AS n FROM b GROUP BY 1
+        |), cum AS (
+        |  SELECT b.source, b.bucket,
+        |         sum(c) OVER (PARTITION BY b.source ORDER BY b.bucket) AS cum, t.n
+        |  FROM b JOIN t USING (source)
+        |)
+        |SELECT source,
+        |  round(min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |            THEN pow(10.0, (bucket + 0.5) / 20.0) END), 6) AS p50_est,
+        |  round(min(CASE WHEN cum >= greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+        |            THEN pow(10.0, (bucket + 0.5) / 20.0) END), 6) AS p90_est
+        |FROM cum GROUP BY 1""".stripMargin,
     "q_weighted_sample" ->
       """WITH c AS (
         |  SELECT doc_id, source,

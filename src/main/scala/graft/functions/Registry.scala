@@ -226,6 +226,13 @@ object Registry {
         es(1), litLong(es(2)).toInt).toAggregateExpression()),
     "vector_mean" -> (es => VectorMeanAggregate(es.head).toAggregateExpression()),
     "vector_minmax" -> (es => VectorMinMaxAggregate(es.head).toAggregateExpression()),
+    "log_histogram" -> (es => LogHistogramAggregate(es.head,
+      if (es.size >= 2) litLong(es(1)).toInt else 20).toAggregateExpression()),
+    "histogram_merge" -> (es => HistogramMergeAggregate(es.head).toAggregateExpression()),
+    "histogram_quantile" -> (es => HistogramQuantileExpression(es(0),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        es(1), org.apache.spark.sql.types.DoubleType),
+      if (es.size >= 3) litLong(es(2)).toInt else 20)),
     "hll_sketch" -> (es => HllSketchAggregate(es.head,
       if (es.size >= 2) litLong(es(1)).toInt else 12).toAggregateExpression()),
     "hll_merge" -> (es => HllMergeAggregate(es.head).toAggregateExpression()),

@@ -121,6 +121,12 @@ object dsl {
   def drop_field(struct: Column, paths: String*): Column = Registry.dropField(struct, paths)
   def top_k_by(ord: Column, item: Column, k: Int): Column =
     col(TopKAggregate(ex(ord.cast("double")), ex(item), k).toAggregateExpression())
+  def log_histogram(c: Column, bpd: Int = 20): Column =
+    col(LogHistogramAggregate(ex(c), bpd).toAggregateExpression())
+  def histogram_merge(m: Column): Column =
+    col(HistogramMergeAggregate(ex(m)).toAggregateExpression())
+  def histogram_quantile(m: Column, q: Column, bpd: Int = 20): Column =
+    col(HistogramQuantileExpression(ex(m), ex(q.cast("double")), bpd))
   def hll_sketch(c: Column, p: Int = 12): Column =
     col(HllSketchAggregate(ex(c), p).toAggregateExpression())
   def hll_merge(sketch: Column): Column =
