@@ -1662,10 +1662,12 @@ object SparkEntry {
     "q_length_quantiles" ->
       """WITH b AS (
         |  SELECT source,
-        |         CAST(floor(log10(CAST(n_chars AS DOUBLE)) * 20 + 0.000000001) AS INT) AS bucket,
+        |         CASE WHEN n_chars <= 0 THEN -2147483648
+        |              ELSE CAST(floor(log10(CAST(n_chars AS DOUBLE)) * 20 + 0.000000001) AS INT)
+        |         END AS bucket,
         |         count(*) AS c
         |  FROM documents
-        |  WHERE n_chars > 0
+        |  WHERE n_chars IS NOT NULL
         |  GROUP BY 1, 2
         |), t AS (
         |  SELECT source, sum(c) AS n FROM b GROUP BY 1
@@ -1676,9 +1678,11 @@ object SparkEntry {
         |)
         |SELECT source,
         |  round(min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
-        |            THEN pow(10.0, (bucket + 0.5) / 20.0) END), 6) AS p50_est,
+        |            THEN (CASE WHEN bucket = -2147483648 THEN 0.0
+        |                       ELSE pow(10.0, (bucket + 0.5) / 20.0) END) END), 6) AS p50_est,
         |  round(min(CASE WHEN cum >= greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
-        |            THEN pow(10.0, (bucket + 0.5) / 20.0) END), 6) AS p90_est
+        |            THEN (CASE WHEN bucket = -2147483648 THEN 0.0
+        |                       ELSE pow(10.0, (bucket + 0.5) / 20.0) END) END), 6) AS p90_est
         |FROM cum GROUP BY 1""".stripMargin,
     "q_weighted_sample" ->
       """WITH c AS (
@@ -2385,7 +2389,8 @@ object SparkEntry {
         |), u AS (
         |  SELECT doc_id,
         |         list_filter(
-        |           list_transform(regexp_extract_all(t, '[^.!?]+(?:[.!?]+|$)'), x -> trim(x)),
+        |           list_transform(regexp_extract_all(t, '[^.!?]+(?:[.!?]+|$)'),
+        |             x -> regexp_replace(x, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')),
         |           x -> regexp_matches(x, '[\p{L}\p{N}]')) AS units
         |  FROM d
         |), l AS (

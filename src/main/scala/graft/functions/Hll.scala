@@ -69,8 +69,10 @@ object Hll {
 
   /** Bias-corrected estimate: harmonic-mean raw estimate, linear counting
    * below 2.5·m when empty registers remain (the small-range regime where
-   * the raw estimator biases high). */
+   * the raw estimator biases high). The zero-length identity sketch (an
+   * hll_merge over only-null inputs) estimates 0. */
   def estimate(regs: Array[Byte]): Long = {
+    if (regs.isEmpty) return 0L
     val m = regs.length
     var invSum = 0.0
     var zeros = 0
@@ -143,7 +145,10 @@ case class HllMergeAggregate(
     if (v == null) buf
     else {
       val s = v.asInstanceOf[Array[Byte]]
-      if (buf.isEmpty) s.clone()
+      // a zero-length sketch is the merge identity (a persisted rollup of
+      // only-null inputs) — skip it instead of tripping the precision check
+      if (s.isEmpty) buf
+      else if (buf.isEmpty) s.clone()
       else { Hll.maxInto(buf, s); buf }
     }
   }

@@ -150,6 +150,25 @@ object Curation {
    * NON-NULL numeric id (the usual document id); rows with a null id are
    * dropped — they cannot participate in a deterministic id-ordered cap.
    */
+  /** Shared per-key bounded-selection core: the ids whose `ordCol` ranks in
+   * the key's top `k` (LARGEST ordinal wins — negate for smallest-first),
+   * via the mergeable top-k heap (map-side partials ship ≤ k rows per
+   * (partition, key), never a per-key sort or window), semi-joined back.
+   * Keep-set size is #keys × k — small for real caps but not guaranteed
+   * broadcastable (1e6 domains × 1000); AQE picks the join strategy. Rows
+   * whose ordinal evaluates null are skipped by the aggregate — callers
+   * guard or document that. */
+  private def keepTopKPerKey(
+      df: DataFrame, keyCol: Column, idCol: Column, ordCol: Column, k: Int): DataFrame = {
+    val keep = df.select(keyCol.as("graft_key"), idCol.as("graft_id"), ordCol.as("graft_ord"))
+      .groupBy(col("graft_key"))
+      .agg(graft.functions.dsl.top_k_by(
+        col("graft_ord"), col("graft_id"), k).as("graft_ids"))
+      .select(explode(col("graft_ids")).as("graft_e"))
+      .select(col("graft_e.item").as("graft_keep"))
+    df.join(keep, idCol === col("graft_keep"), "leftsemi")
+  }
+
   def capPerKey(df: DataFrame, keyCol: Column, idCol: Column, maxPerKey: Int): DataFrame = {
     require(maxPerKey > 0, "maxPerKey must be positive")
     // the ordering negates the id into the top-k ordinal: a non-numeric id
@@ -158,15 +177,7 @@ object Curation {
     val idType = df.select(idCol.as("graft_id")).schema.head.dataType
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"capPerKey needs a numeric id column to order on, got ${idType.sql}")
-    val keep = df.select(keyCol.as("graft_key"), idCol.as("graft_id"))
-      .groupBy(col("graft_key"))
-      .agg(graft.functions.dsl.top_k_by(
-        -col("graft_id").cast("double"), col("graft_id"), maxPerKey).as("graft_ids"))
-      .select(explode(col("graft_ids")).as("graft_e"))
-      .select(col("graft_e.item").as("graft_keep"))
-    // keep-set size is #keys × N — small for real caps but not guaranteed
-    // broadcastable (1e6 domains × 1000); let AQE pick the join strategy
-    df.join(keep, idCol === col("graft_keep"), "leftsemi")
+    keepTopKPerKey(df, keyCol, idCol, -idCol.cast("double"), maxPerKey)
   }
 
   /**
@@ -179,14 +190,12 @@ object Curation {
    * across runs AND engines) and w the row's weight; the k smallest clocks
    * per key are a weight-proportional without-replacement sample. The
    * whole draw is a pure function of (id, weight), so the DuckDB oracle
-   * replays it row-for-row. Rows with null or non-positive weight are
-   * never sampled. Ids must be unique.
+   * replays it row-for-row. Rows with null, NaN or non-positive weight
+   * are never sampled. Ids must be unique.
    *
-   * Scale: the per-key selection is the bounded mergeable top-k heap
-   * (map-side partials ship ≤ k rows per (partition, key)), never a
-   * per-key sort or window over the corpus; the keep-set joins back
-   * semi-join style with AQE picking the strategy — the [[capPerKey]]
-   * shape with a weighted ordinal.
+   * Scale: the [[keepTopKPerKey]] core — bounded mergeable top-k heap,
+   * never a per-key sort or window over the corpus — with the weighted
+   * clock as the ordinal.
    */
   def weightedSamplePerKey(
       df: DataFrame, keyCol: Column, idCol: Column, weightCol: Column,
@@ -198,15 +207,12 @@ object Curation {
       .cast("double") + 1.0) / 4294967296.0
     val w = weightCol.cast("double")
     val clock = -log(u) / w
-    val keep = df
-      .where(w.isNotNull && w > 0.0)
-      .select(keyCol.as("graft_key"), idCol.as("graft_id"), (-clock).as("graft_ord"))
-      .groupBy(col("graft_key"))
-      .agg(graft.functions.dsl.top_k_by(
-        col("graft_ord"), col("graft_id"), k).as("graft_ids"))
-      .select(explode(col("graft_ids")).as("graft_e"))
-      .select(col("graft_e.item").as("graft_keep"))
-    df.join(keep, idCol === col("graft_keep"), "leftsemi")
+    // NaN weights must be barred explicitly: NaN compares GREATER than
+    // every number in Spark's ordering, so a NaN clock would win sample
+    // slots instead of being excluded
+    keepTopKPerKey(
+      df.where(w.isNotNull && !isnan(w) && w > 0.0),
+      keyCol, idCol, -clock, k)
   }
 
   /**

@@ -92,58 +92,53 @@ object Dedup {
    * exchange, which the self-join reuses (one computation, Spark
    * ReusedExchange); verification re-derives shingles from text for
    * CANDIDATE rows only, so corpus-wide shingle work happens exactly once. */
-  private def minhashPairsOverDocs(
+  /** LSH band rows (id, band, bucket) for an (id, text) frame.
+   *
+   * The explicit repartition on the candidate-join key materializes the
+   * corpus signature pass behind ONE exchange that every downstream
+   * consumer (bucket-size cap, both self-join sides) reads — the same
+   * exchange a sort-merge join would demand anyway, so no extra shuffle at
+   * scale, and a broadcast-demoted join can no longer recompute the
+   * signature subtree per side.
+   *
+   * Skew guard (maxBucketSize > 0): a corpus with massive exact-duplicate
+   * clusters puts whole clusters into one bucket in EVERY band →
+   * O(cluster²·bands) candidate pairs; a 100 TB web corpus WILL contain
+   * million-copy boilerplate. Buckets over the cap are skipped — a RECALL
+   * change, so the pair-level default is 0 (uncapped, complete pairs) and
+   * the cap is opt-in; nearDupClusters/dropNearDups collapse exact groups
+   * first and then cap, which loses nothing for clustering/curation. */
+  private def lshBandRows(
       docs: DataFrame, shingleSize: Int, numHashes: Int, bands: Int,
-      threshold: Double, maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
-    val sigs = docs.select(col("id"),
-      Text.minhash(Text.shingles(col("text"), shingleSize), numHashes).as("sig"))
-
-    // band rows: (band, bucket=hash of the band's signature slice, id).
-    // The explicit repartition on the self-join key materializes the corpus
-    // signature pass behind ONE exchange that every downstream consumer
-    // (bucket-size cap, both self-join sides) reads — the same exchange a
-    // sort-merge join would demand anyway, so no extra shuffle at scale,
-    // and a broadcast-demoted join can no longer recompute the signature
-    // subtree per side
-    val rawBandRows = sigs
+    val rawBandRows = docs
+      .select(col("id"),
+        Text.minhash(Text.shingles(col("text"), shingleSize), numHashes).as("sig"))
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
       .repartition(col("band"), col("bucket"))
+    if (maxBucketSize <= 0) rawBandRows
+    else {
+      val sizes = rawBandRows.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("graft_bsz"))
+        .where(col("graft_bsz") <= maxBucketSize)
+        .select(col("band"), col("bucket"))
+      rawBandRows.join(sizes, Seq("band", "bucket"), "leftsemi")
+    }
+  }
 
-    // skew guard (maxBucketSize > 0): a corpus with massive exact-duplicate
-    // clusters puts whole clusters into one bucket in EVERY band →
-    // O(cluster²·bands) candidate pairs; a 100 TB web corpus WILL contain
-    // million-copy boilerplate. Buckets over the cap are skipped — a RECALL
-    // change, so the pair-level default is 0 (uncapped, complete pairs) and
-    // the cap is opt-in; nearDupClusters/dropNearDups collapse exact groups
-    // first and then cap, which loses nothing for clustering/curation.
-    val bandRows =
-      if (maxBucketSize <= 0) rawBandRows
-      else {
-        val sizes = rawBandRows.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("graft_bsz"))
-          .where(col("graft_bsz") <= maxBucketSize)
-          .select(col("band"), col("bucket"))
-        rawBandRows.join(sizes, Seq("band", "bucket"), "leftsemi")
-      }
-
-    val l = bandRows.as("l")
-    val r = bandRows.as("r")
-    val candidates = l.join(r,
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-
-    // verify candidates with exact Jaccard over shingle sets, computed from
-    // the text of candidate rows only (two id-keyed equi-joins; the candidate
-    // side is small, AQE broadcasts it)
+  /** Exact-Jaccard verification of an (id_a, id_b) candidate frame: texts
+   * re-derived for candidate rows only via two id-keyed equi-joins (the
+   * candidate side is small, AQE broadcasts it). */
+  private def verifyCandidates(
+      candidates: DataFrame, ldocs: DataFrame, rdocs: DataFrame,
+      shingleSize: Int, threshold: Double): DataFrame =
     candidates
-      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .join(ldocs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(rdocs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         Text.shingles(col("text_a"), shingleSize).as("sh_a"),
         Text.shingles(col("text_b"), shingleSize).as("sh_b"))
@@ -152,6 +147,21 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  private def minhashPairsOverDocs(
+      docs: DataFrame, shingleSize: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    // SAME bandRows instance on both join sides → Spark ReusedExchange:
+    // one corpus signature pass (plan-spec'd)
+    val bandRows = lshBandRows(docs, shingleSize, numHashes, bands, maxBucketSize)
+    val l = bandRows.as("l")
+    val r = bandRows.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    verifyCandidates(candidates, docs, docs, shingleSize, threshold)
   }
 
   /**
@@ -176,44 +186,15 @@ object Dedup {
       right: DataFrame, rightId: Column, rightText: Column,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 0): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val rowsPerBand = numHashes / bands
-    def bandRows(docs: DataFrame): DataFrame = {
-      val raw = docs.select(col("id"),
-          Text.minhash(Text.shingles(col("text"), shingleSize), numHashes).as("sig"))
-        .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-        .select(col("id"), col("band"),
-          xxhash64(col("band"),
-            slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
-        .repartition(col("band"), col("bucket"))
-      if (maxBucketSize <= 0) raw
-      else {
-        val sizes = raw.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("graft_bsz"))
-          .where(col("graft_bsz") <= maxBucketSize)
-          .select(col("band"), col("bucket"))
-        raw.join(sizes, Seq("band", "bucket"), "leftsemi")
-      }
-    }
     val ldocs = left.select(leftId.as("id"), leftText.as("text"))
     val rdocs = right.select(rightId.as("id"), rightText.as("text"))
-    val l = bandRows(ldocs).as("l")
-    val r = bandRows(rdocs).as("r")
+    val l = lshBandRows(ldocs, shingleSize, numHashes, bands, maxBucketSize).as("l")
+    val r = lshBandRows(rdocs, shingleSize, numHashes, bands, maxBucketSize).as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    candidates
-      .join(ldocs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(rdocs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        Text.shingles(col("text_a"), shingleSize).as("sh_a"),
-        Text.shingles(col("text_b"), shingleSize).as("sh_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyCandidates(candidates, ldocs, rdocs, shingleSize, threshold)
   }
 
   /** SimHash near-dups: pairs with Hamming distance ≤ maxHamming, candidates

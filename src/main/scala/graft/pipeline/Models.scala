@@ -56,6 +56,18 @@ object Models {
     m.higher.zipWithIndex.foreach { case (df, i) =>
       df.write.mode("overwrite").parquet(s"$path/ngrams${i + 4}")
     }
+    // re-saving a LOWER-order model over a higher-order one must not leave
+    // the old model's upper tables behind — loadLm's contiguous scan would
+    // otherwise stitch the fresh low-order counts to stale 4/5-gram counts
+    // and score silently wrong
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = (if (m.trigrams.isEmpty) Seq(s"$path/trigrams") else Nil) ++
+      (m.order.max(3) + 1 to 5).map(i => s"$path/ngrams$i")
+    stale.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
   }
 
   def loadLm(spark: SparkSession, path: String): Lm.LmModel = {

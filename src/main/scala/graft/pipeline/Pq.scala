@@ -134,7 +134,9 @@ object Pq {
     // modelFrom: rebuild the cells table against an EXISTING index's frozen
     // coarse centroids AND PQ codebooks instead of retraining either — codes
     // and cell assignment stay deterministic across the two builds (the
-    // append==rebuild parity contract, same shape as Sq.ivfSqBuild)
+    // append==rebuild parity contract, same shape as Sq.ivfSqBuild). NOTE:
+    // with modelFrom set, nlist/mSub/ksub/iters are NOT consulted — the
+    // loaded model's geometry wins (the point of a frozen-model rebuild)
     require(!modelFrom.contains(path),
       "ivfPqBuild: modelFrom must point at a different index (read-then-overwrite)")
     val spark = corpus.sparkSession

@@ -113,7 +113,9 @@ object Sq {
       modelFrom: Option[String] = None): Unit = {
     // modelFrom: rebuild the cells table against an EXISTING index's frozen
     // centroids AND quantizer ranges instead of retraining either — code
-    // bytes and cell assignment stay deterministic across the two builds
+    // bytes and cell assignment stay deterministic across the two builds.
+    // NOTE: with modelFrom set, nlist/iters are NOT consulted — the loaded
+    // model's geometry wins (the point of a frozen-model rebuild)
     require(!modelFrom.contains(path),
       "ivfSqBuild: modelFrom must point at a different index (read-then-overwrite)")
     val spark = corpus.sparkSession

@@ -129,18 +129,22 @@ object Text {
     regexp_extract(urlHost(url), "\\.([^.]+)$", 1)
 
   /** Rule-based sentence segmentation: maximal runs of non-terminator
-   * characters followed by a `.`/`!`/`?` run (or end of text), space-trimmed,
+   * characters followed by a `.`/`!`/`?` run (or end of text), trimmed of
+   * WHITESPACE on both ends (the explicit `[ \t\n\r\f]` class — `trim()`
+   * strips spaces only, and a sentence led by the previous line's `\n`
+   * would then hash differently across docs, hiding line-initial
+   * boilerplate from [[graft.pipeline.Dedup.dedupSentences]]'s census);
    * units with no letter or digit dropped (pure-punctuation/whitespace
-   * fragments are separators, not sentences). Deliberately simple — the
-   * regex lives in the Java∩RE2 subset (no lookaround), so the DuckDB
-   * oracle replicates it exactly; abbreviation handling is out of scope and
-   * the contract is deterministic either way. Chain after [[cleanText]] so
-   * interior whitespace is already normalized. Built-in functions only —
+   * fragments are separators, not sentences). Deliberately simple — every
+   * regex lives in the Java∩RE2 subset (no lookaround, no `\s`, whose
+   * definition differs between the engines), so the DuckDB oracle
+   * replicates it exactly; abbreviation handling is out of scope and the
+   * contract is deterministic either way. Built-in functions only —
    * codegen'd narrow projection, no shuffle at any scale. */
   def sentences(text: Column): Column =
     filter(
       transform(regexp_extract_all(text, lit("[^.!?]+(?:[.!?]+|$)"), lit(0)),
-        s => trim(s)),
+        s => regexp_replace(s, "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")),
       s => s.rlike("[\\p{L}\\p{N}]"))
 
   /** Deterministic text cleaning for ingest normalization: strip control

@@ -67,6 +67,25 @@ class HllSpec extends AnyFunSuite {
     }
   }
 
+  test("the empty identity sketch merges as a no-op and estimates 0") {
+    // a rollup over only-null sketch rows emits a ZERO-LENGTH sketch; a
+    // later cross-batch merge must treat it as identity, not a precision
+    // mismatch crash
+    val emptySketch = Seq[Option[Array[Byte]]](None).toDF("s")
+      .agg(dsl.hll_merge(col("s")).as("m")).select("m").as[Array[Byte]].collect().head
+    assert(emptySketch.isEmpty)
+    assert(Seq(emptySketch).toDF("s")
+      .agg(dsl.hll_estimate(dsl.hll_merge(col("s")))).as[Long].collect().head == 0L)
+    val real = spark.range(1000).agg(dsl.hll_sketch(col("id")).as("s"))
+      .select("s").as[Array[Byte]].collect().head
+    // identity on either side, any order
+    for (batch <- Seq(Seq(emptySketch, real), Seq(real, emptySketch))) {
+      val merged = batch.toDF("s").coalesce(1)
+        .agg(dsl.hll_merge(col("s")).as("m")).select("m").as[Array[Byte]].collect().head
+      assert(merged.toSeq == real.toSeq, "empty sketch must merge as identity")
+    }
+  }
+
   test("mixed precisions refuse to merge; p is validated") {
     val s8 = spark.range(100).agg(dsl.hll_sketch(col("id"), 8).as("s"))
       .select("s").as[Array[Byte]].collect().head

@@ -119,12 +119,20 @@ class CurationSpec extends AnyFunSuite {
     val heavy = Curation.weightedSamplePerKey(skewed, col("key"), col("id"), col("w"), 10)
       .select("id").as[Long].collect()
     assert(heavy.count(_ < 10) >= 8, s"heavy ids should dominate the sample: ${heavy.toSeq}")
-    // zero/negative/null weights never sampled; k >= group keeps all positive
+    // zero/negative/null/NaN weights never sampled (NaN compares greater
+    // than every number — unguarded it would hijack every sample slot);
+    // k >= group keeps all positive
     val degenerate = Seq((1L, "k", Some(0.0)), (2L, "k", Some(-3.0)),
-      (3L, "k", None), (4L, "k", Some(2.0))).toDF("id", "key", "w")
+      (3L, "k", None), (4L, "k", Some(2.0)),
+      (5L, "k", Some(Double.NaN))).toDF("id", "key", "w")
     val kept = Curation.weightedSamplePerKey(degenerate, col("key"), col("id"), col("w"), 10)
       .select("id").as[Long].collect().toSet
     assert(kept == Set(4L))
+    // ...and with k smaller than the group, NaN must not crowd out real rows
+    val nanFlood = ((0L until 5L).map(i => (i, "k", Double.NaN)) :+ ((9L, "k", 1.0)))
+      .toDF("id", "key", "w")
+    assert(Curation.weightedSamplePerKey(nanFlood, col("key"), col("id"), col("w"), 3)
+      .select("id").as[Long].collect().toSeq == Seq(9L))
   }
 
   test("sampleToTokenBudget keeps null-domain rows and survives zero-token domains") {

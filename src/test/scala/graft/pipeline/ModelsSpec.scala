@@ -82,6 +82,14 @@ class ModelsSpec extends AnyFunSuite {
     val path4 = tmp("graft_lm4")
     Models.saveLm(spark, path4, m4)
     assert(Models.loadLm(spark, path4).order == 4)
+    // re-saving a LOWER order over a higher one must clear the stale upper
+    // tables — otherwise loadLm would stitch fresh low-order counts to the
+    // old corpus's 4/5-gram counts and score silently wrong
+    Models.saveLm(spark, path, m4) // order 5 dir downgraded to order 4
+    assert(Models.loadLm(spark, path).order == 4)
+    Models.saveLm(spark, path, Lm.train(corpus, col("text")))
+    assert(Models.loadLm(spark, path).order == 2)
+    assert(run(Models.loadLm(spark, path)) == run(Lm.train(corpus, col("text"))))
   }
 
   test("dsir round-trip scores bit-identically through the inline path") {

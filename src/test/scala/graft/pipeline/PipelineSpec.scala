@@ -286,6 +286,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(sents("") == Seq.empty)
     assert(sents("... !!! ???") == Seq.empty)
     assert(sents("one") == Seq("one"))
+    // FULL whitespace trim: a sentence led by the previous line's newline
+    // must hash identically to its space-led twin (line-initial boilerplate
+    // would otherwise escape the cross-doc census)
+    assert(sents("Para one.\nSubscribe now!\tTail text here") ==
+      Seq("Para one.", "Subscribe now!", "Tail text here"))
   }
 
   test("sentence dedup: cross-doc pitch sentences drop, within-doc repeats keep first") {
