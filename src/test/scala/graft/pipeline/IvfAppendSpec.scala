@@ -86,6 +86,36 @@ class IvfAppendSpec extends AnyFunSuite {
     assert(search(incr) == search(full))
   }
 
+  test("ivfPqAppend into a cell EMPTY at build time creates its partition") {
+    // force the empty cell deterministically: centroids + codebooks train
+    // on the FULL 3-direction corpus, but the live index's cells rebuild
+    // (modelFrom) over direction-1 rows only — the other directions' cells
+    // have no cid= partition dir on disk; an appended batch from a missing
+    // direction must land in such a cell and be findable afterwards
+    val all = mkVecs(0 until 300, 107)
+    val b1 = all.where(col("vec_id") % 3 === 0) // one base direction only
+    val b2 = mkVecs(500 until 560, 109).where(col("vec_id") % 3 === 1)
+    val trained = tmp("graft_ivfpq_newcell_model")
+    val idx = tmp("graft_ivfpq_newcell")
+    Pq.ivfPqBuild(all, "vec_id", "embedding", trained, nlist = 4, mSub = 4, ksub = 8, iters = 3)
+    Pq.ivfPqBuild(b1, "vec_id", "embedding", idx, modelFrom = Some(trained))
+    val cellsBefore = spark.read.parquet(s"$idx/cells")
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    Pq.ivfPqAppend(spark, idx, b2, "vec_id", "embedding")
+    val cellsAfter = spark.read.parquet(s"$idx/cells")
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    assert(cellsAfter.size > cellsBefore.size,
+      s"append should populate a previously-empty cell: $cellsBefore -> $cellsAfter")
+    val queries = mkVecs(9000 until 9003, 103)
+    val hits = pairs(
+      Pq.ivfPqSearch(spark, idx, queries, "vec_id", "embedding", 5, nprobe = 4))
+    assert(hits.exists(_._2 >= 500L), "appended-direction vectors must be findable")
+    // retry still a no-op across the new partition layout
+    val count = spark.read.parquet(s"$idx/cells").count()
+    Pq.ivfPqAppend(spark, idx, b2, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$idx/cells").count() == count)
+  }
+
   test("ivfPqAppend drops degenerate vectors and appended codes match rebuild bytes") {
     val b1 = mkVecs(0 until 200, 59)
     val degenerate = Seq(

@@ -353,6 +353,11 @@ class PipelineSpec extends AnyFunSuite {
     // nl "is" overlap: en hit loses to 4 nl hits, confidence 4/5
     val Array(nl) = lid("het is een tekst voor niet veel")
     assert(nl._1 == "nl" && nl._3 == 0.8)
+    // astral codepoints (emoji, surrogate pairs) are outside every tracked
+    // range: never counted, never split mid-surrogate, never crash
+    val Array(emoji, emojiOnly) = lid("the cat and dog is 🚀🧪 here", "🚀🧪💡")
+    assert(emoji._1 == "en" && emoji._2 == "latin")
+    assert(emojiOnly == (("und", "none", 0.0)))
   }
 
   test("fingerprint: identical docs match, different docs do not") {
