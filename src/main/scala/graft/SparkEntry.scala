@@ -919,6 +919,28 @@ object SparkEntry {
         .agg(graft.functions.dsl.hll_merge(col("graft_s")).as("graft_m"))
         .select(col("source"), graft.functions.dsl.hll_estimate(col("graft_m")).as("est_docs"))
     }),
+    "q_theta_overlap" -> ((s, dir) => {
+      // cross-corpus overlap WITHOUT joining the corpora: per-half theta
+      // sketches of 5-word shingles built per doc_id%4 batch (the
+      // incremental telemetry path), rolled up with theta_union, then
+      // shared/novel mass via sketch set algebra on two blobs. k=2^18 far
+      // exceeds the distinct-shingle count at the gate SFs, so theta never
+      // moves and every estimate is EXACT — the oracle runs true set ops.
+      import graft.functions.dsl.{theta_a_not_b, theta_estimate, theta_intersect, theta_sketch, theta_union}
+      val sh = docs(s, dir).select(
+        (col("doc_id") % 2).as("corpus"), (col("doc_id") % 4).as("graft_batch"),
+        explode(graft.pipeline.Text.shingles(col("text"), 5)).as("g"))
+      val merged = sh.groupBy(col("corpus"), col("graft_batch"))
+        .agg(theta_sketch(col("g"), 1 << 18).as("sk"))
+        .groupBy(col("corpus")).agg(theta_union(col("sk")).as("sk"))
+      val a = merged.where(col("corpus") === 0).select(col("sk").as("ska"))
+      val b = merged.where(col("corpus") === 1).select(col("sk").as("skb"))
+      a.crossJoin(b).select( // single-row frames
+        theta_estimate(col("ska")).as("n_a"),
+        theta_estimate(col("skb")).as("n_b"),
+        theta_estimate(theta_intersect(col("ska"), col("skb"))).as("n_shared"),
+        theta_estimate(theta_a_not_b(col("skb"), col("ska"))).as("n_novel_b"))
+    }),
     "q_dedup_sentences" -> ((s, dir) => {
       // boilerplate that shares a line with content: every doc gets a
       // subscribe pitch PREPENDED to its own text on one line — line dedup
@@ -1304,6 +1326,18 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
+    "q_theta_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id % 2 AS corpus, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT corpus,
+        |    unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, greatest(len(ws) - 4, 1) + 1)]) AS g
+        |  FROM w
+        |), a AS (SELECT g FROM sh WHERE corpus = 0), b AS (SELECT g FROM sh WHERE corpus = 1)
+        |SELECT (SELECT count(*) FROM a) AS n_a,
+        |       (SELECT count(*) FROM b) AS n_b,
+        |       (SELECT count(*) FROM (SELECT g FROM a INTERSECT SELECT g FROM b)) AS n_shared,
+        |       (SELECT count(*) FROM (SELECT g FROM b EXCEPT SELECT g FROM a)) AS n_novel_b""".stripMargin,
     "q_dq_flatten" ->
       """WITH r AS (
         |  SELECT 100 AS ruleId, CASE WHEN l_quantity <= 50 THEN 100000 ELSE 0 END AS ruleResult FROM lineitem

@@ -237,6 +237,12 @@ object Registry {
       if (es.size >= 2) litLong(es(1)).toInt else 12).toAggregateExpression()),
     "hll_merge" -> (es => HllMergeAggregate(es.head).toAggregateExpression()),
     "hll_estimate" -> (es => HllEstimateExpression(es.head)),
+    "theta_sketch" -> (es => ThetaSketchAggregate(es.head,
+      if (es.size >= 2) litLong(es(1)).toInt else Theta.DefaultK).toAggregateExpression()),
+    "theta_union" -> (es => ThetaUnionAggregate(es.head).toAggregateExpression()),
+    "theta_intersect" -> (es => ThetaIntersectExpression(es(0), es(1))),
+    "theta_a_not_b" -> (es => ThetaANotBExpression(es(0), es(1))),
+    "theta_estimate" -> (es => ThetaEstimateExpression(es.head)),
     "small_bloom" -> (es =>
       graft.bloom.BloomAggregate(es(0), litLong(es(1)), litDouble(es(2))).toAggregateExpression()),
     "big_bloom" -> (es =>

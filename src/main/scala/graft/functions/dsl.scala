@@ -132,6 +132,15 @@ object dsl {
   def hll_merge(sketch: Column): Column =
     col(HllMergeAggregate(ex(sketch)).toAggregateExpression())
   def hll_estimate(sketch: Column): Column = col(HllEstimateExpression(ex(sketch)))
+  def theta_sketch(c: Column, k: Int = Theta.DefaultK): Column =
+    col(ThetaSketchAggregate(ex(c), k).toAggregateExpression())
+  def theta_union(sketch: Column): Column =
+    col(ThetaUnionAggregate(ex(sketch)).toAggregateExpression())
+  def theta_intersect(a: Column, b: Column): Column =
+    col(ThetaIntersectExpression(ex(a), ex(b)))
+  def theta_a_not_b(a: Column, b: Column): Column =
+    col(ThetaANotBExpression(ex(a), ex(b)))
+  def theta_estimate(sketch: Column): Column = col(ThetaEstimateExpression(ex(sketch)))
   def vector_mean(arr: Column): Column =
     col(VectorMeanAggregate(ex(arr)).toAggregateExpression())
   def vector_minmax(arr: Column): Column =
