@@ -778,6 +778,23 @@ object SparkEntry {
         d, col("doc_id"), col("text"),
         d.where(col("doc_id") % 25 === 0), col("text"))
     }),
+    "q_decontaminate_containment" -> ((s, dir) => {
+      // ASYMMETRIC contamination: "benchmark" items are 36-word slices of
+      // every 10th doc — Jaccard vs their full-length source docs sits far
+      // below any near-dup threshold (LSH never buckets them), but shingle
+      // containment is ~1.0. Exact inverted-shingle join, no sketch; the
+      // oracle replays the identical set math.
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 10 === 0).select(
+        col("doc_id").as("bench_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 5, 36)).as("bench_text"))
+      graft.pipeline.Dedup.containmentJoin(
+          bench, col("bench_id"), col("bench_text"),
+          d, col("doc_id"), col("text"),
+          shingleSize = 5, threshold = 0.6)
+        .select(col("id_q").as("bench_id"), col("id_c").as("doc_id"),
+          round(col("containment"), 6).as("containment"))
+    }),
     "q_badwords" -> ((s, dir) => {
       // C4-style blocklist gate: one alternation regex over the list,
       // word-boundary, multi-word phrases across whitespace
@@ -1338,6 +1355,27 @@ object SparkEntry {
         |       (SELECT count(*) FROM b) AS n_b,
         |       (SELECT count(*) FROM (SELECT g FROM a INTERSECT SELECT g FROM b)) AS n_shared,
         |       (SELECT count(*) FROM (SELECT g FROM b EXCEPT SELECT g FROM a)) AS n_novel_b""".stripMargin,
+    "q_decontaminate_containment" ->
+      """WITH b AS (
+        |  SELECT doc_id AS bench_id,
+        |         string_split_regex(trim(lower(array_to_string(string_split(text, ' ')[5:40], ' '))), '\s+') AS ws
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), bs AS (
+        |  SELECT bench_id,
+        |         len(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, greatest(len(ws) - 4, 1) + 1)])) AS nq,
+        |         unnest(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, greatest(len(ws) - 4, 1) + 1)])) AS g
+        |  FROM b
+        |), c AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+        |), cs AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, greatest(len(ws) - 4, 1) + 1)])) AS g
+        |  FROM c
+        |)
+        |SELECT bs.bench_id, cs.doc_id, round(count(*) / any_value(bs.nq), 6) AS containment
+        |FROM bs JOIN cs USING (g)
+        |GROUP BY bs.bench_id, cs.doc_id
+        |HAVING count(*) / any_value(bs.nq) >= 0.6""".stripMargin,
     "q_dq_flatten" ->
       """WITH r AS (
         |  SELECT 100 AS ruleId, CASE WHEN l_quantity <= 50 THEN 100000 ELSE 0 END AS ruleResult FROM lineitem

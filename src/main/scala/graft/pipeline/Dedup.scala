@@ -197,6 +197,79 @@ object Dedup {
     verifyCandidates(candidates, ldocs, rdocs, shingleSize, threshold)
   }
 
+  /**
+   * Exact shingle-CONTAINMENT join: (id_q, id_c, containment) for every
+   * (query, corpus) pair with |shingles(q) ∩ shingles(c)| / |shingles(q)|
+   * ≥ `threshold` — the ASYMMETRIC overlap Jaccard near-dup machinery
+   * can't see. The motivating case is decontamination: a 50-word benchmark
+   * item quoted inside a 5000-word train document has Jaccard ~0.01 (LSH
+   * on full-doc signatures never even buckets them together) but
+   * containment ~1.0. Exact-span matching ([[decontaminateSpans]]) catches
+   * verbatim quotes only; shingle containment survives paraphrase-level
+   * edits, reflowing and truncation (Broder 1997's containment measure).
+   *
+   * No sketching is needed: candidates come from an inverted shingle join
+   * — each SHARED shingle yields a candidate row, so a pair with zero
+   * overlap costs nothing, and the per-pair shared count is exact. Plan at
+   * scale: one shingle pass per side; both sides shuffle once on the
+   * 8-byte shingle hash (never the shingle text); pair counts partial-
+   * aggregate map-side before one (id_q, id_c) shuffle; the ≥ threshold
+   * cut happens inside the aggregate's output projection. Σ df_q(s)·df_c(s)
+   * bounds the join fan-out — web-scale corpora MUST cap ubiquitous
+   * boilerplate shingles via `maxShingleDf` (drops corpus-side shingles
+   * appearing in more than that many corpus docs; a RECALL trade that
+   * biases containment downward, so opt-in, 0 = uncapped) and should use
+   * shingleSize ≥ 5 (rarer shingles, smaller fan-out).
+   */
+  def containmentJoin(
+      queries: DataFrame, queryId: Column, queryText: Column,
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      shingleSize: Int = 5, threshold: Double = 0.8,
+      maxShingleDf: Int = 0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val qsh = queries
+      .select(queryId.as("id_q"), Text.shingles(queryText, shingleSize).as("graft_shs"))
+      .select(col("id_q"), size(col("graft_shs")).as("graft_nq"),
+        explode(col("graft_shs")).as("graft_g"))
+      .select(col("id_q"), col("graft_nq"), xxhash64(col("graft_g")).as("graft_h"))
+    val cshAll = corpus
+      .select(corpusId.as("id_c"), explode(Text.shingles(corpusText, shingleSize)).as("graft_g"))
+      .select(col("id_c"), xxhash64(col("graft_g")).as("graft_h"))
+    val csh =
+      if (maxShingleDf <= 0) cshAll
+      else {
+        val rare = cshAll.groupBy(col("graft_h"))
+          .agg(count(lit(1)).as("graft_df"))
+          .where(col("graft_df") <= maxShingleDf)
+          .select(col("graft_h"))
+        cshAll.join(rare, Seq("graft_h"), "leftsemi")
+      }
+    qsh.join(csh, "graft_h")
+      .groupBy(col("id_q"), col("id_c"), col("graft_nq"))
+      .agg(count(lit(1)).as("graft_shared"))
+      .select(col("id_q"), col("id_c"),
+        (col("graft_shared").cast("double") / col("graft_nq").cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Containment-based decontamination: drop every `df` document that
+   * CONTAINS any benchmark item at ≥ `threshold` shingle containment —
+   * the fuzzy complement of [[decontaminateSpans]] (which excises exact
+   * 20-word windows but passes a lightly-paraphrased quote). One anti-join
+   * against the flagged ids from [[containmentJoin]]. */
+  def decontaminateByContainment(
+      df: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchId: Column, benchTextCol: Column,
+      shingleSize: Int = 5, threshold: Double = 0.8,
+      maxShingleDf: Int = 0): DataFrame = {
+    val hits = containmentJoin(bench, benchId, benchTextCol, df, idCol, textCol,
+        shingleSize, threshold, maxShingleDf)
+      .select(col("id_c"))
+      .distinct()
+    df.join(hits, idCol === col("id_c"), "left_anti")
+  }
+
   /** SimHash near-dups: pairs with Hamming distance ≤ maxHamming, candidates
    * from 16-bit bands of the 64-bit signature. */
   def simhashNearDups(
