@@ -936,6 +936,31 @@ object SparkEntry {
         .agg(graft.functions.dsl.hll_merge(col("graft_s")).as("graft_m"))
         .select(col("source"), graft.functions.dsl.hll_estimate(col("graft_m")).as("est_docs"))
     }),
+    "q_cms_langs" -> ((s, dir) => {
+      // per-key frequency telemetry from a stored sketch, not a rescan:
+      // per-source CMS of the lang column built per half-corpus batch,
+      // sum-merged (the cross-batch path), then point-estimated for every
+      // observed (source, lang) pair. Width 65536 over a handful of langs
+      // is collision-free, so estimates are exact and the DuckDB oracle is
+      // a plain GROUP BY count; any seed-collision would surface as a
+      // hash mismatch here.
+      import graft.functions.dsl.{cms_estimate, cms_merge, cms_sketch}
+      val d = docs(s, dir)
+      val sk = d.select(col("source"), col("lang"), (col("doc_id") % 2).as("graft_batch"))
+        .groupBy(col("source"), col("graft_batch"))
+        .agg(cms_sketch(col("lang"), 65536, 4).as("graft_s"))
+        .groupBy(col("source")).agg(cms_merge(col("graft_s")).as("graft_s"))
+      d.select(col("source"), col("lang")).distinct()
+        .join(broadcast(sk), "source")
+        .select(col("source"), col("lang"),
+          cms_estimate(col("graft_s"), col("lang")).as("n_docs"))
+    }),
+    "q_compression_ratio" -> ((s, dir) => {
+      // rows-only (DuckDB has no zlib surface): per-doc deflate ratio, the
+      // information-density gate — CompressionSpec pins the band semantics
+      docs(s, dir).select(col("doc_id"),
+        round(graft.pipeline.Text.compressionRatio(col("text")), 6).as("zratio"))
+    }),
     "q_theta_overlap" -> ((s, dir) => {
       // cross-corpus overlap WITHOUT joining the corpora: per-half theta
       // sketches of 5-word shingles built per doc_id%4 batch (the
@@ -1343,6 +1368,8 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
+    "q_cms_langs" ->
+      "SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang",
     "q_theta_overlap" ->
       """WITH w AS (
         |  SELECT doc_id % 2 AS corpus, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents

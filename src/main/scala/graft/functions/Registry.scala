@@ -193,6 +193,7 @@ object Registry {
       if (es.size >= 3) litLong(es(2)).toInt else 100000))),
     "repetition_ratio" -> (es => ex(graft.pipeline.Text.repetitionRatio(col(es.head)))),
     "repetition_signals" -> (es => graft.pipeline.RepetitionSignalsExpression(es.head)),
+    "compression_ratio" -> (es => graft.pipeline.CompressionRatioExpression(es.head)),
     "clean_text" -> (es => ex(graft.pipeline.Text.cleanText(col(es.head)))),
     "extract_html" -> (es => graft.pipeline.HtmlExtractExpression(es.head,
       if (es.size >= 2) litDouble(es(1)) else 1.0)),
@@ -243,6 +244,11 @@ object Registry {
     "theta_intersect" -> (es => ThetaIntersectExpression(es(0), es(1))),
     "theta_a_not_b" -> (es => ThetaANotBExpression(es(0), es(1))),
     "theta_estimate" -> (es => ThetaEstimateExpression(es.head)),
+    "cms_sketch" -> (es => CmsSketchAggregate(es.head,
+      if (es.size >= 2) litLong(es(1)).toInt else Cms.DefaultW,
+      if (es.size >= 3) litLong(es(2)).toInt else Cms.DefaultD).toAggregateExpression()),
+    "cms_merge" -> (es => CmsMergeAggregate(es.head).toAggregateExpression()),
+    "cms_estimate" -> (es => CmsEstimateExpression(es(0), es(1))),
     "small_bloom" -> (es =>
       graft.bloom.BloomAggregate(es(0), litLong(es(1)), litDouble(es(2))).toAggregateExpression()),
     "big_bloom" -> (es =>

@@ -141,6 +141,12 @@ object dsl {
   def theta_a_not_b(a: Column, b: Column): Column =
     col(ThetaANotBExpression(ex(a), ex(b)))
   def theta_estimate(sketch: Column): Column = col(ThetaEstimateExpression(ex(sketch)))
+  def cms_sketch(c: Column, w: Int = Cms.DefaultW, d: Int = Cms.DefaultD): Column =
+    col(CmsSketchAggregate(ex(c), w, d).toAggregateExpression())
+  def cms_merge(sketch: Column): Column =
+    col(CmsMergeAggregate(ex(sketch)).toAggregateExpression())
+  def cms_estimate(sketch: Column, key: Column): Column =
+    col(CmsEstimateExpression(ex(sketch), ex(key)))
   def vector_mean(arr: Column): Column =
     col(VectorMeanAggregate(ex(arr)).toAggregateExpression())
   def vector_minmax(arr: Column): Column =

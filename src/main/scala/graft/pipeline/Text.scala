@@ -98,6 +98,22 @@ object Text {
     lit(1.0) - size(array_distinct(ws)).cast(DoubleType) / size(ws).cast(DoubleType)
   }
 
+  /** Deflate compression ratio (compressed bytes / raw UTF-8 bytes) — the
+   * information-density gate used alongside the Gopher heuristics in
+   * published pipelines (Dolma, Rae et al. 2021 §A1.2 use repetition
+   * proxies; zlib length is the standard cheap entropy stand-in): machine-
+   * generated or template-stamped text compresses far below prose
+   * (ratio < ~0.3), while binary-ish/encoded junk refuses to compress
+   * (ratio near or above 1). Catches LONG-RANGE repetition that the
+   * distinct-word and dup-n-gram signals miss — a 200-line template
+   * repeated 50× has diverse words but deflates to almost nothing. One
+   * codegen'd static call per row over a thread-local Deflater (zlib
+   * native state is reused, not reallocated per row); narrow projection,
+   * no shuffle at any scale. Empty/whitespace-only text → 1.0 (neutral:
+   * the length gates own degenerate docs). */
+  def compressionRatio(text: Column): Column =
+    Bridge.column(CompressionRatioExpression(Bridge.expression(text)))
+
   /**
    * Gopher-style document quality measures (Rae et al. 2021, "Scaling
    * Language Models: Methods, Analysis & Insights from Training Gopher",
@@ -298,6 +314,29 @@ object TextHash {
 object TextAlgos {
 
   private val WhitespaceRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Thread-local zlib state: Deflater construction allocates native
+   * buffers, so reuse-with-reset beats per-row allocation in the fused
+   * corpus pass. Raw deflate (nowrap) — no zlib header/checksum bytes
+   * skewing short documents. Level 6 (the zlib default) is the published
+   * pipelines' convention. */
+  private val deflaters =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+
+  /** Deflate ratio = compressed/raw bytes; empty text → 1.0 (neutral). */
+  def compressionRatio(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
 
   /** Distinct word n-gram shingles, first-occurrence order — exact
    * replication of the HOF formulation this replaced:
@@ -767,6 +806,20 @@ case class LangIdFullExpression(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.TextAlgos.langIdFull($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deflate compression ratio (see [[TextAlgos.compressionRatio]]).
+ * Codegen: one static call per row. */
+case class CompressionRatioExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.compressionRatio(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.compressionRatio($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
