@@ -103,6 +103,8 @@ object SparkEntry {
    * measures steady-state batch retrieval (the build is q_bm25_index_build's
    * job — conflating them hid search regressions behind the ~4 s build). */
   private val bm25IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Half-corpus base index for q_bm25_append (the other half appends). */
+  private val bm25AppendCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bm25IndexFor(s: SparkSession, dir: String): String =
     bm25IndexCache.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_q_bm25_idx").toString
@@ -708,6 +710,25 @@ object SparkEntry {
       val queries = d.where(col("doc_id") % 50 === 0)
       graft.pipeline.Retrieval.searchTopK(
         s, bm25IndexFor(s, dir), queries, "doc_id", "text", k = 5)
+    }),
+    "q_bm25_append" -> ((s, dir) => {
+      // incremental ingest for the retrieval tier: base index over the even
+      // half (built once per process), the odd half arrives as an append
+      // batch — O(batch) staged-then-committed, so reps after the first
+      // exercise the idempotent-retry no-op path. append==rebuild equality
+      // (RetrievalSpec) makes the oracle the same whole-corpus BM25 math
+      // as q_bm25_search, on a different query slice.
+      val d = docs(s, dir)
+      val path = bm25AppendCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_q_bm25_app").toString
+        graft.pipeline.Retrieval.buildIndex(
+          d.where(col("doc_id") % 2 === 0), "doc_id", "text", p)
+        p
+      })
+      graft.pipeline.Retrieval.appendToIndex(
+        d.where(col("doc_id") % 2 =!= 0), "doc_id", "text", path)
+      graft.pipeline.Retrieval.searchTopK(
+        s, path, d.where(col("doc_id") % 70 === 0), "doc_id", "text", k = 5)
     }),
     "q_lm3_score" -> ((s, dir) => {
       // interpolated trigram LM (recursive Jelinek–Mercer backoff): train at
@@ -1902,6 +1923,48 @@ object SparkEntry {
         |  SELECT term, count(*) AS df FROM postings GROUP BY 1
         |), qt AS (
         |  SELECT DISTINCT id AS query_id, unnest(toks) AS term FROM docs WHERE id % 50 = 0
+        |), j AS (
+        |  SELECT qt.query_id, p.id,
+        |         CAST(floor(
+        |           (ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |            * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |               / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |                  + 0.75 * CAST(dl AS DOUBLE)
+        |                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |           * 1000000000.0) AS BIGINT) AS p9
+        |  FROM qt
+        |  JOIN postings p USING (term)
+        |  JOIN dfs USING (term)
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT query_id, id, CAST(sum(p9) AS BIGINT) AS score_e9 FROM j GROUP BY 1, 2
+        |)
+        |SELECT query_id, id, score_e9, CAST(rnk AS INT) AS rank FROM (
+        |  SELECT query_id, id, score_e9,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score_e9 DESC, id) AS rnk
+        |  FROM agg)
+        |WHERE rnk <= 5""".stripMargin,
+    // identical whole-corpus BM25 math as q_bm25_search (append==rebuild is
+    // the property under test), on the % 70 query slice
+    "q_bm25_append" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), docs AS (
+        |  SELECT id, toks, len(toks) AS dl FROM base
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs
+        |), postings AS (
+        |  SELECT term, id, dl, count(*) AS tf
+        |  FROM (SELECT id, dl, unnest(toks) AS term FROM docs)
+        |  GROUP BY 1, 2, 3
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM postings GROUP BY 1
+        |), qt AS (
+        |  SELECT DISTINCT id AS query_id, unnest(toks) AS term FROM docs WHERE id % 70 = 0
         |), j AS (
         |  SELECT qt.query_id, p.id,
         |         CAST(floor(

@@ -14,8 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    denormalized with the doc length so scoring never joins a doc table;
  *    repartitioned BY TERM and sorted within partitions, so a term-set
  *    predicate prunes row groups via parquet min/max stats.
- *  - `dfs/` (term, df) — document frequencies.
- *  - `stats/` — single row (n_docs, sum_dl).
+ *  - `dfs/` (term, df) — document frequency PARTIALS (summed per term at
+ *    read; a single-batch index has one row per term).
+ *  - `stats/` — (n_docs, sum_dl) rows, summed at read.
+ *  - `docs/` (id) — indexed doc ids, the [[appendToIndex]] idempotence set.
+ *  - `dropped/` (term) — the maxDfFraction stopword cut, if one was made
+ *    (appended batches keep honoring the build-time cut).
+ *  - `batches/<token>/{postings,dfs,stats,docs}` + `_COMMITTED` — one
+ *    staged-then-committed directory per appended batch; readers see ONLY
+ *    committed batches, so a crash mid-append is invisible and the retry
+ *    (same deterministic token) overwrites the stage and commits.
  *
  * Search cost is O(postings of the query's terms), never O(corpus): the
  * distinct query terms (bounded by the query batch, guarded broadcastable)
@@ -95,13 +103,127 @@ object Retrieval {
       .sortWithinPartitions(col("term"), col("id"))
       .write.mode("overwrite").parquet(s"$path/postings")
     cut(dfsAll).write.mode("overwrite").parquet(s"$path/dfs")
-    spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(
-          nDocs, if (statsRow.isNullAt(1)) null else statsRow.getLong(1))),
-        org.apache.spark.sql.types.StructType.fromDDL("n_docs BIGINT, sum_dl BIGINT"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    writeStatsRow(spark, s"$path/stats",
+      nDocs, if (statsRow.isNullAt(1)) null else statsRow.getLong(1))
+    base.select(col("id")).write.mode("overwrite").parquet(s"$path/docs")
+    if (dropTerms.nonEmpty) {
+      import spark.implicits._
+      dropTerms.toDF("term").coalesce(1).write.mode("overwrite").parquet(s"$path/dropped")
+    }
     postingsAll.unpersist()
     dfsAll.unpersist()
+  }
+
+  private def writeStatsRow(spark: SparkSession, dir: String,
+      nDocs: Long, sumDl: Any): Unit =
+    spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(nDocs, sumDl)),
+        org.apache.spark.sql.types.StructType.fromDDL("n_docs BIGINT, sum_dl BIGINT"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Batch directories whose `_COMMITTED` marker exists — the only appended
+   * state any reader consumes. A driver-side listing, never a data scan. */
+  private[pipeline] def committedBatchDirs(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, path)
+    val bp = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (!fs.exists(bp)) Nil
+    else fs.listStatus(bp).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_COMMITTED")))
+      .map(_.toString)
+      .sorted
+  }
+
+  /** All existing copies of one index table: the base build's plus every
+   * committed batch's. */
+  private def tablePaths(spark: SparkSession, path: String, name: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, path)
+    (s"$path/$name" +: committedBatchDirs(spark, path).map(d => s"$d/$name"))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+  }
+
+  /**
+   * Append a document batch to the index at `path` in O(batch) — the
+   * incremental-ingest posture of [[Incremental]] and the ANN appends
+   * (Similarity.ivfAppend / Sq.ivfSqAppend / Pq.ivfPqAppend): a daily crawl
+   * drop must not pay a full O(corpus) [[buildIndex]] rebuild.
+   *
+   * The batch anti-joins against the indexed `docs/` id set (already-
+   * indexed ids contribute nothing — overlapping and retried batches are
+   * idempotent), then writes its own postings/dfs/stats/docs under
+   * `batches/<token>/` and finally creates the `_COMMITTED` marker. The
+   * token is a deterministic digest of the surviving id set (bit_xor of
+   * id hashes + count + min/max), so a crash ANYWHERE before the marker
+   * leaves an invisible stage that the retry overwrites bit-for-bit and
+   * commits — no partial state can double-count, which matters here
+   * because duplicated (term, id) posting rows would inflate tf-side
+   * scores silently. Readers sum `dfs` per term and `stats` across
+   * batches, so search scores after append == scores of a fresh rebuild
+   * over the union corpus (spec-pinned equality).
+   *
+   * A build-time `maxDfFraction` cut is honored: batch postings for terms
+   * in `dropped/` stay out. Terms that only CROSS the df bar because of
+   * later appends are not retroactively cut (that is a rebuild-time
+   * decision — a cut list can only be computed against global dfs).
+   * After many appends, run [[Incremental.compact]]-style maintenance by
+   * rebuilding: file COUNT, not correctness, is the only degradation.
+   */
+  def appendToIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+      saltBuckets: Int = 16): Unit = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    val spark = df.sparkSession
+    val (fs, _) = fsOf(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")),
+      s"no docs/ table under $path — build the index with buildIndex first " +
+        "(pre-append indexes need a rebuild once to gain the idempotence set)")
+    val indexedIds = spark.read.parquet(tablePaths(spark, path, "docs"): _*)
+    val base = df.select(col(idCol).cast("long").as("id"), toks(col(textCol)).as("graft_toks"))
+      .withColumn("dl", size(col("graft_toks")))
+      .join(indexedIds, Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic batch token + stats in ONE pass over the survivors
+      val digest = base.agg(
+          count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+          expr("bit_xor(xxhash64(id))").as("x"),
+          min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .collect()(0)
+      val nDocs = digest.getLong(0)
+      if (nDocs == 0L) return // fully-indexed (or retried-after-commit) batch
+      val token = f"b${digest.getLong(2)}%016x_${nDocs}_${digest.getLong(3)}_${digest.getLong(4)}"
+      val batchDir = s"$path/batches/$token"
+      val bp = new org.apache.hadoop.fs.Path(batchDir)
+      if (fs.exists(new org.apache.hadoop.fs.Path(bp, "_COMMITTED"))) return // committed retry
+      if (fs.exists(bp)) fs.delete(bp, true) // crashed stage: rewrite from scratch
+
+      val postings = base
+        .select(col("id"), col("dl"), explode(col("graft_toks")).as("term"))
+        .groupBy(col("term"), col("id"), col("dl")).agg(count(lit(1)).as("tf"))
+      val droppedPath = new org.apache.hadoop.fs.Path(s"$path/dropped")
+      val kept =
+        if (!fs.exists(droppedPath)) postings
+        else postings.join(
+          broadcast(spark.read.parquet(s"$path/dropped")), Seq("term"), "left_anti")
+      val keptP = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        keptP
+          .repartition(col("term"), pmod(hash(col("id")), lit(saltBuckets)))
+          .sortWithinPartitions(col("term"), col("id"))
+          .write.mode("overwrite").parquet(s"$batchDir/postings")
+        keptP.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$batchDir/dfs")
+      } finally keptP.unpersist()
+      writeStatsRow(spark, s"$batchDir/stats",
+        nDocs, if (digest.isNullAt(1)) null else digest.getLong(1))
+      base.select(col("id")).write.mode("overwrite").parquet(s"$batchDir/docs")
+      fs.create(new org.apache.hadoop.fs.Path(bp, "_COMMITTED"), true).close()
+    } finally base.unpersist()
   }
 
   /** Above this many dropped stopword terms, the df cut uses a broadcast
@@ -134,9 +256,16 @@ object Retrieval {
         org.apache.spark.sql.types.StructType.fromDDL(
           "query_id BIGINT, id BIGINT, score_e9 BIGINT, rank INT"))
     val inTerms = termList.toSeq
-    val postings = spark.read.parquet(s"$path/postings").where(col("term").isin(inTerms: _*))
-    val dfs = spark.read.parquet(s"$path/dfs").where(col("term").isin(inTerms: _*))
-    val stats = spark.read.parquet(s"$path/stats")
+    // base tables + every committed append batch; df partials sum per term
+    // and stats rows sum across batches, so a single-batch index reads
+    // exactly as before and an appended one scores as if rebuilt
+    val postings = spark.read.parquet(tablePaths(spark, path, "postings"): _*)
+      .where(col("term").isin(inTerms: _*))
+    val dfs = spark.read.parquet(tablePaths(spark, path, "dfs"): _*)
+      .where(col("term").isin(inTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = spark.read.parquet(tablePaths(spark, path, "stats"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
 
     // fixed operation order, mirrored token-for-token by the DuckDB oracle
     val nD = col("n_docs").cast("double")

@@ -47,6 +47,44 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(samples.head.size == 5 * 7)
   }
 
+  test("theta_sketch bytes are identical under any partitioning (trimmed regime)") {
+    val base = spark.range(20000).select((col("id") * 31 % 7919).as("x"))
+    val sketches = parts.map { p =>
+      base.repartition(p).agg(dsl.theta_sketch(col("x"), 256).as("s"))
+        .select("s").as[Array[Byte]].collect().head.toSeq
+    }
+    assert(sketches.distinct.size == 1,
+      s"theta bytes drifted across partitionings: ${sketches.map(_.hashCode)}")
+  }
+
+  test("cms_sketch bytes are identical under any partitioning") {
+    val base = spark.range(20000).select((col("id") % 997).as("x"))
+    val sketches = parts.map { p =>
+      base.repartition(p).agg(dsl.cms_sketch(col("x"), 256, 4).as("s"))
+        .select("s").as[Array[Byte]].collect().head.toSeq
+    }
+    assert(sketches.distinct.size == 1,
+      s"cms bytes drifted across partitionings: ${sketches.map(_.hashCode)}")
+  }
+
+  test("theta_union and cms_merge are associative across uneven splits") {
+    val base = spark.range(30000).toDF("id")
+    def tsk(lo: Long, hi: Long) = base.where(col("id") >= lo && col("id") < hi)
+      .agg(dsl.theta_sketch(col("id"), 256).as("s")).select("s").as[Array[Byte]].collect().head
+    def csk(lo: Long, hi: Long) = base.where(col("id") >= lo && col("id") < hi)
+      .agg(dsl.cms_sketch(col("id") % 100, 128, 4).as("s")).select("s").as[Array[Byte]].collect().head
+    val tFull = tsk(0, 30000).toSeq
+    val cFull = csk(0, 30000).toSeq
+    val tParts = Seq(tsk(0, 100), tsk(100, 29000), tsk(29000, 30000))
+    val cParts = Seq(csk(0, 100), csk(100, 29000), csk(29000, 30000))
+    def mergeT(xs: Seq[Array[Byte]]) = xs.map(Tuple1(_)).toDF("s").coalesce(1)
+      .agg(dsl.theta_union(col("s")).as("m")).select("m").as[Array[Byte]].collect().head.toSeq
+    def mergeC(xs: Seq[Array[Byte]]) = xs.map(Tuple1(_)).toDF("s").coalesce(1)
+      .agg(dsl.cms_merge(col("s")).as("m")).select("m").as[Array[Byte]].collect().head.toSeq
+    assert(mergeT(tParts) == tFull && mergeT(tParts.reverse) == tFull)
+    assert(mergeC(cParts) == cFull && mergeC(cParts.reverse) == cFull)
+  }
+
   test("hll_merge and histogram_merge are associative across uneven splits") {
     val base = spark.range(30000).toDF("id")
     def sk(lo: Long, hi: Long) = base.where(col("id") >= lo && col("id") < hi)

@@ -165,4 +165,100 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(1L).map(_.getLong(1)).toSet == Set(3L))
     assert(out(2L).length == 2 && !out(2L).map(_.getLong(1)).contains(3L))
   }
+
+  // ------------------------------------------------- incremental append
+
+  private def searchAll(idx: String): Set[(Long, Long, Long, Int)] = {
+    val queries = Seq((1L, "spark cluster"), (2L, "cooking"), (3L, "data layout"))
+      .toDF("qid", "q")
+    Retrieval.searchTopK(spark, idx, queries, "qid", "q", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+  }
+
+  test("append == rebuild: identical scores and ranks over the union corpus") {
+    val grown = tmp(); val rebuilt = tmp()
+    val more = Seq(
+      (6L, "spark data data pipelines"),
+      (7L, "another cooking blog about recipes")).toDF("doc_id", "text")
+    Retrieval.buildIndex(corpus, "doc_id", "text", grown)
+    Retrieval.appendToIndex(more, "doc_id", "text", grown)
+    Retrieval.buildIndex(corpus.unionAll(more), "doc_id", "text", rebuilt)
+    assert(searchAll(grown) == searchAll(rebuilt),
+      "appended index must score exactly like a rebuild on the union")
+    // df partials really did split across batches and sum back at read:
+    // "spark" appears in base docs 1,2,5 and appended doc 6
+    val dfRows = spark.read.parquet(
+        (s"$grown/dfs" +: Retrieval.committedBatchDirs(spark, grown).map(_ + "/dfs")): _*)
+      .where(col("term") === "spark").collect().map(_.getLong(1))
+    assert(dfRows.sorted.toSeq == Seq(1L, 3L) && dfRows.sum == 4L)
+  }
+
+  test("retried and overlapping appends are no-ops") {
+    val grown = tmp(); val rebuilt = tmp()
+    val more = Seq((6L, "spark data pipelines")).toDF("doc_id", "text")
+    Retrieval.buildIndex(corpus, "doc_id", "text", grown)
+    Retrieval.appendToIndex(more, "doc_id", "text", grown)
+    val after = searchAll(grown)
+    Retrieval.appendToIndex(more, "doc_id", "text", grown) // exact retry
+    // overlap: docs 5 and 6 already indexed, only 8 is new
+    Retrieval.appendToIndex(
+      Seq((5L, "the spark cluster handles data"),
+        (6L, "spark data pipelines"),
+        (8L, "fresh new document")).toDF("doc_id", "text"),
+      "doc_id", "text", grown)
+    Retrieval.buildIndex(
+      corpus.unionAll(more).unionAll(Seq((8L, "fresh new document")).toDF("doc_id", "text")),
+      "doc_id", "text", rebuilt)
+    assert(searchAll(grown) == searchAll(rebuilt))
+    assert(Retrieval.committedBatchDirs(spark, grown).size == 2,
+      "retry must not create a third batch")
+    // n_docs across batches sums to the union corpus size
+    val n = spark.read.parquet(
+        (s"$grown/stats" +: Retrieval.committedBatchDirs(spark, grown).map(_ + "/stats")): _*)
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(n == 7L)
+    val fresh = Retrieval.searchTopK(spark, grown,
+      Seq((1L, "fresh")).toDF("qid", "q"), "qid", "q", k = 1).collect()
+    assert(fresh.length == 1 && fresh(0).getLong(1) == 8L,
+      "the genuinely-new doc must be searchable")
+  }
+
+  test("an uncommitted (crashed) stage is invisible; the retry completes it") {
+    val grown = tmp(); val rebuilt = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", grown)
+    val before = searchAll(grown)
+    val more = Seq((6L, "spark data pipelines")).toDF("doc_id", "text")
+    Retrieval.appendToIndex(more, "doc_id", "text", grown)
+    // simulate a crash just before commit: remove the marker
+    val batch = Retrieval.committedBatchDirs(spark, grown).head
+    val fs = new org.apache.hadoop.fs.Path(grown)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(batch, "_COMMITTED"), false)
+    assert(Retrieval.committedBatchDirs(spark, grown).isEmpty)
+    assert(searchAll(grown) == before, "uncommitted data must not score")
+    // the retry rebuilds the same deterministic stage and commits it
+    Retrieval.appendToIndex(more, "doc_id", "text", grown)
+    Retrieval.buildIndex(corpus.unionAll(more), "doc_id", "text", rebuilt)
+    assert(Retrieval.committedBatchDirs(spark, grown) == Seq(batch))
+    assert(searchAll(grown) == searchAll(rebuilt))
+  }
+
+  test("appended batches honor the build-time stopword cut") {
+    val idx = tmp()
+    // "spark" df=3/5 and "data" df=3/5 get cut at 0.5
+    Retrieval.buildIndex(corpus, "doc_id", "text", idx, maxDfFraction = 0.5)
+    Retrieval.appendToIndex(
+      Seq((6L, "spark spark spark keyword7")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val batch = Retrieval.committedBatchDirs(spark, idx).head
+    val batchTerms = spark.read.parquet(s"$batch/postings")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(!batchTerms.contains("spark"), "cut terms must stay out of appended postings")
+    assert(batchTerms.contains("keyword7"))
+    val hit = Retrieval.searchTopK(spark, idx,
+      Seq((1L, "keyword7")).toDF("qid", "q"), "qid", "q", k = 1).collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 6L)
+    assert(Retrieval.searchTopK(spark, idx,
+      Seq((1L, "spark")).toDF("qid", "q"), "qid", "q", k = 5).count() == 0)
+  }
 }
