@@ -171,7 +171,7 @@ object Incremental {
 
   // ------------------------------------------------------- compaction swap
 
-  private def parquetFileCount(
+  private[pipeline] def parquetFileCount(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Long = {
     val it = fs.listFiles(p, true)
     var n = 0L

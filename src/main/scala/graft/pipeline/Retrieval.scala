@@ -127,8 +127,12 @@ object Retrieval {
   }
 
   /** Batch directories whose `_COMMITTED` marker exists — the only appended
-   * state any reader consumes. A driver-side listing, never a data scan. */
+   * state any reader consumes. A driver-side listing, never a data scan.
+   * Heals a crashed [[compactIndex]] swap first (the [[Incremental]]
+   * manifest convention), so a mid-swap crash can never read as an empty
+   * index. */
   private[pipeline] def committedBatchDirs(spark: SparkSession, path: String): Seq[String] = {
+    Incremental.repairDir(spark, path)
     val (fs, _) = fsOf(spark, path)
     val bp = new org.apache.hadoop.fs.Path(s"$path/batches")
     if (!fs.exists(bp)) Nil
@@ -229,6 +233,67 @@ object Retrieval {
   /** Above this many dropped stopword terms, the df cut uses a broadcast
    * anti-join instead of an isin literal list. */
   private[pipeline] val MaxIsinTerms = 256
+
+  /**
+   * Fold every committed append batch back into the base tables — after
+   * thousands of daily appends the FILE COUNT (per-batch postings/dfs/stats
+   * dirs), not correctness, degrades read planning, exactly the
+   * [[Incremental.compact]] motivation. Writes a complete new index
+   * (postings re-salted and term-sorted, df partials summed, stats rows
+   * summed, docs unioned, the dropped/ cut list carried over) to
+   * `path__compact_tmp`, then swaps it in with the manifest-guarded
+   * two-rename [[Incremental]] uses: a crash in the non-atomic window is
+   * healed by the repair every reader runs ([[committedBatchDirs]]), rolling
+   * forward iff the tmp copy is complete per its manifest file count.
+   * Because batch dirs vanish in the SAME swap that folds their content,
+   * no crash point can double-count. Run when no append is in flight, like
+   * any parquet maintenance job. Search results are identical before and
+   * after (spec-pinned), and append idempotence survives — the folded
+   * docs/ set still repels re-appended ids.
+   */
+  def compactIndex(spark: SparkSession, path: String, saltBuckets: Int = 16): Unit = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    val (fs, p) = fsOf(spark, path)
+    if (committedBatchDirs(spark, path).isEmpty) return // heals, then no-op
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val manifest = new org.apache.hadoop.fs.Path(path + "__compact_manifest")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // resolve EVERY source path before the first tmp write: tablePaths runs
+    // the repair, and the repair scraps a tmp dir next to a live index —
+    // calling it mid-build would delete our own in-progress copy
+    val srcPostings = tablePaths(spark, path, "postings")
+    val srcDfs = tablePaths(spark, path, "dfs")
+    val srcStats = tablePaths(spark, path, "stats")
+    val srcDocs = tablePaths(spark, path, "docs")
+    spark.read.parquet(srcPostings: _*)
+      .repartition(col("term"), pmod(hash(col("id")), lit(saltBuckets)))
+      .sortWithinPartitions(col("term"), col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    spark.read.parquet(srcDfs: _*)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$tmp/dfs")
+    val st = spark.read.parquet(srcStats: _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .collect()(0)
+    writeStatsRow(spark, s"$tmp/stats",
+      st.getLong(0), if (st.isNullAt(1)) null else st.getLong(1))
+    spark.read.parquet(srcDocs: _*)
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/dropped")))
+      spark.read.parquet(s"$path/dropped")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/dropped")
+    val out = fs.create(manifest, true)
+    try out.write(Incremental.parquetFileCount(fs, tmp).toString.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(p, old)) throw new java.io.IOException(s"cannot move $path aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore on failure
+      throw new java.io.IOException(s"cannot move compacted $path into place")
+    }
+    fs.delete(old, true)
+    fs.delete(manifest, false)
+  }
 
   /**
    * Top-k docs per query from the index at `path`. Returns

@@ -243,6 +243,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(searchAll(grown) == searchAll(rebuilt))
   }
 
+  test("compaction folds batches into the base: same results, idempotence survives") {
+    val grown = tmp(); val rebuilt = tmp()
+    val more = Seq(
+      (6L, "spark data data pipelines"),
+      (7L, "another cooking blog about recipes")).toDF("doc_id", "text")
+    Retrieval.buildIndex(corpus, "doc_id", "text", grown)
+    Retrieval.appendToIndex(more.where(col("doc_id") === 6L), "doc_id", "text", grown)
+    Retrieval.appendToIndex(more.where(col("doc_id") === 7L), "doc_id", "text", grown)
+    val before = searchAll(grown)
+    Retrieval.compactIndex(spark, grown)
+    assert(Retrieval.committedBatchDirs(spark, grown).isEmpty, "batches must fold away")
+    assert(searchAll(grown) == before, "compaction must not change results")
+    Retrieval.buildIndex(corpus.unionAll(more), "doc_id", "text", rebuilt)
+    assert(searchAll(grown) == searchAll(rebuilt))
+    // dfs partials really merged: one row per term now
+    val dfs = spark.read.parquet(s"$grown/dfs")
+    assert(dfs.groupBy("term").count().where(col("count") > 1).count() == 0)
+    // the folded docs/ set still repels a re-appended batch
+    Retrieval.appendToIndex(more, "doc_id", "text", grown)
+    assert(Retrieval.committedBatchDirs(spark, grown).isEmpty,
+      "re-appending folded docs must be a no-op")
+    // compacting an un-appended index is a no-op
+    Retrieval.compactIndex(spark, rebuilt)
+    assert(searchAll(rebuilt) == searchAll(grown))
+  }
+
+  test("compaction carries the stopword cut list forward") {
+    val idx = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", idx, maxDfFraction = 0.5)
+    Retrieval.appendToIndex(
+      Seq((6L, "keyword9 something")).toDF("doc_id", "text"), "doc_id", "text", idx)
+    Retrieval.compactIndex(spark, idx)
+    // a post-compaction append still honors the original cut
+    Retrieval.appendToIndex(
+      Seq((7L, "spark spark keyword8")).toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batch = Retrieval.committedBatchDirs(spark, idx).head
+    val terms = spark.read.parquet(s"$batch/postings")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(!terms.contains("spark") && terms.contains("keyword8"))
+  }
+
   test("appended batches honor the build-time stopword cut") {
     val idx = tmp()
     // "spark" df=3/5 and "data" df=3/5 get cut at 0.5
