@@ -80,6 +80,10 @@ class ThetaSpec extends AnyFunSuite {
     // result k is the min — inclusion probability matches every retained entry
     val bb = java.nio.ByteBuffer.wrap(merged)
     assert(bb.getInt() == 256)
+    // and the mixed-k union is merge-order invariant byte-for-byte
+    val reversed = Seq(small, big).toDF("s").coalesce(1)
+      .agg(dsl.theta_union(col("s")).as("m")).select("m").as[Array[Byte]].collect().head
+    assert(reversed.toSeq == merged.toSeq, "mixed-k union must not depend on merge order")
   }
 
   test("identities: empty input, null-only input, empty-sketch operands") {

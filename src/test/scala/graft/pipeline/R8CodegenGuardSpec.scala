@@ -56,4 +56,32 @@ class R8CodegenGuardSpec extends AnyFunSuite {
       assert(out(1) == ((2, "ru", "cyrillic", 1.0)))
     } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
   }
+
+  test("r11 sketch algebra + compression_ratio evaluate under disabled codegen fallback") {
+    import graft.functions.dsl._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ta = spark.range(100).agg(theta_sketch(col("id")).as("s"))
+        .select("s").as[Array[Byte]].collect().head
+      val tb = spark.range(50, 150).agg(theta_sketch(col("id")).as("s"))
+        .select("s").as[Array[Byte]].collect().head
+      val cms = spark.range(100).select((col("id") % 10).as("k"))
+        .agg(graft.functions.dsl.cms_sketch(col("k"), 1024, 4).as("s"))
+        .select("s").as[Array[Byte]].collect().head
+      // cms_estimate's key is a PRIMITIVE in generated code (long here,
+      // UTF8String below) — this pins that the boxing path compiles
+      val row = spark.range(3).select(col("id"),
+          theta_estimate(theta_intersect(lit(ta), lit(tb))).as("i"),
+          theta_estimate(theta_a_not_b(lit(ta), lit(tb))).as("d"),
+          cms_estimate(lit(cms), col("id") % 10).as("c"),
+          cms_estimate(lit(cms), concat(lit("k"), col("id"))).as("cs"),
+          Text.compressionRatio(concat(lit("word word word word word "), col("id"))).as("z"))
+        .collect().head
+      assert(row.getLong(1) == 50L && row.getLong(2) == 50L)
+      assert(row.getLong(3) == 10L) // each of 0..9 appears 10x
+      assert(row.getLong(4) == 0L)  // string key never sketched
+      assert(row.getDouble(5) > 0.0 && row.getDouble(5) < 1.0)
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
+  }
 }
