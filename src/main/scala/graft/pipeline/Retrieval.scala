@@ -187,9 +187,12 @@ object Retrieval {
       s"no docs/ table under $path — build the index with buildIndex first " +
         "(pre-append indexes need a rebuild once to gain the idempotence set)")
     val indexedIds = spark.read.parquet(tablePaths(spark, path, "docs"): _*)
-    val base = df.select(col(idCol).cast("long").as("id"), toks(col(textCol)).as("graft_toks"))
-      .withColumn("dl", size(col("graft_toks")))
+    // anti-join BEFORE tokenizing: a retried (or mostly-indexed) batch then
+    // pays an id-only scan, not a full tokenize pass over text it won't use
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("graft_text"))
       .join(indexedIds, Seq("id"), "left_anti")
+      .select(col("id"), toks(col("graft_text")).as("graft_toks"))
+      .withColumn("dl", size(col("graft_toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic batch token + stats in ONE pass over the survivors
