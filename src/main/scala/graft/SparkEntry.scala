@@ -105,6 +105,15 @@ object SparkEntry {
   private val bm25IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Half-corpus base index for q_bm25_append (the other half appends). */
   private val bm25AppendCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One trained unigram tokenizer per (process, sf dir): q_unigram_tokens
+   * measures steady-state encoding; training is bounded by the capped
+   * word-frequency table and runs once. */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Unigram.UnigramModel]()
+  private def unigramModelFor(s: SparkSession, dir: String): graft.pipeline.Unigram.UnigramModel =
+    unigramCache.computeIfAbsent(dir, _ =>
+      graft.pipeline.Unigram.train(docs(s, dir), col("text"),
+        vocabSize = 2000, maxPieceLen = 8, seedSize = 8000, emIters = 3, minCount = 1L))
   private def bm25IndexFor(s: SparkSession, dir: String): String =
     bm25IndexCache.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_q_bm25_idx").toString
@@ -956,6 +965,15 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(graft.functions.dsl.hll_merge(col("graft_s")).as("graft_m"))
         .select(col("source"), graft.functions.dsl.hll_estimate(col("graft_m")).as("est_docs"))
+    }),
+    "q_unigram_tokens" -> ((s, dir) => {
+      // rows-only (EM training isn't SQL-expressible; UnigramSpec pins
+      // round-trip coverage, EM monotonicity, partition invariance):
+      // SentencePiece-style unigram-LM tokenizer trained on the corpus
+      // word-frequency table (cached per process), exact ML token counts
+      val model = unigramModelFor(s, dir)
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Unigram.tokenCount(model, col("text")).as("n_tokens"))
     }),
     "q_cms_langs" -> ((s, dir) => {
       // per-key frequency telemetry from a stored sketch, not a rescan:

@@ -41,6 +41,23 @@ object Models {
         .select("left", "right").collect()
         .map(r => r.getString(0) -> r.getString(1)))
 
+  // ---------------------------------------------------------------- unigram
+
+  def saveUnigram(spark: SparkSession, path: String, m: Unigram.UnigramModel): Unit = {
+    import spark.implicits._
+    m.pieces.zip(m.logProbs).zipWithIndex
+      .map { case ((p, lp), i) => (i, p, lp) }.toSeq
+      .toDF("idx", "piece", "log_prob")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadUnigram(spark: SparkSession, path: String): Unigram.UnigramModel = {
+    val rows = spark.read.parquet(path).orderBy(col("idx"))
+      .select("piece", "log_prob").collect()
+    Unigram.UnigramModel(
+      rows.map(_.getString(0)), rows.map(_.getDouble(1)))
+  }
+
   // --------------------------------------------------------------------- lm
 
   /** The LM "model" is the per-order count tables + the stats row — written
