@@ -95,6 +95,18 @@ class UnigramSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
   }
 
+  test("degenerate corpora: empty frame and all-unique words under minCount") {
+    // empty corpus → empty model; encoding still covers via the unk floor
+    val empty = Unigram.train(Seq.empty[String].toDF("text"), col("text"),
+      vocabSize = 10, seedSize = 10, minCount = 1L)
+    assert(empty.pieces.isEmpty)
+    assert(UnigramAlgos.encodeWord("abc", empty).toSeq == Seq("a", "b", "c"))
+    // minCount filters every word → same empty-model path, no crash
+    val filtered = Unigram.train(Seq("each word appears once only").toDF("text"),
+      col("text"), vocabSize = 10, seedSize = 10, minCount = 2L)
+    assert(filtered.pieces.isEmpty)
+  }
+
   test("model persists to parquet and scores bit-identically after load") {
     val dir = java.nio.file.Files.createTempDirectory("graft_unigram").toString
     Models.saveUnigram(spark, dir, model)
