@@ -171,7 +171,7 @@ object Incremental {
 
   // ------------------------------------------------------- compaction swap
 
-  private[pipeline] def parquetFileCount(
+  private[graft] def parquetFileCount(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Long = {
     val it = fs.listFiles(p, true)
     var n = 0L
@@ -190,7 +190,7 @@ object Incremental {
    * — a listing, never a data scan) or back (otherwise). Idempotent; called
    * automatically by every index load and by [[compact]] itself.
    */
-  private[pipeline] def repairDir(spark: SparkSession, dir: String): Unit = {
+  private[graft] def repairDir(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
