@@ -53,9 +53,9 @@ class CmsSpec extends AnyFunSuite {
     def sk(df: DataFrame): Array[Byte] =
       df.agg(dsl.cms_sketch(col("k"), 256, 4).as("s")).select("s").as[Array[Byte]].collect().head
     val full = sk(stream)
-    val parts = Seq(
-      sk(stream.limit(2000)),
-      sk(stream.offset(2000))) // disjoint split of the same stream
+    val parts = Seq( // deterministic disjoint split of the same multiset
+      sk(stream.where(xxhash64(col("k")) % 2 === 0)),
+      sk(stream.where(xxhash64(col("k")) % 2 =!= 0)))
     val merged = parts.toDF("s").agg(dsl.cms_merge(col("s")).as("m"))
       .select("m").as[Array[Byte]].collect().head
     assert(merged.toSeq == full.toSeq, "sum-merge must equal the full-scan sketch")
