@@ -833,6 +833,15 @@ object SparkEntry {
         Seq("slow", "hash value", "broken pipe"))
         .select(col("doc_id"), col("n_blocklist_hits"), col("blocked"))
     }),
+    "q_blocklist_ac" -> ((s, dir) => {
+      // the same gate through the Aho–Corasick scale path: automaton scan,
+      // O(text + matches) per row independent of dictionary size; counts
+      // ALL (phrase, position) occurrences (overlaps included)
+      graft.pipeline.Curation.blocklistGateAc(
+        docs(s, dir).select(col("doc_id"), col("text")), col("text"),
+        Seq("slow", "hash value", "broken pipe"))
+        .select(col("doc_id"), col("n_blocklist_hits"), col("blocked"))
+    }),
     "q_decontaminate_spans" -> ((s, dir) => {
       // exact-substring decontamination with REMOVAL: a 24-word benchmark
       // passage planted into doc_id % 6 == 0 docs is excised verbatim
@@ -2399,6 +2408,21 @@ object SparkEntry {
         |       len(regexp_extract_all(lower(text),
         |         '(?:\bslow\b|\bhash\s+value\b|\bbroken\s+pipe\b)')) > 0 AS blocked
         |FROM documents""".stripMargin,
+    "q_blocklist_ac" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id,
+        |    len([i for i in range(1, greatest(len(t) - len(p) + 2, 1))
+        |         if substr(t, i, len(p)) = p
+        |            AND (i = 1 OR NOT regexp_matches(substr(t, i - 1, 1), '[a-z0-9_]'))
+        |            AND (i + len(p) = len(t) + 1
+        |                 OR NOT regexp_matches(substr(t, i + len(p), 1), '[a-z0-9_]'))]) AS c
+        |  FROM norm, (VALUES ('slow'), ('hash value'), ('broken pipe')) pp(p)
+        |)
+        |SELECT doc_id, CAST(sum(c) AS INT) AS n_blocklist_hits, sum(c) > 0 AS blocked
+        |FROM hits GROUP BY doc_id""".stripMargin,
     "q_decontaminate_bloom" ->
       """WITH sh AS (
         |  SELECT doc_id,

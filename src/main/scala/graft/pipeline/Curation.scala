@@ -787,4 +787,39 @@ object Curation {
     df.withColumn("n_blocklist_hits", hits)
       .withColumn("blocked", col("n_blocklist_hits") > maxHits)
   }
+
+  /**
+   * [[blocklistGate]]'s scale path: the same case-insensitive,
+   * whitespace-generalized, ASCII-word-boundary phrase gate, but matched
+   * by a compiled Aho–Corasick automaton ([[MultiMatch]]) instead of one
+   * alternation regex — per-row cost O(text + matches), INDEPENDENT of
+   * dictionary size, where the backtracking-NFA regex degrades toward
+   * O(phrases × text). The list compiles once on the driver (bounded
+   * artifact, ≤10M pattern chars) and ships per executor as a codegen
+   * reference object; the scan is a codegen'd narrow projection, no
+   * shuffle at any scale. Use this above ~10² phrases.
+   *
+   * One deliberate semantic difference: the automaton counts EVERY
+   * (phrase, position) occurrence — overlapping and nested included —
+   * where `regexp_count` counts a non-overlapping left-to-right scan.
+   * The richer count is free here and strictly more signal; with the
+   * default `maxHits = 0` the `blocked` flag agrees with
+   * [[blocklistGate]] exactly (any-hit ⇔ any-hit).
+   */
+  def blocklistGateAc(
+      df: DataFrame, textCol: Column, phrases: Seq[String],
+      maxHits: Int = 0): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    val normalized = phrases.map { p =>
+      val ws = p.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      require(ws.nonEmpty, s"blank blocklist phrase: '$p'")
+      ws.mkString(" ")
+    }
+    val ac = MultiMatch.compile(normalized, wordBoundary = true)
+    // the \s+ generalization moves into the data: collapse whitespace runs
+    // to one space once, then the automaton is exact char matching
+    val t = regexp_replace(lower(textCol), lit("\\s+"), lit(" "))
+    df.withColumn("n_blocklist_hits", MultiMatch.acCount(t, ac))
+      .withColumn("blocked", col("n_blocklist_hits") > maxHits)
+  }
 }
