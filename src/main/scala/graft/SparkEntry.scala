@@ -1135,6 +1135,18 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("text")),
         col("doc_id"), graft.pipeline.Text.tokenCount(col("text")), path, 8)
     }),
+    "q_zorder" -> ((s, dir) => {
+      // z-order clustered write: quantile-bucket + bit-interleave
+      // (l_extendedprice, l_quantity), range-partition into 8 files, read
+      // back — the oracle checks row identity (no row moved, none lost);
+      // the multi-dim file-pruning win is pinned by LayoutSpec envelopes
+      val path = java.nio.file.Files.createTempDirectory("graft_q_zorder").toString
+      graft.pipeline.Layout.zorderWrite(
+        lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity")),
+        Seq("l_extendedprice", "l_quantity"), path, numFiles = 8)
+      s.read.parquet(path).drop("graft_z")
+    }),
     "q_ingest_jsonl" -> ((s, dir) => {
       // JSONL round-trip with quarantine telemetry: export the corpus as
       // jsonl, plant two malformed crawler lines, and read back through
@@ -2759,6 +2771,9 @@ object SparkEntry {
         |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem""".stripMargin,
     "q_domain_blocklist" ->
       """SELECT doc_id,
         |       'https://' || CASE WHEN doc_id % 4 = 0 THEN 'ads.Tracker.com'

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucket: binary search over cut points, NaN high, ends clamp") {
+    val cuts = Array(1.0, 2.0, 3.0)
+    assert(ZValueExpression.bucket(0.5, cuts) == 0)
+    assert(ZValueExpression.bucket(1.0, cuts) == 1) // cut <= v counts
+    assert(ZValueExpression.bucket(2.5, cuts) == 2)
+    assert(ZValueExpression.bucket(99.0, cuts) == 3)
+    assert(ZValueExpression.bucket(Double.NaN, cuts) == 3)
+  }
+
+  test("zvalue interleaves bucket bits: known grid corners") {
+    // 2 cols x 2 bits: buckets 0..3 each, z = interleave(bx, by)
+    val cuts = Array(1.0, 2.0, 3.0) // buckets: (-inf,1)=0 [1,2)=1 [2,3)=2 [3,inf)=3
+    val df = Seq((0.0, 0.0), (3.5, 3.5), (3.5, 0.0), (0.0, 3.5), (1.5, 2.5))
+      .toDF("x", "y")
+    val z = df.select(Layout.zvalue(Seq(col("x"), col("y")), Seq(cuts, cuts)).as("z"))
+      .collect().map(_.getLong(0))
+    // bx bits at even positions, by at odd
+    assert(z(0) == 0L)
+    assert(z(1) == 15L)              // (3,3) -> 1111
+    assert(z(2) == 5L)               // (3,0) -> 0101
+    assert(z(3) == 10L)              // (0,3) -> 1010
+    assert(z(4) == 9L) // bx=1 -> z bit 0; by=2 (bit 1) -> z bit 3 -> 1 + 8
+  }
+
+  test("null buckets to zero, rows never dropped") {
+    val df = Seq[(java.lang.Double, java.lang.Double)]((null, 5.0), (5.0, null), (null, null))
+      .toDF("x", "y")
+    val z = df.select(Layout.zvalue(Seq(col("x"), col("y")),
+      Seq(Array(1.0), Array(1.0))).as("z")).collect().map(_.getLong(0))
+    assert(z(0) == 2L && z(1) == 1L && z(2) == 0L)
+  }
+
+  test("zorderWrite: round trip preserves rows; files prune on BOTH dims") {
+    // 64x64 uniform grid; 16 files of 256 rows each = 16x16 z-tiles
+    val grid = spark.range(4096).select(
+      (col("id") % 64).cast("double").as("x"),
+      (col("id") / 64).cast("double").as("y"),
+      col("id").as("rid"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.zorderWrite(grid, Seq("x", "y"), out, numFiles = 16, bits = 6)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4096)
+    assert(back.select(sum(col("rid"))).as[Long].head == 4096L * 4095 / 2)
+
+    // per-file min/max envelopes — what parquet footer pruning sees
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16, s"expected 16 files, got ${files.length}")
+    val envs = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    // a 1/8-width slab on either dimension overlaps few z-ordered files
+    // (~4 tiles + range-split straddle); sorting on x alone would leave
+    // the y-slab overlapping ALL files — assert both dims prune AND the
+    // z layout beats the single-sort layout on its blind dimension
+    val xSlab = envs.count { case (x0, x1, _, _) => x1 >= 0.0 && x0 <= 7.0 }
+    val ySlab = envs.count { case (_, _, y0, y1) => y1 >= 0.0 && y0 <= 7.0 }
+    assert(xSlab <= 8, s"x-slab touched $xSlab/16 files")
+    assert(ySlab <= 8, s"y-slab touched $ySlab/16 files")
+
+    val sortedOut = java.nio.file.Files.createTempDirectory("graft_xsorted").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sortedOut)
+    val sortedYSlab = new java.io.File(sortedOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      .map { f => val r = spark.read.parquet(f).agg(min("y"), max("y")).head
+        (r.getDouble(0), r.getDouble(1)) }
+      .count { case (y0, y1) => y1 >= 0.0 && y0 <= 7.0 }
+    assert(sortedYSlab >= 14, s"x-sorted control should not prune y ($sortedYSlab)")
+    assert(ySlab < sortedYSlab / 2, "z layout must beat single-sort on its blind dim")
+  }
+
+  test("skewed data still splits into equal-mass files (quantile buckets)") {
+    // 90% of mass at tiny values + heavy tail: linear min/max scaling
+    // would put ~everything in bucket 0; quantiles spread it
+    val df = spark.range(2000).select(
+      when(col("id") % 10 === 0, col("id") * lit(1000.0))
+        .otherwise(col("id") % 10).cast("double").as("x"),
+      (col("id") % 7).cast("double").as("y"))
+    val z = Layout.zorder(df, Seq("x", "y"), bits = 4)
+    val distinctZ = z.select("graft_z").distinct().count()
+    assert(distinctZ > 32, s"skewed column collapsed to $distinctZ z-values")
+  }
+
+  test("validation: capacity, non-numeric, empty") {
+    val df = Seq((1.0, "a")).toDF("x", "s")
+    intercept[IllegalArgumentException](Layout.zorderBoundaries(df, Seq("x"), bits = 64))
+    intercept[IllegalArgumentException](Layout.zorderBoundaries(df, Seq("x", "s"), bits = 8))
+    intercept[IllegalArgumentException](Layout.zorderBoundaries(df, Seq.empty))
+  }
+
+  test("codegen: evaluates with fallback disabled") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(100).select(col("id").cast("double").as("x"),
+        (col("id") % 10).cast("double").as("y"))
+      val z = df.select(Layout.zvalue(Seq(col("x"), col("y")),
+        Seq(Array(25.0, 50.0, 75.0), Array(3.0, 6.0))).as("z"))
+      assert(z.collect().length == 100)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+}
