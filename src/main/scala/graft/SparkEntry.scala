@@ -833,6 +833,19 @@ object SparkEntry {
         Seq("slow", "hash value", "broken pipe"))
         .select(col("doc_id"), col("n_blocklist_hits"), col("blocked"))
     }),
+    "q_funnel" -> ((s, dir) => {
+      // retention funnel: rows + token mass in/dropped/out per curation
+      // gate, each row charged to the FIRST gate it fails — one
+      // aggregation pass, no per-gate scans
+      val w = graft.pipeline.Text.tokenCount(col("text"))
+      graft.pipeline.Curation.retentionFunnel(
+        docs(s, dir).select(col("text")),
+        Seq(
+          "min_len" -> (length(col("text")) >= 200),
+          "no_slow" -> !lower(col("text")).contains("slow"),
+          "min_tokens" -> (w >= 40)),
+        w)
+    }),
     "q_blocklist_ac" -> ((s, dir) => {
       // the same gate through the Aho–Corasick scale path: automaton scan,
       // O(text + matches) per row independent of dictionary size; counts
@@ -2420,6 +2433,40 @@ object SparkEntry {
         |       len(regexp_extract_all(lower(text),
         |         '(?:\bslow\b|\bhash\s+value\b|\bbroken\s+pipe\b)')) > 0 AS blocked
         |FROM documents""".stripMargin,
+    "q_funnel" ->
+      """WITH d AS (
+        |  SELECT len(text) >= 200 AS g1,
+        |         NOT contains(lower(text), 'slow') AS g2,
+        |         len(regexp_split_to_array(trim(text), '\s+')) >= 40 AS g3,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents
+        |)
+        |SELECT CAST(1 AS INT) AS stage, 'min_len' AS gate,
+        |       count(*) AS rows_in,
+        |       count(*) FILTER (WHERE NOT g1) AS rows_dropped,
+        |       count(*) FILTER (WHERE g1) AS rows_out,
+        |       CAST(coalesce(sum(w), 0) AS BIGINT) AS weight_in,
+        |       CAST(coalesce(sum(w) FILTER (WHERE NOT g1), 0) AS BIGINT) AS weight_dropped,
+        |       CAST(coalesce(sum(w) FILTER (WHERE g1), 0) AS BIGINT) AS weight_out
+        |FROM d
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'no_slow',
+        |       count(*) FILTER (WHERE g1),
+        |       count(*) FILTER (WHERE g1 AND NOT g2),
+        |       count(*) FILTER (WHERE g1 AND g2),
+        |       CAST(coalesce(sum(w) FILTER (WHERE g1), 0) AS BIGINT),
+        |       CAST(coalesce(sum(w) FILTER (WHERE g1 AND NOT g2), 0) AS BIGINT),
+        |       CAST(coalesce(sum(w) FILTER (WHERE g1 AND g2), 0) AS BIGINT)
+        |FROM d
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'min_tokens',
+        |       count(*) FILTER (WHERE g1 AND g2),
+        |       count(*) FILTER (WHERE g1 AND g2 AND NOT g3),
+        |       count(*) FILTER (WHERE g1 AND g2 AND g3),
+        |       CAST(coalesce(sum(w) FILTER (WHERE g1 AND g2), 0) AS BIGINT),
+        |       CAST(coalesce(sum(w) FILTER (WHERE g1 AND g2 AND NOT g3), 0) AS BIGINT),
+        |       CAST(coalesce(sum(w) FILTER (WHERE g1 AND g2 AND g3), 0) AS BIGINT)
+        |FROM d""".stripMargin,
     "q_blocklist_ac" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t

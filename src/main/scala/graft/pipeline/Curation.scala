@@ -789,6 +789,57 @@ object Curation {
   }
 
   /**
+   * Retention funnel — per-gate loss accounting for a curation pipeline,
+   * the first report any 100 TB run needs ("where did my tokens go?").
+   * Gates are (name, keep-predicate) applied IN ORDER; a row is charged
+   * to the FIRST gate it fails, exactly like the sequential
+   * filter-after-filter pipeline would drop it.
+   *
+   * One pass: per row compute the first failing gate index (a codegen'd
+   * CASE chain — no per-gate scan, no self-join), aggregate (count, sum
+   * weight) per index, assemble the cumulative funnel from that
+   * (gates+1)-row result on the driver (bounded by gate count, not data).
+   * Output: one row per stage with rows/weight in, dropped, out.
+   *
+   * `weight` defaults to 1-per-row counting twice; pass a token count to
+   * account in training tokens.
+   */
+  def retentionFunnel(
+      df: DataFrame, gates: Seq[(String, Column)],
+      weight: Column = lit(1L)): DataFrame = {
+    require(gates.nonEmpty, "funnel needs at least one gate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // first failing gate index; -1 = survived all. A null predicate is a
+    // fail (gates must be decidable; the safe direction drops the row).
+    val firstFail = gates.zipWithIndex.foldRight(lit(-1)) {
+      case (((_, keep), i), rest) =>
+        when(!coalesce(keep, lit(false)), lit(i)).otherwise(rest)
+    }
+    val counts = df.select(firstFail.as("graft_ff"),
+        coalesce(weight.cast("long"), lit(0L)).as("graft_w"))
+      .groupBy(col("graft_ff"))
+      .agg(count(lit(1)).as("n"), sum(col("graft_w")).as("w"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Any](2)))
+      .toMap
+    def n(i: Int) = counts.get(i).map(_._1).getOrElse(0L)
+    def w(i: Int) = counts.get(i).flatMap(c => Option(c._2))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val totalN = counts.values.map(_._1).sum
+    val totalW = counts.keys.map(w).sum
+    var inN = totalN
+    var inW = totalW
+    val rows = gates.zipWithIndex.map { case ((name, _), i) =>
+      val r = (i + 1, name, inN, n(i), inN - n(i), inW, w(i), inW - w(i))
+      inN -= n(i); inW -= w(i)
+      r
+    }
+    spark.createDataset(rows).toDF(
+      "stage", "gate", "rows_in", "rows_dropped", "rows_out",
+      "weight_in", "weight_dropped", "weight_out")
+  }
+
+  /**
    * [[blocklistGate]]'s scale path: the same case-insensitive,
    * whitespace-generalized, ASCII-word-boundary phrase gate, but matched
    * by a compiled Aho–Corasick automaton ([[MultiMatch]]) instead of one
