@@ -76,8 +76,7 @@ object Layout {
    * cluster key is kept in the files — it documents the layout and costs
    * 8 bytes/row). Equal row COUNTS per file, not equal bytes — for the
    * usual roughly-uniform row widths that is equal-sized files; wildly
-   * variable widths (huge text blobs) would need a byte-weighted range
-   * partitioner.
+   * variable widths (huge text blobs) should use [[zorderWriteWeighted]].
    */
   def zorderWrite(
       df: DataFrame, cols: Seq[String], path: String, numFiles: Int,
@@ -87,6 +86,68 @@ object Layout {
       .repartitionByRange(numFiles, col("graft_z"))
       .sortWithinPartitions("graft_z")
       .write.mode(mode).parquet(path)
+  }
+
+  /**
+   * [[zorderWrite]] for variable row widths: `repartitionByRange` balances
+   * row COUNTS, so a corpus where 5% of rows carry 100× the bytes (long
+   * documents, embedded media) writes wildly unequal files. This variant
+   * splits on cumulative BYTE mass instead: group weight per z-value, a
+   * prefix-sum over the z-ordered groups, and `file = floor(bytesBefore ×
+   * numFiles / totalBytes)` — each file gets ~equal bytes, z-ranges stay
+   * disjoint (the assignment is monotone in z), so pruning is unchanged.
+   *
+   * All distributed: the per-z weight table is ≤ 2^(bits×cols) rows
+   * (required ≤ 2^20 — resolution, not correctness), its prefix sum is one
+   * bounded single-partition window over that GROUP table (never over the
+   * data), and the z→file map broadcast-joins back. Nothing is collected.
+   *
+   * `sizeCol` is the byte estimate — `length(text)` or
+   * `octet_length(blob)`; anything summable.
+   */
+  def zorderWriteWeighted(
+      df: DataFrame, cols: Seq[String], path: String, numFiles: Int,
+      sizeCol: Column, bits: Int = 8, mode: String = "overwrite"): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    require(cols.size * bits <= 20,
+      s"weighted writer caps z resolution at 2^20 groups (${cols.size} x $bits bits)")
+    val zdf = zorder(df, cols, bits)
+      .withColumn("graft_w", coalesce(sizeCol.cast("long"), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      zdf.count() // materialize once; the weight pass and the write both read it
+      val wByZ = zdf.groupBy(col("graft_z")).agg(sum(col("graft_w")).as("graft_zw"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("graft_z"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val totalRow = wByZ.agg(sum(col("graft_zw"))).head
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      val fileOfZ = wByZ.select(col("graft_z"),
+        least(
+          floor(coalesce(sum(col("graft_zw")).over(win), lit(0L)) * numFiles /
+            greatest(lit(total), lit(1L))),
+          lit(numFiles - 1L)).cast("int").as("graft_file"))
+      val joined = zdf.join(broadcast(fileOfZ), Seq("graft_z"))
+      // EXACT placement: file ids must map 1:1 onto output partitions.
+      // repartitionByRange would re-balance by ROW COUNT (its sampler
+      // can't see bytes), merging the few-row/heavy-byte files back
+      // together — the identity partitioner is the rare case where the
+      // RDD hop is the correct tool (terminal stage, write follows
+      // immediately; the row-codec shuffle is the price of exactness).
+      val schema = joined.schema
+      val fileIdx = schema.fieldIndex("graft_file")
+      val placed = joined.rdd
+        .map(r => (r.getInt(fileIdx), r))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = numFiles
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+        .map(_._2)
+      df.sparkSession.createDataFrame(placed, schema)
+        .sortWithinPartitions("graft_z")
+        .drop("graft_file", "graft_w")
+        .write.mode(mode).parquet(path)
+    } finally zdf.unpersist()
   }
 }
 

@@ -94,6 +94,56 @@ class LayoutSpec extends AnyFunSuite {
     assert(distinctZ > 32, s"skewed column collapsed to $distinctZ z-values")
   }
 
+  test("weighted write: equal BYTES per file under skewed row widths, pruning kept") {
+    // heavy rows (100x bytes) cluster at low x — count-balanced files
+    // would put ~all the byte mass in the first files
+    val df = spark.range(2048).select(
+      (col("id") % 64).cast("double").as("x"),
+      (col("id") / 64).cast("double").as("y"),
+      when(col("id") % 64 < 4, 800L).otherwise(lit(8L)).as("bytes"),
+      col("id").as("rid"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    Layout.zorderWriteWeighted(df, Seq("x", "y"), out, numFiles = 8,
+      sizeCol = col("bytes"), bits = 5)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2048)
+    assert(back.select(sum("rid")).as[Long].head == 2048L * 2047 / 2)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 8, s"expected 8 files, got ${files.length}")
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(sum("bytes"), min("graft_z"), max("graft_z")).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val byteSums = stats.map(_._1)
+    val mean = byteSums.sum.toDouble / byteSums.length
+    assert(byteSums.max <= 2.5 * mean,
+      s"byte-heaviest file ${byteSums.max} vs mean $mean")
+    // z-ranges must stay disjoint (monotone assignment) so pruning holds
+    val ranges = stats.map(s => (s._2, s._3)).sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, "file z-ranges overlap — pruning broken")
+    case _ => }
+
+    // control: the count-balanced writer on the same data IS byte-skewed
+    val ctrl = java.nio.file.Files.createTempDirectory("graft_zc").toString
+    Layout.zorderWrite(df, Seq("x", "y"), ctrl, numFiles = 8, bits = 5)
+    val ctrlMax = new java.io.File(ctrl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.toString).agg(sum("bytes")).head.getLong(0)).max
+    assert(ctrlMax > byteSums.max,
+      s"control max $ctrlMax should exceed weighted max ${byteSums.max}")
+  }
+
+  test("weighted write: empty input and resolution cap") {
+    val empty = spark.range(0).select(col("id").cast("double").as("x"),
+      lit(1L).as("b"))
+    intercept[IllegalArgumentException](Layout.zorderWriteWeighted(
+      empty, Seq("x"), "/tmp/unused_zw", 4, col("b"), bits = 21))
+  }
+
   test("validation: capacity, non-numeric, empty") {
     val df = Seq((1.0, "a")).toDF("x", "s")
     intercept[IllegalArgumentException](Layout.zorderBoundaries(df, Seq("x"), bits = 64))
