@@ -833,6 +833,21 @@ object SparkEntry {
         Seq("slow", "hash value", "broken pipe"))
         .select(col("doc_id"), col("n_blocklist_hits"), col("blocked"))
     }),
+    "q_pipeline_config" -> ((s, dir) => {
+      // curation-as-config: the whole gate+dedup chain parsed from YAML
+      // and applied — same operators as the code path, now auditable data
+      val p = graft.pipeline.PipelineConfig.fromYaml(
+        """version: 1
+          |name: driver_curation
+          |steps:
+          |  - {kind: with_column, name: toks, column: toks, expr: "token_count(text)"}
+          |  - {kind: filter, name: min_tokens, where: "toks >= 40"}
+          |  - {kind: blocklist, name: badwords, column: text, phrases: [slow]}
+          |  - {kind: dedup_exact, name: exact, id: doc_id, content: ["lower(text)"]}
+          |  - {kind: drop_columns, name: cleanup, columns: [toks]}
+          |""".stripMargin)
+      p(docs(s, dir).select(col("doc_id"), col("text")))
+    }),
     "q_funnel" -> ((s, dir) => {
       // retention funnel: rows + token mass in/dropped/out per curation
       // gate, each row charged to the FIRST gate it fails — one
@@ -2433,6 +2448,15 @@ object SparkEntry {
         |       len(regexp_extract_all(lower(text),
         |         '(?:\bslow\b|\bhash\s+value\b|\bbroken\s+pipe\b)')) > 0 AS blocked
         |FROM documents""".stripMargin,
+    "q_pipeline_config" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |    AND len(regexp_extract_all(lower(text), '(?:\bslow\b)')) = 0
+        |), kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY lower(text)
+        |)
+        |SELECT g.doc_id, g.text FROM gated g JOIN kept USING (doc_id)""".stripMargin,
     "q_funnel" ->
       """WITH d AS (
         |  SELECT len(text) >= 200 AS g1,

@@ -1,0 +1,248 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Curation pipeline as CONFIG — the reference's rules-as-data philosophy
+ * (rule suites serialized to frames / external stores, versioned,
+ * validated before running: reference impl/util/Serializing.scala and
+ * Validation.scala) applied to the pipeline tier. A curation run at
+ * 100 TB is an auditable artifact: the exact gate order, thresholds and
+ * dictionaries belong in reviewable, diffable config, not in code
+ * rebuilt per run.
+ *
+ * v1 step vocabulary (all compose to the same operators the code path
+ * uses — config adds NO new execution semantics):
+ *
+ * {{{
+ * version: 1
+ * name: crawl_curation
+ * steps:
+ *   - {kind: with_column, name: add_tokens, column: toks, expr: "token_count(text)"}
+ *   - {kind: filter,      name: min_tokens, where: "toks >= 40"}
+ *   - {kind: blocklist,   name: badwords, column: text,
+ *      phrases: [bad phrase, worse phrase], maxHits: 0, engine: auto}
+ *   - {kind: dedup_exact, name: exact, id: doc_id, content: [text]}
+ *   - {kind: dedup_near,  name: near, id: doc_id, text: text,
+ *      shingleSize: 3, threshold: 0.8, maxBucketSize: 1000}
+ *   - {kind: cap_per_key, name: domain_cap, key: "url_host(url)", id: doc_id, max: 100}
+ *   - {kind: drop_columns, name: cleanup, columns: [toks]}
+ * }}}
+ *
+ * SQL expressions in `expr` / `where` / `key` / `priority` resolve with
+ * the session parser, so every registered graft function (langid, gopher,
+ * token_count, pii, …) is available — the whole scalar tier is already
+ * config-reachable. `validate(schema)` dry-resolves every step against an
+ * empty frame (exactly the reference's validate-before-run posture) and
+ * returns per-step errors without touching data.
+ */
+object PipelineConfig {
+
+  sealed trait PipeStep {
+    def name: String
+    def kind: String
+    def apply(df: DataFrame): DataFrame
+    /** Field map for serialization (insertion-ordered). */
+    private[pipeline] def fields: Seq[(String, Any)]
+  }
+
+  case class WithColumnStep(name: String, column: String, expr: String) extends PipeStep {
+    def kind = "with_column"
+    def apply(df: DataFrame): DataFrame = df.withColumn(column, expr_(expr))
+    private[pipeline] def fields = Seq("column" -> column, "expr" -> expr)
+  }
+
+  case class FilterStep(name: String, where: String) extends PipeStep {
+    def kind = "filter"
+    def apply(df: DataFrame): DataFrame = df.where(expr_(where))
+    private[pipeline] def fields = Seq("where" -> where)
+  }
+
+  case class DropColumnsStep(name: String, columns: Seq[String]) extends PipeStep {
+    def kind = "drop_columns"
+    def apply(df: DataFrame): DataFrame = df.drop(columns: _*)
+    private[pipeline] def fields = Seq("columns" -> columns)
+  }
+
+  /** engine: "regex" | "automaton" | "auto" (automaton above 64 phrases —
+   * the crossover where the alternation regex stops being the right plan). */
+  case class BlocklistStep(name: String, column: String, phrases: Seq[String],
+      maxHits: Int = 0, engine: String = "auto") extends PipeStep {
+    def kind = "blocklist"
+    require(Seq("auto", "regex", "automaton").contains(engine),
+      s"blocklist step '$name': unknown engine '$engine'")
+    def useAutomaton: Boolean =
+      engine == "automaton" || (engine == "auto" && phrases.size > 64)
+    def apply(df: DataFrame): DataFrame = {
+      val gated =
+        if (useAutomaton) Curation.blocklistGateAc(df, col(column), phrases, maxHits)
+        else Curation.blocklistGate(df, col(column), phrases, maxHits)
+      gated.where(!col("blocked")).drop("blocked", "n_blocklist_hits")
+    }
+    private[pipeline] def fields = Seq("column" -> column, "phrases" -> phrases,
+      "maxHits" -> maxHits, "engine" -> engine)
+  }
+
+  case class DedupExactStep(name: String, id: String, content: Seq[String],
+      priority: Option[String] = None) extends PipeStep {
+    def kind = "dedup_exact"
+    def apply(df: DataFrame): DataFrame = priority match {
+      case Some(p) =>
+        Dedup.exactPrioritized(df, col(id), expr_(p), content.map(expr_): _*)
+      case None => Dedup.exact(df, col(id), content.map(expr_): _*)
+    }
+    private[pipeline] def fields = Seq("id" -> id, "content" -> content) ++
+      priority.map("priority" -> _)
+  }
+
+  case class DedupNearStep(name: String, id: String, text: String,
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000) extends PipeStep {
+    def kind = "dedup_near"
+    def apply(df: DataFrame): DataFrame =
+      Dedup.dropNearDups(df, col(id), col(text), shingleSize, threshold, maxBucketSize)
+    private[pipeline] def fields = Seq("id" -> id, "text" -> text,
+      "shingleSize" -> shingleSize, "threshold" -> threshold,
+      "maxBucketSize" -> maxBucketSize)
+  }
+
+  case class CapPerKeyStep(name: String, key: String, id: String, max: Int)
+      extends PipeStep {
+    def kind = "cap_per_key"
+    def apply(df: DataFrame): DataFrame =
+      Curation.capPerKey(df, expr_(key), col(id), max)
+    private[pipeline] def fields = Seq("key" -> key, "id" -> id, "max" -> max)
+  }
+
+  case class Pipeline(version: Int, name: String, steps: Seq[PipeStep]) {
+    require(steps.nonEmpty, "pipeline has no steps")
+    require(steps.map(_.name).distinct.size == steps.size,
+      s"duplicate step names in pipeline '$name'")
+
+    def apply(df: DataFrame): DataFrame = steps.foldLeft(df)((d, s) => s(d))
+
+    /** Dry-resolve every step against an empty frame of `schema` —
+     * analysis errors per step before any data is touched (steps that
+     * materialize intermediates run trivial empty-frame jobs). */
+    def validate(spark: SparkSession, schema: StructType): Seq[(String, String)] = {
+      var df = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      val errs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      steps.foreach { s =>
+        try df = { val out = s(df); out.schema; out }
+        catch { case e: Exception =>
+          errs += s.name -> e.getMessage.linesIterator.take(2).mkString(" ") }
+      }
+      errs.toSeq
+    }
+
+    def toYaml: String = {
+      val root = new java.util.LinkedHashMap[String, Any]()
+      root.put("version", version)
+      root.put("name", name)
+      val ss = new java.util.ArrayList[Any]()
+      steps.foreach { s =>
+        val m = new java.util.LinkedHashMap[String, Any]()
+        m.put("kind", s.kind)
+        m.put("name", s.name)
+        s.fields.foreach {
+          case (k, v: Seq[_]) =>
+            val l = new java.util.ArrayList[Any](); v.foreach(x => l.add(x)); m.put(k, l)
+          case (k, v) => m.put(k, v)
+        }
+        ss.add(m)
+      }
+      root.put("steps", ss)
+      val opts = new org.yaml.snakeyaml.DumperOptions()
+      opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+      new org.yaml.snakeyaml.Yaml(opts).dump(root)
+    }
+  }
+
+  def fromYaml(yaml: String): Pipeline = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Any]](yaml)
+    require(root != null, "empty pipeline yaml")
+    val version = int(root, "version", "pipeline")
+    require(version == 1, s"unsupported pipeline version $version")
+    val name = str(root, "name", "pipeline")
+    val rawSteps = root.get("steps") match {
+      case l: java.util.List[_] => l
+      case _ => fail("pipeline", "steps must be a list")
+    }
+    val steps = (0 until rawSteps.size).map { i =>
+      rawSteps.get(i) match {
+        case m: java.util.Map[_, _] => parseStep(m.asInstanceOf[java.util.Map[String, Any]], i)
+        case other => fail(s"step $i", s"expected a map, got $other")
+      }
+    }
+    Pipeline(version, name, steps)
+  }
+
+  private def parseStep(m: java.util.Map[String, Any], i: Int): PipeStep = {
+    val kind = str(m, "kind", s"step $i")
+    val where = s"step $i ($kind)"
+    val name = str(m, "name", where)
+    kind match {
+      case "with_column" =>
+        WithColumnStep(name, str(m, "column", where), str(m, "expr", where))
+      case "filter" => FilterStep(name, str(m, "where", where))
+      case "drop_columns" => DropColumnsStep(name, strList(m, "columns", where))
+      case "blocklist" => BlocklistStep(name, str(m, "column", where),
+        strList(m, "phrases", where), intOr(m, "maxHits", 0, where),
+        strOr(m, "engine", "auto"))
+      case "dedup_exact" => DedupExactStep(name, str(m, "id", where),
+        strList(m, "content", where),
+        Option(m.get("priority")).map(_.toString))
+      case "dedup_near" => DedupNearStep(name, str(m, "id", where),
+        str(m, "text", where), intOr(m, "shingleSize", 3, where),
+        doubleOr(m, "threshold", 0.7, where), intOr(m, "maxBucketSize", 1000, where))
+      case "cap_per_key" => CapPerKeyStep(name, str(m, "key", where),
+        str(m, "id", where), int(m, "max", where))
+      case other => fail(where, s"unknown step kind '$other'")
+    }
+  }
+
+  // ---- yaml field helpers (snakeyaml hands back untyped java maps) ----
+  private def fail(where: String, msg: String): Nothing =
+    throw new IllegalArgumentException(s"pipeline config: $where: $msg")
+  private def str(m: java.util.Map[String, Any], k: String, where: String): String =
+    m.get(k) match {
+      case s: String if s.nonEmpty => s
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be a non-empty string, got $other")
+    }
+  private def strOr(m: java.util.Map[String, Any], k: String, dflt: String): String =
+    m.get(k) match { case s: String => s; case _ => dflt }
+  private def int(m: java.util.Map[String, Any], k: String, where: String): Int =
+    m.get(k) match {
+      case n: java.lang.Number => n.intValue
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be an integer, got $other")
+    }
+  private def intOr(m: java.util.Map[String, Any], k: String, dflt: Int, where: String): Int =
+    m.get(k) match {
+      case n: java.lang.Number => n.intValue
+      case null => dflt
+      case other => fail(where, s"field '$k' must be an integer, got $other")
+    }
+  private def doubleOr(m: java.util.Map[String, Any], k: String, dflt: Double,
+      where: String): Double =
+    m.get(k) match {
+      case n: java.lang.Number => n.doubleValue
+      case null => dflt
+      case other => fail(where, s"field '$k' must be a number, got $other")
+    }
+  private def strList(m: java.util.Map[String, Any], k: String, where: String): Seq[String] =
+    m.get(k) match {
+      case l: java.util.List[_] if !l.isEmpty =>
+        (0 until l.size).map(i => l.get(i).toString)
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be a non-empty list, got $other")
+    }
+
+  /** Session-parsed SQL expression (registered graft functions included). */
+  private def expr_(sql: String): org.apache.spark.sql.Column = expr(sql)
+}

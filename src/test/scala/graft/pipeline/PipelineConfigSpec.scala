@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineConfigSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val yaml =
+    """version: 1
+      |name: test_curation
+      |steps:
+      |  - kind: with_column
+      |    name: add_tokens
+      |    column: toks
+      |    expr: "token_count(text)"
+      |  - kind: filter
+      |    name: min_tokens
+      |    where: "toks >= 3"
+      |  - kind: blocklist
+      |    name: badwords
+      |    column: text
+      |    phrases: [sell now, spam]
+      |  - kind: dedup_exact
+      |    name: exact
+      |    id: doc_id
+      |    content: [lower(text)]
+      |  - kind: drop_columns
+      |    name: cleanup
+      |    columns: [toks]
+      |""".stripMargin
+
+  private def corpus = Seq(
+    (1L, "a good long document body"),
+    (2L, "A GOOD long document body"),  // case-dup of 1 after lower()
+    (3L, "please sell now cheap"),      // blocked phrase
+    (4L, "too short"),                  // under token gate
+    (5L, "another fine piece of text"))
+    .toDF("doc_id", "text")
+
+  test("yaml parse → apply equals the hand-built chain") {
+    val p = PipelineConfig.fromYaml(yaml)
+    assert(p.name == "test_curation" && p.steps.size == 5)
+    val got = p(corpus).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 5L))
+    // hand-built equivalent
+    val hand = Dedup.exact(
+      Curation.blocklistGate(
+        corpus.withColumn("toks", Text.tokenCount(col("text")))
+          .where(col("toks") >= 3),
+        col("text"), Seq("sell now", "spam"))
+        .where(!col("blocked")).drop("blocked", "n_blocklist_hits"),
+      col("doc_id"), lower(col("text"))).drop("toks")
+    assert(hand.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    assert(p(corpus).columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("round trip: toYaml → fromYaml is identity") {
+    val p = PipelineConfig.fromYaml(yaml)
+    val p2 = PipelineConfig.fromYaml(p.toYaml)
+    assert(p2 == p)
+    assert(PipelineConfig.fromYaml(p2.toYaml) == p2)
+  }
+
+  test("blocklist engine auto switches to the automaton above 64 phrases") {
+    val small = PipelineConfig.BlocklistStep("s", "text", Seq("a b"))
+    val big = PipelineConfig.BlocklistStep("b", "text",
+      (1 to 65).map(i => s"phrase$i"))
+    assert(!small.useAutomaton && big.useAutomaton)
+    // both engines agree on the data
+    val auto = PipelineConfig.BlocklistStep("x", "text",
+      Seq("sell now", "spam"), engine = "automaton")(corpus)
+    val re = PipelineConfig.BlocklistStep("x", "text",
+      Seq("sell now", "spam"), engine = "regex")(corpus)
+    assert(auto.select("doc_id").as[Long].collect().sorted.toSeq ==
+      re.select("doc_id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException](
+      PipelineConfig.BlocklistStep("x", "text", Seq("a"), engine = "nope"))
+  }
+
+  test("validate reports per-step analysis errors without running") {
+    val p = PipelineConfig.fromYaml(
+      """version: 1
+        |name: broken
+        |steps:
+        |  - {kind: filter, name: ok, where: "doc_id > 0"}
+        |  - {kind: filter, name: bad_col, where: "no_such_column > 1"}
+        |  - {kind: with_column, name: bad_fn, column: x, expr: "no_such_fn(text)"}
+        |""".stripMargin)
+    val errs = p.validate(spark, corpus.schema)
+    assert(errs.map(_._1) == Seq("bad_col", "bad_fn"))
+    val clean = PipelineConfig.fromYaml(yaml)
+    assert(clean.validate(spark, corpus.schema).isEmpty)
+  }
+
+  test("dedup_near and cap_per_key steps compose") {
+    val p = PipelineConfig.fromYaml(
+      """version: 1
+        |name: near
+        |steps:
+        |  - {kind: dedup_near, name: nd, id: doc_id, text: text, threshold: 0.6}
+        |  - {kind: cap_per_key, name: cap, key: "doc_id % 2", id: doc_id, max: 1}
+        |""".stripMargin)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today!"), // near-dup
+      (3L, "completely different content lives here"),
+      (6L, "yet another unrelated document"))
+      .toDF("doc_id", "text")
+    val out = p(df).select("doc_id").as[Long].collect().sorted
+    // near-dup 2 drops; cap keeps 1 doc per parity class (lowest id wins)
+    assert(out.length == 2 && out.contains(1L))
+  }
+
+  test("malformed configs fail with located errors") {
+    def msg(y: String) =
+      intercept[IllegalArgumentException](PipelineConfig.fromYaml(y)).getMessage
+    assert(msg("version: 2\nname: x\nsteps: [{kind: filter, name: f, where: a}]")
+      .contains("version"))
+    assert(msg("version: 1\nname: x\nsteps: [{kind: wat, name: f}]")
+      .contains("unknown step kind"))
+    assert(msg("version: 1\nname: x\nsteps: [{kind: filter, name: f}]")
+      .contains("missing required field 'where'"))
+    intercept[IllegalArgumentException](
+      PipelineConfig.fromYaml("version: 1\nname: x\nsteps: []"))
+    // duplicate step names rejected
+    intercept[IllegalArgumentException](PipelineConfig.fromYaml(
+      "version: 1\nname: x\nsteps: [{kind: filter, name: f, where: \"1=1\"}, " +
+        "{kind: filter, name: f, where: \"2=2\"}]"))
+  }
+}
