@@ -244,39 +244,53 @@ object Incremental {
    * the minhash layout (sigs/bands), and IVF/IVF-SQ8 cells tables (cid
    * partitioning preserved, targetFilesPerTable interpreted per index).
    */
+  /** The manifest-guarded two-rename rewrite shared by every parquet
+   * maintenance job (index compaction here, z-order re-clustering in
+   * [[Layout]]): `writeTmp` produces the replacement copy at the tmp
+   * path WHILE the live dir is still readable; the manifest (expected
+   * parquet-file count) is written before the swap so a crash in the
+   * rename window is detected and rolled forward by [[repairDir]]. A
+   * missing dir is a no-op. */
+  private[pipeline] def guardedRewrite(spark: SparkSession, dir: String)(
+      writeTmp: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    repairDir(spark, dir) // heal any earlier crash before touching the dir
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    val manifest = new org.apache.hadoop.fs.Path(dir + "__compact_manifest")
+    writeTmp(tmp.toString)
+    val out = fs.create(manifest, true)
+    try out.write(parquetFileCount(fs, tmp).toString.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(p, old)) throw new java.io.IOException(s"cannot move $dir aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore on failure
+      throw new java.io.IOException(s"cannot move compacted $dir into place")
+    }
+    fs.delete(old, true)
+    fs.delete(manifest, false)
+  }
+
   def compact(
       spark: SparkSession, indexPath: String, targetFilesPerTable: Int = 8): Unit = {
     require(targetFilesPerTable > 0, "targetFilesPerTable must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    def compactDir(dir: String, partitionCols: Seq[String]): Unit = {
-      repairDir(spark, dir) // heal any earlier crash before touching the dir
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) return
-      val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
-      val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
-      val manifest = new org.apache.hadoop.fs.Path(dir + "__compact_manifest")
-      val df = spark.read.parquet(dir)
-      val writer = partitionCols match {
-        case Seq() => df.repartition(targetFilesPerTable).write
-        case cols =>
-          // hash each partition key to one task → exactly one file per
-          // key, partition layout preserved for pruning
-          df.repartition(targetFilesPerTable, cols.map(col): _*)
-            .write.partitionBy(cols: _*)
+    def compactDir(dir: String, partitionCols: Seq[String]): Unit =
+      guardedRewrite(spark, dir) { tmpDir =>
+        val df = spark.read.parquet(dir)
+        val writer = partitionCols match {
+          case Seq() => df.repartition(targetFilesPerTable).write
+          case cols =>
+            // hash each partition key to one task → exactly one file per
+            // key, partition layout preserved for pruning
+            df.repartition(targetFilesPerTable, cols.map(col): _*)
+              .write.partitionBy(cols: _*)
+        }
+        writer.mode("overwrite").parquet(tmpDir)
       }
-      writer.mode("overwrite").parquet(tmp.toString)
-      val out = fs.create(manifest, true)
-      try out.write(parquetFileCount(fs, tmp).toString.getBytes("UTF-8"))
-      finally out.close()
-      if (!fs.rename(p, old)) throw new java.io.IOException(s"cannot move $dir aside")
-      if (!fs.rename(tmp, p)) {
-        fs.rename(old, p) // restore on failure
-        throw new java.io.IOException(s"cannot move compacted $dir into place")
-      }
-      fs.delete(old, true)
-      fs.delete(manifest, false)
-    }
     // a bare fingerprint index is the path itself; the minhash index is the
     // sigs/bands pair underneath; an ANN index carries a cid-partitioned
     // cells table (centroids/sq are single driver-written files — no churn)

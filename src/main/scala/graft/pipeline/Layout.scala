@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
  * Z-order clustered layout — multi-dimensional data skipping for the
@@ -86,6 +86,79 @@ object Layout {
       .repartitionByRange(numFiles, col("graft_z"))
       .sortWithinPartitions("graft_z")
       .write.mode(mode).parquet(path)
+    // append batches must NOT clobber the base manifest (its numFiles is
+    // the table's compaction target, not the batch size)
+    if (mode != "append")
+      writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles)
+  }
+
+  /**
+   * Append a batch to a z-ordered dataset: the batch clusters on ITS OWN
+   * quantiles (z-values are a per-write clustering device — pruning reads
+   * the DATA columns' min/max, which stay comparable across batches), so
+   * an append is one small clustered write, never a table rewrite. Each
+   * append adds `numFiles` files whose envelopes overlap the base's;
+   * pruning selectivity decays with batch count — run [[zorderCompact]]
+   * on the usual maintenance cadence, like any parquet table.
+   */
+  def zorderAppend(df: DataFrame, path: String, numFiles: Int = 1): Unit = {
+    val (cols, bits, _) = readLayoutManifest(df.sparkSession, path)
+    zorderWrite(df, cols, path, numFiles, bits, mode = "append")
+  }
+
+  /**
+   * Re-cluster the whole dataset (manifest-guarded two-rename swap — a
+   * crash mid-swap is detected and rolled forward, see
+   * [[Incremental.guardedRewrite]]): restores post-append pruning
+   * selectivity. Layout parameters come from the dataset's own
+   * `_graft_layout.yaml`; `numFiles = 0` keeps the recorded value.
+   */
+  def zorderCompact(spark: SparkSession, path: String, numFiles: Int = 0): Unit = {
+    val (cols, bits, recorded) = readLayoutManifest(spark, path)
+    val target = if (numFiles > 0) numFiles else recorded
+    Incremental.guardedRewrite(spark, path) { tmp =>
+      zorderWrite(spark.read.parquet(path).drop("graft_z"), cols, tmp, target, bits)
+    }
+  }
+
+  /** Self-describing layout: `_graft_layout.yaml` beside the data
+   * (underscore-prefixed — parquet readers skip it) records cols/bits/
+   * numFiles so append and compact need no re-specification. */
+  private def writeLayoutManifest(spark: SparkSession, path: String,
+      cols: Seq[String], bits: Int, numFiles: Int): Unit = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    m.put("version", 1)
+    val cl = new java.util.ArrayList[String](); cols.foreach(cl.add); m.put("cols", cl)
+    m.put("bits", bits)
+    m.put("numFiles", numFiles)
+    val yaml = new org.yaml.snakeyaml.Yaml().dump(m)
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_layout.yaml")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(yaml.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[pipeline] def readLayoutManifest(
+      spark: SparkSession, path: String): (Seq[String], Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_layout.yaml")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _graft_layout.yaml under $path — not a zorderWrite dataset")
+    val in = fs.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+    val m = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Any]](new String(bytes, "UTF-8"))
+    val cols = m.get("cols") match {
+      case l: java.util.List[_] => (0 until l.size).map(i => l.get(i).toString)
+      case other => throw new IllegalArgumentException(s"bad layout manifest cols: $other")
+    }
+    (cols, m.get("bits").asInstanceOf[Number].intValue,
+      m.get("numFiles").asInstanceOf[Number].intValue)
   }
 
   /**
@@ -147,6 +220,7 @@ object Layout {
         .sortWithinPartitions("graft_z")
         .drop("graft_file", "graft_w")
         .write.mode(mode).parquet(path)
+      writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles)
     } finally zdf.unpersist()
   }
 }

@@ -81,6 +81,18 @@ object PipelineConfig {
         else Curation.blocklistGate(df, col(column), phrases, maxHits)
       gated.where(!col("blocked")).drop("blocked", "n_blocklist_hits")
     }
+    /** The gate as a bare keep-predicate (for funnel accounting) —
+     * identical hit semantics to apply() without the helper columns. */
+    private[pipeline] def keepPredicate: org.apache.spark.sql.Column =
+      if (useAutomaton) {
+        val normalized = phrases.map(_.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty).mkString(" "))
+        val ac = MultiMatch.compile(normalized, wordBoundary = true)
+        MultiMatch.acCount(
+          regexp_replace(lower(col(column)), lit("\\s+"), lit(" ")), ac) <= maxHits
+      } else
+        regexp_count(lower(col(column)),
+          lit(Curation.blocklistPattern(phrases))) <= maxHits
     private[pipeline] def fields = Seq("column" -> column, "phrases" -> phrases,
       "maxHits" -> maxHits, "engine" -> engine)
   }
@@ -122,6 +134,37 @@ object PipelineConfig {
       s"duplicate step names in pipeline '$name'")
 
     def apply(df: DataFrame): DataFrame = steps.foldLeft(df)((d, s) => s(d))
+
+    /**
+     * Loss accounting for the pipeline's ROW-LOCAL prefix: with_column
+     * enrichments apply (they never drop rows), filter/blocklist steps
+     * become [[Curation.retentionFunnel]] gates in order, and the walk
+     * stops at the first corpus-level step (dedup/cap — those report
+     * their own drops). One aggregation pass, same first-fail charging
+     * as the sequential run. Caveat: a with_column that SHADOWS a name an
+     * earlier gate reads would make gate predicates see the final value;
+     * shadowing enrichments are rejected.
+     */
+    def funnel(df: DataFrame, weight: org.apache.spark.sql.Column = lit(1L)): DataFrame = {
+      var cur = df
+      val gates = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.spark.sql.Column)]
+      var done = false
+      steps.foreach {
+        case _ if done => ()
+        case w: WithColumnStep =>
+          require(gates.isEmpty || !cur.columns.contains(w.column),
+            s"funnel: with_column '${w.name}' shadows existing column " +
+              s"'${w.column}' after a gate — accounting would diverge from " +
+              "the sequential run")
+          cur = w(cur)
+        case f: FilterStep => gates += f.name -> expr(f.where)
+        case b: BlocklistStep => gates += b.name -> b.keepPredicate
+        case _: DropColumnsStep => () // row-local, drops no rows
+        case _ => done = true // corpus-level step: funnel covers the prefix
+      }
+      require(gates.nonEmpty, s"pipeline '$name' has no row-local gates to account")
+      Curation.retentionFunnel(cur, gates.toSeq, weight)
+    }
 
     /** Dry-resolve every step against an empty frame of `schema` —
      * analysis errors per step before any data is touched (steps that

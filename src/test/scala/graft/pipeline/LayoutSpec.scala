@@ -137,6 +137,46 @@ class LayoutSpec extends AnyFunSuite {
       s"control max $ctrlMax should exceed weighted max ${byteSums.max}")
   }
 
+  test("append + compact lifecycle: manifest-driven, rows exact, pruning restored") {
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") % 64).cast("double").as("x"),
+      ((col("id") / 64) % 64).cast("double").as("y"),
+      col("id").as("rid"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zlife").toString
+    Layout.zorderWrite(grid(0, 4096), Seq("x", "y"), out, numFiles = 16, bits = 6)
+    assert(Layout.readLayoutManifest(spark, out) == ((Seq("x", "y"), 6, 16)))
+
+    Layout.zorderAppend(grid(4096, 4608), out, numFiles = 2)
+    Layout.zorderAppend(grid(4608, 5120), out, numFiles = 2)
+    def files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 20) // 16 base + 2 + 2
+    assert(spark.read.parquet(out).count() == 5120)
+
+    Layout.zorderCompact(spark, out)
+    assert(files.length == 16, "compact should restore the recorded file count")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5120)
+    assert(back.select(sum("rid")).as[Long].head == 5120L * 5119 / 2)
+    // re-clustered: an x-slab touches few files again
+    val xSlab = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("x"), max("x")).head
+      (r.getDouble(0), r.getDouble(1))
+    }.count { case (x0, x1) => x1 >= 0.0 && x0 <= 7.0 }
+    assert(xSlab <= 8, s"post-compact x-slab touched $xSlab/16 files")
+    // leftover swap state is gone
+    assert(!new java.io.File(out + "__compact_tmp").exists())
+    assert(!new java.io.File(out + "__compact_manifest").exists())
+  }
+
+  test("append refuses a dir without a layout manifest") {
+    val plain = java.nio.file.Files.createTempDirectory("graft_plain").toString
+    spark.range(10).select(col("id").cast("double").as("x"))
+      .write.mode("overwrite").parquet(plain)
+    intercept[IllegalArgumentException](
+      Layout.zorderAppend(spark.range(5).select(col("id").cast("double").as("x")), plain))
+  }
+
   test("weighted write: empty input and resolution cap") {
     val empty = spark.range(0).select(col("id").cast("double").as("x"),
       lit(1L).as("b"))

@@ -114,6 +114,34 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(out.length == 2 && out.contains(1L))
   }
 
+  test("pipeline funnel matches the sequential run's drops") {
+    val p = PipelineConfig.fromYaml(yaml)
+    val f = p.funnel(corpus).collect()
+    assert(f.map(_.getString(1)).toSeq == Seq("min_tokens", "badwords"))
+    // last gate's rows_out == rows surviving the row-local prefix
+    val prefixOut = PipelineConfig.BlocklistStep("b", "text", Seq("sell now", "spam"))(
+      corpus.withColumn("toks", Text.tokenCount(col("text")))
+        .where(col("toks") >= 3)).count()
+    assert(f.last.getAs[Long]("rows_out") == prefixOut)
+    // dedup (corpus-level) is NOT part of the funnel
+    assert(f.last.getAs[Long]("rows_out") != p(corpus).count())
+  }
+
+  test("funnel rejects shadowing enrichments and gate-free pipelines") {
+    val shadow = PipelineConfig.fromYaml(
+      """version: 1
+        |name: sh
+        |steps:
+        |  - {kind: filter, name: g, where: "doc_id > 0"}
+        |  - {kind: with_column, name: w, column: text, expr: "upper(text)"}
+        |  - {kind: filter, name: g2, where: "length(text) > 3"}
+        |""".stripMargin)
+    intercept[IllegalArgumentException](shadow.funnel(corpus))
+    val noGates = PipelineConfig.fromYaml(
+      "version: 1\nname: ng\nsteps: [{kind: dedup_exact, name: d, id: doc_id, content: [text]}]")
+    intercept[IllegalArgumentException](noGates.funnel(corpus))
+  }
+
   test("malformed configs fail with located errors") {
     def msg(y: String) =
       intercept[IllegalArgumentException](PipelineConfig.fromYaml(y)).getMessage
