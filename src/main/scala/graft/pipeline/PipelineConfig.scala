@@ -44,24 +44,31 @@ object PipelineConfig {
     def name: String
     def kind: String
     def apply(df: DataFrame): DataFrame
+    /** Row-local steps (no corpus-wide state) compose onto Structured
+     * Streaming unchanged; corpus-level steps (dedup, caps, quantiles,
+     * sampling) are batch-only. */
+    def rowLocal: Boolean
     /** Field map for serialization (insertion-ordered). */
     private[pipeline] def fields: Seq[(String, Any)]
   }
 
   case class WithColumnStep(name: String, column: String, expr: String) extends PipeStep {
     def kind = "with_column"
+    def rowLocal = true
     def apply(df: DataFrame): DataFrame = df.withColumn(column, expr_(expr))
     private[pipeline] def fields = Seq("column" -> column, "expr" -> expr)
   }
 
   case class FilterStep(name: String, where: String) extends PipeStep {
     def kind = "filter"
+    def rowLocal = true
     def apply(df: DataFrame): DataFrame = df.where(expr_(where))
     private[pipeline] def fields = Seq("where" -> where)
   }
 
   case class DropColumnsStep(name: String, columns: Seq[String]) extends PipeStep {
     def kind = "drop_columns"
+    def rowLocal = true
     def apply(df: DataFrame): DataFrame = df.drop(columns: _*)
     private[pipeline] def fields = Seq("columns" -> columns)
   }
@@ -71,6 +78,7 @@ object PipelineConfig {
   case class BlocklistStep(name: String, column: String, phrases: Seq[String],
       maxHits: Int = 0, engine: String = "auto") extends PipeStep {
     def kind = "blocklist"
+    def rowLocal = true
     require(Seq("auto", "regex", "automaton").contains(engine),
       s"blocklist step '$name': unknown engine '$engine'")
     def useAutomaton: Boolean =
@@ -100,6 +108,7 @@ object PipelineConfig {
   case class DedupExactStep(name: String, id: String, content: Seq[String],
       priority: Option[String] = None) extends PipeStep {
     def kind = "dedup_exact"
+    def rowLocal = false
     def apply(df: DataFrame): DataFrame = priority match {
       case Some(p) =>
         Dedup.exactPrioritized(df, col(id), expr_(p), content.map(expr_): _*)
@@ -113,6 +122,7 @@ object PipelineConfig {
       shingleSize: Int = 3, threshold: Double = 0.7,
       maxBucketSize: Int = 1000) extends PipeStep {
     def kind = "dedup_near"
+    def rowLocal = false
     def apply(df: DataFrame): DataFrame =
       Dedup.dropNearDups(df, col(id), col(text), shingleSize, threshold, maxBucketSize)
     private[pipeline] def fields = Seq("id" -> id, "text" -> text,
@@ -123,9 +133,47 @@ object PipelineConfig {
   case class CapPerKeyStep(name: String, key: String, id: String, max: Int)
       extends PipeStep {
     def kind = "cap_per_key"
+    def rowLocal = false
     def apply(df: DataFrame): DataFrame =
       Curation.capPerKey(df, expr_(key), col(id), max)
     private[pipeline] def fields = Seq("key" -> key, "id" -> id, "max" -> max)
+  }
+
+  /** Adaptive threshold: keep the top `keepFraction` of rows by `score`
+   * (exact interpolated percentile — one stats pass + broadcast). */
+  case class QuantileGateStep(name: String, score: String, keepFraction: Double)
+      extends PipeStep {
+    def kind = "quantile_gate"
+    def rowLocal = false
+    def apply(df: DataFrame): DataFrame =
+      Curation.gateByQuantile(df, expr_(score), keepFraction)
+    private[pipeline] def fields =
+      Seq("score" -> score, "keepFraction" -> keepFraction)
+  }
+
+  case class TemperatureSampleStep(name: String, id: String, domain: String,
+      tokens: String, totalBudget: Long, alpha: Double = 0.5) extends PipeStep {
+    def kind = "temperature_sample"
+    def rowLocal = false
+    def apply(df: DataFrame): DataFrame =
+      Curation.temperatureSample(df, col(id), expr_(domain), expr_(tokens),
+        totalBudget, alpha)
+    private[pipeline] def fields = Seq("id" -> id, "domain" -> domain,
+      "tokens" -> tokens, "totalBudget" -> totalBudget, "alpha" -> alpha)
+  }
+
+  case class SampleBudgetStep(name: String, id: String, domain: String,
+      tokens: String, budgets: Map[String, Long]) extends PipeStep {
+    def kind = "sample_budget"
+    def rowLocal = false
+    require(budgets.nonEmpty, s"sample_budget step '$name': empty budgets map")
+    def apply(df: DataFrame): DataFrame =
+      Curation.sampleToTokenBudget(df, col(id), expr_(domain), expr_(tokens), budgets)
+    private[pipeline] def fields = {
+      val bm = new java.util.LinkedHashMap[String, Any]() // key-sorted: deterministic yaml
+      budgets.toSeq.sortBy(_._1).foreach { case (k, v) => bm.put(k, v) }
+      Seq("id" -> id, "domain" -> domain, "tokens" -> tokens, "budgets" -> bm)
+    }
   }
 
   case class Pipeline(version: Int, name: String, steps: Seq[PipeStep]) {
@@ -134,6 +182,21 @@ object PipelineConfig {
       s"duplicate step names in pipeline '$name'")
 
     def apply(df: DataFrame): DataFrame = steps.foldLeft(df)((d, s) => s(d))
+
+    /** Apply to a STREAMING frame: row-local steps (filter / blocklist /
+     * with_column / drop_columns) are stateless projections and compose
+     * onto Structured Streaming unchanged — the same config drives the
+     * batch backfill and the live gate. Corpus-level steps are rejected
+     * up front with the offending step names (their streaming
+     * counterparts — streaming dedup, windowed caps — carry watermark
+     * semantics a batch config can't imply). */
+    def applyStreaming(df: DataFrame): DataFrame = {
+      val corpus = steps.filterNot(_.rowLocal)
+      require(corpus.isEmpty,
+        s"pipeline '$name' is not streamable; corpus-level steps: " +
+          corpus.map(s => s"${s.name} (${s.kind})").mkString(", "))
+      apply(df)
+    }
 
     /**
      * Loss accounting for the pipeline's ROW-LOCAL prefix: with_column
@@ -193,6 +256,7 @@ object PipelineConfig {
         s.fields.foreach {
           case (k, v: Seq[_]) =>
             val l = new java.util.ArrayList[Any](); v.foreach(x => l.add(x)); m.put(k, l)
+          case (k, v: java.util.Map[_, _]) => m.put(k, v)
           case (k, v) => m.put(k, v)
         }
         ss.add(m)
@@ -244,6 +308,14 @@ object PipelineConfig {
         doubleOr(m, "threshold", 0.7, where), intOr(m, "maxBucketSize", 1000, where))
       case "cap_per_key" => CapPerKeyStep(name, str(m, "key", where),
         str(m, "id", where), int(m, "max", where))
+      case "quantile_gate" => QuantileGateStep(name, str(m, "score", where),
+        dbl(m, "keepFraction", where))
+      case "temperature_sample" => TemperatureSampleStep(name,
+        str(m, "id", where), str(m, "domain", where), str(m, "tokens", where),
+        lng(m, "totalBudget", where), doubleOr(m, "alpha", 0.5, where))
+      case "sample_budget" => SampleBudgetStep(name, str(m, "id", where),
+        str(m, "domain", where), str(m, "tokens", where),
+        longMap(m, "budgets", where))
       case other => fail(where, s"unknown step kind '$other'")
     }
   }
@@ -277,6 +349,31 @@ object PipelineConfig {
       case n: java.lang.Number => n.doubleValue
       case null => dflt
       case other => fail(where, s"field '$k' must be a number, got $other")
+    }
+  private def dbl(m: java.util.Map[String, Any], k: String, where: String): Double =
+    m.get(k) match {
+      case n: java.lang.Number => n.doubleValue
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be a number, got $other")
+    }
+  private def lng(m: java.util.Map[String, Any], k: String, where: String): Long =
+    m.get(k) match {
+      case n: java.lang.Number => n.longValue
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be an integer, got $other")
+    }
+  private def longMap(m: java.util.Map[String, Any], k: String,
+      where: String): Map[String, Long] =
+    m.get(k) match {
+      case mm: java.util.Map[_, _] if !mm.isEmpty =>
+        val b = Map.newBuilder[String, Long]
+        mm.forEach { (kk, vv) => vv match {
+          case n: java.lang.Number => b += kk.toString -> n.longValue
+          case other => fail(where, s"budget '$kk' must be an integer, got $other")
+        }}
+        b.result()
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be a non-empty map, got $other")
     }
   private def strList(m: java.util.Map[String, Any], k: String, where: String): Seq[String] =
     m.get(k) match {

@@ -142,6 +142,69 @@ class PipelineConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](noGates.funnel(corpus))
   }
 
+  test("quantile_gate / temperature_sample / sample_budget steps: parse, round-trip, apply") {
+    val y =
+      """version: 1
+        |name: selection
+        |steps:
+        |  - {kind: with_column, name: toks, column: toks, expr: "token_count(text)"}
+        |  - {kind: quantile_gate, name: qg, score: toks, keepFraction: 0.5}
+        |  - {kind: temperature_sample, name: ts, id: doc_id, domain: src,
+        |     tokens: toks, totalBudget: 1000000, alpha: 0.5}
+        |  - {kind: sample_budget, name: sb, id: doc_id, domain: src,
+        |     tokens: toks, budgets: {web: 1000000, wiki: 500}}
+        |""".stripMargin
+    val p = PipelineConfig.fromYaml(y)
+    assert(PipelineConfig.fromYaml(p.toYaml) == p)
+    assert(p.steps.collect { case s: PipelineConfig.SampleBudgetStep => s.budgets }
+      .head == Map("web" -> 1000000L, "wiki" -> 500L))
+    val df = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "web" else "wiki",
+        Seq.fill(10 + i)("w").mkString(" "))).toSeq.toDF("doc_id", "src", "text")
+    val out = p(df)
+    // quantile gate halves the corpus by token count; budgets are generous
+    // (web) or tight (wiki) — the chain runs and keeps a sane subset
+    val n = out.count()
+    assert(n > 0 && n <= 20, s"kept $n of 40")
+    // hand-built equivalence for the quantile stage
+    val handQ = Curation.gateByQuantile(
+      df.withColumn("toks", Text.tokenCount(col("text"))), col("toks"), 0.5)
+    assert(handQ.count() == 20)
+  }
+
+  test("applyStreaming: row-local config gates a live stream; corpus steps rejected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val p = PipelineConfig.fromYaml(
+      """version: 1
+        |name: live_gate
+        |steps:
+        |  - {kind: with_column, name: toks, column: toks, expr: "token_count(text)"}
+        |  - {kind: filter, name: min_tokens, where: "toks >= 3"}
+        |  - {kind: blocklist, name: bad, column: text, phrases: [spam]}
+        |  - {kind: drop_columns, name: clean, columns: [toks]}
+        |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    val q = p.applyStreaming(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cfg_gate_rows")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a perfectly fine document"), (2L, "pure spam offer here"),
+        (3L, "too short"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM cfg_gate_rows").as[Long].collect().toSet
+      assert(kept == Set(1L))
+    } finally q.stop()
+    // batch parity: the SAME config on the same rows
+    val batch = p(Seq((1L, "a perfectly fine document"), (2L, "pure spam offer here"),
+      (3L, "too short")).toDF("doc_id", "text"))
+    assert(batch.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // corpus-level steps refuse to stream, naming the offender
+    val e = intercept[IllegalArgumentException](
+      PipelineConfig.fromYaml(yaml).applyStreaming(mem.toDF().toDF("doc_id", "text")))
+    assert(e.getMessage.contains("exact (dedup_exact)"))
+  }
+
   test("malformed configs fail with located errors") {
     def msg(y: String) =
       intercept[IllegalArgumentException](PipelineConfig.fromYaml(y)).getMessage
