@@ -1414,10 +1414,12 @@ object SparkEntry {
           col("graft_lid.confidence").as("confidence"))
     }),
     "q_text_fingerprint" -> ((s, dir) => {
-      // rows-only: winnowing fingerprints; equal texts share fingerprints
+      // winnowing fingerprints, VALUE-exact: the oracle replays the FNV-1a
+      // 64-bit rolling hash in DuckDB (HUGEINT mod-2^64 arithmetic, xor on
+      // the low 16 bits, signed window minima) — every selected hash must
+      // agree bit-for-bit, not just the count
       docs(s, dir).select(col("doc_id"),
-        graft.pipeline.Text.fingerprint(col("text")).as("fp"))
-        .select(col("doc_id"), size(col("fp")).as("n_fp"))
+        explode(graft.pipeline.Text.fingerprint(col("text"))).as("fp"))
     }),
     "q_multimodal_features" -> ((s, dir) => {
       // rows-only: image (ImageIO) + audio (AudioSystem WAV) decode are real;
@@ -2641,6 +2643,82 @@ object SparkEntry {
         |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
         |)
         |SELECT doc_id FROM reps WHERE doc_id NOT IN (SELECT d FROM losers)""".stripMargin,
+    "q_dedup_simhash" ->
+      // the operator replayed exactly, banding included: shingle word
+      // 3-grams, FNV-1a-over-bytes + SplitMix64 per shingle (HUGEINT
+      // mod-2^64 with split multiplication), per-bit majority vote to the
+      // 64-bit signature, 4x16 band candidates, Hamming <= 8 verify --
+      // the recall of the banded join is part of the pinned contract
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id,
+        |         array_to_string((string_split(text, ' '))[1 : len(string_split(text, ' ')) - 2], ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ array_to_string(w[i : least(i + 2, len(w))], ' ')
+        |      for i in range(1, greatest(len(w) - 3, 0) + 2) ]) AS shs
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM corpus)
+        |),
+        |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |hx AS (SELECT doc_id, s, hex(encode(s)) AS hx FROM shx),
+        |by AS (SELECT doc_id, [strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))*16
+        |                       + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17
+        |                       for i in range(1, len(hx)//2 + 1)] AS bytes FROM hx),
+        |f AS (SELECT doc_id, list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), bytes), (acc, b) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS h FROM by),
+        |s1 AS (SELECT doc_id, ((h + CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS z1 FROM f),
+        |s2 AS (SELECT doc_id, (((((CASE WHEN (xor(CAST(CASE WHEN (z1) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1) END AS BIGINT), CAST(CASE WHEN (z1 // 1073741824) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1 // 1073741824) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1 // 1073741824) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z1) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1) END AS BIGINT), CAST(CASE WHEN (z1 // 1073741824) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1 // 1073741824) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1 // 1073741824) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z1) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1) END AS BIGINT), CAST(CASE WHEN (z1 // 1073741824) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1 // 1073741824) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1 // 1073741824) END AS BIGINT))) AS HUGEINT) END)) % 4294967296) * CAST('13787848793156543929' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) + (((((CASE WHEN (xor(CAST(CASE WHEN (z1) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1) END AS BIGINT), CAST(CASE WHEN (z1 // 1073741824) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1 // 1073741824) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1 // 1073741824) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z1) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1) END AS BIGINT), CAST(CASE WHEN (z1 // 1073741824) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1 // 1073741824) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1 // 1073741824) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z1) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1) END AS BIGINT), CAST(CASE WHEN (z1 // 1073741824) >= CAST('9223372036854775808' AS HUGEINT) THEN (z1 // 1073741824) - CAST('18446744073709551616' AS HUGEINT) ELSE (z1 // 1073741824) END AS BIGINT))) AS HUGEINT) END)) // 4294967296) * CAST('13787848793156543929' AS HUGEINT)) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z2 FROM s1),
+        |s3 AS (SELECT doc_id, (((((CASE WHEN (xor(CAST(CASE WHEN (z2) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2) END AS BIGINT), CAST(CASE WHEN (z2 // 134217728) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2 // 134217728) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2 // 134217728) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z2) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2) END AS BIGINT), CAST(CASE WHEN (z2 // 134217728) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2 // 134217728) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2 // 134217728) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z2) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2) END AS BIGINT), CAST(CASE WHEN (z2 // 134217728) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2 // 134217728) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2 // 134217728) END AS BIGINT))) AS HUGEINT) END)) % 4294967296) * CAST('10723151780598845931' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) + (((((CASE WHEN (xor(CAST(CASE WHEN (z2) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2) END AS BIGINT), CAST(CASE WHEN (z2 // 134217728) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2 // 134217728) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2 // 134217728) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z2) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2) END AS BIGINT), CAST(CASE WHEN (z2 // 134217728) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2 // 134217728) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2 // 134217728) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z2) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2) END AS BIGINT), CAST(CASE WHEN (z2 // 134217728) >= CAST('9223372036854775808' AS HUGEINT) THEN (z2 // 134217728) - CAST('18446744073709551616' AS HUGEINT) ELSE (z2 // 134217728) END AS BIGINT))) AS HUGEINT) END)) // 4294967296) * CAST('10723151780598845931' AS HUGEINT)) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z3 FROM s2),
+        |hs AS (SELECT doc_id, list((CASE WHEN (CAST(CASE WHEN ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) >= CAST('9223372036854775808' AS HUGEINT) THEN ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) - CAST('18446744073709551616' AS HUGEINT) ELSE ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) END AS BIGINT)) < 0 THEN CAST((CAST(CASE WHEN ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) >= CAST('9223372036854775808' AS HUGEINT) THEN ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) - CAST('18446744073709551616' AS HUGEINT) ELSE ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) END AS BIGINT)) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((CAST(CASE WHEN ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) >= CAST('9223372036854775808' AS HUGEINT) THEN ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) - CAST('18446744073709551616' AS HUGEINT) ELSE ((CASE WHEN (xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) ELSE CAST((xor(CAST(CASE WHEN (z3) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3) END AS BIGINT), CAST(CASE WHEN (z3 // 2147483648) >= CAST('9223372036854775808' AS HUGEINT) THEN (z3 // 2147483648) - CAST('18446744073709551616' AS HUGEINT) ELSE (z3 // 2147483648) END AS BIGINT))) AS HUGEINT) END)) END AS BIGINT)) AS HUGEINT) END)) AS hl, count(*) AS n FROM s3 GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_sum([ CASE WHEN 2 * len(list_filter(hl, h -> (h // (CAST(1 AS HUGEINT) << b)) % 2 = 1)) > n
+        |               THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END
+        |               for b in range(0, 64) ]) AS su
+        |  FROM hs
+        |),
+        |ss AS (SELECT doc_id, CAST(CASE WHEN (su) >= CAST('9223372036854775808' AS HUGEINT) THEN (su) - CAST('18446744073709551616' AS HUGEINT) ELSE (su) END AS BIGINT) AS sg, su FROM sigs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  AND ((a.su // 1) % 65536 = (b.su // 1) % 65536
+        |    OR (a.su // 65536) % 65536 = (b.su // 65536) % 65536
+        |    OR (a.su // 4294967296) % 65536 = (b.su // 4294967296) % 65536
+        |    OR (a.su // CAST('281474976710656' AS HUGEINT)) % 65536 = (b.su // CAST('281474976710656' AS HUGEINT)) % 65536)
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 8""".stripMargin,
+    "q_text_fingerprint" ->
+      // winnowing replayed exactly: FNV-1a 64-bit over each lowercased
+      // 9-gram (wrap-around multiply = HUGEINT mod 2^64; the xor touches
+      // only the low 16 bits for BMP chars), SIGNED window-of-4 minima,
+      // distinct — unnested to one row per selected hash
+      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [ CAST(list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT), range(i, i + 9)),
+        |        (acc, j) -> ((acc - (acc % 65536) +
+        |                      xor(CAST(acc % 65536 AS BIGINT),
+        |                          unicode(substr(s, CAST(j AS BIGINT), 1))))
+        |                     * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |        AS HUGEINT)
+        |      for i in range(1, greatest(len(s) - 8, 0) + 1) ] AS hs
+        |  FROM t
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    [ CAST(CASE WHEN x >= CAST('9223372036854775808' AS HUGEINT)
+        |                THEN x - CAST('18446744073709551616' AS HUGEINT) ELSE x END AS BIGINT)
+        |      for x in hs ] AS hsig
+        |  FROM h
+        |),
+        |mins AS (
+        |  SELECT doc_id,
+        |    [ list_min(hsig[i : least(i + 3, len(hsig))])
+        |      for i in range(1, greatest(len(hsig) - 4, 0) + 2) ] AS mn
+        |  FROM sh
+        |)
+        |SELECT doc_id, unnest(list_distinct(mn)) AS fp FROM mins""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
