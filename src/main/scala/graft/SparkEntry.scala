@@ -336,8 +336,11 @@ object SparkEntry {
           RuleRunner.parseRule("map_contains(c_nationkey, 'nations')", RuleSuite(Id(0, 0), Nil)).as("known"))
     }),
     "q_bloom" -> ((s, dir) => {
-      // rows-only: bloom guarantees no false negatives, so every lineitem
-      // orderkey (all present in orders) must probe positive
+      // oracle=sql since r11: the no-false-negative guarantee fully
+      // DETERMINES the result — every lineitem orderkey is present in
+      // orders, so every probe must be positive and the group-by collapses
+      // to exactly one (true, count(*)) row; any bloom bit-layout bug that
+      // produced a false negative would split the groups and hash-mismatch
       graft.lookups.Lookups.registerBloomFrom(s, "ordkeys",
         orders(s, dir), col("o_orderkey"), 200000, 0.01)
       lineitem(s, dir)
@@ -2643,6 +2646,10 @@ object SparkEntry {
         |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
         |)
         |SELECT doc_id FROM reps WHERE doc_id NOT IN (SELECT d FROM losers)""".stripMargin,
+    "q_bloom" ->
+      // the no-false-negative contract pins the whole result: one row,
+      // all 60k probes positive
+      """SELECT true AS hit, count(*) AS cnt FROM lineitem""",
     "q_dedup_simhash" ->
       // the operator replayed exactly, banding included: shingle word
       // 3-grams, FNV-1a-over-bytes + SplitMix64 per shingle (HUGEINT
