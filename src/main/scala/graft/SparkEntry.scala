@@ -851,6 +851,14 @@ object SparkEntry {
           |""".stripMargin)
       p(docs(s, dir).select(col("doc_id"), col("text")))
     }),
+    "q_redact_ac" -> ((s, dir) => {
+      // automaton scrub-list redaction (merged spans). The phrase pair has
+      // no cross- or self-overlaps and '#' can't create new matches, so
+      // sequential literal replace is provably identical — the oracle
+      val ac = graft.pipeline.MultiMatch.compile(Seq("slow", "hash value"))
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.MultiMatch.acRedact(col("text"), ac, "#").as("red"))
+    }),
     "q_funnel" -> ((s, dir) => {
       // retention funnel: rows + token mass in/dropped/out per curation
       // gate, each row charged to the FIRST gate it fails — one
@@ -2462,6 +2470,9 @@ object SparkEntry {
         |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY lower(text)
         |)
         |SELECT g.doc_id, g.text FROM gated g JOIN kept USING (doc_id)""".stripMargin,
+    "q_redact_ac" ->
+      """SELECT doc_id, replace(replace(text, 'slow', '#'), 'hash value', '#') AS red
+        |FROM documents""".stripMargin,
     "q_funnel" ->
       """WITH d AS (
         |  SELECT len(text) >= 200 AS g1,

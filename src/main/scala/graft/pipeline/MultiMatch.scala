@@ -164,6 +164,14 @@ object MultiMatch {
   /** Sorted distinct matched pattern ids (indexes into the compiled list). */
   def acTerms(text: Column, ac: AcAutomaton): Column =
     Bridge.column(AcTermsExpression(Bridge.expression(text), ac))
+
+  /** Redact every matched span: overlapping/adjacent-overlapping match
+   * intervals MERGE and each merged region is replaced by `replacement`
+   * once — the scrub-list face of the automaton (names, secrets, terms):
+   * a 10⁴-entry dictionary redacts in O(text + matches) where the
+   * alternation `regexp_replace` degrades toward O(dict × text). */
+  def acRedact(text: Column, ac: AcAutomaton, replacement: String): Column =
+    Bridge.column(AcRedactExpression(Bridge.expression(text), ac, replacement))
 }
 
 /** Static match kernels — stable call targets for generated code. */
@@ -217,6 +225,79 @@ object MultiMatchAlgos {
 
   def count(v: UTF8String, ac: AcAutomaton): Int = scan(v.toString, ac, null)
 
+  /** Merged-span redaction: collect every (boundary-valid) match interval,
+   * merge overlaps, substitute each merged region once. One automaton scan
+   * + one output build — O(text + matches). */
+  def redact(v: UTF8String, ac: AcAutomaton, replacement: UTF8String): UTF8String = {
+    val t = v.toString
+    // collect intervals (start, end) inclusive, in end order
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var state = 0
+    var i = 0
+    val n = t.length
+    while (i < n) {
+      val c = t.charAt(i)
+      var nxt = -1
+      var s = state
+      while (nxt < 0) {
+        val cc = ac.childChar(s)
+        val j = java.util.Arrays.binarySearch(cc, c)
+        if (j >= 0) nxt = ac.childNode(s)(j)
+        else if (s == 0) nxt = 0
+        else s = ac.fail(s)
+      }
+      state = nxt
+      var o = if (ac.endsOff(state + 1) > ac.endsOff(state)) state else ac.outLink(state)
+      while (o >= 0) {
+        var k = ac.endsOff(o)
+        val end = ac.endsOff(o + 1)
+        while (k < end) {
+          val pid = ac.endsIds(k)
+          val len = ac.patLen(pid)
+          val start = i - len + 1
+          val ok = !ac.wordBoundary || {
+            (!ac.anchorLead(pid) || start == 0 || !asciiWord(t.charAt(start - 1))) &&
+              (!ac.anchorTrail(pid) || i == n - 1 || !asciiWord(t.charAt(i + 1)))
+          }
+          if (ok) { starts.add(start); ends.add(i) }
+          k += 1
+        }
+        o = ac.outLink(o)
+      }
+      i += 1
+    }
+    if (starts.isEmpty) return v
+    // intervals arrive sorted by end; merge any that overlap. A later
+    // interval can start before an earlier one (longer pattern ending
+    // later), so track the running min-start of the open merged region.
+    val m = starts.size
+    val rep = replacement.toString
+    val sb = new java.lang.StringBuilder(t.length)
+    // build merged regions left-to-right: sort by start (stable, bounded
+    // by match count)
+    val idx = (0 until m).sortBy(starts.get(_).intValue)
+    var written = 0 // next source char not yet emitted
+    var regionStart = -1
+    var regionEnd = -1
+    def flush(): Unit = if (regionStart >= 0) {
+      if (regionStart > written) sb.append(t, written, regionStart)
+      sb.append(rep)
+      written = regionEnd + 1
+      regionStart = -1
+    }
+    idx.foreach { q =>
+      val s0 = starts.get(q).intValue
+      val e0 = ends.get(q).intValue
+      if (regionStart < 0) { regionStart = s0; regionEnd = e0 }
+      else if (s0 <= regionEnd) { if (e0 > regionEnd) regionEnd = e0 } // overlap: extend
+      else { flush(); regionStart = s0; regionEnd = e0 }
+    }
+    flush()
+    if (written < t.length) sb.append(t, written, t.length)
+    UTF8String.fromString(sb.toString)
+  }
+
   def terms(v: UTF8String, ac: AcAutomaton): GenericArrayData = {
     val hits = new java.util.BitSet(ac.nPatterns)
     scan(v.toString, ac, hits)
@@ -226,6 +307,25 @@ object MultiMatchAlgos {
     while (pid >= 0) { out(j) = pid; j += 1; pid = hits.nextSetBit(pid + 1) }
     new GenericArrayData(out.map(x => x: Any))
   }
+}
+
+/** Merged-span automaton redaction. Codegen: one static call per row. */
+case class AcRedactExpression(child: Expression, ac: MultiMatch.AcAutomaton,
+    replacement: String) extends UnaryExpression {
+  @transient private lazy val repU = UTF8String.fromString(replacement)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    MultiMatchAlgos.redact(v.asInstanceOf[UTF8String], ac, repU)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val aRef = ctx.addReferenceObj("graftAc", ac, "graft.pipeline.MultiMatch.AcAutomaton")
+    val rRef = ctx.addReferenceObj("graftAcRep", repU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.MultiMatchAlgos.redact($c, $aRef, $rRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Total automaton match count. Codegen: one static call per row. */

@@ -118,6 +118,32 @@ class MultiMatchSpec extends AnyFunSuite {
       spark.range(1).toDF, col("id").cast("string"), Seq("  ")))
   }
 
+  test("acRedact: merged spans, parity with sequential replace on disjoint dicts") {
+    def red(t: String, pats: Seq[String], rep: String = "#",
+        wb: Boolean = false): String =
+      MultiMatchAlgos.redact(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        MultiMatch.compile(pats, wordBoundary = wb),
+        org.apache.spark.unsafe.types.UTF8String.fromString(rep)).toString
+    // disjoint patterns == sequential String.replace
+    val t = "the slow pipe broke a hash value near the slow end"
+    assert(red(t, Seq("slow", "hash value")) ==
+      t.replace("slow", "#").replace("hash value", "#"))
+    // overlapping matches merge into ONE span
+    assert(red("abcd", Seq("abc", "bcd")) == "#")
+    assert(red("aaa", Seq("aa")) == "#")          // self-overlap chains
+    assert(red("xabcx", Seq("abc", "b")) == "x#x") // nested inside longer
+    // adjacent non-overlapping spans redact separately
+    assert(red("abab", Seq("ab")) == "##")
+    // boundary mode: 'slowly' survives, whole word goes
+    assert(red("slow slowly", Seq("slow"), wb = true) == "# slowly")
+    // no match → input unchanged (same instance semantics fine)
+    assert(red("untouched", Seq("zz")) == "untouched")
+    // replacement longer than match; empty replacement deletes
+    assert(red("ab", Seq("ab"), rep = "[gone]") == "[gone]")
+    assert(red("a b", Seq("b"), rep = "") == "a ")
+  }
+
   test("codegen: evaluates with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
@@ -126,10 +152,13 @@ class MultiMatchSpec extends AnyFunSuite {
       val df = spark.createDataset(Seq("alpha beta gamma", "alphabet"))
         .toDF("t")
         .select(MultiMatch.acCount(col("t"), ac).as("n"),
-          MultiMatch.acTerms(col("t"), ac).as("ids"))
+          MultiMatch.acTerms(col("t"), ac).as("ids"),
+          MultiMatch.acRedact(col("t"), ac, "▮").as("red"))
       val rows = df.collect()
       assert(rows(0).getInt(0) == 2 && rows(0).getSeq[Int](1) == Seq(0, 1))
+      assert(rows(0).getString(2) == "▮ ▮")
       assert(rows(1).getInt(0) == 0) // boundary blocks 'alphabet'
+      assert(rows(1).getString(2) == "alphabet")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
