@@ -311,6 +311,30 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Two-table Hamming band join (query side vs a persisted signature
+   * table): same banding/verify as [[hammingBandPairs]] but without the
+   * self-join ordering constraint — (id_q, id_c, hamming ≤ maxHamming).
+   * No explicit repartition: the query side is typically small and AQE's
+   * broadcast choice is exactly right here. */
+  private[pipeline] def hammingBandJoin(
+      left: DataFrame, right: DataFrame, maxHamming: Int,
+      nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, "nBands must divide 64")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def bandRows(df: DataFrame) = df.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        expr(s"shiftrightunsigned(sig, band * $width)").bitwiseAND(lit(mask)).as("bucket"))
+    val l = bandRows(left).as("l")
+    val r = bandRows(right).as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("id_q"), col("r.id").as("id_c"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /**
    * Near-duplicate CLUSTERS via connected components over the verified pair
    * graph: iterative min-label propagation (each round every node takes the
