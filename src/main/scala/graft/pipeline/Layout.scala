@@ -90,6 +90,7 @@ object Layout {
     // the table's compaction target, not the batch size)
     if (mode != "append")
       writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles)
+    writeFileStats(df.sparkSession, path, cols) // covers base + all appends
   }
 
   /**
@@ -119,6 +120,108 @@ object Layout {
     Incremental.guardedRewrite(spark, path) { tmp =>
       zorderWrite(spark.read.parquet(path).drop("graft_z"), cols, tmp, target, bits)
     }
+  }
+
+  /**
+   * File-skipping read from the stats sidecar — the metadata-layer win:
+   * at 10⁵–10⁶ files, even deciding which files to open costs a footer
+   * read per file per query; the sidecar (written once per write, a
+   * driver-bounded YAML of per-file column envelopes harvested from the
+   * parquet FOOTERS, no data scan) answers the pruning question with one
+   * small file. Returns the rows with `lo <= col <= hi` reading ONLY
+   * files whose envelope overlaps — exact, because the residual filter
+   * still applies; a file with no stats for `col` is kept conservatively.
+   * Falls back to a full filtered read when no sidecar exists.
+   */
+  def prunedRead(spark: SparkSession, path: String, colName: String,
+      lo: Double, hi: Double): DataFrame = {
+    val cond = col(colName).cast("double").between(lo, hi)
+    readFileStats(spark, path) match {
+      case None => spark.read.parquet(path).where(cond)
+      case Some(stats) =>
+        val keep = stats.collect {
+          case (file, cols) if cols.get(colName).forall {
+            case (mn, mx) => mx >= lo && mn <= hi } => file
+        }.toSeq
+        if (keep.isEmpty)
+          spark.read.parquet(path).where(cond).limit(0)
+        else spark.read.parquet(keep: _*).where(cond)
+    }
+  }
+
+  /** Harvest per-file min/max envelopes for `cols` from the parquet
+   * footers (row-group statistics — metadata only, no data scan) and
+   * write the `_graft_stats.yaml` sidecar. Driver loop bounded by file
+   * count; called once per write/append, so reads never pay it. */
+  private def writeFileStats(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    val root = new java.util.LinkedHashMap[String, Any]()
+    files.sortBy(_.getName).foreach { f =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, f, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val m = new java.util.LinkedHashMap[String, Any]()
+      cols.foreach { c =>
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        var ok = true
+        footer.getBlocks.forEach { b =>
+          b.getColumns.forEach { cc =>
+            if (cc.getPath.toDotString == c) {
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue) () // all-null chunk adds nothing
+              else st.genericGetMin match {
+                case n: java.lang.Number =>
+                  mn = math.min(mn, n.doubleValue)
+                  mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Number].doubleValue)
+                case _ => ok = false // non-numeric physical type: no envelope
+              }
+            }
+          }
+        }
+        if (ok && mn != Double.PositiveInfinity) {
+          val l = new java.util.ArrayList[Any](); l.add(mn); l.add(mx); m.put(c, l)
+        }
+      }
+      root.put(f.getName, m)
+    }
+    val yaml = new org.yaml.snakeyaml.Yaml().dump(root)
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_stats.yaml")
+    val out = fs.create(p, true)
+    try out.write(yaml.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Sidecar → (absolute file path → col → (min, max)); None if absent. */
+  private def readFileStats(spark: SparkSession, path: String)
+      : Option[Seq[(String, Map[String, (Double, Double)])]] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_stats.yaml")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Any]](new String(bytes, "UTF-8"))
+    val b = Seq.newBuilder[(String, Map[String, (Double, Double)])]
+    root.forEach { (file, v) =>
+      val cm = Map.newBuilder[String, (Double, Double)]
+      v.asInstanceOf[java.util.Map[String, Any]].forEach { (c, mm) =>
+        val l = mm.asInstanceOf[java.util.List[Any]]
+        cm += c -> (l.get(0).asInstanceOf[Number].doubleValue,
+          l.get(1).asInstanceOf[Number].doubleValue)
+      }
+      b += s"$path/$file" -> cm.result()
+    }
+    Some(b.result())
   }
 
   /** Self-describing layout: `_graft_layout.yaml` beside the data
@@ -221,6 +324,7 @@ object Layout {
         .drop("graft_file", "graft_w")
         .write.mode(mode).parquet(path)
       writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles)
+      writeFileStats(df.sparkSession, path, cols)
     } finally zdf.unpersist()
   }
 }

@@ -139,6 +139,22 @@ object PipelineConfig {
     private[pipeline] def fields = Seq("key" -> key, "id" -> id, "max" -> max)
   }
 
+  /** Scrub-list redaction in place: replace every dictionary match in
+   * `column` (merged overlapping spans, exact substring semantics —
+   * normalize case upstream with a with_column if wanted) via the
+   * Aho–Corasick automaton. Row-local: streams. */
+  case class RedactStep(name: String, column: String, phrases: Seq[String],
+      replacement: String = "█") extends PipeStep {
+    def kind = "redact"
+    def rowLocal = true
+    def apply(df: DataFrame): DataFrame = {
+      val ac = MultiMatch.compile(phrases)
+      df.withColumn(column, MultiMatch.acRedact(col(column), ac, replacement))
+    }
+    private[pipeline] def fields = Seq("column" -> column,
+      "phrases" -> phrases, "replacement" -> replacement)
+  }
+
   /** Adaptive threshold: keep the top `keepFraction` of rows by `score`
    * (exact interpolated percentile — one stats pass + broadcast). */
   case class QuantileGateStep(name: String, score: String, keepFraction: Double)
@@ -220,6 +236,11 @@ object PipelineConfig {
               s"'${w.column}' after a gate — accounting would diverge from " +
               "the sequential run")
           cur = w(cur)
+        case r: RedactStep =>
+          require(gates.isEmpty,
+            s"funnel: redact '${r.name}' rewrites '${r.column}' after a gate " +
+              "read it — accounting would diverge from the sequential run")
+          cur = r(cur)
         case f: FilterStep => gates += f.name -> expr(f.where)
         case b: BlocklistStep => gates += b.name -> b.keepPredicate
         case _: DropColumnsStep => () // row-local, drops no rows
@@ -308,6 +329,8 @@ object PipelineConfig {
         doubleOr(m, "threshold", 0.7, where), intOr(m, "maxBucketSize", 1000, where))
       case "cap_per_key" => CapPerKeyStep(name, str(m, "key", where),
         str(m, "id", where), int(m, "max", where))
+      case "redact" => RedactStep(name, str(m, "column", where),
+        strList(m, "phrases", where), strOr(m, "replacement", "█"))
       case "quantile_gate" => QuantileGateStep(name, str(m, "score", where),
         dbl(m, "keepFraction", where))
       case "temperature_sample" => TemperatureSampleStep(name,

@@ -169,6 +169,41 @@ class LayoutSpec extends AnyFunSuite {
     assert(!new java.io.File(out + "__compact_manifest").exists())
   }
 
+  test("prunedRead: sidecar skips files, results exactly equal full filter") {
+    val grid = spark.range(4096).select(
+      (col("id") % 64).cast("double").as("x"),
+      (col("id") / 64).cast("double").as("y"),
+      col("id").as("rid"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zstats").toString
+    Layout.zorderWrite(grid, Seq("x", "y"), out, numFiles = 16, bits = 6)
+    assert(new java.io.File(out, "_graft_stats.yaml").exists())
+
+    val pruned = Layout.prunedRead(spark, out, "x", 0.0, 7.0)
+    val full = spark.read.parquet(out).where(col("x").between(0.0, 7.0))
+    assert(pruned.select(sum("rid")).as[Long].head ==
+      full.select(sum("rid")).as[Long].head)
+    assert(pruned.count() == 4096 / 8)
+    val touched = pruned.inputFiles.length
+    assert(touched <= 8 && touched < 16, s"pruned read opened $touched/16 files")
+    // y-dimension pruning works too (the z-order point); y = id/64 is
+    // true division, so compare against the full filtered read
+    val prunedY = Layout.prunedRead(spark, out, "y", 60.0, 63.0)
+    assert(prunedY.count() ==
+      spark.read.parquet(out).where(col("y").between(60.0, 63.0)).count())
+    assert(prunedY.inputFiles.length < 16)
+
+    // append updates the sidecar; results stay exact
+    Layout.zorderAppend(grid.withColumn("rid", col("rid") + 10000), out, numFiles = 2)
+    val pruned2 = Layout.prunedRead(spark, out, "x", 0.0, 7.0)
+    assert(pruned2.count() == 2 * (4096 / 8))
+    // no-sidecar fallback: plain dir still reads correctly
+    val plain = java.nio.file.Files.createTempDirectory("graft_zplain").toString
+    grid.write.mode("overwrite").parquet(plain)
+    assert(Layout.prunedRead(spark, plain, "x", 0.0, 7.0).count() == 4096 / 8)
+    // empty overlap set
+    assert(Layout.prunedRead(spark, out, "x", 1000.0, 2000.0).count() == 0)
+  }
+
   test("append refuses a dir without a layout manifest") {
     val plain = java.nio.file.Files.createTempDirectory("graft_plain").toString
     spark.range(10).select(col("id").cast("double").as("x"))

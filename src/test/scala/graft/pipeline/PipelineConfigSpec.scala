@@ -205,6 +205,31 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exact (dedup_exact)"))
   }
 
+  test("redact step scrubs in place, streams, and guards funnel ordering") {
+    val p = PipelineConfig.fromYaml(
+      """version: 1
+        |name: scrub
+        |steps:
+        |  - {kind: redact, name: scrub_terms, column: text,
+        |     phrases: [secret token], replacement: "[X]"}
+        |  - {kind: filter, name: keep_all, where: "doc_id >= 0"}
+        |""".stripMargin)
+    assert(PipelineConfig.fromYaml(p.toYaml) == p)
+    val out = p(Seq((1L, "a secret token leaked"), (2L, "clean"))
+      .toDF("doc_id", "text")).select("text").as[String].collect().toSet
+    assert(out == Set("a [X] leaked", "clean"))
+    assert(p.steps.head.rowLocal)
+    // redact BEFORE gates participates in the funnel frame; AFTER gates it
+    // would diverge from the sequential run and is rejected
+    assert(p.funnel(Seq((1L, "x secret token")).toDF("doc_id", "text"))
+      .collect().head.getAs[Long]("rows_out") == 1L)
+    val after = PipelineConfig.Pipeline(1, "bad", Seq(
+      PipelineConfig.FilterStep("g", "doc_id >= 0"),
+      PipelineConfig.RedactStep("r", "text", Seq("x"))))
+    intercept[IllegalArgumentException](
+      after.funnel(Seq((1L, "x")).toDF("doc_id", "text")))
+  }
+
   test("malformed configs fail with located errors") {
     def msg(y: String) =
       intercept[IllegalArgumentException](PipelineConfig.fromYaml(y)).getMessage
