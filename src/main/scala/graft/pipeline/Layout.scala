@@ -151,8 +151,10 @@ object Layout {
 
   /** Harvest per-file min/max envelopes for `cols` from the parquet
    * footers (row-group statistics — metadata only, no data scan) and
-   * write the `_graft_stats.yaml` sidecar. Driver loop bounded by file
-   * count; called once per write/append, so reads never pay it. */
+   * write the `_graft_stats.yaml` sidecar. INCREMENTAL: files already in
+   * the sidecar keep their recorded envelope (parquet files are
+   * immutable), so an append pays one footer read per NEW file, not per
+   * table file — O(batch), like the data write itself. */
   private def writeFileStats(spark: SparkSession, path: String,
       cols: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -160,8 +162,23 @@ object Layout {
     val fs = dir.getFileSystem(conf)
     val files = fs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    val prior: Map[String, Any] = readFileStatsRaw(spark, path).getOrElse(Map.empty)
     val root = new java.util.LinkedHashMap[String, Any]()
     files.sortBy(_.getName).foreach { f =>
+      prior.get(f.getName) match {
+        case Some(recorded) => root.put(f.getName, recorded)
+        case None => harvestOne(conf, f, cols, root)
+      }
+    }
+    val yaml = new org.yaml.snakeyaml.Yaml().dump(root)
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_stats.yaml")
+    val out = fs.create(p, true)
+    try out.write(yaml.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def harvestOne(conf: org.apache.hadoop.conf.Configuration,
+      f: org.apache.hadoop.fs.Path, cols: Seq[String],
+      root: java.util.LinkedHashMap[String, Any]): Unit = {
       val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
         conf, f, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
       val m = new java.util.LinkedHashMap[String, Any]()
@@ -188,16 +205,12 @@ object Layout {
         }
       }
       root.put(f.getName, m)
-    }
-    val yaml = new org.yaml.snakeyaml.Yaml().dump(root)
-    val p = new org.apache.hadoop.fs.Path(path, "_graft_stats.yaml")
-    val out = fs.create(p, true)
-    try out.write(yaml.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Sidecar → (absolute file path → col → (min, max)); None if absent. */
-  private def readFileStats(spark: SparkSession, path: String)
-      : Option[Seq[(String, Map[String, (Double, Double)])]] = {
+  /** Sidecar as raw snakeyaml objects (file name → per-col map) so an
+   * incremental rewrite re-dumps recorded entries unchanged. */
+  private def readFileStatsRaw(spark: SparkSession, path: String)
+      : Option[Map[String, Any]] = {
     val p = new org.apache.hadoop.fs.Path(path, "_graft_stats.yaml")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -211,18 +224,23 @@ object Layout {
     } finally in.close()
     val root = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Any]](new String(bytes, "UTF-8"))
-    val b = Seq.newBuilder[(String, Map[String, (Double, Double)])]
-    root.forEach { (file, v) =>
+    val b = Map.newBuilder[String, Any]
+    root.forEach { (file, v) => b += file -> v }
+    Some(b.result())
+  }
+
+  /** Sidecar → (absolute file path → col → (min, max)); None if absent. */
+  private def readFileStats(spark: SparkSession, path: String)
+      : Option[Seq[(String, Map[String, (Double, Double)])]] =
+    readFileStatsRaw(spark, path).map(_.toSeq.map { case (file, v) =>
       val cm = Map.newBuilder[String, (Double, Double)]
       v.asInstanceOf[java.util.Map[String, Any]].forEach { (c, mm) =>
         val l = mm.asInstanceOf[java.util.List[Any]]
         cm += c -> (l.get(0).asInstanceOf[Number].doubleValue,
           l.get(1).asInstanceOf[Number].doubleValue)
       }
-      b += s"$path/$file" -> cm.result()
-    }
-    Some(b.result())
-  }
+      s"$path/$file" -> cm.result()
+    })
 
   /** Self-describing layout: `_graft_layout.yaml` beside the data
    * (underscore-prefixed — parquet readers skip it) records cols/bits/
