@@ -804,18 +804,21 @@ object Curation {
    * `weight` defaults to 1-per-row counting twice; pass a token count to
    * account in training tokens.
    */
+  /** First failing gate index; -1 = survived all. A null predicate is a
+   * fail (gates must be decidable; the safe direction drops the row). */
+  private def firstFailExpr(gates: Seq[(String, Column)]): Column =
+    gates.zipWithIndex.foldRight(lit(-1)) {
+      case (((_, keep), i), rest) =>
+        when(!coalesce(keep, lit(false)), lit(i)).otherwise(rest)
+    }
+
   def retentionFunnel(
       df: DataFrame, gates: Seq[(String, Column)],
       weight: Column = lit(1L)): DataFrame = {
     require(gates.nonEmpty, "funnel needs at least one gate")
     val spark = df.sparkSession
     import spark.implicits._
-    // first failing gate index; -1 = survived all. A null predicate is a
-    // fail (gates must be decidable; the safe direction drops the row).
-    val firstFail = gates.zipWithIndex.foldRight(lit(-1)) {
-      case (((_, keep), i), rest) =>
-        when(!coalesce(keep, lit(false)), lit(i)).otherwise(rest)
-    }
+    val firstFail = firstFailExpr(gates)
     val counts = df.select(firstFail.as("graft_ff"),
         coalesce(weight.cast("long"), lit(0L)).as("graft_w"))
       .groupBy(col("graft_ff"))
@@ -837,6 +840,63 @@ object Curation {
     spark.createDataset(rows).toDF(
       "stage", "gate", "rows_in", "rows_dropped", "rows_out",
       "weight_in", "weight_dropped", "weight_out")
+  }
+
+  /**
+   * [[retentionFunnel]]'s STREAMING face: the same first-fail loss
+   * accounting per event-time window — the live "are my gates suddenly
+   * dropping everything?" telemetry a production intake runs. One
+   * streaming-legal aggregation: per-window conditional sums for every
+   * gate index (no per-gate scan, no driver collect), then a stateless
+   * explode computes the cumulative in/dropped/out per stage. Works
+   * identically on a batch frame (spec-pinned against
+   * [[retentionFunnel]] per window). Apply the watermark upstream.
+   *
+   * Output: (window_start, window_end, stage, gate, rows_in,
+   * rows_dropped, rows_out, weight_in, weight_dropped, weight_out).
+   */
+  def retentionFunnelWindowed(
+      df: DataFrame, gates: Seq[(String, Column)], tsCol: Column,
+      windowDuration: String, weight: Column = lit(1L)): DataFrame = {
+    require(gates.nonEmpty, "funnel needs at least one gate")
+    val k = gates.size
+    val ff = firstFailExpr(gates)
+    val wt = coalesce(weight.cast("long"), lit(0L))
+    val perGate = (0 until k).flatMap { i =>
+      Seq(sum(when(col("graft_ff") === i, 1L).otherwise(0L)).as(s"graft_n$i"),
+        sum(when(col("graft_ff") === i, col("graft_wt")).otherwise(0L)).as(s"graft_w$i"))
+    }
+    val aggCols = Seq(count(lit(1)).as("graft_n"),
+      sum(col("graft_wt")).as("graft_w")) ++ perGate
+    val agg = df
+      .select(window(tsCol, windowDuration).as("graft_win"),
+        ff.as("graft_ff"), wt.as("graft_wt"))
+      .groupBy(col("graft_win"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // cumulative per stage as pure arithmetic over the one agg row
+    val stages = gates.zipWithIndex.map { case ((name, _), i) =>
+      val dropsBefore = (0 until i).map(j => col(s"graft_n$j"))
+        .foldLeft(lit(0L))(_ + _)
+      val wDropsBefore = (0 until i).map(j => col(s"graft_w$j"))
+        .foldLeft(lit(0L))(_ + _)
+      struct(lit(i + 1).as("stage"), lit(name).as("gate"),
+        (col("graft_n") - dropsBefore).as("rows_in"),
+        col(s"graft_n$i").as("rows_dropped"),
+        (col("graft_n") - dropsBefore - col(s"graft_n$i")).as("rows_out"),
+        (col("graft_w") - wDropsBefore).as("weight_in"),
+        col(s"graft_w$i").as("weight_dropped"),
+        (col("graft_w") - wDropsBefore - col(s"graft_w$i")).as("weight_out"))
+    }
+    agg.select(col("graft_win"), explode(array(stages: _*)).as("graft_s"))
+      .select(col("graft_win.start").as("window_start"),
+        col("graft_win.end").as("window_end"),
+        col("graft_s.stage").as("stage"), col("graft_s.gate").as("gate"),
+        col("graft_s.rows_in").as("rows_in"),
+        col("graft_s.rows_dropped").as("rows_dropped"),
+        col("graft_s.rows_out").as("rows_out"),
+        col("graft_s.weight_in").as("weight_in"),
+        col("graft_s.weight_dropped").as("weight_dropped"),
+        col("graft_s.weight_out").as("weight_out"))
   }
 
   /**

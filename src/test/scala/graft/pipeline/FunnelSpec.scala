@@ -62,6 +62,55 @@ class FunnelSpec extends AnyFunSuite {
       && r.getAs[Long]("rows_dropped") == 0L && r.getAs[Long]("weight_out") == 0L))
   }
 
+  test("windowed funnel: per-window stages equal the batch funnel on each slice") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (Timestamp.valueOf("2026-01-01 00:00:10"), "alpha"),
+      (Timestamp.valueOf("2026-01-01 00:00:40"), "bz"),
+      (Timestamp.valueOf("2026-01-01 00:01:10"), "zebra crossing"),
+      (Timestamp.valueOf("2026-01-01 00:01:20"), "quiet one"))
+    val df = rows.toDF("ts", "t")
+    val win = Curation.retentionFunnelWindowed(df, gates, col("ts"), "1 minute")
+      .orderBy("window_start", "stage").collect()
+    assert(win.length == 6) // 2 windows x 3 stages
+    rows.groupBy(r => r._1.getTime / 60000).foreach { case (wk, slice) =>
+      val batch = Curation.retentionFunnel(
+        slice.toDF("ts", "t"), gates).orderBy("stage").collect()
+      val wrows = win.filter(_.getAs[Timestamp]("window_start").getTime / 60000 == wk)
+      batch.zip(wrows).foreach { case (b, w) =>
+        Seq("rows_in", "rows_dropped", "rows_out").foreach { c =>
+          assert(b.getAs[Long](c) == w.getAs[Long](c), s"$c drift in window $wk") }
+      }
+    }
+  }
+
+  test("windowed funnel runs on a live stream under a watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = Curation.retentionFunnelWindowed(
+      mem.toDF().toDF("ts", "t").withWatermark("ts", "0 seconds"),
+      gates, col("ts"), "1 minute")
+    val q = out.writeStream.format("memory").queryName("funnel_win")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 00:00:05"), "alpha"),
+        (Timestamp.valueOf("2026-01-01 00:00:25"), "bz"))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2026-01-01 00:05:00"), "later row"))
+      q.processAllAvailable() // watermark passes the first window -> emits
+      val got = spark.sql(
+        "SELECT stage, gate, rows_in, rows_dropped, rows_out FROM funnel_win " +
+          "WHERE window_start = '2026-01-01 00:00:00' ORDER BY stage").collect()
+      assert(got.length == 3)
+      assert(got(0).getAs[Long]("rows_in") == 2L)   // len gate sees both
+      assert(got(0).getAs[Long]("rows_dropped") == 1L) // 'bz' dies at len
+      assert(got(2).getAs[Long]("rows_out") == 1L)  // 'alpha' survives all
+    } finally q.stop()
+  }
+
   test("validation: at least one gate") {
     intercept[IllegalArgumentException](
       Curation.retentionFunnel(Seq("x").toDF("t"), Seq.empty))
