@@ -225,6 +225,28 @@ object PipelineConfig {
      * shadowing enrichments are rejected.
      */
     def funnel(df: DataFrame, weight: org.apache.spark.sql.Column = lit(1L)): DataFrame = {
+      val (cur, gates) = rowLocalGatePrefix(df)
+      Curation.retentionFunnel(cur, gates, weight)
+    }
+
+    /** [[funnel]]'s streaming face: the same config-derived gates through
+     * [[Curation.retentionFunnelWindowed]] — live per-window loss
+     * accounting from the exact reviewed config that drives the gate.
+     * Same prefix walk and shadowing rules as [[funnel]]; apply the
+     * watermark upstream. */
+    def funnelWindowed(df: DataFrame, tsCol: org.apache.spark.sql.Column,
+        windowDuration: String,
+        weight: org.apache.spark.sql.Column = lit(1L)): DataFrame = {
+      val (cur, gates) = rowLocalGatePrefix(df)
+      Curation.retentionFunnelWindowed(cur, gates, tsCol, windowDuration, weight)
+    }
+
+    /** The shared funnel prefix walk: apply enrichments (rejecting any
+     * that rewrite a column a gate already read — accounting would
+     * diverge from the sequential run), collect filter/blocklist keep
+     * predicates in order, stop at the first corpus-level step. */
+    private def rowLocalGatePrefix(df: DataFrame)
+        : (DataFrame, Seq[(String, org.apache.spark.sql.Column)]) = {
       var cur = df
       val gates = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.spark.sql.Column)]
       var done = false
@@ -247,7 +269,7 @@ object PipelineConfig {
         case _ => done = true // corpus-level step: funnel covers the prefix
       }
       require(gates.nonEmpty, s"pipeline '$name' has no row-local gates to account")
-      Curation.retentionFunnel(cur, gates.toSeq, weight)
+      (cur, gates.toSeq)
     }
 
     /** Dry-resolve every step against an empty frame of `schema` —

@@ -144,6 +144,19 @@ class MultiMatchSpec extends AnyFunSuite {
     assert(red("a b", Seq("b"), rep = "") == "a ")
   }
 
+  test("the gate fuses into ONE codegen stage over the scan") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val df = Curation.blocklistGateAc(
+      spark.range(100).select(concat(lit("row text "), col("id")).as("text")),
+      col("text"), Seq("row text"))
+      .where(!col("blocked"))
+    val plan = df.queryExecution.executedPlan
+    val wscs = plan.collect { case w: WholeStageCodegenExec => w }
+    assert(wscs.nonEmpty, "no codegen stage at all")
+    assert(wscs.length == 1,
+      s"gate split into ${wscs.length} codegen stages:\n$plan")
+  }
+
   test("codegen: evaluates with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")

@@ -205,6 +205,33 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exact (dedup_exact)"))
   }
 
+  test("funnelWindowed: config gates account per window, batch == streaming shape") {
+    import java.sql.Timestamp
+    val p = PipelineConfig.fromYaml(
+      """version: 1
+        |name: win_funnel
+        |steps:
+        |  - {kind: with_column, name: toks, column: toks, expr: "token_count(text)"}
+        |  - {kind: filter, name: min_tokens, where: "toks >= 3"}
+        |  - {kind: blocklist, name: bad, column: text, phrases: [spam]}
+        |""".stripMargin)
+    val df = Seq(
+      (Timestamp.valueOf("2026-01-01 00:00:10"), "a perfectly fine document"),
+      (Timestamp.valueOf("2026-01-01 00:00:20"), "pure spam offer here"),
+      (Timestamp.valueOf("2026-01-01 00:00:30"), "too short"))
+      .toDF("ts", "text")
+    val w = p.funnelWindowed(df, col("ts"), "1 minute").orderBy("stage").collect()
+    assert(w.length == 2)
+    assert(w(0).getAs[String]("gate") == "min_tokens"
+      && w(0).getAs[Long]("rows_dropped") == 1L)
+    assert(w(1).getAs[String]("gate") == "bad"
+      && w(1).getAs[Long]("rows_dropped") == 1L && w(1).getAs[Long]("rows_out") == 1L)
+    // agrees with the un-windowed funnel on the single window
+    val b = p.funnel(df).orderBy("stage").collect()
+    w.zip(b).foreach { case (wr, br) =>
+      assert(wr.getAs[Long]("rows_out") == br.getAs[Long]("rows_out")) }
+  }
+
   test("redact step scrubs in place, streams, and guards funnel ordering") {
     val p = PipelineConfig.fromYaml(
       """version: 1
