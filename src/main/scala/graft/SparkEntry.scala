@@ -1433,19 +1433,23 @@ object SparkEntry {
         explode(graft.pipeline.Text.fingerprint(col("text"))).as("fp"))
     }),
     "q_multimodal_features" -> ((s, dir) => {
-      // rows-only: image (ImageIO) + audio (AudioSystem WAV) decode are real;
-      // video pixel decode has no JDK codec and stays flagged decodedOk=false
-      // (container parsing is q_video_meta's job)
+      // oracle=sql since r11 (expected output computed directly): the
+      // kind assignment and decode outcome are determined per row — image
+      // (ImageIO) and audio (AudioSystem WAV) REAL decodes must succeed,
+      // video honestly fails (no JDK codec; container parsing is
+      // q_video_meta's job), feature dim is fixed at 16
       val media = graft.pipeline.Multimodal.mediaFromText(docs(s, dir), "doc_id", "text")
       graft.pipeline.Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("decodedOk"),
           size(col("feature")).as("feat_dim"))
     }),
     "q_video_meta" -> ((s, dir) => {
-      // rows-only (the ISO-BMFF fixture bytes aren't SQL-buildable):
-      // container parse of every video row — duration/dims/codec from the
-      // box walk, keyframe payloads located through the sample tables;
-      // Mp4Spec pins the parser against hand-built containers
+      // oracle=sql since r11 (the q_url_canonicalize pattern — expected
+      // output computed directly): the synthetic containers are built from
+      // fixed parameters, so EVERY field of the box walk + sample-table
+      // keyframe extraction is determined (isom/2000ms/64x48/avc1, 2 sync
+      // samples of 16 B each); any parser drift hash-mismatches.
+      // Mp4Spec additionally pins the parser against hand-built containers
       val media = graft.pipeline.Multimodal.mediaFromText(docs(s, dir), "doc_id", "text")
       val meta = graft.pipeline.Multimodal.extractVideoMeta(media)
       val frames = graft.pipeline.Multimodal.sampleKeyframes(media).toDF()
@@ -2661,6 +2665,24 @@ object SparkEntry {
       // the no-false-negative contract pins the whole result: one row,
       // all 60k probes positive
       """SELECT true AS hit, count(*) AS cnt FROM lineitem""",
+    "q_multimodal_features" ->
+      // per-row outcome fully determined: real image/audio decodes must
+      // succeed, video must honestly fail
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       doc_id % 3 <> 2 AS decodedOk,
+        |       CAST(16 AS INT) AS feat_dim
+        |FROM documents""".stripMargin,
+    "q_video_meta" ->
+      // every video row's parse result is determined by the fixed
+      // synthesis parameters — the whole box walk is pinned field by field
+      """SELECT doc_id AS media_id, true AS parsed_ok, 'isom' AS brand,
+        |       CAST(2000 AS BIGINT) AS duration_ms,
+        |       CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+        |       'avc1' AS video_codec, CAST(2 AS BIGINT) AS n_keyframes,
+        |       CAST(32 AS BIGINT) AS keyframe_bytes
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "q_dedup_simhash" ->
       // the operator replayed exactly, banding included: shingle word
       // 3-grams, FNV-1a-over-bytes + SplitMix64 per shingle (HUGEINT
