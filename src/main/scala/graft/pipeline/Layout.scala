@@ -57,17 +57,20 @@ object Layout {
 
   /** The interleaved z-value column for precomputed boundaries —
    * deterministic, codegen'd, shuffle-free. */
-  def zvalue(cols: Seq[Column], boundaries: Seq[Array[Double]]): Column = {
+  def zvalue(cols: Seq[Column], boundaries: Seq[Array[Double]],
+      curve: String = "morton"): Column = {
     require(cols.size == boundaries.size, "one boundary array per column")
+    require(curve == "morton" || curve == "hilbert", s"unknown curve '$curve'")
     Bridge.column(ZValueExpression(
       cols.map(c => Bridge.expression(c.cast("double"))),
-      boundaries.map(_.clone).toArray))
+      boundaries.map(_.clone).toArray, hilbert = curve == "hilbert"))
   }
 
   /** Add `graft_z` from a fresh quantile pass over `df`. */
-  def zorder(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+  def zorder(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      curve: String = "morton"): DataFrame = {
     val bs = zorderBoundaries(df, cols, bits)
-    df.withColumn("graft_z", zvalue(cols.map(col), bs))
+    df.withColumn("graft_z", zvalue(cols.map(col), bs, curve))
   }
 
   /**
@@ -80,16 +83,17 @@ object Layout {
    */
   def zorderWrite(
       df: DataFrame, cols: Seq[String], path: String, numFiles: Int,
-      bits: Int = 8, mode: String = "overwrite"): Unit = {
+      bits: Int = 8, mode: String = "overwrite",
+      curve: String = "morton"): Unit = {
     require(numFiles >= 1, "numFiles must be positive")
-    zorder(df, cols, bits)
+    zorder(df, cols, bits, curve)
       .repartitionByRange(numFiles, col("graft_z"))
       .sortWithinPartitions("graft_z")
       .write.mode(mode).parquet(path)
     // append batches must NOT clobber the base manifest (its numFiles is
     // the table's compaction target, not the batch size)
     if (mode != "append")
-      writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles)
+      writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles, curve)
     writeFileStats(df.sparkSession, path, cols) // covers base + all appends
   }
 
@@ -103,8 +107,8 @@ object Layout {
    * on the usual maintenance cadence, like any parquet table.
    */
   def zorderAppend(df: DataFrame, path: String, numFiles: Int = 1): Unit = {
-    val (cols, bits, _) = readLayoutManifest(df.sparkSession, path)
-    zorderWrite(df, cols, path, numFiles, bits, mode = "append")
+    val (cols, bits, _, curve) = readLayoutManifest(df.sparkSession, path)
+    zorderWrite(df, cols, path, numFiles, bits, mode = "append", curve = curve)
   }
 
   /**
@@ -115,10 +119,11 @@ object Layout {
    * `_graft_layout.yaml`; `numFiles = 0` keeps the recorded value.
    */
   def zorderCompact(spark: SparkSession, path: String, numFiles: Int = 0): Unit = {
-    val (cols, bits, recorded) = readLayoutManifest(spark, path)
+    val (cols, bits, recorded, curve) = readLayoutManifest(spark, path)
     val target = if (numFiles > 0) numFiles else recorded
     Incremental.guardedRewrite(spark, path) { tmp =>
-      zorderWrite(spark.read.parquet(path).drop("graft_z"), cols, tmp, target, bits)
+      zorderWrite(spark.read.parquet(path).drop("graft_z"), cols, tmp, target,
+        bits, curve = curve)
     }
   }
 
@@ -246,12 +251,14 @@ object Layout {
    * (underscore-prefixed — parquet readers skip it) records cols/bits/
    * numFiles so append and compact need no re-specification. */
   private def writeLayoutManifest(spark: SparkSession, path: String,
-      cols: Seq[String], bits: Int, numFiles: Int): Unit = {
+      cols: Seq[String], bits: Int, numFiles: Int,
+      curve: String = "morton"): Unit = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("version", 1)
     val cl = new java.util.ArrayList[String](); cols.foreach(cl.add); m.put("cols", cl)
     m.put("bits", bits)
     m.put("numFiles", numFiles)
+    m.put("curve", curve)
     val yaml = new org.yaml.snakeyaml.Yaml().dump(m)
     val p = new org.apache.hadoop.fs.Path(path, "_graft_layout.yaml")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -260,7 +267,7 @@ object Layout {
   }
 
   private[pipeline] def readLayoutManifest(
-      spark: SparkSession, path: String): (Seq[String], Int, Int) = {
+      spark: SparkSession, path: String): (Seq[String], Int, Int, String) = {
     val p = new org.apache.hadoop.fs.Path(path, "_graft_layout.yaml")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no _graft_layout.yaml under $path — not a zorderWrite dataset")
@@ -279,7 +286,8 @@ object Layout {
       case other => throw new IllegalArgumentException(s"bad layout manifest cols: $other")
     }
     (cols, m.get("bits").asInstanceOf[Number].intValue,
-      m.get("numFiles").asInstanceOf[Number].intValue)
+      m.get("numFiles").asInstanceOf[Number].intValue,
+      Option(m.get("curve")).map(_.toString).getOrElse("morton"))
   }
 
   /**
@@ -301,11 +309,12 @@ object Layout {
    */
   def zorderWriteWeighted(
       df: DataFrame, cols: Seq[String], path: String, numFiles: Int,
-      sizeCol: Column, bits: Int = 8, mode: String = "overwrite"): Unit = {
+      sizeCol: Column, bits: Int = 8, mode: String = "overwrite",
+      curve: String = "morton"): Unit = {
     require(numFiles >= 1, "numFiles must be positive")
     require(cols.size * bits <= 20,
       s"weighted writer caps z resolution at 2^20 groups (${cols.size} x $bits bits)")
-    val zdf = zorder(df, cols, bits)
+    val zdf = zorder(df, cols, bits, curve)
       .withColumn("graft_w", coalesce(sizeCol.cast("long"), lit(0L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -341,7 +350,7 @@ object Layout {
         .sortWithinPartitions("graft_z")
         .drop("graft_file", "graft_w")
         .write.mode(mode).parquet(path)
-      writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles)
+      writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles, curve)
       writeFileStats(df.sparkSession, path, cols)
     } finally zdf.unpersist()
   }
@@ -350,9 +359,13 @@ object Layout {
 /** Quantile-bucket each (double-cast) child by binary search, interleave
  * the bucket bits (column i's bit j lands at z bit j*nCols + i). Null →
  * bucket 0. Codegen: children evaluate inline, one static combine call. */
-case class ZValueExpression(children: Seq[Expression], boundaries: Array[Array[Double]])
-    extends Expression {
+case class ZValueExpression(children: Seq[Expression], boundaries: Array[Array[Double]],
+    hilbert: Boolean = false) extends Expression {
   require(children.nonEmpty && children.size == boundaries.length)
+  require(!hilbert || boundaries.map(_.length).distinct.length == 1,
+    "hilbert curve needs the same bits per dimension")
+  @transient private lazy val hilbertBits =
+    32 - Integer.numberOfLeadingZeros(boundaries(0).length) // cuts = 2^bits - 1
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def foldable: Boolean = false
@@ -366,8 +379,20 @@ case class ZValueExpression(children: Seq[Expression], boundaries: Array[Array[D
 
   /** Codegen entry point: already-evaluated children (null = SQL null). */
   def combine(vals: Array[Any]): Long = {
-    var z = 0L
     val n = vals.length
+    if (hilbert) {
+      val bs = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        bs(i) = vals(i) match {
+          case null => 0
+          case d: java.lang.Double => ZValueExpression.bucket(d.doubleValue(), boundaries(i))
+        }
+        i += 1
+      }
+      return ZValueExpression.hilbertIndex(bs, hilbertBits)
+    }
+    var z = 0L
     var i = 0
     while (i < n) {
       val b = vals(i) match {
@@ -422,5 +447,48 @@ object ZValueExpression {
       if (cuts(mid) <= v) lo = mid + 1 else hi = mid
     }
     lo
+  }
+
+  /**
+   * n-dimensional Hilbert index of a bucket vector (Skilling 2004,
+   * "Programming the Hilbert curve", AIP Conf. Proc. 707 — the standard
+   * public axes→transpose formulation): unlike Morton interleave, every
+   * consecutive pair of Hilbert indexes is one unit step in ONE dimension,
+   * so equal-index-range files have strictly tighter per-column envelopes
+   * — measurably better stats pruning on range predicates. Pure integer
+   * bit ops; `bits` per dimension, n·bits ≤ 63.
+   */
+  def hilbertIndex(buckets: Array[Int], bits: Int): Long = {
+    val n = buckets.length
+    val x = buckets.clone()
+    // inverse undo excess work
+    var q = 1 << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0
+    q = 1 << (bits - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // transpose → index (MSB-first across dimensions)
+    var h = 0L
+    var bit = bits - 1
+    while (bit >= 0) {
+      var d = 0
+      while (d < n) { h = (h << 1) | ((x(d) >> bit) & 1); d += 1 }
+      bit -= 1
+    }
+    h
   }
 }

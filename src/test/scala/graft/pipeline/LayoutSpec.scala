@@ -144,7 +144,7 @@ class LayoutSpec extends AnyFunSuite {
       col("id").as("rid"))
     val out = java.nio.file.Files.createTempDirectory("graft_zlife").toString
     Layout.zorderWrite(grid(0, 4096), Seq("x", "y"), out, numFiles = 16, bits = 6)
-    assert(Layout.readLayoutManifest(spark, out) == ((Seq("x", "y"), 6, 16)))
+    assert(Layout.readLayoutManifest(spark, out) == ((Seq("x", "y"), 6, 16, "morton")))
 
     Layout.zorderAppend(grid(4096, 4608), out, numFiles = 2)
     Layout.zorderAppend(grid(4608, 5120), out, numFiles = 2)
@@ -217,6 +217,64 @@ class LayoutSpec extends AnyFunSuite {
       lit(1L).as("b"))
     intercept[IllegalArgumentException](Layout.zorderWriteWeighted(
       empty, Seq("x"), "/tmp/unused_zw", 4, col("b"), bits = 21))
+  }
+
+  test("hilbert index: bijective and unit-step continuous (the curve property)") {
+    // n=2, bits=3: all 64 cells get distinct indexes 0..63, and walking
+    // the curve in index order moves exactly ONE unit in ONE dimension —
+    // the locality Morton interleave does not have
+    def cellOf(h: Long, cells: Seq[(Int, Int)], idx: Map[(Int, Int), Long]) =
+      cells.find(c => idx(c) == h).get
+    val cells = for (x <- 0 until 8; y <- 0 until 8) yield (x, y)
+    val idx = cells.map(c =>
+      c -> ZValueExpression.hilbertIndex(Array(c._1, c._2), 3)).toMap
+    assert(idx.values.toSet == (0L until 64L).toSet, "not a bijection")
+    (0L until 63L).foreach { h =>
+      val (x0, y0) = cellOf(h, cells, idx)
+      val (x1, y1) = cellOf(h + 1, cells, idx)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"step $h -> ${h + 1} jumps from ($x0,$y0) to ($x1,$y1)")
+    }
+    // 3-D, bits=2: bijection + unit steps as well
+    val cells3 = for (x <- 0 until 4; y <- 0 until 4; z <- 0 until 4) yield (x, y, z)
+    val idx3 = cells3.map(c =>
+      c -> ZValueExpression.hilbertIndex(Array(c._1, c._2, c._3), 2)).toMap
+    assert(idx3.values.toSet == (0L until 64L).toSet)
+    (0L until 63L).foreach { h =>
+      val a = cells3.find(c => idx3(c) == h).get
+      val b = cells3.find(c => idx3(c) == h + 1).get
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) + math.abs(a._3 - b._3) == 1)
+    }
+  }
+
+  test("hilbert write: manifest round-trip, lifecycle, pruning on both dims") {
+    val grid = spark.range(4096).select(
+      (col("id") % 64).cast("double").as("x"),
+      (col("id") / 64).cast("double").as("y"),
+      col("id").as("rid"))
+    val out = java.nio.file.Files.createTempDirectory("graft_hilb").toString
+    Layout.zorderWrite(grid, Seq("x", "y"), out, numFiles = 16, bits = 6,
+      curve = "hilbert")
+    assert(Layout.readLayoutManifest(spark, out) == ((Seq("x", "y"), 6, 16, "hilbert")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4096)
+    assert(back.select(sum("rid")).as[Long].head == 4096L * 4095 / 2)
+    val envs = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min("x"), max("x"), min("y"), max("y")).head
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      }
+    val xSlab = envs.count { case (x0, x1, _, _) => x1 >= 0.0 && x0 <= 7.0 }
+    val ySlab = envs.count { case (_, _, y0, y1) => y1 >= 0.0 && y0 <= 7.0 }
+    assert(xSlab <= 8 && ySlab <= 8, s"hilbert slabs touched $xSlab/$ySlab of 16")
+    // append + compact keep the recorded curve
+    Layout.zorderAppend(grid.limit(100), out, numFiles = 1)
+    Layout.zorderCompact(spark, out)
+    assert(Layout.readLayoutManifest(spark, out) == ((Seq("x", "y"), 6, 16, "hilbert")))
+    assert(spark.read.parquet(out).count() == 4196)
+    intercept[IllegalArgumentException](
+      Layout.zorder(grid, Seq("x"), bits = 4, curve = "peano"))
   }
 
   test("validation: capacity, non-numeric, empty") {
