@@ -419,6 +419,20 @@ object SparkEntry {
       graft.operators.RangeJoin.pointInInterval(pts, bands, "p", "lo", "hi", binWidth = 1000)
         .groupBy(col("band_id")).agg(count(lit(1)).as("cnt"))
     }),
+    "q_interval_join" -> ((s, dir) => {
+      // interval × interval overlap via the binned first-shared-bin join:
+      // every overlapping pair emits exactly once, no distinct, no cross
+      val a = orders(s, dir).select(col("o_orderkey").as("a_id"),
+        (col("o_orderkey") * 37 % 1000000).as("a_lo"),
+        (col("o_orderkey") * 37 % 1000000 + col("o_orderkey") % 500).as("a_hi"))
+      val b = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("b_id"),
+          (col("c_custkey") * 91 % 1000000).as("b_lo"),
+          (col("c_custkey") * 91 % 1000000 + col("c_custkey") % 800).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          a, b, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 1000.0)
+        .select(col("a_id"), col("b_id"))
+    }),
     // ---- LLM-pipeline operators over documents/embeddings ----
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1677,6 +1691,17 @@ object SparkEntry {
         |  ON l.l_extendedprice >= r.range * 1000
         | AND l.l_extendedprice <= r.range * 1000 + 1500
         |GROUP BY 1""".stripMargin,
+    "q_interval_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id, (o_orderkey * 37) % 1000000 AS a_lo,
+        |         (o_orderkey * 37) % 1000000 + o_orderkey % 500 AS a_hi
+        |  FROM orders
+        |), b AS (
+        |  SELECT c_custkey AS b_id, (c_custkey * 91) % 1000000 AS b_lo,
+        |         (c_custkey * 91) % 1000000 + c_custkey % 800 AS b_hi
+        |  FROM customer
+        |)
+        |SELECT a_id, b_id FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -36,4 +36,35 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("graft_bin")
   }
+
+  /**
+   * Interval × interval OVERLAP join (closed intervals: `a.start <= b.end
+   * AND b.start <= a.end`, optional equi-keys) — meetings×outages,
+   * sessions×incidents, any two event-span tables. Same binning idea as
+   * [[pointInInterval]], plus the first-shared-bin trick: both sides
+   * replicate to spanned bins, and a candidate pair is kept ONLY in the
+   * bin containing `max(a.start, b.start)` — the first bin the two
+   * intervals share — so every overlapping pair emits exactly once and
+   * the plan needs NO distinct (a pair sharing k bins would otherwise
+   * produce k duplicates and a full dedup shuffle). Cost stays linear in
+   * rows × span/binWidth, never |A|×|B|.
+   */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Double, on: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) -- on
+    require(overlap.isEmpty,
+      s"column collision between sides: ${overlap.mkString(",")}")
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("graft_bin", explode(sequence(
+        floor(col(s) / binWidth).cast("long"),
+        floor(col(e) / binWidth).cast("long"))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), on :+ "graft_bin")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("graft_bin") ===
+          floor(greatest(col(lStart), col(rStart)) / binWidth).cast("long"))
+      .drop("graft_bin")
+  }
 }
