@@ -112,6 +112,25 @@ object Layout {
   }
 
   /**
+   * Streaming face of the lifecycle: append each micro-batch z-clustered
+   * via foreachBatch — the live table keeps the layout manifest's curve
+   * and columns, every batch is one small clustered write, and the stats
+   * sidecar stays fresh (O(batch) per micro-batch). Run [[zorderCompact]]
+   * on the usual cadence, exactly like the batch append path. The target
+   * must already be a [[zorderWrite]] dataset (the manifest is the
+   * contract). Caller starts/stops the returned query.
+   */
+  def streamingAppend(stream: DataFrame, path: String, checkpoint: String,
+      numFilesPerBatch: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) zorderAppend(batch.toDF(), path, numFilesPerBatch)
+      }
+      .start()
+
+  /**
    * Re-cluster the whole dataset (manifest-guarded two-rename swap — a
    * crash mid-swap is detected and rolled forward, see
    * [[Incremental.guardedRewrite]]): restores post-append pruning

@@ -277,6 +277,31 @@ class LayoutSpec extends AnyFunSuite {
       Layout.zorder(grid, Seq("x"), bits = 4, curve = "peano"))
   }
 
+  test("streaming append: micro-batches land clustered, sidecar stays fresh") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_zstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_zstream_ck").toString
+    Layout.zorderWrite(
+      spark.range(256).select((col("id") % 16).cast("double").as("x"),
+        (col("id") / 16).cast("double").as("y"), col("id").as("rid")),
+      Seq("x", "y"), out, numFiles = 4, bits = 4)
+    val mem = MemoryStream[(Double, Double, Long)]
+    val q = Layout.streamingAppend(
+      mem.toDF().toDF("x", "y", "rid"), out, ckpt, numFilesPerBatch = 1)
+    try {
+      mem.addData((1.0, 1.0, 1000L), (2.0, 2.0, 1001L))
+      q.processAllAvailable()
+      mem.addData((3.0, 3.0, 1002L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 259)
+      // sidecar fresh: pruned read sees the streamed rows
+      val got = Layout.prunedRead(spark, out, "x", 1.0, 3.0)
+        .where(col("rid") >= 1000L).count()
+      assert(got == 3)
+    } finally q.stop()
+  }
+
   test("validation: capacity, non-numeric, empty") {
     val df = Seq((1.0, "a")).toDF("x", "s")
     intercept[IllegalArgumentException](Layout.zorderBoundaries(df, Seq("x"), bits = 64))
