@@ -28,6 +28,20 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Fixed-point PageRank over the deterministic synthetic link graph on
+   * documents (3 pseudo-links per doc, self-loops dropped) — shared by
+   * q_pagerank and the q_hybrid_rrf static prior. */
+  private def docRanks(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.count()
+    val edges = d.select(col("doc_id").as("src"), ((col("doc_id") * 31 + 7) % n).as("dst"))
+      .unionAll(d.select(col("doc_id"), (col("doc_id") * 97 + 13) % n))
+      .unionAll(d.select(col("doc_id"), (col("doc_id") * 5 + 1) % n))
+      .where(col("src") =!= col("dst"))
+    graft.pipeline.Graphs.pageRankFixed(
+      edges, col("src"), col("dst"), nodes = d, nodeIdCol = col("doc_id"))
+  }
+
   /** Events table with `ts` normalized to TIMESTAMP micros regardless of how
    * the parquet stores it — the driver has shipped both TIMESTAMP(NANOS)
    * (readable only as long via nanosAsLong) and timestamp[us] (read as
@@ -432,6 +446,27 @@ object SparkEntry {
       graft.operators.RangeJoin.intervalOverlap(
           a, b, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 1000.0)
         .select(col("a_id"), col("b_id"))
+    }),
+    "q_pagerank" -> ((s, dir) =>
+      // fixed-point PageRank over a deterministic synthetic link graph on
+      // the documents table (3 pseudo-links per doc); integer arithmetic
+      // end-to-end so the unrolled-iteration DuckDB oracle matches exactly
+      docRanks(s, dir).orderBy(col("rank_fp").desc, col("id").asc).limit(100)),
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 text relevance fused with the PageRank
+      // static quality prior by reciprocal-rank fusion — ranks only, so
+      // the incomparable score scales never need calibrating; fixed-point
+      // contributions keep the fused score oracle-exact
+      val bm = graft.pipeline.Curation.bm25(
+        docs(s, dir), col("doc_id"), col("text"), Seq("join", "vector", "stream"))
+      val listA = graft.pipeline.Retrieval.rrfRank(
+        bm.withColumn("query_id", lit(0L)), col("query_id"), col("id"), col("bm25"))
+      val listB = graft.pipeline.Retrieval.rrfRank(
+        docRanks(s, dir).withColumn("query_id", lit(0L)),
+        col("query_id"), col("id"), col("rank_fp"))
+      graft.pipeline.Retrieval.rrfFuse(Seq(listA, listB))
+        .select(col("id"), col("rrf_fp"), col("n_lists"))
+        .orderBy(col("rrf_fp").desc, col("id").asc).limit(50)
     }),
     // ---- LLM-pipeline operators over documents/embeddings ----
     "q_dedup_exact" -> ((s, dir) => {
@@ -1702,6 +1737,96 @@ object SparkEntry {
         |  FROM customer
         |)
         |SELECT a_id, b_id FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin,
+    // three unrolled fixed-point iterations — every step integer arithmetic
+    // (// is DuckDB integer division, div on the Spark side), so the hash
+    // matches bit-for-bit; sums cast back to BIGINT (DuckDB sums to HUGEINT)
+    "q_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM nn) AS dst FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 97 + 13) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 5 + 1) % (SELECT cnt FROM nn) FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |node AS (SELECT doc_id AS id FROM documents),
+        |init AS (SELECT 1000000000000 // cnt AS v, (15 * (1000000000000 // cnt)) // 100 AS base FROM nn),
+        |r0 AS (SELECT id, (SELECT v FROM init) AS rank_fp FROM node),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c1.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c1 ON node.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c2.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c2 ON node.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(r2.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c3 ON node.id = c3.id)
+        |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    // BM25 list + PageRank static-prior list fused by reciprocal rank:
+    // ranks via row_number with id tie-breaks, contributions in integer
+    // fixed-point, so the fused score is bit-exact across engines
+    "q_hybrid_rrf" ->
+      """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM nn) AS dst FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 97 + 13) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 5 + 1) % (SELECT cnt FROM nn) FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |node AS (SELECT doc_id AS id FROM documents),
+        |init AS (SELECT 1000000000000 // cnt AS v, (15 * (1000000000000 // cnt)) // 100 AS base FROM nn),
+        |r0 AS (SELECT id, (SELECT v FROM init) AS rank_fp FROM node),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c1.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c1 ON node.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c2.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c2 ON node.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(r2.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c3 ON node.id = c3.id),
+        |base AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), b2 AS (
+        |  SELECT id, toks, len(toks)::DOUBLE AS dl FROM base
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl,
+        |         sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |         sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |         sum(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM b2
+        |), tf AS (
+        |  SELECT id, dl,
+        |         len(list_filter(toks, x -> x = 'join'))::DOUBLE AS tf0,
+        |         len(list_filter(toks, x -> x = 'vector'))::DOUBLE AS tf1,
+        |         len(list_filter(toks, x -> x = 'stream'))::DOUBLE AS tf2
+        |  FROM b2
+        |), bm AS (
+        |  SELECT id,
+        |       round(
+        |         ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |       + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |       + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS bm25
+        |  FROM tf, stats
+        |),
+        |ra AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rnk FROM bm),
+        |rb AS (SELECT id, row_number() OVER (ORDER BY rank_fp DESC, id) AS rnk FROM r3),
+        |f AS (
+        |  SELECT id, 1000000000000 // (60 + rnk) AS c FROM ra
+        |  UNION ALL SELECT id, 1000000000000 // (60 + rnk) FROM rb
+        |)
+        |SELECT id, CAST(sum(c) AS BIGINT) AS rrf_fp, count(*) AS n_lists
+        |FROM f GROUP BY id ORDER BY rrf_fp DESC, id LIMIT 50""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Link-graph rank signals for web-corpus curation. Crawl pipelines weight
+ * and filter documents by the standing of their host in the web graph —
+ * Common Crawl publishes harmonic-centrality/PageRank host ranks for
+ * exactly this use, and "low-rank host" is a standard junk-page prior
+ * alongside the text-level gates in [[Text]] — so the engine ships the
+ * rank computation itself rather than assuming a side-loaded score file.
+ *
+ * Determinism contract (matches the engine-wide fixed-point convention the
+ * LM sums / classifier gradients / temperature weights use): ranks are
+ * BIGINT fixed-point at `scale` (default 1e12), every step is integer
+ * arithmetic — `div` for the out-degree share and the damping factor,
+ * exact long SUM for the gather — so the result is a pure function of the
+ * edge multiset, independent of partitioning and summation order, and a
+ * SQL oracle that unrolls the same iterations reproduces every value
+ * bit-for-bit. Truncation loses at most 1 unit per integer division, so
+ * total mass only ever decreases (spec-pinned); at scale=1e12 the
+ * per-node error after a handful of iterations is ~1e-9 of the mass —
+ * noise far below any curation threshold.
+ *
+ * Plan at scale (billions of edges, ~1e8 hosts): the degree-annotated edge
+ * list is materialized ONCE (localCheckpoint — it is read every
+ * iteration, and checkpointing truncates the builder lineage out of the
+ * loop); each iteration is one shuffle-join of the (id, rank) frame —
+ * tiny relative to the edges — against the edge list on `src`, one
+ * map-side-combining long SUM keyed by `dst`, and one left join back to
+ * the node set for zero-in-degree nodes. Rank frames are checkpointed on
+ * a cadence so the iterative plan stays flat and a late executor loss
+ * never recomputes the whole chain.
+ */
+object Graphs {
+
+  /** Fixed-point PageRank over `edges` (src → dst). `nodes` optionally
+   * supplies the node universe (ids with no edges at all still get the
+   * teleport base rank); when null the universe is the ids appearing in
+   * the edge list. Returns (id BIGINT, rank_fp BIGINT) where
+   * rank_fp ≈ rank · scale and Σ rank ≈ 1.
+   *
+   * `dampPct` is the damping factor in integer percent (85 = the classic
+   * 0.85): rank'(v) = (100-dampPct)% · (scale/N) + dampPct% ·
+   * Σ_{u→v} rank(u) div outdeg(u), every operation on longs. Dangling
+   * nodes (no out-edges) keep receiving rank but redistribute none — the
+   * standard simplification; their outgoing mass simply decays, which for
+   * a relative quality prior is immaterial and keeps the per-iteration
+   * plan at exactly one shuffle. */
+  def pageRankFixed(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      nodes: DataFrame = null, nodeIdCol: Column = null,
+      iterations: Int = 3, dampPct: Int = 85,
+      scale: Long = 1000000000000L, checkpointInterval: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in 1..100, got $iterations")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in 0..100, got $dampPct")
+    require(scale >= 1000000L, s"scale must be >= 1e6 for usable precision, got $scale")
+
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+    val nodeUniverse =
+      if (nodes == null)
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct()
+      else nodes.select(nodeIdCol.cast("long").as("id")).distinct()
+    // both the node set and the degree-annotated edges are read once per
+    // iteration — materialize them out of the loop's lineage
+    val nodesP = nodeUniverse.localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("graft_deg"))
+    val edgesDeg = e.join(deg, "src").localCheckpoint(true)
+
+    val n = nodesP.count()
+    require(n > 0, "pageRankFixed needs at least one node")
+    val initRank = scale / n
+    // the teleport term, constant across nodes and iterations
+    val base = ((100L - dampPct) * initRank) / 100L
+
+    var ranks = nodesP.select(col("id"), lit(initRank).as("rank_fp"))
+    var iter = 1
+    while (iter <= iterations) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("id", "graft_rid"),
+          col("src") === col("graft_rid"))
+        .select(col("dst").as("id"), expr("rank_fp div graft_deg").as("graft_share"))
+        .groupBy("id").agg(sum("graft_share").as("graft_contrib"))
+      val next = nodesP.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"${dampPct}L * coalesce(graft_contrib, 0L) div 100L")).as("rank_fp"))
+      ranks = if (iter % checkpointInterval == 0 || iter == iterations)
+        next.localCheckpoint(true) else next
+      iter += 1
+    }
+    ranks
+  }
+}

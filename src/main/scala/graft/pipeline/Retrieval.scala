@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
  * BM25 batch retrieval over a persisted inverted index — the retrieval tier
@@ -357,5 +357,48 @@ object Retrieval {
           col("score_e9").cast("double").as("sim")), k)
       .select(col("query_id"), col("neighbor_id").as("id"),
         col("sim").cast("long").as("score_e9"), col("rank"))
+  }
+
+  /** Rank one retrieval list for [[rrfFuse]]: 1-based rank per query by
+   * (score desc, id asc) — the id tie-break makes ranks a pure function of
+   * the (query_id, id, score) set, so fusion stays reproducible. The
+   * window partitions by query: lists fed to fusion are top-k truncated
+   * (that is what a retrieval list IS — [[searchTopK]] and
+   * [[Similarity.topKPerQuery]] both bound them), so each partition is k
+   * rows and the window never concentrates a corpus on one task. */
+  def rrfRank(df: DataFrame, qidCol: Column, idCol: Column, scoreCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("graft_s").desc, col("id").asc)
+    df.select(qidCol.cast("long").as("query_id"), idCol.cast("long").as("id"),
+        scoreCol.as("graft_s"))
+      .withColumn("rank", row_number().over(w))
+      .drop("graft_s")
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of retrieval
+   * lists — the standard way to combine BM25 with a dense/ANN list or a
+   * static quality prior (PageRank, freshness) WITHOUT calibrating their
+   * incomparable score scales: only ranks enter, each list contributes
+   * 1/(kRrf + rank) per (query, doc).
+   *
+   * Deterministic fixed-point: the contribution is `scale div (kRrf +
+   * rank)` on longs and the combine is an exact long SUM, so fused scores
+   * are a pure function of the input ranks — partitioning- and
+   * summation-order-independent, SQL-oracle-reproducible (the engine-wide
+   * fixed-point convention). Inputs are (query_id, id, rank) frames from
+   * [[rrfRank]] / [[searchTopK]]. Plan: one unionAll (no shuffle), one
+   * map-side-combining aggregate on (query_id, id) — with L lists of k
+   * rows per query that is L·k rows per query into a single shuffle. */
+  def rrfFuse(
+      lists: Seq[DataFrame], kRrf: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    lists.map(_.select(col("query_id"), col("id"),
+        expr(s"${scale}L div (${kRrf}L + rank)").as("graft_c")))
+      .reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("graft_c")).as("rrf_fp"), count(lit(1)).as("n_lists"))
   }
 }

@@ -302,4 +302,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.searchTopK(spark, idx,
       Seq((1L, "spark")).toDF("qid", "q"), "qid", "q", k = 5).count() == 0)
   }
+
+  test("rrfRank ranks per query by (score desc, id asc)") {
+    val ranked = Retrieval.rrfRank(
+        Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.5), (2L, 10L, 0.1))
+          .toDF("q", "doc", "s"),
+        col("q"), col("doc"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(ranked((1L, 11L)) == 1)
+    assert(ranked((1L, 10L)) == 2) // 0.5 tie broken by id: 10 before 12
+    assert(ranked((1L, 12L)) == 3)
+    assert(ranked((2L, 10L)) == 1) // ranks restart per query
+  }
+
+  test("rrfFuse sums exact fixed-point contributions across lists") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), kRrf = 60)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val S = 1000000000000L
+    assert(got(10L) == (S / 61, 1L))
+    assert(got(11L) == (S / 62 + S / 61, 2L)) // rank 2 in a, rank 1 in b
+    assert(got(12L) == (S / 62, 1L))
+  }
+
+  test("rrf end-to-end is partition-invariant (pure function of the lists)") {
+    val scores = (0L until 300L).map(i => (i % 3, i, ((i * 37) % 100).toDouble))
+    val df1 = scores.toDF("q", "doc", "s").repartition(1)
+    val df5 = scores.toDF("q", "doc", "s").repartition(5, col("doc"))
+    def fuse(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.rrfFuse(Seq(Retrieval.rrfRank(df, col("q"), col("doc"), col("s"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fuse(df1) == fuse(df5))
+  }
 }
