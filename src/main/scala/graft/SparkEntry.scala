@@ -452,6 +452,31 @@ object SparkEntry {
       // the documents table (3 pseudo-links per doc); integer arithmetic
       // end-to-end so the unrolled-iteration DuckDB oracle matches exactly
       docRanks(s, dir).orderBy(col("rank_fp").desc, col("id").asc).limit(100)),
+    "q_host_rank" -> ((s, dir) => {
+      // the raw-crawl path into the rank prior: each doc becomes a page on
+      // host h(doc_id%16) whose body links two deterministic neighbor
+      // hosts — plus script/comment decoy links, a no-href anchor and a
+      // relative link the REAL parser must skip. hostEdges runs the actual
+      // link extraction + host parsing; the oracle reconstructs the same
+      // edges arithmetically, so any parser bug shifts every rank.
+      val id = col("doc_id")
+      val host = concat(lit("h"), (id % 16).cast("string"), lit(".example.com"))
+      val d1 = concat(lit("h"), ((id * 7 + 1) % 16).cast("string"), lit(".example.com"))
+      val d2 = concat(lit("h"), ((id * 13 + 5) % 16).cast("string"), lit(".example.com"))
+      val html = concat(
+        lit("<html><head><script>var x = \"<a href=\\\"https://decoy.invalid/\\\">\";" +
+          "</script></head><body><p>intro <a class=\"x\" href=\"https://"),
+        d1, lit("/p/"), id.cast("string"),
+        lit("\">one</a> and <a href='https://"), d2,
+        lit("/q'>two</a> <a name=\"anchor\">no link</a> <a href=\"/rel/path\">rel</a></p>" +
+          "<!-- <a href=\"https://comment.invalid/\">c</a> --></body></html>"))
+      val pages = docs(s, dir).select(
+        concat(lit("https://"), host, lit("/page/"), id.cast("string")).as("url"),
+        html.as("html"))
+      val edges = graft.pipeline.Graphs.hostEdges(pages, col("url"), col("html"))
+      graft.pipeline.Graphs.pageRankFixed(edges, col("src"), col("dst"))
+        .orderBy(col("rank_fp").desc, col("id").asc)
+    }),
     "q_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 text relevance fused with the PageRank
       // static quality prior by reciprocal-rank fusion — ranks only, so
@@ -1766,6 +1791,39 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    // the expected host edges reconstructed arithmetically (the Spark side
+    // gets them by REALLY parsing synthesized pages), then the same three
+    // unrolled fixed-point iterations as q_pagerank, keyed by host string
+    "q_host_rank" ->
+      """WITH e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com') AS src,
+        |           concat('h', CAST((doc_id * 7 + 1) % 16 AS VARCHAR), '.example.com') AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com'),
+        |           concat('h', CAST((doc_id * 13 + 5) % 16 AS VARCHAR), '.example.com')
+        |    FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |node AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS cnt FROM node),
+        |init AS (SELECT 1000000000000 // cnt AS v, (15 * (1000000000000 // cnt)) // 100 AS base FROM nn),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, (SELECT v FROM init) AS rank_fp FROM node),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c1.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c1 ON node.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c2.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c2 ON node.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(r2.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c3 ON node.id = c3.id)
+        |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
     // BM25 list + PageRank static-prior list fused by reciprocal rank:
     // ranks via row_number with id tie-breaks, contributions in integer
     // fixed-point, so the fused score is bit-exact across engines

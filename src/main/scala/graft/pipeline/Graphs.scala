@@ -58,11 +58,14 @@ object Graphs {
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in 0..100, got $dampPct")
     require(scale >= 1000000L, s"scale must be >= 1e6 for usable precision, got $scale")
 
-    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+    // node keys keep their type — host STRINGS work directly, so a web-scale
+    // host graph never needs a dense-id assignment pass (which would be a
+    // global sort or a single-task window over ~1e8 hosts)
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
     val nodeUniverse =
       if (nodes == null)
         e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct()
-      else nodes.select(nodeIdCol.cast("long").as("id")).distinct()
+      else nodes.select(nodeIdCol.as("id")).distinct()
     // both the node set and the degree-annotated edges are read once per
     // iteration — materialize them out of the loop's lineage
     val nodesP = nodeUniverse.localCheckpoint(true)
@@ -92,5 +95,20 @@ object Graphs {
       iter += 1
     }
     ranks
+  }
+
+  /** (src_host, dst_host) edges from raw crawl pages: the page's own host
+   * ([[Text.urlHost]] of `urlCol`) → the host of every outlink the REAL
+   * parser finds in `htmlCol` ([[Text.htmlLinks]] — script/comment decoys
+   * skipped). Relative links (no scheme → empty host) and self-links drop;
+   * parallel edges are KEPT (a page linking a host twice weights it twice —
+   * PageRank's multigraph semantics). Feed straight into
+   * [[pageRankFixed]]: one narrow codegen'd pass + explode, no shuffle. */
+  def hostEdges(df: DataFrame, urlCol: Column, htmlCol: Column): DataFrame = {
+    import org.apache.spark.sql.functions.explode
+    df.select(Text.urlHost(urlCol).as("src"),
+        explode(Text.htmlLinks(htmlCol)).as("graft_link"))
+      .select(col("src"), Text.urlHost(col("graft_link")).as("dst"))
+      .where(col("dst") =!= lit("") && col("src") =!= col("dst"))
   }
 }

@@ -223,6 +223,95 @@ object HtmlAlgos {
     endBlock()
     UTF8String.fromString(out.toString)
   }
+
+  /**
+   * `href` values of anchor tags, in document order — the outlink side of
+   * a host-graph build ([[Graphs.pageRankFixed]] wants (src_host,
+   * dst_host) edges, and the hrefs ARE the dst side). Same tag discipline
+   * as [[extract]]: script/style raw text and comments are skipped (a
+   * decoy `<a href=…>` inside a JS string literal must NOT become an
+   * edge), tags open only on ASCII letters. Attribute parsing accepts
+   * double-quoted, single-quoted and unquoted values and a
+   * case-insensitive attribute name; values come back verbatim (no entity
+   * decode, no base-URL resolution — chain [[Text.urlCanonicalize]] /
+   * [[Text.urlHost]] downstream). Anchors with no href contribute
+   * nothing. One linear pass, codegen'd via [[HtmlLinksExpression]].
+   */
+  def links(html: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = html.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          i = skipRawText(s, i, "script")
+        } else if (tagNameAt(s, i + 1, "style")) {
+          i = skipRawText(s, i, "style")
+        } else {
+          var j = i + 1
+          var closing = false
+          if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+          val startsName = j < n && {
+            val c0 = s.charAt(j)
+            (c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')
+          }
+          var k = j
+          if (startsName) while (k < n && isNameChar(s.charAt(k))) k += 1
+          if (k == j) i += 1 // literal '<' (math, "<3") or <!doctype — no link here
+          else {
+            val gt = s.indexOf('>', k)
+            val end = if (gt < 0) n else gt
+            if (!closing && k - j == 1 &&
+                (s.charAt(j) == 'a' || s.charAt(j) == 'A')) {
+              val href = findHref(s, k, end)
+              if (href != null) out += UTF8String.fromString(href)
+            }
+            i = if (gt < 0) n else gt + 1
+          }
+        }
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** First href attribute value in the tag body [from, to). Known
+   * limitation (documented, browser-divergent): a literal '>' inside a
+   * quoted attribute value ends the tag early — vanishingly rare in crawl
+   * hrefs and not worth a second scan. */
+  private def findHref(s: String, from: Int, to: Int): String = {
+    var i = from
+    while (i < to) {
+      while (i < to && (Character.isWhitespace(s.charAt(i)) || s.charAt(i) == '/')) i += 1
+      if (i >= to) return null
+      val ns = i
+      while (i < to && !Character.isWhitespace(s.charAt(i)) &&
+             s.charAt(i) != '=' && s.charAt(i) != '/') i += 1
+      val name = s.substring(ns, i)
+      while (i < to && Character.isWhitespace(s.charAt(i))) i += 1
+      var value: String = null
+      if (i < to && s.charAt(i) == '=') {
+        i += 1
+        while (i < to && Character.isWhitespace(s.charAt(i))) i += 1
+        if (i < to && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+          val q = s.charAt(i); i += 1
+          val vs = i
+          while (i < to && s.charAt(i) != q) i += 1
+          value = s.substring(vs, i)
+          if (i < to) i += 1
+        } else {
+          val vs = i
+          while (i < to && !Character.isWhitespace(s.charAt(i))) i += 1
+          value = s.substring(vs, i)
+        }
+      }
+      if (name.equalsIgnoreCase("href") && value != null) return value
+    }
+    null
+  }
 }
 
 /** HTML → visible text as one codegen'd static call per row (see
@@ -237,5 +326,19 @@ case class HtmlExtractExpression(child: Expression, maxLinkDensity: Double)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.HtmlAlgos.extract($c, $maxLinkDensity);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** href values of `<a>` tags as array<string>, one codegen'd static call
+ * per row (see [[HtmlAlgos.links]] for the exact contract). */
+case class HtmlLinksExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HtmlAlgos.links(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HtmlAlgos.links($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

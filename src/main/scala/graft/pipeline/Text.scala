@@ -204,6 +204,14 @@ object Text {
   def extractHtml(html: Column, maxLinkDensity: Double = 1.0): Column =
     Bridge.column(HtmlExtractExpression(Bridge.expression(html), maxLinkDensity))
 
+  /** href values of `<a>` tags as array<string>, document order — raw
+   * attribute text (no resolution/decoding; chain [[urlHost]] /
+   * [[urlCanonicalize]]), script/style/comment decoys skipped; ONE
+   * codegen'd linear pass per row ([[HtmlAlgos.links]]). The outlink side
+   * of [[Graphs.hostEdges]]. */
+  def htmlLinks(html: Column): Column =
+    Bridge.column(HtmlLinksExpression(Bridge.expression(html)))
+
   /** Distinct word n-gram shingles (lowercased), first-occurrence order —
    * ONE codegen'd static call per row. This feeds every minhash/simhash
    * corpus pass and the Jaccard verify joins, so it was the hottest

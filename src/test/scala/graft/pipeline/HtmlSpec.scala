@@ -113,4 +113,48 @@ class HtmlSpec extends AnyFunSuite {
     assert(out.map(_._2).toSeq ==
       Seq("alpha beta", "gamma delta", "epsilon zeta"))
   }
+
+  private def links(html: String): Seq[String] =
+    Seq(Tuple1(html)).toDF("h")
+      .select(Text.htmlLinks(col("h")).as("l"))
+      .collect()(0).getSeq[String](0)
+
+  test("htmlLinks: quote styles, attribute order, case, missing href") {
+    assert(links("""<a href="https://a.com/x">t</a>""") == Seq("https://a.com/x"))
+    assert(links("""<a class="z" HREF='https://b.com/'>t</a>""") == Seq("https://b.com/"))
+    assert(links("""<a href=https://c.com/p>t</a>""") == Seq("https://c.com/p"))
+    assert(links("""<a name="anchor">no link</a><a id=x>none</a>""") == Seq.empty)
+    assert(links("""<A href="/rel">up</A> then <a data-x="1" href="#frag">f</a>""") ==
+      Seq("/rel", "#frag"))
+  }
+
+  test("htmlLinks: script/style/comment decoys never become links") {
+    val html =
+      """<script>var s = "<a href=\"https://decoy.invalid/\">";</script>""" +
+      """<style>a[href="https://css.invalid/"] {}</style>""" +
+      """<!-- <a href="https://comment.invalid/">c</a> -->""" +
+      """<p>5<6 and <3</p><a href="https://real.com/">r</a>"""
+    assert(links(html) == Seq("https://real.com/"))
+  }
+
+  test("htmlLinks: document order, duplicates kept, closing tags ignored") {
+    assert(links("""<a href="x">1</a><a href="y">2</a><a href="x">3</a></a>""") ==
+      Seq("x", "y", "x"))
+    // <abbr> starts with 'a' but is not an anchor
+    assert(links("""<abbr href="nope">z</abbr><area href="also-not-a">""") == Seq.empty)
+  }
+
+  test("hostEdges: real parse + host extraction, relative/self links drop") {
+    val pages = Seq(
+      ("https://s.com/1",
+        """<a href="https://t.com/a">x</a><a href="/rel">y</a>""" +
+        """<a href="https://s.com/self">self</a><a href="https://t.com/b">again</a>"""),
+      ("https://u.com/2", """<script>var z="<a href=\"https://d.invalid/\">";</script>""" +
+        """<a href='https://s.com/'>back</a>"""))
+      .toDF("url", "html")
+    val edges = Graphs.hostEdges(pages, col("url"), col("html"))
+      .as[(String, String)].collect().toSeq.sorted
+    // parallel s.com→t.com kept twice; relative and same-host links dropped
+    assert(edges == Seq(("s.com", "t.com"), ("s.com", "t.com"), ("u.com", "s.com")))
+  }
 }
