@@ -477,6 +477,22 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(edges, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc)
     }),
+    "q_anchor_text" -> ((s, dir) => {
+      // anchor-term profile per target host: the REAL parser captures the
+      // visible anchor text (entity decode, nested inline tags, collapse)
+      // from synthesized pages; the oracle reconstructs the expected terms
+      // arithmetically, so capture bugs shift the counts
+      val id = col("doc_id")
+      val d1 = concat(lit("h"), ((id * 7 + 1) % 16).cast("string"), lit(".example.com"))
+      val d2 = concat(lit("h"), ((id * 13 + 5) % 16).cast("string"), lit(".example.com"))
+      val html = concat(
+        lit("<div><a href=\"https://"), d1, lit("/\">Data &amp; tools vol "),
+        (id % 5).cast("string"),
+        lit("</a><p><a href='https://"), d2,
+        lit("/x'>fast <b>search</b></a> trailing text</p></div>"))
+      graft.pipeline.Graphs.anchorTerms(
+        docs(s, dir).select(html.as("html")), col("html"))
+    }),
     "q_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 text relevance fused with the PageRank
       // static quality prior by reciprocal-rank fusion — ranks only, so
@@ -1824,6 +1840,21 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
+    // the anchor texts the parser should capture, reconstructed directly:
+    // entity already decoded ('&'), inline <b> gone, lowercased terms
+    "q_anchor_text" ->
+      """WITH a AS (
+        |  SELECT concat('h', CAST((doc_id * 7 + 1) % 16 AS VARCHAR), '.example.com') AS host,
+        |         concat('data & tools vol ', CAST(doc_id % 5 AS VARCHAR)) AS txt
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT concat('h', CAST((doc_id * 13 + 5) % 16 AS VARCHAR), '.example.com'),
+        |         'fast search'
+        |  FROM documents
+        |), t AS (
+        |  SELECT host, unnest(string_split(txt, ' ')) AS term FROM a
+        |)
+        |SELECT host, term, count(*) AS cnt FROM t GROUP BY 1, 2""".stripMargin,
     // BM25 list + PageRank static-prior list fused by reciprocal rank:
     // ranks via row_number with id tie-breaks, contributions in integer
     // fixed-point, so the fused score is bit-exact across engines

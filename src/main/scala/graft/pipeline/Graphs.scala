@@ -48,11 +48,21 @@ object Graphs {
    * standard simplification; their outgoing mass simply decays, which for
    * a relative quality prior is immaterial and keeps the per-iteration
    * plan at exactly one shuffle. */
+  /** With `tolFp > 0`, iteration stops EARLY once the exact L1 delta
+   * Σ|rank' − rank| (in fixed-point units) drops to `tolFp` or below —
+   * `iterations` then acts as the cap. The delta is one extra join +
+   * long-sum per completed iteration (driver reads a single row), and
+   * because every quantity is an exact long the stopping decision is as
+   * deterministic as the ranks: no float drift can make two runs stop at
+   * different iteration counts. tolFp = scale/1e6-ish is a practical
+   * web-graph setting; 0 (default) keeps the fixed-iteration contract the
+   * SQL oracles unroll. */
   def pageRankFixed(
       edges: DataFrame, srcCol: Column, dstCol: Column,
       nodes: DataFrame = null, nodeIdCol: Column = null,
       iterations: Int = 3, dampPct: Int = 85,
-      scale: Long = 1000000000000L, checkpointInterval: Int = 2): DataFrame = {
+      scale: Long = 1000000000000L, checkpointInterval: Int = 2,
+      tolFp: Long = 0L): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in 1..100, got $iterations")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in 0..100, got $dampPct")
@@ -90,8 +100,20 @@ object Graphs {
         .select(col("id"),
           (lit(base) +
             expr(s"${dampPct}L * coalesce(graft_contrib, 0L) div 100L")).as("rank_fp"))
-      ranks = if (iter % checkpointInterval == 0 || iter == iterations)
-        next.localCheckpoint(true) else next
+      if (tolFp > 0L) {
+        // the delta read forces materialization anyway, so checkpoint every
+        // converging iteration — the join below then reuses it, not the plan
+        val nextP = next.localCheckpoint(true)
+        val delta = nextP
+          .join(ranks.withColumnRenamed("rank_fp", "graft_prev"), Seq("id"), "left")
+          .agg(sum(abs(col("rank_fp") - coalesce(col("graft_prev"), lit(0L)))))
+          .head().getLong(0)
+        ranks = nextP
+        if (delta <= tolFp) return ranks
+      } else {
+        ranks = if (iter % checkpointInterval == 0 || iter == iterations)
+          next.localCheckpoint(true) else next
+      }
       iter += 1
     }
     ranks
@@ -111,4 +133,16 @@ object Graphs {
       .select(col("src"), Text.urlHost(col("graft_link")).as("dst"))
       .where(col("dst") =!= lit("") && col("src") =!= col("dst"))
   }
+
+  /** Anchor-term profile per TARGET host — what the rest of the web calls
+   * a host ([[Text.htmlAnchors]]), the classic host-description/relevance
+   * signal next to its rank: (host, term, cnt), lowercased whitespace
+   * terms. One codegen'd parse + two explodes (no shuffle), then a single
+   * map-side-combining count keyed by (host, term). */
+  def anchorTerms(df: DataFrame, htmlCol: Column): DataFrame =
+    df.select(explode(Text.htmlAnchors(htmlCol)).as("graft_a"))
+      .select(Text.urlHost(col("graft_a.href")).as("host"),
+        explode(split(trim(lower(col("graft_a.anchor"))), "\\s+")).as("term"))
+      .where(col("host") =!= lit("") && col("term") =!= lit(""))
+      .groupBy(col("host"), col("term")).agg(count(lit(1)).as("cnt"))
 }

@@ -278,6 +278,99 @@ object HtmlAlgos {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  private val AnchorTextCap = 500
+
+  /**
+   * (href, anchor_text) pairs of anchor tags, in document order — anchor
+   * text is the classic relevance signal a link-graph build wants next to
+   * the edge itself (what OTHER pages call a target). Emits exactly the
+   * hrefs [[links]] emits, one struct each (spec-pinned invariant), with
+   * the visible text between `<a href=…>` and its close: nested inline
+   * tags vanish, entities decode, whitespace collapses to single spaces,
+   * capture caps at 500 chars so an unclosed `<a>` swallowing the rest of
+   * a tag-soup page stays O(1) per anchor. An anchor auto-closes at a
+   * block tag or a new `<a>` (browser behavior — an unclosed anchor must
+   * not claim the whole document); `<a>` without href is an inline no-op.
+   */
+  def anchors(html: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = html.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var openHref: String = null
+    val text = new java.lang.StringBuilder(64)
+
+    def appendText(c: Char): Unit =
+      if (openHref != null && text.length < AnchorTextCap) {
+        if (Character.isWhitespace(c)) {
+          if (text.length > 0 && text.charAt(text.length - 1) != ' ') text.append(' ')
+        } else text.append(c)
+      }
+
+    def emit(): Unit = if (openHref != null) {
+      var len = text.length
+      while (len > 0 && text.charAt(len - 1) == ' ') len -= 1 // trailing collapse-space
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(openHref), UTF8String.fromString(text.substring(0, len)))
+      openHref = null
+      text.setLength(0)
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          i = skipRawText(s, i, "script")
+        } else if (tagNameAt(s, i + 1, "style")) {
+          i = skipRawText(s, i, "style")
+        } else {
+          var j = i + 1
+          var closing = false
+          if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+          val startsName = j < n && {
+            val c0 = s.charAt(j)
+            (c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')
+          }
+          var k = j
+          if (startsName) while (k < n && isNameChar(s.charAt(k))) k += 1
+          if (k == j) { appendText(c); i += 1 }
+          else {
+            val name = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+            val gt = s.indexOf('>', k)
+            val end = if (gt < 0) n else gt
+            if (BlockTags.contains(name)) emit()
+            if (name == "a") {
+              if (closing) emit()
+              else {
+                val href = findHref(s, k, end)
+                if (href != null) { emit(); openHref = href }
+              }
+            }
+            i = if (gt < 0) n else gt + 1
+          }
+        }
+      } else if (c == '&') {
+        val limit = math.min(n, i + 12)
+        var k = i + 1
+        if (k < limit && s.charAt(k) == '#') k += 1
+        while (k < limit && Character.isLetterOrDigit(s.charAt(k))) k += 1
+        val decoded =
+          if (k > i + 1 && k < n && s.charAt(k) == ';') decodeEntity(s.substring(i + 1, k))
+          else null
+        if (decoded != null) {
+          var d = 0
+          while (d < decoded.length) { appendText(decoded.charAt(d)); d += 1 }
+          i = k + 1
+        } else { appendText('&'); i += 1 }
+      } else { appendText(c); i += 1 }
+    }
+    emit() // tag soup: an anchor left open at EOF still reports
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** First href attribute value in the tag body [from, to). Known
    * limitation (documented, browser-divergent): a literal '>' inside a
    * quoted attribute value ends the tag early — vanishingly rare in crawl
@@ -340,5 +433,23 @@ case class HtmlLinksExpression(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.HtmlAlgos.links($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (href, anchor) structs of `<a>` tags as array<struct>, one codegen'd
+ * static call per row (see [[HtmlAlgos.anchors]] for the exact contract). */
+case class HtmlAnchorsExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("href", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HtmlAlgos.anchors(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HtmlAlgos.anchors($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

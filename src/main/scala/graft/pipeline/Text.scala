@@ -212,6 +212,13 @@ object Text {
   def htmlLinks(html: Column): Column =
     Bridge.column(HtmlLinksExpression(Bridge.expression(html)))
 
+  /** (href, anchor) structs of `<a>` tags — anchor text is what OTHER
+   * pages call a link target, the classic retrieval/host-description
+   * signal. Same href set as [[htmlLinks]], text entity-decoded and
+   * whitespace-collapsed, 500-char capture cap ([[HtmlAlgos.anchors]]). */
+  def htmlAnchors(html: Column): Column =
+    Bridge.column(HtmlAnchorsExpression(Bridge.expression(html)))
+
   /** Distinct word n-gram shingles (lowercased), first-occurrence order —
    * ONE codegen'd static call per row. This feeds every minhash/simhash
    * corpus pass and the Jaccard verify joins, so it was the hottest

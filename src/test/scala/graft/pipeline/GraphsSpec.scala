@@ -88,6 +88,39 @@ class GraphsSpec extends AnyFunSuite {
     assert(got.values.sum > 900000000000L) // and stays close to full mass
   }
 
+  test("tolFp early stop: a loose tolerance stops after one iteration") {
+    val edges = Seq(1L, 2L, 3L, 4L, 5L).map(_ -> 0L) :+ (0L -> 1L)
+    val nodes = 0L to 5L
+    def run(iters: Int, tol: Long) = Graphs.pageRankFixed(
+        edges.toDF("src", "dst"), col("src"), col("dst"),
+        nodes.toDF("id"), col("id"), iterations = iters, tolFp = tol)
+      .as[(Long, Long)].collect().toMap
+    // L1 delta is bounded by 2x total mass (mass leaves AND arrives), so
+    // tol = 2·scale can never be exceeded → stops at iter 1
+    assert(run(8, tol = 2000000000000L) == refPageRank(edges, nodes, 1))
+    // tol = 0 semantics (disabled) run to the cap
+    assert(run(8, tol = 0L) == refPageRank(edges, nodes, 8))
+    // a 3-cycle is a fixed point of the iteration: delta is exactly 0
+    // after the first step, so even tol = 1 stops immediately — and the
+    // answer equals any deeper fixed-iteration run
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val got = Graphs.pageRankFixed(cyc.toDF("src", "dst"), col("src"), col("dst"),
+        iterations = 50, tolFp = 1L).as[(Long, Long)].collect().toMap
+    assert(got == refPageRank(cyc, Seq(0L, 1L, 2L), 50))
+  }
+
+  test("anchorTerms: per-target-host term counts from real parses") {
+    val pages = Seq(
+      Tuple1("""<a href="https://t.com/a">Great Docs</a><a href="https://u.com/">docs</a>"""),
+      Tuple1("""<a href="https://t.com/b">great docs here</a><a href="/rel">skip</a>"""))
+      .toDF("html")
+    val got = Graphs.anchorTerms(pages, col("html"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("t.com", "great", 2L), ("t.com", "docs", 2L), ("t.com", "here", 1L),
+      ("u.com", "docs", 1L)))
+  }
+
   test("node universe defaults to edge endpoints when nodes is omitted") {
     val got = Graphs.pageRankFixed(
         Seq((10L, 20L), (20L, 10L), (20L, 30L)).toDF("src", "dst"),

@@ -144,6 +144,39 @@ class HtmlSpec extends AnyFunSuite {
     assert(links("""<abbr href="nope">z</abbr><area href="also-not-a">""") == Seq.empty)
   }
 
+  private def anchors(html: String): Seq[(String, String)] =
+    Seq(Tuple1(html)).toDF("h")
+      .select(explode(Text.htmlAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
+  test("htmlAnchors: text capture, nested inline tags, entities, collapse") {
+    assert(anchors("""<a href="x">Click <b>here</b> &amp; now</a>""") ==
+      Seq(("x", "Click here & now")))
+    assert(anchors("""<a href="x">  spaced   out  </a>""") == Seq(("x", "spaced out")))
+    assert(anchors("""<a href="x"></a><a href="y">t</a>""") ==
+      Seq(("x", ""), ("y", "t")))
+  }
+
+  test("htmlAnchors: auto-close at block tags and at a new anchor") {
+    // unclosed <a> must not claim the rest of the document
+    assert(anchors("""<a href="x">one<p>paragraph text</p><a href="y">two</a>""") ==
+      Seq(("x", "one"), ("y", "two")))
+    // no-href anchor is an inline no-op for OPENING, but the first </a>
+    // still ends the open capture — "post" is outside any anchor
+    assert(anchors("""<a href="x">pre <a name="n">mid</a> post</a>""") ==
+      Seq(("x", "pre mid")))
+  }
+
+  test("htmlAnchors: same href sequence as htmlLinks, capture capped") {
+    val html = """<script>var s="<a href=\"d\">";</script>""" +
+      """<a href="u">""" + ("word " * 300) + "</a><a href='v'>tail</a>"
+    val a = anchors(html)
+    assert(a.map(_._1) == links(html))
+    assert(a(0)._2.length <= 500 && a(0)._2.startsWith("word word"))
+    assert(a(1) == ("v", "tail"))
+  }
+
   test("hostEdges: real parse + host extraction, relative/self links drop") {
     val pages = Seq(
       ("https://s.com/1",
