@@ -477,6 +477,23 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(edges, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc)
     }),
+    "q_html_meta" -> ((s, dir) => {
+      // title + meta extraction through the real one-pass parser (script
+      // decoy title, entity in the real title, charset meta without a key
+      // must drop); oracle reconstructs the expected rows directly
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><script>var t=\"<title>decoy</title>\";</script>" +
+          "<title>Doc &amp; Page "), id.cast("string"),
+        lit("</title><meta name=\"Description\" content=\"summary "),
+        (id % 7).cast("string"),
+        lit("\"><meta property='og:type' content='article'>" +
+          "<meta charset=\"utf-8\"></head><body><p>x</p></body></html>"))
+      docs(s, dir).select(id.as("doc_id"), graft.pipeline.Text.htmlMeta(html).as("m"))
+        .select(col("doc_id"), col("m.title").as("title"), explode(col("m.metas")).as("mt"))
+        .select(col("doc_id"), col("title"),
+          col("mt.name").as("name"), col("mt.content").as("content"))
+    }),
     "q_anchor_text" -> ((s, dir) => {
       // anchor-term profile per target host: the REAL parser captures the
       // visible anchor text (entity decode, nested inline tags, collapse)
@@ -1840,6 +1857,16 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
+    "q_html_meta" ->
+      """SELECT doc_id,
+        |       concat('Doc & Page ', CAST(doc_id AS VARCHAR)) AS title,
+        |       'description' AS name,
+        |       concat('summary ', CAST(doc_id % 7 AS VARCHAR)) AS content
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, concat('Doc & Page ', CAST(doc_id AS VARCHAR)),
+        |       'og:type', 'article'
+        |FROM documents""".stripMargin,
     // the anchor texts the parser should capture, reconstructed directly:
     // entity already decoded ('&'), inline <b> gone, lowercased terms
     "q_anchor_text" ->

@@ -371,11 +371,16 @@ object HtmlAlgos {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
-  /** First href attribute value in the tag body [from, to). Known
+  /** First href attribute value in the tag body [from, to). */
+  private def findHref(s: String, from: Int, to: Int): String =
+    findAttr(s, from, to, "href")
+
+  /** First value of the case-insensitive attribute `attr` in the tag body
+   * [from, to); double-quoted, single-quoted and unquoted values. Known
    * limitation (documented, browser-divergent): a literal '>' inside a
    * quoted attribute value ends the tag early — vanishingly rare in crawl
-   * hrefs and not worth a second scan. */
-  private def findHref(s: String, from: Int, to: Int): String = {
+   * attributes and not worth a second scan. */
+  private def findAttr(s: String, from: Int, to: Int, attr: String): String = {
     var i = from
     while (i < to) {
       while (i < to && (Character.isWhitespace(s.charAt(i)) || s.charAt(i) == '/')) i += 1
@@ -401,9 +406,123 @@ object HtmlAlgos {
           value = s.substring(vs, i)
         }
       }
-      if (name.equalsIgnoreCase("href") && value != null) return value
+      if (name.equalsIgnoreCase(attr) && value != null) return value
     }
     null
+  }
+
+  /** Decode entities + collapse whitespace runs to one space + trim — the
+   * text normalization [[extract]] applies per block, for short captured
+   * fragments (titles, meta content). Capped at `cap` INPUT chars. */
+  private def cleanFragment(s: String, cap: Int): String = {
+    val in = if (s.length <= cap) s else s.substring(0, cap)
+    val b = new java.lang.StringBuilder(in.length)
+    var i = 0
+    var pendingSpace = false
+    def app(c: Char): Unit =
+      if (Character.isWhitespace(c)) { if (b.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { b.append(' '); pendingSpace = false }
+        b.append(c)
+      }
+    val n = in.length
+    while (i < n) {
+      val c = in.charAt(i)
+      if (c == '&') {
+        val limit = math.min(n, i + 12)
+        var k = i + 1
+        if (k < limit && in.charAt(k) == '#') k += 1
+        while (k < limit && Character.isLetterOrDigit(in.charAt(k))) k += 1
+        val decoded =
+          if (k > i + 1 && k < n && in.charAt(k) == ';') decodeEntity(in.substring(i + 1, k))
+          else null
+        if (decoded != null) {
+          var d = 0
+          while (d < decoded.length) { app(decoded.charAt(d)); d += 1 }
+          i = k + 1
+        } else { app('&'); i += 1 }
+      } else { app(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /**
+   * Page metadata in one pass: struct(title, metas array<struct<name,
+   * content>>). `title` is the FIRST `<title>` element's text
+   * (entity-decoded, whitespace-collapsed, 500-char input cap; "" when
+   * absent — title is rcdata, so the capture runs to the literal
+   * `</title>`). `metas` is every `<meta>` tag carrying BOTH a
+   * `name`/`property`/`http-equiv` key and a `content` value, in document
+   * order, keys lowercased, duplicates kept (downstream chooses a
+   * first/last-wins policy); content is entity-decoded and collapsed.
+   * Comments and script/style raw text are skipped with the same
+   * discipline as [[extract]].
+   */
+  def meta(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = html.toString
+    val n = s.length
+    var title: String = null
+    val metas = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          i = skipRawText(s, i, "script")
+        } else if (tagNameAt(s, i + 1, "style")) {
+          i = skipRawText(s, i, "style")
+        } else if (title == null && tagNameAt(s, i + 1, "title")) {
+          val gt = s.indexOf('>', i + 1)
+          if (gt < 0) i = n
+          else {
+            // rcdata: runs to the literal close tag, tags inside are text
+            var e = gt + 1
+            var found = -1
+            while (found < 0 && e < n) {
+              val lt = s.indexOf('<', e)
+              if (lt < 0) e = n
+              else if (lt + 1 < n && s.charAt(lt + 1) == '/' &&
+                       tagNameAt(s, lt + 2, "title")) found = lt
+              else e = lt + 1
+            }
+            val end = if (found < 0) n else found
+            title = cleanFragment(s.substring(gt + 1, end), 500)
+            i = if (found < 0) n else {
+              val close = s.indexOf('>', found)
+              if (close < 0) n else close + 1
+            }
+          }
+        } else if (tagNameAt(s, i + 1, "meta")) {
+          val k = i + 5
+          val gt = s.indexOf('>', k)
+          val end = if (gt < 0) n else gt
+          var key = findAttr(s, k, end, "name")
+          if (key == null) key = findAttr(s, k, end, "property")
+          if (key == null) key = findAttr(s, k, end, "http-equiv")
+          val content = findAttr(s, k, end, "content")
+          if (key != null && content != null)
+            metas += org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(key.toLowerCase(java.util.Locale.ROOT)),
+              UTF8String.fromString(cleanFragment(content, 2000)))
+          i = if (gt < 0) n else gt + 1
+        } else {
+          // only skip as a tag when one opens here (letter, '/', or '!');
+          // literal '<' in text ("5<6", "<3") advances one char
+          val c1 = if (i + 1 < n) s.charAt(i + 1) else ' '
+          val isTag = c1 == '/' || c1 == '!' ||
+            (c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z')
+          if (isTag) {
+            val gt = s.indexOf('>', i + 1)
+            i = if (gt < 0) n else gt + 1
+          } else i += 1
+        }
+      } else i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(if (title == null) "" else title),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(metas.toArray))
   }
 }
 
@@ -433,6 +552,26 @@ case class HtmlLinksExpression(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.HtmlAlgos.links($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** struct(title, metas array<struct<name,content>>) in one codegen'd pass
+ * (see [[HtmlAlgos.meta]] for the exact contract). */
+case class HtmlMetaExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("title", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("metas", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("content", StringType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    HtmlAlgos.meta(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HtmlAlgos.meta($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

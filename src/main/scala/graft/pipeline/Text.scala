@@ -219,6 +219,14 @@ object Text {
   def htmlAnchors(html: Column): Column =
     Bridge.column(HtmlAnchorsExpression(Bridge.expression(html)))
 
+  /** Page metadata: struct(title, metas array<struct<name,content>>) —
+   * first <title> (rcdata, entity-decoded, collapsed) and every <meta>
+   * with a name/property/http-equiv key + content, document order, keys
+   * lowercased ([[HtmlAlgos.meta]]). The og:/description/robots signals
+   * crawl curation filters and labels by. */
+  def htmlMeta(html: Column): Column =
+    Bridge.column(HtmlMetaExpression(Bridge.expression(html)))
+
   /** Distinct word n-gram shingles (lowercased), first-occurrence order —
    * ONE codegen'd static call per row. This feeds every minhash/simhash
    * corpus pass and the Jaccard verify joins, so it was the hottest

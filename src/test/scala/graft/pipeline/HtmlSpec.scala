@@ -177,6 +177,41 @@ class HtmlSpec extends AnyFunSuite {
     assert(a(1) == ("v", "tail"))
   }
 
+  private def meta(html: String): (String, Seq[(String, String)]) = {
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(Text.htmlMeta(col("h")).as("m"))
+      .select(col("m.title"), col("m.metas"))
+      .collect()(0)
+    (r.getString(0),
+      r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getString(1))))
+  }
+
+  test("htmlMeta: title rcdata, entity decode, first title wins") {
+    assert(meta("<head><title>My &amp; Page</title></head>") == ("My & Page", Seq.empty))
+    assert(meta("<title>  spaced   title </title><title>second</title>")._1 == "spaced title")
+    // rcdata: a '<' inside the title that is not </title> stays text
+    assert(meta("<title>a < b</title>")._1 == "a < b")
+    assert(meta("<p>no title here</p>")._1 == "")
+  }
+
+  test("htmlMeta: name/property/http-equiv keys, content, doc order, quotes") {
+    val html = """<meta name="Description" content="A &quot;great&quot; page">""" +
+      """<meta property='og:title' content='OG Title'>""" +
+      """<meta http-equiv=refresh content=30>""" +
+      """<meta charset="utf-8"><meta name="keywords">""" // no content → dropped
+    assert(meta(html)._2 == Seq(
+      ("description", "A \"great\" page"),
+      ("og:title", "OG Title"),
+      ("refresh", "30")))
+  }
+
+  test("htmlMeta: script/comment decoys skipped, literal '<' tolerated") {
+    val html = """<script>var t = "<title>decoy</title>";</script>""" +
+      """<!-- <meta name="x" content="y"> --><p>5<6</p>""" +
+      """<title>Real</title><meta name="a" content="b">"""
+    assert(meta(html) == ("Real", Seq(("a", "b"))))
+  }
+
   test("hostEdges: real parse + host extraction, relative/self links drop") {
     val pages = Seq(
       ("https://s.com/1",
