@@ -24,14 +24,15 @@ import org.apache.spark.sql.{Column, DataFrame}
  * noise far below any curation threshold.
  *
  * Plan at scale (billions of edges, ~1e8 hosts): the degree-annotated edge
- * list is materialized ONCE (localCheckpoint — it is read every
- * iteration, and checkpointing truncates the builder lineage out of the
- * loop); each iteration is one shuffle-join of the (id, rank) frame —
- * tiny relative to the edges — against the edge list on `src`, one
- * map-side-combining long SUM keyed by `dst`, and one left join back to
- * the node set for zero-in-degree nodes. Rank frames are checkpointed on
- * a cadence so the iterative plan stays flat and a late executor loss
- * never recomputes the whole chain.
+ * list is materialized ONCE (localCheckpoint — which captures the deg
+ * join's hash partitioning and sort order on `src` into the checkpointed
+ * relation, so in the sort-merge regime the per-iteration join re-reads
+ * it with no new Exchange and no Sort; explain-verified). Each iteration
+ * moves only the (id, rank) frame — tiny relative to the edges — through
+ * one join on `src`, one map-side-combining long SUM keyed by `dst`, and
+ * one left join back to the node set for zero-in-degree nodes. Rank
+ * frames are checkpointed on a cadence so the iterative plan stays flat
+ * and a late executor loss never recomputes the whole chain.
  */
 object Graphs {
 
@@ -77,7 +78,13 @@ object Graphs {
         e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct()
       else nodes.select(nodeIdCol.as("id")).distinct()
     // both the node set and the degree-annotated edges are read once per
-    // iteration — materialize them out of the loop's lineage
+    // iteration — materialize them out of the loop's lineage. In the
+    // big-graph regime the deg join is itself a sort-merge on `src`, and
+    // Spark's localCheckpoint captures the child's partitioning AND
+    // ordering into the checkpointed relation (verified by explain: the
+    // per-iteration join consumes the checkpoint with no new Exchange and
+    // no Sort on the edge side) — so the edges are exchanged once here
+    // and never again; each iteration moves only the (id, rank) frame.
     val nodesP = nodeUniverse.localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("graft_deg"))
     val edgesDeg = e.join(deg, "src").localCheckpoint(true)
