@@ -31,16 +31,19 @@ object SparkEntry {
   /** Fixed-point PageRank over the deterministic synthetic link graph on
    * documents (3 pseudo-links per doc, self-loops dropped) — shared by
    * q_pagerank and the q_hybrid_rrf static prior. */
-  private def docRanks(s: SparkSession, dir: String): DataFrame = {
+  private def docEdges(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"))
     val n = d.count()
-    val edges = d.select(col("doc_id").as("src"), ((col("doc_id") * 31 + 7) % n).as("dst"))
+    d.select(col("doc_id").as("src"), ((col("doc_id") * 31 + 7) % n).as("dst"))
       .unionAll(d.select(col("doc_id"), (col("doc_id") * 97 + 13) % n))
       .unionAll(d.select(col("doc_id"), (col("doc_id") * 5 + 1) % n))
       .where(col("src") =!= col("dst"))
-    graft.pipeline.Graphs.pageRankFixed(
-      edges, col("src"), col("dst"), nodes = d, nodeIdCol = col("doc_id"))
   }
+
+  private def docRanks(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Graphs.pageRankFixed(
+      docEdges(s, dir), col("src"), col("dst"),
+      nodes = docs(s, dir).select(col("doc_id")), nodeIdCol = col("doc_id"))
 
   /** Events table with `ts` normalized to TIMESTAMP micros regardless of how
    * the parquet stores it — the driver has shipped both TIMESTAMP(NANOS)
@@ -476,6 +479,16 @@ object SparkEntry {
       val edges = graft.pipeline.Graphs.hostEdges(pages, col("url"), col("html"))
       graft.pipeline.Graphs.pageRankFixed(edges, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc)
+    }),
+    "q_trustrank" -> ((s, dir) => {
+      // seed-biased teleport over the same synthetic graph: every 10th doc
+      // is a trusted seed; spam regions no seed path reaches score zero
+      val d = docs(s, dir).select(col("doc_id"))
+      graft.pipeline.Graphs.trustRankFixed(
+          docEdges(s, dir), col("src"), col("dst"),
+          seeds = d.where(col("doc_id") % 10 === 0), seedIdCol = col("doc_id"),
+          nodes = d, nodeIdCol = col("doc_id"))
+        .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
     "q_html_meta" -> ((s, dir) => {
       // title + meta extraction through the real one-pass parser (script
@@ -1857,6 +1870,41 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
+    // same unrolled iterations as q_pagerank, but init mass and teleport
+    // are CASE-gated to the seed set (doc_id % 10 = 0)
+    "q_trustrank" ->
+      """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        |ns AS (SELECT count(*) AS scnt FROM documents WHERE doc_id % 10 = 0),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM nn) AS dst FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 97 + 13) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 5 + 1) % (SELECT cnt FROM nn) FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |node AS (SELECT doc_id AS id, (doc_id % 10 = 0) AS sd FROM documents),
+        |init AS (SELECT 1000000000000 // scnt AS v, (15 * (1000000000000 // scnt)) // 100 AS base FROM ns),
+        |r0 AS (SELECT id, sd, CASE WHEN sd THEN (SELECT v FROM init) ELSE 0 END AS rank_fp FROM node),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT node.id, node.sd,
+        |              CASE WHEN node.sd THEN (SELECT base FROM init) ELSE 0 END
+        |              + (85 * COALESCE(c1.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c1 ON node.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT node.id, node.sd,
+        |              CASE WHEN node.sd THEN (SELECT base FROM init) ELSE 0 END
+        |              + (85 * COALESCE(c2.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c2 ON node.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(r2.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT node.id,
+        |              CASE WHEN node.sd THEN (SELECT base FROM init) ELSE 0 END
+        |              + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c3 ON node.id = c3.id)
+        |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
     "q_html_meta" ->
       """SELECT doc_id,
         |       concat('Doc & Page ', CAST(doc_id AS VARCHAR)) AS title,

@@ -63,7 +63,39 @@ object Graphs {
       nodes: DataFrame = null, nodeIdCol: Column = null,
       iterations: Int = 3, dampPct: Int = 85,
       scale: Long = 1000000000000L, checkpointInterval: Int = 2,
+      tolFp: Long = 0L): DataFrame =
+    rankImpl(edges, srcCol, dstCol, nodes, nodeIdCol, null, null,
+      iterations, dampPct, scale, checkpointInterval, tolFp)
+
+  /**
+   * TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004): PageRank whose
+   * teleport goes ONLY to a hand-curated trusted seed set, so trust flows
+   * outward from seeds along links and a spam cluster no seed links into
+   * scores (exactly) zero — the standard spam-demotion complement to the
+   * popularity rank in web curation. Same exact-integer contract and
+   * per-iteration plan as [[pageRankFixed]]; initial mass is scale/|seeds|
+   * on each seed (0 elsewhere) and the (100-dampPct)% teleport term is
+   * paid only to seeds. Seeds not in the node universe are ignored.
+   */
+  def trustRankFixed(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      seeds: DataFrame, seedIdCol: Column,
+      nodes: DataFrame = null, nodeIdCol: Column = null,
+      iterations: Int = 3, dampPct: Int = 85,
+      scale: Long = 1000000000000L, checkpointInterval: Int = 2,
       tolFp: Long = 0L): DataFrame = {
+    require(seeds != null && seedIdCol != null, "trustRankFixed needs a seed set")
+    rankImpl(edges, srcCol, dstCol, nodes, nodeIdCol, seeds, seedIdCol,
+      iterations, dampPct, scale, checkpointInterval, tolFp)
+  }
+
+  private def rankImpl(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      nodes: DataFrame, nodeIdCol: Column,
+      seeds: DataFrame, seedIdCol: Column,
+      iterations: Int, dampPct: Int,
+      scale: Long, checkpointInterval: Int,
+      tolFp: Long): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in 1..100, got $iterations")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in 0..100, got $dampPct")
@@ -85,17 +117,29 @@ object Graphs {
     // per-iteration join consumes the checkpoint with no new Exchange and
     // no Sort on the edge side) — so the edges are exchanged once here
     // and never again; each iteration moves only the (id, rank) frame.
-    val nodesP = nodeUniverse.localCheckpoint(true)
+    // for TrustRank the node set carries a seed flag; init mass and the
+    // teleport term then select on it instead of being uniform constants
+    val flagged =
+      if (seeds == null) nodeUniverse.withColumn("graft_seed", lit(true))
+      else nodeUniverse.join(
+          seeds.select(seedIdCol.as("id")).distinct().withColumn("graft_s", lit(true)),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("graft_s"), lit(false)).as("graft_seed"))
+    val nodesP = flagged.localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("graft_deg"))
     val edgesDeg = e.join(deg, "src").localCheckpoint(true)
 
     val n = nodesP.count()
-    require(n > 0, "pageRankFixed needs at least one node")
-    val initRank = scale / n
-    // the teleport term, constant across nodes and iterations
+    require(n > 0, "rank needs at least one node")
+    val nSeeds = if (seeds == null) n else nodesP.where(col("graft_seed")).count()
+    require(nSeeds > 0, "trustRankFixed: no seed is present in the node universe")
+    val initRank = scale / nSeeds
+    // the teleport term — constant across iterations, paid to seeds only
     val base = ((100L - dampPct) * initRank) / 100L
+    val baseCol = when(col("graft_seed"), lit(base)).otherwise(lit(0L))
 
-    var ranks = nodesP.select(col("id"), lit(initRank).as("rank_fp"))
+    var ranks = nodesP.select(col("id"),
+      when(col("graft_seed"), lit(initRank)).otherwise(lit(0L)).as("rank_fp"))
     var iter = 1
     while (iter <= iterations) {
       val contrib = edgesDeg
@@ -105,7 +149,7 @@ object Graphs {
         .groupBy("id").agg(sum("graft_share").as("graft_contrib"))
       val next = nodesP.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) +
+          (baseCol +
             expr(s"${dampPct}L * coalesce(graft_contrib, 0L) div 100L")).as("rank_fp"))
       if (tolFp > 0L) {
         // the delta read forces materialization anyway, so checkpoint every

@@ -88,6 +88,52 @@ class GraphsSpec extends AnyFunSuite {
     assert(got.values.sum > 900000000000L) // and stays close to full mass
   }
 
+  /** Reference TrustRank: teleport and init only on seeds, same integer
+   * truncation points as the engine. */
+  private def refTrustRank(
+      edges: Seq[(Long, Long)], nodes: Seq[Long], seeds: Set[Long],
+      iterations: Int, dampPct: Long = 85L, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val present = nodes.distinct.filter(seeds)
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val init = scale / present.size
+    val base = ((100L - dampPct) * init) / 100L
+    var ranks = nodes.distinct.map(id => id -> (if (seeds(id)) init else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .map { case (s, d) => d -> ranks(s) / deg(s) }
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      ranks = ranks.map { case (id, _) =>
+        id -> ((if (seeds(id)) base else 0L) + dampPct * contrib.getOrElse(id, 0L) / 100L)
+      }
+    }
+    ranks
+  }
+
+  test("trustRank: trust flows from seeds; unreachable spam scores zero") {
+    // seeds {0,1}; chain 0→2→3; spam ring {8,9} links itself and INTO 0
+    val edges = Seq((0L, 2L), (2L, 3L), (1L, 2L), (8L, 9L), (9L, 8L), (8L, 0L))
+    val nodes = Seq(0L, 1L, 2L, 3L, 8L, 9L)
+    val got = Graphs.trustRankFixed(
+        edges.toDF("src", "dst"), col("src"), col("dst"),
+        Seq(0L, 1L).toDF("s"), col("s"),
+        nodes.toDF("id"), col("id"), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refTrustRank(edges, nodes, Set(0L, 1L), 4))
+    assert(got(8L) == 0L && got(9L) == 0L) // no seed path in → exactly zero
+    assert(got(2L) > 0L && got(3L) > 0L)   // downstream of seeds → trusted
+    // linking INTO a seed earns the spam ring nothing (teleport is seed-only)
+  }
+
+  test("trustRank: seeds outside the node universe are ignored") {
+    val edges = Seq((0L, 1L))
+    val got = Graphs.trustRankFixed(
+        edges.toDF("src", "dst"), col("src"), col("dst"),
+        Seq(0L, 777L).toDF("s"), col("s"), iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    // universe {0,1}: only seed 0 is present → it gets the FULL seed mass
+    assert(got == refTrustRank(Seq((0L, 1L)), Seq(0L, 1L), Set(0L), 2))
+  }
+
   test("tolFp early stop: a loose tolerance stops after one iteration") {
     val edges = Seq(1L, 2L, 3L, 4L, 5L).map(_ -> 0L) :+ (0L -> 1L)
     val nodes = 0L to 5L
