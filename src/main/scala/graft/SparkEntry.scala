@@ -480,6 +480,15 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(edges, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc)
     }),
+    "q_pagerank_lineitem" -> ((s, dir) => {
+      // a real-shaped graph at bench volume: the order→part bipartite
+      // graph from lineitem (~600k edges at sf0.1; every part node dangles
+      // by design — the rank loop at its intended data size, not a toy)
+      val e = lineitem(s, dir).select(col("l_orderkey").as("src"),
+        (col("l_partkey") + lit(10000000L)).as("dst"))
+      graft.pipeline.Graphs.pageRankFixed(e, col("src"), col("dst"))
+        .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
+    }),
     "q_trustrank" -> ((s, dir) => {
       // seed-biased teleport over the same synthetic graph: every 10th doc
       // is a trusted seed; spam regions no seed path reaches score zero
@@ -1870,6 +1879,28 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
+    // the order→part bipartite graph: same unrolled fixed-point recipe,
+    // node universe from the edge endpoints (the operator's default)
+    "q_pagerank_lineitem" ->
+      """WITH e AS (SELECT l_orderkey AS src, l_partkey + 10000000 AS dst FROM lineitem),
+        |node AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS cnt FROM node),
+        |init AS (SELECT 1000000000000 // cnt AS v, (15 * (1000000000000 // cnt)) // 100 AS base FROM nn),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, (SELECT v FROM init) AS rank_fp FROM node),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c1.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c1 ON node.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c2.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c2 ON node.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(r2.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c3 ON node.id = c3.id)
+        |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
     // same unrolled iterations as q_pagerank, but init mass and teleport
     // are CASE-gated to the seed set (doc_id % 10 = 0)
     "q_trustrank" ->

@@ -197,6 +197,9 @@ object Registry {
     "clean_text" -> (es => ex(graft.pipeline.Text.cleanText(col(es.head)))),
     "extract_html" -> (es => graft.pipeline.HtmlExtractExpression(es.head,
       if (es.size >= 2) litDouble(es(1)) else 1.0)),
+    "html_links" -> (es => graft.pipeline.HtmlLinksExpression(es.head)),
+    "html_anchors" -> (es => graft.pipeline.HtmlAnchorsExpression(es.head)),
+    "html_meta" -> (es => graft.pipeline.HtmlMetaExpression(es.head)),
     "url_canonicalize" -> (es => graft.pipeline.UrlCanonicalizeExpression(es.head)),
     "fix_encoding" -> (es => graft.pipeline.FixEncodingExpression(es.head)),
     "pii_signals" -> (es => ex(graft.pipeline.Pii.piiSignals(col(es.head)))),

@@ -185,6 +185,40 @@ object Graphs {
       .where(col("dst") =!= lit("") && col("src") =!= col("dst"))
   }
 
+  /** Live host-edge intake: each micro-batch of raw pages (url, html) runs
+   * the same [[hostEdges]] parse and lands its edges under
+   * `path/batch=<epochId>` with overwrite — the epoch id is stable across
+   * micro-batch RETRIES, so a replayed batch overwrites itself instead of
+   * double-counting edge weights (which would shift ranks). Rank itself is
+   * a global fixpoint, so it is NOT maintained per-row; recompute on a
+   * cadence with [[rankEdgeTable]] over the accumulated table. The
+   * per-batch work is the stream-friendly part: one codegen'd parse +
+   * explode, no shuffle, O(batch) write. */
+  def streamingHostEdges(
+      stream: DataFrame, urlCol: Column, htmlCol: Column,
+      path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epochId: Long) =>
+        if (!batch.isEmpty)
+          hostEdges(batch.toDF(), urlCol, htmlCol)
+            .write.mode("overwrite").parquet(s"$path/batch=$epochId")
+      }
+      .start()
+
+  /** The accumulated edge table a [[streamingHostEdges]] intake wrote. */
+  def edgeTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("src"), col("dst"))
+
+  /** [[pageRankFixed]] over an accumulated edge table — the batch rank
+   * refresh paired with a streaming intake. */
+  def rankEdgeTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      iterations: Int = 3, tolFp: Long = 0L): DataFrame =
+    pageRankFixed(edgeTable(spark, path), col("src"), col("dst"),
+      iterations = iterations, tolFp = tolFp)
+
   /** Anchor-term profile per TARGET host — what the rest of the web calls
    * a host ([[Text.htmlAnchors]]), the classic host-description/relevance
    * signal next to its rank: (host, term, cnt), lowercased whitespace

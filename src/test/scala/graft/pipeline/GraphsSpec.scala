@@ -167,6 +167,33 @@ class GraphsSpec extends AnyFunSuite {
       ("u.com", "docs", 1L)))
   }
 
+  test("streaming host-edge intake accumulates; rank refresh sees all batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_gstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gstream_ck").toString
+    val mem = MemoryStream[(String, String)]
+    val q = Graphs.streamingHostEdges(
+      mem.toDF().toDF("url", "html"), col("url"), col("html"), out, ckpt)
+    try {
+      mem.addData(
+        ("https://a.com/1", """<a href="https://b.com/x">b</a>"""),
+        ("https://b.com/1", """<a href="https://c.com/">c</a><a href="/rel">r</a>"""))
+      q.processAllAvailable()
+      mem.addData(("https://c.com/1", """<a href="https://a.com/">a</a>"""))
+      q.processAllAvailable()
+      val edges = Graphs.edgeTable(spark, out)
+        .as[(String, String)].collect().toSeq.sorted
+      assert(edges == Seq(("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com")))
+      // the refresh runs the plain fixed-point rank over the union: a
+      // 3-cycle is symmetric, so all hosts rank equal
+      val ranks = Graphs.rankEdgeTable(spark, out, iterations = 4)
+        .as[(String, Long)].collect().toMap
+      assert(ranks.keySet == Set("a.com", "b.com", "c.com"))
+      assert(ranks.values.toSet.size == 1)
+    } finally q.stop()
+  }
+
   test("node universe defaults to edge endpoints when nodes is omitted") {
     val got = Graphs.pageRankFixed(
         Seq((10L, 20L), (20L, 10L), (20L, 30L)).toDF("src", "dst"),

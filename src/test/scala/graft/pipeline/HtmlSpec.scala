@@ -177,6 +177,21 @@ class HtmlSpec extends AnyFunSuite {
     assert(a(1) == ("v", "tail"))
   }
 
+  test("html_links / html_anchors / html_meta are SQL-callable") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT html_links('<a href="/a">x</a>') AS l,
+        |       html_anchors('<a href="/a">x</a>')[0].anchor AS a,
+        |       html_meta('<title>T</title><meta name="k" content="v">') AS m""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("/a"))
+    assert(r.getString(1) == "x")
+    val m = r.getStruct(2)
+    assert(m.getString(0) == "T")
+    assert(m.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("k", "v")))
+  }
+
   private def meta(html: String): (String, Seq[(String, String)]) = {
     val r = Seq(Tuple1(html)).toDF("h")
       .select(Text.htmlMeta(col("h")).as("m"))
