@@ -489,6 +489,32 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(e, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_link_spam" -> ((s, dir) => {
+      // reciprocal-link (link-exchange) ratio over the synthetic host
+      // graph; exact ppm ratios hash-match the SQL mirror
+      val id = col("doc_id")
+      val e = docs(s, dir).select(
+          concat(lit("h"), (id % 16).cast("string"), lit(".example.com")).as("src"),
+          concat(lit("h"), ((id * 7 + 1) % 16).cast("string"), lit(".example.com")).as("dst"))
+        .unionAll(docs(s, dir).select(
+          concat(lit("h"), (id % 16).cast("string"), lit(".example.com")),
+          concat(lit("h"), ((id * 13 + 5) % 16).cast("string"), lit(".example.com"))))
+        .where(col("src") =!= col("dst"))
+      graft.pipeline.Graphs.reciprocalLinkRatio(e, col("src"), col("dst"))
+    }),
+    "q_cocitation" -> ((s, dir) => {
+      // related-hosts by co-citation over the same host graph
+      val id = col("doc_id")
+      val e = docs(s, dir).select(
+          concat(lit("h"), (id % 16).cast("string"), lit(".example.com")).as("src"),
+          concat(lit("h"), ((id * 7 + 1) % 16).cast("string"), lit(".example.com")).as("dst"))
+        .unionAll(docs(s, dir).select(
+          concat(lit("h"), (id % 16).cast("string"), lit(".example.com")),
+          concat(lit("h"), ((id * 13 + 5) % 16).cast("string"), lit(".example.com"))))
+        .where(col("src") =!= col("dst"))
+      graft.pipeline.Graphs.coCitations(e, col("src"), col("dst"),
+        maxOutDeg = 100, minCount = 2L)
+    }),
     "q_trustrank" -> ((s, dir) => {
       // seed-biased teleport over the same synthetic graph: every 10th doc
       // is a trusted seed; spam regions no seed path reaches score zero
@@ -1879,6 +1905,40 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
+    "q_link_spam" ->
+      """WITH e0 AS (
+        |  SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com') AS src,
+        |         concat('h', CAST((doc_id * 7 + 1) % 16 AS VARCHAR), '.example.com') AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com'),
+        |         concat('h', CAST((doc_id * 13 + 5) % 16 AS VARCHAR), '.example.com')
+        |  FROM documents
+        |),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |recip AS (SELECT a.src, count(*) AS reciprocal
+        |          FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1),
+        |o AS (SELECT src, count(*) AS out_hosts FROM e GROUP BY 1)
+        |SELECT o.src AS host, o.out_hosts,
+        |       COALESCE(r.reciprocal, 0) AS reciprocal,
+        |       COALESCE(r.reciprocal, 0) * 1000000 // o.out_hosts AS ratio_ppm
+        |FROM o LEFT JOIN recip r ON o.src = r.src""".stripMargin,
+    "q_cocitation" ->
+      """WITH e0 AS (
+        |  SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com') AS src,
+        |         concat('h', CAST((doc_id * 7 + 1) % 16 AS VARCHAR), '.example.com') AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com'),
+        |         concat('h', CAST((doc_id * 13 + 5) % 16 AS VARCHAR), '.example.com')
+        |  FROM documents
+        |),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |kept AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 100),
+        |k AS (SELECT e.src, e.dst FROM e JOIN kept ON e.src = kept.src)
+        |SELECT a.dst AS host_a, b.dst AS host_b, count(*) AS cocites
+        |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // the order→part bipartite graph: same unrolled fixed-point recipe,
     // node universe from the edge endpoints (the operator's default)
     "q_pagerank_lineitem" ->

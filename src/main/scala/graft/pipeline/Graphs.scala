@@ -219,6 +219,59 @@ object Graphs {
     pageRankFixed(edgeTable(spark, path), col("src"), col("dst"),
       iterations = iterations, tolFp = tolFp)
 
+  /**
+   * Reciprocal-link ratio per host — the link-exchange spam signal: of a
+   * host's DISTINCT outgoing neighbors, what fraction links back?
+   * Organic linking is largely one-directional; paid link exchanges and
+   * ring schemes reciprocate heavily, so curation demotes hosts with
+   * ratios near 1 (used alongside [[trustRankFixed]], which such rings
+   * cannot fake either). Returns (host, out_hosts, reciprocal, ratio_ppm)
+   * with the ratio in exact parts-per-million (`reciprocal * 1e6 div
+   * out_hosts` — integer, oracle-reproducible). Plan: one distinct on the
+   * edge pair, one self-semi-join on the reversed pair (both sides hash
+   * on (src,dst) — linear, no fan-out), two combining counts.
+   */
+  def reciprocalLinkRatio(
+      edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val back = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(back, Seq("src", "dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("reciprocal"))
+    e.groupBy("src").agg(count(lit(1)).as("out_hosts"))
+      .join(recip, Seq("src"), "left")
+      .select(col("src").as("host"), col("out_hosts"),
+        coalesce(col("reciprocal"), lit(0L)).as("reciprocal"),
+        expr("coalesce(reciprocal, 0L) * 1000000L div out_hosts").as("ratio_ppm"))
+  }
+
+  /**
+   * Co-citation counts — "related hosts": pairs of hosts that the same
+   * source links together, the classic bibliographic-coupling similarity
+   * (Small 1973) that needs no content at all. Pair fan-out is outdeg²
+   * per source, so sources with more than `maxOutDeg` distinct targets
+   * are DROPPED before pairing (directory/link-farm pages that would
+   * dominate the join while carrying no similarity signal — the same
+   * fan-out bound the containment join places on ubiquitous shingles);
+   * Σ outdeg² is then ≤ maxOutDeg · |E|. Pairs are canonical (a < b) so
+   * each co-citation counts once; `minCount` cuts the long noise tail at
+   * the aggregate's output. Returns (host_a, host_b, cocites).
+   */
+  def coCitations(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      maxOutDeg: Int = 100, minCount: Long = 2L): DataFrame = {
+    require(maxOutDeg >= 2, s"maxOutDeg must be >= 2, got $maxOutDeg")
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+    val keptSrc = e.groupBy("src").agg(count(lit(1)).as("graft_d"))
+      .where(col("graft_d") <= maxOutDeg).select(col("src"))
+    val kept = e.join(keptSrc, Seq("src"), "left_semi")
+    kept.as("a").join(kept.as("b"), col("a.src") === col("b.src"))
+      .where(col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("host_a"), col("b.dst").as("host_b"))
+      .agg(count(lit(1)).as("cocites"))
+      .where(col("cocites") >= minCount)
+  }
+
   /** Anchor-term profile per TARGET host — what the rest of the web calls
    * a host ([[Text.htmlAnchors]]), the classic host-description/relevance
    * signal next to its rank: (host, term, cnt), lowercased whitespace

@@ -194,6 +194,31 @@ class GraphsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reciprocalLinkRatio: exchanges score high, one-way links score 0") {
+    // ring a↔b, a↔c (full exchange); d links a,b,c one-way; parallel dup kept out
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("a", "b"), // dup distinct'd
+      ("d", "a"), ("d", "b"), ("d", "c"), ("a", "a"))             // self-loop dropped
+    val got = Graphs.reciprocalLinkRatio(edges.toDF("s", "t"), col("s"), col("t"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((2L, 2L, 1000000L))) // both neighbors link back
+    assert(got("b") == ((1L, 1L, 1000000L)))
+    assert(got("d") == ((3L, 0L, 0L)))       // nobody links back to d
+  }
+
+  test("coCitations: canonical pairs, hub sources dropped by maxOutDeg") {
+    val hub = (1 to 10).map(i => ("hub", s"t$i")) // outdeg 10 > cap → dropped
+    val edges = Seq(
+      ("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "y"),
+      ("s3", "y"), ("s3", "x"), ("s4", "x"), ("s4", "z")) ++ hub
+    val got = Graphs.coCitations(edges.toDF("s", "t"), col("s"), col("t"),
+        maxOutDeg = 5, minCount = 2L)
+      .as[(String, String, Long)].collect().toSet
+    // (x,y) co-cited by s1,s2,s3; (x,z) only once → cut by minCount
+    assert(got == Set(("x", "y", 3L)))
+  }
+
   test("node universe defaults to edge endpoints when nodes is omitted") {
     val got = Graphs.pageRankFixed(
         Seq((10L, 20L), (20L, 10L), (20L, 30L)).toDF("src", "dst"),
