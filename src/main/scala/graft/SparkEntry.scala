@@ -489,6 +489,12 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(e, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_robust_outliers" -> ((s, dir) =>
+      // median/MAD length outliers per language — integral signal, so
+      // every median and MAD is an exact binary fraction and even the
+      // boundary comparison hash-matches DuckDB
+      graft.pipeline.Curation.robustOutliers(
+        docs(s, dir), col("lang"), col("doc_id"), col("n_chars"))),
     "q_link_spam" -> ((s, dir) => {
       // reciprocal-link (link-exchange) ratio over the synthetic host
       // graph; exact ppm ratios hash-match the SQL mirror
@@ -1905,6 +1911,21 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
+    "q_robust_outliers" ->
+      """WITH b AS (
+        |  SELECT lang AS key, doc_id AS id, CAST(n_chars AS DOUBLE) AS value
+        |  FROM documents
+        |), m AS (
+        |  SELECT key, quantile_cont(value, 0.5) AS median FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT b.key, b.id, b.value, m.median, abs(b.value - m.median) AS dev
+        |  FROM b JOIN m ON b.key = m.key
+        |), md AS (
+        |  SELECT key, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+        |)
+        |SELECT d.key, d.id, d.value, d.median, md.mad,
+        |       d.dev > 3.5 * 1.4826 * md.mad AS outlier
+        |FROM d JOIN md ON d.key = md.key""".stripMargin,
     "q_link_spam" ->
       """WITH e0 AS (
         |  SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com') AS src,

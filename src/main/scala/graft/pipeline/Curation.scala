@@ -553,6 +553,36 @@ object Curation {
   }
 
   /**
+   * Robust per-group outlier flags — median/MAD, the DQ primitive that
+   * survives what mean/stddev cannot: in heavy-tailed pipeline signals
+   * (doc lengths, token counts) the outliers THEMSELVES inflate a stddev
+   * until nothing is an outlier, while the median absolute deviation
+   * ignores them. Flags |x − median| > k · 1.4826 · MAD (1.4826 scales
+   * MAD to σ under normality; k=3.5 is the conventional cut). Exact
+   * per-group medians (Spark `percentile` = DuckDB `quantile_cont`, same
+   * (n−1)·q interpolation): with integral signals every median/MAD is an
+   * exact binary fraction, so even the boundary comparison is
+   * oracle-reproducible. Two keyed aggregations + two joins of a
+   * one-row-per-group frame (broadcast at scale); each group's values
+   * materialize on a reducer — per-domain/per-language group sizes, same
+   * contract as [[percentileReport]] exact mode.
+   */
+  def robustOutliers(
+      df: DataFrame, keyCol: Column, idCol: Column, valueCol: Column,
+      k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(keyCol.as("key"), idCol.as("id"),
+      valueCol.cast("double").as("value"))
+    val med = base.groupBy("key").agg(expr("percentile(value, 0.5D)").as("median"))
+    val dev = base.join(broadcast(med), Seq("key"))
+      .withColumn("graft_dev", abs(col("value") - col("median")))
+    val mad = dev.groupBy("key").agg(expr("percentile(graft_dev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("key"))
+      .select(col("key"), col("id"), col("value"), col("median"), col("mad"),
+        (col("graft_dev") > lit(k) * lit(1.4826) * col("mad")).as("outlier"))
+  }
+
+  /**
    * Corpus diff — dataset release engineering: what changed between two
    * versions of a corpus? Returns (id, status) with status ∈ added /
    * removed / changed / unchanged, decided by id presence and the 128-bit

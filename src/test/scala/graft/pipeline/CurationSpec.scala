@@ -577,4 +577,34 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out == Map(1L -> true, 2L -> true, 3L -> false))
   }
+
+  test("robustOutliers: exact median/MAD, planted outlier flagged per group") {
+    // group a: {10,11,12,13,1000} → med 12, devs {2,1,0,1,988} → MAD 1
+    //   threshold 3.5·1.4826·1 ≈ 5.19 → only 1000 flags
+    // group b: tight {5,5,5} → MAD 0 → any deviation would flag; none does
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 11.0), ("a", 3L, 12.0), ("a", 4L, 13.0), ("a", 5L, 1000.0),
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0)).toDF("g", "id", "v")
+    val out = Curation.robustOutliers(rows, col("g"), col("id"), col("v"))
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out(5L) == ((12.0, 1.0, true)))
+    assert(Seq(1L, 2L, 3L, 4L).forall(!out(_)._3))
+    assert(out(6L) == ((5.0, 0.0, false)))
+  }
+
+  test("robustOutliers survives the stddev-breaker a z-score check misses") {
+    // 20 values at 100 plus TWO at 1e6: the outliers inflate stddev to
+    // ~3e5, putting themselves within 3.3σ — a z-score check at 3.5σ
+    // misses them; median/MAD flags both
+    val vals = (1L to 20L).map(i => ("g", i, 100.0 + (i % 3))) ++
+      Seq(("g", 98L, 1000000.0), ("g", 99L, 1000000.0))
+    val flagged = Curation.robustOutliers(vals.toDF("g", "id", "v"),
+        col("g"), col("id"), col("v"))
+      .where(col("outlier")).collect().map(_.getLong(1)).toSet
+    assert(flagged == Set(98L, 99L))
+    val mean = vals.map(_._3).sum / vals.size
+    val std = math.sqrt(vals.map(v => (v._3 - mean) * (v._3 - mean)).sum / vals.size)
+    assert((1000000.0 - mean) / std < 3.5) // the z-score check really does miss it
+  }
 }
