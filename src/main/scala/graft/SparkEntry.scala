@@ -489,6 +489,22 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(e, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_registrable_domain" -> ((s, dir) => {
+      // eTLD+1 over a host mix: multi-part suffix, plain .com, deep
+      // subdomain, dotless — the oracle mirrors the regex + CASE logic
+      val id = col("doc_id")
+      val host = when(id % 4 === 0,
+          concat(lit("a"), (id % 7).cast("string"), lit(".shop"),
+            (id % 20).cast("string"), lit(".co.uk")))
+        .when(id % 4 === 1,
+          concat(lit("www.site"), (id % 20).cast("string"), lit(".com")))
+        .when(id % 4 === 2,
+          concat(lit("deep.sub.mart"), (id % 10).cast("string"), lit(".com.au")))
+        .otherwise(lit("localhost"))
+      val url = concat(lit("https://"), host, lit("/p/"), id.cast("string"))
+      docs(s, dir).select(id.as("doc_id"),
+        graft.pipeline.Text.registrableDomain(url).as("domain"))
+    }),
     "q_robust_outliers" -> ((s, dir) =>
       // median/MAD length outliers per language — integral signal, so
       // every median and MAD is an exact binary fraction and even the
@@ -1911,6 +1927,28 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
+    "q_registrable_domain" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         CASE
+        |           WHEN doc_id % 4 = 0 THEN concat('a', CAST(doc_id % 7 AS VARCHAR),
+        |                '.shop', CAST(doc_id % 20 AS VARCHAR), '.co.uk')
+        |           WHEN doc_id % 4 = 1 THEN concat('www.site', CAST(doc_id % 20 AS VARCHAR), '.com')
+        |           WHEN doc_id % 4 = 2 THEN concat('deep.sub.mart', CAST(doc_id % 10 AS VARCHAR), '.com.au')
+        |           ELSE 'localhost'
+        |         END AS host
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, host,
+        |         regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS l2,
+        |         regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) AS l3
+        |  FROM u
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN l2 = '' THEN host
+        |            WHEN l2 IN ('co.uk', 'com.au') AND l3 <> '' THEN l3
+        |            ELSE l2 END AS domain
+        |FROM d""".stripMargin,
     "q_robust_outliers" ->
       """WITH b AS (
         |  SELECT lang AS key, doc_id AS id, CAST(n_chars AS DOUBLE) AS value

@@ -188,6 +188,7 @@ object Registry {
     "url_host" -> (es => ex(graft.pipeline.Text.urlHost(col(es.head)))),
     "url_path" -> (es => ex(graft.pipeline.Text.urlPath(col(es.head)))),
     "url_tld" -> (es => ex(graft.pipeline.Text.urlTld(col(es.head)))),
+    "registrable_domain" -> (es => ex(graft.pipeline.Text.registrableDomain(col(es.head)))),
     "gopher_quality" -> (es => ex(graft.pipeline.Text.gopherQuality(col(es.head),
       if (es.size >= 2) litLong(es(1)).toInt else 50,
       if (es.size >= 3) litLong(es(2)).toInt else 100000))),

@@ -144,6 +144,40 @@ object Text {
   def urlTld(url: Column): Column =
     regexp_extract(urlHost(url), "\\.([^.]+)$", 1)
 
+  /** The multi-part public suffixes that matter for web-corpus domain
+   * grouping (the high-traffic entries of the Mozilla public-suffix list;
+   * the full list is an external artifact — load one via a blocklist-style
+   * config when a tenant needs long-tail ccTLD schemes). */
+  private[pipeline] val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "com.br", "net.br", "org.br",
+    "com.mx", "com.ar", "com.cn", "net.cn", "org.cn",
+    "com.tw", "com.hk", "co.in", "net.in", "org.in",
+    "co.nz", "net.nz", "org.nz", "com.sg", "com.tr",
+    "co.za", "org.za", "com.ua", "co.id", "com.my",
+    "com.ph", "com.vn", "com.eg", "com.sa", "com.pk")
+
+  /** Registrable domain (eTLD+1) of a URL's host: `a.b.example.co.uk` →
+   * `example.co.uk`, `a.example.com` → `example.com`. THIS — not the raw
+   * host — is the right key for per-domain caps, budgets and kill-lists:
+   * keying on the host lets one site dodge its cap with unlimited
+   * subdomains, and keying on the naive last-2-labels would lump every
+   * .co.uk site into ONE cap bucket. Hosts under a known multi-part
+   * public suffix ([[MultiPartSuffixes]]) keep three labels, everything
+   * else two; a host with no dot (localhost, intranets) passes through.
+   * Pure built-in regex/CASE projection — codegen'd, no shuffle, and the
+   * DuckDB oracle replicates it token-for-token. */
+  def registrableDomain(url: Column): Column = {
+    val host = urlHost(url)
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last2 === lit(""), host) // dotless host: pass through
+      .otherwise(when(last2.isin(MultiPartSuffixes: _*) && last3 =!= lit(""), last3)
+        .otherwise(last2))
+  }
+
   /** Rule-based sentence segmentation: maximal runs of non-terminator
    * characters followed by a `.`/`!`/`?` run (or end of text), trimmed of
    * WHITESPACE on both ends (the explicit `[ \t\n\r\f]` class — `trim()`

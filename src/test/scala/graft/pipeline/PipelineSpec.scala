@@ -237,6 +237,24 @@ class PipelineSpec extends AnyFunSuite {
       ("", "", "")))
   }
 
+  test("registrableDomain groups subdomains without lumping public suffixes") {
+    val got = Seq(
+      "https://a.b.example.co.uk/x",   // multi-part suffix: keep 3 labels
+      "https://shop.example.co.uk/y",  // same site, different subdomain
+      "https://www.example.com/z",     // plain suffix: keep 2
+      "https://example.com/w",
+      "https://deep.sub.mart.com.au/v",
+      "https://localhost/p",           // dotless host passes through
+      "https://co.uk/")                // host IS the suffix: pass through
+      .toDF("u").select(Text.registrableDomain(col("u")))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "example.co.uk", "example.co.uk", "example.com", "example.com",
+      "mart.com.au", "localhost", "co.uk"))
+    // cap keyed on registrableDomain cannot be dodged with subdomains
+    assert(got.take(2).distinct.size == 1)
+  }
+
   test("gopher quality heuristics measure and gate documents") {
     val good = ("the data should be part of " * 10).trim // 60 words, clean
     val symbols = "the be of ### and ... ### that ... have #" // symbol-heavy
