@@ -489,6 +489,34 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(e, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_robots" -> ((s, dir) => {
+      // REP end-to-end: per-host robots bodies are REALLY parsed and
+      // evaluated for agent graftbot (even hosts carry a graftbot group
+      // that overrides the * catch-all; odd hosts exercise longest-match
+      // + allow-wins-tie); the oracle computes expected fetchability
+      // arithmetically, so parser or precedence bugs flip the booleans
+      val id = col("doc_id")
+      // host index decoupled from the path variant (id div 4, not id % 10,
+      // whose parity would track id % 4) so every variant hits both host
+      // parities and both oracle branches are really exercised
+      val k = (expr("doc_id div 4") % 10).cast("string")
+      val hosts = docs(s, dir).select((expr("doc_id div 4") % 10).as("hk")).distinct()
+      val hk = col("hk").cast("string")
+      val robotsTxt = when(col("hk") % 2 === 0,
+          concat(lit("User-agent: *\nDisallow: /p"), hk,
+            lit("\nAllow: /p"), hk, lit("/open\nUser-agent: graftbot\nDisallow: /g"), hk))
+        .otherwise(concat(lit("User-agent: *\nDisallow: /p"), hk,
+          lit("\nAllow: /p"), hk, lit("/open")))
+      val rules = graft.pipeline.Robots.parseDf(
+        hosts.select(concat(lit("h"), hk).as("host"), robotsTxt.as("txt")),
+        col("host"), col("txt"))
+      val path = when(id % 4 === 0, concat(lit("/p"), k, lit("/x"), id.cast("string")))
+        .when(id % 4 === 1, concat(lit("/p"), k, lit("/open/y")))
+        .when(id % 4 === 2, concat(lit("/g"), k, lit("/z")))
+        .otherwise(concat(lit("/ok"), id.cast("string")))
+      val urls = docs(s, dir).select(concat(lit("https://h"), k, path).as("url"))
+      graft.pipeline.Robots.isAllowed(rules, urls, col("url"), "GraftBot")
+    }),
     "q_registrable_domain" -> ((s, dir) => {
       // eTLD+1 over a host mix: multi-part suffix, plain .com, deep
       // subdomain, dotless — the oracle mirrors the regex + CASE logic
@@ -1927,6 +1955,22 @@ object SparkEntry {
         |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id""".stripMargin,
+    // expected fetchability computed arithmetically: even hosts → the
+    // graftbot group's /g rule is the ONLY one that applies (blocked iff
+    // the /g path variant); odd hosts → the * group, where /p is blocked
+    // except the longer /p…/open allow
+    "q_robots" ->
+      """SELECT DISTINCT
+        |  concat('https://h', CAST((doc_id // 4) % 10 AS VARCHAR),
+        |    CASE
+        |      WHEN doc_id % 4 = 0 THEN concat('/p', CAST((doc_id // 4) % 10 AS VARCHAR), '/x', CAST(doc_id AS VARCHAR))
+        |      WHEN doc_id % 4 = 1 THEN concat('/p', CAST((doc_id // 4) % 10 AS VARCHAR), '/open/y')
+        |      WHEN doc_id % 4 = 2 THEN concat('/g', CAST((doc_id // 4) % 10 AS VARCHAR), '/z')
+        |      ELSE concat('/ok', CAST(doc_id AS VARCHAR))
+        |    END) AS url,
+        |  CASE WHEN ((doc_id // 4) % 10) % 2 = 0 THEN NOT (doc_id % 4 = 2)
+        |       ELSE NOT (doc_id % 4 = 0) END AS allowed
+        |FROM documents""".stripMargin,
     "q_registrable_domain" ->
       """WITH u AS (
         |  SELECT doc_id,

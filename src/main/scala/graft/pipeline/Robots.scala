@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * robots.txt — the crawl-permission layer of a web-corpus stack (RFC
+ * 9309, the Robots Exclusion Protocol). A compliant corpus build must be
+ * able to answer "was this URL fetchable for our agent?" from the
+ * robots.txt bodies the crawler archived; this module parses those bodies
+ * and evaluates the REP matching rules at corpus scale.
+ *
+ * Scope: `user-agent` groups with `allow`/`disallow` rules, `*` and `$`
+ * pattern wildcards, longest-match precedence with allow winning ties —
+ * the normative core of RFC 9309. Crawl-delay/sitemap lines (non-standard
+ * or informational) are ignored; matching is against the URL PATH (query
+ * matching is a crawler-side concern; [[Text.urlPath]] is the extractor
+ * used on both sides).
+ */
+object Robots {
+
+  /** One parsed rule. `pattern` is the raw REP pattern; `regex` is its
+   * anchored Java-regex translation (used only when `wild` — wildcard-free
+   * patterns match by plain prefix, the fast path). */
+  case class RobotRule(agent: String, allow: Boolean, pattern: String,
+      wild: Boolean, regex: String)
+
+  /** Parse one robots.txt body into rules, RFC 9309 group semantics:
+   * consecutive `user-agent` lines open a group that the following
+   * allow/disallow rules attach to (ALL listed agents); the next
+   * `user-agent` after a rule starts a fresh group. Agent names
+   * lowercase; rules before any user-agent line attach to `*`; an empty
+   * `disallow:` value is "allow everything" (no rule emitted, per spec);
+   * `#` comments and unknown fields are ignored. Plain JVM — unit-tests
+   * without a session. */
+  def parse(txt: String): Seq[RobotRule] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RobotRule]
+    var agents = List("*")
+    var collecting = false // inside a run of consecutive user-agent lines
+    txt.split("\n").foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val colonAt = noComment.indexOf(':')
+      if (colonAt > 0) {
+        val field = noComment.substring(0, colonAt).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = noComment.substring(colonAt + 1).trim
+        field match {
+          case "user-agent" =>
+            val a = value.toLowerCase(java.util.Locale.ROOT)
+            if (a.nonEmpty) {
+              if (collecting) agents = agents :+ a
+              else { agents = List(a); collecting = true }
+            }
+          case "allow" | "disallow" =>
+            collecting = false
+            if (value.nonEmpty) {
+              val wild = value.contains('*') || value.endsWith("$")
+              agents.foreach(a => out += RobotRule(a, field == "allow", value, wild,
+                if (wild) patternRegex(value) else ""))
+            }
+          case _ => collecting = false // crawl-delay, sitemap, unknown
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** REP pattern → anchored Java regex: literal chunks quoted, `*` → `.*`,
+   * a trailing `$` anchors the end; otherwise the match is a prefix
+   * (leading `^` only). */
+  private[pipeline] def patternRegex(pattern: String): String = {
+    val endAnchor = pattern.endsWith("$")
+    val body = if (endAnchor) pattern.dropRight(1) else pattern
+    val quoted = body.split("\\*", -1).map {
+      case "" => ""
+      case chunk => java.util.regex.Pattern.quote(chunk)
+    }.mkString(".*")
+    "^" + quoted + (if (endAnchor) "$" else "")
+  }
+
+  /** Parse a frame of (host, robots.txt body) → (host, agent, allow,
+   * pattern, wild, regex). One robots body per host (a bounded, tiny
+   * frame next to the corpus — robots.txt is capped at 500 KiB by the
+   * RFC); the typed flatMap is per-host work, not per-document. */
+  def parseDf(df: DataFrame, hostCol: Column, txtCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(hostCol.cast("string").as("host"), txtCol.cast("string").as("txt"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        parse(if (txt == null) "" else txt)
+          .map(r => (host, r.agent, r.allow, r.pattern, r.wild, r.regex))
+      }
+      .toDF("host", "agent", "allow", "pattern", "wild", "regex")
+  }
+
+  /**
+   * Per-URL fetchability for `agent` against a parsed rules frame
+   * ([[parseDf]] output): (url, allowed). RFC 9309 evaluation —
+   *  1. group selection: the host's exact-agent group when present, else
+   *     its `*` group (a window over the TINY rules frame, not the URLs);
+   *  2. rule matching: prefix semantics, `*`/`$` via the precompiled
+   *     regex (wildcard-free rules take the codegen'd startswith path);
+   *  3. precedence: longest pattern wins, allow beats disallow on ties —
+   *     ONE combining max-of-struct aggregate per URL, no window over the
+   *     corpus;
+   *  4. no matching rule / no robots.txt for the host → allowed.
+   * Plan: one broadcast-friendly join on host (rules ≪ URLs), fan-out
+   * bounded by rules-per-host, then the combining aggregate.
+   */
+  def isAllowed(rules: DataFrame, urls: DataFrame, urlCol: Column,
+      agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val r = rules.where(col("agent").isin(agentLc, "*"))
+      .withColumn("graft_spec",
+        when(col("agent") === lit(agentLc), lit(2)).otherwise(lit(1)))
+    val grouped = r
+      .withColumn("graft_smax", max(col("graft_spec")).over(Window.partitionBy("host")))
+      .where(col("graft_spec") === col("graft_smax"))
+      .select(col("host"), col("allow"), col("pattern"), col("wild"), col("regex"))
+    val u = urls.select(urlCol.as("url"))
+      .withColumn("host", Text.urlHost(col("url")))
+      .withColumn("graft_path", Text.urlPath(col("url")))
+    u.join(grouped, Seq("host"), "left")
+      .withColumn("graft_match", col("pattern").isNotNull &&
+        when(col("wild"), expr("graft_path rlike regex"))
+          .otherwise(expr("startswith(graft_path, pattern)")))
+      .groupBy(col("url"))
+      .agg(max(when(col("graft_match"),
+        struct(length(col("pattern")).as("l"), col("allow").cast("int").as("a"))))
+        .as("graft_win"))
+      .select(col("url"),
+        coalesce(col("graft_win.a") === 1, lit(true)).as("allowed"))
+  }
+}

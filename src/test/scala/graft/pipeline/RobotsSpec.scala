@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parse: groups, multi-agent runs, comments, empty disallow, unknown fields") {
+    val txt =
+      """# global
+        |User-agent: *
+        |Disallow: /private
+        |Allow: /private/ok   # inline comment
+        |Crawl-delay: 10
+        |
+        |User-agent: GoodBot
+        |User-agent: OtherBot
+        |Disallow:
+        |Allow: /only-good
+        |
+        |User-agent: BadBot
+        |Disallow: /
+        |""".stripMargin
+    val rules = Robots.parse(txt)
+    assert(rules.map(r => (r.agent, r.allow, r.pattern)) == Seq(
+      ("*", false, "/private"),
+      ("*", true, "/private/ok"),
+      ("goodbot", true, "/only-good"),   // empty disallow emits nothing
+      ("otherbot", true, "/only-good"),  // rule attaches to BOTH agents
+      ("badbot", false, "/")))
+  }
+
+  test("parse: rules before any user-agent attach to *; new group resets agents") {
+    val rules = Robots.parse("Disallow: /a\nUser-agent: x\nDisallow: /b\nUser-agent: y\nDisallow: /c")
+    assert(rules.map(r => (r.agent, r.pattern)) == Seq(
+      ("*", "/a"), ("x", "/b"), ("y", "/c"))) // y's group does NOT include x
+  }
+
+  test("pattern wildcards: * spans, $ anchors, plain patterns are prefixes") {
+    // evaluate through the engine exactly as isAllowed does
+    val rules = Robots.parseDf(Seq(
+      ("h", "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*x\nDisallow: /plain"))
+      .toDF("host", "txt"), col("host"), col("txt"))
+    val urls = Seq(
+      "https://h/a/b/c.pdf",     // *.pdf$ blocks any depth
+      "https://h/a/b/c.pdfx",    // $ anchor: NOT blocked
+      "https://h/tmp123x",       // * spans
+      "https://h/plainer",       // prefix semantics: blocked
+      "https://h/ok").toDF("u")
+    val got = Robots.isAllowed(rules, urls, col("u"), "anybot")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("https://h/a/b/c.pdf") == false)
+    assert(got("https://h/a/b/c.pdfx") == true)
+    assert(got("https://h/tmp123x") == false)
+    assert(got("https://h/plainer") == false)
+    assert(got("https://h/ok") == true)
+  }
+
+  test("precedence: longest match wins, allow beats disallow on ties") {
+    val rules = Robots.parseDf(Seq(
+      ("h", "User-agent: *\nDisallow: /dir\nAllow: /dir/open\nDisallow: /tie\nAllow: /tie"))
+      .toDF("host", "txt"), col("host"), col("txt"))
+    val got = Robots.isAllowed(rules,
+        Seq("https://h/dir/x", "https://h/dir/open/x", "https://h/tie/z").toDF("u"),
+        col("u"), "bot")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("https://h/dir/x") == false)       // /dir wins
+    assert(got("https://h/dir/open/x") == true)   // longer allow overrides
+    assert(got("https://h/tie/z") == true)        // equal length: allow wins
+  }
+
+  test("group selection: exact agent beats *, missing host allows") {
+    val rules = Robots.parseDf(Seq(
+      ("h1", "User-agent: *\nDisallow: /\nUser-agent: mybot\nDisallow: /only-this"),
+      ("h2", "User-agent: *\nDisallow: /all"))
+      .toDF("host", "txt"), col("host"), col("txt"))
+    val urls = Seq(
+      "https://h1/anything",   // mybot group applies, not the * catch-all
+      "https://h1/only-this/x",
+      "https://h2/all/x",      // falls to * group
+      "https://h3/no-robots").toDF("u")
+    val got = Robots.isAllowed(rules, urls, col("u"), "MyBot")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("https://h1/anything") == true)
+    assert(got("https://h1/only-this/x") == false)
+    assert(got("https://h2/all/x") == false)
+    assert(got("https://h3/no-robots") == true) // no robots.txt → fetchable
+  }
+}
