@@ -517,6 +517,22 @@ object SparkEntry {
       val urls = docs(s, dir).select(concat(lit("https://h"), k, path).as("url"))
       graft.pipeline.Robots.isAllowed(rules, urls, col("url"), "GraftBot")
     }),
+    "q_sitemap" -> ((s, dir) => {
+      // urlset extraction through the real regex chain (entity-escaped
+      // query loc, whitespace-padded loc without lastmod, loc-less entry
+      // dropped); oracle reconstructs the expected rows directly
+      val id = col("doc_id")
+      val xml = concat(
+        lit("<urlset><url><loc>https://s"), (id % 9).cast("string"),
+        lit(".com/page?a=1&amp;b="), id.cast("string"),
+        lit("</loc><lastmod>2024-0"), ((id % 9) + 1).cast("string"),
+        lit("-01</lastmod></url><url><loc> https://s"), (id % 9).cast("string"),
+        lit(".com/plain/"), id.cast("string"),
+        lit(" </loc></url><url><priority>0.2</priority></url></urlset>"))
+      docs(s, dir).select(id.as("doc_id"),
+          explode(graft.pipeline.Sitemaps.entries(xml)).as("e"))
+        .select(col("doc_id"), col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+    }),
     "q_registrable_domain" -> ((s, dir) => {
       // eTLD+1 over a host mix: multi-part suffix, plain .com, deep
       // subdomain, dotless — the oracle mirrors the regex + CASE logic
@@ -1970,6 +1986,18 @@ object SparkEntry {
         |    END) AS url,
         |  CASE WHEN ((doc_id // 4) % 10) % 2 = 0 THEN NOT (doc_id % 4 = 2)
         |       ELSE NOT (doc_id % 4 = 0) END AS allowed
+        |FROM documents""".stripMargin,
+    "q_sitemap" ->
+      """SELECT doc_id,
+        |       concat('https://s', CAST(doc_id % 9 AS VARCHAR), '.com/page?a=1&b=',
+        |              CAST(doc_id AS VARCHAR)) AS loc,
+        |       concat('2024-0', CAST(doc_id % 9 + 1 AS VARCHAR), '-01') AS lastmod
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id,
+        |       concat('https://s', CAST(doc_id % 9 AS VARCHAR), '.com/plain/',
+        |              CAST(doc_id AS VARCHAR)),
+        |       ''
         |FROM documents""".stripMargin,
     "q_registrable_domain" ->
       """WITH u AS (

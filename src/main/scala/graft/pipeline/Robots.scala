@@ -136,3 +136,43 @@ object Robots {
         coalesce(col("graft_win.a") === 1, lit(true)).as("allowed"))
   }
 }
+
+/**
+ * sitemap.xml extraction — the discovery side of the crawl stack (where
+ * robots.txt says what MAY be fetched, sitemaps say what EXISTS and when
+ * it changed; recrawl scheduling joins on lastmod). Handles both urlset
+ * (`<url>` entries) and sitemapindex (`<sitemap>` entries, nested
+ * sitemap files) documents in one pass.
+ *
+ * Deliberately built from BUILT-IN regexp functions only (RE2-safe
+ * patterns, `(?s)` + non-greedy): the whole extraction is a codegen'd
+ * narrow projection, and the DuckDB oracle replicates it
+ * pattern-for-pattern — no custom parser to diverge.
+ */
+object Sitemaps {
+
+  private def xmlUnescape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&apos;", "'"),
+      "&amp;", "&")
+
+  /** array<struct<loc, lastmod>> of a sitemap document: one entry per
+   * `<url>`/`<sitemap>` block carrying a `<loc>`; `lastmod` is "" when
+   * absent; XML entities in locs decoded (&amp; et al. — sitemap URLs
+   * with query strings are escaped this way per the protocol). */
+  def entries(xml: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(xml,
+          lit("(?s)<url[\\s>].*?</url>|<sitemap[\\s>].*?</sitemap>"), lit(0)),
+        b => struct(
+          xmlUnescape(regexp_extract(b, "(?s)<loc[^>]*>\\s*(.*?)\\s*</loc>", 1)).as("loc"),
+          regexp_extract(b, "(?s)<lastmod[^>]*>\\s*(.*?)\\s*</lastmod>", 1).as("lastmod"))),
+      e => e.getField("loc") =!= lit(""))
+}

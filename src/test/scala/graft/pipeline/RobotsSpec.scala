@@ -89,4 +89,27 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("https://h2/all/x") == false)
     assert(got("https://h3/no-robots") == true) // no robots.txt → fetchable
   }
+
+  test("sitemaps: urlset + sitemapindex entries, lastmod optional, entities decode") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://e.com/a?x=1&amp;y=2</loc><lastmod>2024-01-05</lastmod></url>
+        |  <url><loc>
+        |    https://e.com/b
+        |  </loc></url>
+        |  <url><priority>0.5</priority></url>
+        |</urlset>""".stripMargin
+    val idx =
+      """<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc>
+        |<lastmod>2024-02-01</lastmod></sitemap></sitemapindex>""".stripMargin
+    val got = Seq(Tuple1(xml), Tuple1(idx)).toDF("x")
+      .select(explode(Sitemaps.entries(col("x"))).as("e"))
+      .select(col("e.loc"), col("e.lastmod"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("https://e.com/a?x=1&y=2", "2024-01-05"), // entity decoded, lastmod kept
+      ("https://e.com/b", ""),                   // whitespace trimmed, no lastmod
+      ("https://e.com/s1.xml", "2024-02-01")))   // index entries too; loc-less dropped
+  }
 }
