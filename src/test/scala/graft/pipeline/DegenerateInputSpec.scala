@@ -248,4 +248,52 @@ class DegenerateInputSpec extends AnyFunSuite {
     val cents = Array(0 -> Array(1.0, 0.0))
     assert(Similarity.embeddingOutliers(noEmbs, "vec_id", "embedding", cents, 0.5).count() == 0)
   }
+
+  test("graph tier on empty, null and degenerate inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // rank over an empty graph fails loudly (no node universe to seed)
+    intercept[IllegalArgumentException](
+      Graphs.pageRankFixed(noEdges, col("src"), col("dst")).count())
+    // empty edges but a real node universe: everyone settles at base rank
+    val lonely = Graphs.pageRankFixed(noEdges, col("src"), col("dst"),
+        Seq(1L, 2L).toDF("id"), col("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(lonely.values.toSet == Set(((100L - 85L) * (1000000000000L / 2)) / 100L))
+    // html extractors: null html → null, empty html → empty results
+    val nul = Seq(Tuple1(null: String), Tuple1(""), Tuple1("plain text, no tags"))
+      .toDF("h")
+    val lk = nul.select(Text.htmlLinks(col("h")).as("l")).collect()
+    assert(lk(0).isNullAt(0))
+    assert(lk(1).getSeq[String](0).isEmpty && lk(2).getSeq[String](0).isEmpty)
+    val mt = nul.select(Text.htmlMeta(col("h")).as("m")).collect()
+    assert(mt(0).isNullAt(0))
+    assert(mt(1).getStruct(0).getString(0) == "")
+    // hostEdges/anchorTerms on empty frames → empty frames
+    val noPages = Seq.empty[(String, String)].toDF("url", "html")
+    assert(Graphs.hostEdges(noPages, col("url"), col("html")).count() == 0)
+    assert(Graphs.anchorTerms(noPages, col("html")).count() == 0)
+    assert(Graphs.reciprocalLinkRatio(noEdges, col("src"), col("dst")).count() == 0)
+    assert(Graphs.coCitations(noEdges, col("src"), col("dst")).count() == 0)
+  }
+
+  test("robots/sitemap tier on empty and malformed inputs") {
+    // empty / comment-only / garbage robots bodies parse to zero rules
+    assert(Robots.parse("").isEmpty)
+    assert(Robots.parse("# only comments\n\n:::\nno colon line").isEmpty)
+    val noRules = Robots.parseDf(
+      Seq.empty[(String, String)].toDF("host", "txt"), col("host"), col("txt"))
+    // zero rules → every URL fetchable (the default-allow contract)
+    val got = Robots.isAllowed(noRules,
+        Seq("https://x.com/a").toDF("u"), col("u"), "bot")
+      .collect().map(r => r.getBoolean(1)).toSeq
+    assert(got == Seq(true))
+    // null robots body → no rules, not a crash
+    assert(Robots.parseDf(Seq(("h", null: String)).toDF("host", "txt"),
+      col("host"), col("txt")).count() == 0)
+    // sitemap extraction on null/empty/non-XML text
+    val sm = Seq(Tuple1(null: String), Tuple1(""), Tuple1("not xml at all"))
+      .toDF("x").select(Sitemaps.entries(col("x")).as("e")).collect()
+    assert(sm(0).isNullAt(0))
+    assert(sm(1).getSeq[Any](0).isEmpty && sm(2).getSeq[Any](0).isEmpty)
+  }
 }
