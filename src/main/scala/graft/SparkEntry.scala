@@ -517,6 +517,15 @@ object SparkEntry {
       val urls = docs(s, dir).select(concat(lit("https://h"), k, path).as("url"))
       graft.pipeline.Robots.isAllowed(rules, urls, col("url"), "GraftBot")
     }),
+    "q_readability" -> ((s, dir) =>
+      // Flesch reading ease over the corpus — vowel-group syllables,
+      // sentence units and word counts all mirrored in the oracle
+      docs(s, dir).select(col("doc_id"),
+          graft.pipeline.Text.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.words").cast("long").as("words"),
+          col("r.sentences").cast("long").as("sentences"),
+          col("r.syllables").cast("long").as("syllables"),
+          col("r.flesch").as("flesch"))),
     "q_sitemap" -> ((s, dir) => {
       // urlset extraction through the real regex chain (entity-escaped
       // query loc, whitespace-padded loc without lastmod, loc-less entry
@@ -1987,6 +1996,25 @@ object SparkEntry {
         |  CASE WHEN ((doc_id // 4) % 10) % 2 = 0 THEN NOT (doc_id % 4 = 2)
         |       ELSE NOT (doc_id % 4 = 0) END AS allowed
         |FROM documents""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS words,
+        |         len(list_filter(
+        |           list_transform(regexp_extract_all(text, '[^.!?]+(?:[.!?]+|$)'),
+        |             x -> regexp_replace(x, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')),
+        |           x -> regexp_matches(x, '[\p{L}\p{N}]'))) AS sentences,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, words, sentences, syllables,
+        |       CASE WHEN words > 0 AND sentences > 0 THEN
+        |         round(206.835
+        |           - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |           - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 6)
+        |       END AS flesch
+        |FROM c""".stripMargin,
     "q_sitemap" ->
       """SELECT doc_id,
         |       concat('https://s', CAST(doc_id % 9 AS VARCHAR), '.com/page?a=1&b=',

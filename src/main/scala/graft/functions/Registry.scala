@@ -193,6 +193,7 @@ object Registry {
       if (es.size >= 2) litLong(es(1)).toInt else 50,
       if (es.size >= 3) litLong(es(2)).toInt else 100000))),
     "repetition_ratio" -> (es => ex(graft.pipeline.Text.repetitionRatio(col(es.head)))),
+    "readability" -> (es => ex(graft.pipeline.Text.readability(col(es.head)))),
     "repetition_signals" -> (es => graft.pipeline.RepetitionSignalsExpression(es.head)),
     "compression_ratio" -> (es => graft.pipeline.CompressionRatioExpression(es.head)),
     "clean_text" -> (es => ex(graft.pipeline.Text.cleanText(col(es.head)))),

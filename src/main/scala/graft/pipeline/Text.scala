@@ -178,6 +178,27 @@ object Text {
         .otherwise(last2))
   }
 
+  /** Flesch reading-ease — the edu-quality curation signal (FineWeb-Edu
+   * style filters key on readability bands): struct(words, sentences,
+   * syllables, flesch) with flesch = 206.835 − 1.015·(words/sentences) −
+   * 84.6·(syllables/words), rounded to 6 (null when either denominator is
+   * zero). Syllables are the standard vowel-GROUP heuristic (runs of
+   * [aeiouy] in the lowercased text — crude, deterministic, and the same
+   * crude rule both engines apply); sentences are [[sentences]]' units.
+   * Pure built-ins → codegen'd narrow projection, DuckDB-replicable. */
+  def readability(text: Column): Column = {
+    val t = trim(text)
+    val words = when(t === lit(""), lit(0)).otherwise(size(split(t, "\\s+")))
+    val sents = size(sentences(text))
+    val sylls = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+    val flesch = when(words > 0 && sents > 0,
+      round(lit(206.835)
+        - lit(1.015) * (words.cast(DoubleType) / sents.cast(DoubleType))
+        - lit(84.6) * (sylls.cast(DoubleType) / words.cast(DoubleType)), 6))
+    struct(words.as("words"), sents.as("sentences"),
+      sylls.as("syllables"), flesch.as("flesch"))
+  }
+
   /** Rule-based sentence segmentation: maximal runs of non-terminator
    * characters followed by a `.`/`!`/`?` run (or end of text), trimmed of
    * WHITESPACE on both ends (the explicit `[ \t\n\r\f]` class — `trim()`

@@ -255,6 +255,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.take(2).distinct.size == 1)
   }
 
+  test("readability: counts and Flesch formula, degenerate texts null out") {
+    val r = Seq(
+      "The cat sat. The dog ran.",  // 6 words, 2 sentences, 6 vowel groups
+      "",                           // no words → null flesch
+      "!!! ...").toDF("t")          // punctuation only: 2 "words", 0 sentences
+      .select(Text.readability(col("t")).as("r"))
+      .select(col("r.words"), col("r.sentences"), col("r.syllables"), col("r.flesch"))
+      .collect()
+    assert(r(0).getInt(0) == 6 && r(0).getInt(1) == 2 && r(0).getInt(2) == 6)
+    // 206.835 - 1.015*(6/2) - 84.6*(6/6) = 206.835 - 3.045 - 84.6
+    assert(math.abs(r(0).getDouble(3) - 119.19) < 1e-9)
+    assert(r(1).getInt(0) == 0 && r(1).isNullAt(3))
+    assert(r(2).getInt(1) == 0 && r(2).isNullAt(3))
+  }
+
   test("gopher quality heuristics measure and gate documents") {
     val good = ("the data should be part of " * 10).trim // 60 words, clean
     val symbols = "the be of ### and ... ### that ... have #" // symbol-heavy
