@@ -517,6 +517,16 @@ object SparkEntry {
       val urls = docs(s, dir).select(concat(lit("https://h"), k, path).as("url"))
       graft.pipeline.Robots.isAllowed(rules, urls, col("url"), "GraftBot")
     }),
+    "q_connected_components" -> ((s, dir) => {
+      // chain graph in groups of 10 (doc 0–9, 10–19, …): the operator must
+      // really propagate min labels ~9 iterations; the oracle knows each
+      // component is its decade's first id
+      val d = docs(s, dir).select(col("doc_id"))
+      val edges = d.where(col("doc_id") % 10 < 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      graft.pipeline.Graphs.connectedComponents(
+        edges, col("src"), col("dst"), nodes = d, nodeIdCol = col("doc_id"))
+    }),
     "q_readability" -> ((s, dir) =>
       // Flesch reading ease over the corpus — vowel-group syllables,
       // sentence units and word counts all mirrored in the oracle
@@ -1996,6 +2006,8 @@ object SparkEntry {
         |  CASE WHEN ((doc_id // 4) % 10) % 2 = 0 THEN NOT (doc_id % 4 = 2)
         |       ELSE NOT (doc_id % 4 = 0) END AS allowed
         |FROM documents""".stripMargin,
+    "q_connected_components" ->
+      "SELECT doc_id AS id, doc_id - doc_id % 10 AS component FROM documents",
     "q_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

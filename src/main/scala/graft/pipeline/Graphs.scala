@@ -220,6 +220,52 @@ object Graphs {
       iterations = iterations, tolFp = tolFp)
 
   /**
+   * Connected components — the generic grouping primitive behind
+   * mirror-site clusters, link families and any "these belong together"
+   * analysis (the near-dup pipeline embeds a specialized copy over its
+   * pair graph; this is the standalone operator over arbitrary edges).
+   * Min-label propagation to a fixpoint: every node starts as its own
+   * label, each iteration takes the min of its own and its neighbors'
+   * labels over the UNDIRECTED edge set, and the loop stops when an exact
+   * changed-row count reaches zero — convergence in graph-diameter
+   * iterations, each one shuffle-join + one combining min. Labels are the
+   * natural ordering's minimum (numeric min for numeric ids, lexicographic
+   * for host strings), so components are deterministic. Returns (id,
+   * component). Label frames checkpoint every iteration (the convergence
+   * count materializes them anyway), keeping the iterative plan flat.
+   */
+  def connectedComponents(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      nodes: DataFrame = null, nodeIdCol: Column = null,
+      maxIterations: Int = 50): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val directed = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val und = directed.unionAll(directed.select(col("dst"), col("src")))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val nodeUniverse =
+      if (nodes == null)
+        und.select(col("src").as("id")).distinct()
+      else nodes.select(nodeIdCol.as("id")).distinct()
+    var labels = nodeUniverse.withColumn("component", col("id")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = und
+        .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("component")).as("graft_nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), col("graft_nmin")).as("component"),
+          (col("graft_nmin") < col("component")).as("graft_changed"))
+        .localCheckpoint(true)
+      changed = next.where(col("graft_changed")).count()
+      labels = next.select(col("id"), col("component"))
+      iter += 1
+    }
+    labels
+  }
+
+  /**
    * Reciprocal-link ratio per host — the link-exchange spam signal: of a
    * host's DISTINCT outgoing neighbors, what fraction links back?
    * Organic linking is largely one-directional; paid link exchanges and

@@ -194,6 +194,31 @@ class GraphsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("connectedComponents: chains, direction-blind, isolated nodes, strings") {
+    // two chains (0→1→2→3, 10→11→12) with MIXED edge directions plus an
+    // isolated node 99 supplied via the universe
+    val edges = Seq((0L, 1L), (2L, 1L), (2L, 3L), (11L, 10L), (11L, 12L))
+    val got = Graphs.connectedComponents(
+        edges.toDF("src", "dst"), col("src"), col("dst"),
+        nodes = (Seq(99L) ++ Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L)).toDF("id"),
+        nodeIdCol = col("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    // string keys: lexicographic min becomes the component label
+    val hosts = Seq(("b.com", "a.com"), ("b.com", "c.com")).toDF("s", "t")
+    val hc = Graphs.connectedComponents(hosts, col("s"), col("t"))
+      .as[(String, String)].collect().toMap
+    assert(hc == Map("a.com" -> "a.com", "b.com" -> "a.com", "c.com" -> "a.com"))
+  }
+
+  test("connectedComponents converges on a long chain (diameter iterations)") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val got = Graphs.connectedComponents(chain.toDF("src", "dst"), col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 41 && got.values.toSet == Set(0L))
+  }
+
   test("reciprocalLinkRatio: exchanges score high, one-way links score 0") {
     // ring a↔b, a↔c (full exchange); d links a,b,c one-way; parallel dup kept out
     val edges = Seq(
