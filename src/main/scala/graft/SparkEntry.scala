@@ -517,6 +517,25 @@ object SparkEntry {
       val urls = docs(s, dir).select(concat(lit("https://h"), k, path).as("url"))
       graft.pipeline.Robots.isAllowed(rules, urls, col("url"), "GraftBot")
     }),
+    "q_host_profile" -> ((s, dir) => {
+      // the full host quality table over REALLY-PARSED synthetic pages
+      // (same construction as q_host_rank, decoys included): rank +
+      // reciprocation + degrees in one frame; oracle assembles the same
+      // columns from the arithmetic edge reconstruction
+      val id = col("doc_id")
+      val host = concat(lit("h"), (id % 16).cast("string"), lit(".example.com"))
+      val d1 = concat(lit("h"), ((id * 7 + 1) % 16).cast("string"), lit(".example.com"))
+      val d2 = concat(lit("h"), ((id * 13 + 5) % 16).cast("string"), lit(".example.com"))
+      val html = concat(
+        lit("<html><head><script>var x = \"<a href=\\\"https://decoy.invalid/\\\">\";" +
+          "</script></head><body><p><a href=\"https://"), d1,
+        lit("/p\">one</a> <a href='https://"), d2,
+        lit("/q'>two</a> <a href=\"/rel\">rel</a></p></body></html>"))
+      val pages = docs(s, dir).select(
+        concat(lit("https://"), host, lit("/page/"), id.cast("string")).as("url"),
+        html.as("html"))
+      graft.pipeline.Graphs.hostProfile(pages, col("url"), col("html"))
+    }),
     "q_connected_components" -> ((s, dir) => {
       // chain graph in groups of 10 (doc 0–9, 10–19, …): the operator must
       // really propagate min labels ~9 iterations; the oracle knows each
@@ -2006,6 +2025,49 @@ object SparkEntry {
         |  CASE WHEN ((doc_id // 4) % 10) % 2 = 0 THEN NOT (doc_id % 4 = 2)
         |       ELSE NOT (doc_id % 4 = 0) END AS allowed
         |FROM documents""".stripMargin,
+    // rank CTEs as in q_host_rank, plus the reciprocal/degree columns the
+    // profile joins — all from the same arithmetic edge reconstruction
+    "q_host_profile" ->
+      """WITH e0 AS (
+        |  SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com') AS src,
+        |         concat('h', CAST((doc_id * 7 + 1) % 16 AS VARCHAR), '.example.com') AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT concat('h', CAST(doc_id % 16 AS VARCHAR), '.example.com'),
+        |         concat('h', CAST((doc_id * 13 + 5) % 16 AS VARCHAR), '.example.com')
+        |  FROM documents
+        |),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |node AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS cnt FROM node),
+        |init AS (SELECT 1000000000000 // cnt AS v, (15 * (1000000000000 // cnt)) // 100 AS base FROM nn),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, (SELECT v FROM init) AS rank_fp FROM node),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c1.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c1 ON node.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c2.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c2 ON node.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(r2.rank_fp // d.dg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
+        |       FROM node LEFT JOIN c3 ON node.id = c3.id),
+        |ed AS (SELECT DISTINCT src, dst FROM e),
+        |recip AS (SELECT a.src, count(*) AS reciprocal
+        |          FROM ed a JOIN ed b ON a.src = b.dst AND a.dst = b.src GROUP BY 1),
+        |o AS (SELECT src, count(*) AS out_hosts FROM ed GROUP BY 1),
+        |il AS (SELECT dst, count(*) AS in_links FROM e GROUP BY 1)
+        |SELECT r3.id AS host, r3.rank_fp,
+        |       COALESCE(o.out_hosts, 0) AS out_hosts,
+        |       COALESCE(recip.reciprocal, 0) AS reciprocal,
+        |       COALESCE(COALESCE(recip.reciprocal, 0) * 1000000 // o.out_hosts, 0) AS ratio_ppm,
+        |       COALESCE(il.in_links, 0) AS in_links
+        |FROM r3 LEFT JOIN o ON r3.id = o.src
+        |        LEFT JOIN recip ON r3.id = recip.src
+        |        LEFT JOIN il ON r3.id = il.dst""".stripMargin,
     "q_connected_components" ->
       "SELECT doc_id AS id, doc_id - doc_id % 10 AS component FROM documents",
     "q_readability" ->

@@ -318,6 +318,43 @@ object Graphs {
       .where(col("cocites") >= minCount)
   }
 
+  /**
+   * The host quality table — one row per host with the signals this
+   * module computes, joined: (host, rank_fp, out_hosts, reciprocal,
+   * ratio_ppm, in_links[, trust_fp when seeds are given]). This is the
+   * ARTIFACT a curation pipeline consumes: join it to documents on
+   * [[Text.urlHost]] and gate/weight on the columns. Pages are parsed
+   * ONCE (the edge frame is checkpointed and every signal reads it);
+   * hosts that only ever appear as link targets still get a row (they
+   * have rank and in-links but no outgoing profile — degrees coalesce
+   * to 0).
+   */
+  def hostProfile(
+      pages: DataFrame, urlCol: Column, htmlCol: Column,
+      seeds: DataFrame = null, seedHostCol: Column = null,
+      iterations: Int = 3): DataFrame = {
+    val edges = hostEdges(pages, urlCol, htmlCol).localCheckpoint(true)
+    val ranks = pageRankFixed(edges, col("src"), col("dst"), iterations = iterations)
+      .select(col("id").as("host"), col("rank_fp"))
+    val recip = reciprocalLinkRatio(edges, col("src"), col("dst"))
+    val inLinks = edges.groupBy(col("dst").as("host"))
+      .agg(count(lit(1)).as("in_links"))
+    val base = ranks
+      .join(recip, Seq("host"), "left")
+      .join(inLinks, Seq("host"), "left")
+      .select(col("host"), col("rank_fp"),
+        coalesce(col("out_hosts"), lit(0L)).as("out_hosts"),
+        coalesce(col("reciprocal"), lit(0L)).as("reciprocal"),
+        coalesce(col("ratio_ppm"), lit(0L)).as("ratio_ppm"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"))
+    if (seeds == null) base
+    else base.join(
+      trustRankFixed(edges, col("src"), col("dst"), seeds, seedHostCol,
+          iterations = iterations)
+        .select(col("id").as("host"), col("rank_fp").as("trust_fp")),
+      Seq("host"), "left")
+  }
+
   /** Anchor-term profile per TARGET host — what the rest of the web calls
    * a host ([[Text.htmlAnchors]]), the classic host-description/relevance
    * signal next to its rank: (host, term, cnt), lowercased whitespace

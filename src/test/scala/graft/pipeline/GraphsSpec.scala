@@ -167,6 +167,27 @@ class GraphsSpec extends AnyFunSuite {
       ("u.com", "docs", 1L)))
   }
 
+  test("hostProfile joins rank, reciprocation, degrees and optional trust") {
+    val pages = Seq(
+      ("https://a.com/1", """<a href="https://b.com/x">b</a><a href="https://b.com/y">b2</a>"""),
+      ("https://b.com/1", """<a href="https://a.com/">a</a>"""),
+      ("https://c.com/1", """<a href="https://a.com/">a</a>"""))
+      .toDF("url", "html")
+    val prof = Graphs.hostProfile(pages, col("url"), col("html"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a↔b reciprocate; c links one-way; in_links counts multigraph edges
+    assert(prof("a.com")._2 == 1L && prof("a.com")._4 == 1000000L) // out=|{b}|, full recip
+    assert(prof("b.com")._5 == 2L)  // two parallel a→b links
+    assert(prof("c.com")._2 == 1L && prof("c.com")._4 == 0L)
+    assert(prof.values.forall(_._1 > 0L)) // everyone has rank mass
+    val withTrust = Graphs.hostProfile(pages, col("url"), col("html"),
+        seeds = Seq("a.com").toDF("h"), seedHostCol = col("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(withTrust("b.com") > 0L)   // downstream of the seed
+    assert(withTrust("c.com") == 0L)  // no seed path into c
+  }
+
   test("streaming host-edge intake accumulates; rank refresh sees all batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
