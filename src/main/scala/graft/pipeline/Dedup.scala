@@ -270,6 +270,34 @@ object Dedup {
     df.join(hits, idCol === col("id_c"), "left_anti")
   }
 
+  /**
+   * Precision/recall/F1 of a predicted near-dup PAIR set against labeled
+   * (or exactly-computed) truth pairs — the QA harness that turns "we
+   * switched simhash bands" into a measured recall delta instead of a
+   * hope. Pairs are canonicalized (unordered, deduped) on both sides;
+   * counts come from ONE full-outer join + one combining aggregate, and
+   * the ratios are exact parts-per-million (integer division), so the
+   * whole report is oracle-reproducible: (tp, fp, fn, precision_ppm,
+   * recall_ppm, f1_ppm) — ppm null when the denominator is empty.
+   */
+  def evalPairs(
+      predicted: DataFrame, predA: Column, predB: Column,
+      truth: DataFrame, truthA: Column, truthB: Column): DataFrame = {
+    def canon(df: DataFrame, a: Column, b: Column, flag: String): DataFrame =
+      df.select(least(a, b).as("pa"), greatest(a, b).as("pb"))
+        .distinct().withColumn(flag, lit(true))
+    canon(predicted, predA, predB, "graft_p")
+      .join(canon(truth, truthA, truthB, "graft_t"), Seq("pa", "pb"), "full_outer")
+      .agg(
+        count(when(col("graft_p") && col("graft_t"), 1)).as("tp"),
+        count(when(col("graft_p") && col("graft_t").isNull, 1)).as("fp"),
+        count(when(col("graft_p").isNull && col("graft_t"), 1)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("tp * 1000000L div nullif(tp + fp, 0L)").as("precision_ppm"),
+        expr("tp * 1000000L div nullif(tp + fn, 0L)").as("recall_ppm"),
+        expr("2L * tp * 1000000L div nullif(2L * tp + fp + fn, 0L)").as("f1_ppm"))
+  }
+
   /** SimHash near-dups: pairs with Hamming distance ≤ maxHamming, candidates
    * from 16-bit bands of the 64-bit signature. */
   def simhashNearDups(

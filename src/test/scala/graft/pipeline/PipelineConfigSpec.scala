@@ -273,4 +273,38 @@ class PipelineConfigSpec extends AnyFunSuite {
       "version: 1\nname: x\nsteps: [{kind: filter, name: f, where: \"1=1\"}, " +
         "{kind: filter, name: f, where: \"2=2\"}]"))
   }
+
+  test("r11 SQL functions compose into config pipelines (readability band, eTLD+1 cap)") {
+    graft.functions.Registry.registerAll(spark)
+    val p = PipelineConfig.fromYaml(
+      """version: 1
+        |name: edu_band
+        |steps:
+        |  - kind: with_column
+        |    name: flesch
+        |    column: fl
+        |    expr: "readability(text).flesch"
+        |  - kind: filter
+        |    name: band
+        |    where: "fl IS NOT NULL AND fl >= 0"
+        |  - kind: with_column
+        |    name: domain
+        |    column: dom
+        |    expr: "registrable_domain(url)"
+        |  - kind: cap_per_key
+        |    name: domain_cap
+        |    key: dom
+        |    id: doc_id
+        |    max: 1
+        |""".stripMargin)
+    val docsDf = Seq(
+      (1L, "The cat sat here. A dog ran by.", "https://a.shop.co.uk/1"),
+      (2L, "More plain words sit here today.", "https://b.shop.co.uk/2"), // same eTLD+1
+      (3L, "zzzz bcdfg hjklm npqrs tvwxz qqqq wwww rrrr tttt yyyy uuuu " * 20,
+        "https://other.com/3")) // consonant soup: flesch deeply negative
+      .toDF("doc_id", "text", "url")
+    val kept = p(docsDf).select("doc_id").as[Long].collect().toSet
+    // 3 fails the band; 1 and 2 share registrable domain shop.co.uk → cap 1 keeps lowest id
+    assert(kept == Set(1L))
+  }
 }

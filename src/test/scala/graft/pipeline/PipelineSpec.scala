@@ -255,6 +255,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.take(2).distinct.size == 1)
   }
 
+  test("evalPairs: canonicalization, exact ppm metrics, empty-side nulls") {
+    // (2,3) and (3,2) are ONE pair after canonicalization; dup rows dedup
+    val pred = Seq((1L, 2L), (2L, 3L), (3L, 2L), (4L, 5L)).toDF("a", "b")
+    val truth = Seq((2L, 1L), (4L, 5L), (6L, 7L)).toDF("a", "b")
+    val r = Dedup.evalPairs(pred, col("a"), col("b"), truth, col("a"), col("b"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+    assert(r.getLong(3) == 666666L) // 2/3 precision, exact ppm floor
+    assert(r.getLong(4) == 666666L)
+    assert(r.getLong(5) == 666666L) // 2·2e6 / (4+1+1)
+    val empty = Dedup.evalPairs(
+        Seq.empty[(Long, Long)].toDF("a", "b"), col("a"), col("b"),
+        truth, col("a"), col("b"))
+      .collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getLong(2) == 3L)
+    assert(empty.isNullAt(3) && empty.getLong(4) == 0L) // no preds → precision null
+  }
+
   test("readability: counts and Flesch formula, degenerate texts null out") {
     val r = Seq(
       "The cat sat. The dog ran.",  // 6 words, 2 sentences, 6 vowel groups
