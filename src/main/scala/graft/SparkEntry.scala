@@ -517,6 +517,17 @@ object SparkEntry {
       val urls = docs(s, dir).select(concat(lit("https://h"), k, path).as("url"))
       graft.pipeline.Robots.isAllowed(rules, urls, col("url"), "GraftBot")
     }),
+    "q_dedup_preferring" -> ((s, dir) => {
+      // rank-aware canonical selection: originals carry priority 1,
+      // mutated copies 0 — each near-dup cluster keeps its original even
+      // though the copy has the higher id
+      val c = nearDupCorpus(s, dir)
+        .withColumn("graft_prio",
+          when(col("doc_id") < 10000, lit(1L)).otherwise(lit(0L)))
+      graft.pipeline.Dedup.dropNearDupsPreferring(
+          c, col("doc_id"), col("text"), col("graft_prio"))
+        .select(col("doc_id"))
+    }),
     "q_dedup_eval" -> ((s, dir) => {
       // score the simhash detector against exact trigram-jaccard truth:
       // tp/fp/fn + exact-ppm precision/recall/F1 in one report row. Truth
@@ -1819,6 +1830,36 @@ object SparkEntry {
         |    OR (a.su // 4294967296) % 65536 = (b.su // 4294967296) % 65536
         |    OR (a.su // CAST('281474976710656' AS HUGEINT)) % 65536 = (b.su // CAST('281474976710656' AS HUGEINT)) % 65536)
         |WHERE bit_count(xor(a.sg, b.sg)) <= 8""".stripMargin
+
+  /** clusters from the exact-jaccard pair graph by SIX unrolled rounds of
+   * min-label propagation (near-dup components in this corpus are pairs
+   * and small chains — diameter far below 6; soaked at sf0.01 and sf0.1 —
+   * a longer chain would fail the hash match loudly, not silently), then
+   * the per-cluster winner by (priority DESC, id ASC). */
+  private val PreferringSql: String = {
+    val rounds = (1 to 6).map { k =>
+      val p = s"l${k - 1}"
+      s"""l$k AS (SELECT $p.id, least($p.lbl, COALESCE(m.mn, $p.lbl)) AS lbl
+         |        FROM $p LEFT JOIN (SELECT u.a AS id, min(x.lbl) AS mn
+         |                           FROM und u JOIN $p x ON x.id = u.b GROUP BY 1) m
+         |          ON $p.id = m.id),""".stripMargin
+    }.mkString("\n")
+    s"""WITH pairs AS (
+       |$JaccardPairsSql
+       |),
+       |corpus AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + 10000 FROM documents WHERE doc_id % 10 = 0
+       |),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM corpus),
+       |$rounds
+       |w AS (SELECT id, row_number() OVER (PARTITION BY lbl
+       |        ORDER BY CASE WHEN id < 10000 THEN 1 ELSE 0 END DESC, id) AS rn
+       |      FROM l6)
+       |SELECT id AS doc_id FROM w WHERE rn = 1""".stripMargin
+  }
 
   /** simhash predictions scored against exact-jaccard truth: tp/fp/fn and
    * exact-ppm precision/recall/F1, all integer arithmetic. */
@@ -3414,6 +3455,7 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "q_dedup_simhash" -> SimhashPairsSql,
     "q_dedup_eval" -> DedupEvalSql,
+    "q_dedup_preferring" -> PreferringSql,
     "q_text_fingerprint" ->
       // winnowing replayed exactly: FNV-1a 64-bit over each lowercased
       // 9-gram (wrap-around multiply = HUGEINT mod 2^64; the xor touches

@@ -483,6 +483,35 @@ object Dedup {
   }
 
   /**
+   * Near-dup removal keeping the BEST-PRIORITY member of each cluster —
+   * rank-aware canonical selection: with a host-rank / trust / length
+   * prior as the priority, the canonical source survives and the scraper
+   * copy drops, instead of [[dropNearDups]]' lowest-id-wins (which keeps
+   * whichever copy happened to be ingested first). Higher priority wins;
+   * ties go to the lowest id; NULL priority loses to any non-null
+   * (priority must not be Long.MinValue — it is negated internally).
+   * Clusters come from [[nearDupClusters]] (exact pre-collapse + CC);
+   * selection is ONE combining min-of-struct per cluster + one semi-join,
+   * no window over the corpus.
+   */
+  def dropNearDupsPreferring(
+      df: DataFrame, idCol: Column, textCol: Column, priorityCol: Column,
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxIterations: Int = 20, maxBucketSize: Int = 1000): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, shingleSize, threshold,
+      maxIterations, maxBucketSize = maxBucketSize)
+    val prio = df.select(idCol.as("graft_jid"),
+      when(priorityCol.isNull, lit(Long.MaxValue))
+        .otherwise(-priorityCol.cast("long")).as("graft_negp"))
+    val winners = clusters
+      .join(prio, col("id") === col("graft_jid"))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct(col("graft_negp"), col("id"))).as("graft_w"))
+      .select(col("graft_w.id").as("graft_keep_id"))
+    df.join(winners, idCol === col("graft_keep_id"), "left_semi")
+  }
+
+  /**
    * Cross-document line deduplication (RefinedWeb/CCNet-style boilerplate
    * removal): a line occurring in at least `minDocs` DISTINCT documents is
    * dropped from EVERY document — nav menus, cookie banners, license

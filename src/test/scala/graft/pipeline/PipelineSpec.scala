@@ -255,6 +255,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.take(2).distinct.size == 1)
   }
 
+  test("dropNearDupsPreferring keeps the canonical (high-priority) copy") {
+    val base = "the quick brown fox jumped over the extremely lazy sleeping dog today"
+    val near = "the quick brown fox jumped over the extremely lazy sleeping dog"
+    val corpus = Seq(
+      (1L, base, Some(0L)),    // scraper copy, low priority, LOWER id
+      (2L, near, Some(9L)),    // canonical source, high priority
+      (3L, "a completely different and unrelated document body here", Some(5L)),
+      (4L, base, None: Option[Long])) // exact dup of 1, NULL prio loses
+      .toDF("doc_id", "text", "prio")
+    val kept = Dedup.dropNearDupsPreferring(
+        corpus, col("doc_id"), col("text"), col("prio"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // 2 beats 1 and 4 despite higher id
+    // contrast: lowest-id-wins would keep 1
+    assert(Dedup.dropNearDups(corpus, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("evalPairs: canonicalization, exact ppm metrics, empty-side nulls") {
     // (2,3) and (3,2) are ONE pair after canonicalization; dup rows dedup
     val pred = Seq((1L, 2L), (2L, 3L), (3L, 2L), (4L, 5L)).toDF("a", "b")
