@@ -1498,6 +1498,26 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    "q_ingest_csv" -> ((s, dir) => {
+      // TSV round-trip with quarantine telemetry: export (doc_id, lang,
+      // text) headerless, plant a wrong-arity line and a type-failure
+      // line, read back through the corrupt-capture reader
+      val path = java.nio.file.Files.createTempDirectory("graft_q_csv").toString
+      docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .coalesce(4).write.mode("overwrite")
+        .option("sep", "\t").option("header", "false").csv(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "part-corrupt.csv"),
+        "9999\tonly-two-fields\nnot-a-number\txx\tsome text\n")
+      graft.sources.Csv.readStats(s, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))), delimiter = "\t")
+    }),
     "q_ingest_warc" -> ((s, dir) => {
       // WARC round-trip: export the corpus as WARC/1.0 (odd ids WET-style
       // conversion records, even ids full HTTP response records, one shard
@@ -3784,6 +3804,10 @@ object SparkEntry {
         |FROM s
         |QUALIFY rank <= 5""".stripMargin,
     "q_ingest_jsonl" ->
+      """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
+        |       CAST(2 AS BIGINT) AS corrupt_lines
+        |FROM documents""".stripMargin,
+    "q_ingest_csv" ->
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
         |FROM documents""".stripMargin,
