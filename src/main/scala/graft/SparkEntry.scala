@@ -1498,6 +1498,13 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    "q_pseudonymize" -> ((s, dir) =>
+      // keyed pseudonyms over a synthetic user column: deterministic,
+      // joinable, and byte-identical to DuckDB's sha256 hex
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Pii.pseudonymize(
+          concat(lit("user"), (col("doc_id") % 37).cast("string")), "k2024")
+          .as("user_pseudo"))),
     "q_ingest_csv" -> ((s, dir) => {
       // TSV round-trip with quarantine telemetry: export (doc_id, lang,
       // text) headerless, plant a wrong-arity line and a type-failure
@@ -3806,6 +3813,10 @@ object SparkEntry {
     "q_ingest_jsonl" ->
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
+        |FROM documents""".stripMargin,
+    "q_pseudonymize" ->
+      """SELECT doc_id,
+        |       sha256(concat('k2024:user', CAST(doc_id % 37 AS VARCHAR))) AS user_pseudo
         |FROM documents""".stripMargin,
     "q_ingest_csv" ->
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,

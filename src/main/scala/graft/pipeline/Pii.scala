@@ -62,6 +62,25 @@ object Pii {
     regexp_replace(i, lit(phoneRe), lit("<PHONE>"))
   }
 
+  /**
+   * Deterministic keyed pseudonymization: sha256(key ":" value) as lowercase
+   * hex — the privacy-preserving JOIN KEY for identifier columns (user ids,
+   * emails, hosts): the same value pseudonymizes identically across frames
+   * and batches (joins, dedup and per-key caps keep working on the
+   * pseudonyms), while different keys yield unlinkable namespaces per
+   * tenant/release. This is a keyed HASH, not an HMAC — fine for
+   * pseudonymization (an attacker without the key cannot reverse values
+   * beyond dictionary attacks on low-entropy inputs; rotate the key per
+   * release to break cross-release linkage), NOT a MAC for
+   * integrity/authentication. Null passes through (absent stays absent).
+   * One codegen'd digest per row, narrow at any scale; SQL-replicable
+   * exactly (both engines emit lowercase-hex sha256). */
+  def pseudonymize(value: Column, key: String): Column = {
+    require(key.nonEmpty, "pseudonymize needs a non-empty key")
+    when(value.isNull, lit(null).cast("string"))
+      .otherwise(sha2(concat(lit(key), lit(":"), value.cast("string")), 256))
+  }
+
   /** Fraction of whitespace tokens that are (part of) a PII match —
    * a cheap "drop the whole document" gate (many pipelines drop docs
    * above ~5% rather than redact). */

@@ -255,6 +255,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.take(2).distinct.size == 1)
   }
 
+  test("pseudonymize: deterministic joinable keys, unlinkable across keys") {
+    val a = Seq(("u1", 1), ("u2", 2), (null, 3)).toDF("user", "x")
+      .select(Pii.pseudonymize(col("user"), "k2024").as("p"), col("x"))
+    val b = Seq(("u1", 10), ("u3", 30)).toDF("user", "y")
+      .select(Pii.pseudonymize(col("user"), "k2024").as("p"), col("y"))
+    // joins keep working on pseudonyms — same value, same key, same hash
+    val joined = a.join(b, "p").select("x", "y").as[(Int, Int)].collect().toSeq
+    assert(joined == Seq((1, 10)))
+    // null passes through; different keys are unlinkable namespaces
+    assert(a.where(col("p").isNull).select("x").as[Int].collect().toSeq == Seq(3))
+    val rekeyed = Seq(Tuple1("u1")).toDF("user")
+      .select(Pii.pseudonymize(col("user"), "k2025").as("p")).as[String].head()
+    assert(!a.where(col("p") === rekeyed).isEmpty == false)
+    // exact digest pinned (sha256("k2024:u1")) — the SQL-replicability contract
+    assert(a.orderBy("x").select("p").as[String].head() ==
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest("k2024:u1".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // SQL-callable
+    graft.functions.Registry.registerAll(spark)
+    assert(spark.sql("SELECT pseudonymize('u1', 'k2024') = sha2('k2024:u1', 256) AS ok")
+      .as[Boolean].head())
+  }
+
   test("dropNearDupsPreferring keeps the canonical (high-priority) copy") {
     val base = "the quick brown fox jumped over the extremely lazy sleeping dog today"
     val near = "the quick brown fox jumped over the extremely lazy sleeping dog"
