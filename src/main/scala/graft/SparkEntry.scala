@@ -1498,6 +1498,19 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    "q_drift" -> ((s, dir) => {
+      // PSI between the corpus and a deliberately shifted release (10% of
+      // docs dropped, the %7 cohort re-added at double length): bucket
+      // floors, smoothing and the fixed-point contributions all mirror
+      // the SQL token-for-token
+      val d = docs(s, dir)
+      val newRelease = d.where(col("doc_id") % 10 =!= 0)
+        .select(col("n_chars"))
+        .unionAll(d.where(col("doc_id") % 7 === 0)
+          .select((col("n_chars") * 2).as("n_chars")))
+      graft.pipeline.Curation.distributionDrift(
+        d.select(col("n_chars")), newRelease, col("n_chars"))
+    }),
     "q_pseudonymize" -> ((s, dir) =>
       // keyed pseudonyms over a synthetic user column: deterministic,
       // joinable, and byte-identical to DuckDB's sha256 hex
@@ -3814,6 +3827,32 @@ object SparkEntry {
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
         |FROM documents""".stripMargin,
+    "q_drift" ->
+      """WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |n AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT CAST(n_chars * 2 AS DOUBLE) FROM documents WHERE doc_id % 7 = 0
+        |),
+        |ob AS (SELECT CASE WHEN v IS NULL OR v <= 0 THEN -2147483648
+        |              ELSE CAST(floor(log10(v) * 20 + 1e-9) AS INT) END AS b,
+        |              CAST(count(*) AS BIGINT) AS oc
+        |       FROM o GROUP BY 1),
+        |nb AS (SELECT CASE WHEN v IS NULL OR v <= 0 THEN -2147483648
+        |              ELSE CAST(floor(log10(v) * 20 + 1e-9) AS INT) END AS b,
+        |              CAST(count(*) AS BIGINT) AS nc
+        |       FROM n GROUP BY 1),
+        |j AS (SELECT COALESCE(ob.oc, 0) AS oc, COALESCE(nb.nc, 0) AS nc
+        |      FROM ob FULL OUTER JOIN nb ON ob.b = nb.b),
+        |t AS (SELECT CAST(sum(oc) AS BIGINT) AS tn, CAST(sum(nc) AS BIGINT) AS tm,
+        |             CAST(count(*) AS BIGINT) AS tb FROM j)
+        |SELECT CAST(sum(CAST(floor(
+        |         (CAST(oc + 1 AS DOUBLE) / CAST(tn + tb AS DOUBLE)
+        |          - CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE))
+        |         * ln((CAST(oc + 1 AS DOUBLE) / CAST(tn + tb AS DOUBLE))
+        |              / (CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE)))
+        |         * 1e9) AS BIGINT)) AS BIGINT) AS psi_e9,
+        |       tb AS n_buckets, tn AS old_total, tm AS new_total
+        |FROM j, t GROUP BY tb, tn, tm""".stripMargin,
     "q_pseudonymize" ->
       """SELECT doc_id,
         |       sha256(concat('k2024:user', CAST(doc_id % 37 AS VARCHAR))) AS user_pseudo

@@ -583,6 +583,54 @@ object Curation {
   }
 
   /**
+   * Population-stability-index drift between two corpus versions over a
+   * numeric signal (doc length, token count, quality score) — the release
+   * QA check next to [[corpusDiff]]: diff says WHICH rows changed, PSI
+   * says whether the DISTRIBUTION moved (rule of thumb: < 0.1 stable,
+   * 0.1–0.25 drifting, > 0.25 investigate — thresholds are convention,
+   * the statistic is standard credit-risk/ML-monitoring practice).
+   * Buckets are [[graft.functions.LogHistogram]]'s log10 buckets (the
+   * 1e-9-nudged floor that reproduces across engines; values ≤ 0 under
+   * one reserved bucket), counts Laplace-smoothed (+1 over the union
+   * bucket set) so empty buckets never blow the logarithm up. Per-bucket
+   * contributions (p−q)·ln(p/q) ≥ 0 floor to 1e-9 fixed-point longs
+   * before the exact sum (the engine-wide convention: deterministic,
+   * order-independent, oracle-reproducible). Returns one row
+   * (psi_e9, n_buckets, old_total, new_total). Plan: two keyed counts,
+   * one full-outer join on bucket, one broadcast totals row, one sum.
+   */
+  def distributionDrift(
+      oldDf: DataFrame, newDf: DataFrame, valueCol: Column,
+      bucketsPerDecade: Int = 20): DataFrame = {
+    require(bucketsPerDecade > 0, s"bucketsPerDecade must be positive, got $bucketsPerDecade")
+    def bucketed(df: DataFrame, cnt: String): DataFrame = {
+      val v = valueCol.cast("double")
+      val b = when(v.isNull || v <= 0, lit(Int.MinValue))
+        .otherwise(floor(log10(v) * bucketsPerDecade + lit(1e-9)).cast("int"))
+      df.select(b.as("graft_b")).groupBy("graft_b").agg(count(lit(1)).as(cnt))
+    }
+    val joined = bucketed(oldDf, "graft_o")
+      .join(bucketed(newDf, "graft_n"), Seq("graft_b"), "full_outer")
+      .select(col("graft_b"),
+        coalesce(col("graft_o"), lit(0L)).as("graft_o"),
+        coalesce(col("graft_n"), lit(0L)).as("graft_n"))
+    val totals = joined.agg(
+      sum(col("graft_o")).as("graft_tn"), sum(col("graft_n")).as("graft_tm"),
+      count(lit(1)).as("graft_tb"))
+    val p = (col("graft_o") + lit(1L)).cast("double") /
+      (col("graft_tn") + col("graft_tb")).cast("double")
+    val q = (col("graft_n") + lit(1L)).cast("double") /
+      (col("graft_tm") + col("graft_tb")).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(floor((p - q) * log(p / q) * lit(1e9)).as("graft_c"),
+        col("graft_tn"), col("graft_tm"), col("graft_tb"))
+      .groupBy(col("graft_tn"), col("graft_tm"), col("graft_tb"))
+      .agg(sum(col("graft_c")).as("psi_e9"))
+      .select(col("psi_e9"), col("graft_tb").as("n_buckets"),
+        col("graft_tn").as("old_total"), col("graft_tm").as("new_total"))
+  }
+
+  /**
    * Corpus diff — dataset release engineering: what changed between two
    * versions of a corpus? Returns (id, status) with status ∈ added /
    * removed / changed / unchanged, decided by id presence and the 128-bit

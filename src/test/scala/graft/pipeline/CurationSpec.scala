@@ -578,6 +578,31 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("distributionDrift: identical corpora score 0, shifts score high") {
+    val base = (1L to 400L).map(i => Tuple1((i % 50 + 10).toDouble)).toDF("v")
+    val same = Curation.distributionDrift(base, base, col("v")).collect()(0)
+    assert(same.getLong(0) == 0L) // p == q in every bucket → exactly zero
+    assert(same.getLong(2) == 400L && same.getLong(3) == 400L)
+    // 10x the values: mass moves a full decade of buckets — PSI explodes
+    val shifted = base.select((col("v") * 10).as("v"))
+    val drift = Curation.distributionDrift(base, shifted, col("v")).collect()(0)
+    assert(drift.getLong(0) > 250000000L) // >> the 0.25 investigate line
+    // nonpositive values land in the reserved bucket, not an error
+    val withZeros = base.unionAll(Seq(Tuple1(0.0), Tuple1(-5.0)).toDF("v"))
+    assert(Curation.distributionDrift(base, withZeros, col("v"))
+      .collect()(0).getLong(0) >= 0L)
+  }
+
+  test("distributionDrift is partition-invariant (fixed-point sum)") {
+    val a = (1L to 300L).map(i => Tuple1((i % 37 + 3).toDouble)).toDF("v")
+    val b = (1L to 300L).map(i => Tuple1((i % 23 + 7).toDouble)).toDF("v")
+    val r1 = Curation.distributionDrift(a.repartition(1), b.repartition(1), col("v"))
+      .collect()(0).getLong(0)
+    val r7 = Curation.distributionDrift(a.repartition(7), b.repartition(3), col("v"))
+      .collect()(0).getLong(0)
+    assert(r1 == r7 && r1 > 0L)
+  }
+
   test("robustOutliers: exact median/MAD, planted outlier flagged per group") {
     // group a: {10,11,12,13,1000} → med 12, devs {2,1,0,1,988} → MAD 1
     //   threshold 3.5·1.4826·1 ≈ 5.19 → only 1000 flags
