@@ -1511,6 +1511,23 @@ object SparkEntry {
       graft.pipeline.Curation.distributionDrift(
         d.select(col("n_chars")), newRelease, col("n_chars"))
     }),
+    "q_drift_sketch" -> ((s, dir) => {
+      // per-language drift from PERSISTED histogram sketches — the shape
+      // the stats-table workflow uses: histogram each release once,
+      // compare without rescanning; oracle recomputes the same PSI from
+      // grouped bucket counts
+      import graft.functions.dsl.log_histogram
+      val d = docs(s, dir)
+      val newRelease = d.where(col("doc_id") % 10 =!= 0)
+        .select(col("lang"), col("n_chars"))
+        .unionAll(d.where(col("doc_id") % 7 === 0)
+          .select(col("lang"), (col("n_chars") * 2).as("n_chars")))
+      val ho = d.groupBy(col("lang")).agg(log_histogram(col("n_chars")).as("graft_ho"))
+      val hn = newRelease.groupBy(col("lang")).agg(log_histogram(col("n_chars")).as("graft_hn"))
+      ho.join(hn, Seq("lang"))
+        .select(col("lang"),
+          graft.pipeline.Curation.histogramPsi(col("graft_ho"), col("graft_hn")).as("psi_e9"))
+    }),
     "q_pseudonymize" -> ((s, dir) =>
       // keyed pseudonyms over a synthetic user column: deterministic,
       // joinable, and byte-identical to DuckDB's sha256 hex
@@ -3853,6 +3870,33 @@ object SparkEntry {
         |         * 1e9) AS BIGINT)) AS BIGINT) AS psi_e9,
         |       tb AS n_buckets, tn AS old_total, tm AS new_total
         |FROM j, t GROUP BY tb, tn, tm""".stripMargin,
+    "q_drift_sketch" ->
+      """WITH o AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |n AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT lang, CAST(n_chars * 2 AS DOUBLE) FROM documents WHERE doc_id % 7 = 0
+        |),
+        |ob AS (SELECT lang, CASE WHEN v IS NULL OR v <= 0 THEN -2147483648
+        |              ELSE CAST(floor(log10(v) * 20 + 1e-9) AS INT) END AS b,
+        |              CAST(count(*) AS BIGINT) AS oc
+        |       FROM o GROUP BY 1, 2),
+        |nb AS (SELECT lang, CASE WHEN v IS NULL OR v <= 0 THEN -2147483648
+        |              ELSE CAST(floor(log10(v) * 20 + 1e-9) AS INT) END AS b,
+        |              CAST(count(*) AS BIGINT) AS nc
+        |       FROM n GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(ob.lang, nb.lang) AS lang,
+        |             COALESCE(ob.oc, 0) AS oc, COALESCE(nb.nc, 0) AS nc
+        |      FROM ob FULL OUTER JOIN nb ON ob.lang = nb.lang AND ob.b = nb.b),
+        |t AS (SELECT lang, CAST(sum(oc) AS BIGINT) AS tn, CAST(sum(nc) AS BIGINT) AS tm,
+        |             CAST(count(*) AS BIGINT) AS tb FROM j GROUP BY 1)
+        |SELECT j.lang,
+        |       CAST(sum(CAST(floor(
+        |         (CAST(oc + 1 AS DOUBLE) / CAST(tn + tb AS DOUBLE)
+        |          - CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE))
+        |         * ln((CAST(oc + 1 AS DOUBLE) / CAST(tn + tb AS DOUBLE))
+        |              / (CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE)))
+        |         * 1e9) AS BIGINT)) AS BIGINT) AS psi_e9
+        |FROM j JOIN t ON j.lang = t.lang GROUP BY j.lang""".stripMargin,
     "q_pseudonymize" ->
       """SELECT doc_id,
         |       sha256(concat('k2024:user', CAST(doc_id % 37 AS VARCHAR))) AS user_pseudo

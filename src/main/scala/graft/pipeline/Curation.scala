@@ -631,6 +631,39 @@ object Curation {
   }
 
   /**
+   * PSI from two PERSISTED log-histogram maps ([[graft.functions
+   * .LogHistogram]] sketches) — the sketch-side twin of
+   * [[distributionDrift]] and the shape the 100 TB workflow actually
+   * uses: histogram each release ONCE into the stats table, then compare
+   * any two releases (or any two domains) without rescanning either
+   * corpus. Same math to the bit — union bucket set, +1 Laplace
+   * smoothing, (p−q)·ln(p/q) floored to 1e-9 longs — so
+   * `histogramPsi(h_old, h_new)` on sketches EQUALS `distributionDrift`
+   * on the raw frames (spec-pinned equality). One Column expression: per
+   * group/domain drift is a narrow projection over an already-aggregated
+   * frame. The bucket-union fold re-evaluates the total-count
+   * subexpressions per bucket (O(B²) adds at B ≈ a few hundred buckets —
+   * nanoseconds against a corpus scan). */
+  def histogramPsi(oldHist: Column, newHist: Column): Column = {
+    def emptyHist = expr("cast(map() as map<int,bigint>)")
+    val a = coalesce(oldHist, emptyHist)
+    val b = coalesce(newHist, emptyHist)
+    val keys = array_sort(array_distinct(concat(map_keys(a), map_keys(b))))
+    def total(m: Column) =
+      aggregate(map_values(m), lit(0L), (acc, x) => acc + x)
+    val tn = total(a)
+    val tm = total(b)
+    val tb = size(keys).cast("long")
+    aggregate(keys, lit(0L), (acc, k) => {
+      val p = (coalesce(element_at(a, k), lit(0L)) + lit(1L)).cast("double") /
+        (tn + tb).cast("double")
+      val q = (coalesce(element_at(b, k), lit(0L)) + lit(1L)).cast("double") /
+        (tm + tb).cast("double")
+      acc + floor((p - q) * log(p / q) * lit(1e9))
+    })
+  }
+
+  /**
    * Corpus diff — dataset release engineering: what changed between two
    * versions of a corpus? Returns (id, status) with status ∈ added /
    * removed / changed / unchanged, decided by id presence and the 128-bit

@@ -593,6 +593,24 @@ class CurationSpec extends AnyFunSuite {
       .collect()(0).getLong(0) >= 0L)
   }
 
+  test("histogramPsi on sketches EQUALS distributionDrift on raw frames") {
+    import graft.functions.dsl.log_histogram
+    val a = (1L to 400L).map(i => Tuple1((i % 50 + 10).toDouble)).toDF("v")
+    val b = (1L to 300L).map(i => Tuple1((i % 23 + 7).toDouble * 3)).toDF("v")
+    val raw = Curation.distributionDrift(a, b, col("v")).collect()(0).getLong(0)
+    val ha = a.agg(log_histogram(col("v")).as("h"))
+    val hb = b.agg(log_histogram(col("v")).as("hb"))
+    val sketch = ha.crossJoin(hb)
+      .select(Curation.histogramPsi(col("h"), col("hb")).as("psi"))
+      .collect()(0).getLong(0)
+    assert(sketch == raw && raw > 0L)
+    // identical sketches → exactly zero; null sketch → empty map, finite
+    assert(ha.crossJoin(ha.select(col("h").as("h2")))
+      .select(Curation.histogramPsi(col("h"), col("h2"))).collect()(0).getLong(0) == 0L)
+    assert(ha.select(Curation.histogramPsi(col("h"), lit(null)))
+      .collect()(0).getLong(0) >= 0L)
+  }
+
   test("distributionDrift is partition-invariant (fixed-point sum)") {
     val a = (1L to 300L).map(i => Tuple1((i % 37 + 3).toDouble)).toDF("v")
     val b = (1L to 300L).map(i => Tuple1((i % 23 + 7).toDouble)).toDF("v")
