@@ -227,6 +227,36 @@ class HtmlSpec extends AnyFunSuite {
     assert(meta(html) == ("Real", Seq(("a", "b"))))
   }
 
+  test("tag-soup fuzz: 400 random soups — no throw, anchors.href == links") {
+    // deterministic seed: the corpus front door sees adversarial-grade
+    // garbage; every extractor must stay total, and the two link scanners
+    // must agree on the href sequence no matter how broken the markup is
+    val rng = new scala.util.Random(0xC0FFEE)
+    val pieces = Array(
+      "<a href=\"u1\">", "<a href='u2'>", "<a href=u3>", "</a>", "<a name=x>",
+      "<p>", "</p>", "<div>", "</div>", "<script>", "</script>", "var x=\"<a href=\\\"d\\\">\";",
+      "<style>", "a{color:red}", "<!--", "-->", "<title>", "</title>",
+      "<meta name=\"k\" content=\"v\">", "<meta charset=utf-8>", "&amp;", "&#65;", "&bogus;",
+      "plain text ", "5<6 ", "<3 ", "<", ">", "\"", "'", "<b>", "</b>", "<a ", "href=", "=\"", "\n")
+    val soups = (1 to 400).map { i =>
+      (i.toLong, (0 until 30).map(_ => pieces(rng.nextInt(pieces.length))).mkString)
+    }.toDF("id", "h")
+    val out = soups.select(col("id"),
+        Text.htmlLinks(col("h")).as("l"),
+        Text.htmlAnchors(col("h")).as("a"),
+        Text.htmlMeta(col("h")).as("m"),
+        Text.extractHtml(col("h"), 0.5).as("t"))
+      .collect()
+    assert(out.length == 400)
+    out.foreach { r =>
+      val links = r.getSeq[String](1)
+      val anchors = r.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0))
+      assert(links == anchors, s"href mismatch on soup ${r.getLong(0)}")
+      assert(r.getStruct(3).getString(0) != null) // title is never null
+      assert(r.getString(4) != null)              // extraction is total
+    }
+  }
+
   test("hostEdges: real parse + host extraction, relative/self links drop") {
     val pages = Seq(
       ("https://s.com/1",

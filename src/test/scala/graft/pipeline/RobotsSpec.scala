@@ -90,6 +90,24 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("https://h3/no-robots") == true) // no robots.txt → fetchable
   }
 
+  test("robots fuzz: 300 random bodies parse totally with sane rules") {
+    val rng = new scala.util.Random(0xBEEF)
+    val lines = Array(
+      "User-agent: *", "User-agent: bot1", "user-AGENT: Bot2", "User-agent:",
+      "Disallow: /a", "Allow: /a/b", "Disallow:", "Allow:", "Disallow: /*.pdf$",
+      "Crawl-delay: 5", "Sitemap: https://x/s.xml", "# comment", "",
+      ":", ":::", "no colon here", "Disallow : /spaced", "Garbage: value")
+    (1 to 300).foreach { _ =>
+      val body = (0 until 20).map(_ => lines(rng.nextInt(lines.length))).mkString("\n")
+      val rules = Robots.parse(body)
+      rules.foreach { r =>
+        assert(r.pattern.nonEmpty)         // empty values never emit rules
+        assert(r.agent == r.agent.toLowerCase(java.util.Locale.ROOT))
+        if (r.wild) assert(r.regex.startsWith("^")) // anchored translation
+      }
+    }
+  }
+
   test("sitemaps: urlset + sitemapindex entries, lastmod optional, entities decode") {
     val xml =
       """<?xml version="1.0"?>
