@@ -270,6 +270,35 @@ object Dedup {
     df.join(hits, idCol === col("id_c"), "left_anti")
   }
 
+  /** One candidate banding: b bands of r rows over b·r hashes, with the
+   * S-curve facts an operator tunes by — the similarity where candidate
+   * probability crosses 1/2 (`crossover` ≈ (1/b)^(1/r)) and the exact
+   * candidate probabilities 1−(1−s^r)^b at the target threshold and ±0.1
+   * around it (recall at threshold; leakage below it). */
+  case class LshPlan(bands: Int, rowsPerBand: Int, crossover: Double,
+      pAtThreshold: Double, pBelow: Double, pAbove: Double)
+
+  /** Rank every valid banding of `numHashes` for a Jaccard `threshold` —
+   * driver-side MATH, no data: the standard LSH S-curve analysis (Leskovec
+   * et al., MMDS ch.3) that turns "which bands setting?" into a printed
+   * table instead of folklore. Sorted by |crossover − threshold| (the
+   * banding whose steep region sits ON the threshold first); pick the
+   * first entry with acceptable pBelow (false-candidate mass) — more
+   * bands = more recall AND more candidate pairs. [[evalPairs]] then
+   * measures what the choice actually did. */
+  def lshPlans(numHashes: Int, threshold: Double): Seq[LshPlan] = {
+    require(numHashes > 0, "numHashes must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    def p(s: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+    (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      LshPlan(b, r, math.pow(1.0 / b, 1.0 / r),
+        p(threshold, r, b),
+        p(math.max(threshold - 0.1, 0.01), r, b),
+        p(math.min(threshold + 0.1, 0.99), r, b))
+    }.sortBy(pl => math.abs(pl.crossover - threshold))
+  }
+
   /**
    * Precision/recall/F1 of a predicted near-dup PAIR set against labeled
    * (or exactly-computed) truth pairs — the QA harness that turns "we

@@ -238,15 +238,50 @@ object Graphs {
       edges: DataFrame, srcCol: Column, dstCol: Column,
       nodes: DataFrame = null, nodeIdCol: Column = null,
       maxIterations: Int = 50): DataFrame = {
-    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
     val directed = edges.select(srcCol.as("src"), dstCol.as("dst"))
-    val und = directed.unionAll(directed.select(col("dst"), col("src")))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val und = undirected(directed)
     val nodeUniverse =
       if (nodes == null)
         und.select(col("src").as("id")).distinct()
       else nodes.select(nodeIdCol.as("id")).distinct()
-    var labels = nodeUniverse.withColumn("component", col("id")).localCheckpoint(true)
+    ccLoop(und, nodeUniverse.withColumn("component", col("id")), maxIterations)
+  }
+
+  /**
+   * WARM-START connected components — the incremental-growth shape: a new
+   * crawl adds edges to a graph whose components are already computed, and
+   * re-converging from the PREVIOUS labels takes iterations proportional
+   * to how far the new edges move labels (usually 1–2), not to the whole
+   * graph's diameter. `prevLabels` is a (id, component) frame (a previous
+   * run's output, typically read back from the stats table); nodes new to
+   * the universe start as their own label. Correctness does NOT depend on
+   * the warm start — min-label propagation converges to the same fixpoint
+   * from any initialization whose labels are existing node ids, and the
+   * warm labels are exactly that (spec-pinned warm == cold). Pass the
+   * FULL edge set (old ∪ new): merging two previously-separate components
+   * must propagate through old edges too.
+   */
+  def connectedComponentsFrom(
+      prevLabels: DataFrame, edges: DataFrame, srcCol: Column, dstCol: Column,
+      maxIterations: Int = 50): DataFrame = {
+    val directed = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val und = undirected(directed)
+    val universe = und.select(col("src").as("id")).distinct()
+      .unionAll(prevLabels.select(col("id"))).distinct()
+    val init = universe
+      .join(prevLabels.withColumnRenamed("component", "graft_prev"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("graft_prev"), col("id")).as("component"))
+    ccLoop(und, init, maxIterations)
+  }
+
+  private def undirected(directed: DataFrame): DataFrame =
+    directed.unionAll(directed.select(col("dst"), col("src")))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+
+  private def ccLoop(
+      und: DataFrame, labels0: DataFrame, maxIterations: Int): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    var labels = labels0.localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIterations) {

@@ -233,6 +233,27 @@ class GraphsSpec extends AnyFunSuite {
     assert(hc == Map("a.com" -> "a.com", "b.com" -> "a.com", "c.com" -> "a.com"))
   }
 
+  test("warm-start CC from previous labels equals a cold run on the union") {
+    val oldEdges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L))
+    val prev = Graphs.connectedComponents(
+      oldEdges.toDF("src", "dst"), col("src"), col("dst"))
+    // a new crawl merges {10,11} into {0,1,2}, adds a fresh pair {30,31}
+    val allEdges = oldEdges ++ Seq((2L, 10L), (30L, 31L))
+    val warm = Graphs.connectedComponentsFrom(prev,
+        allEdges.toDF("src", "dst"), col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+    val cold = Graphs.connectedComponents(
+        allEdges.toDF("src", "dst"), col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(warm == cold)
+    assert(warm(11L) == 0L && warm(30L) == 30L && warm(21L) == 20L)
+    // previous-only nodes (dropped from the new edge set) keep their row
+    val prunedWarm = Graphs.connectedComponentsFrom(prev,
+        Seq((0L, 1L)).toDF("src", "dst"), col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(prunedWarm.keySet.contains(20L)) // still in the universe via prev
+  }
+
   test("connectedComponents converges on a long chain (diameter iterations)") {
     val chain = (0L until 40L).map(i => (i, i + 1))
     val got = Graphs.connectedComponents(chain.toDF("src", "dst"), col("src"), col("dst"))

@@ -255,6 +255,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.take(2).distinct.size == 1)
   }
 
+  test("lshPlans: S-curve math ranks bandings around the threshold") {
+    val plans = Dedup.lshPlans(64, threshold = 0.7)
+    assert(plans.map(p => (p.bands, p.rowsPerBand)).toSet ==
+      Set((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)))
+    val best = plans.head
+    // the default 16x4 banding's crossover (1/16)^(1/4) = 0.5 sits nearest
+    // 0.7 among divisors of 64... verify analytically rather than assume:
+    assert(plans.forall(p => math.abs(best.crossover - 0.7) <=
+      math.abs(p.crossover - 0.7) + 1e-12))
+    // S-curve sanity: recall above threshold beats leakage below, always
+    plans.foreach { p =>
+      assert(p.pAbove >= p.pAtThreshold && p.pAtThreshold >= p.pBelow)
+      assert(p.pAtThreshold >= 0.0 && p.pAtThreshold <= 1.0)
+    }
+    // the shipped default (16 bands x 4 rows) catches >= 93% at s = 0.7
+    val shipped = plans.find(p => p.bands == 16 && p.rowsPerBand == 4).get
+    assert(shipped.pAtThreshold > 0.93)
+  }
+
   test("pseudonymize: deterministic joinable keys, unlinkable across keys") {
     val a = Seq(("u1", 1), ("u2", 2), (null, 3)).toDF("user", "x")
       .select(Pii.pseudonymize(col("user"), "k2024").as("p"), col("x"))
