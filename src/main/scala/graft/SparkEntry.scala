@@ -1498,6 +1498,21 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    "q_release_report" -> ((s, dir) => {
+      // the one-call release gate on the q_corpus_diff scenario, with
+      // n_chars drift alongside the row-level counts
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 5 === 0, col("n_chars") + 3)
+            .otherwise(col("n_chars")).as("n_chars"))
+        .unionAll(v1.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 90000).as("doc_id"), col("text"), col("n_chars")))
+      graft.pipeline.Curation.releaseReport(
+        v1, v2, col("doc_id"), col("n_chars"), col("text"))
+    }),
     "q_drift" -> ((s, dir) => {
       // PSI between the corpus and a deliberately shifted release (10% of
       // docs dropped, the %7 cohort re-added at double length): bucket
@@ -3844,6 +3859,54 @@ object SparkEntry {
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
         |FROM documents""".stripMargin,
+    "q_release_report" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |         CASE WHEN doc_id % 5 = 0 THEN n_chars + 3 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 90000, text, n_chars FROM documents WHERE doc_id % 11 = 0
+        |),
+        |d AS (
+        |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.text = b.text THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM documents a FULL OUTER JOIN v2 b USING (doc_id)
+        |),
+        |counts AS (
+        |  SELECT CAST(count(CASE WHEN status = 'added' THEN 1 END) AS BIGINT) AS added,
+        |         CAST(count(CASE WHEN status = 'removed' THEN 1 END) AS BIGINT) AS removed,
+        |         CAST(count(CASE WHEN status = 'changed' THEN 1 END) AS BIGINT) AS changed,
+        |         CAST(count(CASE WHEN status = 'unchanged' THEN 1 END) AS BIGINT) AS unchanged
+        |  FROM d
+        |),
+        |o AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |n AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM v2),
+        |ob AS (SELECT CASE WHEN v IS NULL OR v <= 0 THEN -2147483648
+        |              ELSE CAST(floor(log10(v) * 20 + 1e-9) AS INT) END AS b,
+        |              CAST(count(*) AS BIGINT) AS oc
+        |       FROM o GROUP BY 1),
+        |nb AS (SELECT CASE WHEN v IS NULL OR v <= 0 THEN -2147483648
+        |              ELSE CAST(floor(log10(v) * 20 + 1e-9) AS INT) END AS b,
+        |              CAST(count(*) AS BIGINT) AS nc
+        |       FROM n GROUP BY 1),
+        |j AS (SELECT COALESCE(ob.oc, 0) AS oc, COALESCE(nb.nc, 0) AS nc
+        |      FROM ob FULL OUTER JOIN nb ON ob.b = nb.b),
+        |t AS (SELECT CAST(sum(oc) AS BIGINT) AS tn, CAST(sum(nc) AS BIGINT) AS tm,
+        |             CAST(count(*) AS BIGINT) AS tb FROM j),
+        |psi AS (
+        |  SELECT CAST(sum(CAST(floor(
+        |           (CAST(oc + 1 AS DOUBLE) / CAST(tn + tb AS DOUBLE)
+        |            - CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE))
+        |           * ln((CAST(oc + 1 AS DOUBLE) / CAST(tn + tb AS DOUBLE))
+        |                / (CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE)))
+        |           * 1e9) AS BIGINT)) AS BIGINT) AS psi_e9,
+        |         tb AS n_buckets, tn AS old_total, tm AS new_total
+        |  FROM j, t GROUP BY tb, tn, tm
+        |)
+        |SELECT counts.*, psi.* FROM counts, psi""".stripMargin,
     "q_drift" ->
       """WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
         |n AS (

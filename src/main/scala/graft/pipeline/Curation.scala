@@ -631,6 +631,30 @@ object Curation {
   }
 
   /**
+   * The one-call release gate: row-level diff counts ([[corpusDiff]]) and
+   * distribution drift ([[distributionDrift]]) in ONE report row —
+   * (added, removed, changed, unchanged, psi_e9, n_buckets, old_total,
+   * new_total) — what a release pipeline asserts on before publishing
+   * (e.g. removed/changed below caps AND psi under 0.25). Both inputs
+   * are scanned once per statistic; the diff side shuffles fingerprints
+   * only, the drift side bucket ids only.
+   */
+  def releaseReport(
+      oldDf: DataFrame, newDf: DataFrame, idCol: Column,
+      signalCol: Column, contentCols: Column*): DataFrame = {
+    val diff = corpusDiff(oldDf, newDf, idCol, contentCols: _*)
+      .groupBy().pivot("status", Seq("added", "removed", "changed", "unchanged"))
+      .agg(count(lit(1)))
+      .select(
+        coalesce(col("added"), lit(0L)).as("added"),
+        coalesce(col("removed"), lit(0L)).as("removed"),
+        coalesce(col("changed"), lit(0L)).as("changed"),
+        coalesce(col("unchanged"), lit(0L)).as("unchanged"))
+    val drift = distributionDrift(oldDf, newDf, signalCol)
+    diff.crossJoin(drift) // both single-row
+  }
+
+  /**
    * PSI from two PERSISTED log-histogram maps ([[graft.functions
    * .LogHistogram]] sketches) — the sketch-side twin of
    * [[distributionDrift]] and the shape the 100 TB workflow actually
