@@ -802,6 +802,18 @@ object SparkEntry {
       graft.pipeline.Similarity.embeddingOutliers(e, "vec_id", "embedding", cents, 0.18)
         .withColumnRenamed("id", "vec_id")
     }),
+    "q_ann_eval" -> ((s, dir) => {
+      // price the SQ8 quantization: its top-3 lists vs brute-force truth,
+      // recall in exact ppm; BOTH sides replay in the oracle
+      val e = embeddings(s, dir)
+      val p = graft.pipeline.Sq.train(e, col("embedding"))
+      val enc = graft.pipeline.Sq.encodeDf(e, col("vec_id"), col("embedding"), p)
+      val pred = graft.pipeline.Sq.search(
+        enc, p, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
+      val truth = graft.pipeline.Similarity.bruteForceTopK(
+        e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
+      graft.pipeline.Similarity.evalTopK(pred, truth)
+    }),
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = embeddings(s, dir)
       graft.pipeline.Similarity.bruteForceTopK(
@@ -1951,6 +1963,57 @@ object SparkEntry {
       |       2 * tp * 1000000 // NULLIF(2 * tp + fp + fn, 0) AS f1_ppm
       |FROM m""".stripMargin
 
+  /** q_ann_bruteforce's oracle — reused as the exhaustive TRUTH side of
+   * q_ann_eval. */
+  private val BruteTopKSql: String =
+    """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |FROM embeddings q, embeddings n
+        |WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) <= 3""".stripMargin
+
+  /** q_ann_sq's oracle (quantize -> dequantize -> cosine -> top-3) —
+   * reused as the PREDICTED side of q_ann_eval. */
+  private val SqTopKSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), dims AS (
+        |  SELECT vec_id, i, v[i] AS x
+        |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+        |), mm AS (
+        |  SELECT i, min(x) AS lo, max(x) AS hi FROM dims GROUP BY 1
+        |), deq AS (
+        |  SELECT vec_id, d.i,
+        |         CASE WHEN hi - lo <= 0 THEN lo
+        |              ELSE lo + CAST(least(255, greatest(0,
+        |                     CAST(round((x - lo) / (hi - lo) * 255) AS INT))) AS DOUBLE)
+        |                   / 255.0 * (hi - lo) END AS xd
+        |  FROM dims d JOIN mm USING (i)
+        |), sims AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |         sum(q.x * d.xd)
+        |           / (sqrt(sum(q.x * q.x)) * sqrt(sum(d.xd * d.xd))) AS sim
+        |  FROM dims q JOIN deq d USING (i)
+        |  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id FROM sims
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 3""".stripMargin
+
+  /** SQ recall against brute-force truth, exact ppm. */
+  private val AnnEvalSql: String =
+    "WITH pred AS (\n" + SqTopKSql + "\n), truthp AS (\n" + BruteTopKSql + "\n),\n" +
+    """ov AS (SELECT CAST(count(*) AS BIGINT) AS hits
+      |       FROM (SELECT DISTINCT query_id, neighbor_id FROM pred) p
+      |       JOIN (SELECT DISTINCT query_id, neighbor_id FROM truthp) t
+      |         ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id),
+      |ts AS (SELECT CAST(count(*) AS BIGINT) AS truth_size
+      |       FROM (SELECT DISTINCT query_id, neighbor_id FROM truthp))
+      |SELECT hits, truth_size, hits * 1000000 // NULLIF(truth_size, 0) AS recall_ppm
+      |FROM ov, ts""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_cms_langs" ->
       "SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang",
@@ -2612,39 +2675,9 @@ object SparkEntry {
         |SELECT vec_id, cid,
         |       (ed[cid + 1] / sqrt(list_sum(list_transform(ed, x -> x * x)))) < 0.18 AS is_outlier
         |FROM a""".stripMargin,
-    "q_ann_bruteforce" ->
-      """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
-        |FROM embeddings q, embeddings n
-        |WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY q.vec_id
-        |  ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) <= 3""".stripMargin,
-    "q_ann_sq" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), dims AS (
-        |  SELECT vec_id, i, v[i] AS x
-        |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)
-        |), mm AS (
-        |  SELECT i, min(x) AS lo, max(x) AS hi FROM dims GROUP BY 1
-        |), deq AS (
-        |  SELECT vec_id, d.i,
-        |         CASE WHEN hi - lo <= 0 THEN lo
-        |              ELSE lo + CAST(least(255, greatest(0,
-        |                     CAST(round((x - lo) / (hi - lo) * 255) AS INT))) AS DOUBLE)
-        |                   / 255.0 * (hi - lo) END AS xd
-        |  FROM dims d JOIN mm USING (i)
-        |), sims AS (
-        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-        |         sum(q.x * d.xd)
-        |           / (sqrt(sum(q.x * q.x)) * sqrt(sum(d.xd * d.xd))) AS sim
-        |  FROM dims q JOIN deq d USING (i)
-        |  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT query_id, neighbor_id FROM sims
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 3""".stripMargin,
+    "q_ann_bruteforce" -> BruteTopKSql,
+    "q_ann_sq" -> SqTopKSql,
+    "q_ann_eval" -> AnnEvalSql,
     "q_curate" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -16,6 +16,25 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Similarity {
 
+  /** Recall of an ANN method against exhaustive truth — the QA harness
+   * that prices an index's speed/recall trade ([[graft.pipeline.Dedup
+   * .evalPairs]]' twin for top-k lists): both frames are (query_id,
+   * neighbor_id) top-k results; the report row is (hits, truth_size,
+   * recall_ppm) with recall in exact parts-per-million. One semi-join +
+   * two counts — run it per index build, store it next to the index. */
+  def evalTopK(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    val hits = predicted
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .join(truth.select(col("query_id"), col("neighbor_id")).distinct(),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tsize = truth.select(col("query_id"), col("neighbor_id")).distinct()
+      .agg(count(lit(1)).as("truth_size"))
+    hits.crossJoin(tsize)
+      .select(col("hits"), col("truth_size"),
+        expr("hits * 1000000L div nullif(truth_size, 0L)").as("recall_ppm"))
+  }
+
   /** Cosine similarity of two float/double-array columns, double
    * accumulation in index order (deterministic) — ONE codegen'd static call
    * per row (was three interpreted aggregate(zip_with(...)) trees, the same

@@ -255,6 +255,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.take(2).distinct.size == 1)
   }
 
+  test("evalTopK: exact-ppm recall of predicted lists vs truth") {
+    val pred = Seq((1L, 10L), (1L, 11L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val truth = Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val r = Similarity.evalTopK(pred, truth).collect()(0)
+    // hits: (1,10) and (2,20); dup (1,11) rows dedup before counting
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 4L, 500000L)))
+    val empty = Similarity.evalTopK(
+      Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id"), truth).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getLong(2) == 0L)
+  }
+
   test("lshPlans: S-curve math ranks bandings around the threshold") {
     val plans = Dedup.lshPlans(64, threshold = 0.7)
     assert(plans.map(p => (p.bands, p.rowsPerBand)).toSet ==
