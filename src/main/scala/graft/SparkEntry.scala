@@ -195,6 +195,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_stats" -> ((s, dir) =>
+      // the per-rule health dashboard over the lineitem suite: evaluation
+      // and outcome counts plus exact-ppm pass rate, one combining pass
+      RuleRunner.ruleStats(lineitem(s, dir), lineitemSuite)),
     "q_dq_flatten" -> ((s, dir) => {
       RuleRunner.addDataQuality(lineitem(s, dir), lineitemSuite)
         .select(explode(RuleRunner.flattenResults(col("DataQuality"))).as("r"))
@@ -2050,6 +2054,25 @@ object SparkEntry {
         |FROM bs JOIN cs USING (g)
         |GROUP BY bs.bench_id, cs.doc_id
         |HAVING count(*) / any_value(bs.nq) >= 0.6""".stripMargin,
+    "q_dq_stats" ->
+      """WITH r AS (
+        |  SELECT 10 AS setId, 100 AS ruleId,
+        |         CASE WHEN l_quantity <= 50 THEN 100000 ELSE 0 END AS res FROM lineitem
+        |  UNION ALL SELECT 10, 101, CASE WHEN l_extendedprice > 0 THEN 100000 ELSE 0 END FROM lineitem
+        |  UNION ALL SELECT 20, 200, CASE WHEN l_discount <= 0.06 THEN 100000 ELSE -1 END FROM lineitem
+        |  UNION ALL SELECT 20, 201, CASE WHEN l_tax < 0.04 THEN 100000 ELSE 50000 END FROM lineitem
+        |)
+        |SELECT 1 AS suiteId, setId, ruleId,
+        |       CAST(count(*) AS BIGINT) AS evaluated,
+        |       CAST(count(CASE WHEN res = 100000 THEN 1 END) AS BIGINT) AS passed,
+        |       CAST(count(CASE WHEN res = 0 THEN 1 END) AS BIGINT) AS failed,
+        |       CAST(count(CASE WHEN res = -1 THEN 1 END) AS BIGINT) AS soft_failed,
+        |       CAST(count(CASE WHEN res = -2 THEN 1 END) AS BIGINT) AS disabled,
+        |       CAST(count(CASE WHEN res > 0 AND res < 100000 THEN 1 END) AS BIGINT) AS probabilistic,
+        |       CAST(count(CASE WHEN res = 100000 THEN 1 END) AS BIGINT) * 1000000
+        |         // NULLIF(CAST(count(*) AS BIGINT)
+        |                   - CAST(count(CASE WHEN res = -2 THEN 1 END) AS BIGINT), 0) AS pass_rate_ppm
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "q_dq_flatten" ->
       """WITH r AS (
         |  SELECT 100 AS ruleId, CASE WHEN l_quantity <= 50 THEN 100000 ELSE 0 END AS ruleResult FROM lineitem

@@ -150,6 +150,39 @@ object RuleRunner {
           re.getField("value").as("ruleResult")))))
   }
 
+  /**
+   * Per-rule health report — the DQ dashboard row: for every rule in the
+   * suite, how often it ran and how it came out, plus the pass rate in
+   * exact parts-per-million over the non-disabled evaluations. Result
+   * classes follow the encoding ([[graft.rules.RuleResults]]): Passed
+   * 100000, Failed 0, SoftFailed −1, DisabledRule −2, anything strictly
+   * between 0 and 100000 is a probability (counted `probabilistic`; its
+   * mass is NOT folded into passed — gate on [[addDataQuality]]'s overall
+   * with probablePass for that). One evaluation pass + one combining
+   * aggregate keyed by (suite, set, rule) — a handful of groups, no skew.
+   */
+  def ruleStats(df: DataFrame, suite: RuleSuite): DataFrame = {
+    val r = addDataQuality(df, suite)
+      .select(explode(flattenResults(col("DataQuality"))).as("graft_r"))
+      .select(col("graft_r.ruleSuiteId").as("suiteId"),
+        col("graft_r.ruleSetId").as("setId"),
+        col("graft_r.ruleId").as("ruleId"),
+        col("graft_r.ruleResult").as("graft_res"))
+    r.groupBy(col("suiteId"), col("setId"), col("ruleId"))
+      .agg(
+        count(lit(1)).as("evaluated"),
+        count(when(col("graft_res") === RuleResults.PassedInt, 1)).as("passed"),
+        count(when(col("graft_res") === RuleResults.FailedInt, 1)).as("failed"),
+        count(when(col("graft_res") === RuleResults.SoftFailedInt, 1)).as("soft_failed"),
+        count(when(col("graft_res") === RuleResults.DisabledRuleInt, 1)).as("disabled"),
+        count(when(col("graft_res") > 0 && col("graft_res") < RuleResults.PassedInt, 1))
+          .as("probabilistic"))
+      .select(col("suiteId"), col("setId"), col("ruleId"), col("evaluated"),
+        col("passed"), col("failed"), col("soft_failed"), col("disabled"),
+        col("probabilistic"),
+        expr("passed * 1000000L div nullif(evaluated - disabled, 0L)").as("pass_rate_ppm"))
+  }
+
   /** Details variant (no suite overall). */
   def flattenRuleResults(details: Column): Column = {
     val suiteId = details.getField("id")
