@@ -18,6 +18,32 @@ object StreamingDq {
   def withDataQuality(stream: DataFrame, suite: RuleSuite, name: String = "DataQuality"): DataFrame =
     RuleRunner.addDataQuality(stream, suite, name)
 
+  /** Windowed PER-RULE health on a live stream — [[RuleRunner.ruleStats]]'
+   * streaming twin: outcome counts + exact-ppm pass rate per (window,
+   * set, rule), one append row each per watermark-closed window. A rule
+   * whose live pass rate dives tells the operator WHICH gate the intake
+   * is failing while it happens, not at the nightly batch report. */
+  def windowedRuleStats(
+      stream: DataFrame, suite: RuleSuite,
+      tsCol: String, windowDuration: String, watermark: String): DataFrame =
+    withDataQuality(stream, suite)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(RuleRunner.flattenResults(col("DataQuality"))).as("graft_r"))
+      .groupBy(window(col(tsCol), windowDuration),
+        col("graft_r.ruleSetId").as("setId"), col("graft_r.ruleId").as("ruleId"))
+      .agg(
+        count(lit(1)).as("evaluated"),
+        count(when(col("graft_r.ruleResult") === graft.rules.RuleResults.PassedInt, 1))
+          .as("passed"),
+        count(when(col("graft_r.ruleResult") === graft.rules.RuleResults.FailedInt, 1))
+          .as("failed"),
+        count(when(col("graft_r.ruleResult") === graft.rules.RuleResults.SoftFailedInt, 1))
+          .as("soft_failed"))
+      .select(col("window.start").as("window_start"), col("setId"), col("ruleId"),
+        col("evaluated"), col("passed"), col("failed"), col("soft_failed"),
+        expr("passed * 1000000L div nullif(evaluated, 0L)").as("pass_rate_ppm"))
+
   /**
    * Streaming exact dedup on a content fingerprint: keeps the FIRST arrival
    * of each distinct content, with state bounded by the event-time watermark
