@@ -195,6 +195,24 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_uniqueness" -> ((s, dir) =>
+      // planted duplicate keys: doc_id % 450 collides for the top 50 ids
+      graft.rules.DatasetChecks.uniquenessReport(
+        docs(s, dir), col("doc_id") % 450)),
+    "q_dq_orphans" -> ((s, dir) =>
+      // referential integrity lineitem→orders with every 13th parent
+      // withheld: deterministic dangling keys
+      graft.rules.DatasetChecks.referentialReport(
+        lineitem(s, dir), col("l_orderkey"),
+        orders(s, dir).where(col("o_orderkey") % 13 =!= 0), col("o_orderkey"))),
+    "q_dq_completeness" -> ((s, dir) =>
+      // null profile over a frame with planted missingness
+      graft.rules.DatasetChecks.completenessReport(
+        orders(s, dir).select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 9 === 0, lit(null)).otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 4 === 0, lit(null)).otherwise(col("o_totalprice")).as("price")),
+        Seq("o_orderkey", "status", "price"))),
     "q_dq_stats" -> ((s, dir) =>
       // the per-rule health dashboard over the lineitem suite: evaluation
       // and outcome counts plus exact-ppm pass rate, one combining pass
@@ -2054,6 +2072,40 @@ object SparkEntry {
         |FROM bs JOIN cs USING (g)
         |GROUP BY bs.bench_id, cs.doc_id
         |HAVING count(*) / any_value(bs.nq) >= 0.6""".stripMargin,
+    "q_dq_uniqueness" ->
+      """WITH g AS (SELECT doc_id % 450 AS k, count(*) AS c FROM documents GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS rows,
+        |       CAST(count(*) AS BIGINT) AS distinct_keys,
+        |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS rows_in_dup_keys,
+        |       CAST(max(c) AS BIGINT) AS max_per_key,
+        |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000
+        |         // NULLIF(CAST(sum(c) AS BIGINT), 0) AS dup_ppm
+        |FROM g""".stripMargin,
+    "q_dq_orphans" ->
+      """WITH p AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS child_rows,
+        |       CAST(count(CASE WHEN l.l_orderkey IS NULL THEN 1 END) AS BIGINT) AS null_fk,
+        |       CAST(count(CASE WHEN l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS orphans,
+        |       CAST(count(CASE WHEN l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) AS BIGINT) * 1000000
+        |         // NULLIF(CAST(count(*) AS BIGINT)
+        |                   - CAST(count(CASE WHEN l.l_orderkey IS NULL THEN 1 END) AS BIGINT), 0) AS orphan_ppm
+        |FROM lineitem l LEFT JOIN p ON l.l_orderkey = p.o_orderkey""".stripMargin,
+    "q_dq_completeness" ->
+      """WITH f AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 9 = 0 THEN NULL ELSE o_orderstatus END AS status,
+        |         CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END AS price
+        |  FROM orders
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rows,
+        |         CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n0,
+        |         CAST(count(CASE WHEN status IS NULL THEN 1 END) AS BIGINT) AS n1,
+        |         CAST(count(CASE WHEN price IS NULL THEN 1 END) AS BIGINT) AS n2
+        |  FROM f
+        |)
+        |SELECT 'o_orderkey' AS column, rows, n0 AS nulls, n0 * 1000000 // NULLIF(rows, 0) AS null_ppm FROM t
+        |UNION ALL SELECT 'status', rows, n1, n1 * 1000000 // NULLIF(rows, 0) FROM t
+        |UNION ALL SELECT 'price', rows, n2, n2 * 1000000 // NULLIF(rows, 0) FROM t""".stripMargin,
     "q_dq_stats" ->
       """WITH r AS (
         |  SELECT 10 AS setId, 100 AS ruleId,

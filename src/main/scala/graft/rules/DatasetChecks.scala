@@ -1,0 +1,77 @@
+package graft.rules
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Dataset-LEVEL data-quality checks — the constraints a row-local rule
+ * (one row in, one result out — the whole [[RuleRunner]] model) cannot
+ * express, because they quantify over the dataset: key uniqueness,
+ * referential integrity between tables, and column completeness. Each
+ * returns a small report frame with exact parts-per-million rates (the
+ * engine-wide integer convention), ready to gate a release on or to land
+ * in the same dashboard as [[RuleRunner.ruleStats]].
+ */
+object DatasetChecks {
+
+  /** Key uniqueness: (rows, distinct_keys, rows_in_dup_keys, max_per_key,
+   * dup_ppm) for the composite key `keyCols`. Rows whose key appears more
+   * than once ALL count as duplicates (a release gate wants the affected
+   * mass, not dup_count−1 bookkeeping). NULL key parts group like values
+   * (two all-NULL keys are the same key — loud, not invisible). One keyed
+   * count + one combining aggregate. */
+  def uniquenessReport(df: DataFrame, keyCols: Column*): DataFrame = {
+    require(keyCols.nonEmpty, "uniquenessReport needs at least one key column")
+    df.select(struct(keyCols: _*).as("graft_k"))
+      .groupBy(col("graft_k")).agg(count(lit(1)).as("graft_c"))
+      .agg(
+        sum(col("graft_c")).as("rows"),
+        count(lit(1)).as("distinct_keys"),
+        sum(when(col("graft_c") > 1, col("graft_c")).otherwise(0L)).as("rows_in_dup_keys"),
+        max(col("graft_c")).as("max_per_key"))
+      .select(col("rows"), col("distinct_keys"), col("rows_in_dup_keys"),
+        col("max_per_key"),
+        expr("rows_in_dup_keys * 1000000L div nullif(rows, 0L)").as("dup_ppm"))
+  }
+
+  /** Referential integrity: child rows whose non-null foreign key has no
+   * match in the parent's key set — (child_rows, null_fk, orphans,
+   * orphan_ppm over the non-null keys; NULL fks are reported, not counted
+   * as orphans — absent-by-design is a different defect than dangling).
+   * Plan: the parent side reduces to DISTINCT keys before the join (at
+   * any scale the key set ≪ the parent table), one left join carrying
+   * only key columns, one combining aggregate. */
+  def referentialReport(
+      child: DataFrame, fkCol: Column, parent: DataFrame, pkCol: Column): DataFrame = {
+    val keys = parent.select(pkCol.as("graft_pk")).where(col("graft_pk").isNotNull)
+      .distinct().withColumn("graft_hit", lit(true))
+    child.select(fkCol.as("graft_fk"))
+      .join(keys, col("graft_fk") === col("graft_pk"), "left")
+      .agg(
+        count(lit(1)).as("child_rows"),
+        count(when(col("graft_fk").isNull, 1)).as("null_fk"),
+        count(when(col("graft_fk").isNotNull && col("graft_hit").isNull, 1)).as("orphans"))
+      .select(col("child_rows"), col("null_fk"), col("orphans"),
+        expr("orphans * 1000000L div nullif(child_rows - null_fk, 0L)").as("orphan_ppm"))
+  }
+
+  /** Column completeness: (column, rows, nulls, null_ppm) for each named
+   * column — the missing-data profile. ONE pass over the frame (a single
+   * aggregate computes every column's null count; stack unpivots the one
+   * result row), not a scan per column. */
+  def completenessReport(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "completenessReport needs at least one column")
+    val aggs = count(lit(1)).as("graft_rows") +:
+      columns.zipWithIndex.map { case (c, i) =>
+        count(when(col(c).isNull, 1)).as(s"graft_n_$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.zipWithIndex
+      .map { case (c, i) => s"'${c.replace("'", "''")}', graft_n_$i" }
+      .mkString(", ")
+    one.selectExpr("graft_rows",
+        s"stack(${columns.size}, $stackArgs) as (column, nulls)")
+      .select(col("column"), col("graft_rows").as("rows"), col("nulls"),
+        expr("nulls * 1000000L div nullif(graft_rows, 0L)").as("null_ppm"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.rules
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DatasetChecksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("uniqueness: affected mass counted, null keys group loudly") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), (Some(1L), "c"), // key 1 x3
+      (Some(2L), "d"),
+      (None: Option[Long], "e"), (None: Option[Long], "f")) // null key x2
+      .toDF("k", "v")
+    val r = DatasetChecks.uniquenessReport(df, col("k")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 3L, 5L, 3L))) // 3+2 rows sit in duplicated keys
+    assert(r.getLong(4) == 833333L)
+    // composite key separates what a single column conflates
+    val comp = DatasetChecks.uniquenessReport(df, col("k"), col("v")).collect()(0)
+    assert(comp.getLong(2) == 0L && comp.getLong(4) == 0L)
+  }
+
+  test("referential integrity: orphans vs null fks, parent keys deduped") {
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk") // dup parent keys are fine
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val r = DatasetChecks.referentialReport(child, col("fk"), parent, col("pk"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 1L, 2L)))
+    assert(r.getLong(3) == 500000L) // 2 of 4 non-null fks dangle
+  }
+
+  test("completeness: one-pass per-column null profile") {
+    val df = Seq(
+      (Some(1L), Some("x"), None: Option[Double]),
+      (None: Option[Long], Some("y"), None: Option[Double]),
+      (Some(3L), None: Option[String], Some(1.5)))
+      .toDF("a", "b", "c")
+    val r = DatasetChecks.completenessReport(df, Seq("a", "b", "c"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r("a") == ((3L, 1L, 333333L)))
+    assert(r("b") == ((3L, 1L, 333333L)))
+    assert(r("c") == ((3L, 2L, 666666L)))
+  }
+}
