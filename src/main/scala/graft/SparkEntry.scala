@@ -195,6 +195,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_fd" -> ((s, dir) =>
+      // does doc_id%100 determine lang? (it doesn't — drift planted by
+      // construction, plus nulls in the dependent for the loud-null path)
+      graft.rules.DatasetChecks.functionalDependencyReport(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, lit(null)).otherwise(col("lang")).as("lang")),
+        col("lang"), col("doc_id") % 100)),
     "q_dq_uniqueness" -> ((s, dir) =>
       // planted duplicate keys: doc_id % 450 collides for the top 50 ids
       graft.rules.DatasetChecks.uniquenessReport(
@@ -2072,6 +2079,23 @@ object SparkEntry {
         |FROM bs JOIN cs USING (g)
         |GROUP BY bs.bench_id, cs.doc_id
         |HAVING count(*) / any_value(bs.nq) >= 0.6""".stripMargin,
+    "q_dq_fd" ->
+      """WITH f AS (
+        |  SELECT doc_id % 100 AS det,
+        |         CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS dep
+        |  FROM documents
+        |), g AS (
+        |  SELECT det,
+        |         count(DISTINCT dep)
+        |           + max(CASE WHEN dep IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS determinants,
+        |       CAST(count(CASE WHEN v > 1 THEN 1 END) AS BIGINT) AS violating_determinants,
+        |       CAST(count(CASE WHEN v > 1 THEN 1 END) AS BIGINT) * 1000000
+        |         // NULLIF(CAST(count(*) AS BIGINT), 0) AS violation_ppm,
+        |       CAST(max(v) AS BIGINT) AS max_variants
+        |FROM g""".stripMargin,
     "q_dq_uniqueness" ->
       """WITH g AS (SELECT doc_id % 450 AS k, count(*) AS c FROM documents GROUP BY 1)
         |SELECT CAST(sum(c) AS BIGINT) AS rows,

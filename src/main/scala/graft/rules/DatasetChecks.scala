@@ -55,6 +55,46 @@ object DatasetChecks {
         expr("orphans * 1000000L div nullif(child_rows - null_fk, 0L)").as("orphan_ppm"))
   }
 
+  /** Functional dependency A → B: does the determinant `detCols` uniquely
+   * decide `depCol`? Violations are determinant groups carrying MORE than
+   * one distinct dependent value — denormalization drift, mixed-source
+   * merges, casing bugs ("one customer id, two names"). Returns
+   * (determinants, violating_determinants, violation_ppm, max_variants).
+   * One keyed exact count-distinct + one combining aggregate; NULL
+   * dependents count as a value (a null among non-nulls IS a violation). */
+  def functionalDependencyReport(
+      df: DataFrame, depCol: Column, detCols: Column*): DataFrame = {
+    require(detCols.nonEmpty, "functionalDependencyReport needs determinant columns")
+    df.select(struct(detCols: _*).as("graft_det"), depCol.as("graft_dep"))
+      .groupBy(col("graft_det"))
+      .agg(count_distinct(struct(col("graft_dep"))).as("graft_v"))
+      .agg(
+        count(lit(1)).as("determinants"),
+        count(when(col("graft_v") > 1, 1)).as("violating_determinants"),
+        max(col("graft_v")).as("max_variants"))
+      .select(col("determinants"), col("violating_determinants"),
+        expr("violating_determinants * 1000000L div nullif(determinants, 0L)")
+          .as("violation_ppm"),
+        col("max_variants"))
+  }
+
+  /** Schema diff between two frames — release QA's metadata side: one row
+   * per column that was added, removed, or changed type (DDL strings
+   * compared). Pure driver-side metadata, no job. */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val n = newDf.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c => (c, "added", "", n(c))) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c => (c, "removed", o(c), "")) ++
+      (o.keySet & n.keySet).toSeq.sorted.collect {
+        case c if o(c) != n(c) => (c, "type_changed", o(c), n(c))
+      }
+    rows.toDF("column", "change", "old_type", "new_type")
+  }
+
   /** Column completeness: (column, rows, nulls, null_ppm) for each named
    * column — the missing-data profile. ONE pass over the frame (a single
    * aggregate computes every column's null count; stack unpivots the one

@@ -33,6 +33,27 @@ class DatasetChecksSpec extends AnyFunSuite {
     assert(r.getLong(3) == 500000L) // 2 of 4 non-null fks dangle
   }
 
+  test("functional dependency: violations counted, null variant is loud") {
+    val df = Seq(
+      (1L, "Alice"), (1L, "Alice"),          // consistent
+      (2L, "Bob"), (2L, "bob"),              // casing drift: violation
+      (3L, "Carol"), (3L, null: String))     // null among values: violation
+      .toDF("cust", "name")
+    val r = DatasetChecks.functionalDependencyReport(df, col("name"), col("cust"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 666666L, 2L)))
+  }
+
+  test("schemaDiff: added, removed, type-changed columns") {
+    val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+    val b = Seq(("1", "x", true)).toDF("id", "name", "flag")
+    val got = DatasetChecks.schemaDiff(a, b)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("flag", "added"), ("score", "removed"), ("id", "type_changed")))
+    assert(DatasetChecks.schemaDiff(a, a).count() == 0)
+  }
+
   test("completeness: one-pass per-column null profile") {
     val df = Seq(
       (Some(1L), Some("x"), None: Option[Double]),
