@@ -195,6 +195,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_ordering" -> ((s, dir) =>
+      // per-user event-time ordering health, with every 23rd event's ts
+      // pushed an hour back to plant regressions
+      graft.rules.DatasetChecks.orderingReport(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          when(col("event_id") % 23 === 0, col("ts") - expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")).as("ts")),
+        col("user_id"), col("ts"), col("event_id"))),
     "q_dq_fd" -> ((s, dir) =>
       // does doc_id%100 determine lang? (it doesn't — drift planted by
       // construction, plus nulls in the dependent for the loud-null path)
@@ -2079,6 +2087,23 @@ object SparkEntry {
         |FROM bs JOIN cs USING (g)
         |GROUP BY bs.bench_id, cs.doc_id
         |HAVING count(*) / any_value(bs.nq) >= 0.6""".stripMargin,
+    "q_dq_ordering" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_id % 23 = 0 THEN ts - INTERVAL 1 HOUR ELSE ts END AS ts
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM f
+        |)
+        |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS keys,
+        |       CAST(count(CASE WHEN prev IS NOT NULL THEN 1 END) AS BIGINT) AS pairs,
+        |       CAST(count(CASE WHEN prev > ts THEN 1 END) AS BIGINT) AS regressions,
+        |       CAST(count(CASE WHEN prev > ts THEN 1 END) AS BIGINT) * 1000000
+        |         // NULLIF(CAST(count(CASE WHEN prev IS NOT NULL THEN 1 END) AS BIGINT), 0)
+        |         AS regression_ppm
+        |FROM l""".stripMargin,
     "q_dq_fd" ->
       """WITH f AS (
         |  SELECT doc_id % 100 AS det,

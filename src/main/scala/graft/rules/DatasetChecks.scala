@@ -78,6 +78,29 @@ object DatasetChecks {
         col("max_variants"))
   }
 
+  /** Per-key ordering health — streaming-intake hygiene: of the
+   * consecutive event pairs within each key (ordered by a tiebroken
+   * (ts, seq) so the answer is a pure function of the data, not of
+   * arrival order), how many arrive with a ts REGRESSION? Returns
+   * (keys, pairs, regressions, regression_ppm). High regression rates
+   * mean the upstream's clocks or partitioning are lying — sessionizers
+   * and watermarks will silently drop or misgroup. The window partitions
+   * by key (bounded per-key event counts, the [[graft.operators
+   * .Sessionize]] contract), never by the whole frame. */
+  def orderingReport(
+      df: DataFrame, keyCol: Column, tsCol: Column, seqCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_k")).orderBy(col("graft_seq"))
+    df.select(keyCol.as("graft_k"), tsCol.as("graft_ts"), seqCol.as("graft_seq"))
+      .withColumn("graft_prev", lag(col("graft_ts"), 1).over(w))
+      .agg(
+        count_distinct(col("graft_k")).as("keys"),
+        count(when(col("graft_prev").isNotNull, 1)).as("pairs"),
+        count(when(col("graft_prev") > col("graft_ts"), 1)).as("regressions"))
+      .select(col("keys"), col("pairs"), col("regressions"),
+        expr("regressions * 1000000L div nullif(pairs, 0L)").as("regression_ppm"))
+  }
+
   /** Schema diff between two frames — release QA's metadata side: one row
    * per column that was added, removed, or changed type (DDL strings
    * compared). Pure driver-side metadata, no job. */

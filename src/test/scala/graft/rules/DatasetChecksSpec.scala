@@ -45,6 +45,19 @@ class DatasetChecksSpec extends AnyFunSuite {
       ((3L, 2L, 666666L, 2L)))
   }
 
+  test("orderingReport: per-key regressions, partitioning-independent") {
+    // user 1: seq 1,2,3 with ts 10,5,20 → one regression (5 after 10)
+    // user 2: perfectly ordered; singleton user 3 contributes no pairs
+    val df = Seq(
+      (1L, 1L, 10L), (1L, 2L, 5L), (1L, 3L, 20L),
+      (2L, 1L, 1L), (2L, 2L, 2L),
+      (3L, 1L, 7L)).toDF("u", "seq", "t")
+    val r = DatasetChecks.orderingReport(df.repartition(5), col("u"), col("t"), col("seq"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 1L, 333333L)))
+  }
+
   test("schemaDiff: added, removed, type-changed columns") {
     val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
     val b = Seq(("1", "x", true)).toDF("id", "name", "flag")
