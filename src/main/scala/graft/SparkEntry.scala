@@ -1547,6 +1547,16 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    "q_drift_categorical" -> ((s, dir) => {
+      // language-mix drift: the new release drops half the zh docs and
+      // doubles es — the mix question consumers ask first
+      val d = docs(s, dir)
+      val newRelease = d.where(!(col("lang") === "zh" && col("doc_id") % 2 === 0))
+        .select(col("lang"))
+        .unionAll(d.where(col("lang") === "es").select(col("lang")))
+      graft.pipeline.Curation.categoricalDrift(
+        d.select(col("lang")), newRelease, col("lang"))
+    }),
     "q_release_report" -> ((s, dir) => {
       // the one-call release gate on the q_corpus_diff scenario, with
       // n_chars drift alongside the row-level counts
@@ -4016,6 +4026,26 @@ object SparkEntry {
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
         |FROM documents""".stripMargin,
+    "q_drift_categorical" ->
+      """WITH o AS (SELECT lang AS c FROM documents),
+        |n AS (
+        |  SELECT lang AS c FROM documents WHERE NOT (lang = 'zh' AND doc_id % 2 = 0)
+        |  UNION ALL SELECT lang FROM documents WHERE lang = 'es'
+        |),
+        |ob AS (SELECT COALESCE(c, '<null>') AS b, CAST(count(*) AS BIGINT) AS oc FROM o GROUP BY 1),
+        |nb AS (SELECT COALESCE(c, '<null>') AS b, CAST(count(*) AS BIGINT) AS nc FROM n GROUP BY 1),
+        |j AS (SELECT COALESCE(ob.oc, 0) AS oc, COALESCE(nb.nc, 0) AS nc
+        |      FROM ob FULL OUTER JOIN nb ON ob.b = nb.b),
+        |t AS (SELECT CAST(sum(oc) AS BIGINT) AS tn, CAST(sum(nc) AS BIGINT) AS tm,
+        |             CAST(count(*) AS BIGINT) AS tb FROM j)
+        |SELECT CAST(sum(CAST(floor(
+        |         (CAST(oc + 1 AS DOUBLE) / CAST(tn + tb AS DOUBLE)
+        |          - CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE))
+        |         * ln((CAST(oc + 1 AS DOUBLE) / CAST(tn + tb AS DOUBLE))
+        |              / (CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE)))
+        |         * 1e9) AS BIGINT)) AS BIGINT) AS psi_e9,
+        |       tb AS n_categories, tn AS old_total, tm AS new_total
+        |FROM j, t GROUP BY tb, tn, tm""".stripMargin,
     "q_release_report" ->
       """WITH v2 AS (
         |  SELECT doc_id,

@@ -655,6 +655,41 @@ object Curation {
   }
 
   /**
+   * PSI over CATEGORY values (language mix, source mix, license mix)
+   * instead of numeric buckets — "did the en/zh/code balance move between
+   * releases?" is the drift question corpus consumers actually ask first.
+   * Identical math to [[distributionDrift]] (union key set, +1 Laplace,
+   * (p−q)·ln(p/q) floored to 1e-9 longs, exact sum); NULL categories
+   * count under their own key, nothing silently drops. Returns the same
+   * one-row shape (psi_e9, n_categories, old_total, new_total).
+   */
+  def categoricalDrift(
+      oldDf: DataFrame, newDf: DataFrame, catCol: Column): DataFrame = {
+    def counted(df: DataFrame, cnt: String): DataFrame =
+      df.select(coalesce(catCol.cast("string"), lit("<null>")).as("graft_b"))
+        .groupBy("graft_b").agg(count(lit(1)).as(cnt))
+    val joined = counted(oldDf, "graft_o")
+      .join(counted(newDf, "graft_n"), Seq("graft_b"), "full_outer")
+      .select(col("graft_b"),
+        coalesce(col("graft_o"), lit(0L)).as("graft_o"),
+        coalesce(col("graft_n"), lit(0L)).as("graft_n"))
+    val totals = joined.agg(
+      sum(col("graft_o")).as("graft_tn"), sum(col("graft_n")).as("graft_tm"),
+      count(lit(1)).as("graft_tb"))
+    val p = (col("graft_o") + lit(1L)).cast("double") /
+      (col("graft_tn") + col("graft_tb")).cast("double")
+    val q = (col("graft_n") + lit(1L)).cast("double") /
+      (col("graft_tm") + col("graft_tb")).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(floor((p - q) * log(p / q) * lit(1e9)).as("graft_c"),
+        col("graft_tn"), col("graft_tm"), col("graft_tb"))
+      .groupBy(col("graft_tn"), col("graft_tm"), col("graft_tb"))
+      .agg(sum(col("graft_c")).as("psi_e9"))
+      .select(col("psi_e9"), col("graft_tb").as("n_categories"),
+        col("graft_tn").as("old_total"), col("graft_tm").as("new_total"))
+  }
+
+  /**
    * PSI from two PERSISTED log-histogram maps ([[graft.functions
    * .LogHistogram]] sketches) — the sketch-side twin of
    * [[distributionDrift]] and the shape the 100 TB workflow actually
