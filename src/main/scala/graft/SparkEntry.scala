@@ -1602,6 +1602,19 @@ object SparkEntry {
         .select(col("lang"),
           graft.pipeline.Curation.histogramPsi(col("graft_ho"), col("graft_hn")).as("psi_e9"))
     }),
+    "q_pii_cards" -> ((s, dir) => {
+      // Luhn-verified card detection: every doc carries one valid visa and
+      // one check-digit-broken sibling; every third adds a valid
+      // mastercard — the oracle REPLAYS the digit fold, so both engines'
+      // Luhn implementations gate each other
+      val id = col("doc_id")
+      val text = concat(lit("invoice "), id.cast("string"),
+        lit(" card 4111 1111 1111 1111 backup 4111-1111-1111-1112"),
+        when(id % 3 === 0, lit(" alt 5500 0000 0000 0004")).otherwise(lit("")),
+        lit(" ref "), (id * 7919).cast("string"))
+      docs(s, dir).select(id.as("doc_id"),
+        graft.pipeline.Pii.creditCardCount(text).cast("long").as("cards"))
+    }),
     "q_pseudonymize" -> ((s, dir) =>
       // keyed pseudonyms over a synthetic user column: deterministic,
       // joinable, and byte-identical to DuckDB's sha256 hex
@@ -4147,6 +4160,27 @@ object SparkEntry {
         |              / (CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE)))
         |         * 1e9) AS BIGINT)) AS BIGINT) AS psi_e9
         |FROM j JOIN t ON j.lang = t.lang GROUP BY j.lang""".stripMargin,
+    "q_pii_cards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         concat('invoice ', CAST(doc_id AS VARCHAR),
+        |                ' card 4111 1111 1111 1111 backup 4111-1111-1111-1112',
+        |                CASE WHEN doc_id % 3 = 0 THEN ' alt 5500 0000 0000 0004' ELSE '' END,
+        |                ' ref ', CAST(doc_id * 7919 AS VARCHAR)) AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len([c for c in regexp_extract_all(s, '\b(?:\d[ -]?){12,18}\d\b')
+        |       if len(regexp_extract_all(c, '\d')) BETWEEN 13 AND 19
+        |       AND list_sum([
+        |         CASE WHEN (i - 1) % 2 = 1 THEN
+        |           CASE WHEN CAST(list_reverse(regexp_extract_all(c, '\d'))[i] AS INT) * 2 > 9
+        |                THEN CAST(list_reverse(regexp_extract_all(c, '\d'))[i] AS INT) * 2 - 9
+        |                ELSE CAST(list_reverse(regexp_extract_all(c, '\d'))[i] AS INT) * 2 END
+        |         ELSE CAST(list_reverse(regexp_extract_all(c, '\d'))[i] AS INT) END
+        |         for i in range(1, len(regexp_extract_all(c, '\d')) + 1)
+        |       ]) % 10 = 0]) AS BIGINT) AS cards
+        |FROM t""".stripMargin,
     "q_pseudonymize" ->
       """SELECT doc_id,
         |       sha256(concat('k2024:user', CAST(doc_id % 37 AS VARCHAR))) AS user_pseudo

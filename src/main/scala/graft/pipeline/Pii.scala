@@ -62,6 +62,36 @@ object Pii {
     regexp_replace(i, lit(phoneRe), lit("<PHONE>"))
   }
 
+  /** Card-shaped digit runs (13–19 digits, single space/dash separators). */
+  val cardRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn-VERIFIED payment-card count — the check-digit pass separates real
+   * card numbers from phone-length digit runs (a random 16-digit string
+   * passes Luhn 10% of the time; an invoice/order number fails it), kept
+   * SEPARATE from [[piiSignals]] so that struct's schema stays stable for
+   * existing consumers. Pure built-ins (regexp candidates → per-candidate
+   * digit fold with the doubled-digit rule), codegen'd, DuckDB-replicable
+   * list-comprehension-for-list-comprehension. */
+  def creditCardCount(text: Column): Column = {
+    val cands = regexp_extract_all(text, lit(cardRe), lit(0))
+    size(filter(cands, c => {
+      val ds = reverse(transform(
+        filter(split(c, ""), ch => ch.rlike("[0-9]")), ch => ch.cast("int")))
+      val total = aggregate(
+        transform(ds, (d, i) => when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)),
+        lit(0), (acc, x) => acc + x)
+      size(ds).between(13, 19) && total % 10 === 0
+    }))
+  }
+
+  /** Replace every CARD-SHAPED run with a token. Deliberately shape-based
+   * (no Luhn gate): for redaction a false positive (a masked order
+   * number) is the safe direction, while for COUNTING ([[creditCardCount]])
+   * verification is — the two defaults differ on purpose. */
+  def redactCreditCards(text: Column): Column =
+    regexp_replace(text, lit(cardRe), lit("<CARD>"))
+
   /**
    * Deterministic keyed pseudonymization: sha256(key ":" value) as lowercase
    * hex — the privacy-preserving JOIN KEY for identifier columns (user ids,

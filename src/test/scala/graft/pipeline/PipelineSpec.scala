@@ -285,6 +285,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(shipped.pAtThreshold > 0.93)
   }
 
+  test("creditCardCount: Luhn separates cards from digit runs; redact is shape-based") {
+    val rows = Seq(
+      "visa 4111 1111 1111 1111 ok",          // valid, spaced
+      "visa 4111-1111-1111-1112 broken",      // check digit off by one
+      "amex 378282246310005 inline",          // 15-digit valid
+      "phone 555-867-5309 and order 123456789012", // too short / luhn-fail
+      "bare 5500000000000004 mastercard")     // valid, unseparated
+      .toDF("t").select(Pii.creditCardCount(col("t")).as("n"))
+      .as[Int].collect().toSeq
+    assert(rows == Seq(1, 0, 1, 0, 1))
+    val red = Seq(Tuple1("pay 4111 1111 1111 1111 or order 123456789012345 now"))
+      .toDF("t").select(Pii.redactCreditCards(col("t"))).as[String].head()
+    // shape-based: the order number redacts too — safe direction for privacy
+    assert(red == "pay <CARD> or order <CARD> now")
+  }
+
   test("pseudonymize: deterministic joinable keys, unlinkable across keys") {
     val a = Seq(("u1", 1), ("u2", 2), (null, 3)).toDF("user", "x")
       .select(Pii.pseudonymize(col("user"), "k2024").as("p"), col("x"))
