@@ -1602,6 +1602,18 @@ object SparkEntry {
         .select(col("lang"),
           graft.pipeline.Curation.histogramPsi(col("graft_ho"), col("graft_hn")).as("psi_e9"))
     }),
+    "q_pii_iban" -> ((s, dir) => {
+      // mod-97-verified IBANs: a valid DE and GB pair per doc, a
+      // checksum-broken sibling, and (every 4th doc) a lowercase decoy
+      // the uppercase-structural regex must skip
+      val id = col("doc_id")
+      val text = concat(lit("wire "), id.cast("string"),
+        lit(" to DE89370400440532013000 or GB82WEST12345698765432"),
+        lit(" never DE89370400440532013001"),
+        when(id % 4 === 0, lit(" decoy de89370400440532013000")).otherwise(lit("")))
+      docs(s, dir).select(id.as("doc_id"),
+        graft.pipeline.Pii.ibanCount(text).cast("long").as("ibans"))
+    }),
     "q_pii_cards" -> ((s, dir) => {
       // Luhn-verified card detection: every doc carries one valid visa and
       // one check-digit-broken sibling; every third adds a valid
@@ -4160,6 +4172,24 @@ object SparkEntry {
         |              / (CAST(nc + 1 AS DOUBLE) / CAST(tm + tb AS DOUBLE)))
         |         * 1e9) AS BIGINT)) AS BIGINT) AS psi_e9
         |FROM j JOIN t ON j.lang = t.lang GROUP BY j.lang""".stripMargin,
+    "q_pii_iban" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         concat('wire ', CAST(doc_id AS VARCHAR),
+        |                ' to DE89370400440532013000 or GB82WEST12345698765432',
+        |                ' never DE89370400440532013001',
+        |                CASE WHEN doc_id % 4 = 0 THEN ' decoy de89370400440532013000' ELSE '' END) AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len([c for c in regexp_extract_all(s, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b')
+        |       if list_reduce(
+        |            regexp_extract_all('0' || substr(c, 5) || substr(c, 1, 4), '[A-Z0-9]'),
+        |            (a, ch) -> CAST(CASE WHEN ascii(ch) BETWEEN 48 AND 57
+        |                            THEN (CAST(a AS BIGINT) * 10 + (ascii(ch) - 48)) % 97
+        |                            ELSE (CAST(a AS BIGINT) * 100 + (ascii(ch) - 55)) % 97
+        |                       END AS VARCHAR)) = '1']) AS BIGINT) AS ibans
+        |FROM t""".stripMargin,
     "q_pii_cards" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -207,6 +207,8 @@ object Registry {
     "pii_signals" -> (es => ex(graft.pipeline.Pii.piiSignals(col(es.head)))),
     "redact_pii" -> (es => ex(graft.pipeline.Pii.redactPii(col(es.head)))),
     "pii_density" -> (es => ex(graft.pipeline.Pii.piiDensity(col(es.head)))),
+    "iban_count" -> (es => ex(graft.pipeline.Pii.ibanCount(col(es.head)))),
+    "redact_ibans" -> (es => ex(graft.pipeline.Pii.redactIbans(col(es.head)))),
     "credit_card_count" -> (es => ex(graft.pipeline.Pii.creditCardCount(col(es.head)))),
     "redact_credit_cards" -> (es => ex(graft.pipeline.Pii.redactCreditCards(col(es.head)))),
     "pseudonymize" -> (es => ex(graft.pipeline.Pii.pseudonymize(

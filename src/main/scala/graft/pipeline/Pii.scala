@@ -85,6 +85,33 @@ object Pii {
     }))
   }
 
+  /** IBAN-shaped runs: two uppercase country letters, two check digits,
+   * 11–30 alphanumerics (structural 15–34 length; country-specific length
+   * registries are out of scope — the mod-97 checksum is the signal). */
+  val ibanRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  /** mod-97-VERIFIED IBAN count (ISO 13616: rotate the first four chars to
+   * the end, A..Z → 10..35, the resulting number ≡ 1 mod 97) — computed
+   * as an incremental fold so no big-integer ever materializes; same
+   * verified-count / shape-redaction asymmetry as the card pair. */
+  def ibanCount(text: Column): Column = {
+    val cands = regexp_extract_all(text, lit(ibanRe), lit(0))
+    size(filter(cands, c => {
+      val rearr = concat(substring(c, 5, 1000000), substring(c, 1, 4))
+      val chars = filter(split(rearr, ""), ch => ch =!= lit(""))
+      aggregate(chars, lit(0L), (a, ch) => {
+        val code = ascii(ch)
+        when(code.between(48, 57), (a * 10 + (code - 48)) % 97)
+          .otherwise((a * 100 + (code - 55)) % 97)
+      }) === 1L
+    }))
+  }
+
+  /** Shape-based IBAN redaction (see [[redactCreditCards]] for why
+   * redaction does not checksum-gate). */
+  def redactIbans(text: Column): Column =
+    regexp_replace(text, lit(ibanRe), lit("<IBAN>"))
+
   /** Replace every CARD-SHAPED run with a token. Deliberately shape-based
    * (no Luhn gate): for redaction a false positive (a masked order
    * number) is the safe direction, while for COUNTING ([[creditCardCount]])

@@ -301,6 +301,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(red == "pay <CARD> or order <CARD> now")
   }
 
+  test("ibanCount: mod-97 verification, structural regex") {
+    val rows = Seq(
+      "valid DE89370400440532013000 here",
+      "broken DE89370400440532013001 checksum",
+      "GB82WEST12345698765432 letters in body",
+      "lowercase de89370400440532013000 skipped",
+      "short DE8912345 not an iban")
+      .toDF("t").select(Pii.ibanCount(col("t")).as("n"))
+      .as[Int].collect().toSeq
+    assert(rows == Seq(1, 0, 1, 0, 0))
+    assert(Seq(Tuple1("pay DE89370400440532013000 now")).toDF("t")
+      .select(Pii.redactIbans(col("t"))).as[String].head() == "pay <IBAN> now")
+  }
+
   test("pseudonymize: deterministic joinable keys, unlinkable across keys") {
     val a = Seq(("u1", 1), ("u2", 2), (null, 3)).toDF("user", "x")
       .select(Pii.pseudonymize(col("user"), "k2024").as("p"), col("x"))
