@@ -702,6 +702,22 @@ object SparkEntry {
           nodes = d, nodeIdCol = col("doc_id"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_html_canonical" -> ((s, dir) => {
+      // canonical-URL dedup: every doc's page points at a shared canonical
+      // (doc_id div 5 — AMP/print variants of one article); grouping by
+      // the REALLY-PARSED canonical collapses each family to 5 variants
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><script>var l='<link rel=\"canonical\" href=\"https://decoy.invalid/\">';"
+          + "</script><link rel=\"stylesheet\" href=\"/s.css\">"
+          + "<link rel=\"canonical\" href=\"https://a.com/article/"),
+        expr("doc_id div 5").cast("string"),
+        lit("\"></head><body><p>variant "), id.cast("string"),
+        lit("</p></body></html>"))
+      docs(s, dir).select(
+          graft.pipeline.Text.htmlCanonical(html).as("canonical"))
+        .groupBy(col("canonical")).agg(count(lit(1)).as("variants"))
+    }),
     "q_html_meta" -> ((s, dir) => {
       // title + meta extraction through the real one-pass parser (script
       // decoy title, entity in the real title, charset meta without a key
@@ -2671,6 +2687,10 @@ object SparkEntry {
         |              + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    "q_html_canonical" ->
+      """SELECT concat('https://a.com/article/', CAST(doc_id // 5 AS VARCHAR)) AS canonical,
+        |       CAST(count(*) AS BIGINT) AS variants
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_html_meta" ->
       """SELECT doc_id,
         |       concat('Doc & Page ', CAST(doc_id AS VARCHAR)) AS title,

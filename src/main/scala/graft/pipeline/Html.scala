@@ -375,6 +375,52 @@ object HtmlAlgos {
   private def findHref(s: String, from: Int, to: Int): String =
     findAttr(s, from, to, "href")
 
+  /**
+   * The page's self-declared canonical URL — the FIRST
+   * `<link rel="canonical" href=…>` (case-insensitive rel, any quoting),
+   * "" when absent. THE url-level dedup signal: AMP/print/mobile/
+   * tracking-parameter variants all point at one canonical, so grouping
+   * by it collapses page families whose RENDERINGS differ enough that no
+   * content hash relates them. Script/style/comment regions skipped with
+   * the usual discipline; value verbatim (chain [[Text.urlCanonicalize]]).
+   */
+  def canonical(html: UTF8String): UTF8String = {
+    val s = html.toString
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          i = skipRawText(s, i, "script")
+        } else if (tagNameAt(s, i + 1, "style")) {
+          i = skipRawText(s, i, "style")
+        } else if (tagNameAt(s, i + 1, "link")) {
+          val k = i + 5
+          val gt = s.indexOf('>', k)
+          val end = if (gt < 0) n else gt
+          val rel = findAttr(s, k, end, "rel")
+          if (rel != null && rel.equalsIgnoreCase("canonical")) {
+            val href = findAttr(s, k, end, "href")
+            if (href != null) return UTF8String.fromString(href)
+          }
+          i = if (gt < 0) n else gt + 1
+        } else {
+          val c1 = if (i + 1 < n) s.charAt(i + 1) else ' '
+          val isTag = c1 == '/' || c1 == '!' ||
+            (c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z')
+          if (isTag) {
+            val gt = s.indexOf('>', i + 1)
+            i = if (gt < 0) n else gt + 1
+          } else i += 1
+        }
+      } else i += 1
+    }
+    UTF8String.fromString("")
+  }
+
   /** First value of the case-insensitive attribute `attr` in the tag body
    * [from, to); double-quoted, single-quoted and unquoted values. Known
    * limitation (documented, browser-divergent): a literal '>' inside a
@@ -572,6 +618,20 @@ case class HtmlMetaExpression(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.HtmlAlgos.meta($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** First rel=canonical link href as string ("" when absent), one codegen'd
+ * static call per row (see [[HtmlAlgos.canonical]]). */
+case class HtmlCanonicalExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    HtmlAlgos.canonical(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HtmlAlgos.canonical($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -282,6 +282,12 @@ object Text {
   def htmlMeta(html: Column): Column =
     Bridge.column(HtmlMetaExpression(Bridge.expression(html)))
 
+  /** The page's self-declared canonical URL ("" when absent) — THE
+   * url-level dedup key: AMP/print/tracking variants collapse onto one
+   * canonical ([[HtmlAlgos.canonical]]); chain [[urlCanonicalize]]. */
+  def htmlCanonical(html: Column): Column =
+    Bridge.column(HtmlCanonicalExpression(Bridge.expression(html)))
+
   /** Distinct word n-gram shingles (lowercased), first-occurrence order —
    * ONE codegen'd static call per row. This feeds every minhash/simhash
    * corpus pass and the Jaccard verify joins, so it was the hottest

@@ -257,6 +257,20 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  private def canon(html: String): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(Text.htmlCanonical(col("h"))).collect()(0).getString(0)
+
+  test("htmlCanonical: first rel=canonical link, decoys skipped, absent is empty") {
+    assert(canon("""<link rel="canonical" href="https://e.com/a"><link rel="canonical" href="https://e.com/b">""")
+      == "https://e.com/a")
+    assert(canon("""<link href='https://e.com/x' rel=CANONICAL>""") == "https://e.com/x")
+    assert(canon("""<link rel="stylesheet" href="/s.css"><p>no canonical</p>""") == "")
+    assert(canon("""<script>var l='<link rel="canonical" href="https://d.invalid/">';</script>""" +
+      """<link rel="canonical" href="https://real.com/">""") == "https://real.com/")
+    assert(canon("""<link rel="canonical">missing href""") == "")
+  }
+
   test("hostEdges: real parse + host extraction, relative/self links drop") {
     val pages = Seq(
       ("https://s.com/1",
