@@ -69,8 +69,10 @@ object Pii {
    * card numbers from phone-length digit runs (a random 16-digit string
    * passes Luhn 10% of the time; an invoice/order number fails it), kept
    * SEPARATE from [[piiSignals]] so that struct's schema stays stable for
-   * existing consumers. Pure built-ins (regexp candidates → per-candidate
-   * digit fold with the doubled-digit rule), codegen'd, DuckDB-replicable
+   * existing consumers. Pure built-ins: the candidate regexp scan is
+   * codegen'd; the digit fold is a higher-order function (interpreted, as
+   * every Spark HOF is) over the usually-EMPTY candidate array, so the
+   * scan dominates at corpus scale. DuckDB-replicable
    * list-comprehension-for-list-comprehension. */
   def creditCardCount(text: Column): Column = {
     val cands = regexp_extract_all(text, lit(cardRe), lit(0))
