@@ -702,6 +702,26 @@ object SparkEntry {
           nodes = d, nodeIdCol = col("doc_id"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_translation_pairs" -> ((s, dir) => {
+      // hreflang-mined bitext candidates: each article family (doc_id
+      // div 5) has five language versions that all declare each other
+      // (plus themselves — the self-link must drop); the REAL parser and
+      // reciprocity filter reconstruct every unordered cross-language
+      // pair exactly once
+      val id = col("doc_id")
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val fam = expr("doc_id div 5")
+      val myLang = element_at(array(langs.map(lit): _*), (id % 5).cast("int") + 1)
+      def urlOf(l: org.apache.spark.sql.Column) = concat(lit("https://site.com/"), l,
+        lit("/art/"), fam.cast("string"))
+      val linkTags = langs.map(l =>
+        concat(lit(s"""<link rel="alternate" hreflang="$l" href="""),
+          lit("\""), urlOf(lit(l)), lit("\">"))).reduce(concat(_, _))
+      val html = concat(lit("<html><head>"), linkTags,
+        lit("</head><body><p>article</p></body></html>"))
+      val pages = docs(s, dir).select(urlOf(myLang).as("url"), html.as("html"))
+      graft.pipeline.Curation.translationPairs(pages, col("url"), col("html"))
+    }),
     "q_html_canonical" -> ((s, dir) => {
       // canonical-URL dedup: every doc's page points at a shared canonical
       // (doc_id div 5 — AMP/print variants of one article); grouping by
@@ -2687,6 +2707,18 @@ object SparkEntry {
         |              + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    "q_translation_pairs" ->
+      """WITH l(i, lang) AS (VALUES (0, 'en'), (1, 'de'), (2, 'es'), (3, 'fr'), (4, 'zh')),
+        |fam AS (SELECT DISTINCT doc_id // 5 AS f FROM documents),
+        |p AS (
+        |  SELECT concat('https://site.com/', a.lang, '/art/', CAST(f.f AS VARCHAR)) AS ua,
+        |         a.lang AS la,
+        |         concat('https://site.com/', b.lang, '/art/', CAST(f.f AS VARCHAR)) AS ub,
+        |         b.lang AS lb
+        |  FROM fam f, l a, l b WHERE a.i <> b.i
+        |)
+        |SELECT ua AS url_a, la AS lang_a, ub AS url_b, lb AS lang_b
+        |FROM p WHERE ua < ub""".stripMargin,
     "q_html_canonical" ->
       """SELECT concat('https://a.com/article/', CAST(doc_id // 5 AS VARCHAR)) AS canonical,
         |       CAST(count(*) AS BIGINT) AS variants

@@ -655,6 +655,39 @@ object Curation {
   }
 
   /**
+   * hreflang-mined bitext candidates — the front door of a parallel
+   * corpus: pages declare their own language versions
+   * (`<link rel=alternate hreflang>`), so clustering the declarations
+   * yields translation-pair candidates with NO content alignment at all
+   * (the WMT shared-task mining pipelines start exactly here, then score
+   * candidates with an alignment model). Only RECIPROCAL declarations
+   * survive (A lists B and B lists A — the precision filter that drops
+   * scraped/forged hreflang), self-links drop, each unordered pair emits
+   * once as (url_a, lang_a, url_b, lang_b) with langs from the OTHER
+   * side's declaration. Plan: one codegen'd parse + explode, one
+   * semi-join for reciprocity, one self-join to attach both langs — all
+   * keyed on (src,dst) URL pairs, never content.
+   */
+  def translationPairs(
+      pages: DataFrame, urlCol: Column, htmlCol: Column): DataFrame = {
+    val alts = pages.select(urlCol.as("graft_src"),
+        explode(Text.htmlAlternates(htmlCol)).as("graft_a"))
+      .select(col("graft_src"), col("graft_a.hreflang").as("graft_lang"),
+        col("graft_a.href").as("graft_dst"))
+      .where(col("graft_dst") =!= col("graft_src"))
+    val back = alts.select(col("graft_dst").as("graft_src"),
+      col("graft_src").as("graft_dst"))
+    val confirmed = alts.join(back, Seq("graft_src", "graft_dst"), "left_semi")
+    confirmed.as("x")
+      .join(confirmed.as("y"),
+        col("x.graft_src") === col("y.graft_dst") &&
+        col("x.graft_dst") === col("y.graft_src") &&
+        col("x.graft_src") < col("x.graft_dst"))
+      .select(col("x.graft_src").as("url_a"), col("y.graft_lang").as("lang_a"),
+        col("x.graft_dst").as("url_b"), col("x.graft_lang").as("lang_b"))
+  }
+
+  /**
    * PSI over CATEGORY values (language mix, source mix, license mix)
    * instead of numeric buckets — "did the en/zh/code balance move between
    * releases?" is the drift question corpus consumers actually ask first.

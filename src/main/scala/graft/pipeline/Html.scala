@@ -371,6 +371,56 @@ object HtmlAlgos {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /**
+   * hreflang alternates — `<link rel="alternate" hreflang=… href=…>` pairs
+   * in document order: the page's own list of its language versions, the
+   * signal hreflang-mined PARALLEL CORPORA start from (cluster the
+   * alternates, pair the texts, and you have bitext candidates without
+   * any content alignment). Values verbatim; entries missing either
+   * attribute are dropped; script/style/comment regions skipped.
+   */
+  def alternates(html: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = html.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          i = skipRawText(s, i, "script")
+        } else if (tagNameAt(s, i + 1, "style")) {
+          i = skipRawText(s, i, "style")
+        } else if (tagNameAt(s, i + 1, "link")) {
+          val k = i + 5
+          val gt = s.indexOf('>', k)
+          val end = if (gt < 0) n else gt
+          val rel = findAttr(s, k, end, "rel")
+          if (rel != null && rel.equalsIgnoreCase("alternate")) {
+            val lang = findAttr(s, k, end, "hreflang")
+            val href = findAttr(s, k, end, "href")
+            if (lang != null && href != null)
+              out += org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(lang.toLowerCase(java.util.Locale.ROOT)),
+                UTF8String.fromString(href))
+          }
+          i = if (gt < 0) n else gt + 1
+        } else {
+          val c1 = if (i + 1 < n) s.charAt(i + 1) else ' '
+          val isTag = c1 == '/' || c1 == '!' ||
+            (c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z')
+          if (isTag) {
+            val gt = s.indexOf('>', i + 1)
+            i = if (gt < 0) n else gt + 1
+          } else i += 1
+        }
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** First href attribute value in the tag body [from, to). */
   private def findHref(s: String, from: Int, to: Int): String =
     findAttr(s, from, to, "href")
@@ -618,6 +668,24 @@ case class HtmlMetaExpression(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.HtmlAlgos.meta($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (hreflang, href) alternate pairs as array<struct>, one codegen'd static
+ * call per row (see [[HtmlAlgos.alternates]]). */
+case class HtmlAlternatesExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hreflang", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("href", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HtmlAlgos.alternates(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HtmlAlgos.alternates($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -288,6 +288,12 @@ object Text {
   def htmlCanonical(html: Column): Column =
     Bridge.column(HtmlCanonicalExpression(Bridge.expression(html)))
 
+  /** (hreflang, href) alternate pairs — the page's own list of its
+   * language versions, the seed of hreflang-mined parallel corpora
+   * ([[HtmlAlgos.alternates]]). */
+  def htmlAlternates(html: Column): Column =
+    Bridge.column(HtmlAlternatesExpression(Bridge.expression(html)))
+
   /** Distinct word n-gram shingles (lowercased), first-occurrence order —
    * ONE codegen'd static call per row. This feeds every minhash/simhash
    * corpus pass and the Jaccard verify joins, so it was the hottest

@@ -271,6 +271,36 @@ class HtmlSpec extends AnyFunSuite {
     assert(canon("""<link rel="canonical">missing href""") == "")
   }
 
+  test("translationPairs: reciprocal hreflang only; forged one-way links drop") {
+    def page(url: String, alts: (String, String)*) =
+      (url, alts.map { case (l, h) =>
+        s"""<link rel="alternate" hreflang="$l" href="$h">""" }.mkString +
+        s"""<link rel="alternate" hreflang="xx" href="$url">""") // self-link drops
+    val pages = Seq(
+      page("https://s/en", "de" -> "https://s/de", "fr" -> "https://s/fr"),
+      page("https://s/de", "en" -> "https://s/en"),
+      // fr never links back to en → (en, fr) must NOT pair
+      page("https://s/fr"),
+      // forger declares an alternate nobody reciprocates
+      page("https://evil/x", "en" -> "https://s/en"))
+      .toDF("url", "html")
+    val got = Curation.translationPairs(pages, col("url"), col("html"))
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == Set(("https://s/de", "de", "https://s/en", "en")))
+  }
+
+  test("htmlAlternates: pairs in order, missing attrs dropped, lang lowercased") {
+    val a = Seq(Tuple1(
+      """<link rel="alternate" hreflang="DE" href="https://s/de">""" +
+      """<link rel="alternate" href="https://s/no-lang">""" +
+      """<link rel="alternate" hreflang="fr">""" +
+      """<link rel="stylesheet" hreflang="es" href="https://s/css">"""))
+      .toDF("h").select(explode(Text.htmlAlternates(col("h"))).as("a"))
+      .select(col("a.hreflang"), col("a.href"))
+      .as[(String, String)].collect().toSeq
+    assert(a == Seq(("de", "https://s/de")))
+  }
+
   test("hostEdges: real parse + host extraction, relative/self links drop") {
     val pages = Seq(
       ("https://s.com/1",
