@@ -203,6 +203,19 @@ object SparkEntry {
           when(col("event_id") % 23 === 0, col("ts") - expr("INTERVAL 1 HOUR"))
             .otherwise(col("ts")).as("ts")),
         col("user_id"), col("ts"), col("event_id"))),
+    "q_dq_shadow" -> ((s, dir) => {
+      // shadow-test a suite edit before deploying it: rule 100 tightens
+      // qty<=50 → qty<=30, rule 201 loosens tax<0.04 → tax<0.05; the
+      // report prices both edits in flips per rule
+      val suiteB = RuleSuite(Id(1, 2), Seq(
+        RuleSet(Id(10, 1), Seq(
+          Rule(Id(100, 2), "l_quantity <= 30"),
+          Rule(Id(101, 1), "l_extendedprice > 0"))),
+        RuleSet(Id(20, 1), Seq(
+          Rule(Id(200, 1), "CASE WHEN l_discount <= 0.06 THEN 1 ELSE -1 END"),
+          Rule(Id(201, 2), "CASE WHEN l_tax < 0.05 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END")))))
+      RuleRunner.compareSuites(lineitem(s, dir), lineitemSuite, suiteB)
+    }),
     "q_dq_fd" -> ((s, dir) =>
       // does doc_id%100 determine lang? (it doesn't — drift planted by
       // construction, plus nulls in the dependent for the loud-null path)
@@ -2175,6 +2188,28 @@ object SparkEntry {
         |         // NULLIF(CAST(count(CASE WHEN prev IS NOT NULL THEN 1 END) AS BIGINT), 0)
         |         AS regression_ppm
         |FROM l""".stripMargin,
+    "q_dq_shadow" ->
+      """WITH f AS (
+        |  SELECT (l_quantity <= 50) AS a100, (l_quantity <= 30) AS b100,
+        |         (l_extendedprice > 0) AS a101, (l_extendedprice > 0) AS b101,
+        |         (l_discount <= 0.06) AS p200,
+        |         (l_tax < 0.04) AS a201, (l_tax < 0.05) AS b201
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT 10 AS setId, 100 AS ruleId, a100 AS pa, b100 AS pb FROM f
+        |  UNION ALL SELECT 10, 101, a101, b101 FROM f
+        |  UNION ALL SELECT 20, 200, p200, p200 FROM f
+        |  UNION ALL SELECT 20, 201, a201, b201 FROM f
+        |)
+        |SELECT setId, ruleId,
+        |       CAST(count(*) AS BIGINT) AS evaluated,
+        |       CAST(count(CASE WHEN pa = pb THEN 1 END) AS BIGINT) AS same,
+        |       CAST(count(CASE WHEN pa AND NOT pb THEN 1 END) AS BIGINT) AS a_pass_b_fail,
+        |       CAST(count(CASE WHEN NOT pa AND pb THEN 1 END) AS BIGINT) AS a_fail_b_pass,
+        |       (CAST(count(CASE WHEN pa AND NOT pb THEN 1 END) AS BIGINT)
+        |        + CAST(count(CASE WHEN NOT pa AND pb THEN 1 END) AS BIGINT)) * 1000000
+        |         // NULLIF(CAST(count(*) AS BIGINT), 0) AS flip_ppm
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "q_dq_fd" ->
       """WITH f AS (
         |  SELECT doc_id % 100 AS det,

@@ -183,6 +183,48 @@ object RuleRunner {
         expr("passed * 1000000L div nullif(evaluated - disabled, 0L)").as("pass_rate_ppm"))
   }
 
+  /**
+   * SHADOW-compare two suite versions on the same data — the pre-deploy
+   * answer to "what would this rule edit do to the corpus?": evaluate
+   * both suites in ONE pass (two projections over the same scan, no
+   * second read), then report per rule how many rows changed outcome —
+   * (setId, ruleId, evaluated, same, a_pass_b_fail, a_fail_b_pass,
+   * flip_ppm). Pass means the coerced Passed class, so a probability
+   * drifting across the pass line counts as a flip. The suites must
+   * share the same rule GRID (same set/rule ids in the same order — the
+   * edited-expressions case this exists for); differing grids are
+   * refused loudly rather than mislabeled positionally. One combining
+   * aggregate keyed by rule; rows never shuffle.
+   */
+  def compareSuites(df: DataFrame, suiteA: RuleSuite, suiteB: RuleSuite): DataFrame = {
+    // versions are EXPECTED to differ (an edited rule bumps its version) —
+    // the grid is the id halves only
+    def grid(s: RuleSuite) = s.ruleSets.map(rs => rs.id.id -> rs.rules.map(_.id.id))
+    require(grid(suiteA) == grid(suiteB),
+      "compareSuites needs the same rule grid in both suites (same set/rule " +
+        "ids in the same order) — it shadow-tests EDITED rule expressions, " +
+        "not added/removed rules")
+    addDataQuality(addDataQuality(df, suiteA, "graft_dq_a"), suiteB, "graft_dq_b")
+      .select(
+        explode(arrays_zip(
+          flattenResults(col("graft_dq_a")),
+          flattenResults(col("graft_dq_b")))).as("graft_z"))
+      .select(col("graft_z.0.ruleSetId").as("setId"),
+        col("graft_z.0.ruleId").as("ruleId"),
+        (col("graft_z.0.ruleResult") === RuleResults.PassedInt).as("graft_pa"),
+        (col("graft_z.1.ruleResult") === RuleResults.PassedInt).as("graft_pb"))
+      .groupBy(col("setId"), col("ruleId"))
+      .agg(
+        count(lit(1)).as("evaluated"),
+        count(when(col("graft_pa") === col("graft_pb"), 1)).as("same"),
+        count(when(col("graft_pa") && !col("graft_pb"), 1)).as("a_pass_b_fail"),
+        count(when(!col("graft_pa") && col("graft_pb"), 1)).as("a_fail_b_pass"))
+      .select(col("setId"), col("ruleId"), col("evaluated"), col("same"),
+        col("a_pass_b_fail"), col("a_fail_b_pass"),
+        expr("(a_pass_b_fail + a_fail_b_pass) * 1000000L div nullif(evaluated, 0L)")
+          .as("flip_ppm"))
+  }
+
   /** Details variant (no suite overall). */
   def flattenRuleResults(details: Column): Column = {
     val suiteId = details.getField("id")

@@ -172,4 +172,22 @@ class RuleRunnerSpec extends AnyFunSuite {
     assert(out((101, 1)) == (5L, 1L) && out((101, 2)) == (5L, 3L))
     assert(!out.keys.exists(_._1 == 102))
   }
+
+  test("compareSuites: shadow flip counts per rule; grid mismatch refused") {
+    val df = Seq(10.0, 25.0, 40.0, 60.0).toDF("v")
+    val a = RuleSuite(Id(1, 1), Seq(RuleSet(Id(10, 1), Seq(
+      Rule(Id(100, 1), "v <= 50"),
+      Rule(Id(101, 1), "v >= 0")))))
+    val b = RuleSuite(Id(1, 2), Seq(RuleSet(Id(10, 1), Seq(
+      Rule(Id(100, 2), "v <= 30"),   // tightened: 40 flips pass→fail
+      Rule(Id(101, 2), "v >= 0"))))) // unchanged
+    val got = RuleRunner.compareSuites(df, a, b)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(100) == ((4L, 3L, 1L, 0L, 250000L))) // one of four rows flips
+    assert(got(101) == ((4L, 4L, 0L, 0L, 0L)))
+    val c = RuleSuite(Id(1, 3), Seq(RuleSet(Id(10, 1), Seq(
+      Rule(Id(100, 3), "v <= 30"))))) // a rule REMOVED → different grid
+    intercept[IllegalArgumentException](RuleRunner.compareSuites(df, a, c))
+  }
 }
