@@ -715,6 +715,21 @@ object SparkEntry {
           nodes = d, nodeIdCol = col("doc_id"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_dedup_canonical" -> ((s, dir) => {
+      // canonical-family collapse over the q_html_canonical page set: 500
+      // variants → the lowest doc_id of each of 100 article families
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><link rel=\"canonical\" href=\"https://a.com/article/"),
+        expr("doc_id div 5").cast("string"),
+        lit("\"></head><body><p>variant "), id.cast("string"),
+        lit("</p></body></html>"))
+      val pages = docs(s, dir).select(id.as("doc_id"),
+        concat(lit("https://a.com/v/"), id.cast("string")).as("url"), html.as("html"))
+      graft.pipeline.Dedup.dropCanonicalDups(
+          pages, col("doc_id"), col("url"), col("html"))
+        .select(col("doc_id"))
+    }),
     "q_translation_pairs" -> ((s, dir) => {
       // hreflang-mined bitext candidates: each article family (doc_id
       // div 5) has five language versions that all declare each other
@@ -2742,6 +2757,8 @@ object SparkEntry {
         |              + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    "q_dedup_canonical" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 5",
     "q_translation_pairs" ->
       """WITH l(i, lang) AS (VALUES (0, 'en'), (1, 'de'), (2, 'es'), (3, 'fr'), (4, 'zh')),
         |fam AS (SELECT DISTINCT doc_id // 5 AS f FROM documents),

@@ -270,6 +270,27 @@ object Dedup {
     df.join(hits, idCol === col("id_c"), "left_anti")
   }
 
+  /** URL-level dedup by the page's SELF-DECLARED canonical
+   * ([[Text.htmlCanonical]]): AMP/print/mobile/tracking variants of one
+   * article collapse to the lowest-id member of their canonical family
+   * even when their renderings share no content hash. Pages without a
+   * canonical fall back to their own URL (each its own family). The
+   * cheapest dedup tier there is — one codegen'd parse + one keyed min +
+   * a semi-join, no signatures — run it BEFORE the content tiers so they
+   * never pay for variants the pages already related for us. */
+  def dropCanonicalDups(
+      df: DataFrame, idCol: Column, urlCol: Column, htmlCol: Column): DataFrame = {
+    val keyed = df.select(idCol.as("graft_cid"),
+        Text.htmlCanonical(htmlCol).as("graft_canon"), urlCol.as("graft_url"))
+      .select(col("graft_cid"),
+        when(col("graft_canon") =!= lit(""), col("graft_canon"))
+          .otherwise(col("graft_url")).as("graft_fam"))
+    val keep = keyed.groupBy(col("graft_fam"))
+      .agg(min(col("graft_cid")).as("graft_keep_id"))
+      .select(col("graft_keep_id"))
+    df.join(keep, idCol === col("graft_keep_id"), "left_semi")
+  }
+
   /** One candidate banding: b bands of r rows over b·r hashes, with the
    * S-curve facts an operator tunes by — the similarity where candidate
    * probability crosses 1/2 (`crossover` ≈ (1/b)^(1/r)) and the exact
