@@ -204,15 +204,32 @@ object RuleRunner {
       "compareSuites needs the same rule grid in both suites (same set/rule " +
         "ids in the same order) — it shadow-tests EDITED rule expressions, " +
         "not added/removed rules")
+    // the grid is a driver-side object: unroll one small struct per rule
+    // with DIRECT map lookups into each DQ column — no HOF-built arrays to
+    // zip (arrays_zip over the flatten transforms fell out of codegen and
+    // measured ~10× slower at bench scale)
+    def packed(i: Id): Long = (i.id.toLong << 32) | (i.version.toLong & 0xffffffffL)
+    def passed(dq: String, set: Id, rule: Id) =
+      element_at(element_at(col(s"$dq.ruleSetResults"), lit(packed(set)))
+        .getField("ruleResults"), lit(packed(rule))) === RuleResults.PassedInt
+    val entries = suiteA.ruleSets.map { rsA =>
+      val rsB = suiteB.ruleSets.find(_.id.id == rsA.id.id).get
+      rsA -> rsB
+    }.flatMap { case (rsA, rsB) =>
+      rsA.rules.map { rA =>
+        val rB = rsB.rules.find(_.id.id == rA.id.id).get
+        struct(
+          lit(rsA.id.id).as("setId"), lit(rA.id.id).as("ruleId"),
+          passed("graft_dq_a", rsA.id, rA.id).as("pa"),
+          passed("graft_dq_b", rsB.id, rB.id).as("pb"))
+      }
+    }
     addDataQuality(addDataQuality(df, suiteA, "graft_dq_a"), suiteB, "graft_dq_b")
-      .select(
-        explode(arrays_zip(
-          flattenResults(col("graft_dq_a")),
-          flattenResults(col("graft_dq_b")))).as("graft_z"))
-      .select(col("graft_z.0.ruleSetId").as("setId"),
-        col("graft_z.0.ruleId").as("ruleId"),
-        (col("graft_z.0.ruleResult") === RuleResults.PassedInt).as("graft_pa"),
-        (col("graft_z.1.ruleResult") === RuleResults.PassedInt).as("graft_pb"))
+      .select(explode(array(entries: _*)).as("graft_z"))
+      .select(col("graft_z.setId").as("setId"),
+        col("graft_z.ruleId").as("ruleId"),
+        col("graft_z.pa").as("graft_pa"),
+        col("graft_z.pb").as("graft_pb"))
       .groupBy(col("setId"), col("ruleId"))
       .agg(
         count(lit(1)).as("evaluated"),
