@@ -715,6 +715,25 @@ object SparkEntry {
           nodes = d, nodeIdCol = col("doc_id"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_html_jsonld" -> ((s, dir) => {
+      // schema.org structured data through the real extractor (a plain
+      // script sits ahead as a decoy) and from_json; oracle reconstructs
+      // the parsed fields arithmetically
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><script>var x=1;</script>" +
+          "<script type=\"application/ld+json\">{\"@type\":\"Article\",\"headline\":\"Doc "),
+        id.cast("string"),
+        lit("\",\"wordCount\":"), (id * 31 % 1000).cast("string"),
+        lit("}</script></head><body><p>b</p></body></html>"))
+      docs(s, dir).select(id.as("doc_id"),
+          explode(graft.pipeline.Text.htmlJsonLd(html)).as("graft_j"))
+        .select(col("doc_id"),
+          from_json(col("graft_j"), org.apache.spark.sql.types.StructType
+            .fromDDL("headline STRING, wordCount BIGINT")).as("graft_m"))
+        .select(col("doc_id"), col("graft_m.headline").as("headline"),
+          col("graft_m.wordCount").as("word_count"))
+    }),
     "q_dedup_canonical" -> ((s, dir) => {
       // canonical-family collapse over the q_html_canonical page set: 500
       // variants → the lowest doc_id of each of 100 article families
@@ -2757,6 +2776,11 @@ object SparkEntry {
         |              + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    "q_html_jsonld" ->
+      """SELECT doc_id,
+        |       concat('Doc ', CAST(doc_id AS VARCHAR)) AS headline,
+        |       (doc_id * 31) % 1000 AS word_count
+        |FROM documents""".stripMargin,
     "q_dedup_canonical" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 5",
     "q_translation_pairs" ->

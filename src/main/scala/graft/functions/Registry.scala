@@ -201,6 +201,7 @@ object Registry {
       if (es.size >= 2) litDouble(es(1)) else 1.0)),
     "html_links" -> (es => graft.pipeline.HtmlLinksExpression(es.head)),
     "html_anchors" -> (es => graft.pipeline.HtmlAnchorsExpression(es.head)),
+    "html_jsonld" -> (es => graft.pipeline.HtmlJsonLdExpression(es.head)),
     "html_alternates" -> (es => graft.pipeline.HtmlAlternatesExpression(es.head)),
     "html_canonical" -> (es => graft.pipeline.HtmlCanonicalExpression(es.head)),
     "html_meta" -> (es => graft.pipeline.HtmlMetaExpression(es.head)),

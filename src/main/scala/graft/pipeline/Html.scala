@@ -372,6 +372,55 @@ object HtmlAlgos {
   }
 
   /**
+   * JSON-LD blocks — the bodies of `<script type="application/ld+json">`
+   * elements, verbatim and in document order: schema.org structured data
+   * (headline, datePublished, author, articleBody) that news and
+   * commerce sites ship as machine-readable metadata richer than any
+   * meta tag. This is the ONE script content worth keeping, so the
+   * extractor inverts the usual skip-scripts rule for exactly that type
+   * attribute (case-insensitive, quoting-agnostic); parse the returned
+   * strings downstream with `from_json` and the schema you expect.
+   */
+  def jsonLd(html: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = html.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          val k = i + 8
+          val gt = s.indexOf('>', k)
+          val tagEnd = if (gt < 0) n else gt
+          val typ = findAttr(s, k, tagEnd, "type")
+          val bodyStart = if (gt < 0) n else gt + 1
+          val next = skipRawText(s, i, "script") // past </script>'s '>'
+          if (typ != null && typ.equalsIgnoreCase("application/ld+json") && bodyStart < n) {
+            val close = s.lastIndexOf("</", next - 1)
+            val bodyEnd = if (close >= bodyStart) close else math.min(next, n)
+            out += UTF8String.fromString(s.substring(bodyStart, bodyEnd).trim)
+          }
+          i = next
+        } else if (tagNameAt(s, i + 1, "style")) {
+          i = skipRawText(s, i, "style")
+        } else {
+          val c1 = if (i + 1 < n) s.charAt(i + 1) else ' '
+          val isTag = c1 == '/' || c1 == '!' ||
+            (c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z')
+          if (isTag) {
+            val gt = s.indexOf('>', i + 1)
+            i = if (gt < 0) n else gt + 1
+          } else i += 1
+        }
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /**
    * hreflang alternates — `<link rel="alternate" hreflang=… href=…>` pairs
    * in document order: the page's own list of its language versions, the
    * signal hreflang-mined PARALLEL CORPORA start from (cluster the
@@ -668,6 +717,21 @@ case class HtmlMetaExpression(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.HtmlAlgos.meta($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** JSON-LD script bodies as array<string>, one codegen'd static call per
+ * row (see [[HtmlAlgos.jsonLd]]). */
+case class HtmlJsonLdExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HtmlAlgos.jsonLd(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HtmlAlgos.jsonLd($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

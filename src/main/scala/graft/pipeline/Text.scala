@@ -294,6 +294,11 @@ object Text {
   def htmlAlternates(html: Column): Column =
     Bridge.column(HtmlAlternatesExpression(Bridge.expression(html)))
 
+  /** JSON-LD script bodies (schema.org structured data) as array<string>
+   * — parse downstream with `from_json` ([[HtmlAlgos.jsonLd]]). */
+  def htmlJsonLd(html: Column): Column =
+    Bridge.column(HtmlJsonLdExpression(Bridge.expression(html)))
+
   /** Distinct word n-gram shingles (lowercased), first-occurrence order —
    * ONE codegen'd static call per row. This feeds every minhash/simhash
    * corpus pass and the Jaccard verify joins, so it was the hottest

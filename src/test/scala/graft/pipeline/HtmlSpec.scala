@@ -301,6 +301,26 @@ class HtmlSpec extends AnyFunSuite {
     assert(a == Seq(("de", "https://s/de")))
   }
 
+  test("htmlJsonLd: ld+json bodies kept verbatim, plain scripts skipped") {
+    val html =
+      """<script>var x = 1;</script>""" +
+      """<script type="application/ld+json">{"@type":"Article","headline":"A</p>B"}</script>""" +
+      """<script type='APPLICATION/LD+JSON' async>{"n":2}</script>""" +
+      """<script type="text/javascript">{"not":"ld"}</script>"""
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(Text.htmlJsonLd(col("h")).as("j")).collect()(0).getSeq[String](0)
+    // "</p>" inside a JSON string survives — only </script> closes the block
+    assert(got == Seq("""{"@type":"Article","headline":"A</p>B"}""", """{"n":2}"""))
+    // downstream from_json integration
+    val head = Seq(Tuple1(html)).toDF("h")
+      .select(explode(Text.htmlJsonLd(col("h"))).as("j"))
+      .select(from_json(col("j"),
+        org.apache.spark.sql.types.StructType.fromDDL("headline STRING"))
+        .getField("headline"))
+      .as[String].collect().toSeq
+    assert(head == Seq("A</p>B", null))
+  }
+
   test("hostEdges: real parse + host extraction, relative/self links drop") {
     val pages = Seq(
       ("https://s.com/1",
