@@ -605,7 +605,10 @@ object Curation {
     require(bucketsPerDecade > 0, s"bucketsPerDecade must be positive, got $bucketsPerDecade")
     def bucketed(df: DataFrame, cnt: String): DataFrame = {
       val v = valueCol.cast("double")
-      val b = when(v.isNull || v <= 0, lit(Int.MinValue))
+      // NaN must land in the reserved underflow bucket like LogHistogram
+      // .bucketOf does — without the isnan guard the non-ANSI int cast
+      // would silently file NaN under bucket 0
+      val b = when(v.isNull || isnan(v) || v <= 0, lit(Int.MinValue))
         .otherwise(floor(log10(v) * bucketsPerDecade + lit(1e-9)).cast("int"))
       df.select(b.as("graft_b")).groupBy("graft_b").agg(count(lit(1)).as(cnt))
     }

@@ -274,7 +274,11 @@ object Dedup {
    * ([[Text.htmlCanonical]]): AMP/print/mobile/tracking variants of one
    * article collapse to the lowest-id member of their canonical family
    * even when their renderings share no content hash. Pages without a
-   * canonical fall back to their own URL (each its own family). The
+   * canonical fall back to their own URL (each its own family). A
+   * canonical pointing OFF-SITE (its registrable domain differs from the
+   * page's own) is ignored — a hostile or misconfigured page must not be
+   * able to join another site's family and, by carrying a lower id,
+   * evict the legitimate page from the corpus. The
    * cheapest dedup tier there is — one codegen'd parse + one keyed min +
    * a semi-join, no signatures — run it BEFORE the content tiers so they
    * never pay for variants the pages already related for us. */
@@ -283,7 +287,9 @@ object Dedup {
     val keyed = df.select(idCol.as("graft_cid"),
         Text.htmlCanonical(htmlCol).as("graft_canon"), urlCol.as("graft_url"))
       .select(col("graft_cid"),
-        when(col("graft_canon") =!= lit(""), col("graft_canon"))
+        when(col("graft_canon") =!= lit("") &&
+            Text.registrableDomain(col("graft_canon")) ===
+              Text.registrableDomain(col("graft_url")), col("graft_canon"))
           .otherwise(col("graft_url")).as("graft_fam"))
     val keep = keyed.groupBy(col("graft_fam"))
       .agg(min(col("graft_cid")).as("graft_keep_id"))

@@ -123,7 +123,11 @@ object Robots {
       .select(col("host"), col("allow"), col("pattern"), col("wild"), col("regex"))
     val u = urls.select(urlCol.as("url"))
       .withColumn("host", Text.urlHost(col("url")))
-      .withColumn("graft_path", Text.urlPath(col("url")))
+      // RFC 9309 §2.2.2: a URL with no path component is evaluated as "/"
+      // — without this, `Disallow: /` would never match the site root
+      .withColumn("graft_path",
+        when(Text.urlPath(col("url")) === lit(""), lit("/"))
+          .otherwise(Text.urlPath(col("url"))))
     u.join(grouped, Seq("host"), "left")
       .withColumn("graft_match", col("pattern").isNotNull &&
         when(col("wild"), expr("graft_path rlike regex"))

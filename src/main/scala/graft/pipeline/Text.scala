@@ -170,7 +170,11 @@ object Text {
    * Pure built-in regex/CASE projection — codegen'd, no shuffle, and the
    * DuckDB oracle replicates it token-for-token. */
   def registrableDomain(url: Column): Column = {
-    val host = urlHost(url)
+    // DNS is case-insensitive but urlHost preserves case; lowercase before
+    // the suffix check or `A.Example.CO.UK` would yield `CO.UK` — lumping
+    // every such host into one cap/budget bucket, the exact failure this
+    // function exists to prevent
+    val host = lower(urlHost(url))
     val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
     when(last2 === lit(""), host) // dotless host: pass through

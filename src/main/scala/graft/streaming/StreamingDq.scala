@@ -39,10 +39,15 @@ object StreamingDq {
         count(when(col("graft_r.ruleResult") === graft.rules.RuleResults.FailedInt, 1))
           .as("failed"),
         count(when(col("graft_r.ruleResult") === graft.rules.RuleResults.SoftFailedInt, 1))
-          .as("soft_failed"))
+          .as("soft_failed"),
+        count(when(col("graft_r.ruleResult") === graft.rules.RuleResults.DisabledRuleInt, 1))
+          .as("disabled"))
       .select(col("window.start").as("window_start"), col("setId"), col("ruleId"),
         col("evaluated"), col("passed"), col("failed"), col("soft_failed"),
-        expr("passed * 1000000L div nullif(evaluated, 0L)").as("pass_rate_ppm"))
+        col("disabled"),
+        // same denominator as the batch twin RuleRunner.ruleStats: disabled
+        // evaluations don't count against the pass rate, live or batch
+        expr("passed * 1000000L div nullif(evaluated - disabled, 0L)").as("pass_rate_ppm"))
 
   /**
    * Streaming exact dedup on a content fingerprint: keeps the FIRST arrival

@@ -591,6 +591,25 @@ class CurationSpec extends AnyFunSuite {
     val withZeros = base.unionAll(Seq(Tuple1(0.0), Tuple1(-5.0)).toDF("v"))
     assert(Curation.distributionDrift(base, withZeros, col("v"))
       .collect()(0).getLong(0) >= 0L)
+    // NaN joins them in the underflow bucket (NOT bucket 0 via the
+    // non-ANSI cast): NaN-vs-zeros corpora bucket identically → PSI 0
+    val withNans = base.unionAll(Seq(Tuple1(Double.NaN), Tuple1(Double.NaN)).toDF("v"))
+    assert(Curation.distributionDrift(withZeros, withNans, col("v"))
+      .collect()(0).getLong(0) == 0L)
+  }
+
+  test("distributionDrift with NaN values still EQUALS histogramPsi on sketches") {
+    import graft.functions.dsl.log_histogram
+    val a = ((1L to 200L).map(i => Tuple1((i % 50 + 10).toDouble))
+      :+ Tuple1(Double.NaN)).toDF("v")
+    val b = ((1L to 150L).map(i => Tuple1((i % 23 + 7).toDouble * 3))
+      :+ Tuple1(Double.NaN) :+ Tuple1(Double.NaN)).toDF("v")
+    val raw = Curation.distributionDrift(a, b, col("v")).collect()(0).getLong(0)
+    val sketch = a.agg(log_histogram(col("v")).as("h"))
+      .crossJoin(b.agg(log_histogram(col("v")).as("hb")))
+      .select(Curation.histogramPsi(col("h"), col("hb")))
+      .collect()(0).getLong(0)
+    assert(sketch == raw && raw > 0L)
   }
 
   test("histogramPsi on sketches EQUALS distributionDrift on raw frames") {

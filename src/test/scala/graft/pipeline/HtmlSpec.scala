@@ -271,6 +271,29 @@ class HtmlSpec extends AnyFunSuite {
     assert(canon("""<link rel="canonical">missing href""") == "")
   }
 
+  test("dropCanonicalDups: same-domain families collapse, off-site canonicals ignored") {
+    // ids 1-3: one family on a.com (www/amp subdomain variants OK — the
+    // guard is registrable-domain); id 4: a hostile page on evil.com
+    // declaring a.com's article as ITS canonical — it must NOT join the
+    // family (nor, carrying the lower id 0, evict the legitimate pages)
+    val pages = Seq(
+      (0L, "https://evil.com/steal",
+        """<link rel="canonical" href="https://a.com/article/1">"""),
+      (1L, "https://a.com/article/1",
+        """<link rel="canonical" href="https://a.com/article/1">"""),
+      (2L, "https://www.a.com/amp/1",
+        """<link rel="canonical" href="https://a.com/article/1">"""),
+      (3L, "https://a.com/print/1",
+        """<link rel="canonical" href="https://a.com/article/1">"""),
+      (4L, "https://b.com/own", "<p>no canonical</p>"))
+      .toDF("id", "url", "html")
+    val kept = Dedup.dropCanonicalDups(pages, col("id"), col("url"), col("html"))
+      .select("id").as[Long].collect().toSet
+    // family {1,2,3} → 1; evil page falls back to its own URL and survives
+    // alone; so does the canonical-less page
+    assert(kept == Set(0L, 1L, 4L))
+  }
+
   test("translationPairs: reciprocal hreflang only; forged one-way links drop") {
     def page(url: String, alts: (String, String)*) =
       (url, alts.map { case (l, h) =>

@@ -245,12 +245,14 @@ class PipelineSpec extends AnyFunSuite {
       "https://example.com/w",
       "https://deep.sub.mart.com.au/v",
       "https://localhost/p",           // dotless host passes through
-      "https://co.uk/")                // host IS the suffix: pass through
+      "https://co.uk/",                // host IS the suffix: pass through
+      "https://A.Example.CO.UK/x")     // DNS is case-insensitive: must
+                                       // still see the co.uk suffix
       .toDF("u").select(Text.registrableDomain(col("u")))
       .as[String].collect().toSeq
     assert(got == Seq(
       "example.co.uk", "example.co.uk", "example.com", "example.com",
-      "mart.com.au", "localhost", "co.uk"))
+      "mart.com.au", "localhost", "co.uk", "example.co.uk"))
     // cap keyed on registrableDomain cannot be dodged with subdomains
     assert(got.take(2).distinct.size == 1)
   }

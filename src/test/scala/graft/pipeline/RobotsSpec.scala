@@ -72,6 +72,22 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("https://h/tie/z") == true)        // equal length: allow wins
   }
 
+  test("root URL with no path evaluates as '/' (RFC 9309 2.2.2)") {
+    val rules = Robots.parseDf(Seq(
+      ("closed", "User-agent: *\nDisallow: /"),
+      ("open", "User-agent: *\nDisallow: /private"))
+      .toDF("host", "txt"), col("host"), col("txt"))
+    val got = Robots.isAllowed(rules,
+        Seq("https://closed", "https://closed/", "https://open").toDF("u"),
+        col("u"), "bot")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // 'Disallow: /' blocks the bare-root URL too — an empty extracted
+    // path must match as "/" rather than prefix-matching nothing
+    assert(got("https://closed") == false)
+    assert(got("https://closed/") == false)
+    assert(got("https://open") == true)
+  }
+
   test("group selection: exact agent beats *, missing host allows") {
     val rules = Robots.parseDf(Seq(
       ("h1", "User-agent: *\nDisallow: /\nUser-agent: mybot\nDisallow: /only-this"),

@@ -52,7 +52,8 @@ class StreamingDriftSpec extends AnyFunSuite {
     import graft.rules._
     val suite = RuleSuite(Id(1, 1), Seq(RuleSet(Id(10, 1), Seq(
       Rule(Id(100, 1), "v >= 0"),
-      Rule(Id(101, 1), "CASE WHEN v < 100 THEN 1 ELSE -1 END")))))
+      Rule(Id(101, 1), "CASE WHEN v < 100 THEN 1 ELSE -1 END"),
+      Rule(Id(102, 1), "disabled_rule()")))))
     val mem = MemoryStream[(Timestamp, Double)]
     val out = StreamingDq.windowedRuleStats(
       mem.toDF().toDF("ts", "v"), suite, "ts", "10 minutes", "5 minutes")
@@ -64,12 +65,15 @@ class StreamingDriftSpec extends AnyFunSuite {
       mem.addData((Timestamp.valueOf("2026-01-01 11:00:00"), 1.0))
       q.processAllAvailable()
       val rows = spark.sql(
-          "SELECT ruleId, evaluated, passed, failed, soft_failed, pass_rate_ppm " +
+          "SELECT ruleId, evaluated, passed, failed, soft_failed, disabled, pass_rate_ppm " +
           "FROM rule_stats_stream WHERE window_start = '2026-01-01 10:00:00' ORDER BY ruleId")
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5)))
-      assert(rows(0) == ((100, 4L, 3L, 1L, 0L, 750000L))) // -3 fails v >= 0
-      assert(rows(1) == ((101, 4L, 3L, 0L, 1L, 750000L))) // 150 soft-fails
+          r.getLong(4), r.getLong(5), if (r.isNullAt(6)) -1L else r.getLong(6)))
+      assert(rows(0) == ((100, 4L, 3L, 1L, 0L, 0L, 750000L))) // -3 fails v >= 0
+      assert(rows(1) == ((101, 4L, 3L, 0L, 1L, 0L, 750000L))) // 150 soft-fails
+      // a fully-disabled rule reports NULL pass rate (denominator
+      // evaluated - disabled = 0), matching batch ruleStats — not 0%
+      assert(rows(2) == ((102, 4L, 0L, 0L, 0L, 4L, -1L)))
     } finally q.stop()
   }
 }
