@@ -155,6 +155,20 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Same contract for audio: the WAV/AIFF encodes are fixture setup —
+   * q_audio_phash times the fingerprint + banded join over a corpus
+   * already on disk. */
+  private val audioFixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def audioDupFixture(s: SparkSession, dir: String): DataFrame = {
+    val path = audioFixtureCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q_aphash_media").toString
+      graft.pipeline.Multimodal.audioDupTable(docs(s, dir), "doc_id")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** documents plus constructed near-duplicates: for doc_id % 10 == 0, a copy
    * with the last two words dropped, id + 10000 — deterministic in SQL so the
    * DuckDB oracle can rebuild the identical corpus. */
@@ -1418,6 +1432,15 @@ object SparkEntry {
       val media = imageDupFixture(s, dir)
       graft.pipeline.Phash.nearDups(media, col("id"), col("data"), maxHamming = 12)
     }),
+    "q_audio_phash" -> ((s, dir) => {
+      // rows-only (Goertzel/HK arithmetic is not SQL-expressible;
+      // AudioPhashSpec pins the invariances): perceptual audio dedup —
+      // resampled (12 kHz) and 8-bit-AIFF re-encoded copies of tonal clips
+      // collapse to their originals through the same 8-band Hamming join
+      // the image tier uses, no all-pairs
+      val media = audioDupFixture(s, dir)
+      graft.pipeline.AudioPhash.nearDups(media, col("id"), col("data"), maxHamming = 12)
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       // wrap every document in shared chrome (nav header, copyright footer);
       // line dedup must strip the chrome everywhere and keep original text
@@ -1875,6 +1898,55 @@ object SparkEntry {
           docs(s, dir).select(col("doc_id"), planted.as("t")), col("t"),
           gopherMinWords = 20, maxDup5gramCharFrac = 1.0, maxPiiDensity = 0.0)
         .select(col("doc_id"))
+    }),
+    "q_streaming_e2e" -> ((s, dir) => {
+      // the COMPOSED streaming story, end to end in one query: file-source
+      // intake → stateless quality gate → theta sketch-table maintenance
+      // (per-lang distinct gated docs — EXACT in the small-set regime, so
+      // the oracle replays it as count(DISTINCT)) → z-ordered streaming
+      // append onto a pre-seeded layout table → pruned range read off the
+      // stats sidecar. The batch-side oracle replays gate + counts in SQL.
+      import graft.streaming.{StreamingGate, StreamingSketches}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_se2e").toString
+      val zPath = s"$tmp/ztable"
+      val skPath = s"$tmp/sketches"
+      val batchDocs = docs(s, dir)
+      def gated(df: DataFrame) = StreamingGate.gate(
+          df, col("text"), gopherMinWords = 20, maxDup5gramCharFrac = 1.0,
+          maxPiiDensity = 1e9)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      // the live table exists before the stream starts (the layout manifest
+      // is the append contract): seed with the gated docs below id 100
+      graft.pipeline.Layout.zorderWrite(
+        gated(batchDocs.where(col("doc_id") < 100)),
+        Seq("n_chars", "doc_id"), zPath, numFiles = 4)
+      // the file stream source wants a DIRECTORY of arriving files; the
+      // test table is one parquet file — stage it into the intake dir
+      // (hard copy: a real ingest drop-box shape, and tiny at gate SF)
+      val intake = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(tmp, "intake"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "documents.parquet"),
+        intake.resolve("documents.parquet"))
+      val stream = s.readStream.schema(batchDocs.schema)
+        .parquet(intake.toString)
+      val gs = gated(stream)
+      // telemetry sees every gated doc; the z table appends only the
+      // non-seed ids (each doc lands exactly once)
+      val q1 = StreamingSketches.sketchTableBuilder(
+          gs, col("lang"), col("doc_id"), skPath, kind = "theta", param = 16384)
+        .option("checkpointLocation", s"$tmp/ck_sketch").start()
+      val q2 = graft.pipeline.Layout.streamingAppend(
+        gs.where(col("doc_id") >= 100), zPath, s"$tmp/ck_append")
+      try { q1.processAllAvailable(); q2.processAllAvailable() }
+      finally { q1.stop(); q2.stop() }
+      val inRange = graft.pipeline.Layout.prunedRead(s, zPath, "n_chars", 150, 400)
+        .groupBy(col("lang")).agg(count(lit(1)).as("docs_in_range"))
+      val sk = StreamingSketches.sketchTable(s, skPath)
+        .select(col("key").as("lang"),
+          graft.functions.dsl.theta_estimate(col("s")).as("gated_docs"))
+      inRange.join(sk, Seq("lang"))
+        .select(col("lang"), col("docs_in_range"), col("gated_docs"))
     }),
     "q_text_repetition" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -4416,6 +4488,37 @@ object SparkEntry {
         |  AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
         |  AND alpha_word_ratio >= 0.8 AND stopword_hits >= 2
         |  AND pii_hits = 0""".stripMargin,
+    // replay of the composed pipeline: the gate is q_quality_gate's gopher
+    // arithmetic (repetition/PII caps are pass-through at these settings),
+    // the sketch estimate is exact count(DISTINCT) in the small-set regime,
+    // the pruned read is the plain n_chars range (pruning is exact)
+    "q_streaming_e2e" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS word_count,
+        |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len,
+        |         CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS hash_ratio,
+        |         CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS ellipsis_ratio,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                              w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(text), '\s+')) AS alpha_word_ratio,
+        |         len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS stopword_hits
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang, n_chars FROM m
+        |  WHERE word_count >= 20 AND word_count <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+        |    AND alpha_word_ratio >= 0.8 AND stopword_hits >= 2
+        |)
+        |SELECT lang,
+        |       count(*) FILTER (WHERE n_chars BETWEEN 150 AND 400) AS docs_in_range,
+        |       count(DISTINCT doc_id) AS gated_docs
+        |FROM g GROUP BY lang
+        |HAVING count(*) FILTER (WHERE n_chars BETWEEN 150 AND 400) > 0""".stripMargin,
     "q_text_repetition" ->
       """SELECT doc_id,
         |       1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)

@@ -356,6 +356,120 @@ object Multimodal {
     }.toDF("id", "data")
   }
 
+  /** Deterministic TONAL clip for perceptual-fingerprint fixtures: ~1 s of
+   * 16-bit mono PCM at `rate`, a sum of the five [[AudioPhashAlgos
+   * .BandCenters]] tones whose per-slice amplitudes step on the seeded
+   * splitmix sequence — rich time×frequency energy ridges at exactly the
+   * probe frequencies, so the HK sign grid is decisively non-tied and
+   * survives resampling/re-encoding the way real music/speech does
+   * (the LCG noise of [[syntheticWav]] has a flat spectrum and no
+   * perceptual identity to preserve). */
+  private[pipeline] def syntheticToneWav(seed: Long, nSamples: Int = 8192,
+      rate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = toneCipPcm(seed, nSamples, rate)
+    val bytes = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = math.max(-32768, math.min(32767, math.round(pcm(i) * 30000.0))).toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The clip's [-1,1] samples: 17 amplitude slices (matching the
+   * fingerprint's slicing) × 5 band-center tones. */
+  private def toneCipPcm(seed: Long, nSamples: Int, rate: Float): Array[Double] = {
+    def mix(z0: Long): Double = { // splitmix64 -> [0,1)
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val centers = AudioPhashAlgos.BandCenters
+    val amps = Array.tabulate(17, centers.length)((t, b) =>
+      0.05 + 0.95 * mix(seed * 1000003L + t * 37L + b))
+    Array.tabulate(nSamples) { i =>
+      val t = (i.toLong * 17 / nSamples).toInt
+      var acc = 0.0
+      var b = 0
+      while (b < centers.length) {
+        acc += amps(t)(b) * math.sin(2.0 * math.Pi * centers(b) * i / rate)
+        b += 1
+      }
+      acc / centers.length
+    }
+  }
+
+  /** Linear-interpolation resample of a decoded clip, re-encoded as a
+   * 16-bit WAV at `newRate` — the JDK ships no rate-conversion provider,
+   * and a fixture's resampler only needs to be deterministic. */
+  private[pipeline] def resampleWav(data: Array[Byte], newRate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (src, srcRate) = AudioPhashAlgos.decodeMonoPcm(data)
+    val outN = math.max(1, math.round(src.length.toLong * newRate / srcRate).toInt)
+    val bytes = new Array[Byte](outN * 2)
+    var i = 0
+    while (i < outN) {
+      val pos = i.toDouble * srcRate / newRate
+      val i0 = math.min(src.length - 1, pos.toInt)
+      val i1 = math.min(src.length - 1, i0 + 1)
+      val frac = pos - i0
+      val v = src(i0) * (1 - frac) + src(i1) * frac
+      val s = math.max(-32768, math.min(32767, math.round(v * 32767.0))).toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(newRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, outN.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Lossy re-encode: squash to 8-bit signed PCM and swap containers to
+   * AIFF (big-endian family) — a real codec round-trip losing 8 bits of
+   * depth, the audio analogue of [[recompressJpeg]]. */
+  private[pipeline] def reencodeAiff8(data: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (src, srcRate) = AudioPhashAlgos.decodeMonoPcm(data)
+    val bytes = new Array[Byte](src.length)
+    var i = 0
+    while (i < src.length) {
+      bytes(i) = math.max(-128, math.min(127, math.round(src(i) * 127.0))).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(srcRate, 8, 1, true, true)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, src.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    bos.toByteArray
+  }
+
+  /** Planted audio-dedup table from an id column — a tonal original per
+   * id, a linear-resampled 12 kHz copy for ids ≡ 0 (mod 5) at id+1e6, an
+   * 8-bit AIFF re-encode for ids ≡ 0 (mod 7) at id+2e6. The distributed
+   * stand-in for a crawled audio corpus with re-hosted duplicates —
+   * mirrors [[imageDupTable]]. */
+  def audioDupTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
+      val orig = syntheticToneWav(id)
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]((id, orig))
+      if (id % 5 == 0) rows += ((id + 1000000L, resampleWav(orig, 12000f)))
+      if (id % 7 == 0) rows += ((id + 2000000L, reencodeAiff8(orig)))
+      rows
+    }.toDF("id", "data")
+  }
+
   /** Frame sampling for "video" rows: every `stride` bytes window as a fake
    * frame — [[sampleKeyframes]] is the container-aware version; this stays
    * as the format-agnostic fallback with the same partition shape. */
