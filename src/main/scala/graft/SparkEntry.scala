@@ -1760,6 +1760,45 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))), delimiter = "\t")
     }),
+    "q_ingest_shards" -> ((s, dir) => {
+      // file-level shard quarantine (Shards.read): stage documents as two
+      // healthy parquet shards plus a truncated copy, a garbage file and a
+      // schema-drifted shard (n_chars re-typed DOUBLE); the read must scan
+      // exactly the healthy files — the oracle replays per-lang counts
+      // over documents, so a dropped healthy shard or a leaked corrupt/
+      // drifted row is a hash miss; the manifest is gated by require
+      val path = java.nio.file.Files.createTempDirectory("graft_q_shards").toString
+      val stage = java.nio.file.Files.createTempDirectory("graft_q_shards_stage").toString
+      val d = docs(s, dir)
+      d.where(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/a")
+      d.where(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/b")
+      d.limit(10).select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars").cast("double").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/c")
+      def part(sub: String) = java.nio.file.Files
+        .list(java.nio.file.Paths.get(stage, sub)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      def plant(sub: String, name: String) = java.nio.file.Files.copy(
+        java.nio.file.Paths.get(part(sub)), java.nio.file.Paths.get(path, name))
+      plant("a", "even.parquet"); plant("b", "odd.parquet")
+      plant("c", "drifted.parquet")
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "even.parquet"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "truncated.parquet"),
+        bytes.take(bytes.length / 2))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "garbage.parquet"),
+        "not a parquet shard".getBytes("UTF-8"))
+      val (rows, manifest) = graft.sources.Shards.read(s, path, d.schema)
+      val m = manifest.collect()
+      require(m.length == 3 &&
+        m.count(_.getString(1).startsWith("schema_drift")) == 1,
+        s"unexpected quarantine manifest: ${m.mkString("; ")}")
+      rows.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    }),
     "q_ingest_warc" -> ((s, dir) => {
       // WARC round-trip: export the corpus as WARC/1.0 (odd ids WET-style
       // conversion records, even ids full HTTP response records, one shard
@@ -4419,6 +4458,10 @@ object SparkEntry {
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
         |FROM documents""".stripMargin,
+    // the healthy shards together hold exactly the documents table; the
+    // corrupt/drifted plants are gated by the require inside the query
+    "q_ingest_shards" ->
+      """SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang""",
     "q_ingest_warc" ->
       // every parsed column rebuilt from the documents table (even ids were
       // exported as HTTP responses wrapping the text in the html shell, odd
