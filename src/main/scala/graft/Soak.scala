@@ -207,6 +207,13 @@ object Soak {
       println(line)
       sb.append(line).append('\n')
       spark.catalog.clearCache()
+      // ContextCleaner reclaims checkpoint/shuffle/broadcast blocks only
+      // after driver GC notices the dropped references; on a 48g heap GC
+      // may not run for many queries, so earlier queries' blocks pile up
+      // and inflate later timings 3-6x (measured r12: q_host_rank 70s in
+      // an accumulating JVM vs 12s clean). Forcing a GC between queries
+      // keeps each measurement honest.
+      System.gc()
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT",
       s"SOAK_${new java.io.File(dir).getName}.jsonl")

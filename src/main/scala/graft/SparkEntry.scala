@@ -1799,6 +1799,26 @@ object SparkEntry {
         s"unexpected quarantine manifest: ${m.mkString("; ")}")
       rows.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }),
+    "q_mixing_schedule" -> ((s, dir) => {
+      // water-filling epoch planner over per-lang token mass: weight 4.0
+      // on en, 1.0 elsewhere, budget = the corpus' own total chars, 2.0
+      // max epochs — sources saturate at 2x their mass and the unmet
+      // share redistributes exactly; the oracle replays the sorted
+      // prefix-sum closed form with DuckDB window functions
+      val d = docs(s, dir)
+      val budget = d.agg(sum(col("n_chars"))).head.getLong(0)
+      val perLang = d.groupBy(col("lang")).agg(sum(col("n_chars")).as("tokens"))
+        .withColumn("w", when(col("lang") === "en", lit(4.0)).otherwise(lit(1.0)))
+      graft.pipeline.Curation.mixingSchedule(perLang,
+        col("lang"), col("tokens"), col("w"), budget, maxEpochs = 2.0)
+    }),
+    "q_gate_agreement" -> ((s, dir) => {
+      // Cohen's kappa between a cheap length gate and the word-count gate
+      // it would replace — the swap-a-filter sanity report
+      graft.pipeline.Curation.gateAgreement(docs(s, dir),
+        col("n_chars") >= 200,
+        size(split(trim(col("text")), "\\s+")) >= 40)
+    }),
     "q_ingest_warc" -> ((s, dir) => {
       // WARC round-trip: export the corpus as WARC/1.0 (odd ids WET-style
       // conversion records, even ids full HTTP response records, one shard
@@ -4462,6 +4482,82 @@ object SparkEntry {
     // corrupt/drifted plants are gated by the require inside the query
     "q_ingest_shards" ->
       """SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang""",
+    // the sorted prefix-sum water-fill replayed with window functions:
+    // same cap/r/prefix/suffix/candidate arithmetic, same -1 sentinel
+    "q_mixing_schedule" ->
+      """WITH base AS (
+        |  SELECT lang AS domain, CAST(sum(n_chars) AS BIGINT) AS available,
+        |         CASE WHEN lang = 'en' THEN 4.0 ELSE 1.0 END AS weight
+        |  FROM documents GROUP BY lang HAVING sum(n_chars) > 0
+        |), budget AS (
+        |  SELECT CAST(sum(n_chars) AS DOUBLE) AS b FROM documents
+        |), capd AS (
+        |  SELECT domain, available, weight,
+        |         CAST(floor(CAST(available AS DOUBLE) * 2.0) AS BIGINT) AS cap
+        |  FROM base
+        |), rr AS (
+        |  SELECT *, CAST(cap AS DOUBLE) / weight AS r FROM capd
+        |), ann AS (
+        |  SELECT *,
+        |    sum(cap) OVER (ORDER BY r, domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcap,
+        |    sum(weight) OVER (ORDER BY r, domain
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sw,
+        |    lead(r) OVER (ORDER BY r, domain) AS rnext
+        |  FROM rr
+        |), valid AS (
+        |  SELECT min((b.b - CAST(a.pcap AS DOUBLE)) / a.sw) AS s
+        |  FROM ann a, budget b
+        |  WHERE a.sw IS NOT NULL AND a.sw > 0
+        |    AND (b.b - CAST(a.pcap AS DOUBLE)) / a.sw >= a.r
+        |    AND (a.rnext IS NULL OR (b.b - CAST(a.pcap AS DOUBLE)) / a.sw <= a.rnext)
+        |), tot AS (
+        |  SELECT sum(cap) AS tcap, sum(weight) AS tw FROM capd
+        |), scale AS (
+        |  SELECT coalesce(v.s,
+        |    CASE WHEN t.tcap <= b.b THEN -1.0 ELSE b.b / t.tw END) AS s
+        |  FROM valid v, tot t, budget b
+        |), alloc AS (
+        |  SELECT c.domain, c.available, c.cap,
+        |    CASE WHEN sc.s < 0 THEN c.cap
+        |         ELSE least(c.cap, CAST(floor(c.weight * sc.s) AS BIGINT)) END AS allotted
+        |  FROM capd c, scale sc
+        |)
+        |SELECT domain, available, cap, allotted,
+        |  CAST(floor(CAST(allotted AS DOUBLE) * 1e6 /
+        |    CAST(available AS DOUBLE)) AS BIGINT) AS epochs_ppm,
+        |  allotted = cap AS exhausted
+        |FROM alloc""".stripMargin,
+    // exact integer-ratio kappa: same n/n^2 numerators, one double
+    // division under the floor on each side
+    "q_gate_agreement" ->
+      """WITH g AS (
+        |  SELECT n_chars >= 200 AS a,
+        |         len(regexp_split_to_array(trim(text), '\s+')) >= 40 AS b
+        |  FROM documents
+        |), c AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE a AND b) AS both_pass,
+        |    count(*) FILTER (WHERE NOT a AND NOT b) AS both_fail,
+        |    count(*) FILTER (WHERE a AND NOT b) AS only_a,
+        |    count(*) FILTER (WHERE NOT a AND b) AS only_b
+        |  FROM g
+        |)
+        |SELECT n, both_pass, both_fail, only_a, only_b,
+        |  CAST(floor(CAST(both_pass + both_fail AS DOUBLE) * 1e6 /
+        |    CAST(n AS DOUBLE)) AS BIGINT) AS po_ppm,
+        |  CAST(floor(CAST((both_pass + only_a) * (both_pass + only_b) +
+        |      (both_fail + only_b) * (both_fail + only_a) AS DOUBLE) * 1e6 /
+        |    CAST(n * n AS DOUBLE)) AS BIGINT) AS pe_ppm,
+        |  CASE WHEN n * n = (both_pass + only_a) * (both_pass + only_b) +
+        |      (both_fail + only_b) * (both_fail + only_a) THEN 0
+        |    ELSE CAST(floor(CAST((both_pass + both_fail) * n -
+        |      ((both_pass + only_a) * (both_pass + only_b) +
+        |       (both_fail + only_b) * (both_fail + only_a)) AS DOUBLE) * 1e6 /
+        |      CAST(n * n - ((both_pass + only_a) * (both_pass + only_b) +
+        |       (both_fail + only_b) * (both_fail + only_a)) AS DOUBLE)) AS BIGINT)
+        |  END AS kappa_ppm
+        |FROM c""".stripMargin,
     "q_ingest_warc" ->
       // every parsed column rebuilt from the documents table (even ids were
       // exported as HTTP responses wrapping the text in the html shell, odd

@@ -1139,4 +1139,110 @@ object Curation {
     df.withColumn("n_blocklist_hits", MultiMatch.acCount(t, ac))
       .withColumn("blocked", col("n_blocklist_hits") > maxHits)
   }
+
+  /**
+   * Token-budget epoch-mixing planner — the table a pretraining run is
+   * actually scheduled from: given per-source available tokens, target mix
+   * weights, a total token budget and a repetition cap (max epochs a
+   * source may be re-seen before it's considered exhausted — the
+   * "4 epochs of wikipedia, 1 of web" rule), allocate the budget by
+   * WATER-FILLING: every source gets tokens proportional to its weight
+   * until it hits its cap `tokens × maxEpochs`; capped sources' unmet
+   * share redistributes across the rest, exactly.
+   *
+   * Closed-form, one pass, no iteration: sort sources by the scale at
+   * which they saturate, r_i = cap_i / w_i; for the true global scale s*,
+   * sources with r_i ≤ s* are capped and the rest get w_i·s*, so s* is
+   * found from ordered prefix sums — `prefixCap_k + s·suffixW_k = B` at
+   * the unique k where `r_k ≤ s_k ≤ r_(k+1)`. If even capping everything
+   * cannot fill the budget (Σcap ≤ B), every source caps and the
+   * shortfall shows in the output. The global-order window runs over the
+   * MIXING GROUPS (sources / domain classes — dozens to thousands), a
+   * planning table, not a data path.
+   *
+   * Output per source: available/cap/allotted token counts (exact longs),
+   * `epochs_ppm` (allotted/available in parts-per-million) and
+   * `exhausted` — allotted == cap. All fixed-point; the arithmetic
+   * replays bit-for-bit in the DuckDB oracle.
+   */
+  def mixingSchedule(
+      df: DataFrame, domainCol: Column, tokensCol: Column, weightCol: Column,
+      budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(domainCol.cast("string").as("domain"),
+        tokensCol.cast("long").as("available"),
+        weightCol.cast("double").as("weight"))
+      .where(col("available") > 0 && col("weight") > 0)
+      .withColumn("cap", floor(col("available").cast("double") * lit(maxEpochs)).cast("long"))
+      .withColumn("graft_r", col("cap").cast("double") / col("weight"))
+    val w = Window.orderBy(col("graft_r").asc, col("domain").asc)
+    val annotated = base
+      .withColumn("graft_pcap", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("graft_sw", sum(col("weight")).over(
+        w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("graft_rnext", lead(col("graft_r"), 1).over(w))
+    // candidate scale at each saturation boundary; valid where it lands
+    // between this row's r and the next row's r (suffix weight 0 = the
+    // "everything capped" tail, valid only when the budget exceeds Σcap)
+    val sCand = (lit(budgetTokens.toDouble) - col("graft_pcap").cast("double")) /
+      col("graft_sw")
+    val valid = annotated.where(
+      col("graft_sw").isNotNull && col("graft_sw") > 0 &&
+      sCand >= col("graft_r") &&
+      (col("graft_rnext").isNull || sCand <= col("graft_rnext")))
+      .select(min(sCand).as("graft_s"))
+    // no valid boundary: either nothing saturates (s below every r) or
+    // everything does (Σcap ≤ B) — resolve with one totals row
+    val totals = base.agg(sum(col("cap")).as("graft_tcap"),
+      sum(col("weight")).as("graft_tw"))
+    // graft_s = -1 is the "budget ≥ Σcap, everything caps" sentinel — a
+    // floor(weight × huge) would overflow the ANSI long cast
+    val scale = valid.crossJoin(broadcast(totals)).select(
+      coalesce(col("graft_s"),
+        when(col("graft_tcap") <= lit(budgetTokens), lit(-1.0))
+          .otherwise(lit(budgetTokens.toDouble) / col("graft_tw"))).as("graft_s"))
+    base.crossJoin(broadcast(scale))
+      .withColumn("allotted",
+        when(col("graft_s") < 0, col("cap")).otherwise(
+          least(col("cap"), floor(col("weight") * col("graft_s")).cast("long"))))
+      .withColumn("epochs_ppm", floor(col("allotted").cast("double") * lit(1e6) /
+        col("available").cast("double")).cast("long"))
+      .withColumn("exhausted", col("allotted") === col("cap"))
+      .select("domain", "available", "cap", "allotted", "epochs_ppm", "exhausted")
+  }
+
+  /**
+   * Agreement report between two boolean gates over the same rows —
+   * Cohen's kappa with the confusion counts, the standard check before
+   * swapping one quality filter for another (does the cheap gate agree
+   * with the expensive one beyond chance?). One aggregate pass; kappa in
+   * fixed-point ppm ((p_o − p_e)/(1 − p_e); 0 when the denominator is 0,
+   * i.e. a degenerate all-one-way marginal). */
+  def gateAgreement(df: DataFrame, gateA: Column, gateB: Column): DataFrame = {
+    val counts = df.select(gateA.as("graft_a"), gateB.as("graft_b")).agg(
+      count(lit(1)).as("n"),
+      count(when(col("graft_a") && col("graft_b"), 1)).as("both_pass"),
+      count(when(!col("graft_a") && !col("graft_b"), 1)).as("both_fail"),
+      count(when(col("graft_a") && !col("graft_b"), 1)).as("only_a"),
+      count(when(!col("graft_a") && col("graft_b"), 1)).as("only_b"))
+    // exact integer ratios (over n and n²) divided once at the end — a
+    // double-first po/pe would put representation error (0.7 is not a
+    // binary fraction) under the floor
+    val agreeN = col("both_pass") + col("both_fail")
+    val peNum = (col("both_pass") + col("only_a")) * (col("both_pass") + col("only_b")) +
+      (col("both_fail") + col("only_b")) * (col("both_fail") + col("only_a"))
+    val kNum = agreeN * col("n") - peNum
+    val kDen = col("n") * col("n") - peNum
+    counts.select(col("n"), col("both_pass"), col("both_fail"),
+      col("only_a"), col("only_b"),
+      floor(agreeN.cast("double") * lit(1e6) / col("n").cast("double")).as("po_ppm"),
+      floor(peNum.cast("double") * lit(1e6) /
+        (col("n") * col("n")).cast("double")).as("pe_ppm"),
+      when(kDen === 0L, lit(0L))
+        .otherwise(floor(kNum.cast("double") * lit(1e6) / kDen.cast("double"))
+          .cast("long")).as("kappa_ppm"))
+  }
 }
