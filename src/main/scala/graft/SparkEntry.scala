@@ -849,6 +849,15 @@ object SparkEntry {
         .orderBy(col("rrf_fp").desc, col("id").asc).limit(50)
     }),
     // ---- LLM-pipeline operators over documents/embeddings ----
+    "q_fuzzy_join" -> ((s, dir) => {
+      // edit-distance <= 3 title join: ASCII-normalized 48-char prefixes as
+      // titles (byte==char both engines), PassJoin segment blocking on the
+      // Spark side, TRUE all-pairs levenshtein in DuckDB
+      val titles = docs(s, dir).select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 48).as("title"))
+      graft.operators.FuzzyJoin.editDistancePairs(
+        titles, col("doc_id"), col("title"), maxDist = 3)
+    }),
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
       val corpus = d.unionAll(
@@ -3016,6 +3025,17 @@ object SparkEntry {
         |)
         |SELECT id, CAST(sum(c) AS BIGINT) AS rrf_fp, count(*) AS n_lists
         |FROM f GROUP BY id ORDER BY rrf_fp DESC, id LIMIT 50""".stripMargin,
+    // the blocked join must equal TRUE all-pairs levenshtein (len-diff
+    // prefilter is implied by dist <= 3)
+    "q_fuzzy_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 48) AS title
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.title, b.title) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.title) - length(b.title)) <= 3
+        |  AND levenshtein(a.title, b.title) <= 3""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

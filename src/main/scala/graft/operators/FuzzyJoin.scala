@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Fuzzy (edit-distance) similarity self-join — the entity-resolution /
+ * near-identical-title workhorse: all pairs of rows whose strings are
+ * within `maxDist` Levenshtein edits, WITHOUT the |n|² cross product.
+ *
+ * Blocking is segment-based (the PassJoin family): partition the SHORTER
+ * string of a candidate pair into `maxDist + 1` contiguous segments — at
+ * most `maxDist` edits can touch at most `maxDist` segments, so BY
+ * PIGEONHOLE at least one segment survives verbatim as a substring of the
+ * longer string, displaced by at most `maxDist` positions. So each string
+ * emits its own `d+1` segments as index keys, plus — in the probe role —
+ * every substring that could equal segment `i` of a partner of length
+ * `len-d .. len` at a displacement ≤ d; candidates are a plain equi-join on
+ * `(partnerLen, segmentIndex, segmentText)` and only candidates pay the
+ * exact Levenshtein check (early-exit threshold form, codegen'd). Cost is
+ * linear in rows × O(d²) short keys, never quadratic; the join shuffles
+ * segment keys, not documents, and the exact verify joins candidate ids
+ * back to the corpus by id.
+ *
+ * Completeness: exact for every pair whose shorter side has at least
+ * `maxDist + 1` characters (each segment nonempty). Shorter strings — the
+ * degenerate tail where ANY partner of length ≤ 2·maxDist qualifies — are
+ * handled by a separate tiny bucket (`len ≤ d` × `len ≤ 2d`, exact verify);
+ * a corpus drowning in near-empty strings should gate those upstream.
+ *
+ * Skew guard (`maxBucketSize > 0`): a boilerplate segment shared by
+ * millions of rows makes its bucket quadratic; buckets whose side exceeds
+ * the cap are skipped — a RECALL trade documented like the minhash LSH cap
+ * (default 0 = uncapped, complete).
+ *
+ * Requires unique, non-null ids. Output: one row per matched pair,
+ * `(id_a, id_b, dist)` with `id_a < id_b`, each unordered pair exactly once.
+ */
+object FuzzyJoin {
+
+  def editDistancePairs(
+      df: DataFrame, idCol: Column, strCol: Column,
+      maxDist: Int, maxBucketSize: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val d = maxDist
+    val k = d + 1
+
+    val base = df
+      .select(idCol.as("graft_id"), strCol.cast("string").as("graft_s"))
+      .where(col("graft_id").isNotNull && col("graft_s").isNotNull)
+      .withColumn("graft_len", length(col("graft_s")))
+
+    // Even partition of a length-l string into k segments: the first l%k
+    // segments carry the extra character. All positions 0-based here;
+    // substr() below is 1-based.
+    def segLen(l: Column, i: Int): Column =
+      floor(l / k).cast("int") + when(lit(i) < l % k, 1).otherwise(0)
+    def segStart(l: Column, i: Int): Column =
+      (lit(i) * floor(l / k).cast("int") + least(lit(i), l % k)).cast("int")
+
+    // Index role: my own k segments, keyed by (myLen, i, segment).
+    val segSide = base.where(col("graft_len") >= k)
+      .select(col("graft_id").as("graft_aid"), col("graft_len").as("graft_alen"),
+        explode(array((0 until k).map { i =>
+          val l = col("graft_len")
+          struct(lit(i).as("gi"),
+            col("graft_s").substr(segStart(l, i) + 1, segLen(l, i)).as("gseg"))
+        }: _*)).as("graft_k"))
+      .select(col("graft_aid"), col("graft_alen").as("graft_l"),
+        col("graft_k.gi").as("graft_i"), col("graft_k.gseg").as("graft_seg"))
+
+    // Probe role: for each partner length l2 in [len-d, len] with l2 >= k,
+    // every substring that could be segment i of that partner: length
+    // segLen(l2,i), start within ±d of segStart(l2,i). Within the valid
+    // branch lo <= segStart(l2,i) <= hi always (segment fits in l2 <= len),
+    // so sequence() never runs descending. Invalid l2 branches yield NULL,
+    // array_compact drops them; array_distinct collapses the same key
+    // found at several displacements.
+    val subKeys: Seq[Column] = for { e <- 0 to d; i <- 0 until k } yield {
+      val l2 = col("graft_len") - e
+      val m = segLen(l2, i)
+      val p = segStart(l2, i)
+      val lo = greatest(lit(0), p - d)
+      val hi = least(col("graft_len") - m, p + d)
+      when(l2 >= k,
+        transform(sequence(lo, hi), j =>
+          struct(l2.as("gl"), lit(i).as("gi"),
+            col("graft_s").substr(j + 1, m).as("gseg"))))
+    }
+    val subSide = base
+      .select(col("graft_id").as("graft_bid"), col("graft_len").as("graft_blen"),
+        explode(array_distinct(flatten(array_compact(array(subKeys: _*))))).as("graft_k"))
+      .select(col("graft_bid"), col("graft_blen"),
+        col("graft_k.gl").as("graft_l"), col("graft_k.gi").as("graft_i"),
+        col("graft_k.gseg").as("graft_seg"))
+
+    def capped(side: DataFrame): DataFrame =
+      if (maxBucketSize <= 0) side
+      else side.withColumn("graft_bsz",
+          count(lit(1)).over(Window.partitionBy("graft_l", "graft_i", "graft_seg")))
+        .where(col("graft_bsz") <= maxBucketSize).drop("graft_bsz")
+
+    // Equi-join on the segment key; the shorter string is always the index
+    // side (graft_l == partner length <= probe length), equal lengths
+    // deduped by id order — each unordered pair survives exactly once.
+    val candidates = capped(segSide)
+      .join(capped(subSide), Seq("graft_l", "graft_i", "graft_seg"))
+      .where(col("graft_l") < col("graft_blen") ||
+        (col("graft_l") === col("graft_blen") && col("graft_aid") < col("graft_bid")))
+      .select(col("graft_aid"), col("graft_bid")).distinct()
+
+    val sa = base.select(col("graft_id").as("graft_aid"), col("graft_s").as("graft_sa"))
+    val sb = base.select(col("graft_id").as("graft_bid"), col("graft_s").as("graft_sb"))
+    val mainPairs = candidates.join(sa, "graft_aid").join(sb, "graft_bid")
+      .withColumn("graft_dist", levenshtein(col("graft_sa"), col("graft_sb"), d))
+      .where(col("graft_dist") >= 0)
+      .select(col("graft_aid"), col("graft_bid"), col("graft_dist"))
+
+    // Near-empty tail: len <= d matches nothing longer than 2d. Disjoint
+    // from the main path (which needs BOTH sides >= d+1); pairs with both
+    // sides short are kept once by id order.
+    val shortA = base.where(col("graft_len") <= d)
+      .select(col("graft_id").as("graft_aid"), col("graft_s").as("graft_sa"),
+        col("graft_len").as("graft_al"))
+    val shortB = base.where(col("graft_len") <= 2 * d)
+      .select(col("graft_id").as("graft_bid"), col("graft_s").as("graft_sb"),
+        col("graft_len").as("graft_bl"))
+    val shortPairs = shortA.join(shortB,
+        col("graft_aid") =!= col("graft_bid") &&
+        (col("graft_bl") > d || col("graft_aid") < col("graft_bid")))
+      .withColumn("graft_dist", levenshtein(col("graft_sa"), col("graft_sb"), d))
+      .where(col("graft_dist") >= 0)
+      .select(col("graft_aid"), col("graft_bid"), col("graft_dist"))
+
+    mainPairs.unionByName(shortPairs)
+      .select(least(col("graft_aid"), col("graft_bid")).as("id_a"),
+        greatest(col("graft_aid"), col("graft_bid")).as("id_b"),
+        col("graft_dist").as("dist"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PassJoin-style edit-distance self-join vs a brute-force DP oracle:
+ * exact pair sets (ids AND distances) across random corpora, repeated-char
+ * adversaries, the short-string bucket, unicode, partition invariance and
+ * the opt-in bucket cap. */
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ed(a: String, b: String): Int = {
+    val (n, m) = (a.length, b.length)
+    val dp = Array.tabulate(n + 1)(i => i)
+    for (j <- 1 to m) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to n) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(n)
+  }
+
+  private def bruteForce(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      dist = ed(sa, sb) if dist <= d
+    } yield (ia, ib, dist)).toSet
+
+  private def run(rows: Seq[(Long, String)], d: Int, cap: Int = 0,
+      parts: Int = 1): Set[(Long, Long, Int)] = {
+    val df0 = rows.toDF("id", "s")
+    val df = if (parts > 1) df0.repartition(parts) else df0
+    FuzzyJoin.editDistancePairs(df, col("id"), col("s"), d, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("random corpus over a tiny alphabet matches brute force for d = 0..3") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 70L).map { i =>
+      i -> (0 until rnd.nextInt(9)).map(_ => "abc" (rnd.nextInt(3))).mkString
+    }
+    for (d <- 0 to 3)
+      assert(run(rows, d, parts = 7) === bruteForce(rows, d), s"d=$d")
+  }
+
+  test("repeated-character adversaries (every segment identical) stay exact") {
+    val rows = Seq(0L -> "aaaaaaaa", 1L -> "aaaaaaa", 2L -> "aaaaaaaaaa",
+      3L -> "aabaaaaa", 4L -> "bbbbbbbb", 5L -> "abababab", 6L -> "babababa")
+    for (d <- 1 to 3) assert(run(rows, d) === bruteForce(rows, d), s"d=$d")
+  }
+
+  test("short-string bucket: empties and near-empties pair exactly once") {
+    val rows = Seq(0L -> "", 1L -> "", 2L -> "a", 3L -> "ab", 4L -> "abcd",
+      5L -> "b", 6L -> "xyzw")
+    for (d <- 0 to 2) assert(run(rows, d) === bruteForce(rows, d), s"d=$d")
+  }
+
+  test("longer realistic strings: only true near-titles survive") {
+    val rows = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "the quick brown fox jumped over the lazy dog",
+      12L -> "the quick brown cat jumps over the lazy dog",
+      13L -> "a completely different sentence about spark joins",
+      14L -> "the quick brown fox jumps over the lazy dogs!")
+    val got = run(rows, 3, parts = 3)
+    assert(got === bruteForce(rows, 3))
+    assert(got.contains((10L, 11L, 2)) && got.contains((10L, 12L, 3)) &&
+      got.contains((10L, 14L, 2)))
+    assert(!got.exists(p => p._1 == 13L || p._2 == 13L))
+  }
+
+  test("unicode: multi-byte characters count as single edits") {
+    val rows = Seq(0L -> "héllo wörld", 1L -> "hello world", 2L -> "héllo wörld!")
+    val got = run(rows, 2)
+    assert(got === Set((0L, 1L, 2), (0L, 2L, 1)))
+  }
+
+  test("bucket cap drops only pairs, never invents them; uncapped is complete") {
+    val rows = (0L until 40L).map(i => i -> "boilerplate") ++
+      Seq(100L -> "boilerplatx", 101L -> "unique string")
+    val full = run(rows, 1)
+    assert(full === bruteForce(rows, 1))
+    val capped = run(rows, 1, cap = 5)
+    assert(capped.subsetOf(full))
+    assert(capped.size < full.size) // the 40-way identical bucket was cut
+  }
+}
