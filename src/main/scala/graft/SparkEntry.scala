@@ -241,6 +241,12 @@ object SparkEntry {
       // planted duplicate keys: doc_id % 450 collides for the top 50 ids
       graft.rules.DatasetChecks.uniquenessReport(
         docs(s, dir), col("doc_id") % 450)),
+    "q_dq_suggest" -> ((s, dir) =>
+      // profile-and-propose over the documents table: the suggested suite
+      // (not_null / unique / in_set / range / max_length / non_negative)
+      // is replayed stat-for-stat and string-for-string by the oracle
+      graft.rules.Suggestions.suggestRules(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"), inSetMaxDistinct = 25)),
     "q_dq_orphans" -> ((s, dir) =>
       // referential integrity lineitem→orders with every 13th parent
       // withheld: deterministic dangling keys
@@ -2401,6 +2407,56 @@ object SparkEntry {
         |         // NULLIF(CAST(count(*) AS BIGINT), 0) AS violation_ppm,
         |       CAST(max(v) AS BIGINT) AS max_variants
         |FROM g""".stripMargin,
+    // same profile stats, same rounding (ppm ceilinged to the next 10000),
+    // same sorted-and-quoted value sets
+    "q_dq_suggest" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |prof AS (
+        |  SELECT 'doc_id' AS column_name, count(doc_id) AS nn,
+        |         min(doc_id) AS mn, max(doc_id) AS mx,
+        |         CAST(NULL AS BIGINT) AS ml, count(DISTINCT doc_id) AS nd FROM documents
+        |  UNION ALL SELECT 'text', count(text), NULL, NULL,
+        |         max(length(text)), count(DISTINCT text) FROM documents
+        |  UNION ALL SELECT 'lang', count(lang), NULL, NULL,
+        |         max(length(lang)), count(DISTINCT lang) FROM documents
+        |  UNION ALL SELECT 'source', count(source), NULL, NULL,
+        |         max(length(source)), count(DISTINCT source) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(n_chars), min(n_chars), max(n_chars),
+        |         NULL, count(DISTINCT n_chars) FROM documents
+        |), sets AS (
+        |  SELECT 'lang' AS column_name, string_agg(replace(v, '''', ''''''), ''',''' ORDER BY v) AS body
+        |  FROM (SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'source', string_agg(replace(v, '''', ''''''), ''',''' ORDER BY v)
+        |  FROM (SELECT DISTINCT source AS v FROM documents WHERE source IS NOT NULL)
+        |)
+        |SELECT p.column_name, 'not_null' AS kind,
+        |       p.column_name || ' IS NOT NULL' AS rule_sql, 'null_ppm=0' AS details
+        |FROM prof p, n WHERE p.nn = n.n AND n.n > 0
+        |UNION ALL
+        |SELECT p.column_name, 'completeness',
+        |       'null_ppm(' || p.column_name || ') <= ' ||
+        |         (((n.n - p.nn) * 1000000 // n.n + 9999) // 10000 * 10000),
+        |       'observed_null_ppm=' || ((n.n - p.nn) * 1000000 // n.n)
+        |FROM prof p, n WHERE p.nn < n.n
+        |UNION ALL
+        |SELECT column_name, 'unique', column_name || ' IS UNIQUE', NULL
+        |FROM prof WHERE nn > 0 AND nd = nn
+        |UNION ALL
+        |SELECT s.column_name, 'in_set',
+        |       s.column_name || ' IN (''' || s.body || ''')', 'n_distinct=' || p.nd
+        |FROM sets s JOIN prof p USING (column_name) WHERE p.nd > 0 AND p.nd <= 25
+        |UNION ALL
+        |SELECT column_name, 'non_negative', column_name || ' >= 0', NULL
+        |FROM prof WHERE mn IS NOT NULL AND mn >= 0 AND nn > 0
+        |UNION ALL
+        |SELECT column_name, 'range',
+        |       column_name || ' BETWEEN ' || mn || ' AND ' || mx, NULL
+        |FROM prof WHERE mn IS NOT NULL AND nn > 0
+        |UNION ALL
+        |SELECT column_name, 'max_length',
+        |       'length(' || column_name || ') <= ' || ml, NULL
+        |FROM prof WHERE ml IS NOT NULL AND nn > 0""".stripMargin,
     "q_dq_uniqueness" ->
       """WITH g AS (SELECT doc_id % 450 AS k, count(*) AS c FROM documents GROUP BY 1)
         |SELECT CAST(sum(c) AS BIGINT) AS rows,
