@@ -559,6 +559,33 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(e, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_crawl_schedule" -> ((s, dir) => {
+      // politeness scheduler: per-source hosts, priority = n_chars, delay
+      // config keyed off the host name length — the oracle replays the
+      // partitioned row_number and the slot arithmetic
+      val d = docs(s, dir)
+      val frontier = d.select(
+        concat(lit("https://"), col("source"), lit(".example.com/d/"),
+          col("doc_id").cast("string")).as("url"),
+        col("n_chars").cast("double").as("pri"))
+      val delays = d.select(concat(col("source"), lit(".example.com")).as("host"))
+        .distinct()
+        .withColumn("delay_ms", (length(col("host")) % 3 + 1).cast("long") * 500L)
+      graft.pipeline.Frontier.crawlSchedule(frontier, col("url"), col("pri"),
+        delays, col("host"), col("delay_ms"),
+        defaultDelayMs = 1000L, horizonMs = 5000L)
+    }),
+    "q_k_anonymity" -> ((s, dir) =>
+      // re-identification risk over (nation, segment) quasi-identifiers
+      graft.pipeline.Pii.kAnonymityReport(
+        s.read.parquet(s"$dir/customer.parquet"), 5,
+        col("c_nationkey"), col("c_mktsegment"))),
+    "q_l_diversity" -> ((s, dir) =>
+      // attribute disclosure: bucketed balance as the sensitive value
+      graft.pipeline.Pii.lDiversityReport(
+        s.read.parquet(s"$dir/customer.parquet"), 3,
+        floor(col("c_acctbal") / 1000).cast("long"),
+        col("c_nationkey"), col("c_mktsegment"))),
     "q_robots" -> ((s, dir) => {
       // REP end-to-end: per-host robots bodies are REALLY parsed and
       // evaluated for agent graftbot (even hosts carry a graftbot group
@@ -2756,6 +2783,54 @@ object SparkEntry {
     // graftbot group's /g rule is the ONLY one that applies (blocked iff
     // the /g path variant); odd hosts → the * group, where /p is blocked
     // except the longer /p…/open allow
+    // partitioned row_number + slot arithmetic replayed verbatim
+    "q_crawl_schedule" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || '.example.com/d/' || doc_id AS url,
+        |         source || '.example.com' AS host,
+        |         CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents
+        |), d AS (
+        |  SELECT DISTINCT source || '.example.com' AS host,
+        |         (length(source || '.example.com') % 3 + 1) * 500 AS delay_ms
+        |  FROM documents
+        |), r AS (
+        |  SELECT u.url, u.host,
+        |         row_number() OVER (PARTITION BY u.host ORDER BY u.pri DESC, u.url) AS rk,
+        |         coalesce(d.delay_ms, 1000) AS delay_ms
+        |  FROM u LEFT JOIN d USING (host)
+        |)
+        |SELECT url, host, CAST(rk AS BIGINT) AS host_rank,
+        |       CAST((rk - 1) * delay_ms AS BIGINT) AS fetch_at_ms,
+        |       (rk - 1) * delay_ms < 5000 AS scheduled
+        |FROM r""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS c
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(sum(c) AS BIGINT) AS rows,
+        |       CAST(count(*) AS BIGINT) AS classes,
+        |       CAST(min(c) AS BIGINT) AS min_class_size,
+        |       CAST(count(CASE WHEN c < 5 THEN 1 END) AS BIGINT) AS classes_below_k,
+        |       CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS rows_below_k,
+        |       CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) * 1000000
+        |         // NULLIF(CAST(sum(c) AS BIGINT), 0) AS risk_ppm
+        |FROM g""".stripMargin,
+    "q_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS rows_in_class,
+        |         count(DISTINCT CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)) AS div
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(sum(rows_in_class) AS BIGINT) AS rows,
+        |       CAST(count(*) AS BIGINT) AS classes,
+        |       CAST(min(div) AS BIGINT) AS min_diversity,
+        |       CAST(count(CASE WHEN div < 3 THEN 1 END) AS BIGINT) AS classes_below_l,
+        |       CAST(sum(CASE WHEN div < 3 THEN rows_in_class ELSE 0 END) AS BIGINT) AS rows_below_l,
+        |       CAST(sum(CASE WHEN div < 3 THEN rows_in_class ELSE 0 END) AS BIGINT) * 1000000
+        |         // NULLIF(CAST(sum(rows_in_class) AS BIGINT), 0) AS risk_ppm
+        |FROM cls""".stripMargin,
     "q_robots" ->
       """SELECT DISTINCT
         |  concat('https://h', CAST((doc_id // 4) % 10 AS VARCHAR),

@@ -149,4 +149,62 @@ object Pii {
       regexp_count(text, lit(ssnRe)) + regexp_count(text, lit(phoneRe))).cast(DoubleType)
     when(words > 0, hits / words).otherwise(lit(0.0))
   }
+
+  /**
+   * k-anonymity re-identification risk over a quasi-identifier combination
+   * — the release gate for datasets that are "anonymized" by dropping
+   * direct identifiers: a row is k-anonymous when at least k−1 OTHER rows
+   * share its full quasi-identifier tuple (zip+age+segment style), so the
+   * re-identifiable mass is exactly the rows in classes smaller than k.
+   * One keyed count + one combining aggregate (the [[graft.rules.DatasetChecks]]
+   * shape); NULL quasi parts group like values — an all-NULL tuple is a
+   * class, not invisible. Returns one summary row: (rows, classes,
+   * min_class_size, classes_below_k, rows_below_k, risk_ppm).
+   */
+  def kAnonymityReport(df: org.apache.spark.sql.DataFrame, k: Int,
+      quasiCols: Column*): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(quasiCols.nonEmpty, "kAnonymityReport needs at least one quasi-identifier")
+    df.select(struct(quasiCols: _*).as("graft_q"))
+      .groupBy(col("graft_q")).agg(count(lit(1)).as("graft_c"))
+      .agg(
+        sum(col("graft_c")).as("rows"),
+        count(lit(1)).as("classes"),
+        min(col("graft_c")).as("min_class_size"),
+        count(when(col("graft_c") < k, 1)).as("classes_below_k"),
+        sum(when(col("graft_c") < k, col("graft_c")).otherwise(0L)).as("rows_below_k"))
+      .select(col("rows"), col("classes"), col("min_class_size"),
+        col("classes_below_k"), col("rows_below_k"),
+        expr("rows_below_k * 1000000L div nullif(rows, 0L)").as("risk_ppm"))
+  }
+
+  /**
+   * l-diversity — the attribute-disclosure companion to
+   * [[kAnonymityReport]]: a k-anonymous class still leaks when every row
+   * in it shares the same SENSITIVE value (homogeneity attack), so each
+   * quasi-identifier class must carry at least l distinct sensitive
+   * values. Two-level aggregate: distinct (quasi, sensitive) census, then
+   * per-class diversity, then the one-row summary (rows counted from the
+   * class sizes of the full frame). NULL sensitive counts as a value.
+   */
+  def lDiversityReport(df: org.apache.spark.sql.DataFrame, l: Int,
+      sensitiveCol: Column, quasiCols: Column*): org.apache.spark.sql.DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    require(quasiCols.nonEmpty, "lDiversityReport needs at least one quasi-identifier")
+    df.select(struct(quasiCols: _*).as("graft_q"),
+        sensitiveCol.cast("string").as("graft_s"))
+      .groupBy(col("graft_q"), col("graft_s")).agg(count(lit(1)).as("graft_c"))
+      .groupBy(col("graft_q")).agg(
+        sum(col("graft_c")).as("graft_rows"),
+        count(lit(1)).as("graft_div"))
+      .agg(
+        sum(col("graft_rows")).as("rows"),
+        count(lit(1)).as("classes"),
+        min(col("graft_div")).as("min_diversity"),
+        count(when(col("graft_div") < l, 1)).as("classes_below_l"),
+        sum(when(col("graft_div") < l, col("graft_rows")).otherwise(0L)).as("rows_below_l"))
+      .select(col("rows"), col("classes"), col("min_diversity"),
+        col("classes_below_l"), col("rows_below_l"),
+        expr("rows_below_l * 1000000L div nullif(rows, 0L)").as("risk_ppm"))
+  }
 }

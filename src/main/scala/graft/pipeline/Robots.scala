@@ -180,3 +180,46 @@ object Sitemaps {
           regexp_extract(b, "(?s)<lastmod[^>]*>\\s*(.*?)\\s*</lastmod>", 1).as("lastmod"))),
       e => e.getField("loc") =!= lit(""))
 }
+
+/**
+ * Crawl-frontier politeness scheduling — turning a scored URL frontier
+ * into the per-host serialized fetch plan a polite crawler executes:
+ * each host is fetched one URL at a time, `crawl-delay` apart, highest
+ * priority first. The other half of the crawl front door: [[Robots]]
+ * says what MAY be fetched, [[Sitemaps]] says what exists, this says
+ * WHEN each candidate gets its slot.
+ */
+object Frontier {
+
+  /**
+   * Assign fetch slots: per host, URLs rank by priority (desc, url
+   * tie-break) and slot `r` fires at `(r-1) × delay_ms`; hosts absent
+   * from `delays` use `defaultDelayMs`. `scheduled` marks slots inside
+   * the horizon — the batch a crawl tick actually issues; the rest is
+   * the carried-over frontier.
+   *
+   * Plan: one window partitioned BY HOST (never global), one broadcast
+   * join against the tiny per-host delay config. Hosts with very deep
+   * frontiers rank inside one partition each — upstream per-domain caps
+   * ([[Curation.capPerKey]]) are the intended guard, same as every other
+   * per-host stage.
+   */
+  def crawlSchedule(
+      frontier: DataFrame, urlCol: Column, priorityCol: Column,
+      delays: DataFrame, delayHostCol: Column, delayMsCol: Column,
+      defaultDelayMs: Long, horizonMs: Long): DataFrame = {
+    require(defaultDelayMs > 0, s"defaultDelayMs must be positive, got $defaultDelayMs")
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    val d = delays.select(delayHostCol.as("host"), delayMsCol.cast("long").as("graft_delay"))
+    val u = frontier.select(urlCol.as("url"), priorityCol.cast("double").as("graft_pri"))
+      .withColumn("host", Text.urlHost(col("url")))
+    val w = Window.partitionBy("host").orderBy(col("graft_pri").desc, col("url").asc)
+    u.withColumn("host_rank", row_number().over(w).cast("long"))
+      .join(broadcast(d), Seq("host"), "left")
+      .withColumn("graft_d", coalesce(col("graft_delay"), lit(defaultDelayMs)))
+      .withColumn("fetch_at_ms", (col("host_rank") - 1L) * col("graft_d"))
+      .withColumn("scheduled", col("fetch_at_ms") < horizonMs)
+      .select(col("url"), col("host"), col("host_rank"),
+        col("fetch_at_ms"), col("scheduled"))
+  }
+}
