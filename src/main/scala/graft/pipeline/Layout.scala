@@ -84,16 +84,31 @@ object Layout {
   def zorderWrite(
       df: DataFrame, cols: Seq[String], path: String, numFiles: Int,
       bits: Int = 8, mode: String = "overwrite",
-      curve: String = "morton"): Unit = {
+      curve: String = "morton", bloomCols: Seq[String] = Nil,
+      bloomNdv: Long = 0L): Unit = {
     require(numFiles >= 1, "numFiles must be positive")
-    zorder(df, cols, bits, curve)
+    var writer = zorder(df, cols, bits, curve)
       .repartitionByRange(numFiles, col("graft_z"))
       .sortWithinPartitions("graft_z")
-      .write.mode(mode).parquet(path)
+      .write.mode(mode)
+    // Per-column parquet bloom filters: min/max envelopes prune RANGE
+    // probes, but a point lookup on a high-cardinality key (doc_id, url
+    // hash) overlaps almost every file's envelope — the bloom filter is
+    // what lets a 10⁵-file table answer "is this one id here" by skipping
+    // row groups without decoding them. Write cost is one filter per
+    // column chunk; size with bloomNdv (expected distinct values per row
+    // group) or let parquet default.
+    for (c <- bloomCols) {
+      writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+      if (bloomNdv > 0L)
+        writer = writer.option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+    }
+    writer.parquet(path)
     // append batches must NOT clobber the base manifest (its numFiles is
     // the table's compaction target, not the batch size)
     if (mode != "append")
-      writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles, curve)
+      writeLayoutManifest(df.sparkSession, path, cols, bits, numFiles, curve,
+        bloomCols, bloomNdv)
     writeFileStats(df.sparkSession, path, cols) // covers base + all appends
   }
 
@@ -108,7 +123,9 @@ object Layout {
    */
   def zorderAppend(df: DataFrame, path: String, numFiles: Int = 1): Unit = {
     val (cols, bits, _, curve) = readLayoutManifest(df.sparkSession, path)
-    zorderWrite(df, cols, path, numFiles, bits, mode = "append", curve = curve)
+    val (bloomCols, bloomNdv) = readBloomConfig(df.sparkSession, path)
+    zorderWrite(df, cols, path, numFiles, bits, mode = "append", curve = curve,
+      bloomCols = bloomCols, bloomNdv = bloomNdv)
   }
 
   /**
@@ -139,10 +156,11 @@ object Layout {
    */
   def zorderCompact(spark: SparkSession, path: String, numFiles: Int = 0): Unit = {
     val (cols, bits, recorded, curve) = readLayoutManifest(spark, path)
+    val (bloomCols, bloomNdv) = readBloomConfig(spark, path)
     val target = if (numFiles > 0) numFiles else recorded
     Incremental.guardedRewrite(spark, path) { tmp =>
       zorderWrite(spark.read.parquet(path).drop("graft_z"), cols, tmp, target,
-        bits, curve = curve)
+        bits, curve = curve, bloomCols = bloomCols, bloomNdv = bloomNdv)
     }
   }
 
@@ -271,13 +289,20 @@ object Layout {
    * numFiles so append and compact need no re-specification. */
   private def writeLayoutManifest(spark: SparkSession, path: String,
       cols: Seq[String], bits: Int, numFiles: Int,
-      curve: String = "morton"): Unit = {
+      curve: String = "morton", bloomCols: Seq[String] = Nil,
+      bloomNdv: Long = 0L): Unit = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("version", 1)
     val cl = new java.util.ArrayList[String](); cols.foreach(cl.add); m.put("cols", cl)
     m.put("bits", bits)
     m.put("numFiles", numFiles)
     m.put("curve", curve)
+    // optional keys — absent on pre-bloom manifests, readers default
+    if (bloomCols.nonEmpty) {
+      val bl = new java.util.ArrayList[String](); bloomCols.foreach(bl.add)
+      m.put("bloomCols", bl)
+      if (bloomNdv > 0L) m.put("bloomNdv", bloomNdv)
+    }
     val yaml = new org.yaml.snakeyaml.Yaml().dump(m)
     val p = new org.apache.hadoop.fs.Path(path, "_graft_layout.yaml")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -285,8 +310,8 @@ object Layout {
     try out.write(yaml.getBytes("UTF-8")) finally out.close()
   }
 
-  private[pipeline] def readLayoutManifest(
-      spark: SparkSession, path: String): (Seq[String], Int, Int, String) = {
+  private def readManifestMap(
+      spark: SparkSession, path: String): java.util.Map[String, Any] = {
     val p = new org.apache.hadoop.fs.Path(path, "_graft_layout.yaml")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no _graft_layout.yaml under $path — not a zorderWrite dataset")
@@ -298,8 +323,13 @@ object Layout {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       out.toByteArray
     } finally in.close()
-    val m = new org.yaml.snakeyaml.Yaml()
+    new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Any]](new String(bytes, "UTF-8"))
+  }
+
+  private[pipeline] def readLayoutManifest(
+      spark: SparkSession, path: String): (Seq[String], Int, Int, String) = {
+    val m = readManifestMap(spark, path)
     val cols = m.get("cols") match {
       case l: java.util.List[_] => (0 until l.size).map(i => l.get(i).toString)
       case other => throw new IllegalArgumentException(s"bad layout manifest cols: $other")
@@ -307,6 +337,19 @@ object Layout {
     (cols, m.get("bits").asInstanceOf[Number].intValue,
       m.get("numFiles").asInstanceOf[Number].intValue,
       Option(m.get("curve")).map(_.toString).getOrElse("morton"))
+  }
+
+  /** Bloom-filter columns recorded in the layout manifest — appends and
+   * compactions re-apply them so every file of the table carries the
+   * filters, not just the base write. Absent on pre-bloom manifests. */
+  private[pipeline] def readBloomConfig(
+      spark: SparkSession, path: String): (Seq[String], Long) = {
+    val m = readManifestMap(spark, path)
+    val cols = m.get("bloomCols") match {
+      case l: java.util.List[_] => (0 until l.size).map(i => l.get(i).toString)
+      case _ => Nil
+    }
+    (cols, Option(m.get("bloomNdv")).map(_.asInstanceOf[Number].longValue).getOrElse(0L))
   }
 
   /**

@@ -309,6 +309,56 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Layout.zorderBoundaries(df, Seq.empty))
   }
 
+  test("bloom filters: written on requested columns, preserved by append and compact") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    def bloomState(dir: String): Seq[(String, Boolean, Boolean)] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(conf)
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet"))
+        .map { p =>
+          val footer = ParquetFileReader.readFooter(conf, p, ParquetMetadataConverter.NO_FILTER)
+          var id = false; var x = false
+          footer.getBlocks.forEach { b =>
+            b.getColumns.forEach { cc =>
+              val has = cc.getBloomFilterOffset >= 0
+              if (cc.getPath.toDotString == "rid") id ||= has
+              if (cc.getPath.toDotString == "x") x ||= has
+            }
+          }
+          (p.getName, id, x)
+        }
+    }
+    val df = spark.range(2000).select(col("id").as("rid"),
+      (col("id") % 97).cast("double").as("x"), (col("id") % 13).cast("double").as("y"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zbloom").toString
+    Layout.zorderWrite(df, Seq("x", "y"), out, numFiles = 3,
+      bloomCols = Seq("rid"), bloomNdv = 1000L)
+    val base = bloomState(out)
+    assert(base.nonEmpty && base.forall { case (_, id, x) => id && !x },
+      s"base files must carry a bloom on rid only: $base")
+
+    // append inherits the bloom config from the manifest
+    val extra = spark.range(2000, 2400).select(col("id").as("rid"),
+      (col("id") % 97).cast("double").as("x"), (col("id") % 13).cast("double").as("y"))
+    Layout.zorderAppend(extra, out, numFiles = 1)
+    val after = bloomState(out)
+    assert(after.size === base.size + 1)
+    assert(after.forall { case (_, id, x) => id && !x }, s"append lost bloom: $after")
+
+    // compact rewrites everything, filters still present, rows exact
+    Layout.zorderCompact(spark, out)
+    val compacted = bloomState(out)
+    assert(compacted.nonEmpty && compacted.forall { case (_, id, x) => id && !x },
+      s"compact lost bloom: $compacted")
+    assert(spark.read.parquet(out).count() === 2400L)
+    // point lookups stay exact with filters in play
+    assert(spark.read.parquet(out).where(col("rid") === 1234L).count() === 1L)
+    assert(spark.read.parquet(out).where(col("rid") === 99999L).count() === 0L)
+  }
+
   test("codegen: evaluates with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
