@@ -468,6 +468,15 @@ object SparkEntry {
           count(lit(1)).as("rows"),
           sum(when(col("value") >= 0, 1L).otherwise(0L)).as("passed"))
     }),
+    "q_ewma_anomalies" -> ((s, dir) => {
+      // per-user EWMA control chart over event values, alpha 0.25 (an
+      // exact binary fraction: the fold replays bit-for-bit in DuckDB's
+      // list_reduce), alert band 75 above the running average's pull
+      val ev = events(s, dir)
+      graft.pipeline.Anomaly.ewmaAnomalies(ev,
+        col("user_id"), struct(col("ts"), col("event_id")), col("value"),
+        alpha = 0.25, band = 75.0)
+    }),
     "q_sessionize" -> ((s, dir) => {
       // gap-based sessions over the events table (30-minute gap, epoch secs)
       val ev = events(s, dir)
@@ -2675,6 +2684,25 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the same sequential fold, same IEEE doubles, same fixed-point floor.
+    // SCALAR reduces only: DuckDB 1.0's list_reduce with a multi-field
+    // struct accumulator whose fields read each other evaluates them
+    // in-place on longer lists (field `a` sees the already-updated `s`),
+    // so the alert test refolds the value prefix per position instead —
+    // O(events²) per key, fine at gate SF, bit-identical semantics
+    "q_ewma_anomalies" ->
+      """WITH evs AS (
+        |  SELECT user_id AS key,
+        |         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS l
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT key, CAST(len(l) AS BIGINT) AS n_events,
+        |  CAST(floor(list_reduce(l, (acc, x) -> acc + 0.25 * (x - acc))
+        |    * 1000000) AS BIGINT) AS ewma_fp,
+        |  CAST(len(list_filter(range(2, len(l) + 1), i ->
+        |    abs(l[i] - list_reduce(l[1:i-1], (acc, x) -> acc + 0.25 * (x - acc)))
+        |      > 75.0)) AS BIGINT) AS n_alerts
+        |FROM evs""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec FROM events
