@@ -468,6 +468,25 @@ object SparkEntry {
           count(lit(1)).as("rows"),
           sum(when(col("value") >= 0, 1L).otherwise(0L)).as("passed"))
     }),
+    "q_bitext_align" -> ((s, dir) => {
+      // Gale-Church beads over planted bitext: each doc aligned against a
+      // twin with every 5th sentence dropped — rows-only (the DP is not
+      // SQL-expressible; BitextSpec pins optimality vs enumeration), but
+      // deterministic: beads follow the length model exactly. The
+      // synthetic corpus has no sentence punctuation, so 8-word chunks
+      // play the sentences
+      val words = split(col("text"), " ")
+      val nChunks = ceil(size(words) / lit(8.0)).cast("int")
+      val d = docs(s, dir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(words, i * 8 + 1, lit(8)), " ")).as("sa"))
+        .where(size(col("sa")) >= 4)
+      val pairs = d.withColumn("sb",
+        filter(col("sa"), (x, i) => i % 5 =!= 4))
+      graft.pipeline.Bitext.galeChurchAlign(pairs,
+        col("doc_id"), col("sa"), col("sb"))
+    }),
     "q_ewma_anomalies" -> ((s, dir) => {
       // per-user EWMA control chart over event values, alpha 0.25 (an
       // exact binary fraction: the fold replays bit-for-bit in DuckDB's
