@@ -1129,6 +1129,13 @@ object SparkEntry {
       graft.pipeline.Curation.splitByHash(
         docs(s, dir).select(col("doc_id")), col("doc_id"))
     }),
+    "q_leakage_split" -> ((s, dir) =>
+      // cluster-keyed split over the near-dup corpus: families move whole,
+      // singletons hash on their own id — the oracle replays clustering
+      // (recursive reachability over true all-pairs jaccard) + the md5 split
+      graft.pipeline.Curation.leakageSafeSplit(
+          nearDupCorpus(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("split"))),
     "q_domain_cap" -> ((s, dir) => {
       // at most 40 docs per source, lowest doc_ids win (deterministic)
       graft.pipeline.Curation.capPerKey(
@@ -3331,6 +3338,40 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM documents)""".stripMargin,
+    // q_dedup_clusters' recursive reachability + q_split_hash's md5 recipe,
+    // keyed on the cluster id
+    "q_leakage_split" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string(w[1:len(w)-2], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM corpus
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        |), cl AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             CAST(concat('0x', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |      FROM cl)""".stripMargin,
     "q_domain_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -1141,6 +1141,35 @@ object Curation {
   }
 
   /**
+   * Leakage-safe train/val/test split — [[splitByHash]] keyed on the
+   * NEAR-DUP CLUSTER instead of the document: a document and its
+   * near-duplicates always land in the SAME split, so paraphrased or
+   * boilerplate-shifted copies of a test document can never sit in train
+   * (the eval-contamination mode a plain id-hash split cannot prevent,
+   * and the reason "dedup then split" is insufficient — dedup keeps one
+   * member per cluster ONLY if you dedup first; this guards the split
+   * even when near-dups are deliberately retained). Cost is one
+   * [[Dedup.nearDupClusters]] pass (exact pre-collapse + capped LSH +
+   * checkpointed propagation — the priced 100 TB path) plus one join;
+   * singleton documents hash on their own id, so their assignment is
+   * IDENTICAL to [[splitByHash]].
+   */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: Column, textCol: Column,
+      trainPct: Int = 80, valPct: Int = 10, name: String = "split",
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val clusters = Dedup.nearDupClusters(df, idCol, textCol,
+        shingleSize = shingleSize, threshold = threshold,
+        maxBucketSize = maxBucketSize)
+      .select(col("id").as("graft_ls_id"), col("cluster_id").as("graft_ls_cluster"))
+    val joined = df.join(clusters, idCol === col("graft_ls_id"), "left")
+    splitByHash(joined, coalesce(col("graft_ls_cluster"), idCol),
+        trainPct, valPct, name)
+      .drop("graft_ls_id", "graft_ls_cluster")
+  }
+
+  /**
    * Token-budget epoch-mixing planner — the table a pretraining run is
    * actually scheduled from: given per-source available tokens, target mix
    * weights, a total token budget and a repetition cap (max epochs a
