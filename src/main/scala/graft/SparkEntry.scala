@@ -487,6 +487,11 @@ object SparkEntry {
       graft.pipeline.Bitext.galeChurchAlign(pairs,
         col("doc_id"), col("sa"), col("sb"))
     }),
+    "q_cohort_retention" -> ((s, dir) =>
+      // daily cohorts over the events table: first-activity day buckets,
+      // exact comeback counts per day offset
+      graft.pipeline.Curation.cohortRetention(
+        events(s, dir), col("user_id"), col("ts"))),
     "q_ewma_anomalies" -> ((s, dir) => {
       // per-user EWMA control chart over event values, alpha 0.25 (an
       // exact binary fraction: the fold replays bit-for-bit in DuckDB's
@@ -918,6 +923,19 @@ object SparkEntry {
         substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 48).as("title"))
       graft.operators.FuzzyJoin.editDistancePairs(
         titles, col("doc_id"), col("title"), maxDist = 3)
+    }),
+    "q_fuzzy_crosscorpus" -> ((s, dir) => {
+      // incoming-batch-vs-reference fuzzy attribution: the batch carries
+      // every title with its 3rd character deleted (distance 1 to its
+      // source, distance <= 3 to that source's near-titles); DuckDB
+      // computes TRUE all-pairs A x B levenshtein
+      val t = substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 48)
+      val left = docs(s, dir).select(col("doc_id"), t.as("title"))
+      val right = docs(s, dir).select((col("doc_id") + 5000).as("doc_id"),
+        concat(t.substr(lit(1), lit(2)), t.substr(lit(4), length(t))).as("title"))
+      graft.operators.FuzzyJoin.editDistanceJoin(
+        left, col("doc_id"), col("title"),
+        right, col("doc_id"), col("title"), maxDist = 3)
     }),
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -2710,6 +2728,23 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 1000000 // 86400 AS p
+        |  FROM events
+        |), cohorts AS (
+        |  SELECT u, min(p) AS c0 FROM acts GROUP BY u
+        |), cells AS (
+        |  SELECT c.c0 AS cohort, a.p - c.c0 AS "offset", count(*) AS n_active
+        |  FROM acts a JOIN cohorts c USING (u)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT x.cohort, x."offset", CAST(x.n_active AS BIGINT) AS n_active,
+        |       CAST(z.n_active AS BIGINT) AS cohort_size,
+        |       CAST(x.n_active AS BIGINT) * 1000000
+        |         // CAST(z.n_active AS BIGINT) AS retained_ppm
+        |FROM cells x JOIN cells z
+        |  ON x.cohort = z.cohort AND z."offset" = 0""".stripMargin,
     // the same sequential fold, same IEEE doubles, same fixed-point floor.
     // SCALAR reduces only: DuckDB 1.0's list_reduce with a multi-field
     // struct accumulator whose fields read each other evaluates them
@@ -3210,6 +3245,20 @@ object SparkEntry {
         |)
         |SELECT id, CAST(sum(c) AS BIGINT) AS rrf_fp, count(*) AS n_lists
         |FROM f GROUP BY id ORDER BY rrf_fp DESC, id LIMIT 50""".stripMargin,
+    "q_fuzzy_crosscorpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 48) AS title
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id + 5000 AS doc_id,
+        |         substring(title, 1, 2) || substring(title, 4) AS title
+        |  FROM t
+        |)
+        |SELECT t.doc_id AS id_l, r.doc_id AS id_r,
+        |       levenshtein(t.title, r.title) AS dist
+        |FROM t, r
+        |WHERE abs(length(t.title) - length(r.title)) <= 3
+        |  AND levenshtein(t.title, r.title) <= 3""".stripMargin,
     // the blocked join must equal TRUE all-pairs levenshtein (len-diff
     // prefilter is implied by dist <= 3)
     "q_fuzzy_join" ->

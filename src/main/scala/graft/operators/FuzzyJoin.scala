@@ -39,48 +39,51 @@ import org.apache.spark.sql.functions._
  */
 object FuzzyJoin {
 
-  def editDistancePairs(
-      df: DataFrame, idCol: Column, strCol: Column,
-      maxDist: Int, maxBucketSize: Int = 0): DataFrame = {
-    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val d = maxDist
-    val k = d + 1
+  /** Even partition of a length-l string into k segments: the first l%k
+   * segments carry the extra character. 0-based; substr() is 1-based. */
+  private def segLen(l: Column, i: Int, k: Int): Column =
+    floor(l / k).cast("int") + when(lit(i) < l % k, 1).otherwise(0)
+  private def segStart(l: Column, i: Int, k: Int): Column =
+    (lit(i) * floor(l / k).cast("int") + least(lit(i), l % k)).cast("int")
 
-    val base = df
-      .select(idCol.as("graft_id"), strCol.cast("string").as("graft_s"))
+  private def cappedBy(side: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) side
+    else side.withColumn("graft_bsz",
+        count(lit(1)).over(Window.partitionBy("graft_l", "graft_i", "graft_seg")))
+      .where(col("graft_bsz") <= maxBucketSize).drop("graft_bsz")
+
+  private def baseOf(df: DataFrame, idCol: Column, strCol: Column): DataFrame =
+    df.select(idCol.as("graft_id"), strCol.cast("string").as("graft_s"))
       .where(col("graft_id").isNotNull && col("graft_s").isNotNull)
       .withColumn("graft_len", length(col("graft_s")))
 
-    // Even partition of a length-l string into k segments: the first l%k
-    // segments carry the extra character. All positions 0-based here;
-    // substr() below is 1-based.
-    def segLen(l: Column, i: Int): Column =
-      floor(l / k).cast("int") + when(lit(i) < l % k, 1).otherwise(0)
-    def segStart(l: Column, i: Int): Column =
-      (lit(i) * floor(l / k).cast("int") + least(lit(i), l % k)).cast("int")
-
-    // Index role: my own k segments, keyed by (myLen, i, segment).
-    val segSide = base.where(col("graft_len") >= k)
+  /** Index role: my own k segments, keyed by (myLen, i, segment). */
+  private[operators] def segKeyRows(base: DataFrame, d: Int): DataFrame = {
+    val k = d + 1
+    base.where(col("graft_len") >= k)
       .select(col("graft_id").as("graft_aid"), col("graft_len").as("graft_alen"),
         explode(array((0 until k).map { i =>
           val l = col("graft_len")
           struct(lit(i).as("gi"),
-            col("graft_s").substr(segStart(l, i) + 1, segLen(l, i)).as("gseg"))
+            col("graft_s").substr(segStart(l, i, k) + 1, segLen(l, i, k)).as("gseg"))
         }: _*)).as("graft_k"))
       .select(col("graft_aid"), col("graft_alen").as("graft_l"),
         col("graft_k.gi").as("graft_i"), col("graft_k.gseg").as("graft_seg"))
+  }
 
-    // Probe role: for each partner length l2 in [len-d, len] with l2 >= k,
-    // every substring that could be segment i of that partner: length
-    // segLen(l2,i), start within ±d of segStart(l2,i). Within the valid
-    // branch lo <= segStart(l2,i) <= hi always (segment fits in l2 <= len),
-    // so sequence() never runs descending. Invalid l2 branches yield NULL,
-    // array_compact drops them; array_distinct collapses the same key
-    // found at several displacements.
+  /** Probe role: for each partner length l2 in [len-d, len] with l2 >= k,
+   * every substring that could be segment i of that partner: length
+   * segLen(l2,i), start within ±d of segStart(l2,i). Within the valid
+   * branch lo <= segStart(l2,i) <= hi always (segment fits in l2 <= len),
+   * so sequence() never runs descending. Invalid l2 branches yield NULL,
+   * array_compact drops them; array_distinct collapses the same key
+   * found at several displacements. */
+  private[operators] def subKeyRows(base: DataFrame, d: Int): DataFrame = {
+    val k = d + 1
     val subKeys: Seq[Column] = for { e <- 0 to d; i <- 0 until k } yield {
       val l2 = col("graft_len") - e
-      val m = segLen(l2, i)
-      val p = segStart(l2, i)
+      val m = segLen(l2, i, k)
+      val p = segStart(l2, i, k)
       val lo = greatest(lit(0), p - d)
       val hi = least(col("graft_len") - m, p + d)
       when(l2 >= k,
@@ -88,18 +91,24 @@ object FuzzyJoin {
           struct(l2.as("gl"), lit(i).as("gi"),
             col("graft_s").substr(j + 1, m).as("gseg"))))
     }
-    val subSide = base
+    base
       .select(col("graft_id").as("graft_bid"), col("graft_len").as("graft_blen"),
         explode(array_distinct(flatten(array_compact(array(subKeys: _*))))).as("graft_k"))
       .select(col("graft_bid"), col("graft_blen"),
         col("graft_k.gl").as("graft_l"), col("graft_k.gi").as("graft_i"),
         col("graft_k.gseg").as("graft_seg"))
+  }
 
-    def capped(side: DataFrame): DataFrame =
-      if (maxBucketSize <= 0) side
-      else side.withColumn("graft_bsz",
-          count(lit(1)).over(Window.partitionBy("graft_l", "graft_i", "graft_seg")))
-        .where(col("graft_bsz") <= maxBucketSize).drop("graft_bsz")
+  def editDistancePairs(
+      df: DataFrame, idCol: Column, strCol: Column,
+      maxDist: Int, maxBucketSize: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val d = maxDist
+    val base = baseOf(df, idCol, strCol)
+    val segSide = segKeyRows(base, d)
+    val subSide = subKeyRows(base, d)
+
+    def capped(side: DataFrame): DataFrame = cappedBy(side, maxBucketSize)
 
     // Equi-join on the segment key; the shorter string is always the index
     // side (graft_l == partner length <= probe length), equal lengths
@@ -136,6 +145,51 @@ object FuzzyJoin {
     mainPairs.unionByName(shortPairs)
       .select(least(col("graft_aid"), col("graft_bid")).as("id_a"),
         greatest(col("graft_aid"), col("graft_bid")).as("id_b"),
+        col("graft_dist").as("dist"))
+  }
+
+  /**
+   * Cross-corpus (A×B) edit-distance join — incoming batch vs frozen
+   * reference, query titles vs catalog, the entity-resolution shape.
+   * Same segment blocking; each corpus plays BOTH roles (its strings may
+   * be the shorter or the longer of a pair), candidates from the two
+   * directed role joins dedupe before the single verify. Output one row
+   * per matched (id_l, id_r) pair with the exact distance.
+   */
+  def editDistanceJoin(
+      left: DataFrame, lIdCol: Column, lStrCol: Column,
+      right: DataFrame, rIdCol: Column, rStrCol: Column,
+      maxDist: Int, maxBucketSize: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val d = maxDist
+    val lb = baseOf(left, lIdCol, lStrCol)
+    val rb = baseOf(right, rIdCol, rStrCol)
+    val keys = Seq("graft_l", "graft_i", "graft_seg")
+    // left indexes / right probes, then the reverse; equal-length pairs
+    // surface in both directions — the distinct below is the dedup
+    val candLR = cappedBy(segKeyRows(lb, d), maxBucketSize)
+      .join(cappedBy(subKeyRows(rb, d), maxBucketSize), keys)
+      .select(col("graft_aid").as("graft_lid"), col("graft_bid").as("graft_rid"))
+    val candRL = cappedBy(segKeyRows(rb, d), maxBucketSize)
+      .join(cappedBy(subKeyRows(lb, d), maxBucketSize), keys)
+      .select(col("graft_bid").as("graft_lid"), col("graft_aid").as("graft_rid"))
+    // near-empty tails, both directions (min side <= d forces max <= 2d)
+    val shortLR = lb.where(col("graft_len") <= d)
+      .select(col("graft_id").as("graft_lid"))
+      .crossJoin(rb.where(col("graft_len") <= 2 * d)
+        .select(col("graft_id").as("graft_rid")))
+    val shortRL = lb.where(col("graft_len") <= 2 * d)
+      .select(col("graft_id").as("graft_lid"))
+      .crossJoin(rb.where(col("graft_len") <= d)
+        .select(col("graft_id").as("graft_rid")))
+    val candidates = candLR.unionByName(candRL)
+      .unionByName(shortLR).unionByName(shortRL).distinct()
+    val sl = lb.select(col("graft_id").as("graft_lid"), col("graft_s").as("graft_sl"))
+    val sr = rb.select(col("graft_id").as("graft_rid"), col("graft_s").as("graft_sr"))
+    candidates.join(sl, "graft_lid").join(sr, "graft_rid")
+      .withColumn("graft_dist", levenshtein(col("graft_sl"), col("graft_sr"), d))
+      .where(col("graft_dist") >= 0)
+      .select(col("graft_lid").as("id_l"), col("graft_rid").as("id_r"),
         col("graft_dist").as("dist"))
   }
 }

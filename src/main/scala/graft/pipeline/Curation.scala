@@ -1141,6 +1141,36 @@ object Curation {
   }
 
   /**
+   * Cohort retention matrix — the classic product/telemetry analytics
+   * table: users grouped by the PERIOD OF FIRST ACTIVITY (their cohort),
+   * then for each later period, how many came back. One distinct pass
+   * over (user, period), one tiny self-join on the cohort key for the
+   * denominators; by construction every user is active in their own
+   * cohort period, so offset 0 is the cohort size and retained_ppm is
+   * exact integer arithmetic. periodSeconds picks the granularity
+   * (86400 = daily cohorts, 604800 = weekly).
+   */
+  def cohortRetention(
+      df: DataFrame, userCol: Column, tsCol: Column,
+      periodSeconds: Long = 86400L): DataFrame = {
+    require(periodSeconds > 0, s"periodSeconds must be positive, got $periodSeconds")
+    val acts = df.select(userCol.as("graft_u"), tsCol.as("graft_ts"))
+      .select(col("graft_u"),
+        expr(s"unix_micros(graft_ts) div 1000000L div ${periodSeconds}L").as("graft_p"))
+      .distinct()
+    val cohorts = acts.groupBy(col("graft_u")).agg(min(col("graft_p")).as("graft_c0"))
+    val cells = acts.join(cohorts, "graft_u")
+      .groupBy(col("graft_c0").as("cohort"),
+        (col("graft_p") - col("graft_c0")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.where(col("offset") === 0L)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
+        expr("n_active * 1000000L div cohort_size").as("retained_ppm"))
+  }
+
+  /**
    * Leakage-safe train/val/test split — [[splitByHash]] keyed on the
    * NEAR-DUP CLUSTER instead of the document: a document and its
    * near-duplicates always land in the SAME split, so paraphrased or

@@ -82,6 +82,26 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got === Set((0L, 1L, 2), (0L, 2L, 1)))
   }
 
+  test("cross-corpus join matches brute force A x B, both role directions") {
+    val rnd = new scala.util.Random(99)
+    def corp(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i) -> (0 until rnd.nextInt(8)).map(_ => "ab" (rnd.nextInt(2))).mkString
+    }
+    val l = corp(40, 0L)
+    val r = corp(40, 1000L)
+    for (d <- 0 to 2) {
+      val expect = (for {
+        (il, sl) <- l; (ir, sr) <- r
+        dist = ed(sl, sr) if dist <= d
+      } yield (il, ir, dist)).toSet
+      val got = FuzzyJoin.editDistanceJoin(
+          l.toDF("id", "s").repartition(5), col("id"), col("s"),
+          r.toDF("id", "s").repartition(3), col("id"), col("s"), d)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(got === expect, s"d=$d")
+    }
+  }
+
   test("bucket cap drops only pairs, never invents them; uncapped is complete") {
     val rows = (0L until 40L).map(i => i -> "boilerplate") ++
       Seq(100L -> "boilerplatx", 101L -> "unique string")
