@@ -57,47 +57,55 @@ object FuzzyJoin {
       .where(col("graft_id").isNotNull && col("graft_s").isNotNull)
       .withColumn("graft_len", length(col("graft_s")))
 
-  /** Index role: my own k segments, keyed by (myLen, i, segment). */
-  private[operators] def segKeyRows(base: DataFrame, d: Int): DataFrame = {
+  /** Index-role keys of one string as array<struct<gl,gi,gseg>>: its own
+   * k segments keyed by (myLen, i, segment). Empty below length k. */
+  private[graft] def segKeyArray(s: Column, len: Column, d: Int): Column = {
     val k = d + 1
-    base.where(col("graft_len") >= k)
-      .select(col("graft_id").as("graft_aid"), col("graft_len").as("graft_alen"),
-        explode(array((0 until k).map { i =>
-          val l = col("graft_len")
-          struct(lit(i).as("gi"),
-            col("graft_s").substr(segStart(l, i, k) + 1, segLen(l, i, k)).as("gseg"))
-        }: _*)).as("graft_k"))
-      .select(col("graft_aid"), col("graft_alen").as("graft_l"),
-        col("graft_k.gi").as("graft_i"), col("graft_k.gseg").as("graft_seg"))
+    val arr = array((0 until k).map { i =>
+      struct(len.as("gl"), lit(i).as("gi"),
+        s.substr(segStart(len, i, k) + 1, segLen(len, i, k)).as("gseg"))
+    }: _*)
+    when(len >= k, arr).otherwise(slice(arr, 1, 0))
   }
 
-  /** Probe role: for each partner length l2 in [len-d, len] with l2 >= k,
-   * every substring that could be segment i of that partner: length
-   * segLen(l2,i), start within ±d of segStart(l2,i). Within the valid
-   * branch lo <= segStart(l2,i) <= hi always (segment fits in l2 <= len),
-   * so sequence() never runs descending. Invalid l2 branches yield NULL,
-   * array_compact drops them; array_distinct collapses the same key
-   * found at several displacements. */
-  private[operators] def subKeyRows(base: DataFrame, d: Int): DataFrame = {
+  /** Probe-role keys of one string: for each partner length l2 in
+   * [len-d, len] with l2 >= k, every substring that could be segment i of
+   * that partner — length segLen(l2,i), start within ±d of segStart(l2,i).
+   * Within the valid branch lo <= segStart(l2,i) <= hi always (the segment
+   * fits in l2 <= len), so sequence() never runs descending. Invalid l2
+   * branches yield NULL, array_compact drops them; array_distinct
+   * collapses the same key found at several displacements. */
+  private[graft] def subKeyArray(s: Column, len: Column, d: Int): Column = {
     val k = d + 1
     val subKeys: Seq[Column] = for { e <- 0 to d; i <- 0 until k } yield {
-      val l2 = col("graft_len") - e
+      val l2 = len - e
       val m = segLen(l2, i, k)
       val p = segStart(l2, i, k)
       val lo = greatest(lit(0), p - d)
-      val hi = least(col("graft_len") - m, p + d)
+      val hi = least(len - m, p + d)
       when(l2 >= k,
         transform(sequence(lo, hi), j =>
-          struct(l2.as("gl"), lit(i).as("gi"),
-            col("graft_s").substr(j + 1, m).as("gseg"))))
+          struct(l2.as("gl"), lit(i).as("gi"), s.substr(j + 1, m).as("gseg"))))
     }
+    array_distinct(flatten(array_compact(array(subKeys: _*))))
+  }
+
+  /** Index role over a corpus: one row per (id, len, key). */
+  private[graft] def segKeyRows(base: DataFrame, d: Int): DataFrame =
+    base.where(col("graft_len") >= d + 1)
+      .select(col("graft_id").as("graft_aid"), col("graft_len").as("graft_alen"),
+        explode(segKeyArray(col("graft_s"), col("graft_len"), d)).as("graft_k"))
+      .select(col("graft_aid"), col("graft_alen").as("graft_l"),
+        col("graft_k.gi").as("graft_i"), col("graft_k.gseg").as("graft_seg"))
+
+  /** Probe role over a corpus: one row per (id, len, key). */
+  private[graft] def subKeyRows(base: DataFrame, d: Int): DataFrame =
     base
       .select(col("graft_id").as("graft_bid"), col("graft_len").as("graft_blen"),
-        explode(array_distinct(flatten(array_compact(array(subKeys: _*))))).as("graft_k"))
+        explode(subKeyArray(col("graft_s"), col("graft_len"), d)).as("graft_k"))
       .select(col("graft_bid"), col("graft_blen"),
         col("graft_k.gl").as("graft_l"), col("graft_k.gi").as("graft_i"),
         col("graft_k.gseg").as("graft_seg"))
-  }
 
   def editDistancePairs(
       df: DataFrame, idCol: Column, strCol: Column,

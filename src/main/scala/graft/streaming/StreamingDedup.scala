@@ -70,11 +70,11 @@ object StreamingDedup {
               }
             }
             first.foreach(f => state.update(f))
-            // age the bucket out one step past the current watermark
-            if (state.getCurrentWatermarkMs() > 0)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-            else if (batch.nonEmpty)
-              state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + 1)
+            // retire one FULL watermark-delay past the bucket's last
+            // activity (wm+1 would expire it on the next stream progress
+            // and silently drop cross-batch collisions)
+            if (batch.nonEmpty)
+              state.setTimeoutTimestamp(batch.map(_.ts.getTime).max, watermark)
             out.result().iterator
           }
       }
