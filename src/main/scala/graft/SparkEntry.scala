@@ -529,6 +529,32 @@ object SparkEntry {
           rightPrefix = "view_")
         .select(col("event_id"), col("view_value"))
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // recovery attribution: each error gets the next view's value per
+      // user (earliest at-or-after) — the forward mirror, same one-shuffle
+      // window shape
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOf.asofJoinForward(errors, views, Seq("user_id"),
+          "ts", "ts", rightPrefix = "next_")
+        .select(col("event_id"), col("next_value"))
+    }),
+    "q_asof_nearest" -> ((s, dir) => {
+      // sensor-alignment shape: each click takes the view minimizing
+      // |delta| within 10 minutes, ties to the earlier row; the oracle
+      // replays it from DuckDB's own backward+forward ASOF joins
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOf.asofJoinNearest(clicks, views, Seq("user_id"),
+          "ts", "ts", rightPrefix = "near_", toleranceSeconds = 600.0)
+        .select(col("event_id"), col("near_value"))
+    }),
     "q_range_join" -> ((s, dir) => {
       // price-band assignment via the bin-bucketed interval join (overlapping
       // bands, so rows can match twice) — equi-join on buckets, no cross
@@ -2788,6 +2814,30 @@ object SparkEntry {
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT e.event_id, v.value AS next_value
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+        |  ON e.user_id = v.user_id AND v.ts >= e.ts""".stripMargin,
+    // DuckDB's own backward and forward ASOF joins, then min-|delta| with
+    // ties to the earlier row and the 600 s tolerance — exactly the
+    // operator's pick rule
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT c.event_id, epoch(c.ts) - epoch(v.ts) AS bd, v.value AS bval
+        |  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+        |), f AS (
+        |  SELECT c.event_id, epoch(v.ts) - epoch(c.ts) AS fd, v.value AS fval
+        |  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts > c.ts
+        |)
+        |SELECT c.event_id,
+        |  CASE WHEN bd IS NOT NULL AND bd <= 600.0
+        |         AND (fd IS NULL OR fd > 600.0 OR bd <= fd) THEN bval
+        |       WHEN fd IS NOT NULL AND fd <= 600.0 THEN fval
+        |  END AS near_value
+        |FROM c JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
     "q_range_join" ->
       """SELECT r.range AS band_id, count(*) AS cnt
         |FROM lineitem l

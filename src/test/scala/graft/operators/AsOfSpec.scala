@@ -67,4 +67,47 @@ class AsOfSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("forward asof picks the earliest right row at-or-after each left ts") {
+    val orders = Seq(
+      (1L, 10L, "o1"), (1L, 20L, "o2"), (1L, 25L, "o3"),
+      (2L, 5L, "o4")).toDF("k", "ts", "o")
+    val fills = Seq(
+      (1L, 10L, 100.0), (1L, 22L, 102.0), (2L, 3L, 200.0)).toDF("k", "ts", "px")
+    val out = AsOf.asofJoinForward(orders, fills, Seq("k"), "ts", "ts")
+      .select("o", "px").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("o1").contains(100.0))  // inclusive at equal ts
+    assert(out("o2").contains(102.0))  // earliest fill >= 20
+    assert(out("o3").isEmpty)          // nothing after 25
+    assert(out("o4").isEmpty)          // fill precedes the order
+  }
+
+  test("nearest asof: min |delta|, ties backward, tolerance cuts") {
+    val reads = Seq(
+      (1L, 10L, "r1"),  // candidates at 7 (d=3) and 12 (d=2) -> 12
+      (1L, 30L, "r2"),  // candidates at 28 (d=2) and 32 (d=2) -> tie -> 28
+      (1L, 100L, "r3"), // nearest is 32 (d=68) -> outside tolerance 10
+      (2L, 50L, "r4")   // exact match at 50 -> d=0
+    ).toDF("k", "ts", "r")
+    val snaps = Seq(
+      (1L, 7L, 7.0), (1L, 12L, 12.0), (1L, 28L, 28.0), (1L, 32L, 32.0),
+      (2L, 50L, 50.0)).toDF("k", "ts", "v")
+    val out = AsOf.asofJoinNearest(reads, snaps, Seq("k"), "ts", "ts",
+        toleranceSeconds = 10.0)
+      .select("r", "v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("r1").contains(12.0))
+    assert(out("r2").contains(28.0))
+    assert(out("r3").isEmpty)
+    assert(out("r4").contains(50.0))
+  }
+
+  test("nearest asof reuses one exchange for both window passes") {
+    val left = (0L until 100L).map(i => (i % 5, i, s"l$i")).toDF("k", "ts", "lv")
+    val right = (0L until 100L).map(i => (i % 5, i, i * 1.0)).toDF("k", "ts", "rv")
+    val plan = AsOf.asofJoinNearest(left, right, Seq("k"), "ts", "ts",
+        rightPrefix = "r_").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected a single key exchange:\n$plan")
+  }
 }
