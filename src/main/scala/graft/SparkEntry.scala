@@ -487,6 +487,12 @@ object SparkEntry {
       graft.pipeline.Bitext.galeChurchAlign(pairs,
         col("doc_id"), col("sa"), col("sb"))
     }),
+    "q_event_funnel" -> ((s, dir) =>
+      // ordered user-journey funnel with a 3-day window: strict
+      // view -> click -> signup -> purchase chains, earliest-chain
+      graft.pipeline.Curation.eventFunnel(events(s, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "signup", "purchase"), windowSeconds = 259200L)),
     "q_cohort_retention" -> ((s, dir) =>
       // daily cohorts over the events table: first-activity day buckets,
       // exact comeback counts per day offset
@@ -584,6 +590,13 @@ object SparkEntry {
       // the documents table (3 pseudo-links per doc); integer arithmetic
       // end-to-end so the unrolled-iteration DuckDB oracle matches exactly
       docRanks(s, dir).orderBy(col("rank_fp").desc, col("id").asc).limit(100)),
+    "q_hits" -> ((s, dir) =>
+      // Kleinberg hubs/authorities over the same synthetic graph, 2
+      // iterations of the exact-integer recursion with the
+      // (max div scale)+1 normalizer — oracle unrolls both half-steps
+      graft.pipeline.Graphs.hitsFixed(docEdges(s, dir), col("src"), col("dst"),
+          iterations = 2)
+        .orderBy(col("auth_fp").desc, col("id").asc).limit(100)),
     "q_host_rank" -> ((s, dir) => {
       // the raw-crawl path into the rank prior: each doc becomes a page on
       // host h(doc_id%16) whose body links two deterministic neighbor
@@ -2754,6 +2767,38 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_event_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS t, epoch(ts) AS s FROM events),
+        |c0 AS (SELECT u, min(s) AS t0 FROM ev WHERE t = 'view' GROUP BY u),
+        |c1 AS (
+        |  SELECT c0.u, c0.t0,
+        |    min(CASE WHEN e.s > c0.t0 AND e.s - c0.t0 <= 259200 THEN e.s END) AS t1
+        |  FROM c0 LEFT JOIN ev e ON e.u = c0.u AND e.t = 'click'
+        |  GROUP BY c0.u, c0.t0
+        |), c2 AS (
+        |  SELECT c1.u, c1.t0, c1.t1,
+        |    min(CASE WHEN e.s > c1.t1 AND e.s - c1.t0 <= 259200 THEN e.s END) AS t2
+        |  FROM c1 LEFT JOIN ev e ON e.u = c1.u AND e.t = 'signup'
+        |  GROUP BY c1.u, c1.t0, c1.t1
+        |), c3 AS (
+        |  SELECT c2.u, c2.t0, c2.t1, c2.t2,
+        |    min(CASE WHEN e.s > c2.t2 AND e.s - c2.t0 <= 259200 THEN e.s END) AS t3
+        |  FROM c2 LEFT JOIN ev e ON e.u = c2.u AND e.t = 'purchase'
+        |  GROUP BY c2.u, c2.t0, c2.t1, c2.t2
+        |), n AS (
+        |  SELECT CAST(count(t0) AS BIGINT) AS n0, CAST(count(t1) AS BIGINT) AS n1,
+        |         CAST(count(t2) AS BIGINT) AS n2, CAST(count(t3) AS BIGINT) AS n3
+        |  FROM c3
+        |)
+        |SELECT 0 AS step, 'view' AS event_type, n0 AS n_users,
+        |       n0 * 1000000 // nullif(n0, 0) AS conv_from_first_ppm,
+        |       n0 * 1000000 // nullif(n0, 0) AS conv_from_prev_ppm FROM n
+        |UNION ALL SELECT 1, 'click', n1, n1 * 1000000 // nullif(n0, 0),
+        |       n1 * 1000000 // nullif(n0, 0) FROM n
+        |UNION ALL SELECT 2, 'signup', n2, n2 * 1000000 // nullif(n0, 0),
+        |       n2 * 1000000 // nullif(n1, 0) FROM n
+        |UNION ALL SELECT 3, 'purchase', n3, n3 * 1000000 // nullif(n0, 0),
+        |       n3 * 1000000 // nullif(n2, 0) FROM n""".stripMargin,
     "q_cohort_retention" ->
       """WITH acts AS (
         |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 1000000 // 86400 AS p
@@ -2859,6 +2904,40 @@ object SparkEntry {
     // three unrolled fixed-point iterations — every step integer arithmetic
     // (// is DuckDB integer division, div on the Spark side), so the hash
     // matches bit-for-bit; sums cast back to BIGINT (DuckDB sums to HUGEINT)
+    "q_hits" ->
+      """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM nn) AS dst FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 97 + 13) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 5 + 1) % (SELECT cnt FROM nn) FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |node AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |h0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS sc FROM node),
+        |a1r AS (SELECT e.dst AS id, CAST(sum(h0.sc) AS BIGINT) AS r
+        |        FROM e JOIN h0 ON h0.id = e.src GROUP BY 1),
+        |a1 AS (SELECT node.id, COALESCE(a1r.r, 0)
+        |         // ((SELECT max(r) FROM a1r) // 1000000000 + 1) AS sc
+        |       FROM node LEFT JOIN a1r USING (id)),
+        |h1r AS (SELECT e.src AS id, CAST(sum(a1.sc) AS BIGINT) AS r
+        |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+        |h1 AS (SELECT node.id, COALESCE(h1r.r, 0)
+        |         // ((SELECT max(r) FROM h1r) // 1000000000 + 1) AS sc
+        |       FROM node LEFT JOIN h1r USING (id)),
+        |a2r AS (SELECT e.dst AS id, CAST(sum(h1.sc) AS BIGINT) AS r
+        |        FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+        |a2 AS (SELECT node.id, COALESCE(a2r.r, 0)
+        |         // ((SELECT max(r) FROM a2r) // 1000000000 + 1) AS sc
+        |       FROM node LEFT JOIN a2r USING (id)),
+        |h2r AS (SELECT e.src AS id, CAST(sum(a2.sc) AS BIGINT) AS r
+        |        FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+        |h2 AS (SELECT node.id, COALESCE(h2r.r, 0)
+        |         // ((SELECT max(r) FROM h2r) // 1000000000 + 1) AS sc
+        |       FROM node LEFT JOIN h2r USING (id))
+        |SELECT node.id, h2.sc AS hub_fp, a2.sc AS auth_fp
+        |FROM node JOIN h2 USING (id) JOIN a2 USING (id)
+        |ORDER BY auth_fp DESC, id LIMIT 100""".stripMargin,
     "q_pagerank" ->
       """WITH nn AS (SELECT count(*) AS cnt FROM documents),
         |e AS (

@@ -1141,6 +1141,60 @@ object Curation {
   }
 
   /**
+   * Ordered-sequence event funnel — the OTHER funnel: [[retentionFunnel]]
+   * prices pipeline gates, this one prices user journeys (view → click →
+   * signup → purchase): a user converts step i when some step-i event
+   * happens STRICTLY AFTER their step-(i−1) conversion time, earliest
+   * such chain, all within `windowSeconds` of the first step. Plan: one
+   * keyed min per step — step i joins only the step-i event slice against
+   * the survivors frame (k−1 small shuffles for a k-step funnel, never a
+   * per-user sort of the whole log). Output one row per step: users
+   * reaching it and exact ppm conversion vs the first and previous steps.
+   */
+  def eventFunnel(
+      df: DataFrame, userCol: Column, tsCol: Column, typeCol: Column,
+      steps: Seq[String], windowSeconds: Long = Long.MaxValue): DataFrame = {
+    require(steps.size >= 2, "eventFunnel needs at least two steps")
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val spark = df.sparkSession
+    val ev = df.select(userCol.as("graft_u"), typeCol.as("graft_t"),
+      tsCol.cast("double").as("graft_ts"))
+    var chain = ev.where(col("graft_t") === steps.head)
+      .groupBy(col("graft_u")).agg(min(col("graft_ts")).as("graft_t0"))
+    for (i <- 1 until steps.size) {
+      val prev = s"graft_t${i - 1}"
+      val slice = ev.where(col("graft_t") === steps(i))
+        .select(col("graft_u"), col("graft_ts"))
+      chain = chain.join(slice, Seq("graft_u"), "left")
+        .groupBy((col("graft_u") +: (0 until i).map(j => col(s"graft_t$j"))): _*)
+        .agg(min(when(col("graft_ts") > col(prev) &&
+          col("graft_ts") - col("graft_t0") <= windowSeconds, col("graft_ts")))
+          .as(s"graft_t$i"))
+    }
+    val counts = chain.agg(
+      count(col("graft_t0")).as("graft_n0"),
+      (1 until steps.size).map(i => count(col(s"graft_t$i")).as(s"graft_n$i")): _*)
+    import spark.implicits._
+    val stepDf = steps.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("step", "event_type")
+    counts.crossJoin(broadcast(stepDf))
+      .select(col("step"), col("event_type"),
+        (0 until steps.size).map(i =>
+          when(col("step") === i, col(s"graft_n$i"))).reduce(coalesce(_, _)).as("n_users"),
+        (0 until steps.size).map(i =>
+          when(col("step") === i, col(s"graft_n$i"))).reduce(coalesce(_, _))
+          .multiply(lit(1000000L)).cast("long").as("graft_raw"),
+        col("graft_n0"),
+        (0 until steps.size).map(i =>
+          when(col("step") === i,
+            if (i == 0) col("graft_n0") else col(s"graft_n${i - 1}")))
+          .reduce(coalesce(_, _)).as("graft_prev"))
+      .select(col("step"), col("event_type"), col("n_users"),
+        expr("graft_raw div nullif(graft_n0, 0L)").as("conv_from_first_ppm"),
+        expr("graft_raw div nullif(graft_prev, 0L)").as("conv_from_prev_ppm"))
+  }
+
+  /**
    * Cohort retention matrix — the classic product/telemetry analytics
    * table: users grouped by the PERIOD OF FIRST ACTIVITY (their cohort),
    * then for each later period, how many came back. One distinct pass

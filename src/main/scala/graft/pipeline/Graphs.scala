@@ -170,6 +170,67 @@ object Graphs {
     ranks
   }
 
+  /**
+   * HITS hubs & authorities (Kleinberg 1999) in the same EXACT-integer
+   * fixed-point contract as [[pageRankFixed]]: auth'(v) = Σ_{u→v} hub(u),
+   * hub'(u) = Σ_{u→v} auth'(v), each sum re-normalized every half-step by
+   * the INTEGER divisor `(max div scale) + 1` — values stay ≤ scale, every
+   * operation is a long, so ranks are bit-identical under any partitioning
+   * and the SQL oracle unrolls the iterations verbatim. (Classic HITS
+   * normalizes by the L2 norm; any positive normalizer preserves the
+   * ranking fixpoint, and the integer form keeps the exactness contract.)
+   *
+   * Plan per iteration: two shuffle-joins of the (id, score) frame against
+   * the ONE checkpointed edge exchange + two single-row max aggregates
+   * broadcast back — no collect, no window. Overflow bound: in-degree ×
+   * scale must stay under 2⁶³ (default scale 10⁹ leaves room for 9×10⁹
+   * incident edges per node). Returns (id, hub_fp, auth_fp).
+   */
+  def hitsFixed(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      iterations: Int = 3, scale: Long = 1000000000L,
+      checkpointInterval: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in 1..100, got $iterations")
+    require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+
+    def normalized(raw: DataFrame): DataFrame = {
+      // integer max-normalization: divisor (max div scale)+1 caps scores at
+      // scale without the scale× multiply that would overflow a long
+      val m = raw.agg(max(col("graft_raw")).as("graft_max"))
+      nodes.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("id"),
+          expr("coalesce(graft_raw, 0L) div (graft_max div " + scale + "L + 1L)")
+            .as("graft_score"))
+    }
+
+    var hubs = nodes.select(col("id"), lit(scale).as("graft_score"))
+    var auths: DataFrame = null
+    var iter = 1
+    while (iter <= iterations) {
+      val authRaw = e.join(hubs.withColumnRenamed("id", "graft_hid"),
+          col("src") === col("graft_hid"))
+        .groupBy(col("dst").as("id")).agg(sum(col("graft_score")).as("graft_raw"))
+      auths = normalized(authRaw)
+      val hubRaw = e.join(auths.withColumnRenamed("id", "graft_aid"),
+          col("dst") === col("graft_aid"))
+        .groupBy(col("src").as("id")).agg(sum(col("graft_score")).as("graft_raw"))
+      hubs = normalized(hubRaw)
+      if (iter % checkpointInterval == 0 && iter < iterations) {
+        hubs = hubs.localCheckpoint(true)
+        auths = auths.localCheckpoint(true)
+      }
+      iter += 1
+    }
+    hubs.withColumnRenamed("graft_score", "hub_fp")
+      .join(auths.withColumnRenamed("graft_score", "auth_fp"), Seq("id"))
+      .select(col("id"), col("hub_fp"), col("auth_fp"))
+  }
+
   /** (src_host, dst_host) edges from raw crawl pages: the page's own host
    * ([[Text.urlHost]] of `urlCol`) → the host of every outlink the REAL
    * parser finds in `htmlCol` ([[Text.htmlLinks]] — script/comment decoys
