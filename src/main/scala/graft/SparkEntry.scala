@@ -468,6 +468,20 @@ object SparkEntry {
           count(lit(1)).as("rows"),
           sum(when(col("value") >= 0, 1L).otherwise(0L)).as("passed"))
     }),
+    "q_cdc_dedup" -> ((s, dir) => {
+      // storage-level dedup: every 10th doc gets a prefix-shifted twin;
+      // content-defined boundaries resynchronize after the insertion so
+      // the pair shares most chunks (fixed blocks would share none) —
+      // rows-only (gear rolling hash is not SQL-expressible; CdcSpec pins
+      // tiling, clamps, resync and determinism)
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id"), col("text").cast("binary").as("data"))
+        .unionAll(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("PREFIX-SHIFT-"), col("text")).cast("binary").as("data")))
+      graft.pipeline.Cdc.sharedPairs(corpus, col("doc_id"), col("data"),
+        minShared = 2, minSize = 16, avgBits = 6, maxSize = 256)
+    }),
     "q_bitext_align" -> ((s, dir) => {
       // Gale-Church beads over planted bitext: each doc aligned against a
       // twin with every 5th sentence dropped — rows-only (the DP is not
