@@ -197,16 +197,23 @@ object Curation {
    * never a per-key sort or window over the corpus — with the weighted
    * clock as the ordinal.
    */
-  def weightedSamplePerKey(
-      df: DataFrame, keyCol: Column, idCol: Column, weightCol: Column,
-      k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
+  /** The A-ES exponential clock shared by the batch and streaming faces:
+   * content-addressed u in (0,1] from the id's md5, clock = −ln(u)/w —
+   * smallest k clocks ARE the weighted sample without replacement. */
+  private[graft] def samplingClock(idCol: Column, weightCol: Column): Column = {
     // u in (0, 1]: the +1 keeps ln away from 0 (u = 0 would give clock
     // +inf deterministically, but -ln(0) is engine-dependent noise)
     val u = (conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("double") + 1.0) / 4294967296.0
+    -log(u) / weightCol.cast("double")
+  }
+
+  def weightedSamplePerKey(
+      df: DataFrame, keyCol: Column, idCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
     val w = weightCol.cast("double")
-    val clock = -log(u) / w
+    val clock = samplingClock(idCol, weightCol)
     // NaN weights must be barred explicitly: NaN compares GREATER than
     // every number in Spark's ordering, so a NaN clock would win sample
     // slots instead of being excluded
