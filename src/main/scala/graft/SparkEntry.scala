@@ -501,6 +501,13 @@ object SparkEntry {
       graft.pipeline.Bitext.galeChurchAlign(pairs,
         col("doc_id"), col("sa"), col("sb"))
     }),
+    "q_quantile_normalize" -> ((s, dir) =>
+      // cross-domain score calibration: per-lang percent-rank of n_chars
+      // in exact ppm (one group-partitioned window)
+      graft.pipeline.Curation.quantileNormalize(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          col("lang"), col("n_chars"), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pct_ppm"))),
     "q_event_funnel" -> ((s, dir) =>
       // ordered user-journey funnel with a 3-day window: strict
       // view -> click -> signup -> purchase chains, earliest-chain
@@ -2781,6 +2788,15 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_quantile_normalize" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN n = 1 THEN 0
+        |       ELSE (r - 1) * 1000000 // (n - 1) END AS pct_ppm
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM documents)""".stripMargin,
     "q_event_funnel" ->
       """WITH ev AS (SELECT user_id AS u, event_type AS t, epoch(ts) AS s FROM events),
         |c0 AS (SELECT u, min(s) AS t0 FROM ev WHERE t = 'view' GROUP BY u),

@@ -1148,6 +1148,31 @@ object Curation {
   }
 
   /**
+   * Per-group quantile normalization — make scores COMPARABLE ACROSS
+   * GROUPS before mixing them (a 0.8 LM score means different things for
+   * `en` web text and `ja` forum text; its within-group percentile means
+   * one thing). Adds `<name>` = exact percent-rank in ppm: floor((rank−1)
+   * × 10⁶ / (n−1)) with rank = row_number ordered by (score, tiebreak) —
+   * all integers, 0 for a group's minimum, 10⁶ for its maximum, 0 for
+   * singleton groups. ONE window partitioned BY GROUP (never global) —
+   * the group count rides the same partition as an unbounded frame, so
+   * the whole transform is a single exchange.
+   */
+  def quantileNormalize(
+      df: DataFrame, keyCol: Column, scoreCol: Column, tieCol: Column,
+      name: String = "pct_ppm"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(keyCol).orderBy(scoreCol.asc, tieCol.asc)
+    val wAll = Window.partitionBy(keyCol)
+    df.withColumn("graft_qn_r", row_number().over(wOrd).cast("long"))
+      .withColumn("graft_qn_n", count(lit(1)).over(wAll))
+      .withColumn(name,
+        when(col("graft_qn_n") === 1L, lit(0L)).otherwise(
+          expr("(graft_qn_r - 1L) * 1000000L div (graft_qn_n - 1L)")))
+      .drop("graft_qn_n", "graft_qn_r")
+  }
+
+  /**
    * Ordered-sequence event funnel — the OTHER funnel: [[retentionFunnel]]
    * prices pipeline gates, this one prices user journeys (view → click →
    * signup → purchase): a user converts step i when some step-i event
