@@ -1109,6 +1109,16 @@ object SparkEntry {
           e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "q_ann_multiprobe" -> ((s, dir) => {
+      // rows-only: multi-probe query-side expansion at HALF the tables of
+      // q_ann_lsh (the economics of the trade — corpus cost down, recall
+      // held up by probing); recall ordering spec'd in MultiprobeSpec
+      val e = embeddings(s, dir)
+      graft.pipeline.Similarity.lshTopKMultiprobe(
+          e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3,
+          tables = 4, nProbe = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "q_ann_sq" -> ((s, dir) => {
       // SQ8 top-k: train per-dim ranges on the corpus, search the encoded
       // (1 byte/dim) corpus with dequantized cosine; the oracle replicates

@@ -164,6 +164,47 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /**
+   * Multi-probe LSH top-k (Lv et al., VLDB'07): the QUERY probes, per
+   * table, its own bucket plus the `nProbe−1` buckets across its
+   * lowest-|margin| hyperplanes — where a just-missed neighbor most
+   * plausibly landed. Recall rises like adding tables but the CORPUS side
+   * is unchanged (still one bucket per table): probing multiplies only the
+   * tiny query frame, which at web scale is the whole economics of the
+   * trade. Exact-cosine rerank within candidates, same contract as
+   * [[lshTopK]]. With nProbe = 2^nPlanes every bucket of every table is
+   * probed and the result equals brute force (spec-pinned).
+   */
+  def lshTopKMultiprobe(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, dim: Int = 64, tables: Int = 8, nProbe: Int = 4,
+      broadcastQueries: Boolean = true,
+      maxBroadcastQueries: Int = MaxBroadcastQueries): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    if (broadcastQueries) requireBroadcastable(queries, maxBroadcastQueries, "lshTopKMultiprobe")
+    import org.apache.spark.sql.graft.Bridge
+    val m = HyperplaneMatrix(
+      (0 until tables).map(t => planes(nPlanes, dim, 42L + t * 1000L)).toArray)
+    val cb = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        posexplode(Bridge.column(HyperplaneSignaturesExpression(
+          Bridge.expression(col(vecCol)), m))).as(Seq("table", "bucket")))
+    val qbBase = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(Bridge.column(HyperplaneMultiprobeExpression(
+          Bridge.expression(col(vecCol)), m, nProbe))).as(Seq("table", "graft_probes")))
+      .select(col("query_id"), col("qv"), col("table"),
+        explode(col("graft_probes")).as("bucket"))
+    val qb = if (broadcastQueries) broadcast(qbBase) else qbBase
+    val scored = qb.join(cb, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .where(!isnan(col("sim")))
+      .distinct()
+    topKPerQuery(scored, k)
+  }
+
   // ---------------------------------------------------------------- IVF ANN
 
   /** cid of the best (highest-sim, lowest-cid on ties) centroid — a single
@@ -634,6 +675,108 @@ object HyperplaneAlgos {
     }
     new GenericArrayData(out)
   }
+
+  /** Multi-probe buckets (Lv et al., VLDB'07): per table, the base
+   * signature plus the buckets reached by flipping PERTURBATION SETS of
+   * sign bits in nondecreasing total |margin| — the buckets a just-missed
+   * neighbor most plausibly fell into. Sets are enumerated best-first with
+   * the paper's shift/expand heap over margins sorted ascending, so with
+   * nProbe = 2^planes every bucket is eventually probed (exactness
+   * limit). Returns array<array<long>>: up to `nProbe` buckets per table,
+   * first entry always the base signature; ties in margin sums break by
+   * the flip pattern for full determinism. Malformed vectors keep the
+   * all-zero single-bucket behavior of [[signatures]]. */
+  def multiprobe(vec: ArrayData, m: HyperplaneMatrix, isFloat: Boolean,
+      nProbe: Int): ArrayData = {
+    val n = vec.numElements()
+    val dim = m.tables(0)(0).length
+    var malformed = n != dim
+    var e = 0
+    while (!malformed && e < n) { if (vec.isNullAt(e)) malformed = true; e += 1 }
+    if (malformed)
+      return new GenericArrayData(
+        Array.fill(m.tables.length)(new GenericArrayData(Array(0L)): AnyRef))
+    val out = new Array[AnyRef](m.tables.length)
+    var t = 0
+    while (t < m.tables.length) {
+      val ps = m.tables(t)
+      val dots = new Array[Double](ps.length)
+      var sig = 0L
+      var i = 0
+      while (i < ps.length) {
+        val p = ps(i)
+        var dot = 0.0
+        var j = 0
+        if (isFloat)
+          while (j < dim) { dot += vec.getFloat(j) * p(j); j += 1 }
+        else
+          while (j < dim) { dot += vec.getDouble(j) * p(j); j += 1 }
+        dots(i) = dot
+        if (dot >= 0) sig |= (1L << i)
+        i += 1
+      }
+      // margins ascending; a perturbation set is a set of POSITIONS in
+      // this order, flipped via its bitmask over original plane indices
+      val order = Array.range(0, ps.length).sortBy(i => (math.abs(dots(i)), i))
+      val margin = order.map(i => math.abs(dots(i)))
+      val probes = scala.collection.mutable.ArrayBuffer(sig)
+      // best-first over (score, positions-mask): seed {0}; shift moves the
+      // highest position up, expand adds the next position — the classic
+      // enumeration that yields sets in nondecreasing score
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))
+      def score(mask: Long): Double = {
+        var s = 0.0
+        var b = 0
+        while (b < ps.length) { if ((mask & (1L << b)) != 0) s += margin(b); b += 1 }
+        s
+      }
+      if (ps.length > 0) { pq.enqueue((margin(0), 1L)); seen += 1L }
+      while (probes.length < nProbe && pq.nonEmpty) {
+        val (_, mask) = pq.dequeue()
+        var flip = sig
+        var b = 0
+        while (b < ps.length) {
+          if ((mask & (1L << b)) != 0) flip ^= (1L << order(b)); b += 1
+        }
+        probes += flip
+        val hi = 63 - java.lang.Long.numberOfLeadingZeros(mask)
+        if (hi + 1 < ps.length) {
+          val shifted = (mask ^ (1L << hi)) | (1L << (hi + 1))
+          if (seen.add(shifted)) pq.enqueue((score(shifted), shifted))
+          val expanded = mask | (1L << (hi + 1))
+          if (seen.add(expanded)) pq.enqueue((score(expanded), expanded))
+        }
+      }
+      out(t) = new GenericArrayData(probes.toArray)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Multi-probe bucket lists per table, one codegen'd static call. */
+case class HyperplaneMultiprobeExpression(child: Expression, m: HyperplaneMatrix,
+    nProbe: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneAlgos.multiprobe(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m, isFloat, nProbe)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val mRef = ctx.addReferenceObj("graftHyperplanes", m, "graft.pipeline.HyperplaneMatrix")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.HyperplaneAlgos.multiprobe($c, $mRef, $isFloat, $nProbe);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** All per-table LSH signatures as one codegen'd static call per row. */
