@@ -556,6 +556,15 @@ object SparkEntry {
           rightPrefix = "view_")
         .select(col("event_id"), col("view_value"))
     }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD2 dimension from the event log: per-user state history with
+      // no-change collapse and duplicate-instant dedup — the oracle
+      // replays the full window pipeline
+      val log = events(s, dir).select(col("user_id").as("id"),
+        col("event_type").as("state"),
+        expr("unix_micros(ts) div 1000000L").as("ts"))
+      graft.operators.Scd.fromChangeLog(log, Seq("id"), "ts")
+    }),
     "q_asof_forward" -> ((s, dir) => {
       // recovery attribution: each error gets the next view's value per
       // user (earliest at-or-after) — the forward mirror, same one-shuffle
@@ -2899,6 +2908,28 @@ object SparkEntry {
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "q_scd2" ->
+      """WITH log AS (
+        |  SELECT user_id AS id, event_type AS state,
+        |         epoch_us(ts) // 1000000 AS ts
+        |  FROM events
+        |), d AS (
+        |  SELECT id, state, ts FROM (
+        |    SELECT id, state, ts,
+        |           row_number() OVER (PARTITION BY id, ts ORDER BY state DESC) AS rn
+        |    FROM log) WHERE rn = 1
+        |), o AS (
+        |  SELECT id, state, ts,
+        |         lag(state) OVER (PARTITION BY id ORDER BY ts) AS prev
+        |  FROM d
+        |), v AS (
+        |  SELECT id, state, ts AS valid_from FROM o
+        |  WHERE prev IS NULL OR prev <> state
+        |)
+        |SELECT id, state, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY id ORDER BY valid_from) AS valid_to,
+        |       lead(valid_from) OVER (PARTITION BY id ORDER BY valid_from) IS NULL AS is_current
+        |FROM v""".stripMargin,
     "q_asof_forward" ->
       """SELECT e.event_id, v.value AS next_value
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
