@@ -501,6 +501,12 @@ object SparkEntry {
       graft.pipeline.Bitext.galeChurchAlign(pairs,
         col("doc_id"), col("sa"), col("sb"))
     }),
+    "q_stopword_candidates" -> ((s, dir) =>
+      // data-driven per-lang stopword mining: terms in >= 30% of the
+      // language's docs, top 40 by document frequency
+      graft.pipeline.Curation.stopwordCandidates(docs(s, dir),
+        col("doc_id"), col("text"), col("lang"),
+        minDfPpm = 300000L, maxTerms = 40)),
     "q_quantile_normalize" -> ((s, dir) =>
       // cross-domain score calibration: per-lang percent-rank of n_chars
       // in exact ppm (one group-partitioned window)
@@ -2807,6 +2813,26 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stopword_candidates" ->
+      """WITH totals AS (
+        |  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS lang_docs
+        |  FROM documents GROUP BY lang
+        |), terms AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        |    SELECT lang, doc_id, unnest(list_distinct(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'))) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY lang, term
+        |), ranked AS (
+        |  SELECT t.lang, t.term, t.n_docs, x.lang_docs,
+        |         t.n_docs * 1000000 // x.lang_docs AS df_ppm
+        |  FROM terms t JOIN totals x USING (lang)
+        |  WHERE t.n_docs * 1000000 // x.lang_docs >= 300000
+        |)
+        |SELECT lang, term, n_docs, lang_docs, df_ppm FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY df_ppm DESC, term) AS rk
+        |  FROM ranked) WHERE rk <= 40""".stripMargin,
     "q_quantile_normalize" ->
       """SELECT doc_id, lang,
         |  CASE WHEN n = 1 THEN 0

@@ -1148,6 +1148,40 @@ object Curation {
   }
 
   /**
+   * Corpus-derived stopword candidates — the data-driven version of the
+   * hand lists the language-ID and retrieval tiers consume: per language,
+   * the terms appearing in at least `minDfPpm` of documents (document
+   * frequency, not raw counts — a term spamming one doc isn't a
+   * stopword), top `maxTerms` by df. One distinct-token explode, one
+   * (lang, term) count, per-lang totals broadcast back, one
+   * lang-partitioned rank window over the candidates only. Output:
+   * (lang, term, n_docs, lang_docs, df_ppm), exact integers.
+   */
+  def stopwordCandidates(
+      df: DataFrame, idCol: Column, textCol: Column, langCol: Column,
+      minDfPpm: Long = 300000L, maxTerms: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minDfPpm > 0 && minDfPpm <= 1000000L, "minDfPpm must be in (0, 1e6]")
+    require(maxTerms >= 1, "maxTerms must be positive")
+    val base = df.select(langCol.as("lang"), idCol.as("graft_id"), textCol.as("graft_t"))
+    val totals = base.groupBy(col("lang"))
+      .agg(countDistinct(col("graft_id")).as("lang_docs"))
+    val terms = base.select(col("lang"), col("graft_id"),
+        explode(array_distinct(split(trim(lower(col("graft_t"))), "\\s+"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_docs"))
+    val ranked = terms.join(broadcast(totals), "lang")
+      .withColumn("df_ppm", expr("n_docs * 1000000L div lang_docs"))
+      .where(col("df_ppm") >= minDfPpm)
+      .withColumn("graft_rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("df_ppm").desc, col("term").asc)))
+      .where(col("graft_rk") <= maxTerms).drop("graft_rk")
+    ranked.select(col("lang"), col("term"), col("n_docs"),
+      col("lang_docs"), col("df_ppm"))
+  }
+
+  /**
    * Per-group quantile normalization — make scores COMPARABLE ACROSS
    * GROUPS before mixing them (a 0.8 LM score means different things for
    * `en` web text and `ja` forum text; its within-group percentile means

@@ -197,6 +197,38 @@ object Layout {
    * the sidecar keep their recorded envelope (parquet files are
    * immutable), so an append pays one footer read per NEW file, not per
    * table file — O(batch), like the data write itself. */
+  /**
+   * Small-file health report — the ops question every parquet table
+   * eventually asks ("is this table fragmented enough that listing and
+   * footer overhead dominate?"), answered from FS METADATA only (one
+   * directory listing, no file opened): file count, byte totals and
+   * extremes, how many files sit under half the target size, and the
+   * recommended [[zorderCompact]] file count `ceil(total / target)`.
+   * Driver-bounded by the file count — the same class as the footer
+   * harvest, an audit artifact, not a data path.
+   */
+  def fileReport(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+    import spark.implicits._
+    val nSmall = sizes.count(_ < targetFileBytes / 2)
+    val total = sizes.sum
+    Seq((sizes.size.toLong, total,
+      if (sizes.isEmpty) 0L else sizes.min,
+      if (sizes.isEmpty) 0L else sizes.max,
+      nSmall.toLong,
+      math.max(1L, (total + targetFileBytes - 1) / targetFileBytes),
+      if (total == 0L) 0L
+      else sizes.filter(_ < targetFileBytes / 2).sum * 1000000L / total))
+      .toDF("n_files", "total_bytes", "min_file_bytes", "max_file_bytes",
+        "n_small_files", "recommended_files", "fragmented_ppm")
+  }
+
   private def writeFileStats(spark: SparkSession, path: String,
       cols: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -359,6 +359,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).where(col("rid") === 99999L).count() === 0L)
   }
 
+  test("fileReport prices fragmentation and its fix") {
+    val df = spark.range(5000).select(col("id").cast("double").as("x"),
+      (col("id") % 7).cast("double").as("y"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zfrag").toString
+    Layout.zorderWrite(df, Seq("x", "y"), out, numFiles = 20)
+    val r = Layout.fileReport(spark, out, targetFileBytes = 512 * 1024).collect().head
+    assert(r.getLong(0) === 20L)                      // n_files
+    assert(r.getLong(4) === 20L)                      // all far below 256 KiB
+    assert(r.getLong(5) === 1L)                       // one file would do
+    assert(r.getLong(6) === 1000000L)                 // fully fragmented
+    Layout.zorderCompact(spark, out, numFiles = r.getLong(5).toInt)
+    val after = Layout.fileReport(spark, out, targetFileBytes = 512 * 1024)
+      .collect().head
+    assert(after.getLong(0) === 1L)
+    assert(spark.read.parquet(out).count() === 5000L)
+  }
+
   test("codegen: evaluates with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
