@@ -501,6 +501,13 @@ object SparkEntry {
       graft.pipeline.Bitext.galeChurchAlign(pairs,
         col("doc_id"), col("sa"), col("sb"))
     }),
+    "q_session_paths" -> ((s, dir) =>
+      // common user journeys: 30-minute gap sessions, ordered event-type
+      // paths, top 25 — ties at one second break by type
+      graft.pipeline.Curation.topSessionPaths(
+        events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts) div 1000000L").as("tsec"), col("event_type")),
+        "user_id", "tsec", "event_type", maxGap = 1800L, k = 25)),
     "q_stopword_candidates" -> ((s, dir) =>
       // data-driven per-lang stopword mining: terms in >= 30% of the
       // language's docs, top 40 by document frequency
@@ -2813,6 +2820,31 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |       count(*) AS rows, CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS passed
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, epoch_us(ts) // 1000000 AS tsec, event_type AS t
+        |  FROM events
+        |), b AS (
+        |  SELECT u, tsec, t,
+        |    CASE WHEN tsec - lag(tsec) OVER (PARTITION BY u ORDER BY tsec) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev
+        |), s AS (
+        |  SELECT u, tsec, t,
+        |    sum(brk) OVER (PARTITION BY u ORDER BY tsec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM b
+        |), p AS (
+        |  SELECT CASE WHEN len(l) > 12
+        |              THEN array_to_string(l[1:12], '>') || '>…'
+        |              ELSE array_to_string(l, '>') END AS path
+        |  FROM (SELECT u, seq, list(t ORDER BY tsec, t) AS l FROM s GROUP BY u, seq)
+        |), c AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path
+        |)
+        |SELECT path, n_sessions,
+        |       CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank
+        |FROM c ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
     "q_stopword_candidates" ->
       """WITH totals AS (
         |  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS lang_docs

@@ -1148,6 +1148,40 @@ object Curation {
   }
 
   /**
+   * Top session paths — the "how do users actually move" report: gap
+   * sessionize ([[graft.operators.Sessionize.addSessions]]), render each
+   * session's ordered event-type sequence as a path string (ties at one
+   * timestamp ordered by type for determinism), count identical paths,
+   * top k. Paths are truncated at `maxSteps` events with a `…` suffix so
+   * a pathological million-event session cannot produce an unbounded
+   * group key. One sessionize window + one path aggregation + the
+   * bounded top-k.
+   */
+  def topSessionPaths(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      maxGap: Long, k: Int = 20, maxSteps: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && maxSteps >= 1, "k and maxSteps must be positive")
+    val sess = graft.operators.Sessionize.addSessions(df, keyCol, tsCol, maxGap)
+    val paths = sess
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("graft_ts"),
+        col(typeCol).cast("string").as("graft_t")))).as("graft_evs"))
+      .select(
+        when(size(col("graft_evs")) > maxSteps,
+          concat(array_join(transform(slice(col("graft_evs"), 1, maxSteps),
+            e => e.getField("graft_t")), ">"), lit(">…")))
+        .otherwise(array_join(transform(col("graft_evs"),
+          e => e.getField("graft_t")), ">")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    // TakeOrderedAndProject, never a global window over all paths; the
+    // rank window then runs over <= k rows
+    paths.orderBy(col("n_sessions").desc, col("path").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)))
+  }
+
+  /**
    * Corpus-derived stopword candidates — the data-driven version of the
    * hand lists the language-ID and retrieval tiers consume: per language,
    * the terms appearing in at least `minDfPpm` of documents (document
