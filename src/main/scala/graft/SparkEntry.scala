@@ -241,6 +241,13 @@ object SparkEntry {
       // planted duplicate keys: doc_id % 450 collides for the top 50 ids
       graft.rules.DatasetChecks.uniquenessReport(
         docs(s, dir), col("doc_id") % 450)),
+    "q_dq_benford" -> ((s, dir) =>
+      // forensic first-digit conformity over order totals (organically
+      // grown amounts): per digit observed vs Benford expectation, exact
+      // ppm; the 9 expected constants are Java Math.log10 floors inlined
+      // in the oracle so libm differences can't flip a floor
+      graft.rules.DatasetChecks.benfordReport(
+        orders(s, dir), col("o_totalprice"))),
     "q_dq_suggest" -> ((s, dir) =>
       // profile-and-propose over the documents table: the suggested suite
       // (not_null / unique / in_set / range / max_length / non_negative)
@@ -1122,6 +1129,18 @@ object SparkEntry {
       val e = embeddings(s, dir)
       graft.pipeline.Similarity.bruteForceTopK(
           e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }),
+    "q_ann_matryoshka" -> ((s, dir) => {
+      // truncated-dimension search: first 16 of the embedding dims,
+      // re-normalized (ordering-invariant), exact top-3 — the oracle
+      // ranks by cosine over the same 16-dim slices
+      val e = embeddings(s, dir)
+      val te = e.select(col("vec_id"),
+        graft.pipeline.Similarity.truncateNormalize(col("embedding"), 16)
+          .as("embedding"))
+      graft.pipeline.Similarity.bruteForceTopK(
+          te, te.where(col("vec_id") < 10), "vec_id", "embedding", 3)
         .select(col("query_id"), col("neighbor_id"))
     }),
     "q_ann_lsh" -> ((s, dir) => {
@@ -2579,6 +2598,23 @@ object SparkEntry {
         |         // NULLIF(CAST(count(*) AS BIGINT), 0) AS violation_ppm,
         |       CAST(max(v) AS BIGINT) AS max_variants
         |FROM g""".stripMargin,
+    "q_dq_benford" ->
+      """WITH exp AS (
+        |  SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |    (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |    (9, 45757)) AS t(digit, expected_ppm)
+        |), obs AS (
+        |  SELECT CAST(floor(v / pow(10.0, floor(log10(v)))) AS INT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT abs(CAST(o_totalprice AS DOUBLE)) AS v FROM orders)
+        |  WHERE v IS NOT NULL AND NOT isnan(v) AND v > 0 GROUP BY 1
+        |), tot AS (SELECT sum(n) AS t FROM obs)
+        |SELECT e.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+        |       CAST(COALESCE(o.n, 0) * 1000000 // nullif(tot.t, 0) AS BIGINT) AS observed_ppm,
+        |       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |       CAST(abs(COALESCE(o.n, 0) * 1000000 // nullif(tot.t, 0)
+        |         - e.expected_ppm) AS BIGINT) AS deviation_ppm
+        |FROM exp e LEFT JOIN obs o USING (digit), tot""".stripMargin,
     // same profile stats, same rounding (ppm ceilinged to the next 10000),
     // same sorted-and-quoted value sets
     "q_dq_suggest" ->
@@ -3606,6 +3642,14 @@ object SparkEntry {
         |       (ed[cid + 1] / sqrt(list_sum(list_transform(ed, x -> x * x)))) < 0.18 AS is_outlier
         |FROM a""".stripMargin,
     "q_ann_bruteforce" -> BruteTopKSql,
+    "q_ann_matryoshka" ->
+      """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |FROM embeddings q, embeddings n
+        |WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.embedding[1:16], n.embedding[1:16]) DESC,
+        |           n.vec_id) <= 3""".stripMargin,
     "q_ann_sq" -> SqTopKSql,
     "q_ann_eval" -> AnnEvalSql,
     "q_curate" ->

@@ -205,6 +205,22 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /**
+   * Matryoshka-style truncation: keep the first `d` dimensions and
+   * re-normalize to unit length — the cheap-search face of MRL-trained
+   * embeddings (the leading dims carry the coarse structure, so searching
+   * 16 of 64 dims costs ¼ the flops and the re-norm keeps downstream dot
+   * products calibrated; cosine ORDERING is unchanged by the re-norm, so
+   * truncated search composes with every top-k path here). All-zero
+   * truncations pass through un-normalized rather than dividing by zero.
+   */
+  def truncateNormalize(vec: Column, d: Int): Column = {
+    require(d >= 1, s"d must be positive, got $d")
+    val t = transform(slice(vec, 1, d), x => x.cast("double"))
+    val norm = sqrt(aggregate(t, lit(0.0), (a, x) => a + x * x))
+    when(norm > 0.0, transform(t, x => x / norm)).otherwise(t)
+  }
+
   // ---------------------------------------------------------------- IVF ANN
 
   /** cid of the best (highest-sim, lowest-cid on ties) centroid — a single

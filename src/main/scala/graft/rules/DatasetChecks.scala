@@ -137,4 +137,41 @@ object DatasetChecks {
       .select(col("column"), col("graft_rows").as("rows"), col("nulls"),
         expr("nulls * 1000000L div nullif(graft_rows, 0L)").as("null_ppm"))
   }
+
+  /** Expected Benford first-digit shares in ppm: floor(log10(1 + 1/d)·10⁶). */
+  private val benfordPpm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong).toMap
+
+  /**
+   * Benford's-law conformity — the forensic DQ check for "organically
+   * grown" numeric columns (amounts, populations, trade sizes): their
+   * first significant digits should follow P(d) = log₁₀(1 + 1/d), and a
+   * fabricated or truncated column visibly doesn't. One aggregate over
+   * the first significant digit of |value| (zeros/NaN/null excluded,
+   * magnitude-independent); per digit: observed count, observed ppm, the
+   * Benford expectation, and |obs − exp| in ppm; total_deviation_ppm =
+   * Σ|obs − exp| is the scale-free statistic to gate on (uniform digits
+   * score ~584,000; conforming data near 0). Everything exact integers
+   * over one pass — no window, no collect.
+   */
+  def benfordReport(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = abs(valueCol.cast("double"))
+    // first significant digit: shift |v| into [1, 10) by its own log10
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val counted = df
+      .where(v.isNotNull && !isnan(v) && v > 0.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = df.sparkSession.createDataFrame(
+      benfordPpm.toSeq.sortBy(_._1).map { case (d, p) => (d, p) })
+      .toDF("digit", "expected_ppm")
+    val total = counted.agg(sum(col("n")).as("graft_tot"))
+    counted.join(broadcast(expected), Seq("digit"), "right")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0L) * 1000000L div nullif(graft_tot, 0L)").as("observed_ppm"),
+        col("expected_ppm"))
+      .withColumn("deviation_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+  }
 }
