@@ -60,7 +60,11 @@ object Soak {
     "q_tfidf", "q_top_ngrams",
     // ANN family
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_sq", "q_ann_ivfsq",
-    "q_ann_ivfpq", "q_ann_eval",
+    "q_ann_ivfpq", "q_ann_eval", "q_ann_multiprobe",
+    // r12 additions: segment-blocked fuzzy joins, the cluster-keyed split
+    // (a full nearDupClusters pass), CDC chunk join, HITS
+    "q_fuzzy_join", "q_fuzzy_crosscorpus", "q_leakage_split", "q_cdc_dedup",
+    "q_hits",
     // layout
     "q_zorder")
 

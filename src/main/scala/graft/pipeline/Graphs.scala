@@ -188,47 +188,55 @@ object Graphs {
    */
   def hitsFixed(
       edges: DataFrame, srcCol: Column, dstCol: Column,
-      iterations: Int = 3, scale: Long = 1000000000L,
-      checkpointInterval: Int = 2): DataFrame = {
+      iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in 1..100, got $iterations")
     require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
     val e = edges.select(srcCol.as("src"), dstCol.as("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
 
+    // Zero scores contribute nothing to either half-step sum, so the
+    // ITERATION frames carry only nodes with a nonzero raw sum — the full
+    // node universe (with its zeros) joins back once at the END. Saves a
+    // node-universe left-join per half-step and the eager materialization
+    // of the node set.
     def normalized(raw: DataFrame): DataFrame = {
       // integer max-normalization: divisor (max div scale)+1 caps scores at
       // scale without the scale× multiply that would overflow a long
       val m = raw.agg(max(col("graft_raw")).as("graft_max"))
-      nodes.join(raw, Seq("id"), "left")
-        .crossJoin(broadcast(m))
+      raw.crossJoin(broadcast(m))
         .select(col("id"),
-          expr("coalesce(graft_raw, 0L) div (graft_max div " + scale + "L + 1L)")
+          expr("graft_raw div (graft_max div " + scale + "L + 1L)")
             .as("graft_score"))
     }
 
-    var hubs = nodes.select(col("id"), lit(scale).as("graft_score"))
+    var hubs = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(scale).as("graft_score"))
     var auths: DataFrame = null
     var iter = 1
     while (iter <= iterations) {
       val authRaw = e.join(hubs.withColumnRenamed("id", "graft_hid"),
           col("src") === col("graft_hid"))
         .groupBy(col("dst").as("id")).agg(sum(col("graft_score")).as("graft_raw"))
+      // hubs close each iteration CHECKPOINTED: every frame is referenced
+      // twice downstream (max-agg normalizer + next half-step / final
+      // join), and without a cut the recompute factor grows 4× per
+      // iteration. With hubs materialized, the un-checkpointed auths
+      // recompute is one shallow pass over checkpointed inputs — bounded,
+      // while paying only ONE eager job per iteration
       auths = normalized(authRaw)
       val hubRaw = e.join(auths.withColumnRenamed("id", "graft_aid"),
           col("dst") === col("graft_aid"))
         .groupBy(col("src").as("id")).agg(sum(col("graft_score")).as("graft_raw"))
-      hubs = normalized(hubRaw)
-      if (iter % checkpointInterval == 0 && iter < iterations) {
-        hubs = hubs.localCheckpoint(true)
-        auths = auths.localCheckpoint(true)
-      }
+      hubs = normalized(hubRaw).localCheckpoint(true)
       iter += 1
     }
-    hubs.withColumnRenamed("graft_score", "hub_fp")
-      .join(auths.withColumnRenamed("graft_score", "auth_fp"), Seq("id"))
-      .select(col("id"), col("hub_fp"), col("auth_fp"))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    nodes
+      .join(hubs.withColumnRenamed("graft_score", "hub_fp"), Seq("id"), "left")
+      .join(auths.withColumnRenamed("graft_score", "auth_fp"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+        coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
   }
 
   /** (src_host, dst_host) edges from raw crawl pages: the page's own host
