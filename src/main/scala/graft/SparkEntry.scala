@@ -241,6 +241,18 @@ object SparkEntry {
       // planted duplicate keys: doc_id % 450 collides for the top 50 ids
       graft.rules.DatasetChecks.uniquenessReport(
         docs(s, dir), col("doc_id") % 450)),
+    "q_dq_value_drift" -> ((s, dir) => {
+      // release-to-release column drill-in: the "new" snapshot mutates
+      // lang for doc_id%7, nulls source for doc_id%11, keeps text
+      val d = docs(s, dir)
+      val newer = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("source")).as("source"),
+        col("text"))
+      graft.rules.DatasetChecks.valueDrift(
+        d.select("doc_id", "lang", "source", "text"), newer, Seq("doc_id"))
+    }),
     "q_dq_benford" -> ((s, dir) =>
       // forensic first-digit conformity over order totals (organically
       // grown amounts): per digit observed vs Benford expectation, exact
@@ -2598,6 +2610,30 @@ object SparkEntry {
         |         // NULLIF(CAST(count(*) AS BIGINT), 0) AS violation_ppm,
         |       CAST(max(v) AS BIGINT) AS max_variants
         |FROM g""".stripMargin,
+    "q_dq_value_drift" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source,
+        |    text
+        |  FROM documents
+        |), j AS (
+        |  SELECT o.lang AS ol, n.lang AS nl, o.source AS os, n.source AS ns,
+        |         o.text AS ot, n.text AS nt
+        |  FROM documents o JOIN n USING (doc_id)
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rows,
+        |    CAST(count(CASE WHEN ol IS DISTINCT FROM nl THEN 1 END) AS BIGINT) AS c_lang,
+        |    CAST(count(CASE WHEN os IS DISTINCT FROM ns THEN 1 END) AS BIGINT) AS c_source,
+        |    CAST(count(CASE WHEN ot IS DISTINCT FROM nt THEN 1 END) AS BIGINT) AS c_text
+        |  FROM j
+        |)
+        |SELECT 'lang' AS column, rows AS matched_rows, c_lang AS changed,
+        |       c_lang * 1000000 // nullif(rows, 0) AS changed_ppm FROM c
+        |UNION ALL SELECT 'source', rows, c_source,
+        |       c_source * 1000000 // nullif(rows, 0) FROM c
+        |UNION ALL SELECT 'text', rows, c_text,
+        |       c_text * 1000000 // nullif(rows, 0) FROM c""".stripMargin,
     "q_dq_benford" ->
       """WITH exp AS (
         |  SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),

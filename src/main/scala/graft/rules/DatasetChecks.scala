@@ -138,6 +138,40 @@ object DatasetChecks {
         expr("nulls * 1000000L div nullif(graft_rows, 0L)").as("null_ppm"))
   }
 
+  /**
+   * Column-level change report between two keyed snapshots — the drill-in
+   * after [[schemaDiff]] (what columns exist) and
+   * [[graft.pipeline.Curation.corpusDiff]] (which rows appeared/vanished):
+   * for rows present in BOTH snapshots, how many changed PER COLUMN.
+   * Null-safe equality (`<=>`): null→value and value→null both count as
+   * changes, null→null doesn't. One inner join on the key + one combining
+   * aggregate + a stack to rows. Output per compared column:
+   * (column, matched_rows, changed, changed_ppm).
+   */
+  def valueDrift(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "valueDrift needs at least one key column")
+    val compared = oldDf.columns.filterNot(keyCols.contains)
+      .filter(newDf.columns.contains).toSeq
+    require(compared.nonEmpty, "no shared non-key columns to compare")
+    val o = oldDf.select((keyCols ++ compared).map(c => col(c).as(s"graft_o_$c")): _*)
+    val n = newDf.select((keyCols ++ compared).map(c => col(c).as(s"graft_n_$c")): _*)
+    val joined = o.join(n,
+      keyCols.map(k => col(s"graft_o_$k") === col(s"graft_n_$k")).reduce(_ && _))
+    val aggs = count(lit(1)).as("graft_rows") +:
+      compared.zipWithIndex.map { case (c, i) =>
+        count(when(!(col(s"graft_o_$c") <=> col(s"graft_n_$c")), 1)).as(s"graft_c_$i")
+      }
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = compared.zipWithIndex
+      .map { case (c, i) => s"'${c.replace("'", "''")}', graft_c_$i" }
+      .mkString(", ")
+    one.selectExpr("graft_rows",
+        s"stack(${compared.size}, $stackArgs) as (column, changed)")
+      .select(col("column"), col("graft_rows").as("matched_rows"), col("changed"),
+        expr("changed * 1000000L div nullif(graft_rows, 0L)").as("changed_ppm"))
+  }
+
   /** Expected Benford first-digit shares in ppm: floor(log10(1 + 1/d)·10⁶). */
   private val benfordPpm: Map[Int, Long] =
     (1 to 9).map(d => d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong).toMap
