@@ -251,7 +251,7 @@ object Incremental {
    * parquet-file count) is written before the swap so a crash in the
    * rename window is detected and rolled forward by [[repairDir]]. A
    * missing dir is a no-op. */
-  private[pipeline] def guardedRewrite(spark: SparkSession, dir: String)(
+  private[graft] def guardedRewrite(spark: SparkSession, dir: String)(
       writeTmp: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     repairDir(spark, dir) // heal any earlier crash before touching the dir
