@@ -1143,6 +1143,12 @@ object SparkEntry {
           e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
         .select(col("query_id"), col("neighbor_id"))
     }),
+    "q_diversity_sample" -> ((s, dir) =>
+      // rows-only (iterative argmax is not SQL-expressible; KCenterSpec
+      // pins exact scalar-reference parity): 12 farthest-point centers
+      // over the embeddings — the annotation-budget selection
+      graft.pipeline.Similarity.kCenterGreedy(
+        embeddings(s, dir), "vec_id", "embedding", 12)),
     "q_ann_matryoshka" -> ((s, dir) => {
       // truncated-dimension search: first 16 of the embedding dims,
       // re-normalized (ordering-invariant), exact top-3 — the oracle

@@ -221,6 +221,58 @@ object Similarity {
     when(norm > 0.0, transform(t, x => x / norm)).otherwise(t)
   }
 
+  /**
+   * k-center greedy (farthest-point) diversity sampling — pick k rows
+   * that COVER the embedding space rather than sample it: each round
+   * selects the point farthest (euclidean) from everything already
+   * chosen, the classic 2-approximation to the k-center objective and
+   * the standard recipe for eval-set / few-shot / annotation-batch
+   * selection where duplicates waste budget.
+   *
+   * Inherently sequential in k (each pick conditions the next), so the
+   * driver holds the k chosen VECTORS (bounded planning state, like the
+   * k-means centroids): per round, one narrow projection updates the
+   * running min-distance against ONLY the newest center and one
+   * TakeOrdered(1) finds the next pick — k bounded jobs, the corpus
+   * never collects. Frames are checkpointed per round so the plan stays
+   * flat. Seeding is deterministic: the lowest id starts; distance ties
+   * break by id. Returns (rank, id) in pick order.
+   */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+    def distSqTo(center: Seq[Double]): Column =
+      aggregate(zip_with(col("v"), typedLit(center), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    val firstOpt = base.orderBy(col("id").asc).limit(1).collect().headOption
+    if (firstOpt.isEmpty) return Seq.empty[(Int, Long)].toDF("rank", "id")
+    val first = firstOpt.get
+    val picks = scala.collection.mutable.ArrayBuffer((1, first.getLong(0)))
+    var center = first.getSeq[Double](1)
+    var cur = base.withColumn("graft_mind", lit(Double.PositiveInfinity))
+    var round = 2
+    while (round <= k) {
+      cur = cur
+        .withColumn("graft_mind", least(col("graft_mind"), distSqTo(center)))
+        .localCheckpoint(true)
+      val next = cur.where(!col("id").isin(picks.map(_._2).toSeq: _*))
+        .orderBy(col("graft_mind").desc, col("id").asc).limit(1)
+        .collect().headOption
+      next match {
+        case Some(r) =>
+          picks += ((round, r.getLong(0)))
+          center = r.getSeq[Double](1)
+          round += 1
+        case None => round = k + 1 // fewer rows than k: return what exists
+      }
+    }
+    picks.toSeq.toDF("rank", "id")
+  }
+
   // ---------------------------------------------------------------- IVF ANN
 
   /** cid of the best (highest-sim, lowest-cid on ties) centroid — a single
