@@ -693,6 +693,33 @@ object SparkEntry {
       graft.pipeline.Graphs.pageRankFixed(e, col("src"), col("dst"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_crawl_schedule_robots" -> ((s, dir) => {
+      // the crawl stack composed: per-host robots bodies are REALLY parsed
+      // for graftbot's crawl-delay (even-length hosts declare it in a
+      // graftbot group that must beat the * group; odd-length hosts only
+      // in *), the delays feed the politeness scheduler; the oracle
+      // recomputes the delays arithmetically from the host-name length
+      val d = docs(s, dir)
+      val hosts = d.select(concat(col("source"), lit(".example.com")).as("host"))
+        .distinct()
+      val hlen = length(col("host"))
+      val body = when(hlen % 2 === 0,
+          concat(lit("User-agent: graftbot\nCrawl-delay: "),
+            (hlen % 3 + 1).cast("string"),
+            lit("\nUser-agent: *\nCrawl-delay: 9")))
+        .otherwise(concat(lit("User-agent: *\nCrawl-delay: "),
+          (hlen % 3 + 2).cast("string")))
+      val delays = graft.pipeline.Robots.crawlDelaysDf(
+        hosts.select(col("host"), body.as("txt")), col("host"), col("txt"),
+        agent = "graftbot")
+      val frontier = d.select(
+        concat(lit("https://"), col("source"), lit(".example.com/d/"),
+          col("doc_id").cast("string")).as("url"),
+        col("n_chars").cast("double").as("pri"))
+      graft.pipeline.Frontier.crawlSchedule(frontier, col("url"), col("pri"),
+        delays, col("host"), col("delay_ms"),
+        defaultDelayMs = 1000L, horizonMs = 8000L)
+    }),
     "q_crawl_schedule" -> ((s, dir) => {
       // politeness scheduler: per-source hosts, priority = n_chars, delay
       // config keyed off the host name length — the oracle replays the
@@ -3208,6 +3235,31 @@ object SparkEntry {
     // graftbot group's /g rule is the ONLY one that applies (blocked iff
     // the /g path variant); odd hosts → the * group, where /p is blocked
     // except the longer /p…/open allow
+    // delays recomputed arithmetically (even host length: graftbot group
+    // (len%3+1) s beats the * group's 9 s; odd: * group (len%3+2) s),
+    // then the same partitioned row_number + slot arithmetic
+    "q_crawl_schedule_robots" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || '.example.com/d/' || doc_id AS url,
+        |         source || '.example.com' AS host,
+        |         CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents
+        |), d AS (
+        |  SELECT DISTINCT source || '.example.com' AS host,
+        |    CASE WHEN length(source || '.example.com') % 2 = 0
+        |         THEN (length(source || '.example.com') % 3 + 1) * 1000
+        |         ELSE (length(source || '.example.com') % 3 + 2) * 1000 END AS delay_ms
+        |  FROM documents
+        |), r AS (
+        |  SELECT u.url, u.host,
+        |         row_number() OVER (PARTITION BY u.host ORDER BY u.pri DESC, u.url) AS rk,
+        |         coalesce(d.delay_ms, 1000) AS delay_ms
+        |  FROM u LEFT JOIN d USING (host)
+        |)
+        |SELECT url, host, CAST(rk AS BIGINT) AS host_rank,
+        |       CAST((rk - 1) * delay_ms AS BIGINT) AS fetch_at_ms,
+        |       (rk - 1) * delay_ms < 8000 AS scheduled
+        |FROM r""".stripMargin,
     // partitioned row_number + slot arithmetic replayed verbatim
     "q_crawl_schedule" ->
       """WITH u AS (

@@ -13,8 +13,10 @@ import org.apache.spark.sql.{Column, DataFrame}
  *
  * Scope: `user-agent` groups with `allow`/`disallow` rules, `*` and `$`
  * pattern wildcards, longest-match precedence with allow winning ties —
- * the normative core of RFC 9309. Crawl-delay/sitemap lines (non-standard
- * or informational) are ignored; matching is against the URL PATH (query
+ * the normative core of RFC 9309. Crawl-delay (non-standard but
+ * near-universal) feeds the politeness scheduler via [[parseCrawlDelays]]/
+ * [[crawlDelaysDf]]; sitemap lines live in [[Sitemaps]]; fetchability
+ * matching is against the URL PATH (query
  * matching is a crawler-side concern; [[Text.urlPath]] is the extractor
  * used on both sides).
  */
@@ -95,6 +97,66 @@ object Robots {
           .map(r => (host, r.agent, r.allow, r.pattern, r.wild, r.regex))
       }
       .toDF("host", "agent", "allow", "pattern", "wild", "regex")
+  }
+
+  /** Crawl-delay directives of one robots.txt body: (agent, delayMs) per
+   * group that declares one (fractional seconds honored, non-numeric
+   * ignored). Crawl-delay is non-normative but near-universal in crawler
+   * practice — it feeds [[Frontier.crawlSchedule]]'s per-host config. */
+  def parseCrawlDelays(txt: String): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var agents = List("*")
+    var collecting = false
+    txt.split("\n").foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val colonAt = noComment.indexOf(':')
+      if (colonAt > 0) {
+        val field = noComment.substring(0, colonAt).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = noComment.substring(colonAt + 1).trim
+        field match {
+          case "user-agent" =>
+            val a = value.toLowerCase(java.util.Locale.ROOT)
+            if (a.nonEmpty) {
+              if (collecting) agents = agents :+ a
+              else { agents = List(a); collecting = true }
+            }
+          case "crawl-delay" =>
+            collecting = false
+            value.toDoubleOption.filter(d => d >= 0 && d <= 3600).foreach { d =>
+              agents.foreach(a => out.getOrElseUpdate(a, (d * 1000).toLong))
+            }
+          case _ => collecting = false
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Per-host crawl delay for `agent` from raw robots bodies — exact-agent
+   * group beats `*` (the [[isAllowed]] selection rule): (host, delay_ms).
+   * Hosts declaring no delay are absent; join with a default downstream
+   * ([[Frontier.crawlSchedule]] takes one). */
+  def crawlDelaysDf(df: DataFrame, hostCol: Column, txtCol: Column,
+      agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(hostCol.cast("string").as("host"), txtCol.cast("string").as("txt"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        parseCrawlDelays(if (txt == null) "" else txt)
+          .collect { case (a, ms) if a == agentLc || a == "*" =>
+            (host, if (a == agentLc) 2 else 1, ms)
+          }
+      }
+      .toDF("host", "graft_spec", "delay_ms")
+      .withColumn("graft_best", max(col("graft_spec")).over(
+        Window.partitionBy(col("host"))))
+      .where(col("graft_spec") === col("graft_best"))
+      .groupBy(col("host")).agg(min(col("delay_ms")).as("delay_ms"))
   }
 
   /**

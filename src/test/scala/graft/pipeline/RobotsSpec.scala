@@ -146,4 +146,45 @@ class RobotsSpec extends AnyFunSuite {
       ("https://e.com/b", ""),                   // whitespace trimmed, no lastmod
       ("https://e.com/s1.xml", "2024-02-01")))   // index entries too; loc-less dropped
   }
+
+  test("crawl-delay: per-group extraction, fractional seconds, bounds") {
+    val body =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |User-agent: *
+        |Crawl-delay: 10
+        |User-agent: slowbot
+        |Crawl-delay: 999999
+        |User-agent: junkbot
+        |Crawl-delay: soon""".stripMargin
+    val got = Robots.parseCrawlDelays(body).toMap
+    assert(got === Map("graftbot" -> 2500L, "*" -> 10000L))
+  }
+
+  test("crawlDelaysDf: exact-agent group beats *, absent hosts absent") {
+    val bodies = Seq(
+      ("a.com", "User-agent: graftbot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 9"),
+      ("b.com", "User-agent: *\nCrawl-delay: 4"),
+      ("c.com", "User-agent: otherbot\nCrawl-delay: 1"),
+      ("d.com", "User-agent: *\nDisallow: /")).toDF("h", "txt")
+    val got = Robots.crawlDelaysDf(bodies, col("h"), col("txt"), "GraftBot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a.com" -> 2000L, "b.com" -> 4000L))
+  }
+
+  test("crawl delays feed the politeness scheduler end to end") {
+    val bodies = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2")).toDF("h", "txt")
+    val delays = Robots.crawlDelaysDf(bodies, col("h"), col("txt"), "graftbot")
+    val frontier = Seq(("https://a.com/1", 2.0), ("https://a.com/2", 1.0),
+      ("https://z.com/q", 1.0)).toDF("url", "pri")
+    val got = Frontier.crawlSchedule(frontier, col("url"), col("pri"),
+        delays, col("host"), col("delay_ms"), defaultDelayMs = 500L,
+        horizonMs = 10000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("https://a.com/1") === 0L)
+    assert(got("https://a.com/2") === 2000L)  // robots-declared 2 s
+    assert(got("https://z.com/q") === 0L)     // default host, rank 1
+  }
 }
