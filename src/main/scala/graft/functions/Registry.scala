@@ -219,6 +219,13 @@ object Registry {
     "ngram_jaccard" -> (es => ex(graft.pipeline.Dedup.ngramJaccard(col(es(0)), col(es(1)),
       if (es.size >= 3) litLong(es(2)).toInt else 3))),
     "cosine_similarity" -> (es => ex(graft.pipeline.Similarity.cosine(col(es(0)), col(es(1))))),
+    // media / binary-payload hashes, SQL-callable for ad-hoc dedup queries
+    "image_phash" -> (es => graft.pipeline.ImagePhashExpression(es.head)),
+    "audio_phash" -> (es => graft.pipeline.AudioPhashExpression(es.head)),
+    "cdc_chunks" -> (es => ex(graft.pipeline.Cdc.chunksOf(col(es.head),
+      if (es.size >= 2) litLong(es(1)).toInt else 256,
+      if (es.size >= 3) litLong(es(2)).toInt else 10,
+      if (es.size >= 4) litLong(es(3)).toInt else 8192))),
     // these are placeholders resolved by MissingAttributes.processIfAttributeMissing
     // BEFORE planning; reaching the registry means that step was skipped
     "coalesce_if_attributes_missing" -> (_ => throw new IllegalArgumentException(

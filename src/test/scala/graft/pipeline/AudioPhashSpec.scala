@@ -131,4 +131,22 @@ class AudioPhashSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("SQL faces: audio_phash / image_phash / cdc_chunks callable from spark.sql") {
+    graft.functions.Registry.registerAll(spark)
+    Seq((1L, Multimodal.syntheticToneWav(3L), Multimodal.syntheticPng(3L)))
+      .toDF("id", "wav", "png").createOrReplaceTempView("graft_sql_media")
+    val row = spark.sql(
+      """SELECT audio_phash(wav) AS ah, image_phash(png) AS ih,
+        |       audio_phash(png) AS ah_bad, image_phash(wav) AS ih_bad,
+        |       cdc_chunks(wav) AS ch, cdc_chunks(wav, 64, 6, 512) AS ch_small
+        |FROM graft_sql_media""".stripMargin).collect()(0)
+    assert(row.getLong(0) == AudioPhashAlgos.aphash64(Multimodal.syntheticToneWav(3L)).longValue)
+    assert(row.getLong(1) == PhashAlgos.phash64(Multimodal.syntheticPng(3L)).longValue)
+    assert(row.isNullAt(2) && row.isNullAt(3)) // wrong container → NULL, not garbage
+    val wavLen = Multimodal.syntheticToneWav(3L).length.toLong
+    def totalLen(i: Int) = row.getSeq[org.apache.spark.sql.Row](i).map(_.getAs[Long]("len")).sum
+    assert(totalLen(4) == wavLen && totalLen(5) == wavLen) // chunks tile the payload
+    assert(row.getSeq[org.apache.spark.sql.Row](5).size >= row.getSeq[org.apache.spark.sql.Row](4).size)
+  }
 }
