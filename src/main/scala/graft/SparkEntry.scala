@@ -148,7 +148,11 @@ object SparkEntry {
   private def imageDupFixture(s: SparkSession, dir: String): DataFrame = {
     val path = mediaFixtureCache.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft_q_phash_media").toString
-      graft.pipeline.Multimodal.imageDupTable(docs(s, dir), "doc_id")
+      // spread across defaultParallelism files: a real media corpus arrives
+      // in thousands of splits, and the decode pass parallelizes with the
+      // split count — a 1-file fixture would measure a serial decode
+      graft.pipeline.Multimodal.imageDupTable(
+          docs(s, dir).repartition(s.sparkContext.defaultParallelism), "doc_id")
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -162,12 +166,41 @@ object SparkEntry {
   private def audioDupFixture(s: SparkSession, dir: String): DataFrame = {
     val path = audioFixtureCache.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft_q_aphash_media").toString
-      graft.pipeline.Multimodal.audioDupTable(docs(s, dir), "doc_id")
+      // many-split fixture for the same reason as imageDupFixture above
+      graft.pipeline.Multimodal.audioDupTable(
+          docs(s, dir).repartition(s.sparkContext.defaultParallelism), "doc_id")
         .write.mode("overwrite").parquet(out)
       out
     })
     s.read.parquet(path)
   }
+
+  /** Dirty customer file for the record-linkage queries: every 7th key gets
+   * a char-dropped-name copy (1 edit, balance nudged 0.5) at id + 1e6, every
+   * 11th a relocated copy (segment changed) at id + 2e6 — all mutations
+   * SQL-expressible so DuckDB rebuilds the identical corpus. */
+  private def linkageCorpus(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nk"), col("c_acctbal").as("bal"),
+      col("c_mktsegment").as("seg"))
+    val dropped = c.where(col("id") % 7 === 0).select(
+      (col("id") + 1000000L).as("id"),
+      concat(substring(col("name"), 1, 4), expr("substring(name, 6)")).as("name"),
+      col("nk"), (col("bal") + lit(0.5)).as("bal"), col("seg"))
+    val moved = c.where(col("id") % 11 === 0).select(
+      (col("id") + 2000000L).as("id"), col("name"), col("nk"), col("bal"),
+      lit("RELOCATED").as("seg"))
+    c.unionAll(dropped).unionAll(moved)
+  }
+
+  private def linkageFields = Seq(
+    graft.operators.Linkage.LinkField("name", col("name"),
+      (a, b) => levenshtein(a, b) <= 1, 4000000L, -3000000L),
+    graft.operators.Linkage.LinkField("segment", col("seg"),
+      (a, b) => a === b, 1500000L, -700000L),
+    graft.operators.Linkage.LinkField("bal", col("bal"),
+      (a, b) => abs(a - b) <= 1.0, 3000000L, -400000L))
 
   /** documents plus constructed near-duplicates: for doc_id % 10 == 0, a copy
    * with the last two words dropped, id + 10000 — deterministic in SQL so the
@@ -1065,6 +1098,29 @@ object SparkEntry {
         left, col("doc_id"), col("title"),
         right, col("doc_id"), col("title"), maxDist = 3)
     }),
+    "q_record_linkage" -> ((s, dir) => {
+      // Fellegi–Sunter scoring over a dirty customer file: a char-dropped
+      // copy for every 7th key (name 1 edit off, balance nudged 0.5), a
+      // relocated copy for every 11th (segment changed); nationkey blocking,
+      // integer micro-bit weights — DuckDB replays blocking, levenshtein
+      // and the exact weight arithmetic
+      import graft.operators.Linkage
+      val out = Linkage.classify(
+        Linkage.scoredPairs(linkageCorpus(s, dir), col("id"),
+          Seq(col("nk")), linkageFields),
+        tUpperMicro = 7000000L, tLowerMicro = 3000000L)
+      out.where(col("decision") =!= "nonmatch")
+        .select(col("id_a"), col("id_b"), col("name_agree"),
+          col("segment_agree"), col("bal_agree"), col("score_micro"),
+          col("decision"))
+    }),
+    "q_entity_resolution" -> ((s, dir) =>
+      // match pairs (all three fields agreeing) collapse to entities via
+      // min-label components; the oracle closes the same match set with a
+      // recursive CTE — transitivity included, not assumed
+      graft.operators.Linkage.resolveEntities(
+        linkageCorpus(s, dir), col("id"), Seq(col("nk")),
+        linkageFields, tUpperMicro = 7000000L)),
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
       val corpus = d.unionAll(
@@ -3658,6 +3714,55 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE abs(length(a.title) - length(b.title)) <= 3
         |  AND levenshtein(a.title, b.title) <= 3""".stripMargin,
+    "q_record_linkage" ->
+      """WITH corpus AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+        |         c_acctbal AS bal, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, substr(c_name, 1, 4) || substr(c_name, 6),
+        |         c_nationkey, c_acctbal + 0.5, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, 'RELOCATED'
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |), scored AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         levenshtein(a.name, b.name) <= 1 AS name_agree,
+        |         a.seg = b.seg AS segment_agree,
+        |         abs(a.bal - b.bal) <= 1.0 AS bal_agree,
+        |         CAST(CASE WHEN levenshtein(a.name, b.name) <= 1 THEN 4000000 ELSE -3000000 END
+        |            + CASE WHEN a.seg = b.seg THEN 1500000 ELSE -700000 END
+        |            + CASE WHEN abs(a.bal - b.bal) <= 1.0 THEN 3000000 ELSE -400000 END
+        |           AS BIGINT) AS score_micro
+        |  FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
+        |)
+        |SELECT id_a, id_b, name_agree, segment_agree, bal_agree, score_micro,
+        |       CASE WHEN score_micro >= 7000000 THEN 'match' ELSE 'possible' END AS decision
+        |FROM scored WHERE score_micro > 3000000""".stripMargin,
+    "q_entity_resolution" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+        |         c_acctbal AS bal, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, substr(c_name, 1, 4) || substr(c_name, 6),
+        |         c_nationkey, c_acctbal + 0.5, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, 'RELOCATED'
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |), m AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 1 AND a.seg = b.seg
+        |    AND abs(a.bal - b.bal) <= 1.0
+        |), edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM m UNION SELECT id_b, id_a FROM m
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM corpus
+        |  UNION
+        |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+        |)
+        |SELECT id, min(r) AS entity_id FROM reach GROUP BY id""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
