@@ -47,8 +47,11 @@ object AudioPhash {
    * harsher transforms still collide on a surviving band. */
   def nearDups(df: DataFrame, idCol: Column, dataCol: Column,
       maxHamming: Int = 12): DataFrame = {
+    // no isNotNull pre-filter: a pushed-down filter would re-evaluate the
+    // decode per row (Filter(isnotnull(hash)) below Project(hash) — two
+    // evals in one stage); null sigs are harmless downstream because a
+    // null band bucket never equi-joins, so undecodable rows yield no pairs
     val base = df.select(idCol.as("id"), audioPhash(dataCol).as("sig"))
-      .where(col("sig").isNotNull)
     Dedup.hammingBandPairs(base, maxHamming, nBands = 8)
   }
 
@@ -57,6 +60,10 @@ object AudioPhash {
    * dedup/search after the first runs over 8-byte signatures, not bytes. */
   def buildIndex(df: DataFrame, idCol: Column, dataCol: Column, path: String): Unit =
     df.select(idCol.cast("long").as("id"), audioPhash(dataCol).as("sig"))
+      // the repartition materializes sig before the null cut, so the filter
+      // tests the shuffled 8-byte value instead of re-running the decode
+      // (and evens out the index's file sizes as a side effect)
+      .repartition(col("id"))
       .where(col("sig").isNotNull)
       .write.mode("overwrite").parquet(path)
 
@@ -69,6 +76,7 @@ object AudioPhash {
     batch.select(idCol.cast("long").as("id"), dataCol.as("graft_data"))
       .join(indexed, Seq("id"), "left_anti")
       .select(col("id"), audioPhash(col("graft_data")).as("sig"))
+      .repartition(col("id")) // single decode: filter above the exchange
       .where(col("sig").isNotNull)
       .write.mode("append").parquet(path)
   }
@@ -83,8 +91,9 @@ object AudioPhash {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: Column, dataCol: Column,
       maxHamming: Int = 12): DataFrame = {
+    // undecodable queries carry a null sig and match nothing — no
+    // pre-filter, for the same single-eval reason as [[nearDups]]
     val q = queries.select(idCol.cast("long").as("id"), audioPhash(dataCol).as("sig"))
-      .where(col("sig").isNotNull)
     Dedup.hammingBandJoin(q, spark.read.parquet(path), maxHamming, nBands = 8)
   }
 }
@@ -101,11 +110,27 @@ object AudioPhashAlgos {
   private val MinSamples = 1024
   val MaxSamples: Int = 1 << 20
 
+  /** One-slot per-thread memo: Catalyst re-evaluates the hash within a
+   * stage (a join's inferred isnotnull constraint pushes below the Project
+   * as Filter(isnotnull(hash)) — two decodes per row in one codegen
+   * stage); the repeat eval sees identical bytes back-to-back on the same
+   * thread, so a content-keyed single entry turns it into a memcmp. The
+   * stored key is a private clone — a caller-reused buffer can't alias it. */
+  private val memo = new ThreadLocal[(Array[Byte], java.lang.Long)]
+
   /** 64-bit HK fingerprint, boxed so NULL can signal no perceptual
    * identity (undecodable / too short / silent / rate below Nyquist of
    * the top probe). */
   def aphash64(data: Array[Byte]): java.lang.Long = {
     if (data == null || data.length == 0) return null
+    val m = memo.get()
+    if (m != null && java.util.Arrays.equals(m._1, data)) return m._2
+    val r = aphash64Compute(data)
+    memo.set((data.clone(), r))
+    r
+  }
+
+  private def aphash64Compute(data: Array[Byte]): java.lang.Long = {
     val decoded = try decodeMonoPcm(data) catch { case _: Exception => null }
     if (decoded == null) return null
     val (samples, rate) = decoded

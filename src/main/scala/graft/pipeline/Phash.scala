@@ -39,8 +39,10 @@ object Phash {
    * high probability on a surviving band. Median-split hashes have exactly
    * 32 set bits, so distances are always even. */
   def nearDups(df: DataFrame, idCol: Column, dataCol: Column, maxHamming: Int = 12): DataFrame = {
+    // no isNotNull pre-filter: pushed down it would re-run the decode per
+    // row (two evals in one codegen stage); null sigs never equi-join on
+    // a band bucket, so undecodable rows simply yield no pairs
     val base = df.select(idCol.as("id"), imagePhash(dataCol).as("sig"))
-      .where(col("sig").isNotNull)
     Dedup.hammingBandPairs(base, maxHamming, nBands = 8)
   }
 
@@ -56,6 +58,9 @@ object Phash {
    */
   def buildIndex(df: DataFrame, idCol: Column, dataCol: Column, path: String): Unit =
     df.select(idCol.cast("long").as("id"), imagePhash(dataCol).as("sig"))
+      // the repartition materializes sig before the null cut, so the filter
+      // tests the shuffled 8-byte value instead of re-running the decode
+      .repartition(col("id"))
       .where(col("sig").isNotNull)
       .write.mode("overwrite").parquet(path)
 
@@ -72,6 +77,7 @@ object Phash {
     batch.select(idCol.cast("long").as("id"), dataCol.as("graft_data"))
       .join(indexed, Seq("id"), "left_anti")
       .select(col("id"), imagePhash(col("graft_data")).as("sig"))
+      .repartition(col("id")) // single decode: filter above the exchange
       .where(col("sig").isNotNull)
       .write.mode("append").parquet(path)
   }
@@ -86,8 +92,9 @@ object Phash {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: Column, dataCol: Column,
       maxHamming: Int = 12): DataFrame = {
+    // undecodable queries carry a null sig and match nothing — no
+    // pre-filter, for the same single-eval reason as [[nearDups]]
     val q = queries.select(idCol.cast("long").as("id"), imagePhash(dataCol).as("sig"))
-      .where(col("sig").isNotNull)
     Dedup.hammingBandJoin(q, spark.read.parquet(path), maxHamming, nBands = 8)
   }
 }
@@ -103,9 +110,22 @@ object PhashAlgos {
     }
   }
 
+  /** One-slot per-thread memo — same double-eval guard as
+   * [[AudioPhashAlgos.memo]] (inferred isnotnull constraints re-run the
+   * decode inside one codegen stage; the repeat sees identical bytes). */
+  private val memo = new ThreadLocal[(Array[Byte], java.lang.Long)]
+
   /** 64-bit pHash, boxed so NULL can signal an undecodable payload. */
   def phash64(data: Array[Byte]): java.lang.Long = {
     if (data == null || data.length == 0) return null
+    val m = memo.get()
+    if (m != null && java.util.Arrays.equals(m._1, data)) return m._2
+    val r = phash64Compute(data)
+    memo.set((data.clone(), r))
+    r
+  }
+
+  private def phash64Compute(data: Array[Byte]): java.lang.Long = {
     val img = try {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
     } catch { case _: Exception => null }
