@@ -198,6 +198,84 @@ object Dedup {
   }
 
   /**
+   * Host-level MIRROR detection: pairs of hosts whose distinct-content
+   * sets overlap at Jaccard ≥ `threshold` — re-hosted sites, CDN clones
+   * and scraper mirrors that doc-level dedup sees only as a million
+   * scattered pairs. The set elements are 64-bit content fingerprints, so
+   * a host's identity is what it SERVES, not how its URLs look.
+   *
+   * Shape at scale: one (host, content-hash) distinct (the only pass over
+   * text); host signatures from k min-aggregations over the hash set
+   * (map-side combining — a 10⁸-host corpus aggregates to one row per
+   * host); LSH banding over the signature exactly as the doc tier; exact
+   * set-overlap verification computed ONLY for candidate pairs via two
+   * hash-keyed joins (candidates are few, AQE broadcasts them). Never
+   * all-pairs in hosts or in docs.
+   *
+   * Output: (host_a < host_b, jaccard_ppm) with exact integer ppm —
+   * estimated-similarity candidates, exact-verified. Completeness: full
+   * mirrors (Jaccard 1) collide in every band; at the default 16×4
+   * banding a true 0.8-Jaccard pair is caught with p ≈ 1 − (1−0.8⁴)¹⁶ ≈
+   * 0.9998 per the S-curve ([[lshBandingAdvisor]] prices other shapes).
+   */
+  def hostMirrors(df: DataFrame, hostCol: Column, textCol: Column,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucketSize: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold $threshold")
+    val rowsPerBand = numHashes / bands
+    val sets = df.select(hostCol.as("graft_host"), xxhash64(textCol).as("graft_h"))
+      .where(col("graft_host").isNotNull).distinct()
+    // per-host minhash signature: element i = min over the hash set of an
+    // independent re-key (xxhash64 of (hash, i)); min is mergeable, so the
+    // signature builds with map-side combine in ONE aggregation
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("graft_h"), lit(i))).as(s"graft_m$i"))
+    val sig = sets.groupBy(col("graft_host"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("graft_host"),
+        array((0 until numHashes).map(i => col(s"graft_m$i")): _*).as("graft_sig"))
+    val bandRows = sig
+      .select(col("graft_host"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("graft_sig"))
+      .select(col("graft_host"), col("band"),
+        xxhash64(col("band"),
+          slice(col("graft_sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("bucket"))
+      .repartition(col("band"), col("bucket"))
+    val capped =
+      if (maxBucketSize <= 0) bandRows
+      else bandRows.join(
+        bandRows.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("graft_bsz"))
+          .where(col("graft_bsz") <= maxBucketSize)
+          .select(col("band"), col("bucket")),
+        Seq("band", "bucket"), "leftsemi")
+    val l = capped.as("l")
+    val r = capped.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.graft_host") < col("r.graft_host"))
+      .select(col("l.graft_host").as("host_a"), col("r.graft_host").as("host_b"))
+      .distinct()
+    // exact verification for candidates only: shared-hash count via two
+    // hash-keyed joins, sizes from one per-host count
+    val sizes = sets.groupBy(col("graft_host")).agg(count(lit(1)).as("graft_n"))
+    val inter = candidates
+      .join(sets.select(col("graft_host").as("host_a"), col("graft_h")), Seq("host_a"))
+      .join(sets.select(col("graft_host").as("host_b"), col("graft_h")), Seq("host_b", "graft_h"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("graft_inter"))
+    inter
+      .join(sizes.select(col("graft_host").as("host_a"), col("graft_n").as("graft_na")), Seq("host_a"))
+      .join(sizes.select(col("graft_host").as("host_b"), col("graft_n").as("graft_nb")), Seq("host_b"))
+      .select(col("host_a"), col("host_b"),
+        expr("graft_inter * 1000000L div (graft_na + graft_nb - graft_inter)")
+          .as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= math.round(threshold * 1e6))
+  }
+
+  /**
    * Exact shingle-CONTAINMENT join: (id_q, id_c, containment) for every
    * (query, corpus) pair with |shingles(q) ∩ shingles(c)| / |shingles(q)|
    * ≥ `threshold` — the ASYMMETRIC overlap Jaccard near-dup machinery
