@@ -219,6 +219,9 @@ object Registry {
     "ngram_jaccard" -> (es => ex(graft.pipeline.Dedup.ngramJaccard(col(es(0)), col(es(1)),
       if (es.size >= 3) litLong(es(2)).toInt else 3))),
     "cosine_similarity" -> (es => ex(graft.pipeline.Similarity.cosine(col(es(0)), col(es(1))))),
+    "dp_noise" -> (es => ex(graft.pipeline.Pii.dpNoise(col(es.head),
+      if (es.size >= 2) litLong(es(1)).toInt else 1,
+      if (es.size >= 3) litLong(es(2)) else 0L))),
     // media / binary-payload hashes, SQL-callable for ad-hoc dedup queries
     "image_phash" -> (es => graft.pipeline.ImagePhashExpression(es.head)),
     "audio_phash" -> (es => graft.pipeline.AudioPhashExpression(es.head)),

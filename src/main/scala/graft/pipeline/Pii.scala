@@ -187,6 +187,68 @@ object Pii {
    * per-class diversity, then the one-row summary (rows counted from the
    * class sizes of the full frame). NULL sensitive counts as a value.
    */
+  /**
+   * ε-differential-privacy noise for integer releases — the geometric
+   * mechanism (Ghosh–Roughgarden–Sundararajan), the discrete analogue of
+   * Laplace: noise = G₁ − G₂ with G₁, G₂ iid Geometric(α), α = 2^−kLog2;
+   * the difference is the two-sided geometric (discrete Laplace), giving
+   * ε-DP for sensitivity-1 counts at ε = kLog2 · ln 2.
+   *
+   * The noise is DETERMINISTIC given (key, seed): uniform bits come from
+   * md5(key:seed) (the one digest every engine computes identically), the
+   * geometric from exact integer bit-length arithmetic over the first 52
+   * hash bits — no doubles, no platform RNG, so a release is
+   * reproducible, partition-invariant, and replayable bit-for-bit by an
+   * external auditor holding the seed. Magnitudes cap at 52/kLog2 (a
+   * 2⁻⁵² tail event, merged into the top bucket identically everywhere).
+   * THE SEED IS THE SECRET: publish the noisy counts, never the seed.
+   * O(1) codegen'd arithmetic per group on top of the count.
+   */
+  def dpNoise(key: Column, kLog2: Int = 1, seed: Long = 0L): Column = {
+    require(kLog2 >= 1 && kLog2 <= 30, s"kLog2 must be in 1..30, got $kLog2")
+    def geometric(s: Long): Column = {
+      val u = conv(substring(md5(concat(key.cast("string"), lit(s":$s"))), 1, 13), 16, 10)
+        .cast("long")
+      // leading zeros of a 52-bit uniform: P(lead >= g) = 2^-g exactly;
+      // floor(lead / k) is then Geometric(2^-k)
+      val lead = when(u === 0L, lit(52)).otherwise(lit(52) - length(bin(u)))
+      floor(lead.cast("double") / kLog2).cast("long")
+    }
+    geometric(seed) - geometric(seed + 1)
+  }
+
+  /** Per-group ε-DP counts (ε = kLog2·ln 2): one count aggregate plus
+   * [[dpNoise]] keyed on the group values. Counts may come back negative
+   * — the pure mechanism is unbiased; clamp downstream if presentation
+   * needs it. Group keys sharing a rendered string would share noise;
+   * the \u0001 separator keeps multi-column keys unambiguous. */
+  def dpCounts(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      kLog2: Int = 1, seed: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "dpCounts needs at least one group column")
+    val g = df.groupBy(groupCols: _*).agg(count(lit(1)).as("graft_n"))
+    val names = g.columns.dropRight(1)
+    val key = concat_ws("\u0001", names.map(col): _*)
+    g.select(names.map(col) :+
+      (col("graft_n") + dpNoise(key, kLog2, seed)).as("dp_count"): _*)
+  }
+
+  /** Per-group ε-DP sums of a clamped integer contribution: each value
+   * clamps to [0, cap] (bounding one row's influence), sums, and adds the
+   * same two-sided-geometric noise — ε = kLog2·ln 2 / cap for one-row-
+   * per-individual data. */
+  def dpSums(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      valueCol: Column, cap: Long, kLog2: Int = 1,
+      seed: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "dpSums needs at least one group column")
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val clamped = least(greatest(valueCol.cast("long"), lit(0L)), lit(cap))
+    val g = df.groupBy(groupCols: _*).agg(sum(clamped).as("graft_s"))
+    val names = g.columns.dropRight(1)
+    val key = concat_ws("\u0001", names.map(col): _*)
+    g.select(names.map(col) :+
+      (coalesce(col("graft_s"), lit(0L)) + dpNoise(key, kLog2, seed)).as("dp_sum"): _*)
+  }
+
   def lDiversityReport(df: org.apache.spark.sql.DataFrame, l: Int,
       sensitiveCol: Column, quasiCols: Column*): org.apache.spark.sql.DataFrame = {
     require(l >= 2, s"l must be >= 2, got $l")

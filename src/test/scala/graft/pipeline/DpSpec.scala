@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Geometric-mechanism DP releases: exact scalar replication of the noise
+ * derivation, two-sided-geometric shape, determinism/seed separation,
+ * partition invariance, and the clamped-sum contract. */
+class DpSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Scalar reference: the same md5 → 52-bit → leading-zeros → floor/k
+   * pipeline, straight from MessageDigest. */
+  private def refNoise(key: String, kLog2: Int, seed: Long): Long = {
+    def geom(s: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:$s".getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.substring(0, 13)
+      val u = java.lang.Long.parseLong(hex, 16)
+      val lead = if (u == 0L) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(u))
+      lead / kLog2
+    }
+    geom(seed) - geom(seed + 1)
+  }
+
+  test("dpNoise replicates the scalar md5 derivation exactly") {
+    val keys = (0 until 200).map(_.toString)
+    val out = keys.toDF("k")
+      .select(col("k"), Pii.dpNoise(col("k"), 1, 42L).as("n1"),
+        Pii.dpNoise(col("k"), 3, 7L).as("n3"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    keys.foreach { k =>
+      assert(out(k)._1 == refNoise(k, 1, 42L), s"k=$k kLog2=1")
+      assert(out(k)._2 == refNoise(k, 3, 7L), s"k=$k kLog2=3")
+    }
+  }
+
+  test("noise is two-sided geometric: symmetric, P(0)≈1/3 at α=1/2, tighter at α=1/8") {
+    val n = 20000
+    val noise1 = (0 until n).map(i => refNoise(s"key$i", 1, 0L))
+    assert(math.abs(noise1.sum.toDouble / n) < 0.05) // unbiased
+    val p0 = noise1.count(_ == 0L).toDouble / n
+    assert(math.abs(p0 - 1.0 / 3.0) < 0.02, s"P(0)=$p0") // (1-α)/(1+α), α=1/2
+    val p1 = noise1.count(v => math.abs(v) == 1L).toDouble / n
+    assert(math.abs(p1 - 1.0 / 3.0) < 0.02, s"P(|1|)=$p1") // 2·α·(1−α)/(1+α)
+    val noise3 = (0 until n).map(i => refNoise(s"key$i", 3, 0L))
+    val q0 = noise3.count(_ == 0L).toDouble / n
+    assert(math.abs(q0 - 7.0 / 9.0) < 0.02, s"α=1/8 P(0)=$q0")
+  }
+
+  test("dpCounts: deterministic, seed-separated, partition-invariant") {
+    val df = (0 until 1000).map(i => (i % 7, i)).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Pii.dpCounts(d, Seq(col("g")), kLog2 = 1, seed = seed)
+        .as[(Int, Long)].collect().toMap
+    val a = run(df, 42L)
+    assert(run(df, 42L) == a)
+    assert(run(df.repartition(17), 42L) == a) // partition-invariant
+    assert(run(df, 43L) != a) // the seed is the secret
+    // noise is bounded and centered: every release within ±52 of truth
+    val truth = (0 until 1000).groupBy(_ % 7).view.mapValues(_.size.toLong).toMap
+    a.foreach { case (g, c) => assert(math.abs(c - truth(g)) <= 52L) }
+  }
+
+  test("dp_noise is callable from plain spark.sql") {
+    graft.functions.Registry.registerAll(spark)
+    val n = spark.sql("SELECT dp_noise('5', 1, 42)").as[Long].collect()(0)
+    assert(n == refNoise("5", 1, 42L))
+  }
+
+  test("dpSums clamps contributions to [0, cap] before noising") {
+    val df = Seq((1, -50L), (1, 10L), (1, 999L), (2, 3L)).toDF("g", "v")
+    val out = Pii.dpSums(df, Seq(col("g")), col("v"), cap = 100L, kLog2 = 1, seed = 5L)
+      .as[(Int, Long)].collect().toMap
+    // group 1: -50→0, 10→10, 999→100 ⇒ 110 + noise("1")
+    assert(out(1) == 110L + refNoise("1", 1, 5L))
+    assert(out(2) == 3L + refNoise("2", 1, 5L))
+  }
+}
