@@ -1121,6 +1121,35 @@ object SparkEntry {
       graft.operators.Linkage.resolveEntities(
         linkageCorpus(s, dir), col("id"), Seq(col("nk")),
         linkageFields, tUpperMicro = 7000000L)),
+    "q_dp_count" -> ((s, dir) => {
+      // ε-DP per-nation release: geometric-mechanism noise derived
+      // deterministically from md5(key:seed) with exact integer bit-length
+      // arithmetic — the oracle recomputes the identical noise, so the
+      // privately-released counts hash-match bit-for-bit
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val counts = graft.pipeline.Pii.dpCounts(
+        c, Seq(col("c_nationkey").as("nk")), kLog2 = 1, seed = 42L)
+      val sums = graft.pipeline.Pii.dpSums(
+        c, Seq(col("c_nationkey").as("nk")), floor(col("c_acctbal")),
+        cap = 5000L, kLog2 = 1, seed = 7L)
+      counts.join(sums, Seq("nk"))
+    }),
+    "q_mirror_hosts" -> ((s, dir) => {
+      // site-level mirror detection: hosts 0-9 get a full mirror (same
+      // text set → Jaccard 1, every LSH band collides), hosts 10-19 a
+      // one-third partial mirror that must stay below the 0.8 gate; the
+      // oracle computes TRUE host-pair Jaccard over distinct text sets
+      val d = docs(s, dir)
+      val hostOf = (p: String) => concat(lit(p), (col("doc_id") % 40).cast("string"))
+      val corpus = d.select(hostOf("h").as("host"), col("text"))
+        .unionAll(d.where(col("doc_id") % 40 < 10)
+          .select(hostOf("m").as("host"), col("text")))
+        .unionAll(d.where(col("doc_id") % 40 >= 10 && col("doc_id") % 40 < 20 &&
+            col("doc_id") % 3 === 0)
+          .select(hostOf("p").as("host"), col("text")))
+      graft.pipeline.Dedup.hostMirrors(corpus, col("host"), col("text"),
+        threshold = 0.8)
+    }),
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
       val corpus = d.unionAll(
@@ -3763,6 +3792,50 @@ object SparkEntry {
         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
         |)
         |SELECT id, min(r) AS entity_id FROM reach GROUP BY id""".stripMargin,
+    "q_dp_count" ->
+      """WITH g AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n,
+        |         sum(least(greatest(CAST(floor(c_acctbal) AS BIGINT), 0), 5000)) AS sm
+        |  FROM customer GROUP BY 1
+        |), u AS (
+        |  SELECT nk, n, sm,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':42'), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS ua,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':43'), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS ub,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':7'), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS uc,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':8'), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS ud
+        |  FROM g
+        |)
+        |SELECT nk,
+        |  CAST(n + (CASE WHEN ua = 0 THEN 52 ELSE 52 - length(bin(ua)) END)
+        |         - (CASE WHEN ub = 0 THEN 52 ELSE 52 - length(bin(ub)) END) AS BIGINT) AS dp_count,
+        |  CAST(sm + (CASE WHEN uc = 0 THEN 52 ELSE 52 - length(bin(uc)) END)
+        |          - (CASE WHEN ud = 0 THEN 52 ELSE 52 - length(bin(ud)) END) AS BIGINT) AS dp_sum
+        |FROM u""".stripMargin,
+    "q_mirror_hosts" ->
+      """WITH corpus AS (
+        |  SELECT 'h' || (doc_id % 40) AS host, text FROM documents
+        |  UNION ALL
+        |  SELECT 'm' || (doc_id % 40), text FROM documents WHERE doc_id % 40 < 10
+        |  UNION ALL
+        |  SELECT 'p' || (doc_id % 40), text FROM documents
+        |  WHERE doc_id % 40 >= 10 AND doc_id % 40 < 20 AND doc_id % 3 = 0
+        |), sets AS (SELECT DISTINCT host, text FROM corpus),
+        |sizes AS (SELECT host, count(*) AS n FROM sets GROUP BY host),
+        |inter AS (
+        |  SELECT a.host AS host_a, b.host AS host_b, count(*) AS i
+        |  FROM sets a JOIN sets b ON a.text = b.text AND a.host < b.host
+        |  GROUP BY 1, 2
+        |)
+        |SELECT host_a, host_b,
+        |       CAST(i * 1000000 // (sa.n + sb.n - i) AS BIGINT) AS jaccard_ppm
+        |FROM inter
+        |JOIN sizes sa ON sa.host = inter.host_a
+        |JOIN sizes sb ON sb.host = inter.host_b
+        |WHERE i * 1000000 // (sa.n + sb.n - i) >= 800000""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
