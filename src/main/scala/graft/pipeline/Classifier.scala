@@ -96,6 +96,59 @@ object Classifier {
       TextClassifierModel(dim, seed, weights)
     } finally feats.unpersist()
   }
+
+  /**
+   * Threshold sweep for a (score ∈ [0,1], boolean label) frame — the
+   * operating-point picker every quality gate needs before deployment:
+   * per score bucket, the confusion counts and precision / recall / F1 at
+   * the "keep everything scoring ≥ this bucket" cut, plus the bucket's own
+   * positive rate (the reliability-diagram column — calibration and
+   * sweep in one pass).
+   *
+   * Shape at scale: ONE groupBy over `buckets` keys (map-side combining),
+   * then window cumulative sums over ≤ `buckets` rows — the window's
+   * single partition holds the histogram, never the corpus. All ratios in
+   * exact integer ppm. Buckets with no rows are absent (their operating
+   * point equals the next occupied bucket's). Null scores/labels are
+   * excluded up front.
+   */
+  def thresholdSweep(df: DataFrame, scoreCol: Column, labelCol: Column,
+      buckets: Int = 100): DataFrame = {
+    require(buckets >= 2 && buckets <= 100000, s"buckets must be in 2..100000, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val b = least(greatest(floor(scoreCol * buckets).cast("int"), lit(0)),
+      lit(buckets - 1))
+    val h = df.where(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(b.as("bucket"), labelCol.cast("boolean").as("graft_y"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("graft_y"), 1)).as("pos"),
+        count(when(!col("graft_y"), 1)).as("neg"))
+    val desc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.select(col("bucket"), col("pos"), col("neg"),
+        sum(col("pos")).over(desc).as("tp"),
+        sum(col("neg")).over(desc).as("fp"),
+        (sum(col("pos")).over(all) - sum(col("pos")).over(desc)).as("fn"))
+      .select(col("bucket"),
+        expr(s"bucket * 1000000L div $buckets").as("threshold_ppm"),
+        col("pos"), col("neg"), col("tp"), col("fp"), col("fn"),
+        expr("pos * 1000000L div nullif(pos + neg, 0L)").as("pos_rate_ppm"),
+        expr("tp * 1000000L div nullif(tp + fp, 0L)").as("precision_ppm"),
+        expr("tp * 1000000L div nullif(tp + fn, 0L)").as("recall_ppm"),
+        expr("2 * tp * 1000000L div nullif(2 * tp + fp + fn, 0L)").as("f1_ppm"))
+  }
+
+  /** The lowest threshold (most recall) whose precision meets `target`
+   * ppm — None when no cut qualifies. Driver-side over the ≤buckets-row
+   * sweep. */
+  def thresholdFor(sweep: DataFrame, targetPrecisionPpm: Long): Option[Long] =
+    sweep.where(col("precision_ppm") >= targetPrecisionPpm)
+      .agg(min(col("threshold_ppm"))).collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getLong(0))
+    }
 }
 
 /** Static kernels shared by eval and generated code. */

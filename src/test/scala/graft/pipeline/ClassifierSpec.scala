@@ -73,4 +73,45 @@ class ClassifierSpec extends AnyFunSuite {
       assert(out.length == 2)
     } finally prev.foreach(spark.conf.set("spark.sql.codegen.fallback", _))
   }
+
+  // buckets: 0 → {2 pos (0.05, clamped -0.2), 4 neg}, 5 → {1 pos},
+  // 9 → {1 pos (0.95), 1 neg (clamped 1.7)}
+  private def sweepFixture = Seq((0.05, false), (0.05, false), (0.05, false),
+    (0.05, false), (0.05, true), (0.55, true), (0.95, true),
+    (1.7, false), (-0.2, true)).toDF("s", "y")
+
+  test("thresholdSweep: exact confusion counts, ppm ratios, clamped buckets") {
+    val out = Classifier.thresholdSweep(sweepFixture, col("s"), col("y"), buckets = 10)
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(out.keySet == Set(0, 5, 9))
+    val b9 = out(9) // cut at 0.9: keeps 0.95(pos) + clamped 1.7(neg)
+    assert(b9.getAs[Long]("tp") == 1L && b9.getAs[Long]("fp") == 1L &&
+      b9.getAs[Long]("fn") == 3L)
+    assert(b9.getAs[Long]("threshold_ppm") == 900000L)
+    assert(b9.getAs[Long]("precision_ppm") == 500000L)
+    assert(b9.getAs[Long]("recall_ppm") == 250000L)
+    val b5 = out(5) // tp=2 fp=1 fn=2
+    assert(b5.getAs[Long]("precision_ppm") == 666666L)
+    assert(b5.getAs[Long]("recall_ppm") == 500000L)
+    assert(b5.getAs[Long]("f1_ppm") == 2 * 2 * 1000000L / (2 * 2 + 1 + 2))
+    val b0 = out(0) // keep everything
+    assert(b0.getAs[Long]("tp") == 4L && b0.getAs[Long]("fp") == 5L &&
+      b0.getAs[Long]("fn") == 0L)
+    assert(b0.getAs[Long]("recall_ppm") == 1000000L)
+    assert(b0.getAs[Long]("pos_rate_ppm") == 333333L) // bucket 0: 2 pos, 4 neg
+  }
+
+  test("thresholdFor picks the most-recall cut meeting target precision") {
+    val sweep = Classifier.thresholdSweep(sweepFixture, col("s"), col("y"), buckets = 10)
+    // precisions: b0 444444, b5 666666, b9 500000 — only b5 meets 0.6
+    assert(Classifier.thresholdFor(sweep, 600000L) == Some(500000L))
+    assert(Classifier.thresholdFor(sweep, 400000L) == Some(0L)) // everything qualifies
+    assert(Classifier.thresholdFor(sweep, 999999L).isEmpty)
+    // null scores and labels are excluded, not misbucketed
+    val withNulls = Seq((Some(0.5), Some(true)), (None, Some(true)),
+      (Some(0.5), None)).toDF("s", "y")
+    val sw = Classifier.thresholdSweep(withNulls, col("s"), col("y"), buckets = 10)
+    assert(sw.count() == 1 &&
+      sw.collect()(0).getAs[Long]("tp") == 1L)
+  }
 }
