@@ -1121,6 +1121,15 @@ object SparkEntry {
       graft.operators.Linkage.resolveEntities(
         linkageCorpus(s, dir), col("id"), Seq(col("nk")),
         linkageFields, tUpperMicro = 7000000L)),
+    "q_threshold_sweep" -> ((s, dir) =>
+      // operating-point sweep: score = bounded length proxy, label =
+      // lang=='en' (fixture semantics — the sweep arithmetic is the
+      // operator under test); every confusion count, ppm ratio and the
+      // reliability column recomputed by the oracle with window sums
+      graft.pipeline.Classifier.thresholdSweep(
+        docs(s, dir),
+        least(lit(1.0), length(col("text")) / lit(2000.0)),
+        col("lang") === "en", buckets = 20)),
     "q_dp_count" -> ((s, dir) => {
       // ε-DP per-nation release: geometric-mechanism noise derived
       // deterministically from md5(key:seed) with exact integer bit-length
@@ -2095,6 +2104,41 @@ object SparkEntry {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))), delimiter = "\t")
+    }),
+    "q_ingest_clf" -> ((s, dir) => {
+      // access-log round-trip: render events as CLF lines (combined form
+      // for every 5th event), plant two corrupt lines, parse back through
+      // the quarantine reader, and report per-status traffic aggregates
+      // the oracle recomputes straight from the events table; the planted
+      // corruption is gated by the require
+      val path = java.nio.file.Files.createTempDirectory("graft_q_clf").toString
+      val e = events(s, dir)
+      val status = when(col("event_type") === "error", lit(500)).otherwise(lit(200))
+      val bytes = greatest(lit(0L), floor(col("value") * 100).cast("long"))
+      val line = concat(
+        lit("10.0."), expr("user_id div 256").cast("string"), lit("."),
+        (col("user_id") % 256).cast("string"),
+        lit(" - user"), col("user_id").cast("string"),
+        lit(" ["), date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"),
+        lit(" +0000] \"GET /"), col("event_type"), lit("/"),
+        col("event_id").cast("string"), lit(" HTTP/1.1\" "),
+        status.cast("string"), lit(" "), bytes.cast("string"),
+        when(col("event_id") % 5 === 0,
+          concat(lit(" \"http://ref.example/"), col("event_type"),
+            lit("\" \"Mozilla/5.0\""))).otherwise(lit("")))
+      e.select(line.as("value")).coalesce(4)
+        .write.mode("overwrite").text(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "part-corrupt.log"),
+        "garbage line\n3.3.3.3 - - [99/Zzz/2024:00:00:00 +0000] \"GET /x HTTP/1.1\" 200 1\n")
+      val (rows, bad) = graft.sources.Clf.read(s, path)
+      require(bad.count() == 2, "planted corrupt lines must quarantine")
+      rows.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_requests"),
+          sum(col("bytes")).as("total_bytes"),
+          count(col("user_agent")).as("n_combined"),
+          min(col("ts_epoch")).as("min_ts"),
+          max(col("ts_epoch")).as("max_ts"))
     }),
     "q_ingest_shards" -> ((s, dir) => {
       // file-level shard quarantine (Shards.read): stage documents as two
@@ -3792,6 +3836,30 @@ object SparkEntry {
         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
         |)
         |SELECT id, min(r) AS entity_id FROM reach GROUP BY id""".stripMargin,
+    "q_threshold_sweep" ->
+      """WITH s AS (
+        |  SELECT least(1.0, length(text) / 2000.0) AS score, lang = 'en' AS y
+        |  FROM documents
+        |), h AS (
+        |  SELECT least(greatest(CAST(floor(score * 20) AS INT), 0), 19) AS bucket,
+        |         count(CASE WHEN y THEN 1 END) AS pos,
+        |         count(CASE WHEN NOT y THEN 1 END) AS neg
+        |  FROM s GROUP BY 1
+        |), c AS (
+        |  SELECT bucket, pos, neg,
+        |         sum(pos) OVER (ORDER BY bucket DESC) AS tp,
+        |         sum(neg) OVER (ORDER BY bucket DESC) AS fp,
+        |         sum(pos) OVER () - sum(pos) OVER (ORDER BY bucket DESC) AS fn
+        |  FROM h
+        |)
+        |SELECT bucket, CAST(bucket * 1000000 // 20 AS BIGINT) AS threshold_ppm,
+        |       pos, neg, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |       CAST(fn AS BIGINT) AS fn,
+        |       CAST(pos * 1000000 // nullif(pos + neg, 0) AS BIGINT) AS pos_rate_ppm,
+        |       CAST(tp * 1000000 // nullif(tp + fp, 0) AS BIGINT) AS precision_ppm,
+        |       CAST(tp * 1000000 // nullif(tp + fn, 0) AS BIGINT) AS recall_ppm,
+        |       CAST(2 * tp * 1000000 // nullif(2 * tp + fp + fn, 0) AS BIGINT) AS f1_ppm
+        |FROM c""".stripMargin,
     "q_dp_count" ->
       """WITH g AS (
         |  SELECT c_nationkey AS nk, count(*) AS n,
@@ -5340,6 +5408,15 @@ object SparkEntry {
       """SELECT count(*) + 2 AS total_lines, count(*) AS ok_lines,
         |       CAST(2 AS BIGINT) AS corrupt_lines
         |FROM documents""".stripMargin,
+    "q_ingest_clf" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+        |       count(*) AS n_requests,
+        |       CAST(sum(greatest(0, CAST(floor(value * 100) AS BIGINT))) AS BIGINT)
+        |         AS total_bytes,
+        |       CAST(count(CASE WHEN event_id % 5 = 0 THEN 1 END) AS BIGINT) AS n_combined,
+        |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts,
+        |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts
+        |FROM events GROUP BY 1""".stripMargin,
     // the healthy shards together hold exactly the documents table; the
     // corrupt/drifted plants are gated by the require inside the query
     "q_ingest_shards" ->
