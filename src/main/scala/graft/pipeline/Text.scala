@@ -237,6 +237,32 @@ object Text {
     if (lowercase) lower(trimmed) else trimmed
   }
 
+  /** Confusable table (UTS #39-style, bounded): lowercase Cyrillic and
+   * Greek Latin-lookalikes plus the fullwidth ASCII block, paired
+   * position-for-position with their Latin skeletons. Applied AFTER
+   * lower(), so uppercase homoglyphs fold through their own script's
+   * lowercasing first (Cyrillic А → а → a; fullwidth Ａ → ａ → a). */
+  val ConfusablesFrom: String =
+    "аеорсухіјѕһԁѡԛ" + "αικνορτυ" +
+      "ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ０１２３４５６７８９"
+  val ConfusablesTo: String =
+    "aeopcyxijshdwq" + "aikvoptu" + "abcdefghijklmnopqrstuvwxyz0123456789"
+
+  /**
+   * Confusable-skeleton normalization — the dedup-evasion counter: a
+   * spoofed copy that swaps Latin letters for Cyrillic/Greek/fullwidth
+   * homoglyphs (and seasons with zero-width characters) hashes identically
+   * after skeletonization, so exact dedup, minhash shingles and blocklist
+   * matching all see through the disguise. lower() → strip
+   * zero-width/format characters (ZWSP/ZWNJ/ZWJ/WJ/BOM/soft hyphen) →
+   * codepoint translate over the bounded table. Pure built-ins (one
+   * codegen'd pass, no shuffle); DuckDB replays it with the same table.
+   */
+  def confusableSkeleton(text: Column): Column =
+    translate(
+      regexp_replace(lower(text), "[\\u200B\\u200C\\u200D\\u2060\\uFEFF\\u00AD]", ""),
+      ConfusablesFrom, ConfusablesTo)
+
   /** Canonical URL for crawl dedup and domain grouping: scheme/host
    * lowercased, default ports and fragments stripped, utm_/click-id
    * tracking params removed, trailing slash normalized — one codegen'd
