@@ -1121,6 +1121,30 @@ object SparkEntry {
       graft.operators.Linkage.resolveEntities(
         linkageCorpus(s, dir), col("id"), Seq(col("nk")),
         linkageFields, tUpperMicro = 7000000L)),
+    "q_dedup_confusables" -> ((s, dir) => {
+      // homoglyph-spoofed copies (Latin→Cyrillic swap on 5 common letters
+      // for every 9th doc, id + 20000) must collapse onto their originals
+      // under confusable-skeleton dedup; survivors = min id per skeleton
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.where(col("doc_id") % 9 === 0).select(
+        (col("doc_id") + 20000).as("doc_id"),
+        translate(col("text"), "aeopc", "аеорс").as("text")))
+      corpus
+        .select(col("doc_id"),
+          graft.pipeline.Text.confusableSkeleton(col("text")).as("graft_sk"))
+        .groupBy(col("graft_sk")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_pareto_front" -> ((s, dir) =>
+      // multi-objective selection: the 3-D efficient frontier over
+      // (length, two independent pseudo-scores); the two-phase pivot-prune
+      // plan must return EXACTLY the quadratic NOT-EXISTS oracle's rows
+      graft.operators.Skyline.pareto(
+        docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("x"),
+          (col("doc_id") * 37 % 1000).as("y"),
+          (col("doc_id") * 91 % 773).as("z")),
+        Seq(col("x"), col("y"), col("z")), buckets = 16)),
     "q_threshold_sweep" -> ((s, dir) =>
       // operating-point sweep: score = bounded length proxy, label =
       // lang=='en' (fixture semantics — the sweep arithmetic is the
@@ -3836,6 +3860,32 @@ object SparkEntry {
         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
         |)
         |SELECT id, min(r) AS entity_id FROM reach GROUP BY id""".stripMargin,
+    "q_dedup_confusables" ->
+      ("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, translate(text, 'aeopc', 'аеорс')
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), sk AS (
+        |  SELECT doc_id,
+        |         translate(regexp_replace(lower(text),
+        |           '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'),
+        |           '""" + graft.pipeline.Text.ConfusablesFrom + """',
+        |           '""" + graft.pipeline.Text.ConfusablesTo + """') AS s
+        |  FROM corpus
+        |)
+        |SELECT min(doc_id) AS doc_id FROM sk GROUP BY s""").stripMargin,
+    "q_pareto_front" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x, doc_id * 37 % 1000 AS y,
+        |         doc_id * 91 % 773 AS z
+        |  FROM documents
+        |)
+        |SELECT a.doc_id, a.x, a.y, a.z FROM s a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s b
+        |  WHERE b.x >= a.x AND b.y >= a.y AND b.z >= a.z
+        |    AND (b.x > a.x OR b.y > a.y OR b.z > a.z))""".stripMargin,
     "q_threshold_sweep" ->
       """WITH s AS (
         |  SELECT least(1.0, length(text) / 2000.0) AS score, lang = 'en' AS y
