@@ -359,6 +359,74 @@ object Retrieval {
         col("sim").cast("long").as("score_e9"), col("rank"))
   }
 
+  /**
+   * Positional inverted index at `path/postings`: (term, id, positions
+   * sorted array<int>) — the structure exact-phrase and proximity queries
+   * need that the tf-only BM25 index can't answer. Same tokenizer, same
+   * salt-bucketed term-sorted layout (parquet min/max stats keep pruning
+   * the search side's term-IN predicate); positions per (term, doc) are
+   * bounded by that doc's term frequency, so rows stay small even for
+   * stopwords.
+   */
+  def buildPositionalIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, saltBuckets: Int = 16): Unit = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    df.select(col(idCol).cast("long").as("id"), toks(col(textCol)).as("graft_toks"))
+      .select(col("id"), posexplode(col("graft_toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .repartition(col("term"), pmod(hash(col("id")), lit(saltBuckets)))
+      .sortWithinPartitions(col("term"), col("id"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /**
+   * Exact-phrase search over a positional index: (query_id, id,
+   * occurrences) for every document containing the query's token sequence
+   * verbatim, with the exact start-position count.
+   *
+   * Plan: the (guarded-small) query batch explodes to (query_id, i,
+   * term_i) rows; its distinct terms become an IN predicate pruning the
+   * postings scan's row groups BEFORE the broadcast join; each joined
+   * posting shifts its positions by −i, and a phrase occurrence at start
+   * p is exactly p surviving the intersection of all m shifted lists —
+   * counted per (query, doc) after requiring all m term slots matched.
+   * The intersection folds over ≤ m collected position arrays (bounded by
+   * the doc's tf), never over documents. Duplicate phrase terms are
+   * handled by slot counting, not term counting.
+   */
+  def phraseSearch(
+      spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, phraseCol: String,
+      maxBroadcastQueries: Int = Similarity.MaxBroadcastQueries): DataFrame = {
+    Similarity.requireBroadcastable(queries, maxBroadcastQueries, "phraseSearch")
+    val q = queries
+      .select(col(qidCol).cast("long").as("query_id"), toks(col(phraseCol)).as("graft_ts"))
+      .withColumn("graft_m", size(col("graft_ts")))
+      .where(col("graft_m") >= 1)
+    val qTerms = q.select(col("query_id"), col("graft_m"),
+      posexplode(col("graft_ts")).as(Seq("graft_i", "term")))
+    val termList = qTerms.select(col("term")).distinct().collect().map(_.getString(0))
+    if (termList.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, id BIGINT, occurrences INT"))
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(termList.toSeq: _*))
+    postings.join(broadcast(qTerms), Seq("term"))
+      .select(col("query_id"), col("id"), col("graft_m"),
+        transform(col("positions"), p => p - col("graft_i")).as("graft_sh"))
+      .groupBy(col("query_id"), col("id"), col("graft_m"))
+      .agg(count(lit(1)).as("graft_slots"),
+        collect_list(col("graft_sh")).as("graft_arrs"))
+      .where(col("graft_slots") === col("graft_m"))
+      .select(col("query_id"), col("id"),
+        size(expr("aggregate(slice(graft_arrs, 2, size(graft_arrs) - 1), " +
+          "graft_arrs[0], (acc, x) -> array_intersect(acc, x))")).as("occurrences"))
+      .where(col("occurrences") > 0)
+  }
+
   /** Rank one retrieval list for [[rrfFuse]]: 1-based rank per query by
    * (score desc, id asc) — the id tie-break makes ranks a pure function of
    * the (query_id, id, score) set, so fusion stays reproducible. The

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Positional phrase search: exact occurrence counts (overlaps included),
+ * duplicate-term phrases, slot counting vs term counting, and scan-side
+ * term pruning. */
+class PhraseSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def index(docs: Seq[(Long, String)]): String = {
+    val path = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    Retrieval.buildPositionalIndex(docs.toDF("id", "text"), "id", "text", path)
+    path
+  }
+
+  private def search(path: String, qs: Seq[(Long, String)]) =
+    Retrieval.phraseSearch(spark, path, qs.toDF("qid", "p"), "qid", "p")
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("counts every start position, overlapping matches included") {
+    val path = index(Seq(
+      (1L, "a a a a"), (2L, "the quick brown fox"), (3L, "quick brown shoes"),
+      (4L, "The QUICK brown fox and the quick brown dog")))
+    assert(search(path, Seq((10L, "a a"))) == Set((10L, 1L, 3)))
+    assert(search(path, Seq((11L, "quick brown"))) ==
+      Set((11L, 2L, 1), (11L, 3L, 1), (11L, 4L, 2))) // case-folded, twice in doc 4
+    assert(search(path, Seq((12L, "brown fox"), (13L, "quick brown fox"))) ==
+      Set((12L, 2L, 1), (12L, 4L, 1), (13L, 2L, 1), (13L, 4L, 1)))
+    // all terms present but never adjacent → no hit
+    assert(search(path, Seq((14L, "fox quick"))).isEmpty)
+    // term absent entirely → no hit, and single-token phrase = tf positions
+    assert(search(path, Seq((15L, "zebra"))).isEmpty)
+    assert(search(path, Seq((16L, "a"))) == Set((16L, 1L, 4)))
+  }
+
+  test("duplicate-term phrases count slots, not distinct terms") {
+    val path = index(Seq((1L, "x y x y x"), (2L, "x y z")))
+    assert(search(path, Seq((1L, "x y x"))) == Set((1L, 1L, 2)))
+    // doc 2 has x and y but not the second x slot's adjacency
+    assert(search(path, Seq((2L, "y x y"))) == Set((2L, 1L, 1)))
+  }
+
+  test("query terms prune the postings scan") {
+    val path = index(Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")))
+    val df = Retrieval.phraseSearch(spark, path,
+      Seq((1L, "alpha beta")).toDF("qid", "p"), "qid", "p")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term IN not pushed to the postings scan:\n$plan")
+  }
+}
