@@ -208,4 +208,62 @@ object DatasetChecks {
         col("expected_ppm"))
       .withColumn("deviation_ppm", abs(col("observed_ppm") - col("expected_ppm")))
   }
+
+  /**
+   * Mutual information between two categorical columns — the
+   * feature-relevance / leakage detector: MI(label, metadata) near H
+   * means the metadata GIVES AWAY the label (train/test leakage through
+   * a join key, a source column that determines the class); MI near 0
+   * means independent. Numeric columns should be bucketed by the caller
+   * (floor/width or [[graft.functions.LogHistogram]] buckets) — the cell
+   * census is bounded by |X|·|Y|, and that bound is the caller's choice.
+   *
+   * Fixed-point contract (the [[graft.pipeline.Lm]] discipline): each
+   * cell's MI term and each marginal's entropy term computes in one fixed
+   * IEEE order and floors to 1e-9 units BEFORE the order-independent
+   * integer sum, so the report hash-matches any engine. NULL is a
+   * category (grouped, not dropped — a null-correlated label is exactly
+   * the leak you want caught). One census aggregate, two marginal
+   * aggregates, joins on the marginal keys; nothing quadratic, nothing
+   * collected.
+   *
+   * Returns one row: (n, x_values, y_values, cells, mi_e9, hx_e9, hy_e9,
+   * nmi_ppm = 2·MI/(Hx+Hy) — 0 when both entropies are 0).
+   */
+  def mutualInformation(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.select(xCol.cast("string").as("graft_x"), yCol.cast("string").as("graft_y"))
+      .groupBy(col("graft_x"), col("graft_y")).agg(count(lit(1)).as("graft_nxy"))
+    // marginal keys renamed + null-SAFE join conditions: NULL is a real
+    // category here and a plain equi-join would silently drop its cells
+    val mx = cells.groupBy(col("graft_x")).agg(sum(col("graft_nxy")).as("graft_nx"))
+      .withColumnRenamed("graft_x", "graft_xk")
+    val my = cells.groupBy(col("graft_y")).agg(sum(col("graft_nxy")).as("graft_ny"))
+      .withColumnRenamed("graft_y", "graft_yk")
+    val tot = cells.agg(sum(col("graft_nxy")).as("graft_n"))
+    val nn = col("graft_n").cast("double")
+    val nxy = col("graft_nxy").cast("double")
+    val nx = col("graft_nx").cast("double")
+    val ny = col("graft_ny").cast("double")
+    val miTerm = floor((nxy / nn) * log((nxy * nn) / (nx * ny)) * lit(1e9))
+    val joined = cells
+      .join(mx, col("graft_x") <=> col("graft_xk"))
+      .join(my, col("graft_y") <=> col("graft_yk"))
+      .crossJoin(broadcast(tot))
+    val mi = joined.agg(
+      max(col("graft_n")).as("n"),
+      count(lit(1)).as("cells"),
+      sum(miTerm).as("mi_e9"))
+    def entropy(m: DataFrame, nCol: Column, values: String, out: String) =
+      m.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as(values),
+          sum(floor(-(nCol.cast("double") / nn) *
+            log(nCol.cast("double") / nn) * lit(1e9))).as(out))
+    val hx = entropy(mx, col("graft_nx"), "x_values", "hx_e9")
+    val hy = entropy(my, col("graft_ny"), "y_values", "hy_e9")
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(col("n"), col("x_values"), col("y_values"), col("cells"),
+        col("mi_e9"), col("hx_e9"), col("hy_e9"),
+        coalesce(expr("2 * mi_e9 * 1000000L div nullif(hx_e9 + hy_e9, 0L)"), lit(0L))
+          .as("nmi_ppm"))
+  }
 }

@@ -80,4 +80,41 @@ class DatasetChecksSpec extends AnyFunSuite {
     assert(r("b") == ((3L, 1L, 333333L)))
     assert(r("c") == ((3L, 2L, 666666L)))
   }
+
+  private def miRow(df: org.apache.spark.sql.DataFrame) = {
+    val r = DatasetChecks.mutualInformation(df, col("x"), col("y")).collect()(0)
+    (r.getAs[Long]("n"), r.getAs[Long]("cells"), r.getAs[Long]("mi_e9"),
+      r.getAs[Long]("hx_e9"), r.getAs[Long]("hy_e9"), r.getAs[Long]("nmi_ppm"))
+  }
+
+  test("mutualInformation: dependent columns hit NMI 1e6, independent hit 0") {
+    // y == x: MI = H(x) = H(y) exactly (same doubles, same floors)
+    val dep = (0 until 90).map(i => (s"c${i % 3}", s"c${i % 3}")).toDF("x", "y")
+    val (n, cells, mi, hx, hy, nmi) = miRow(dep)
+    assert(n == 90L && cells == 3L && mi == hx && hx == hy && nmi == 1000000L)
+    assert(math.abs(mi / 1e9 - math.log(3.0)) < 1e-6) // uniform 3-way entropy
+    // x and y independent and balanced: every cell term is ln(1) = 0
+    val ind = (0 until 80).map(i => (s"a${i % 2}", s"b${(i / 2) % 2}")).toDF("x", "y")
+    val (_, c2, mi2, hx2, _, nmi2) = miRow(ind)
+    assert(c2 == 4L && mi2 == 0L && nmi2 == 0L)
+    assert(math.abs(hx2 / 1e9 - math.log(2.0)) < 1e-6)
+  }
+
+  test("mutualInformation: scalar cross-check with the exact flooring, nulls are a category") {
+    val df = Seq(("en", "web"), ("en", "web"), ("en", "books"),
+      ("de", "web"), (null, "books"), (null, "books")).toDF("x", "y")
+    val (n, cells, mi, hx, hy, _) = miRow(df)
+    assert(n == 6L && cells == 4L) // (en,web) (en,books) (de,web) (null,books)
+    def term(nxy: Long, nx: Long, ny: Long, nn: Long): Long =
+      math.floor((nxy.toDouble / nn) *
+        math.log((nxy.toDouble * nn) / (nx.toDouble * ny)) * 1e9).toLong
+    val expMi = term(2, 3, 3, 6) + term(1, 3, 3, 6) + term(1, 1, 3, 6) + term(2, 2, 3, 6)
+    assert(mi == expMi, s"mi=$mi expected=$expMi")
+    def ent(ns: Seq[Long], nn: Long): Long = ns.map(k =>
+      math.floor(-(k.toDouble / nn) * math.log(k.toDouble / nn) * 1e9).toLong).sum
+    assert(hx == ent(Seq(3, 1, 2), 6) && hy == ent(Seq(3, 3), 6))
+    // constant columns: zero entropy, zero MI, guarded NMI
+    val const = Seq(("k", "k"), ("k", "k")).toDF("x", "y")
+    assert(miRow(const) == ((2L, 1L, 0L, 0L, 0L, 0L)))
+  }
 }
