@@ -65,6 +65,10 @@ object Soak {
     // (a full nearDupClusters pass), CDC chunk join, HITS
     "q_fuzzy_join", "q_fuzzy_crosscorpus", "q_leakage_split", "q_cdc_dedup",
     "q_hits",
+    // r12 second wave: blocked record linkage + CC entity resolution,
+    // host-level mirror LSH, skyline's prune-then-finish joins
+    "q_record_linkage", "q_entity_resolution", "q_mirror_hosts",
+    "q_pareto_front",
     // layout
     "q_zorder")
 

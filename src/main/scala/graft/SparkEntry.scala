@@ -120,6 +120,13 @@ object SparkEntry {
    * measures steady-state batch retrieval (the build is q_bm25_index_build's
    * job — conflating them hid search regressions behind the ~4 s build). */
   private val bm25IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val posIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def posIndexFor(s: SparkSession, dir: String): String =
+    posIndexCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_q_pos_idx").toString
+      graft.pipeline.Retrieval.buildPositionalIndex(docs(s, dir), "doc_id", "text", path)
+      path
+    })
   /** Half-corpus base index for q_bm25_append (the other half appends). */
   private val bm25AppendCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** One trained unigram tokenizer per (process, sf dir): q_unigram_tokens
@@ -194,6 +201,19 @@ object SparkEntry {
     c.unionAll(dropped).unionAll(moved)
   }
 
+  /** Two nation-scoped balance-grid blocking passes: width-2 grids offset
+   * by 1, so ANY pair with |Δbal| ≤ 1 — which includes every pair that
+   * can score as a match (bal agreement requires it) — is guaranteed to
+   * share a key in one of the passes (two interleaved grids can't both
+   * put a length-1 interval across a boundary). ~25 × 5,500 block values
+   * keep per-block sizes near-constant as the corpus grows, unlike bare
+   * nationkey whose fixed 25-block fan-out went quadratic at the 10×
+   * soak; multi-pass union semantics get exercised for real. */
+  private def linkageBlockKeys = Seq(
+    struct(col("nk"), floor(col("bal") / 2)),
+    struct(col("nk"), floor((col("bal") + 1) / 2)))
+
+  private[graft] def testLinkageFields = linkageFields
   private def linkageFields = Seq(
     graft.operators.Linkage.LinkField("name", col("name"),
       (a, b) => levenshtein(a, b) <= 1, 4000000L, -3000000L),
@@ -1107,7 +1127,7 @@ object SparkEntry {
       import graft.operators.Linkage
       val out = Linkage.classify(
         Linkage.scoredPairs(linkageCorpus(s, dir), col("id"),
-          Seq(col("nk")), linkageFields),
+          linkageBlockKeys, linkageFields),
         tUpperMicro = 7000000L, tLowerMicro = 3000000L)
       out.where(col("decision") =!= "nonmatch")
         .select(col("id_a"), col("id_b"), col("name_agree"),
@@ -1119,8 +1139,34 @@ object SparkEntry {
       // min-label components; the oracle closes the same match set with a
       // recursive CTE — transitivity included, not assumed
       graft.operators.Linkage.resolveEntities(
-        linkageCorpus(s, dir), col("id"), Seq(col("nk")),
+        linkageCorpus(s, dir), col("id"), linkageBlockKeys,
         linkageFields, tUpperMicro = 7000000L)),
+    "q_mutual_information" -> ((s, dir) =>
+      // leakage/relevance check: MI(lang, source) with the fixed-point ln
+      // contract — every cell term and entropy term refloored identically
+      // by the oracle
+      graft.rules.DatasetChecks.mutualInformation(
+        docs(s, dir), col("lang"), col("source"))),
+    "q_gap_fill" -> ((s, dir) =>
+      // 6-hour per-user grid over the sparse event stream, LOCF-filled;
+      // max is the bucket reducer (order-independent → hash-exact), and
+      // the oracle rebuilds grid, join and carry-forward with window SQL
+      graft.operators.GapFill.gapFill(
+        events(s, dir), col("user_id"), col("ts"), col("value"),
+        stepSeconds = 21600L, fill = "locf")),
+    "q_phrase_search" -> ((s, dir) => {
+      // exact-phrase retrieval over the positional index: queries are the
+      // first 3 tokens of docs 3/17/29; the oracle scans every doc's token
+      // array for verbatim adjacency, overlaps included
+      val idx = posIndexFor(s, dir)
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= lit(""))
+      val queries = docs(s, dir)
+        .where(col("doc_id").isin(3L, 17L, 29L))
+        .select(col("doc_id").as("qid"), toks.as("graft_ts"))
+        .where(size(col("graft_ts")) >= 3)
+        .select(col("qid"), concat_ws(" ", slice(col("graft_ts"), 1, 3)).as("p"))
+      graft.pipeline.Retrieval.phraseSearch(s, idx, queries, "qid", "p")
+    }),
     "q_dedup_confusables" -> ((s, dir) => {
       // homoglyph-spoofed copies (Latin→Cyrillic swap on 5 common letters
       // for every 9th doc, id + 20000) must collapse onto their originals
@@ -3832,6 +3878,8 @@ object SparkEntry {
         |            + CASE WHEN abs(a.bal - b.bal) <= 1.0 THEN 3000000 ELSE -400000 END
         |           AS BIGINT) AS score_micro
         |  FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
+        |   AND (floor(a.bal / 2) = floor(b.bal / 2)
+        |     OR floor((a.bal + 1) / 2) = floor((b.bal + 1) / 2))
         |)
         |SELECT id_a, id_b, name_agree, segment_agree, bal_agree, score_micro,
         |       CASE WHEN score_micro >= 7000000 THEN 'match' ELSE 'possible' END AS decision
@@ -3850,6 +3898,8 @@ object SparkEntry {
         |), m AS (
         |  SELECT a.id AS id_a, b.id AS id_b
         |  FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
+        |   AND (floor(a.bal / 2) = floor(b.bal / 2)
+        |     OR floor((a.bal + 1) / 2) = floor((b.bal + 1) / 2))
         |  WHERE levenshtein(a.name, b.name) <= 1 AND a.seg = b.seg
         |    AND abs(a.bal - b.bal) <= 1.0
         |), edges AS (
@@ -3860,6 +3910,69 @@ object SparkEntry {
         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
         |)
         |SELECT id, min(r) AS entity_id FROM reach GROUP BY id""".stripMargin,
+    "q_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT lang AS x, source AS y, count(*) AS nxy FROM documents GROUP BY 1, 2
+        |), mx AS (SELECT x, sum(nxy) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT y, sum(nxy) AS ny FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        |  SELECT max(n) AS n, count(*) AS cells,
+        |         sum(CAST(floor((CAST(nxy AS DOUBLE) / n)
+        |               * ln((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny))
+        |               * 1e9) AS BIGINT)) AS mi_e9
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        |), hx AS (
+        |  SELECT count(*) AS x_values,
+        |         sum(CAST(floor(-(CAST(nx AS DOUBLE) / n)
+        |               * ln(CAST(nx AS DOUBLE) / n) * 1e9) AS BIGINT)) AS hx_e9
+        |  FROM mx CROSS JOIN tot
+        |), hy AS (
+        |  SELECT count(*) AS y_values,
+        |         sum(CAST(floor(-(CAST(ny AS DOUBLE) / n)
+        |               * ln(CAST(ny AS DOUBLE) / n) * 1e9) AS BIGINT)) AS hy_e9
+        |  FROM my CROSS JOIN tot
+        |)
+        |SELECT n, x_values, y_values, cells,
+        |       CAST(mi_e9 AS BIGINT) AS mi_e9, CAST(hx_e9 AS BIGINT) AS hx_e9,
+        |       CAST(hy_e9 AS BIGINT) AS hy_e9,
+        |       CAST(coalesce(2 * mi_e9 * 1000000 // nullif(hx_e9 + hy_e9, 0), 0)
+        |            AS BIGINT) AS nmi_ppm
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+    "q_gap_fill" ->
+      """WITH a AS (
+        |  SELECT user_id AS key,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 21600 * 21600 AS bucket_ts,
+        |         max(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT key, unnest(range(lo, hi + 21600, 21600)) AS bucket_ts
+        |  FROM (SELECT key, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM a GROUP BY 1)
+        |), j AS (
+        |  SELECT g.key, g.bucket_ts, a.v, a.v IS NULL AS filled
+        |  FROM g LEFT JOIN a USING (key, bucket_ts)
+        |)
+        |SELECT key, bucket_ts,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket_ts)
+        |         AS value,
+        |       filled
+        |FROM j""".stripMargin,
+    "q_phrase_search" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     t -> t != '') AS w
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id AS query_id, w[1:3] AS p FROM w
+        |  WHERE doc_id IN (3, 17, 29) AND len(w) >= 3
+        |), m AS (
+        |  SELECT q.query_id, w.doc_id AS id,
+        |         CAST(len([i for i in range(1, len(w.w) - 1)
+        |                   if w.w[i:i+2] = q.p]) AS INT) AS occurrences
+        |  FROM q, w
+        |)
+        |SELECT query_id, id, occurrences FROM m WHERE occurrences > 0""".stripMargin,
     "q_dedup_confusables" ->
       ("""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
