@@ -1141,6 +1141,30 @@ object SparkEntry {
       graft.operators.Linkage.resolveEntities(
         linkageCorpus(s, dir), col("id"), linkageBlockKeys,
         linkageFields, tUpperMicro = 7000000L)),
+    "q_bot_detection" -> ((s, dir) => {
+      // traffic profiling: organic per-user clients from events, plus a
+      // planted 60s-metronome (undeclared) and a declared spider; the
+      // oracle replays the lag-window gaps and exact cv² arithmetic
+      val e = events(s, dir)
+      val organic = e.select(
+        concat(lit("u"), col("user_id").cast("string")).as("client"),
+        unix_timestamp(col("ts")).as("te"),
+        concat(lit("/"), col("event_type")).as("path"),
+        when(col("event_type") === "error", lit(500)).otherwise(lit(200)).as("st"),
+        lit("Mozilla/5.0").as("ua"))
+      val metronome = e.where(col("event_id") % 5 === 0).select(
+        lit("bot-1").as("client"),
+        (lit(1704067200L) + expr("event_id div 5") * 60).as("te"),
+        concat(lit("/page"), (col("event_id") % 7).cast("string")).as("path"),
+        lit(200).as("st"), lit("cron/1.0").as("ua"))
+      val spider = e.where(col("event_id") % 11 === 0).select(
+        lit("spider-9").as("client"), unix_timestamp(col("ts")).as("te"),
+        concat(lit("/"), col("event_type")).as("path"),
+        lit(200).as("st"), lit("FancySpider/2.0").as("ua"))
+      graft.pipeline.Traffic.botReport(
+        organic.unionAll(metronome).unionAll(spider),
+        col("client"), col("te"), col("path"), col("st"), col("ua"))
+    }),
     "q_mutual_information" -> ((s, dir) =>
       // leakage/relevance check: MI(lang, source) with the fixed-point ln
       // contract — every cell term and entropy term refloored identically
@@ -3910,6 +3934,56 @@ object SparkEntry {
         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
         |)
         |SELECT id, min(r) AS entity_id FROM reach GROUP BY id""".stripMargin,
+    "q_bot_detection" ->
+      """WITH t AS (
+        |  SELECT 'u' || user_id AS client, CAST(floor(epoch(ts)) AS BIGINT) AS te,
+        |         '/' || event_type AS path,
+        |         CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS st,
+        |         'Mozilla/5.0' AS ua
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'bot-1', 1704067200 + (event_id // 5) * 60,
+        |         '/page' || (event_id % 7), 200, 'cron/1.0'
+        |  FROM events WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'spider-9', CAST(floor(epoch(ts)) AS BIGINT), '/' || event_type,
+        |         200, 'FancySpider/2.0'
+        |  FROM events WHERE event_id % 11 = 0
+        |), g AS (
+        |  SELECT client, path, st, ua,
+        |         te - lag(te) OVER (PARTITION BY client ORDER BY te, path) AS gap
+        |  FROM t
+        |), a AS (
+        |  SELECT client, count(*) AS n_requests,
+        |         count(DISTINCT path) AS distinct_paths,
+        |         count(CASE WHEN path = '/robots.txt' THEN 1 END) AS robots_hits,
+        |         count(CASE WHEN st >= 400 THEN 1 END) AS errors,
+        |         bool_or(regexp_matches(ua,
+        |           '(?i)(bot|crawler|spider|scrapy|curl|wget|python-requests)'))
+        |           AS declared_bot,
+        |         count(gap) AS m, sum(gap) AS s, sum(gap * gap) AS s2
+        |  FROM g GROUP BY 1
+        |), r AS (
+        |  SELECT client, n_requests, distinct_paths, robots_hits,
+        |         CAST(errors * 1000000 // nullif(n_requests, 0) AS BIGINT) AS err_ppm,
+        |         declared_bot,
+        |         CASE WHEN m >= 1
+        |           THEN CAST(floor(s / m) AS BIGINT) END AS mean_gap_s,
+        |         CASE WHEN s > 0
+        |           THEN CAST(floor((CAST(m AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
+        |                  / (CAST(s AS DOUBLE) * s) * 1e6) AS BIGINT) END AS cv2_ppm
+        |  FROM a
+        |)
+        |SELECT client, n_requests, distinct_paths, robots_hits, err_ppm,
+        |       declared_bot, mean_gap_s, cv2_ppm,
+        |       coalesce(cv2_ppm <= 10000 AND n_requests >= 10, false) AS metronomic,
+        |       coalesce(mean_gap_s < 2 AND n_requests >= 30, false) AS hammering,
+        |       CAST(CASE WHEN declared_bot THEN 500000 ELSE 0 END
+        |          + CASE WHEN coalesce(cv2_ppm <= 10000 AND n_requests >= 10, false)
+        |                 THEN 300000 ELSE 0 END
+        |          + CASE WHEN coalesce(mean_gap_s < 2 AND n_requests >= 30, false)
+        |                 THEN 200000 ELSE 0 END AS BIGINT) AS bot_score_ppm
+        |FROM r""".stripMargin,
     "q_mutual_information" ->
       """WITH cells AS (
         |  SELECT lang AS x, source AS y, count(*) AS nxy FROM documents GROUP BY 1, 2

@@ -33,6 +33,12 @@ class ConfusablesSpec extends AnyFunSuite {
     assert(sk("блог") == "блoг") // only о maps; б л г are not Latin lookalikes
   }
 
+  test("SQL face: confusable_skeleton callable from spark.sql") {
+    graft.functions.Registry.registerAll(spark)
+    assert(spark.sql("SELECT confusable_skeleton('раypаl')").as[String].collect()(0)
+      == "paypal")
+  }
+
   test("spoofed copies collapse with originals under skeleton dedup") {
     val docs = Seq((1L, "free money at example"), (2L, "normal document here"))
       .toDF("doc_id", "text")
