@@ -1191,6 +1191,21 @@ object SparkEntry {
         .select(col("qid"), concat_ws(" ", slice(col("graft_ts"), 1, 3)).as("p"))
       graft.pipeline.Retrieval.phraseSearch(s, idx, queries, "qid", "p")
     }),
+    "q_proximity_search" -> ((s, dir) => {
+      // NEAR/slop retrieval: each query pairs a doc's 1st and 5th token,
+      // slop 8 around the anchor; the oracle enumerates both terms'
+      // positions per doc and counts witnessing anchors
+      val idx = posIndexFor(s, dir)
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= lit(""))
+      val queries = docs(s, dir)
+        .where(col("doc_id").isin(5L, 23L))
+        .select(col("doc_id").as("qid"), toks.as("graft_ts"))
+        .where(size(col("graft_ts")) >= 5)
+        .select(col("qid"),
+          concat_ws(" ", element_at(col("graft_ts"), 1),
+            element_at(col("graft_ts"), 5)).as("p"))
+      graft.pipeline.Retrieval.proximitySearch(s, idx, queries, "qid", "p", slop = 8)
+    }),
     "q_dedup_confusables" -> ((s, dir) => {
       // homoglyph-spoofed copies (Latin→Cyrillic swap on 5 common letters
       // for every 9th doc, id + 20000) must collapse onto their originals
@@ -4047,6 +4062,30 @@ object SparkEntry {
         |  FROM q, w
         |)
         |SELECT query_id, id, occurrences FROM m WHERE occurrences > 0""".stripMargin,
+    "q_proximity_search" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     t -> t != '') AS w
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id AS query_id, w[1] AS t0, w[5] AS t1 FROM w
+        |  WHERE doc_id IN (5, 23) AND len(w) >= 5
+        |), m AS (
+        |  SELECT q.query_id, d.doc_id AS id, q.t0, q.t1,
+        |         [i for i in range(1, len(d.w) + 1) if d.w[i] = q.t0] AS ps0,
+        |         [j for j in range(1, len(d.w) + 1) if d.w[j] = q.t1] AS ps1
+        |  FROM q, w d
+        |), c AS (
+        |  SELECT query_id, id,
+        |         CAST(CASE WHEN t0 = t1 THEN len(ps0)
+        |              ELSE len([p0 for p0 in ps0
+        |                        if len([pj for pj in ps1
+        |                                if abs(pj - p0) <= 8]) > 0]) END AS INT)
+        |           AS anchors
+        |  FROM m
+        |)
+        |SELECT query_id, id, anchors FROM c WHERE anchors > 0""".stripMargin,
     "q_dedup_confusables" ->
       ("""WITH corpus AS (
         |  SELECT doc_id, text FROM documents

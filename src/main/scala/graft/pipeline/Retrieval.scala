@@ -427,6 +427,55 @@ object Retrieval {
       .where(col("occurrences") > 0)
   }
 
+  /**
+   * Proximity (NEAR/slop) search over the positional index: documents
+   * where EVERY query term occurs within `slop` token positions of some
+   * occurrence of the first term (the anchor) — unordered, the classic
+   * NEAR operator. Returns (query_id, id, anchors): how many anchor
+   * positions witness the co-occurrence (0 rows when none).
+   *
+   * Same plan as [[phraseSearch]] up to the per-(query, doc) grouping;
+   * the proximity test folds over the slot-ordered position arrays with
+   * array HOFs — cost bounded by the document's term frequencies, never
+   * by the corpus. Slot order is pinned by sorting the collected
+   * (slot, positions) structs, so the anchor is deterministically the
+   * query's first token.
+   */
+  def proximitySearch(
+      spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, termsCol: String, slop: Int,
+      maxBroadcastQueries: Int = Similarity.MaxBroadcastQueries): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    Similarity.requireBroadcastable(queries, maxBroadcastQueries, "proximitySearch")
+    val q = queries
+      .select(col(qidCol).cast("long").as("query_id"),
+        array_distinct(toks(col(termsCol))).as("graft_ts"))
+      .withColumn("graft_m", size(col("graft_ts")))
+      .where(col("graft_m") >= 1)
+    val qTerms = q.select(col("query_id"), col("graft_m"),
+      posexplode(col("graft_ts")).as(Seq("graft_i", "term")))
+    val termList = qTerms.select(col("term")).distinct().collect().map(_.getString(0))
+    if (termList.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, id BIGINT, anchors INT"))
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(termList.toSeq: _*))
+    postings.join(broadcast(qTerms), Seq("term"))
+      .groupBy(col("query_id"), col("id"), col("graft_m"))
+      .agg(count(lit(1)).as("graft_slots"),
+        array_sort(collect_list(struct(col("graft_i"), col("positions"))))
+          .as("graft_sl"))
+      .where(col("graft_slots") === col("graft_m"))
+      .select(col("query_id"), col("id"),
+        size(filter(col("graft_sl")(0)("positions"), p0 =>
+          forall(slice(col("graft_sl"), lit(2), size(col("graft_sl")) - 1), sl =>
+            exists(sl("positions"), pj =>
+              abs(pj - p0) <= slop)))).as("anchors"))
+      .where(col("anchors") > 0)
+  }
+
   /** Rank one retrieval list for [[rrfFuse]]: 1-based rank per query by
    * (score desc, id asc) — the id tie-break makes ranks a pure function of
    * the (query_id, id, score) set, so fusion stays reproducible. The

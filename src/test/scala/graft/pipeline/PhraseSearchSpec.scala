@@ -44,6 +44,38 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(search(path, Seq((2L, "y x y"))) == Set((2L, 1L, 1)))
   }
 
+  private def near(path: String, qs: Seq[(Long, String)], slop: Int) =
+    Retrieval.proximitySearch(spark, path, qs.toDF("qid", "p"), "qid", "p", slop)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("proximity: anchored NEAR semantics, slop boundary inclusive, unordered") {
+    val path = index(Seq(
+      (1L, "alpha x x x beta"), // distance 4
+      (2L, "beta x alpha"), // distance 2, reversed order
+      (3L, "alpha x x x x x beta"), // distance 6
+      (4L, "alpha only here")))
+    assert(near(path, Seq((1L, "alpha beta")), 4) ==
+      Set((1L, 1L, 1), (1L, 2L, 1)))
+    assert(near(path, Seq((2L, "alpha beta")), 6) ==
+      Set((2L, 1L, 1), (2L, 2L, 1), (2L, 3L, 1)))
+    assert(near(path, Seq((3L, "alpha beta")), 1).isEmpty)
+    // single-term query degenerates to tf positions
+    assert(near(path, Seq((4L, "alpha")), 0) ==
+      Set((4L, 1L, 1), (4L, 2L, 1), (4L, 3L, 1), (4L, 4L, 1)))
+  }
+
+  test("proximity: every anchor witnessing ALL terms counts; missing term kills the doc") {
+    val path = index(Seq(
+      (1L, "a b c a b c a"), // anchors for (a,b,c) at slop 2: every a
+      (2L, "a x x x x b c")))
+    assert(near(path, Seq((1L, "a b c")), 2) == Set((1L, 1L, 3)))
+    // doc 2: anchor a sits 5 from b and 6 from c — slop 6 is the first
+    // window containing BOTH witnesses
+    assert(near(path, Seq((2L, "a b c")), 5).map(_._2) == Set(1L))
+    assert(near(path, Seq((3L, "a b c")), 6).map(_._2) == Set(1L, 2L))
+    assert(near(path, Seq((4L, "a b zebra")), 99).isEmpty)
+  }
+
   test("query terms prune the postings scan") {
     val path = index(Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")))
     val df = Retrieval.phraseSearch(spark, path,
