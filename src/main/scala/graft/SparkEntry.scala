@@ -621,6 +621,21 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("events"),
           col("session_start"), col("duration"))
     }),
+    "q_interval_attribution" -> ((s, dir) => {
+      // batch face of StreamingJoin.intervalJoin (same column algebra the
+      // streaming parity spec pins): every purchase attributed to the
+      // same user's clicks in the preceding hour
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.streaming.StreamingJoin.intervalJoin(
+          clicks, buys, "user_id", "ts", "ts", "1 hour")
+        .select(col("l_user_id").as("user_id"),
+          col("l_event_id").as("click_id"), col("r_event_id").as("buy_id"),
+          col("r_value").as("amount"))
+    }),
     "q_heavy_hitters" -> ((s, dir) => {
       // misra-gries sketch: EXACT when distinct values fit in k (3 flags < 10),
       // so the DuckDB group-by is a strict oracle
@@ -1046,6 +1061,25 @@ object SparkEntry {
           graft.pipeline.Text.htmlCanonical(html).as("canonical"))
         .groupBy(col("canonical")).agg(count(lit(1)).as("variants"))
     }),
+    "q_html_robots" -> ((s, dir) => {
+      // page-level robots directives: five planted variants (generic tag,
+      // none, agent-specific, absent, uppercase) keyed on doc_id % 5; the
+      // oracle recomputes both flags from the arithmetic
+      val id = col("doc_id")
+      val tag = element_at(array(
+        lit("<meta name=\"robots\" content=\"noindex, follow\">"),
+        lit("<meta name=\"robots\" content=\"none\">"),
+        lit("<meta name=\"googlebot\" content=\"nofollow\">"),
+        lit(""),
+        lit("<meta name=\"ROBOTS\" content=\" NOFOLLOW \">")),
+        (id % 5 + 1).cast("int"))
+      val html = concat(lit("<html><head><title>t</title>"), tag,
+        lit("</head><body><p>x</p></body></html>"))
+      docs(s, dir).select(id.as("doc_id"),
+          graft.pipeline.Text.htmlRobotsDirectives(html, agent = "googlebot").as("d"))
+        .select(col("doc_id"), col("d.noindex").as("noindex"),
+          col("d.nofollow").as("nofollow"))
+    }),
     "q_html_meta" -> ((s, dir) => {
       // title + meta extraction through the real one-pass parser (script
       // decoy title, entity in the real title, charset meta without a key
@@ -1133,6 +1167,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("name_agree"),
           col("segment_agree"), col("bal_agree"), col("score_micro"),
           col("decision"))
+    }),
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      // merge/purge blocking: the dirty customer file ordered by name —
+      // char-dropped copies sort next to their originals even though no
+      // equality key survives the typo; DuckDB replays the exact global
+      // (name, id) rank and the rank-distance-< 3 pairing
+      graft.operators.Linkage.sortedNeighborhood(
+        linkageCorpus(s, dir), col("id"), col("name"), window = 3)
     }),
     "q_entity_resolution" -> ((s, dir) =>
       // match pairs (all three fields agreeing) collapse to entities via
@@ -1280,6 +1322,16 @@ object SparkEntry {
       graft.pipeline.Dedup.minhashNearDups(
           nearDupCorpus(s, dir), col("doc_id"), col("text"), shingleSize = 3, threshold = 0.7)
         .select(col("id_a"), col("id_b"))
+    }),
+    "q_similarity_join" -> ((s, dir) => {
+      // EXACT trigram-shingle Jaccard pairs via prefix filtering (AllPairs)
+      // over the planted near-dup corpus — the same ≥ 0.7 pair universe the
+      // minhash LSH finds probabilistically, here with zero misses by
+      // construction; DuckDB computes true all-pairs, so a single missed
+      // candidate (prefix too short) or extra pair fails hash
+      graft.pipeline.PrefixJoin.similarityJoin(
+        nearDupCorpus(s, dir), col("doc_id"),
+        graft.pipeline.Text.shingles(col("text"), 3), threshold = 0.7)
     }),
     "q_dedup_crosscorpus" -> ((s, dir) => {
       // new-crawl-vs-reference attribution: the mutated slice plays the
@@ -3304,6 +3356,13 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1",
+    "q_interval_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+        |       b.value AS amount
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') b
+        |  ON c.user_id = b.user_id
+        | AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 1 HOUR""".stripMargin,
     "q_asof_join" ->
       """SELECT c.event_id, v.value AS view_value
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
@@ -3785,6 +3844,11 @@ object SparkEntry {
       """SELECT concat('https://a.com/article/', CAST(doc_id // 5 AS VARCHAR)) AS canonical,
         |       CAST(count(*) AS BIGINT) AS variants
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_html_robots" ->
+      """SELECT doc_id,
+        |       doc_id % 5 IN (0, 1) AS noindex,
+        |       doc_id % 5 IN (1, 2, 4) AS nofollow
+        |FROM documents""".stripMargin,
     "q_html_meta" ->
       """SELECT doc_id,
         |       concat('Doc & Page ', CAST(doc_id AS VARCHAR)) AS title,
@@ -3923,6 +3987,23 @@ object SparkEntry {
         |SELECT id_a, id_b, name_agree, segment_agree, bal_agree, score_micro,
         |       CASE WHEN score_micro >= 7000000 THEN 'match' ELSE 'possible' END AS decision
         |FROM scored WHERE score_micro > 3000000""".stripMargin,
+    "q_sorted_neighborhood" ->
+      """WITH corpus AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, substr(c_name, 1, 4) || substr(c_name, 6)
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |), ranked AS (
+        |  SELECT id, row_number() OVER (ORDER BY name, id) AS r
+        |  FROM corpus WHERE name IS NOT NULL
+        |)
+        |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        |       CAST(b.r - a.r AS INT) AS dist
+        |FROM ranked a, ranked b
+        |WHERE b.r > a.r AND b.r - a.r < 3""".stripMargin,
     "q_entity_resolution" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
@@ -4188,6 +4269,27 @@ object SparkEntry {
     // exact all-pairs trigram jaccard over the same constructed corpus —
     // the testdata also contains organic planted near-dups the LSH must find
     "q_dedup_minhash" -> JaccardPairsSql,
+    "q_similarity_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string(w[1:len(w)-2], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), s AS (
+        |  SELECT doc_id AS id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ')
+        |                        for i in range(1, len(w) - 1)]) AS ts
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM corpus)
+        |), n AS (SELECT id, ts, len(ts) AS sz FROM s WHERE len(ts) >= 1)
+        |SELECT id_a, id_b, overlap, jaccard FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         CAST(len(list_intersect(a.ts, b.ts)) AS INT) AS overlap,
+        |         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |           / (a.sz + b.sz - len(list_intersect(a.ts, b.ts))) AS jaccard
+        |  FROM n a, n b WHERE a.id < b.id
+        |) WHERE overlap > 0 AND jaccard >= 0.7""".stripMargin,
     "q_dedup_crosscorpus" ->
       """WITH m AS (
         |  SELECT doc_id + 10000 AS doc_id, array_to_string(w[1:len(w)-2], ' ') AS text

@@ -80,6 +80,55 @@ object Linkage {
     passes.reduce(_ unionAll _).distinct()
   }
 
+  /**
+   * Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995,
+   * merge/purge): order the file by `sortKey` (ties by id) and pair every
+   * record with the `window − 1` records that follow it in that order.
+   * The complement to key-equality blocking ([[candidatePairs]]): typo-ed
+   * or truncated keys that no longer HASH together still SORT together,
+   * and the candidate count is exactly `(window − 1) · n` minus the tail —
+   * linear by construction, immune to block-size skew. Returns
+   * (id_a, id_b, dist) with id_a < id_b and dist = rank distance ∈
+   * [1, window); rows with a null sort key sit out, ids must be unique.
+   *
+   * Scale shape: the global order is realized as a range repartition on
+   * (sortKey, id) + per-partition ranks offset by partition row counts —
+   * the counts frame is one row per partition (cluster-sized, not
+   * data-sized), so no single-partition window ever sees the data. Pair
+   * generation explodes each row into `window − 1` (rank + d) probes and
+   * equi-joins on rank: one narrow shuffle of (rank, id), never a sort
+   * re-run, never all-pairs.
+   */
+  def sortedNeighborhood(df: DataFrame, idCol: Column, sortKey: Column,
+      window: Int): DataFrame = {
+    require(window >= 2, s"window must be at least 2, got $window")
+    val keyed = df.select(idCol.as("graft_id"), sortKey.as("graft_key"))
+      .where(col("graft_key").isNotNull)
+      .repartitionByRange(col("graft_key"), col("graft_id"))
+      .withColumn("graft_pid", spark_partition_id())
+    val local = keyed.withColumn("graft_lrank",
+      row_number().over(Window.partitionBy(col("graft_pid"))
+        .orderBy(col("graft_key"), col("graft_id"))))
+    val offsets = keyed.groupBy(col("graft_pid"))
+      .agg(count(lit(1)).as("graft_cnt"))
+      .withColumn("graft_off", coalesce(
+        sum(col("graft_cnt")).over(Window.orderBy(col("graft_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("graft_pid"), col("graft_off"))
+    val ranked = local.join(broadcast(offsets), Seq("graft_pid"))
+      .select(col("graft_id"), (col("graft_off") + col("graft_lrank")).as("graft_rank"))
+    val probes = ranked
+      .select(col("graft_id").as("graft_ida"), col("graft_rank").as("graft_ar"),
+        explode(sequence(lit(1), lit(window - 1))).as("graft_d"))
+      .select(col("graft_ida"), col("graft_d"),
+        (col("graft_ar") + col("graft_d")).as("graft_rank"))
+    probes.join(ranked, Seq("graft_rank"))
+      .select(
+        least(col("graft_ida"), col("graft_id")).as("id_a"),
+        greatest(col("graft_ida"), col("graft_id")).as("id_b"),
+        col("graft_d").cast("int").as("dist"))
+  }
+
   /** Candidate pairs with per-field agreement bits (`<name>_agree`) and
    * the summed `score_micro`. Values join back by id — the blocking join
    * itself never carries payloads. */

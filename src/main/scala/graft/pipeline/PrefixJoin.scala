@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Exact set-similarity self-join via prefix filtering — the AllPairs /
+ * PPJoin family (Bayardo et al. 2007, "Scaling Up All Pairs Similarity
+ * Search"; Xiao et al. 2008). The exact complement to the MinHash LSH tier
+ * ([[Dedup.minhashNearDups]]): every pair with Jaccard ≥ threshold is
+ * returned, no probabilistic misses and no banding tuning, at the cost of
+ * candidate counts that grow with how self-similar the corpus actually is.
+ *
+ * Filter stack (each provably keeps every qualifying pair):
+ *  - size filter: J(x,y) ≥ t forces t·|y| ≤ |x| (for |x| ≤ |y|), so pairs
+ *    whose sizes differ by more than the ratio t never verify;
+ *  - prefix filter: order every set by ascending global document frequency
+ *    (rarest token first, ties by token). J ≥ t forces overlap
+ *    o ≥ ceil(t·|s|) for BOTH sets, so any qualifying pair must collide on
+ *    at least one token inside each side's first |s| − ceil(t·|s|) + 1
+ *    ordered tokens. Candidates are generated ONLY from prefix-token
+ *    collisions — and because prefixes hold each set's globally rarest
+ *    tokens, the per-token join fan-out is the smallest any token-keyed
+ *    plan can achieve. ceil() is ε-relaxed (1e-9) so IEEE rounding of
+ *    t·|s| can only ever LENGTHEN a prefix (safe), never shorten it.
+ *
+ * Scale design (100 TB): three key-partitioned shuffles build the ordered
+ * sets (token df aggregate with map-side combine, token-keyed order join,
+ * regroup by id); the candidate join shuffles prefix rows keyed by token
+ * (rare by construction — a token of global df f contributes at most f
+ * prefix rows, and frequent tokens fall outside most prefixes); exact
+ * verification re-joins the token arrays for CANDIDATE pairs only. Nothing
+ * is ever all-pairs. Exact duplicates should be collapsed first
+ * ([[Dedup.exact]]) — a corpus of N identical documents has N²/2
+ * qualifying pairs, and no exact algorithm can return fewer rows than the
+ * answer.
+ */
+object PrefixJoin {
+
+  /**
+   * All pairs (id_a < id_b) whose exact Jaccard over the distinct-token
+   * sets meets `threshold`. Returns (id_a, id_b, overlap, jaccard).
+   *
+   * @param docs      input frame
+   * @param idCol     64-bit id column
+   * @param tokensCol array column of set members (deduplicated internally);
+   *                  rows with empty/null sets are dropped (no self-pairs)
+   * @param threshold Jaccard threshold in (0, 1]
+   */
+  def similarityJoin(
+      docs: DataFrame, idCol: Column, tokensCol: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val base = docs
+      .select(idCol.cast("long").as("id"),
+        array_distinct(tokensCol).as("graft_ts"))
+      .where(col("graft_ts").isNotNull)
+      .withColumn("graft_sz", size(col("graft_ts")))
+      .where(col("graft_sz") >= 1)
+    // ascending (document frequency, token) is the canonical total order;
+    // sort_array on the struct realizes it without a window
+    val tok = base.select(col("id"), col("graft_sz"),
+      explode(col("graft_ts")).as("graft_t"))
+    val dfreq = tok.groupBy(col("graft_t"))
+      .agg(count(lit(1)).as("graft_df"))
+    val prefixLen =
+      greatest(lit(1), col("graft_sz") -
+        ceil(lit(threshold) * col("graft_sz") - lit(1e-9)).cast("int") + lit(1))
+    val prefixes = tok.join(dfreq, Seq("graft_t"))
+      .groupBy(col("id"), col("graft_sz"))
+      .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_t"))))
+        .as("graft_ord"))
+      .select(col("id"), col("graft_sz"),
+        explode(slice(transform(col("graft_ord"), s => s("graft_t")),
+          lit(1), prefixLen)).as("graft_t"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.graft_t") === col("b.graft_t") &&
+          col("a.id") < col("b.id") &&
+          least(col("a.graft_sz"), col("b.graft_sz")).cast("double") >=
+            lit(threshold) *
+              greatest(col("a.graft_sz"), col("b.graft_sz")).cast("double") -
+              lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("id"), col("graft_ts"), col("graft_sz"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("graft_ts").as("graft_ta"),
+        col("graft_sz").as("graft_sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("graft_ts").as("graft_tb"),
+        col("graft_sz").as("graft_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("graft_ta"), col("graft_tb"))).as("overlap"),
+        col("graft_sa"), col("graft_sb"))
+      .where(col("overlap") > 0)
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        (col("overlap").cast("double") /
+          (col("graft_sa") + col("graft_sb") - col("overlap")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** [[similarityJoin]] over whitespace word sets of a text column —
+   * the common call shape for near-dup mining on documents. */
+  def similarityJoinWords(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double): DataFrame =
+    similarityJoin(docs, idCol,
+      filter(split(trim(lower(textCol)), "\\s+"), t => t =!= lit("")),
+      threshold)
+}

@@ -312,6 +312,24 @@ object Text {
   def htmlMeta(html: Column): Column =
     Bridge.column(HtmlMetaExpression(Bridge.expression(html)))
 
+  /** Page-level robots directives from `<meta name="robots">` (and an
+   * agent-specific `<meta name="<agent>">` tag, both honored, most
+   * restrictive wins — the cumulative semantics search engines document):
+   * struct(noindex, nofollow) booleans. `none` implies both. The
+   * page-side half of crawl compliance — [[graft.pipeline.Robots]] gates
+   * FETCHING, this gates INDEXING/CORPUS INCLUSION of fetched pages; a
+   * curation front door should drop noindex pages before dedup. Pure HOF
+   * composition over [[htmlMeta]]'s one-pass parse — no second scan. */
+  def htmlRobotsDirectives(html: Column, agent: String = "robots"): Column = {
+    val toks = flatten(transform(
+      filter(htmlMeta(html)("metas"),
+        m => m("name") === "robots" || m("name") === lit(agent.toLowerCase)),
+      m => transform(split(m("content"), ","), t => trim(lower(t)))))
+    struct(
+      exists(toks, t => t === "noindex" || t === "none").as("noindex"),
+      exists(toks, t => t === "nofollow" || t === "none").as("nofollow"))
+  }
+
   /** The page's self-declared canonical URL ("" when absent) — THE
    * url-level dedup key: AMP/print/tracking variants collapse onto one
    * canonical ([[HtmlAlgos.canonical]]); chain [[urlCanonicalize]]. */

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sorted-neighborhood blocking: exact rank-window semantics vs a local
+ * model (global order by (key, id)), cross-partition pair coverage, the
+ * typo-adjacency motivation, and the linear candidate-count bound. */
+class SortedNeighborhoodSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def model(rows: Seq[(Long, String)], w: Int) = {
+    val ranked = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+    (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if ra < rb && rb - ra < w
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1), rb - ra)).toSet
+  }
+
+  private def run(rows: Seq[(Long, String)], w: Int) =
+    Linkage.sortedNeighborhood(rows.toDF("id", "k"), col("id"), col("k"), w)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("matches the global-order model across partitions, ties broken by id") {
+    val rnd = new scala.util.Random(7)
+    // 80 rows over 10 distinct keys: many rank ties, spans >1 range partition
+    val rows = (0L until 80L).map(id => (id, s"k${rnd.nextInt(10)}"))
+    for (w <- Seq(2, 3, 5)) {
+      val got = run(rows, w)
+      assert(got == model(rows, w), s"window $w")
+      assert(got.size == (1 until w).map(d => math.max(0, 80 - d)).sum)
+    }
+  }
+
+  test("typo-ed keys that no longer hash-block still sort adjacent") {
+    val rows = Seq(
+      (1L, "jonathan smith"), (2L, "jonathan smth"), // 1 char dropped
+      (3L, "abigail jones"), (4L, "zz last"))
+    val pairs = run(rows, 2).map(p => (p._1, p._2))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("null keys sit out; window must be >= 2") {
+    val df = spark.sql(
+      "SELECT * FROM VALUES (1L, 'a'), (2L, CAST(NULL AS STRING)), (3L, 'b') t(id, k)")
+    val out = Linkage.sortedNeighborhood(df, col("id"), col("k"), 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 3L, 1)))
+    intercept[IllegalArgumentException] {
+      Linkage.sortedNeighborhood(df, col("id"), col("k"), 1)
+    }
+  }
+}

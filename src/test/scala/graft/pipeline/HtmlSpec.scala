@@ -344,6 +344,24 @@ class HtmlSpec extends AnyFunSuite {
     assert(head == Seq("A</p>B", null))
   }
 
+  test("htmlRobotsDirectives: cumulative generic+agent tags, none, case/space") {
+    def flags(html: String, agent: String = "robots") =
+      Seq(html).toDF("h")
+        .select(Text.htmlRobotsDirectives(col("h"), agent).as("d"))
+        .select("d.noindex", "d.nofollow").as[(Boolean, Boolean)].head()
+    assert(flags("""<meta name="robots" content="noindex, follow">""") == ((true, false)))
+    assert(flags("""<meta name="ROBOTS" content=" NONE ">""") == ((true, true)))
+    assert(flags("<p>no metas</p>") == ((false, false)))
+    // agent-specific tag only honored for that agent; directives cumulate
+    val both = """<meta name="robots" content="noindex">""" +
+      """<meta name="googlebot" content="nofollow">"""
+    assert(flags(both) == ((true, false)))
+    assert(flags(both, agent = "googlebot") == ((true, true)))
+    // decoy inside a script never parses as a meta
+    assert(flags("""<script>var m='<meta name="robots" content="none">';</script>""")
+      == ((false, false)))
+  }
+
   test("hostEdges: real parse + host extraction, relative/self links drop") {
     val pages = Seq(
       ("https://s.com/1",

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact prefix-filtered similarity join: equality with brute-force
+ * all-pairs on randomized corpora (the prefix/size filters must never drop
+ * a qualifying pair), boundary thresholds, and the word-set face. */
+class PrefixJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def brute(docs: Seq[(Long, Seq[String])], t: Double) = {
+    val sets = docs.map { case (id, ts) => (id, ts.distinct.toSet) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (ia, a) <- sets; (ib, b) <- sets if ia < ib
+      o = (a & b).size if o > 0
+      j = o.toDouble / (a.size + b.size - o) if j >= t
+    } yield (ia, ib, o, j)).toSet
+  }
+
+  private def run(docs: Seq[(Long, Seq[String])], t: Double) =
+    PrefixJoin.similarityJoin(docs.toDF("id", "ts"), col("id"), col("ts"), t)
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+  test("matches brute force on randomized corpora at several thresholds") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"w$i")
+    // many same-size sets so the epsilon-relaxed ceil(t*sz) path is hit
+    val docs = (0L until 60L).map { id =>
+      val sz = 3 + rnd.nextInt(6)
+      (id, Seq.fill(sz)(vocab(rnd.nextInt(vocab.size))))
+    }
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8, 1.0)) {
+      val expected = brute(docs, t)
+      assert(run(docs, t) == expected, s"threshold $t")
+      assert(t > 0.55 || expected.nonEmpty) // the low thresholds must be non-vacuous
+    }
+  }
+
+  test("identical sets at threshold 1.0; empty and null sets dropped") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a", "a")), // duplicate member: same SET
+      (3L, Seq("a", "b")),
+      (4L, Seq.empty[String]))
+    assert(run(docs, 1.0) == Set((1L, 2L, 3, 1.0)))
+    val withNull = spark.sql(
+      "SELECT * FROM VALUES (1L, array('x')), (2L, CAST(NULL AS ARRAY<STRING>)) t(id, ts)")
+    assert(PrefixJoin.similarityJoin(withNull, col("id"), col("ts"), 0.5).count() == 0)
+  }
+
+  test("size filter alone cannot drop qualifying pairs (skewed sizes)") {
+    // |x|=6 subset of |y|=10: J = 6/10 = 0.6 — right at the size-ratio edge
+    val x = (0 until 6).map(i => s"t$i")
+    val y = (0 until 10).map(i => s"t$i")
+    val docs = Seq((1L, x), (2L, y))
+    assert(run(docs, 0.6) == Set((1L, 2L, 6, 0.6)))
+    assert(run(docs, 0.61).isEmpty)
+  }
+
+  test("word face tokenizes like the corpus passes (lower, trim, ws-split)") {
+    val df = Seq(
+      (1L, "  The quick Brown fox  "),
+      (2L, "the quick brown fox"),
+      (3L, "something else entirely")).toDF("id", "text")
+    val out = PrefixJoin.similarityJoinWords(df, col("id"), col("text"), 0.9)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 4, 1.0)))
+  }
+}
