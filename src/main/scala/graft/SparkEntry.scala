@@ -1425,6 +1425,14 @@ object SparkEntry {
           e, e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
         .select(col("query_id"), col("neighbor_id"))
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive hard negatives: closest wrong-label neighbors, exact;
+      // oracle = brute-force cosine with the label anti-filter
+      val e = embeddings(s, dir)
+      graft.pipeline.Similarity.mineHardNegatives(
+          e, e.where(col("vec_id") < 10), "vec_id", "embedding", "label", 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }),
     "q_diversity_sample" -> ((s, dir) =>
       // rows-only (iterative argmax is not SQL-expressible; KCenterSpec
       // pins exact scalar-reference parity): 12 farthest-point centers
@@ -4360,6 +4368,13 @@ object SparkEntry {
         |       (ed[cid + 1] / sqrt(list_sum(list_transform(ed, x -> x * x)))) < 0.18 AS is_outlier
         |FROM a""".stripMargin,
     "q_ann_bruteforce" -> BruteTopKSql,
+    "q_hard_negatives" ->
+      """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |FROM embeddings q, embeddings n
+        |WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id AND q.label <> n.label
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) <= 3""".stripMargin,
     "q_ann_matryoshka" ->
       """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |FROM embeddings q, embeddings n

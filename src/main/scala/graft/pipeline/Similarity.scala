@@ -105,6 +105,53 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /**
+   * Hard-negative mining for contrastive training: for each query row, the
+   * k most-similar corpus rows whose `groupCol` DIFFERS from the query's —
+   * the closest wrong-class examples, the negatives that actually move an
+   * embedding model (random negatives are trivially separable). Exact
+   * (scored like [[bruteForceTopK]], same broadcast guard); returns
+   * (query_id, neighbor_id, sim, rank). For corpus-sized query frames,
+   * over-fetch candidates from an index tier instead and re-cut with
+   * [[hardNegativesFromCandidates]].
+   */
+  def mineHardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, groupCol: String, k: Int,
+      maxBroadcastQueries: Int = MaxBroadcastQueries): DataFrame = {
+    requireBroadcastable(queries, maxBroadcastQueries, "mineHardNegatives")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(groupCol).as("graft_qg")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(groupCol).as("graft_cg"))
+    val scored = q.crossJoin(c)
+      .where(!(col("graft_qg") <=> col("graft_cg")))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
+  /**
+   * The scale path of [[mineHardNegatives]]: take ANY candidate frame
+   * (query_id, neighbor_id, sim) — typically [[ivfSearch]]/[[lshTopK]]
+   * called with an over-fetch k' > k — join group labels back by id, drop
+   * same-group candidates, and re-cut exact top-k per query. Both label
+   * joins are id-keyed (broadcast when the id→group frame is small);
+   * nothing rescans embeddings.
+   */
+  def hardNegativesFromCandidates(
+      candidates: DataFrame, groups: DataFrame,
+      idCol: String, groupCol: String, k: Int): DataFrame = {
+    val g = groups.select(col(idCol).as("graft_gid"), col(groupCol).as("graft_g"))
+    candidates.select(col("query_id"), col("neighbor_id"), col("sim"))
+      .join(g.select(col("graft_gid").as("query_id"), col("graft_g").as("graft_qg")),
+        Seq("query_id"))
+      .join(g.select(col("graft_gid").as("neighbor_id"), col("graft_g").as("graft_cg")),
+        Seq("neighbor_id"))
+      .where(!(col("graft_qg") <=> col("graft_cg")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .transform(topKPerQuery(_, k))
+  }
+
   /** Deterministic random hyperplanes: ±1 components seeded by (plane, dim). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
