@@ -1348,6 +1348,14 @@ object SparkEntry {
           mutated, col("doc_id"), col("text"), shingleSize = 3, threshold = 0.7)
         .select(col("id_a"), col("id_b"))
     }),
+    "q_dedup_weighted" -> ((s, dir) => {
+      // ICWS weighted minhash over trigram-shingle tf: true all-pairs
+      // weighted Jaccard >= 0.8 in DuckDB (every qualifying pair sits
+      // >= 0.875, so the 16-band/4-row S-curve miss odds are ~7e-7 per
+      // pair — a missed candidate or a verification slip fails hash)
+      graft.pipeline.Wminhash.weightedNearDups(
+        nearDupCorpus(s, dir), col("doc_id"), col("text"), threshold = 0.8)
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       graft.pipeline.Dedup.simhashNearDups(
           nearDupCorpus(s, dir), col("doc_id"), col("text"), shingleSize = 3, maxHamming = 8)
@@ -4277,6 +4285,31 @@ object SparkEntry {
     // exact all-pairs trigram jaccard over the same constructed corpus —
     // the testdata also contains organic planted near-dups the LSH must find
     "q_dedup_minhash" -> JaccardPairsSql,
+    "q_dedup_weighted" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string(w[1:len(w)-2], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest([array_to_string(w[i:i+2], ' ')
+        |                 for i in range(1, len(w) - 1)]) AS t
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM corpus)
+        |), tf AS (SELECT id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |lens AS (SELECT id, count(*) AS lw FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, sum(least(a.c, b.c)) AS smin
+        |  FROM tf a JOIN tf b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |       CAST(smin AS DOUBLE) / (la.lw + lb.lw - smin) AS w_jaccard
+        |FROM inter
+        |JOIN lens la ON inter.id_a = la.id
+        |JOIN lens lb ON inter.id_b = lb.id
+        |WHERE CAST(smin AS DOUBLE) / (la.lw + lb.lw - smin) >= 0.8""".stripMargin,
     "q_similarity_join" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -370,6 +370,11 @@ object Text {
   def words(text: Column, lowercase: Boolean = false, cjk: Boolean = false): Column =
     Bridge.column(SplitWordsExpression(Bridge.expression(text), lowercase, cjk))
 
+  /** Word n-gram shingles WITH repeats ([[TextAlgos.shinglesAll]]) — the
+   * multiset universe of the ICWS weighted-dedup tier. */
+  def shinglesMultiset(text: Column, n: Int): Column =
+    Bridge.column(ShinglesAllExpression(Bridge.expression(text), n))
+
   /** Whitespace + ideograph-aware token count (the `cjk` words variant). */
   def tokenCountCjk(text: Column): Column =
     size(words(text, lowercase = false, cjk = true))
@@ -509,6 +514,42 @@ object TextAlgos {
     var k = 0
     val it = seen.iterator()
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All word n-gram shingles WITH repeats — the tf multiset universe for
+   * weighted (ICWS) dedup, unlike [[shingles]]' distinct set. Full
+   * n-grams only: docs shorter than n yield an EMPTY array (they sit out
+   * of multiset similarity rather than contributing a sub-n token).
+   * Words are the \s+ split of lower(trim(text)) with empties dropped. */
+  def shinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val all = WhitespaceRe.split(text.toLowerCase.trim.toString, -1)
+    var cnt = 0
+    var i = 0
+    while (i < all.length) { if (!all(i).isEmpty) cnt += 1; i += 1 }
+    val words =
+      if (cnt == all.length) all
+      else {
+        val w = new Array[String](cnt)
+        var k = 0
+        i = 0
+        while (i < all.length) { if (!all(i).isEmpty) { w(k) = all(i); k += 1 }; i += 1 }
+        w
+      }
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -992,6 +1033,19 @@ case class ShinglesExpression(child: Expression, n: Int) extends UnaryExpression
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.pipeline.TextAlgos.shingles($c, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shingles with repeats (see TextAlgos.shinglesAll). Codegen: one call. */
+case class ShinglesAllExpression(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextAlgos.shinglesAll(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.pipeline.TextAlgos.shinglesAll($c, $n);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
