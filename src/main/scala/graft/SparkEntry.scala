@@ -2317,6 +2317,39 @@ object SparkEntry {
           min(col("ts_epoch")).as("min_ts"),
           max(col("ts_epoch")).as("max_ts"))
     }),
+    "q_ingest_fixedwidth" -> ((s, dir) => {
+      // mainframe-style positional file round-trip: orders rendered at
+      // fixed offsets (price as integer cents), a short line and a
+      // bad-number line planted; per-status aggregates recomputed by the
+      // oracle straight from orders — quarantine gated by the require
+      val path = java.nio.file.Files.createTempDirectory("graft_q_fw").toString
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val line = concat(
+        lpad(col("o_orderkey").cast("string"), 10, " "),
+        lpad(col("o_custkey").cast("string"), 10, " "),
+        col("o_orderstatus"),
+        lpad(round(col("o_totalprice") * 100).cast("long").cast("string"), 12, " "),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      o.select(line.as("value")).coalesce(4).write.mode("overwrite").text(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "part-corrupt.txt"),
+        "too short\n         1         2O        abcd2024-01-01\n")
+      import graft.sources.FixedWidth
+      import org.apache.spark.sql.types.{DateType, LongType}
+      val fields = Seq(
+        FixedWidth.Field("orderkey", 1, 10, LongType),
+        FixedWidth.Field("custkey", 11, 10, LongType),
+        FixedWidth.Field("status", 21, 1),
+        FixedWidth.Field("cents", 22, 12, LongType),
+        FixedWidth.Field("odate", 34, 10, DateType))
+      val (rows, bad) = FixedWidth.read(s, path, fields)
+      require(bad.count() == 2, "planted corrupt lines must quarantine")
+      rows.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("total_cents"),
+          min(col("odate")).as("min_date"),
+          max(col("odate")).as("max_date"))
+    }),
     "q_ingest_shards" -> ((s, dir) => {
       // file-level shard quarantine (Shards.read): stage documents as two
       // healthy parquet shards plus a truncated copy, a garbage file and a
@@ -5843,6 +5876,13 @@ object SparkEntry {
         |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts,
         |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts
         |FROM events GROUP BY 1""".stripMargin,
+    "q_ingest_fixedwidth" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents,
+        |       min(CAST(o_orderdate AS DATE)) AS min_date,
+        |       max(CAST(o_orderdate AS DATE)) AS max_date
+        |FROM orders GROUP BY 1""".stripMargin,
     // the healthy shards together hold exactly the documents table; the
     // corrupt/drifted plants are gated by the require inside the query
     "q_ingest_shards" ->
