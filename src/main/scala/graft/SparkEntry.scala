@@ -621,6 +621,12 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("events"),
           col("session_start"), col("duration"))
     }),
+    "q_frequent_pairs" -> ((s, dir) => {
+      // market-basket pairs over user event-type baskets: exact
+      // co-occurrence counts + floored micro-lift, replayed in SQL
+      graft.operators.Itemsets.frequentPairs(
+        events(s, dir), col("user_id"), col("event_type"), minCount = 2)
+    }),
     "q_interval_attribution" -> ((s, dir) => {
       // batch face of StreamingJoin.intervalJoin (same column algebra the
       // streaming parity spec pins): every purchase attributed to the
@@ -1167,6 +1173,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("name_agree"),
           col("segment_agree"), col("bal_agree"), col("score_micro"),
           col("decision"))
+    }),
+    "q_jaro_winkler" -> ((s, dir) => {
+      // every customer scored against a char-dropped and a reversed copy
+      // of its name — DuckDB's independent jaro_winkler_similarity must
+      // reproduce every double bit for bit (byte semantics, 0.7 boost
+      // threshold, prefix cap 4)
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      c.select(col("id"),
+        graft.functions.StringSim.jaroWinkler(col("name"),
+          concat(substring(col("name"), 1, 4), expr("substring(name, 6)")))
+          .as("jw_dropped"),
+        graft.functions.StringSim.jaroWinkler(col("name"), reverse(col("name")))
+          .as("jw_reversed"))
     }),
     "q_sorted_neighborhood" -> ((s, dir) => {
       // merge/purge blocking: the dirty customer file ordered by name —
@@ -3405,6 +3425,23 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1",
+    "q_frequent_pairs" ->
+      """WITH base AS (
+        |  SELECT DISTINCT user_id AS b, event_type AS i FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), n AS (SELECT count(DISTINCT b) AS nb FROM base),
+        |ic AS (SELECT i, count(*) AS ni FROM base GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_baskets
+        |  FROM base a JOIN base c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT item_a, item_b, n_baskets,
+        |       CAST(CAST(n_baskets AS HUGEINT) * 1000000 * n.nb
+        |            // (CAST(ia.ni AS HUGEINT) * ib.ni) AS BIGINT) AS lift_ppm
+        |FROM p
+        |JOIN ic ia ON p.item_a = ia.i
+        |JOIN ic ib ON p.item_b = ib.i, n""".stripMargin,
     "q_interval_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
         |       b.value AS amount
@@ -4036,6 +4073,12 @@ object SparkEntry {
         |SELECT id_a, id_b, name_agree, segment_agree, bal_agree, score_micro,
         |       CASE WHEN score_micro >= 7000000 THEN 'match' ELSE 'possible' END AS decision
         |FROM scored WHERE score_micro > 3000000""".stripMargin,
+    "q_jaro_winkler" ->
+      """SELECT c_custkey AS id,
+        |       jaro_winkler_similarity(c_name,
+        |         substr(c_name, 1, 4) || substr(c_name, 6)) AS jw_dropped,
+        |       jaro_winkler_similarity(c_name, reverse(c_name)) AS jw_reversed
+        |FROM customer""".stripMargin,
     "q_sorted_neighborhood" ->
       """WITH corpus AS (
         |  SELECT c_custkey AS id, c_name AS name FROM customer

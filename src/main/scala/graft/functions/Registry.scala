@@ -219,6 +219,8 @@ object Registry {
     "ngram_jaccard" -> (es => ex(graft.pipeline.Dedup.ngramJaccard(col(es(0)), col(es(1)),
       if (es.size >= 3) litLong(es(2)).toInt else 3))),
     "cosine_similarity" -> (es => ex(graft.pipeline.Similarity.cosine(col(es(0)), col(es(1))))),
+    "jaro_winkler" -> (es => JaroWinklerExpression(es(0), es(1))),
+    "jaro" -> (es => JaroExpression(es(0), es(1))),
     "confusable_skeleton" -> (es => ex(graft.pipeline.Text.confusableSkeleton(col(es.head)))),
     "dp_noise" -> (es => ex(graft.pipeline.Pii.dpNoise(col(es.head),
       if (es.size >= 2) litLong(es(1)).toInt else 1,
