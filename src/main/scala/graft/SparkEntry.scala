@@ -621,6 +621,20 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("events"),
           col("session_start"), col("duration"))
     }),
+    "q_fd_discovery" -> ((s, dir) => {
+      // FD mining over every ordered column pair of orders: o_orderkey
+      // determines everything (it's the key); nothing determines it back
+      graft.rules.DatasetChecks.discoverFunctionalDependencies(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+    "q_key_skew" -> ((s, dir) => {
+      // pre-salting diagnostic: per-key-column row/distinct/null/max-share
+      // profile with deterministic top-3 heavy keys, replayed in SQL
+      graft.sources.Skew.keySkewReport(
+        lineitem(s, dir), Seq("l_returnflag", "l_linestatus", "l_suppkey"),
+        topK = 3)
+    }),
     "q_frequent_pairs" -> ((s, dir) => {
       // market-basket pairs over user event-type baskets: exact
       // co-occurrence counts + floored micro-lift, replayed in SQL
@@ -3425,6 +3439,36 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1",
+    "q_fd_discovery" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      (for (a <- cols; b <- cols if a != b) yield
+        s"""SELECT '$a' AS determinant, '$b' AS dependent,
+           |       count(*) AS n_keys,
+           |       CAST(coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |         AS violating_keys,
+           |       coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds
+           |FROM (SELECT $a, count(DISTINCT ROW($b)) AS d
+           |      FROM orders GROUP BY 1)""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "")
+    },
+    "q_key_skew" -> Seq("l_returnflag", "l_linestatus", "l_suppkey").map(c =>
+      s"""SELECT '$c' AS key_col, total_rows, distinct_keys, null_rows,
+         |       max_key_rows, max_key_rows * 1000000 // total_rows AS max_share_ppm,
+         |       (SELECT string_agg(kc, ',' ORDER BY c DESC, kc)
+         |        FROM (SELECT k || ':' || c AS kc, c FROM (
+         |                SELECT CAST($c AS VARCHAR) AS k, count(*) AS c
+         |                FROM lineitem GROUP BY 1) WHERE k IS NOT NULL
+         |              ORDER BY c DESC, k || ':' || c LIMIT 3)) AS top_keys
+         |FROM (
+         |  SELECT CAST(sum(c) AS BIGINT) AS total_rows,
+         |         count(k) AS distinct_keys,
+         |         CAST(coalesce(sum(CASE WHEN k IS NULL THEN c END), 0) AS BIGINT)
+         |           AS null_rows,
+         |         CAST(max(CASE WHEN k IS NOT NULL THEN c END) AS BIGINT)
+         |           AS max_key_rows
+         |  FROM (SELECT CAST($c AS VARCHAR) AS k, count(*) AS c
+         |        FROM lineitem GROUP BY 1))""".stripMargin)
+      .mkString("", "\nUNION ALL\n", ""),
     "q_frequent_pairs" ->
       """WITH base AS (
         |  SELECT DISTINCT user_id AS b, event_type AS i FROM events

@@ -78,6 +78,41 @@ object DatasetChecks {
         col("max_variants"))
   }
 
+  /**
+   * Functional-dependency DISCOVERY — the Deequ-style profiling twin of
+   * [[functionalDependencyReport]] (which checks one GIVEN dependency):
+   * test every ordered column pair (A → B) of `cols` and report how badly
+   * each fails. The output is the map a schema-drift reviewer or a
+   * constraint-suggestion pass reads: `holds` rows are invariants worth
+   * pinning as rules; high-violation rows are keys that LOOK like ids but
+   * aren't.
+   *
+   * One grouped pass per determinant column (schema-bounded, not
+   * data-bounded): groupBy(A) computes count_distinct(struct(B)) for all
+   * other columns at once — NULL dependents count as a variant (struct
+   * wrapping, same convention as the single-FD report). Returns one row
+   * per ordered pair: (determinant, dependent, n_keys,
+   * violating_keys, holds).
+   */
+  def discoverFunctionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "FD discovery needs at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    cols.map { a =>
+      val deps = cols.filterNot(_ == a)
+      val aggs = deps.map(b => count_distinct(struct(col(b))).as(s"graft_d_$b"))
+      val grouped = df.groupBy(col(a).as("graft_k")).agg(aggs.head, aggs.tail: _*)
+      val stats = grouped.agg(
+        count(lit(1)).as("graft_nk"),
+        deps.map(b => count(when(col(s"graft_d_$b") > 1, 1)).as(s"graft_v_$b")): _*)
+      stats.select(lit(a).as("determinant"), col("graft_nk"),
+          explode(map(deps.flatMap(b =>
+            Seq(lit(b), col(s"graft_v_$b"))): _*)).as(Seq("dependent", "violating_keys")))
+        .select(col("determinant"), col("dependent"),
+          col("graft_nk").as("n_keys"), col("violating_keys"),
+          (col("violating_keys") === 0).as("holds"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Per-key ordering health — streaming-intake hygiene: of the
    * consecutive event pairs within each key (ordered by a tiebroken
    * (ts, seq) so the answer is a pure function of the data, not of

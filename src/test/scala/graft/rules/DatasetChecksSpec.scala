@@ -117,4 +117,29 @@ class DatasetChecksSpec extends AnyFunSuite {
     val const = Seq(("k", "k"), ("k", "k")).toDF("x", "y")
     assert(miRow(const) == ((2L, 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("discoverFunctionalDependencies: all ordered pairs, null variants count") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (1, 'us', 'na'), (2, 'us', 'na'), (3, 'de', 'eu'),
+        | (4, 'de', 'eu'), (5, 'jp', CAST(NULL AS STRING)),
+        | (5, 'jp', 'ap') t(id, country, region)""".stripMargin)
+    val out = DatasetChecks.discoverFunctionalDependencies(
+        df, Seq("id", "country", "region"))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.size == 6)
+    // id -> country holds (id 5 repeats with same country); id -> region
+    // violated by id 5 (NULL and 'ap' are TWO variants)
+    assert(out(("id", "country")) == ((5L, 0L, true)))
+    assert(out(("id", "region")) == ((5L, 1L, false)))
+    // country -> region violated only by jp's null/ap split
+    assert(out(("country", "region")) == ((3L, 1L, false)))
+    assert(out(("country", "id")) == ((3L, 2L, false))) // us and de repeat ids
+    // region determinant: groups na, eu, NULL, ap (null key is a group)
+    assert(out(("region", "country")) == ((4L, 0L, true)))
+    intercept[IllegalArgumentException] {
+      DatasetChecks.discoverFunctionalDependencies(df, Seq("id"))
+    }
+  }
 }

@@ -26,4 +26,22 @@ class SkewSpec extends AnyFunSuite {
     val salted = Skew.saltedCount(df, "k", 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("keySkewReport: exact counts, ppm share, nulls, deterministic top-k") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | ('a', 1), ('a', 2), ('a', 3), ('a', 4),
+        | ('b', 1), ('b', 2), ('c', 1),
+        | (CAST(NULL AS STRING), 9), (CAST(NULL AS STRING), 9),
+        | ('d', 9) t(k, v)""".stripMargin)
+    val r = Skew.keySkewReport(df, Seq("k"), topK = 3)
+      .as[(String, Long, Long, Long, Long, Long, String)].head()
+    // 10 rows, 4 distinct non-null keys, 2 nulls, max a=4 → 400000 ppm;
+    // top 3 by (count desc, "key:count" asc): a:4, b:2, c:1
+    assert(r == (("k", 10L, 4L, 2L, 4L, 400000L, "a:4,b:2,c:1")))
+    val two = Skew.keySkewReport(df, Seq("k", "v"))
+      .select("key_col").as[String].collect().toSeq
+    assert(two == Seq("k", "v"))
+    intercept[IllegalArgumentException] { Skew.keySkewReport(df, Seq.empty) }
+  }
 }
