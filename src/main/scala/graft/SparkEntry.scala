@@ -1011,6 +1011,16 @@ object SparkEntry {
           nodes = d, nodeIdCol = col("doc_id"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_seed_distance" -> ((s, dir) => {
+      // BFS layers from the trusted core: exact min hop counts over the
+      // synthetic doc graph, capped at 6 — DuckDB replays with a
+      // recursive CTE
+      val d = docs(s, dir).select(col("doc_id"))
+      graft.pipeline.Graphs.seedDistances(
+        docEdges(s, dir), col("src"), col("dst"),
+        seeds = d.where(col("doc_id") % 100 === 0), seedIdCol = col("doc_id"),
+        maxHops = 6)
+    }),
     "q_html_jsonld" -> ((s, dir) => {
       // schema.org structured data through the real extractor (a plain
       // script sits ahead as a decoy) and from_json; oracle reconstructs
@@ -3951,6 +3961,22 @@ object SparkEntry {
         |              + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    "q_seed_distance" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS cnt FROM documents),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM nn) AS dst FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 97 + 13) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 5 + 1) % (SELECT cnt FROM nn) FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |bfs AS (
+        |  SELECT doc_id AS id, 0 AS dist FROM documents WHERE doc_id % 100 = 0
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.id
+        |  WHERE b.dist < 6
+        |)
+        |SELECT id, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY 1""".stripMargin,
     "q_html_jsonld" ->
       """SELECT doc_id,
         |       concat('Doc ', CAST(doc_id AS VARCHAR)) AS headline,

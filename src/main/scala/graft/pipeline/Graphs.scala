@@ -343,6 +343,49 @@ object Graphs {
     ccLoop(und, init, maxIterations)
   }
 
+  /**
+   * Multi-source BFS hop distance from a seed set: (id, dist) for every
+   * node reachable within `maxHops` directed hops (pass the reversed edge
+   * set too for undirected reach). The TrustRank companion diagnostic —
+   * "how many hops separate this node from the trusted core" — and the
+   * general reachability-layer report (crawl frontier depth, escalation
+   * radius). Exact: dist is the true minimum hop count, a pure function
+   * of the edge set.
+   *
+   * Scale shape: one edge-keyed shuffle join per hop, and the join's
+   * probe side is only the FRONTIER (nodes first reached last hop), which
+   * shrinks as the wave settles; settled nodes never re-enter
+   * (anti-join). Frames checkpoint per hop so the plan stays flat across
+   * iterations, exactly like the CC/PageRank loops.
+   */
+  def seedDistances(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      seeds: DataFrame, seedIdCol: Column, maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var dist = seeds.select(seedIdCol.as("id")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = dist
+    var hop = 1
+    var advancing = true
+    while (advancing && hop <= maxHops) {
+      val next = frontier.select(col("id").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) advancing = false
+      else {
+        dist = dist.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+      hop += 1
+    }
+    dist
+  }
+
   private def undirected(directed: DataFrame): DataFrame =
     directed.unionAll(directed.select(col("dst"), col("src")))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)

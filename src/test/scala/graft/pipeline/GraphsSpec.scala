@@ -286,6 +286,22 @@ class GraphsSpec extends AnyFunSuite {
     assert(got == Set(("x", "y", 3L)))
   }
 
+  test("seedDistances: exact min hops, directed, frontier settles, cap honored") {
+    // 1→2→3→4→5 chain plus a shortcut 1→4 and an unreachable island 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (9L, 10L))
+      .toDF("s", "d")
+    def run(maxHops: Int, seeds: Seq[Long]) =
+      Graphs.seedDistances(edges, col("s"), col("d"),
+          seeds.toDF("id"), col("id"), maxHops)
+        .as[(Long, Int)].collect().toMap
+    assert(run(10, Seq(1L)) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2)) // shortcut wins
+    assert(run(1, Seq(1L)) == Map(1L -> 0, 2L -> 1, 4L -> 1)) // cap
+    // multi-seed: min over seeds; directed — nothing reaches 9
+    assert(run(10, Seq(3L, 9L)) ==
+      Map(3L -> 0, 9L -> 0, 4L -> 1, 10L -> 1, 5L -> 2))
+  }
+
   test("node universe defaults to edge endpoints when nodes is omitted") {
     val got = Graphs.pageRankFixed(
         Seq((10L, 20L), (20L, 10L), (20L, 30L)).toDF("src", "dst"),
