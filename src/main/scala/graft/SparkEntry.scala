@@ -621,6 +621,14 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("events"),
           col("session_start"), col("duration"))
     }),
+    "q_transition_matrix" -> ((s, dir) => {
+      // Markov next-step report over per-user event streams, event_id as
+      // the same-timestamp tiebreak; SQL replays the lead window and the
+      // integer row normalization
+      val e = events(s, dir)
+      graft.pipeline.Curation.transitionMatrix(
+        e, col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    }),
     "q_fd_discovery" -> ((s, dir) => {
       // FD mining over every ordered column pair of orders: o_orderkey
       // determines everything (it's the key); nothing determines it back
@@ -3449,6 +3457,20 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1",
+    "q_transition_matrix" ->
+      """WITH steps AS (
+        |  SELECT event_type AS from_state,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_state
+        |  FROM events
+        |), m AS (
+        |  SELECT from_state, to_state, count(*) AS n FROM steps
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_state, to_state, n,
+        |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_state)
+        |            AS BIGINT) AS p_ppm
+        |FROM m""".stripMargin,
     "q_fd_discovery" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
       (for (a <- cols; b <- cols if a != b) yield

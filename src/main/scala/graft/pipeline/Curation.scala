@@ -1182,6 +1182,42 @@ object Curation {
   }
 
   /**
+   * First-order transition matrix over per-key event sequences — the
+   * Markov companion of [[topSessionPaths]] (full journeys) and
+   * [[eventFunnel]] (one prescribed journey): for every observed
+   * (from_state → to_state) step, its count and the row-normalized
+   * probability in ppm. The report behind "after an error, what do users
+   * actually do next".
+   *
+   * Ordering is a pure function of the data: events order by
+   * (ts, tiebreak) within each key — pass a unique tiebreak column
+   * (event id) or same-timestamp pairs would make the answer
+   * partition-dependent. Windows partition by key (bounded per-key event
+   * counts, the [[graft.operators.Sessionize]] contract); the matrix
+   * aggregate is a map-side-combining count over state pairs (alphabet²
+   * rows at most).
+   */
+  def transitionMatrix(
+      df: DataFrame, keyCol: Column, tsCol: Column, tieCol: Column,
+      typeCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("graft_k"))
+      .orderBy(col("graft_ts"), col("graft_tie"))
+    val steps = df
+      .select(keyCol.as("graft_k"), tsCol.as("graft_ts"), tieCol.as("graft_tie"),
+        typeCol.cast("string").as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .where(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = steps.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("graft_tot"))
+    steps.join(broadcast(fromTotals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000000L div graft_tot").as("p_ppm"))
+  }
+
+  /**
    * Corpus-derived stopword candidates — the data-driven version of the
    * hand lists the language-ID and retrieval tiers consume: per language,
    * the terms appearing in at least `minDfPpm` of documents (document

@@ -669,4 +669,21 @@ class CurationSpec extends AnyFunSuite {
     val std = math.sqrt(vals.map(v => (v._3 - mean) * (v._3 - mean)).sum / vals.size)
     assert((1000000.0 - mean) / std < 3.5) // the z-score check really does miss it
   }
+
+  test("transitionMatrix: per-key steps, tiebroken order, ppm rows sum to <= 1e6") {
+    // user 1: a→b→a ; user 2: a→b ; user 3 same-ts pair tiebroken by id
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (2L, 10L, 4L, "a"), (2L, 15L, 5L, "b"),
+      (3L, 50L, 6L, "b"), (3L, 50L, 7L, "c"), // ties: id 6 before 7 → b→c
+      (4L, 99L, 8L, "z")) // singleton: no transitions
+      .toDF("u", "ts", "id", "t")
+    val got = Curation.transitionMatrix(df, col("u"), col("ts"), col("id"), col("t"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1000000L)),
+      ("b", "a") -> ((1L, 500000L)),
+      ("b", "c") -> ((1L, 500000L))))
+  }
 }
