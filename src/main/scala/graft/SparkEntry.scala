@@ -621,6 +621,17 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("events"),
           col("session_start"), col("duration"))
     }),
+    "q_token_bucket" -> ((s, dir) => {
+      // politeness enforcement (batch twin of StreamingThrottle, parity
+      // spec-pinned): event time compressed 20000x so the synthetic
+      // stream actually exceeds its budget; DuckDB replays the exact
+      // micro-token recursion with a recursive CTE
+      val e = events(s, dir).select(col("user_id"),
+        timestamp_millis(expr("unix_micros(ts) div 1000 div 20000")).as("ts"),
+        col("event_id"))
+      graft.streaming.StreamingThrottle.tokenBucketBatch(
+        e, "user_id", "ts", "event_id", ratePerSec = 1L, burst = 2L)
+    }),
     "q_transition_matrix" -> ((s, dir) => {
       // Markov next-step report over per-user event streams, event_id as
       // the same-timestamp tiebreak; SQL replays the lead window and the
@@ -3457,6 +3468,25 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1",
+    "q_token_bucket" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id AS k, epoch_ms(ts) // 20000 AS t, event_id AS id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ms(ts) // 20000, event_id) AS rn
+        |  FROM events
+        |), s AS (
+        |  SELECT k, rn, t, id, TRUE AS allowed, CAST(1000000 AS BIGINT) AS tokens
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.rn, e.t, e.id,
+        |         least(2000000, s.tokens + greatest(0, e.t - s.t) * 1000) >= 1000000
+        |           AS allowed,
+        |         least(2000000, s.tokens + greatest(0, e.t - s.t) * 1000)
+        |           - CASE WHEN least(2000000, s.tokens + greatest(0, e.t - s.t) * 1000)
+        |                       >= 1000000 THEN 1000000 ELSE 0 END AS tokens
+        |  FROM s JOIN e ON e.k = s.k AND e.rn = s.rn + 1
+        |)
+        |SELECT k AS key, id, allowed FROM s""".stripMargin,
     "q_transition_matrix" ->
       """WITH steps AS (
         |  SELECT event_type AS from_state,
