@@ -621,6 +621,17 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("events"),
           col("session_start"), col("duration"))
     }),
+    "q_delta_attribution" -> ((s, dir) => {
+      // root-cause slicing: cents-weighted order volume between two
+      // deterministic snapshot slices, attributed by priority — DuckDB
+      // replays the outer join and the signed truncating share division
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      graft.rules.DatasetChecks.deltaAttribution(
+        o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 3 =!= 0),
+        col("o_orderpriority"), col("cents"))
+    }),
     "q_token_bucket" -> ((s, dir) => {
       // politeness enforcement (batch twin of StreamingThrottle, parity
       // spec-pinned): event time compressed 20000x so the synthetic
@@ -3468,6 +3479,26 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1",
+    "q_delta_attribution" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS d, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), n AS (
+        |  SELECT o_orderpriority AS d, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |), oa AS (SELECT d, CAST(sum(c) AS BIGINT) AS m FROM o GROUP BY 1),
+        |na AS (SELECT d, CAST(sum(c) AS BIGINT) AS m FROM n GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(oa.d, na.d) AS dim_value,
+        |         coalesce(oa.m, 0) AS metric_old, coalesce(na.m, 0) AS metric_new
+        |  FROM oa FULL OUTER JOIN na ON oa.d = na.d
+        |)
+        |SELECT dim_value, metric_old, metric_new,
+        |       metric_new - metric_old AS delta,
+        |       CAST((metric_new - metric_old) * 1000000
+        |            // nullif((SELECT sum(metric_new - metric_old) FROM j), 0)
+        |         AS BIGINT) AS share_ppm
+        |FROM j""".stripMargin,
     "q_token_bucket" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id AS k, epoch_ms(ts) // 20000 AS t, event_id AS id,

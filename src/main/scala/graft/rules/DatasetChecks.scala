@@ -207,6 +207,40 @@ object DatasetChecks {
         expr("changed * 1000000L div nullif(graft_rows, 0L)").as("changed_ppm"))
   }
 
+  /**
+   * Snapshot delta attribution (Adtributor-style root-cause slicing):
+   * a metric moved between two snapshots — WHICH dimension values moved
+   * it? Per value of `dimCol`: the metric in each snapshot, its delta,
+   * and the delta's share of the total movement in ppm (signed; shares
+   * of offsetting movements can exceed ±10⁶, which is itself the
+   * "mix shift" signal). Metric = row count by default, or Σ`weightCol`
+   * in integer units when given. Values present in only one snapshot
+   * appear with the other side at 0 — disappearance is attribution too.
+   *
+   * One aggregate per snapshot + an outer join on the dimension value +
+   * a broadcast total — exact integers end to end.
+   */
+  def deltaAttribution(
+      oldDf: DataFrame, newDf: DataFrame, dimCol: Column,
+      weightCol: Column = null): DataFrame = {
+    def side(df: DataFrame, out: String): DataFrame = {
+      val m = if (weightCol == null) count(lit(1))
+        else coalesce(sum(weightCol.cast("long")), lit(0L))
+      df.groupBy(dimCol.cast("string").as("dim_value")).agg(m.as(out))
+    }
+    val o = side(oldDf, "graft_old")
+    val n = side(newDf, "graft_new")
+    val joined = o.join(n, Seq("dim_value"), "full_outer")
+      .select(col("dim_value"),
+        coalesce(col("graft_old"), lit(0L)).as("metric_old"),
+        coalesce(col("graft_new"), lit(0L)).as("metric_new"))
+      .withColumn("delta", col("metric_new") - col("metric_old"))
+    val total = joined.agg(sum(col("delta")).as("graft_total"))
+    joined.crossJoin(broadcast(total))
+      .select(col("dim_value"), col("metric_old"), col("metric_new"), col("delta"),
+        expr("delta * 1000000L div nullif(graft_total, 0L)").as("share_ppm"))
+  }
+
   /** Expected Benford first-digit shares in ppm: floor(log10(1 + 1/d)·10⁶). */
   private val benfordPpm: Map[Int, Long] =
     (1 to 9).map(d => d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong).toMap

@@ -142,4 +142,25 @@ class DatasetChecksSpec extends AnyFunSuite {
       DatasetChecks.discoverFunctionalDependencies(df, Seq("id"))
     }
   }
+
+  test("deltaAttribution: signed shares, one-sided values, weighted metric") {
+    val oldDf = Seq(("web", 10L), ("web", 20L), ("api", 5L), ("ftp", 1L))
+      .toDF("src", "w")
+    val newDf = Seq(("web", 40L), ("api", 5L), ("api", 3L), ("cli", 2L))
+      .toDF("src", "w")
+    // counts: web 2→1 (-1), api 1→2 (+1), ftp 1→0 (-1), cli 0→1 (+1); total 0
+    val byCount = DatasetChecks.deltaAttribution(oldDf, newDf, col("src"))
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(byCount == Map(
+      "web" -> ((-1L, None)), "api" -> ((1L, None)),
+      "ftp" -> ((-1L, None)), "cli" -> ((1L, None)))) // zero total → null shares
+    // weighted: web 30→40 (+10), api 5→8 (+3), ftp 1→0 (-1), cli 0→2 (+2); total +14
+    val byW = DatasetChecks.deltaAttribution(oldDf, newDf, col("src"), col("w"))
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5.get))).toMap
+    assert(byW("web") == ((30L, 40L, 10L, 714285L)))
+    assert(byW("ftp") == ((1L, 0L, -1L, -71428L))) // truncation toward zero
+    assert(byW("cli") == ((0L, 2L, 2L, 142857L)))
+  }
 }
