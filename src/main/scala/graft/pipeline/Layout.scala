@@ -229,6 +229,50 @@ object Layout {
         "n_small_files", "recommended_files", "fragmented_ppm")
   }
 
+  /**
+   * Concrete compaction plan for the small files [[fileReport]] counts:
+   * first-fit-decreasing bin packing of every file under
+   * `targetFileBytes / 2` into target-sized merge groups. Returns one row
+   * per planned file: (file, bin, bin_bytes, bin_files) — feed each bin's
+   * file list to a coalesce(1) rewrite (or [[zorderCompact]] for a full
+   * re-cluster). Files at or above half-target are left alone (rewriting
+   * them buys nothing); bins hold at least two files (a lone small file
+   * has nothing to merge with).
+   *
+   * FFD is sequential by nature and runs DRIVER-side over the file
+   * LISTING — cluster-metadata-sized (the [[fileReport]]/manifest
+   * contract), never data-sized; determinism pinned by the
+   * (size desc, name) placement order.
+   */
+  def compactionPlan(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen))
+      .filter(_._2 < targetFileBytes / 2)
+      .sortBy { case (name, len) => (-len, name) }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    small.foreach { case (name, len) =>
+      bins.indexWhere(_._2 + len <= targetFileBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer((name, len)), len))
+        case i => bins(i) = ((bins(i)._1 += ((name, len)), bins(i)._2 + len))
+      }
+    }
+    import spark.implicits._
+    bins.zipWithIndex.toSeq
+      .filter(_._1._1.size >= 2)
+      .flatMap { case ((files, total), bin) =>
+        files.map { case (name, len) =>
+          (name, len, bin.toLong, total, files.size.toLong)
+        }
+      }
+      .toDF("file", "file_bytes", "bin", "bin_bytes", "bin_files")
+  }
+
   private def writeFileStats(spark: SparkSession, path: String,
       cols: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

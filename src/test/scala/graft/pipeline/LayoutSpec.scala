@@ -376,6 +376,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 5000L)
   }
 
+  test("compactionPlan: FFD bins under target, big files untouched, deterministic") {
+    val df = spark.range(5000).select(col("id").cast("double").as("x"),
+      (col("id") % 7).cast("double").as("y"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zplan").toString
+    Layout.zorderWrite(df, Seq("x", "y"), out, numFiles = 12)
+    val target = 512L * 1024
+    val plan = Layout.compactionPlan(spark, out, target)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(plan.nonEmpty)
+    // every small file planned exactly once; bins respect the target and
+    // carry at least two files; bin_bytes is the exact member sum
+    assert(plan.map(_._1).distinct.length == plan.length)
+    val byBin = plan.groupBy(_._3)
+    byBin.values.foreach { fs =>
+      assert(fs.length >= 2 && fs.length == fs.head._5)
+      assert(fs.map(_._2).sum == fs.head._4)
+      assert(fs.head._4 <= target)
+    }
+    // deterministic re-run
+    val again = Layout.compactionPlan(spark, out, target)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(plan.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a big-file table needs no plan
+    val out2 = java.nio.file.Files.createTempDirectory("graft_zplan2").toString
+    Layout.zorderWrite(df, Seq("x", "y"), out2, numFiles = 1)
+    assert(Layout.compactionPlan(spark, out2, 1024).count() == 0)
+  }
+
   test("codegen: evaluates with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
