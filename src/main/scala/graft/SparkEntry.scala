@@ -1294,6 +1294,21 @@ object SparkEntry {
       graft.operators.GapFill.gapFill(
         events(s, dir), col("user_id"), col("ts"), col("value"),
         stepSeconds = 21600L, fill = "locf")),
+    "q_spell_correct" -> ((s, dir) => {
+      // did-you-mean over the index's own vocabulary: one insertion typo
+      // and one deletion typo per query doc; DuckDB brute-forces
+      // levenshtein over the whole vocabulary with the same df ranking
+      val idx = posIndexFor(s, dir)
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= lit(""))
+      val queries = docs(s, dir)
+        .where(col("doc_id").isin(5L, 23L))
+        .select(col("doc_id").as("qid"), toks.as("graft_ts"))
+        .where(size(col("graft_ts")) >= 3)
+        .select(col("qid"), concat_ws(" ",
+          concat(element_at(col("graft_ts"), 1), lit("q")),
+          expr("substr(element_at(graft_ts, 3), 2)")).as("t"))
+      graft.pipeline.Retrieval.spellCorrections(s, idx, queries, "qid", "t")
+    }),
     "q_phrase_search" -> ((s, dir) => {
       // exact-phrase retrieval over the positional index: queries are the
       // first 3 tokens of docs 3/17/29; the oracle scans every doc's token
@@ -4388,6 +4403,29 @@ object SparkEntry {
         |  FROM q, w
         |)
         |SELECT query_id, id, occurrences FROM m WHERE occurrences > 0""".stripMargin,
+    "q_spell_correct" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     t -> t != '') AS ws
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT t AS term, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(ws)) AS t FROM w) GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS query_id, unnest([ws[1] || 'q', ws[3][2:]]) AS term
+        |  FROM w WHERE doc_id IN (5, 23) AND len(ws) >= 3
+        |), oov AS (
+        |  SELECT DISTINCT q.query_id, q.term FROM q
+        |  WHERE q.term NOT IN (SELECT term FROM vocab)
+        |)
+        |SELECT query_id, term, suggestion, suggestion_df, rank FROM (
+        |  SELECT o.query_id, o.term, v.term AS suggestion,
+        |         CAST(v.df AS BIGINT) AS suggestion_df,
+        |         CAST(row_number() OVER (PARTITION BY o.query_id, o.term
+        |           ORDER BY v.df DESC, v.term) AS INT) AS rank
+        |  FROM oov o JOIN vocab v ON levenshtein(o.term, v.term) <= 1
+        |) WHERE rank <= 3""".stripMargin,
     "q_proximity_search" ->
       """WITH w AS (
         |  SELECT doc_id,

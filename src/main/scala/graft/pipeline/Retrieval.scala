@@ -476,6 +476,57 @@ object Retrieval {
       .where(col("anchors") > 0)
   }
 
+  /**
+   * SymSpell-style spelling suggestions from the positional index's own
+   * vocabulary: for each query term NOT in the vocabulary, the vocabulary
+   * terms within levenshtein distance 1, top-k by document frequency
+   * (ties by suggestion — deterministic). The retrieval front door's
+   * "did you mean": correct the query against what the corpus actually
+   * contains, weighted by how common each candidate is.
+   *
+   * Candidate generation is the delete-1 key join (Garbe's SymSpell): a
+   * term of length L yields L+1 keys (itself plus each single-character
+   * deletion), and any two strings within edit distance 1 share at least
+   * one key — so the equi-join is COMPLETE for ED ≤ 1 and the exact
+   * levenshtein verify only prunes collisions, never loses a suggestion.
+   * Vocabulary key rows are Σ(len+1): linear in vocabulary bytes, shuffled
+   * once on the key — never an all-pairs product against the vocabulary.
+   */
+  def spellCorrections(
+      spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, termsCol: String, topK: Int = 3,
+      maxBroadcastQueries: Int = Similarity.MaxBroadcastQueries): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    Similarity.requireBroadcastable(queries, maxBroadcastQueries, "spellCorrections")
+    import graft.functions.dsl.top_k_by
+    val del1 = (c: String) => expr(
+      s"concat(array($c), transform(sequence(1, length($c)), i -> " +
+        s"concat(substr($c, 1, i - 1), substr($c, i + 1, length($c) - i))))")
+    val vocab = spark.read.parquet(s"$path/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("graft_df"))
+    val qterms = queries
+      .select(col(qidCol).cast("long").as("query_id"),
+        explode(array_distinct(toks(col(termsCol)))).as("term"))
+      .join(vocab.select(col("term")), Seq("term"), "left_anti") // OOV only
+    val qkeys = broadcast(qterms
+      .select(col("query_id"), col("term"), explode(del1("term")).as("graft_key")))
+    val vkeys = vocab.select(col("term").as("suggestion"), col("graft_df"),
+      explode(del1("term")).as("graft_key"))
+    qkeys.join(vkeys, Seq("graft_key"))
+      .where(levenshtein(col("term"), col("suggestion")) <= 1)
+      .select(col("query_id"), col("term"), col("suggestion"), col("graft_df"))
+      .distinct()
+      .groupBy(col("query_id"), col("term"))
+      .agg(top_k_by(col("graft_df").cast("double"), col("suggestion"), topK)
+        .as("graft_top"))
+      .select(col("query_id"), col("term"),
+        posexplode(col("graft_top")).as(Seq("graft_pos", "graft_t")))
+      .select(col("query_id"), col("term"),
+        col("graft_t.item").as("suggestion"),
+        col("graft_t.ord").cast("long").as("suggestion_df"),
+        (col("graft_pos") + 1).cast("int").as("rank"))
+  }
+
   /** Rank one retrieval list for [[rrfFuse]]: 1-based rank per query by
    * (score desc, id asc) — the id tie-break makes ranks a pure function of
    * the (query_id, id, score) set, so fusion stays reproducible. The

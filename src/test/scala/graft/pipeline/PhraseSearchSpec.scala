@@ -76,6 +76,22 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(near(path, Seq((4L, "a b zebra")), 99).isEmpty)
   }
 
+  test("spellCorrections: ED<=1 complete via delete-1 keys, df ranking, OOV only") {
+    val path = index(Seq(
+      (1L, "hello world cat"), (2L, "hello cat"), (3L, "car")))
+    def sugg(qs: Seq[(Long, String)]) =
+      Retrieval.spellCorrections(spark, path, qs.toDF("qid", "t"), "qid", "t")
+        .as[(Long, String, String, Long, Int)].collect().toSet
+    // insertion, substitution, deletion all reachable; in-vocab terms silent
+    assert(sugg(Seq((1L, "helo wurld cat"))) == Set(
+      (1L, "helo", "hello", 2L, 1),
+      (1L, "wurld", "world", 1L, 1)))
+    // df ranks: caz -> cat (df 2) before car (df 1); ED 2 yields nothing
+    assert(sugg(Seq((2L, "caz"), (3L, "wxrldz"))) == Set(
+      (2L, "caz", "cat", 2L, 1),
+      (2L, "caz", "car", 1L, 2)))
+  }
+
   test("query terms prune the postings scan") {
     val path = index(Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")))
     val df = Retrieval.phraseSearch(spark, path,
