@@ -1294,6 +1294,11 @@ object SparkEntry {
       graft.operators.GapFill.gapFill(
         events(s, dir), col("user_id"), col("ts"), col("value"),
         stepSeconds = 21600L, fill = "locf")),
+    "q_prefix_search" -> ((s, dir) => {
+      // trailing-wildcard search ("spark*") with the StartsWith predicate
+      // pushed into the sorted postings scan; oracle rescans raw tokens
+      graft.pipeline.Retrieval.prefixSearch(s, posIndexFor(s, dir), "spar")
+    }),
     "q_spell_correct" -> ((s, dir) => {
       // did-you-mean over the index's own vocabulary: one insertion typo
       // and one deletion typo per query doc; DuckDB brute-forces
@@ -4403,6 +4408,16 @@ object SparkEntry {
         |  FROM q, w
         |)
         |SELECT query_id, id, occurrences FROM m WHERE occurrences > 0""".stripMargin,
+    "q_prefix_search" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                            t -> t != '')) AS term
+        |  FROM documents
+        |)
+        |SELECT id, count(DISTINCT term) AS matched_terms,
+        |       count(*) AS occurrences
+        |FROM t WHERE term LIKE 'spar%' GROUP BY 1""".stripMargin,
     "q_spell_correct" ->
       """WITH w AS (
         |  SELECT doc_id,

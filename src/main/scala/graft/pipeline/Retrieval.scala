@@ -477,6 +477,24 @@ object Retrieval {
   }
 
   /**
+   * Prefix (trailing-wildcard) term search over the positional index:
+   * documents containing any term starting with `prefix`, with the
+   * distinct matching term count and total occurrence count per doc.
+   * The scan predicate is a plain StartsWith, so it pushes down to the
+   * parquet reader and — because [[buildPositionalIndex]] sorts postings
+   * by term — row groups outside the prefix range prune on min/max stats
+   * without being read (spec-pinned PushedFilters).
+   */
+  def prefixSearch(spark: SparkSession, path: String, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    spark.read.parquet(s"$path/postings")
+      .where(col("term").startsWith(prefix))
+      .groupBy(col("id"))
+      .agg(count_distinct(col("term")).as("matched_terms"),
+        sum(size(col("positions"))).as("occurrences"))
+  }
+
+  /**
    * SymSpell-style spelling suggestions from the positional index's own
    * vocabulary: for each query term NOT in the vocabulary, the vocabulary
    * terms within levenshtein distance 1, top-k by document frequency

@@ -100,4 +100,18 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("In(term"),
       s"term IN not pushed to the postings scan:\n$plan")
   }
+
+  test("prefixSearch: distinct-term and occurrence counts; StartsWith pushed down") {
+    val path = index(Seq(
+      (1L, "alpha alphabet beta alpha"), // alpha x2 + alphabet x1
+      (2L, "alpine gamma"),
+      (3L, "beta delta")))
+    val df = Retrieval.prefixSearch(spark, path, "alp")
+    assert(df.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 3L), (2L, 1L, 1L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,alp"),
+      s"StartsWith not pushed to the postings scan:\n$plan")
+    intercept[IllegalArgumentException] { Retrieval.prefixSearch(spark, path, "") }
+  }
 }
