@@ -1294,6 +1294,21 @@ object SparkEntry {
       graft.operators.GapFill.gapFill(
         events(s, dir), col("user_id"), col("ts"), col("value"),
         stepSeconds = 21600L, fill = "locf")),
+    "q_best_snippet" -> ((s, dir) => {
+      // snippet selection: 3 spread query terms (tokens 1/5/9), window 8 —
+      // the oracle enumerates candidate starts and replays the
+      // (max matched, min start) argmax per (query, doc)
+      val idx = posIndexFor(s, dir)
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= lit(""))
+      val queries = docs(s, dir)
+        .where(col("doc_id").isin(5L, 23L))
+        .select(col("doc_id").as("qid"), toks.as("graft_ts"))
+        .where(size(col("graft_ts")) >= 9)
+        .select(col("qid"), concat_ws(" ",
+          element_at(col("graft_ts"), 1), element_at(col("graft_ts"), 5),
+          element_at(col("graft_ts"), 9)).as("t"))
+      graft.pipeline.Retrieval.bestSnippets(s, idx, queries, "qid", "t", window = 8)
+    }),
     "q_prefix_search" -> ((s, dir) => {
       // trailing-wildcard search ("spark*") with the StartsWith predicate
       // pushed into the sorted postings scan; oracle rescans raw tokens
@@ -4408,6 +4423,37 @@ object SparkEntry {
         |  FROM q, w
         |)
         |SELECT query_id, id, occurrences FROM m WHERE occurrences > 0""".stripMargin,
+    "q_best_snippet" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     t -> t != '') AS ws
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id AS query_id,
+        |         list_distinct([ws[1], ws[5], ws[9]]) AS ts
+        |  FROM w WHERE doc_id IN (5, 23) AND len(ws) >= 9
+        |), m AS (
+        |  SELECT q.query_id, d.doc_id AS id, q.ts,
+        |         [[i - 1 for i in range(1, len(d.ws) + 1) if d.ws[i] = t]
+        |          for t in q.ts] AS pls
+        |  FROM q, w d
+        |), nz AS (
+        |  SELECT query_id, id, ts,
+        |         [pl for pl in pls if len(pl) > 0] AS pls
+        |  FROM m WHERE len(flatten(pls)) > 0
+        |), sc AS (
+        |  SELECT query_id, id, s,
+        |         len([pl for pl in pls
+        |              if len([p for p in pl if p >= s and p < s + 8]) > 0]) AS mt
+        |  FROM (SELECT query_id, id, pls, unnest(list_distinct(flatten(pls))) AS s
+        |        FROM nz)
+        |)
+        |SELECT query_id, id, CAST(s AS INT) AS snippet_start,
+        |       CAST(mt AS INT) AS matched_terms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id, id
+        |                                   ORDER BY mt DESC, s) AS rn FROM sc)
+        |WHERE rn = 1""".stripMargin,
     "q_prefix_search" ->
       """WITH t AS (
         |  SELECT doc_id AS id,

@@ -221,6 +221,11 @@ object Registry {
     "cosine_similarity" -> (es => ex(graft.pipeline.Similarity.cosine(col(es(0)), col(es(1))))),
     "jaro_winkler" -> (es => JaroWinklerExpression(es(0), es(1))),
     "jaro" -> (es => JaroExpression(es(0), es(1))),
+    "icws_signature" -> (es => graft.pipeline.IcwsSignatureExpression(es(0),
+      if (es.size >= 2) litLong(es(1)).toInt else 64)),
+    "weighted_jaccard" -> (es => graft.pipeline.WeightedJaccardExpression(es(0), es(1))),
+    "shingles_multiset" -> (es => graft.pipeline.ShinglesAllExpression(es(0),
+      if (es.size >= 2) litLong(es(1)).toInt else 3)),
     "confusable_skeleton" -> (es => ex(graft.pipeline.Text.confusableSkeleton(col(es.head)))),
     "dp_noise" -> (es => ex(graft.pipeline.Pii.dpNoise(col(es.head),
       if (es.size >= 2) litLong(es(1)).toInt else 1,

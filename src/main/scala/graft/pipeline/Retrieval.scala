@@ -477,6 +477,54 @@ object Retrieval {
   }
 
   /**
+   * Best-window snippet selection over the positional index: for every
+   * document sharing at least one term with the query, the `window`-token
+   * span covering the MOST distinct query terms — (query_id, id,
+   * snippet_start, matched_terms), ties broken to the earliest start so
+   * the result is a pure function of the index. The presentation layer of
+   * retrieval: BM25/RRF pick the documents, this picks what to show.
+   *
+   * Candidate starts are exactly the matched term positions (an optimal
+   * window can always shift left until it begins at one), so the per-doc
+   * work is O(tf² · terms) over position ARRAYS via codegen'd HOFs —
+   * bounded by the document's own term frequencies, never by the corpus.
+   * Same pruned-scan + broadcast-join plan as [[phraseSearch]].
+   */
+  def bestSnippets(
+      spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, termsCol: String, window: Int,
+      maxBroadcastQueries: Int = Similarity.MaxBroadcastQueries): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    Similarity.requireBroadcastable(queries, maxBroadcastQueries, "bestSnippets")
+    val q = queries
+      .select(col(qidCol).cast("long").as("query_id"),
+        array_distinct(toks(col(termsCol))).as("graft_ts"))
+      .where(size(col("graft_ts")) >= 1)
+    val qTerms = q.select(col("query_id"), explode(col("graft_ts")).as("term"))
+    val termList = qTerms.select(col("term")).distinct().collect().map(_.getString(0))
+    if (termList.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, id BIGINT, snippet_start INT, matched_terms INT"))
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(termList.toSeq: _*))
+    postings.join(broadcast(qTerms), Seq("term"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(collect_list(col("positions")).as("graft_sl"))
+      .select(col("query_id"), col("id"),
+        array_max(transform(
+          array_distinct(flatten(col("graft_sl"))),
+          s => struct(
+            size(filter(col("graft_sl"), ps =>
+              exists(ps, p => p >= s && p < s + window))).as("m"),
+            (-s).as("negs")))).as("graft_best"))
+      .select(col("query_id"), col("id"),
+        (-col("graft_best")("negs")).cast("int").as("snippet_start"),
+        col("graft_best")("m").cast("int").as("matched_terms"))
+  }
+
+  /**
    * Prefix (trailing-wildcard) term search over the positional index:
    * documents containing any term starting with `prefix`, with the
    * distinct matching term count and total occurrence count per doc.

@@ -73,9 +73,14 @@ object Wminhash {
       if (shingleSize <= 1) Text.words(c, lowercase = true)
       else Text.shinglesMultiset(c, shingleSize)
     val docs = df.select(idCol.as("id"), textCol.as("text"))
+    // the emptiness guard runs on the cheap word split BEFORE the signature
+    // projection — filtering on size(sig) AFTER it pushes the predicate
+    // below the project and evaluates the whole ICWS pass twice per row
+    // (the same double-eval trap the pHash decode guards fixed)
     val bandRows = docs
+      .where(size(Text.words(col("text"), lowercase = true)) >=
+        math.max(1, shingleSize))
       .select(col("id"), icwsSignature(toks(col("text")), numHashes).as("sig"))
-      .where(size(col("sig")) > 0)
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("id"), col("band"),
         xxhash64(col("band"),

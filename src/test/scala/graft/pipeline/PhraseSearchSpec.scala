@@ -92,6 +92,23 @@ class PhraseSearchSpec extends AnyFunSuite {
       (2L, "caz", "car", 1L, 2)))
   }
 
+  test("bestSnippets: max distinct terms per window, earliest tie, partial docs kept") {
+    val path = index(Seq(
+      (1L, "a x b x x a c"), // a:[0,5] b:[2] c:[6] x:[1,3,4]
+      (2L, "b only here"),
+      (3L, "nothing matches")))
+    def run(w: Int) =
+      Retrieval.bestSnippets(spark, path,
+          Seq((9L, "a b c")).toDF("qid", "t"), "qid", "t", w)
+        .as[(Long, Long, Int, Int)].collect().toSet
+    // w=3: windows from 0 and 5 both cover 2 terms → earliest start wins
+    assert(run(3) == Set((9L, 1L, 0, 2), (9L, 2L, 0, 1)))
+    // w=7: the whole doc fits → all 3 terms from start 0
+    assert(run(7) == Set((9L, 1L, 0, 3), (9L, 2L, 0, 1)))
+    // w=1: every window is one token → best is the first matched position
+    assert(run(1) == Set((9L, 1L, 0, 1), (9L, 2L, 0, 1)))
+  }
+
   test("query terms prune the postings scan") {
     val path = index(Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")))
     val df = Retrieval.phraseSearch(spark, path,

@@ -61,6 +61,16 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(run(docs, 0.61).isEmpty)
   }
 
+  test("plan: every join is an equi-join — no cartesian, no nested loop") {
+    val docs = (0L until 20L).map(i => (i, Seq(s"a$i", s"b${i % 3}", "common")))
+    val df = PrefixJoin.similarityJoin(
+      docs.toDF("id", "ts"), col("id"), col("ts"), 0.5)
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+  }
+
   test("word face tokenizes like the corpus passes (lower, trim, ws-split)") {
     val df = Seq(
       (1L, "  The quick Brown fox  "),

@@ -84,6 +84,52 @@ class WminhashSpec extends AnyFunSuite {
     }
   }
 
+  test("plan, no-broadcast regime: ONE corpus ICWS pass via exchange reuse") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: planNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: planNodes(q.plan)
+      case other => other +: other.children.flatMap(planNodes)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmh_plan").toString
+    // real near-dup pairs: an empty result would let AQE collapse the plan
+    // to EmptyRelationExec and the assert would inspect nothing
+    (1L to 30L).flatMap(i => Seq(
+      (i, s"w$i x$i y$i z$i unique prose for doc $i"),
+      (i + 100L, s"w$i x$i y$i z$i unique prose for doc")))
+      .toDF("id", "text").write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Wminhash.weightedNearDups(src, col("id"), col("text"), threshold = 0.5)
+      pairs.collect()
+      val all = planNodes(pairs.queryExecution.executedPlan)
+      val sigNodes = all.count {
+        case p: org.apache.spark.sql.execution.ProjectExec =>
+          p.expressions.exists(_.exists(_.isInstanceOf[IcwsSignatureExpression]))
+        case _ => false
+      }
+      assert(sigNodes == 1,
+        s"corpus ICWS pass planned $sigNodes times:\n${pairs.queryExecution.executedPlan}")
+      assert(all.exists(_.isInstanceOf[ReusedExchangeExec]),
+        s"no reused exchange:\n${pairs.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SQL faces: icws_signature / weighted_jaccard / shingles_multiset") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT weighted_jaccard(shingles_multiset('a b c d', 3),
+        |                        shingles_multiset('a b c d e', 3)) AS j,
+        |       size(icws_signature(array('x', 'x', 'y'), 32)) AS n""".stripMargin)
+      .as[(Double, Int)].head()
+    assert(r == ((2.0 / 3.0, 32)))
+  }
+
   test("weightedNearDups (shingle default): repeats counted, sub-n docs sit out") {
     // 1 vs 2: trigram multisets {abc,bcd} vs {abc,bcd,cde} → smin 2, J = 2/3
     // 5 vs 6: SAME trigram set, repeat counts differ → tf {xyz:2,yzx:2,zxy:2}
