@@ -1041,6 +1041,17 @@ object SparkEntry {
           nodes = d, nodeIdCol = col("doc_id"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_triangles" -> ((s, dir) => {
+      // exact per-node triangle counts: the doc graph plus ring edges
+      // (i, i+1) and (i, i+2) so every consecutive triple closes a
+      // triangle; the oracle runs the canonical u<v<w three-way join
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val ring = d.select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst"))
+        .unionAll(d.select(col("doc_id"), (col("doc_id") + 2) % n))
+      graft.pipeline.Graphs.triangleCounts(
+        docEdges(s, dir).unionAll(ring), col("src"), col("dst"))
+    }),
     "q_seed_distance" -> ((s, dir) => {
       // BFS layers from the trusted core: exact min hop counts over the
       // synthetic doc graph, capped at 6 — DuckDB replays with a
@@ -4079,6 +4090,29 @@ object SparkEntry {
         |              + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    "q_triangles" ->
+      """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        |e0 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM nn) AS dst FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 97 + 13) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 5 + 1) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id + 1) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT cnt FROM nn) FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0
+        |),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT id, count(*) AS triangles
+        |FROM (SELECT unnest([u, v, w]) AS id FROM tri)
+        |GROUP BY 1""".stripMargin,
     "q_seed_distance" ->
       """WITH RECURSIVE nn AS (SELECT count(*) AS cnt FROM documents),
         |e AS (

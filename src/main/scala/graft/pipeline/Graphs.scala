@@ -386,6 +386,43 @@ object Graphs {
     dist
   }
 
+  /**
+   * Exact per-node triangle counts — the local clustering signal link-spam
+   * analysis leans on (organic neighborhoods close triangles; link farms
+   * are stars and rings that don't). Returns (id, triangles) for every
+   * node on an edge.
+   *
+   * Degree-ordered orientation (the standard arboricity trick): every
+   * undirected edge points from the (degree, id)-smaller endpoint to the
+   * larger, making out-degrees O(√m) on ANY graph — so the wedge join
+   * (pairs of out-neighbors of one node) is bounded by Σ outdeg² ≈ m^1.5
+   * worst-case instead of the hub-degree² a naive neighbor join pays.
+   * Each triangle is found exactly once (its orientation-minimal vertex
+   * owns it) and credited to all three corners via one explode.
+   */
+  def triangleCounts(
+      edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val und = undirected(edges.select(srcCol.as("src"), dstCol.as("dst")))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("graft_d"))
+    // orient by (degree, id): keep edges where src ≺ dst in that order
+    val oriented = und
+      .join(deg.select(col("id").as("src"), col("graft_d").as("graft_ds")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("graft_d").as("graft_dd")), Seq("dst"))
+      .where(struct(col("graft_ds"), col("src")) < struct(col("graft_dd"), col("dst")))
+      .select(col("src"), col("dst"), col("graft_dd"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.src") === col("b.src") &&
+          (struct(col("a.graft_dd"), col("a.dst")) <
+            struct(col("b.graft_dd"), col("b.dst"))))
+      .select(col("a.src").as("graft_u"), col("a.dst").as("graft_v"),
+        col("b.dst").as("graft_w"))
+    val tris = wedges.join(oriented.select(col("src").as("graft_v"),
+        col("dst").as("graft_w")), Seq("graft_v", "graft_w"), "leftsemi")
+    tris.select(explode(array(col("graft_u"), col("graft_v"), col("graft_w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
+
   private def undirected(directed: DataFrame): DataFrame =
     directed.unionAll(directed.select(col("dst"), col("src")))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)

@@ -302,6 +302,18 @@ class GraphsSpec extends AnyFunSuite {
       Map(3L -> 0, 9L -> 0, 4L -> 1, 10L -> 1, 5L -> 2))
   }
 
+  test("triangleCounts: exact per-node counts, each triangle once, K4 and stars") {
+    // K4 on 1..4 (4 triangles, 3 per node) + a star center 9 (no triangles)
+    // + duplicate/reversed edges that must not double-count
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((2L, 1L), (9L, 10L), (9L, 11L), (9L, 12L)))
+      .toDF("s", "d")
+    val got = Graphs.triangleCounts(edges, col("s"), col("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got.values.sum == 12L) // 4 triangles x 3 corners
+  }
+
   test("node universe defaults to edge endpoints when nodes is omitted") {
     val got = Graphs.pageRankFixed(
         Seq((10L, 20L), (20L, 10L), (20L, 30L)).toDF("src", "dst"),
