@@ -1041,6 +1041,27 @@ object SparkEntry {
           nodes = d, nodeIdCol = col("doc_id"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_pagerank_weighted" -> ((s, dir) => {
+      // edge-weighted rank over the doc graph, weights (src·7+dst)%5+1 —
+      // DuckDB unrolls the 3 iterations with the same overflow-safe
+      // ⌊r·w/W⌋ = (r//W)·w + ((r%W)·w)//W integer arithmetic
+      val e = docEdges(s, dir)
+        .withColumn("w", (col("src") * 7 + col("dst")) % 5 + 1)
+      graft.pipeline.Graphs.pageRankWeighted(
+          e, col("src"), col("dst"), col("w"),
+          nodes = docs(s, dir).select(col("doc_id")), nodeIdCol = col("doc_id"))
+        .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
+    }),
+    "q_clustering" -> ((s, dir) => {
+      // local clustering coefficients over the ringed doc graph — exact
+      // integer ppm against C(degree, 2)
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val ring = d.select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst"))
+        .unionAll(d.select(col("doc_id"), (col("doc_id") + 2) % n))
+      graft.pipeline.Graphs.clusteringCoefficients(
+        docEdges(s, dir).unionAll(ring), col("src"), col("dst"))
+    }),
     "q_triangles" -> ((s, dir) => {
       // exact per-node triangle counts: the doc graph plus ring edges
       // (i, i+1) and (i, i+2) so every consecutive triple closes a
@@ -4090,6 +4111,70 @@ object SparkEntry {
         |              + (85 * COALESCE(c3.s, 0)) // 100 AS rank_fp
         |       FROM node LEFT JOIN c3 ON node.id = c3.id)
         |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    "q_pagerank_weighted" ->
+      """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        |e AS (
+        |  SELECT src, dst, (src * 7 + dst) % 5 + 1 AS w FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM nn) AS dst FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 97 + 13) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 5 + 1) % (SELECT cnt FROM nn) FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM e GROUP BY 1),
+        |node AS (SELECT doc_id AS id FROM documents),
+        |init AS (SELECT 1000000000000 // cnt AS v,
+        |                (15 * (1000000000000 // cnt)) // 100 AS base FROM nn),
+        |r0 AS (SELECT id, (SELECT v FROM init) AS r FROM node),
+        |c1 AS (SELECT e.dst AS id,
+        |              CAST(sum((r0.r // s.ws) * e.w + ((r0.r % s.ws) * e.w) // s.ws) AS BIGINT) AS c
+        |       FROM e JOIN wsum s ON e.src = s.src JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c1.c, 0)) // 100 AS r
+        |       FROM node LEFT JOIN c1 ON node.id = c1.id),
+        |c2 AS (SELECT e.dst AS id,
+        |              CAST(sum((r1.r // s.ws) * e.w + ((r1.r % s.ws) * e.w) // s.ws) AS BIGINT) AS c
+        |       FROM e JOIN wsum s ON e.src = s.src JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT node.id, (SELECT base FROM init) + (85 * COALESCE(c2.c, 0)) // 100 AS r
+        |       FROM node LEFT JOIN c2 ON node.id = c2.id),
+        |c3 AS (SELECT e.dst AS id,
+        |              CAST(sum((r2.r // s.ws) * e.w + ((r2.r % s.ws) * e.w) // s.ws) AS BIGINT) AS c
+        |       FROM e JOIN wsum s ON e.src = s.src JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT node.id,
+        |              CAST((SELECT base FROM init) + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS rank_fp
+        |       FROM node LEFT JOIN c3 ON node.id = c3.id)
+        |SELECT id, rank_fp FROM r3 ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin,
+    "q_clustering" ->
+      """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        |e0 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM nn) AS dst FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 97 + 13) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id * 5 + 1) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id + 1) % (SELECT cnt FROM nn) FROM documents
+        |    UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT cnt FROM nn) FROM documents
+        |  ) WHERE src <> dst
+        |),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0
+        |),
+        |deg AS (
+        |  SELECT id, count(*) AS degree
+        |  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+        |),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |),
+        |tc AS (
+        |  SELECT id, count(*) AS triangles
+        |  FROM (SELECT unnest([u, v, w]) AS id FROM tri) GROUP BY 1
+        |)
+        |SELECT deg.id, deg.degree, coalesce(tc.triangles, 0) AS triangles,
+        |       coalesce(CAST(coalesce(tc.triangles, 0) * 2000000
+        |                     // nullif(deg.degree * (deg.degree - 1), 0) AS BIGINT), 0)
+        |         AS coeff_ppm
+        |FROM deg LEFT JOIN tc ON deg.id = tc.id""".stripMargin,
     "q_triangles" ->
       """WITH nn AS (SELECT count(*) AS cnt FROM documents),
         |e0 AS (

@@ -65,7 +65,28 @@ object Graphs {
       scale: Long = 1000000000000L, checkpointInterval: Int = 2,
       tolFp: Long = 0L): DataFrame =
     rankImpl(edges, srcCol, dstCol, nodes, nodeIdCol, null, null,
-      iterations, dampPct, scale, checkpointInterval, tolFp)
+      iterations, dampPct, scale, checkpointInterval, tolFp, null)
+
+  /**
+   * Edge-WEIGHTED PageRank under the same exact-integer contract: each
+   * node splits its rank over out-edges proportionally to integer edge
+   * weights instead of uniformly — anchor counts, click counts, trust
+   * grades. The per-edge share ⌊rank·w / W⌋ (W = the node's weight sum)
+   * is computed as `(rank div W)·w + ((rank mod W)·w) div W` — exact
+   * floor arithmetic with every intermediate below 2⁶³ for weights in
+   * [1, 10⁶] (required), so an external engine replays every value with
+   * plain 64-bit integers and no big-decimal rounding hazard. Same
+   * checkpointed one-shuffle-per-iteration plan as [[pageRankFixed]];
+   * duplicate (src, dst) edges act as accumulated weight.
+   */
+  def pageRankWeighted(
+      edges: DataFrame, srcCol: Column, dstCol: Column, weightCol: Column,
+      nodes: DataFrame = null, nodeIdCol: Column = null,
+      iterations: Int = 3, dampPct: Int = 85,
+      scale: Long = 1000000000000L, checkpointInterval: Int = 2,
+      tolFp: Long = 0L): DataFrame =
+    rankImpl(edges, srcCol, dstCol, nodes, nodeIdCol, null, null,
+      iterations, dampPct, scale, checkpointInterval, tolFp, weightCol)
 
   /**
    * TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004): PageRank whose
@@ -95,7 +116,7 @@ object Graphs {
       seeds: DataFrame, seedIdCol: Column,
       iterations: Int, dampPct: Int,
       scale: Long, checkpointInterval: Int,
-      tolFp: Long): DataFrame = {
+      tolFp: Long, weightCol: Column = null): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in 1..100, got $iterations")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in 0..100, got $dampPct")
@@ -126,8 +147,18 @@ object Graphs {
           Seq("id"), "left")
         .select(col("id"), coalesce(col("graft_s"), lit(false)).as("graft_seed"))
     val nodesP = flagged.localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("graft_deg"))
-    val edgesDeg = e.join(deg, "src").localCheckpoint(true)
+    val eW =
+      if (weightCol == null) e // unweighted plan stays exactly as before
+      else edges.select(srcCol.as("src"), dstCol.as("dst"),
+        weightCol.cast("long").as("graft_w"))
+    val deg =
+      if (weightCol == null) eW.groupBy("src").agg(count(lit(1)).as("graft_deg"))
+      else eW.groupBy("src").agg(sum(col("graft_w")).as("graft_deg"))
+    val edgesDeg = eW.join(deg, "src").localCheckpoint(true)
+    if (weightCol != null) {
+      val bad = edgesDeg.where(col("graft_w") < 1L || col("graft_w") > 1000000L).count()
+      require(bad == 0L, s"$bad edges carry weights outside [1, 1e6]")
+    }
 
     val n = nodesP.count()
     require(n > 0, "rank needs at least one node")
@@ -142,10 +173,15 @@ object Graphs {
       when(col("graft_seed"), lit(initRank)).otherwise(lit(0L)).as("rank_fp"))
     var iter = 1
     while (iter <= iterations) {
+      val shareExpr =
+        if (weightCol == null) expr("rank_fp div graft_deg")
+        // exact ⌊rank·w / W⌋ without overflow: (rank div W)·w + ((rank mod W)·w) div W
+        else expr("(rank_fp div graft_deg) * graft_w" +
+          " + ((rank_fp % graft_deg) * graft_w) div graft_deg")
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("id", "graft_rid"),
           col("src") === col("graft_rid"))
-        .select(col("dst").as("id"), expr("rank_fp div graft_deg").as("graft_share"))
+        .select(col("dst").as("id"), shareExpr.as("graft_share"))
         .groupBy("id").agg(sum("graft_share").as("graft_contrib"))
       val next = nodesP.join(contrib, Seq("id"), "left")
         .select(col("id"),
@@ -421,6 +457,23 @@ object Graphs {
         col("dst").as("graft_w")), Seq("graft_v", "graft_w"), "leftsemi")
     tris.select(explode(array(col("graft_u"), col("graft_v"), col("graft_w"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficients from [[triangleCounts]]: per node,
+   * (id, degree, triangles, coeff_ppm) with coeff = triangles /
+   * C(degree, 2) in integer ppm (degree-1 nodes report 0 against a null
+   * guard). The per-node closure number behind the graph-level spam
+   * signals: link farms sit near 0, organic neighborhoods far above. */
+  def clusteringCoefficients(
+      edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val und = undirected(edges.select(srcCol.as("src"), dstCol.as("dst")))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        expr("coalesce(triangles, 0L) * 2000000L div nullif(degree * (degree - 1), 0L)")
+          .as("coeff_ppm"))
+      .withColumn("coeff_ppm", coalesce(col("coeff_ppm"), lit(0L)))
   }
 
   private def undirected(directed: DataFrame): DataFrame =

@@ -314,6 +314,36 @@ class GraphsSpec extends AnyFunSuite {
     assert(got.values.sum == 12L) // 4 triangles x 3 corners
   }
 
+  test("clusteringCoefficients: K4 hits 1e6 ppm, stars 0, degree-1 guarded") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((9L, 10L), (9L, 11L), (9L, 12L))).toDF("s", "d")
+    val got = Graphs.clusteringCoefficients(edges, col("s"), col("d"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, 1000000L)))
+    assert(got(9L) == ((3L, 0L, 0L)))
+    assert(got(10L) == ((1L, 0L, 0L))) // C(1,2)=0: null-guarded to 0
+  }
+
+  test("pageRankWeighted: equal weights == unweighted bit for bit; heavy edges dominate") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("s", "d")
+    val un = Graphs.pageRankFixed(edges, col("s"), col("d"), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val eq = Graphs.pageRankWeighted(edges.withColumn("w", lit(7L)),
+        col("s"), col("d"), col("w"), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(eq == un) // ⌊r·k/(k·d)⌋ == ⌊r/d⌋ exactly
+    val skew = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("s", "d", "w")
+    val got = Graphs.pageRankWeighted(skew, col("s"), col("d"), col("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) > got(3L)) // 9x the share of node 1's rank
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankWeighted(skew.withColumn("w", lit(0L)),
+        col("s"), col("d"), col("w")).collect()
+    }
+  }
+
   test("node universe defaults to edge endpoints when nodes is omitted") {
     val got = Graphs.pageRankFixed(
         Seq((10L, 20L), (20L, 10L), (20L, 30L)).toDF("src", "dst"),
