@@ -69,6 +69,12 @@ object Soak {
     // host-level mirror LSH, skyline's prune-then-finish joins
     "q_record_linkage", "q_entity_resolution", "q_mirror_hosts",
     "q_pareto_front",
+    // r12 second wave: the new join/index/graph shapes with scale risk
+    "q_similarity_join", "q_dedup_weighted", "q_sorted_neighborhood",
+    "q_hard_negatives", "q_phrase_search", "q_proximity_search",
+    "q_spell_correct", "q_best_snippet", "q_triangles", "q_clustering",
+    "q_pagerank_weighted", "q_seed_distance", "q_frequent_pairs",
+    "q_token_bucket", "q_interval_attribution",
     // layout
     "q_zorder")
 
