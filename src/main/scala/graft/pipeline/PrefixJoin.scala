@@ -59,7 +59,11 @@ object PrefixJoin {
       .withColumn("graft_sz", size(col("graft_ts")))
       .where(col("graft_sz") >= 1)
     // ascending (document frequency, token) is the canonical total order;
-    // sort_array on the struct realizes it without a window
+    // the hash aggregate + per-group array sort beats the tempting
+    // per-doc rank window at scale: the window needs a SORT-based
+    // shuffle of every (id, df, token) row, the aggregate only hashes —
+    // measured 72s (agg) vs 133s (window) on the 50k-doc 10x soak, with
+    // the window ahead only at sf0.1 (10.9s vs 14.6s fixed-overhead win)
     val tok = base.select(col("id"), col("graft_sz"),
       explode(col("graft_ts")).as("graft_t"))
     val dfreq = tok.groupBy(col("graft_t"))
