@@ -1474,6 +1474,19 @@ object SparkEntry {
         nearDupCorpus(s, dir), col("doc_id"),
         graft.pipeline.Text.shingles(col("text"), 3), threshold = 0.7)
     }),
+    "q_similarity_crosscorpus" -> ((s, dir) => {
+      // EXACT A x B shingle-set Jaccard attribution (the zero-miss twin of
+      // q_dedup_crosscorpus's LSH): mutated slice vs frozen reference
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val words = split(col("text"), " ")
+      val mutated = d.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(words, lit(1), size(words) - 2), " ").as("text"))
+      graft.pipeline.PrefixJoin.similarityJoinBetween(
+        d, col("doc_id"), graft.pipeline.Text.shingles(col("text"), 3),
+        mutated, col("doc_id"), graft.pipeline.Text.shingles(col("text"), 3),
+        threshold = 0.7)
+    }),
     "q_dedup_crosscorpus" -> ((s, dir) => {
       // new-crawl-vs-reference attribution: the mutated slice plays the
       // incoming batch, full documents the frozen reference; LSH band join
@@ -4777,6 +4790,31 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
         |           / (a.sz + b.sz - len(list_intersect(a.ts, b.ts))) AS jaccard
         |  FROM n a, n b WHERE a.id < b.id
+        |) WHERE overlap > 0 AND jaccard >= 0.7""".stripMargin,
+    "q_similarity_crosscorpus" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ')
+        |                        for i in range(1, len(w) - 1)]) AS ts
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM documents)
+        |), l AS (SELECT doc_id AS id, ts, len(ts) AS sz FROM sh WHERE len(ts) >= 1),
+        |r0 AS (
+        |  SELECT doc_id + 10000 AS doc_id, array_to_string(w[1:len(w)-2], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), shr AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+2], ' ')
+        |                        for i in range(1, len(w) - 1)]) AS ts
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM r0)
+        |), r AS (SELECT doc_id AS id, ts, len(ts) AS sz FROM shr WHERE len(ts) >= 1)
+        |SELECT id_a, id_b, overlap, jaccard FROM (
+        |  SELECT l.id AS id_a, r.id AS id_b,
+        |         CAST(len(list_intersect(l.ts, r.ts)) AS INT) AS overlap,
+        |         CAST(len(list_intersect(l.ts, r.ts)) AS DOUBLE)
+        |           / (l.sz + r.sz - len(list_intersect(l.ts, r.ts))) AS jaccard
+        |  FROM l, r
         |) WHERE overlap > 0 AND jaccard >= 0.7""".stripMargin,
     "q_dedup_crosscorpus" ->
       """WITH m AS (

@@ -105,6 +105,71 @@ object PrefixJoin {
       .where(col("jaccard") >= threshold)
   }
 
+  /**
+   * Cross-corpus exact set-similarity JOIN (A × B): every pair
+   * (id_a from `left`, id_b from `right`) whose exact Jaccard meets
+   * `threshold` — the "attribute the new crawl against the frozen
+   * reference" shape, zero-miss like the self-join. The canonical token
+   * order comes from the UNION's document frequencies (one shared order —
+   * prefix completeness needs both sides cut by the same total order);
+   * candidates join left prefixes to right prefixes on the token, sizes
+   * pre-filtered by the ratio bound, verification exact. Same scale
+   * posture as [[similarityJoin]]; ids need not be disjoint (sides are
+   * tagged internally).
+   */
+  def similarityJoinBetween(
+      left: DataFrame, leftIdCol: Column, leftTokensCol: Column,
+      right: DataFrame, rightIdCol: Column, rightTokensCol: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    def baseOf(df: DataFrame, id: Column, ts: Column): DataFrame = df
+      .select(id.cast("long").as("id"), array_distinct(ts).as("graft_ts"))
+      .where(col("graft_ts").isNotNull)
+      .withColumn("graft_sz", size(col("graft_ts")))
+      .where(col("graft_sz") >= 1)
+    val lbase = baseOf(left, leftIdCol, leftTokensCol)
+    val rbase = baseOf(right, rightIdCol, rightTokensCol)
+    val tok = lbase.withColumn("graft_side", lit("l"))
+      .unionAll(rbase.withColumn("graft_side", lit("r")))
+      .select(col("graft_side"), col("id"), col("graft_sz"),
+        explode(col("graft_ts")).as("graft_t"))
+    val dfreq = tok.groupBy(col("graft_t")).agg(count(lit(1)).as("graft_df"))
+    val prefixLen =
+      greatest(lit(1), col("graft_sz") -
+        ceil(lit(threshold) * col("graft_sz") - lit(1e-9)).cast("int") + lit(1))
+    val prefixes = tok.join(dfreq, Seq("graft_t"))
+      .groupBy(col("graft_side"), col("id"), col("graft_sz"))
+      .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_t"))))
+        .as("graft_ord"))
+      .select(col("graft_side"), col("id"), col("graft_sz"),
+        explode(slice(transform(col("graft_ord"), s => s("graft_t")),
+          lit(1), prefixLen)).as("graft_t"))
+    val cand = prefixes.where(col("graft_side") === "l").as("a")
+      .join(prefixes.where(col("graft_side") === "r").as("b"),
+        col("a.graft_t") === col("b.graft_t") &&
+          least(col("a.graft_sz"), col("b.graft_sz")).cast("double") >=
+            lit(threshold) *
+              greatest(col("a.graft_sz"), col("b.graft_sz")).cast("double") -
+              lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(lbase.select(col("id").as("id_a"), col("graft_ts").as("graft_ta"),
+        col("graft_sz").as("graft_sa")), Seq("id_a"))
+      .join(rbase.select(col("id").as("id_b"), col("graft_ts").as("graft_tb"),
+        col("graft_sz").as("graft_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("graft_ta"), col("graft_tb"))).as("overlap"),
+        col("graft_sa"), col("graft_sb"))
+      .where(col("overlap") > 0)
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        (col("overlap").cast("double") /
+          (col("graft_sa") + col("graft_sb") - col("overlap")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** [[similarityJoin]] over whitespace word sets of a text column —
    * the common call shape for near-dup mining on documents. */
   def similarityJoinWords(

@@ -61,6 +61,31 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(run(docs, 0.61).isEmpty)
   }
 
+  test("cross-corpus join matches brute force A x B; within-side pairs never emitted") {
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 25).map(i => s"w$i")
+    def corpus(n: Int, off: Long) = (0L until n.toLong).map { i =>
+      (i + off, Seq.fill(3 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val l = corpus(25, 0L)
+    val r = corpus(30, 1000L)
+    for (t <- Seq(0.4, 0.7)) {
+      val expected = (for {
+        (ia, a0) <- l; (ib, b0) <- r
+        a = a0.distinct.toSet; b = b0.distinct.toSet
+        o = (a & b).size if o > 0
+        j = o.toDouble / (a.size + b.size - o) if j >= t
+      } yield (ia, ib, o, j)).toSet
+      val got = PrefixJoin.similarityJoinBetween(
+          l.toDF("id", "ts"), col("id"), col("ts"),
+          r.toDF("id", "ts"), col("id"), col("ts"), t)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(got == expected, s"threshold $t")
+      assert(t > 0.5 || expected.nonEmpty)
+      assert(got.forall { case (a, b, _, _) => a < 1000L && b >= 1000L })
+    }
+  }
+
   test("plan: every join is an equi-join — no cartesian, no nested loop") {
     val docs = (0L until 20L).map(i => (i, Seq(s"a$i", s"b${i % 3}", "common")))
     val df = PrefixJoin.similarityJoin(
