@@ -1052,6 +1052,19 @@ object SparkEntry {
           nodes = docs(s, dir).select(col("doc_id")), nodeIdCol = col("doc_id"))
         .orderBy(col("rank_fp").desc, col("id").asc).limit(100)
     }),
+    "q_kcore" -> ((s, dir) => {
+      // rows-only (unbounded peel iterations are not SQL-expressible;
+      // GraphsSpec pins exact membership on known graphs): a K12 clique
+      // planted on the sparse doc graph — the 9-core peel cascades the
+      // random fringe away and the clique neighborhood survives
+      val d = docs(s, dir).select(col("doc_id"))
+      val small = d.where(col("doc_id") < 12)
+      val clique = small.select(col("doc_id").as("src"))
+        .crossJoin(small.select(col("doc_id").as("dst")))
+        .where(col("src") < col("dst"))
+      graft.pipeline.Graphs.kCore(
+        docEdges(s, dir).unionAll(clique), col("src"), col("dst"), k = 9)
+    }),
     "q_clustering" -> ((s, dir) => {
       // local clustering coefficients over the ringed doc graph — exact
       // integer ppm against C(degree, 2)

@@ -459,6 +459,49 @@ object Graphs {
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
   }
 
+  /**
+   * k-core decomposition by iterative peeling: the maximal subgraph in
+   * which every node keeps at least k (undirected) neighbors — the
+   * robust "dense community" membership that degree alone fakes (a star
+   * center has high degree and no 2-core). Link-farm cores and organic
+   * community cores separate on exactly this. Returns the surviving
+   * (id, core_degree) rows; an empty frame means no k-core exists.
+   *
+   * Each round drops sub-k nodes and recounts — the peel converges in at
+   * most |V| rounds but in practice tens; each round is one semi-join +
+   * one count aggregate over the CHECKPOINTED remaining edges (plan stays
+   * flat, lineage never grows). The result is the unique maximal k-core,
+   * independent of peel order — partitioning cannot change it.
+   */
+  def kCore(
+      edges: DataFrame, srcCol: Column, dstCol: Column, k: Int,
+      maxIterations: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    var und = undirected(edges.select(srcCol.as("src"), dstCol.as("dst")))
+    var iter = 0
+    var stable = false
+    var deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+      .localCheckpoint(true)
+    while (!stable && iter < maxIterations) {
+      val keep = deg.where(col("core_degree") >= k)
+        .select(col("id")).localCheckpoint(true)
+      val pruned = und
+        .join(keep.select(col("id").as("src")), Seq("src"), "leftsemi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "leftsemi")
+        .localCheckpoint(true)
+      val nextDeg = pruned.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("core_degree")).localCheckpoint(true)
+      // converged when no node fell below k this round
+      stable = nextDeg.where(col("core_degree") < k).isEmpty &&
+        keep.count() == nextDeg.count()
+      und = pruned
+      deg = nextDeg
+      iter += 1
+    }
+    deg.where(col("core_degree") >= k)
+  }
+
   /** Local clustering coefficients from [[triangleCounts]]: per node,
    * (id, degree, triangles, coeff_ppm) with coeff = triangles /
    * C(degree, 2) in integer ppm (degree-1 nodes report 0 against a null

@@ -344,6 +344,24 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: cascading peel, star centers fall, K4 core survives") {
+    // K4 (1..4) + a tail 4-5-6 + star 9->10,11,12: 2-core = exactly K4
+    // (5 dies once 6 dies; the star evaporates entirely)
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L),
+      (9L, 10L), (9L, 11L), (9L, 12L))).toDF("s", "d")
+    val core2 = Graphs.kCore(edges, col("s"), col("d"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val core3 = Graphs.kCore(edges, col("s"), col("d"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core3.keySet == Set(1L, 2L, 3L, 4L)) // K4 is a 3-core
+    assert(Graphs.kCore(edges, col("s"), col("d"), 4).isEmpty)
+    intercept[IllegalArgumentException] {
+      Graphs.kCore(edges, col("s"), col("d"), 0)
+    }
+  }
+
   test("node universe defaults to edge endpoints when nodes is omitted") {
     val got = Graphs.pageRankFixed(
         Seq((10L, 20L), (20L, 10L), (20L, 30L)).toDF("src", "dst"),
