@@ -671,6 +671,13 @@ object SparkEntry {
       graft.operators.Itemsets.frequentPairs(
         events(s, dir), col("user_id"), col("event_type"), minCount = 2)
     }),
+    "q_neyman_allocation" -> ((s, dir) => {
+      // minimum-variance labeling budget across event types: micro-unit
+      // quantization keeps Σv/Σv² exact integers, sqrt is IEEE-exact, and
+      // DuckDB replays quotients, remainder seats and tie-breaks
+      graft.pipeline.Curation.neymanAllocation(
+        events(s, dir), col("event_type"), col("value"), budget = 100L)
+    }),
     "q_interval_attribution" -> ((s, dir) => {
       // batch face of StreamingJoin.intervalJoin (same column algebra the
       // streaming parity spec pins): every purchase attributed to the
@@ -3672,6 +3679,39 @@ object SparkEntry {
         |FROM p
         |JOIN ic ia ON p.item_a = ia.i
         |JOIN ic ib ON p.item_b = ib.i, n""".stripMargin,
+    "q_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT event_type AS stratum, count(*) AS n_rows,
+        |         CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS s,
+        |         sum(CAST(CAST(floor(value * 1e6) AS BIGINT) AS HUGEINT)
+        |             * CAST(floor(value * 1e6) AS BIGINT)) AS s2
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |), sd AS (
+        |  SELECT stratum, n_rows,
+        |         CAST(floor(sqrt(greatest(0.0,
+        |           CAST(s2 AS DOUBLE) / n_rows
+        |             - (CAST(s AS DOUBLE) / n_rows) * (CAST(s AS DOUBLE) / n_rows))))
+        |           AS BIGINT) AS sd_e6
+        |  FROM st
+        |), w AS (
+        |  SELECT stratum, n_rows, sd_e6, n_rows * sd_e6 AS weight_e6,
+        |         (SELECT sum(n_rows * sd_e6) FROM sd) AS tw
+        |  FROM sd
+        |), q AS (
+        |  SELECT stratum, n_rows, sd_e6, weight_e6,
+        |         least(100 * weight_e6 // tw, n_rows) AS base,
+        |         100 * weight_e6 % tw AS rem
+        |  FROM w
+        |), seats AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+        |         (SELECT 100 - sum(base) FROM q) AS leftover
+        |  FROM q WHERE base < n_rows
+        |)
+        |SELECT q.stratum, q.n_rows, q.sd_e6, q.weight_e6,
+        |       CAST(q.base + CASE WHEN s.rk IS NOT NULL AND s.rk <= s.leftover
+        |                          THEN 1 ELSE 0 END AS BIGINT) AS allocation
+        |FROM q LEFT JOIN seats s ON q.stratum = s.stratum""".stripMargin,
     "q_interval_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
         |       b.value AS amount

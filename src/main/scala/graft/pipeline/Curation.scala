@@ -1414,6 +1414,73 @@ object Curation {
    * `exhausted` — allotted == cap. All fixed-point; the arithmetic
    * replays bit-for-bit in the DuckDB oracle.
    */
+  /**
+   * Neyman (minimum-variance) sample allocation: split an annotation or
+   * eval budget across strata proportionally to N_h·S_h — big AND
+   * heterogeneous strata earn more samples than proportional allocation
+   * gives, uniform strata fewer; the classic survey-sampling answer to
+   * "how many docs per domain should the labelers see". Returns one row
+   * per stratum: (stratum, n_rows, sd_e6, weight_e6, allocation).
+   *
+   * Exactness contract: values quantize to integer micro-units
+   * (⌊v·10⁶⌋) BEFORE aggregation, so the per-stratum sums Σv and Σv² are
+   * exact integers — order- and partition-independent, unlike raw double
+   * sums. The population SD then needs three IEEE doubles ops plus sqrt
+   * (correctly rounded, unlike ln), reproduced bit for bit by any
+   * engine; the integer allocation is largest-remainder (Hamilton) over
+   * the n·sd weights with (remainder, stratum) tie-break, capped at the
+   * stratum's row count with deterministic (weight desc, stratum)
+   * redistribution of capped-off surplus. Single aggregate + a
+   * driver-side pass over the STRATA (bounded by stratum cardinality,
+   * not data).
+   */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: Column, valueCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vq = floor(valueCol.cast("double") * lit(1e6)).cast("long")
+    val stats = df
+      .select(stratumCol.cast("string").as("stratum"), vq.as("graft_v"))
+      .where(col("stratum").isNotNull && col("graft_v").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("graft_v")).as("graft_s"),
+        sum(col("graft_v").cast("decimal(38,0)") * col("graft_v")).as("graft_s2"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val s = r.getLong(2).toDouble
+        val s2 = r.getDecimal(3).doubleValue()
+        val varE12 = s2 / n - (s / n) * (s / n)
+        val sdE6 = math.floor(math.sqrt(math.max(0.0, varE12))).toLong
+        (r.getString(0), n, sdE6, n * sdE6)
+      }
+      .sortBy(_._1)
+    val totalW = stats.map(_._4).sum
+    // largest-remainder over micro-unit weights; zero total → all zeros
+    val base = stats.map { case (st, n, sd, w) =>
+      val q = if (totalW == 0L) 0L else budget * w / totalW
+      val rem = if (totalW == 0L) 0L else budget * w % totalW
+      (st, n, sd, w, math.min(q, n), rem)
+    }
+    var left = budget - base.map(_._5).sum
+    val byRem = base.sortBy { case (st, _, _, _, _, rem) => (-rem, st) }
+    val alloc = scala.collection.mutable.Map(base.map(b => b._1 -> b._5): _*)
+    // hand out remainder seats, then redistribute any cap surplus
+    for ((st, n, _, _, a, _) <- byRem if left > 0 && a < n) {
+      val take = math.min(left, 1L)
+      alloc(st) += take; left -= take
+    }
+    for ((st, n, _, _, _, _) <- base.sortBy { case (st, _, _, w, _, _) => (-w, st) }
+         if left > 0) {
+      val take = math.min(left, n - alloc(st))
+      if (take > 0) { alloc(st) += take; left -= take }
+    }
+    base.map { case (st, n, sd, w, _, _) => (st, n, sd, w, alloc(st)) }
+      .toSeq.toDF("stratum", "n_rows", "sd_e6", "weight_e6", "allocation")
+  }
+
   def mixingSchedule(
       df: DataFrame, domainCol: Column, tokensCol: Column, weightCol: Column,
       budgetTokens: Long, maxEpochs: Double): DataFrame = {

@@ -670,6 +670,32 @@ class CurationSpec extends AnyFunSuite {
     assert((1000000.0 - mean) / std < 3.5) // the z-score check really does miss it
   }
 
+  test("neymanAllocation: heterogeneous strata earn samples, caps redistribute") {
+    // A: values {0, 2} → sd 1e6 micro, weight 2e6; B: constant → weight 0
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("st", "v")
+    val got = Curation.neymanAllocation(df, col("st"), col("v"), budget = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    // A takes its cap (2 of 2 rows); surplus redistributes to B
+    assert(got("a") == ((2L, 1000000L, 2L)))
+    assert(got("b") == ((3L, 0L, 2L)))
+    // proportionality: equal sizes, sd ratio 1:3 → allocation 1:3
+    val rnd = new scala.util.Random(3)
+    val prop = (1 to 400).map(i => ("lo", 10.0 + (i % 2))) ++ // sd 0.5
+      (1 to 400).map(i => ("hi", 10.0 + 3.0 * (i % 2))) // sd 1.5
+    val a2 = Curation.neymanAllocation(prop.toDF("st", "v"), col("st"), col("v"), 80)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(a2 == Map("lo" -> 20L, "hi" -> 60L), a2.toString)
+    // all-constant strata: zero weights, budget still fully (and
+    // deterministically) handed out up to the row counts
+    val const = Seq(("x", 1.0), ("x", 1.0), ("y", 2.0)).toDF("st", "v")
+    val a3 = Curation.neymanAllocation(const, col("st"), col("v"), 3)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r._5).toMap
+    assert(a3 == Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("transitionMatrix: per-key steps, tiebroken order, ppm rows sum to <= 1e6") {
     // user 1: a→b→a ; user 2: a→b ; user 3 same-ts pair tiebroken by id
     val df = Seq(
