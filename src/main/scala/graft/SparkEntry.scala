@@ -671,6 +671,12 @@ object SparkEntry {
       graft.operators.Itemsets.frequentPairs(
         events(s, dir), col("user_id"), col("event_type"), minCount = 2)
     }),
+    "q_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-budget diagnostic: the top-20 words' share of all
+      // running tokens (the synthetic corpus has ~31 distinct words, so
+      // the cut is real); DuckDB replays the deterministic top-k cut
+      graft.pipeline.Curation.vocabCoverage(
+        docs(s, dir), col("text"), vocabSize = 20)),
     "q_neyman_allocation" -> ((s, dir) => {
       // minimum-variance labeling budget across event types: micro-unit
       // quantization keeps Σv/Σv² exact integers, sqrt is IEEE-exact, and
@@ -3679,6 +3685,21 @@ object SparkEntry {
         |FROM p
         |JOIN ic ia ON p.item_a = ia.i
         |JOIN ic ib ON p.item_b = ib.i, n""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                              t -> t != '')) AS w
+        |    FROM documents) GROUP BY 1
+        |), v AS (
+        |  SELECT w, c FROM c ORDER BY c DESC, w LIMIT 20
+        |)
+        |SELECT (SELECT CAST(sum(c) AS BIGINT) FROM c) AS total_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab_words,
+        |       CAST(sum(c) AS BIGINT) AS covered_tokens,
+        |       CAST(sum(c) * 1000000 // (SELECT sum(c) FROM c) AS BIGINT)
+        |         AS coverage_ppm
+        |FROM v""".stripMargin,
     "q_neyman_allocation" ->
       """WITH st AS (
         |  SELECT event_type AS stratum, count(*) AS n_rows,

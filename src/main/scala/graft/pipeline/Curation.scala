@@ -1415,6 +1415,31 @@ object Curation {
    * replays bit-for-bit in the DuckDB oracle.
    */
   /**
+   * Vocabulary coverage report — the "how big must the vocab be"
+   * tokenizer diagnostic: with the top-`vocabSize` corpus words as the
+   * vocabulary (frequency desc, word asc — deterministic ties), what
+   * fraction of all running tokens is covered, and what's the OOV mass?
+   * One row: (total_tokens, vocab_words, covered_tokens, coverage_ppm).
+   * One word-count aggregate, one bounded TakeOrdered top-k cut, one
+   * broadcast semi-join back — corpus-size work is two codegen passes.
+   */
+  def vocabCoverage(
+      df: DataFrame, textCol: Column, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val words = df.select(explode(Text.words(textCol, lowercase = true)).as("graft_w"))
+    val counts = words.groupBy(col("graft_w")).agg(count(lit(1)).as("graft_c"))
+    val vocab = counts.orderBy(col("graft_c").desc, col("graft_w").asc)
+      .limit(vocabSize).select(col("graft_w"), col("graft_c"))
+    vocab.agg(
+        count(lit(1)).as("vocab_words"),
+        sum(col("graft_c")).as("covered_tokens"))
+      .crossJoin(broadcast(counts.agg(sum(col("graft_c")).as("total_tokens"))))
+      .select(col("total_tokens"), col("vocab_words"), col("covered_tokens"),
+        expr("covered_tokens * 1000000L div nullif(total_tokens, 0L)")
+          .as("coverage_ppm"))
+  }
+
+  /**
    * Neyman (minimum-variance) sample allocation: split an annotation or
    * eval budget across strata proportionally to N_h·S_h — big AND
    * heterogeneous strata earn more samples than proportional allocation

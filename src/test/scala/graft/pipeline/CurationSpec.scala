@@ -670,6 +670,18 @@ class CurationSpec extends AnyFunSuite {
     assert((1000000.0 - mean) / std < 3.5) // the z-score check really does miss it
   }
 
+  test("vocabCoverage: top-k by (freq desc, word asc), exact token mass") {
+    // freqs: the 4, cat 2, dog 2, emu 1 → vocab 2 = {the, cat} (tie cat<dog)
+    val df = Seq("the cat the dog", "THE cat dog emu the").toDF("t")
+    val r = Curation.vocabCoverage(df, col("t"), 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((9L, 2L, 6L, 666666L)))
+    // vocab bigger than the vocabulary: full coverage, actual size reported
+    val all = Curation.vocabCoverage(df, col("t"), 100)
+      .as[(Long, Long, Long, Long)].head()
+    assert(all == ((9L, 4L, 9L, 1000000L)))
+  }
+
   test("neymanAllocation: heterogeneous strata earn samples, caps redistribute") {
     // A: values {0, 2} → sd 1e6 micro, weight 2e6; B: constant → weight 0
     val df = Seq(("a", 0.0), ("a", 2.0), ("b", 5.0), ("b", 5.0), ("b", 5.0))
