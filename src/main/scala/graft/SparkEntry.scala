@@ -1528,6 +1528,14 @@ object SparkEntry {
           mutated, col("doc_id"), col("text"), shingleSize = 3, threshold = 0.7)
         .select(col("id_a"), col("id_b"))
     }),
+    "q_dedup_weighted_drop" -> ((s, dir) => {
+      // curation face of the weighted tier: transitive weighted-near-dup
+      // families keep min id; the oracle closes the true >= 0.8 pair set
+      // with a recursive CTE and recomputes the survivors
+      graft.pipeline.Wminhash.dropWeightedNearDups(
+          nearDupCorpus(s, dir), col("doc_id"), col("text"), threshold = 0.8)
+        .select(col("id"))
+    }),
     "q_dedup_weighted" -> ((s, dir) => {
       // ICWS weighted minhash over trigram-shingle tf: true all-pairs
       // weighted Jaccard >= 0.8 in DuckDB (every qualifying pair sits
@@ -4819,6 +4827,42 @@ object SparkEntry {
     // exact all-pairs trigram jaccard over the same constructed corpus —
     // the testdata also contains organic planted near-dups the LSH must find
     "q_dedup_minhash" -> JaccardPairsSql,
+    "q_dedup_weighted_drop" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, array_to_string(w[1:len(w)-2], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest([array_to_string(w[i:i+2], ' ')
+        |                 for i in range(1, len(w) - 1)]) AS t
+        |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        |        FROM corpus)
+        |), tf AS (SELECT id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |lens AS (SELECT id, count(*) AS lw FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, sum(least(a.c, b.c)) AS smin
+        |  FROM tf a JOIN tf b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN lens la ON inter.id_a = la.id
+        |  JOIN lens lb ON inter.id_b = lb.id
+        |  WHERE CAST(smin AS DOUBLE) / (la.lw + lb.lw - smin) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), node AS (SELECT DISTINCT s AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM node
+        |  UNION
+        |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+        |), comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+        |SELECT doc_id AS id FROM corpus
+        |WHERE doc_id NOT IN (SELECT id FROM comp)
+        |UNION ALL
+        |SELECT id FROM comp WHERE id = c""".stripMargin,
     "q_dedup_weighted" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

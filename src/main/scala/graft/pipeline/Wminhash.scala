@@ -106,6 +106,28 @@ object Wminhash {
         weightedJaccard(toks(col("text_a")), toks(col("text_b"))).as("w_jaccard"))
       .where(col("w_jaccard") >= threshold)
   }
+  /**
+   * Curation face of the weighted tier: drop every doc that is a weighted
+   * near-dup of a lower-id doc, transitive families included — pairs from
+   * [[weightedNearDups]] collapse through the checkpointed min-label
+   * components of [[Graphs.connectedComponents]], each family keeps its
+   * minimum id. Returns the surviving (id, text) rows.
+   */
+  def dropWeightedNearDups(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 0): DataFrame = {
+    val docs = df.select(idCol.as("id"), textCol.as("text"))
+    val pairs = weightedNearDups(df, idCol, textCol,
+      shingleSize, numHashes, bands, threshold, maxBucketSize)
+    val comp = Graphs.connectedComponents(pairs, col("id_a"), col("id_b"))
+    val keepers = comp.groupBy(col("component"))
+      .agg(min(col("id")).as("graft_keep"))
+      .select(col("graft_keep").as("id"))
+    val inPairs = comp.select(col("id"))
+    docs.join(inPairs, Seq("id"), "left_anti") // untouched docs survive
+      .unionAll(docs.join(keepers, Seq("id"), "leftsemi"))
+  }
 }
 
 object WminhashAlgos {

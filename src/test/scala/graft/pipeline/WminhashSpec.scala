@@ -84,6 +84,21 @@ class WminhashSpec extends AnyFunSuite {
     }
   }
 
+  test("dropWeightedNearDups: transitive families keep min id, untouched docs survive") {
+    // chain A≈B≈C (transitive family via B) + a distinct doc + an empty doc
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),
+      (2L, base.split(" ").dropRight(2).mkString(" ")), // ≈ 10
+      (30L, base.split(" ").drop(2).mkString(" ")), // ≈ 10 (and 2 via 10)
+      (4L, (100 to 160).map(i => s"z$i").mkString(" ")),
+      (5L, ""))
+    val out = Wminhash.dropWeightedNearDups(
+        docs.toDF("id", "text"), col("id"), col("text"), threshold = 0.7)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(out == Set(2L, 4L, 5L)) // family {10,2,30} keeps min id 2
+  }
+
   test("plan, no-broadcast regime: ONE corpus ICWS pass via exchange reuse") {
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
