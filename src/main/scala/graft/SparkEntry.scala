@@ -671,6 +671,12 @@ object SparkEntry {
       graft.operators.Itemsets.frequentPairs(
         events(s, dir), col("user_id"), col("event_type"), minCount = 2)
     }),
+    "q_concentration" -> ((s, dir) =>
+      // corpus concentration across users: exact Gini over the scalable
+      // distributed rank, effective-key inverse Simpson, top shares —
+      // DuckDB replays ranks, decimal products and integral division
+      graft.pipeline.Curation.concentrationReport(
+        events(s, dir), col("user_id"))),
     "q_vocab_coverage" -> ((s, dir) =>
       // tokenizer-budget diagnostic: the top-20 words' share of all
       // running tokens (the synthetic corpus has ~31 distinct words, so
@@ -3693,6 +3699,31 @@ object SparkEntry {
         |FROM p
         |JOIN ic ia ON p.item_a = ia.i
         |JOIN ic ib ON p.item_b = ib.i, n""".stripMargin,
+    "q_concentration" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c, k) AS rk FROM c
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(c) AS BIGINT) AS total_rows,
+        |         CAST(max(c) AS BIGINT) AS mx,
+        |         sum(CAST(c AS HUGEINT) * c) AS c2,
+        |         sum(CAST(rk AS HUGEINT) * c) AS rc
+        |  FROM r
+        |), t10 AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS s10
+        |  FROM (SELECT c FROM c ORDER BY c DESC LIMIT 10)
+        |)
+        |SELECT n_keys, total_rows,
+        |       mx * 1000000 // total_rows AS top1_ppm,
+        |       (SELECT s10 FROM t10) * 1000000 // total_rows AS top10_ppm,
+        |       CAST((2 * rc - CAST(n_keys + 1 AS HUGEINT) * total_rows) * 1000000
+        |            // (CAST(n_keys AS HUGEINT) * total_rows) AS BIGINT) AS gini_ppm,
+        |       CAST(CAST(total_rows AS HUGEINT) * total_rows * 1000000 // c2
+        |            AS BIGINT) AS inv_simpson_e6
+        |FROM t""".stripMargin,
     "q_vocab_coverage" ->
       """WITH c AS (
         |  SELECT w, count(*) AS c FROM (

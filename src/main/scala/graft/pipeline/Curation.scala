@@ -1415,6 +1415,63 @@ object Curation {
    * replays bit-for-bit in the DuckDB oracle.
    */
   /**
+   * Corpus concentration report — "how much of the corpus is a handful of
+   * domains": per-key counts summarized as (n_keys, total_rows, top1_ppm,
+   * top10_ppm, gini_ppm, inv_simpson_e6). Gini is the standard
+   * inequality measure over key masses; inverse Simpson is the effective
+   * number of equally-sized keys (×10⁶). Both are exact integer
+   * arithmetic — Σc and Σc² as DECIMAL(38) sums, the Gini rank-weighted
+   * sum over a SCALABLE global rank (range repartition + per-partition
+   * offsets, the [[graft.operators.Linkage.sortedNeighborhood]] pattern —
+   * no single-partition window ever sees the key frame, so a 10⁸-domain
+   * census ranks distributed).
+   *
+   * gini_ppm = (2·Σᵢ i·c₍ᵢ₎ − (n+1)·Σc) · 10⁶ div (n·Σc), ranks ascending
+   * by (count, key); inv_simpson_e6 = (Σc)²·10⁶ div Σc².
+   */
+  def concentrationReport(df: DataFrame, keyCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dsl.top_k_by
+    val counts = df.select(keyCol.cast("string").as("graft_k"))
+      .where(col("graft_k").isNotNull)
+      .groupBy(col("graft_k")).agg(count(lit(1)).as("graft_c"))
+    val keyed = counts
+      .repartitionByRange(col("graft_c"), col("graft_k"))
+      .withColumn("graft_pid", spark_partition_id())
+    val local = keyed.withColumn("graft_lrank",
+      row_number().over(Window.partitionBy(col("graft_pid"))
+        .orderBy(col("graft_c"), col("graft_k"))))
+    val offsets = keyed.groupBy(col("graft_pid"))
+      .agg(count(lit(1)).as("graft_cnt"))
+      .withColumn("graft_off", coalesce(
+        sum(col("graft_cnt")).over(Window.orderBy(col("graft_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("graft_pid"), col("graft_off"))
+    local.join(broadcast(offsets), Seq("graft_pid"))
+      .select(col("graft_c"),
+        (col("graft_off") + col("graft_lrank")).as("graft_rank"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("graft_c")).as("total_rows"),
+        max(col("graft_c")).as("graft_max"),
+        top_k_by(col("graft_c").cast("double"), col("graft_c"), 10).as("graft_top"),
+        sum(col("graft_c").cast("decimal(38,0)") * col("graft_c")).as("graft_c2"),
+        sum(col("graft_rank").cast("decimal(38,0)") * col("graft_c")).as("graft_rc"))
+      .withColumn("graft_t10",
+        aggregate(col("graft_top"), lit(0L), (acc, s) => acc + s("item")))
+      .select(col("n_keys"), col("total_rows"),
+        expr("graft_max * 1000000L div nullif(total_rows, 0L)").as("top1_ppm"),
+        expr("graft_t10 * 1000000L div nullif(total_rows, 0L)").as("top10_ppm"),
+        // integral `div` on DECIMAL(38) products: exact truncation, never
+        // the round-then-floor drift a decimal `/` would introduce
+        expr("CAST((2 * graft_rc - CAST(n_keys + 1 AS DECIMAL(38,0)) * total_rows)" +
+          " * 1000000 div (CAST(n_keys AS DECIMAL(38,0)) * total_rows) AS BIGINT)")
+          .as("gini_ppm"),
+        expr("CAST(CAST(total_rows AS DECIMAL(38,0)) * total_rows * 1000000" +
+          " div graft_c2 AS BIGINT)").as("inv_simpson_e6"))
+  }
+
+  /**
    * Vocabulary coverage report — the "how big must the vocab be"
    * tokenizer diagnostic: with the top-`vocabSize` corpus words as the
    * vocabulary (frequency desc, word asc — deterministic ties), what

@@ -670,6 +670,26 @@ class CurationSpec extends AnyFunSuite {
     assert((1000000.0 - mean) / std < 3.5) // the z-score check really does miss it
   }
 
+  test("concentrationReport: exact Gini, inverse Simpson, top shares") {
+    // masses 1,1,2,4 over 4 keys: ascending ranks 1..4 with (count, key)
+    // order → Σi·c = 1+2+6+16 = 25; gini = (50 − 5·8)/(4·8) = 10/32
+    val df = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).toDF("k")
+    val r = Curation.concentrationReport(df, col("k"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // top1 = 4/8; top10 covers all = 1e6; inv simpson = 64e6/22
+    assert(r == ((4L, 8L, 500000L, 1000000L, 312500L, 2909090L)))
+    // uniform masses: gini 0, effective keys = n
+    val u = (1 to 30).flatMap(i => Seq.fill(3)(s"k$i")).toDF("k")
+    val ru = Curation.concentrationReport(u, col("k"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(ru._5 == 0L && ru._6 == 30000000L)
+    // partitioning invariance of the distributed rank
+    val rp = Curation.concentrationReport(df.repartition(7), col("k"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(rp == r)
+  }
+
   test("vocabCoverage: top-k by (freq desc, word asc), exact token mass") {
     // freqs: the 4, cat 2, dog 2, emu 1 → vocab 2 = {the, cat} (tie cat<dog)
     val df = Seq("the cat the dog", "THE cat dog emu the").toDF("t")
