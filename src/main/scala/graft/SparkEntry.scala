@@ -671,6 +671,11 @@ object SparkEntry {
       graft.operators.Itemsets.frequentPairs(
         events(s, dir), col("user_id"), col("event_type"), minCount = 2)
     }),
+    "q_rfm" -> ((s, dir) =>
+      // behavioral segmentation: recency/frequency/monetary quintiles via
+      // the distributed exact rank; DuckDB replays ranks and ceil buckets
+      graft.pipeline.Curation.rfmScores(
+        events(s, dir), col("user_id"), col("ts"), col("value"))),
     "q_concentration" -> ((s, dir) =>
       // corpus concentration across users: exact Gini over the scalable
       // distributed rank, effective-key inverse Simpson, top shares —
@@ -3699,6 +3704,28 @@ object SparkEntry {
         |FROM p
         |JOIN ic ia ON p.item_a = ia.i
         |JOIN ic ib ON p.item_b = ib.i, n""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, max(ts) AS last_ts,
+        |         count(*) AS n_events,
+        |         CAST(coalesce(sum(CAST(floor(value * 1e6) AS BIGINT)), 0) AS BIGINT)
+        |           AS total_value_e6
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM base),
+        |r AS (
+        |  SELECT base.*,
+        |    CAST((row_number() OVER (ORDER BY last_ts, key) * 5
+        |          + (SELECT n FROM n) - 1) // (SELECT n FROM n) AS INT) AS r_score,
+        |    CAST((row_number() OVER (ORDER BY n_events, key) * 5
+        |          + (SELECT n FROM n) - 1) // (SELECT n FROM n) AS INT) AS f_score,
+        |    CAST((row_number() OVER (ORDER BY total_value_e6, key) * 5
+        |          + (SELECT n FROM n) - 1) // (SELECT n FROM n) AS INT) AS m_score
+        |  FROM base
+        |)
+        |SELECT key, last_ts, CAST(n_events AS BIGINT) AS n_events, total_value_e6,
+        |       r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM r""".stripMargin,
     "q_concentration" ->
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c FROM events

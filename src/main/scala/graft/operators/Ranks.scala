@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Scalable exact global ranking — the shared shape behind
+ * [[Linkage.sortedNeighborhood]] and the concentration/Gini report: a
+ * range repartition on the order key puts contiguous key ranges in
+ * ordered partitions, per-partition row_numbers are offset by the
+ * partition row counts (a frame with ONE ROW PER PARTITION —
+ * cluster-sized, not data-sized), and no single-partition window ever
+ * touches the data. The rank is a pure function of the order columns'
+ * total order; pass a unique tie-break column to make it deterministic.
+ */
+object Ranks {
+
+  /** Adds `rankCol` (1-based, dense in the row sense) ordering by
+   * `orderCols` lexicographically. All other columns pass through. */
+  def withGlobalRank(df: DataFrame, rankCol: String, orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "at least one order column is required")
+    val keyed = df
+      .repartitionByRange(orderCols: _*)
+      .withColumn("graft_rk_pid", spark_partition_id())
+    val local = keyed.withColumn("graft_rk_lr",
+      row_number().over(Window.partitionBy(col("graft_rk_pid"))
+        .orderBy(orderCols: _*)))
+    val offsets = keyed.groupBy(col("graft_rk_pid"))
+      .agg(count(lit(1)).as("graft_rk_cnt"))
+      .withColumn("graft_rk_off", coalesce(
+        sum(col("graft_rk_cnt")).over(Window.orderBy(col("graft_rk_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("graft_rk_pid"), col("graft_rk_off"))
+    local.join(broadcast(offsets), Seq("graft_rk_pid"))
+      .withColumn(rankCol, col("graft_rk_off") + col("graft_rk_lr"))
+      .drop("graft_rk_pid", "graft_rk_lr", "graft_rk_off", "graft_rk_cnt")
+  }
+
+}

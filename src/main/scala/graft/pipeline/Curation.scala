@@ -1415,6 +1415,46 @@ object Curation {
    * replays bit-for-bit in the DuckDB oracle.
    */
   /**
+   * RFM (recency / frequency / monetary) scoring — the classic behavioral
+   * segmentation: per key, the last-activity timestamp, the event count
+   * and the value sum, each scored 1..k by equal-frequency bucket (k =
+   * best). Buckets come from [[graft.operators.Ranks.withGlobalRank]] —
+   * ⌈rank·k/n⌉ in exact integer arithmetic, deterministic ties by key —
+   * so a 10⁸-key census never funnels through a single ntile window.
+   * Recency ranks ascending by last_ts (older → lower score), frequency
+   * and monetary ascending by their values. Returns (key, last_ts,
+   * n_events, total_value_e6, r_score, f_score, m_score, rfm).
+   */
+  def rfmScores(
+      df: DataFrame, keyCol: Column, tsCol: Column, valueCol: Column,
+      k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= 100, s"k must be in 2..100, got $k")
+    import graft.operators.Ranks
+    val base = df
+      .select(keyCol.cast("string").as("key"),
+        tsCol.as("graft_ts"),
+        floor(valueCol.cast("double") * lit(1e6)).cast("long").as("graft_v"))
+      .where(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(max(col("graft_ts")).as("last_ts"),
+        count(lit(1)).as("n_events"),
+        coalesce(sum(col("graft_v")), lit(0L)).as("total_value_e6"))
+    val n = base.count()
+    def scored(in: DataFrame, score: String, order: Column*): DataFrame =
+      Ranks.withGlobalRank(in, "graft_rank", order: _*)
+        .withColumn(score,
+          expr(s"CAST((graft_rank * $k + ${n}L - 1) div ${n}L AS INT)"))
+        .drop("graft_rank")
+    val all = scored(scored(scored(base,
+      "r_score", col("last_ts"), col("key")),
+      "f_score", col("n_events"), col("key")),
+      "m_score", col("total_value_e6"), col("key"))
+    all.select(col("key"), col("last_ts"), col("n_events"), col("total_value_e6"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+  }
+
+  /**
    * Corpus concentration report — "how much of the corpus is a handful of
    * domains": per-key counts summarized as (n_keys, total_rows, top1_ppm,
    * top10_ppm, gini_ppm, inv_simpson_e6). Gini is the standard

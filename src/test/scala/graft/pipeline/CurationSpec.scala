@@ -670,6 +670,28 @@ class CurationSpec extends AnyFunSuite {
     assert((1000000.0 - mean) / std < 3.5) // the z-score check really does miss it
   }
 
+  test("rfmScores: equal-frequency buckets, deterministic ties, composite code") {
+    def ts(d: Long) = new java.sql.Timestamp(1700000000000L + d * 86400000L)
+    // 5 users with strictly increasing recency/frequency/monetary
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (s"u$u", ts(u.toLong), 10.0 * u))
+    }
+    val got = Curation.rfmScores(rows.toDF("k", "ts", "v"),
+        col("k"), col("ts"), col("v"))
+      .as[(String, java.sql.Timestamp, Long, Long, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> ((r._3, r._5, r._6, r._7, r._8))).toMap
+    // user u: n_events = u, every dimension rank = u → all scores = u
+    for (u <- 1 to 5)
+      assert(got(s"u$u") == ((u.toLong, u, u, u, u * 111)), s"u$u: ${got(s"u$u")}")
+    // ceil bucketing: 7 keys at k=5 → bucket sizes follow ceil(rank*5/7)
+    val seven = (1 to 7).map(i => (s"w$i", ts(i.toLong), 1.0 * i))
+    val b = Curation.rfmScores(seven.toDF("k", "ts", "v"),
+        col("k"), col("ts"), col("v"))
+      .select("key", "r_score").as[(String, Int)].collect().toMap
+    assert(b == Map("w1" -> 1, "w2" -> 2, "w3" -> 3, "w4" -> 3,
+      "w5" -> 4, "w6" -> 5, "w7" -> 5))
+  }
+
   test("concentrationReport: exact Gini, inverse Simpson, top shares") {
     // masses 1,1,2,4 over 4 keys: ascending ranks 1..4 with (count, key)
     // order → Σi·c = 1+2+6+16 = 25; gini = (50 − 5·8)/(4·8) = 10/32
