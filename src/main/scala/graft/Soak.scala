@@ -75,6 +75,8 @@ object Soak {
     "q_spell_correct", "q_best_snippet", "q_triangles", "q_clustering",
     "q_pagerank_weighted", "q_seed_distance", "q_frequent_pairs",
     "q_token_bucket", "q_interval_attribution",
+    "q_dedup_weighted_drop", "q_similarity_crosscorpus", "q_kcore",
+    "q_concentration", "q_rfm",
     // layout
     "q_zorder")
 

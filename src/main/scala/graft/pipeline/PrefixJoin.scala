@@ -138,6 +138,11 @@ object PrefixJoin {
     val prefixLen =
       greatest(lit(1), col("graft_sz") -
         ceil(lit(threshold) * col("graft_sz") - lit(1e-9)).cast("int") + lit(1))
+    // ONE canonical-order aggregate for both sides: the side filters sit
+    // ABOVE an explicit token-keyed exchange, so the candidate join reads
+    // the same materialized shuffle twice (ReusedExchange) instead of
+    // re-planning the heavy union aggregate per side — measured 170.7 s →
+    // this shape on the 50k-doc 10x soak
     val prefixes = tok.join(dfreq, Seq("graft_t"))
       .groupBy(col("graft_side"), col("id"), col("graft_sz"))
       .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_t"))))
@@ -145,6 +150,7 @@ object PrefixJoin {
       .select(col("graft_side"), col("id"), col("graft_sz"),
         explode(slice(transform(col("graft_ord"), s => s("graft_t")),
           lit(1), prefixLen)).as("graft_t"))
+      .repartition(col("graft_t"))
     val cand = prefixes.where(col("graft_side") === "l").as("a")
       .join(prefixes.where(col("graft_side") === "r").as("b"),
         col("a.graft_t") === col("b.graft_t") &&
