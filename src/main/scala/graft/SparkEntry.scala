@@ -917,6 +917,25 @@ object SparkEntry {
       val urls = docs(s, dir).select(concat(lit("https://h"), k, path).as("url"))
       graft.pipeline.Robots.isAllowed(rules, urls, col("url"), "GraftBot")
     }),
+    "q_robots_sitemaps" -> ((s, dir) => {
+      // robots.txt Sitemap: directive discovery, REALLY parsed: mixed
+      // field case, space-before-colon, trailing comment, a duplicate
+      // line that must collapse, an extra directive on even hosts only;
+      // the oracle reconstructs the expected (host, url) rows directly
+      val hosts = docs(s, dir).select((expr("doc_id div 4") % 10).as("hk")).distinct()
+      val hk = col("hk").cast("string")
+      val txt = concat(
+        lit("User-agent: *\nDisallow: /x\nSitemap: https://h"), hk,
+        lit("/sitemap.xml # primary\n sitemap :\thttps://h"), hk,
+        lit("/news-"), hk,
+        lit(".xml\nSitemap: https://h"), hk, lit("/sitemap.xml\n"),
+        when(col("hk") % 2 === 0,
+          concat(lit("SITEMAP: https://cdn"), hk, lit(".example/idx.xml\n")))
+          .otherwise(lit("")))
+      graft.pipeline.Robots.sitemapsDf(
+        hosts.select(concat(lit("h"), hk).as("host"), txt.as("txt")),
+        col("host"), col("txt"))
+    }),
     "q_dedup_preferring" -> ((s, dir) => {
       // rank-aware canonical selection: originals carry priority 1,
       // mutated copies 0 — each near-dup cluster keeps its original even
@@ -4060,6 +4079,19 @@ object SparkEntry {
         |  CASE WHEN ((doc_id // 4) % 10) % 2 = 0 THEN NOT (doc_id % 4 = 2)
         |       ELSE NOT (doc_id % 4 = 0) END AS allowed
         |FROM documents""".stripMargin,
+    "q_robots_sitemaps" ->
+      """WITH hk AS (SELECT DISTINCT (doc_id // 4) % 10 AS k FROM documents)
+        |SELECT concat('h', CAST(k AS VARCHAR)) AS host,
+        |       concat('https://h', CAST(k AS VARCHAR), '/sitemap.xml') AS sitemap_url
+        |FROM hk
+        |UNION ALL
+        |SELECT concat('h', CAST(k AS VARCHAR)),
+        |       concat('https://h', CAST(k AS VARCHAR), '/news-', CAST(k AS VARCHAR), '.xml')
+        |FROM hk
+        |UNION ALL
+        |SELECT concat('h', CAST(k AS VARCHAR)),
+        |       concat('https://cdn', CAST(k AS VARCHAR), '.example/idx.xml')
+        |FROM hk WHERE k % 2 = 0""".stripMargin,
     // rank CTEs as in q_host_rank, plus the reciprocal/degree columns the
     // profile joins — all from the same arithmetic edge reconstruction
     "q_host_profile" ->
@@ -4840,13 +4872,13 @@ object SparkEntry {
         |  FROM customer GROUP BY 1
         |), u AS (
         |  SELECT nk, n, sm,
-        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':42'), i, 1)) - 1
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':42:0'), i, 1)) - 1
         |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS ua,
-        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':43'), i, 1)) - 1
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':42:1'), i, 1)) - 1
         |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS ub,
-        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':7'), i, 1)) - 1
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':7:0'), i, 1)) - 1
         |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS uc,
-        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':8'), i, 1)) - 1
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(nk || ':7:1'), i, 1)) - 1
         |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS ud
         |  FROM g
         |)

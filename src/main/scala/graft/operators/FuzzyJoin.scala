@@ -29,10 +29,25 @@ import org.apache.spark.sql.functions._
  * handled by a separate tiny bucket (`len ≤ d` × `len ≤ 2d`, exact verify);
  * a corpus drowning in near-empty strings should gate those upstream.
  *
- * Skew guard (`maxBucketSize > 0`): a boilerplate segment shared by
- * millions of rows makes its bucket quadratic; buckets whose side exceeds
- * the cap are skipped — a RECALL trade documented like the minhash LSH cap
- * (default 0 = uncapped, complete).
+ * Count filter (always on, zero recall trade): every string carries a
+ * packed 8-bucket character histogram (counts clamped at 255, 8 bits per
+ * bucket in one LONG). One edit moves at most 2 units of L1 mass between
+ * histogram buckets (substitution ±1 twice, insert/delete ±1 once), and
+ * clamping only shrinks differences, so ED ≤ d ⟹ clamped-L1 ≤ 2d —
+ * candidate rows failing that die INSIDE the join condition, before the
+ * pair-distinct shuffle and the exact verify. This is what keeps common
+ * boilerplate segments ("the ", "ing ") from flooding verification: their
+ * bucket joins still pair up, but the histogram kills non-near pairs for
+ * the price of 8 codegen'd subtractions instead of a DP.
+ *
+ * Skew guard (`maxBucketSize`, DEFAULT 2000): a segment shared by millions
+ * of rows still makes its bucket-join quadratic before any filter runs;
+ * buckets whose side exceeds the cap are skipped — a RECALL trade
+ * documented like the minhash LSH cap (the same posture: the pairs a
+ * >2000-row boilerplate bucket would add are near-duplicates of each
+ * other en masse, exactly what [[graft.pipeline.Dedup.exact]] should have
+ * collapsed first). Pass 0 to uncap for guaranteed-complete runs; use
+ * [[skippedBuckets]] to SEE what a cap would drop before trusting it.
  *
  * Requires unique, non-null ids. Output: one row per matched pair,
  * `(id_a, id_b, dist)` with `id_a < id_b`, each unordered pair exactly once.
@@ -56,6 +71,25 @@ object FuzzyJoin {
     df.select(idCol.as("graft_id"), strCol.cast("string").as("graft_s"))
       .where(col("graft_id").isNotNull && col("graft_s").isNotNull)
       .withColumn("graft_len", length(col("graft_s")))
+      .withColumn("graft_cf", charSig(col("graft_s")))
+
+  /** Packed 8-bucket character histogram: bits 8k..8k+7 hold
+   * min(count of chars hashing to bucket k, 255). Computed once per
+   * string, carried on every key row (one LONG). */
+  private[graft] def charSig(s: Column): Column = {
+    val chars = split(s, "")
+    (0 until 8).map { k =>
+      shiftleft(least(size(filter(chars, c => pmod(hash(c), lit(8)) === k)),
+        lit(255)).cast("long"), 8 * k)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** L1 distance between two packed histograms (8 codegen'd terms). */
+  private[graft] def sigL1(a: Column, b: Column): Column =
+    (0 until 8).map { k =>
+      abs(shiftright(a, 8 * k).bitwiseAND(lit(255L)) -
+        shiftright(b, 8 * k).bitwiseAND(lit(255L)))
+    }.reduce(_ + _)
 
   /** Index-role keys of one string as array<struct<gl,gi,gseg>>: its own
    * k segments keyed by (myLen, i, segment). Empty below length k. */
@@ -94,22 +128,24 @@ object FuzzyJoin {
   private[graft] def segKeyRows(base: DataFrame, d: Int): DataFrame =
     base.where(col("graft_len") >= d + 1)
       .select(col("graft_id").as("graft_aid"), col("graft_len").as("graft_alen"),
+        col("graft_cf").as("graft_cfa"),
         explode(segKeyArray(col("graft_s"), col("graft_len"), d)).as("graft_k"))
-      .select(col("graft_aid"), col("graft_alen").as("graft_l"),
+      .select(col("graft_aid"), col("graft_alen").as("graft_l"), col("graft_cfa"),
         col("graft_k.gi").as("graft_i"), col("graft_k.gseg").as("graft_seg"))
 
   /** Probe role over a corpus: one row per (id, len, key). */
   private[graft] def subKeyRows(base: DataFrame, d: Int): DataFrame =
     base
       .select(col("graft_id").as("graft_bid"), col("graft_len").as("graft_blen"),
+        col("graft_cf").as("graft_cfb"),
         explode(subKeyArray(col("graft_s"), col("graft_len"), d)).as("graft_k"))
-      .select(col("graft_bid"), col("graft_blen"),
+      .select(col("graft_bid"), col("graft_blen"), col("graft_cfb"),
         col("graft_k.gl").as("graft_l"), col("graft_k.gi").as("graft_i"),
         col("graft_k.gseg").as("graft_seg"))
 
   def editDistancePairs(
       df: DataFrame, idCol: Column, strCol: Column,
-      maxDist: Int, maxBucketSize: Int = 0): DataFrame = {
+      maxDist: Int, maxBucketSize: Int = 2000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val d = maxDist
     val base = baseOf(df, idCol, strCol)
@@ -123,8 +159,9 @@ object FuzzyJoin {
     // deduped by id order — each unordered pair survives exactly once.
     val candidates = capped(segSide)
       .join(capped(subSide), Seq("graft_l", "graft_i", "graft_seg"))
-      .where(col("graft_l") < col("graft_blen") ||
-        (col("graft_l") === col("graft_blen") && col("graft_aid") < col("graft_bid")))
+      .where((col("graft_l") < col("graft_blen") ||
+        (col("graft_l") === col("graft_blen") && col("graft_aid") < col("graft_bid"))) &&
+        sigL1(col("graft_cfa"), col("graft_cfb")) <= 2 * d)
       .select(col("graft_aid"), col("graft_bid")).distinct()
 
     val sa = base.select(col("graft_id").as("graft_aid"), col("graft_s").as("graft_sa"))
@@ -167,7 +204,7 @@ object FuzzyJoin {
   def editDistanceJoin(
       left: DataFrame, lIdCol: Column, lStrCol: Column,
       right: DataFrame, rIdCol: Column, rStrCol: Column,
-      maxDist: Int, maxBucketSize: Int = 0): DataFrame = {
+      maxDist: Int, maxBucketSize: Int = 2000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val d = maxDist
     val lb = baseOf(left, lIdCol, lStrCol)
@@ -177,9 +214,11 @@ object FuzzyJoin {
     // surface in both directions — the distinct below is the dedup
     val candLR = cappedBy(segKeyRows(lb, d), maxBucketSize)
       .join(cappedBy(subKeyRows(rb, d), maxBucketSize), keys)
+      .where(sigL1(col("graft_cfa"), col("graft_cfb")) <= 2 * d)
       .select(col("graft_aid").as("graft_lid"), col("graft_bid").as("graft_rid"))
     val candRL = cappedBy(segKeyRows(rb, d), maxBucketSize)
       .join(cappedBy(subKeyRows(lb, d), maxBucketSize), keys)
+      .where(sigL1(col("graft_cfa"), col("graft_cfb")) <= 2 * d)
       .select(col("graft_bid").as("graft_lid"), col("graft_aid").as("graft_rid"))
     // near-empty tails, both directions (min side <= d forces max <= 2d)
     val shortLR = lb.where(col("graft_len") <= d)
@@ -199,5 +238,20 @@ object FuzzyJoin {
       .where(col("graft_dist") >= 0)
       .select(col("graft_lid").as("id_l"), col("graft_rid").as("id_r"),
         col("graft_dist").as("dist"))
+  }
+
+  /** Diagnostic: the segment buckets a given cap WOULD skip — run this
+   * before trusting a capped join on a new corpus. One row per
+   * over-cap (partnerLen, segIdx, segment) with its index-side row count,
+   * largest first. */
+  def skippedBuckets(df: DataFrame, idCol: Column, strCol: Column,
+      maxDist: Int, maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 0, "maxBucketSize must be > 0 to report skips")
+    segKeyRows(baseOf(df, idCol, strCol), maxDist)
+      .groupBy(col("graft_l").as("partner_len"), col("graft_i").as("seg_idx"),
+        col("graft_seg").as("segment"))
+      .agg(count(lit(1)).as("bucket_rows"))
+      .where(col("bucket_rows") > maxBucketSize)
+      .orderBy(col("bucket_rows").desc)
   }
 }

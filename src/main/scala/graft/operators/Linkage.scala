@@ -104,19 +104,11 @@ object Linkage {
     require(window >= 2, s"window must be at least 2, got $window")
     val keyed = df.select(idCol.as("graft_id"), sortKey.as("graft_key"))
       .where(col("graft_key").isNotNull)
-      .repartitionByRange(col("graft_key"), col("graft_id"))
-      .withColumn("graft_pid", spark_partition_id())
-    val local = keyed.withColumn("graft_lrank",
-      row_number().over(Window.partitionBy(col("graft_pid"))
-        .orderBy(col("graft_key"), col("graft_id"))))
-    val offsets = keyed.groupBy(col("graft_pid"))
-      .agg(count(lit(1)).as("graft_cnt"))
-      .withColumn("graft_off", coalesce(
-        sum(col("graft_cnt")).over(Window.orderBy(col("graft_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("graft_pid"), col("graft_off"))
-    val ranked = local.join(broadcast(offsets), Seq("graft_pid"))
-      .select(col("graft_id"), (col("graft_off") + col("graft_lrank")).as("graft_rank"))
+    // delegate to the shared materialized-rank shape (Ranks scaladoc: the
+    // offsets and local ranks must read ONE partition assignment)
+    val ranked = Ranks
+      .withGlobalRank(keyed, "graft_rank", col("graft_key"), col("graft_id"))
+      .select(col("graft_id"), col("graft_rank"))
     val probes = ranked
       .select(col("graft_id").as("graft_ida"), col("graft_rank").as("graft_ar"),
         explode(sequence(lit(1), lit(window - 1))).as("graft_d"))

@@ -17,12 +17,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Ranks {
 
   /** Adds `rankCol` (1-based, dense in the row sense) ordering by
-   * `orderCols` lexicographically. All other columns pass through. */
+   * `orderCols` lexicographically. All other columns pass through.
+   *
+   * The ranged frame is MATERIALIZED (persist) before the per-partition
+   * ranks and the partition-count offsets both read it: the two branches
+   * must see the SAME partition assignment, and without the persist that
+   * holds only while Catalyst's ReuseExchange collapses the two
+   * exchanges — with reuse disabled (or the plans canonicalizing apart)
+   * each branch would re-sample its own range boundaries and
+   * spark_partition_id could differ between them, silently corrupting
+   * ranks. One data-sized write+2 reads replaces two full range sorts. */
   def withGlobalRank(df: DataFrame, rankCol: String, orderCols: Column*): DataFrame = {
     require(orderCols.nonEmpty, "at least one order column is required")
     val keyed = df
       .repartitionByRange(orderCols: _*)
       .withColumn("graft_rk_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = keyed.withColumn("graft_rk_lr",
       row_number().over(Window.partitionBy(col("graft_rk_pid"))
         .orderBy(orderCols: _*)))

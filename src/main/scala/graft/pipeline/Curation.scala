@@ -1475,21 +1475,11 @@ object Curation {
     val counts = df.select(keyCol.cast("string").as("graft_k"))
       .where(col("graft_k").isNotNull)
       .groupBy(col("graft_k")).agg(count(lit(1)).as("graft_c"))
-    val keyed = counts
-      .repartitionByRange(col("graft_c"), col("graft_k"))
-      .withColumn("graft_pid", spark_partition_id())
-    val local = keyed.withColumn("graft_lrank",
-      row_number().over(Window.partitionBy(col("graft_pid"))
-        .orderBy(col("graft_c"), col("graft_k"))))
-    val offsets = keyed.groupBy(col("graft_pid"))
-      .agg(count(lit(1)).as("graft_cnt"))
-      .withColumn("graft_off", coalesce(
-        sum(col("graft_cnt")).over(Window.orderBy(col("graft_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("graft_pid"), col("graft_off"))
-    local.join(broadcast(offsets), Seq("graft_pid"))
-      .select(col("graft_c"),
-        (col("graft_off") + col("graft_lrank")).as("graft_rank"))
+    // shared materialized-rank shape (Ranks scaladoc: offsets and local
+    // ranks must read ONE partition assignment)
+    graft.operators.Ranks
+      .withGlobalRank(counts, "graft_rank", col("graft_c"), col("graft_k"))
+      .select(col("graft_c"), col("graft_rank"))
       .agg(
         count(lit(1)).as("n_keys"),
         sum(col("graft_c")).as("total_rows"),

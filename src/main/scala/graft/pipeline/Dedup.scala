@@ -269,10 +269,15 @@ object Dedup {
     inter
       .join(sizes.select(col("graft_host").as("host_a"), col("graft_n").as("graft_na")), Seq("host_a"))
       .join(sizes.select(col("graft_host").as("host_b"), col("graft_n").as("graft_nb")), Seq("host_b"))
+      // gate on the EXACT double ratio (>= keeps threshold-equal pairs,
+      // same convention as PrefixJoin/Wminhash — a floor-truncated ppm
+      // compare would drop a pair whose exact Jaccard equals a threshold
+      // not representable in ppm, e.g. 2/3); ppm stays output-only
+      .where(col("graft_inter").cast("double") /
+        (col("graft_na") + col("graft_nb") - col("graft_inter")) >= threshold)
       .select(col("host_a"), col("host_b"),
         expr("graft_inter * 1000000L div (graft_na + graft_nb - graft_inter)")
           .as("jaccard_ppm"))
-      .where(col("jaccard_ppm") >= math.round(threshold * 1e6))
   }
 
   /**

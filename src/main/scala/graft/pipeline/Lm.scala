@@ -208,6 +208,129 @@ object Lm {
   }
 
   /**
+   * Interpolated Kneser–Ney scoring — the smoothing CCNet's actual KenLM
+   * filter uses (absolute discounting + CONTINUATION counts), as an
+   * alternative to the Jelinek–Mercer [[score]]:
+   *
+   *   P(w | h)  = max(c(h,w) − D, 0)/c(h) + D·N₁₊(h·)/c(h) · P_cont(w | h′)
+   *   P_cont(w | h′) = max(N₁₊(·h′w) − D, 0)/N₁₊(·h′·)
+   *                  + D·N₁₊(h′·)/N₁₊(·h′·) · P_cont(w | h″)   (middle orders)
+   *   P_cont(w) = (N₁₊(·w) + k)/(B + k·V)                      (unigram floor)
+   *
+   * where N₁₊(·h′w) counts DISTINCT left extensions (how many contexts a
+   * word continues, not how often — the "san Francisco" correction: a
+   * frequent word glued to one context gets a LOW continuation count, so
+   * unseen-context transitions to it stop inheriting its raw frequency),
+   * B = distinct bigram types, and the unigram floor is add-k smoothed so
+   * OOV targets keep P > 0 (k as in [[score]]). A context with no observed
+   * continuation (possible when it only ever ends documents) backs off
+   * entirely to the lower order instead of zeroing the product. JM
+   * separates fluent from gibberish; KN additionally ranks correctly NEAR
+   * the decision boundary, where JM's raw-frequency backoff overpays
+   * context-bound words.
+   *
+   * Same contracts as [[score]]: fixed IEEE operation order mirrored by
+   * the oracle, floor(P·10¹²) fixed-point sums, (id, n_trans,
+   * sum_prob_e12, n_oov) output, docs shorter than the order score zeros.
+   * The continuation tables are small keyed aggregates OVER THE MODEL
+   * COUNT TABLES (types, not tokens) — nothing rescans the corpus; the
+   * transition join adds the same 2(n−1)+1 model joins as [[score]].
+   * `discount` is the absolute discount D ∈ [0, 1) applied at every order
+   * (0.75 is the classic default; [[knDiscount]] estimates the
+   * Ney–Essen–Kneser value from the count-of-counts if wanted).
+   */
+  def scoreKn(
+      model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
+      discount: Double = 0.75, k: Double = 1.0): DataFrame = {
+    require(discount >= 0.0 && discount < 1.0,
+      s"discount must be in [0,1), got $discount")
+    val n = model.order
+    val d = discount
+    val base = df.select(idCol.as("id"), words(textCol).as("graft_ws"))
+    val trans = base.where(size(col("graft_ws")) >= n)
+      .select(col("id"), ngrams(col("graft_ws"), n).as("t"))
+      .select(col("id") +: (1 to n).map(i => col(s"t.w$i")): _*)
+    var joined = trans
+    // top level: raw counts + distinct-continuation weight of the context
+    joined = joined.join(
+      model.table(n).select((1 to n).map(i => col(s"w$i")) :+
+        col("c").as("graft_kn_top"): _*),
+      (1 to n).map(i => s"w$i").toSeq, "left")
+    joined = joined.join(
+      model.table(n - 1).select((1 until n).map(i => col(s"w$i")) :+
+        col("c").as("graft_kd_top"): _*),
+      (1 until n).map(i => s"w$i").toSeq, "left")
+    joined = joined.join(
+      model.table(n).groupBy((1 until n).map(i => col(s"w$i")): _*)
+        .agg(count(lit(1)).as("graft_knf_top")),
+      (1 until n).map(i => s"w$i").toSeq, "left")
+    // middle orders m = 2..n-1: continuation counts from table(m+1);
+    // suffix m-gram sits at transition positions p..n, p = n-m+1
+    for (m <- 2 until n) {
+      val p = n - m + 1
+      val cc = model.table(m + 1)
+        .groupBy((2 to m + 1).map(j => col(s"w$j")): _*)
+        .agg(count(lit(1)).as(s"graft_kc_$m"))
+        .select((2 to m + 1).map(j => col(s"w$j").as(s"w${p + j - 2}")) :+
+          col(s"graft_kc_$m"): _*)
+      joined = joined.join(cc, (p to n).map(i => s"w$i").toSeq, "left")
+      val ctx = model.table(m + 1)
+        .groupBy((2 to m).map(j => col(s"w$j")): _*)
+        .agg(count(lit(1)).as(s"graft_kcd_$m"),
+          countDistinct(col(s"w${m + 1}")).as(s"graft_knf_$m"))
+        .select((2 to m).map(j => col(s"w$j").as(s"w${p + j - 2}")) :+
+          col(s"graft_kcd_$m") :+ col(s"graft_knf_$m"): _*)
+      joined = joined.join(ctx, (p until n).map(i => s"w$i").toSeq, "left")
+    }
+    // unigram continuation floor + OOV flag + type stats
+    joined = joined
+      .join(model.bigrams.groupBy(col("w2").as(s"w$n"))
+        .agg(count(lit(1)).as("graft_kc1")), Seq(s"w$n"), "left")
+      .join(model.unigrams.select(col("w").as(s"w$n"), col("c").as("graft_cw")),
+        Seq(s"w$n"), "left")
+      .crossJoin(broadcast(
+        model.bigrams.agg(count(lit(1)).as("graft_B"))))
+      .crossJoin(broadcast(model.stats.select(col("vocab"))))
+    val p1 = (coalesce(col("graft_kc1").cast("double"), lit(0.0)) + lit(k)) /
+      (col("graft_B").cast("double") + lit(k) * col("vocab").cast("double"))
+    val pMid = (2 until n).foldLeft(p1) { (lower, m) =>
+      when(col(s"graft_kcd_$m").isNull, lower).otherwise(
+        greatest(coalesce(col(s"graft_kc_$m").cast("double"), lit(0.0)) - lit(d),
+          lit(0.0)) / col(s"graft_kcd_$m").cast("double") +
+          lit(d) * col(s"graft_knf_$m").cast("double") /
+            col(s"graft_kcd_$m").cast("double") * lower)
+    }
+    val pFull = when(col("graft_kd_top").isNull || col("graft_knf_top").isNull, pMid)
+      .otherwise(
+        greatest(coalesce(col("graft_kn_top").cast("double"), lit(0.0)) - lit(d),
+          lit(0.0)) / col("graft_kd_top").cast("double") +
+          lit(d) * col("graft_knf_top").cast("double") /
+            col("graft_kd_top").cast("double") * pMid)
+    val scored = joined.select(col("id"), pFull.as("graft_p"), col("graft_cw"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_trans"),
+        sum(floor(col("graft_p") * lit(1e12))).as("sum_prob_e12"),
+        count(when(col("graft_cw").isNull, 1)).as("n_oov"))
+    base.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("sum_prob_e12"), lit(0L)).as("sum_prob_e12"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
+  /** Ney–Essen–Kneser discount estimate D = n₁/(n₁ + 2n₂) from the
+   * count-of-counts of the arity-`m` model table — the value modified-KN
+   * derives its discounts from. One two-row aggregate over a type table;
+   * the single bounded collect is a scalar. */
+  def knDiscount(model: LmModel, m: Int): Double = {
+    val r = model.table(m).agg(
+      count(when(col("c") === 1L, 1)).as("n1"),
+      count(when(col("c") === 2L, 1)).as("n2")).head()
+    val (n1, n2) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    if (n1 == 0.0) 0.75 else n1 / (n1 + 2.0 * n2)
+  }
+
+  /**
    * CCNet head/middle/tail bucketing: documents split into `nBuckets`
    * groups by LM score quantiles (bucket nBuckets-1 = highest mean
    * transition probability = "head"; bucket 0 = "tail" — CCNet trains on

@@ -201,36 +201,73 @@ object Pii {
    * reproducible, partition-invariant, and replayable bit-for-bit by an
    * external auditor holding the seed. Magnitudes cap at 52/kLog2 (a
    * 2⁻⁵² tail event, merged into the top bucket identically everywhere).
-   * THE SEED IS THE SECRET: publish the noisy counts, never the seed.
+   * THE SEED IS THE SECRET: publish the noisy counts, never the seed —
+   * and NEVER REUSE a seed across releases of a growing table: noise is
+   * a pure function of (key, seed), so two releases under the same seed
+   * differ by exactly the true delta (zero fresh randomness on the
+   * difference — the ε accounting composes only across INDEPENDENT
+   * draws). Derive each release's seed from a release identifier via
+   * [[releaseSeed]]. The two geometric substreams are keyed
+   * `key:seed:0` / `key:seed:1` WITHIN one seed, so distinct seeds never
+   * share a substream (seeds s and s+1 draw fully independent noise).
    * O(1) codegen'd arithmetic per group on top of the count.
    */
   def dpNoise(key: Column, kLog2: Int = 1, seed: Long = 0L): Column = {
     require(kLog2 >= 1 && kLog2 <= 30, s"kLog2 must be in 1..30, got $kLog2")
-    def geometric(s: Long): Column = {
-      val u = conv(substring(md5(concat(key.cast("string"), lit(s":$s"))), 1, 13), 16, 10)
+    def geometric(sub: Int): Column = {
+      val u = conv(substring(md5(concat(key.cast("string"), lit(s":$seed:$sub"))), 1, 13), 16, 10)
         .cast("long")
       // leading zeros of a 52-bit uniform: P(lead >= g) = 2^-g exactly;
       // floor(lead / k) is then Geometric(2^-k)
       val lead = when(u === 0L, lit(52)).otherwise(lit(52) - length(bin(u)))
       floor(lead.cast("double") / kLog2).cast("long")
     }
-    geometric(seed) - geometric(seed + 1)
+    geometric(0) - geometric(1)
+  }
+
+  /** Deterministic seed for one named release: the first 8 bytes of
+   * md5(releaseId) as a big-endian long. Give every release of a
+   * statistic its own id ("customers-2026-08") so repeated releases of a
+   * growing table draw independent noise — reusing one seed leaks the
+   * exact delta (see [[dpNoise]]). The id is not secret; the derived
+   * seed inherits the id's unpredictability only if the id is, so treat
+   * the (id → seed) map like the seed itself. */
+  def releaseSeed(releaseId: String): Long = {
+    require(releaseId.nonEmpty, "releaseId must be non-empty")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(releaseId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
   /** Per-group ε-DP counts (ε = kLog2·ln 2): one count aggregate plus
    * [[dpNoise]] keyed on the group values. Counts may come back negative
    * — the pure mechanism is unbiased; clamp downstream if presentation
    * needs it. Group keys sharing a rendered string would share noise;
-   * the \u0001 separator keeps multi-column keys unambiguous. */
+   * the \u0001 separator plus a \u0000 NULL sentinel (concat_ws drops
+   * null parts, so ("a", NULL) and (NULL, "a") would otherwise render
+   * the same string) keeps multi-column keys unambiguous. */
   def dpCounts(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
       kLog2: Int = 1, seed: Long = 0L): org.apache.spark.sql.DataFrame = {
     require(groupCols.nonEmpty, "dpCounts needs at least one group column")
     val g = df.groupBy(groupCols: _*).agg(count(lit(1)).as("graft_n"))
     val names = g.columns.dropRight(1)
-    val key = concat_ws("\u0001", names.map(col): _*)
+    val key = noiseKey(names)
     g.select(names.map(col) :+
       (col("graft_n") + dpNoise(key, kLog2, seed)).as("dp_count"): _*)
   }
+
+  /** [[dpCounts]] with the seed derived from a mandatory release id —
+   * the composition-safe front door (see [[releaseSeed]]). */
+  def dpCounts(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      kLog2: Int, releaseId: String): org.apache.spark.sql.DataFrame =
+    dpCounts(df, groupCols, kLog2, releaseSeed(releaseId))
+
+  /** Null-unambiguous noise key: each part coalesces to a reserved
+   * \u0000 sentinel before the \u0001 join, so null and absent parts
+   * render distinct strings and draw distinct noise. */
+  private def noiseKey(names: Seq[String]): Column =
+    concat_ws("\u0001",
+      names.map(n => coalesce(col(n).cast("string"), lit("\u0000"))): _*)
 
   /** Per-group ε-DP sums of a clamped integer contribution: each value
    * clamps to [0, cap] (bounding one row's influence), sums, and adds the
@@ -244,10 +281,16 @@ object Pii {
     val clamped = least(greatest(valueCol.cast("long"), lit(0L)), lit(cap))
     val g = df.groupBy(groupCols: _*).agg(sum(clamped).as("graft_s"))
     val names = g.columns.dropRight(1)
-    val key = concat_ws("\u0001", names.map(col): _*)
+    val key = noiseKey(names)
     g.select(names.map(col) :+
       (coalesce(col("graft_s"), lit(0L)) + dpNoise(key, kLog2, seed)).as("dp_sum"): _*)
   }
+
+  /** [[dpSums]] with the seed derived from a mandatory release id —
+   * the composition-safe front door (see [[releaseSeed]]). */
+  def dpSums(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      valueCol: Column, cap: Long, kLog2: Int, releaseId: String): org.apache.spark.sql.DataFrame =
+    dpSums(df, groupCols, valueCol, cap, kLog2, releaseSeed(releaseId))
 
   def lDiversityReport(df: org.apache.spark.sql.DataFrame, l: Int,
       sensitiveCol: Column, quasiCols: Column*): org.apache.spark.sql.DataFrame = {

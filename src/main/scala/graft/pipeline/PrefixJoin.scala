@@ -22,7 +22,18 @@ import org.apache.spark.sql.{Column, DataFrame}
  *    collisions — and because prefixes hold each set's globally rarest
  *    tokens, the per-token join fan-out is the smallest any token-keyed
  *    plan can achieve. ceil() is ε-relaxed (1e-9) so IEEE rounding of
- *    t·|s| can only ever LENGTHEN a prefix (safe), never shorten it.
+ *    t·|s| can only ever LENGTHEN a prefix (safe), never shorten it;
+ *  - positional filter (PPJoin, Xiao et al. 2008): each prefix row carries
+ *    its token's 1-based position p in the canonical order. Both sides
+ *    order by the SAME global total order, so for a pair's FIRST common
+ *    token all common tokens sit at or after its position on both sides:
+ *    overlap ≤ 1 + min(|x| − pₓ, |y| − p_y). J ≥ t needs overlap
+ *    ≥ t/(1+t)·(|x|+|y|), so collision rows whose positional upper bound
+ *    misses that are dropped INSIDE the join condition, before the
+ *    pair-distinct shuffle. Zero recall trade: the first-common-token row
+ *    has the max bound over a pair's collisions and always survives for a
+ *    qualifying pair — later-collision rows of the same pair may die, the
+ *    pair cannot.
  *
  * Scale design (100 TB): three key-partitioned shuffles build the ordered
  * sets (token df aggregate with map-side combine, token-keyed order join,
@@ -76,8 +87,10 @@ object PrefixJoin {
       .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_t"))))
         .as("graft_ord"))
       .select(col("id"), col("graft_sz"),
-        explode(slice(transform(col("graft_ord"), s => s("graft_t")),
-          lit(1), prefixLen)).as("graft_t"))
+        posexplode(slice(transform(col("graft_ord"), s => s("graft_t")),
+          lit(1), prefixLen)))
+      .withColumnRenamed("pos", "graft_p") // 0-based prefix position
+      .withColumnRenamed("col", "graft_t")
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.graft_t") === col("b.graft_t") &&
@@ -85,6 +98,12 @@ object PrefixJoin {
           least(col("a.graft_sz"), col("b.graft_sz")).cast("double") >=
             lit(threshold) *
               greatest(col("a.graft_sz"), col("b.graft_sz")).cast("double") -
+              lit(1e-9) &&
+          // positional upper bound ≥ required overlap t/(1+t)·(szₐ+sz_b)
+          (lit(1) + least(col("a.graft_sz") - col("a.graft_p") - 1,
+            col("b.graft_sz") - col("b.graft_p") - 1)).cast("double") >=
+            lit(threshold / (1.0 + threshold)) *
+              (col("a.graft_sz") + col("b.graft_sz")).cast("double") -
               lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -148,8 +167,10 @@ object PrefixJoin {
       .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_t"))))
         .as("graft_ord"))
       .select(col("graft_side"), col("id"), col("graft_sz"),
-        explode(slice(transform(col("graft_ord"), s => s("graft_t")),
-          lit(1), prefixLen)).as("graft_t"))
+        posexplode(slice(transform(col("graft_ord"), s => s("graft_t")),
+          lit(1), prefixLen)))
+      .withColumnRenamed("pos", "graft_p") // 0-based prefix position
+      .withColumnRenamed("col", "graft_t")
       .repartition(col("graft_t"))
     val cand = prefixes.where(col("graft_side") === "l").as("a")
       .join(prefixes.where(col("graft_side") === "r").as("b"),
@@ -157,6 +178,13 @@ object PrefixJoin {
           least(col("a.graft_sz"), col("b.graft_sz")).cast("double") >=
             lit(threshold) *
               greatest(col("a.graft_sz"), col("b.graft_sz")).cast("double") -
+              lit(1e-9) &&
+          // PPJoin positional upper bound (see similarityJoin) — the union
+          // df order is shared, so the first-common-token argument holds
+          (lit(1) + least(col("a.graft_sz") - col("a.graft_p") - 1,
+            col("b.graft_sz") - col("b.graft_p") - 1)).cast("double") >=
+            lit(threshold / (1.0 + threshold)) *
+              (col("a.graft_sz") + col("b.graft_sz")).cast("double") -
               lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

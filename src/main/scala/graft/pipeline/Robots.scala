@@ -159,6 +159,65 @@ object Robots {
       .groupBy(col("host")).agg(min(col("delay_ms")).as("delay_ms"))
   }
 
+  /** `Sitemap:` directive values of one robots.txt body, in order of
+   * appearance, duplicates collapsed. Per the sitemaps.org protocol (and
+   * RFC 9309 §2.3's allowance for other records) the field is
+   * group-INDEPENDENT — it binds to the host, not to any user-agent
+   * group — so extraction ignores grouping entirely. Field name matched
+   * case-insensitively; the value keeps its case (URLs are
+   * case-sensitive past the host). This is the missing first link of the
+   * discovery chain robots.txt → sitemap URL → [[Sitemaps.entries]]. */
+  def parseSitemapUrls(txt: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    txt.split("\n").foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val colonAt = noComment.indexOf(':')
+      if (colonAt > 0 &&
+        noComment.substring(0, colonAt).trim
+          .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val value = noComment.substring(colonAt + 1).trim
+        if (value.nonEmpty) out += value
+      }
+    }
+    out.toSeq
+  }
+
+  /** (host, sitemap_url) rows from raw robots bodies — one row per
+   * distinct `Sitemap:` directive. Same per-host typed flatMap posture as
+   * [[parseDf]] (robots frames are host-sized, not corpus-sized). */
+  def sitemapsDf(df: DataFrame, hostCol: Column, txtCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(hostCol.cast("string").as("host"), txtCol.cast("string").as("txt"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        parseSitemapUrls(if (txt == null) "" else txt).map(u => (host, u))
+      }
+      .toDF("host", "sitemap_url")
+  }
+
+  /** The discovery chain end-to-end: robots bodies → declared sitemap
+   * URLs → the FETCHED sitemap documents (urlset or sitemapindex) →
+   * per-URL entries. `fetched` maps sitemap URL → body (whatever the
+   * crawler archived); declared sitemaps never fetched simply yield no
+   * rows — join, not gate. Output: (host, sitemap_url, loc, lastmod).
+   * Plan: the robots frame is host-sized; entries() is a codegen'd
+   * projection over the fetched bodies; one equi-join on sitemap_url. */
+  def discoverSitemapEntries(robots: DataFrame, hostCol: Column, txtCol: Column,
+      fetched: DataFrame, urlCol: Column, xmlCol: Column): DataFrame = {
+    val declared = sitemapsDf(robots, hostCol, txtCol)
+    val bodies = fetched.select(urlCol.cast("string").as("sitemap_url"),
+      Sitemaps.entries(xmlCol).as("graft_es"))
+    declared.join(bodies, Seq("sitemap_url"))
+      .select(col("host"), col("sitemap_url"),
+        explode(col("graft_es")).as("graft_e"))
+      .select(col("host"), col("sitemap_url"),
+        col("graft_e.loc").as("loc"), col("graft_e.lastmod").as("lastmod"))
+  }
+
   /**
    * Per-URL fetchability for `agent` against a parsed rules frame
    * ([[parseDf]] output): (url, allowed). RFC 9309 evaluation —

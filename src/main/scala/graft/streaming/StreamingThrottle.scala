@@ -43,6 +43,11 @@ object StreamingThrottle {
     val spark = stream.sparkSession
     import spark.implicits._
     val capMicro = burst * 1000000L
+    // any gap beyond this already fills the bucket; capping the elapsed
+    // time BEFORE the multiply keeps refill = gap*rate*1000 inside Long
+    // (uncapped, ratePerSec ~1e7 times a weeks-long idle gap overflows
+    // negative and wrongly throttles)
+    val refillCapMs = capMicro / (ratePerSec * 1000L) + 1L
     stream
       .withWatermark(tsCol, watermark)
       .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
@@ -61,7 +66,7 @@ object StreamingThrottle {
               val t = r.ts.getTime
               val refill =
                 if (st.lastMs == Long.MinValue) 0L
-                else math.max(0L, t - st.lastMs) * ratePerSec * 1000L
+                else math.min(math.max(0L, t - st.lastMs), refillCapMs) * ratePerSec * 1000L
               val filled = math.min(capMicro, st.microTokens + refill)
               val allowed = filled >= 1000000L
               st = BucketState(
@@ -86,6 +91,7 @@ object StreamingThrottle {
     val spark = df.sparkSession
     import spark.implicits._
     val capMicro = burst * 1000000L
+    val refillCapMs = capMicro / (ratePerSec * 1000L) + 1L
     df.select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("id"))
       .as[Req]
@@ -97,7 +103,7 @@ object StreamingThrottle {
           val t = r.ts.getTime
           val refill =
             if (lastMs == Long.MinValue) 0L
-            else math.max(0L, t - lastMs) * ratePerSec * 1000L
+            else math.min(math.max(0L, t - lastMs), refillCapMs) * ratePerSec * 1000L
           val filled = math.min(capMicro, tokens + refill)
           val allowed = filled >= 1000000L
           tokens = if (allowed) filled - 1000000L else filled

@@ -14,15 +14,15 @@ class DpSpec extends AnyFunSuite {
   /** Scalar reference: the same md5 → 52-bit → leading-zeros → floor/k
    * pipeline, straight from MessageDigest. */
   private def refNoise(key: String, kLog2: Int, seed: Long): Long = {
-    def geom(s: Long): Long = {
+    def geom(sub: Int): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$key:$s".getBytes("UTF-8"))
+        .digest(s"$key:$seed:$sub".getBytes("UTF-8"))
       val hex = d.map(b => f"$b%02x").mkString.substring(0, 13)
       val u = java.lang.Long.parseLong(hex, 16)
       val lead = if (u == 0L) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(u))
       lead / kLog2
     }
-    geom(seed) - geom(seed + 1)
+    geom(0) - geom(1)
   }
 
   test("dpNoise replicates the scalar md5 derivation exactly") {
@@ -68,6 +68,49 @@ class DpSpec extends AnyFunSuite {
     graft.functions.Registry.registerAll(spark)
     val n = spark.sql("SELECT dp_noise('5', 1, 42)").as[Long].collect()(0)
     assert(n == refNoise("5", 1, 42L))
+  }
+
+  test("distinct seeds never share a geometric substream (s and s+1 are independent)") {
+    // pre-fix, noise(s) and noise(s+1) shared G_{s+1}: corr(noise(s), noise(s+1)) = -1/2.
+    // With :seed:0/:seed:1 substream keying the sample correlation is ~0.
+    val n = 20000
+    val pairs = (0 until n).map(i => (refNoise(s"k$i", 1, 9L).toDouble,
+      refNoise(s"k$i", 1, 10L).toDouble))
+    val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum / n)
+    val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum / n)
+    val corr = cov / (sx * sy)
+    assert(math.abs(corr) < 0.05, s"corr(seed 9, seed 10) = $corr")
+  }
+
+  test("release-id front door: different ids draw independent noise, same id replays") {
+    val df = (0 until 500).map(i => (i % 5, i)).toDF("g", "v")
+    def run(rel: String) =
+      Pii.dpCounts(df, Seq(col("g")), 1, rel).as[(Int, Long)].collect().toMap
+    val a = run("customers-2026-08")
+    assert(run("customers-2026-08") == a) // replayable per release
+    assert(run("customers-2026-09") != a) // fresh noise per release
+    assert(Pii.releaseSeed("customers-2026-08") != Pii.releaseSeed("customers-2026-09"))
+    val sums = Pii.dpSums(df, Seq(col("g")), col("v"), 100L, 1, "customers-2026-08")
+      .as[(Int, Long)].collect().toMap
+    val direct = Pii.dpSums(df, Seq(col("g")), col("v"), cap = 100L, kLog2 = 1,
+      seed = Pii.releaseSeed("customers-2026-08")).as[(Int, Long)].collect().toMap
+    assert(sums == direct)
+  }
+
+  test("null vs absent group parts draw distinct noise keys") {
+    val df = Seq((Option("a"), Option.empty[String], 1),
+      (Option.empty[String], Option("a"), 1)).toDF("x", "y", "v")
+    val out = Pii.dpCounts(df, Seq(col("x"), col("y")), kLog2 = 1, seed = 0L)
+      .select(col("dp_count")).as[Long].collect()
+    // concat_ws alone would render both keys "a" and give identical noise;
+    // the \u0000 sentinel separates them — both counts are 1 + noise but
+    // the draws come from the distinct rendered keys
+    val kA = refNoise("a\u0001\u0000", 1, 0L)
+    val kB = refNoise("\u0000\u0001a", 1, 0L)
+    assert(out.toSet == Set(1L + kA, 1L + kB))
   }
 
   test("dpSums clamps contributions to [0, cap] before noising") {

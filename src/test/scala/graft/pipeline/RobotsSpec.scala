@@ -187,4 +187,51 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("https://a.com/2") === 2000L)  // robots-declared 2 s
     assert(got("https://z.com/q") === 0L)     // default host, rank 1
   }
+
+  test("parseSitemapUrls: case-insensitive field, comments, dupes, group-independent") {
+    val txt =
+      """User-agent: *
+        |Disallow: /x
+        |Sitemap: https://a.com/sitemap.xml # primary
+        | sitemap :	https://a.com/News.xml
+        |SITEMAP: https://cdn.example/idx.xml
+        |Sitemap: https://a.com/sitemap.xml
+        |Sitemap:
+        |NotSitemap: https://nope.example/s.xml
+        |""".stripMargin
+    assert(Robots.parseSitemapUrls(txt) == Seq(
+      "https://a.com/sitemap.xml", "https://a.com/News.xml",
+      "https://cdn.example/idx.xml"))
+    assert(Robots.parseSitemapUrls("") == Seq.empty)
+    assert(Robots.parseSitemapUrls("User-agent: *\nDisallow: /") == Seq.empty)
+  }
+
+  test("sitemapsDf + discoverSitemapEntries: the full discovery chain") {
+    val robots = Seq(
+      ("a.com", "Sitemap: https://a.com/s1.xml\nSitemap: https://a.com/s2.xml"),
+      ("b.com", "User-agent: *\nDisallow: /\nsitemap: https://b.com/sm.xml"),
+      ("c.com", "User-agent: *\nAllow: /")).toDF("h", "t")
+    val declared = Robots.sitemapsDf(robots, col("h"), col("t"))
+      .as[(String, String)].collect().toSet
+    assert(declared == Set(
+      ("a.com", "https://a.com/s1.xml"), ("a.com", "https://a.com/s2.xml"),
+      ("b.com", "https://b.com/sm.xml")))
+    // fetched bodies: s1 has two urls, sm has one, s2 never fetched
+    val fetched = Seq(
+      ("https://a.com/s1.xml",
+        "<urlset><url><loc>https://a.com/p1</loc><lastmod>2026-01-02</lastmod></url>" +
+          "<url><loc>https://a.com/p2</loc></url></urlset>"),
+      ("https://b.com/sm.xml",
+        "<urlset><url><loc>https://b.com/only</loc></url></urlset>"),
+      ("https://unrelated.example/x.xml",
+        "<urlset><url><loc>https://unrelated.example/u</loc></url></urlset>"))
+      .toDF("u", "x")
+    val got = Robots.discoverSitemapEntries(robots, col("h"), col("t"),
+        fetched, col("u"), col("x"))
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == Set(
+      ("a.com", "https://a.com/s1.xml", "https://a.com/p1", "2026-01-02"),
+      ("a.com", "https://a.com/s1.xml", "https://a.com/p2", ""),
+      ("b.com", "https://b.com/sm.xml", "https://b.com/only", "")))
+  }
 }

@@ -35,6 +35,21 @@ class StreamingThrottleSpec extends AnyFunSuite {
     assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
   }
 
+  test("huge rate x weeks-long idle gap does not overflow the refill (stays allowed)") {
+    // pre-fix, (t - lastMs) * ratePerSec * 1000 overflowed Long negative for
+    // ratePerSec ~1e7 and a multi-week gap, wrongly throttling everything after
+    val weekMs = 7L * 24 * 3600 * 1000
+    val rows = Seq(
+      (1L, ts(0), 1L),             // spends the initial token
+      (1L, ts(0), 2L),             // bucket empty → throttled
+      (1L, ts(3 * weekMs), 3L))    // 3-week gap, refill must saturate, not overflow
+      .toDF("k", "ts", "id")
+    val got = StreamingThrottle.tokenBucketBatch(rows, "k", "ts", "id",
+        ratePerSec = 10000000L, burst = 1L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("streamed decisions equal the batch fold on the full prefix") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
