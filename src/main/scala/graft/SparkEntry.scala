@@ -1946,6 +1946,19 @@ object SparkEntry {
       graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_lm_kn" -> ((s, dir) => {
+      // interpolated Kneser-Ney at order 3 (D=0.75, add-1 continuation
+      // floor): continuation counts, absolute discounting and the
+      // full-backoff unseen-context branch all replayed by the oracle in
+      // the same IEEE operation order; the planted gibberish suffix
+      // exercises the OOV floor (n_oov) exactly as the JM queries do
+      val d = docs(s, dir)
+      val scoreSet = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
+      val model = graft.pipeline.Lm.train(d, col("text"), order = 3)
+      graft.pipeline.Lm.scoreKn(model, scoreSet, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_collocations" -> ((s, dir) => {
       // PMI-ranked bigram collocations from the corpus-trained LM counts
       val model = graft.pipeline.Lm.train(docs(s, dir), col("text"))
@@ -5534,6 +5547,83 @@ object SparkEntry {
         |         sum(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS sum_prob_e12,
         |         count(CASE WHEN cw IS NULL THEN 1 END) AS n_oov
         |  FROM j GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_trans, 0) AS n_trans,
+        |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
+        |       coalesce(n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_lm_kn" ->
+      """WITH corpus AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), uw AS (
+        |  SELECT unnest(ws) AS w FROM corpus
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM uw GROUP BY 1
+        |), bit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM corpus)
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bit GROUP BY 1, 2
+        |), trit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM corpus)
+        |), tri AS (
+        |  SELECT w1, w2, w3, count(*) AS ct FROM trit GROUP BY 1, 2, 3
+        |), nft AS (
+        |  SELECT w1, w2, count(*) AS nf FROM tri GROUP BY 1, 2
+        |), cc2 AS (
+        |  SELECT w2, w3, count(*) AS kc2 FROM tri GROUP BY 1, 2
+        |), ctx2 AS (
+        |  SELECT w2, count(*) AS den, count(DISTINCT w3) AS nf2 FROM tri GROUP BY 1
+        |), cc1 AS (
+        |  SELECT w2 AS w, count(*) AS kc1 FROM bi GROUP BY 1
+        |), kstats AS (
+        |  SELECT (SELECT count(*) FROM bi) AS b, (SELECT count(*) FROM uni) AS vocab
+        |), sdoc AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(
+        |           text || CASE WHEN doc_id % 6 = 0 THEN ' zzqx9 vvkk7 zzqx9' ELSE '' END
+        |         ), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM sdoc)
+        |), j0 AS (
+        |  SELECT st.doc_id, tri.ct, b12.cb, nft.nf, cc2.kc2, ctx2.den, ctx2.nf2,
+        |         cc1.kc1, u3.c AS cw, kstats.b, kstats.vocab
+        |  FROM st
+        |  LEFT JOIN tri ON tri.w1 = st.w1 AND tri.w2 = st.w2 AND tri.w3 = st.w3
+        |  LEFT JOIN bi b12 ON b12.w1 = st.w1 AND b12.w2 = st.w2
+        |  LEFT JOIN nft ON nft.w1 = st.w1 AND nft.w2 = st.w2
+        |  LEFT JOIN cc2 ON cc2.w2 = st.w2 AND cc2.w3 = st.w3
+        |  LEFT JOIN ctx2 ON ctx2.w2 = st.w2
+        |  LEFT JOIN cc1 ON cc1.w = st.w3
+        |  LEFT JOIN uni u3 ON u3.w = st.w3
+        |  CROSS JOIN kstats
+        |), j1 AS (
+        |  SELECT doc_id, ct, cb, nf, kc2, den, nf2, cw,
+        |         (coalesce(CAST(kc1 AS DOUBLE), 0.0) + 1.0)
+        |           / (CAST(b AS DOUBLE) + 1.0 * CAST(vocab AS DOUBLE)) AS p1
+        |  FROM j0
+        |), j2 AS (
+        |  SELECT doc_id, ct, cb, nf, cw,
+        |         CASE WHEN den IS NULL THEN p1 ELSE
+        |           greatest(coalesce(CAST(kc2 AS DOUBLE), 0.0) - 0.75, 0.0) / CAST(den AS DOUBLE)
+        |           + 0.75 * CAST(nf2 AS DOUBLE) / CAST(den AS DOUBLE) * p1 END AS p2
+        |  FROM j1
+        |), j3 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN cb IS NULL OR nf IS NULL THEN p2 ELSE
+        |           greatest(coalesce(CAST(ct AS DOUBLE), 0.0) - 0.75, 0.0) / CAST(cb AS DOUBLE)
+        |           + 0.75 * CAST(nf AS DOUBLE) / CAST(cb AS DOUBLE) * p2 END AS p,
+        |         cw
+        |  FROM j2
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_trans,
+        |         sum(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS sum_prob_e12,
+        |         count(CASE WHEN cw IS NULL THEN 1 END) AS n_oov
+        |  FROM j3 GROUP BY 1
         |)
         |SELECT d.doc_id, coalesce(n_trans, 0) AS n_trans,
         |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,

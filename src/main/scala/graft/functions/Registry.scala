@@ -164,6 +164,18 @@ object Registry {
       e
     }),
     "strip_result_ddl" -> (es => ex(graft.rules.ExpressionRunner.stripResultDdl(col(es.head)))),
+    // reference sparkless/ProcessFunctions.scala:94 + impl/util/Utils.scala:552
+    // (InputWrapper): the left argument exists ONLY to force resolution of
+    // processor expressions against the input row — the value is always the
+    // right argument. Composed form: left lives in an always-true condition
+    // (resolution happens before any optimizer simplification), right is
+    // both branches' value, so semantics and types are exactly the
+    // reference's pass-through.
+    "processor_input_wrapper" -> (es => {
+      require(es.size >= 2, "processor_input_wrapper needs (input, expression)")
+      ex(when(col(es.head).isNull || col(es.head).isNotNull, col(es.last))
+        .otherwise(col(es.last)))
+    }),
     // ---- training-data pipeline functions (graft.pipeline), SQL-callable ----
     "shingles" -> (es => ex(graft.pipeline.Text.shingles(col(es.head),
       if (es.size >= 2) litLong(es(1)).toInt else 3))),

@@ -64,4 +64,22 @@ class DslSpec extends AnyFunSuite {
     val out = df.groupBy("g").agg(small_bloom(col("v"), 10, 0.01).as("bloom"))
     assert(out.count() == 2)
   }
+
+  test("processor_input_wrapper resolves and passes the right argument through") {
+    graft.functions.Registry.registerAll(spark)
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("a", "b")
+    df.createOrReplaceTempView("graft_piw")
+    // value is always the RIGHT argument; the left only forces resolution
+    val got = spark.sql(
+      "SELECT processor_input_wrapper(b, a * 10) AS v FROM graft_piw ORDER BY v")
+      .as[Long].collect().toSeq
+    assert(got == Seq(10L, 20L))
+    // left may be any type, including one unrelated to the result type,
+    // and null left must not null the output
+    val s2 = spark.sql(
+      "SELECT processor_input_wrapper(named_struct('k', a), b) AS v FROM graft_piw WHERE a = 1")
+      .as[String].collect().toSeq
+    assert(s2 == Seq("x"))
+  }
 }

@@ -236,4 +236,76 @@ class LmSpec extends AnyFunSuite {
     assert(out(3L) == "")
     assert(out(4L) == "hi\n\nthe quick brown fox")
   }
+
+  test("Kneser-Ney order 3: hand-computed value through all three levels") {
+    // corpus types: tri {(a,b,c),(a,b,d),(x,b,c)}; bi {(a,b):2,(b,c):2,(b,d):1,(x,b):1}
+    // B = 4 bigram types, V = 5. Transition (a,b,c):
+    //   p1 = (N1+(.c) + 1)/(B + V) = (1+1)/(4+5)
+    //   p2 = max(N1+(.bc) - D,0)/N1+(.b.) + D*N1+(b.)/N1+(.b.) * p1
+    //      = 1.25/3 + (0.75*2/3)*p1              (N1+(.bc)=2, den=3, nf=2)
+    //   p3 = max(c(abc)-D,0)/c(ab) + D*N1+(ab.)/c(ab) * p2
+    //      = 0.25/2 + (0.75*2/2)*p2
+    val corpus = Seq("a b c", "a b d", "x b c").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    val out = Lm.scoreKn(model, Seq((1L, "a b c")).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    val p1 = (1.0 + 1.0) / (4.0 + 1.0 * 5.0)
+    val p2 = math.max(2.0 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * p1
+    val p3 = math.max(1.0 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * p2
+    assert(out.getLong(1) == 1)
+    assert(out.getLong(2) == math.floor(p3 * 1e12).toLong)
+    assert(out.getLong(3) == 0)
+  }
+
+  test("Kneser-Ney vs JM: continuation counts demote context-bound words (san francisco)") {
+    // "francisco" is FREQUENT but only ever follows "san": raw-frequency
+    // (JM) backoff overpays it after an unseen context; KN's continuation
+    // count (1 distinct predecessor) ranks plain "cat" (2 predecessors)
+    // above it. "cat" is always sentence-final, so (cat, w) is an unseen
+    // context for both transitions and both models back off fully.
+    val corpus = ((1 to 10).map(_ => "san francisco") ++
+      Seq("the cat", "a cat")).toDF("text")
+    val model = Lm.train(corpus, col("text"))
+    val docsDf = Seq((1L, "cat francisco"), (2L, "cat cat")).toDF("id", "text")
+    val kn = Lm.scoreKn(model, docsDf, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val jm = Lm.score(model, docsDf, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(jm(1L) > jm(2L), s"JM should overpay francisco: $jm")
+    assert(kn(2L) > kn(1L), s"KN should prefer the 2-context word: $kn")
+  }
+
+  test("Kneser-Ney: OOV target takes the add-k continuation floor and is counted") {
+    val corpus = Seq("a b", "a c").toDF("text")
+    val model = Lm.train(corpus, col("text"))
+    val out = Lm.scoreKn(model, Seq((1L, "a zzz")).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    // bi types {(a,b),(a,c)}: B=2, V=3; cc1(zzz)=0 -> p1 = 1/(2+3)
+    // top: c2(a,zzz) null, c(a)=2, nf(a)=2 -> p = 0 + (0.75*2/2)*p1
+    val p1 = (0.0 + 1.0) / (2.0 + 1.0 * 3.0)
+    val expect = math.max(0.0 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * p1
+    assert(out.getLong(2) == math.floor(expect * 1e12).toLong)
+    assert(out.getLong(3) == 1)
+  }
+
+  test("Kneser-Ney: short docs score zero; context with no continuation backs off fully") {
+    val corpus = Seq("a b c").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    val out = Lm.scoreKn(model, Seq((1L, "a b"), (2L, "")).toDF("id", "text"),
+      col("id"), col("text")).collect()
+    assert(out.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
+    // "c" only ends documents: context (b,c) has c(bc)>0 but no observed
+    // continuation -> the top level must fall through to the middle order,
+    // never zero the product
+    val out2 = Lm.scoreKn(model, Seq((3L, "b c a")).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    assert(out2.getLong(2) > 0L)
+  }
+
+  test("knDiscount: Ney-Essen-Kneser estimate from count-of-counts") {
+    // bigram types: (a,b) c=2, (a,c) c=1 -> n1=1, n2=1 -> D = 1/(1+2)
+    val corpus = Seq("a b", "a b", "a c").toDF("text")
+    val model = Lm.train(corpus, col("text"))
+    assert(math.abs(Lm.knDiscount(model, 2) - 1.0 / 3.0) < 1e-12)
+  }
 }
