@@ -22,7 +22,11 @@ object Bench {
     // (r3's q_dedup_skew 10.7s scare was exactly such clustering).
     // A failed rep must not enter the median as a (fast) time — record the
     // failure and keep only successful rep times; all-failed → time -1.
+    // optional comma-separated subset for local iteration (unset = full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failedQ = scala.collection.mutable.Set.empty[String]

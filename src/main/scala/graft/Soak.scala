@@ -78,7 +78,12 @@ object Soak {
     "q_dedup_weighted_drop", "q_similarity_crosscorpus", "q_kcore",
     "q_concentration", "q_rfm",
     // layout
-    "q_zorder")
+    "q_zorder",
+    // r14: the never-soaked backlog (r12 #10 + r13 additions) + the new
+    // steady-state BM25 shape and modified-KN
+    "q_streaming_e2e", "q_audio_phash", "q_scd2", "q_dp_count",
+    "q_crawl_schedule_robots", "q_lm_kn", "q_robots_sitemaps",
+    "q_bm25_search_steady", "q_lm_mkn")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

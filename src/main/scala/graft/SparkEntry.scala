@@ -1904,6 +1904,17 @@ object SparkEntry {
       graft.pipeline.Retrieval.searchTopK(
         s, bm25IndexFor(s, dir), queries, "doc_id", "text", k = 5)
     }),
+    "q_bm25_search_steady" -> ((s, dir) => {
+      // the production search-tier shape: a FIXED 100-query batch (ids
+      // 0,5,...,495 — corpus-size-INDEPENDENT, unlike q_bm25_search's
+      // every-50th slice that grows with the corpus) against the prebuilt
+      // index, so the gated time scales linearly in corpus size per query
+      // — the steady-state QPS regime a perf regression would actually hit
+      val d = docs(s, dir)
+      val queries = d.where(col("doc_id") % 5 === 0 && col("doc_id") < 500)
+      graft.pipeline.Retrieval.searchTopK(
+        s, bm25IndexFor(s, dir), queries, "doc_id", "text", k = 5)
+    }),
     "q_bm25_append" -> ((s, dir) => {
       // incremental ingest for the retrieval tier: base index over the even
       // half (built once per process), the odd half arrives as an append
@@ -1957,6 +1968,20 @@ object SparkEntry {
         when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
       val model = graft.pipeline.Lm.train(d, col("text"), order = 3)
       graft.pipeline.Lm.scoreKn(model, scoreSet, col("doc_id"), col("t"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+    "q_lm_mkn" -> ((s, dir) => {
+      // MODIFIED Kneser-Ney at order 3 (KenLM default: count-dependent
+      // discounts D1/D2/D3+ per order from count-of-counts, per-context
+      // count-bucket backoff mass): the oracle recomputes the discount
+      // scalars from the same count-of-counts in the same IEEE order, then
+      // replays the scoring arithmetic; planted gibberish exercises the
+      // OOV floor
+      val d = docs(s, dir)
+      val scoreSet = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
+      val model = graft.pipeline.Lm.train(d, col("text"), order = 3)
+      graft.pipeline.Lm.scoreMkn(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
     "q_collocations" -> ((s, dir) => {
@@ -2285,13 +2310,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
     "q_dedup_prioritized" -> ((s, dir) => {
-      // multi-source assembly: every doc exists as a crawl copy (priority
-      // 2) and every third also as a curated copy (priority 1, id+50000);
-      // identical content must keep the CURATED copy, not the lower id
+      // multi-source assembly: every doc exists as a crawl copy (trust
+      // weight 1) and every third also as a curated copy (trust weight 2,
+      // id+50000); identical content must keep the CURATED copy, not the
+      // lower id — priority is a weight, HIGHER wins (the one convention
+      // shared with dropNearDupsPreferring)
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val crawl = d.select(col("doc_id"), col("text"), lit(2).as("prio"))
+      val crawl = d.select(col("doc_id"), col("text"), lit(1).as("prio"))
       val curated = d.where(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 50000).as("doc_id"), col("text"), lit(1).as("prio"))
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"), lit(2).as("prio"))
       graft.pipeline.Dedup.exactPrioritized(
           crawl.unionAll(curated), col("doc_id"), col("prio"), col("text"))
         .select(col("doc_id"), col("prio"))
@@ -5385,6 +5412,48 @@ object SparkEntry {
         |                            ORDER BY score_e9 DESC, id) AS rnk
         |  FROM agg)
         |WHERE rnk <= 5""".stripMargin,
+    // identical BM25 math as q_bm25_search on the FIXED 100-query batch
+    "q_bm25_search_steady" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), docs AS (
+        |  SELECT id, toks, len(toks) AS dl FROM base
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs
+        |), postings AS (
+        |  SELECT term, id, dl, count(*) AS tf
+        |  FROM (SELECT id, dl, unnest(toks) AS term FROM docs)
+        |  GROUP BY 1, 2, 3
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM postings GROUP BY 1
+        |), qt AS (
+        |  SELECT DISTINCT id AS query_id, unnest(toks) AS term FROM docs
+        |  WHERE id % 5 = 0 AND id < 500
+        |), j AS (
+        |  SELECT qt.query_id, p.id,
+        |         CAST(floor(
+        |           (ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |            * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |               / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |                  + 0.75 * CAST(dl AS DOUBLE)
+        |                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |           * 1000000000.0) AS BIGINT) AS p9
+        |  FROM qt
+        |  JOIN postings p USING (term)
+        |  JOIN dfs USING (term)
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT query_id, id, CAST(sum(p9) AS BIGINT) AS score_e9 FROM j GROUP BY 1, 2
+        |)
+        |SELECT query_id, id, score_e9, CAST(rnk AS INT) AS rank FROM (
+        |  SELECT query_id, id, score_e9,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score_e9 DESC, id) AS rnk
+        |  FROM agg)
+        |WHERE rnk <= 5""".stripMargin,
     // identical whole-corpus BM25 math as q_bm25_search (append==rebuild is
     // the property under test), on the % 70 query slice
     "q_bm25_append" ->
@@ -5617,6 +5686,142 @@ object SparkEntry {
         |         CASE WHEN cb IS NULL OR nf IS NULL THEN p2 ELSE
         |           greatest(coalesce(CAST(ct AS DOUBLE), 0.0) - 0.75, 0.0) / CAST(cb AS DOUBLE)
         |           + 0.75 * CAST(nf AS DOUBLE) / CAST(cb AS DOUBLE) * p2 END AS p,
+        |         cw
+        |  FROM j2
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_trans,
+        |         sum(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS sum_prob_e12,
+        |         count(CASE WHEN cw IS NULL THEN 1 END) AS n_oov
+        |  FROM j3 GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_trans, 0) AS n_trans,
+        |       CAST(coalesce(sum_prob_e12, 0) AS BIGINT) AS sum_prob_e12,
+        |       coalesce(n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_lm_mkn" ->
+      """WITH corpus AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), uw AS (
+        |  SELECT unnest(ws) AS w FROM corpus
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM uw GROUP BY 1
+        |), bit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM corpus)
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bit GROUP BY 1, 2
+        |), trit AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM corpus)
+        |), tri AS (
+        |  SELECT w1, w2, w3, count(*) AS ct FROM trit GROUP BY 1, 2, 3
+        |), tg AS (
+        |  SELECT w1, w2,
+        |         count(CASE WHEN ct = 1 THEN 1 END) AS tm1,
+        |         count(CASE WHEN ct = 2 THEN 1 END) AS tm2,
+        |         count(CASE WHEN ct >= 3 THEN 1 END) AS tm3
+        |  FROM tri GROUP BY 1, 2
+        |), cc2 AS (
+        |  SELECT w2, w3, count(*) AS kc2 FROM tri GROUP BY 1, 2
+        |), ctx2 AS (
+        |  SELECT w2, sum(kc2) AS den,
+        |         count(CASE WHEN kc2 = 1 THEN 1 END) AS mm1,
+        |         count(CASE WHEN kc2 = 2 THEN 1 END) AS mm2,
+        |         count(CASE WHEN kc2 >= 3 THEN 1 END) AS mm3
+        |  FROM cc2 GROUP BY 1
+        |), dtr AS (
+        |  SELECT count(CASE WHEN ct = 1 THEN 1 END) AS n1,
+        |         count(CASE WHEN ct = 2 THEN 1 END) AS n2,
+        |         count(CASE WHEN ct = 3 THEN 1 END) AS n3,
+        |         count(CASE WHEN ct = 4 THEN 1 END) AS n4
+        |  FROM tri
+        |), dty AS (
+        |  SELECT n1, n2, n3, n4,
+        |         CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE)) AS y
+        |  FROM dtr
+        |), dt AS (
+        |  SELECT
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0 THEN 0.75
+        |      ELSE greatest(0.0, 1.0 - 2.0 * y * (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))) END AS td1,
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0 THEN 0.75
+        |      ELSE greatest(0.0, 2.0 - 3.0 * y * (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))) END AS td2,
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0 THEN 0.75
+        |      ELSE greatest(0.0, 3.0 - 4.0 * y * (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))) END AS td3
+        |  FROM dty
+        |), dmr AS (
+        |  SELECT count(CASE WHEN kc2 = 1 THEN 1 END) AS n1,
+        |         count(CASE WHEN kc2 = 2 THEN 1 END) AS n2,
+        |         count(CASE WHEN kc2 = 3 THEN 1 END) AS n3,
+        |         count(CASE WHEN kc2 = 4 THEN 1 END) AS n4
+        |  FROM cc2
+        |), dmy AS (
+        |  SELECT n1, n2, n3, n4,
+        |         CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE)) AS y
+        |  FROM dmr
+        |), dm AS (
+        |  SELECT
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0 THEN 0.75
+        |      ELSE greatest(0.0, 1.0 - 2.0 * y * (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))) END AS md1,
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0 THEN 0.75
+        |      ELSE greatest(0.0, 2.0 - 3.0 * y * (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))) END AS md2,
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0 THEN 0.75
+        |      ELSE greatest(0.0, 3.0 - 4.0 * y * (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))) END AS md3
+        |  FROM dmy
+        |), cc1 AS (
+        |  SELECT w2 AS w, count(*) AS kc1 FROM bi GROUP BY 1
+        |), kstats AS (
+        |  SELECT (SELECT count(*) FROM bi) AS b, (SELECT count(*) FROM uni) AS vocab
+        |), sdoc AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(
+        |           text || CASE WHEN doc_id % 6 = 0 THEN ' zzqx9 vvkk7 zzqx9' ELSE '' END
+        |         ), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM sdoc)
+        |), j0 AS (
+        |  SELECT st.doc_id, tri.ct, b12.cb, tg.tm1, tg.tm2, tg.tm3,
+        |         cc2.kc2, ctx2.den, ctx2.mm1, ctx2.mm2, ctx2.mm3,
+        |         cc1.kc1, u3.c AS cw, kstats.b, kstats.vocab,
+        |         dt.td1, dt.td2, dt.td3, dm.md1, dm.md2, dm.md3
+        |  FROM st
+        |  LEFT JOIN tri ON tri.w1 = st.w1 AND tri.w2 = st.w2 AND tri.w3 = st.w3
+        |  LEFT JOIN bi b12 ON b12.w1 = st.w1 AND b12.w2 = st.w2
+        |  LEFT JOIN tg ON tg.w1 = st.w1 AND tg.w2 = st.w2
+        |  LEFT JOIN cc2 ON cc2.w2 = st.w2 AND cc2.w3 = st.w3
+        |  LEFT JOIN ctx2 ON ctx2.w2 = st.w2
+        |  LEFT JOIN cc1 ON cc1.w = st.w3
+        |  LEFT JOIN uni u3 ON u3.w = st.w3
+        |  CROSS JOIN kstats CROSS JOIN dt CROSS JOIN dm
+        |), j1 AS (
+        |  SELECT doc_id, ct, cb, tm1, tm2, tm3, kc2, den, mm1, mm2, mm3, cw,
+        |         td1, td2, td3, md1, md2, md3,
+        |         (coalesce(CAST(kc1 AS DOUBLE), 0.0) + 1.0)
+        |           / (CAST(b AS DOUBLE) + 1.0 * CAST(vocab AS DOUBLE)) AS p1
+        |  FROM j0
+        |), j2 AS (
+        |  SELECT doc_id, ct, cb, tm1, tm2, tm3, cw, td1, td2, td3,
+        |         CASE WHEN den IS NULL THEN p1 ELSE
+        |           greatest(CAST(coalesce(kc2, 0) AS DOUBLE) -
+        |             (CASE WHEN coalesce(kc2, 0) >= 3 THEN md3
+        |                   WHEN coalesce(kc2, 0) = 2 THEN md2
+        |                   WHEN coalesce(kc2, 0) = 1 THEN md1 ELSE 0.0 END), 0.0)
+        |             / CAST(den AS DOUBLE)
+        |           + (md1 * CAST(mm1 AS DOUBLE) + md2 * CAST(mm2 AS DOUBLE)
+        |              + md3 * CAST(mm3 AS DOUBLE)) / CAST(den AS DOUBLE) * p1 END AS p2
+        |  FROM j1
+        |), j3 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN cb IS NULL OR tm1 IS NULL THEN p2 ELSE
+        |           greatest(CAST(coalesce(ct, 0) AS DOUBLE) -
+        |             (CASE WHEN coalesce(ct, 0) >= 3 THEN td3
+        |                   WHEN coalesce(ct, 0) = 2 THEN td2
+        |                   WHEN coalesce(ct, 0) = 1 THEN td1 ELSE 0.0 END), 0.0)
+        |             / CAST(cb AS DOUBLE)
+        |           + (td1 * CAST(tm1 AS DOUBLE) + td2 * CAST(tm2 AS DOUBLE)
+        |              + td3 * CAST(tm3 AS DOUBLE)) / CAST(cb AS DOUBLE) * p2 END AS p,
         |         cw
         |  FROM j2
         |), agg AS (
@@ -6205,16 +6410,16 @@ object SparkEntry {
         |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
     "q_dedup_prioritized" ->
       """WITH u AS (
-        |  SELECT doc_id, text, 2 AS prio FROM documents
+        |  SELECT doc_id, text, 1 AS prio FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 50000, text, 1 FROM documents WHERE doc_id % 3 = 0
+        |  SELECT doc_id + 50000, text, 2 FROM documents WHERE doc_id % 3 = 0
         |), k AS (
-        |  SELECT text, min(struct_pack(p := prio, i := doc_id)) AS keep
+        |  SELECT text, min(struct_pack(p := -prio, i := doc_id)) AS keep
         |  FROM u GROUP BY 1
         |)
         |SELECT u.doc_id, u.prio
         |FROM u JOIN k ON u.text = k.text
-        |WHERE u.prio = k.keep.p AND u.doc_id = k.keep.i""".stripMargin,
+        |WHERE -u.prio = k.keep.p AND u.doc_id = k.keep.i""".stripMargin,
     "q_corpus_diff" ->
       """WITH v2 AS (
         |  SELECT doc_id,

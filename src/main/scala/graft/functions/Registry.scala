@@ -166,15 +166,13 @@ object Registry {
     "strip_result_ddl" -> (es => ex(graft.rules.ExpressionRunner.stripResultDdl(col(es.head)))),
     // reference sparkless/ProcessFunctions.scala:94 + impl/util/Utils.scala:552
     // (InputWrapper): the left argument exists ONLY to force resolution of
-    // processor expressions against the input row — the value is always the
-    // right argument. Composed form: left lives in an always-true condition
-    // (resolution happens before any optimizer simplification), right is
-    // both branches' value, so semantics and types are exactly the
-    // reference's pass-through.
+    // processor expressions against the input row — it is NEVER evaluated
+    // (a left that would throw at runtime — ANSI cast failure, failing
+    // UDF — passes through untouched, exactly the reference semantics).
+    // ProcessorInputWrapper's eval/codegen delegate to right alone.
     "processor_input_wrapper" -> (es => {
       require(es.size >= 2, "processor_input_wrapper needs (input, expression)")
-      ex(when(col(es.head).isNull || col(es.head).isNotNull, col(es.last))
-        .otherwise(col(es.last)))
+      ProcessorInputWrapper(es.head, es.last)
     }),
     // ---- training-data pipeline functions (graft.pipeline), SQL-callable ----
     "shingles" -> (es => ex(graft.pipeline.Text.shingles(col(es.head),
@@ -398,4 +396,26 @@ object Registry {
       reg.registerFunction(id, info, fb)
     }
   }
+}
+
+/** processor_input_wrapper (reference impl/util/Utils.scala:552,
+ * InputWrapper): `left` exists only so the analyzer resolves processor
+ * expressions against the input row; eval and codegen alias `right`
+ * verbatim and NEVER touch `left` — a left expression that would throw
+ * at runtime passes through, matching the reference. */
+case class ProcessorInputWrapper(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = right.dataType
+  override def nullable: Boolean = right.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    right.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val r = right.genCode(ctx)
+    ev.copy(code = r.code, isNull = r.isNull, value = r.value)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

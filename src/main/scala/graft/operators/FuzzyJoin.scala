@@ -1,8 +1,14 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Fuzzy (edit-distance) similarity self-join — the entity-resolution /
@@ -23,6 +29,15 @@ import org.apache.spark.sql.functions._
  * segment keys, not documents, and the exact verify joins candidate ids
  * back to the corpus by id.
  *
+ * Plan shape: BOTH roles' keys of a corpus are exploded in ONE pass (one
+ * scan, one charSig per string, one explode) and land behind ONE explicit
+ * `repartition(partnerLen, segIdx, segment)` exchange; the index-role and
+ * probe-role branches are filters above that exchange, so the self-join —
+ * and both role directions of the cross-corpus join — read the SAME
+ * materialized shuffle (ReusedExchange), and the bucket-cap window and the
+ * candidate equi-join both reuse its partitioning (no further exchanges
+ * until the pair-distinct).
+ *
  * Completeness: exact for every pair whose shorter side has at least
  * `maxDist + 1` characters (each segment nonempty). Shorter strings — the
  * degenerate tail where ANY partner of length ≤ 2·maxDist qualifies — are
@@ -31,14 +46,15 @@ import org.apache.spark.sql.functions._
  *
  * Count filter (always on, zero recall trade): every string carries a
  * packed 8-bucket character histogram (counts clamped at 255, 8 bits per
- * bucket in one LONG). One edit moves at most 2 units of L1 mass between
- * histogram buckets (substitution ±1 twice, insert/delete ±1 once), and
- * clamping only shrinks differences, so ED ≤ d ⟹ clamped-L1 ≤ 2d —
- * candidate rows failing that die INSIDE the join condition, before the
- * pair-distinct shuffle and the exact verify. This is what keeps common
- * boilerplate segments ("the ", "ing ") from flooding verification: their
- * bucket joins still pair up, but the histogram kills non-near pairs for
- * the price of 8 codegen'd subtractions instead of a DP.
+ * bucket in one LONG, computed by a single-pass codegen'd static call).
+ * One edit moves at most 2 units of L1 mass between histogram buckets
+ * (substitution ±1 twice, insert/delete ±1 once), and clamping only
+ * shrinks differences, so ED ≤ d ⟹ clamped-L1 ≤ 2d — candidate rows
+ * failing that die INSIDE the join condition, before the pair-distinct
+ * shuffle and the exact verify. This is what keeps common boilerplate
+ * segments ("the ", "ing ") from flooding verification: their bucket joins
+ * still pair up, but the histogram kills non-near pairs for the price of 8
+ * codegen'd subtractions instead of a DP.
  *
  * Skew guard (`maxBucketSize`, DEFAULT 2000): a segment shared by millions
  * of rows still makes its bucket-join quadratic before any filter runs;
@@ -46,11 +62,17 @@ import org.apache.spark.sql.functions._
  * documented like the minhash LSH cap (the same posture: the pairs a
  * >2000-row boilerplate bucket would add are near-duplicates of each
  * other en masse, exactly what [[graft.pipeline.Dedup.exact]] should have
- * collapsed first). Pass 0 to uncap for guaranteed-complete runs; use
- * [[skippedBuckets]] to SEE what a cap would drop before trusting it.
+ * collapsed first). The trade is NEVER silent: whenever the cap is active
+ * the plan carries an `observe` metric per role branch
+ * (`graft_fuzzy_cap_*`: key rows dropped + buckets hit) surfaced through
+ * the standard `QueryExecutionListener` / `Observation` machinery, so a
+ * run that actually lost recall says so in its metrics. Pass 0 to uncap
+ * for guaranteed-complete runs ("each unordered pair exactly once" holds
+ * only then); use [[skippedBuckets]] to SEE what a cap would drop before
+ * trusting it.
  *
  * Requires unique, non-null ids. Output: one row per matched pair,
- * `(id_a, id_b, dist)` with `id_a < id_b`, each unordered pair exactly once.
+ * `(id_a, id_b, dist)` with `id_a < id_b`.
  */
 object FuzzyJoin {
 
@@ -61,11 +83,44 @@ object FuzzyJoin {
   private def segStart(l: Column, i: Int, k: Int): Column =
     (lit(i) * floor(l / k).cast("int") + least(lit(i), l % k)).cast("int")
 
-  private def cappedBy(side: DataFrame, maxBucketSize: Int): DataFrame =
-    if (maxBucketSize <= 0) side
-    else side.withColumn("graft_bsz",
-        count(lit(1)).over(Window.partitionBy("graft_l", "graft_i", "graft_seg")))
-      .where(col("graft_bsz") <= maxBucketSize).drop("graft_bsz")
+  /** Monotone per-call suffix so two fuzzy joins composed into one query
+   * don't collide on observe-metric names (must be query-unique). */
+  private val capMetricSeq = new AtomicLong(0L)
+
+  /** One role branch of a keyed frame, bucket-cap guarded. The cap count
+   * is a conditional sum over a window partitioned by the JOIN key only
+   * (l, i, seg) — NOT by role — deliberately: the window reuses the keyed
+   * exchange's partitioning (no new shuffle), and because `graft_role` is
+   * not in the partitionSpec the role predicate cannot be pushed below the
+   * window, so both role branches keep reading the ONE materialized
+   * exchange instead of re-planning the key-explosion pass each
+   * (ReusedExchange — plan-spec'd). Over-cap drops are reported as
+   * observe metrics (key rows + buckets), never silent. With cap <= 0
+   * (complete mode) there is no window barrier and Catalyst pushes each
+   * role filter below its own exchange copy — the uncapped spec/audit
+   * path trades the reuse for guaranteed completeness. */
+  private def roleBranch(keyed: DataFrame, role: Int, cap: Int, metric: String): DataFrame = {
+    val filtered =
+      if (cap <= 0) keyed.where(col("graft_role") === role)
+      else keyed.withColumn("graft_bsz",
+          sum(when(col("graft_role") === role, 1L).otherwise(0L))
+            .over(Window.partitionBy("graft_l", "graft_i", "graft_seg")))
+        .where(col("graft_role") === role)
+        .observe(metric,
+          sum(when(col("graft_bsz") > cap, 1L).otherwise(0L))
+            .as("dropped_key_rows"),
+          sum(when(col("graft_bsz") > cap, lit(1.0) / col("graft_bsz"))
+            .otherwise(lit(0.0))).as("dropped_buckets"))
+        .where(col("graft_bsz") <= cap).drop("graft_bsz")
+    if (role == 0)
+      filtered.select(col("graft_id").as("graft_aid"),
+        col("graft_slen").as("graft_alen"), col("graft_cf").as("graft_cfa"),
+        col("graft_l"), col("graft_i"), col("graft_seg"))
+    else
+      filtered.select(col("graft_id").as("graft_bid"),
+        col("graft_slen").as("graft_blen"), col("graft_cf").as("graft_cfb"),
+        col("graft_l"), col("graft_i"), col("graft_seg"))
+  }
 
   private def baseOf(df: DataFrame, idCol: Column, strCol: Column): DataFrame =
     df.select(idCol.as("graft_id"), strCol.cast("string").as("graft_s"))
@@ -74,15 +129,10 @@ object FuzzyJoin {
       .withColumn("graft_cf", charSig(col("graft_s")))
 
   /** Packed 8-bucket character histogram: bits 8k..8k+7 hold
-   * min(count of chars hashing to bucket k, 255). Computed once per
-   * string, carried on every key row (one LONG). */
-  private[graft] def charSig(s: Column): Column = {
-    val chars = split(s, "")
-    (0 until 8).map { k =>
-      shiftleft(least(size(filter(chars, c => pmod(hash(c), lit(8)) === k)),
-        lit(255)).cast("long"), 8 * k)
-    }.reduce(_ bitwiseOR _)
-  }
+   * min(count of chars hashing to bucket k, 255). ONE pass over the
+   * string per row (codegen'd static call), carried on every key row. */
+  private[graft] def charSig(s: Column): Column =
+    Bridge.column(CharSigExpression(Bridge.expression(s)))
 
   /** L1 distance between two packed histograms (8 codegen'd terms). */
   private[graft] def sigL1(a: Column, b: Column): Column =
@@ -124,7 +174,29 @@ object FuzzyJoin {
     array_distinct(flatten(array_compact(array(subKeys: _*))))
   }
 
-  /** Index role over a corpus: one row per (id, len, key). */
+  /** BOTH roles' key rows of one corpus in ONE pass, behind ONE explicit
+   * segment-key exchange: role 0 = index (gl is own length), role 1 =
+   * probe (gl is the candidate partner's length, own length in
+   * graft_slen). Every consumer — the cap window, both role filters of a
+   * self-join, both directions of a cross join — reads this single
+   * materialized shuffle (ReusedExchange). */
+  private[graft] def keyRows(base: DataFrame, d: Int): DataFrame = {
+    def tagged(arr: Column, role: Int): Column = transform(arr, k =>
+      struct(lit(role).as("grole"), k.getField("gl").as("gl"),
+        k.getField("gi").as("gi"), k.getField("gseg").as("gseg")))
+    base.select(col("graft_id"), col("graft_len"), col("graft_cf"),
+        explode(concat(
+          tagged(segKeyArray(col("graft_s"), col("graft_len"), d), 0),
+          tagged(subKeyArray(col("graft_s"), col("graft_len"), d), 1)))
+          .as("graft_k"))
+      .select(col("graft_id"), col("graft_len").as("graft_slen"), col("graft_cf"),
+        col("graft_k.grole").as("graft_role"), col("graft_k.gl").as("graft_l"),
+        col("graft_k.gi").as("graft_i"), col("graft_k.gseg").as("graft_seg"))
+      .repartition(col("graft_l"), col("graft_i"), col("graft_seg"))
+  }
+
+  /** Index role over a corpus: one row per (id, len, key). Kept for the
+   * [[skippedBuckets]] diagnostic and spec-level key inspection. */
   private[graft] def segKeyRows(base: DataFrame, d: Int): DataFrame =
     base.where(col("graft_len") >= d + 1)
       .select(col("graft_id").as("graft_aid"), col("graft_len").as("graft_alen"),
@@ -133,34 +205,24 @@ object FuzzyJoin {
       .select(col("graft_aid"), col("graft_alen").as("graft_l"), col("graft_cfa"),
         col("graft_k.gi").as("graft_i"), col("graft_k.gseg").as("graft_seg"))
 
-  /** Probe role over a corpus: one row per (id, len, key). */
-  private[graft] def subKeyRows(base: DataFrame, d: Int): DataFrame =
-    base
-      .select(col("graft_id").as("graft_bid"), col("graft_len").as("graft_blen"),
-        col("graft_cf").as("graft_cfb"),
-        explode(subKeyArray(col("graft_s"), col("graft_len"), d)).as("graft_k"))
-      .select(col("graft_bid"), col("graft_blen"), col("graft_cfb"),
-        col("graft_k.gl").as("graft_l"), col("graft_k.gi").as("graft_i"),
-        col("graft_k.gseg").as("graft_seg"))
-
   def editDistancePairs(
       df: DataFrame, idCol: Column, strCol: Column,
       maxDist: Int, maxBucketSize: Int = 2000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val d = maxDist
     val base = baseOf(df, idCol, strCol)
-    val segSide = segKeyRows(base, d)
-    val subSide = subKeyRows(base, d)
-
-    def capped(side: DataFrame): DataFrame = cappedBy(side, maxBucketSize)
+    val keyed = keyRows(base, d)
+    val seq = capMetricSeq.incrementAndGet()
 
     // Equi-join on the segment key; the shorter string is always the index
     // side (graft_l == partner length <= probe length), equal lengths
     // deduped by id order — each unordered pair survives exactly once.
-    val candidates = capped(segSide)
-      .join(capped(subSide), Seq("graft_l", "graft_i", "graft_seg"))
-      .where((col("graft_l") < col("graft_blen") ||
-        (col("graft_l") === col("graft_blen") && col("graft_aid") < col("graft_bid"))) &&
+    // Both branches read the ONE keyed exchange.
+    val candidates = roleBranch(keyed, 0, maxBucketSize, s"graft_fuzzy_cap_idx_$seq")
+      .join(roleBranch(keyed, 1, maxBucketSize, s"graft_fuzzy_cap_probe_$seq"),
+        Seq("graft_l", "graft_i", "graft_seg"))
+      .where((col("graft_alen") < col("graft_blen") ||
+        (col("graft_alen") === col("graft_blen") && col("graft_aid") < col("graft_bid"))) &&
         sigL1(col("graft_cfa"), col("graft_cfb")) <= 2 * d)
       .select(col("graft_aid"), col("graft_bid")).distinct()
 
@@ -197,9 +259,12 @@ object FuzzyJoin {
    * Cross-corpus (A×B) edit-distance join — incoming batch vs frozen
    * reference, query titles vs catalog, the entity-resolution shape.
    * Same segment blocking; each corpus plays BOTH roles (its strings may
-   * be the shorter or the longer of a pair), candidates from the two
-   * directed role joins dedupe before the single verify. Output one row
-   * per matched (id_l, id_r) pair with the exact distance.
+   * be the shorter or the longer of a pair), and since both roles' keys
+   * of a corpus live behind one exchange, the two directed role joins
+   * read TWO materialized shuffles total (one per side, each reused),
+   * not four. Candidates from the two directions dedupe before the
+   * single verify. Output one row per matched (id_l, id_r) pair with the
+   * exact distance.
    */
   def editDistanceJoin(
       left: DataFrame, lIdCol: Column, lStrCol: Column,
@@ -209,15 +274,18 @@ object FuzzyJoin {
     val d = maxDist
     val lb = baseOf(left, lIdCol, lStrCol)
     val rb = baseOf(right, rIdCol, rStrCol)
+    val kl = keyRows(lb, d)
+    val kr = keyRows(rb, d)
+    val seq = capMetricSeq.incrementAndGet()
     val keys = Seq("graft_l", "graft_i", "graft_seg")
     // left indexes / right probes, then the reverse; equal-length pairs
     // surface in both directions — the distinct below is the dedup
-    val candLR = cappedBy(segKeyRows(lb, d), maxBucketSize)
-      .join(cappedBy(subKeyRows(rb, d), maxBucketSize), keys)
+    val candLR = roleBranch(kl, 0, maxBucketSize, s"graft_fuzzy_cap_lidx_$seq")
+      .join(roleBranch(kr, 1, maxBucketSize, s"graft_fuzzy_cap_rprobe_$seq"), keys)
       .where(sigL1(col("graft_cfa"), col("graft_cfb")) <= 2 * d)
       .select(col("graft_aid").as("graft_lid"), col("graft_bid").as("graft_rid"))
-    val candRL = cappedBy(segKeyRows(rb, d), maxBucketSize)
-      .join(cappedBy(subKeyRows(lb, d), maxBucketSize), keys)
+    val candRL = roleBranch(kr, 0, maxBucketSize, s"graft_fuzzy_cap_ridx_$seq")
+      .join(roleBranch(kl, 1, maxBucketSize, s"graft_fuzzy_cap_lprobe_$seq"), keys)
       .where(sigL1(col("graft_cfa"), col("graft_cfb")) <= 2 * d)
       .select(col("graft_bid").as("graft_lid"), col("graft_aid").as("graft_rid"))
     // near-empty tails, both directions (min side <= d forces max <= 2d)
@@ -254,4 +322,43 @@ object FuzzyJoin {
       .where(col("bucket_rows") > maxBucketSize)
       .orderBy(col("bucket_rows").desc)
   }
+}
+
+/** Scalar twin of [[CharSigExpression]] — the single-pass packed
+ * character histogram. Code-point granularity (matches Spark
+ * `levenshtein`'s unit of edit); bucket = top 3 bits of a multiplicative
+ * mix, counts clamp at 255 per bucket. */
+object FuzzyAlgos {
+  def charSig(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new Array[Int](8)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val b = (cp * 0x9E3779B9) >>> 29
+      if (counts(b) < 255) counts(b) += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 8) { sig |= counts(k).toLong << (8 * k); k += 1 }
+    sig
+  }
+}
+
+/** Packed 8-bucket character histogram of a string as one LONG — ONE
+ * pass per row via a codegen'd static call (replaces an 8×filter HOF
+ * stack over a per-char split array). See [[FuzzyAlgos.charSig]]. */
+case class CharSigExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    FuzzyAlgos.charSig(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.FuzzyAlgos.charSig($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

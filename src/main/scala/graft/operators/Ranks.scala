@@ -26,8 +26,26 @@ object Ranks {
    * exchanges — with reuse disabled (or the plans canonicalizing apart)
    * each branch would re-sample its own range boundaries and
    * spark_partition_id could differ between them, silently corrupting
-   * ranks. One data-sized write+2 reads replaces two full range sorts. */
-  def withGlobalRank(df: DataFrame, rankCol: String, orderCols: Column*): DataFrame = {
+   * ranks. One data-sized write+2 reads replaces two full range sorts.
+   *
+   * CACHE LIFECYCLE: the persisted ranged frame stays in the session's
+   * storage until the session ends or `spark.catalog.clearCache()` runs —
+   * the result is lazy, so this method cannot know when downstream has
+   * materialized and it is safe to unpersist. One entry per call is fine
+   * for job-shaped applications (the bench harness clears between suite
+   * passes); a long-running service ranking many frames should use
+   * [[withGlobalRankHandle]] and release each cache once its output is
+   * materialized. */
+  def withGlobalRank(df: DataFrame, rankCol: String, orderCols: Column*): DataFrame =
+    withGlobalRankHandle(df, rankCol, orderCols: _*)._1
+
+  /** [[withGlobalRank]] plus an unpersist handle: call the returned
+   * thunk AFTER materializing the ranked result (write/collect/count) to
+   * release the internal MEMORY_AND_DISK cache entry. Releasing earlier
+   * is safe for liveness but re-exposes the recompute-divergence risk
+   * the persist exists to close — don't. */
+  def withGlobalRankHandle(df: DataFrame, rankCol: String,
+      orderCols: Column*): (DataFrame, () => Unit) = {
     require(orderCols.nonEmpty, "at least one order column is required")
     val keyed = df
       .repartitionByRange(orderCols: _*)
@@ -42,9 +60,10 @@ object Ranks {
         sum(col("graft_rk_cnt")).over(Window.orderBy(col("graft_rk_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("graft_rk_pid"), col("graft_rk_off"))
-    local.join(broadcast(offsets), Seq("graft_rk_pid"))
+    val ranked = local.join(broadcast(offsets), Seq("graft_rk_pid"))
       .withColumn(rankCol, col("graft_rk_off") + col("graft_rk_lr"))
       .drop("graft_rk_pid", "graft_rk_lr", "graft_rk_off", "graft_rk_cnt")
+    (ranked, () => { keyed.unpersist(blocking = false); () })
   }
 
 }

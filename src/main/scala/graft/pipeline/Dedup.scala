@@ -42,26 +42,33 @@ object Dedup {
 
   /**
    * [[exact]] with a PROVENANCE priority: when the same content appears in
-   * several sources, keep the copy from the most trusted one (lowest
-   * `priorityCol`; ties to lowest id) — multi-source corpus assembly wants
-   * the curated-wiki copy, not the crawl's. Same shape: the shuffle
-   * carries (fingerprint, priority, id), never content. NULL priority
-   * sorts LAST (an unlabeled source never outranks a labeled one).
+   * several sources, keep the copy from the most trusted one — multi-source
+   * corpus assembly wants the curated-wiki copy, not the crawl's. Same
+   * shape: the shuffle carries (fingerprint, priority, id), never content.
+   *
+   * PRIORITY CONVENTION (shared with [[dropNearDupsPreferring]] — ONE
+   * direction across the dedup tiers): priority is a TRUST WEIGHT — the
+   * HIGHEST value wins, ties go to the lowest id, and NULL priority loses
+   * to any labeled copy (an unlabeled source never outranks a labeled
+   * one). Priority must not be Long.MinValue (negated internally). Sources
+   * ranked "1 = best" should pass the negated rank.
    */
   def exactPrioritized(
       df: DataFrame, idCol: Column, priorityCol: Column,
       contentCols: Column*): DataFrame = {
     def fp: Column = fingerprint(contentCols)
-    // min(struct) is lexicographic over (priority, id); map NULL priority
-    // to the max long so it loses to every labeled source
-    def prio: Column = coalesce(priorityCol.cast("long"), lit(Long.MaxValue))
+    // min(struct) is lexicographic over (-priority, id): highest priority
+    // first, ties to lowest id; NULL maps to the max long so it loses to
+    // every labeled source — identical encoding to dropNearDupsPreferring
+    def negp: Column = when(priorityCol.isNull, lit(Long.MaxValue))
+      .otherwise(-priorityCol.cast("long"))
     val keep = df
-      .select(fp.as("graft_fp"), prio.as("graft_p"), idCol.as("graft_id"))
+      .select(fp.as("graft_fp"), negp.as("graft_p"), idCol.as("graft_id"))
       .groupBy(col("graft_fp"))
       .agg(min(struct(col("graft_p"), col("graft_id"))).as("graft_keep"))
     df.join(keep,
         fp === col("graft_fp") &&
-          struct(prio, idCol) === col("graft_keep"), "leftsemi")
+          struct(negp, idCol) === col("graft_keep"), "leftsemi")
   }
 
   /** (id, rep) membership of exact-content groups: rep = min id of the group.
@@ -626,9 +633,11 @@ object Dedup {
    * rank-aware canonical selection: with a host-rank / trust / length
    * prior as the priority, the canonical source survives and the scraper
    * copy drops, instead of [[dropNearDups]]' lowest-id-wins (which keeps
-   * whichever copy happened to be ingested first). Higher priority wins;
-   * ties go to the lowest id; NULL priority loses to any non-null
-   * (priority must not be Long.MinValue — it is negated internally).
+   * whichever copy happened to be ingested first). PRIORITY CONVENTION
+   * (shared with [[exactPrioritized]] — ONE direction across the dedup
+   * tiers): higher priority wins; ties go to the lowest id; NULL priority
+   * loses to any non-null (priority must not be Long.MinValue — it is
+   * negated internally).
    * Clusters come from [[nearDupClusters]] (exact pre-collapse + CC);
    * selection is ONE combining min-of-struct per cluster + one semi-join,
    * no window over the corpus.

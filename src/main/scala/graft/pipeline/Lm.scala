@@ -318,6 +318,154 @@ object Lm {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"))
   }
 
+  /**
+   * MODIFIED Kneser–Ney scoring — the KenLM default (Chen & Goodman's
+   * refinement of [[scoreKn]]): instead of one absolute discount D per
+   * order, three count-dependent discounts
+   *
+   *   D(c) = 0 if c = 0;  D₁ if c = 1;  D₂ if c = 2;  D₃₊ if c ≥ 3
+   *
+   * estimated per order from that order's count-of-counts
+   * ([[mknDiscounts]]): Y = n₁/(n₁+2n₂), D₁ = 1 − 2Y·n₂/n₁,
+   * D₂ = 2 − 3Y·n₃/n₂, D₃₊ = 3 − 4Y·n₄/n₃ (clamped at 0; any empty
+   * count-of-count bucket falls back to the flat 0.75 triple). The
+   * backoff mass becomes γ(h) = (D₁N₁(h·) + D₂N₂(h·) + D₃₊N₃₊(h·))/c(h)
+   * where N_k(h·) counts extensions of h seen exactly k times (top
+   * order: raw counts; middle orders: continuation counts — the same
+   * adjusted-count tables [[scoreKn]] builds, with per-context
+   * count-bucket tallies replacing the single N₁₊ distinct count).
+   * Singleton-heavy orders get discounted harder than well-attested
+   * ones — the refinement that wins near the CCNet decision boundary.
+   *
+   * Same contracts as [[scoreKn]]: fixed IEEE operation order mirrored
+   * by the oracle, floor(P·10¹²) fixed-point sums, (id, n_trans,
+   * sum_prob_e12, n_oov) output. The discount scalars are four bounded
+   * one-row aggregates over the model type tables (collected once,
+   * embedded as literals); everything else is the same 2(n−1)+1 keyed
+   * model joins — nothing rescans the corpus, nothing is driver-sized.
+   */
+  def scoreMkn(
+      model: LmModel, df: DataFrame, idCol: Column, textCol: Column,
+      k: Double = 1.0): DataFrame = {
+    val n = model.order
+    val ds: Map[Int, (Double, Double, Double)] =
+      (2 to n).map(m => m -> mknDiscounts(model, m)).toMap
+    def disc(c: Column, d: (Double, Double, Double)): Column =
+      when(c >= 3L, lit(d._3)).when(c === 2L, lit(d._2))
+        .when(c === 1L, lit(d._1)).otherwise(lit(0.0))
+    val base = df.select(idCol.as("id"), words(textCol).as("graft_ws"))
+    val trans = base.where(size(col("graft_ws")) >= n)
+      .select(col("id"), ngrams(col("graft_ws"), n).as("t"))
+      .select(col("id") +: (1 to n).map(i => col(s"t.w$i")): _*)
+    var joined = trans
+    // top level: raw counts + per-count-bucket context tallies
+    joined = joined.join(
+      model.table(n).select((1 to n).map(i => col(s"w$i")) :+
+        col("c").as("graft_kn_top"): _*),
+      (1 to n).map(i => s"w$i").toSeq, "left")
+    joined = joined.join(
+      model.table(n - 1).select((1 until n).map(i => col(s"w$i")) :+
+        col("c").as("graft_kd_top"): _*),
+      (1 until n).map(i => s"w$i").toSeq, "left")
+    joined = joined.join(
+      model.table(n).groupBy((1 until n).map(i => col(s"w$i")): _*)
+        .agg(count(when(col("c") === 1L, 1)).as("graft_m1_top"),
+          count(when(col("c") === 2L, 1)).as("graft_m2_top"),
+          count(when(col("c") >= 3L, 1)).as("graft_m3_top")),
+      (1 until n).map(i => s"w$i").toSeq, "left")
+    // middle orders m = 2..n-1: continuation counts from table(m+1) with
+    // per-context count-bucket tallies; suffix m-gram at positions p..n
+    for (m <- 2 until n) {
+      val p = n - m + 1
+      val cc0 = model.table(m + 1)
+        .groupBy((2 to m + 1).map(j => col(s"w$j")): _*)
+        .agg(count(lit(1)).as("graft_a"))
+      val cc = cc0.select((2 to m + 1).map(j => col(s"w$j").as(s"w${p + j - 2}")) :+
+        col("graft_a").as(s"graft_kc_$m"): _*)
+      joined = joined.join(cc, (p to n).map(i => s"w$i").toSeq, "left")
+      val ctx = cc0.groupBy((2 to m).map(j => col(s"w$j")): _*)
+        .agg(sum(col("graft_a")).as(s"graft_kcd_$m"),
+          count(when(col("graft_a") === 1L, 1)).as(s"graft_m1_$m"),
+          count(when(col("graft_a") === 2L, 1)).as(s"graft_m2_$m"),
+          count(when(col("graft_a") >= 3L, 1)).as(s"graft_m3_$m"))
+        .select((2 to m).map(j => col(s"w$j").as(s"w${p + j - 2}")) :+
+          col(s"graft_kcd_$m") :+ col(s"graft_m1_$m") :+
+          col(s"graft_m2_$m") :+ col(s"graft_m3_$m"): _*)
+      joined = joined.join(ctx, (p until n).map(i => s"w$i").toSeq, "left")
+    }
+    // unigram continuation floor + OOV flag — identical to scoreKn
+    joined = joined
+      .join(model.bigrams.groupBy(col("w2").as(s"w$n"))
+        .agg(count(lit(1)).as("graft_kc1")), Seq(s"w$n"), "left")
+      .join(model.unigrams.select(col("w").as(s"w$n"), col("c").as("graft_cw")),
+        Seq(s"w$n"), "left")
+      .crossJoin(broadcast(
+        model.bigrams.agg(count(lit(1)).as("graft_B"))))
+      .crossJoin(broadcast(model.stats.select(col("vocab"))))
+    val p1 = (coalesce(col("graft_kc1").cast("double"), lit(0.0)) + lit(k)) /
+      (col("graft_B").cast("double") + lit(k) * col("vocab").cast("double"))
+    val pMid = (2 until n).foldLeft(p1) { (lower, m) =>
+      val d = ds(m)
+      val a = coalesce(col(s"graft_kc_$m"), lit(0L))
+      val den = col(s"graft_kcd_$m").cast("double")
+      when(col(s"graft_kcd_$m").isNull, lower).otherwise(
+        greatest(a.cast("double") - disc(a, d), lit(0.0)) / den +
+          (lit(d._1) * col(s"graft_m1_$m").cast("double") +
+            lit(d._2) * col(s"graft_m2_$m").cast("double") +
+            lit(d._3) * col(s"graft_m3_$m").cast("double")) / den * lower)
+    }
+    val dTop = ds(n)
+    val cTop = coalesce(col("graft_kn_top"), lit(0L))
+    val pFull = when(col("graft_kd_top").isNull || col("graft_m1_top").isNull, pMid)
+      .otherwise(
+        greatest(cTop.cast("double") - disc(cTop, dTop), lit(0.0)) /
+          col("graft_kd_top").cast("double") +
+          (lit(dTop._1) * col("graft_m1_top").cast("double") +
+            lit(dTop._2) * col("graft_m2_top").cast("double") +
+            lit(dTop._3) * col("graft_m3_top").cast("double")) /
+            col("graft_kd_top").cast("double") * pMid)
+    val scored = joined.select(col("id"), pFull.as("graft_p"), col("graft_cw"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_trans"),
+        sum(floor(col("graft_p") * lit(1e12))).as("sum_prob_e12"),
+        count(when(col("graft_cw").isNull, 1)).as("n_oov"))
+    base.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("sum_prob_e12"), lit(0L)).as("sum_prob_e12"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
+  /** Modified-KN count-dependent discounts (D₁, D₂, D₃₊) for order `m`:
+   * Y = n₁/(n₁+2n₂), D₁ = 1 − 2Y·(n₂/n₁), D₂ = 2 − 3Y·(n₃/n₂),
+   * D₃₊ = 3 − 4Y·(n₄/n₃), each clamped at 0, from the count-of-counts of
+   * the order-m count table (top order: raw counts; below: continuation
+   * counts, the same adjusted-count tables the scorer joins). Any empty
+   * n₁..n₄ bucket → the flat (0.75, 0.75, 0.75) fallback (KenLM aborts
+   * there; a scoring filter prefers a defined answer). One one-row
+   * aggregate; the single bounded collect is a scalar triple. */
+  def mknDiscounts(model: LmModel, m: Int): (Double, Double, Double) = {
+    val cnts =
+      if (m == model.order) model.table(m).select(col("c"))
+      else model.table(m + 1)
+        .groupBy((2 to m + 1).map(j => col(s"w$j")): _*)
+        .agg(count(lit(1)).as("c")).select(col("c"))
+    val r = cnts.agg(
+      count(when(col("c") === 1L, 1)).as("n1"),
+      count(when(col("c") === 2L, 1)).as("n2"),
+      count(when(col("c") === 3L, 1)).as("n3"),
+      count(when(col("c") === 4L, 1)).as("n4")).head()
+    val (n1, n2, n3, n4) = (r.getLong(0).toDouble, r.getLong(1).toDouble,
+      r.getLong(2).toDouble, r.getLong(3).toDouble)
+    if (n1 == 0.0 || n2 == 0.0 || n3 == 0.0 || n4 == 0.0) (0.75, 0.75, 0.75)
+    else {
+      val y = n1 / (n1 + 2.0 * n2)
+      (math.max(0.0, 1.0 - 2.0 * y * (n2 / n1)),
+        math.max(0.0, 2.0 - 3.0 * y * (n3 / n2)),
+        math.max(0.0, 3.0 - 4.0 * y * (n4 / n3)))
+    }
+  }
+
   /** Ney–Essen–Kneser discount estimate D = n₁/(n₁ + 2n₂) from the
    * count-of-counts of the arity-`m` model table — the value modified-KN
    * derives its discounts from. One two-row aggregate over a type table;

@@ -262,12 +262,24 @@ object Pii {
       kLog2: Int, releaseId: String): org.apache.spark.sql.DataFrame =
     dpCounts(df, groupCols, kLog2, releaseSeed(releaseId))
 
-  /** Null-unambiguous noise key: each part coalesces to a reserved
-   * \u0000 sentinel before the \u0001 join, so null and absent parts
-   * render distinct strings and draw distinct noise. */
+  /** INJECTIVE noise key: NULL parts render the bare \u0000 sentinel;
+   * non-null parts escape the sentinel and separator characters
+   * (\u0000 -> \u0000\u0002, \u0001 -> \u0000\u0003) before the
+   * \u0001 join. No encoded value can equal the bare sentinel (escapes
+   * always emit pairs) and none contains a raw separator, so distinct
+   * group tuples -- including values that ARE the literal sentinel or
+   * separator strings -- always render distinct keys and never share
+   * (correlate) their noise draws. Values without those control
+   * characters (every realistic key) encode to themselves, so existing
+   * releases and the driver oracle are byte-identical. */
   private def noiseKey(names: Seq[String]): Column =
     concat_ws("\u0001",
-      names.map(n => coalesce(col(n).cast("string"), lit("\u0000"))): _*)
+      names.map { n =>
+        val s = col(n).cast("string")
+        when(s.isNull, lit("\u0000")).otherwise(
+          replace(replace(s, lit("\u0000"), lit("\u0000\u0002")),
+            lit("\u0001"), lit("\u0000\u0003")))
+      }: _*)
 
   /** Per-group ε-DP sums of a clamped integer contribution: each value
    * clamps to [0, cap] (bounding one row's influence), sums, and adds the

@@ -149,31 +149,37 @@ object PrefixJoin {
       .where(col("graft_sz") >= 1)
     val lbase = baseOf(left, leftIdCol, leftTokensCol)
     val rbase = baseOf(right, rightIdCol, rightTokensCol)
-    val tok = lbase.withColumn("graft_side", lit("l"))
-      .unionAll(rbase.withColumn("graft_side", lit("r")))
-      .select(col("graft_side"), col("id"), col("graft_sz"),
-        explode(col("graft_ts")).as("graft_t"))
-    val dfreq = tok.groupBy(col("graft_t")).agg(count(lit(1)).as("graft_df"))
+    def tokOf(base: DataFrame): DataFrame = base
+      .select(col("id"), col("graft_sz"), explode(col("graft_ts")).as("graft_t"))
+    // the SHARED canonical order comes from the UNION's document
+    // frequencies (prefix completeness needs one total order across both
+    // corpora); dfreq is the only union-derived frame
+    val dfreq = tokOf(lbase).unionAll(tokOf(rbase))
+      .groupBy(col("graft_t")).agg(count(lit(1)).as("graft_df"))
     val prefixLen =
       greatest(lit(1), col("graft_sz") -
         ceil(lit(threshold) * col("graft_sz") - lit(1e-9)).cast("int") + lit(1))
-    // ONE canonical-order aggregate for both sides: the side filters sit
-    // ABOVE an explicit token-keyed exchange, so the candidate join reads
-    // the same materialized shuffle twice (ReusedExchange) instead of
-    // re-planning the heavy union aggregate per side — measured 170.7 s →
-    // this shape on the 50k-doc 10x soak
-    val prefixes = tok.join(dfreq, Seq("graft_t"))
-      .groupBy(col("graft_side"), col("id"), col("graft_sz"))
+    // ONE canonical-order aggregate PER SIDE over that side's rows only
+    // (total aggregate work |L|+|R|), both joining the SAME dfreq subtree
+    // (its exchange is reused). The r12 shape aggregated the tagged UNION
+    // once and filtered by side above a token exchange — but side is a
+    // grouping column, so Catalyst legally pushed each side filter below
+    // the repartition AND the aggregate, silently re-planning the union
+    // aggregate per side (2·(|L|+|R|) — caught by the r14 plan spec).
+    // Per-side builds make the pushdown trap structurally impossible.
+    def prefixesOf(base: DataFrame): DataFrame = tokOf(base)
+      .join(dfreq, Seq("graft_t"))
+      .groupBy(col("id"), col("graft_sz"))
       .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_t"))))
         .as("graft_ord"))
-      .select(col("graft_side"), col("id"), col("graft_sz"),
+      .select(col("id"), col("graft_sz"),
         posexplode(slice(transform(col("graft_ord"), s => s("graft_t")),
           lit(1), prefixLen)))
       .withColumnRenamed("pos", "graft_p") // 0-based prefix position
       .withColumnRenamed("col", "graft_t")
       .repartition(col("graft_t"))
-    val cand = prefixes.where(col("graft_side") === "l").as("a")
-      .join(prefixes.where(col("graft_side") === "r").as("b"),
+    val cand = prefixesOf(lbase).as("a")
+      .join(prefixesOf(rbase).as("b"),
         col("a.graft_t") === col("b.graft_t") &&
           least(col("a.graft_sz"), col("b.graft_sz")).cast("double") >=
             lit(threshold) *

@@ -170,8 +170,19 @@ object Robots {
   def parseSitemapUrls(txt: String): Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     txt.split("\n").foreach { raw =>
+      // '#' opens a comment only at line start or after whitespace HERE:
+      // a '#' embedded in the URL value (fragment, unencoded hash) stays
+      // part of the URL instead of silently truncating it to a different
+      // address. Directive parsing (parseDf) keeps the standard
+      // anywhere-'#' convention — directives never contain URLs with
+      // meaningful fragments.
       val noComment = {
-        val h = raw.indexOf('#')
+        var h = -1
+        var i = raw.indexOf('#')
+        while (i >= 0 && h < 0) {
+          if (i == 0 || Character.isWhitespace(raw.charAt(i - 1))) h = i
+          else i = raw.indexOf('#', i + 1)
+        }
         if (h < 0) raw else raw.substring(0, h)
       }
       val colonAt = noComment.indexOf(':')

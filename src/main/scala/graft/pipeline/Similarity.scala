@@ -284,6 +284,13 @@ object Similarity {
    * never collects. Frames are checkpointed per round so the plan stays
    * flat. Seeding is deterministic: the lowest id starts; distance ties
    * break by id. Returns (rank, id) in pick order.
+   *
+   * COST ENVELOPE: k sequential jobs, each ONE full corpus scan (narrow
+   * min-distance update vs the newest center + a TakeOrdered(1)) — total
+   * k × scan, inherently serial in k. Intended regime: k in the hundreds
+   * to low thousands (coreset seeds, eval-panel picks) over corpora where
+   * one scan is cheap; for k beyond that, sample first, or stratify over
+   * IVF cells (one per-cell farthest pick instead of k global scans).
    */
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")

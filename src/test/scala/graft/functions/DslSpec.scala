@@ -81,5 +81,13 @@ class DslSpec extends AnyFunSuite {
       "SELECT processor_input_wrapper(named_struct('k', a), b) AS v FROM graft_piw WHERE a = 1")
       .as[String].collect().toSeq
     assert(s2 == Seq("x"))
+    // the left argument is NEVER evaluated (reference InputWrapper
+    // semantics): a left that throws at runtime — here an ANSI cast
+    // failure on a non-numeric string — must pass through untouched
+    val s3 = spark.sql(
+      "SELECT processor_input_wrapper(CAST(concat(b, 'oops') AS INT), a) AS v " +
+        "FROM graft_piw WHERE a = 1")
+      .as[Long].collect().toSeq
+    assert(s3 == Seq(1L))
   }
 }

@@ -102,6 +102,84 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+      case q: QueryStageExec => q +: planNodes(q.plan)
+      case other => other +: other.children.flatMap(planNodes)
+    }
+  }
+
+  test("plan: one key pass + one reused exchange per side, single-pass charSig") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // at 100 TB the key-explosion pass IS the cost: each corpus must emit
+    // both roles' keys in ONE projection behind ONE exchange, with the two
+    // role directions of the cross join reading it via ReusedExchange —
+    // 2 key passes / 2 exchanges, not 4 + 4 window shuffles
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_plan").toString
+    val rnd = new scala.util.Random(7)
+    (0L until 300L).map(i => i -> (0 until 8 + rnd.nextInt(8))
+        .map(_ => "abcdef"(rnd.nextInt(6))).mkString).toDF("id", "s")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = FuzzyJoin.editDistanceJoin(
+        src, col("id"), col("s"), src.select(col("id") + 10000 as "id", col("s")),
+        col("id"), col("s"), 2)
+      pairs.collect() // finalize AQE stages
+      val all = planNodes(pairs.queryExecution.executedPlan)
+      val sigNodes = all.count {
+        case p: org.apache.spark.sql.execution.ProjectExec =>
+          p.expressions.exists(_.exists(_.isInstanceOf[CharSigExpression]))
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          (g.generator +: g.requiredChildOutput)
+            .exists(_.exists(_.isInstanceOf[CharSigExpression]))
+        case _ => false
+      }
+      assert(sigNodes <= 2, // one key-generation pass per corpus
+        s"charSig planned $sigNodes times:\n${pairs.queryExecution.executedPlan}")
+      assert(all.count(_.isInstanceOf[ReusedExchangeExec]) >= 2,
+        s"expected both key exchanges reused:\n${pairs.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("charSig: single-pass static call matches a counted histogram, L1 bound holds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def brute(s: String): Long = {
+      val counts = new Array[Int](8)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); i += Character.charCount(cp)
+        val b = (cp * 0x9E3779B9) >>> 29
+        if (counts(b) < 255) counts(b) += 1
+      }
+      (0 until 8).map(k => counts(k).toLong << (8 * k)).reduce(_ | _)
+    }
+    def l1(a: Long, b: Long): Int = (0 until 8).map { k =>
+      math.abs(((a >> (8 * k)) & 255L) - ((b >> (8 * k)) & 255L)).toInt
+    }.sum
+    val rnd = new scala.util.Random(3)
+    val strs = Seq("", "a", "héllo wörld", "😀smile", "a" * 300) ++
+      (0 until 50).map(_ => (0 until rnd.nextInt(20)).map(_ => "abxyz"(rnd.nextInt(5))).mkString)
+    strs.foreach { s =>
+      assert(FuzzyAlgos.charSig(UTF8String.fromString(s)) === brute(s), s"sig($s)")
+    }
+    // one edit moves at most 2 units of clamped L1 mass (code-point edits:
+    // restrict to BMP strings so updated() doesn't split surrogate pairs)
+    for (s <- strs.filter(x => x.nonEmpty && x.codePointCount(0, x.length) == x.length);
+         _ <- 0 until 3) {
+      val pos = rnd.nextInt(s.length)
+      val edited = s.updated(pos, "qrs"(rnd.nextInt(3)))
+      assert(l1(brute(s), brute(edited)) <= 2, s"'$s' -> '$edited'")
+      val deleted = s.substring(0, pos) + s.substring(pos + 1)
+      assert(l1(brute(s), brute(deleted)) <= 2, s"'$s' -> del@$pos")
+    }
+  }
+
   test("bucket cap drops only pairs, never invents them; uncapped is complete") {
     val rows = (0L until 40L).map(i => i -> "boilerplate") ++
       Seq(100L -> "boilerplatx", 101L -> "unique string")

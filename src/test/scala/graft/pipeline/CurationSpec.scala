@@ -507,15 +507,19 @@ class CurationSpec extends AnyFunSuite {
 
   test("exactPrioritized keeps the trusted copy; null priority loses") {
     import graft.pipeline.Dedup
+    // priority is a TRUST WEIGHT: higher wins, ties to lowest id, NULL
+    // loses — the ONE convention shared with dropNearDupsPreferring
     val d = Seq(
-      (1L, "same content", Some(2)),   // crawl
-      (2L, "same content", Some(1)),   // curated wins despite higher id
-      (3L, "other content", Some(2)),
-      (4L, "other content", None)      // unlabeled loses
+      (1L, "same content", Some(1)),   // crawl
+      (2L, "same content", Some(2)),   // curated wins despite higher id
+      (3L, "other content", Some(1)),
+      (4L, "other content", None),     // unlabeled loses
+      (5L, "third content", Some(7)),
+      (6L, "third content", Some(7))   // tie -> lowest id
     ).toDF("id", "text", "prio")
     val kept = Dedup.exactPrioritized(d, col("id"), col("prio"), col("text"))
       .select("id").as[Long].collect().toSet
-    assert(kept == Set(2L, 3L))
+    assert(kept == Set(2L, 3L, 5L))
   }
 
   test("corpusDiff classifies added, removed, changed and unchanged") {

@@ -308,4 +308,72 @@ class LmSpec extends AnyFunSuite {
     val model = Lm.train(corpus, col("text"))
     assert(math.abs(Lm.knDiscount(model, 2) - 1.0 / 3.0) < 1e-12)
   }
+
+  test("mknDiscounts: hand-computed D1/D2/D3+ from count-of-counts") {
+    // trigram types with counts 1,2,3,4 (one each): n1=n2=n3=n4=1,
+    // Y = 1/3, D1 = 1-2/3 = 1/3, D2 = 2-1 = 1, D3+ = 3-4/3 = 5/3
+    val corpus = (Seq("a b c") ++ Seq.fill(2)("d e f") ++
+      Seq.fill(3)("g h i") ++ Seq.fill(4)("j k l")).toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    val (d1, d2, d3) = Lm.mknDiscounts(model, 3)
+    assert(math.abs(d1 - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(d2 - 1.0) < 1e-12)
+    assert(math.abs(d3 - 5.0 / 3.0) < 1e-12)
+  }
+
+  test("modified KN equals single-discount KN when count-of-counts degenerate") {
+    // all trigram counts AND all continuation counts have empty n2+ buckets
+    // -> every order falls back to the flat 0.75 triple, and the modified
+    // backoff mass (0.75*N1 + 0.75*N2 + 0.75*N3+) collapses to 0.75*N1+ —
+    // bit-for-bit the single-discount scorer (incl. the planted OOV row)
+    val corpus = Seq("a b c", "a b d", "x b c").toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    val docsDf = Seq((1L, "a b c"), (2L, "x b d"), (3L, "a b zzz"), (4L, ""))
+      .toDF("id", "text")
+    val kn = Lm.scoreKn(model, docsDf, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val mkn = Lm.scoreMkn(model, docsDf, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(mkn === kn)
+  }
+
+  test("modified KN separates from single-discount where count buckets differ") {
+    // rich corpus with DECAYING count-of-counts at both orders (real
+    // corpora decay roughly geometrically; a singleton-flooded one drives
+    // D2/D3+ negative and clamps them to 0):
+    //   trigram counts: n1=18, n2=4, n3=2, n4=1
+    //   continuation counts (distinct predecessors per (w2,w3)):
+    //   n1=7, n2=4, n3=2, n4=1
+    val corpus = (Seq(
+      "p1 s1 t1", "p2 s1 t1", "p3 s2 t2", "p4 s2 t2",
+      "p5 s3 t3", "p6 s3 t3", "p7 s4 t4", "p8 s4 t4",
+      "q1 u1 v1", "q2 u1 v1", "q3 u1 v1",
+      "q4 u2 v2", "q5 u2 v2", "q6 u2 v2",
+      "r1 u3 v3", "r2 u3 v3", "r3 u3 v3", "r4 u3 v3") ++
+      Seq.fill(2)("m1 n1 o1") ++ Seq.fill(2)("m2 n2 o2") ++
+      Seq.fill(2)("m3 n3 o3") ++ Seq.fill(2)("m4 n4 o4") ++
+      Seq.fill(3)("w1 x1 y1") ++ Seq.fill(3)("w2 x2 y2") ++
+      Seq.fill(4)("z1 z2 z3")).toDF("text")
+    val model = Lm.train(corpus, col("text"), order = 3)
+    val (d1, d2, d3) = Lm.mknDiscounts(model, 3)
+    val y3 = 18.0 / (18.0 + 2.0 * 4.0)
+    assert(math.abs(d1 - (1.0 - 2.0 * y3 * (4.0 / 18.0))) < 1e-12)
+    assert(math.abs(d2 - (2.0 - 3.0 * y3 * (2.0 / 4.0))) < 1e-12)
+    assert(math.abs(d3 - (3.0 - 4.0 * y3 * (1.0 / 2.0))) < 1e-12)
+    assert(d1 != d2 && d2 != d3, s"expected distinct discounts, got ($d1,$d2,$d3)")
+    val (e1, e2, e3) = Lm.mknDiscounts(model, 2)
+    val y2 = 7.0 / (7.0 + 2.0 * 4.0)
+    assert(math.abs(e1 - (1.0 - 2.0 * y2 * (4.0 / 7.0))) < 1e-12)
+    assert(math.abs(e2 - (2.0 - 3.0 * y2 * (2.0 / 4.0))) < 1e-12)
+    assert(math.abs(e3 - (3.0 - 4.0 * y2 * (1.0 / 2.0))) < 1e-12)
+    assert(e1 != e2 && e2 != e3, s"expected distinct discounts, got ($e1,$e2,$e3)")
+    // doc whose top-order count is 2 pays D2 != 0.75 -> scores diverge
+    val docsDf = Seq((1L, "m1 n1 o1")).toDF("id", "text")
+    val kn = Lm.scoreKn(model, docsDf, col("id"), col("text")).collect().head
+    val mkn = Lm.scoreMkn(model, docsDf, col("id"), col("text")).collect().head
+    assert(mkn.getLong(2) != kn.getLong(2),
+      s"mkn ${mkn.getLong(2)} should differ from kn ${kn.getLong(2)}")
+    // probabilities remain valid: 0 < sum_prob_e12 <= n_trans * 1e12
+    assert(mkn.getLong(2) > 0L && mkn.getLong(2) <= mkn.getLong(1) * 1000000000000L)
+  }
 }

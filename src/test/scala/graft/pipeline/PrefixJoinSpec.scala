@@ -96,6 +96,48 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
   }
 
+  test("plan: cross-corpus prefix join reuses ONE token-keyed exchange (filter intact)") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    // r14 shape: per-side canonical-order aggregates (total work |L|+|R|)
+    // over ONE shared union-dfreq subtree whose exchange is reused — the
+    // r12 union-aggregate-with-side-filters shape let Catalyst push each
+    // side filter below the token exchange and the aggregate, silently
+    // planning the union aggregate twice (2·(|L|+|R|))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pj_plan").toString
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    (0L until 400L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))))
+    }.toDF("id", "ts").write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = PrefixJoin.similarityJoinBetween(
+        src, col("id"), col("ts"),
+        src.select(col("id") + 10000 as "id", col("ts")), col("id"), col("ts"), 0.6)
+      out.collect()
+      val all = nodes(out.queryExecution.executedPlan)
+      assert(all.exists(_.isInstanceOf[ReusedExchangeExec]),
+        s"shared dfreq exchange not reused:\n${out.queryExecution.executedPlan}")
+      // the UNION may be planned at most ONCE (dfreq's input — its second
+      // reference must be a ReusedExchange): a second/third union means a
+      // side filter sank below the token exchange and the whole-union
+      // canonical-order aggregate was re-planned per side (the r12 trap)
+      val unions = all.count(_.isInstanceOf[org.apache.spark.sql.execution.UnionExec])
+      assert(unions <= 1,
+        s"union planned ${unions}x — per-side re-plan of the union subtree:\n" +
+          out.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("word face tokenizes like the corpus passes (lower, trim, ws-split)") {
     val df = Seq(
       (1L, "  The quick Brown fox  "),

@@ -204,6 +204,12 @@ class RobotsSpec extends AnyFunSuite {
       "https://cdn.example/idx.xml"))
     assert(Robots.parseSitemapUrls("") == Seq.empty)
     assert(Robots.parseSitemapUrls("User-agent: *\nDisallow: /") == Seq.empty)
+    // '#' inside the URL value is part of the URL; only line-start or
+    // whitespace-preceded '#' opens a comment
+    assert(Robots.parseSitemapUrls(
+      "Sitemap: https://a.com/s.xml#frag\nSitemap: https://b.com/t.xml #tail\n# all comment\nSitemap: https://c.com/u.xml#d # note") ==
+      Seq("https://a.com/s.xml#frag", "https://b.com/t.xml",
+        "https://c.com/u.xml#d"))
   }
 
   test("sitemapsDf + discoverSitemapEntries: the full discovery chain") {
