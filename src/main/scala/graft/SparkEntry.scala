@@ -2827,14 +2827,26 @@ object SparkEntry {
       graft.pipeline.Layout.zorderWrite(
         gated(batchDocs.where(col("doc_id") < 100)),
         Seq("n_chars", "doc_id"), zPath, numFiles = 4)
-      // the file stream source wants a DIRECTORY of arriving files; the
-      // test table is one parquet file — stage it into the intake dir
-      // (hard copy: a real ingest drop-box shape, and tiny at gate SF)
+      // the file stream source wants a DIRECTORY of arriving files; stage
+      // the table into the intake dir (hard copy: a real ingest drop-box
+      // shape). The driver testdata is ONE parquet file; derived/soak
+      // tables are Spark-written DIRECTORIES of part files — stage each
+      // part (a bare Files.copy of a directory copies it EMPTY and the
+      // stream sees no data).
       val intake = java.nio.file.Files.createDirectory(
         java.nio.file.Paths.get(tmp, "intake"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "documents.parquet"),
-        intake.resolve("documents.parquet"))
+      val srcTable = java.nio.file.Paths.get(dir, "documents.parquet")
+      if (java.nio.file.Files.isDirectory(srcTable)) {
+        val parts = java.nio.file.Files.list(srcTable).iterator()
+        var i = 0
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.copy(p, intake.resolve(f"part-$i%05d.parquet"))
+            i += 1
+          }
+        }
+      } else java.nio.file.Files.copy(srcTable, intake.resolve("documents.parquet"))
       val stream = s.readStream.schema(batchDocs.schema)
         .parquet(intake.toString)
       val gs = gated(stream)

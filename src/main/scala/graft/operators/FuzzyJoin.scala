@@ -76,13 +76,6 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object FuzzyJoin {
 
-  /** Even partition of a length-l string into k segments: the first l%k
-   * segments carry the extra character. 0-based; substr() is 1-based. */
-  private def segLen(l: Column, i: Int, k: Int): Column =
-    floor(l / k).cast("int") + when(lit(i) < l % k, 1).otherwise(0)
-  private def segStart(l: Column, i: Int, k: Int): Column =
-    (lit(i) * floor(l / k).cast("int") + least(lit(i), l % k)).cast("int")
-
   /** Monotone per-call suffix so two fuzzy joins composed into one query
    * don't collide on observe-metric names (must be query-unique). */
   private val capMetricSeq = new AtomicLong(0L)
@@ -142,37 +135,25 @@ object FuzzyJoin {
     }.reduce(_ + _)
 
   /** Index-role keys of one string as array<struct<gl,gi,gseg>>: its own
-   * k segments keyed by (myLen, i, segment). Empty below length k. */
-  private[graft] def segKeyArray(s: Column, len: Column, d: Int): Column = {
-    val k = d + 1
-    val arr = array((0 until k).map { i =>
-      struct(len.as("gl"), lit(i).as("gi"),
-        s.substr(segStart(len, i, k) + 1, segLen(len, i, k)).as("gseg"))
-    }: _*)
-    when(len >= k, arr).otherwise(slice(arr, 1, 0))
-  }
+   * k segments keyed by (myLen, i, segment). Empty below length k.
+   * ONE imperative codegen'd static call per row (see [[FuzzyAlgos.keys]]). */
+  private[graft] def segKeyArray(s: Column, len: Column, d: Int): Column =
+    Bridge.column(FuzzyKeysExpression(Bridge.expression(s), d, FuzzyAlgos.ModeSeg))
 
   /** Probe-role keys of one string: for each partner length l2 in
    * [len-d, len] with l2 >= k, every substring that could be segment i of
-   * that partner — length segLen(l2,i), start within ±d of segStart(l2,i).
-   * Within the valid branch lo <= segStart(l2,i) <= hi always (the segment
-   * fits in l2 <= len), so sequence() never runs descending. Invalid l2
-   * branches yield NULL, array_compact drops them; array_distinct
-   * collapses the same key found at several displacements. */
-  private[graft] def subKeyArray(s: Column, len: Column, d: Int): Column = {
-    val k = d + 1
-    val subKeys: Seq[Column] = for { e <- 0 to d; i <- 0 until k } yield {
-      val l2 = len - e
-      val m = segLen(l2, i, k)
-      val p = segStart(l2, i, k)
-      val lo = greatest(lit(0), p - d)
-      val hi = least(len - m, p + d)
-      when(l2 >= k,
-        transform(sequence(lo, hi), j =>
-          struct(l2.as("gl"), lit(i).as("gi"), s.substr(j + 1, m).as("gseg"))))
-    }
-    array_distinct(flatten(array_compact(array(subKeys: _*))))
-  }
+   * that partner — length segLen(l2,i), start displaced s = j−p from
+   * segStart(l2,i) by AT MOST the position-aware PassJoin bound: a match
+   * at shift s forces ≥|s| edits in the prefix (prefix lengths differ by
+   * s) and ≥|Δ−s| in the suffix (Δ = len−l2), so |s|+|Δ−s| ≤ d ⟹
+   * s ∈ [−⌊(d−Δ)/2⌋, +⌊(d+Δ)/2⌋] — width d+1 instead of the loose ±d's
+   * 2d+1, ~2× fewer probe keys with ZERO recall trade (any witnessing
+   * match position satisfies the inequality). Duplicate keys collapse
+   * (first occurrence kept). ONE imperative codegen'd static call per row
+   * — the composed transform/sequence/array_distinct Catalyst stack this
+   * replaces was 85% of the join's wall time at the 10× soak. */
+  private[graft] def subKeyArray(s: Column, len: Column, d: Int): Column =
+    Bridge.column(FuzzyKeysExpression(Bridge.expression(s), d, FuzzyAlgos.ModeSub))
 
   /** BOTH roles' key rows of one corpus in ONE pass, behind ONE explicit
    * segment-key exchange: role 0 = index (gl is own length), role 1 =
@@ -180,20 +161,15 @@ object FuzzyJoin {
    * graft_slen). Every consumer — the cap window, both role filters of a
    * self-join, both directions of a cross join — reads this single
    * materialized shuffle (ReusedExchange). */
-  private[graft] def keyRows(base: DataFrame, d: Int): DataFrame = {
-    def tagged(arr: Column, role: Int): Column = transform(arr, k =>
-      struct(lit(role).as("grole"), k.getField("gl").as("gl"),
-        k.getField("gi").as("gi"), k.getField("gseg").as("gseg")))
+  private[graft] def keyRows(base: DataFrame, d: Int): DataFrame =
     base.select(col("graft_id"), col("graft_len"), col("graft_cf"),
-        explode(concat(
-          tagged(segKeyArray(col("graft_s"), col("graft_len"), d), 0),
-          tagged(subKeyArray(col("graft_s"), col("graft_len"), d), 1)))
+        explode(Bridge.column(FuzzyKeysExpression(
+          Bridge.expression(col("graft_s")), d, FuzzyAlgos.ModeBoth)))
           .as("graft_k"))
       .select(col("graft_id"), col("graft_len").as("graft_slen"), col("graft_cf"),
         col("graft_k.grole").as("graft_role"), col("graft_k.gl").as("graft_l"),
         col("graft_k.gi").as("graft_i"), col("graft_k.gseg").as("graft_seg"))
       .repartition(col("graft_l"), col("graft_i"), col("graft_seg"))
-  }
 
   /** Index role over a corpus: one row per (id, len, key). Kept for the
    * [[skippedBuckets]] diagnostic and spec-level key inspection. */
@@ -324,11 +300,83 @@ object FuzzyJoin {
   }
 }
 
-/** Scalar twin of [[CharSigExpression]] — the single-pass packed
- * character histogram. Code-point granularity (matches Spark
- * `levenshtein`'s unit of edit); bucket = top 3 bits of a multiplicative
- * mix, counts clamp at 255 per bucket. */
+/** Scalar twins of the fuzzy-join expressions — single-pass packed
+ * character histogram and the PassJoin key generator. Code-point
+ * granularity throughout (matches Spark `levenshtein`'s unit of edit and
+ * the builtin `length`/`substr` the original Column forms used). */
 object FuzzyAlgos {
+  /** Key-emission modes of [[keys]]. */
+  final val ModeSeg = 0   // index role: own d+1 segments, struct<gl,gi,gseg>
+  final val ModeSub = 1   // probe role: bounded-displacement substrings
+  final val ModeBoth = 2  // both, tagged: struct<grole,gl,gi,gseg>
+
+  /** All PassJoin keys of one string in ONE imperative pass. Seg role:
+   * the k = d+1 even segments keyed by (ownLen, i). Sub role: for each
+   * partner length l2 = len−e (e ≤ d, l2 ≥ k) and segment i, the
+   * substrings of length segLen(l2,i) starting within the position-aware
+   * displacement window s ∈ [−⌊(d−e)/2⌋, +⌊(d+e)/2⌋] of segStart(l2,i);
+   * duplicate (gl,gi,seg) keys collapse keeping first occurrence (the
+   * array_distinct semantics of the Column form this replaces). */
+  def keys(s: UTF8String, d: Int, mode: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    // code-point array: segment arithmetic and substrings count code
+    // points, matching builtin length()/substr()/levenshtein units
+    val n = str.codePointCount(0, str.length)
+    val cps = new Array[Int](n)
+    var ci = 0
+    var oi = 0
+    while (oi < str.length) {
+      val cp = str.codePointAt(oi)
+      cps(ci) = cp; ci += 1; oi += Character.charCount(cp)
+    }
+    def sub(start: Int, m: Int): UTF8String =
+      UTF8String.fromString(new String(cps, start, m))
+    val k = d + 1
+    val tagged = mode == ModeBoth
+    val out = new scala.collection.mutable.ArrayBuffer[Any](if (mode == ModeSeg) k else 4 * k)
+    def row(role: Int, gl: Int, gi: Int, seg: UTF8String) =
+      if (tagged)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](role, gl, gi, seg))
+      else
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](gl, gi, seg))
+    if ((mode == ModeSeg || tagged) && n >= k) {
+      var i = 0
+      while (i < k) {
+        val start = i * (n / k) + math.min(i, n % k)
+        val m = n / k + (if (i < n % k) 1 else 0)
+        out += row(0, n, i, sub(start, m))
+        i += 1
+      }
+    }
+    if (mode == ModeSub || tagged) {
+      val seen = new java.util.HashSet[String]()
+      var e = 0
+      while (e <= d) {
+        val l2 = n - e
+        if (l2 >= k) {
+          var i = 0
+          while (i < k) {
+            val m = l2 / k + (if (i < l2 % k) 1 else 0)
+            val p = i * (l2 / k) + math.min(i, l2 % k)
+            var j = math.max(0, p - (d - e) / 2)
+            val hi = math.min(n - m, p + (d + e) / 2)
+            while (j <= hi) {
+              val seg = new String(cps, j, m)
+              if (seen.add(l2 + "|" + i + "|" + seg))
+                out += row(1, l2, i, UTF8String.fromString(seg))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        e += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   def charSig(s: UTF8String): Long = {
     val str = s.toString
     val counts = new Array[Int](8)
@@ -345,6 +393,32 @@ object FuzzyAlgos {
     while (k < 8) { sig |= counts(k).toLong << (8 * k); k += 1 }
     sig
   }
+}
+
+/** All PassJoin keys of a string as an array of structs — ONE imperative
+ * codegen'd static call per row (see [[FuzzyAlgos.keys]]); replaces a
+ * composed transform/sequence/flatten/array_distinct Catalyst stack that
+ * was 85% of the fuzzy join's wall time at the 10× soak. */
+case class FuzzyKeysExpression(child: Expression, maxDist: Int, mode: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  private def segFields = Seq(
+    StructField("gl", IntegerType, nullable = false),
+    StructField("gi", IntegerType, nullable = false),
+    StructField("gseg", StringType, nullable = false))
+  override def dataType: DataType = ArrayType(StructType(
+    if (mode == FuzzyAlgos.ModeBoth)
+      StructField("grole", IntegerType, nullable = false) +: segFields
+    else segFields), containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    FuzzyAlgos.keys(s.asInstanceOf[UTF8String], maxDist, mode)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.FuzzyAlgos.keys($c, $maxDist, $mode);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Packed 8-bucket character histogram of a string as one LONG — ONE
