@@ -65,8 +65,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * collapsed first). The trade is NEVER silent: whenever the cap is active
  * the plan carries an `observe` metric per role branch
  * (`graft_fuzzy_cap_*`: key rows dropped + buckets hit) surfaced through
- * the standard `QueryExecutionListener` / `Observation` machinery, so a
- * run that actually lost recall says so in its metrics. Pass 0 to uncap
+ * the standard `QueryExecutionListener` / `observedMetrics` machinery, so
+ * a run that actually lost recall says so in its metrics. One AQE caveat:
+ * if the WHOLE result is empty, empty-relation propagation collapses the
+ * plan including its CollectMetrics nodes and the metrics vanish — audit
+ * that regime with [[skippedBuckets]]. Pass 0 to uncap
  * for guaranteed-complete runs ("each unordered pair exactly once" holds
  * only then); use [[skippedBuckets]] to SEE what a cap would drop before
  * trusting it.

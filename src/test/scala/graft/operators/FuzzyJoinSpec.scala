@@ -180,6 +180,33 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("active cap emits observe metrics: drops counted, zero when nothing dropped") {
+    // the surviving "kept pair" keeps the result non-empty: AQE's
+    // empty-relation propagation would otherwise collapse the whole plan
+    // INCLUDING the CollectMetrics nodes (metrics of a fully-empty query
+    // vanish — the skippedBuckets diagnostic covers that regime)
+    val rows = (0L until 40L).map(i => i -> "boilerplate") ++
+      Seq(100L -> "kept pair aa", 101L -> "kept pair ab", 102L -> "unique string")
+    val df = rows.toDF("id", "s")
+    // cap 5 on a 40-way identical bucket: the idx-role branch must report
+    // dropped key rows through the observe channel — recall loss is never
+    // silent (the r14 cap-visibility contract)
+    val capped = FuzzyJoin.editDistancePairs(df, col("id"), col("s"), 1, 5)
+    capped.collect()
+    val m = capped.queryExecution.observedMetrics
+    val idx = m.collectFirst { case (k, v) if k.startsWith("graft_fuzzy_cap_idx_") => v }
+    assert(idx.nonEmpty, s"no idx cap metric in ${m.keys}")
+    assert(idx.get.getAs[Long]("dropped_key_rows") > 0L)
+    assert(idx.get.getAs[Double]("dropped_buckets") > 0.0)
+    // generous cap: metrics present, zero drops
+    val loose = FuzzyJoin.editDistancePairs(df, col("id"), col("s"), 1, 100000)
+    loose.collect()
+    val m2 = loose.queryExecution.observedMetrics
+    val drops = m2.collect { case (k, v) if k.startsWith("graft_fuzzy_cap_") =>
+      v.getAs[Long]("dropped_key_rows") }
+    assert(drops.nonEmpty && drops.forall(_ == 0L), s"unexpected drops: $m2")
+  }
+
   test("bucket cap drops only pairs, never invents them; uncapped is complete") {
     val rows = (0L until 40L).map(i => i -> "boilerplate") ++
       Seq(100L -> "boilerplatx", 101L -> "unique string")

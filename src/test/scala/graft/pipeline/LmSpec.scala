@@ -337,6 +337,22 @@ class LmSpec extends AnyFunSuite {
     assert(mkn === kn)
   }
 
+  test("modified KN generalizes across orders: degenerate equality at 2 and 4") {
+    // all-singleton corpora degenerate the count-of-counts at EVERY order
+    // -> flat 0.75 fallback -> scoreMkn must equal scoreKn bit-for-bit at
+    // order 2 (no middle orders) and order 4 (two middle orders)
+    val c2 = Seq("a b", "c d", "e f").toDF("text")
+    val m2 = Lm.train(c2, col("text"), order = 2)
+    val d2 = Seq((1L, "a b"), (2L, "a zzz")).toDF("id", "text")
+    assert(Lm.scoreMkn(m2, d2, col("id"), col("text")).collect().map(_.toSeq).toSeq ===
+      Lm.scoreKn(m2, d2, col("id"), col("text")).collect().map(_.toSeq).toSeq)
+    val c4 = Seq("a b c d", "p q r s", "w x y z").toDF("text")
+    val m4 = Lm.train(c4, col("text"), order = 4)
+    val d4 = Seq((1L, "a b c d"), (2L, "a b c zzz"), (3L, "a b")).toDF("id", "text")
+    assert(Lm.scoreMkn(m4, d4, col("id"), col("text")).collect().map(_.toSeq).toSeq ===
+      Lm.scoreKn(m4, d4, col("id"), col("text")).collect().map(_.toSeq).toSeq)
+  }
+
   test("modified KN separates from single-discount where count buckets differ") {
     // rich corpus with DECAYING count-of-counts at both orders (real
     // corpora decay roughly geometrically; a singleton-flooded one drives
