@@ -1491,6 +1491,18 @@ object SparkEntry {
         cap = 5000L, kLog2 = 1, seed = 7L)
       counts.join(sums, Seq("nk"))
     }),
+    "q_dp_quantile" -> ((s, dir) => {
+      // ε-DP order statistics: exponential-mechanism median + p90 of
+      // customer balances on a public 64-cell grid, Gumbel-max draw made
+      // deterministic via md5(seed:bucket) — the oracle replays the
+      // histogram, utility, Gumbel and argmax bit-for-bit; distinct
+      // releases use distinct seeds (composition)
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.pipeline.Pii.dpQuantile(c, col("c_acctbal"),
+          q = 0.5, lo = -1000.0, hi = 10000.0, bins = 64, kLog2 = 4, seed = 42L)
+        .unionByName(graft.pipeline.Pii.dpQuantile(c, col("c_acctbal"),
+          q = 0.9, lo = -1000.0, hi = 10000.0, bins = 64, kLog2 = 4, seed = 43L))
+    }),
     "q_mirror_hosts" -> ((s, dir) => {
       // site-level mirror detection: hosts 0-9 get a full mirror (same
       // text set → Jaccard 1, every LSH band collides), hosts 10-19 a
@@ -4940,6 +4952,49 @@ object SparkEntry {
         |  CAST(sm + (CASE WHEN uc = 0 THEN 52 ELSE 52 - length(bin(uc)) END)
         |          - (CASE WHEN ud = 0 THEN 52 ELSE 52 - length(bin(ud)) END) AS BIGINT) AS dp_sum
         |FROM u""".stripMargin,
+    "q_dp_quantile" ->
+      """WITH v AS (
+        |  SELECT least(greatest(CAST(c_acctbal AS DOUBLE), -1000.0), 10000.0) AS x
+        |  FROM customer
+        |), tot AS (SELECT count(*) AS n FROM v),
+        |h AS (
+        |  SELECT CAST(least(floor((x - (-1000.0)) / 11000.0 * 64), 63) AS BIGINT) AS b,
+        |         count(*) AS cnt
+        |  FROM v GROUP BY 1
+        |), g AS (SELECT unnest(range(0, 64)) AS b),
+        |cum AS (
+        |  SELECT g.b, sum(coalesce(h.cnt, 0)) OVER (ORDER BY g.b) AS c
+        |  FROM g LEFT JOIN h USING (b)
+        |), s50 AS (
+        |  SELECT b,
+        |    -abs(CAST(c AS DOUBLE) - floor(0.5 * CAST((SELECT n FROM tot) AS DOUBLE))) AS u,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5('dpq:42:' || CAST(b AS VARCHAR)), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS u52
+        |  FROM cum
+        |), p50 AS (
+        |  SELECT CAST(0.5 AS DOUBLE) AS q,
+        |         -1000.0 + (CAST(b AS DOUBLE) + 0.5) * 171.875 AS dp_value,
+        |         CAST(b AS BIGINT) AS bucket
+        |  FROM s50
+        |  ORDER BY 1.3862943611198906 * u +
+        |           (-ln(-ln((CAST(u52 AS DOUBLE) + 0.5) / 4503599627370496.0))) DESC,
+        |           b ASC LIMIT 1
+        |), s90 AS (
+        |  SELECT b,
+        |    -abs(CAST(c AS DOUBLE) - floor(0.9 * CAST((SELECT n FROM tot) AS DOUBLE))) AS u,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5('dpq:43:' || CAST(b AS VARCHAR)), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS u52
+        |  FROM cum
+        |), p90 AS (
+        |  SELECT CAST(0.9 AS DOUBLE) AS q,
+        |         -1000.0 + (CAST(b AS DOUBLE) + 0.5) * 171.875 AS dp_value,
+        |         CAST(b AS BIGINT) AS bucket
+        |  FROM s90
+        |  ORDER BY 1.3862943611198906 * u +
+        |           (-ln(-ln((CAST(u52 AS DOUBLE) + 0.5) / 4503599627370496.0))) DESC,
+        |           b ASC LIMIT 1
+        |)
+        |SELECT * FROM p50 UNION ALL SELECT * FROM p90""".stripMargin,
     "q_mirror_hosts" ->
       """WITH corpus AS (
         |  SELECT 'h' || (doc_id % 40) AS host, text FROM documents

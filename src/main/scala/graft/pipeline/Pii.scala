@@ -304,6 +304,80 @@ object Pii {
       valueCol: Column, cap: Long, kLog2: Int, releaseId: String): org.apache.spark.sql.DataFrame =
     dpSums(df, groupCols, valueCol, cap, kLog2, releaseSeed(releaseId))
 
+  /**
+   * ε-DP QUANTILE release via the exponential mechanism — the third leg of
+   * the release family (counts, sums, now order statistics): values clamp
+   * to the public range [lo, hi] and bucket onto a `bins`-cell grid; each
+   * bucket's utility is −|cumCount(bucket) − ⌊q·n⌋| (sensitivity 1 — one
+   * row moves any cumulative count by at most 1), and the released bucket
+   * is drawn with P(b) ∝ exp(ε·u(b)/2) at ε = kLog2·ln 2, reported as its
+   * grid midpoint.
+   *
+   * The draw is the Gumbel-max trick made DETERMINISTIC the [[dpNoise]]
+   * way: bucket b's uniform comes from md5("dpq:" + seed + ":" + b) (52
+   * hash bits, the one digest every engine computes identically), so a
+   * release is reproducible, partition-invariant and replayable
+   * bit-for-bit by an auditor holding the seed — and THE SEED IS THE
+   * SECRET, exactly as for the geometric mechanism: never reuse one
+   * across releases of a growing table ([[releaseSeed]] front door
+   * below). Privacy holds because the per-bucket randomness is
+   * data-independent (keys are seed:bucket, never values).
+   *
+   * Scale shape: one clamp+bucket projection (codegen), one bins-sized
+   * histogram aggregate, then cumulative/score/argmax over the GRID frame
+   * — bins rows, driver-bounded by the caller's grid, never the corpus.
+   * Output: one row (q, dp_value, bucket). Grid resolution is the
+   * accuracy floor: the mechanism never reports finer than (hi−lo)/bins.
+   */
+  def dpQuantile(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      q: Double, lo: Double, hi: Double, bins: Int,
+      kLog2: Int = 1, seed: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(bins >= 2 && bins <= 65536, s"bins must be in 2..65536, got $bins")
+    require(kLog2 >= 1 && kLog2 <= 30, s"kLog2 must be in 1..30, got $kLog2")
+    val spark = df.sparkSession
+    val width = (hi - lo) / bins
+    // 17-significant-digit literal so Spark and the auditor's engine use
+    // the IDENTICAL scale double (ln(2) may differ in the last ulp
+    // between libms; a shared literal cannot)
+    val scale = kLog2 * 0.6931471805599453 / 2.0
+    val x = least(greatest(valueCol.cast("double"), lit(lo)), lit(hi))
+    val hist = df.select(
+        least(floor((x - lit(lo)) / lit(hi - lo) * lit(bins)), lit(bins - 1L))
+          .cast("long").as("graft_b"))
+      .groupBy(col("graft_b")).agg(count(lit(1)).as("graft_n"))
+    val grid = spark.range(0, bins).select(col("id").as("graft_b"))
+      .join(hist, Seq("graft_b"), "left")
+      .select(col("graft_b"), coalesce(col("graft_n"), lit(0L)).as("graft_n"))
+    // bins-sized frame from here on: the single-partition window is over
+    // the GRID, not the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("graft_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = sum(col("graft_n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val u52 = conv(substring(md5(concat(lit(s"dpq:$seed:"),
+      col("graft_b").cast("string"))), 1, 13), 16, 10).cast("long")
+    val gumbel = -log(-log((u52.cast("double") + lit(0.5)) / lit(4503599627370496.0)))
+    grid
+      .withColumn("graft_cum", sum(col("graft_n")).over(w))
+      .withColumn("graft_u",
+        -abs(col("graft_cum").cast("double") - floor(lit(q) * tot)))
+      .withColumn("graft_score", lit(scale) * col("graft_u") + gumbel)
+      .orderBy(col("graft_score").desc, col("graft_b").asc).limit(1)
+      .select(lit(q).as("q"),
+        (lit(lo) + (col("graft_b").cast("double") + lit(0.5)) * lit(width))
+          .as("dp_value"),
+        col("graft_b").cast("long").as("bucket"))
+  }
+
+  /** [[dpQuantile]] with the seed derived from a mandatory release id —
+   * the composition-safe front door (see [[releaseSeed]]). */
+  def dpQuantile(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      q: Double, lo: Double, hi: Double, bins: Int, kLog2: Int,
+      releaseId: String): org.apache.spark.sql.DataFrame =
+    dpQuantile(df, valueCol, q, lo, hi, bins, kLog2, releaseSeed(releaseId))
+
   def lDiversityReport(df: org.apache.spark.sql.DataFrame, l: Int,
       sensitiveCol: Column, quasiCols: Column*): org.apache.spark.sql.DataFrame = {
     require(l >= 2, s"l must be >= 2, got $l")

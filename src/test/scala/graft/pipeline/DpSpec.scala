@@ -121,4 +121,63 @@ class DpSpec extends AnyFunSuite {
     assert(out(1) == 110L + refNoise("1", 1, 5L))
     assert(out(2) == 3L + refNoise("2", 1, 5L))
   }
+
+  /** Scalar reference of the full exponential-mechanism quantile draw:
+   * clamp → bucket → cum → utility → md5 Gumbel → argmax. */
+  private def refQuantile(values: Seq[Double], q: Double, lo: Double,
+      hi: Double, bins: Int, kLog2: Int, seed: Long): (Double, Long) = {
+    val hist = new Array[Long](bins)
+    values.foreach { v0 =>
+      val v = math.min(math.max(v0, lo), hi)
+      val b = math.min(math.floor((v - lo) / (hi - lo) * bins).toLong, bins - 1L)
+      hist(b.toInt) += 1
+    }
+    val n = values.size.toDouble
+    val target = math.floor(q * n)
+    val scale = kLog2 * 0.6931471805599453 / 2.0
+    var cum = 0L
+    var bestScore = Double.NegativeInfinity
+    var bestB = -1L
+    for (b <- 0 until bins) {
+      cum += hist(b)
+      val u = -math.abs(cum.toDouble - target)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dpq:$seed:$b".getBytes("UTF-8"))
+      val hex = d.map(x => f"$x%02x").mkString.substring(0, 13)
+      val u52 = java.lang.Long.parseLong(hex, 16)
+      val gum = -math.log(-math.log((u52.toDouble + 0.5) / 4503599627370496.0))
+      val score = scale * u + gum
+      if (score > bestScore) { bestScore = score; bestB = b }
+    }
+    (lo + (bestB.toDouble + 0.5) * ((hi - lo) / bins), bestB)
+  }
+
+  test("dpQuantile replicates the scalar exponential-mechanism draw exactly") {
+    val rnd = new scala.util.Random(7)
+    val values = (0 until 500).map(_ => rnd.nextGaussian() * 100 + 300)
+    val df = values.toDF("v").repartition(7)
+    for ((q, seed) <- Seq((0.5, 42L), (0.9, 42L), (0.5, 43L), (0.1, 7L))) {
+      val got = graft.pipeline.Pii.dpQuantile(
+        df, col("v"), q, lo = -200.0, hi = 800.0, bins = 50,
+        kLog2 = 4, seed = seed).collect().head
+      val (ev, eb) = refQuantile(values, q, -200.0, 800.0, 50, 4, seed)
+      assert(got.getLong(2) == eb, s"bucket q=$q seed=$seed")
+      assert(got.getDouble(1) == ev, s"value q=$q seed=$seed")
+    }
+  }
+
+  test("dpQuantile: high epsilon concentrates on the true quantile bucket") {
+    // k=30 (ε ≈ 20.8): the utility term dwarfs any Gumbel draw, so the
+    // released bucket must contain the true median
+    val values = (1 to 1000).map(_.toDouble)
+    val out = graft.pipeline.Pii.dpQuantile(
+      values.toDF("v"), col("v"), 0.5, lo = 0.0, hi = 1000.0, bins = 100,
+      kLog2 = 30, seed = 11L).collect().head
+    assert(math.abs(out.getDouble(1) - 500.0) <= 10.0, out.toString)
+    // out-of-range values clamp to the public bounds instead of leaking
+    val clamped = graft.pipeline.Pii.dpQuantile(
+      (values ++ Seq(1e12, -1e12)).toDF("v"), col("v"), 0.5,
+      lo = 0.0, hi = 1000.0, bins = 100, kLog2 = 30, seed = 11L).collect().head
+    assert(math.abs(clamped.getDouble(1) - 500.0) <= 10.0, clamped.toString)
+  }
 }
