@@ -1503,6 +1503,15 @@ object SparkEntry {
         .unionByName(graft.pipeline.Pii.dpQuantile(c, col("c_acctbal"),
           q = 0.9, lo = -1000.0, hi = 10000.0, bins = 64, kLog2 = 4, seed = 43L))
     }),
+    "q_dp_quantiles" -> ((s, dir) => {
+      // per-group ε-DP order statistics: one exponential-mechanism median
+      // of account balance PER NATION, group-keyed uniforms (independent
+      // draws per group under one seed) — oracle replays all 25 draws
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.pipeline.Pii.dpQuantiles(c, Seq(col("c_nationkey").as("nk")),
+        col("c_acctbal"), q = 0.5, lo = -1000.0, hi = 10000.0, bins = 64,
+        kLog2 = 4, seed = 7L)
+    }),
     "q_mirror_hosts" -> ((s, dir) => {
       // site-level mirror detection: hosts 0-9 get a full mirror (same
       // text set → Jaccard 1, every LSH band collides), hosts 10-19 a
@@ -4995,6 +5004,43 @@ object SparkEntry {
         |           b ASC LIMIT 1
         |)
         |SELECT * FROM p50 UNION ALL SELECT * FROM p90""".stripMargin,
+    "q_dp_quantiles" ->
+      """WITH v AS (
+        |  SELECT c_nationkey AS nk,
+        |         least(greatest(CAST(c_acctbal AS DOUBLE), -1000.0), 10000.0) AS x
+        |  FROM customer
+        |), h AS (
+        |  SELECT nk,
+        |         CAST(least(floor((x - (-1000.0)) / 11000.0 * 64), 63) AS BIGINT) AS b,
+        |         count(*) AS cnt
+        |  FROM v GROUP BY 1, 2
+        |), g AS (
+        |  SELECT nk, gb.b
+        |  FROM (SELECT DISTINCT nk FROM v)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) gb
+        |), cum AS (
+        |  SELECT g.nk, g.b,
+        |         sum(coalesce(h.cnt, 0)) OVER (PARTITION BY g.nk ORDER BY g.b) AS c,
+        |         sum(coalesce(h.cnt, 0)) OVER (PARTITION BY g.nk) AS tot
+        |  FROM g LEFT JOIN h ON h.nk = g.nk AND h.b = g.b
+        |), s AS (
+        |  SELECT nk, b,
+        |    -abs(CAST(c AS DOUBLE) - floor(0.5 * CAST(tot AS DOUBLE))) AS u,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5('dpq:' || CAST(nk AS VARCHAR) || ':7:' || CAST(b AS VARCHAR)), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS u52
+        |  FROM cum
+        |), ranked AS (
+        |  SELECT nk, b,
+        |         row_number() OVER (PARTITION BY nk ORDER BY
+        |           1.3862943611198906 * u +
+        |           (-ln(-ln((CAST(u52 AS DOUBLE) + 0.5) / 4503599627370496.0))) DESC,
+        |           b ASC) AS rk
+        |  FROM s
+        |)
+        |SELECT nk, CAST(0.5 AS DOUBLE) AS q,
+        |       -1000.0 + (CAST(b AS DOUBLE) + 0.5) * 171.875 AS dp_value,
+        |       CAST(b AS BIGINT) AS bucket
+        |FROM ranked WHERE rk = 1""".stripMargin,
     "q_mirror_hosts" ->
       """WITH corpus AS (
         |  SELECT 'h' || (doc_id % 40) AS host, text FROM documents

@@ -378,6 +378,75 @@ object Pii {
       releaseId: String): org.apache.spark.sql.DataFrame =
     dpQuantile(df, valueCol, q, lo, hi, bins, kLog2, releaseSeed(releaseId))
 
+  /**
+   * PER-GROUP [[dpQuantile]] — the same exponential-mechanism release,
+   * one drawn bucket per group (the dpCounts/dpSums shape: quantile of
+   * balance per nation, of doc length per source). Each group's
+   * per-bucket uniforms key `dpq:<injective group key>:<seed>:<bucket>`
+   * ([[noiseKey]] escaping, so sentinel-valued groups never share draws
+   * with NULL groups), making every group's draw independent under one
+   * seed while the whole release stays deterministic and replayable.
+   * Scale: one (group, bucket) histogram aggregate over the corpus, then
+   * cumulative/score/argmax windows over the groups × bins GRID —
+   * |groups|·bins rows, never the corpus. Output: one row per group
+   * (groupCols…, q, dp_value, bucket). Same privacy caveats as
+   * [[dpQuantile]]; ε is consumed PER GROUP (a row influences only its
+   * group's histogram).
+   */
+  def dpQuantiles(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      valueCol: Column, q: Double, lo: Double, hi: Double, bins: Int,
+      kLog2: Int = 1, seed: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "dpQuantiles needs at least one group column")
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(bins >= 2 && bins <= 65536, s"bins must be in 2..65536, got $bins")
+    require(kLog2 >= 1 && kLog2 <= 30, s"kLog2 must be in 1..30, got $kLog2")
+    val spark = df.sparkSession
+    val width = (hi - lo) / bins
+    val scale = kLog2 * 0.6931471805599453 / 2.0
+    val x = least(greatest(valueCol.cast("double"), lit(lo)), lit(hi))
+    val bCol = least(floor((x - lit(lo)) / lit(hi - lo) * lit(bins)), lit(bins - 1L))
+      .cast("long").as("graft_b")
+    val hist = df.groupBy(groupCols :+ bCol: _*).agg(count(lit(1)).as("graft_n"))
+    val names = hist.columns.dropRight(2).toSeq
+    val grid = hist.select(names.map(col): _*).distinct()
+      .crossJoin(broadcast(spark.range(0, bins).select(col("id").as("graft_b"))))
+      .join(hist, names :+ "graft_b", "left")
+      .select(names.map(col) :+ col("graft_b") :+
+        coalesce(col("graft_n"), lit(0L)).as("graft_n"): _*)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*).orderBy(col("graft_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*)
+    val u52 = conv(substring(md5(concat(lit("dpq:"), noiseKey(names),
+      lit(s":$seed:"), col("graft_b").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val gumbel = -log(-log((u52.cast("double") + lit(0.5)) / lit(4503599627370496.0)))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*)
+      .orderBy(col("graft_score").desc, col("graft_b").asc)
+    grid
+      .withColumn("graft_cum", sum(col("graft_n")).over(wCum))
+      .withColumn("graft_u", -abs(col("graft_cum").cast("double") -
+        floor(lit(q) * sum(col("graft_n")).over(wTot))))
+      .withColumn("graft_score", lit(scale) * col("graft_u") + gumbel)
+      .withColumn("graft_rk", row_number().over(wPick))
+      .where(col("graft_rk") === 1)
+      .select(names.map(col) :+ lit(q).as("q") :+
+        (lit(lo) + (col("graft_b").cast("double") + lit(0.5)) * lit(width))
+          .as("dp_value") :+
+        col("graft_b").cast("long").as("bucket"): _*)
+  }
+
+  /** [[dpQuantiles]] with the seed derived from a mandatory release id —
+   * the composition-safe front door (see [[releaseSeed]]). */
+  def dpQuantiles(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      valueCol: Column, q: Double, lo: Double, hi: Double, bins: Int,
+      kLog2: Int, releaseId: String): org.apache.spark.sql.DataFrame =
+    dpQuantiles(df, groupCols, valueCol, q, lo, hi, bins, kLog2,
+      releaseSeed(releaseId))
+
   def lDiversityReport(df: org.apache.spark.sql.DataFrame, l: Int,
       sensitiveCol: Column, quasiCols: Column*): org.apache.spark.sql.DataFrame = {
     require(l >= 2, s"l must be >= 2, got $l")

@@ -166,6 +166,45 @@ class DpSpec extends AnyFunSuite {
     }
   }
 
+  test("dpQuantiles: per-group draws replicate the scalar reference with group-keyed uniforms") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (g <- Seq("a", "b", "c"); _ <- 0 until 200)
+      yield (g, rnd.nextGaussian() * 50 + (if (g == "a") 100 else 400))
+    val df = rows.toDF("g", "v").repartition(5)
+    val got = graft.pipeline.Pii.dpQuantiles(
+        df, Seq(col("g")), col("v"), 0.5, lo = 0.0, hi = 600.0, bins = 40,
+        kLog2 = 4, seed = 9L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    // scalar reference: group key is the (escaped) group string itself
+    def ref(g: String): (Double, Long) = {
+      val values = rows.filter(_._1 == g).map(_._2)
+      val bins = 40; val lo = 0.0; val hi = 600.0
+      val hist = new Array[Long](bins)
+      values.foreach { v0 =>
+        val v = math.min(math.max(v0, lo), hi)
+        hist(math.min(math.floor((v - lo) / (hi - lo) * bins).toLong, bins - 1L).toInt) += 1
+      }
+      val target = math.floor(0.5 * values.size.toDouble)
+      val scale = 4 * 0.6931471805599453 / 2.0
+      var cum = 0L; var bestScore = Double.NegativeInfinity; var bestB = -1L
+      for (b <- 0 until bins) {
+        cum += hist(b)
+        val u = -math.abs(cum.toDouble - target)
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"dpq:$g:9:$b".getBytes("UTF-8"))
+        val hex = d.map(x => f"$x%02x").mkString.substring(0, 13)
+        val u52 = java.lang.Long.parseLong(hex, 16)
+        val gum = -math.log(-math.log((u52.toDouble + 0.5) / 4503599627370496.0))
+        val s = scale * u + gum
+        if (s > bestScore) { bestScore = s; bestB = b }
+      }
+      (lo + (bestB.toDouble + 0.5) * ((hi - lo) / bins), bestB)
+    }
+    for (g <- Seq("a", "b", "c")) assert(got(g) == ref(g), s"group $g")
+    // groups a (centered 100) and b (centered 400) must land far apart
+    assert(math.abs(got("a")._1 - got("b")._1) > 100.0)
+  }
+
   test("dpQuantile: high epsilon concentrates on the true quantile bucket") {
     // k=30 (ε ≈ 20.8): the utility term dwarfs any Gumbel draw, so the
     // released bucket must contain the true median
