@@ -83,7 +83,7 @@ object Soak {
     // steady-state BM25 shape and modified-KN
     "q_streaming_e2e", "q_audio_phash", "q_scd2", "q_dp_count",
     "q_crawl_schedule_robots", "q_lm_kn", "q_robots_sitemaps",
-    "q_bm25_search_steady", "q_lm_mkn", "q_dp_quantile")
+    "q_bm25_search_steady", "q_lm_mkn", "q_dp_quantile", "q_dp_quantiles")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
