@@ -13,12 +13,18 @@
 set -euo pipefail
 FROZEN=${1:?usage: bench_control.sh <frozen-commit> [out.json]}
 OUT=${2:-BENCH_CONTROL_latest.json}
+# Absolutize before the cd into the worktree; an already-absolute out.json
+# must pass through untouched (prefixing it with $PWD would mangle it).
+case "$OUT" in
+  /*) ABS_OUT=$OUT ;;
+  *)  ABS_OUT=$PWD/$OUT ;;
+esac
 WT=$(mktemp -d /tmp/graft_control.XXXX)
 git worktree add --detach "$WT" "$FROZEN"
 trap 'git worktree remove --force "$WT"' EXIT
 (cd "$WT" && SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   SPARK_GRAFT_BENCH_REPS=${SPARK_GRAFT_BENCH_REPS:-3} \
-  SPARK_GRAFT_BENCH_OUT="$OLDPWD/$OUT" \
+  SPARK_GRAFT_BENCH_OUT="$ABS_OUT" \
   sbt -batch "runMain graft.Bench")
 echo "control written to $OUT (frozen commit $FROZEN)"

@@ -2340,7 +2340,7 @@ object SparkEntry {
       val crawl = d.select(col("doc_id"), col("text"), lit(1).as("prio"))
       val curated = d.where(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 50000).as("doc_id"), col("text"), lit(2).as("prio"))
-      graft.pipeline.Dedup.exactPrioritized(
+      graft.pipeline.Dedup.exactPreferring(
           crawl.unionAll(curated), col("doc_id"), col("prio"), col("text"))
         .select(col("doc_id"), col("prio"))
     }),
@@ -2858,15 +2858,18 @@ object SparkEntry {
         java.nio.file.Paths.get(tmp, "intake"))
       val srcTable = java.nio.file.Paths.get(dir, "documents.parquet")
       if (java.nio.file.Files.isDirectory(srcTable)) {
-        val parts = java.nio.file.Files.list(srcTable).iterator()
-        var i = 0
-        while (parts.hasNext) {
-          val p = parts.next()
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            java.nio.file.Files.copy(p, intake.resolve(f"part-$i%05d.parquet"))
-            i += 1
+        val listing = java.nio.file.Files.list(srcTable)
+        try {
+          val parts = listing.iterator()
+          var i = 0
+          while (parts.hasNext) {
+            val p = parts.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              java.nio.file.Files.copy(p, intake.resolve(f"part-$i%05d.parquet"))
+              i += 1
+            }
           }
-        }
+        } finally listing.close()
       } else java.nio.file.Files.copy(srcTable, intake.resolve("documents.parquet"))
       val stream = s.readStream.schema(batchDocs.schema)
         .parquet(intake.toString)

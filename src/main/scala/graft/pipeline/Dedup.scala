@@ -47,21 +47,28 @@ object Dedup {
    * shape: the shuffle carries (fingerprint, priority, id), never content.
    *
    * PRIORITY CONVENTION (shared with [[dropNearDupsPreferring]] — ONE
-   * direction across the dedup tiers): priority is a TRUST WEIGHT — the
-   * HIGHEST value wins, ties go to the lowest id, and NULL priority loses
+   * direction across the dedup tiers): `trustCol` is a TRUST WEIGHT — the
+   * HIGHEST value wins, ties go to the lowest id, and NULL trust loses
    * to any labeled copy (an unlabeled source never outranks a labeled
-   * one). Priority must not be Long.MinValue (negated internally). Sources
+   * one). Trust must not be Long.MinValue (negated internally). Sources
    * ranked "1 = best" should pass the negated rank.
+   *
+   * MIGRATION — this method was `exactPrioritized(df, id, priorityCol,
+   * content*)` before the convention was unified across the dedup tiers,
+   * and under that name the LOWEST priority won. The rename is
+   * deliberate: a caller still encoding "1 = best" fails to compile here
+   * instead of silently keeping the wrong copy. Port by negating the
+   * rank: `exactPreferring(df, id, -rank, content*)`.
    */
-  def exactPrioritized(
-      df: DataFrame, idCol: Column, priorityCol: Column,
+  def exactPreferring(
+      df: DataFrame, idCol: Column, trustCol: Column,
       contentCols: Column*): DataFrame = {
     def fp: Column = fingerprint(contentCols)
     // min(struct) is lexicographic over (-priority, id): highest priority
     // first, ties to lowest id; NULL maps to the max long so it loses to
     // every labeled source — identical encoding to dropNearDupsPreferring
-    def negp: Column = when(priorityCol.isNull, lit(Long.MaxValue))
-      .otherwise(-priorityCol.cast("long"))
+    def negp: Column = when(trustCol.isNull, lit(Long.MaxValue))
+      .otherwise(-trustCol.cast("long"))
     val keep = df
       .select(fp.as("graft_fp"), negp.as("graft_p"), idCol.as("graft_id"))
       .groupBy(col("graft_fp"))
@@ -634,7 +641,7 @@ object Dedup {
    * prior as the priority, the canonical source survives and the scraper
    * copy drops, instead of [[dropNearDups]]' lowest-id-wins (which keeps
    * whichever copy happened to be ingested first). PRIORITY CONVENTION
-   * (shared with [[exactPrioritized]] — ONE direction across the dedup
+   * (shared with [[exactPreferring]] — ONE direction across the dedup
    * tiers): higher priority wins; ties go to the lowest id; NULL priority
    * loses to any non-null (priority must not be Long.MinValue — it is
    * negated internally).

@@ -111,7 +111,7 @@ object PipelineConfig {
     def rowLocal = false
     def apply(df: DataFrame): DataFrame = priority match {
       case Some(p) =>
-        Dedup.exactPrioritized(df, col(id), expr_(p), content.map(expr_): _*)
+        Dedup.exactPreferring(df, col(id), expr_(p), content.map(expr_): _*)
       case None => Dedup.exact(df, col(id), content.map(expr_): _*)
     }
     private[pipeline] def fields = Seq("id" -> id, "content" -> content) ++

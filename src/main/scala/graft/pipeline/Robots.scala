@@ -166,7 +166,20 @@ object Robots {
    * group — so extraction ignores grouping entirely. Field name matched
    * case-insensitively; the value keeps its case (URLs are
    * case-sensitive past the host). This is the missing first link of the
-   * discovery chain robots.txt → sitemap URL → [[Sitemaps.entries]]. */
+   * discovery chain robots.txt → sitemap URL → [[Sitemaps.entries]].
+   *
+   * COMMENT HANDLING — deliberate divergence from RFC 9309 §2.2.4 and
+   * mainstream parsers (e.g. Google's open-sourced robots parser), which
+   * truncate at ANY `#`: here a `#` opens a comment only at line start or
+   * after whitespace, so a `#` embedded in the URL value survives. A
+   * recorded URL like `https://a.com/s.xml#frag` can therefore differ
+   * from what a spec-conformant crawler fetches (it would resolve
+   * `https://a.com/s.xml`). Rationale: this parser records PUBLISHER
+   * INTENT for curation/audit; truncating an unencoded `#` silently
+   * rewrites the URL to a different address, which is worse for
+   * provenance than keeping the raw value. Callers that feed a real
+   * fetcher should strip the fragment themselves (fragments are never
+   * sent to servers). */
   def parseSitemapUrls(txt: String): Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     txt.split("\n").foreach { raw =>

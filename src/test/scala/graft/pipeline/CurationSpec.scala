@@ -505,7 +505,7 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains((3L, 2)))
   }
 
-  test("exactPrioritized keeps the trusted copy; null priority loses") {
+  test("exactPreferring keeps the trusted copy; null priority loses") {
     import graft.pipeline.Dedup
     // priority is a TRUST WEIGHT: higher wins, ties to lowest id, NULL
     // loses — the ONE convention shared with dropNearDupsPreferring
@@ -517,7 +517,7 @@ class CurationSpec extends AnyFunSuite {
       (5L, "third content", Some(7)),
       (6L, "third content", Some(7))   // tie -> lowest id
     ).toDF("id", "text", "prio")
-    val kept = Dedup.exactPrioritized(d, col("id"), col("prio"), col("text"))
+    val kept = Dedup.exactPreferring(d, col("id"), col("prio"), col("text"))
       .select("id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 5L))
   }
