@@ -56,10 +56,26 @@ object Bench {
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // per-query MIN and the raw per-rep arrays: r14 shipped five >2x rows
+    // that were pure single-JVM suite state (persist-heavy mid-list queries
+    // inflate 3-6x within a full pass) and each needed a manual isolated
+    // re-bench to adjudicate. The min across interleaved suite passes is
+    // the statistic least contaminated by ambient suite state, so the 2x
+    // scale criterion gates on MIN (BASELINE.md comparison rule); medians
+    // stay reported for continuity and the full rep arrays make any future
+    // adjudication a file-read instead of a re-run.
+    val qmin = names.map { name =>
+      val ts = samples(name)
+      "\"" + name + "\":" + f3(if (ts.nonEmpty) ts.min else -1.0)
+    }.mkString("{", ",", "}")
+    val qreps = names.map { name =>
+      "\"" + name + "\":" + samples(name).map(f3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":$errs,"n":${names.size},"sf":"$sfDir","reps":$reps,"queries":$qs}"""
+    val totalMin = names.map(n => samples(n)).filter(_.nonEmpty).map(_.min).sum
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"errors":$errs,"n":${names.size},"sf":"$sfDir","reps":$reps,"queries":$qs,"queries_min":$qmin,"rep_times":$qreps}"""
     // the driver's fixed-size stdout tail capture clipped the per-query map
     // in r7 (4 queries) and r8 (13): the file is the durable record, stdout
     // keeps the one-line contract for parsers that still scrape it
