@@ -105,10 +105,23 @@ object Linkage {
     val keyed = df.select(idCol.as("graft_id"), sortKey.as("graft_key"))
       .where(col("graft_key").isNotNull)
     // delegate to the shared materialized-rank shape (Ranks scaladoc: the
-    // offsets and local ranks must read ONE partition assignment)
-    val ranked = Ranks
-      .withGlobalRank(keyed, "graft_rank", col("graft_key"), col("graft_id"))
-      .select(col("graft_id"), col("graft_rank"))
+    // offsets and local ranks must read ONE partition assignment), then
+    // EAGERLY localCheckpoint the slim (id, rank) frame and release the
+    // wide rank cache via the handle — a long-running session calling
+    // this repeatedly no longer accumulates one pinned cache entry per
+    // call (the checkpoint blocks are ContextCleaner-managed: they die
+    // with the returned frame's reference, not with the session).
+    // Tradeoffs, deliberate: the rank computes at CALL time, not at the
+    // first downstream action, and localCheckpoint truncates lineage (an
+    // executor loss during downstream reads fails the job rather than
+    // recomputing — the standard localCheckpoint contract; candidate
+    // generation is a re-runnable batch step). The checkpoint also means
+    // the rank is computed ONCE even though both join sides below read it.
+    val (rankedRaw, releaseRankCache) = Ranks
+      .withGlobalRankHandle(keyed, "graft_rank", col("graft_key"), col("graft_id"))
+    val ranked =
+      try rankedRaw.select(col("graft_id"), col("graft_rank")).localCheckpoint()
+      finally releaseRankCache()
     val probes = ranked
       .select(col("graft_id").as("graft_ida"), col("graft_rank").as("graft_ar"),
         explode(sequence(lit(1), lit(window - 1))).as("graft_d"))

