@@ -66,10 +66,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * the plan carries an `observe` metric per role branch
  * (`graft_fuzzy_cap_*`: key rows dropped + buckets hit) surfaced through
  * the standard `QueryExecutionListener` / `observedMetrics` machinery, so
- * a run that actually lost recall says so in its metrics. One AQE caveat:
- * if the WHOLE result is empty, empty-relation propagation collapses the
- * plan including its CollectMetrics nodes and the metrics vanish — audit
- * that regime with [[skippedBuckets]]. Pass 0 to uncap
+ * a run that actually lost recall says so in its metrics. One AQE caveat
+ * (spec-pinned in FuzzyJoinSpec): if the WHOLE result is empty,
+ * empty-relation propagation replaces the subtree under the
+ * CollectMetrics nodes — the metric keys still appear in
+ * `observedMetrics` but their values read NULL instead of the true drop
+ * counts, so in the all-empty regime treat null cap metrics as "unknown,
+ * possibly lossy" and audit with [[skippedBuckets]]. Pass 0 to uncap
  * for guaranteed-complete runs ("each unordered pair exactly once" holds
  * only then); use [[skippedBuckets]] to SEE what a cap would drop before
  * trusting it.

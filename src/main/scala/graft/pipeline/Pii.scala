@@ -328,6 +328,22 @@ object Pii {
    * — bins rows, driver-bounded by the caller's grid, never the corpus.
    * Output: one row (q, dp_value, bucket). Grid resolution is the
    * accuracy floor: the mechanism never reports finer than (hi−lo)/bins.
+   *
+   * WHICH ROWS COUNT: NULL values are EXCLUDED from the histogram — a
+   * null never clamps to the range edge; it simply does not participate,
+   * so the released quantile is a quantile of the NON-NULL rows only
+   * (standard statistics posture, but for a privacy release it must be
+   * explicit: the protected population is the non-null rows, and a row
+   * with a null value neither spends ε here nor shifts any bucket).
+   * Filter-or-impute upstream if nulls should count.
+   *
+   * API SURFACE: the DP release family (dpCounts/dpSums/dpQuantile/
+   * dpQuantiles) is DataFrame-level BY DESIGN — there is deliberately no
+   * registered SQL face, unlike the mechanism primitive `dp_noise`
+   * (Registry): a release needs the clamp/seed/release-id discipline
+   * these signatures force, and a free-floating SQL function would make
+   * seed reuse across releases (the classic composition mistake) one
+   * typo away.
    */
   def dpQuantile(df: org.apache.spark.sql.DataFrame, valueCol: Column,
       q: Double, lo: Double, hi: Double, bins: Int,
@@ -342,8 +358,12 @@ object Pii {
     // the IDENTICAL scale double (ln(2) may differ in the last ulp
     // between libms; a shared literal cannot)
     val scale = kLog2 * 0.6931471805599453 / 2.0
+    // the null filter is load-bearing, not belt-and-braces: Spark's
+    // greatest/least SKIP nulls (greatest(NULL, lo) = lo), so without it
+    // a null value would silently clamp to the LEFT EDGE and count in
+    // bucket 0 — the documented posture is exclusion
     val x = least(greatest(valueCol.cast("double"), lit(lo)), lit(hi))
-    val hist = df.select(
+    val hist = df.where(valueCol.isNotNull).select(
         least(floor((x - lit(lo)) / lit(hi - lo) * lit(bins)), lit(bins - 1L))
           .cast("long").as("graft_b"))
       .groupBy(col("graft_b")).agg(count(lit(1)).as("graft_n"))
@@ -390,8 +410,13 @@ object Pii {
    * cumulative/score/argmax windows over the groups × bins GRID —
    * |groups|·bins rows, never the corpus. Output: one row per group
    * (groupCols…, q, dp_value, bucket). Same privacy caveats as
-   * [[dpQuantile]]; ε is consumed PER GROUP (a row influences only its
-   * group's histogram).
+   * [[dpQuantile]] — including the NULL posture: null VALUES are excluded
+   * from every group's histogram (each group's release covers its
+   * non-null rows only, and a group with ZERO non-null rows is absent
+   * from the release — indistinguishable from a group absent from the
+   * data), while a null GROUP KEY is a group like any other (the
+   * [[noiseKey]] sentinel keeps its draws distinct); ε is consumed PER
+   * GROUP (a row influences only its group's histogram).
    */
   def dpQuantiles(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
       valueCol: Column, q: Double, lo: Double, hi: Double, bins: Int,
@@ -404,10 +429,12 @@ object Pii {
     val spark = df.sparkSession
     val width = (hi - lo) / bins
     val scale = kLog2 * 0.6931471805599453 / 2.0
+    // load-bearing null filter — greatest/least skip nulls, see dpQuantile
     val x = least(greatest(valueCol.cast("double"), lit(lo)), lit(hi))
     val bCol = least(floor((x - lit(lo)) / lit(hi - lo) * lit(bins)), lit(bins - 1L))
       .cast("long").as("graft_b")
-    val hist = df.groupBy(groupCols :+ bCol: _*).agg(count(lit(1)).as("graft_n"))
+    val hist = df.where(valueCol.isNotNull)
+      .groupBy(groupCols :+ bCol: _*).agg(count(lit(1)).as("graft_n"))
     val names = hist.columns.dropRight(2).toSeq
     val grid = hist.select(names.map(col): _*).distinct()
       .crossJoin(broadcast(spark.range(0, bins).select(col("id").as("graft_b"))))

@@ -219,4 +219,33 @@ class DpSpec extends AnyFunSuite {
       lo = 0.0, hi = 1000.0, bins = 100, kLog2 = 30, seed = 11L).collect().head
     assert(math.abs(clamped.getDouble(1) - 500.0) <= 10.0, clamped.toString)
   }
+
+  test("dpQuantile/dpQuantiles exclude NULL values from the histogram") {
+    // Pins the documented posture (Pii scaladoc "WHICH ROWS COUNT"): a
+    // null value neither clamps to a range edge nor shifts any bucket,
+    // so a frame with nulls mixed in releases EXACTLY what the
+    // null-filtered frame releases — same bucket, same dp_value, same
+    // draw (the mechanism is deterministic under one seed, so bit
+    // equality is the strongest possible form of "nulls did not count").
+    val vals = (1 to 100).map(i => Some(i * 7.0 % 1000.0))
+    val mixed = (vals ++ (1 to 91).map(_ => Option.empty[Double])).toDF("v")
+    val dense = vals.toDF("v")
+    def rel(df: org.apache.spark.sql.DataFrame) = graft.pipeline.Pii
+      .dpQuantile(df, col("v"), 0.5, lo = 0.0, hi = 1000.0, bins = 100,
+        kLog2 = 2, seed = 3L).collect().toSeq
+    assert(rel(mixed) == rel(dense))
+    // per-group: the whole release must be IDENTICAL — per-group draws
+    // unchanged by null rows, and a group with zero non-null rows absent
+    // (indistinguishable from a group absent from the data)
+    val gm = (vals.map(v => ("g", v)) ++ (1 to 40).map(i => ("h", Some(i * 3.0))) ++
+      (1 to 9).map(_ => ("g", Option.empty[Double])) ++
+      (1 to 5).map(_ => ("allnull", Option.empty[Double]))).toDF("k", "v")
+    val gd = (vals.map(v => ("g", v)) ++
+      (1 to 40).map(i => ("h", Some(i * 3.0)))).toDF("k", "v")
+    def grel(df: org.apache.spark.sql.DataFrame) = graft.pipeline.Pii
+      .dpQuantiles(df, Seq(col("k")), col("v"), 0.5,
+        lo = 0.0, hi = 1000.0, bins = 100, kLog2 = 2, seed = 3L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(grel(gm) == grel(gd))
+  }
 }
