@@ -1512,6 +1512,18 @@ object SparkEntry {
         col("c_acctbal"), q = 0.5, lo = -1000.0, hi = 10000.0, bins = 64,
         kLog2 = 4, seed = 7L)
     }),
+    "q_dp_histogram" -> ((s, dir) => {
+      // per-group ε-DP histogram release: noised per-bucket counts of
+      // account balance per nation on a public 32-cell grid — every
+      // observed nation releases ALL 32 buckets (zeros carry noise, so
+      // the support hides true emptiness); the oracle re-derives each
+      // bucket's two-sided-geometric draw (md5 → leading zeros → floor
+      // division) bit-for-bit
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.pipeline.Pii.dpHistograms(c, Seq(col("c_nationkey").as("nk")),
+        col("c_acctbal"), lo = -1000.0, hi = 10000.0, bins = 32,
+        kLog2 = 2, seed = 9L)
+    }),
     "q_mirror_hosts" -> ((s, dir) => {
       // site-level mirror detection: hosts 0-9 get a full mirror (same
       // text set → Jaccard 1, every LSH band collides), hosts 10-19 a
@@ -5044,6 +5056,36 @@ object SparkEntry {
         |       -1000.0 + (CAST(b AS DOUBLE) + 0.5) * 171.875 AS dp_value,
         |       CAST(b AS BIGINT) AS bucket
         |FROM ranked WHERE rk = 1""".stripMargin,
+    "q_dp_histogram" ->
+      """WITH v AS (
+        |  SELECT c_nationkey AS nk,
+        |         least(greatest(CAST(c_acctbal AS DOUBLE), -1000.0), 10000.0) AS x
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |), h AS (
+        |  SELECT nk,
+        |         CAST(least(floor((x - (-1000.0)) / 11000.0 * 32), 31) AS BIGINT) AS b,
+        |         count(*) AS cnt
+        |  FROM v GROUP BY 1, 2
+        |), g AS (
+        |  SELECT nk, gb.b
+        |  FROM (SELECT DISTINCT nk FROM v)
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS b) gb
+        |), filled AS (
+        |  SELECT g.nk, g.b, coalesce(h.cnt, 0) AS n
+        |  FROM g LEFT JOIN h ON h.nk = g.nk AND h.b = g.b
+        |), u AS (
+        |  SELECT nk, b, n,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5('dph:' || CAST(nk AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':9:0'), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS ua,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5('dph:' || CAST(nk AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':9:1'), i, 1)) - 1
+        |                 for i in range(1, 14)], (acc, d) -> acc * 16 + d) AS ub
+        |  FROM filled
+        |)
+        |SELECT nk, CAST(b AS BIGINT) AS bucket,
+        |       -1000.0 + CAST(b AS DOUBLE) * 343.75 AS bucket_lo,
+        |       CAST(n + (CASE WHEN ua = 0 THEN 52 ELSE 52 - length(bin(ua)) END) // 2
+        |              - (CASE WHEN ub = 0 THEN 52 ELSE 52 - length(bin(ub)) END) // 2 AS BIGINT) AS dp_count
+        |FROM u""".stripMargin,
     "q_mirror_hosts" ->
       """WITH corpus AS (
         |  SELECT 'h' || (doc_id % 40) AS host, text FROM documents

@@ -436,11 +436,7 @@ object Pii {
     val hist = df.where(valueCol.isNotNull)
       .groupBy(groupCols :+ bCol: _*).agg(count(lit(1)).as("graft_n"))
     val names = hist.columns.dropRight(2).toSeq
-    val grid = hist.select(names.map(col): _*).distinct()
-      .crossJoin(broadcast(spark.range(0, bins).select(col("id").as("graft_b"))))
-      .join(hist, names :+ "graft_b", "left")
-      .select(names.map(col) :+ col("graft_b") :+
-        coalesce(col("graft_n"), lit(0L)).as("graft_n"): _*)
+    val grid = completedGrid(hist, names, bins)
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(names.map(col): _*).orderBy(col("graft_b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -472,6 +468,89 @@ object Pii {
       valueCol: Column, q: Double, lo: Double, hi: Double, bins: Int,
       kLog2: Int, releaseId: String): org.apache.spark.sql.DataFrame =
     dpQuantiles(df, groupCols, valueCol, q, lo, hi, bins, kLog2,
+      releaseSeed(releaseId))
+
+  /** Completes a per-group bucket histogram onto the full `bins`-cell
+   * grid: every group observed in `hist` (group columns `names`, then
+   * `graft_b`, then `graft_n`) gets ALL bucket rows 0..bins−1 with
+   * zero-filled counts. The grid↔hist join is NULL-SAFE (`<=>`) on
+   * aliased sides — a plain using-columns join silently drops every
+   * histogram row whose group key is NULL (NULL = NULL is not true), so a
+   * null-keyed group would "release" an all-zero histogram; `<=>` plans
+   * as an ordinary hash join, so the shape stays one broadcast cross of
+   * groups × bins plus one keyed join, never a cartesian. */
+  private def completedGrid(hist: org.apache.spark.sql.DataFrame,
+      names: Seq[String], bins: Int): org.apache.spark.sql.DataFrame = {
+    val spark = hist.sparkSession
+    val gridKeys = hist.select(names.map(col): _*).distinct()
+      .crossJoin(broadcast(
+        spark.range(0, bins).select(col("id").as("graft_b"))))
+      .alias("graft_grid")
+    val h = hist.alias("graft_hist")
+    val cond = (names :+ "graft_b")
+      .map(n => col(s"graft_grid.$n") <=> col(s"graft_hist.$n"))
+      .reduce(_ && _)
+    gridKeys.join(h, cond, "left")
+      .select(names.map(n => col(s"graft_grid.$n")) :+
+        col("graft_grid.graft_b").as("graft_b") :+
+        coalesce(col("graft_hist.graft_n"), lit(0L)).as("graft_n"): _*)
+  }
+
+  /**
+   * Per-group ε-DP HISTOGRAM release — the artifact [[dpQuantiles]]
+   * implies: per (group, bucket) counts over the same public clamped grid
+   * ([lo, hi] × bins), each noised with the [[dpNoise]] two-sided
+   * geometric under the [[dpCounts]] contract (ε = kLog2·ln 2 per group:
+   * one row lands in exactly one bucket of its group's histogram, so the
+   * whole per-group histogram is one sensitivity-1 release, not bins of
+   * them). Every observed group releases ALL `bins` buckets — zero
+   * buckets carry noise like any other, so the released support never
+   * reveals which buckets were truly empty. Noise keys are
+   * `dph:<injective group key>:<bucket>` ([[noiseKey]] escaping, domain-
+   * separated from dpCounts/dpQuantiles draws under the same seed — but
+   * still give each release its OWN seed via the releaseId front door).
+   *
+   * NULL posture (matches [[dpQuantiles]]): null VALUES are excluded —
+   * each group's histogram counts its non-null rows only, a group with
+   * zero non-null rows is absent; a null GROUP KEY is a group like any
+   * other. Counts may come back negative (the pure mechanism is
+   * unbiased); clamp downstream if presentation needs it.
+   *
+   * Scale shape: one clamp+bucket projection (codegen), one
+   * (group, bucket) aggregate over the corpus, then the groups × bins
+   * grid completion — |groups|·bins rows, never the corpus. Output: one
+   * row per (group, bucket): (groupCols…, bucket, bucket_lo, dp_count).
+   */
+  def dpHistograms(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      valueCol: Column, lo: Double, hi: Double, bins: Int,
+      kLog2: Int = 1, seed: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "dpHistograms needs at least one group column")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(bins >= 2 && bins <= 65536, s"bins must be in 2..65536, got $bins")
+    require(kLog2 >= 1 && kLog2 <= 30, s"kLog2 must be in 1..30, got $kLog2")
+    val width = (hi - lo) / bins
+    // load-bearing null filter — greatest/least skip nulls, see dpQuantile
+    val x = least(greatest(valueCol.cast("double"), lit(lo)), lit(hi))
+    val bCol = least(floor((x - lit(lo)) / lit(hi - lo) * lit(bins)), lit(bins - 1L))
+      .cast("long").as("graft_b")
+    val hist = df.where(valueCol.isNotNull)
+      .groupBy(groupCols :+ bCol: _*).agg(count(lit(1)).as("graft_n"))
+    val names = hist.columns.dropRight(2).toSeq
+    val key = concat(lit("dph:"), noiseKey(names), lit(":"),
+      col("graft_b").cast("string"))
+    completedGrid(hist, names, bins)
+      .select(names.map(col) :+
+        col("graft_b").cast("long").as("bucket") :+
+        (lit(lo) + col("graft_b").cast("double") * lit(width)).as("bucket_lo") :+
+        (col("graft_n") + dpNoise(key, kLog2, seed)).as("dp_count"): _*)
+  }
+
+  /** [[dpHistograms]] with the seed derived from a mandatory release id —
+   * the composition-safe front door (see [[releaseSeed]]). */
+  def dpHistograms(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      valueCol: Column, lo: Double, hi: Double, bins: Int,
+      kLog2: Int, releaseId: String): org.apache.spark.sql.DataFrame =
+    dpHistograms(df, groupCols, valueCol, lo, hi, bins, kLog2,
       releaseSeed(releaseId))
 
   def lDiversityReport(df: org.apache.spark.sql.DataFrame, l: Int,

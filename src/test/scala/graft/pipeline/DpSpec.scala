@@ -248,4 +248,54 @@ class DpSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
     assert(grel(gm) == grel(gd))
   }
+
+  test("dpQuantiles: a NULL group key is a group like any other") {
+    // Pins the null-safe grid join: a plain using-columns join drops
+    // every histogram row whose group key is NULL (NULL = NULL is not
+    // true), which would make a null-keyed group "release" pure noise
+    // over an all-zero histogram. With values spread over buckets, high
+    // epsilon must recover each group's true median — including NULL's.
+    val rows = (1 to 50).map(i => (Option.empty[String], 800.0 + i * 2.0)) ++
+      (1 to 50).map(i => (Some("g"), 100.0 + i * 2.0))
+    val got = graft.pipeline.Pii.dpQuantiles(
+      rows.toDF("k", "v"), Seq(col("k")), col("v"), 0.5,
+      lo = 0.0, hi = 1000.0, bins = 100, kLog2 = 30, seed = 5L)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+    assert(math.abs(got(None) - 850.0) <= 15.0, got.toString)
+    assert(math.abs(got(Some("g")) - 150.0) <= 15.0, got.toString)
+  }
+
+  test("dpHistograms: scalar noise replication, full grid, exclusions") {
+    // 40 rows in bucket 1 ([100,200)), 10 in bucket 8, group "h" only in
+    // bucket 0; null values excluded; bins=10 over [0,1000)
+    val rows = (1 to 40).map(_ => ("g", Some(150.0))) ++
+      (1 to 10).map(_ => ("g", Some(850.0))) ++
+      (1 to 7).map(_ => ("h", Some(50.0))) ++
+      (1 to 9).map(_ => ("g", Option.empty[Double]))
+    val out = graft.pipeline.Pii.dpHistograms(
+      rows.toDF("k", "v"), Seq(col("k")), col("v"),
+      lo = 0.0, hi = 1000.0, bins = 10, kLog2 = 2, seed = 11L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    // full grid: every observed group releases ALL bins buckets
+    assert(out.size == 20)
+    assert(out(("g", 3L))._1 == 300.0)
+    // the released count is true count + the EXACT scalar-reference noise
+    // under the dph: domain-separated key (escape-free group values
+    // encode to themselves in noiseKey)
+    def noise(k: String, b: Long) = refNoise(s"dph:$k:$b", 2, 11L)
+    assert(out(("g", 1L))._2 == 40L + noise("g", 1L))
+    assert(out(("g", 8L))._2 == 10L + noise("g", 8L))
+    assert(out(("h", 0L))._2 == 7L + noise("h", 0L))
+    // a zero bucket carries noise like any other (support hides emptiness)
+    assert(out(("h", 5L))._2 == 0L + noise("h", 5L))
+    // null values excluded: bucket 0 of g counts 0 true rows
+    assert(out(("g", 0L))._2 == 0L + noise("g", 0L))
+    // composition: a different seed draws different noise somewhere
+    val other = graft.pipeline.Pii.dpHistograms(
+      rows.toDF("k", "v"), Seq(col("k")), col("v"),
+      lo = 0.0, hi = 1000.0, bins = 10, kLog2 = 2, seed = 12L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(other != out.map { case (k, v) => k -> v._2 })
+  }
 }
