@@ -1,0 +1,315 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The COMPOSED batch curation pipeline, end to end — the product's actual
+ * shape (VERDICT r14 next-round #2): every stage below is an
+ * individually-gated operator; this main chains them the way a production
+ * crawl-to-training-shards job runs them and audits the composition
+ * (per-stage wall time, funnel accounting, plan regressions) at whatever
+ * scale `srcDir` holds — /root/testdata/sf0.1 for the gate shape,
+ * /tmp/graft_sf1 for the 10x soak.
+ *
+ *   raw WARC shards + JSONL drops            (staged from documents.parquet)
+ *     → Warc.read / Jsonl.read               quarantining front doors
+ *     → Text.extractHtml → fixEncoding       boilerplate + mojibake repair
+ *     → Text.urlCanonicalize                 canonical URL identity
+ *     → Dedup.exact(url) → exact(text)       crawler re-fetch + mirror collapse
+ *     → Dedup.dropNearDups                   MinHash LSH near-dup tier
+ *     → token / Gopher / langid / PII gates  quality tier
+ *     → Curation.decontaminate               benchmark n-gram hygiene
+ *     → Curation.temperatureSample           domain-temperature mixing
+ *     → Curation.writeShards                 content-addressed export
+ *   artifacts: Curation.retentionFunnel over the WHOLE chain (dedup stages
+ *   included, as join-derived flags) + DataCard.generate, written to
+ *   `workDir` alongside a one-line JSON summary.
+ *
+ * Scale shape of the composition (each stage is spec'd/soaked alone; the
+ * claims below are what composing them must not break):
+ *   - staging writes WARC shards one file per PARTITION (foreachPartition,
+ *     never a driver collect) — the crawl-drop-box shape;
+ *   - the ingested frame is persisted ONCE and every downstream stage
+ *     reads that one materialization; the cache is released before exit;
+ *   - dedup survivor sets join back as FLAGS on ingest_id (keyed
+ *     equi-joins — at 100 TB these are corpus-sized, so they must stay
+ *     shuffles on the id, never broadcasts of the corpus);
+ *   - the funnel is ONE first-fail aggregate; temperature fractions are a
+ *     domain-sized broadcast; the shard write is ONE shuffle keyed on the
+ *     content-addressed shard.
+ *
+ * Fixture plants (deterministic, by original doc id) make every stage's
+ * drop observable: %37 → tracking-param URL variant (canonical-URL dup),
+ * %41 → /mirror/ byte-identical copy (content dup), %43 → /copy/
+ * two-word-suffix near-dup (MinHash dup), %53 → appended email+phone
+ * (PII gate), %97 → the doc doubles as a benchmark item (decontamination
+ * must remove it from the training side). Three corrupt JSONL lines and
+ * one malformed WARC region exercise the quarantines.
+ *
+ * Usage:
+ *   SPARK_GRAFT_CPUS=32 sbt -batch \
+ *     "runMain graft.BatchPipeline /root/testdata/sf0.1 /tmp/graft_pipe01"
+ *     "runMain graft.BatchPipeline /tmp/graft_sf1 /tmp/graft_pipe10"
+ */
+object BatchPipeline {
+
+  /** Raw records staged per doc: (raw url, html payload, jsonl side?). */
+  private def rawRecords(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val moji = "Donât âquoteâ cafÃ© "
+    val pii = when(id % 53 === 0,
+      lit(" Contact: jane.roe@example.com or 555-867-5309."))
+      .otherwise(lit(""))
+    def html(text: Column): Column = concat(
+      lit("<html><head><script>var x = \"<p>no</p>\";</script><style>.x{}</style>" +
+        "</head><body><div class=\"nav\"><a href=\"/\">Home</a></div><h1>Doc "),
+      id.cast("string"),
+      lit("</h1><p>"), lit(moji), text, pii,
+      lit("</p><div class=\"footer\"><a href=\"/a\">About</a></div></body></html>"))
+    def url(path: Column, extra: String, scheme: String): Column = concat(
+      lit(scheme + "://WWW."), col("source"),
+      lit(".Example"), (id % 5).cast("string"), lit(".COM:443"),
+      path, lit("/?utm_source=x&ref="), (id % 7).cast("string"),
+      lit(extra), lit("#frag"))
+    def docPath = concat(lit("/doc/"), id.cast("string"))
+    val main = docs.select(id,
+      url(docPath, "", "HTTPS").as("url"), html(col("text")).as("html"))
+    // crawler re-fetch under a tracking-param/case URL variant: same
+    // canonical URL, same content — the canonical-URL dedup's prey
+    val refetch = docs.where(id % 37 === 0).select(id,
+      url(docPath, "&utm_campaign=y", "https").as("url"), html(col("text")).as("html"))
+    // byte-identical mirror under a different path: content-dedup's prey
+    val mirror = docs.where(id % 41 === 0).select(id,
+      url(concat(lit("/mirror/"), id.cast("string")), "", "HTTPS").as("url"),
+      html(col("text")).as("html"))
+    // two-word-suffix near-copy: the MinHash tier's prey (3-shingle
+    // Jaccard (w-2)/(w+2) >= 0.7 for the corpus' >= 15-word docs)
+    val nearCopy = docs.where(id % 43 === 0).select(id,
+      url(concat(lit("/copy/"), id.cast("string")), "", "HTTPS").as("url"),
+      html(concat(col("text"), lit(" subscribe now"))).as("html"))
+    main.unionAll(refetch).unionAll(mirror).unionAll(nearCopy)
+  }
+
+  /** Stage the raw side: even original ids as WARC response records (one
+   * shard per partition, every 4th gzipped), odd ids as JSONL lines;
+   * plant one malformed WARC region and three corrupt JSONL lines. */
+  private def stageFrontDoor(spark: SparkSession, src: String, work: String): (String, String) = {
+    import spark.implicits._
+    val warcDir = s"$work/raw_warc"
+    val jsonlDir = s"$work/raw_jsonl"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warcDir))
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val records = rawRecords(docs)
+    records.where(col("doc_id") % 2 === 0)
+      .select(col("url"), col("html"))
+      .as[(String, String)]
+      .foreachPartition { (it: Iterator[(String, String)]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val gz = pid % 4 == 3
+        val f = new java.io.FileOutputStream(new java.io.File(
+          warcDir, if (gz) f"part-$pid%05d.warc.gz" else f"part-$pid%05d.warc"))
+        val out: java.io.OutputStream =
+          if (gz) new java.util.zip.GZIPOutputStream(f) else f
+        try it.foreach { case (url, html) =>
+          graft.sources.WarcAlgos.writeRecord(out, "response", url,
+            "2024-01-01T00:00:00Z", "application/http; msgtype=response",
+            graft.sources.WarcAlgos.httpResponsePayload(
+              200, "text/html; charset=utf-8", html.getBytes("UTF-8")))
+        } finally out.close()
+      }
+    // malformed region + resync survivor in one extra shard
+    val extra = new java.io.FileOutputStream(new java.io.File(warcDir, "part-bad.warc"))
+    try {
+      extra.write("NOT A WARC RECORD\r\njunk\r\n".getBytes("UTF-8"))
+      graft.sources.WarcAlgos.writeRecord(extra, "conversion",
+        "https://resync.example9.com/doc/999999999", "2024-01-01T00:00:00Z",
+        "text/plain", "resync survivor too short to pass gates".getBytes("UTF-8"))
+    } finally extra.close()
+    records.where(col("doc_id") % 2 === 1)
+      .select(col("url"), col("html"))
+      .write.mode("overwrite").json(jsonlDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(jsonlDir, "part-corrupt.json"),
+      "{\"url\": \"https://x/doc/1\", \"html\": \"tru\nnot json at all\n{broken\n")
+    (warcDir, jsonlDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val work = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtension")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", 16 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, src, work)
+    finally spark.stop()
+  }
+
+  /** Runs the whole pipeline; returns the one-line JSON summary (also
+   * printed and written to `workDir/pipeline_summary.json`). */
+  def run(spark: SparkSession, src: String, work: String): String = {
+    import graft.pipeline.{Curation, DataCard, Dedup, Pii, Text}
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val audits = scala.collection.mutable.ArrayBuffer.empty[Map[String, Int]]
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stages(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+
+    // ---- stage the raw front door (fixture synthesis, not the pipeline)
+    val (warcDir, jsonlDir) = timed("stage_raw") {
+      stageFrontDoor(spark, src, work)
+    }
+
+    // ---- ingest + extract + canonicalize: ONE persisted base frame
+    val (base, quarantined) = timed("ingest_extract") {
+      val (warcRows, warcBad) = graft.sources.Warc.read(spark, warcDir)
+      val jsonlSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("html",
+          org.apache.spark.sql.types.StringType)))
+      val (jsonlRows, jsonlBad) = graft.sources.Jsonl.read(spark, jsonlDir, jsonlSchema)
+      val raw = warcRows.select(col("url"), col("text").as("html"))
+        .unionAll(jsonlRows.select(col("url"), col("html")))
+      val b = raw.select(
+          xxhash64(col("url")).as("ingest_id"),
+          Text.urlCanonicalize(col("url")).as("url"),
+          Text.fixEncoding(
+            Text.extractHtml(col("html"), maxLinkDensity = 0.5)).as("text"))
+        .withColumn("tok", Text.tokenCount(col("text")))
+        .withColumn("domain", Text.registrableDomain(col("url")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = warcBad.count() + jsonlBad.count() // forces b's sources too
+      (b, q)
+    }
+    val ingested = base.count()
+
+    // ---- dedup tier: survivors as frames, then flags keyed on ingest_id
+    val (afterUrlIds, afterTextIds, afterNearIds) = timed("dedup") {
+      val afterUrl = Dedup.exact(base, col("ingest_id"), col("url"))
+      val afterText = Dedup.exact(afterUrl, col("ingest_id"), col("text"))
+      val afterNear = Dedup.dropNearDups(
+        afterText, col("ingest_id"), col("text"),
+        shingleSize = 3, threshold = 0.7)
+      // materialize each survivor id set once (slim frames); the near-dup
+      // step recomputes its upstream lazily otherwise — localCheckpoint is
+      // ContextCleaper-managed (dies with the reference, no pinned cache)
+      (afterUrl.select(col("ingest_id")).localCheckpoint(),
+        afterText.select(col("ingest_id")).localCheckpoint(),
+        afterNear.select(col("ingest_id")).localCheckpoint())
+    }
+
+    // ---- quality + hygiene flags on the one base frame
+    val flagged = timed("gates") {
+      def surviveFlag(ids: DataFrame, name: String)(df: DataFrame): DataFrame =
+        df.join(ids.withColumn(name, lit(true)), Seq("ingest_id"), "left")
+          .withColumn(name, coalesce(col(name), lit(false)))
+      // benchmark side: the %97 docs' ORIGINAL text (public eval fixture)
+      val bench = spark.read.parquet(s"$src/documents.parquet")
+        .where(col("doc_id") % 97 === 0).select(col("text"))
+      val leaking = Curation.decontaminate(
+          base, col("ingest_id"), col("text"), bench, col("text"),
+          n = 8, minShared = 3)
+        .select(col("id").as("ingest_id")).withColumn("graft_leak", lit(true))
+      base
+        .transform(surviveFlag(afterUrlIds, "f_url"))
+        .transform(surviveFlag(afterTextIds, "f_text"))
+        .transform(surviveFlag(afterNearIds, "f_near"))
+        .withColumn("lang", Text.langId(col("text")))
+        .withColumn("f_tokens", col("tok") >= 20)
+        .withColumn("f_lang",
+          col("lang").isin("en", "es", "de", "fr", "zh"))
+        // the Gopher stop-word heuristic is an ENGLISH-table measure —
+        // applied blindly it silently deletes every non-English doc (the
+        // first 10x DataCard read 100% en for exactly this reason), so it
+        // gates en docs only; other languages are gated by tokens/langid.
+        // langid runs BEFORE gopher in the funnel so drops attribute to
+        // the right stage.
+        .withColumn("f_gopher", col("lang") =!= "en" ||
+          Text.gopherQuality(col("text"), minWords = 20).getField("pass"))
+        .withColumn("f_pii", Pii.redactPii(col("text")) === col("text"))
+        .join(leaking, Seq("ingest_id"), "left")
+        .withColumn("f_decon", col("graft_leak").isNull)
+        .localCheckpoint() // gates + dedup flags computed exactly once
+    }
+    audits += Soak.planAudit(flagged)
+
+    // ---- funnel over the WHOLE chain, token-weighted
+    val gateCols = Seq(
+      "dedup_url" -> col("f_url"), "dedup_content" -> col("f_text"),
+      "dedup_near" -> col("f_near"), "tokens" -> col("f_tokens"),
+      "langid" -> col("f_lang"), "gopher" -> col("f_gopher"),
+      "pii" -> col("f_pii"), "decontaminate" -> col("f_decon"))
+    val funnel = timed("funnel") {
+      Curation.retentionFunnel(flagged, gateCols, weight = col("tok"))
+        .localCheckpoint()
+    }
+
+    // ---- temperature sample the survivors, then shard
+    val survivors = flagged.where(gateCols.map(_._2).reduce(_ && _))
+      .select(col("ingest_id"), col("url"), col("domain"),
+        col("text"), col("tok"))
+    val (sampled, sampledRows, totalTok) = timed("sample") {
+      val tot = survivors.agg(sum(col("tok")).as("t")).head().getLong(0)
+      val s = Curation.temperatureSample(
+          survivors, col("ingest_id"), col("domain"), col("tok"),
+          totalBudget = math.max(1L, (tot * 0.6).toLong), alpha = 0.5)
+        .localCheckpoint()
+      (s, s.count(), tot)
+    }
+    audits += Soak.planAudit(sampled)
+
+    val manifest = timed("write_shards") {
+      Curation.writeShards(sampled, col("ingest_id"), col("tok"),
+        s"$work/shards", nShards = 32).localCheckpoint()
+    }
+    audits += Soak.planAudit(manifest)
+
+    // ---- artifacts
+    val card = timed("datacard") {
+      DataCard.generate(sampled, col("text"), col("domain"),
+        title = s"Curated corpus ($src)", gopherMinWords = 20)
+    }
+    funnel.write.mode("overwrite").parquet(s"$work/funnel.parquet")
+    val funnelRows = funnel.collect()
+    val funnelMd = new StringBuilder
+    funnelMd.append("| stage | gate | rows_in | dropped | rows_out | tokens_in | tokens_dropped | tokens_out |\n")
+    funnelMd.append("|---|---|---|---|---|---|---|---|\n")
+    funnelRows.foreach { r =>
+      funnelMd.append(s"| ${r.get(0)} | ${r.get(1)} | ${r.get(2)} | ${r.get(3)} | " +
+        s"${r.get(4)} | ${r.get(5)} | ${r.get(6)} | ${r.get(7)} |\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(work, "funnel.md"), funnelMd.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(work, "datacard.md"), card)
+
+    val shardDocs = manifest.agg(sum(col("docs"))).head().getLong(0)
+    val shardCount = manifest.count()
+    base.unpersist(blocking = false)
+    val cart = audits.map(_("cartesian")).sum
+    val bnlj = audits.map(_("bnlj")).sum
+    def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val stageJson = stages.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString("{", ",", "}")
+    val summary =
+      s"""{"pipeline":"batch_e2e","src":"$src","ingested":$ingested,""" +
+      s""""quarantined":$quarantined,"survivor_tokens":$totalTok,""" +
+      s""""sampled_rows":$sampledRows,"shard_docs":$shardDocs,"shards":$shardCount,""" +
+      s""""cartesian":$cart,"bnlj":$bnlj,"wall_sec":${f2(stages.values.sum)},""" +
+      s""""stages":$stageJson}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(work, "pipeline_summary.json"), summary + "\n")
+    println(summary)
+    summary
+  }
+}

@@ -199,7 +199,7 @@ object Soak {
 
   // ----------------------------------------------------------------- audit
 
-  private def planAudit(df: DataFrame): Map[String, Int] = {
+  private[graft] def planAudit(df: DataFrame): Map[String, Int] = {
     val p = df.queryExecution.executedPlan.toString
     def n(k: String) = k.r.findAllIn(p).size
     Map(

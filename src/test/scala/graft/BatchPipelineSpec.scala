@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed batch pipeline (BatchPipeline.run) end to end at sf0.001:
+ * every stage of the production chain — WARC/JSONL front door, extract +
+ * repair + canonicalize, three dedup tiers, four gates, decontamination,
+ * temperature sample, shard export — runs as ONE job, each planted
+ * fixture is dropped by exactly the stage built to catch it, the funnel
+ * accounts for the whole chain, and no stage's plan regresses to a
+ * cartesian. */
+class BatchPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val work = java.nio.file.Files
+    .createTempDirectory("graft_pipe_spec").toString
+  private lazy val summary =
+    BatchPipeline.run(spark, "/root/testdata/sf0.001", work)
+  private def jsonLong(key: String): Long =
+    s""""$key":(-?\\d+)""".r.findFirstMatchIn(summary)
+      .map(_.group(1).toLong)
+      .getOrElse(fail(s"$key missing in $summary"))
+
+  test("runs end to end: quarantines exact, shards consistent, no cartesians") {
+    // 3 corrupt JSONL lines + 1 malformed WARC region, nothing else
+    assert(jsonLong("quarantined") == 4L, summary)
+    // every sampled row landed in a shard (manifest re-read from disk)
+    assert(jsonLong("shard_docs") == jsonLong("sampled_rows"), summary)
+    assert(jsonLong("sampled_rows") > 0L, summary)
+    // composition must not flip any join regime
+    assert(jsonLong("cartesian") == 0L && jsonLong("bnlj") == 0L, summary)
+  }
+
+  test("funnel covers the whole chain and every planted fixture is caught") {
+    val rows = spark.read.parquet(s"$work/funnel.parquet")
+      .orderBy("stage").collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.map(_._1).toSeq == Seq("dedup_url", "dedup_content",
+      "dedup_near", "tokens", "langid", "gopher", "pii", "decontaminate"))
+    val drops = rows.toMap
+    // waterfall: each stage's rows_in is the previous stage's rows_out
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a._3 == b._1, s"waterfall broke between stages: $a -> $b")
+    }
+    // the %37 URL variants, %41 mirrors, %43 near-copies, %53 PII docs and
+    // %97 benchmark leaks each die at their own stage
+    assert(drops("dedup_url")._2 > 0, "tracking-param variants not collapsed")
+    assert(drops("dedup_content")._2 > 0, "byte-identical mirrors survived")
+    assert(drops("dedup_near")._2 > 0, "near-copies survived")
+    assert(drops("pii")._2 > 0, "PII-planted docs survived")
+    assert(drops("decontaminate")._2 > 0, "benchmark leaks survived")
+  }
+
+  test("artifacts land: datacard, funnel markdown, shard files") {
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(work, "datacard.md")).contains("Curated corpus"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(work, "funnel.md")).contains("dedup_near"))
+    val shards = new java.io.File(s"$work/shards").listFiles()
+    assert(shards != null && shards.exists(_.getName.startsWith("shard=")))
+  }
+}
