@@ -28,6 +28,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Opt-in GC telemetry for soak forensics (r14 VERDICT #3): set
+// SPARK_GRAFT_GCLOG=/path/gc.log to capture unified-logging GC records
+// from the forked run — used to adjudicate whether a slow rep is heap
+// pressure (full GCs, heap near cap) or ambient box load (quiet log).
+javaOptions ++= sys.env.get("SPARK_GRAFT_GCLOG")
+  .map(p => s"-Xlog:gc*:file=$p:time,uptime:filecount=1,filesize=64m")
+  .toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
