@@ -580,11 +580,18 @@ object Curation {
     require(k > 0, s"k must be positive, got $k")
     val base = df.select(keyCol.as("key"), idCol.as("id"),
       valueCol.cast("double").as("value"))
+    // null-safe (<=>) joins: a NULL key is a group like any other (the
+    // dpQuantiles/temperatureSample/kAnonymity posture) — with plain
+    // equi-joins the null-key rows would silently VANISH from the report
+    // (their groupBy aggregate row exists but NULL = NULL never matches)
     val med = base.groupBy("key").agg(expr("percentile(value, 0.5D)").as("median"))
-    val dev = base.join(broadcast(med), Seq("key"))
+      .withColumnRenamed("key", "graft_mk")
+    val dev = base.join(broadcast(med), col("key") <=> col("graft_mk"))
+      .drop("graft_mk")
       .withColumn("graft_dev", abs(col("value") - col("median")))
     val mad = dev.groupBy("key").agg(expr("percentile(graft_dev, 0.5D)").as("mad"))
-    dev.join(broadcast(mad), Seq("key"))
+      .withColumnRenamed("key", "graft_dk")
+    dev.join(broadcast(mad), col("key") <=> col("graft_dk"))
       .select(col("key"), col("id"), col("value"), col("median"), col("mad"),
         (col("graft_dev") > lit(k) * lit(1.4826) * col("mad")).as("outlier"))
   }

@@ -284,7 +284,10 @@ object Pii {
   /** Per-group ε-DP sums of a clamped integer contribution: each value
    * clamps to [0, cap] (bounding one row's influence), sums, and adds the
    * same two-sided-geometric noise — ε = kLog2·ln 2 / cap for one-row-
-   * per-individual data. */
+   * per-individual data. NULL values contribute 0 (Spark's null-skipping
+   * greatest/least clamps NULL to the lower bound, which for a sum is
+   * identical to excluding the row — stated here so the posture is
+   * explicit, as for [[dpQuantile]]'s exclusion). */
   def dpSums(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
       valueCol: Column, cap: Long, kLog2: Int = 1,
       seed: Long = 0L): org.apache.spark.sql.DataFrame = {

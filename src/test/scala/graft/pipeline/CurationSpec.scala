@@ -659,6 +659,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out(6L) == ((5.0, 0.0, false)))
   }
 
+  test("robustOutliers: a NULL key is a group like any other, not dropped") {
+    // with plain equi-joins the null-key rows would silently vanish from
+    // the report (r15 null-safe-join sweep) — they must flag within their
+    // own group, and every input row must appear in the output
+    val rows = Seq(
+      (Some("a"), 1L, 10.0), (Some("a"), 2L, 11.0), (Some("a"), 3L, 12.0),
+      (None, 4L, 5.0), (None, 5L, 6.0), (None, 6L, 5.5), (None, 7L, 900.0))
+      .toDF("g", "id", "v")
+    val out = Curation.robustOutliers(rows, col("g"), col("id"), col("v"))
+      .collect().map(r => r.getLong(1) -> ((Option(r.getString(0)), r.getBoolean(5))))
+      .toMap
+    assert(out.size == 7, s"rows vanished: $out")
+    assert(out(7L) == ((None, true)))          // outlier within the NULL group
+    assert(Seq(4L, 5L, 6L).forall(i => out(i) == ((None, false))))
+  }
+
   test("robustOutliers survives the stddev-breaker a z-score check misses") {
     // 20 values at 100 plus TWO at 1e6: the outliers inflate stddev to
     // ~3e5, putting themselves within 3.3σ — a z-score check at 3.5σ
