@@ -37,7 +37,14 @@ object Dsir {
   /** The trained selector: (bucket, llr_e6) for every bucket in [0, nBuckets)
    * — llr_e6 = round(1e6 · ln(p_target/p_raw)) — plus the params that shaped
    * it. ≤ nBuckets rows, broadcast at every use. */
-  case class DsirModel(llr: DataFrame, nBuckets: Int, k: Double)
+  case class DsirModel(llr: DataFrame, nBuckets: Int, k: Double) {
+    /** Releases the persisted llr table — the model's ONLY pinned cache
+     * ([[train]] materializes llr eagerly and releases its staging
+     * bucket-count caches before returning). Long-lived drivers training
+     * many models call this when a model retires; weight() after release
+     * stays correct, just recomputes. */
+    def release(): Unit = llr.unpersist(blocking = false)
+  }
 
   /** Hashed unigram + bigram features of one text column, as an array of
    * bucket ids in [0, nBuckets). The md5-first-8-hex bucket recipe is
@@ -88,11 +95,16 @@ object Dsir {
     val pR = (coalesce(col("graft_cr"), lit(0L)).cast("double") + lit(k)) /
       (col("graft_nr").cast("double") + lit(k) * nBuckets)
     // the model is re-broadcast by every weight() call — persist the
-    // ≤ nBuckets-row table (lazily: caches fill on first use, so training
-    // stays one pipelined job instead of serialized materialization jobs)
+    // ≤ nBuckets-row table and materialize it NOW so the staging
+    // bucket-count caches can be released before train returns (r15: the
+    // cache-residue sweep found three pinned entries per model; now it is
+    // ONE, owned by the model and released via [[DsirModel.release]])
     val llr = joined.select(col("bucket"),
       round(log(pT / pR) * lit(1e6)).cast("long").as("llr_e6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    llr.count()
+    rawC.unpersist(blocking = false)
+    tgtC.unpersist(blocking = false)
     DsirModel(llr, nBuckets, k)
   }
 

@@ -58,6 +58,20 @@ object Lm {
       case 3 => trigrams.get
       case _ => higher(m - 4)
     }
+    /** Releases the model's persisted count tables ([[train]] pins one
+     * MEMORY_AND_DISK entry per table so repeated consumers don't re-run
+     * the corpus counting pass). The model OWNS that cache: a job-shaped
+     * application lets the session end reclaim it; a long-lived driver
+     * training many models must call this when a model retires —
+     * otherwise one entry per table per model accumulates for the
+     * session. Scoring after release stays correct (the plans recompute),
+     * just unmemoized. */
+    def release(): Unit = {
+      unigrams.unpersist(blocking = false)
+      bigrams.unpersist(blocking = false)
+      trigrams.foreach(_.unpersist(blocking = false))
+      higher.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private def words(text: Column): Column =
@@ -75,7 +89,9 @@ object Lm {
 
   /** Count unigrams + bigrams (+ tri/4/5-grams as `order` asks, the CCNet
    * 5-gram shape at order 5) over the corpus. One shuffle per count table,
-   * each keyed on the n-gram — the model stays distributed end to end. */
+   * each keyed on the n-gram — the model stays distributed end to end.
+   * The returned model PINS one cache entry per count table (see
+   * [[LmModel.release]] for the lifecycle in long-lived drivers). */
   def train(df: DataFrame, textCol: Column, order: Int = 2): LmModel = {
     require(order >= 2 && order <= 5, s"order must be in 2..5, got $order")
     val ws = df.select(words(textCol).as("graft_ws"))
@@ -497,11 +513,16 @@ object Lm {
       lambda3 = lambda3, lambdaN = lambdaN)
     val mean = when(col("n_trans") === 0L, lit(0.0))
       .otherwise(col("sum_prob_e12").cast("double") / col("n_trans").cast("double"))
-    // persisted: the percentile aggregate AND the final projection both
-    // consume it - without the cache the full LM scoring pipeline
-    // (transition explode + three model joins) runs twice per call
+    // materialized: the percentile aggregate AND the final projection both
+    // consume it — without the staging the full LM scoring pipeline
+    // (transition explode + three model joins) runs twice per call.
+    // localCheckpoint (not persist): the (id, mean) frame is slim, the
+    // checkpoint blocks die with the returned frame's reference instead of
+    // pinning a session cache entry per call (r15 residue sweep), and the
+    // truncated-lineage contract (executor loss → job retry) is acceptable
+    // for a re-runnable bucketing pass.
     val base = scored.select(col("id"), mean.as("graft_mean"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val pcts = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val thr = base.agg(
       expr(s"percentile(graft_mean, array(${pcts.mkString(",")}))").as("graft_thr"))

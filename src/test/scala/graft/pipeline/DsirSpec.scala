@@ -114,4 +114,18 @@ class DsirSpec extends AnyFunSuite {
     val w = Dsir.weight(model, other, col("doc_id"), col("text")).collect()
     assert(w.length == 1 && w.head.getLong(1) == 3L) // 2 unigrams + 1 bigram
   }
+
+  test("train releases staging caches; DsirModel.release drops the llr pin") {
+    spark.catalog.clearCache()
+    val raw = (1L to 20L).map(i => (i, s"common words here ${i % 7}")).toDF("doc_id", "text")
+    val target = (1L to 10L).map(i => (i, s"target phrasing there ${i % 3}")).toDF("doc_id", "text")
+    val model = Dsir.train(raw, col("text"), target, col("text"), nBuckets = 128)
+    // after eager training exactly ONE entry is pinned: the llr table
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    model.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must drop the llr cache entry (and train must have freed staging)")
+    // weighting after release stays correct, just recomputes
+    assert(Dsir.weight(model, raw, col("doc_id"), col("text")).count() == 20L)
+  }
 }

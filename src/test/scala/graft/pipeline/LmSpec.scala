@@ -392,4 +392,21 @@ class LmSpec extends AnyFunSuite {
     // probabilities remain valid: 0 < sum_prob_e12 <= n_trans * 1e12
     assert(mkn.getLong(2) > 0L && mkn.getLong(2) <= mkn.getLong(1) * 1000000000000L)
   }
+
+  test("LmModel.release drops every pinned count table; buckets leave none") {
+    spark.catalog.clearCache()
+    val docsDf = (1L to 30L).map(i =>
+      (i, s"the quick brown fox ${i % 5} jumps over the lazy dog ${i % 3}"))
+      .toDF("id", "text")
+    val model = Lm.train(docsDf, col("text"), order = 3)
+    // buckets' internal staging is localCheckpointed (reference-managed),
+    // not persisted: the only registry entries after a full score+bucket
+    // pass are the model's own count tables
+    Lm.perplexityBuckets(model, docsDf, col("id"), col("text")).count()
+    model.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must drop every model count-table cache entry")
+    // scoring after release stays correct, just unmemoized
+    assert(Lm.score(model, docsDf, col("id"), col("text")).count() == 30L)
+  }
 }
