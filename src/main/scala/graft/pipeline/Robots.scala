@@ -179,17 +179,21 @@ object Robots {
    * rewrites the URL to a different address, which is worse for
    * provenance than keeping the raw value. Callers that feed a real
    * fetcher should strip the fragment themselves (fragments are never
-   * sent to servers). */
-  def parseSitemapUrls(txt: String): Seq[String] = {
+   * sent to servers) — or pass `rfc9309Comments = true` to get the
+   * spec-conformant anywhere-`#` truncation (what Google's parser and
+   * [[parseDf]]'s directive handling do). */
+  def parseSitemapUrls(txt: String, rfc9309Comments: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     txt.split("\n").foreach { raw =>
-      // '#' opens a comment only at line start or after whitespace HERE:
-      // a '#' embedded in the URL value (fragment, unencoded hash) stays
-      // part of the URL instead of silently truncating it to a different
-      // address. Directive parsing (parseDf) keeps the standard
-      // anywhere-'#' convention — directives never contain URLs with
-      // meaningful fragments.
-      val noComment = {
+      // default mode: '#' opens a comment only at line start or after
+      // whitespace HERE — a '#' embedded in the URL value (fragment,
+      // unencoded hash) stays part of the URL instead of silently
+      // truncating it to a different address. rfc9309Comments = true
+      // matches the standard anywhere-'#' convention instead.
+      val noComment = if (rfc9309Comments) {
+        val i = raw.indexOf('#')
+        if (i < 0) raw else raw.substring(0, i)
+      } else {
         var h = -1
         var i = raw.indexOf('#')
         while (i >= 0 && h < 0) {

@@ -210,6 +210,12 @@ class RobotsSpec extends AnyFunSuite {
       "Sitemap: https://a.com/s.xml#frag\nSitemap: https://b.com/t.xml #tail\n# all comment\nSitemap: https://c.com/u.xml#d # note") ==
       Seq("https://a.com/s.xml#frag", "https://b.com/t.xml",
         "https://c.com/u.xml#d"))
+    // rfc9309Comments = true: spec-conformant anywhere-'#' truncation —
+    // what a Google-style fetcher would record for the same body
+    assert(Robots.parseSitemapUrls(
+      "Sitemap: https://a.com/s.xml#frag\nSitemap: https://b.com/t.xml #tail\n# all comment\nSitemap: https://c.com/u.xml#d # note",
+      rfc9309Comments = true) ==
+      Seq("https://a.com/s.xml", "https://b.com/t.xml", "https://c.com/u.xml"))
   }
 
   test("sitemapsDf + discoverSitemapEntries: the full discovery chain") {
