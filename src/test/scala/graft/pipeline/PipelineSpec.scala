@@ -746,6 +746,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ivf recall too low: $recall")
   }
 
+  test("ivf with exhaustive probing equals brute force EXACTLY (random vectors)") {
+    // the algebraic pin behind the rows-only ANN gates: nprobe = nlist
+    // degrades IVF to an exact scan partitioned by cell, so its top-k must
+    // be IDENTICAL to brute force — not merely high-recall — on vectors
+    // with no cluster structure at all (random floats: ties have measure
+    // zero). Any candidate lost to cell assignment, partition pruning or
+    // the top-k merge would break set equality here.
+    val rng = new scala.util.Random(99)
+    val rows = (0L until 60L).map(id => (id, Seq.fill(8)(rng.nextFloat())))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding", 4,
+        nlist = 5, nprobe = 5, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == bf, s"exhaustive IVF diverged: missing=${bf -- ivf} extra=${ivf -- bf}")
+    // the PERSISTED path must satisfy the same pin independently — its
+    // candidate set flows through the cid-partitioned parquet index and
+    // static partition pruning, either of which could drop a cell the
+    // in-memory path keeps
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_exact").toString
+    Similarity.ivfBuild(df, "vec_id", "embedding", dir, nlist = 5, iters = 2)
+    val persisted = Similarity.ivfSearch(spark, dir, queries,
+        "vec_id", "embedding", 4, nprobe = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(persisted == bf,
+      s"exhaustive persisted IVF diverged: missing=${bf -- persisted} extra=${persisted -- bf}")
+  }
+
   test("ivf persisted index: search without retraining, cells partition-pruned") {
     val rng = new scala.util.Random(11)
     val base = Seq(
