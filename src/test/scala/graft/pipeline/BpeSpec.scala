@@ -89,4 +89,38 @@ class BpeSpec extends AnyFunSuite {
     assert(coarse > words, s"10-merge tokenization must be subword ($coarse vs $words)")
     assert(fine >= words, s"tokens can never undercut whitespace words ($fine vs $words)")
   }
+
+  test("greedy rank encode == trainer-style rank-order replay on random words") {
+    // cross-implementation property: the ENCODER merges the lowest-rank
+    // pair repeatedly (leftmost on ties), the TRAINER rewrites the dict
+    // with one left-to-right pass per merge in rank order — two different
+    // algorithms whose segmentations must coincide (the GPT-2 style
+    // equivalence). A divergence means token counts drift from the vocab
+    // the trainer actually learned. Random 3-letter-alphabet words force
+    // the overlap cases ("aaaa", "abab") where the algorithms could split.
+    val rnd = new scala.util.Random(31)
+    def word(): String =
+      (0 until (1 + rnd.nextInt(8))).map(_ => "abc"(rnd.nextInt(3))).mkString
+    val corpus = (1 to 300).map(_ => word())
+    val df = corpus.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val m = Bpe.learnMerges(df, col("text"), numMerges = 40, minCount = 1)
+    assert(m.merges.length == 40)
+    def replay(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      m.merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    (corpus.distinct ++ (1 to 500).map(_ => word())).foreach { w =>
+      assert(BpeAlgos.encodeWord(w, m).toSeq == replay(w), s"diverged on '$w'")
+    }
+  }
 }
