@@ -117,4 +117,37 @@ class UnigramSpec extends AnyFunSuite {
     val after = corpus.select(Unigram.tokenCount(loaded, col("text"))).as[Int].collect()
     assert(before.toSeq == after.toSeq)
   }
+
+  test("Viterbi segmentation is OPTIMAL: equals exhaustive best over all splits") {
+    // independent-algorithm cross-check for the rows-only tokenizer gates:
+    // enumerate EVERY segmentation of short words (2^(n-1) splits, n <= 10),
+    // score each exactly as the model does (table pieces; single OOV chars
+    // at unkLogProb; multi-char pieces must exist), and assert the
+    // production Viterbi's path score matches the exhaustive maximum.
+    def score(segs: Seq[String]): Option[Double] = {
+      var t = 0.0
+      for (p <- segs) {
+        val lp = model.table.get(p)
+        if (lp != null) t += lp
+        else if (p.length == 1) t += model.unkLogProb
+        else return None
+      }
+      Some(t)
+    }
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to w.length).flatMap(k =>
+        allSegs(w.drop(k)).map(rest => w.take(k) +: rest))
+    val rnd = new scala.util.Random(17)
+    val seen = Seq("running", "unkind", "singer", "happy", "fair")
+    val random = (1 to 150).map(_ =>
+      (0 until (1 + rnd.nextInt(9))).map(_ => "runigshe?" (rnd.nextInt(9))).mkString)
+    (seen ++ random).foreach { w =>
+      val best = allSegs(w).flatMap(score).max
+      val got = score(UnigramAlgos.encodeWord(w, model).toSeq)
+        .getOrElse(fail(s"viterbi emitted an unscorable piece for '$w'"))
+      assert(math.abs(got - best) <= 1e-9,
+        s"'$w': viterbi score $got vs exhaustive best $best")
+    }
+  }
 }
