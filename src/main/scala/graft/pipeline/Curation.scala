@@ -1488,6 +1488,12 @@ object Curation {
    *
    * gini_ppm = (2·Σᵢ i·c₍ᵢ₎ − (n+1)·Σc) · 10⁶ div (n·Σc), ranks ascending
    * by (count, key); inv_simpson_e6 = (Σc)²·10⁶ div Σc².
+   *
+   * EAGER CONTRACT: the report (one row) is computed AT CALL TIME and the
+   * returned frame is a driver-local relation — the rank cache is built,
+   * collected and released inside this call so repeated reports leave
+   * zero persisted residue. Callers composing it into a larger lazy plan
+   * pay the corpus pass here, not at the downstream action.
    */
   def concentrationReport(df: DataFrame, keyCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

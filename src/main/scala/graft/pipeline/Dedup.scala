@@ -54,11 +54,15 @@ object Dedup {
    * ranked "1 = best" should pass the negated rank.
    *
    * MIGRATION — this method was `exactPrioritized(df, id, priorityCol,
-   * content*)` before the convention was unified across the dedup tiers,
-   * and under that name the LOWEST priority won. The rename is
-   * deliberate: a caller still encoding "1 = best" fails to compile here
-   * instead of silently keeping the wrong copy. Port by negating the
-   * rank: `exactPreferring(df, id, -rank, content*)`.
+   * content*)`. History matters for porting: the semantics flipped to
+   * highest-wins at commit f8e7dc6 UNDER THE OLD NAME (callers that
+   * recompiled against intermediate versions already got highest-wins
+   * silently); the rename to `exactPreferring` came later so that any
+   * caller still holding the original lowest-wins convention (d52a484
+   * era, "1 = best") fails to compile here instead of keeping the wrong
+   * copy. Negation is only needed for callers porting from that original
+   * lowest-wins version: `exactPreferring(df, id, -rank, content*)`;
+   * callers already on post-f8e7dc6 semantics just rename the call.
    */
   def exactPreferring(
       df: DataFrame, idCol: Column, trustCol: Column,

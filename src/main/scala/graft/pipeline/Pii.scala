@@ -490,11 +490,14 @@ object Pii {
         spark.range(0, bins).select(col("id").as("graft_b"))))
       .alias("graft_grid")
     val h = hist.alias("graft_hist")
+    // backtick-quote: a group column named with a dot (or backtick) must
+    // resolve as one field, not a struct path (ADVICE r15)
+    def q(n: String) = s"`${n.replace("`", "``")}`"
     val cond = (names :+ "graft_b")
-      .map(n => col(s"graft_grid.$n") <=> col(s"graft_hist.$n"))
+      .map(n => col(s"graft_grid.${q(n)}") <=> col(s"graft_hist.${q(n)}"))
       .reduce(_ && _)
     gridKeys.join(h, cond, "left")
-      .select(names.map(n => col(s"graft_grid.$n")) :+
+      .select(names.map(n => col(s"graft_grid.${q(n)}")) :+
         col("graft_grid.graft_b").as("graft_b") :+
         coalesce(col("graft_hist.graft_n"), lit(0L)).as("graft_n"): _*)
   }
