@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
  *     → Text.extractHtml → fixEncoding       boilerplate + mojibake repair
  *     → Text.urlCanonicalize                 canonical URL identity
  *     → Dedup.exact(url) → exact(text)       crawler re-fetch + mirror collapse
- *     → Dedup.dropNearDups                   MinHash LSH near-dup tier
+ *     → MinHash LSH near-dup tier            keep the most complete member
+ *                                            of each verified pair
  *     → token / Gopher / langid / PII gates  quality tier
  *     → Curation.decontaminate               benchmark n-gram hygiene
  *     → Curation.temperatureSample           domain-temperature mixing
@@ -135,6 +136,53 @@ object BatchPipeline {
     (warcDir, jsonlDir)
   }
 
+  /**
+   * Survivor-id frames for the three dedup tiers, each tier's work
+   * executed exactly ONCE: tier k+1 is built from `base` semi-joined
+   * against tier k's already-CHECKPOINTED ids, never from tier k's lazy
+   * plan — the r15 shape re-ran the exact-URL groupBy three times and the
+   * exact-text groupBy twice through un-checkpointed lineage (VERDICT r15
+   * what's-wrong #1). `localCheckpoint` is eager, so by the time tier k+1
+   * is constructed, tier k's ids are a materialized RDD scan; the
+   * checkpoints are ContextCleaner-managed (die with the reference, no
+   * pinned cache). `checkpoint` is a test seam: BatchPipelineSpec passes a
+   * capturing hook to pin the one-aggregate-per-tier plan shape.
+   *
+   * The near tier drops the LESS COMPLETE member of each verified
+   * near-dup pair (lower token count — a truncated scrape loses to the
+   * full page; ties to the higher id, the [[Dedup.dropNearDups]] tie
+   * direction). It is PAIRWISE like dropNearDups — one LSH pass plus one
+   * slim (id → tok) join onto the verified pairs; the cluster-true
+   * [[Dedup.dropNearDupsPreferring]] buys transitive-family selection at
+   * the cost of a connected-components fixpoint the chain doesn't need
+   * (measured +5 s fixed at sf0.1 for identical fixture results).
+   */
+  private[graft] def dedupTierIds(base: DataFrame,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint())
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.pipeline.Dedup
+    val urlIds = checkpoint(
+      Dedup.exact(base, col("ingest_id"), col("url")).select(col("ingest_id")))
+    val afterUrl = base.join(urlIds, Seq("ingest_id"), "leftsemi")
+    val textIds = checkpoint(
+      Dedup.exact(afterUrl, col("ingest_id"), col("text")).select(col("ingest_id")))
+    val afterText = base.join(textIds, Seq("ingest_id"), "leftsemi")
+    val pairs = Dedup.minhashNearDups(afterText, col("ingest_id"), col("text"),
+      shingleSize = 3, threshold = 0.7, maxBucketSize = 1000)
+    val toks = afterText.select(col("ingest_id"), col("tok"))
+    val losers = pairs
+      .join(toks.select(col("ingest_id").as("id_a"), col("tok").as("tok_a")), "id_a")
+      .join(toks.select(col("ingest_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .select(when(col("tok_a") < col("tok_b"), col("id_a"))
+        .when(col("tok_b") < col("tok_a"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("graft_drop_id"))
+      .distinct()
+    val nearIds = checkpoint(
+      afterText.join(losers, col("ingest_id") === col("graft_drop_id"), "left_anti")
+        .select(col("ingest_id")))
+    (urlIds, textIds, nearIds)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val work = args(1)
@@ -151,24 +199,55 @@ object BatchPipeline {
     finally spark.stop()
   }
 
-  /** Runs the whole pipeline; returns the one-line JSON summary (also
-   * printed and written to `workDir/pipeline_summary.json`). */
-  def run(spark: SparkSession, src: String, work: String): String = {
-    import graft.pipeline.{Curation, DataCard, Dedup, Pii, Text}
+  /** Everything the retention funnel accounts, materialized: the one
+   * persisted base frame, the gate/dedup-flagged frame, the gate order,
+   * and the quarantine count. */
+  private[graft] final case class Chain(
+      base: DataFrame, flagged: DataFrame,
+      gateCols: Seq[(String, Column)], quarantined: Long, ingested: Long)
+
+  /** Per-stage wall-time hook; [[run]] records, the gate query doesn't. */
+  private[graft] trait Timer {
+    def apply[T](name: String)(body: => T): T
+  }
+  private[graft] object NoTimer extends Timer {
+    def apply[T](name: String)(body: => T): T = body
+  }
+
+  /** Staged raw front door per src, synthesized once per JVM: fixture
+   * synthesis is not the pipeline under test, so repeated gate/bench runs
+   * of the chain re-run the PIPELINE (front-door parse included), not the
+   * fixture writer. Keyed by src; computeIfAbsent keeps it race-safe. */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def stagedOnce(spark: SparkSession, src: String): (String, String) =
+    stageCache.computeIfAbsent(src, { _ =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_pipe_stage").toString
+      stageFrontDoor(spark, src, work)
+    })
+
+  /**
+   * The composed chain through the gate flags: stage the raw fixture,
+   * ingest through the quarantining front doors, extract/repair/
+   * canonicalize into ONE persisted base frame, run the three dedup tiers
+   * ([[dedupTierIds]]) and the quality/hygiene gates as flags. Shared
+   * VERBATIM by [[run]] (the artifact-writing main) and the
+   * q_pipeline_batch correctness gate, so the per-round gate exercises
+   * the exact production composition rather than a test twin. Caller
+   * owns `chain.base` — unpersist it when done. `staged` short-circuits
+   * fixture synthesis with an already-staged front door ([[stagedOnce]]).
+   */
+  private[graft] def runChain(spark: SparkSession, src: String, work: String,
+      timed: Timer = NoTimer,
+      staged: Option[(String, String)] = None): Chain = {
+    import graft.pipeline.{Curation, Pii, Text}
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
-    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val audits = scala.collection.mutable.ArrayBuffer.empty[Map[String, Int]]
-    def timed[T](name: String)(body: => T): T = {
-      val t0 = System.nanoTime()
-      val r = body
-      stages(name) = (System.nanoTime() - t0) / 1e9
-      r
-    }
 
     // ---- stage the raw front door (fixture synthesis, not the pipeline)
-    val (warcDir, jsonlDir) = timed("stage_raw") {
+    val (warcDir, jsonlDir) = staged.getOrElse(timed("stage_raw") {
       stageFrontDoor(spark, src, work)
-    }
+    })
 
     // ---- ingest + extract + canonicalize: ONE persisted base frame
     val (base, quarantined) = timed("ingest_extract") {
@@ -196,17 +275,7 @@ object BatchPipeline {
 
     // ---- dedup tier: survivors as frames, then flags keyed on ingest_id
     val (afterUrlIds, afterTextIds, afterNearIds) = timed("dedup") {
-      val afterUrl = Dedup.exact(base, col("ingest_id"), col("url"))
-      val afterText = Dedup.exact(afterUrl, col("ingest_id"), col("text"))
-      val afterNear = Dedup.dropNearDups(
-        afterText, col("ingest_id"), col("text"),
-        shingleSize = 3, threshold = 0.7)
-      // materialize each survivor id set once (slim frames); the near-dup
-      // step recomputes its upstream lazily otherwise — localCheckpoint is
-      // ContextCleaper-managed (dies with the reference, no pinned cache)
-      (afterUrl.select(col("ingest_id")).localCheckpoint(),
-        afterText.select(col("ingest_id")).localCheckpoint(),
-        afterNear.select(col("ingest_id")).localCheckpoint())
+      dedupTierIds(base)
     }
 
     // ---- quality + hygiene flags on the one base frame
@@ -242,14 +311,35 @@ object BatchPipeline {
         .withColumn("f_decon", col("graft_leak").isNull)
         .localCheckpoint() // gates + dedup flags computed exactly once
     }
-    audits += Soak.planAudit(flagged)
 
-    // ---- funnel over the WHOLE chain, token-weighted
+    // funnel order over the WHOLE chain
     val gateCols = Seq(
       "dedup_url" -> col("f_url"), "dedup_content" -> col("f_text"),
       "dedup_near" -> col("f_near"), "tokens" -> col("f_tokens"),
       "langid" -> col("f_lang"), "gopher" -> col("f_gopher"),
       "pii" -> col("f_pii"), "decontaminate" -> col("f_decon"))
+    Chain(base, flagged, gateCols, quarantined, ingested)
+  }
+
+  /** Runs the whole pipeline; returns the one-line JSON summary (also
+   * printed and written to `workDir/pipeline_summary.json`). */
+  def run(spark: SparkSession, src: String, work: String): String = {
+    import graft.pipeline.{Curation, DataCard}
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val audits = scala.collection.mutable.ArrayBuffer.empty[Map[String, Int]]
+    val timed: Timer = new Timer {
+      def apply[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        stages(name) = (System.nanoTime() - t0) / 1e9
+        r
+      }
+    }
+
+    val chain = runChain(spark, src, work, timed)
+    val Chain(base, flagged, gateCols, quarantined, ingested) = chain
+    audits += Soak.planAudit(flagged)
+
     val funnel = timed("funnel") {
       Curation.retentionFunnel(flagged, gateCols, weight = col("tok"))
         .localCheckpoint()
@@ -260,7 +350,10 @@ object BatchPipeline {
       .select(col("ingest_id"), col("url"), col("domain"),
         col("text"), col("tok"))
     val (sampled, sampledRows, totalTok) = timed("sample") {
-      val tot = survivors.agg(sum(col("tok")).as("t")).head().getLong(0)
+      // coalesce: sum over ZERO survivors is NULL — an all-dropped funnel
+      // must report a zero-row summary, not NPE (ADVICE r15)
+      val tot = survivors.agg(coalesce(sum(col("tok")), lit(0L)).as("t"))
+        .head().getLong(0)
       val s = Curation.temperatureSample(
           survivors, col("ingest_id"), col("domain"), col("tok"),
           totalBudget = math.max(1L, (tot * 0.6).toLong), alpha = 0.5)
@@ -294,7 +387,8 @@ object BatchPipeline {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(work, "datacard.md"), card)
 
-    val shardDocs = manifest.agg(sum(col("docs"))).head().getLong(0)
+    val shardDocs = manifest.agg(coalesce(sum(col("docs")), lit(0L)))
+      .head().getLong(0)
     val shardCount = manifest.count()
     base.unpersist(blocking = false)
     val cart = audits.map(_("cartesian")).sum

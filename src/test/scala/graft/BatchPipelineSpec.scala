@@ -32,6 +32,7 @@ class BatchPipelineSpec extends AnyFunSuite {
   }
 
   test("funnel covers the whole chain and every planted fixture is caught") {
+    summary // force the pipeline: each test must be runnable alone (ADVICE r15)
     val rows = spark.read.parquet(s"$work/funnel.parquet")
       .orderBy("stage").collect()
       .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
@@ -51,7 +52,40 @@ class BatchPipelineSpec extends AnyFunSuite {
     assert(drops("decontaminate")._2 > 0, "benchmark leaks survived")
   }
 
+  test("dedup tiers thread off checkpointed survivors: one aggregate per exact tier") {
+    // VERDICT r15 what's-wrong #1: materializing the text/near tiers must
+    // not re-execute upstream tiers through lazy lineage. Pin the plan
+    // shape via the checkpoint seam: each exact tier's pre-checkpoint plan
+    // carries exactly ITS OWN fingerprint aggregate, and every tier after
+    // the first reads the previous tier's checkpointed RDD.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    import org.apache.spark.sql.functions._
+    val base = spark.range(0, 50).selectExpr(
+        "id AS ingest_id", "concat('u', id % 40) AS url",
+        "concat('t', id % 30, ' words here') AS text",
+        "CAST(10 + id % 5 AS LONG) AS tok")
+      .persist()
+    val plans = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    val (u, t, n) = BatchPipeline.dedupTierIds(base, df => {
+      plans += df.queryExecution.optimizedPlan
+      df.localCheckpoint()
+    })
+    def aggs(p: LogicalPlan): Int = p.collect { case a: Aggregate => a }.size
+    def rddScans(p: LogicalPlan): Int =
+      p.collect { case r if r.getClass.getSimpleName == "LogicalRDD" => r }.size
+    assert(plans.size == 3)
+    assert(aggs(plans(0)) == 1, s"url tier: one fingerprint aggregate\n${plans(0)}")
+    assert(aggs(plans(1)) == 1,
+      s"text tier must NOT re-run the url tier's aggregate\n${plans(1)}")
+    assert(rddScans(plans(1)) >= 1, "text tier must read the url checkpoint")
+    assert(rddScans(plans(2)) >= 1, "near tier must read the text checkpoint")
+    // and the tiers still dedup: 40 distinct urls, then 30 distinct texts
+    assert(u.count() == 40L && t.count() == 30L && n.count() == 30L)
+    base.unpersist()
+  }
+
   test("artifacts land: datacard, funnel markdown, shard files") {
+    summary // force the pipeline: each test must be runnable alone (ADVICE r15)
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(work, "datacard.md")).contains("Curated corpus"))
     assert(java.nio.file.Files.readString(
