@@ -148,14 +148,12 @@ object BatchPipeline {
    * pinned cache). `checkpoint` is a test seam: BatchPipelineSpec passes a
    * capturing hook to pin the one-aggregate-per-tier plan shape.
    *
-   * The near tier drops the LESS COMPLETE member of each verified
-   * near-dup pair (lower token count — a truncated scrape loses to the
-   * full page; ties to the higher id, the [[Dedup.dropNearDups]] tie
-   * direction). It is PAIRWISE like dropNearDups — one LSH pass plus one
-   * slim (id → tok) join onto the verified pairs; the cluster-true
-   * [[Dedup.dropNearDupsPreferring]] buys transitive-family selection at
-   * the cost of a connected-components fixpoint the chain doesn't need
-   * (measured +5 s fixed at sf0.1 for identical fixture results).
+   * The near tier is [[Dedup.dropNearDupsKeepLargest]] on token count —
+   * pairwise keep-most-complete, one LSH pass plus one slim (id → tok)
+   * join; the cluster-true [[Dedup.dropNearDupsPreferring]] buys
+   * transitive-family selection at the cost of a connected-components
+   * fixpoint the chain doesn't need (measured +5 s fixed at sf0.1 for
+   * identical fixture results).
    */
   private[graft] def dedupTierIds(base: DataFrame,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint())
@@ -167,18 +165,9 @@ object BatchPipeline {
     val textIds = checkpoint(
       Dedup.exact(afterUrl, col("ingest_id"), col("text")).select(col("ingest_id")))
     val afterText = base.join(textIds, Seq("ingest_id"), "leftsemi")
-    val pairs = Dedup.minhashNearDups(afterText, col("ingest_id"), col("text"),
-      shingleSize = 3, threshold = 0.7, maxBucketSize = 1000)
-    val toks = afterText.select(col("ingest_id"), col("tok"))
-    val losers = pairs
-      .join(toks.select(col("ingest_id").as("id_a"), col("tok").as("tok_a")), "id_a")
-      .join(toks.select(col("ingest_id").as("id_b"), col("tok").as("tok_b")), "id_b")
-      .select(when(col("tok_a") < col("tok_b"), col("id_a"))
-        .when(col("tok_b") < col("tok_a"), col("id_b"))
-        .otherwise(greatest(col("id_a"), col("id_b"))).as("graft_drop_id"))
-      .distinct()
     val nearIds = checkpoint(
-      afterText.join(losers, col("ingest_id") === col("graft_drop_id"), "left_anti")
+      Dedup.dropNearDupsKeepLargest(afterText, col("ingest_id"), col("text"),
+          col("tok"), shingleSize = 3, threshold = 0.7)
         .select(col("ingest_id")))
     (urlIds, textIds, nearIds)
   }

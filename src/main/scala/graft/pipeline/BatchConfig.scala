@@ -1,0 +1,485 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * The COMPOSED batch pipeline as CONFIG — the reference's rules-as-data
+ * philosophy (rule suites serialized, versioned and validated before
+ * running: reference impl/util/Serializing.scala, Validation.scala)
+ * applied to the WHOLE product shape, not just the gate tier that
+ * [[PipelineConfig]] already covers. A 100 TB curation run should be an
+ * auditable artifact end to end: which front doors ingested (and where
+ * their quarantines land), the id definition, the enrichment exprs, the
+ * dedup tiers and their thresholds, the gate order the funnel charges,
+ * the decontamination source, the sampling temperature and the shard
+ * export — reviewable, diffable YAML, not code rebuilt per run.
+ *
+ * Execution replays the exact [[graft.BatchPipeline]] composition (the
+ * parity is spec-pinned funnel-bit-for-bit): ONE persisted base frame,
+ * dedup survivor tiers materialized as checkpointed id frames with each
+ * tier threading off the previous tier's checkpoint, survivors joined
+ * back as FLAGS keyed on the id (shuffles, never corpus broadcasts), one
+ * first-fail retention funnel, then optional temperature sampling and
+ * content-addressed shard export.
+ *
+ * {{{
+ * version: 1
+ * name: crawl_batch
+ * sources:                          # quarantining front doors, unioned
+ *   - {format: warc,  path: /ingest/raw_warc, map: {url: url, html: text}}
+ *   - {format: jsonl, path: /ingest/raw_jsonl, schema: "url STRING, html STRING"}
+ * id: {name: ingest_id, expr: "xxhash64(url)"}     # computed on RAW columns
+ * prepare:                          # ordered row-local enrichments
+ *   - {column: url,    expr: "url_canonicalize(url)"}
+ *   - {column: text,   expr: "fix_encoding(extract_html(html, 0.5))"}
+ *   - {column: tok,    expr: "token_count(text)"}
+ * select: [url, text, tok]          # slim the persisted base (id implicit)
+ * dedup:                            # ordered tiers, funnel stages 1..k
+ *   - {kind: exact, name: dedup_url,     content: [url]}
+ *   - {kind: exact, name: dedup_content, content: [text]}
+ *   - {kind: near_keep_largest, name: dedup_near, text: text, sizeBy: tok,
+ *      shingleSize: 3, threshold: 0.7}
+ * gates:                            # ordered row-local keep-predicates
+ *   - {name: tokens, where: "tok >= 20"}
+ *   - {name: pii,    where: "redact_pii(text) = text"}
+ * decontaminate: {name: decontaminate, path: /eval/bench.parquet,
+ *                 where: "split = 'test'", text: text, benchText: question,
+ *                 n: 8, minShared: 3}
+ * weight: tok                       # funnel weight expr (default 1)
+ * sample: {domain: domain, tokens: tok, budgetFraction: 0.6, alpha: 0.5}
+ * shards: {nShards: 32}             # written under workDir/shards
+ * }}}
+ *
+ * SQL in `expr` / `where` / `content` / `sizeBy` resolves with the
+ * session parser, so every registered graft function (token_count,
+ * lang_id, gopher_quality, redact_pii, …) is available — [[run]] calls
+ * `Registry.registerAll` so a fresh session works out of the box.
+ */
+object BatchConfig {
+
+  /** A quarantining front door. `map` (ordered) projects the source's raw
+   * columns into the union schema: newColumn -> SQL expr over the raw
+   * columns; empty = pass-through. WARC sources expose the [[
+   * graft.sources.Warc.read]] columns (url, text, mime, …); jsonl/csv
+   * need `schema` (DDL). Quarantined raw regions/lines are counted and
+   * (when `quarantineDir` is set) written verbatim for inspection. */
+  final case class Source(format: String, path: String,
+      schemaDdl: Option[String] = None, map: Seq[(String, String)] = Nil,
+      delimiter: String = ",", quarantineDir: Option[String] = None) {
+    require(Seq("warc", "jsonl", "csv").contains(format),
+      s"source format must be warc|jsonl|csv, got '$format'")
+    require(format == "warc" || schemaDdl.nonEmpty,
+      s"$format source '$path' needs a schema")
+  }
+
+  sealed trait Tier { def name: String; def kind: String }
+  /** Exact-content tier; `trust` (optional) elects the most trusted copy
+   * via [[Dedup.exactPreferring]] (highest wins), else lowest id wins. */
+  final case class ExactTier(name: String, content: Seq[String],
+      trust: Option[String] = None) extends Tier {
+    def kind = "exact"
+    require(content.nonEmpty, s"exact tier '$name' needs content exprs")
+  }
+  /** Pairwise near-dup tier keeping the more complete member of each
+   * verified pair ([[Dedup.dropNearDupsKeepLargest]] on `sizeBy`). */
+  final case class NearTier(name: String, text: String, sizeBy: String,
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000) extends Tier {
+    def kind = "near_keep_largest"
+  }
+
+  /** Benchmark n-gram decontamination gate: drop corpus rows sharing ≥
+   * `minShared` distinct `n`-grams with the (filtered) benchmark table. */
+  final case class Decon(name: String, path: String, where: Option[String],
+      textExpr: String, benchTextExpr: String, n: Int = 8, minShared: Int = 1)
+
+  final case class TempSample(domain: String, tokens: String,
+      budgetFraction: Double, alpha: Double = 0.5) {
+    require(budgetFraction > 0 && budgetFraction <= 1.0,
+      s"budgetFraction must be in (0, 1], got $budgetFraction")
+  }
+
+  final case class ShardSpec(nShards: Int) {
+    require(nShards > 0, "nShards must be positive")
+  }
+
+  final case class BatchSpec(version: Int, name: String,
+      sources: Seq[Source], idName: String, idExpr: String,
+      prepare: Seq[(String, String)], select: Seq[String],
+      dedup: Seq[Tier], gates: Seq[(String, String)],
+      decontaminate: Option[Decon], weight: Option[String],
+      sample: Option[TempSample], shards: Option[ShardSpec]) {
+    require(sources.nonEmpty, s"batch pipeline '$name' has no sources")
+    private val stageNames =
+      dedup.map(_.name) ++ gates.map(_._1) ++ decontaminate.map(_.name)
+    require(stageNames.distinct.size == stageNames.size,
+      s"duplicate stage names in batch pipeline '$name': " +
+        stageNames.diff(stageNames.distinct).mkString(", "))
+
+    /** Dry-resolve the chain against empty frames: per-stage analysis
+     * errors before any data is touched (the reference's
+     * validate-before-run posture). Source paths are NOT touched —
+     * validation works from the declared schemas. */
+    def validate(spark: SparkSession): Seq[(String, String)] = {
+      graft.functions.Registry.registerAll(spark)
+      val errs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def attempt[T](stage: String)(body: => T): Option[T] =
+        try Some(body) catch { case e: Exception =>
+          errs += stage -> e.getMessage.linesIterator.take(2).mkString(" "); None
+        }
+      val raw: Option[DataFrame] = sources.zipWithIndex.map { case (s, i) =>
+        attempt(s"source $i (${s.format})") {
+          val cols = s.format match {
+            case "warc" => graft.sources.Warc.emptyFrame(spark)
+            case _ => spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              StructType.fromDDL(s.schemaDdl.get))
+          }
+          if (s.map.isEmpty) cols
+          else cols.select(s.map.map { case (n, e) => expr(e).as(n) }: _*)
+        }
+      }.reduce { (a, b) =>
+        for { x <- a; y <- b; u <- attempt("source union")(x.unionByName(y)) }
+          yield u
+      }
+      raw.foreach { r =>
+        // a failed stage keeps the last good frame so later stages still
+        // get checked (the PipelineConfig.validate posture): one broken
+        // enrichment must not hide every error after it
+        var cur = attempt(s"id $idName")(
+          r.select(expr(idExpr).as(idName) +: r.columns.map(col): _*))
+        prepare.foreach { case (c, e) =>
+          cur = cur.map(d =>
+            attempt(s"prepare $c")(d.withColumn(c, expr(e))).getOrElse(d))
+        }
+        if (select.nonEmpty)
+          cur = cur.map(d => attempt("select")(
+            d.select((idName +: select).distinct.map(col): _*)).getOrElse(d))
+        cur.foreach { base =>
+          dedup.foreach {
+            case t: ExactTier => attempt(s"dedup ${t.name}")(t.trust match {
+              case Some(tr) => Dedup.exactPreferring(
+                base, col(idName), expr(tr), t.content.map(expr): _*).schema
+              case None =>
+                Dedup.exact(base, col(idName), t.content.map(expr): _*).schema
+            })
+            case t: NearTier => attempt(s"dedup ${t.name}")(
+              Dedup.dropNearDupsKeepLargest(base, col(idName), expr(t.text),
+                expr(t.sizeBy), t.shingleSize, t.threshold, t.maxBucketSize).schema)
+          }
+          gates.foreach { case (n, w) =>
+            attempt(s"gate $n")(base.where(expr(w)).schema)
+          }
+          weight.foreach(w => attempt("weight")(base.select(expr(w)).schema))
+          sample.foreach(sm => attempt("sample") {
+            base.select(expr(sm.domain)).schema
+            base.select(expr(sm.tokens)).schema
+          })
+        }
+      }
+      errs.toSeq
+    }
+
+    def toYaml: String = {
+      val root = new java.util.LinkedHashMap[String, Any]()
+      root.put("version", version)
+      root.put("name", name)
+      def jmap(kvs: (String, Any)*): java.util.LinkedHashMap[String, Any] = {
+        val m = new java.util.LinkedHashMap[String, Any]()
+        kvs.foreach { case (k, v) => m.put(k, v) }
+        m
+      }
+      def jlist(xs: Seq[Any]): java.util.ArrayList[Any] = {
+        val l = new java.util.ArrayList[Any](); xs.foreach(l.add); l
+      }
+      root.put("sources", jlist(sources.map { s =>
+        val m = jmap("format" -> s.format, "path" -> s.path)
+        s.schemaDdl.foreach(m.put("schema", _))
+        if (s.map.nonEmpty) m.put("map", jmap(s.map: _*))
+        if (s.delimiter != ",") m.put("delimiter", s.delimiter)
+        s.quarantineDir.foreach(m.put("quarantine", _))
+        m
+      }))
+      root.put("id", jmap("name" -> idName, "expr" -> idExpr))
+      if (prepare.nonEmpty) root.put("prepare", jlist(prepare.map { case (c, e) =>
+        jmap("column" -> c, "expr" -> e)
+      }))
+      if (select.nonEmpty) root.put("select", jlist(select))
+      if (dedup.nonEmpty) root.put("dedup", jlist(dedup.map {
+        case t: ExactTier =>
+          val m = jmap("kind" -> t.kind, "name" -> t.name,
+            "content" -> jlist(t.content))
+          t.trust.foreach(m.put("trust", _))
+          m
+        case t: NearTier => jmap("kind" -> t.kind, "name" -> t.name,
+          "text" -> t.text, "sizeBy" -> t.sizeBy,
+          "shingleSize" -> t.shingleSize, "threshold" -> t.threshold,
+          "maxBucketSize" -> t.maxBucketSize)
+      }))
+      if (gates.nonEmpty) root.put("gates", jlist(gates.map { case (n, w) =>
+        jmap("name" -> n, "where" -> w)
+      }))
+      decontaminate.foreach { d =>
+        val m = jmap("name" -> d.name, "path" -> d.path)
+        d.where.foreach(m.put("where", _))
+        m.put("text", d.textExpr)
+        if (d.benchTextExpr != d.textExpr) m.put("benchText", d.benchTextExpr)
+        m.put("n", d.n); m.put("minShared", d.minShared)
+        root.put("decontaminate", m)
+      }
+      weight.foreach(root.put("weight", _))
+      sample.foreach(sm => root.put("sample", jmap("domain" -> sm.domain,
+        "tokens" -> sm.tokens, "budgetFraction" -> sm.budgetFraction,
+        "alpha" -> sm.alpha)))
+      shards.foreach(sh => root.put("shards", jmap("nShards" -> sh.nShards)))
+      val opts = new org.yaml.snakeyaml.DumperOptions()
+      opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+      new org.yaml.snakeyaml.Yaml(opts).dump(root)
+    }
+
+    /** Run the configured chain; artifacts (funnel parquet + markdown,
+     * shard manifest, one-line JSON summary) land under `work`. */
+    def run(spark: SparkSession, work: String): BatchResult = {
+      graft.functions.Registry.registerAll(spark)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+
+      // ---- quarantining front doors → one union frame
+      var quarantined = 0L
+      val raw = sources.map { s =>
+        val (rows, bad) = s.format match {
+          case "warc" => graft.sources.Warc.read(spark, s.path)
+          case "jsonl" => graft.sources.Jsonl.read(spark, s.path,
+            StructType.fromDDL(s.schemaDdl.get))
+          case "csv" => graft.sources.Csv.read(spark, s.path,
+            StructType.fromDDL(s.schemaDdl.get), s.delimiter)
+        }
+        s.quarantineDir.foreach(q => bad.write.mode("overwrite").parquet(q))
+        quarantined += bad.count()
+        if (s.map.isEmpty) rows
+        else rows.select(s.map.map { case (n, e) => expr(e).as(n) }: _*)
+      }.reduce(_ unionByName _)
+
+      // ---- id on RAW columns, then ordered enrichments, then the slim
+      // persisted base every downstream stage reads
+      val withId = raw.select(expr(idExpr).as(idName) +: raw.columns.map(col): _*)
+      val prepared = prepare.foldLeft(withId) { case (d, (c, e)) =>
+        d.withColumn(c, expr(e))
+      }
+      val base = (if (select.isEmpty) prepared
+                  else prepared.select((idName +: select).distinct.map(col): _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ingested = base.count()
+
+      // ---- dedup tiers: checkpointed survivor ids, each tier threading
+      // off the previous tier's checkpoint (one execution per tier)
+      var cur = base
+      val tierIds: Seq[(String, DataFrame)] = dedup.map { t =>
+        val survivors = t match {
+          case e: ExactTier => e.trust match {
+            case Some(tr) => Dedup.exactPreferring(
+              cur, col(idName), expr(tr), e.content.map(expr): _*)
+            case None => Dedup.exact(cur, col(idName), e.content.map(expr): _*)
+          }
+          case n: NearTier => Dedup.dropNearDupsKeepLargest(
+            cur, col(idName), expr(n.text), expr(n.sizeBy),
+            n.shingleSize, n.threshold, n.maxBucketSize)
+        }
+        val ids = survivors.select(col(idName)).localCheckpoint()
+        cur = base.join(ids, Seq(idName), "leftsemi")
+        t.name -> ids
+      }
+
+      // ---- flags on the one base frame: tiers, gates, decontamination
+      var flagged = base
+      val flagCols = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+      tierIds.zipWithIndex.foreach { case ((tname, ids), i) =>
+        val c = s"graft_flag_$i"
+        flagged = flagged
+          .join(ids.withColumn(c, lit(true)), Seq(idName), "left")
+          .withColumn(c, coalesce(col(c), lit(false)))
+        flagCols += tname -> col(c)
+      }
+      gates.zipWithIndex.foreach { case ((gname, where), i) =>
+        val c = s"graft_gate_$i"
+        flagged = flagged.withColumn(c, coalesce(expr(where), lit(false)))
+        flagCols += gname -> col(c)
+      }
+      val (flaggedFinal, gateCols) = decontaminate match {
+        case Some(d) =>
+          val bench0 = spark.read.parquet(d.path)
+          val bench = d.where.map(w => bench0.where(expr(w))).getOrElse(bench0)
+            .select(expr(d.benchTextExpr).as("graft_bench_text"))
+          val leaking = Curation.decontaminate(base, col(idName),
+              expr(d.textExpr), bench, col("graft_bench_text"),
+              n = d.n, minShared = d.minShared)
+            .select(col("id").as(idName)).withColumn("graft_leak", lit(true))
+          val f = flagged.join(leaking, Seq(idName), "left")
+            .withColumn("graft_decon", col("graft_leak").isNull)
+          (f, flagCols.toSeq :+ (d.name -> col("graft_decon")))
+        case None => (flagged, flagCols.toSeq)
+      }
+      val materialized = flaggedFinal.localCheckpoint()
+
+      // ---- the whole-chain first-fail funnel
+      val w = weight.map(expr).getOrElse(lit(1L))
+      val funnel = Curation.retentionFunnel(materialized, gateCols, weight = w)
+      funnel.write.mode("overwrite").parquet(s"$work/funnel.parquet")
+
+      // ---- survivors → optional temperature sample → optional shards
+      val survivors = materialized.where(gateCols.map(_._2).reduce(_ && _))
+      val sampled = sample match {
+        case Some(sm) =>
+          val tot = survivors
+            .agg(coalesce(sum(expr(sm.tokens)), lit(0L)).cast("long"))
+            .head().getLong(0)
+          Curation.temperatureSample(survivors, col(idName), expr(sm.domain),
+            expr(sm.tokens), totalBudget = math.max(1L,
+              (tot * sm.budgetFraction).toLong), alpha = sm.alpha)
+        case None => survivors
+      }
+      val manifest = shards.map { sh =>
+        Curation.writeShards(sampled,
+          col(idName), weight.map(expr).getOrElse(lit(1L)),
+          s"$work/shards", nShards = sh.nShards).localCheckpoint()
+      }
+      base.unpersist(blocking = false)
+      BatchResult(funnel, ingested, quarantined, manifest)
+    }
+  }
+
+  final case class BatchResult(funnel: DataFrame, ingested: Long,
+      quarantined: Long, shardManifest: Option[DataFrame])
+
+  // ---- yaml (snakeyaml untyped maps; same helpers posture as
+  // PipelineConfig — fail with the step location in the message) ----
+
+  def fromYaml(yaml: String): BatchSpec = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Any]](yaml)
+    require(root != null, "empty batch pipeline yaml")
+    val version = int(root, "version", "batch pipeline")
+    require(version == 1, s"unsupported batch pipeline version $version")
+    val name = str(root, "name", "batch pipeline")
+    val sources = mapList(root, "sources", "batch pipeline").zipWithIndex.map {
+      case (m, i) =>
+        val where = s"source $i"
+        Source(str(m, "format", where), str(m, "path", where),
+          Option(m.get("schema")).map(_.toString),
+          Option(m.get("map")).map(asPairs(_, where)).getOrElse(Nil),
+          strOr(m, "delimiter", ","),
+          Option(m.get("quarantine")).map(_.toString))
+    }
+    val idm = subMap(root, "id", "batch pipeline")
+    val prepare = optMapList(root, "prepare").zipWithIndex.map { case (m, i) =>
+      (str(m, "column", s"prepare $i"), str(m, "expr", s"prepare $i"))
+    }
+    val dedup: Seq[Tier] = optMapList(root, "dedup").zipWithIndex.map {
+      case (m, i) =>
+        val where = s"dedup $i"
+        str(m, "kind", where) match {
+          case "exact" => ExactTier(str(m, "name", where),
+            strList(m, "content", where), Option(m.get("trust")).map(_.toString))
+          case "near_keep_largest" => NearTier(str(m, "name", where),
+            str(m, "text", where), str(m, "sizeBy", where),
+            intOr(m, "shingleSize", 3), doubleOr(m, "threshold", 0.7),
+            intOr(m, "maxBucketSize", 1000))
+          case other => fail(where, s"unknown dedup kind '$other'")
+        }
+    }
+    val gates = optMapList(root, "gates").zipWithIndex.map { case (m, i) =>
+      (str(m, "name", s"gate $i"), str(m, "where", s"gate $i"))
+    }
+    val decon = Option(root.get("decontaminate")).map { v =>
+      val m = asMap(v, "decontaminate")
+      val txt = str(m, "text", "decontaminate")
+      Decon(str(m, "name", "decontaminate"), str(m, "path", "decontaminate"),
+        Option(m.get("where")).map(_.toString), txt,
+        strOr(m, "benchText", txt), intOr(m, "n", 8), intOr(m, "minShared", 1))
+    }
+    val sample = Option(root.get("sample")).map { v =>
+      val m = asMap(v, "sample")
+      TempSample(str(m, "domain", "sample"), str(m, "tokens", "sample"),
+        dbl(m, "budgetFraction", "sample"), doubleOr(m, "alpha", 0.5))
+    }
+    val shards = Option(root.get("shards")).map { v =>
+      ShardSpec(int(asMap(v, "shards"), "nShards", "shards"))
+    }
+    BatchSpec(version, name, sources,
+      str(idm, "name", "id"), str(idm, "expr", "id"),
+      prepare, optStrList(root, "select"), dedup, gates, decon,
+      Option(root.get("weight")).map(_.toString), sample, shards)
+  }
+
+  private def fail(where: String, msg: String): Nothing =
+    throw new IllegalArgumentException(s"batch pipeline config: $where: $msg")
+  private def asMap(v: Any, where: String): java.util.Map[String, Any] = v match {
+    case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]]
+    case other => fail(where, s"expected a map, got $other")
+  }
+  private def asPairs(v: Any, where: String): Seq[(String, String)] = v match {
+    case m: java.util.Map[_, _] =>
+      val b = Seq.newBuilder[(String, String)]
+      m.forEach((k, vv) => b += ((k.toString, vv.toString)))
+      b.result()
+    case other => fail(where, s"expected a map, got $other")
+  }
+  private def subMap(m: java.util.Map[String, Any], k: String,
+      where: String): java.util.Map[String, Any] =
+    m.get(k) match {
+      case null => fail(where, s"missing required field '$k'")
+      case v => asMap(v, s"$where.$k")
+    }
+  private def mapList(m: java.util.Map[String, Any], k: String,
+      where: String): Seq[java.util.Map[String, Any]] =
+    m.get(k) match {
+      case l: java.util.List[_] if !l.isEmpty =>
+        (0 until l.size).map(i => asMap(l.get(i), s"$where.$k[$i]"))
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be a non-empty list, got $other")
+    }
+  private def optMapList(m: java.util.Map[String, Any],
+      k: String): Seq[java.util.Map[String, Any]] =
+    m.get(k) match {
+      case l: java.util.List[_] => (0 until l.size).map(i => asMap(l.get(i), s"$k[$i]"))
+      case _ => Nil
+    }
+  private def optStrList(m: java.util.Map[String, Any], k: String): Seq[String] =
+    m.get(k) match {
+      case l: java.util.List[_] => (0 until l.size).map(i => l.get(i).toString)
+      case _ => Nil
+    }
+  private def strList(m: java.util.Map[String, Any], k: String,
+      where: String): Seq[String] =
+    m.get(k) match {
+      case l: java.util.List[_] if !l.isEmpty =>
+        (0 until l.size).map(i => l.get(i).toString)
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be a non-empty list, got $other")
+    }
+  private def str(m: java.util.Map[String, Any], k: String, where: String): String =
+    m.get(k) match {
+      case s: String if s.nonEmpty => s
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be a non-empty string, got $other")
+    }
+  private def strOr(m: java.util.Map[String, Any], k: String, dflt: String): String =
+    m.get(k) match { case s: String => s; case _ => dflt }
+  private def int(m: java.util.Map[String, Any], k: String, where: String): Int =
+    m.get(k) match {
+      case n: java.lang.Number => n.intValue
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be an integer, got $other")
+    }
+  private def intOr(m: java.util.Map[String, Any], k: String, dflt: Int): Int =
+    m.get(k) match { case n: java.lang.Number => n.intValue; case _ => dflt }
+  private def dbl(m: java.util.Map[String, Any], k: String, where: String): Double =
+    m.get(k) match {
+      case n: java.lang.Number => n.doubleValue
+      case null => fail(where, s"missing required field '$k'")
+      case other => fail(where, s"field '$k' must be a number, got $other")
+    }
+  private def doubleOr(m: java.util.Map[String, Any], k: String, dflt: Double): Double =
+    m.get(k) match { case n: java.lang.Number => n.doubleValue; case _ => dflt }
+}

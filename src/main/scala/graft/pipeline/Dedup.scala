@@ -640,6 +640,37 @@ object Dedup {
   }
 
   /**
+   * PAIRWISE near-dup removal keeping the MORE COMPLETE member of each
+   * verified pair: for every candidate pair with shingle-Jaccard ≥
+   * `threshold`, the member with the LOWER `sizeCol` (a token/char count —
+   * a truncated scrape loses to the full page) is dropped; ties go to the
+   * higher id, matching [[dropNearDups]]'s keep-lowest direction. Same
+   * cost shape as [[dropNearDups]] — one LSH pass plus one slim
+   * (id → size) join onto the verified pairs, no connected-components
+   * fixpoint; use [[dropNearDupsPreferring]] when transitive FAMILIES
+   * must elect one canonical member (A~B~C with A≁C keeps only the best
+   * of the family there, while the pairwise rule here can drop both B's
+   * neighbors and keep B). The composed batch pipeline's near tier.
+   */
+  def dropNearDupsKeepLargest(
+      df: DataFrame, idCol: Column, textCol: Column, sizeCol: Column,
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol,
+      shingleSize = shingleSize, threshold = threshold,
+      maxBucketSize = maxBucketSize)
+    val sizes = df.select(idCol.as("graft_sid"), sizeCol.as("graft_sz"))
+    val losers = pairs
+      .join(sizes.select(col("graft_sid").as("id_a"), col("graft_sz").as("graft_sz_a")), "id_a")
+      .join(sizes.select(col("graft_sid").as("id_b"), col("graft_sz").as("graft_sz_b")), "id_b")
+      .select(when(col("graft_sz_a") < col("graft_sz_b"), col("id_a"))
+        .when(col("graft_sz_b") < col("graft_sz_a"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("graft_drop_id"))
+      .distinct()
+    df.join(losers, idCol === col("graft_drop_id"), "left_anti")
+  }
+
+  /**
    * Near-dup removal keeping the BEST-PRIORITY member of each cluster —
    * rank-aware canonical selection: with a host-rank / trust / length
    * prior as the priority, the canonical source survives and the scraper

@@ -87,6 +87,14 @@ object Warc {
     (rows, bad)
   }
 
+  /** Empty frame with [[read]]'s ok-side schema — lets config validation
+   * (BatchConfig.validate) dry-resolve a WARC source without touching
+   * any path. */
+  def emptyFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[WarcRow].toDF()
+  }
+
   /** Ingest telemetry in one pass: (total_records, ok_records,
    * quarantined_records) — an aggregate over the single-parse frame. */
   def readStats(spark: SparkSession, path: String): DataFrame =
