@@ -184,7 +184,8 @@ object BatchPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try run(spark, src, work)
+    try run(spark, src, work,
+      stageDir = if (args.length > 2) Some(args(2)) else None)
     finally spark.stop()
   }
 
@@ -216,6 +217,14 @@ object BatchPipeline {
       stageFrontDoor(spark, src, work)
     })
 
+  /** The chain's funnel order — fixed flag columns on the flagged frame,
+   * shared by the live build and the stage-resume path. */
+  private[graft] val chainGateCols: Seq[(String, Column)] = Seq(
+    "dedup_url" -> col("f_url"), "dedup_content" -> col("f_text"),
+    "dedup_near" -> col("f_near"), "tokens" -> col("f_tokens"),
+    "langid" -> col("f_lang"), "gopher" -> col("f_gopher"),
+    "pii" -> col("f_pii"), "decontaminate" -> col("f_decon"))
+
   /**
    * The composed chain through the gate flags: stage the raw fixture,
    * ingest through the quarantining front doors, extract/repair/
@@ -226,39 +235,76 @@ object BatchPipeline {
    * the exact production composition rather than a test twin. Caller
    * owns `chain.base` — unpersist it when done. `staged` short-circuits
    * fixture synthesis with an already-staged front door ([[stagedOnce]]).
+   *
+   * RESTARTABILITY: with `stageDir` set, the two expensive stage outputs
+   * — the ingested `base` frame (everything upstream of dedup: the WARC/
+   * JSONL parse, HTML extraction, repair, canonicalization) and the
+   * `flagged` frame (dedup tiers + gates + decontamination) — are
+   * committed under it with [[graft.pipeline.Incremental.commitStage]]'s
+   * manifest-guarded protocol, and a re-run resumes from the LAST
+   * COMMITTED stage instead of raw WARC (at 100 TB a crash in hour 30 of
+   * a 40-hour chain must not re-parse the crawl). Torn writes read as
+   * absent and recompute; retries are idempotent; resuming assumes the
+   * same `src`/config — use one stageDir per run like any checkpoint dir.
    */
   private[graft] def runChain(spark: SparkSession, src: String, work: String,
       timed: Timer = NoTimer,
-      staged: Option[(String, String)] = None): Chain = {
-    import graft.pipeline.{Curation, Pii, Text}
+      staged: Option[(String, String)] = None,
+      stageDir: Option[String] = None): Chain = {
+    import graft.pipeline.{Curation, Incremental, Pii, Text}
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
 
+    // ---- resume from the flagged stage if a committed copy exists
+    stageDir.filter(d => Incremental.committedStage(spark, s"$d/flagged"))
+      .foreach { d =>
+        val flagged = spark.read.parquet(s"$d/flagged")
+        val q = Incremental.stageMeta(spark, s"$d/flagged")
+          .getOrElse("quarantined", 0L)
+        return Chain(flagged, flagged, chainGateCols, q, flagged.count())
+      }
+
+    // ---- resume base, or ingest and (optionally) commit it
+    val resumeBase = stageDir
+      .filter(d => Incremental.committedStage(spark, s"$d/base"))
+
     // ---- stage the raw front door (fixture synthesis, not the pipeline)
-    val (warcDir, jsonlDir) = staged.getOrElse(timed("stage_raw") {
-      stageFrontDoor(spark, src, work)
-    })
+    val (warcDir, jsonlDir) =
+      if (resumeBase.nonEmpty) ("", "")
+      else staged.getOrElse(timed("stage_raw") {
+        stageFrontDoor(spark, src, work)
+      })
 
     // ---- ingest + extract + canonicalize: ONE persisted base frame
-    val (base, quarantined) = timed("ingest_extract") {
-      val (warcRows, warcBad) = graft.sources.Warc.read(spark, warcDir)
-      val jsonlSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("url",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("html",
-          org.apache.spark.sql.types.StringType)))
-      val (jsonlRows, jsonlBad) = graft.sources.Jsonl.read(spark, jsonlDir, jsonlSchema)
-      val raw = warcRows.select(col("url"), col("text").as("html"))
-        .unionAll(jsonlRows.select(col("url"), col("html")))
-      val b = raw.select(
-          xxhash64(col("url")).as("ingest_id"),
-          Text.urlCanonicalize(col("url")).as("url"),
-          Text.fixEncoding(
-            Text.extractHtml(col("html"), maxLinkDensity = 0.5)).as("text"))
-        .withColumn("tok", Text.tokenCount(col("text")))
-        .withColumn("domain", Text.registrableDomain(col("url")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val q = warcBad.count() + jsonlBad.count() // forces b's sources too
-      (b, q)
+    val (base, quarantined) = resumeBase match {
+      case Some(d) => timed("ingest_extract") {
+        (spark.read.parquet(s"$d/base")
+           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+         Incremental.stageMeta(spark, s"$d/base").getOrElse("quarantined", 0L))
+      }
+      case None => timed("ingest_extract") {
+        val (warcRows, warcBad) = graft.sources.Warc.read(spark, warcDir)
+        val jsonlSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("html",
+            org.apache.spark.sql.types.StringType)))
+        val (jsonlRows, jsonlBad) = graft.sources.Jsonl.read(spark, jsonlDir, jsonlSchema)
+        val raw = warcRows.select(col("url"), col("text").as("html"))
+          .unionAll(jsonlRows.select(col("url"), col("html")))
+        val b = raw.select(
+            xxhash64(col("url")).as("ingest_id"),
+            Text.urlCanonicalize(col("url")).as("url"),
+            Text.fixEncoding(
+              Text.extractHtml(col("html"), maxLinkDensity = 0.5)).as("text"))
+          .withColumn("tok", Text.tokenCount(col("text")))
+          .withColumn("domain", Text.registrableDomain(col("url")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val q = warcBad.count() + jsonlBad.count() // forces b's sources too
+        stageDir.foreach(d =>
+          Incremental.commitStage(spark, s"$d/base", b,
+            Map("quarantined" -> q)))
+        (b, q)
+      }
     }
     val ingested = base.count()
 
@@ -300,19 +346,18 @@ object BatchPipeline {
         .withColumn("f_decon", col("graft_leak").isNull)
         .localCheckpoint() // gates + dedup flags computed exactly once
     }
-
-    // funnel order over the WHOLE chain
-    val gateCols = Seq(
-      "dedup_url" -> col("f_url"), "dedup_content" -> col("f_text"),
-      "dedup_near" -> col("f_near"), "tokens" -> col("f_tokens"),
-      "langid" -> col("f_lang"), "gopher" -> col("f_gopher"),
-      "pii" -> col("f_pii"), "decontaminate" -> col("f_decon"))
-    Chain(base, flagged, gateCols, quarantined, ingested)
+    stageDir.foreach(d =>
+      Incremental.commitStage(spark, s"$d/flagged", flagged,
+        Map("quarantined" -> quarantined)))
+    Chain(base, flagged, chainGateCols, quarantined, ingested)
   }
 
   /** Runs the whole pipeline; returns the one-line JSON summary (also
-   * printed and written to `workDir/pipeline_summary.json`). */
-  def run(spark: SparkSession, src: String, work: String): String = {
+   * printed and written to `workDir/pipeline_summary.json`). With
+   * `stageDir` set, a re-run resumes from the last committed stage
+   * (see [[runChain]]'s restartability contract). */
+  def run(spark: SparkSession, src: String, work: String,
+      stageDir: Option[String] = None): String = {
     import graft.pipeline.{Curation, DataCard}
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val audits = scala.collection.mutable.ArrayBuffer.empty[Map[String, Int]]
@@ -325,7 +370,7 @@ object BatchPipeline {
       }
     }
 
-    val chain = runChain(spark, src, work, timed)
+    val chain = runChain(spark, src, work, timed, stageDir = stageDir)
     val Chain(base, flagged, gateCols, quarantined, ingested) = chain
     audits += Soak.planAudit(flagged)
 

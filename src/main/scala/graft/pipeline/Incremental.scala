@@ -171,6 +171,77 @@ object Incremental {
 
   // ------------------------------------------------------- compaction swap
 
+  /**
+   * Manifest-guarded FRESH stage commit for restartable chains (the
+   * BatchPipeline resume contract): at 100 TB a crash in hour 30 of a
+   * 40-hour chain must not restart from raw WARC, so optional stage
+   * outputs are committed with the same torn-write discipline as
+   * [[compact]]'s swap — write to `dir__stage_tmp`, stamp small metadata
+   * INSIDE the copy (`_graft_meta.json`, riding the rename atomically),
+   * record the expected parquet-file count manifest, rename into place,
+   * drop the manifest. [[committedStage]] accepts a dir only when no
+   * in-flight marker contradicts it — a torn write reads as ABSENT
+   * (recompute), never as an empty or partial table. Idempotent: an
+   * already-committed dir is left untouched, so retries resume.
+   */
+  private[graft] def commitStage(spark: SparkSession, dir: String,
+      df: DataFrame, meta: Map[String, Long] = Map.empty): Unit = {
+    if (committedStage(spark, dir)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__stage_tmp")
+    val manifest = new org.apache.hadoop.fs.Path(dir + "__stage_manifest")
+    // scrap any torn leftovers from a previous crash
+    Seq(p, tmp, manifest).foreach(x => if (fs.exists(x)) fs.delete(x, true))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val metaJson = meta.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val mOut = fs.create(new org.apache.hadoop.fs.Path(tmp, "_graft_meta.json"), true)
+    try mOut.write(metaJson.getBytes("UTF-8")) finally mOut.close()
+    val out = fs.create(manifest, true)
+    try out.write(parquetFileCount(fs, tmp).toString.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"cannot move stage $dir into place")
+    fs.delete(manifest, false)
+  }
+
+  /** True iff `dir` holds a complete committed stage: the dir exists, no
+   * tmp copy is in flight, and any crash-leftover manifest matches the
+   * dir's parquet-file count (in which case it is cleaned up). */
+  private[graft] def committedStage(spark: SparkSession, dir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__stage_tmp")
+    if (fs.exists(tmp)) return false // commit never finished
+    val manifest = new org.apache.hadoop.fs.Path(dir + "__stage_manifest")
+    if (!fs.exists(manifest)) return true
+    // crashed between rename and manifest delete: verify the copy
+    val in = fs.open(manifest)
+    val expected =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    if (parquetFileCount(fs, p) == expected) {
+      fs.delete(manifest, false); true
+    } else false
+  }
+
+  /** The metadata stamped into a committed stage by [[commitStage]]. */
+  private[graft] def stageMeta(spark: SparkSession, dir: String): Map[String, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_meta.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+    """"([^"]+)":(-?\d+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
   private[graft] def parquetFileCount(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Long = {
     val it = fs.listFiles(p, true)
