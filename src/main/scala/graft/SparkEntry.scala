@@ -1652,9 +1652,12 @@ object SparkEntry {
       val vecs = nearDupCorpus(s, dir).select(col("doc_id"),
         graft.pipeline.Text.hashedBow(col("text"), 128).as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Similarity.semanticDedup(
+      val out = graft.pipeline.Similarity.semanticDedup(
           vecs, "doc_id", "embedding", threshold = 0.95, nlist = 32, iters = 2)
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      vecs.unpersist(blocking = false)
+      out
     }),
     "q_embedding_outliers" -> ((s, dir) => {
       // corrupt/out-of-distribution embedding hygiene: cosine to the
@@ -1937,8 +1940,11 @@ object SparkEntry {
       val scoreSet = d.select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
       val model = graft.pipeline.Lm.train(d, col("text"))
-      graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
+      val out = graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      model.release()
+      out
     }),
     "q_bm25_index_build" -> ((s, dir) => {
       // the once-per-corpus inverted-index build cost measured on its own
@@ -2001,8 +2007,11 @@ object SparkEntry {
       val scoreSet = d.select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
       val model = graft.pipeline.Lm.train(d, col("text"), order = 3)
-      graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
+      val out = graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      model.release()
+      out
     }),
     "q_lm5_score" -> ((s, dir) => {
       // CCNet-shape interpolated 5-gram LM (recursive Jelinek–Mercer down
@@ -2012,8 +2021,11 @@ object SparkEntry {
       val scoreSet = d.select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
       val model = graft.pipeline.Lm.train(d, col("text"), order = 5)
-      graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
+      val out = graft.pipeline.Lm.score(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      model.release()
+      out
     }),
     "q_lm_kn" -> ((s, dir) => {
       // interpolated Kneser-Ney at order 3 (D=0.75, add-1 continuation
@@ -2025,8 +2037,11 @@ object SparkEntry {
       val scoreSet = d.select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
       val model = graft.pipeline.Lm.train(d, col("text"), order = 3)
-      graft.pipeline.Lm.scoreKn(model, scoreSet, col("doc_id"), col("t"))
+      val out = graft.pipeline.Lm.scoreKn(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      model.release()
+      out
     }),
     "q_lm_mkn" -> ((s, dir) => {
       // MODIFIED Kneser-Ney at order 3 (KenLM default: count-dependent
@@ -2039,20 +2054,30 @@ object SparkEntry {
       val scoreSet = d.select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" zzqx9 vvkk7 zzqx9")).otherwise(lit(""))).as("t"))
       val model = graft.pipeline.Lm.train(d, col("text"), order = 3)
-      graft.pipeline.Lm.scoreMkn(model, scoreSet, col("doc_id"), col("t"))
+      val out = graft.pipeline.Lm.scoreMkn(model, scoreSet, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      model.release()
+      out
     }),
     "q_collocations" -> ((s, dir) => {
       // PMI-ranked bigram collocations from the corpus-trained LM counts
       val model = graft.pipeline.Lm.train(docs(s, dir), col("text"))
-      graft.pipeline.Lm.collocations(model, minCount = 5L)
+      val out = graft.pipeline.Lm.collocations(model, minCount = 5L)
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      model.release()
+      out
     }),
     "q_lm_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail terciles by mean transition probability
       val d = docs(s, dir)
       val model = graft.pipeline.Lm.train(d, col("text"))
-      graft.pipeline.Lm.perplexityBuckets(model, d, col("doc_id"), col("text"))
+      val out = graft.pipeline.Lm
+        .perplexityBuckets(model, d, col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      model.release()
+      out
     }),
     "q_lm_filter" -> ((s, dir) => {
       // CCNet paragraph filter: frame docs sentence-per-paragraph, plant a
@@ -2064,9 +2089,12 @@ object SparkEntry {
         when(col("doc_id") % 4 === 0,
           lit("\n\nzzqx9 vvkk7 zzqx9 qqy3")).otherwise(lit(""))).as("t"))
       val model = graft.pipeline.Lm.train(d, col("text"))
-      graft.pipeline.Lm.filterParagraphs(
+      val out = graft.pipeline.Lm.filterParagraphs(
           model, framed, col("doc_id"), col("t"), minMeanProbE12 = 1000000000L)
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      model.release()
+      out
     }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR targeted selection: importance-weight every doc against the
@@ -2076,8 +2104,11 @@ object SparkEntry {
       val d = docs(s, dir)
       val model = graft.pipeline.Dsir.train(
         d, col("text"), d.where(col("lang") === "en"), col("text"), nBuckets = 4096)
-      graft.pipeline.Dsir.weightInline(
-          graft.pipeline.Dsir.collectModel(model), d, col("doc_id"), col("text"))
+      // collectModel drains the llr table to the driver — release the
+      // pinned cache right away; the inline scorer needs no model tables
+      val collected = graft.pipeline.Dsir.collectModel(model)
+      model.release()
+      graft.pipeline.Dsir.weightInline(collected, d, col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
     }),
     "q_decontaminate" -> ((s, dir) => {
@@ -2104,6 +2135,29 @@ object SparkEntry {
           shingleSize = 5, threshold = 0.6)
         .select(col("id_q").as("bench_id"), col("id_c").as("doc_id"),
           round(col("containment"), 6).as("containment"))
+    }),
+    "q_containment_gate" -> ((s, dir) => {
+      // row-local containment decontamination via the BROADCAST index —
+      // the streaming gate's probe expression run batch-side (r16: the
+      // containment join's stateless live twin). Same fixture as
+      // q_decontaminate_containment: benchmark items are 36-word slices
+      // of every 10th doc; per doc the expression reports the MAX
+      // containment over all items and the gate verdict at 0.6. The
+      // oracle replays the identical set math per (doc, item) and takes
+      // the max. Materialize-then-unregister: the index broadcast must
+      // not outlive the query in a long-lived driver.
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 10 === 0).select(
+        concat_ws(" ", slice(split(col("text"), " "), 5, 36)).as("bench_text"))
+      graft.lookups.Lookups.registerContainmentFrom(
+        s, "graft_q_contain", bench, col("bench_text"), shingleSize = 5)
+      val out = d.select(col("doc_id"),
+          round(graft.lookups.Lookups.containmentIn(
+            col("text"), "graft_q_contain", 5), 6).as("containment"))
+        .withColumn("kept", col("containment") < 0.6)
+        .localCheckpoint()
+      graft.lookups.Lookups.unregisterContainment("graft_q_contain")
+      out
     }),
     "q_badwords" -> ((s, dir) => {
       // C4-style blocklist gate: one alternation regex over the list,
@@ -2830,9 +2884,12 @@ object SparkEntry {
     }),
     "q_tfidf" -> ((s, dir) => {
       // per-doc top-5 tf-idf keywords (6-dp rounded scores, term-asc ties)
-      graft.pipeline.Curation.tfidfKeywords(
-          docs(s, dir), col("doc_id"), col("text"), topK = 5)
-        .withColumnRenamed("id", "doc_id")
+      val (kw, releaseTf) = graft.pipeline.Curation.tfidfKeywordsHandle(
+        docs(s, dir), col("doc_id"), col("text"), topK = 5)
+      val out = kw.withColumnRenamed("id", "doc_id")
+        .localCheckpoint() // materialize-then-release (r15 #8 posture)
+      releaseTf()
+      out
     }),
     "q_quantile_gate" -> ((s, dir) => {
       // adaptive threshold: keep the top 70% of docs by token count; the
@@ -3257,6 +3314,34 @@ object SparkEntry {
         |FROM bs JOIN cs USING (g)
         |GROUP BY bs.bench_id, cs.doc_id
         |HAVING count(*) / any_value(bs.nq) >= 0.6""".stripMargin,
+    "q_containment_gate" ->
+      // max containment per doc over all benchmark items, same set math
+      // as q_decontaminate_containment, then the 0.6 gate verdict
+      """WITH b AS (
+        |  SELECT doc_id AS bench_id,
+        |         string_split_regex(trim(lower(array_to_string(string_split(text, ' ')[5:40], ' '))), '\s+') AS ws
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), bs AS (
+        |  SELECT bench_id,
+        |         len(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, greatest(len(ws) - 4, 1) + 1)])) AS nq,
+        |         unnest(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, greatest(len(ws) - 4, 1) + 1)])) AS g
+        |  FROM b
+        |), c AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+        |), cs AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, greatest(len(ws) - 4, 1) + 1)])) AS g
+        |  FROM c
+        |), per AS (
+        |  SELECT cs.doc_id, bs.bench_id, count(*) / any_value(bs.nq) AS cont
+        |  FROM bs JOIN cs USING (g)
+        |  GROUP BY 1, 2
+        |), mx AS (
+        |  SELECT doc_id, max(cont) AS m FROM per GROUP BY 1
+        |)
+        |SELECT d.doc_id, round(coalesce(mx.m, 0.0), 6) AS containment,
+        |       coalesce(mx.m, 0.0) < 0.6 AS kept
+        |FROM documents d LEFT JOIN mx USING (doc_id)""".stripMargin,
     "q_dq_ordering" ->
       """WITH f AS (
         |  SELECT user_id, event_id,

@@ -217,6 +217,9 @@ object Registry {
     "html_meta" -> (es => graft.pipeline.HtmlMetaExpression(es.head)),
     "url_canonicalize" -> (es => graft.pipeline.UrlCanonicalizeExpression(es.head)),
     "fix_encoding" -> (es => graft.pipeline.FixEncodingExpression(es.head)),
+    "containment_in" -> (es => ex(graft.lookups.Lookups.containmentIn(
+      col(es.head), str(es(1), "name"),
+      if (es.size >= 3) litLong(es(2)).toInt else 5))),
     "pii_signals" -> (es => ex(graft.pipeline.Pii.piiSignals(col(es.head)))),
     "redact_pii" -> (es => ex(graft.pipeline.Pii.redactPii(col(es.head)))),
     "pii_density" -> (es => ex(graft.pipeline.Pii.piiDensity(col(es.head)))),

@@ -141,6 +141,74 @@ object Lookups {
 
   def isBloomRegistered(name: String): Boolean = blooms.containsKey(name)
 
+  /** A registered containment index: xxhash64'd distinct word shingles of
+   * each benchmark item (hash → item indexes) plus each item's distinct-
+   * shingle count — the broadcast-side of streaming/row-local containment
+   * decontamination. Benchmarks are MB-scale by contract, like blooms. */
+  final case class ContainmentEntry(
+      index: Broadcast[Map[Long, Array[Int]]], sizes: Broadcast[Array[Int]])
+
+  private val containments =
+    new java.util.concurrent.ConcurrentHashMap[String, ContainmentEntry]()
+
+  /**
+   * Build + register a containment index from a benchmark frame: per
+   * item, the distinct `shingleSize`-word shingles hashed with Spark's
+   * xxhash64 (so probe-side hashes composed from `shingles` +
+   * `xxhash64` agree bit-for-bit). One distributed pass, then a driver
+   * collect of hash arrays — the exact [[graft.pipeline.Dedup
+   * .containmentJoin]] query-side statistics, held broadcast so a
+   * STREAM (or any row-local projection) can compute max containment
+   * per document with zero shuffles and zero state: the fuzzy
+   * complement of the bloom decontamination gate, which counts shared
+   * n-grams but cannot express "≥ 80% of THIS item's shingles".
+   * Re-registering a name replaces and frees the old broadcasts.
+   */
+  def registerContainmentFrom(spark: SparkSession, name: String,
+      bench: DataFrame, textCol: Column, shingleSize: Int = 5): Unit = {
+    import org.apache.spark.sql.functions.{transform, xxhash64}
+    val items: Array[Array[Long]] = bench
+      .select(transform(graft.pipeline.Text.shingles(textCol, shingleSize),
+        s => xxhash64(s)).as("graft_hs"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val idx = scala.collection.mutable.HashMap.empty[Long, List[Int]]
+    items.zipWithIndex.foreach { case (hs, i) =>
+      hs.foreach(h => idx(h) = i :: idx.getOrElse(h, Nil))
+    }
+    val entry = ContainmentEntry(
+      spark.sparkContext.broadcast(idx.view.mapValues(_.toArray).toMap),
+      spark.sparkContext.broadcast(items.map(_.length)))
+    val old = containments.put(name, entry)
+    if (old != null) { old.index.destroy(); old.sizes.destroy() }
+  }
+
+  private[graft] def containment(name: String): ContainmentEntry = {
+    val c = containments.get(name)
+    require(c != null,
+      s"containment index '$name' is not registered - call registerContainmentFrom first")
+    c
+  }
+
+  def isContainmentRegistered(name: String): Boolean = containments.containsKey(name)
+
+  /** Free a registered containment index's broadcasts ([[unregisterBloom]]
+   * posture: consume every probing frame first). */
+  def unregisterContainment(name: String): Unit = {
+    val e = containments.remove(name)
+    if (e != null) { e.index.destroy(); e.sizes.destroy() }
+  }
+
+  /** Max shingle containment of any item of the registered index inside
+   * `textCol` (0.0 when nothing matches): row-local, codegen'd, composes
+   * the same distinct-shingle + xxhash64 statistics the index stores. */
+  def containmentIn(textCol: Column, name: String, shingleSize: Int = 5): Column = {
+    import org.apache.spark.sql.functions.{transform, xxhash64}
+    import org.apache.spark.sql.graft.Bridge
+    val hashes = transform(
+      graft.pipeline.Text.shingles(textCol, shingleSize), s => xxhash64(s))
+    Bridge.column(ContainmentInExpression(Bridge.expression(hashes), name))
+  }
+
   /** Remove a registered bloom and free its broadcast — the counterpart to
    * [[registerBloom]] for long-lived sessions that register many filters
    * (e.g. repeated decontamination screens). Callers must have consumed
@@ -151,7 +219,9 @@ object Lookups {
     if (e != null) e.buckets.destroy()
   }
 
-  private[graft] def clear(): Unit = { maps.clear(); blooms.clear() }
+  private[graft] def clear(): Unit = {
+    maps.clear(); blooms.clear(); containments.clear()
+  }
 }
 
 /** map_lookup(expr, 'name') — broadcast map get, null when missing. These
@@ -229,6 +299,63 @@ case class ProbabilityInExpression(child: Expression, name: String)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
     val ref = ctx.addReferenceObj("graftProbIn", this, classOf[ProbabilityInExpression].getName)
+    ev.copy(code = code"""
+      ${c.code}
+      double ${ev.value} = 0.0;
+      if (!${c.isNull}) { ${ev.value} = $ref.probe(${c.value}); }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** containment_in(shingle_hashes, 'name') — MAX shingle containment of any
+ * item of the registered benchmark index inside the row's shingle-hash
+ * array (0.0 when nothing matches). Replaces the containment JOIN for the
+ * broadcast-sized benchmark side, so a stream (or any row-local
+ * projection) decontaminates with zero shuffles and zero state; codegens
+ * as one instance call like the other probe expressions. Shingle hashes
+ * must be distinct per row — compose `shingles(text, k)` (distinct by
+ * contract) with `xxhash64`, which [[Lookups.containmentIn]] does. */
+case class ContainmentInExpression(child: Expression, name: String)
+    extends UnaryExpression {
+  @transient private lazy val entry = Lookups.containment(name)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = probe(child.eval(input))
+  /** Codegen entry point. */
+  def probe(v: Any): Double = {
+    if (v == null) return 0.0
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val idx = entry.index.value
+    val sizes = entry.sizes.value
+    if (sizes.length == 0) return 0.0
+    val counts = new Array[Int](sizes.length)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      idx.getOrElse(arr.getLong(i), null) match {
+        case null => ()
+        case hits =>
+          var j = 0
+          while (j < hits.length) { counts(hits(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    var best = 0.0
+    i = 0
+    while (i < counts.length) {
+      if (sizes(i) > 0) {
+        val c = counts(i).toDouble / sizes(i)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftContainIn", this,
+      classOf[ContainmentInExpression].getName)
     ev.copy(code = code"""
       ${c.code}
       double ${ev.value} = 0.0;

@@ -905,7 +905,21 @@ object Curation {
    */
   def tfidfKeywords(
       df: DataFrame, idCol: Column, textCol: Column,
-      topK: Int = 10, minDf: Int = 2, cache: Boolean = true): DataFrame = {
+      topK: Int = 10, minDf: Int = 2, cache: Boolean = true): DataFrame =
+    tfidfKeywordsImpl(df, idCol, textCol, topK, minDf, cache)._1
+
+  /** [[tfidfKeywords]] with the staging cache's RELEASE HANDLE — the
+   * rank-cache-handle pattern: a caller that materializes the result
+   * (localCheckpoint / collect / write) invokes the handle and leaves
+   * zero pinned residue in a long-lived driver. */
+  private[graft] def tfidfKeywordsHandle(
+      df: DataFrame, idCol: Column, textCol: Column,
+      topK: Int = 10, minDf: Int = 2): (DataFrame, () => Unit) =
+    tfidfKeywordsImpl(df, idCol, textCol, topK, minDf, cache = true)
+
+  private def tfidfKeywordsImpl(
+      df: DataFrame, idCol: Column, textCol: Column,
+      topK: Int, minDf: Int, cache: Boolean): (DataFrame, () => Unit) = {
     require(topK > 0, "topK must be positive")
     import graft.functions.dsl.top_k_by
     val ws = df.select(idCol.as("id"), Text.words(textCol, lowercase = true).as("graft_ws"))
@@ -933,11 +947,12 @@ object Curation {
         round(col("graft_tf").cast("double") *
           log(col("graft_n").cast("double") / col("graft_df").cast("double")), 6)
           .as("graft_score"))
-    scored.groupBy(col("id"))
+    val out = scored.groupBy(col("id"))
       .agg(top_k_by(col("graft_score"), col("graft_w"), topK).as("graft_topk"))
       .select(col("id"), posexplode(col("graft_topk")).as(Seq("graft_pos", "graft_t")))
       .select(col("id"), col("graft_t.item").as("term"),
         col("graft_t.ord").as("score"), (col("graft_pos") + 1).cast("int").as("rank"))
+    (out, () => if (cache) tf.unpersist(blocking = false))
   }
 
   /** One case-insensitive word-boundary alternation over the phrase list —

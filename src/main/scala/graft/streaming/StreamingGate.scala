@@ -136,4 +136,31 @@ object StreamingGate {
     stream.where(
       size(filter(Text.shingles(textCol, n), s => probe(s) > 0.0)) < minShared)
   }
+
+  /**
+   * Streaming CONTAINMENT decontamination — the live twin of
+   * [[graft.pipeline.Dedup.decontaminateByContainment]] (which had no
+   * streaming face; the bloom gate above counts shared n-grams but cannot
+   * express "≥ `threshold` of THIS benchmark item's shingles"): drop
+   * arriving documents that CONTAIN any item of the containment index
+   * registered (batch-side, once) under `indexName` — see
+   * [[graft.lookups.Lookups.registerContainmentFrom]]. EXACT, not
+   * sketched: the index holds every item's distinct shingle hashes, so
+   * batch and stream agree bit-for-bit on what is contaminated
+   * (spec-pinned), unlike the bloom gate's one-sided fpp.
+   *
+   * Stateless codegen'd projection + filter, append-safe: the index rides
+   * the registry broadcast (benchmarks are MB-scale by contract), so a
+   * 100 TB/day ingest pays one shingle pass per doc and ZERO shuffles or
+   * state stores. Use the same `shingleSize` the index was built with.
+   */
+  def containmentGate(
+      stream: DataFrame, textCol: Column, indexName: String,
+      shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    stream.where(
+      graft.lookups.Lookups.containmentIn(textCol, indexName, shingleSize)
+        < threshold)
+  }
 }

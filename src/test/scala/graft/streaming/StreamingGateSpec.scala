@@ -125,6 +125,54 @@ class StreamingGateSpec extends AnyFunSuite {
     }
   }
 
+  test("containment gate drops containing docs on a live stream, exact batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // asymmetric contamination: the benchmark item is a SLICE of a longer
+    // doc — Jaccard is low (the bloom/minhash regime misses the shape) but
+    // shingle containment is ~1.0
+    val benchSent = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val bench = Seq(Tuple1(benchSent)).toDF("text")
+    graft.lookups.Lookups.registerContainmentFrom(
+      spark, "graft_stream_contain", bench, col("text"), shingleSize = 5)
+    val containing = s"a very long introduction before the quote $benchSent " +
+      "and then a long tail of unrelated words follows here afterwards"
+    val partial = "alpha beta gamma delta epsilon something entirely different " +
+      "continues from here with its own words and no further overlap at all"
+    val clean = "totally different content with many of its own unique words " +
+      "spread across the whole document and nothing shared with the benchmark"
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val gated = StreamingGate.containmentGate(
+        mem.toDF().toDF("id", "text"), col("text"), "graft_stream_contain",
+        shingleSize = 5, threshold = 0.8)
+      val q = gated.writeStream.format("memory").queryName("contain_rows")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, containing), (2L, partial), (3L, clean), (4L, "short"))
+        q.processAllAvailable()
+        val kept = spark.sql("SELECT id FROM contain_rows").as[Long].collect().toSet
+        // only the doc CONTAINING the whole benchmark item drops: the
+        // partial overlap sits far under the 0.8 containment threshold
+        assert(kept == Set(2L, 3L, 4L), s"kept $kept")
+      } finally q.stop()
+      // EXACT batch parity: decontaminateByContainment keeps the same set
+      val batch = Seq((1L, containing), (2L, partial), (3L, clean), (4L, "short"))
+        .toDF("id", "text")
+      val batchKept = graft.pipeline.Dedup.decontaminateByContainment(
+          batch, col("id"), col("text"), bench.selectExpr("1L AS bid", "text"),
+          col("bid"), col("text"), shingleSize = 5, threshold = 0.8)
+        .select("id").as[Long].collect().toSet
+      assert(batchKept == Set(2L, 3L, 4L), s"batch kept $batchKept")
+      // and the SQL face agrees with the column face
+      graft.functions.Registry.registerAll(spark)
+      val viaSql = batch.where(
+        expr("containment_in(text, 'graft_stream_contain', 5) < 0.8D"))
+        .select("id").as[Long].collect().toSet
+      assert(viaSql == Set(2L, 3L, 4L), s"sql face kept $viaSql")
+    } finally graft.lookups.Lookups.unregisterContainment("graft_stream_contain")
+  }
+
   test("a collected DSIR model gates a stream statelessly") {
     import graft.pipeline.Dsir
     implicit val sqlCtx = spark.sqlContext
