@@ -114,6 +114,8 @@ object BatchConfig {
     require(sources.nonEmpty, s"batch pipeline '$name' has no sources")
     private val stageNames =
       dedup.map(_.name) ++ gates.map(_._1) ++ decontaminate.map(_.name)
+    require(stageNames.nonEmpty, s"batch pipeline '$name' needs at least " +
+      "one dedup tier, gate, or decontaminate stage (the funnel accounts them)")
     require(stageNames.distinct.size == stageNames.size,
       s"duplicate stage names in batch pipeline '$name': " +
         stageNames.diff(stageNames.distinct).mkString(", "))
