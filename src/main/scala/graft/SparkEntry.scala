@@ -2480,6 +2480,24 @@ object SparkEntry {
       graft.pipeline.Dedup.dedupSpans(framed, col("doc_id"), col("t"))
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_span_lengths" -> ((s, dir) => {
+      // the Lee et al. span-dedup AUDIT artifact (r16): the MERGED
+      // duplicated-span length distribution per source. Same fixture as
+      // q_dedup_spans — the 27-word syndication notice planted on every
+      // 4th doc must surface as 27-word merged spans on every occurrence
+      // except the corpus-first; the oracle replays window duplication by
+      // STRING, the (id, pos) first-occurrence ranking and the
+      // gaps-and-islands merge with window functions
+      val framed = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"), when(col("doc_id") % 4 === 0,
+          lit(" this article was syndicated from the example news network and" +
+            " may not be reproduced without permission from the original" +
+            " publisher all rights reserved worldwide in every region"))
+          .otherwise(lit(""))).as("t"))
+      graft.pipeline.Dedup.spanLengthReport(
+          framed, col("doc_id"), col("t"), col("source"))
+        .withColumnRenamed("group", "source")
+    }),
     "q_pii" -> ((s, dir) => {
       // plant deterministic PII spans in a slice of documents, then detect
       // and redact; counts and redacted text both oracle-checked
@@ -6778,6 +6796,48 @@ object SparkEntry {
         |       coalesce(r.n_words, 0) AS n_words,
         |       coalesce(r.n_removed, 0) AS n_removed
         |FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
+    "q_span_lengths" ->
+      // duplicated windows by STRING, (doc_id, pos) first-occurrence
+      // ranking, then gaps-and-islands over flagged positions: a window at
+      // p covers [p, p+20), adjacent-or-overlapping islands merge, length
+      // = max(end) - min(start)
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE WHEN doc_id % 4 = 0
+        |    THEN ' this article was syndicated from the example news network and may not be reproduced without permission from the original publisher all rights reserved worldwide in every region'
+        |    ELSE '' END AS t
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ws
+        |  FROM d
+        |), win AS (
+        |  SELECT doc_id, source, unnest(range(1, greatest(len(ws) - 20 + 2, 1))) AS i, ws
+        |  FROM w
+        |), g AS (
+        |  SELECT doc_id, source, i, array_to_string(ws[i:i+19], ' ') AS gram FROM win
+        |), f AS (
+        |  SELECT gram, count(*) AS c, min(doc_id * 1000000 + i) AS firstkey
+        |  FROM g GROUP BY 1
+        |), fl AS (
+        |  SELECT g.doc_id, g.source, g.i FROM g JOIN f USING (gram)
+        |  WHERE f.c > 1 AND g.doc_id * 1000000 + g.i <> f.firstkey
+        |), ord AS (
+        |  SELECT doc_id, source, i,
+        |         max(i + 20) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM fl
+        |), isl AS (
+        |  SELECT *, sum(CASE WHEN prevmax IS NULL OR i > prevmax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM ord
+        |), sp AS (
+        |  SELECT doc_id, any_value(source) AS source,
+        |         max(i + 20) - min(i) AS span_words
+        |  FROM isl GROUP BY doc_id, island
+        |)
+        |SELECT source, CAST(span_words AS INT) AS span_words,
+        |       count(*) AS n_spans
+        |FROM sp GROUP BY 1, 2""".stripMargin,
     "q_pii" ->
       """WITH p AS (
         |  SELECT doc_id,
