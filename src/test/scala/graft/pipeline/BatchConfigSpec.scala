@@ -67,11 +67,18 @@ class BatchConfigSpec extends AnyFunSuite {
 
   test("config run replays the hand-coded chain to a bit-identical funnel") {
     val (warcDir, jsonlDir) = graft.BatchPipeline.stagedOnce(spark, src)
-    val yaml = batchSpec(warcDir, jsonlDir).toYaml
+    val qDir = java.nio.file.Files.createTempDirectory("graft_bcfg_q").toString
+    val s0 = batchSpec(warcDir, jsonlDir)
+    val yaml = s0.copy(sources = s0.sources.map {
+      case s if s.format == "jsonl" => s.copy(quarantineDir = Some(s"$qDir/jsonl"))
+      case s => s
+    }).toYaml
     val parsed = BatchConfig.fromYaml(yaml) // run what a reviewer reads
     val work = java.nio.file.Files.createTempDirectory("graft_bcfg").toString
     val res = parsed.run(spark, work)
     assert(res.quarantined == 4L)
+    // the configured quarantine dir holds the 3 corrupt JSONL lines verbatim
+    assert(spark.read.parquet(s"$qDir/jsonl").count() == 3L)
 
     val work2 = java.nio.file.Files.createTempDirectory("graft_bcfg_ref").toString
     val chain = graft.BatchPipeline.runChain(spark, src, work2,

@@ -143,4 +143,28 @@ class DedupSpansSpec extends AnyFunSuite {
     assert(out(0L) == ((t, 6, 0)))
     assert(out(1L) == (("", 6, 6)))
   }
+
+  test("spanLengthReport: islands merge when overlapping OR adjacent, split on gaps") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // shared 3-word runs planted inside unique filler (w=3):
+    //   docB repeats docA's words 0..4  -> one merged 5-word span
+    //   docC repeats docA's words 0..2 and 6..8 (gap) -> two 3-word spans
+    //   docD repeats docA's words 0..2 and 3..5 (adjacent) -> ONE 6-word span
+    val a = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    val docs = Seq(
+      (0L, "ga", a),                                        // first occurrence: keeps all
+      (1L, "gb", "s1 s2 s3 s4 s5 ub1 ub2 ub3 ub4"),         // 5-word overlap run
+      (2L, "gc", "s1 s2 s3 uc1 uc2 uc3 s7 s8 s9"),          // two gapped 3-word runs
+      (3L, "gd", "s1 s2 s3 s4 s5 s6 ud1 ud2 ud3")           // 6-word adjacent run
+    ).toDF("id", "grp", "t")
+    val rep = Dedup.spanLengthReport(docs, col("id"), col("t"), col("grp"),
+        windowWords = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // docD's windows at 0..3 flag (0,1,2,3): spans [0,3),[1,4),[2,5),[3,6)
+    // chain into ONE island of length 6; docC's two runs stay separate
+    assert(rep == Set(("gb", 5, 1L), ("gc", 3, 2L), ("gd", 6, 1L)),
+      s"got $rep")
+  }
 }
