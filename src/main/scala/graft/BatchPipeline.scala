@@ -172,6 +172,50 @@ object BatchPipeline {
     (urlIds, textIds, nearIds)
   }
 
+  /**
+   * The YAML CONFIG TWIN of [[runChain]] over an already-staged front
+   * door — one source of truth shared by BatchConfigSpec's bit-identity
+   * parity spec and the q_pipeline_yaml driver query (which hash-gates
+   * the CONFIG EXECUTION against the same DuckDB funnel replay as
+   * q_pipeline_batch every round, not just at spec time).
+   */
+  private[graft] def configTwin(src: String, warcDir: String,
+      jsonlDir: String): graft.pipeline.BatchConfig.BatchSpec = {
+    import graft.pipeline.BatchConfig
+    BatchConfig.BatchSpec(
+      version = 1, name = "crawl_batch_twin",
+      sources = Seq(
+        BatchConfig.Source("warc", warcDir,
+          map = Seq("url" -> "url", "html" -> "text")),
+        BatchConfig.Source("jsonl", jsonlDir,
+          schemaDdl = Some("url STRING, html STRING"))),
+      idName = "ingest_id", idExpr = "xxhash64(url)",
+      prepare = Seq(
+        "url" -> "url_canonicalize(url)",
+        "text" -> "fix_encoding(extract_html(html, 0.5D))",
+        "tok" -> "token_count(text)",
+        "domain" -> "registrable_domain(url)",
+        "lang" -> "lang_id(text)"),
+      select = Seq("url", "text", "tok", "domain", "lang"),
+      dedup = Seq(
+        BatchConfig.ExactTier("dedup_url", Seq("url")),
+        BatchConfig.ExactTier("dedup_content", Seq("text")),
+        BatchConfig.NearTier("dedup_near", "text", "tok",
+          shingleSize = 3, threshold = 0.7)),
+      gates = Seq(
+        "tokens" -> "tok >= 20",
+        "langid" -> "lang IN ('en', 'es', 'de', 'fr', 'zh')",
+        "gopher" -> "lang != 'en' OR gopher_quality(text, 20).pass",
+        "pii" -> "redact_pii(text) = text"),
+      decontaminate = Some(BatchConfig.Decon("decontaminate",
+        s"$src/documents.parquet", Some("doc_id % 97 = 0"), "text", "text",
+        n = 8, minShared = 3)),
+      weight = Some("tok"),
+      sample = Some(BatchConfig.TempSample("domain", "tok",
+        budgetFraction = 0.6, alpha = 0.5)),
+      shards = Some(BatchConfig.ShardSpec(32)))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val work = args(1)

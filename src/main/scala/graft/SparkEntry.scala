@@ -1848,6 +1848,26 @@ object SparkEntry {
       chain.base.unpersist(blocking = false)
       funnel
     }),
+    "q_pipeline_yaml" -> ((s, dir) => {
+      // the composed pipeline's CONFIG EXECUTION path, hash-gated per
+      // round: parse the YAML twin of the chain (BatchPipeline.configTwin
+      // — the exact spec BatchConfigSpec pins bit-identical to the
+      // hand-coded path) and run it through BatchConfig.run; the oracle is
+      // the SAME whole-funnel replay as q_pipeline_batch, so a regression
+      // in the config layer's execution (tier threading, flag joins, gate
+      // order, funnel weight) trips the per-round gate even when the
+      // hand-coded path stays green. Funnel-only face: sampling/shard legs
+      // are spec- and artifact-covered.
+      val (warcDir, jsonlDir) = BatchPipeline.stagedOnce(s, dir)
+      val spec = BatchPipeline.configTwin(dir, warcDir, jsonlDir)
+        .copy(sample = None, shards = None)
+      val parsed = graft.pipeline.BatchConfig.fromYaml(spec.toYaml)
+      val work = java.nio.file.Files.createTempDirectory("graft_q_pyaml").toString
+      val res = parsed.run(s, work)
+      require(res.quarantined == 4,
+        s"expected exactly 4 quarantined raw regions, got ${res.quarantined}")
+      res.funnel
+    }),
     "q_split_hash" -> ((s, dir) => {
       // deterministic content-addressed train/val/test split
       graft.pipeline.Curation.splitByHash(
@@ -3136,6 +3156,146 @@ object SparkEntry {
   /** all-pairs exact trigram-jaccard >= 0.7 over the constructed near-dup
    * corpus (q_dedup_minhash's oracle) — reused as the GROUND-TRUTH side of
    * q_dedup_eval. */
+  // the composed chain's whole funnel replayed in SQL: closed-form
+  // extraction per ingested row (main + %37 refetch + %41 mirror +
+  // %43 near-copy + the resync survivor; quarantined raw regions are
+  // require-pinned in the queries and never reach the funnel frame),
+  // kind-encoded url/content dedup losers (downstream-IDENTICAL to their
+  // keepers, so charging the refetch/mirror copy is funnel-invariant),
+  // TRUE all-pairs 3-shingle Jaccard for the near tier with the
+  // keep-most-complete loser rule, then the langid/gopher/pii/
+  // decontamination gate replicas and first-fail accounting — shared by
+  // q_pipeline_batch (hand-coded runChain) and q_pipeline_yaml (the
+  // BatchConfig twin), which must produce the SAME funnel.
+  private val PipelineFunnelOracleSql: String =
+    """WITH raw AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN doc_id % 53 = 0
+        |              THEN ' Contact: jane.roe@example.com or 555-867-5309.'
+        |              ELSE '' END AS pii
+        |  FROM documents
+        |), ing AS (
+        |  SELECT doc_id, 'main' AS kind,
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii AS t
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT doc_id, 'refetch',
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii
+        |  FROM raw WHERE doc_id % 37 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'mirror',
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii
+        |  FROM raw WHERE doc_id % 41 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'copy',
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text
+        |           || ' subscribe now' || pii
+        |  FROM raw WHERE doc_id % 43 = 0
+        |  UNION ALL
+        |  SELECT -1, 'resync', 'resync survivor too short to pass gates'
+        |), tokd AS (
+        |  SELECT doc_id, kind, doc_id || '/' || kind AS rid, t,
+        |         CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT) AS tok
+        |  FROM ing
+        |), sh AS (
+        |  SELECT rid, tok,
+        |         list_distinct([array_to_string(w[i:i+2], ' ')
+        |                        for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        |  FROM (SELECT rid, tok,
+        |               list_filter(string_split_regex(trim(lower(t)), '\s+'),
+        |                           x -> x <> '') AS w
+        |        FROM tokd WHERE kind IN ('main', 'copy', 'resync'))
+        |), pairs AS (
+        |  SELECT a.rid AS rid_a, a.tok AS tok_a, b.rid AS rid_b, b.tok AS tok_b
+        |  FROM sh a, sh b
+        |  WHERE a.rid < b.rid
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        |), losers AS (
+        |  SELECT DISTINCT CASE WHEN tok_a < tok_b THEN rid_a
+        |                       WHEN tok_b < tok_a THEN rid_b
+        |                       ELSE greatest(rid_a, rid_b) END AS rid
+        |  FROM pairs
+        |), bench AS (
+        |  SELECT list(DISTINCT gram) AS bg FROM (
+        |    SELECT unnest([array_to_string(w[i:i+7], ' ')
+        |                   for i in range(1, greatest(len(w) - 6, 1))]) AS gram
+        |    FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                             x -> x <> '') AS w
+        |          FROM documents WHERE doc_id % 97 = 0))
+        |), leak AS (
+        |  SELECT rid FROM (
+        |    SELECT rid, list_distinct([array_to_string(w[i:i+7], ' ')
+        |                               for i in range(1, greatest(len(w) - 6, 1))]) AS s8
+        |    FROM (SELECT rid, list_filter(string_split_regex(trim(lower(t)), '\s+'),
+        |                                  x -> x <> '') AS w
+        |          FROM tokd)) CROSS JOIN bench
+        |  WHERE len(list_intersect(s8, bg)) >= 3
+        |), g AS (
+        |  SELECT doc_id, kind, rid, tok,
+        |    len(regexp_extract_all(lower(t), '\b(the|and|of|is)\b')) AS g_en,
+        |    len(regexp_extract_all(lower(t), '\b(der|die|das|und)\b')) AS g_de,
+        |    len(regexp_extract_all(lower(t), '\b(el|la|los|que)\b')) AS g_es,
+        |    len(regexp_extract_all(lower(t), '\b(le|les|et|est)\b')) AS g_fr,
+        |    CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / tok AS mwl,
+        |    CAST(len(regexp_extract_all(t, '#')) AS DOUBLE) / tok AS hashr,
+        |    CAST(len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE) / tok AS ellr,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |                         w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |      / tok AS alphar,
+        |    len(regexp_extract_all(lower(t),
+        |        '\b(the|be|to|of|and|that|have|with)\b')) AS stoph,
+        |    (len(regexp_extract_all(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+'))
+        |     + len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |     + len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |     + len(regexp_extract_all(t,
+        |        '(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b')))
+        |      AS piihits
+        |  FROM tokd
+        |), lng AS (
+        |  SELECT *,
+        |    CASE WHEN g_en > 0 AND g_en >= g_de AND g_en >= g_es AND g_en >= g_fr THEN 'en'
+        |         WHEN g_de > 0 AND g_de >= g_es AND g_de >= g_fr THEN 'de'
+        |         WHEN g_es > 0 AND g_es >= g_fr THEN 'es'
+        |         WHEN g_fr > 0 THEN 'fr' ELSE 'und' END AS lang
+        |  FROM g
+        |), ffs AS (
+        |  SELECT tok, CASE
+        |    WHEN kind = 'refetch' THEN 1
+        |    WHEN kind = 'mirror' THEN 2
+        |    WHEN lz.rid IS NOT NULL THEN 3
+        |    WHEN tok < 20 THEN 4
+        |    WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 5
+        |    WHEN lang = 'en' AND NOT (tok >= 20 AND tok <= 100000
+        |         AND mwl >= 3.0 AND mwl <= 10.0 AND hashr <= 0.1 AND ellr <= 0.1
+        |         AND alphar >= 0.8 AND stoph >= 2) THEN 6
+        |    WHEN piihits > 0 THEN 7
+        |    WHEN lk.rid IS NOT NULL THEN 8
+        |    ELSE 9 END AS ff
+        |  FROM lng LEFT JOIN losers lz USING (rid) LEFT JOIN leak lk USING (rid)
+        |), counts AS (
+        |  SELECT ff, CAST(count(*) AS BIGINT) AS n, CAST(sum(tok) AS BIGINT) AS w
+        |  FROM ffs GROUP BY ff
+        |), stages(stage, gate) AS (
+        |  VALUES (1, 'dedup_url'), (2, 'dedup_content'), (3, 'dedup_near'),
+        |         (4, 'tokens'), (5, 'langid'), (6, 'gopher'),
+        |         (7, 'pii'), (8, 'decontaminate')
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS w FROM counts
+        |)
+        |SELECT CAST(s.stage AS INT) AS stage, s.gate,
+        |  CAST(tot.n - coalesce(sum(coalesce(c.n, 0)) OVER (ORDER BY s.stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rows_in,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS rows_dropped,
+        |  CAST(tot.n - sum(coalesce(c.n, 0)) OVER (ORDER BY s.stage) AS BIGINT) AS rows_out,
+        |  CAST(tot.w - coalesce(sum(coalesce(c.w, 0)) OVER (ORDER BY s.stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS weight_in,
+        |  CAST(coalesce(c.w, 0) AS BIGINT) AS weight_dropped,
+        |  CAST(tot.w - sum(coalesce(c.w, 0)) OVER (ORDER BY s.stage) AS BIGINT) AS weight_out
+        |FROM stages s LEFT JOIN counts c ON c.ff = s.stage CROSS JOIN tot
+        |ORDER BY s.stage""".stripMargin
+
   private val JaccardPairsSql: String =
     """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -7370,145 +7530,10 @@ object SparkEntry {
         |       'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10)
         |         || text || chr(10) || 'Tom & Jerry <3 ABC' AS extracted
         |FROM documents""".stripMargin,
-    "q_pipeline_batch" ->
-      // the composed chain's whole funnel replayed in SQL: closed-form
-      // extraction per ingested row (main + %37 refetch + %41 mirror +
-      // %43 near-copy + the resync survivor; quarantined raw regions are
-      // require-pinned in the query and never reach the funnel),
-      // kind-encoded url/content dedup losers (the loser of those tiers is
-      // downstream-IDENTICAL to its keeper — same text, same tokens — so
-      // charging the refetch/mirror copy is funnel-invariant regardless of
-      // which ingest_id Spark keeps), TRUE all-pairs 3-shingle Jaccard for
-      // the near tier with the keep-most-complete loser rule, then the
-      // langid / gopher / pii / decontamination gate replicas and
-      // first-fail accounting over the 8 stages.
-      """WITH raw AS (
-        |  SELECT doc_id, text,
-        |         CASE WHEN doc_id % 53 = 0
-        |              THEN ' Contact: jane.roe@example.com or 555-867-5309.'
-        |              ELSE '' END AS pii
-        |  FROM documents
-        |), ing AS (
-        |  SELECT doc_id, 'main' AS kind,
-        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii AS t
-        |  FROM raw
-        |  UNION ALL
-        |  SELECT doc_id, 'refetch',
-        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii
-        |  FROM raw WHERE doc_id % 37 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 'mirror',
-        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii
-        |  FROM raw WHERE doc_id % 41 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 'copy',
-        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text
-        |           || ' subscribe now' || pii
-        |  FROM raw WHERE doc_id % 43 = 0
-        |  UNION ALL
-        |  SELECT -1, 'resync', 'resync survivor too short to pass gates'
-        |), tokd AS (
-        |  SELECT doc_id, kind, doc_id || '/' || kind AS rid, t,
-        |         CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT) AS tok
-        |  FROM ing
-        |), sh AS (
-        |  SELECT rid, tok,
-        |         list_distinct([array_to_string(w[i:i+2], ' ')
-        |                        for i in range(1, greatest(len(w) - 1, 1))]) AS s
-        |  FROM (SELECT rid, tok,
-        |               list_filter(string_split_regex(trim(lower(t)), '\s+'),
-        |                           x -> x <> '') AS w
-        |        FROM tokd WHERE kind IN ('main', 'copy', 'resync'))
-        |), pairs AS (
-        |  SELECT a.rid AS rid_a, a.tok AS tok_a, b.rid AS rid_b, b.tok AS tok_b
-        |  FROM sh a, sh b
-        |  WHERE a.rid < b.rid
-        |    AND len(list_intersect(a.s, b.s))::DOUBLE
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
-        |), losers AS (
-        |  SELECT DISTINCT CASE WHEN tok_a < tok_b THEN rid_a
-        |                       WHEN tok_b < tok_a THEN rid_b
-        |                       ELSE greatest(rid_a, rid_b) END AS rid
-        |  FROM pairs
-        |), bench AS (
-        |  SELECT list(DISTINCT gram) AS bg FROM (
-        |    SELECT unnest([array_to_string(w[i:i+7], ' ')
-        |                   for i in range(1, greatest(len(w) - 6, 1))]) AS gram
-        |    FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |                             x -> x <> '') AS w
-        |          FROM documents WHERE doc_id % 97 = 0))
-        |), leak AS (
-        |  SELECT rid FROM (
-        |    SELECT rid, list_distinct([array_to_string(w[i:i+7], ' ')
-        |                               for i in range(1, greatest(len(w) - 6, 1))]) AS s8
-        |    FROM (SELECT rid, list_filter(string_split_regex(trim(lower(t)), '\s+'),
-        |                                  x -> x <> '') AS w
-        |          FROM tokd)) CROSS JOIN bench
-        |  WHERE len(list_intersect(s8, bg)) >= 3
-        |), g AS (
-        |  SELECT doc_id, kind, rid, tok,
-        |    len(regexp_extract_all(lower(t), '\b(the|and|of|is)\b')) AS g_en,
-        |    len(regexp_extract_all(lower(t), '\b(der|die|das|und)\b')) AS g_de,
-        |    len(regexp_extract_all(lower(t), '\b(el|la|los|que)\b')) AS g_es,
-        |    len(regexp_extract_all(lower(t), '\b(le|les|et|est)\b')) AS g_fr,
-        |    CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / tok AS mwl,
-        |    CAST(len(regexp_extract_all(t, '#')) AS DOUBLE) / tok AS hashr,
-        |    CAST(len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE) / tok AS ellr,
-        |    CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
-        |                         w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-        |      / tok AS alphar,
-        |    len(regexp_extract_all(lower(t),
-        |        '\b(the|be|to|of|and|that|have|with)\b')) AS stoph,
-        |    (len(regexp_extract_all(t,
-        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+'))
-        |     + len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
-        |     + len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
-        |     + len(regexp_extract_all(t,
-        |        '(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b')))
-        |      AS piihits
-        |  FROM tokd
-        |), lng AS (
-        |  SELECT *,
-        |    CASE WHEN g_en > 0 AND g_en >= g_de AND g_en >= g_es AND g_en >= g_fr THEN 'en'
-        |         WHEN g_de > 0 AND g_de >= g_es AND g_de >= g_fr THEN 'de'
-        |         WHEN g_es > 0 AND g_es >= g_fr THEN 'es'
-        |         WHEN g_fr > 0 THEN 'fr' ELSE 'und' END AS lang
-        |  FROM g
-        |), ffs AS (
-        |  SELECT tok, CASE
-        |    WHEN kind = 'refetch' THEN 1
-        |    WHEN kind = 'mirror' THEN 2
-        |    WHEN lz.rid IS NOT NULL THEN 3
-        |    WHEN tok < 20 THEN 4
-        |    WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 5
-        |    WHEN lang = 'en' AND NOT (tok >= 20 AND tok <= 100000
-        |         AND mwl >= 3.0 AND mwl <= 10.0 AND hashr <= 0.1 AND ellr <= 0.1
-        |         AND alphar >= 0.8 AND stoph >= 2) THEN 6
-        |    WHEN piihits > 0 THEN 7
-        |    WHEN lk.rid IS NOT NULL THEN 8
-        |    ELSE 9 END AS ff
-        |  FROM lng LEFT JOIN losers lz USING (rid) LEFT JOIN leak lk USING (rid)
-        |), counts AS (
-        |  SELECT ff, CAST(count(*) AS BIGINT) AS n, CAST(sum(tok) AS BIGINT) AS w
-        |  FROM ffs GROUP BY ff
-        |), stages(stage, gate) AS (
-        |  VALUES (1, 'dedup_url'), (2, 'dedup_content'), (3, 'dedup_near'),
-        |         (4, 'tokens'), (5, 'langid'), (6, 'gopher'),
-        |         (7, 'pii'), (8, 'decontaminate')
-        |), tot AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS w FROM counts
-        |)
-        |SELECT CAST(s.stage AS INT) AS stage, s.gate,
-        |  CAST(tot.n - coalesce(sum(coalesce(c.n, 0)) OVER (ORDER BY s.stage
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rows_in,
-        |  CAST(coalesce(c.n, 0) AS BIGINT) AS rows_dropped,
-        |  CAST(tot.n - sum(coalesce(c.n, 0)) OVER (ORDER BY s.stage) AS BIGINT) AS rows_out,
-        |  CAST(tot.w - coalesce(sum(coalesce(c.w, 0)) OVER (ORDER BY s.stage
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS weight_in,
-        |  CAST(coalesce(c.w, 0) AS BIGINT) AS weight_dropped,
-        |  CAST(tot.w - sum(coalesce(c.w, 0)) OVER (ORDER BY s.stage) AS BIGINT) AS weight_out
-        |FROM stages s LEFT JOIN counts c ON c.ff = s.stage CROSS JOIN tot
-        |ORDER BY s.stage""".stripMargin,
+    "q_pipeline_batch" -> PipelineFunnelOracleSql,
+    // q_pipeline_yaml replays the CONFIG execution of the same chain —
+    // identical funnel contract, identical oracle
+    "q_pipeline_yaml" -> PipelineFunnelOracleSql,
     "q_curate_crawl" ->
       // each front-door step's expected output computed directly: extracted
       // text (h1 + repaired paragraph), canonical URL, then URL keep-first

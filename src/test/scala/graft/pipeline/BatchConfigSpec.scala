@@ -11,40 +11,10 @@ class BatchConfigSpec extends AnyFunSuite {
   private val src = "/root/testdata/sf0.001"
 
   /** The YAML equivalent of BatchPipeline.runChain over the same staged
-   * front door. */
+   * front door — the shared twin (also driven per round by the
+   * q_pipeline_yaml correctness gate). */
   private def batchSpec(warcDir: String, jsonlDir: String): BatchConfig.BatchSpec =
-    BatchConfig.BatchSpec(
-      version = 1, name = "crawl_batch_parity",
-      sources = Seq(
-        BatchConfig.Source("warc", warcDir,
-          map = Seq("url" -> "url", "html" -> "text")),
-        BatchConfig.Source("jsonl", jsonlDir,
-          schemaDdl = Some("url STRING, html STRING"))),
-      idName = "ingest_id", idExpr = "xxhash64(url)",
-      prepare = Seq(
-        "url" -> "url_canonicalize(url)",
-        "text" -> "fix_encoding(extract_html(html, 0.5D))",
-        "tok" -> "token_count(text)",
-        "domain" -> "registrable_domain(url)",
-        "lang" -> "lang_id(text)"),
-      select = Seq("url", "text", "tok", "domain", "lang"),
-      dedup = Seq(
-        BatchConfig.ExactTier("dedup_url", Seq("url")),
-        BatchConfig.ExactTier("dedup_content", Seq("text")),
-        BatchConfig.NearTier("dedup_near", "text", "tok",
-          shingleSize = 3, threshold = 0.7)),
-      gates = Seq(
-        "tokens" -> "tok >= 20",
-        "langid" -> "lang IN ('en', 'es', 'de', 'fr', 'zh')",
-        "gopher" -> "lang != 'en' OR gopher_quality(text, 20).pass",
-        "pii" -> "redact_pii(text) = text"),
-      decontaminate = Some(BatchConfig.Decon("decontaminate",
-        s"$src/documents.parquet", Some("doc_id % 97 = 0"), "text", "text",
-        n = 8, minShared = 3)),
-      weight = Some("tok"),
-      sample = Some(BatchConfig.TempSample("domain", "tok",
-        budgetFraction = 0.6, alpha = 0.5)),
-      shards = Some(BatchConfig.ShardSpec(32)))
+    graft.BatchPipeline.configTwin(src, warcDir, jsonlDir)
 
   test("yaml round-trip: fromYaml(toYaml) reproduces the spec exactly") {
     val s = batchSpec("/tmp/w", "/tmp/j")

@@ -27,6 +27,36 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(single == Seq((1L, 1L))) // singleton clusters to itself
     assert(Dedup.dropNearDups(emptyDocs, col("doc_id"), col("text")).count() == 0)
     assert(Dedup.dropNearDups(oneDoc, col("doc_id"), col("text")).count() == 1)
+    assert(Dedup.dropNearDupsKeepLargest(
+      emptyDocs, col("doc_id"), col("text"), lit(1L)).count() == 0)
+    assert(Dedup.dropNearDupsKeepLargest(
+      oneDoc, col("doc_id"), col("text"), lit(5L)).count() == 1)
+    assert(Dedup.spanLengthReport(
+      emptyDocs, col("doc_id"), col("text"), lit("g")).count() == 0)
+    assert(Dedup.spanLengthReport(
+      oneDoc, col("doc_id"), col("text"), lit("g")).count() == 0)
+  }
+
+  test("containment index on empty/degenerate benchmark and probe sides") {
+    try {
+      // an EMPTY benchmark registers and probes as 0.0 everywhere
+      graft.lookups.Lookups.registerContainmentFrom(
+        spark, "graft_degen_contain", emptyDocs, col("text"))
+      val probed = oneDoc.select(graft.lookups.Lookups
+        .containmentIn(col("text"), "graft_degen_contain").as("c"))
+        .as[Double].collect()
+      assert(probed.toSeq == Seq(0.0))
+      // the shingles contract gives a short doc ONE sub-n shingle, so a
+      // short benchmark item still matches its exact copy (containment 1.0)
+      // while empty/whitespace probes trim to the empty shingle and miss
+      graft.lookups.Lookups.registerContainmentFrom(
+        spark, "graft_degen_contain", Seq(Tuple1("ab")).toDF("text"), col("text"))
+      val p2 = Seq(Tuple1(""), Tuple1("ab"), Tuple1("   ")).toDF("text")
+        .select(graft.lookups.Lookups
+          .containmentIn(col("text"), "graft_degen_contain").as("c"))
+        .as[Double].collect()
+      assert(p2.toSeq == Seq(0.0, 1.0, 0.0), p2.toSeq.toString)
+    } finally graft.lookups.Lookups.unregisterContainment("graft_degen_contain")
   }
 
   test("packing and sampling on empty corpora and zero-token docs") {
