@@ -89,6 +89,19 @@ object BatchConfig {
       maxBucketSize: Int = 1000) extends Tier {
     def kind = "near_keep_largest"
   }
+  /** Pairwise near-dup tier, lowest id wins ([[Dedup.dropNearDups]]). */
+  final case class NearKeepFirstTier(name: String, text: String,
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000) extends Tier {
+    def kind = "near"
+  }
+  /** Cluster-true near-dup tier: connected families elect their single
+   * best-trust member ([[Dedup.dropNearDupsPreferring]], highest wins). */
+  final case class NearPreferringTier(name: String, text: String,
+      trust: String, shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000) extends Tier {
+    def kind = "near_preferring"
+  }
 
   /** Benchmark n-gram decontamination gate: drop corpus rows sharing ≥
    * `minShared` distinct `n`-grams with the (filtered) benchmark table. */
@@ -170,6 +183,11 @@ object BatchConfig {
             case t: NearTier => attempt(s"dedup ${t.name}")(
               Dedup.dropNearDupsKeepLargest(base, col(idName), expr(t.text),
                 expr(t.sizeBy), t.shingleSize, t.threshold, t.maxBucketSize).schema)
+            case t: NearKeepFirstTier => attempt(s"dedup ${t.name}")(
+              Dedup.dropNearDups(base, col(idName), expr(t.text),
+                t.shingleSize, t.threshold, t.maxBucketSize).schema)
+            case t: NearPreferringTier => attempt(s"dedup ${t.name}")(
+              base.select(expr(t.text), expr(t.trust)).schema)
           }
           gates.foreach { case (n, w) =>
             attempt(s"gate $n")(base.where(expr(w)).schema)
@@ -217,6 +235,13 @@ object BatchConfig {
           m
         case t: NearTier => jmap("kind" -> t.kind, "name" -> t.name,
           "text" -> t.text, "sizeBy" -> t.sizeBy,
+          "shingleSize" -> t.shingleSize, "threshold" -> t.threshold,
+          "maxBucketSize" -> t.maxBucketSize)
+        case t: NearKeepFirstTier => jmap("kind" -> t.kind, "name" -> t.name,
+          "text" -> t.text, "shingleSize" -> t.shingleSize,
+          "threshold" -> t.threshold, "maxBucketSize" -> t.maxBucketSize)
+        case t: NearPreferringTier => jmap("kind" -> t.kind, "name" -> t.name,
+          "text" -> t.text, "trust" -> t.trust,
           "shingleSize" -> t.shingleSize, "threshold" -> t.threshold,
           "maxBucketSize" -> t.maxBucketSize)
       }))
@@ -287,6 +312,12 @@ object BatchConfig {
           case n: NearTier => Dedup.dropNearDupsKeepLargest(
             cur, col(idName), expr(n.text), expr(n.sizeBy),
             n.shingleSize, n.threshold, n.maxBucketSize)
+          case n: NearKeepFirstTier => Dedup.dropNearDups(
+            cur, col(idName), expr(n.text),
+            n.shingleSize, n.threshold, n.maxBucketSize)
+          case n: NearPreferringTier => Dedup.dropNearDupsPreferring(
+            cur, col(idName), expr(n.text), expr(n.trust),
+            n.shingleSize, n.threshold, maxBucketSize = n.maxBucketSize)
         }
         val ids = survivors.select(col(idName)).localCheckpoint()
         cur = base.join(ids, Seq(idName), "leftsemi")
@@ -385,6 +416,13 @@ object BatchConfig {
             strList(m, "content", where), Option(m.get("trust")).map(_.toString))
           case "near_keep_largest" => NearTier(str(m, "name", where),
             str(m, "text", where), str(m, "sizeBy", where),
+            intOr(m, "shingleSize", 3), doubleOr(m, "threshold", 0.7),
+            intOr(m, "maxBucketSize", 1000))
+          case "near" => NearKeepFirstTier(str(m, "name", where),
+            str(m, "text", where), intOr(m, "shingleSize", 3),
+            doubleOr(m, "threshold", 0.7), intOr(m, "maxBucketSize", 1000))
+          case "near_preferring" => NearPreferringTier(str(m, "name", where),
+            str(m, "text", where), str(m, "trust", where),
             intOr(m, "shingleSize", 3), doubleOr(m, "threshold", 0.7),
             intOr(m, "maxBucketSize", 1000))
           case other => fail(where, s"unknown dedup kind '$other'")

@@ -20,6 +20,49 @@ class BatchConfigSpec extends AnyFunSuite {
     val s = batchSpec("/tmp/w", "/tmp/j")
     val back = BatchConfig.fromYaml(s.toYaml)
     assert(back == s, s"\n--- yaml ---\n${s.toYaml}")
+    // the full near-tier vocabulary round-trips too
+    val tiers = s.copy(dedup = Seq(
+      BatchConfig.NearKeepFirstTier("n1", "text", shingleSize = 2, threshold = 0.6),
+      BatchConfig.NearPreferringTier("n2", "text", "tok", threshold = 0.8),
+      BatchConfig.ExactTier("n3", Seq("url"), trust = Some("tok"))))
+    assert(BatchConfig.fromYaml(tiers.toYaml) == tiers)
+  }
+
+  test("near-tier kinds execute: keep-first drops one of a pair, preferring elects by trust") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bcfg_nt").toString
+    Seq(
+      ("https://wiki.example.org/a", "alpha beta gamma delta epsilon"),
+      ("https://scraper.example.net/a", "alpha beta gamma delta epsilon zeta"),
+      ("https://other.example.com/b", "totally different words here now"))
+      .toDF("url", "html").coalesce(1).write.mode("overwrite").json(srcDir)
+    def spec(tier: BatchConfig.Tier) = BatchConfig.BatchSpec(
+      version = 1, name = "near_tiers",
+      sources = Seq(BatchConfig.Source("jsonl", srcDir,
+        schemaDdl = Some("url STRING, html STRING"))),
+      idName = "ingest_id", idExpr = "xxhash64(url)",
+      prepare = Seq("text" -> "html", "tok" -> "token_count(text)",
+        "trust" -> "CASE WHEN url LIKE '%wiki%' THEN 2 ELSE 1 END"),
+      select = Seq("url", "text", "tok", "trust"),
+      dedup = Seq(tier), gates = Seq("nonempty" -> "tok >= 1"),
+      decontaminate = None, weight = Some("tok"), sample = None,
+      shards = Some(BatchConfig.ShardSpec(1)))
+    // keep-first: the wiki/scraper near-pair (2-shingle J = 0.8) collapses
+    val w1 = java.nio.file.Files.createTempDirectory("graft_bcfg_nt1").toString
+    val r1 = BatchConfig.fromYaml(spec(
+      BatchConfig.NearKeepFirstTier("near", "text", shingleSize = 2,
+        threshold = 0.6)).toYaml).run(spark, w1)
+    val out1 = r1.funnel.collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(out1("near") == 2L, s"keep-first must drop one of the pair: $out1")
+    // preferring: the TRUSTED wiki copy survives deterministically
+    val w2 = java.nio.file.Files.createTempDirectory("graft_bcfg_nt2").toString
+    BatchConfig.fromYaml(spec(
+      BatchConfig.NearPreferringTier("near", "text", "trust", shingleSize = 2,
+        threshold = 0.6)).toYaml).run(spark, w2)
+    val survivors = spark.read.parquet(s"$w2/shards")
+      .select("url").as[String].collect().toSet
+    assert(survivors == Set("https://wiki.example.org/a",
+      "https://other.example.com/b"), s"trust election broke: $survivors")
   }
 
   test("validate dry-resolves the whole chain and localizes errors") {
