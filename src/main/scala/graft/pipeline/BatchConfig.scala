@@ -102,6 +102,13 @@ object BatchConfig {
       maxBucketSize: Int = 1000) extends Tier {
     def kind = "near_preferring"
   }
+  /** Per-key cap tier: at most `max` rows per `key` expr (lowest ids win,
+   * [[Curation.capPerKey]]) — the domain-cap stage of crawl curation,
+   * funnel-accounted like any dedup tier. */
+  final case class CapTier(name: String, key: String, max: Int) extends Tier {
+    def kind = "cap_per_key"
+    require(max > 0, s"cap tier '$name': max must be positive")
+  }
 
   /** Benchmark n-gram decontamination gate: drop corpus rows sharing ≥
    * `minShared` distinct `n`-grams with the (filtered) benchmark table. */
@@ -188,6 +195,8 @@ object BatchConfig {
                 t.shingleSize, t.threshold, t.maxBucketSize).schema)
             case t: NearPreferringTier => attempt(s"dedup ${t.name}")(
               base.select(expr(t.text), expr(t.trust)).schema)
+            case t: CapTier => attempt(s"dedup ${t.name}")(
+              Curation.capPerKey(base, expr(t.key), col(idName), t.max).schema)
           }
           gates.foreach { case (n, w) =>
             attempt(s"gate $n")(base.where(expr(w)).schema)
@@ -244,6 +253,8 @@ object BatchConfig {
           "text" -> t.text, "trust" -> t.trust,
           "shingleSize" -> t.shingleSize, "threshold" -> t.threshold,
           "maxBucketSize" -> t.maxBucketSize)
+        case t: CapTier => jmap("kind" -> t.kind, "name" -> t.name,
+          "key" -> t.key, "max" -> t.max)
       }))
       if (gates.nonEmpty) root.put("gates", jlist(gates.map { case (n, w) =>
         jmap("name" -> n, "where" -> w)
@@ -318,6 +329,8 @@ object BatchConfig {
           case n: NearPreferringTier => Dedup.dropNearDupsPreferring(
             cur, col(idName), expr(n.text), expr(n.trust),
             n.shingleSize, n.threshold, maxBucketSize = n.maxBucketSize)
+          case c: CapTier =>
+            Curation.capPerKey(cur, expr(c.key), col(idName), c.max)
         }
         val ids = survivors.select(col(idName)).localCheckpoint()
         cur = base.join(ids, Seq(idName), "leftsemi")
@@ -425,6 +438,8 @@ object BatchConfig {
             str(m, "text", where), str(m, "trust", where),
             intOr(m, "shingleSize", 3), doubleOr(m, "threshold", 0.7),
             intOr(m, "maxBucketSize", 1000))
+          case "cap_per_key" => CapTier(str(m, "name", where),
+            str(m, "key", where), int(m, "max", where))
           case other => fail(where, s"unknown dedup kind '$other'")
         }
     }

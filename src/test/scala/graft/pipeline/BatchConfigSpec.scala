@@ -24,8 +24,35 @@ class BatchConfigSpec extends AnyFunSuite {
     val tiers = s.copy(dedup = Seq(
       BatchConfig.NearKeepFirstTier("n1", "text", shingleSize = 2, threshold = 0.6),
       BatchConfig.NearPreferringTier("n2", "text", "tok", threshold = 0.8),
-      BatchConfig.ExactTier("n3", Seq("url"), trust = Some("tok"))))
+      BatchConfig.ExactTier("n3", Seq("url"), trust = Some("tok")),
+      BatchConfig.CapTier("n4", "registrable_domain(url)", 100)))
     assert(BatchConfig.fromYaml(tiers.toYaml) == tiers)
+  }
+
+  test("cap tier executes: at most max rows per key, lowest ids win, funnel-accounted") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bcfg_cap").toString
+    (0 until 10).map(i => (s"https://a.example.com/$i",
+        s"doc number $i with some words"))
+      .toDF("url", "html").coalesce(1).write.mode("overwrite").json(srcDir)
+    val spec = BatchConfig.BatchSpec(
+      version = 1, name = "cap_tier",
+      sources = Seq(BatchConfig.Source("jsonl", srcDir,
+        schemaDdl = Some("url STRING, html STRING"))),
+      idName = "ingest_id", idExpr = "xxhash64(url)",
+      prepare = Seq("text" -> "html", "tok" -> "token_count(text)",
+        "domain" -> "registrable_domain(url)"),
+      select = Seq("url", "text", "tok", "domain"),
+      dedup = Seq(BatchConfig.CapTier("domain_cap", "domain", 4)),
+      gates = Seq("nonempty" -> "tok >= 1"),
+      decontaminate = None, weight = Some("tok"), sample = None,
+      shards = None)
+    val work = java.nio.file.Files.createTempDirectory("graft_bcfg_capw").toString
+    val res = BatchConfig.fromYaml(spec.toYaml).run(spark, work)
+    val funnel = res.funnel.collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(funnel("domain_cap") == ((10L, 6L, 4L)),
+      s"10 docs on one domain capped at 4: $funnel")
   }
 
   test("near-tier kinds execute: keep-first drops one of a pair, preferring elects by trust") {
