@@ -34,10 +34,13 @@ object CacheProbe {
     val dirty = scala.collection.mutable.ArrayBuffer.empty[String]
     val errored = scala.collection.mutable.ArrayBuffer.empty[String]
     for (name <- names) {
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => errored += name }
+      val failed =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); false }
+        catch { case _: Throwable => errored += name; true }
       if (!spark.sharedState.cacheManager.isEmpty) {
-        dirty += name
+        // an errored query's residue is attributed to `errored` only —
+        // disjoint buckets keep the clean count exact (ADVICE r16)
+        if (!failed) dirty += name
         spark.catalog.clearCache() // attribute residue to one query only
       }
     }

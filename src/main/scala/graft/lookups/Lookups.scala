@@ -170,6 +170,10 @@ object Lookups {
     val items: Array[Array[Long]] = bench
       .select(transform(graft.pipeline.Text.shingles(textCol, shingleSize),
         s => xxhash64(s)).as("graft_hs"))
+      // a NULL text shingles to NULL: such an item has no shingles and can
+      // never gate anything, so skip it instead of NPEing the registration
+      // (the probe side already treats null text as containment 0.0)
+      .where(org.apache.spark.sql.functions.col("graft_hs").isNotNull)
       .collect().map(_.getSeq[Long](0).toArray)
     val idx = scala.collection.mutable.HashMap.empty[Long, List[Int]]
     items.zipWithIndex.foreach { case (hs, i) =>

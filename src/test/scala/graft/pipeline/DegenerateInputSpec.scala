@@ -56,6 +56,16 @@ class DegenerateInputSpec extends AnyFunSuite {
           .containmentIn(col("text"), "graft_degen_contain").as("c"))
         .as[Double].collect()
       assert(p2.toSeq == Seq(0.0, 1.0, 0.0), p2.toSeq.toString)
+      // a NULL-text benchmark row registers (skipped, not NPE — ADVICE
+      // r16) and the non-null items still gate their exact copies
+      graft.lookups.Lookups.registerContainmentFrom(
+        spark, "graft_degen_contain",
+        Seq(Tuple1(null: String), Tuple1("ab")).toDF("text"), col("text"))
+      val p3 = Seq(Tuple1("ab"), Tuple1(null: String)).toDF("text")
+        .select(graft.lookups.Lookups
+          .containmentIn(col("text"), "graft_degen_contain").as("c"))
+        .as[Double].collect()
+      assert(p3.toSeq == Seq(1.0, 0.0), p3.toSeq.toString)
     } finally graft.lookups.Lookups.unregisterContainment("graft_degen_contain")
   }
 
