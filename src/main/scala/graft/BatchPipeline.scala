@@ -180,7 +180,8 @@ object BatchPipeline {
    * q_pipeline_batch every round, not just at spec time).
    */
   private[graft] def configTwin(src: String, warcDir: String,
-      jsonlDir: String): graft.pipeline.BatchConfig.BatchSpec = {
+      jsonlDir: String,
+      piiPolicy: String = "drop"): graft.pipeline.BatchConfig.BatchSpec = {
     import graft.pipeline.BatchConfig
     BatchConfig.BatchSpec(
       version = 1, name = "crawl_batch_twin",
@@ -205,8 +206,11 @@ object BatchPipeline {
       gates = Seq(
         "tokens" -> "tok >= 20",
         "langid" -> "lang IN ('en', 'es', 'de', 'fr', 'zh')",
-        "gopher" -> "lang != 'en' OR gopher_quality(text, 20).pass",
-        "pii" -> "redact_pii(text) = text"),
+        "gopher" -> "lang != 'en' OR gopher_quality(text, 20).pass"),
+      pii = Some(BatchConfig.PiiStage("pii", "text", piiPolicy,
+        recompute =
+          if (piiPolicy == "redact") Seq("tok" -> "token_count(text)")
+          else Nil)),
       decontaminate = Some(BatchConfig.Decon("decontaminate",
         s"$src/documents.parquet", Some("doc_id % 97 = 0"), "text", "text",
         n = 8, minShared = 3)),
@@ -235,10 +239,28 @@ object BatchPipeline {
 
   /** Everything the retention funnel accounts, materialized: the one
    * persisted base frame, the gate/dedup-flagged frame, the gate order,
-   * and the quarantine count. */
+   * the quarantine count, and the PII policy the chain ran under (it
+   * decides the funnel's weight accounting — see [[chainFunnel]]). */
   private[graft] final case class Chain(
       base: DataFrame, flagged: DataFrame,
-      gateCols: Seq[(String, Column)], quarantined: Long, ingested: Long)
+      gateCols: Seq[(String, Column)], quarantined: Long, ingested: Long,
+      piiPolicy: String = "drop")
+
+  /** The chain's token-weighted retention funnel under either PII policy.
+   * drop: every stage charges the raw token count. redact: rows KEEP
+   * flowing through the pii stage with scrubbed text; the funnel charges
+   * the scrubbed-away token mass to the pii stage via the staged-weight
+   * accounting ([[graft.pipeline.Curation.retentionFunnelStaged]] — raw
+   * `tok_raw` through the pii stage, redacted `tok` after). */
+  private[graft] def chainFunnel(chain: Chain): DataFrame =
+    if (chain.piiPolicy == "redact") {
+      val piiIdx = chain.gateCols.indexWhere(_._1 == "pii")
+      val weights = chain.gateCols.indices.map(i =>
+        if (i <= piiIdx) col("tok_raw") else col("tok")) :+ col("tok")
+      graft.pipeline.Curation.retentionFunnelStaged(
+        chain.flagged, chain.gateCols, weights)
+    } else graft.pipeline.Curation.retentionFunnel(
+      chain.flagged, chain.gateCols, weight = col("tok"))
 
   /** Per-stage wall-time hook; [[run]] records, the gate query doesn't. */
   private[graft] trait Timer {
@@ -294,8 +316,12 @@ object BatchPipeline {
   private[graft] def runChain(spark: SparkSession, src: String, work: String,
       timed: Timer = NoTimer,
       staged: Option[(String, String)] = None,
-      stageDir: Option[String] = None): Chain = {
+      stageDir: Option[String] = None,
+      piiPolicy: String = "drop"): Chain = {
     import graft.pipeline.{Curation, Incremental, Pii, Text}
+    require(piiPolicy == "drop" || piiPolicy == "redact",
+      s"piiPolicy must be drop|redact, got '$piiPolicy'")
+    val redact = piiPolicy == "redact"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
 
     // ---- resume from the flagged stage if a committed copy exists
@@ -304,7 +330,8 @@ object BatchPipeline {
         val flagged = spark.read.parquet(s"$d/flagged")
         val q = Incremental.stageMeta(spark, s"$d/flagged")
           .getOrElse("quarantined", 0L)
-        return Chain(flagged, flagged, chainGateCols, q, flagged.count())
+        return Chain(flagged, flagged, chainGateCols, q, flagged.count(),
+          piiPolicy)
       }
 
     // ---- resume base, or ingest and (optionally) commit it
@@ -365,11 +392,16 @@ object BatchPipeline {
       // benchmark side: the %97 docs' ORIGINAL text (public eval fixture)
       val bench = spark.read.parquet(s"$src/documents.parquet")
         .where(col("doc_id") % 97 === 0).select(col("text"))
+      // decontamination sees what flows OUT of the pii stage: raw text
+      // under drop, scrubbed text under redact
+      val deconSide =
+        if (redact) base.withColumn("text", Pii.redactPii(col("text")))
+        else base
       val leaking = Curation.decontaminate(
-          base, col("ingest_id"), col("text"), bench, col("text"),
+          deconSide, col("ingest_id"), col("text"), bench, col("text"),
           n = 8, minShared = 3)
         .select(col("id").as("ingest_id")).withColumn("graft_leak", lit(true))
-      base
+      val gated = base
         .transform(surviveFlag(afterUrlIds, "f_url"))
         .transform(surviveFlag(afterTextIds, "f_text"))
         .transform(surviveFlag(afterNearIds, "f_near"))
@@ -385,7 +417,19 @@ object BatchPipeline {
         // the right stage.
         .withColumn("f_gopher", col("lang") =!= "en" ||
           Text.gopherQuality(col("text"), minWords = 20).getField("pass"))
-        .withColumn("f_pii", Pii.redactPii(col("text")) === col("text"))
+      // pii policy: drop rejects any doc carrying a PII span whole;
+      // redact KEEPS the doc, scrubbing the spans and recomputing the
+      // token count — tok_raw preserves the pre-scrub mass so the funnel
+      // can charge the difference to the pii stage (chainFunnel)
+      val piiStaged =
+        if (redact) gated
+          .withColumn("f_pii", lit(true))
+          .withColumn("tok_raw", col("tok"))
+          .withColumn("text", Pii.redactPii(col("text")))
+          .withColumn("tok", Text.tokenCount(col("text")))
+        else gated
+          .withColumn("f_pii", Pii.redactPii(col("text")) === col("text"))
+      piiStaged
         .join(leaking, Seq("ingest_id"), "left")
         .withColumn("f_decon", col("graft_leak").isNull)
         .localCheckpoint() // gates + dedup flags computed exactly once
@@ -393,7 +437,7 @@ object BatchPipeline {
     stageDir.foreach(d =>
       Incremental.commitStage(spark, s"$d/flagged", flagged,
         Map("quarantined" -> quarantined)))
-    Chain(base, flagged, chainGateCols, quarantined, ingested)
+    Chain(base, flagged, chainGateCols, quarantined, ingested, piiPolicy)
   }
 
   /** Runs the whole pipeline; returns the one-line JSON summary (also
@@ -401,7 +445,8 @@ object BatchPipeline {
    * `stageDir` set, a re-run resumes from the last committed stage
    * (see [[runChain]]'s restartability contract). */
   def run(spark: SparkSession, src: String, work: String,
-      stageDir: Option[String] = None): String = {
+      stageDir: Option[String] = None,
+      piiPolicy: String = "drop"): String = {
     import graft.pipeline.{Curation, DataCard}
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val audits = scala.collection.mutable.ArrayBuffer.empty[Map[String, Int]]
@@ -414,13 +459,13 @@ object BatchPipeline {
       }
     }
 
-    val chain = runChain(spark, src, work, timed, stageDir = stageDir)
-    val Chain(base, flagged, gateCols, quarantined, ingested) = chain
+    val chain = runChain(spark, src, work, timed, stageDir = stageDir,
+      piiPolicy = piiPolicy)
+    val Chain(base, flagged, gateCols, quarantined, ingested, _) = chain
     audits += Soak.planAudit(flagged)
 
     val funnel = timed("funnel") {
-      Curation.retentionFunnel(flagged, gateCols, weight = col("tok"))
-        .localCheckpoint()
+      chainFunnel(chain).localCheckpoint()
     }
 
     // ---- temperature sample the survivors, then shard

@@ -947,6 +947,19 @@ object SparkEntry {
           c, col("doc_id"), col("text"), col("graft_prio"))
         .select(col("doc_id"))
     }),
+    "q_dedup_keep_largest_cc" -> ((s, dir) => {
+      // CLUSTER-TRUE keep-most-complete near-dedup (VERDICT r16 #3): each
+      // connected near-dup family elects its single largest member by
+      // token count (ties → lowest id), unlike the pairwise
+      // dropNearDupsKeepLargest whose survivors depend on which pairs LSH
+      // verifies. The oracle forms families via recursive min-label
+      // closure over TRUE all-pairs jaccard and elects max-tok per family.
+      val c = nearDupCorpus(s, dir)
+      graft.pipeline.Dedup.dropNearDupsKeepLargestCC(
+          c, col("doc_id"), col("text"),
+          graft.pipeline.Text.tokenCount(col("text")))
+        .select(col("doc_id"))
+    }),
     "q_dedup_eval" -> ((s, dir) => {
       // score the simhash detector against exact trigram-jaccard truth:
       // tp/fp/fn + exact-ppm precision/recall/F1 in one report row. Truth
@@ -1863,6 +1876,27 @@ object SparkEntry {
         .copy(sample = None, shards = None)
       val parsed = graft.pipeline.BatchConfig.fromYaml(spec.toYaml)
       val work = java.nio.file.Files.createTempDirectory("graft_q_pyaml").toString
+      val res = parsed.run(s, work)
+      require(res.quarantined == 4,
+        s"expected exactly 4 quarantined raw regions, got ${res.quarantined}")
+      res.funnel
+    }),
+    "q_pipeline_redact" -> ((s, dir) => {
+      // the composed chain under the REDACT-AND-KEEP PII policy (VERDICT
+      // r16 next-round #2), exercised through the CONFIG path: the pii
+      // stanza keeps every row, scrubs the spans in place, re-derives tok
+      // from the scrubbed text, and the STAGED funnel charges the
+      // scrubbed-away token mass to the pii stage (raw weight through
+      // pii, redacted weight after — conservation is part of the oracle).
+      // Decontamination sees the scrubbed text, so the %53∩%97 docs still
+      // leak-gate on their bodies. The hand-coded runChain under the same
+      // policy is spec-pinned bit-identical (BatchPipelineSpec).
+      val (warcDir, jsonlDir) = BatchPipeline.stagedOnce(s, dir)
+      val spec = BatchPipeline.configTwin(dir, warcDir, jsonlDir,
+          piiPolicy = "redact")
+        .copy(sample = None, shards = None)
+      val parsed = graft.pipeline.BatchConfig.fromYaml(spec.toYaml)
+      val work = java.nio.file.Files.createTempDirectory("graft_q_predact").toString
       val res = parsed.run(s, work)
       require(res.quarantined == 4,
         s"expected exactly 4 quarantined raw regions, got ${res.quarantined}")
@@ -3296,6 +3330,161 @@ object SparkEntry {
         |FROM stages s LEFT JOIN counts c ON c.ff = s.stage CROSS JOIN tot
         |ORDER BY s.stage""".stripMargin
 
+  // the REDACT-policy twin of PipelineFunnelOracleSql (q_pipeline_redact):
+  // same ingestion/dedup/gate replicas, but the pii stage KEEPS every row —
+  // text is scrubbed with the exact 4-pass regex chain (email→SSN→IP→phone,
+  // the Pii.redactPii contract), tok is re-derived from the scrubbed text,
+  // decontamination shingles the SCRUBBED text, and the staged-weight
+  // accounting charges raw tok through the pii stage and redacted tok
+  // after, with the pii stage's weight_dropped = the scrubbed-away mass
+  // (Curation.retentionFunnelStaged's conservation law, replayed in SQL).
+  private val PipelineRedactOracleSql: String =
+    """WITH raw AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN doc_id % 53 = 0
+        |              THEN ' Contact: jane.roe@example.com or 555-867-5309.'
+        |              ELSE '' END AS pii
+        |  FROM documents
+        |), ing AS (
+        |  SELECT doc_id, 'main' AS kind,
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii AS t
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT doc_id, 'refetch',
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii
+        |  FROM raw WHERE doc_id % 37 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'mirror',
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text || pii
+        |  FROM raw WHERE doc_id % 41 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'copy',
+        |         'Doc ' || doc_id || chr(10) || 'Don''t "quote" café ' || text
+        |           || ' subscribe now' || pii
+        |  FROM raw WHERE doc_id % 43 = 0
+        |  UNION ALL
+        |  SELECT -1, 'resync', 'resync survivor too short to pass gates'
+        |), tokd AS (
+        |  SELECT doc_id, kind, doc_id || '/' || kind AS rid, t,
+        |         CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT) AS tok
+        |  FROM ing
+        |), redt AS (
+        |  SELECT rid, tr,
+        |         CAST(len(regexp_split_to_array(trim(tr), '\s+')) AS BIGINT) AS tok_red
+        |  FROM (
+        |    SELECT rid,
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+        |            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |        '(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b', '<PHONE>', 'g') AS tr
+        |    FROM tokd)
+        |), sh AS (
+        |  SELECT rid, tok,
+        |         list_distinct([array_to_string(w[i:i+2], ' ')
+        |                        for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        |  FROM (SELECT rid, tok,
+        |               list_filter(string_split_regex(trim(lower(t)), '\s+'),
+        |                           x -> x <> '') AS w
+        |        FROM tokd WHERE kind IN ('main', 'copy', 'resync'))
+        |), pairs AS (
+        |  SELECT a.rid AS rid_a, a.tok AS tok_a, b.rid AS rid_b, b.tok AS tok_b
+        |  FROM sh a, sh b
+        |  WHERE a.rid < b.rid
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        |), losers AS (
+        |  SELECT DISTINCT CASE WHEN tok_a < tok_b THEN rid_a
+        |                       WHEN tok_b < tok_a THEN rid_b
+        |                       ELSE greatest(rid_a, rid_b) END AS rid
+        |  FROM pairs
+        |), bench AS (
+        |  SELECT list(DISTINCT gram) AS bg FROM (
+        |    SELECT unnest([array_to_string(w[i:i+7], ' ')
+        |                   for i in range(1, greatest(len(w) - 6, 1))]) AS gram
+        |    FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                             x -> x <> '') AS w
+        |          FROM documents WHERE doc_id % 97 = 0))
+        |), leak AS (
+        |  SELECT rid FROM (
+        |    SELECT rid, list_distinct([array_to_string(w[i:i+7], ' ')
+        |                               for i in range(1, greatest(len(w) - 6, 1))]) AS s8
+        |    FROM (SELECT rid, list_filter(string_split_regex(trim(lower(tr)), '\s+'),
+        |                                  x -> x <> '') AS w
+        |          FROM redt)) CROSS JOIN bench
+        |  WHERE len(list_intersect(s8, bg)) >= 3
+        |), g AS (
+        |  SELECT doc_id, kind, rid, tok,
+        |    len(regexp_extract_all(lower(t), '\b(the|and|of|is)\b')) AS g_en,
+        |    len(regexp_extract_all(lower(t), '\b(der|die|das|und)\b')) AS g_de,
+        |    len(regexp_extract_all(lower(t), '\b(el|la|los|que)\b')) AS g_es,
+        |    len(regexp_extract_all(lower(t), '\b(le|les|et|est)\b')) AS g_fr,
+        |    CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / tok AS mwl,
+        |    CAST(len(regexp_extract_all(t, '#')) AS DOUBLE) / tok AS hashr,
+        |    CAST(len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE) / tok AS ellr,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |                         w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |      / tok AS alphar,
+        |    len(regexp_extract_all(lower(t),
+        |        '\b(the|be|to|of|and|that|have|with)\b')) AS stoph
+        |  FROM tokd
+        |), lng AS (
+        |  SELECT *,
+        |    CASE WHEN g_en > 0 AND g_en >= g_de AND g_en >= g_es AND g_en >= g_fr THEN 'en'
+        |         WHEN g_de > 0 AND g_de >= g_es AND g_de >= g_fr THEN 'de'
+        |         WHEN g_es > 0 AND g_es >= g_fr THEN 'es'
+        |         WHEN g_fr > 0 THEN 'fr' ELSE 'und' END AS lang
+        |  FROM g
+        |), ffs AS (
+        |  SELECT l.tok, r.tok_red, CASE
+        |    WHEN l.kind = 'refetch' THEN 1
+        |    WHEN l.kind = 'mirror' THEN 2
+        |    WHEN lz.rid IS NOT NULL THEN 3
+        |    WHEN l.tok < 20 THEN 4
+        |    WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 5
+        |    WHEN lang = 'en' AND NOT (l.tok >= 20 AND l.tok <= 100000
+        |         AND mwl >= 3.0 AND mwl <= 10.0 AND hashr <= 0.1 AND ellr <= 0.1
+        |         AND alphar >= 0.8 AND stoph >= 2) THEN 6
+        |    WHEN lk.rid IS NOT NULL THEN 8
+        |    ELSE 9 END AS ff
+        |  FROM lng l JOIN redt r USING (rid)
+        |    LEFT JOIN losers lz ON l.rid = lz.rid LEFT JOIN leak lk ON l.rid = lk.rid
+        |), counts AS (
+        |  SELECT ff, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(tok) AS BIGINT) AS w, CAST(sum(tok_red) AS BIGINT) AS wr
+        |  FROM ffs GROUP BY ff
+        |), stages(stage, gate) AS (
+        |  VALUES (1, 'dedup_url'), (2, 'dedup_content'), (3, 'dedup_near'),
+        |         (4, 'tokens'), (5, 'langid'), (6, 'gopher'),
+        |         (7, 'pii'), (8, 'decontaminate')
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS w FROM counts
+        |), reach8 AS (
+        |  SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS wraw,
+        |         CAST(coalesce(sum(wr), 0) AS BIGINT) AS wred
+        |  FROM counts WHERE ff >= 8
+        |)
+        |SELECT CAST(s.stage AS INT) AS stage, s.gate,
+        |  CAST(tot.n - coalesce(sum(coalesce(c.n, 0)) OVER (ORDER BY s.stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rows_in,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS rows_dropped,
+        |  CAST(tot.n - sum(coalesce(c.n, 0)) OVER (ORDER BY s.stage) AS BIGINT) AS rows_out,
+        |  CAST(CASE WHEN s.stage <= 7
+        |       THEN tot.w - coalesce(sum(coalesce(c.w, 0)) OVER (ORDER BY s.stage
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       ELSE reach8.wred END AS BIGINT) AS weight_in,
+        |  CAST(CASE WHEN s.stage <= 6 THEN coalesce(c.w, 0)
+        |       WHEN s.stage = 7 THEN reach8.wraw - reach8.wred
+        |       ELSE coalesce(c.wr, 0) END AS BIGINT) AS weight_dropped,
+        |  CAST(CASE WHEN s.stage <= 6
+        |       THEN tot.w - sum(coalesce(c.w, 0)) OVER (ORDER BY s.stage)
+        |       WHEN s.stage = 7 THEN reach8.wred
+        |       ELSE reach8.wred - coalesce(c.wr, 0) END AS BIGINT) AS weight_out
+        |FROM stages s LEFT JOIN counts c ON c.ff = s.stage CROSS JOIN tot CROSS JOIN reach8
+        |ORDER BY s.stage""".stripMargin
+
   private val JaccardPairsSql: String =
     """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -3384,6 +3573,40 @@ object SparkEntry {
        |w AS (SELECT id, row_number() OVER (PARTITION BY lbl
        |        ORDER BY CASE WHEN id < 10000 THEN 1 ELSE 0 END DESC, id) AS rn
        |      FROM l6)
+       |SELECT id AS doc_id FROM w WHERE rn = 1""".stripMargin
+  }
+
+  /** clusters from the same closure as PreferringSql, but each family
+   * elects its LARGEST member (whitespace token count DESC, id ASC) —
+   * q_dedup_keep_largest_cc's oracle. */
+  private val KeepLargestCcSql: String = {
+    val rounds = (1 to 6).map { k =>
+      val p = s"l${k - 1}"
+      s"""l$k AS (SELECT $p.id, least($p.lbl, COALESCE(m.mn, $p.lbl)) AS lbl
+         |        FROM $p LEFT JOIN (SELECT u.a AS id, min(x.lbl) AS mn
+         |                           FROM und u JOIN $p x ON x.id = u.b GROUP BY 1) m
+         |          ON $p.id = m.id),""".stripMargin
+    }.mkString("\n")
+    s"""WITH pairs AS (
+       |$JaccardPairsSql
+       |),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, array_to_string(w[1:len(w)-2], ' ')
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE doc_id % 10 = 0
+       |),
+       |toks AS (SELECT doc_id,
+       |           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok
+       |         FROM corpus),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM corpus),
+       |$rounds
+       |w AS (SELECT l6.id, row_number() OVER (PARTITION BY lbl
+       |        ORDER BY t.tok DESC, l6.id) AS rn
+       |      FROM l6 JOIN toks t ON t.doc_id = l6.id)
        |SELECT id AS doc_id FROM w WHERE rn = 1""".stripMargin
   }
 
@@ -6769,6 +6992,7 @@ object SparkEntry {
     "q_dedup_simhash" -> SimhashPairsSql,
     "q_dedup_eval" -> DedupEvalSql,
     "q_dedup_preferring" -> PreferringSql,
+    "q_dedup_keep_largest_cc" -> KeepLargestCcSql,
     "q_text_fingerprint" ->
       // winnowing replayed exactly: FNV-1a 64-bit over each lowercased
       // 9-gram (wrap-around multiply = HUGEINT mod 2^64; the xor touches
@@ -7534,6 +7758,11 @@ object SparkEntry {
     // q_pipeline_yaml replays the CONFIG execution of the same chain —
     // identical funnel contract, identical oracle
     "q_pipeline_yaml" -> PipelineFunnelOracleSql,
+    // q_pipeline_redact replays the chain under the redact-and-keep PII
+    // policy: rows survive the pii stage with scrubbed text; the staged
+    // funnel charges the scrubbed token mass to pii and re-weights the
+    // decontamination stage with the redacted counts
+    "q_pipeline_redact" -> PipelineRedactOracleSql,
     "q_curate_crawl" ->
       // each front-door step's expected output computed directly: extracted
       // text (h1 + repaired paragraph), canonical URL, then URL keep-first

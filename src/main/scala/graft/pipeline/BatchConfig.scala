@@ -43,7 +43,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  *      shingleSize: 3, threshold: 0.7}
  * gates:                            # ordered row-local keep-predicates
  *   - {name: tokens, where: "tok >= 20"}
- *   - {name: pii,    where: "redact_pii(text) = text"}
+ * pii:                              # after gates, before decontaminate
+ *   {name: pii, text: text, policy: redact,   # or policy: drop
+ *    recompute: [{column: tok, expr: "token_count(text)"}]}
  * decontaminate: {name: decontaminate, path: /eval/bench.parquet,
  *                 where: "split = 'test'", text: text, benchText: question,
  *                 n: 8, minShared: 3}
@@ -89,6 +91,15 @@ object BatchConfig {
       maxBucketSize: Int = 1000) extends Tier {
     def kind = "near_keep_largest"
   }
+  /** Cluster-true keep-most-complete tier: each connected near-dup
+   * FAMILY elects its single largest member by `sizeBy`
+   * ([[Dedup.dropNearDupsKeepLargestCC]]) — the family-transitive
+   * complement of [[NearTier]]'s cheaper pairwise rule. */
+  final case class NearLargestCcTier(name: String, text: String,
+      sizeBy: String, shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000) extends Tier {
+    def kind = "near_keep_largest_cc"
+  }
   /** Pairwise near-dup tier, lowest id wins ([[Dedup.dropNearDups]]). */
   final case class NearKeepFirstTier(name: String, text: String,
       shingleSize: Int = 3, threshold: Double = 0.7,
@@ -115,6 +126,21 @@ object BatchConfig {
   final case class Decon(name: String, path: String, where: Option[String],
       textExpr: String, benchTextExpr: String, n: Int = 8, minShared: Int = 1)
 
+  /** The PII stage of the funnel (runs after the row-local `gates`,
+   * before `decontaminate` — the composed chain's fixed order). `text`
+   * is a COLUMN NAME (not an expr: redact rewrites it in place).
+   * policy `drop` rejects any doc carrying a PII span whole; policy
+   * `redact` KEEPS every doc, scrubs the spans ([[Pii.redactPii]]) and
+   * re-derives the `recompute` columns (e.g. a token count) from the
+   * scrubbed text — the funnel then charges the scrubbed-away weight
+   * mass to this stage ([[Curation.retentionFunnelStaged]]) so
+   * token accounting stays conserved under either policy. */
+  final case class PiiStage(name: String, text: String,
+      policy: String = "drop", recompute: Seq[(String, String)] = Nil) {
+    require(policy == "drop" || policy == "redact",
+      s"pii stage '$name': policy must be drop|redact, got '$policy'")
+  }
+
   final case class TempSample(domain: String, tokens: String,
       budgetFraction: Double, alpha: Double = 0.5) {
     require(budgetFraction > 0 && budgetFraction <= 1.0,
@@ -129,11 +155,13 @@ object BatchConfig {
       sources: Seq[Source], idName: String, idExpr: String,
       prepare: Seq[(String, String)], select: Seq[String],
       dedup: Seq[Tier], gates: Seq[(String, String)],
+      pii: Option[PiiStage] = None,
       decontaminate: Option[Decon], weight: Option[String],
       sample: Option[TempSample], shards: Option[ShardSpec]) {
     require(sources.nonEmpty, s"batch pipeline '$name' has no sources")
     private val stageNames =
-      dedup.map(_.name) ++ gates.map(_._1) ++ decontaminate.map(_.name)
+      dedup.map(_.name) ++ gates.map(_._1) ++ pii.map(_.name) ++
+        decontaminate.map(_.name)
     require(stageNames.nonEmpty, s"batch pipeline '$name' needs at least " +
       "one dedup tier, gate, or decontaminate stage (the funnel accounts them)")
     require(stageNames.distinct.size == stageNames.size,
@@ -190,16 +218,34 @@ object BatchConfig {
             case t: NearTier => attempt(s"dedup ${t.name}")(
               Dedup.dropNearDupsKeepLargest(base, col(idName), expr(t.text),
                 expr(t.sizeBy), t.shingleSize, t.threshold, t.maxBucketSize).schema)
+            case t: NearLargestCcTier => attempt(s"dedup ${t.name}")(
+              Dedup.dropNearDupsKeepLargestCC(base, col(idName), expr(t.text),
+                expr(t.sizeBy), t.shingleSize, t.threshold,
+                maxBucketSize = t.maxBucketSize).schema)
             case t: NearKeepFirstTier => attempt(s"dedup ${t.name}")(
               Dedup.dropNearDups(base, col(idName), expr(t.text),
                 t.shingleSize, t.threshold, t.maxBucketSize).schema)
             case t: NearPreferringTier => attempt(s"dedup ${t.name}")(
-              base.select(expr(t.text), expr(t.trust)).schema)
+              // dry-resolve through the REAL call like every other tier
+              // kind (ADVICE r16): analysis errors specific to the
+              // preferring plan (priority cast, cluster join) surface here,
+              // not at run time; the empty frame converges immediately
+              Dedup.dropNearDupsPreferring(base, col(idName), expr(t.text),
+                expr(t.trust), t.shingleSize, t.threshold,
+                maxBucketSize = t.maxBucketSize).schema)
             case t: CapTier => attempt(s"dedup ${t.name}")(
               Curation.capPerKey(base, expr(t.key), col(idName), t.max).schema)
           }
           gates.foreach { case (n, w) =>
             attempt(s"gate $n")(base.where(expr(w)).schema)
+          }
+          pii.foreach { p =>
+            attempt(s"pii ${p.name}") {
+              val scrubbed = base.withColumn(p.text, Pii.redactPii(col(p.text)))
+              p.recompute.foldLeft(scrubbed) { case (d, (c, e)) =>
+                d.withColumn(c, expr(e))
+              }.schema
+            }
           }
           weight.foreach(w => attempt("weight")(base.select(expr(w)).schema))
           sample.foreach(sm => attempt("sample") {
@@ -246,6 +292,10 @@ object BatchConfig {
           "text" -> t.text, "sizeBy" -> t.sizeBy,
           "shingleSize" -> t.shingleSize, "threshold" -> t.threshold,
           "maxBucketSize" -> t.maxBucketSize)
+        case t: NearLargestCcTier => jmap("kind" -> t.kind, "name" -> t.name,
+          "text" -> t.text, "sizeBy" -> t.sizeBy,
+          "shingleSize" -> t.shingleSize, "threshold" -> t.threshold,
+          "maxBucketSize" -> t.maxBucketSize)
         case t: NearKeepFirstTier => jmap("kind" -> t.kind, "name" -> t.name,
           "text" -> t.text, "shingleSize" -> t.shingleSize,
           "threshold" -> t.threshold, "maxBucketSize" -> t.maxBucketSize)
@@ -259,6 +309,14 @@ object BatchConfig {
       if (gates.nonEmpty) root.put("gates", jlist(gates.map { case (n, w) =>
         jmap("name" -> n, "where" -> w)
       }))
+      pii.foreach { p =>
+        val m = jmap("name" -> p.name, "text" -> p.text, "policy" -> p.policy)
+        if (p.recompute.nonEmpty) m.put("recompute",
+          jlist(p.recompute.map { case (c, e) =>
+            jmap("column" -> c, "expr" -> e)
+          }))
+        root.put("pii", m)
+      }
       decontaminate.foreach { d =>
         val m = jmap("name" -> d.name, "path" -> d.path)
         d.where.foreach(m.put("where", _))
@@ -283,9 +341,13 @@ object BatchConfig {
       graft.functions.Registry.registerAll(spark)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
 
-      // ---- quarantining front doors → one union frame
-      var quarantined = 0L
-      val raw = sources.map { s =>
+      // ---- quarantining front doors → one union frame. Quarantine
+      // accounting is DEFERRED until the persisted base is forced and,
+      // when a quarantineDir is set, counted from the WRITTEN output —
+      // one raw parse per source pays for the quarantine artifact and its
+      // count, and the base materialization is the only other pass
+      // (the runChain single-parse discipline; ADVICE r16).
+      val doors = sources.map { s =>
         val (rows, bad) = s.format match {
           case "warc" => graft.sources.Warc.read(spark, s.path)
           case "jsonl" => graft.sources.Jsonl.read(spark, s.path,
@@ -293,11 +355,19 @@ object BatchConfig {
           case "csv" => graft.sources.Csv.read(spark, s.path,
             StructType.fromDDL(s.schemaDdl.get), s.delimiter)
         }
-        s.quarantineDir.foreach(q => bad.write.mode("overwrite").parquet(q))
-        quarantined += bad.count()
-        if (s.map.isEmpty) rows
-        else rows.select(s.map.map { case (n, e) => expr(e).as(n) }: _*)
-      }.reduce(_ unionByName _)
+        val mapped =
+          if (s.map.isEmpty) rows
+          else rows.select(s.map.map { case (n, e) => expr(e).as(n) }: _*)
+        val countBad: () => Long = s.quarantineDir match {
+          case Some(q) => () => {
+            bad.write.mode("overwrite").parquet(q)
+            spark.read.parquet(q).count()
+          }
+          case None => () => bad.count()
+        }
+        (mapped, countBad)
+      }
+      val raw = doors.map(_._1).reduce(_ unionByName _)
 
       // ---- id on RAW columns, then ordered enrichments, then the slim
       // persisted base every downstream stage reads
@@ -308,7 +378,8 @@ object BatchConfig {
       val base = (if (select.isEmpty) prepared
                   else prepared.select((idName +: select).distinct.map(col): _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ingested = base.count()
+      val ingested = base.count() // force the base before the bad-side passes
+      val quarantined = doors.map(_._2()).sum
 
       // ---- dedup tiers: checkpointed survivor ids, each tier threading
       // off the previous tier's checkpoint (one execution per tier)
@@ -323,6 +394,9 @@ object BatchConfig {
           case n: NearTier => Dedup.dropNearDupsKeepLargest(
             cur, col(idName), expr(n.text), expr(n.sizeBy),
             n.shingleSize, n.threshold, n.maxBucketSize)
+          case n: NearLargestCcTier => Dedup.dropNearDupsKeepLargestCC(
+            cur, col(idName), expr(n.text), expr(n.sizeBy),
+            n.shingleSize, n.threshold, maxBucketSize = n.maxBucketSize)
           case n: NearKeepFirstTier => Dedup.dropNearDups(
             cur, col(idName), expr(n.text),
             n.shingleSize, n.threshold, n.maxBucketSize)
@@ -352,12 +426,36 @@ object BatchConfig {
         flagged = flagged.withColumn(c, coalesce(expr(where), lit(false)))
         flagCols += gname -> col(c)
       }
+      // pii stage (after the row-local gates, before decontamination):
+      // drop flags PII carriers out; redact keeps every row, scrubbing the
+      // text in place and re-deriving the declared columns — the raw
+      // funnel weight is snapshotted first so the staged funnel can charge
+      // the scrubbed-away mass to this stage
+      pii.foreach { p =>
+        p.policy match {
+          case "drop" =>
+            flagged = flagged.withColumn("graft_pii",
+              Pii.redactPii(col(p.text)) === col(p.text))
+          case "redact" =>
+            flagged = flagged
+              .withColumn("graft_w_raw", weight.map(expr).getOrElse(lit(1L)))
+              .withColumn(p.text, Pii.redactPii(col(p.text)))
+            flagged = p.recompute.foldLeft(flagged) { case (d, (c, e)) =>
+              d.withColumn(c, expr(e))
+            }.withColumn("graft_pii", lit(true))
+        }
+        flagCols += p.name -> col("graft_pii")
+      }
       val (flaggedFinal, gateCols) = decontaminate match {
         case Some(d) =>
           val bench0 = spark.read.parquet(d.path)
           val bench = d.where.map(w => bench0.where(expr(w))).getOrElse(bench0)
             .select(expr(d.benchTextExpr).as("graft_bench_text"))
-          val leaking = Curation.decontaminate(base, col(idName),
+          // decontamination sees what flows OUT of the pii stage
+          val deconBase = pii.filter(_.policy == "redact")
+            .map(p => base.withColumn(p.text, Pii.redactPii(col(p.text))))
+            .getOrElse(base)
+          val leaking = Curation.decontaminate(deconBase, col(idName),
               expr(d.textExpr), bench, col("graft_bench_text"),
               n = d.n, minShared = d.minShared)
             .select(col("id").as(idName)).withColumn("graft_leak", lit(true))
@@ -368,13 +466,29 @@ object BatchConfig {
       }
       val materialized = flaggedFinal.localCheckpoint()
 
-      // ---- the whole-chain first-fail funnel
+      // ---- the whole-chain first-fail funnel (staged weights when the
+      // pii stage redacts: raw weight through the pii stage, re-derived
+      // weight after — token mass lost to scrubbing charges to pii)
       val w = weight.map(expr).getOrElse(lit(1L))
-      val funnel = Curation.retentionFunnel(materialized, gateCols, weight = w)
+      val funnel = pii.filter(_.policy == "redact") match {
+        case Some(p) =>
+          val piiIdx = gateCols.indexWhere(_._1 == p.name)
+          val weights = gateCols.indices.map(i =>
+            if (i <= piiIdx) col("graft_w_raw") else w) :+ w
+          Curation.retentionFunnelStaged(materialized, gateCols, weights)
+        case None =>
+          Curation.retentionFunnel(materialized, gateCols, weight = w)
+      }
       funnel.write.mode("overwrite").parquet(s"$work/funnel.parquet")
 
-      // ---- survivors → optional temperature sample → optional shards
+      // ---- survivors → optional temperature sample → optional shards.
+      // Slim back to the declared base columns: the graft_flag_/graft_gate_/
+      // graft_leak/graft_decon working columns are funnel plumbing, not
+      // training data — persisting them into the shard export would bloat
+      // a 100 TB artifact and diverge from the hand-coded export schema
+      // (ADVICE r16).
       val survivors = materialized.where(gateCols.map(_._2).reduce(_ && _))
+        .select(base.columns.map(col).toIndexedSeq: _*)
       val sampled = sample match {
         case Some(sm) =>
           val tot = survivors
@@ -431,6 +545,10 @@ object BatchConfig {
             str(m, "text", where), str(m, "sizeBy", where),
             intOr(m, "shingleSize", 3), doubleOr(m, "threshold", 0.7),
             intOr(m, "maxBucketSize", 1000))
+          case "near_keep_largest_cc" => NearLargestCcTier(str(m, "name", where),
+            str(m, "text", where), str(m, "sizeBy", where),
+            intOr(m, "shingleSize", 3), doubleOr(m, "threshold", 0.7),
+            intOr(m, "maxBucketSize", 1000))
           case "near" => NearKeepFirstTier(str(m, "name", where),
             str(m, "text", where), intOr(m, "shingleSize", 3),
             doubleOr(m, "threshold", 0.7), intOr(m, "maxBucketSize", 1000))
@@ -445,6 +563,15 @@ object BatchConfig {
     }
     val gates = optMapList(root, "gates").zipWithIndex.map { case (m, i) =>
       (str(m, "name", s"gate $i"), str(m, "where", s"gate $i"))
+    }
+    val piiStage = Option(root.get("pii")).map { v =>
+      val m = asMap(v, "pii")
+      PiiStage(str(m, "name", "pii"), str(m, "text", "pii"),
+        strOr(m, "policy", "drop"),
+        optMapList(m, "recompute").zipWithIndex.map { case (rm, i) =>
+          (str(rm, "column", s"pii recompute $i"),
+            str(rm, "expr", s"pii recompute $i"))
+        })
     }
     val decon = Option(root.get("decontaminate")).map { v =>
       val m = asMap(v, "decontaminate")
@@ -463,7 +590,7 @@ object BatchConfig {
     }
     BatchSpec(version, name, sources,
       str(idm, "name", "id"), str(idm, "expr", "id"),
-      prepare, optStrList(root, "select"), dedup, gates, decon,
+      prepare, optStrList(root, "select"), dedup, gates, piiStage, decon,
       Option(root.get("weight")).map(_.toString), sample, shards)
   }
 

@@ -1064,12 +1064,75 @@ object Curation {
     def w(i: Int) = counts.get(i).flatMap(c => Option(c._2))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val totalN = counts.values.map(_._1).sum
-    val totalW = counts.keys.map(w).sum
+    // keys is a SET — mapping to weights directly would collapse buckets
+    // with EQUAL weight sums and undercount the total (caught by the
+    // staged-funnel equivalence spec)
+    val totalW = counts.keys.toSeq.map(w).sum
     var inN = totalN
     var inW = totalW
     val rows = gates.zipWithIndex.map { case ((name, _), i) =>
       val r = (i + 1, name, inN, n(i), inN - n(i), inW, w(i), inW - w(i))
       inN -= n(i); inW -= w(i)
+      r
+    }
+    spark.createDataset(rows).toDF(
+      "stage", "gate", "rows_in", "rows_dropped", "rows_out",
+      "weight_in", "weight_dropped", "weight_out")
+  }
+
+  /**
+   * [[retentionFunnel]] with a PER-STAGE weight: `weights(i)` is the
+   * row's weight ENTERING stage i (weights.size == gates.size + 1; the
+   * last entry is the survivor weight). A stage that rewrites content
+   * without dropping rows — redact-and-keep PII scrubbing is the
+   * motivating case — charges the REWRITTEN-AWAY mass as that stage's
+   * `weight_dropped` even when `rows_dropped` is 0, so token-mass
+   * accounting stays conserved through the whole funnel
+   * (weight_out(i) == weight_in(i+1), always).
+   *
+   * Accounting per stage i over rows that REACH it (first-fail ff == -1
+   * or ff >= i): weight_in = Σ weights(i); weight_dropped =
+   * Σ_{ff == i} weights(i)  +  Σ_{reaching i+1} (weights(i) −
+   * weights(i+1)); weight_out = weight_in − weight_dropped. With all
+   * weights equal this reduces exactly to [[retentionFunnel]]
+   * (spec-pinned). Same cost shape: ONE aggregate computing
+   * (gates+2)·(gates+1) driver-side numbers — no per-stage scan.
+   */
+  def retentionFunnelStaged(
+      df: DataFrame, gates: Seq[(String, Column)],
+      weights: Seq[Column]): DataFrame = {
+    require(gates.nonEmpty, "funnel needs at least one gate")
+    require(weights.size == gates.size + 1,
+      s"need gates+1 weights (one per stage entry + survivor), got " +
+        s"${weights.size} for ${gates.size} gates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = gates.size
+    val firstFail = firstFailExpr(gates)
+    val wCols = weights.zipWithIndex.map { case (w, i) =>
+      coalesce(w.cast("long"), lit(0L)).as(s"graft_w$i")
+    }
+    val sums = df.select((firstFail.as("graft_ff") +: wCols): _*)
+      .groupBy(col("graft_ff"))
+      .agg(count(lit(1)).as("graft_n"),
+        (0 to k).map(i => sum(col(s"graft_w$i")).as(s"graft_sw$i")): _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), (0 to k).map(i =>
+          if (r.isNullAt(2 + i)) 0L else r.getLong(2 + i)).toIndexedSeq))
+      .toMap
+    def n(ff: Int) = sums.get(ff).map(_._1).getOrElse(0L)
+    def w(ff: Int, i: Int) = sums.get(ff).map(_._2(i)).getOrElse(0L)
+    // buckets whose rows reach stage i: survivors (-1) plus ff >= i
+    def reaching(i: Int): Seq[Int] = -1 +: (i until k)
+    val totalN = sums.values.map(_._1).sum
+    var inN = totalN
+    val rows = gates.zipWithIndex.map { case ((name, _), i) =>
+      val wIn = reaching(i).map(w(_, i)).sum
+      val passOn = reaching(i + 1)
+      val dropped = w(i, i) + passOn.map(b => w(b, i) - w(b, i + 1)).sum
+      val r = (i + 1, name, inN, n(i), inN - n(i), wIn, dropped, wIn - dropped)
+      inN -= n(i)
       r
     }
     spark.createDataset(rows).toDF(

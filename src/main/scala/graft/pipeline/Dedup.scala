@@ -702,6 +702,27 @@ object Dedup {
   }
 
   /**
+   * CLUSTER-TRUE keep-most-complete near-dedup: each connected near-dup
+   * FAMILY elects its single largest member (`sizeCol` — token/char
+   * count; ties go to the lowest id). The family-transitive complement
+   * of the pairwise [[dropNearDupsKeepLargest]]: in a chain A~B~C with
+   * A≁C, the pairwise rule's survivors depend on which pairs LSH
+   * verifies (it can drop both of B's neighbours and keep mid-size B),
+   * while this elects exactly one canonical member per family —
+   * [[dropNearDupsPreferring]] with completeness as the priority. Costs
+   * the connected-components fixpoint the pairwise tier avoids; the
+   * composed batch pipeline exposes both as config
+   * ([[graft.pipeline.BatchConfig]] near-tier kinds `near_keep_largest`
+   * / `near_keep_largest_cc`).
+   */
+  def dropNearDupsKeepLargestCC(
+      df: DataFrame, idCol: Column, textCol: Column, sizeCol: Column,
+      shingleSize: Int = 3, threshold: Double = 0.7,
+      maxIterations: Int = 20, maxBucketSize: Int = 1000): DataFrame =
+    dropNearDupsPreferring(df, idCol, textCol, sizeCol,
+      shingleSize, threshold, maxIterations, maxBucketSize)
+
+  /**
    * Cross-document line deduplication (RefinedWeb/CCNet-style boilerplate
    * removal): a line occurring in at least `minDocs` DISTINCT documents is
    * dropped from EVERY document — nav menus, cookie banners, license

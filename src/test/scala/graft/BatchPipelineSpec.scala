@@ -134,6 +134,50 @@ class BatchPipelineSpec extends AnyFunSuite {
       s"per-language survivors diverged: $surv")
   }
 
+  test("pii redact policy: rows kept, spans scrubbed, mass conserved, config parity") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val staged = BatchPipeline.stagedOnce(spark, src)
+    val w1 = java.nio.file.Files.createTempDirectory("graft_pipe_redact").toString
+    val chain = BatchPipeline.runChain(spark, src, w1,
+      staged = Some(staged), piiPolicy = "redact")
+    val funnel = BatchPipeline.chainFunnel(chain).orderBy("stage").collect()
+    val byGate = funnel.map(r => r.getString(1) -> r).toMap
+    // redact keeps every row at the pii stage...
+    assert(byGate("pii").getAs[Long]("rows_dropped") == 0L)
+    // ...so the %53 PII-planted docs flow on to decontamination instead of
+    // dying: pii rows_out must exceed the drop-policy run's
+    summary // force the (drop-policy) pipeline
+    val dropPii = spark.read.parquet(s"$work/funnel.parquet")
+      .where(col("gate") === "pii").head()
+    assert(dropPii.getAs[Long]("rows_dropped") > 0L)
+    assert(byGate("pii").getAs[Long]("rows_out") >
+      dropPii.getAs[Long]("rows_out"))
+    // token-mass conservation through the staged accounting
+    funnel.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("rows_out") == b.getAs[Long]("rows_in"))
+      assert(a.getAs[Long]("weight_out") == b.getAs[Long]("weight_in"),
+        s"mass leak between ${a.getString(1)} and ${b.getString(1)}")
+    }
+    // survivors carry SCRUBBED text: no raw email anywhere, markers present
+    val survivors = chain.flagged
+      .where(chain.gateCols.map(_._2).reduce(_ && _))
+    assert(survivors.where(col("text")
+      .rlike(graft.pipeline.Pii.emailRe)).count() == 0L)
+    assert(survivors.where(col("text").contains("<EMAIL>")).count() > 0L)
+    // the CONFIG twin under policy redact replays to a bit-identical funnel
+    val (warcDir, jsonlDir) = staged
+    val spec = BatchPipeline.configTwin(src, warcDir, jsonlDir,
+        piiPolicy = "redact").copy(sample = None, shards = None)
+    val w2 = java.nio.file.Files.createTempDirectory("graft_pipe_redactc").toString
+    val res = graft.pipeline.BatchConfig.fromYaml(spec.toYaml).run(spark, w2)
+    val got = res.funnel.orderBy("stage").collect()
+    got.zip(funnel).foreach { case (g, e) =>
+      assert(g == e, s"redact funnel diverged:\n config: $g\n coded:  $e")
+    }
+    chain.base.unpersist(blocking = false)
+  }
+
   test("artifacts land: datacard, funnel markdown, shard files") {
     summary // force the pipeline: each test must be runnable alone (ADVICE r15)
     assert(java.nio.file.Files.readString(

@@ -24,9 +24,16 @@ class BatchConfigSpec extends AnyFunSuite {
     val tiers = s.copy(dedup = Seq(
       BatchConfig.NearKeepFirstTier("n1", "text", shingleSize = 2, threshold = 0.6),
       BatchConfig.NearPreferringTier("n2", "text", "tok", threshold = 0.8),
+      BatchConfig.NearLargestCcTier("n2b", "text", "tok", threshold = 0.8),
       BatchConfig.ExactTier("n3", Seq("url"), trust = Some("tok")),
       BatchConfig.CapTier("n4", "registrable_domain(url)", 100)))
     assert(BatchConfig.fromYaml(tiers.toYaml) == tiers)
+    // the pii stanza round-trips under both policies
+    val piis = s.copy(pii = Some(BatchConfig.PiiStage("pii", "text", "redact",
+      recompute = Seq("tok" -> "token_count(text)"))))
+    assert(BatchConfig.fromYaml(piis.toYaml) == piis)
+    val piid = s.copy(pii = Some(BatchConfig.PiiStage("pii", "text", "drop")))
+    assert(BatchConfig.fromYaml(piid.toYaml) == piid)
   }
 
   test("cap tier executes: at most max rows per key, lowest ids win, funnel-accounted") {
@@ -90,6 +97,19 @@ class BatchConfigSpec extends AnyFunSuite {
       .select("url").as[String].collect().toSet
     assert(survivors == Set("https://wiki.example.org/a",
       "https://other.example.com/b"), s"trust election broke: $survivors")
+    // keep-largest-cc: the family elects its LARGEST member (the scraper
+    // copy has 6 tokens vs wiki's 5) — funnel parity with the hand-coded
+    // Dedup call on the same frame
+    val w3 = java.nio.file.Files.createTempDirectory("graft_bcfg_nt3").toString
+    val r3 = BatchConfig.fromYaml(spec(
+      BatchConfig.NearLargestCcTier("near", "text", "tok", shingleSize = 2,
+        threshold = 0.6)).toYaml).run(spark, w3)
+    val surv3 = spark.read.parquet(s"$w3/shards")
+      .select("url").as[String].collect().toSet
+    assert(surv3 == Set("https://scraper.example.net/a",
+      "https://other.example.com/b"), s"size election broke: $surv3")
+    val out3 = r3.funnel.collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(out3("near") == 2L, s"cc tier must keep one per family: $out3")
   }
 
   test("validate dry-resolves the whole chain and localizes errors") {
@@ -136,6 +156,12 @@ class BatchConfigSpec extends AnyFunSuite {
     // the optional legs ran: shard manifest re-read from disk, docs > 0
     val manifest = res.shardManifest.get
     assert(manifest.agg(sum(col("docs"))).head().getLong(0) > 0L)
+    // the shard export carries ONLY the declared base columns — none of
+    // the graft_ flag/gate/leak funnel plumbing (ADVICE r16): the config
+    // path's training-shard schema matches the hand-coded export's shape
+    val shardCols = spark.read.parquet(s"$work/shards").columns.toSet
+    assert(shardCols == (s0.select.toSet + s0.idName + "shard"),
+      s"shard export schema leaked internals: $shardCols")
     // funnel artifact landed
     assert(spark.read.parquet(s"$work/funnel.parquet").count() == 8L)
   }

@@ -62,6 +62,37 @@ class FunnelSpec extends AnyFunSuite {
       && r.getAs[Long]("rows_dropped") == 0L && r.getAs[Long]("weight_out") == 0L))
   }
 
+  test("staged weights: all-equal weights reduce exactly to retentionFunnel") {
+    val df = Seq("alpha", "brrr", "zebra crossing", "xyz", "quiet one", "bz")
+      .toDF("t")
+    val w = size(split(trim(col("t")), "\\s+"))
+    val plain = Curation.retentionFunnel(df, gates, w).collect().toSeq
+    val staged = Curation.retentionFunnelStaged(
+      df, gates, Seq.fill(gates.size + 1)(w)).collect().toSeq
+    assert(staged == plain, s"\nstaged: $staged\nplain:  $plain")
+  }
+
+  test("staged weights: a rewrite stage charges scrubbed mass, totals conserved") {
+    // three gates; content is rewritten at gate index 1 (the redact-and-
+    // keep shape): weight entering stages 0-1 is raw, entering stage 2 and
+    // the survivor tally is the rewritten weight
+    val df = Seq(
+      ("A", true, true, true, 10L, 7L),   // survives; 3 scrubbed at g1
+      ("B", false, true, true, 5L, 4L),   // drops at g0, charged raw 5
+      ("C", true, true, false, 8L, 6L))   // 2 scrubbed at g1, drops at g2
+      .toDF("id", "g0", "g1", "g2", "raw", "red")
+    val gs = Seq("g0" -> col("g0"), "g1" -> col("g1"), "g2" -> col("g2"))
+    val f = Curation.retentionFunnelStaged(df, gs,
+        Seq(col("raw"), col("raw"), col("red"), col("red")))
+      .orderBy("stage").collect()
+      .map(r => (r.getLong(5), r.getLong(6), r.getLong(7))) // in/dropped/out
+    assert(f(0) == ((23L, 5L, 18L)), f.toSeq.toString)
+    assert(f(1) == ((18L, 5L, 13L)), f.toSeq.toString) // 0 rows, 5 scrubbed
+    assert(f(2) == ((13L, 6L, 7L)), f.toSeq.toString)
+    // conservation: every stage's weight_out is the next stage's weight_in
+    f.sliding(2).foreach { case Array(a, b) => assert(a._3 == b._1) }
+  }
+
   test("windowed funnel: per-window stages equal the batch funnel on each slice") {
     import java.sql.Timestamp
     val rows = Seq(
