@@ -156,7 +156,7 @@ object BatchPipeline {
    * identical fixture results).
    */
   private[graft] def dedupTierIds(base: DataFrame,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint())
+      checkpoint: DataFrame => DataFrame = graft.pipeline.Checkpoints.stage)
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.pipeline.Dedup
     val urlIds = checkpoint(
@@ -432,7 +432,9 @@ object BatchPipeline {
       piiStaged
         .join(leaking, Seq("ingest_id"), "left")
         .withColumn("f_decon", col("graft_leak").isNull)
-        .localCheckpoint() // gates + dedup flags computed exactly once
+        // gates + dedup flags computed exactly once; truncation posture
+        // (local vs reliable checkpoint) decided by the session conf
+        .transform(graft.pipeline.Checkpoints.stage)
     }
     stageDir.foreach(d =>
       Incremental.commitStage(spark, s"$d/flagged", flagged,

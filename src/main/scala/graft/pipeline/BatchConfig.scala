@@ -406,7 +406,7 @@ object BatchConfig {
           case c: CapTier =>
             Curation.capPerKey(cur, expr(c.key), col(idName), c.max)
         }
-        val ids = survivors.select(col(idName)).localCheckpoint()
+        val ids = Checkpoints.stage(survivors.select(col(idName)))
         cur = base.join(ids, Seq(idName), "leftsemi")
         t.name -> ids
       }
@@ -464,7 +464,7 @@ object BatchConfig {
           (f, flagCols.toSeq :+ (d.name -> col("graft_decon")))
         case None => (flagged, flagCols.toSeq)
       }
-      val materialized = flaggedFinal.localCheckpoint()
+      val materialized = Checkpoints.stage(flaggedFinal)
 
       // ---- the whole-chain first-fail funnel (staged weights when the
       // pii stage redacts: raw weight through the pii stage, re-derived

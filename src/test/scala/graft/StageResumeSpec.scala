@@ -60,6 +60,43 @@ class StageResumeSpec extends AnyFunSuite {
       "funnel diverged when recomputed from the committed base")
   }
 
+  test("reliable-checkpoint posture: durable truncation + stageDir, identical artifacts") {
+    // VERDICT r16 #4: localCheckpoint blocks are executor-local and die
+    // with the executor — the cluster posture is stageDir commits plus
+    // spark.graft.reliableCheckpoints=true with a fault-tolerant
+    // checkpoint dir. The chain must run with localCheckpoint OFF for
+    // every chain frame and produce bit-identical funnel + shards.
+    val sc = spark.sparkContext
+    // misconfiguration fails loudly, not silently-local (only testable
+    // while this JVM has no checkpoint dir yet)
+    if (sc.getCheckpointDir.isEmpty) {
+      spark.conf.set(graft.pipeline.Checkpoints.ReliableConf, "true")
+      try intercept[IllegalArgumentException] {
+        graft.pipeline.Checkpoints.stage(spark.range(3).toDF())
+      } finally spark.conf.set(graft.pipeline.Checkpoints.ReliableConf, "false")
+    }
+    val (wl, wr) = (tmp("graft_rc_local"), tmp("graft_rc_rel"))
+    val sLocal = BatchPipeline.run(spark, src, wl)
+    val ckpt = tmp("graft_rc_ckpt")
+    sc.setCheckpointDir(ckpt)
+    spark.conf.set(graft.pipeline.Checkpoints.ReliableConf, "true")
+    try {
+      val sRel = BatchPipeline.run(spark, src, wr, Some(tmp("graft_rc_stage")))
+      assert(funnelRows(wl).toSeq == funnelRows(wr).toSeq,
+        "funnel diverged under reliable checkpoints")
+      assert(shardRows(wl).toSeq == shardRows(wr).toSeq,
+        "shards diverged under reliable checkpoints")
+      Seq("ingested", "quarantined", "survivor_tokens").foreach { k =>
+        assert(jsonLong(sLocal, k) == jsonLong(sRel, k), s"summary $k diverged")
+      }
+      // the reliable path actually engaged: rdd checkpoint dirs appeared
+      def anyRdd(f: java.io.File): Boolean = f.isDirectory &&
+        (f.getName.startsWith("rdd-") || f.listFiles().exists(anyRdd))
+      assert(anyRdd(new java.io.File(ckpt)),
+        "no reliable checkpoint was written under the checkpoint dir")
+    } finally spark.conf.set(graft.pipeline.Checkpoints.ReliableConf, "false")
+  }
+
   test("torn stage writes read as absent, never as a partial table") {
     import graft.pipeline.Incremental
     val d = tmp("graft_stage_torn")
