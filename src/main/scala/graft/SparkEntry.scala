@@ -2588,6 +2588,27 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("text")),
         col("doc_id"), graft.pipeline.Text.tokenCount(col("text")), path, 8)
     }),
+    "q_wds_roundtrip" -> ((s, dir) => {
+      // WebDataset tar-shard export + re-ingest (VERDICT r16 #6): write
+      // documents as byte-deterministic ustar shards (same md5 shard
+      // recipe as writeShards; key = %020d of the id), read them BACK,
+      // and report per-shard docs / token mass / an order-independent
+      // membership hash computed from the RE-INGESTED key+text — any
+      // loss, duplication or corruption in the tar round-trip breaks the
+      // hash. The oracle recomputes all three straight from documents.
+      val path = java.nio.file.Files.createTempDirectory("graft_q_wds").toString
+      graft.sources.Wds.write(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"),
+        graft.pipeline.Text.tokenCount(col("text")), path, 8)
+      val (rows, bad) = graft.sources.Wds.read(s, path)
+      require(bad.isEmpty, "re-ingest quarantined a written shard")
+      rows.groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(graft.pipeline.Text.tokenCount(col("text"))).as("tokens"),
+          sum(conv(substring(md5(concat(col("key"), col("text"))
+            .cast("binary")), 1, 8), 16, 10).cast("long")).as("member_hash"))
+    }),
     "q_zorder" -> ((s, dir) => {
       // z-order clustered write: quantile-bucket + bit-interleave
       // (l_extendedprice, l_quantity), range-partition into 8 files, read
@@ -7266,6 +7287,16 @@ object SparkEntry {
       """SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
         |       count(*) AS docs,
         |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    // q_wds_roundtrip's expected values come straight from documents: the
+    // Spark side computes them from the RE-INGESTED tar shards, so a
+    // byte-level round-trip fault surfaces as a hash mismatch here
+    "q_wds_roundtrip" ->
+      """SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |       count(*) AS docs,
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |       CAST(sum(CAST(concat('0x', substring(md5(printf('%020d', doc_id) || text), 1, 8)) AS BIGINT)) AS BIGINT) AS member_hash
         |FROM documents
         |GROUP BY 1""".stripMargin,
     "q_zorder" ->
