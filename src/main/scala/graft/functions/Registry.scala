@@ -363,6 +363,10 @@ object Registry {
     "return_sum" -> (AggExprBuilder.returnSum _)
   )
 
+  /** Every registered SQL-callable function, canonical snake_case —
+   * the docs index (graft.DocsGen) and its parity spec enumerate this. */
+  def registeredNames: Seq[String] = builders.keys.toSeq.sorted
+
   private def canonical(n: String): String = n.toLowerCase.replaceAll("_", "")
 
   /** flattened-name → builder, so fooBar / foo_bar / foobar all resolve. */
