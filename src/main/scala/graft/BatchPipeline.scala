@@ -232,8 +232,10 @@ object BatchPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // args: src work [stageDir|-] [piiPolicy]
     try run(spark, src, work,
-      stageDir = if (args.length > 2) Some(args(2)) else None)
+      stageDir = if (args.length > 2 && args(2) != "-") Some(args(2)) else None,
+      piiPolicy = if (args.length > 3) args(3) else "drop")
     finally spark.stop()
   }
 

@@ -83,7 +83,13 @@ object Soak {
     // steady-state BM25 shape and modified-KN
     "q_streaming_e2e", "q_audio_phash", "q_scd2", "q_dp_count",
     "q_crawl_schedule_robots", "q_lm_kn", "q_robots_sitemaps",
-    "q_bm25_search_steady", "q_lm_mkn", "q_dp_quantile", "q_dp_quantiles")
+    "q_bm25_search_steady", "q_lm_mkn", "q_dp_quantile", "q_dp_quantiles",
+    // r17: the r16/r17 additions through the decade — composed chain via
+    // config (both PII policies), the containment gate and span-length
+    // report (r16, never soaked), cluster-true keep-largest, tar shards
+    "q_pipeline_batch", "q_pipeline_yaml", "q_pipeline_redact",
+    "q_containment_gate", "q_span_lengths", "q_dedup_keep_largest_cc",
+    "q_wds_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
