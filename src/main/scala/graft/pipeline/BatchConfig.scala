@@ -70,9 +70,9 @@ object BatchConfig {
   final case class Source(format: String, path: String,
       schemaDdl: Option[String] = None, map: Seq[(String, String)] = Nil,
       delimiter: String = ",", quarantineDir: Option[String] = None) {
-    require(Seq("warc", "jsonl", "csv").contains(format),
-      s"source format must be warc|jsonl|csv, got '$format'")
-    require(format == "warc" || schemaDdl.nonEmpty,
+    require(Seq("warc", "jsonl", "csv", "wds").contains(format),
+      s"source format must be warc|jsonl|csv|wds, got '$format'")
+    require(format == "warc" || format == "wds" || schemaDdl.nonEmpty,
       s"$format source '$path' needs a schema")
   }
 
@@ -147,8 +147,18 @@ object BatchConfig {
       s"budgetFraction must be in (0, 1], got $budgetFraction")
   }
 
-  final case class ShardSpec(nShards: Int) {
+  /** Shard export: `parquet` ([[Curation.writeShards]]) or `wds`
+   * ([[graft.sources.Wds.write]] — WebDataset tar shards, the format GPU
+   * loaders stream; needs `text`, the column name exported as each
+   * sample's `.txt` part). Both use the same content-addressed shard
+   * assignment and within-shard pseudo-shuffle. */
+  final case class ShardSpec(nShards: Int, format: String = "parquet",
+      text: Option[String] = None) {
     require(nShards > 0, "nShards must be positive")
+    require(format == "parquet" || format == "wds",
+      s"shards format must be parquet|wds, got '$format'")
+    require(format == "parquet" || text.nonEmpty,
+      "wds shard export needs `text` (the sample text column)")
   }
 
   final case class BatchSpec(version: Int, name: String,
@@ -183,6 +193,7 @@ object BatchConfig {
         attempt(s"source $i (${s.format})") {
           val cols = s.format match {
             case "warc" => graft.sources.Warc.emptyFrame(spark)
+            case "wds" => graft.sources.Wds.emptyFrame(spark)
             case _ => spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               StructType.fromDDL(s.schemaDdl.get))
@@ -329,7 +340,12 @@ object BatchConfig {
       sample.foreach(sm => root.put("sample", jmap("domain" -> sm.domain,
         "tokens" -> sm.tokens, "budgetFraction" -> sm.budgetFraction,
         "alpha" -> sm.alpha)))
-      shards.foreach(sh => root.put("shards", jmap("nShards" -> sh.nShards)))
+      shards.foreach { sh =>
+        val m = jmap("nShards" -> sh.nShards)
+        if (sh.format != "parquet") m.put("format", sh.format)
+        sh.text.foreach(m.put("text", _))
+        root.put("shards", m)
+      }
       val opts = new org.yaml.snakeyaml.DumperOptions()
       opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
       new org.yaml.snakeyaml.Yaml(opts).dump(root)
@@ -354,6 +370,7 @@ object BatchConfig {
             StructType.fromDDL(s.schemaDdl.get))
           case "csv" => graft.sources.Csv.read(spark, s.path,
             StructType.fromDDL(s.schemaDdl.get), s.delimiter)
+          case "wds" => graft.sources.Wds.read(spark, s.path)
         }
         val mapped =
           if (s.map.isEmpty) rows
@@ -500,9 +517,14 @@ object BatchConfig {
         case None => survivors
       }
       val manifest = shards.map { sh =>
-        Curation.writeShards(sampled,
-          col(idName), weight.map(expr).getOrElse(lit(1L)),
-          s"$work/shards", nShards = sh.nShards).localCheckpoint()
+        (sh.format match {
+          case "wds" => graft.sources.Wds.write(sampled, col(idName),
+            col(sh.text.get), weight.map(expr).getOrElse(lit(1L)),
+            s"$work/shards", nShards = sh.nShards)
+          case _ => Curation.writeShards(sampled,
+            col(idName), weight.map(expr).getOrElse(lit(1L)),
+            s"$work/shards", nShards = sh.nShards)
+        }).localCheckpoint()
       }
       base.unpersist(blocking = false)
       BatchResult(funnel, ingested, quarantined, manifest)
@@ -586,7 +608,9 @@ object BatchConfig {
         dbl(m, "budgetFraction", "sample"), doubleOr(m, "alpha", 0.5))
     }
     val shards = Option(root.get("shards")).map { v =>
-      ShardSpec(int(asMap(v, "shards"), "nShards", "shards"))
+      val m = asMap(v, "shards")
+      ShardSpec(int(m, "nShards", "shards"), strOr(m, "format", "parquet"),
+        Option(m.get("text")).map(_.toString))
     }
     BatchSpec(version, name, sources,
       str(idm, "name", "id"), str(idm, "expr", "id"),

@@ -122,6 +122,16 @@ object Wds {
      tagged.where(!col("ok")).select(col("file"), col("reason")))
   }
 
+  /** Empty frame with [[read]]'s sample-side schema — lets config
+   * validation (BatchConfig.validate) dry-resolve a wds source without
+   * touching any path. */
+  def emptyFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[WdsSample].toDF()
+  }
+
+  private case class WdsSample(shard: Int, key: String, text: String, meta: String)
+
   private case class WdsTagged(file: String, ok: Boolean, reason: String,
       shard: Int, key: String, text: String, meta: String)
 }

@@ -34,6 +34,11 @@ class BatchConfigSpec extends AnyFunSuite {
     assert(BatchConfig.fromYaml(piis.toYaml) == piis)
     val piid = s.copy(pii = Some(BatchConfig.PiiStage("pii", "text", "drop")))
     assert(BatchConfig.fromYaml(piid.toYaml) == piid)
+    // wds shard export + wds front door round-trip the yaml too
+    val wds = s.copy(
+      sources = s.sources :+ BatchConfig.Source("wds", "/shards/prev"),
+      shards = Some(BatchConfig.ShardSpec(8, "wds", Some("text"))))
+    assert(BatchConfig.fromYaml(wds.toYaml) == wds)
   }
 
   test("cap tier executes: at most max rows per key, lowest ids win, funnel-accounted") {
@@ -110,6 +115,50 @@ class BatchConfigSpec extends AnyFunSuite {
       "https://other.example.com/b"), s"size election broke: $surv3")
     val out3 = r3.funnel.collect().map(r => r.getString(1) -> r.getLong(4)).toMap
     assert(out3("near") == 2L, s"cc tier must keep one per family: $out3")
+  }
+
+  test("wds shard export + wds front door: config-driven tar round trip") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bcfg_wds").toString
+    (0 until 6).map(i => (s"https://a.example.com/$i",
+        s"document number $i with some body words"))
+      .toDF("url", "html").coalesce(1).write.mode("overwrite").json(srcDir)
+    val spec = BatchConfig.BatchSpec(
+      version = 1, name = "wds_export",
+      sources = Seq(BatchConfig.Source("jsonl", srcDir,
+        schemaDdl = Some("url STRING, html STRING"))),
+      idName = "ingest_id", idExpr = "xxhash64(url)",
+      prepare = Seq("text" -> "html", "tok" -> "token_count(text)"),
+      select = Seq("url", "text", "tok"),
+      dedup = Seq(BatchConfig.ExactTier("dedup_text", Seq("text"))),
+      gates = Seq("nonempty" -> "tok >= 1"),
+      decontaminate = None, weight = Some("tok"), sample = None,
+      shards = Some(BatchConfig.ShardSpec(2, "wds", Some("text"))))
+    val work = java.nio.file.Files.createTempDirectory("graft_bcfg_wdsw").toString
+    val res = BatchConfig.fromYaml(spec.toYaml).run(spark, work)
+    // tars landed and the manifest accounts every survivor
+    assert(new java.io.File(s"$work/shards").listFiles()
+      .exists(_.getName.endsWith(".tar")))
+    val exported = res.shardManifest.get
+      .agg(sum(col("docs"))).head().getLong(0)
+    assert(exported == 6L, s"expected 6 exported docs, got $exported")
+    // ...and the shards feed straight back through the wds FRONT DOOR
+    val spec2 = BatchConfig.BatchSpec(
+      version = 1, name = "wds_reingest",
+      sources = Seq(BatchConfig.Source("wds", s"$work/shards")),
+      idName = "rid", idExpr = "xxhash64(key)",
+      prepare = Seq("tok" -> "token_count(text)"),
+      select = Seq("key", "text", "tok"),
+      dedup = Seq(BatchConfig.ExactTier("dedup_text", Seq("text"))),
+      gates = Seq("nonempty" -> "tok >= 1"),
+      decontaminate = None, weight = Some("tok"), sample = None,
+      shards = None)
+    assert(spec2.validate(spark).isEmpty, spec2.validate(spark).toString)
+    val w2 = java.nio.file.Files.createTempDirectory("graft_bcfg_wdsr").toString
+    val res2 = BatchConfig.fromYaml(spec2.toYaml).run(spark, w2)
+    assert(res2.ingested == 6L && res2.quarantined == 0L)
+    val out2 = res2.funnel.collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(out2("nonempty") == 6L, s"re-ingested survivors: $out2")
   }
 
   test("validate dry-resolves the whole chain and localizes errors") {
