@@ -329,9 +329,19 @@ object BatchPipeline {
     // ---- resume from the flagged stage if a committed copy exists
     stageDir.filter(d => Incremental.committedStage(spark, s"$d/flagged"))
       .foreach { d =>
+        val meta = Incremental.stageMeta(spark, s"$d/flagged")
+        // the flagged stage's content depends on the PII policy (redact
+        // rewrites text/tok and adds tok_raw) — resuming under a
+        // DIFFERENT policy would silently mislabel the funnel (or crash
+        // on the missing tok_raw), so the commit stamps the policy and
+        // the resume verifies it; pre-stamp commits were all drop
+        val recorded =
+          if (meta.getOrElse("pii_redact", 0L) == 1L) "redact" else "drop"
+        require(recorded == piiPolicy,
+          s"stageDir '$d' was committed under piiPolicy=$recorded but " +
+            s"this run requests $piiPolicy — use a fresh stageDir per config")
         val flagged = spark.read.parquet(s"$d/flagged")
-        val q = Incremental.stageMeta(spark, s"$d/flagged")
-          .getOrElse("quarantined", 0L)
+        val q = meta.getOrElse("quarantined", 0L)
         return Chain(flagged, flagged, chainGateCols, q, flagged.count(),
           piiPolicy)
       }
@@ -394,15 +404,6 @@ object BatchPipeline {
       // benchmark side: the %97 docs' ORIGINAL text (public eval fixture)
       val bench = spark.read.parquet(s"$src/documents.parquet")
         .where(col("doc_id") % 97 === 0).select(col("text"))
-      // decontamination sees what flows OUT of the pii stage: raw text
-      // under drop, scrubbed text under redact
-      val deconSide =
-        if (redact) base.withColumn("text", Pii.redactPii(col("text")))
-        else base
-      val leaking = Curation.decontaminate(
-          deconSide, col("ingest_id"), col("text"), bench, col("text"),
-          n = 8, minShared = 3)
-        .select(col("id").as("ingest_id")).withColumn("graft_leak", lit(true))
       val gated = base
         .transform(surviveFlag(afterUrlIds, "f_url"))
         .transform(surviveFlag(afterTextIds, "f_text"))
@@ -431,16 +432,25 @@ object BatchPipeline {
           .withColumn("tok", Text.tokenCount(col("text")))
         else gated
           .withColumn("f_pii", Pii.redactPii(col("text")) === col("text"))
-      piiStaged
+      // checkpoint BEFORE decontamination: every gate (and the redact
+      // scrub) runs exactly once, and decon reads the post-pii text FROM
+      // the materialized frame instead of re-scrubbing the corpus a
+      // second time; truncation posture (local vs reliable) per the
+      // session conf
+      val staged = graft.pipeline.Checkpoints.stage(piiStaged)
+      val leaking = Curation.decontaminate(
+          staged, col("ingest_id"), col("text"), bench, col("text"),
+          n = 8, minShared = 3)
+        .select(col("id").as("ingest_id")).withColumn("graft_leak", lit(true))
+        .localCheckpoint() // small (leak ids only) — decon runs once
+      staged
         .join(leaking, Seq("ingest_id"), "left")
         .withColumn("f_decon", col("graft_leak").isNull)
-        // gates + dedup flags computed exactly once; truncation posture
-        // (local vs reliable checkpoint) decided by the session conf
-        .transform(graft.pipeline.Checkpoints.stage)
     }
     stageDir.foreach(d =>
       Incremental.commitStage(spark, s"$d/flagged", flagged,
-        Map("quarantined" -> quarantined)))
+        Map("quarantined" -> quarantined,
+          "pii_redact" -> (if (redact) 1L else 0L))))
     Chain(base, flagged, chainGateCols, quarantined, ingested, piiPolicy)
   }
 

@@ -23,19 +23,14 @@ object DocsGen {
     val names = graft.functions.Registry.registeredNames
     val rows = names.map("`" + _ + "`").grouped(4)
       .map(g => "| " + g.padTo(4, " ").mkString(" | ") + " |")
-      .mkString("\n")
-    s"""$Begin
-       |
-       |## Complete index (${names.size} functions, generated)
-       |
-       |Every SQL-callable function in the Registry, alphabetical; each name
-       |also registers an underscore-free alias (`soft_fail` / `softfail`).
-       |
-       || | | | |
-       || --- | --- | --- | --- |
-       |$rows
-       |
-       |$End""".stripMargin
+    // plain line assembly — stripMargin over interpolated table rows
+    // would eat each row's leading '|' as a margin character
+    (Seq(Begin, "",
+      s"## Complete index (${names.size} functions, generated)", "",
+      "Every SQL-callable function in the Registry, alphabetical; each name",
+      "also registers an underscore-free alias (`soft_fail` / `softfail`).", "",
+      "| | | | |", "| --- | --- | --- | --- |") ++
+      rows ++ Seq("", End)).mkString("\n")
   }
 
   /** Splice [[indexMarkdown]] into the page: replaces an existing

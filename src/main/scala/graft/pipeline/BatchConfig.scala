@@ -263,6 +263,12 @@ object BatchConfig {
             base.select(expr(sm.domain)).schema
             base.select(expr(sm.tokens)).schema
           })
+          shards.foreach(sh => attempt("shards") {
+            // the export's own column needs: the id (long-castable) and,
+            // for wds, the declared sample-text column
+            base.select(col(idName).cast("long")).schema
+            sh.text.foreach(t => base.select(col(t)).schema)
+          })
         }
       }
       errs.toSeq
@@ -463,25 +469,25 @@ object BatchConfig {
         }
         flagCols += p.name -> col("graft_pii")
       }
-      val (flaggedFinal, gateCols) = decontaminate match {
+      // checkpoint BEFORE decontamination: flags (and the redact scrub)
+      // run exactly once, and decon reads the post-pii text from the
+      // materialized frame — no second scrub pass over the corpus
+      val staged = Checkpoints.stage(flagged)
+      val (materialized, gateCols) = decontaminate match {
         case Some(d) =>
           val bench0 = spark.read.parquet(d.path)
           val bench = d.where.map(w => bench0.where(expr(w))).getOrElse(bench0)
             .select(expr(d.benchTextExpr).as("graft_bench_text"))
-          // decontamination sees what flows OUT of the pii stage
-          val deconBase = pii.filter(_.policy == "redact")
-            .map(p => base.withColumn(p.text, Pii.redactPii(col(p.text))))
-            .getOrElse(base)
-          val leaking = Curation.decontaminate(deconBase, col(idName),
+          val leaking = Curation.decontaminate(staged, col(idName),
               expr(d.textExpr), bench, col("graft_bench_text"),
               n = d.n, minShared = d.minShared)
             .select(col("id").as(idName)).withColumn("graft_leak", lit(true))
-          val f = flagged.join(leaking, Seq(idName), "left")
+            .localCheckpoint() // small (leak ids only) — decon runs once
+          val f = staged.join(leaking, Seq(idName), "left")
             .withColumn("graft_decon", col("graft_leak").isNull)
           (f, flagCols.toSeq :+ (d.name -> col("graft_decon")))
-        case None => (flagged, flagCols.toSeq)
+        case None => (staged, flagCols.toSeq)
       }
-      val materialized = Checkpoints.stage(flaggedFinal)
 
       // ---- the whole-chain first-fail funnel (staged weights when the
       // pii stage redacts: raw weight through the pii stage, re-derived

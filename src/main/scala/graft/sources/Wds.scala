@@ -50,6 +50,14 @@ object Wds {
     val spark = df.sparkSession
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // truncate stale shards first (a shrunk corpus or smaller nShards must
+    // not leak a previous run's tars into the re-read manifest — the
+    // parquet writeShards gets this from mode("overwrite"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rootFs.exists(root))
+      rootFs.globStatus(new org.apache.hadoop.fs.Path(root, "shard-*.tar"))
+        .foreach(st => rootFs.delete(st.getPath, false))
     df.select(idCol.cast("long").as("graft_id"),
         textCol.cast("string").as("graft_text"),
         tokensCol.cast("long").as("graft_tok"))
@@ -61,28 +69,53 @@ object Wds {
       .select(col("graft_shard"), col("graft_id"), col("graft_text"), col("graft_tok"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         // a partition holds zero or more WHOLE shards (the repartition
-        // routes every row of a shard here); leading sort groups them
+        // routes every row of a shard here); leading sort groups them.
+        // Poor-man's commit protocol: write to an attempt-suffixed temp
+        // name the manifest glob can never match, fsync-close, then
+        // delete+rename into place — a speculative or zombie attempt
+        // can't interleave bytes into the final tar, and identical
+        // deterministic content makes last-wins safe.
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
         var cur = -1
         var out: java.io.OutputStream = null
-        def close(): Unit = if (out != null) { TarAlgos.finish(out); out.close(); out = null }
+        var tmp: org.apache.hadoop.fs.Path = null
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        val seen = new java.util.HashSet[java.lang.Long]()
+        def commit(): Unit = if (out != null) {
+          TarAlgos.finish(out); out.close(); out = null
+          val dst = new org.apache.hadoop.fs.Path(path, f"shard-$cur%06d.tar")
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"could not commit $tmp -> $dst")
+        }
         try {
           it.foreach { r =>
             val shard = r.getInt(0)
             if (shard != cur) {
-              close()
+              commit()
               cur = shard
-              val p = new org.apache.hadoop.fs.Path(path, f"shard-$shard%06d.tar")
-              val fs = p.getFileSystem(hconf.value)
-              out = fs.create(p, true)
+              tmp = new org.apache.hadoop.fs.Path(path,
+                f"_tmp-$attempt%d.shard-$cur%06d.tar")
+              fs = tmp.getFileSystem(hconf.value)
+              out = fs.create(tmp, true)
+              seen.clear()
             }
-            val k = key(r.getLong(1))
+            val id = r.getLong(1)
+            // duplicate ids would sort adjacent and silently merge into
+            // ONE WebDataset sample (adjacent same-key parts) — data loss
+            // the parquet path doesn't have; fail loudly instead
+            if (!seen.add(id))
+              throw new IllegalArgumentException(
+                s"duplicate id $id in wds export: sample keys must be " +
+                  "unique — dedupe upstream or use a collision-free id")
+            val k = key(id)
             val text = Option(r.getString(2)).getOrElse("")
             TarAlgos.addEntry(out, s"$k.txt", text.getBytes("UTF-8"))
             TarAlgos.addEntry(out, s"$k.json",
-              s"""{"id":${r.getLong(1)},"tok":${r.getLong(3)}}"""
-                .getBytes("UTF-8"))
+              s"""{"id":$id,"tok":${r.getLong(3)}}""".getBytes("UTF-8"))
           }
-        } finally close()
+          commit()
+        } finally if (out != null) { out.close(); fs.delete(tmp, false) }
       }
     val (rows, bad) = read(spark, path)
     // a write that cannot re-ingest cleanly is a corrupt artifact
@@ -99,6 +132,16 @@ object Wds {
    * (file, reason) for tars that fail the strict ustar parse. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     import spark.implicits._
+    // zero matching shards (an empty-but-valid export: every row gated
+    // out upstream) is an empty corpus, not a job failure — binaryFiles'
+    // FileInputFormat would throw on a 0-file glob
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.exists(root) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(root, "shard-*.tar")).nonEmpty
+    if (!any)
+      return (emptyFrame(spark),
+        Seq.empty[(String, String)].toDF("file", "reason"))
     val tagged = spark.sparkContext
       .binaryFiles(s"$path/shard-*.tar")
       .flatMap { case (file, pds) =>

@@ -97,6 +97,20 @@ class StageResumeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.pipeline.Checkpoints.ReliableConf, "false")
   }
 
+  test("resume under a different pii policy is refused, not silently mislabeled") {
+    val stages = tmp("graft_stage_pii")
+    BatchPipeline.run(spark, src, tmp("graft_sr_pii1"), Some(stages))
+    // drop-committed flagged stage + redact request → loud failure (the
+    // committed frame has no tok_raw and its f_pii means something else)
+    val e = intercept[IllegalArgumentException] {
+      BatchPipeline.run(spark, src, tmp("graft_sr_pii2"), Some(stages),
+        piiPolicy = "redact")
+    }
+    assert(e.getMessage.contains("piiPolicy"), e.getMessage)
+    // same-policy resume still works
+    BatchPipeline.run(spark, src, tmp("graft_sr_pii3"), Some(stages))
+  }
+
   test("torn stage writes read as absent, never as a partial table") {
     import graft.pipeline.Incremental
     val d = tmp("graft_stage_torn")

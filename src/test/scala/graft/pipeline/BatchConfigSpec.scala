@@ -171,6 +171,12 @@ class BatchConfigSpec extends AnyFunSuite {
     val errs = bad.validate(spark)
     assert(errs.exists(_._1 == "prepare broken"), errs.toString)
     assert(errs.exists(_._1 == "gate ghost"), errs.toString)
+    // the shards leg dry-resolves too: a typo'd wds text column is a
+    // validate-time error, not a run-time AnalysisException
+    val badShards = good.copy(
+      shards = Some(BatchConfig.ShardSpec(8, "wds", Some("txet"))))
+    assert(badShards.validate(spark).exists(_._1 == "shards"),
+      badShards.validate(spark).toString)
     // validation never touched the (nonexistent) source paths
   }
 

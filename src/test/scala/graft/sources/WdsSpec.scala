@@ -106,6 +106,36 @@ class WdsSpec extends AnyFunSuite {
     assert(bad2.count() == 2)
   }
 
+  test("re-export truncates stale shards; duplicate ids fail loudly; empty export is empty") {
+    val dir = tmp("graft_wds_guard")
+    // 4-shard export leaves 4 tars; re-export into the SAME dir with 1
+    // shard must not leak the old tars into the re-read manifest
+    Wds.write(fixture, col("id"), col("text"), lit(1L), dir, 4)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) >= 2)
+    val manifest = Wds.write(fixture, col("id"), col("text"), lit(1L), dir, 1)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) == 1)
+    assert(manifest.agg(sum(col("docs"))).head().getLong(0) == 5L,
+      "stale shards leaked into the manifest")
+    // no in-progress temp files survive a successful commit
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp")))
+    // duplicate ids would silently merge into ONE WebDataset sample —
+    // the export must refuse instead
+    val dup = fixture.unionAll(Seq((42L, "a second row with the answer id"))
+      .toDF("id", "text"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Wds.write(dup, col("id"), col("text"), lit(1L), tmp("graft_wds_dup"), 1)
+    }
+    assert(e.getMessage.contains("duplicate id") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate id")), e.getMessage)
+    // an empty frame exports to an empty-but-valid artifact (no crash)
+    val emptyM = Wds.write(fixture.where(lit(false)), col("id"), col("text"),
+      lit(1L), tmp("graft_wds_empty"), 2)
+    assert(emptyM.count() == 0)
+    // ...and reading a dir with no shards is an empty corpus, not an error
+    val (r0, b0) = Wds.read(spark, tmp("graft_wds_none"))
+    assert(r0.count() == 0 && b0.count() == 0)
+  }
+
   test("tar codec: gnu tar compatible enough for a plain java untar of our own output") {
     // self-consistency of the codec on adversarial names/sizes
     val bos = new java.io.ByteArrayOutputStream()
