@@ -357,19 +357,69 @@ object BatchConfig {
       new org.yaml.snakeyaml.Yaml(opts).dump(root)
     }
 
+    /** Fingerprint of the WHOLE config — stamps committed stages so a
+     * resume under a DIFFERENT config (including a different pii policy)
+     * is refused instead of producing silently mislabeled stages. */
+    def fingerprint: Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(toYaml.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(md).getLong & Long.MaxValue
+    }
+
+    /** The funnel's stage order as (name, flag column) — deterministic
+     * from the spec alone, so a RESUMED flagged frame re-derives it
+     * without re-running any stage. Must mirror run()'s flag naming. */
+    private def gateColumns: Seq[(String, Column)] =
+      dedup.zipWithIndex.map { case (t, i) => t.name -> col(s"graft_flag_$i") } ++
+        gates.zipWithIndex.map { case ((g, _), i) => g -> col(s"graft_gate_$i") } ++
+        pii.map(p => p.name -> col("graft_pii")) ++
+        decontaminate.map(d => d.name -> col("graft_decon"))
+
     /** Run the configured chain; artifacts (funnel parquet + markdown,
-     * shard manifest, one-line JSON summary) land under `work`. */
-    def run(spark: SparkSession, work: String): BatchResult = {
+     * shard manifest, one-line JSON summary) land under `work`. With
+     * `stageDir` set, the ingested base and the flagged frame commit
+     * under it ([[Incremental.commitStage]]'s manifest-guarded protocol,
+     * the hand-coded chain's restartability contract) and a re-run
+     * resumes from the last committed stage — stamped with
+     * [[fingerprint]], so resuming under an edited config fails loudly.
+     * Use one stageDir per (sources, config) run. */
+    def run(spark: SparkSession, work: String,
+        stageDir: Option[String] = None): BatchResult = {
       graft.functions.Registry.registerAll(spark)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+      def checkFp(meta: Map[String, Long], d: String): Unit =
+        require(meta.getOrElse("config_fp", fingerprint) == fingerprint,
+          s"stageDir '$d' was committed under a DIFFERENT config " +
+            "(fingerprint mismatch) — use one stageDir per config")
 
-      // ---- quarantining front doors → one union frame. Quarantine
-      // accounting is DEFERRED until the persisted base is forced and,
-      // when a quarantineDir is set, counted from the WRITTEN output —
-      // one raw parse per source pays for the quarantine artifact and its
-      // count, and the base materialization is the only other pass
-      // (the runChain single-parse discipline; ADVICE r16).
-      val doors = sources.map { s =>
+      // ---- resume from the flagged stage if a committed copy exists
+      stageDir.filter(d => Incremental.committedStage(spark, s"$d/flagged"))
+        .foreach { d =>
+          val meta = Incremental.stageMeta(spark, s"$d/flagged")
+          checkFp(meta, d)
+          val materialized = spark.read.parquet(s"$d/flagged")
+          // flags never drop rows, so the flagged count IS the ingested count
+          return finishRun(spark, work, materialized, gateColumns,
+            materialized.count(), meta.getOrElse("quarantined", 0L))
+        }
+      val resumeBase = stageDir
+        .filter(d => Incremental.committedStage(spark, s"$d/base"))
+
+      // ---- resume base, or ingest (and optionally commit it).
+      // Quarantine accounting is DEFERRED until the persisted base is
+      // forced and, when a quarantineDir is set, counted from the WRITTEN
+      // output — one raw parse per source pays for the quarantine
+      // artifact and its count, and the base materialization is the only
+      // other pass (the runChain single-parse discipline; ADVICE r16).
+      val (base, ingested, quarantined) = resumeBase match {
+       case Some(d) =>
+        val meta = Incremental.stageMeta(spark, s"$d/base")
+        checkFp(meta, d)
+        val b = spark.read.parquet(s"$d/base")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (b, b.count(), meta.getOrElse("quarantined", 0L))
+       case None =>
+        val doors = sources.map { s =>
         val (rows, bad) = s.format match {
           case "warc" => graft.sources.Warc.read(spark, s.path)
           case "jsonl" => graft.sources.Jsonl.read(spark, s.path,
@@ -398,11 +448,15 @@ object BatchConfig {
       val prepared = prepare.foldLeft(withId) { case (d, (c, e)) =>
         d.withColumn(c, expr(e))
       }
-      val base = (if (select.isEmpty) prepared
-                  else prepared.select((idName +: select).distinct.map(col): _*))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ingested = base.count() // force the base before the bad-side passes
-      val quarantined = doors.map(_._2()).sum
+        val b = (if (select.isEmpty) prepared
+                 else prepared.select((idName +: select).distinct.map(col): _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = b.count() // force the base before the bad-side passes
+        val q = doors.map(_._2()).sum
+        stageDir.foreach(d => Incremental.commitStage(spark, s"$d/base", b,
+          Map("quarantined" -> q, "config_fp" -> fingerprint)))
+        (b, n, q)
+      }
 
       // ---- dedup tiers: checkpointed survivor ids, each tier threading
       // off the previous tier's checkpoint (one execution per tier)
@@ -488,7 +542,18 @@ object BatchConfig {
           (f, flagCols.toSeq :+ (d.name -> col("graft_decon")))
         case None => (staged, flagCols.toSeq)
       }
+      stageDir.foreach(d => Incremental.commitStage(spark, s"$d/flagged",
+        materialized, Map("quarantined" -> quarantined,
+          "config_fp" -> fingerprint)))
+      base.unpersist(blocking = false) // materialized is checkpoint-backed
+      finishRun(spark, work, materialized, gateCols, ingested, quarantined)
+    }
 
+    /** The funnel → sample → shard tail of [[run]], shared by the fresh
+     * path and the flagged-stage resume. */
+    private def finishRun(spark: SparkSession, work: String,
+        materialized: DataFrame, gateCols: Seq[(String, Column)],
+        ingested: Long, quarantined: Long): BatchResult = {
       // ---- the whole-chain first-fail funnel (staged weights when the
       // pii stage redacts: raw weight through the pii stage, re-derived
       // weight after — token mass lost to scrubbing charges to pii)
@@ -511,7 +576,8 @@ object BatchConfig {
       // a 100 TB artifact and diverge from the hand-coded export schema
       // (ADVICE r16).
       val survivors = materialized.where(gateCols.map(_._2).reduce(_ && _))
-        .select(base.columns.map(col).toIndexedSeq: _*)
+        .select(materialized.columns.filterNot(_.startsWith("graft_"))
+          .map(col).toIndexedSeq: _*)
       val sampled = sample match {
         case Some(sm) =>
           val tot = survivors
@@ -532,7 +598,6 @@ object BatchConfig {
             s"$work/shards", nShards = sh.nShards)
         }).localCheckpoint()
       }
-      base.unpersist(blocking = false)
       BatchResult(funnel, ingested, quarantined, manifest)
     }
   }

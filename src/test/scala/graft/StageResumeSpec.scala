@@ -97,6 +97,30 @@ class StageResumeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.pipeline.Checkpoints.ReliableConf, "false")
   }
 
+  test("config path resumes from committed stages; an edited config is refused") {
+    val (warcDir, jsonlDir) = BatchPipeline.stagedOnce(spark, src)
+    val spec = BatchPipeline.configTwin(src, warcDir, jsonlDir)
+      .copy(sample = None, shards = None)
+    val stages = tmp("graft_stage_cfg")
+    val (w1, w2) = (tmp("graft_cfg_r1"), tmp("graft_cfg_r2"))
+    val r1 = spec.run(spark, w1, Some(stages))
+    // everything committed: the re-run must not re-parse a single WARC
+    // file and must land an identical funnel
+    val parsedBefore = graft.sources.WarcAlgos.filesParsed.get()
+    val r2 = spec.run(spark, w2, Some(stages))
+    assert(graft.sources.WarcAlgos.filesParsed.get() == parsedBefore,
+      "config resume re-parsed WARC")
+    assert(funnelRows(w1).toSeq == funnelRows(w2).toSeq,
+      "config funnel diverged on resume")
+    assert(r1.ingested == r2.ingested && r1.quarantined == r2.quarantined)
+    // an EDITED config must not silently consume another config's stages
+    val edited = spec.copy(gates = spec.gates :+ ("extra" -> "tok >= 1"))
+    val e = intercept[IllegalArgumentException] {
+      edited.run(spark, tmp("graft_cfg_r3"), Some(stages))
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+  }
+
   test("resume under a different pii policy is refused, not silently mislabeled") {
     val stages = tmp("graft_stage_pii")
     BatchPipeline.run(spark, src, tmp("graft_sr_pii1"), Some(stages))
