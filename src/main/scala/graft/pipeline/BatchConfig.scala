@@ -177,6 +177,14 @@ object BatchConfig {
     require(stageNames.distinct.size == stageNames.size,
       s"duplicate stage names in batch pipeline '$name': " +
         stageNames.diff(stageNames.distinct).mkString(", "))
+    // the graft_ column namespace is RESERVED for funnel plumbing (flag/
+    // gate/leak/decon/w_raw working columns): the survivor slim drops it
+    // wholesale before export, so user columns there would silently vanish
+    private val userCols = (idName +: select) ++ prepare.map(_._1) ++
+      pii.toSeq.flatMap(_.recompute.map(_._1)) ++ shards.toSeq.flatMap(_.text)
+    require(!userCols.exists(_.startsWith("graft_")),
+      s"batch pipeline '$name': column names must not use the reserved " +
+        s"graft_ prefix: ${userCols.filter(_.startsWith("graft_")).mkString(", ")}")
 
     /** Dry-resolve the chain against empty frames: per-stage analysis
      * errors before any data is touched (the reference's
@@ -366,14 +374,17 @@ object BatchConfig {
       java.nio.ByteBuffer.wrap(md).getLong & Long.MaxValue
     }
 
-    /** The funnel's stage order as (name, flag column) — deterministic
-     * from the spec alone, so a RESUMED flagged frame re-derives it
-     * without re-running any stage. Must mirror run()'s flag naming. */
+    /** The funnel's stage order as (stage name, flag COLUMN NAME) — the
+     * single source of truth for run()'s flag construction AND the
+     * resumed-frame funnel, so the naming cannot drift between them. */
+    private def flagColumnNames: Seq[(String, String)] =
+      dedup.zipWithIndex.map { case (t, i) => t.name -> s"graft_flag_$i" } ++
+        gates.zipWithIndex.map { case ((g, _), i) => g -> s"graft_gate_$i" } ++
+        pii.map(p => p.name -> "graft_pii") ++
+        decontaminate.map(d => d.name -> "graft_decon")
+
     private def gateColumns: Seq[(String, Column)] =
-      dedup.zipWithIndex.map { case (t, i) => t.name -> col(s"graft_flag_$i") } ++
-        gates.zipWithIndex.map { case ((g, _), i) => g -> col(s"graft_gate_$i") } ++
-        pii.map(p => p.name -> col("graft_pii")) ++
-        decontaminate.map(d => d.name -> col("graft_decon"))
+      flagColumnNames.map { case (n, c) => n -> col(c) }
 
     /** Run the configured chain; artifacts (funnel parquet + markdown,
      * shard manifest, one-line JSON summary) land under `work`. With
@@ -387,10 +398,17 @@ object BatchConfig {
         stageDir: Option[String] = None): BatchResult = {
       graft.functions.Registry.registerAll(spark)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
-      def checkFp(meta: Map[String, Long], d: String): Unit =
-        require(meta.getOrElse("config_fp", fingerprint) == fingerprint,
+      def checkFp(meta: Map[String, Long], d: String): Unit = {
+        // the stamp must be PRESENT: an unstamped stage is a foreign one
+        // (e.g. the hand-coded chain's stageDir) — defaulting it to the
+        // current fingerprint would wave any committed frame through
+        require(meta.contains("config_fp"),
+          s"stageDir '$d' holds stages without a config fingerprint " +
+            "(not committed by BatchConfig.run) — use a fresh stageDir")
+        require(meta("config_fp") == fingerprint,
           s"stageDir '$d' was committed under a DIFFERENT config " +
             "(fingerprint mismatch) — use one stageDir per config")
+      }
 
       // ---- resume from the flagged stage if a committed copy exists
       stageDir.filter(d => Incremental.committedStage(spark, s"$d/flagged"))
@@ -398,9 +416,12 @@ object BatchConfig {
           val meta = Incremental.stageMeta(spark, s"$d/flagged")
           checkFp(meta, d)
           val materialized = spark.read.parquet(s"$d/flagged")
-          // flags never drop rows, so the flagged count IS the ingested count
+          // ingested rides the stage metadata — a 100 TB resume must not
+          // pay a count job for a number known at commit time (flags
+          // never drop rows, so the fallback count equals it)
           return finishRun(spark, work, materialized, gateColumns,
-            materialized.count(), meta.getOrElse("quarantined", 0L))
+            meta.getOrElse("ingested", materialized.count()),
+            meta.getOrElse("quarantined", 0L))
         }
       val resumeBase = stageDir
         .filter(d => Incremental.committedStage(spark, s"$d/base"))
@@ -489,19 +510,19 @@ object BatchConfig {
       }
 
       // ---- flags on the one base frame: tiers, gates, decontamination
+      // (column names come from flagColumnNames — the same table the
+      // resumed-frame funnel reads, so they cannot drift)
+      val colNames = flagColumnNames.map(_._2)
       var flagged = base
-      val flagCols = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
-      tierIds.zipWithIndex.foreach { case ((tname, ids), i) =>
-        val c = s"graft_flag_$i"
+      tierIds.zipWithIndex.foreach { case ((_, ids), i) =>
+        val c = colNames(i)
         flagged = flagged
           .join(ids.withColumn(c, lit(true)), Seq(idName), "left")
           .withColumn(c, coalesce(col(c), lit(false)))
-        flagCols += tname -> col(c)
       }
-      gates.zipWithIndex.foreach { case ((gname, where), i) =>
-        val c = s"graft_gate_$i"
+      gates.zipWithIndex.foreach { case ((_, where), i) =>
+        val c = colNames(dedup.size + i)
         flagged = flagged.withColumn(c, coalesce(expr(where), lit(false)))
-        flagCols += gname -> col(c)
       }
       // pii stage (after the row-local gates, before decontamination):
       // drop flags PII carriers out; redact keeps every row, scrubbing the
@@ -509,25 +530,25 @@ object BatchConfig {
       // funnel weight is snapshotted first so the staged funnel can charge
       // the scrubbed-away mass to this stage
       pii.foreach { p =>
+        val c = colNames(dedup.size + gates.size)
         p.policy match {
           case "drop" =>
-            flagged = flagged.withColumn("graft_pii",
+            flagged = flagged.withColumn(c,
               Pii.redactPii(col(p.text)) === col(p.text))
           case "redact" =>
             flagged = flagged
               .withColumn("graft_w_raw", weight.map(expr).getOrElse(lit(1L)))
               .withColumn(p.text, Pii.redactPii(col(p.text)))
-            flagged = p.recompute.foldLeft(flagged) { case (d, (c, e)) =>
-              d.withColumn(c, expr(e))
-            }.withColumn("graft_pii", lit(true))
+            flagged = p.recompute.foldLeft(flagged) { case (d, (cc, e)) =>
+              d.withColumn(cc, expr(e))
+            }.withColumn(c, lit(true))
         }
-        flagCols += p.name -> col("graft_pii")
       }
       // checkpoint BEFORE decontamination: flags (and the redact scrub)
       // run exactly once, and decon reads the post-pii text from the
       // materialized frame — no second scrub pass over the corpus
       val staged = Checkpoints.stage(flagged)
-      val (materialized, gateCols) = decontaminate match {
+      val materialized = decontaminate match {
         case Some(d) =>
           val bench0 = spark.read.parquet(d.path)
           val bench = d.where.map(w => bench0.where(expr(w))).getOrElse(bench0)
@@ -537,14 +558,14 @@ object BatchConfig {
               n = d.n, minShared = d.minShared)
             .select(col("id").as(idName)).withColumn("graft_leak", lit(true))
             .localCheckpoint() // small (leak ids only) — decon runs once
-          val f = staged.join(leaking, Seq(idName), "left")
-            .withColumn("graft_decon", col("graft_leak").isNull)
-          (f, flagCols.toSeq :+ (d.name -> col("graft_decon")))
-        case None => (staged, flagCols.toSeq)
+          staged.join(leaking, Seq(idName), "left")
+            .withColumn(colNames.last, col("graft_leak").isNull)
+        case None => staged
       }
+      val gateCols = gateColumns
       stageDir.foreach(d => Incremental.commitStage(spark, s"$d/flagged",
         materialized, Map("quarantined" -> quarantined,
-          "config_fp" -> fingerprint)))
+          "ingested" -> ingested, "config_fp" -> fingerprint)))
       base.unpersist(blocking = false) // materialized is checkpoint-backed
       finishRun(spark, work, materialized, gateCols, ingested, quarantined)
     }

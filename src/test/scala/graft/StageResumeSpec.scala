@@ -113,12 +113,42 @@ class StageResumeSpec extends AnyFunSuite {
     assert(funnelRows(w1).toSeq == funnelRows(w2).toSeq,
       "config funnel diverged on resume")
     assert(r1.ingested == r2.ingested && r1.quarantined == r2.quarantined)
+    // "crash between base and flagged": drop the flagged stage — the
+    // config path recomputes dedup+gates FROM ITS COMMITTED BASE, still
+    // never touching raw WARC, and the funnel is bit-identical
+    def rmTree(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(x => rmTree(x.getPath))
+      f.delete()
+    }
+    rmTree(s"$stages/flagged")
+    val parsedBefore2 = graft.sources.WarcAlgos.filesParsed.get()
+    val w3 = tmp("graft_cfg_r3")
+    spec.run(spark, w3, Some(stages))
+    assert(graft.sources.WarcAlgos.filesParsed.get() == parsedBefore2,
+      "config base-stage resume re-parsed WARC")
+    assert(funnelRows(w1).toSeq == funnelRows(w3).toSeq,
+      "config funnel diverged when recomputed from the committed base")
     // an EDITED config must not silently consume another config's stages
+    // (checked on BOTH stage legs)
     val edited = spec.copy(gates = spec.gates :+ ("extra" -> "tok >= 1"))
     val e = intercept[IllegalArgumentException] {
-      edited.run(spark, tmp("graft_cfg_r3"), Some(stages))
+      edited.run(spark, tmp("graft_cfg_r4"), Some(stages))
     }
     assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    rmTree(s"$stages/flagged")
+    val e2 = intercept[IllegalArgumentException] {
+      edited.run(spark, tmp("graft_cfg_r5"), Some(stages))
+    }
+    assert(e2.getMessage.contains("fingerprint"), e2.getMessage)
+    // a stageDir committed WITHOUT a config fingerprint (the hand-coded
+    // chain's) is foreign — refused, not silently consumed
+    val handStages = tmp("graft_stage_hand")
+    BatchPipeline.run(spark, src, tmp("graft_cfg_hand"), Some(handStages))
+    val e3 = intercept[IllegalArgumentException] {
+      spec.run(spark, tmp("graft_cfg_r6"), Some(handStages))
+    }
+    assert(e3.getMessage.contains("fingerprint"), e3.getMessage)
   }
 
   test("resume under a different pii policy is refused, not silently mislabeled") {

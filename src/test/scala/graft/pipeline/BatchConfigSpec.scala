@@ -39,6 +39,12 @@ class BatchConfigSpec extends AnyFunSuite {
       sources = s.sources :+ BatchConfig.Source("wds", "/shards/prev"),
       shards = Some(BatchConfig.ShardSpec(8, "wds", Some("text"))))
     assert(BatchConfig.fromYaml(wds.toYaml) == wds)
+    // the graft_ column namespace is reserved (survivor slim drops it):
+    // user columns there are refused at construction, not silently lost
+    val bad = intercept[IllegalArgumentException] {
+      s.copy(prepare = s.prepare :+ ("graft_score" -> "tok * 2"))
+    }
+    assert(bad.getMessage.contains("graft_"), bad.getMessage)
   }
 
   test("cap tier executes: at most max rows per key, lowest ids win, funnel-accounted") {
