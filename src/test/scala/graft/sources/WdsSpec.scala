@@ -136,6 +136,34 @@ class WdsSpec extends AnyFunSuite {
     assert(r0.count() == 0 && b0.count() == 0)
   }
 
+  test("tar codec property: random payloads round-trip; any truncation throws") {
+    val rng = new scala.util.Random(20260816L)
+    (1 to 12).foreach { round =>
+      val entries = (0 until rng.nextInt(12) + 1).map { i =>
+        val data = new Array[Byte](rng.nextInt(2000))
+        rng.nextBytes(data)
+        (f"sample$i%03d.ext${rng.nextInt(3)}", data)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (n, d) => TarAlgos.addEntry(bos, n, d) }
+      TarAlgos.finish(bos)
+      val bytes = bos.toByteArray
+      val back = TarAlgos.entries(
+        new java.io.ByteArrayInputStream(bytes)).toVector
+      assert(back.map(_._1) == entries.map(_._1), s"round $round names")
+      back.zip(entries).foreach { case ((_, g), (_, w)) =>
+        assert(java.util.Arrays.equals(g, w), s"round $round bytes")
+      }
+      // truncating ANYWHERE inside the archive (before the terminator)
+      // throws — never a silent partial parse the quarantine would miss
+      val cut = rng.nextInt(bytes.length - 1024) + 1
+      intercept[java.io.IOException] {
+        TarAlgos.entries(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOf(bytes, cut))).toVector
+      }
+    }
+  }
+
   test("tar codec: gnu tar compatible enough for a plain java untar of our own output") {
     // self-consistency of the codec on adversarial names/sizes
     val bos = new java.io.ByteArrayOutputStream()
