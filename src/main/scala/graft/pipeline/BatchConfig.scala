@@ -153,12 +153,14 @@ object BatchConfig {
    * sample's `.txt` part). Both use the same content-addressed shard
    * assignment and within-shard pseudo-shuffle. */
   final case class ShardSpec(nShards: Int, format: String = "parquet",
-      text: Option[String] = None) {
+      text: Option[String] = None, meta: Seq[String] = Nil) {
     require(nShards > 0, "nShards must be positive")
     require(format == "parquet" || format == "wds",
       s"shards format must be parquet|wds, got '$format'")
     require(format == "parquet" || text.nonEmpty,
       "wds shard export needs `text` (the sample text column)")
+    require(meta.isEmpty || format == "wds",
+      "shards `meta` columns are a wds-sidecar feature")
   }
 
   final case class BatchSpec(version: Int, name: String,
@@ -272,10 +274,11 @@ object BatchConfig {
             base.select(expr(sm.tokens)).schema
           })
           shards.foreach(sh => attempt("shards") {
-            // the export's own column needs: the id (long-castable) and,
-            // for wds, the declared sample-text column
+            // the export's own column needs: the id (long-castable), and
+            // for wds the declared sample-text and sidecar meta columns
             base.select(col(idName).cast("long")).schema
             sh.text.foreach(t => base.select(col(t)).schema)
+            sh.meta.foreach(m => base.select(col(m)).schema)
           })
         }
       }
@@ -358,6 +361,7 @@ object BatchConfig {
         val m = jmap("nShards" -> sh.nShards)
         if (sh.format != "parquet") m.put("format", sh.format)
         sh.text.foreach(m.put("text", _))
+        if (sh.meta.nonEmpty) m.put("meta", jlist(sh.meta))
         root.put("shards", m)
       }
       val opts = new org.yaml.snakeyaml.DumperOptions()
@@ -613,7 +617,8 @@ object BatchConfig {
         (sh.format match {
           case "wds" => graft.sources.Wds.write(sampled, col(idName),
             col(sh.text.get), weight.map(expr).getOrElse(lit(1L)),
-            s"$work/shards", nShards = sh.nShards)
+            s"$work/shards", nShards = sh.nShards,
+            metaCols = sh.meta.map(m => m -> col(m)))
           case _ => Curation.writeShards(sampled,
             col(idName), weight.map(expr).getOrElse(lit(1L)),
             s"$work/shards", nShards = sh.nShards)
@@ -702,7 +707,7 @@ object BatchConfig {
     val shards = Option(root.get("shards")).map { v =>
       val m = asMap(v, "shards")
       ShardSpec(int(m, "nShards", "shards"), strOr(m, "format", "parquet"),
-        Option(m.get("text")).map(_.toString))
+        Option(m.get("text")).map(_.toString), optStrList(m, "meta"))
     }
     BatchSpec(version, name, sources,
       str(idm, "name", "id"), str(idm, "expr", "id"),

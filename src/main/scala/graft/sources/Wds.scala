@@ -17,7 +17,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * content-addressed and diffed across runs): ustar headers with zeroed
  * mtime/uid/gid and mode 0644; sample key = the row id as a zero-padded
  * 20-digit unsigned decimal; per sample `<key>.txt` (UTF-8 text) then
- * `<key>.json` ({"id":…,"tok":…}).
+ * `<key>.json` ({"id":…,"tok":…} plus any `metaCols`; NULL meta
+ * values are omitted per to_json).
  *
  * Scale: the export is ONE shuffle keyed on the shard (exactly
  * [[graft.pipeline.Curation.writeShards]]'s cost shape) with each task
@@ -42,9 +43,16 @@ object Wds {
    * (`shard-%06d.tar`). Returns the manifest (shard, docs, tokens)
    * READ BACK from the written tars, so it can never drift from the
    * artifact. `tokensCol` must be evaluable over `df`'s columns.
+   * `metaCols` (name → expr) ride each sample's `.json` sidecar next to
+   * the fixed `id`/`tok` fields — the url/domain/source provenance a
+   * data loader filters on; serialized with `to_json`, so escaping is
+   * exact and the bytes stay deterministic.
    */
   def write(df: DataFrame, idCol: Column, textCol: Column,
-      tokensCol: Column, path: String, nShards: Int): DataFrame = {
+      tokensCol: Column, path: String, nShards: Int,
+      metaCols: Seq[(String, Column)] = Nil): DataFrame = {
+    require(!metaCols.exists(m => m._1 == "id" || m._1 == "tok"),
+      "metaCols must not shadow the fixed id/tok sidecar fields")
     require(nShards > 0, "nShards must be positive")
     import graft.pipeline.Curation.{hashBucketN, hashFraction}
     val spark = df.sparkSession
@@ -58,15 +66,21 @@ object Wds {
     if (rootFs.exists(root))
       rootFs.globStatus(new org.apache.hadoop.fs.Path(root, "shard-*.tar"))
         .foreach(st => rootFs.delete(st.getPath, false))
+    // the sidecar json is built over df's ORIGINAL columns (metaCols may
+    // reference any of them), before the narrowing select
+    val metaJson = to_json(struct(
+      (idCol.cast("long").as("id") +: tokensCol.cast("long").as("tok") +:
+        metaCols.map { case (n, c) => c.as(n) }): _*))
     df.select(idCol.cast("long").as("graft_id"),
         textCol.cast("string").as("graft_text"),
-        tokensCol.cast("long").as("graft_tok"))
+        tokensCol.cast("long").as("graft_tok"),
+        metaJson.as("graft_meta"))
       .withColumn("graft_shard", hashBucketN(col("graft_id"), nShards).cast("int"))
       .withColumn("graft_ord",
         hashFraction(concat(col("graft_id").cast("string"), lit("#ord"))))
       .repartition(col("graft_shard"))
       .sortWithinPartitions(col("graft_shard"), col("graft_ord"), col("graft_id"))
-      .select(col("graft_shard"), col("graft_id"), col("graft_text"), col("graft_tok"))
+      .select(col("graft_shard"), col("graft_id"), col("graft_text"), col("graft_meta"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         // a partition holds zero or more WHOLE shards (the repartition
         // routes every row of a shard here); leading sort groups them.
@@ -111,8 +125,7 @@ object Wds {
             val k = key(id)
             val text = Option(r.getString(2)).getOrElse("")
             TarAlgos.addEntry(out, s"$k.txt", text.getBytes("UTF-8"))
-            TarAlgos.addEntry(out, s"$k.json",
-              s"""{"id":$id,"tok":${r.getLong(3)}}""".getBytes("UTF-8"))
+            TarAlgos.addEntry(out, s"$k.json", r.getString(3).getBytes("UTF-8"))
           }
           commit()
         } finally if (out != null) { out.close(); fs.delete(tmp, false) }

@@ -139,7 +139,8 @@ class BatchConfigSpec extends AnyFunSuite {
       dedup = Seq(BatchConfig.ExactTier("dedup_text", Seq("text"))),
       gates = Seq("nonempty" -> "tok >= 1"),
       decontaminate = None, weight = Some("tok"), sample = None,
-      shards = Some(BatchConfig.ShardSpec(2, "wds", Some("text"))))
+      shards = Some(BatchConfig.ShardSpec(2, "wds", Some("text"),
+        meta = Seq("url"))))
     val work = java.nio.file.Files.createTempDirectory("graft_bcfg_wdsw").toString
     val res = BatchConfig.fromYaml(spec.toYaml).run(spark, work)
     // tars landed and the manifest accounts every survivor
@@ -148,6 +149,10 @@ class BatchConfigSpec extends AnyFunSuite {
     val exported = res.shardManifest.get
       .agg(sum(col("docs"))).head().getLong(0)
     assert(exported == 6L, s"expected 6 exported docs, got $exported")
+    // the declared meta column rides each sample's sidecar
+    val (wrows, _) = graft.sources.Wds.read(spark, s"$work/shards")
+    assert(wrows.where(get_json_object(col("meta"), "$.url")
+      .startsWith("https://a.example.com/")).count() == 6L)
     // ...and the shards feed straight back through the wds FRONT DOOR
     val spec2 = BatchConfig.BatchSpec(
       version = 1, name = "wds_reingest",

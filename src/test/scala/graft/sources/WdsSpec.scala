@@ -106,6 +106,35 @@ class WdsSpec extends AnyFunSuite {
     assert(bad2.count() == 2)
   }
 
+  test("sidecar meta passthrough: provenance rides the json with exact escaping") {
+    val dir = tmp("graft_wds_meta")
+    val df = Seq(
+      (1L, "alpha", "https://a.example.com/q?x=\"1\"&y=\\z", "crawl"),
+      (2L, "beta words", null: String, "upload"))
+      .toDF("id", "text", "url", "source")
+    Wds.write(df, col("id"), col("text"),
+      size(split(trim(col("text")), "\\s+")), dir, 1,
+      metaCols = Seq("url" -> col("url"), "source" -> col("source")))
+    val (rows, bad) = Wds.read(spark, dir)
+    assert(bad.count() == 0)
+    val back = rows.select(col("key"),
+        get_json_object(col("meta"), "$.url").as("u"),
+        get_json_object(col("meta"), "$.source").as("s"),
+        get_json_object(col("meta"), "$.tok").as("t"))
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // quotes and backslashes in the url survive the json round trip
+    assert(back(Wds.key(1L)) ==
+      (("https://a.example.com/q?x=\"1\"&y=\\z", "crawl", "1")))
+    // NULL meta values are omitted (read back as json-null), fixed fields stay
+    assert(back(Wds.key(2L)) == ((null, "upload", "2")))
+    // metaCols must not shadow the fixed sidecar fields
+    intercept[IllegalArgumentException] {
+      Wds.write(df, col("id"), col("text"), lit(1L),
+        tmp("graft_wds_shadow"), 1, metaCols = Seq("tok" -> col("url")))
+    }
+  }
+
   test("re-export truncates stale shards; duplicate ids fail loudly; empty export is empty") {
     val dir = tmp("graft_wds_guard")
     // 4-shard export leaves 4 tars; re-export into the SAME dir with 1
