@@ -232,10 +232,11 @@ object BatchPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // args: src work [stageDir|-] [piiPolicy]
+    // args: src work [stageDir|-] [piiPolicy] [shardFormat]
     try run(spark, src, work,
       stageDir = if (args.length > 2 && args(2) != "-") Some(args(2)) else None,
-      piiPolicy = if (args.length > 3) args(3) else "drop")
+      piiPolicy = if (args.length > 3) args(3) else "drop",
+      shardFormat = if (args.length > 4) args(4) else "parquet")
     finally spark.stop()
   }
 
@@ -460,7 +461,10 @@ object BatchPipeline {
    * (see [[runChain]]'s restartability contract). */
   def run(spark: SparkSession, src: String, work: String,
       stageDir: Option[String] = None,
-      piiPolicy: String = "drop"): String = {
+      piiPolicy: String = "drop",
+      shardFormat: String = "parquet"): String = {
+    require(shardFormat == "parquet" || shardFormat == "wds",
+      s"shardFormat must be parquet|wds, got '$shardFormat'")
     import graft.pipeline.{Curation, DataCard}
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val audits = scala.collection.mutable.ArrayBuffer.empty[Map[String, Int]]
@@ -500,8 +504,15 @@ object BatchPipeline {
     audits += Soak.planAudit(sampled)
 
     val manifest = timed("write_shards") {
-      Curation.writeShards(sampled, col("ingest_id"), col("tok"),
-        s"$work/shards", nShards = 32).localCheckpoint()
+      (if (shardFormat == "wds")
+        // the WebDataset leg of the same one-shuffle export — url/domain
+        // provenance rides each sample's json sidecar
+        graft.sources.Wds.write(sampled, col("ingest_id"), col("text"),
+          col("tok"), s"$work/shards", nShards = 32,
+          metaCols = Seq("url" -> col("url"), "domain" -> col("domain")))
+      else
+        Curation.writeShards(sampled, col("ingest_id"), col("tok"),
+          s"$work/shards", nShards = 32)).localCheckpoint()
     }
     audits += Soak.planAudit(manifest)
 
@@ -536,6 +547,7 @@ object BatchPipeline {
       s"""{"pipeline":"batch_e2e","src":"$src","ingested":$ingested,""" +
       s""""quarantined":$quarantined,"survivor_tokens":$totalTok,""" +
       s""""sampled_rows":$sampledRows,"shard_docs":$shardDocs,"shards":$shardCount,""" +
+      s""""shard_format":"$shardFormat",""" +
       s""""cartesian":$cart,"bnlj":$bnlj,"wall_sec":${f2(stages.values.sum)},""" +
       s""""stages":$stageJson}"""
     java.nio.file.Files.writeString(

@@ -2609,6 +2609,49 @@ object SparkEntry {
           sum(conv(substring(md5(concat(col("key"), col("text"))
             .cast("binary")), 1, 8), 16, 10).cast("long")).as("member_hash"))
     }),
+    "q_wds_epoch" -> ((s, dir) => {
+      // Epoch-aware within-shard reshuffle (VERDICT r17 #4): export the
+      // corpus twice with different epoch seeds, re-ingest, and report
+      // per (epoch, shard) the docs, an order-INDEPENDENT membership
+      // hash and an order-DEPENDENT hash (parse position × key hash).
+      // The oracle replays the seeded ordering in SQL — identical
+      // membership across epochs, different order — so both the
+      // epoch-salt recipe and the ingest's `pos` column are hash-gated.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Seq(1, 2).map { e =>
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft_q_wds_e$e").toString
+        graft.sources.Wds.write(d, col("doc_id"), col("text"),
+          graft.pipeline.Text.tokenCount(col("text")), path, 4, epoch = e)
+        val (rows, bad) = graft.sources.Wds.read(s, path)
+        require(bad.isEmpty, "re-ingest quarantined a written shard")
+        rows.withColumn("epoch", lit(e))
+      }.reduce(_ unionByName _)
+        .withColumn("key_hash",
+          conv(substring(md5(col("key").cast("binary")), 1, 8), 16, 10).cast("long"))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("key_hash")).as("member_hash"),
+          sum((col("pos") + 1) * col("key_hash")).as("order_hash"))
+    }),
+    "q_wds_gzip" -> ((s, dir) => {
+      // gzipped WebDataset shards (VERDICT r17 #7): same round-trip gate
+      // as q_wds_roundtrip, through deterministic .tar.gz shards — the
+      // compressed write path and the magic-sniffed decompressing ingest
+      // both sit inside the oracle-checked loop
+      val path = java.nio.file.Files.createTempDirectory("graft_q_wds_gz").toString
+      graft.sources.Wds.write(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"),
+        graft.pipeline.Text.tokenCount(col("text")), path, 8, compress = true)
+      val (rows, bad) = graft.sources.Wds.read(s, path)
+      require(bad.isEmpty, "re-ingest quarantined a written shard")
+      rows.groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(graft.pipeline.Text.tokenCount(col("text"))).as("tokens"),
+          sum(conv(substring(md5(concat(col("key"), col("text"))
+            .cast("binary")), 1, 8), 16, 10).cast("long")).as("member_hash"))
+    }),
     "q_zorder" -> ((s, dir) => {
       // z-order clustered write: quantile-bucket + bit-interleave
       // (l_extendedprice, l_quantity), range-partition into 8 files, read
@@ -7293,6 +7336,36 @@ object SparkEntry {
     // Spark side computes them from the RE-INGESTED tar shards, so a
     // byte-level round-trip fault surfaces as a hash mismatch here
     "q_wds_roundtrip" ->
+      """SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |       count(*) AS docs,
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |       CAST(sum(CAST(concat('0x', substring(md5(printf('%020d', doc_id) || text), 1, 8)) AS BIGINT)) AS BIGINT) AS member_hash
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    // q_wds_epoch: the oracle REPLAYS the epoch-salted pseudo-shuffle —
+    // row_number over md5(id || '#ord#e<epoch>') must equal the parse
+    // position the tar ingest reports, so membership AND order are pinned
+    "q_wds_epoch" ->
+      """WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+        |b AS (
+        |  SELECT e.epoch,
+        |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+        |         doc_id,
+        |         CAST(concat('0x', substring(md5(printf('%020d', doc_id)), 1, 8)) AS BIGINT) AS key_hash,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '#ord#e' || CAST(e.epoch AS VARCHAR)), 1, 8)) AS BIGINT) AS ordh
+        |  FROM documents CROSS JOIN e),
+        |r AS (
+        |  SELECT epoch, shard, key_hash,
+        |         row_number() OVER (PARTITION BY epoch, shard ORDER BY ordh, doc_id) AS rn
+        |  FROM b)
+        |SELECT epoch, shard, count(*) AS docs,
+        |       CAST(sum(key_hash) AS BIGINT) AS member_hash,
+        |       CAST(sum(rn * key_hash) AS BIGINT) AS order_hash
+        |FROM r
+        |GROUP BY 1, 2""".stripMargin,
+    // q_wds_gzip: identical expected values to q_wds_roundtrip — the
+    // compression layer must be invisible to the round-tripped content
+    "q_wds_gzip" ->
       """SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
         |       count(*) AS docs,
         |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,

@@ -153,7 +153,8 @@ object BatchConfig {
    * sample's `.txt` part). Both use the same content-addressed shard
    * assignment and within-shard pseudo-shuffle. */
   final case class ShardSpec(nShards: Int, format: String = "parquet",
-      text: Option[String] = None, meta: Seq[String] = Nil) {
+      text: Option[String] = None, meta: Seq[String] = Nil,
+      epoch: Int = 0, compress: Boolean = false) {
     require(nShards > 0, "nShards must be positive")
     require(format == "parquet" || format == "wds",
       s"shards format must be parquet|wds, got '$format'")
@@ -161,6 +162,9 @@ object BatchConfig {
       "wds shard export needs `text` (the sample text column)")
     require(meta.isEmpty || format == "wds",
       "shards `meta` columns are a wds-sidecar feature")
+    require(epoch >= 0, "shards epoch must be non-negative")
+    require(!compress || format == "wds",
+      "shards `compress` is a wds feature (gzipped tar shards)")
   }
 
   final case class BatchSpec(version: Int, name: String,
@@ -362,6 +366,8 @@ object BatchConfig {
         if (sh.format != "parquet") m.put("format", sh.format)
         sh.text.foreach(m.put("text", _))
         if (sh.meta.nonEmpty) m.put("meta", jlist(sh.meta))
+        if (sh.epoch != 0) m.put("epoch", sh.epoch)
+        if (sh.compress) m.put("compress", true)
         root.put("shards", m)
       }
       val opts = new org.yaml.snakeyaml.DumperOptions()
@@ -618,10 +624,11 @@ object BatchConfig {
           case "wds" => graft.sources.Wds.write(sampled, col(idName),
             col(sh.text.get), weight.map(expr).getOrElse(lit(1L)),
             s"$work/shards", nShards = sh.nShards,
-            metaCols = sh.meta.map(m => m -> col(m)))
+            metaCols = sh.meta.map(m => m -> col(m)),
+            epoch = sh.epoch, compress = sh.compress)
           case _ => Curation.writeShards(sampled,
             col(idName), weight.map(expr).getOrElse(lit(1L)),
-            s"$work/shards", nShards = sh.nShards)
+            s"$work/shards", nShards = sh.nShards, epoch = sh.epoch)
         }).localCheckpoint()
       }
       BatchResult(funnel, ingested, quarantined, manifest)
@@ -707,7 +714,9 @@ object BatchConfig {
     val shards = Option(root.get("shards")).map { v =>
       val m = asMap(v, "shards")
       ShardSpec(int(m, "nShards", "shards"), strOr(m, "format", "parquet"),
-        Option(m.get("text")).map(_.toString), optStrList(m, "meta"))
+        Option(m.get("text")).map(_.toString), optStrList(m, "meta"),
+        intOr(m, "epoch", 0),
+        Option(m.get("compress")).exists(_.toString.toBoolean))
     }
     BatchSpec(version, name, sources,
       str(idm, "name", "id"), str(idm, "expr", "id"),

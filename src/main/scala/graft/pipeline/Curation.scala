@@ -58,12 +58,16 @@ object Curation {
    */
   def writeShards(
       df: DataFrame, idCol: Column, tokensCol: Column, path: String,
-      nShards: Int): DataFrame = {
+      nShards: Int, epoch: Int = 0): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    require(epoch >= 0, "epoch must be non-negative")
     val spark = df.sparkSession
     df.withColumn("shard", hashBucketN(idCol, nShards).cast("int"))
-      // salt the order hash so it is independent of the shard hash
-      .withColumn("graft_ord", hashFraction(concat(idCol.cast("string"), lit("#ord"))))
+      // salt the order hash so it is independent of the shard hash; an
+      // epoch re-salts it ([[graft.sources.Wds.ordSalt]]) so each training
+      // epoch replays a FRESH reproducible order over identical membership
+      .withColumn("graft_ord", hashFraction(concat(idCol.cast("string"),
+        lit(graft.sources.Wds.ordSalt(epoch)))))
       .repartition(col("shard"))
       // the dynamic-partition writer requires child ordering on the
       // partition column and would insert its own (non-stable) sort if the

@@ -21,12 +21,15 @@ class DocsParitySpec extends AnyFunSuite {
 
   test("every registered function is documented in the curated tables") {
     val curated = page.substring(0, page.indexOf(DocsGen.Begin))
-    // a function counts as documented when its snake_case name appears in
-    // a backtick span (tables or prose) of the curated half of the page;
+    // a function counts as documented when its snake_case name appears as
+    // a WHOLE token inside a backtick span (tables or prose) of the
+    // curated half of the page — set membership, not substring contains,
+    // so `token_count` can never vouch for an undocumented `count`;
     // `name[_suffix]` shorthand documents both variants
     val raw = "`[^`]+`".r.findAllIn(curated).mkString(" ").toLowerCase
-    val tokens = "([a-z0-9_]+)\\[_([a-z0-9_]+)\\]".r
+    val expanded = "([a-z0-9_]+)\\[_([a-z0-9_]+)\\]".r
       .replaceAllIn(raw, m => s"${m.group(1)} ${m.group(1)}_${m.group(2)}")
+    val tokens: Set[String] = expanded.split("[^a-z0-9_]+").filter(_.nonEmpty).toSet
     val missing = graft.functions.Registry.registeredNames
       .filterNot(n => tokens.contains(n.toLowerCase))
     assert(missing.isEmpty,

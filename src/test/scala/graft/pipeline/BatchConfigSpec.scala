@@ -39,6 +39,13 @@ class BatchConfigSpec extends AnyFunSuite {
       sources = s.sources :+ BatchConfig.Source("wds", "/shards/prev"),
       shards = Some(BatchConfig.ShardSpec(8, "wds", Some("text"))))
     assert(BatchConfig.fromYaml(wds.toYaml) == wds)
+    // ...including the epoch / compress knobs
+    val wds2 = s.copy(shards = Some(BatchConfig.ShardSpec(8, "wds",
+      Some("text"), meta = Seq("url"), epoch = 3, compress = true)))
+    assert(BatchConfig.fromYaml(wds2.toYaml) == wds2)
+    intercept[IllegalArgumentException] { // compress is a wds knob
+      BatchConfig.ShardSpec(8, "parquet", compress = true)
+    }
     // the graft_ column namespace is reserved (survivor slim drops it):
     // user columns there are refused at construction, not silently lost
     val bad = intercept[IllegalArgumentException] {
@@ -170,6 +177,63 @@ class BatchConfigSpec extends AnyFunSuite {
     assert(res2.ingested == 6L && res2.quarantined == 0L)
     val out2 = res2.funnel.collect().map(r => r.getString(1) -> r.getLong(4)).toMap
     assert(out2("nonempty") == 6L, s"re-ingested survivors: $out2")
+  }
+
+  test("wds sidecar provenance recipe: export meta -> re-ingest map -> domain cap") {
+    // VERDICT r17 #5: the export→re-ingest provenance loop. A wds export
+    // carries `url` in each sample's json sidecar; the wds FRONT DOOR
+    // pulls it back out with a `map:` stanza (get_json_object over the
+    // raw `meta` column), derives the registrable domain, and a
+    // cap_per_key tier caps docs per domain — provenance written by one
+    // pipeline is actionable curation input to the next.
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bcfg_prov").toString
+    ((0 until 5).map(i => (s"https://crawl.example.com/page$i",
+        s"example dot com document $i body words here")) ++
+      (0 until 2).map(i => (s"https://other.example.org/p$i",
+        s"example dot org document $i body words here")))
+      .toDF("url", "html").coalesce(1).write.mode("overwrite").json(srcDir)
+    val exportSpec = BatchConfig.BatchSpec(
+      version = 1, name = "prov_export",
+      sources = Seq(BatchConfig.Source("jsonl", srcDir,
+        schemaDdl = Some("url STRING, html STRING"))),
+      idName = "ingest_id", idExpr = "xxhash64(url)",
+      prepare = Seq("text" -> "html", "tok" -> "token_count(text)"),
+      select = Seq("url", "text", "tok"),
+      dedup = Seq(BatchConfig.ExactTier("dedup_text", Seq("text"))),
+      gates = Seq("nonempty" -> "tok >= 1"),
+      decontaminate = None, weight = Some("tok"), sample = None,
+      shards = Some(BatchConfig.ShardSpec(2, "wds", Some("text"),
+        meta = Seq("url"))))
+    val work = java.nio.file.Files.createTempDirectory("graft_bcfg_provw").toString
+    BatchConfig.fromYaml(exportSpec.toYaml).run(spark, work)
+    // re-ingest through the wds front door: map pulls the sidecar url
+    // back into a real column, prepare derives the domain, the cap tier
+    // keeps at most 3 docs per registrable domain (lowest ids win)
+    val reingestSpec = BatchConfig.BatchSpec(
+      version = 1, name = "prov_reingest",
+      sources = Seq(BatchConfig.Source("wds", s"$work/shards",
+        map = Seq(
+          "key" -> "key",
+          "text" -> "text",
+          "url" -> "get_json_object(meta, '$.url')"))),
+      idName = "rid", idExpr = "xxhash64(key)",
+      prepare = Seq(
+        "domain" -> "registrable_domain(url)",
+        "tok" -> "token_count(text)"),
+      select = Seq("key", "text", "url", "domain", "tok"),
+      dedup = Seq(BatchConfig.CapTier("domain_cap", "domain", max = 3)),
+      gates = Seq("nonempty" -> "tok >= 1"),
+      decontaminate = None, weight = Some("tok"), sample = None, shards = None)
+    assert(reingestSpec.validate(spark).isEmpty,
+      reingestSpec.validate(spark).toString)
+    val w2 = java.nio.file.Files.createTempDirectory("graft_bcfg_provr").toString
+    val res = BatchConfig.fromYaml(reingestSpec.toYaml).run(spark, w2)
+    assert(res.ingested == 7L && res.quarantined == 0L)
+    val funnel = res.funnel.collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    // example.com capped 5 → 3, example.org stays 2 → 5 survivors
+    assert(funnel("domain_cap") == 5L, s"domain cap funnel: $funnel")
+    assert(funnel("nonempty") == 5L, s"survivors: $funnel")
   }
 
   test("validate dry-resolves the whole chain and localizes errors") {

@@ -425,6 +425,15 @@ class CurationSpec extends AnyFunSuite {
     assert(order1 == shardIds(p2))
     // pseudo-shuffled: not ingest order
     assert(order1 != order1.sorted)
+    // an epoch re-seeds the within-shard order WITHOUT moving membership
+    val p3 = java.nio.file.Files.createTempDirectory("graft_shards3").toString
+    val m3 = Curation.writeShards(docsDf, col("doc_id"),
+        Text.tokenCount(col("text")), p3, 4, epoch = 1)
+      .orderBy("shard").as[(Int, Long, Long)].collect().toSeq
+    assert(m3 == m1, "epoch must not change the per-shard manifest")
+    val order3 = shardIds(p3)
+    assert(order3.toSet == order1.toSet && order3 != order1,
+      "epoch 1 must reshuffle shard 0 over identical membership")
   }
 
   test("auto-named decontaminateBloom frees its bloom registration (no registry leak)") {
