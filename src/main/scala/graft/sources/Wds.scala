@@ -193,6 +193,24 @@ object Wds {
         sum(get_json_object(col("meta"), "$.tok").cast("long")).as("tokens"))
   }
 
+  /** [[write]] sized by a token budget: nShards = ceil(total /
+   * tokensPerShard), so every tar lands near the token mass a data
+   * loader wants per shard file — the WebDataset twin of
+   * [[graft.pipeline.Curation.writeShardsByTokens]]. Same caveat: the
+   * shard COUNT (and so every row's shard id) moves as the corpus
+   * grows — use explicit nShards when cross-run stability of the
+   * assignment matters more than shard size. */
+  def writeByTokens(df: DataFrame, idCol: Column, textCol: Column,
+      tokensCol: Column, path: String, tokensPerShard: Long,
+      metaCols: Seq[(String, Column)] = Nil,
+      epoch: Int = 0, compress: Boolean = false): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val row = df.agg(sum(tokensCol.cast("long")).as("t")).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val nShards = math.max(1L, (total + tokensPerShard - 1) / tokensPerShard).toInt
+    write(df, idCol, textCol, tokensCol, path, nShards, metaCols, epoch, compress)
+  }
+
   /** Atomic-overwrite rename: FileContext.rename(OVERWRITE) where the
    * scheme has an AbstractFileSystem (HDFS/local — one atomic op, no
    * exists→delete window a dying attempt can strand a shard in);

@@ -204,6 +204,24 @@ class WdsExternalSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("writeByTokens sizes the tar count from the token budget") {
+    val toks = size(split(trim(col("text")), "\\s+"))
+    // fixture token mass = 3+2+1+4+6 = 16 → budget 6 → ceil(16/6) = 3
+    val d1 = tmp("graft_wds_bt1")
+    Wds.writeByTokens(fixture, col("id"), col("text"), toks, d1, 6L)
+    def tars(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".tar"))
+    // ≤ 3 assigned buckets can land fewer non-empty tars, never more
+    assert(tars(d1) <= 3 && tars(d1) >= 1, tars(d1))
+    val (rows, bad) = Wds.read(spark, d1)
+    assert(bad.count() == 0 && rows.count() == 5)
+    // a huge budget collapses to one tar carrying everything
+    val d2 = tmp("graft_wds_bt2")
+    val m2 = Wds.writeByTokens(fixture, col("id"), col("text"), toks, d2, 5000L)
+    assert(tars(d2) == 1)
+    assert(m2.agg(sum(col("docs"))).head().getLong(0) == 5L)
+  }
+
   test("spool cleanup: no graft-wds-spool temp files survive a read") {
     val dir = tmp("graft_wds_clean")
     Wds.write(fixture, col("id"), col("text"), lit(1L), dir, 2)
