@@ -2652,6 +2652,22 @@ object SparkEntry {
           sum(conv(substring(md5(concat(col("key"), col("text"))
             .cast("binary")), 1, 8), 16, 10).cast("long")).as("member_hash"))
     }),
+    "q_mixture" -> ((s, dir) => {
+      // weighted corpus mixture (r18): 2.5 "epochs" of the wiki slice +
+      // 0.375 of the crawl slice (exact binary fractions, so Spark and
+      // DuckDB agree bit-for-bit on the content-addressed keep rule);
+      // per (source, copy) docs/tokens plus a hash of the derived
+      // collision-free mix_id
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      graft.pipeline.Curation.mixCorpora(Seq(
+          ("wiki", d.where(col("doc_id") % 3 === 0), 2.5),
+          ("cc", d.where(col("doc_id") % 3 =!= 0), 0.375)), col("doc_id"))
+        .groupBy(col("mix_source"), col("mix_copy"))
+        .agg(count(lit(1)).as("docs"),
+          sum(graft.pipeline.Text.tokenCount(col("text"))).as("tokens"),
+          sum(conv(substring(md5(col("mix_id").cast("string").cast("binary")),
+            1, 8), 16, 10).cast("long")).as("mixid_hash"))
+    }),
     "q_zorder" -> ((s, dir) => {
       // z-order clustered write: quantile-bucket + bit-interleave
       // (l_extendedprice, l_quantity), range-partition into 8 files, read
@@ -7372,6 +7388,27 @@ object SparkEntry {
         |       CAST(sum(CAST(concat('0x', substring(md5(printf('%020d', doc_id) || text), 1, 8)) AS BIGINT)) AS BIGINT) AS member_hash
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    // q_mixture: the oracle replays the epoch-copy + fractional-copy
+    // keep rule; 0.5 and 0.375 are exact binary fractions so the
+    // threshold compare agrees bit-for-bit across engines
+    "q_mixture" ->
+      """WITH src AS (
+        |  SELECT 'wiki' AS s, 2.5 AS w, doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'cc' AS s, 0.375 AS w, doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |copies AS (SELECT 0 AS copy UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |kept AS (
+        |  SELECT s, copy, doc_id, text,
+        |         CAST(concat('0x', substring(md5(s || '#' || CAST(copy AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS mix_id
+        |  FROM src CROSS JOIN copies
+        |  WHERE copy < floor(w)
+        |     OR (copy < ceiling(w) AND
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '#mix#' || s || '#c' || CAST(copy AS VARCHAR)), 1, 8)) AS BIGINT) < (w - floor(w)) * 4294967296))
+        |SELECT s AS mix_source, copy AS mix_copy, count(*) AS docs,
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |       CAST(sum(CAST(concat('0x', substring(md5(CAST(mix_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS mixid_hash
+        |FROM kept
+        |GROUP BY 1, 2""".stripMargin,
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
         |FROM lineitem""".stripMargin,

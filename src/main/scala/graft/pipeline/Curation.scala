@@ -97,6 +97,46 @@ object Curation {
     writeShards(df, idCol, tokensCol, path, nShards)
   }
 
+  /**
+   * Deterministic weighted corpus mixture — the "2.5 epochs of wiki,
+   * 0.375 of crawl" sampling spec a pretraining mix is written in. Each
+   * source's weight w yields floor(w) FULL copies plus one fractional
+   * copy kept by the content-addressed rule
+   * `hashFraction(id + "#mix#" + source + "#c" + copy) < w - floor(w)` —
+   * stable across runs, engines and corpus growth (adding docs never
+   * flips an existing doc's membership). Rows gain `mix_source`,
+   * `mix_copy`, and a collision-resistant `mix_id` (60-bit md5 of
+   * source#copy#id) usable as the export id downstream — duplicate
+   * (source, copy, id) triples can never merge into one WebDataset
+   * sample. Frames must be union-compatible by name.
+   *
+   * Scale: explode + filter + union — ZERO shuffles; the mixture frame
+   * feeds [[writeShards]]/[[graft.sources.Wds.write]] which pay the one
+   * export shuffle.
+   */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)],
+      idCol: Column): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "mixCorpora source names must be unique")
+    require(sources.forall(_._3 > 0), "mixture weights must be positive")
+    sources.map { case (name, df, weight) =>
+      val full = math.floor(weight).toLong
+      val frac = weight - full
+      val copies = full + (if (frac > 0) 1L else 0L)
+      df.withColumn("mix_copy",
+          explode(sequence(lit(0L), lit(copies - 1))))
+        .where(col("mix_copy") < full ||
+          hashFraction(concat(idCol.cast("string"), lit(s"#mix#$name#c"),
+            col("mix_copy").cast("string"))) < frac)
+        .withColumn("mix_source", lit(name))
+        .withColumn("mix_id", conv(substring(md5(concat(
+            lit(name), lit("#"), col("mix_copy").cast("string"), lit("#"),
+            idCol.cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic train/val/test split: train gets [0, trainPct), val gets
    * [trainPct, trainPct+valPct), test the rest. */
   def splitByHash(

@@ -319,10 +319,19 @@ object Wds {
         // strict-validate the whole archive off the spool (whole-file
         // quarantine needs the verdict before the first sample is
         // emitted), then STREAM samples from the spool — memory is
-        // O(current sample), never O(shard). The task-completion
-        // listener guarantees spool cleanup even when a downstream
-        // limit() abandons the iterator mid-file.
-        val spool = java.io.File.createTempFile("graft-wds-spool-", ".bin")
+        // O(current sample), never O(shard). The spool lands on the
+        // executor's configured scratch volume (spark.local.dir — the
+        // disks sized for shuffle spill), not the root-volume tmpdir a
+        // container usually caps. The task-completion listener
+        // guarantees spool cleanup even when a downstream limit()
+        // abandons the iterator mid-file.
+        val spoolDir = Option(org.apache.spark.SparkEnv.get)
+          .map(_.conf.get("spark.local.dir",
+            System.getProperty("java.io.tmpdir")))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+          .split(",").head.trim
+        val spool = java.io.File.createTempFile("graft-wds-spool-", ".bin",
+          new java.io.File(spoolDir))
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null)
           tc.addTaskCompletionListener[Unit](_ => spool.delete())
@@ -541,11 +550,18 @@ object TarAlgos {
         b
       }
       /** Entry content + its block padding; size from the header unless a
-       * pending PAX `size` record overrides it (the >8 GiB convention). */
-      private def content(h: Array[Byte], name: String): Array[Byte] = {
+       * pending PAX `size` record overrides it (the >8 GiB convention).
+       * The override applies ONLY to the actual file entry
+       * (`honorOverride`) — a metadata block ('x'/'g'/'L'/'K') always
+       * reads its own header size, so a crafted tar with consecutive
+       * extended headers cannot smear one entry's size onto another. */
+      private def content(h: Array[Byte], name: String,
+          honorOverride: Boolean): Array[Byte] = {
         val hdrSize = numField(h, 124, 12, "size")
-        val size = Option(paxNext).flatMap(_.get("size"))
-          .orElse(paxGlobal.get("size")).map(_.toLong).getOrElse(hdrSize)
+        val size = if (honorOverride)
+          Option(paxNext).flatMap(_.get("size"))
+            .orElse(paxGlobal.get("size")).map(_.toLong).getOrElse(hdrSize)
+        else hdrSize
         if (size > Int.MaxValue)
           throw new java.io.IOException(s"oversized tar entry '$name'")
         val data = readFully(size.toInt)
@@ -564,24 +580,27 @@ object TarAlgos {
           val rawName = strField(h, 0, 100)
           val typeflag = h(156).toChar
           typeflag match {
-            case 'x' => // PAX per-entry header: applies to the NEXT entry
-              paxNext = parsePax(content(h, rawName))
+            case 'x' => // PAX per-entry header: applies to the NEXT entry;
+              // consecutive 'x' blocks merge (later records win), the
+              // star/GNU behavior for the POSIX-unspecified case
+              paxNext = Option(paxNext).getOrElse(Map.empty) ++
+                parsePax(content(h, rawName, honorOverride = false))
             case 'g' => // PAX global header: defaults for ALL that follow
-              paxGlobal = paxGlobal ++ parsePax(content(h, rawName))
+              paxGlobal = paxGlobal ++ parsePax(content(h, rawName, honorOverride = false))
             case 'L' => // GNU longname: content is the next entry's name
-              val b = content(h, rawName)
+              val b = content(h, rawName, honorOverride = false)
               var end = 0
               while (end < b.length && b(end) != 0) end += 1
               gnuLongName = new String(b, 0, end, "UTF-8")
             case 'K' => // GNU longlink target: consumed, never a sample
-              content(h, rawName)
+              content(h, rawName, honorOverride = false)
             case '5' | '1' | '2' | '3' | '4' | '6' =>
               // directory / link / device: consume and skip — a pending
               // name override belonged to THIS entry, so it dies with it
-              content(h, rawName)
+              content(h, rawName, honorOverride = true)
               paxNext = null; gnuLongName = null
             case _ => // '0', NUL, '7' and POSIX-reserved flags: file data
-              val data = content(h, rawName)
+              val data = content(h, rawName, honorOverride = true)
               // POSIX splits >100-char paths as prefix(155) + name; the
               // field only exists under the "ustar\0" magic — GNU reuses
               // those bytes for atime/ctime

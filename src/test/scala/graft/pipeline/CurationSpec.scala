@@ -482,6 +482,46 @@ class CurationSpec extends AnyFunSuite {
       4L -> (0, false), 5L -> (0, false), 6L -> (3, true)))
   }
 
+  test("mixCorpora: full copies exact, fractional copy content-addressed, mix_id collision-free") {
+    val a = (1L to 40L).map(i => (i, s"alpha doc $i")).toDF("doc_id", "text")
+    val b = (101L to 140L).map(i => (i, s"beta doc $i")).toDF("doc_id", "text")
+    val mixed = Curation.mixCorpora(
+      Seq(("wiki", a, 2.5), ("cc", b, 0.375)), col("doc_id"))
+    val rows = mixed.select(col("mix_source"), col("mix_copy"), col("doc_id"),
+      col("mix_id")).as[(String, Long, Long, Long)].collect()
+    val byKey = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet).toMap
+    // floor(2.5) = 2 full wiki copies, each complete
+    assert(byKey(("wiki", 0L)) == (1L to 40L).toSet)
+    assert(byKey(("wiki", 1L)) == (1L to 40L).toSet)
+    // the fractional copies follow the documented hash rule exactly
+    def frac(ids: Seq[Long], name: String, copy: Long, f: Double): Set[Long] = {
+      val keep = ids.toDF("id").select(col("id"),
+          Curation.hashFraction(concat(col("id").cast("string"),
+            lit(s"#mix#$name#c"), lit(copy.toString))).as("h"))
+        .as[(Long, Double)].collect()
+      keep.filter(_._2 < f).map(_._1).toSet
+    }
+    assert(byKey(("wiki", 2L)) == frac(1L to 40L, "wiki", 2L, 0.5))
+    assert(byKey(("cc", 0L)) == frac(101L to 140L, "cc", 0L, 0.375))
+    assert(byKey.keySet == Set(("wiki", 0L), ("wiki", 1L), ("wiki", 2L), ("cc", 0L)))
+    // mix_id is unique across every (source, copy, id) triple
+    assert(rows.map(_._4).distinct.length == rows.length)
+    // weights must be positive, names unique
+    intercept[IllegalArgumentException] {
+      Curation.mixCorpora(Seq(("x", a, 0.0)), col("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixCorpora(Seq(("x", a, 1.0), ("x", b, 1.0)), col("doc_id"))
+    }
+    // the handoff composes: mix_id is a collision-free wds export key,
+    // so an oversampled mixture round-trips as tar shards (the duplicate
+    // original ids across copies would refuse the export without it)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix_wds").toString
+    val manifest = graft.sources.Wds.write(mixed, col("mix_id"), col("text"),
+      lit(1L), dir, 2, metaCols = Seq("source" -> col("mix_source")))
+    assert(manifest.agg(sum(col("docs"))).head().getLong(0) == rows.length.toLong)
+  }
+
   test("writeShardsByTokens sizes shard count from the token budget") {
     val d = (0L until 100L).map(i => (i, 10L)).toDF("doc_id", "tok") // 1000 tokens
     val p1 = java.nio.file.Files.createTempDirectory("graft_wsbt1").toString
