@@ -89,7 +89,10 @@ object Soak {
     // report (r16, never soaked), cluster-true keep-largest, tar shards
     "q_pipeline_batch", "q_pipeline_yaml", "q_pipeline_redact",
     "q_containment_gate", "q_span_lengths", "q_dedup_keep_largest_cc",
-    "q_wds_roundtrip")
+    "q_wds_roundtrip",
+    // r18: epoch-salted double export, gzip shards (spool-validated
+    // decompressing ingest), weighted mixture (explode fan-out)
+    "q_wds_epoch", "q_wds_gzip", "q_mixture")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

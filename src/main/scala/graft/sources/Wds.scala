@@ -325,11 +325,14 @@ object Wds {
         // container usually caps. The task-completion listener
         // guarantees spool cleanup even when a downstream limit()
         // abandons the iterator mid-file.
-        val spoolDir = Option(org.apache.spark.SparkEnv.get)
+        val spoolDirs = Option(org.apache.spark.SparkEnv.get)
           .map(_.conf.get("spark.local.dir",
             System.getProperty("java.io.tmpdir")))
           .getOrElse(System.getProperty("java.io.tmpdir"))
-          .split(",").head.trim
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        // spread concurrent shard spools across the scratch volumes the
+        // way shuffle files are spread, keyed on the file name
+        val spoolDir = spoolDirs((file.hashCode & 0x7fffffff) % spoolDirs.length)
         val spool = java.io.File.createTempFile("graft-wds-spool-", ".bin",
           new java.io.File(spoolDir))
         val tc = org.apache.spark.TaskContext.get()
