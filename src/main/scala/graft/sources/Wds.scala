@@ -244,9 +244,22 @@ object Wds {
     try out.write(yaml.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The manifest's shard list, if the sidecar exists. */
-  private def readManifestShards(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[Seq[String]] = {
+  /** What the shard-set sidecar records about an export — the knobs a
+   * consumer needs to reason about the artifact (is this epoch 3? how
+   * many shards should exist?) without re-deriving them from file names. */
+  final case class WdsManifest(nShards: Int, epoch: Int, compress: Boolean,
+      shards: Seq[String])
+
+  /** The artifact's [[ManifestName]] sidecar, parsed — None for
+   * directories without one (third-party shard sets, pre-manifest
+   * exports). */
+  def manifestInfo(spark: SparkSession, path: String): Option[WdsManifest] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    readManifest(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[WdsManifest] = {
     val p = new org.apache.hadoop.fs.Path(root, ManifestName)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -260,8 +273,12 @@ object Wds {
     val m = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Any]](new String(bytes, "UTF-8"))
     import scala.jdk.CollectionConverters._
-    Some(m.get("shards").asInstanceOf[java.util.List[Any]]
-      .asScala.map(_.toString).toSeq)
+    Some(WdsManifest(
+      m.get("nShards").asInstanceOf[Number].intValue,
+      m.get("epoch").asInstanceOf[Number].intValue,
+      m.get("compress").asInstanceOf[Boolean],
+      m.get("shards").asInstanceOf[java.util.List[Any]]
+        .asScala.map(_.toString).toSeq))
   }
 
   /** (samples, quarantined files): samples are (shard, pos, key, text,
@@ -286,7 +303,7 @@ object Wds {
           .flatMap(g => fs.globStatus(new org.apache.hadoop.fs.Path(root, g)))
           .map(_.getPath)
           .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-        readManifestShards(fs, root) match {
+        readManifest(fs, root).map(_.shards) match {
           case Some(expected) =>
             val names = actual.map(_.getName).toSet
             val missing = expected.filterNot(names)
@@ -628,13 +645,20 @@ object TarAlgos {
     }
 
   /** Group ADJACENT entries by key prefix (the WebDataset sample
-   * contract): `<key>.<ext>` runs become (key, ext → bytes). */
+   * contract): `<key>.<ext>` runs become (key, ext → bytes). Per the
+   * webdataset spec the key ends at the FIRST period after the last
+   * slash — so `img194.seg.png` and `img194.json` are ONE sample
+   * (key `img194`, parts `seg.png` + `json`), the multi-extension
+   * convention real published shards use. */
   def samples(es: Iterator[(String, Array[Byte])]): Iterator[(String, Map[String, Array[Byte]])] =
     new Iterator[(String, Map[String, Array[Byte]])] {
       private val buf = es.buffered
       private def split(name: String): (String, String) = {
-        val i = name.lastIndexOf('.')
-        if (i <= 0) (name, "") else (name.substring(0, i), name.substring(i + 1))
+        val slash = name.lastIndexOf('/')
+        val i = name.indexOf('.', slash + 1)
+        // a dotless or hidden (leading-dot) basename is all key, no ext
+        if (i < 0 || i == slash + 1) (name, "")
+        else (name.substring(0, i), name.substring(i + 1))
       }
       def hasNext: Boolean = buf.hasNext
       def next(): (String, Map[String, Array[Byte]]) = {
