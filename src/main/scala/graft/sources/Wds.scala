@@ -48,6 +48,12 @@ object Wds {
    * incomplete instead of silently smaller. */
   val ManifestName = "_graft_wds_manifest.yaml"
 
+  /** Begin marker written BEFORE the first tar and deleted only after
+   * the final manifest lands — a driver crash mid-export leaves it
+   * behind, so read() can refuse the partial directory even though the
+   * (end-of-export) manifest never got written. */
+  val InProgressName = "_graft_wds_in_progress"
+
   /** Sample key: zero-padded 20-digit unsigned decimal of the id —
    * lexicographic order == unsigned numeric order, and replicable in SQL
    * as printf('%020d', id) for non-negative ids. */
@@ -99,6 +105,12 @@ object Wds {
       val mp = new org.apache.hadoop.fs.Path(root, ManifestName)
       if (rootFs.exists(mp)) rootFs.delete(mp, false)
     }
+    // begin marker: present from before the first tar until after the
+    // final manifest — a crash anywhere in between leaves it, and read()
+    // refuses the directory loudly (without this, a mid-export crash
+    // leaves NO manifest and the partial tar set would read as complete)
+    val marker = new org.apache.hadoop.fs.Path(root, InProgressName)
+    rootFs.create(marker, true).close()
     val ext = if (compress) ".tar.gz" else ".tar"
     // ground truth of committed shards, straight from the commit sites
     // (action-side accumulator: retried tasks don't double-apply, and the
@@ -183,6 +195,7 @@ object Wds {
     val committed = committedAcc.value.asScala.map(_.toInt).toSet.toSeq.sorted
     writeManifest(rootFs, root, committed.map(s => f"shard-$s%06d$ext"),
       nShards, epoch, compress)
+    rootFs.delete(marker, false) // the export is now provably complete
     val (rows, bad) = read(spark, path)
     // a write that cannot re-ingest cleanly is a corrupt artifact
     val badRows = bad.limit(1).collect()
@@ -299,6 +312,11 @@ object Wds {
       if (fs.exists(root) && fs.getFileStatus(root).isFile) (Seq(root), Nil)
       else if (!fs.exists(root)) (Nil, Nil)
       else {
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, InProgressName)))
+          throw new java.io.IOException(
+            s"wds export under $path never finished (its $InProgressName " +
+              "begin marker is still present) — the tar set is partial; " +
+              "re-run the export rather than training on it")
         val actual = Seq("*.tar", "*.tar.gz")
           .flatMap(g => fs.globStatus(new org.apache.hadoop.fs.Path(root, g)))
           .map(_.getPath)
