@@ -2652,6 +2652,33 @@ object SparkEntry {
           sum(conv(substring(md5(concat(col("key"), col("text"))
             .cast("binary")), 1, 8), 16, 10).cast("long")).as("member_hash"))
     }),
+    "q_wds_multimodal" -> ((s, dir) => {
+      // multimodal WebDataset (r18): each sample carries a BINARY part
+      // (deterministic 16-byte payload derived from the id) next to its
+      // text + sidecar; re-ingest through the binary face and hash the
+      // payload bytes per shard — the oracle recomputes the expected
+      // byte content (hex(unhex(h)) == upper(h)) straight from documents,
+      // so a single flipped byte anywhere in the tar round trip breaks it
+      val path = java.nio.file.Files.createTempDirectory("graft_q_wds_mm").toString
+      graft.sources.Wds.write(
+        docs(s, dir).select(col("doc_id"), col("text"))
+          .withColumn("payload",
+            unhex(md5(col("doc_id").cast("string").cast("binary")))),
+        col("doc_id"), col("text"),
+        graft.pipeline.Text.tokenCount(col("text")), path, 8,
+        binaryParts = Seq("bin" -> col("payload")))
+      val (rows, bad) = graft.sources.Wds.readBinary(s, path)
+      require(bad.isEmpty, "re-ingest quarantined a written shard")
+      rows.select(col("shard"), col("key"),
+          col("parts").getItem("bin").as("bin"),
+          col("parts").getItem("txt").cast("string").as("text"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(conv(substring(md5(hex(col("bin")).cast("binary")), 1, 8),
+            16, 10).cast("long")).as("bin_hash"),
+          sum(conv(substring(md5(concat(col("key"), col("text"))
+            .cast("binary")), 1, 8), 16, 10).cast("long")).as("member_hash"))
+    }),
     "q_mixture" -> ((s, dir) => {
       // weighted corpus mixture (r18): 2.5 "epochs" of the wiki slice +
       // 0.375 of the crawl slice (exact binary fractions, so Spark and
@@ -7385,6 +7412,16 @@ object SparkEntry {
       """SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
         |       count(*) AS docs,
         |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |       CAST(sum(CAST(concat('0x', substring(md5(printf('%020d', doc_id) || text), 1, 8)) AS BIGINT)) AS BIGINT) AS member_hash
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    // q_wds_multimodal: the binary part is unhex(md5(id)), so its hex
+    // dump equals upper(md5(id)) and DuckDB can recompute the per-shard
+    // payload hash without blob support
+    "q_wds_multimodal" ->
+      """SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |       count(*) AS docs,
+        |       CAST(sum(CAST(concat('0x', substring(md5(upper(md5(CAST(doc_id AS VARCHAR)))), 1, 8)) AS BIGINT)) AS BIGINT) AS bin_hash,
         |       CAST(sum(CAST(concat('0x', substring(md5(printf('%020d', doc_id) || text), 1, 8)) AS BIGINT)) AS BIGINT) AS member_hash
         |FROM documents
         |GROUP BY 1""".stripMargin,

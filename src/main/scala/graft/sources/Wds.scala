@@ -81,11 +81,22 @@ object Wds {
   def write(df: DataFrame, idCol: Column, textCol: Column,
       tokensCol: Column, path: String, nShards: Int,
       metaCols: Seq[(String, Column)] = Nil,
-      epoch: Int = 0, compress: Boolean = false): DataFrame = {
+      epoch: Int = 0, compress: Boolean = false,
+      binaryParts: Seq[(String, Column)] = Nil): DataFrame = {
     require(!metaCols.exists(m => m._1 == "id" || m._1 == "tok"),
       "metaCols must not shadow the fixed id/tok sidecar fields")
     require(nShards > 0, "nShards must be positive")
     require(epoch >= 0, "epoch must be non-negative")
+    // binaryParts: extra `<key>.<ext>` entries per sample — the
+    // image/audio payloads a multimodal WebDataset carries next to the
+    // text and sidecar; NULL bytes omit the part for that sample
+    require(binaryParts.map(_._1).distinct.size == binaryParts.size,
+      "binaryParts extensions must be unique")
+    binaryParts.foreach { case (ext, _) =>
+      require(ext.nonEmpty && ext != "txt" && ext != "json" &&
+        !ext.startsWith(".") && !ext.contains("/"),
+        s"binaryParts extension '$ext' must be a plain ext other than txt/json")
+    }
     import graft.pipeline.Curation.{hashBucketN, hashFraction}
     val spark = df.sparkSession
     val hconf = new org.apache.spark.util.SerializableConfiguration(
@@ -112,6 +123,9 @@ object Wds {
     val marker = new org.apache.hadoop.fs.Path(root, InProgressName)
     rootFs.create(marker, true).close()
     val ext = if (compress) ".tar.gz" else ".tar"
+    // the task closure must not capture Columns (not serializable) —
+    // only the part extension names ride to the executors
+    val partExts: Seq[String] = binaryParts.map(_._1)
     // ground truth of committed shards, straight from the commit sites
     // (action-side accumulator: retried tasks don't double-apply, and the
     // set is idempotent anyway) — NOT a post-hoc glob, which would bake a
@@ -122,16 +136,20 @@ object Wds {
     val metaJson = to_json(struct(
       (idCol.cast("long").as("id") +: tokensCol.cast("long").as("tok") +:
         metaCols.map { case (n, c) => c.as(n) }): _*))
-    df.select(idCol.cast("long").as("graft_id"),
+    df.select((Seq(idCol.cast("long").as("graft_id"),
         textCol.cast("string").as("graft_text"),
         tokensCol.cast("long").as("graft_tok"),
-        metaJson.as("graft_meta"))
+        metaJson.as("graft_meta")) ++
+      binaryParts.zipWithIndex.map { case ((_, c), i) =>
+        c.cast("binary").as(s"graft_part_$i") }): _*)
       .withColumn("graft_shard", hashBucketN(col("graft_id"), nShards).cast("int"))
       .withColumn("graft_ord",
         hashFraction(concat(col("graft_id").cast("string"), lit(ordSalt(epoch)))))
       .repartition(col("graft_shard"))
       .sortWithinPartitions(col("graft_shard"), col("graft_ord"), col("graft_id"))
-      .select(col("graft_shard"), col("graft_id"), col("graft_text"), col("graft_meta"))
+      .select((Seq(col("graft_shard"), col("graft_id"), col("graft_text"),
+        col("graft_meta")) ++
+        binaryParts.indices.map(i => col(s"graft_part_$i"))): _*)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         // a partition holds zero or more WHOLE shards (the repartition
         // routes every row of a shard here); leading sort groups them.
@@ -182,6 +200,10 @@ object Wds {
             val k = key(id)
             val text = Option(r.getString(2)).getOrElse("")
             TarAlgos.addEntry(out, s"$k.txt", text.getBytes("UTF-8"))
+            partExts.zipWithIndex.foreach { case (pext, i) =>
+              val bytes = r.getAs[Array[Byte]](4 + i)
+              if (bytes != null) TarAlgos.addEntry(out, s"$k.$pext", bytes)
+            }
             TarAlgos.addEntry(out, s"$k.json", r.getString(3).getBytes("UTF-8"))
           }
           commit()
@@ -305,7 +327,19 @@ object Wds {
    * [[ManifestName]] sidecar, a MISSING shard throws loudly (the export
    * was partial — reading it as complete is data loss); an EXTRA tar
    * quarantines per-file. */
-  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    readImpl(spark, path, binary = false)
+
+  /** The multimodal ingest face: like [[read]] but samples come back as
+   * (shard, pos, key, parts) with `parts` the FULL ext → bytes map —
+   * image/audio/arbitrary-binary parts a text-face read would drop.
+   * Same listing, manifest/marker guards, spool validation and
+   * quarantine semantics as [[read]]. */
+  def readBinary(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    readImpl(spark, path, binary = true)
+
+  private def readImpl(spark: SparkSession, path: String,
+      binary: Boolean): (DataFrame, DataFrame) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (files, unvouched): (Seq[org.apache.hadoop.fs.Path], Seq[String]) =
@@ -344,7 +378,9 @@ object Wds {
         new org.apache.hadoop.fs.Path(root, n).toString,
         s"tar not in $ManifestName — foreign or stale file in the shard dir")): _*),
       BadSchema)
-    if (files.isEmpty) return (emptyFrame(spark), unvouchedDf)
+    if (files.isEmpty)
+      return (if (binary) emptyBinaryFrame(spark) else emptyFrame(spark),
+        unvouchedDf)
     val tagged = spark.sparkContext
       .binaryFiles(files.map(_.toString).mkString(","))
       .flatMap { case (file, pds) =>
@@ -404,10 +440,13 @@ object Wds {
           // emit pass: proven-clean archive, stream off the local spool
           val in2 = open()
           val base = TarAlgos.samples(TarAlgos.entries(in2)).zipWithIndex.map {
-            case ((k, parts), pos) => org.apache.spark.sql.Row(
-              file, true, null, shard, pos, k,
-              parts.get("txt").map(new String(_, "UTF-8")).orNull,
-              parts.get("json").map(new String(_, "UTF-8")).orNull)
+            case ((k, parts), pos) =>
+              if (binary) org.apache.spark.sql.Row(
+                file, true, null, shard, pos, k, parts)
+              else org.apache.spark.sql.Row(
+                file, true, null, shard, pos, k,
+                parts.get("txt").map(new String(_, "UTF-8")).orNull,
+                parts.get("json").map(new String(_, "UTF-8")).orNull)
           }
           new Iterator[org.apache.spark.sql.Row] {
             private var closed = false
@@ -421,13 +460,19 @@ object Wds {
         } catch {
           case e: Exception =>
             spool.delete()
-            Iterator.single(org.apache.spark.sql.Row(
-              file, false, e.getMessage, shard, -1, null, null, null))
+            Iterator.single(
+              if (binary) org.apache.spark.sql.Row(
+                file, false, e.getMessage, shard, -1, null, null)
+              else org.apache.spark.sql.Row(
+                file, false, e.getMessage, shard, -1, null, null, null))
         }
       }
-    val taggedDf = spark.createDataFrame(tagged, TaggedSchema)
-    (taggedDf.where(col("ok"))
-       .select(col("shard"), col("pos"), col("key"), col("text"), col("meta")),
+    val taggedDf = spark.createDataFrame(tagged,
+      if (binary) TaggedBinarySchema else TaggedSchema)
+    (taggedDf.where(col("ok")).select(
+       (Seq(col("shard"), col("pos"), col("key")) ++
+         (if (binary) Seq(col("parts"))
+          else Seq(col("text"), col("meta")))): _*),
      taggedDf.where(!col("ok")).select(col("file"), col("reason"))
        .unionByName(unvouchedDf))
   }
@@ -439,12 +484,28 @@ object Wds {
     spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), SampleSchema)
 
+  /** Empty frame with [[readBinary]]'s sample-side schema. */
+  def emptyBinaryFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      BinarySampleSchema)
+
   import org.apache.spark.sql.types._
   private val TaggedSchema = StructType(Seq(
     StructField("file", StringType), StructField("ok", BooleanType, nullable = false),
     StructField("reason", StringType), StructField("shard", IntegerType, nullable = false),
     StructField("pos", IntegerType, nullable = false), StructField("key", StringType),
     StructField("text", StringType), StructField("meta", StringType)))
+  private val TaggedBinarySchema = StructType(Seq(
+    StructField("file", StringType), StructField("ok", BooleanType, nullable = false),
+    StructField("reason", StringType), StructField("shard", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false), StructField("key", StringType),
+    StructField("parts", MapType(StringType, BinaryType))))
+  private val BinarySampleSchema = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("key", StringType),
+    StructField("parts", MapType(StringType, BinaryType))))
   private val SampleSchema = StructType(Seq(
     StructField("shard", IntegerType, nullable = false),
     StructField("pos", IntegerType, nullable = false),
