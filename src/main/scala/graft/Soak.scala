@@ -91,8 +91,9 @@ object Soak {
     "q_containment_gate", "q_span_lengths", "q_dedup_keep_largest_cc",
     "q_wds_roundtrip",
     // r18: epoch-salted double export, gzip shards (spool-validated
-    // decompressing ingest), weighted mixture (explode fan-out)
-    "q_wds_epoch", "q_wds_gzip", "q_mixture")
+    // decompressing ingest), weighted mixture (explode fan-out),
+    // binary-parts round trip through the readBinary face
+    "q_wds_epoch", "q_wds_gzip", "q_mixture", "q_wds_multimodal")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
