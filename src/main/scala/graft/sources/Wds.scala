@@ -71,18 +71,34 @@ object Wds {
   /**
    * Export `df` as WebDataset tar shards under `path`
    * (`shard-%06d.tar`, or `.tar.gz` when `compress`). Returns the
-   * manifest (shard, docs, tokens) READ BACK from the written tars, so
-   * it can never drift from the artifact. `tokensCol` must be evaluable
+   * manifest (shard, docs, tokens). `tokensCol` must be evaluable
    * over `df`'s columns. `metaCols` (name → expr) ride each sample's
    * `.json` sidecar next to the fixed `id`/`tok` fields — the url/domain/
    * source provenance a data loader filters on; serialized with
    * `to_json`, so escaping is exact and the bytes stay deterministic.
+   *
+   * `verify` picks the post-export verification posture:
+   *  - `"full"` (default): the whole artifact is READ BACK — spool,
+   *    checksum, strict parse of every shard — and the returned manifest
+   *    comes from that re-ingest, so it can never drift from the bytes
+   *    on disk. A write that cannot re-ingest cleanly throws.
+   *  - `"manifest"`: skips the second read; the returned manifest is
+   *    built from the commit-site accumulator (per-shard docs/tokens
+   *    counted as the tar bytes were streamed) plus a FileSystem
+   *    listing check that every committed tar is present and non-empty.
+   *    At a 100 TB export the full re-ingest DOUBLES artifact I/O as a
+   *    verification tax — `manifest` is the scale knob for callers that
+   *    trust the commit protocol (every tar was fsync-closed and
+   *    renamed into place before its shard entered the manifest).
    */
   def write(df: DataFrame, idCol: Column, textCol: Column,
       tokensCol: Column, path: String, nShards: Int,
       metaCols: Seq[(String, Column)] = Nil,
       epoch: Int = 0, compress: Boolean = false,
-      binaryParts: Seq[(String, Column)] = Nil): DataFrame = {
+      binaryParts: Seq[(String, Column)] = Nil,
+      verify: String = "full"): DataFrame = {
+    require(verify == "full" || verify == "manifest",
+      s"verify must be full|manifest, got '$verify'")
     require(!metaCols.exists(m => m._1 == "id" || m._1 == "tok"),
       "metaCols must not shadow the fixed id/tok sidecar fields")
     require(nShards > 0, "nShards must be positive")
@@ -109,28 +125,37 @@ object Wds {
     // manifest vouching for the NEW tars)
     val root = new org.apache.hadoop.fs.Path(path)
     val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (rootFs.exists(root)) {
-      Seq("shard-*.tar", "shard-*.tar.gz", "_tmp-*.tar", "_tmp-*.tar.gz")
-        .flatMap(g => rootFs.globStatus(new org.apache.hadoop.fs.Path(root, g)))
-        .foreach(st => rootFs.delete(st.getPath, false))
-      val mp = new org.apache.hadoop.fs.Path(root, ManifestName)
-      if (rootFs.exists(mp)) rootFs.delete(mp, false)
-    }
-    // begin marker: present from before the first tar until after the
-    // final manifest — a crash anywhere in between leaves it, and read()
-    // refuses the directory loudly (without this, a mid-export crash
-    // leaves NO manifest and the partial tar set would read as complete)
+    // begin marker FIRST, before the stale-artifact sweep: present from
+    // before any byte of the old export is touched until after the final
+    // manifest — a crash anywhere in between (including mid-sweep, after
+    // the old manifest is gone but before any new tar lands) leaves it,
+    // and read() refuses the directory loudly (without this, a mid-export
+    // crash leaves NO manifest and the partial or swept-empty tar set
+    // would read back as silently complete/empty)
     val marker = new org.apache.hadoop.fs.Path(root, InProgressName)
     rootFs.create(marker, true).close()
+    Seq("shard-*.tar", "shard-*.tar.gz", "_tmp-*.tar", "_tmp-*.tar.gz")
+      .flatMap(g => rootFs.globStatus(new org.apache.hadoop.fs.Path(root, g)))
+      .foreach(st => rootFs.delete(st.getPath, false))
+    // epoch-order sidecars are DERIVED from the artifact being replaced —
+    // leaving one behind would hand a loader a stale order for new tars
+    rootFs.globStatus(new org.apache.hadoop.fs.Path(root, "_graft_wds_epoch*"))
+      .foreach(st => rootFs.delete(st.getPath, true))
+    val mp = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (rootFs.exists(mp)) rootFs.delete(mp, false)
     val ext = if (compress) ".tar.gz" else ".tar"
     // the task closure must not capture Columns (not serializable) —
     // only the part extension names ride to the executors
     val partExts: Seq[String] = binaryParts.map(_._1)
     // ground truth of committed shards, straight from the commit sites
-    // (action-side accumulator: retried tasks don't double-apply, and the
-    // set is idempotent anyway) — NOT a post-hoc glob, which would bake a
-    // lost shard into the manifest instead of catching it
-    val committedAcc = spark.sparkContext.collectionAccumulator[Int]("graft_wds_committed")
+    // (action-side accumulator: retried/speculative attempts may add the
+    // same shard twice, but deterministic content makes the tuples
+    // identical — deduped by shard id below) — NOT a post-hoc glob,
+    // which would bake a lost shard into the manifest instead of
+    // catching it. Tuples are (shard, docs, tokenSum-or-null), so
+    // verify="manifest" can return the manifest without re-reading tars.
+    val committedAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long, java.lang.Long)]("graft_wds_committed")
     // the sidecar json is built over df's ORIGINAL columns (metaCols may
     // reference any of them), before the narrowing select
     val metaJson = to_json(struct(
@@ -149,7 +174,8 @@ object Wds {
       .sortWithinPartitions(col("graft_shard"), col("graft_ord"), col("graft_id"))
       .select((Seq(col("graft_shard"), col("graft_id"), col("graft_text"),
         col("graft_meta")) ++
-        binaryParts.indices.map(i => col(s"graft_part_$i"))): _*)
+        binaryParts.indices.map(i => col(s"graft_part_$i")) :+
+        col("graft_tok")): _*)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         // a partition holds zero or more WHOLE shards (the repartition
         // routes every row of a shard here); leading sort groups them.
@@ -163,14 +189,26 @@ object Wds {
         var out: java.io.OutputStream = null
         var tmp: org.apache.hadoop.fs.Path = null
         var fs: org.apache.hadoop.fs.FileSystem = null
-        val seen = new java.util.HashSet[java.lang.Long]()
+        // duplicate-id detection in O(1) memory: the within-partition sort
+        // keys on (shard, graft_ord, graft_id), and duplicate ids share all
+        // three (graft_ord is a pure hash of the id), so duplicates always
+        // arrive ADJACENT — the previous row's id is the whole check, no
+        // per-shard HashSet holding every id on the executor heap
+        var prevId = 0L
+        var havePrev = false
+        // per-shard manifest counters, tallied as the bytes stream out —
+        // the verify="manifest" path returns these instead of re-reading
+        var shardDocs = 0L
+        var shardTok = 0L
+        var shardTokSeen = false
         def commit(): Unit = if (out != null) {
           TarAlgos.finish(out); out.close(); out = null
           val dst = new org.apache.hadoop.fs.Path(path, f"shard-$cur%06d$ext")
           try renameOverwrite(fs, hconf.value, tmp, dst)
           finally if (fs.exists(tmp)) fs.delete(tmp, false) // failed rename: no orphan
           tmp = null
-          committedAcc.add(cur)
+          committedAcc.add((cur, shardDocs,
+            if (shardTokSeen) java.lang.Long.valueOf(shardTok) else null))
         }
         try {
           it.foreach { r =>
@@ -187,16 +225,19 @@ object Wds {
               val raw = fs.create(tmp, true)
               out = if (compress)
                 new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw
-              seen.clear()
+              havePrev = false
+              shardDocs = 0L; shardTok = 0L; shardTokSeen = false
             }
             val id = r.getLong(1)
             // duplicate ids would sort adjacent and silently merge into
             // ONE WebDataset sample (adjacent same-key parts) — data loss
             // the parquet path doesn't have; fail loudly instead
-            if (!seen.add(id))
+            if (havePrev && prevId == id)
               throw new IllegalArgumentException(
                 s"duplicate id $id in wds export: sample keys must be " +
                   "unique — dedupe upstream or use a collision-free id")
+            prevId = id
+            havePrev = true
             val k = key(id)
             val text = Option(r.getString(2)).getOrElse("")
             TarAlgos.addEntry(out, s"$k.txt", text.getBytes("UTF-8"))
@@ -205,6 +246,11 @@ object Wds {
               if (bytes != null) TarAlgos.addEntry(out, s"$k.$pext", bytes)
             }
             TarAlgos.addEntry(out, s"$k.json", r.getString(3).getBytes("UTF-8"))
+            shardDocs += 1L
+            val tokIdx = 4 + partExts.length
+            if (!r.isNullAt(tokIdx)) {
+              shardTok += r.getLong(tokIdx); shardTokSeen = true
+            }
           }
           commit()
         } finally {
@@ -214,12 +260,43 @@ object Wds {
       }
     // the action is done: every shard above is committed — record the set
     import scala.jdk.CollectionConverters._
-    val committed = committedAcc.value.asScala.map(_.toInt).toSet.toSeq.sorted
-    writeManifest(rootFs, root, committed.map(s => f"shard-$s%06d$ext"),
-      nShards, epoch, compress)
+    val committed = committedAcc.value.asScala
+      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    writeManifest(rootFs, root,
+      committed.map(c => f"shard-${c._1}%06d$ext"), nShards, epoch, compress)
     rootFs.delete(marker, false) // the export is now provably complete
+    if (verify == "full") reingestManifest(spark, path)
+    else {
+      // manifest mode: trust the commit sites, but still prove every
+      // committed tar is PRESENT and non-empty on the target FileSystem
+      // (a lost rename or truncating store must not return a manifest
+      // vouching for bytes that aren't there)
+      committed.foreach { case (s, _, _) =>
+        val p = new org.apache.hadoop.fs.Path(root, f"shard-$s%06d$ext")
+        val st = try rootFs.getFileStatus(p) catch {
+          case _: java.io.FileNotFoundException =>
+            throw new java.io.IOException(
+              s"committed shard $p missing after export — artifact corrupt")
+        }
+        if (st.getLen <= 0) throw new java.io.IOException(
+          s"committed shard $p is empty after export — artifact corrupt")
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(committed.map(c =>
+          org.apache.spark.sql.Row(c._1, c._2, c._3)): _*),
+        ManifestSchema)
+    }
+  }
+
+  /** The `verify="full"` pass: re-ingest the whole export (spool +
+   * checksum + strict parse of every shard), refuse LOUDLY if any shard
+   * quarantines, and return the (shard, docs, tokens) manifest computed
+   * from the read-back bytes — a write that cannot re-ingest cleanly is
+   * a corrupt artifact. Public seam so a `manifest`-mode caller can run
+   * the full audit later (e.g. from a separate verification job that
+   * doesn't serialize the export's wall-clock). */
+  def reingestManifest(spark: SparkSession, path: String): DataFrame = {
     val (rows, bad) = read(spark, path)
-    // a write that cannot re-ingest cleanly is a corrupt artifact
     val badRows = bad.limit(1).collect()
     require(badRows.isEmpty,
       s"tar shard re-ingest quarantined ${badRows.head}")
@@ -238,12 +315,14 @@ object Wds {
   def writeByTokens(df: DataFrame, idCol: Column, textCol: Column,
       tokensCol: Column, path: String, tokensPerShard: Long,
       metaCols: Seq[(String, Column)] = Nil,
-      epoch: Int = 0, compress: Boolean = false): DataFrame = {
+      epoch: Int = 0, compress: Boolean = false,
+      verify: String = "full"): DataFrame = {
     require(tokensPerShard > 0, "tokensPerShard must be positive")
     val row = df.agg(sum(tokensCol.cast("long")).as("t")).head()
     val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val nShards = math.max(1L, (total + tokensPerShard - 1) / tokensPerShard).toInt
-    write(df, idCol, textCol, tokensCol, path, nShards, metaCols, epoch, compress)
+    write(df, idCol, textCol, tokensCol, path, nShards, metaCols, epoch,
+      compress, verify = verify)
   }
 
   /** Atomic-overwrite rename: FileContext.rename(OVERWRITE) where the
@@ -326,9 +405,115 @@ object Wds {
    * `shard-*`) or a single tar file. When the directory carries a
    * [[ManifestName]] sidecar, a MISSING shard throws loudly (the export
    * was partial — reading it as complete is data loss); an EXTRA tar
-   * quarantines per-file. */
+   * quarantines per-file. A NONEXISTENT `path` throws
+   * FileNotFoundException — a typo'd path must not train on zero data. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     readImpl(spark, path, binary = false)
+
+  /** Epoch-order sidecar name: a slim parquet of (shard, key, pos) under
+   * the shard directory (underscore-prefixed — tar listings skip it). */
+  def epochOrderName(epoch: Int): String = s"_graft_wds_epoch$epoch.parquet"
+
+  /** md5 hex of the manifest sidecar bytes — stamps epoch-order sidecars
+   * so one derived from a REPLACED artifact refuses loudly. */
+  private def manifestFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): String = {
+    val p = new org.apache.hadoop.fs.Path(root, ManifestName)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+  }
+
+  /**
+   * Materialize training epoch `epoch`'s within-shard order as a SIDECAR
+   * instead of re-exporting every tar: a full epoch re-export moves the
+   * whole corpus (100 TB of tar bytes per epoch); the order it produces
+   * is a pure function of (id, epoch), so a slim
+   * `_graft_wds_epoch<N>.parquet` of (shard, key, pos) carries the same
+   * information at ~40 bytes/sample. [[read(spark,path,epoch)*]] applies
+   * it; an external loader can equally join it against the tar stream
+   * (the contract: stream samples in tar order, reorder each shard by
+   * the sidecar's `pos` — shard membership never changes across epochs,
+   * so the reorder is per-shard-local, never cross-shard).
+   *
+   * Scale: one pass over the export (the keys must come from the
+   * artifact itself — the sidecar must describe the bytes on disk, not
+   * a frame the caller believes matches them) plus a per-shard sort —
+   * the same parallelism shape as the export, writing <0.1% of its
+   * bytes. The sidecar is stamped with the manifest's md5, so a sidecar
+   * orphaned by a re-export refuses instead of mis-ordering.
+   */
+  def writeEpochOrder(spark: SparkSession, path: String, epoch: Int): Unit = {
+    require(epoch >= 0, "epoch must be non-negative")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, ManifestName)),
+      s"no $ManifestName under $path — epoch sidecars describe OUR " +
+        "exports; third-party shard sets have no baked order recipe")
+    val (rows, bad) = read(spark, path)
+    val badRows = bad.limit(1).collect()
+    require(badRows.isEmpty,
+      s"cannot derive an epoch order over a quarantined export: ${badRows.head}")
+    import graft.pipeline.Curation.hashFraction
+    // the sample key is the id's UNSIGNED 20-digit decimal; the order
+    // recipe hashes the SIGNED decimal (write()'s graft_id cast) — conv
+    // with a negative target base re-reads the unsigned value as signed
+    val signedId = conv(col("key"), 10, -10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("graft_ord"), col("graft_idl"))
+    rows.select(col("shard"), col("key"))
+      .withColumn("graft_idl", signedId)
+      .withColumn("graft_ord", hashFraction(
+        concat(col("graft_idl").cast("string"), lit(ordSalt(epoch)))))
+      // one window task per shard — exactly the export's own sort shape
+      .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+      .select(col("shard"), col("key"), col("pos"),
+        lit(manifestFingerprint(fs, root)).as("mfp"))
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, epochOrderName(epoch)).toString)
+  }
+
+  /** [[read]] under training epoch `epoch`'s order: `pos` comes from the
+   * epoch's [[writeEpochOrder]] sidecar (or straight from the tars when
+   * `epoch` is the one the export itself was written with). Missing or
+   * stale sidecars throw loudly — never a silently wrong order. */
+  def read(spark: SparkSession, path: String, epoch: Int): (DataFrame, DataFrame) =
+    readEpoch(spark, path, epoch, binary = false)
+
+  /** [[readBinary]] under an epoch-sidecar order — see [[read(spark,path,epoch)*]]. */
+  def readBinary(spark: SparkSession, path: String, epoch: Int): (DataFrame, DataFrame) =
+    readEpoch(spark, path, epoch, binary = true)
+
+  private def readEpoch(spark: SparkSession, path: String, epoch: Int,
+      binary: Boolean): (DataFrame, DataFrame) = {
+    require(epoch >= 0, "epoch must be non-negative")
+    val (rows, bad) = readImpl(spark, path, binary)
+    val mi = manifestInfo(spark, path).getOrElse(throw new java.io.IOException(
+      s"no $ManifestName under $path — epoch orders exist only for our exports"))
+    if (mi.epoch == epoch) return (rows, bad)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(root, epochOrderName(epoch))
+    if (!fs.exists(sidecar)) throw new java.io.IOException(
+      s"no epoch-$epoch order sidecar under $path — run " +
+        s"Wds.writeEpochOrder(spark, path, $epoch) once (cheap: no tar " +
+        s"bytes move) or re-export with epoch = $epoch")
+    val sc = spark.read.parquet(sidecar.toString)
+    val head = sc.select(col("mfp")).limit(1).collect()
+    require(head.isEmpty || head(0).getString(0) == manifestFingerprint(fs, root),
+      s"epoch-$epoch sidecar under $path was derived from a DIFFERENT " +
+        "export (manifest fingerprint mismatch) — re-run writeEpochOrder")
+    // inner join on (shard, key): the fingerprint check above proves the
+    // sidecar describes THIS artifact, so the key sets are identical —
+    // one slim shuffle instead of 100 TB of tar bytes rewritten
+    val reordered = rows.drop("pos")
+      .join(sc.select(col("shard"), col("key"), col("pos")), Seq("shard", "key"))
+      .select((Seq(col("shard"), col("pos"), col("key")) ++
+        (if (binary) Seq(col("parts")) else Seq(col("text"), col("meta")))): _*)
+    (reordered, bad)
+  }
 
   /** The multimodal ingest face: like [[read]] but samples come back as
    * (shard, pos, key, parts) with `parts` the FULL ext → bytes map —
@@ -344,7 +529,13 @@ object Wds {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (files, unvouched): (Seq[org.apache.hadoop.fs.Path], Seq[String]) =
       if (fs.exists(root) && fs.getFileStatus(root).isFile) (Seq(root), Nil)
-      else if (!fs.exists(root)) (Nil, Nil)
+      else if (!fs.exists(root))
+        // a typo'd shard path must not train on zero data with no error —
+        // a genuinely EMPTY export still leaves a directory plus manifest,
+        // which reads back as an empty (but loudly distinguishable) corpus
+        throw new java.io.FileNotFoundException(
+          s"wds shard path $path does not exist — not an empty export " +
+            "(those leave a directory and a manifest); check the path")
       else {
         if (fs.exists(new org.apache.hadoop.fs.Path(root, InProgressName)))
           throw new java.io.IOException(
@@ -381,92 +572,34 @@ object Wds {
     if (files.isEmpty)
       return (if (binary) emptyBinaryFrame(spark) else emptyFrame(spark),
         unvouchedDf)
-    val tagged = spark.sparkContext
-      .binaryFiles(files.map(_.toString).mkString(","))
-      .flatMap { case (file, pds) =>
-        val shard = "shard-(\\d+)\\.tar(\\.gz)?$".r.findFirstMatchIn(file)
-          .map(_.group(1).toInt).getOrElse(-1)
-        // spool the shard to executor-local disk in ONE remote read,
-        // strict-validate the whole archive off the spool (whole-file
-        // quarantine needs the verdict before the first sample is
-        // emitted), then STREAM samples from the spool — memory is
-        // O(current sample), never O(shard). The spool lands on the
-        // executor's configured scratch volume (spark.local.dir — the
-        // disks sized for shuffle spill), not the root-volume tmpdir a
-        // container usually caps. The task-completion listener
-        // guarantees spool cleanup even when a downstream limit()
-        // abandons the iterator mid-file.
-        val spoolDirs = Option(org.apache.spark.SparkEnv.get)
-          .map(_.conf.get("spark.local.dir",
-            System.getProperty("java.io.tmpdir")))
-          .getOrElse(System.getProperty("java.io.tmpdir"))
-          .split(",").map(_.trim).filter(_.nonEmpty)
-        // spread concurrent shard spools across the scratch volumes the
-        // way shuffle files are spread, keyed on the file name
-        val spoolDir = spoolDirs((file.hashCode & 0x7fffffff) % spoolDirs.length)
-        val spool = java.io.File.createTempFile("graft-wds-spool-", ".bin",
-          new java.io.File(spoolDir))
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null)
-          tc.addTaskCompletionListener[Unit](_ => spool.delete())
-        def open(): java.io.InputStream = {
-          val b = new java.io.BufferedInputStream(
-            new java.io.FileInputStream(spool), 1 << 16)
-          b.mark(2)
-          val (b0, b1) = (b.read(), b.read())
-          b.reset()
-          if (b0 == 0x1f && b1 == 0x8b) new java.io.BufferedInputStream(
-            new java.util.zip.GZIPInputStream(b, 1 << 16), 1 << 16)
-          else b
-        }
-        try {
-          val in = pds.open()
-          try {
-            val os = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(spool), 1 << 16)
-            try {
-              val buf = new Array[Byte](1 << 16)
-              var n = in.read(buf)
-              while (n >= 0) { os.write(buf, 0, n); n = in.read(buf) }
-            } finally os.close()
-          } finally in.close()
-          // validation pass: parse every header+content strictly, emit
-          // nothing — a corrupt byte anywhere quarantines the whole file
-          val v = open()
-          try {
-            val probe = TarAlgos.samples(TarAlgos.entries(v))
-            while (probe.hasNext) probe.next()
-          } finally v.close()
-          // emit pass: proven-clean archive, stream off the local spool
-          val in2 = open()
-          val base = TarAlgos.samples(TarAlgos.entries(in2)).zipWithIndex.map {
-            case ((k, parts), pos) =>
-              if (binary) org.apache.spark.sql.Row(
-                file, true, null, shard, pos, k, parts)
-              else org.apache.spark.sql.Row(
-                file, true, null, shard, pos, k,
-                parts.get("txt").map(new String(_, "UTF-8")).orNull,
-                parts.get("json").map(new String(_, "UTF-8")).orNull)
-          }
-          new Iterator[org.apache.spark.sql.Row] {
-            private var closed = false
-            def hasNext: Boolean = {
-              val h = !closed && base.hasNext
-              if (!h && !closed) { closed = true; in2.close(); spool.delete() }
-              h
-            }
-            def next(): org.apache.spark.sql.Row = base.next()
-          }
-        } catch {
-          case e: Exception =>
-            spool.delete()
-            Iterator.single(
-              if (binary) org.apache.spark.sql.Row(
-                file, false, e.getMessage, shard, -1, null, null)
-              else org.apache.spark.sql.Row(
-                file, false, e.getMessage, shard, -1, null, null, null))
-        }
-      }
+    // binaryFiles takes ONE comma-separated string that FileInputFormat
+    // splits back on commas — and its splitter does NOT honor backslash
+    // escapes (nor does its per-path glob expansion treat names
+    // literally), so a tar path carrying a comma or a glob metacharacter
+    // (legal in POSIX/HDFS names, possible in third-party shard dirs)
+    // would mis-split into bogus paths or glob-expand to the wrong
+    // files. Such names are rare: route them through a parallelize +
+    // FileSystem.open fallback (same spool/validate/stream body, no
+    // locality hint), and keep binaryFiles — with its HDFS locality —
+    // for the normal names.
+    val sc = spark.sparkContext
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      sc.hadoopConfiguration)
+    val (weird, plain) =
+      files.partition(p => p.toString.exists("*?[]{},".contains(_)))
+    val rdds = Seq(
+      if (plain.isEmpty) None else Some(
+        sc.binaryFiles(plain.map(_.toString).mkString(","))
+          .flatMap { case (file, pds) =>
+            ingestShard(file, () => pds.open(), binary) }),
+      if (weird.isEmpty) None else Some(
+        sc.parallelize(weird.map(_.toString), weird.size)
+          .flatMap { file =>
+            val p = new org.apache.hadoop.fs.Path(file)
+            ingestShard(file,
+              () => p.getFileSystem(hconf.value).open(p), binary) })
+    ).flatten
+    val tagged = rdds.reduce(_ union _)
     val taggedDf = spark.createDataFrame(tagged,
       if (binary) TaggedBinarySchema else TaggedSchema)
     (taggedDf.where(col("ok")).select(
@@ -475,6 +608,94 @@ object Wds {
           else Seq(col("text"), col("meta")))): _*),
      taggedDf.where(!col("ok")).select(col("file"), col("reason"))
        .unionByName(unvouchedDf))
+  }
+
+  /** Executor-side ingest of ONE shard file: spool to executor-local disk
+   * in a single remote read (`openRaw`), strict-validate the whole
+   * archive off the spool (whole-file quarantine needs the verdict
+   * before the first sample is emitted), then STREAM samples from the
+   * spool — memory is O(current sample), never O(shard). The spool lands
+   * on the executor's configured scratch volume (spark.local.dir — the
+   * disks sized for shuffle spill), not the root-volume tmpdir a
+   * container usually caps. The task-completion listener guarantees
+   * spool cleanup even when a downstream limit() abandons the iterator
+   * mid-file. Shared by the binaryFiles path and the weird-name
+   * parallelize fallback, so both ingest faces have identical
+   * validation/quarantine semantics. */
+  private def ingestShard(file: String, openRaw: () => java.io.InputStream,
+      binary: Boolean): Iterator[org.apache.spark.sql.Row] = {
+    val shard = "shard-(\\d+)\\.tar(\\.gz)?$".r.findFirstMatchIn(file)
+      .map(_.group(1).toInt).getOrElse(-1)
+    val spoolDirs = Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.get("spark.local.dir",
+        System.getProperty("java.io.tmpdir")))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    // spread concurrent shard spools across the scratch volumes the
+    // way shuffle files are spread, keyed on the file name
+    val spoolDir = spoolDirs((file.hashCode & 0x7fffffff) % spoolDirs.length)
+    val spool = java.io.File.createTempFile("graft-wds-spool-", ".bin",
+      new java.io.File(spoolDir))
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null)
+      tc.addTaskCompletionListener[Unit](_ => spool.delete())
+    def open(): java.io.InputStream = {
+      val b = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(spool), 1 << 16)
+      b.mark(2)
+      val (b0, b1) = (b.read(), b.read())
+      b.reset()
+      if (b0 == 0x1f && b1 == 0x8b) new java.io.BufferedInputStream(
+        new java.util.zip.GZIPInputStream(b, 1 << 16), 1 << 16)
+      else b
+    }
+    try {
+      val in = openRaw()
+      try {
+        val os = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(spool), 1 << 16)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { os.write(buf, 0, n); n = in.read(buf) }
+        } finally os.close()
+      } finally in.close()
+      // validation pass: parse every header+content strictly, emit
+      // nothing — a corrupt byte anywhere quarantines the whole file
+      val v = open()
+      try {
+        val probe = TarAlgos.samples(TarAlgos.entries(v))
+        while (probe.hasNext) probe.next()
+      } finally v.close()
+      // emit pass: proven-clean archive, stream off the local spool
+      val in2 = open()
+      val base = TarAlgos.samples(TarAlgos.entries(in2)).zipWithIndex.map {
+        case ((k, parts), pos) =>
+          if (binary) org.apache.spark.sql.Row(
+            file, true, null, shard, pos, k, parts)
+          else org.apache.spark.sql.Row(
+            file, true, null, shard, pos, k,
+            parts.get("txt").map(new String(_, "UTF-8")).orNull,
+            parts.get("json").map(new String(_, "UTF-8")).orNull)
+      }
+      new Iterator[org.apache.spark.sql.Row] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = !closed && base.hasNext
+          if (!h && !closed) { closed = true; in2.close(); spool.delete() }
+          h
+        }
+        def next(): org.apache.spark.sql.Row = base.next()
+      }
+    } catch {
+      case e: Exception =>
+        spool.delete()
+        Iterator.single(
+          if (binary) org.apache.spark.sql.Row(
+            file, false, e.getMessage, shard, -1, null, null)
+          else org.apache.spark.sql.Row(
+            file, false, e.getMessage, shard, -1, null, null, null))
+    }
   }
 
   /** Empty frame with [[read]]'s sample-side schema — lets config
@@ -513,6 +734,10 @@ object Wds {
     StructField("meta", StringType)))
   private val BadSchema = StructType(Seq(
     StructField("file", StringType), StructField("reason", StringType)))
+  private val ManifestSchema = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("docs", LongType, nullable = false),
+    StructField("tokens", LongType)))
 }
 
 /** Minimal deterministic ustar codec — plain JVM, no Spark types, so it
@@ -746,7 +971,16 @@ object TarAlgos {
         var parts = Map(ext -> data)
         while (buf.hasNext && split(buf.head._1)._1 == k) {
           val (n2, d2) = buf.next()
-          parts += (split(n2)._2 -> d2)
+          val e2 = split(n2)._2
+          // a repeated extension within one sample would silently drop the
+          // earlier payload — the write side fails loudly on duplicate ids,
+          // so ingest must not lose data silently where export refuses to;
+          // throwing here quarantines the whole file upstream (the
+          // webdataset library's duplicate-file-in-sample error)
+          if (parts.contains(e2))
+            throw new java.io.IOException(
+              s"duplicate extension '$e2' within webdataset sample '$k'")
+          parts += (e2 -> d2)
         }
         (k, parts)
       }

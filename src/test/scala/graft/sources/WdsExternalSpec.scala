@@ -236,6 +236,39 @@ class WdsExternalSpec extends AnyFunSuite {
     assert(o1 == want, "epoch order recipe diverged")
   }
 
+  test("epoch-order sidecar replays the full re-export order at zero tar bytes rewritten") {
+    val dir = tmp("graft_wds_eside")
+    Wds.write(fixture, col("id"), col("text"), lit(1L), dir, 2) // epoch 0
+    def tarDigest(): Map[String, Long] = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .map(f => f.getName -> java.util.Arrays.hashCode(
+        java.nio.file.Files.readAllBytes(f.toPath)).toLong).toMap
+    val before = tarDigest()
+    Wds.writeEpochOrder(spark, dir, 3)
+    assert(tarDigest() == before, "sidecar write must not touch any tar byte")
+    def ord(rows: org.apache.spark.sql.DataFrame): Seq[(Int, Int, String)] =
+      rows.select(col("shard"), col("pos"), col("key"))
+        .as[(Int, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // sidecar-applied order == a FULL epoch-3 re-export's baked order
+    val viaSidecar = ord(Wds.read(spark, dir, 3)._1)
+    val dir3 = tmp("graft_wds_efull")
+    Wds.write(fixture, col("id"), col("text"), lit(1L), dir3, 2, epoch = 3)
+    assert(viaSidecar == ord(Wds.read(spark, dir3)._1))
+    // the binary face applies the same sidecar
+    assert(Wds.readBinary(spark, dir, 3)._1.select(col("shard"), col("pos"),
+      col("key")).as[(Int, Int, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq == viaSidecar)
+    // asking for the export's own epoch needs no sidecar
+    assert(ord(Wds.read(spark, dir, 0)._1) == ord(Wds.read(spark, dir)._1))
+    // a missing sidecar refuses loudly instead of guessing an order
+    val eMiss = intercept[java.io.IOException](Wds.read(spark, dir, 7))
+    assert(eMiss.getMessage.contains("writeEpochOrder"), eMiss.getMessage)
+    // a re-export sweeps derived sidecars: the old epoch-3 order must not
+    // survive to mis-order the NEW artifact
+    Wds.write(fixture, col("id"), col("text"), lit(1L), dir, 1)
+    intercept[java.io.IOException](Wds.read(spark, dir, 3))
+  }
+
   test("gzip shards: round-trip, byte-deterministic, manifest-vouched") {
     val dir = tmp("graft_wds_gz")
     val manifest = Wds.write(fixture, col("id"), col("text"),
@@ -327,6 +360,79 @@ class WdsExternalSpec extends AnyFunSuite {
     val m2 = Wds.writeByTokens(fixture, col("id"), col("text"), toks, d2, 5000L)
     assert(tars(d2) == 1)
     assert(m2.agg(sum(col("docs"))).head().getLong(0) == 5L)
+  }
+
+  test("write(verify=manifest) returns the same manifest as full; the full audit still catches planted corruption") {
+    val toks = col("id") * lit(10L)
+    val dirF = tmp("graft_wds_vfull")
+    val dirM = tmp("graft_wds_vman")
+    def rows(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val full = Wds.write(fixture, col("id"), col("text"), toks, dirF, 3)
+    val man = Wds.write(fixture, col("id"), col("text"), toks, dirM, 3,
+      verify = "manifest")
+    // commit-site accounting == read-back accounting, byte for byte
+    assert(rows(man) == rows(full), s"${rows(man)} != ${rows(full)}")
+    // the manifest-mode artifact is itself fully re-ingestable
+    assert(rows(Wds.reingestManifest(spark, dirM)) == rows(full))
+    // the deferred full audit (what verify=full runs inline) catches a
+    // corrupt shard a manifest-mode caller could otherwise miss
+    val shard = new java.io.File(dirM).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(shard.toPath)
+    bytes(3) = (bytes(3) ^ 0x55).toByte // flip a header name byte: checksum breaks
+    java.nio.file.Files.write(shard.toPath, bytes)
+    val e = intercept[IllegalArgumentException](
+      Wds.reingestManifest(spark, dirM))
+    assert(e.getMessage.contains("quarantined"), e.getMessage)
+    intercept[Exception](Wds.write(fixture, col("id"), col("text"), toks,
+      tmp("graft_wds_vbad"), 0)) // sanity: bad args still refuse
+  }
+
+  test("a NONEXISTENT shard path throws — never a silent empty corpus") {
+    val missing = tmp("graft_wds_gone") + "/no_such_subdir"
+    val e = intercept[java.io.FileNotFoundException](Wds.read(spark, missing))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    intercept[java.io.FileNotFoundException](Wds.readBinary(spark, missing))
+    // ...while an EXISTING empty directory is still an empty corpus
+    val (r, b) = Wds.read(spark, tmp("graft_wds_empty_dir"))
+    assert(r.count() == 0 && b.count() == 0)
+  }
+
+  test("duplicate extension within one sample quarantines the whole file") {
+    // the write side fails loudly on duplicate ids; the ingest side must
+    // not silently drop the earlier payload when a third-party shard
+    // carries two entries with the same <key>.<ext>
+    val dir = tmp("graft_wds_dupext")
+    val bos = new java.io.ByteArrayOutputStream()
+    TarAlgos.addEntry(bos, "00001.txt", "first payload".getBytes("UTF-8"))
+    TarAlgos.addEntry(bos, "00001.txt", "second payload".getBytes("UTF-8"))
+    TarAlgos.addEntry(bos, "00001.json", "{}".getBytes("UTF-8"))
+    TarAlgos.finish(bos)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "dup.tar"), bos.toByteArray)
+    val (rows, bad) = Wds.read(spark, dir)
+    assert(rows.count() == 0, "no sample may survive a corrupt-sample file")
+    val badRows = bad.collect()
+    assert(badRows.length == 1 &&
+      badRows(0).getString(1).contains("duplicate extension"),
+      badRows.mkString("; "))
+  }
+
+  test("a comma in a third-party tar name does not mis-split the read") {
+    val dir = tmp("graft_wds_comma")
+    val bos = new java.io.ByteArrayOutputStream()
+    TarAlgos.addEntry(bos, "k1.txt", "comma path sample".getBytes("UTF-8"))
+    TarAlgos.addEntry(bos, "k1.json", "{}".getBytes("UTF-8"))
+    TarAlgos.finish(bos)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0,of-2.tar"), bos.toByteArray)
+    val (rows, bad) = Wds.read(spark, dir)
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+    val got = rows.select(col("key"), col("text")).collect()
+    assert(got.length == 1 && got(0).getString(0) == "k1" &&
+      got(0).getString(1) == "comma path sample")
   }
 
   test("spool cleanup: no graft-wds-spool temp files survive a read") {
