@@ -51,6 +51,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  *                 n: 8, minShared: 3}
  * weight: tok                       # funnel weight expr (default 1)
  * sample: {domain: domain, tokens: tok, budgetFraction: 0.6, alpha: 0.5}
+ * mix:                              # pretraining mixture, pre-export
+ *   name: pretrain_mix
+ *   sources:
+ *     - {name: wiki,  where: "domain = 'wikipedia.org'", weight: 2.5}
+ *     - {name: crawl, weight: 0.375}
  * shards: {nShards: 32}             # written under workDir/shards
  * }}}
  *
@@ -147,6 +152,35 @@ object BatchConfig {
       s"budgetFraction must be in (0, 1], got $budgetFraction")
   }
 
+  /** One slice of the pretraining mixture: `where` (optional SQL
+   * predicate over the survivor columns; absent = the whole survivor
+   * frame) selects the slice, `weight` its epoch count — floor(w) full
+   * copies plus one content-addressed fractional copy
+   * ([[Curation.mixCorpora]]'s keep rule). */
+  final case class MixSource(name: String, where: Option[String],
+      weight: Double) {
+    require(name.nonEmpty, "mix source needs a name")
+    require(weight > 0, s"mix source '$name': weight must be positive")
+  }
+
+  /** The `mix:` stanza — the versioned, diffable pretraining-mix decision
+   * ("2.5 epochs of wiki + 0.375 of crawl") the config layer exists to
+   * capture, executed by [[Curation.mixCorpora]] between the optional
+   * temperature sample and the shard export. The funnel gains one
+   * `name` row accounting the mixture: oversampled copies are charged
+   * as GAINED mass (negative rows_dropped / weight_dropped, so
+   * rows_out = rows_in − rows_dropped still conserves). The export id
+   * becomes the collision-resistant `mix_id` (full copies duplicate the
+   * original id, which can no longer key a WebDataset sample); the
+   * original id plus `mix_source`/`mix_copy` stay as columns — declare
+   * them under `shards.meta` to ride the wds sidecar. */
+  final case class MixSpec(name: String, sources: Seq[MixSource]) {
+    require(name.nonEmpty, "mix stanza needs a name")
+    require(sources.nonEmpty, s"mix '$name' needs at least one source")
+    require(sources.map(_.name).distinct.size == sources.size,
+      s"mix '$name': source names must be unique")
+  }
+
   /** Shard export: `parquet` ([[Curation.writeShards]]) or `wds`
    * ([[graft.sources.Wds.write]] — WebDataset tar shards, the format GPU
    * loaders stream; needs `text`, the column name exported as each
@@ -173,16 +207,18 @@ object BatchConfig {
       dedup: Seq[Tier], gates: Seq[(String, String)],
       pii: Option[PiiStage] = None,
       decontaminate: Option[Decon], weight: Option[String],
-      sample: Option[TempSample], shards: Option[ShardSpec]) {
+      sample: Option[TempSample], shards: Option[ShardSpec],
+      mix: Option[MixSpec] = None) {
     require(sources.nonEmpty, s"batch pipeline '$name' has no sources")
     private val stageNames =
       dedup.map(_.name) ++ gates.map(_._1) ++ pii.map(_.name) ++
         decontaminate.map(_.name)
     require(stageNames.nonEmpty, s"batch pipeline '$name' needs at least " +
       "one dedup tier, gate, or decontaminate stage (the funnel accounts them)")
-    require(stageNames.distinct.size == stageNames.size,
+    private val allStageNames = stageNames ++ mix.map(_.name)
+    require(allStageNames.distinct.size == allStageNames.size,
       s"duplicate stage names in batch pipeline '$name': " +
-        stageNames.diff(stageNames.distinct).mkString(", "))
+        allStageNames.diff(allStageNames.distinct).mkString(", "))
     // the graft_ column namespace is RESERVED for funnel plumbing (flag/
     // gate/leak/decon/w_raw working columns): the survivor slim drops it
     // wholesale before export, so user columns there would silently vanish
@@ -277,12 +313,26 @@ object BatchConfig {
             base.select(expr(sm.domain)).schema
             base.select(expr(sm.tokens)).schema
           })
+          // each mix source's predicate + the whole mixCorpora call
+          // dry-resolve over the base schema (the REAL call, the
+          // preferring-tier posture): a bad where or an id the keep rule
+          // can't hash errors here, before any data is touched
+          val exportBase = mix.flatMap { mx =>
+            attempt(s"mix ${mx.name}")(Curation.mixCorpora(
+              mx.sources.map(ms => (ms.name,
+                ms.where.map(w => base.where(expr(w))).getOrElse(base),
+                ms.weight)), col(idName)))
+          }.getOrElse(base)
           shards.foreach(sh => attempt("shards") {
-            // the export's own column needs: the id (long-castable), and
-            // for wds the declared sample-text and sidecar meta columns
-            base.select(col(idName).cast("long")).schema
-            sh.text.foreach(t => base.select(col(t)).schema)
-            sh.meta.foreach(m => base.select(col(m)).schema)
+            // the export's own column needs — resolved over the POST-MIX
+            // schema (a mixed export keys on mix_id and may declare
+            // mix_source/mix_copy as sidecar meta): the id
+            // (long-castable), and for wds the declared sample-text and
+            // sidecar meta columns
+            val exportId = if (mix.isDefined) "mix_id" else idName
+            exportBase.select(col(exportId).cast("long")).schema
+            sh.text.foreach(t => exportBase.select(col(t)).schema)
+            sh.meta.foreach(m => exportBase.select(col(m)).schema)
           })
         }
       }
@@ -361,6 +411,15 @@ object BatchConfig {
       sample.foreach(sm => root.put("sample", jmap("domain" -> sm.domain,
         "tokens" -> sm.tokens, "budgetFraction" -> sm.budgetFraction,
         "alpha" -> sm.alpha)))
+      mix.foreach { mx =>
+        root.put("mix", jmap("name" -> mx.name,
+          "sources" -> jlist(mx.sources.map { ms =>
+            val m = jmap("name" -> ms.name)
+            ms.where.foreach(m.put("where", _))
+            m.put("weight", ms.weight)
+            m
+          })))
+      }
       shards.foreach { sh =>
         val m = jmap("nShards" -> sh.nShards)
         if (sh.format != "parquet") m.put("format", sh.format)
@@ -589,7 +648,7 @@ object BatchConfig {
       // pii stage redacts: raw weight through the pii stage, re-derived
       // weight after — token mass lost to scrubbing charges to pii)
       val w = weight.map(expr).getOrElse(lit(1L))
-      val funnel = pii.filter(_.policy == "redact") match {
+      val funnel0 = pii.filter(_.policy == "redact") match {
         case Some(p) =>
           val piiIdx = gateCols.indexWhere(_._1 == p.name)
           val weights = gateCols.indices.map(i =>
@@ -598,7 +657,6 @@ object BatchConfig {
         case None =>
           Curation.retentionFunnel(materialized, gateCols, weight = w)
       }
-      funnel.write.mode("overwrite").parquet(s"$work/funnel.parquet")
 
       // ---- survivors → optional temperature sample → optional shards.
       // Slim back to the declared base columns: the graft_flag_/graft_gate_/
@@ -619,15 +677,54 @@ object BatchConfig {
               (tot * sm.budgetFraction).toLong), alpha = sm.alpha)
         case None => survivors
       }
+
+      // ---- optional pretraining mixture, funnel-accounted: the mix
+      // stage's row charges oversampled copies as GAINED mass (negative
+      // rows_dropped / weight_dropped, so out = in − dropped conserves).
+      // Cost: two narrow single-row aggregates over the mix input/output
+      // — the export pays the only corpus-shaped pass. When a
+      // temperature sample sits between the funnel tail and the mix, the
+      // sample's drop shows as the gap between the funnel's last
+      // rows_out and the mix row's rows_in (the funnel proper accounts
+      // the gate stages, as always).
+      val mixed = mix.map { mx =>
+        Curation.mixCorpora(mx.sources.map(ms => (ms.name,
+          ms.where.map(wx => sampled.where(expr(wx))).getOrElse(sampled),
+          ms.weight)), col(idName))
+      }
+      val funnel = (mix, mixed) match {
+        case (Some(mx), Some(mdf)) =>
+          val spark2 = materialized.sparkSession
+          import spark2.implicits._
+          def tally(d: DataFrame) = {
+            val r = d.agg(count(lit(1)).as("n"),
+              coalesce(sum(w.cast("long")), lit(0L)).as("w")).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          val (nIn, wIn) = tally(sampled)
+          val (nOut, wOut) = tally(mdf)
+          funnel0.unionByName(Seq((gateCols.size + 1, mx.name,
+            nIn, nIn - nOut, nOut, wIn, wIn - wOut, wOut)).toDF(
+            "stage", "gate", "rows_in", "rows_dropped", "rows_out",
+            "weight_in", "weight_dropped", "weight_out"))
+        case _ => funnel0
+      }
+      funnel.write.mode("overwrite").parquet(s"$work/funnel.parquet")
+
+      // a mixed export keys on the collision-resistant mix_id: full
+      // copies duplicate the original id, which can no longer key a
+      // WebDataset sample (Wds.write would refuse, correctly)
+      val exportDf = mixed.getOrElse(sampled)
+      val exportId = if (mixed.isDefined) col("mix_id") else col(idName)
       val manifest = shards.map { sh =>
         (sh.format match {
-          case "wds" => graft.sources.Wds.write(sampled, col(idName),
+          case "wds" => graft.sources.Wds.write(exportDf, exportId,
             col(sh.text.get), weight.map(expr).getOrElse(lit(1L)),
             s"$work/shards", nShards = sh.nShards,
             metaCols = sh.meta.map(m => m -> col(m)),
             epoch = sh.epoch, compress = sh.compress)
-          case _ => Curation.writeShards(sampled,
-            col(idName), weight.map(expr).getOrElse(lit(1L)),
+          case _ => Curation.writeShards(exportDf,
+            exportId, weight.map(expr).getOrElse(lit(1L)),
             s"$work/shards", nShards = sh.nShards, epoch = sh.epoch)
         }).localCheckpoint()
       }
@@ -718,10 +815,19 @@ object BatchConfig {
         intOr(m, "epoch", 0),
         Option(m.get("compress")).exists(_.toString.toBoolean))
     }
+    val mixSpec = Option(root.get("mix")).map { v =>
+      val m = asMap(v, "mix")
+      MixSpec(str(m, "name", "mix"),
+        mapList(m, "sources", "mix").zipWithIndex.map { case (sm, i) =>
+          MixSource(str(sm, "name", s"mix source $i"),
+            Option(sm.get("where")).map(_.toString),
+            dbl(sm, "weight", s"mix source $i"))
+        })
+    }
     BatchSpec(version, name, sources,
       str(idm, "name", "id"), str(idm, "expr", "id"),
       prepare, optStrList(root, "select"), dedup, gates, piiStage, decon,
-      Option(root.get("weight")).map(_.toString), sample, shards)
+      Option(root.get("weight")).map(_.toString), sample, shards, mixSpec)
   }
 
   private def fail(where: String, msg: String): Nothing =

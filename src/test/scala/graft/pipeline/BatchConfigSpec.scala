@@ -295,4 +295,72 @@ class BatchConfigSpec extends AnyFunSuite {
     // funnel artifact landed
     assert(spark.read.parquet(s"$work/funnel.parquet").count() == 8L)
   }
+
+  test("mix stanza: yaml round-trip, validate, gained-mass funnel row, bit-identical to the hand-coded mixCorpora chain") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bcfg_mix").toString
+    (1L to 60L).map(i => (i, ("w" + i + " ") * (i % 5 + 2).toInt))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").json(srcDir)
+    val spec = BatchConfig.BatchSpec(
+      version = 1, name = "mix_batch",
+      sources = Seq(BatchConfig.Source("jsonl", srcDir,
+        schemaDdl = Some("doc_id BIGINT, text STRING"))),
+      idName = "did", idExpr = "doc_id",
+      prepare = Seq("tok" -> "token_count(text)"),
+      select = Seq("text", "tok"),
+      dedup = Nil, gates = Seq("tokens" -> "tok >= 3"),
+      decontaminate = None, weight = Some("tok"), sample = None,
+      shards = Some(BatchConfig.ShardSpec(2, "wds", Some("text"),
+        meta = Seq("mix_source", "mix_copy"))),
+      mix = Some(BatchConfig.MixSpec("pretrain_mix", Seq(
+        BatchConfig.MixSource("wiki", Some("did % 3 = 0"), 2.5),
+        BatchConfig.MixSource("cc", Some("did % 3 <> 0"), 0.375)))))
+    // the pretraining-mix decision round-trips as reviewable YAML
+    assert(BatchConfig.fromYaml(spec.toYaml) == spec)
+    // validate dry-resolves each mix source; a broken predicate reports
+    // at the mix stage before any data is touched
+    assert(spec.validate(spark).isEmpty, spec.validate(spark))
+    val bad = spec.copy(mix = Some(BatchConfig.MixSpec("m",
+      Seq(BatchConfig.MixSource("a", Some("no_such_col > 1"), 1.0)))))
+      .validate(spark)
+    assert(bad.exists(_._1.startsWith("mix")), bad)
+    // run the configured chain
+    val work = java.nio.file.Files.createTempDirectory("graft_bcfg_mixw").toString
+    val res = BatchConfig.fromYaml(spec.toYaml).run(spark, work)
+    val funnel = res.funnel.collect().sortBy(_.getInt(0))
+    assert(funnel.map(_.getString(1)).toSeq == Seq("tokens", "pretrain_mix"))
+    val gateRow = funnel.head
+    val mixRow = funnel.last
+    // oversampled copies are charged as GAINED mass: negative dropped,
+    // conservation (out = in − dropped) intact, and the mix row's input
+    // is exactly the funnel tail (no sample stage configured)
+    assert(mixRow.getLong(3) < 0L && mixRow.getLong(6) < 0L, mixRow.toString)
+    assert(mixRow.getLong(4) == mixRow.getLong(2) - mixRow.getLong(3))
+    assert(mixRow.getLong(7) == mixRow.getLong(5) - mixRow.getLong(6))
+    assert(mixRow.getLong(2) == gateRow.getLong(4) &&
+      mixRow.getLong(5) == gateRow.getLong(7))
+    // bit-identity: the hand-coded ingest → gate → mixCorpora → Wds.write
+    // chain produces byte-identical tar shards
+    val handDir = java.nio.file.Files.createTempDirectory("graft_bcfg_mixh").toString
+    val (raw, _) = graft.sources.Jsonl.read(spark, srcDir,
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+    val surv = raw.select(col("doc_id").as("did"), col("text"))
+      .withColumn("tok", graft.pipeline.Text.tokenCount(col("text")))
+      .where(col("tok") >= 3)
+    val mixed = Curation.mixCorpora(Seq(
+      ("wiki", surv.where(expr("did % 3 = 0")), 2.5),
+      ("cc", surv.where(expr("did % 3 <> 0")), 0.375)), col("did"))
+    graft.sources.Wds.write(mixed, col("mix_id"), col("text"), col("tok"),
+      handDir, 2, metaCols = Seq("mix_source" -> col("mix_source"),
+        "mix_copy" -> col("mix_copy")))
+    def tarBytes(dir: String): Map[String, Seq[Byte]] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val got = tarBytes(s"$work/shards")
+    val want = tarBytes(handDir)
+    assert(got.keySet == want.keySet && got.keySet.nonEmpty, got.keySet)
+    got.keySet.foreach(k =>
+      assert(got(k) == want(k), s"shard $k diverged from the hand-coded chain"))
+  }
 }

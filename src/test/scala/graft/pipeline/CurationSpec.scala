@@ -506,6 +506,10 @@ class CurationSpec extends AnyFunSuite {
     assert(byKey.keySet == Set(("wiki", 0L), ("wiki", 1L), ("wiki", 2L), ("cc", 0L)))
     // mix_id is unique across every (source, copy, id) triple
     assert(rows.map(_._4).distinct.length == rows.length)
+    // full 64-bit width (r19): the signed two's-complement reading puts
+    // roughly half of all keys below zero — a 60-bit truncation (the r18
+    // shape) could never produce a negative key
+    assert(rows.map(_._4).exists(_ < 0L), "no negative mix_id: not 64-bit")
     // weights must be positive, names unique
     intercept[IllegalArgumentException] {
       Curation.mixCorpora(Seq(("x", a, 0.0)), col("doc_id"))
@@ -520,6 +524,23 @@ class CurationSpec extends AnyFunSuite {
     val manifest = graft.sources.Wds.write(mixed, col("mix_id"), col("text"),
       lit(1L), dir, 2, metaCols = Seq("source" -> col("mix_source")))
     assert(manifest.agg(sum(col("docs"))).head().getLong(0) == rows.length.toLong)
+  }
+
+  test("mix_id: exact 64-bit md5-prefix derivation, distinct on a copy-heavy mixture") {
+    val d = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val m = Curation.mixCorpora(Seq(("w", d, 10.0)), col("doc_id"))
+    // 10 full epochs over 500 docs = 5000 samples, every key distinct —
+    // the copy-heavy shape where a narrowed key would first collide
+    assert(m.count() == 5000L)
+    assert(m.select(col("mix_id")).distinct().count() == 5000L)
+    // byte-for-byte pin of the derivation, independent of Spark's conv:
+    // the first 8 md5 bytes of "w#0#1" read big-endian as a signed long
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("w#0#1".getBytes("UTF-8"))
+    val expect = java.nio.ByteBuffer.wrap(md).getLong
+    val got = m.where(col("mix_copy") === 0L && col("doc_id") === 1L)
+      .select(col("mix_id")).head().getLong(0)
+    assert(got == expect, s"mix_id $got != md5-prefix long $expect")
   }
 
   test("writeShardsByTokens sizes shard count from the token budget") {
