@@ -216,7 +216,9 @@ object Mp4 {
    * Public-spec layout only; no codec data beyond the fourcc is claimed. */
   private[pipeline] def build(
       samples: Seq[Array[Byte]], syncSamples: Seq[Int],
-      width: Int, height: Int, timescale: Long, duration: Long): Array[Byte] = {
+      width: Int, height: Int, timescale: Long, duration: Long,
+      codec: String = "avc1"): Array[Byte] = {
+    require(codec.length == 4, s"codec fourcc must be 4 chars: '$codec'")
     def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
       val total = 8 + payload.map(_.length).sum
       val bb = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
@@ -247,7 +249,7 @@ object Mp4 {
     val mdhd = box("mdhd", u32a(0, 0, 0, timescale, duration), u32a(0x55c40000L))
     val hdlr = box("hdlr", u32a(0, 0), "vide".getBytes("ISO-8859-1"),
       u32a(0, 0, 0), Array[Byte](0))
-    val stsdEntry = box("avc1", new Array[Byte](78)) // fourcc + reserved body
+    val stsdEntry = box(codec, new Array[Byte](78)) // fourcc + reserved body
     val stsd = box("stsd", u32a(0, 1), stsdEntry)
     val stts = box("stts", u32a(0, 1, samples.length.toLong, 1))
     val stss = box("stss", u32a(0, syncSamples.length.toLong),

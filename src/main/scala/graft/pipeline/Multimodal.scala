@@ -504,6 +504,112 @@ object Multimodal {
       "video_codec", "audio_codec", "n_samples", "n_sync_samples")
   }
 
+  /** Deterministic MJPEG-in-MP4: `nFrames` solid-color JPEG frames (color
+   * seeded per frame), every frame a sync sample, stsd fourcc `jpeg` —
+   * the codec-free container class whose pixel decode is pure JVM
+   * (ADR-0002). ImageIO's JPEG writer embeds no timestamps, so bytes
+   * are stable for a given seed. Visible to the driver contract
+   * (q_video_frames synthesizes its corpus from doc ids). */
+  private[graft] def syntheticMjpegMp4(seed: Long, nFrames: Int = 4): Array[Byte] = {
+    val frames = (0 until nFrames).map { i =>
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      val rgb = plantedFrameColor(seed, i)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      // quality 1.0: the luminance quant table is all-ones, so the
+      // uniform gray block's DC survives exactly (see plantedFrameColor)
+      val bos = new ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); w.dispose() }
+      bos.toByteArray
+    }
+    Mp4.build(frames, syncSamples = (1 to nFrames),
+      width = 16, height = 16, timescale = 1000L, duration = nFrames * 40L,
+      codec = "jpeg")
+  }
+
+  /** The planted color of [[syntheticMjpegMp4]] frame `i` — md5-derived
+   * so the q_video_frames DuckDB oracle recomputes the SAME expectation
+   * from hex chars (the q_video_meta closed-form posture). The color is
+   * a GRAY in 96..156: gray maps to YCbCr (g, 128, 128) exactly (the
+   * RGB→YCbCr coefficients sum to 1), the uniform block is pure DC, and
+   * at quality 1.0 the luminance quant step is 1 — so the decode
+   * reconstructs the planted value EXACTLY (a chromatic color would
+   * pick up ±1 from the color-space rounding; pinned by Mp4Spec).
+   * gray = 96 + lowNibble(md5 byte 0) × 4 — i.e. hex char 2 of
+   * md5("<seed>#f<i>"). */
+  private[graft] def plantedFrameColor(seed: Long, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed#f$i".getBytes("UTF-8"))
+    val g = 96 + ((md(0) & 0xf) * 4)
+    (g << 16) | (g << 8) | g
+  }
+
+  /** PIXEL decode for the JPEG-family video codecs (ADR-0002, option a):
+   * an MJPEG sample IS a complete JPEG image, so the container's sample
+   * tables (the [[sampleKeyframes]] machinery) plus ImageIO decode real
+   * pixels with zero native code — honest pixels for the one container
+   * class the pure JDK can decode. Output per decoded frame:
+   * (media_id, frame_idx, decoded_ok, width, height, mean_r/g/b).
+   * Non-JPEG-family video rows (avc1/hev1/…) emit ONE row with
+   * decoded_ok = false and frame_idx −1 — the H.264+ decode boundary
+   * stays recorded per row, never silently dropped (the ADR's revisit
+   * trigger, not a missing feature). Scale: per-row imperative decode of
+   * ≤ maxFrames bounded-size samples — O(frames) memory, no shuffle. */
+  def decodeFrames(ds: Dataset[MediaRow], maxFrames: Int = 8): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val jpegFamily = Set("jpeg", "mjpa", "mjpb", "mjpg", "MJPG")
+    ds.filter(_.kind == "video").flatMap { m =>
+      val codec = Mp4.parse(m.data).map(_.videoCodec).getOrElse("")
+      if (!jpegFamily(codec))
+        Seq((m.media_id, -1, false, 0, 0, 0.0, 0.0, 0.0))
+      else {
+        val ranges = Mp4.sampleRanges(m.data).filter(_.sync).take(maxFrames)
+        ranges.map { r =>
+          try {
+            if (r.offset < 0 || r.size <= 0 || r.offset + r.size > m.data.length)
+              throw new java.io.IOException("sample range out of bounds")
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(
+                m.data, r.offset.toInt, (r.offset + r.size).toInt)))
+            if (img == null) (m.media_id, r.sample, false, 0, 0, 0.0, 0.0, 0.0)
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (img.getWidth.toLong * img.getHeight).toDouble
+              (m.media_id, r.sample, true, img.getWidth, img.getHeight,
+                sr / n, sg / n, sb / n)
+            }
+          } catch {
+            case _: Exception => (m.media_id, r.sample, false, 0, 0, 0.0, 0.0, 0.0)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "decoded_ok", "width", "height",
+      "mean_r", "mean_g", "mean_b")
+  }
+
   /** REAL keyframe extraction for video rows: sync samples located through
    * the container's sample tables (stss × stsc × stsz × stco) and their
    * compressed payloads sliced at the exact byte offsets — up to

@@ -70,6 +70,38 @@ class Mp4Spec extends AnyFunSuite {
     assert(frames.groupBy(_.media_id).forall(_._2.map(_.frameIdx).sorted.sameElements(Seq(1, 3))))
   }
 
+  test("MJPEG pixel decode: planted solid-color frames round-trip EXACTLY; avc1 stays an honest false") {
+    // ADR-0002 option (a): a solid-color frame is pure DC, so quantized
+    // JPEG reconstructs the planted channel values exactly — the decode
+    // expectation is closed-form, not decode-vs-decode
+    val rows = (0 until 6).map { i =>
+      Multimodal.MediaRow(i.toLong, "video",
+        Multimodal.syntheticMjpegMp4(seed = 1000L + i, nFrames = 3),
+        Multimodal.MediaMeta(16, 16, "video/mp4", 120L))
+    }.toDS()
+    val meta = Multimodal.extractVideoMeta(rows).collect()
+    assert(meta.forall(r => r.getBoolean(1) && r.getString(6) == "jpeg"),
+      meta.mkString("; "))
+    val got = Multimodal.decodeFrames(rows).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getBoolean(2), r.getInt(3), r.getInt(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.size == 18, s"6 videos x 3 frames: ${got.size}")
+    got.foreach { case ((id, frame), (ok, w, h, mr, mg, mb)) =>
+      assert(ok && w == 16 && h == 16, s"($id,$frame) -> ($ok,$w,$h)")
+      val rgb = Multimodal.plantedFrameColor(1000L + id, frame - 1)
+      assert(mr == ((rgb >> 16) & 0xff).toDouble &&
+        mg == ((rgb >> 8) & 0xff).toDouble && mb == (rgb & 0xff).toDouble,
+        f"($id,$frame): got ($mr%.2f,$mg%.2f,$mb%.2f) want planted $rgb%06x")
+    }
+    // avc1 (no JVM codec) emits one honest decoded_ok = false row per
+    // video — the boundary is a COLUMN, never a silent drop
+    val h264 = Seq(Multimodal.MediaRow(99L, "video",
+      Multimodal.syntheticMp4(7L), Multimodal.MediaMeta(64, 48, "video/mp4", 2000L))).toDS()
+    val hGot = Multimodal.decodeFrames(h264).collect()
+    assert(hGot.length == 1 && !hGot(0).getBoolean(2) && hGot(0).getInt(1) == -1)
+  }
+
   test("unparseable video rows fall back to byte-window frames, none dropped") {
     val raw = Seq(Multimodal.MediaRow(5L, "video",
       "just plain text, no container".getBytes("UTF-8"),
