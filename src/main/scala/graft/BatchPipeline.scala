@@ -506,10 +506,14 @@ object BatchPipeline {
     val manifest = timed("write_shards") {
       (if (shardFormat == "wds")
         // the WebDataset leg of the same one-shuffle export — url/domain
-        // provenance rides each sample's json sidecar
+        // provenance rides each sample's json sidecar. The verification
+        // posture is soak-switchable (SPARK_GRAFT_WDS_VERIFY=manifest
+        // measures the commit-site-tally path's I/O saving at scale);
+        // the default stays the full read-back audit.
         graft.sources.Wds.write(sampled, col("ingest_id"), col("text"),
           col("tok"), s"$work/shards", nShards = 32,
-          metaCols = Seq("url" -> col("url"), "domain" -> col("domain")))
+          metaCols = Seq("url" -> col("url"), "domain" -> col("domain")),
+          verify = sys.env.getOrElse("SPARK_GRAFT_WDS_VERIFY", "full"))
       else
         Curation.writeShards(sampled, col("ingest_id"), col("tok"),
           s"$work/shards", nShards = 32)).localCheckpoint()

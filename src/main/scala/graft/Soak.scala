@@ -142,7 +142,13 @@ object Soak {
     w.mkString(" ")
   }
 
-  private val Replicas = 10
+  /** Replica count for `derive` — default 10 (the decade soak);
+   * SPARK_GRAFT_SOAK_REPLICAS=100 builds the 100× corpus (VERDICT r18
+   * #5: push the composed-chain evidence one decade further). KeyShift
+   * bounds replicas at 2000 before id ranges would overlap the next
+   * shifted table's space; 100 stays far inside every long. */
+  private val Replicas =
+    sys.env.get("SPARK_GRAFT_SOAK_REPLICAS").map(_.toInt).getOrElse(10)
   private val KeyShift = 10000000L
   private val OrderShift = 100000000L
 
