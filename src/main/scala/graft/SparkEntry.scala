@@ -2676,6 +2676,43 @@ object SparkEntry {
           sum(col("key_hash")).as("member_hash"),
           sum((col("pos") + 1) * col("key_hash")).as("order_hash"))
     }),
+    "q_wds_epoch_sidecar" -> ((s, dir) => {
+      // Per-epoch order SIDECAR (r19, VERDICT r18 #6): export ONCE with
+      // the default epoch-0 order, derive epoch 1 as a (shard, key, pos)
+      // sidecar — zero tar bytes rewritten — then read under epoch=1 and
+      // report the same per-shard membership + order hashes q_wds_epoch
+      // gates. The oracle replays the epoch-1 salted ordering, so the
+      // sidecar path is pinned to the exact order a full epoch-1
+      // re-export would have produced, through the driver gate.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q_wds_sc").toString
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      graft.sources.Wds.write(d, col("doc_id"), col("text"),
+        graft.pipeline.Text.tokenCount(col("text")), path, 4)
+      graft.sources.Wds.writeEpochOrder(s, path, 1)
+      val (rows, bad) = graft.sources.Wds.read(s, path, epoch = 1)
+      require(bad.isEmpty, "re-ingest quarantined a written shard")
+      rows.withColumn("key_hash",
+          conv(substring(md5(col("key").cast("binary")), 1, 8), 16, 10).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("key_hash")).as("member_hash"),
+          sum((col("pos") + 1) * col("key_hash")).as("order_hash"))
+    }),
+    "q_wds_manifest" -> ((s, dir) => {
+      // verify="manifest" export (r19, VERDICT r18 #3): the returned
+      // manifest comes from the commit-site accumulator — NOT a re-ingest
+      // — so gating it against the oracle's straight-from-documents
+      // (shard, docs, tokens) proves the trust-the-commit-protocol path
+      // reports exactly what a full read-back would have.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q_wds_mf").toString
+      graft.sources.Wds.write(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"),
+        graft.pipeline.Text.tokenCount(col("text")), path, 8,
+        verify = "manifest")
+    }),
     "q_wds_gzip" -> ((s, dir) => {
       // gzipped WebDataset shards (VERDICT r17 #7): same round-trip gate
       // as q_wds_roundtrip, through deterministic .tar.gz shards — the
@@ -7481,6 +7518,35 @@ object SparkEntry {
         |       CAST(sum(rn * key_hash) AS BIGINT) AS order_hash
         |FROM r
         |GROUP BY 1, 2""".stripMargin,
+    // q_wds_epoch_sidecar: the oracle replays the epoch-1 salted order
+    // (row_number over md5(id || '#ord#e1')) exactly as q_wds_epoch's
+    // epoch-1 leg — the sidecar-applied pos must reproduce it with zero
+    // tar bytes rewritten
+    "q_wds_epoch_sidecar" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+        |         doc_id,
+        |         CAST(concat('0x', substring(md5(printf('%020d', doc_id)), 1, 8)) AS BIGINT) AS key_hash,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '#ord#e1'), 1, 8)) AS BIGINT) AS ordh
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard, key_hash,
+        |         row_number() OVER (PARTITION BY shard ORDER BY ordh, doc_id) AS rn
+        |  FROM b)
+        |SELECT shard, count(*) AS docs,
+        |       CAST(sum(key_hash) AS BIGINT) AS member_hash,
+        |       CAST(sum(rn * key_hash) AS BIGINT) AS order_hash
+        |FROM r
+        |GROUP BY 1""".stripMargin,
+    // q_wds_manifest: verify="manifest" returns the commit-site
+    // accumulator manifest — expected (shard, docs, tokens) recomputed
+    // straight from documents, same recipe as q_shards
+    "q_wds_manifest" ->
+      """SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |       count(*) AS docs,
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
     // q_wds_gzip: identical expected values to q_wds_roundtrip — the
     // compression layer must be invisible to the round-tripped content
     "q_wds_gzip" ->
