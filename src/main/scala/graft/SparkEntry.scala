@@ -247,6 +247,34 @@ object SparkEntry {
     d.unionAll(mutated)
   }
 
+  /** Role-tagged conversation fixture over documents (r19, SFT family):
+   * a 5-turn base chat sliced from the first 10 words (every SF's docs
+   * have ≥ 10), plus planted invalid classes by doc_id residue when
+   * `variants` — appended empty turn (1), double assistant (2), ends on
+   * user (3), unknown role (4). The oracle replays construction and
+   * verdicts from the same residue arithmetic. */
+  private def sftMessages(d: DataFrame, variants: Boolean): DataFrame = {
+    val words = split(trim(col("text")), " ")
+    def w(a: Int, len: Int) = array_join(slice(words, a, len), " ")
+    def m(role: String, content: org.apache.spark.sql.Column) =
+      struct(lit(role).as("role"), content.as("content"))
+    val sys = m("system", lit("You are helpful."))
+    val base = array(sys, m("user", w(1, 3)), m("assistant", w(4, 3)),
+      m("user", w(7, 2)), m("assistant", w(9, 2)))
+    val v = col("doc_id") % 5
+    val msgs =
+      if (!variants) base
+      else when(v === 1, concat(base, array(m("user", lit("")))))
+        .when(v === 2, array(sys, m("user", w(1, 3)), m("assistant", w(4, 3)),
+          m("assistant", w(7, 2)), m("assistant", w(9, 2))))
+        .when(v === 3, array(sys, m("user", w(1, 3)), m("assistant", w(4, 3)),
+          m("user", w(7, 2))))
+        .when(v === 4, array(sys, m("tool", w(1, 3)), m("assistant", w(4, 3)),
+          m("user", w(7, 2)), m("assistant", w(9, 2))))
+        .otherwise(base)
+    d.select(col("doc_id"), msgs.as("messages"))
+  }
+
   /** Engine suite over orders: salience picks the tightest price band. */
   def ordersEngineSuite: RuleSuite = RuleSuite(
     Id(2, 1),
@@ -3130,6 +3158,115 @@ object SparkEntry {
         .select(col("doc_id"), graft.pipeline.Text.gopherQuality(col("text"), minWords = 20).as("g"))
         .select(col("doc_id"), col("g.word_count"), col("g.mean_word_len"),
           col("g.symbol_ratio"), col("g.alpha_word_ratio"), col("g.stopword_hits"), col("g.pass"))
+    }),
+    "q_code_language" -> ((s, dir) => {
+      // code-corpus routing fixture (r19, pipeline/Code.scala): extension
+      // classes 0-3, extensionless + python shebang (4), unmapped extension
+      // with no shebang (5); the oracle replays the CASE from the residue
+      val m = col("doc_id") % 6
+      val id = col("doc_id").cast("string")
+      val path = concat(
+        when(m === 4, lit("bin/tool")).when(m === 5, lit("data/notes"))
+          .otherwise(lit("src/f")), id,
+        when(m === 0, lit(".py")).when(m === 1, lit(".scala"))
+          .when(m === 2, lit(".js")).when(m === 3, lit(".c"))
+          .when(m === 5, lit(".xyz")).otherwise(lit("")))
+      val ctext = when(m === 4,
+        concat(lit("#!/usr/bin/env python\n"), col("text"))).otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Code.codeLanguage(path, ctext).as("language"))
+    }),
+    "q_license_detect" -> ((s, dir) => {
+      // planted license headers, one per residue class: MIT phrase, SPDX
+      // Apache tag, BSD phrase, GPL phrase, SPDX GPL tag, LGPL phrase (the
+      // substring-ordering trap), none — license + the permissive cut
+      val lc = col("doc_id") % 7
+      val header = when(lc === 0,
+          lit("/* Permission is hereby granted, free of charge, to any person */\n"))
+        .when(lc === 1, lit("// SPDX-License-Identifier: Apache-2.0\n"))
+        .when(lc === 2,
+          lit("# Redistribution and use in source and binary forms, with or without\n"))
+        .when(lc === 3,
+          lit("// This program is free software: see the GNU General Public License\n"))
+        .when(lc === 4, lit("// SPDX-License-Identifier: GPL-3.0-only\n"))
+        .when(lc === 5, lit("// GNU Lesser General Public License applies\n"))
+        .otherwise(lit(""))
+      docs(s, dir).select(col("doc_id"),
+          graft.pipeline.Code.detectLicense(concat(header, col("text"))).as("l"))
+        .select(col("doc_id"), col("l.license").as("license"),
+          col("l.permissive").as("permissive"))
+    }),
+    "q_strip_comments" -> ((s, dir) => {
+      // three comment families around the sanitized doc text: the oracle
+      // constructs the EXPECTED stripped source from the same parts, so a
+      // state-machine bug (string safety, block spans, newline handling)
+      // breaks the hash on every row of the family it touches
+      val san = regexp_replace(col("text"), "[\"'\\\\#/*-]", "")
+      val m = col("doc_id") % 3
+      val codeTxt = when(m === 0, concat(
+          lit("// header\nint n = 1; /* block\nspan */ int m = 2;\nchar* s = \""),
+          san, lit(" // not\"; // tail\n// trailer")))
+        .when(m === 1, concat(
+          lit("# header\nx = 1  # trailing\ns = 'a # not'\nprint(s)\n"), san))
+        .otherwise(concat(
+          lit("-- header\nSELECT 1, /* block\ncomment */ 2 AS x\n" +
+            "FROM t WHERE s = 'a -- not' -- tail\n"), san))
+      val langCol = when(m === 0, lit("c")).when(m === 1, lit("python"))
+        .otherwise(lit("sql"))
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Code.stripComments(codeTxt, langCol).as("stripped"))
+    }),
+    "q_code_stats" -> ((s, dir) => {
+      // line-shape quality signals over a constructed source layout:
+      // optional autogen header, the doc text as one long line, its
+      // 120-char prefix, and a variable-length x-run (exercises the >100
+      // long-line cut); the oracle rebuilds the line list and the ratios
+      val header = when(col("doc_id") % 4 === 0,
+        lit("# Generated by graft tooling. Do not edit.\n")).otherwise(lit(""))
+      val codeTxt = concat(header, col("text"), lit("\n"),
+        substring(col("text"), 1, 120), lit("\n"),
+        expr("repeat('x', CAST(doc_id % 150 AS INT))"))
+      docs(s, dir).select(col("doc_id"),
+          graft.pipeline.Code.codeStats(codeTxt).as("s"))
+        .select(col("doc_id"), col("s.n_lines"), col("s.max_line_len"),
+          col("s.mean_line_len"), col("s.frac_long_lines"),
+          col("s.alnum_ratio"), col("s.autogen"))
+    }),
+    "q_sft_validate" -> ((s, dir) => {
+      // conversation structural gate over the planted-variant fixture
+      sftMessages(docs(s, dir), variants = true)
+        .select(col("doc_id"),
+          graft.pipeline.Sft.validateChat(col("messages")).as("v"))
+        .select(col("doc_id"), col("v.valid"), col("v.n_turns"), col("v.reason"))
+    }),
+    "q_sft_flatten" -> ((s, dir) => {
+      // pinned chat-template flattening — the oracle rebuilds every
+      // variant's flattened string from the same word slices
+      sftMessages(docs(s, dir), variants = true).select(col("doc_id"),
+        graft.pipeline.Sft.flattenChat(col("messages")).as("flat"))
+    }),
+    "q_sft_spans" -> ((s, dir) => {
+      // loss-mask spans on the BASE conversation (variant layouts are
+      // spec-covered): the oracle replays the character-offset arithmetic
+      // from the slice lengths — two assistant turns per doc
+      sftMessages(docs(s, dir), variants = false)
+        .select(col("doc_id"),
+          explode(graft.pipeline.Sft.assistantSpans(col("messages"))).as("e"))
+        .select(col("doc_id"), col("e.turn"), col("e.start"), col("e.end"))
+    }),
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: benchmark = every 7th embedding
+      // re-keyed (exact copies are the planted leaks); one-hot centroids
+      // keep cell assignment oracle-replicable, the oracle replays the
+      // cell-bounded cosine join exactly
+      val e = embeddings(s, dir)
+      val bench = e.where(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      val cents = (0 until 4).map(i =>
+        i -> Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)).toArray
+      graft.pipeline.Similarity.semanticDecontaminate(
+          e, bench, "vec_id", "embedding", cents, 0.999)
+        .withColumnRenamed("id", "vec_id")
     }),
     "q_text_quality" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -7650,6 +7787,132 @@ object SparkEntry {
         |        AND alpha_word_ratio >= 0.8
         |        AND stopword_hits >= 2) AS pass
         |FROM m""".stripMargin,
+    "q_code_language" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 6 WHEN 0 THEN 'python' WHEN 1 THEN 'scala'
+        |            WHEN 2 THEN 'javascript' WHEN 3 THEN 'c'
+        |            WHEN 4 THEN 'python' ELSE 'unknown' END AS language
+        |FROM documents""".stripMargin,
+    "q_license_detect" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 7 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+        |            WHEN 2 THEN 'BSD-3-Clause' WHEN 3 THEN 'GPL-3.0-only'
+        |            WHEN 4 THEN 'GPL-3.0-only' WHEN 5 THEN 'LGPL-3.0-only'
+        |            ELSE 'none' END AS license,
+        |       (doc_id % 7) IN (0, 1, 2) AS permissive
+        |FROM documents""".stripMargin,
+    // the EXPECTED stripped source, built from the same sanitized parts
+    // the engine's fixture used — never by re-parsing comments in SQL
+    "q_strip_comments" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(text, '["''\\#/*-]', '', 'g') AS san
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE doc_id % 3
+        |         WHEN 0 THEN chr(10) || 'int n = 1;  int m = 2;' || chr(10)
+        |           || 'char* s = "' || san || ' // not"; ' || chr(10)
+        |         WHEN 1 THEN chr(10) || 'x = 1  ' || chr(10) || 's = ''a # not'''
+        |           || chr(10) || 'print(s)' || chr(10) || san
+        |         ELSE chr(10) || 'SELECT 1,  2 AS x' || chr(10)
+        |           || 'FROM t WHERE s = ''a -- not'' ' || chr(10) || san
+        |       END AS stripped
+        |FROM d""".stripMargin,
+    "q_code_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN ['# Generated by graft tooling. Do not edit.']
+        |              ELSE [] END
+        |           || [text, text[1:120], repeat('x', CAST(doc_id % 150 AS INT))]
+        |           AS lines
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, lines,
+        |         list_transform(lines, x -> length(x)) AS lens,
+        |         array_to_string(lines, chr(10)) AS fulltxt
+        |  FROM d)
+        |SELECT doc_id,
+        |       len(lines) AS n_lines,
+        |       list_max(lens) AS max_line_len,
+        |       CAST(list_sum(lens) AS DOUBLE) / len(lines) AS mean_line_len,
+        |       CAST(len(list_filter(lens, x -> x > 100)) AS DOUBLE)
+        |         / len(lines) AS frac_long_lines,
+        |       CAST(length(regexp_replace(fulltxt, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+        |         / length(fulltxt) AS alnum_ratio,
+        |       doc_id % 4 = 0 AS autogen
+        |FROM l""".stripMargin,
+    "q_sft_validate" ->
+      """SELECT doc_id,
+        |       doc_id % 5 = 0 AS valid,
+        |       CASE doc_id % 5 WHEN 1 THEN 6 WHEN 3 THEN 4 ELSE 5 END AS n_turns,
+        |       CASE doc_id % 5 WHEN 0 THEN 'ok' WHEN 1 THEN 'empty_content'
+        |            WHEN 2 THEN 'order' WHEN 3 THEN 'order'
+        |            ELSE 'bad_role' END AS reason
+        |FROM documents""".stripMargin,
+    "q_sft_flatten" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  '<|system|>You are helpful.<|end|>' || chr(10) AS t0,
+        |  '<|user|>' || array_to_string(ws[1:3], ' ') || '<|end|>' || chr(10) AS t1,
+        |  '<|assistant|>' || array_to_string(ws[4:6], ' ') || '<|end|>' || chr(10) AS t2,
+        |  '<|user|>' || array_to_string(ws[7:8], ' ') || '<|end|>' || chr(10) AS t3,
+        |  '<|assistant|>' || array_to_string(ws[9:10], ' ') || '<|end|>' || chr(10) AS t4,
+        |  '<|assistant|>' || array_to_string(ws[7:8], ' ') || '<|end|>' || chr(10) AS t3a,
+        |  '<|tool|>' || array_to_string(ws[1:3], ' ') || '<|end|>' || chr(10) AS t1t
+        |  FROM w)
+        |SELECT doc_id,
+        |       CASE doc_id % 5
+        |         WHEN 1 THEN t0 || t1 || t2 || t3 || t4 || '<|user|><|end|>' || chr(10)
+        |         WHEN 2 THEN t0 || t1 || t2 || t3a || t4
+        |         WHEN 3 THEN t0 || t1 || t2 || t3
+        |         WHEN 4 THEN t0 || t1t || t2 || t3 || t4
+        |         ELSE t0 || t1 || t2 || t3 || t4
+        |       END AS flat
+        |FROM p""".stripMargin,
+    // offsets: per message the template adds 2+len(role)+2 before the
+    // content and 8 after ('<|end|>' + newline); the system turn spans
+    // [10,26), so turn 1 starts at 42 and the arithmetic below follows
+    "q_sft_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  length(array_to_string(ws[1:3], ' ')) AS lu1,
+        |  length(array_to_string(ws[4:6], ' ')) AS la1,
+        |  length(array_to_string(ws[7:8], ' ')) AS lu2,
+        |  length(array_to_string(ws[9:10], ' ')) AS la2
+        |  FROM w)
+        |SELECT doc_id, 2 AS turn, 63 + lu1 AS "start", 63 + lu1 + la1 AS "end"
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, 4, 100 + lu1 + la1 + lu2, 100 + lu1 + la1 + lu2 + la2
+        |FROM p""".stripMargin,
+    "q_decontaminate_semantic" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |                   AND embedding[1] >= embedding[4] THEN 0
+        |              WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |              WHEN embedding[3] >= embedding[4] THEN 2
+        |              ELSE 3 END AS cid
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT vec_id + 10000 AS vec_id, embedding,
+        |         CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |                   AND embedding[1] >= embedding[4] THEN 0
+        |              WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |              WHEN embedding[3] >= embedding[4] THEN 2
+        |              ELSE 3 END AS cid
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |), leaks AS (
+        |  SELECT DISTINCT l.vec_id
+        |  FROM a l JOIN b r ON l.cid = r.cid
+        |  WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+        |                               CAST(r.embedding AS DOUBLE[])) >= 0.999
+        |)
+        |SELECT vec_id, cid FROM a ANTI JOIN leaks USING (vec_id)""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |       (CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE))

@@ -217,6 +217,15 @@ object Registry {
     "html_meta" -> (es => graft.pipeline.HtmlMetaExpression(es.head)),
     "url_canonicalize" -> (es => graft.pipeline.UrlCanonicalizeExpression(es.head)),
     "fix_encoding" -> (es => graft.pipeline.FixEncodingExpression(es.head)),
+    // code-corpus curation family (see pipeline/Code.scala)
+    "code_language" -> (es => graft.pipeline.CodeLanguageExpression(es(0), es(1))),
+    "detect_license" -> (es => graft.pipeline.DetectLicenseExpression(es.head)),
+    "strip_comments" -> (es => graft.pipeline.StripCommentsExpression(es(0), es(1))),
+    "code_stats" -> (es => graft.pipeline.CodeStatsExpression(es.head)),
+    // SFT / conversation-data family (see pipeline/Sft.scala)
+    "validate_chat" -> (es => graft.pipeline.ValidateChatExpression(es.head)),
+    "flatten_chat" -> (es => graft.pipeline.FlattenChatExpression(es.head)),
+    "assistant_spans" -> (es => graft.pipeline.AssistantSpansExpression(es.head)),
     "containment_in" -> (es => ex(graft.lookups.Lookups.containmentIn(
       col(es.head), str(es(1), "name"),
       if (es.size >= 3) litLong(es(2)).toInt else 5))),

@@ -629,6 +629,39 @@ object Similarity {
   }
 
   /**
+   * SEMANTIC decontamination (r19) — the embedding member of the
+   * decontamination family (spans / bloom / containment cover lexical
+   * leaks; paraphrased or reformatted benchmark leakage needs the
+   * embedding space). A corpus row leaks when ANY benchmark embedding in
+   * its centroid cell has cosine ≥ `threshold`; returns (id, cid) of the
+   * KEPT corpus rows, mirroring [[semanticDedupWithCentroids]]'s contract
+   * (same explicit-centroid assignment, oracle-replicable).
+   *
+   * Scale: benchmark sets are tiny next to the corpus, so the default
+   * broadcasts the assigned benchmark side — the corpus is scanned once
+   * with a map-side hash join, zero shuffles of corpus rows. A large
+   * benchmark (`broadcastBench = false`) falls back to the keyed cid
+   * equi-join, Σ|cell_corpus|·|cell_bench| bounded by the cell structure
+   * exactly like SemDeDup's pair join.
+   */
+  def semanticDecontaminate(
+      corpus: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], threshold: Double,
+      broadcastBench: Boolean = true): DataFrame = {
+    val c = semanticCellAssignment(corpus, idCol, vecCol, cents, 0)
+    val b0 = semanticCellAssignment(bench, idCol, vecCol, cents, 0)
+      .select(col("cid").as("graft_bcid"), col("v").as("graft_bv"))
+    val b = if (broadcastBench) broadcast(b0) else b0
+    val sim = cosine(col("l.v"), col("graft_bv"))
+    val leaks = c.as("l").join(b, col("l.cid") === col("graft_bcid"))
+      .select(col("l.id").as("graft_leak_id"), sim.as("graft_sim"))
+      .where(!isnan(col("graft_sim")) && col("graft_sim") >= threshold)
+      .select(col("graft_leak_id")).distinct()
+    c.join(leaks, col("id") === col("graft_leak_id"), "left_anti")
+      .select(col("id"), col("cid"))
+  }
+
+  /**
    * Embedding outlier flags (r8): every row scored by the cosine to its
    * assigned (argmax) centroid — rows far from EVERY centroid are corrupt
    * or out-of-distribution embeddings (truncated vectors, zero pads, wrong
