@@ -236,6 +236,53 @@ class BatchConfigSpec extends AnyFunSuite {
     assert(funnel("nonempty") == 5L, s"survivors: $funnel")
   }
 
+  test("code-corpus curation as config: the r19 code family drives prepare + gates") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bcfg_code").toString
+    Seq(
+      // survives: permissive, not autogen
+      ("src/good.py", "# SPDX-License-Identifier: MIT\nx = 1  # ok\nprint(x)"),
+      // re-headered copy of good.py: identical AFTER strip_comments — the
+      // dedup-key normalization the family exists for
+      ("src/good2.py", "# SPDX-License-Identifier: MIT\nx = 1  # rewritten\nprint(x)"),
+      // copyleft phrase -> permissive gate drops it
+      ("src/viral.c", "/* GNU General Public License */\nint x; // c"),
+      // MIT but auto-generated -> shape gate drops it
+      ("src/gen.js", "// Generated by protoc. DO NOT EDIT\n// SPDX-License-Identifier: MIT\nvar a = 1;"),
+      // extensionless, shebang routes to python; survives
+      ("bin/tool", "#!/usr/bin/env python\n# SPDX-License-Identifier: MIT\ny = 2"))
+      .toDF("path", "raw").coalesce(1).write.mode("overwrite").json(srcDir)
+    val spec = BatchConfig.BatchSpec(
+      version = 1, name = "code_batch",
+      sources = Seq(BatchConfig.Source("jsonl", srcDir,
+        schemaDdl = Some("path STRING, raw STRING"))),
+      idName = "ingest_id", idExpr = "xxhash64(path)",
+      prepare = Seq(
+        "lang" -> "code_language(path, raw)",
+        "text" -> "strip_comments(raw, lang)",
+        "permissive" -> "detect_license(raw).permissive",
+        "autogen" -> "code_stats(raw).autogen",
+        "tok" -> "token_count(text)"),
+      select = Seq("path", "lang", "text", "permissive", "autogen", "tok"),
+      dedup = Seq(BatchConfig.ExactTier("dedup_stripped", Seq("text"))),
+      gates = Seq("license" -> "permissive", "not_autogen" -> "NOT autogen"),
+      decontaminate = None, weight = Some("tok"), sample = None,
+      shards = Some(BatchConfig.ShardSpec(1)))
+    val work = java.nio.file.Files.createTempDirectory("graft_bcfg_codew").toString
+    val res = BatchConfig.fromYaml(spec.toYaml).run(spark, work)
+    val funnel = res.funnel.collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(funnel("dedup_stripped") == ((5L, 1L, 4L)),
+      s"the re-headered copy must collapse after strip_comments: $funnel")
+    assert(funnel("license") == ((4L, 1L, 3L)), s"GPL file must gate out: $funnel")
+    assert(funnel("not_autogen") == ((3L, 1L, 2L)), s"autogen must gate out: $funnel")
+    val out = spark.read.parquet(s"$work/shards")
+      .select("path", "lang").as[(String, String)].collect().toMap
+    assert(out.keySet.contains("bin/tool") && out.size == 2 &&
+      (out.contains("src/good.py") || out.contains("src/good2.py")), s"$out")
+    assert(out("bin/tool") == "python", "shebang routing must reach the config layer")
+  }
+
   test("validate dry-resolves the whole chain and localizes errors") {
     val good = batchSpec("/tmp/does_not_exist_w", "/tmp/does_not_exist_j")
     assert(good.validate(spark).isEmpty,
