@@ -566,30 +566,28 @@ object Dedup {
     // the near-dup graph never change label, so iterating over them is pure
     // waste (at 100 TB the pair graph is a tiny fraction of the corpus);
     // everyone else rejoins through their exact-group representative below
+    // ONE eager job per round (r19 opt, was two: a cached probe pass for
+    // the convergence check plus the materializing count): the changed
+    // count rides the round's checkpoint as an observed metric, and every
+    // round checkpoints — same truncation posture, one action
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var converged = labels.limit(1).count() == 0
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // one join per round: neighbour-min then fold into current labels; the
-      // convergence check reuses the cached join output instead of a second join
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("label")).as("nlabel"))
-      val joined = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"), col("label"),
           coalesce(col("nlabel"), col("label")).as("nl"))
-        .cache()
-      val changed = joined.where(col("nl") < col("label")).limit(1).count()
-      val nextRaw = joined.select(col("id"), least(col("label"), col("nl")).as("label"))
+        .select(col("id"), least(col("label"), col("nl")).as("label"),
+          (col("nl") < col("label")).as("graft_chg"))
+        .observe(obs, sum(when(col("graft_chg"), 1L).otherwise(0L)).as("graft_n"))
+        .localCheckpoint(true)
+        .select(col("id"), col("label"))
+      val changed = obs.get.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
       iter += 1
-      // frequent lineage truncation (GraphFrames-style): the label plan
-      // references itself twice per round, so cache-only iterations double
-      // the plan tree each round and a late executor loss recomputes the run
-      val next =
-        if (iter % checkpointInterval == 0) nextRaw.localCheckpoint(true)
-        else { val c = nextRaw.cache(); c.count(); c }
-      joined.unpersist()
-      labels.unpersist()
       labels = next
       converged = changed == 0
     }

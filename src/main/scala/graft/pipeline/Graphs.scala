@@ -406,15 +406,23 @@ object Graphs {
     var hop = 1
     var advancing = true
     while (advancing && hop <= maxHops) {
+      // ONE eager job per hop (r19 opt, was three): the emptiness check
+      // rides the checkpoint as an observed count, and the settled set
+      // stays a LAZY union of the per-hop checkpointed frontiers (each
+      // member is a flat RDD scan, so the anti-join's plan stays shallow
+      // — maxHops scans, no quadratic recompute)
+      val obs = org.apache.spark.sql.Observation()
       val next = frontier.select(col("id").as("src"))
         .join(e, Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
+        .observe(obs, count(lit(1)).as("graft_n"))
         .localCheckpoint(true)
-      if (next.isEmpty) advancing = false
+      val n = obs.get.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
+      if (n == 0L) advancing = false
       else {
-        dist = dist.unionAll(next).localCheckpoint(true)
+        dist = dist.unionAll(next)
         frontier = next
       }
       hop += 1
@@ -533,12 +541,18 @@ object Graphs {
       val neighborMin = und
         .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("component")).as("graft_nmin"))
+      // ONE eager job per iteration: the convergence count rides the
+      // checkpoint materialization as an observed metric instead of a
+      // second pass over the checkpointed frame (r19 opt — the fixpoint
+      // queries are job-count bound at the gate SF, ~2 jobs/round before)
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), col("graft_nmin")).as("component"),
           (col("graft_nmin") < col("component")).as("graft_changed"))
+        .observe(obs, sum(when(col("graft_changed"), 1L).otherwise(0L)).as("graft_n"))
         .localCheckpoint(true)
-      changed = next.where(col("graft_changed")).count()
+      changed = obs.get.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
       labels = next.select(col("id"), col("component"))
       iter += 1
     }

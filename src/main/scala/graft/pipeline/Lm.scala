@@ -180,6 +180,12 @@ object Lm {
     // and the broadcast stats row. The probability folds inside-out from
     // the unigram floor, so orders 2 and 3 produce the exact expression
     // (and bits) the dedicated paths always produced.
+    // (r19 opt note: pre-joining each table(m) with its table(m−1) prefix
+    // count — halving the transition-side joins — was tried and MEASURED
+    // SLOWER at the gate SF: the persisted count tables broadcast-probe
+    // the transitions in fused codegen for near-zero marginal cost, while
+    // the model-side enrichment join re-shuffles two n-gram type tables
+    // per order; q_lm5_score 4.95 s → 7.05 s, reverted.)
     val n = model.order
     val scoredTrans = {
       val trans = base.where(size(col("graft_ws")) >= n)
@@ -267,19 +273,23 @@ object Lm {
       .select(col("id"), ngrams(col("graft_ws"), n).as("t"))
       .select(col("id") +: (1 to n).map(i => col(s"t.w$i")): _*)
     var joined = trans
-    // top level: raw counts + distinct-continuation weight of the context
+    // top level: raw counts, plus ONE context join carrying both the
+    // context count and its distinct-continuation weight (same key
+    // w1..w_{n-1}; a context with extensions always exists in table(n-1),
+    // so the model-side left join loses nothing — knf stays null exactly
+    // when the context never extends, as before)
     joined = joined.join(
       model.table(n).select((1 to n).map(i => col(s"w$i")) :+
         col("c").as("graft_kn_top"): _*),
       (1 to n).map(i => s"w$i").toSeq, "left")
-    joined = joined.join(
-      model.table(n - 1).select((1 until n).map(i => col(s"w$i")) :+
-        col("c").as("graft_kd_top"): _*),
-      (1 until n).map(i => s"w$i").toSeq, "left")
-    joined = joined.join(
-      model.table(n).groupBy((1 until n).map(i => col(s"w$i")): _*)
-        .agg(count(lit(1)).as("graft_knf_top")),
-      (1 until n).map(i => s"w$i").toSeq, "left")
+    val ctxTop = model.table(n - 1)
+      .select((1 until n).map(i => col(s"w$i")) :+
+        col("c").as("graft_kd_top"): _*)
+      .join(
+        model.table(n).groupBy((1 until n).map(i => col(s"w$i")): _*)
+          .agg(count(lit(1)).as("graft_knf_top")),
+        (1 until n).map(i => s"w$i").toSeq, "left")
+    joined = joined.join(ctxTop, (1 until n).map(i => s"w$i").toSeq, "left")
     // middle orders m = 2..n-1: continuation counts from table(m+1);
     // suffix m-gram sits at transition positions p..n, p = n-m+1
     for (m <- 2 until n) {
@@ -298,12 +308,18 @@ object Lm {
           col(s"graft_kcd_$m") :+ col(s"graft_knf_$m"): _*)
       joined = joined.join(ctx, (p until n).map(i => s"w$i").toSeq, "left")
     }
-    // unigram continuation floor + OOV flag + type stats
-    joined = joined
+    // unigram continuation floor + OOV flag + type stats: ONE join on the
+    // target word (unigrams left-joined to the continuation counts on the
+    // model side — a word that continues a bigram is always in the vocab,
+    // so kc1 null ⇔ the word never follows anything OR is OOV; in the OOV
+    // case the old independent join read kc1 null too: a bigram's w2 is
+    // by construction a corpus word)
+    val uniFloor = model.unigrams
+      .select(col("w").as(s"w$n"), col("c").as("graft_cw"))
       .join(model.bigrams.groupBy(col("w2").as(s"w$n"))
         .agg(count(lit(1)).as("graft_kc1")), Seq(s"w$n"), "left")
-      .join(model.unigrams.select(col("w").as(s"w$n"), col("c").as("graft_cw")),
-        Seq(s"w$n"), "left")
+    joined = joined
+      .join(uniFloor, Seq(s"w$n"), "left")
       .crossJoin(broadcast(
         model.bigrams.agg(count(lit(1)).as("graft_B"))))
       .crossJoin(broadcast(model.stats.select(col("vocab"))))
@@ -374,21 +390,23 @@ object Lm {
       .select(col("id"), ngrams(col("graft_ws"), n).as("t"))
       .select(col("id") +: (1 to n).map(i => col(s"t.w$i")): _*)
     var joined = trans
-    // top level: raw counts + per-count-bucket context tallies
+    // top level: raw counts, plus ONE context join carrying the context
+    // count AND its per-count-bucket tallies (same key w1..w_{n-1}; the
+    // model-side left join is lossless — see scoreKn's ctxTop argument)
     joined = joined.join(
       model.table(n).select((1 to n).map(i => col(s"w$i")) :+
         col("c").as("graft_kn_top"): _*),
       (1 to n).map(i => s"w$i").toSeq, "left")
-    joined = joined.join(
-      model.table(n - 1).select((1 until n).map(i => col(s"w$i")) :+
-        col("c").as("graft_kd_top"): _*),
-      (1 until n).map(i => s"w$i").toSeq, "left")
-    joined = joined.join(
-      model.table(n).groupBy((1 until n).map(i => col(s"w$i")): _*)
-        .agg(count(when(col("c") === 1L, 1)).as("graft_m1_top"),
-          count(when(col("c") === 2L, 1)).as("graft_m2_top"),
-          count(when(col("c") >= 3L, 1)).as("graft_m3_top")),
-      (1 until n).map(i => s"w$i").toSeq, "left")
+    val ctxTop = model.table(n - 1)
+      .select((1 until n).map(i => col(s"w$i")) :+
+        col("c").as("graft_kd_top"): _*)
+      .join(
+        model.table(n).groupBy((1 until n).map(i => col(s"w$i")): _*)
+          .agg(count(when(col("c") === 1L, 1)).as("graft_m1_top"),
+            count(when(col("c") === 2L, 1)).as("graft_m2_top"),
+            count(when(col("c") >= 3L, 1)).as("graft_m3_top")),
+        (1 until n).map(i => s"w$i").toSeq, "left")
+    joined = joined.join(ctxTop, (1 until n).map(i => s"w$i").toSeq, "left")
     // middle orders m = 2..n-1: continuation counts from table(m+1) with
     // per-context count-bucket tallies; suffix m-gram at positions p..n
     for (m <- 2 until n) {
@@ -409,12 +427,14 @@ object Lm {
           col(s"graft_m2_$m") :+ col(s"graft_m3_$m"): _*)
       joined = joined.join(ctx, (p until n).map(i => s"w$i").toSeq, "left")
     }
-    // unigram continuation floor + OOV flag — identical to scoreKn
-    joined = joined
+    // unigram continuation floor + OOV flag — identical to scoreKn (one
+    // merged join on the target word; see scoreKn's uniFloor argument)
+    val uniFloor = model.unigrams
+      .select(col("w").as(s"w$n"), col("c").as("graft_cw"))
       .join(model.bigrams.groupBy(col("w2").as(s"w$n"))
         .agg(count(lit(1)).as("graft_kc1")), Seq(s"w$n"), "left")
-      .join(model.unigrams.select(col("w").as(s"w$n"), col("c").as("graft_cw")),
-        Seq(s"w$n"), "left")
+    joined = joined
+      .join(uniFloor, Seq(s"w$n"), "left")
       .crossJoin(broadcast(
         model.bigrams.agg(count(lit(1)).as("graft_B"))))
       .crossJoin(broadcast(model.stats.select(col("vocab"))))

@@ -60,15 +60,32 @@ object PrefixJoin {
    */
   def similarityJoin(
       docs: DataFrame, idCol: Column, tokensCol: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    similarityJoin(docs, idCol, tokensCol, threshold, materialize = true)
+
+  /** `materialize = false` keeps the returned frame fully lazy (no token
+    * cache, no eager checkpoint) — the plan-inspection seam; the default
+    * caches the tokenized sets for the five consumers and releases them
+    * behind an eager checkpoint of the (tiny) pair output. */
+  private[pipeline] def similarityJoin(
+      docs: DataFrame, idCol: Column, tokensCol: Column,
+      threshold: Double, materialize: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    // persist the tokenized sets: the subtree feeds FIVE consumers (df
+    // aggregate, the order join, and — via the self-join's duplicated
+    // branches — both candidate sides and both verification sides), and
+    // without the cache each one re-runs the tokenizer + array_distinct
+    // over the corpus (r19 opt: the q_similarity_join plan showed 12
+    // parquet scans / 6 shingle explodes of the same documents)
     val base = docs
       .select(idCol.cast("long").as("id"),
         array_distinct(tokensCol).as("graft_ts"))
       .where(col("graft_ts").isNotNull)
       .withColumn("graft_sz", size(col("graft_ts")))
       .where(col("graft_sz") >= 1)
+    if (materialize)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ascending (document frequency, token) is the canonical total order;
     // the hash aggregate + per-group array sort beats the tempting
     // per-doc rank window at scale: the window needs a SORT-based
@@ -108,7 +125,7 @@ object PrefixJoin {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = base.select(col("id"), col("graft_ts"), col("graft_sz"))
-    cand
+    val out = cand
       .join(sets.select(col("id").as("id_a"), col("graft_ts").as("graft_ta"),
         col("graft_sz").as("graft_sa")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("graft_ts").as("graft_tb"),
@@ -122,6 +139,14 @@ object PrefixJoin {
           (col("graft_sa") + col("graft_sb") - col("overlap")).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+    if (!materialize) out
+    else {
+      // materialize-then-release (r15 #8 posture): the pair set is tiny
+      // next to the cached token sets it frees
+      val res = out.localCheckpoint(true)
+      base.unpersist(blocking = false)
+      res
+    }
   }
 
   /**
@@ -139,16 +164,32 @@ object PrefixJoin {
   def similarityJoinBetween(
       left: DataFrame, leftIdCol: Column, leftTokensCol: Column,
       right: DataFrame, rightIdCol: Column, rightTokensCol: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    similarityJoinBetween(left, leftIdCol, leftTokensCol,
+      right, rightIdCol, rightTokensCol, threshold, materialize = true)
+
+  /** Lazy seam twin of [[similarityJoin]]'s — see there. */
+  private[pipeline] def similarityJoinBetween(
+      left: DataFrame, leftIdCol: Column, leftTokensCol: Column,
+      right: DataFrame, rightIdCol: Column, rightTokensCol: Column,
+      threshold: Double, materialize: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    // persist per side (see similarityJoin): each side's tokenized sets
+    // feed the union df aggregate, the side's order join, and its
+    // verification join — three tokenizer passes each without the cache
     def baseOf(df: DataFrame, id: Column, ts: Column): DataFrame = df
       .select(id.cast("long").as("id"), array_distinct(ts).as("graft_ts"))
       .where(col("graft_ts").isNotNull)
       .withColumn("graft_sz", size(col("graft_ts")))
       .where(col("graft_sz") >= 1)
-    val lbase = baseOf(left, leftIdCol, leftTokensCol)
-    val rbase = baseOf(right, rightIdCol, rightTokensCol)
+    def cached(df: DataFrame): DataFrame = {
+      if (materialize)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+    val lbase = cached(baseOf(left, leftIdCol, leftTokensCol))
+    val rbase = cached(baseOf(right, rightIdCol, rightTokensCol))
     def tokOf(base: DataFrame): DataFrame = base
       .select(col("id"), col("graft_sz"), explode(col("graft_ts")).as("graft_t"))
     // the SHARED canonical order comes from the UNION's document
@@ -194,7 +235,7 @@ object PrefixJoin {
               lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(lbase.select(col("id").as("id_a"), col("graft_ts").as("graft_ta"),
         col("graft_sz").as("graft_sa")), Seq("id_a"))
       .join(rbase.select(col("id").as("id_b"), col("graft_ts").as("graft_tb"),
@@ -208,6 +249,13 @@ object PrefixJoin {
           (col("graft_sa") + col("graft_sb") - col("overlap")).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+    if (!materialize) out
+    else {
+      val res = out.localCheckpoint(true) // materialize-then-release (r15 #8)
+      lbase.unpersist(blocking = false)
+      rbase.unpersist(blocking = false)
+      res
+    }
   }
 
   /** [[similarityJoin]] over whitespace word sets of a text column —

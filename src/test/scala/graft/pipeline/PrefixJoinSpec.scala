@@ -88,8 +88,10 @@ class PrefixJoinSpec extends AnyFunSuite {
 
   test("plan: every join is an equi-join — no cartesian, no nested loop") {
     val docs = (0L until 20L).map(i => (i, Seq(s"a$i", s"b${i % 3}", "common")))
+    // materialize = false: inspect the LAZY plan (the default's eager
+    // checkpoint would truncate it to an RDD scan)
     val df = PrefixJoin.similarityJoin(
-      docs.toDF("id", "ts"), col("id"), col("ts"), 0.5)
+      docs.toDF("id", "ts"), col("id"), col("ts"), 0.5, materialize = false)
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val plan = df.queryExecution.executedPlan
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
@@ -120,9 +122,11 @@ class PrefixJoinSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // materialize = false: inspect the LAZY plan (see self-join spec)
       val out = PrefixJoin.similarityJoinBetween(
         src, col("id"), col("ts"),
-        src.select(col("id") + 10000 as "id", col("ts")), col("id"), col("ts"), 0.6)
+        src.select(col("id") + 10000 as "id", col("ts")), col("id"), col("ts"),
+        0.6, materialize = false)
       out.collect()
       val all = nodes(out.queryExecution.executedPlan)
       assert(all.exists(_.isInstanceOf[ReusedExchangeExec]),
