@@ -146,7 +146,15 @@ object Graphs {
           seeds.select(seedIdCol.as("id")).distinct().withColumn("graft_s", lit(true)),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("graft_s"), lit(false)).as("graft_seed"))
-    val nodesP = flagged.localCheckpoint(true)
+    // node and seed counts ride the node-set checkpoint as observed
+    // metrics, and the weight-range audit rides the edge checkpoint —
+    // the separate count jobs they replaced cost one full pass each
+    // (r19 opt: the rank queries are job-count bound at the gate SF)
+    val nodeObs = org.apache.spark.sql.Observation()
+    val nodesP = flagged
+      .observe(nodeObs, count(lit(1)).as("graft_n"),
+        sum(when(col("graft_seed"), 1L).otherwise(0L)).as("graft_nseeds"))
+      .localCheckpoint(true)
     val eW =
       if (weightCol == null) e // unweighted plan stays exactly as before
       else edges.select(srcCol.as("src"), dstCol.as("dst"),
@@ -154,15 +162,25 @@ object Graphs {
     val deg =
       if (weightCol == null) eW.groupBy("src").agg(count(lit(1)).as("graft_deg"))
       else eW.groupBy("src").agg(sum(col("graft_w")).as("graft_deg"))
-    val edgesDeg = eW.join(deg, "src").localCheckpoint(true)
-    if (weightCol != null) {
-      val bad = edgesDeg.where(col("graft_w") < 1L || col("graft_w") > 1000000L).count()
-      require(bad == 0L, s"$bad edges carry weights outside [1, 1e6]")
+    val edgesDeg = {
+      val joined = eW.join(deg, "src")
+      if (weightCol == null) joined.localCheckpoint(true)
+      else {
+        val wObs = org.apache.spark.sql.Observation()
+        val p = joined.observe(wObs,
+          sum(when(col("graft_w") < 1L || col("graft_w") > 1000000L, 1L)
+            .otherwise(0L)).as("graft_bad")).localCheckpoint(true)
+        val bad = wObs.get.get("graft_bad").collect { case l: Long => l }.getOrElse(0L)
+        require(bad == 0L, s"$bad edges carry weights outside [1, 1e6]")
+        p
+      }
     }
 
-    val n = nodesP.count()
+    val n = nodeObs.get.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
     require(n > 0, "rank needs at least one node")
-    val nSeeds = if (seeds == null) n else nodesP.where(col("graft_seed")).count()
+    val nSeeds =
+      if (seeds == null) n
+      else nodeObs.get.get("graft_nseeds").collect { case l: Long => l }.getOrElse(0L)
     require(nSeeds > 0, "trustRankFixed: no seed is present in the node universe")
     val initRank = scale / nSeeds
     // the teleport term — constant across iterations, paid to seeds only
@@ -235,14 +253,21 @@ object Graphs {
     // node universe (with its zeros) joins back once at the END. Saves a
     // node-universe left-join per half-step and the eager materialization
     // of the node set.
+    // integer max-normalization: divisor (max div scale)+1 caps scores at
+    // scale without the scale× multiply that would overflow a long.
+    // r19 opt: each half-step CHECKPOINTS its raw sums with the max as an
+    // observed metric, and the divisor becomes a literal — one eager job
+    // per half-step, replacing the broadcast-max-agg job (which re-ran
+    // the half-step join once more to build the one-row broadcast) and
+    // the un-checkpointed auth recompute inside the hub half-step. Same
+    // integer division on the same max → bit-identical scores.
     def normalized(raw: DataFrame): DataFrame = {
-      // integer max-normalization: divisor (max div scale)+1 caps scores at
-      // scale without the scale× multiply that would overflow a long
-      val m = raw.agg(max(col("graft_raw")).as("graft_max"))
-      raw.crossJoin(broadcast(m))
-        .select(col("id"),
-          expr("graft_raw div (graft_max div " + scale + "L + 1L)")
-            .as("graft_score"))
+      val obs = org.apache.spark.sql.Observation()
+      val p = raw.observe(obs, max(col("graft_raw")).as("graft_max"))
+        .localCheckpoint(true)
+      val mx = obs.get.get("graft_max").collect { case l: Long => l }.getOrElse(0L)
+      p.select(col("id"),
+        expr("graft_raw div " + (mx / scale + 1L) + "L").as("graft_score"))
     }
 
     var hubs = e.select(col("src").as("id")).distinct()
@@ -253,17 +278,11 @@ object Graphs {
       val authRaw = e.join(hubs.withColumnRenamed("id", "graft_hid"),
           col("src") === col("graft_hid"))
         .groupBy(col("dst").as("id")).agg(sum(col("graft_score")).as("graft_raw"))
-      // hubs close each iteration CHECKPOINTED: every frame is referenced
-      // twice downstream (max-agg normalizer + next half-step / final
-      // join), and without a cut the recompute factor grows 4× per
-      // iteration. With hubs materialized, the un-checkpointed auths
-      // recompute is one shallow pass over checkpointed inputs — bounded,
-      // while paying only ONE eager job per iteration
       auths = normalized(authRaw)
       val hubRaw = e.join(auths.withColumnRenamed("id", "graft_aid"),
           col("dst") === col("graft_aid"))
         .groupBy(col("src").as("id")).agg(sum(col("graft_score")).as("graft_raw"))
-      hubs = normalized(hubRaw).localCheckpoint(true)
+      hubs = normalized(hubRaw)
       iter += 1
     }
     val nodes = e.select(col("src").as("id"))
@@ -489,22 +508,42 @@ object Graphs {
     var und = undirected(edges.select(srcCol.as("src"), dstCol.as("dst")))
     var iter = 0
     var stable = false
-    var deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
-      .localCheckpoint(true)
+    // TWO eager jobs per round (r19 opt, was six): the below-k and
+    // node-count statistics ride each degree checkpoint as observed
+    // metrics; keep's count is recovered from the PREVIOUS round's pair
+    // (keep = nodes - below, exactly the `core_degree >= k` filter), so
+    // the separate keep checkpoint, isEmpty probe and two counts all fold
+    // away. keep itself stays a lazy filter over the checkpointed degrees
+    // (its two semi-join uses re-filter a materialized frame — no
+    // recompute depth).
+    def degObserved(grouped: DataFrame): (DataFrame, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val d = grouped
+        .observe(obs,
+          sum(when(col("core_degree") < k, 1L).otherwise(0L)).as("graft_below"),
+          count(lit(1)).as("graft_nodes"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (d, m.get("graft_below").collect { case l: Long => l }.getOrElse(0L),
+        m.get("graft_nodes").collect { case l: Long => l }.getOrElse(0L))
+    }
+    var (deg, below, nodes) = degObserved(
+      und.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree")))
     while (!stable && iter < maxIterations) {
-      val keep = deg.where(col("core_degree") >= k)
-        .select(col("id")).localCheckpoint(true)
+      val keepCount = nodes - below
+      val keep = deg.where(col("core_degree") >= k).select(col("id"))
       val pruned = und
         .join(keep.select(col("id").as("src")), Seq("src"), "leftsemi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "leftsemi")
         .localCheckpoint(true)
-      val nextDeg = pruned.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("core_degree")).localCheckpoint(true)
+      val (nextDeg, nextBelow, nextNodes) = degObserved(
+        pruned.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree")))
       // converged when no node fell below k this round
-      stable = nextDeg.where(col("core_degree") < k).isEmpty &&
-        keep.count() == nextDeg.count()
+      stable = nextBelow == 0L && keepCount == nextNodes
       und = pruned
       deg = nextDeg
+      below = nextBelow
+      nodes = nextNodes
       iter += 1
     }
     deg.where(col("core_degree") >= k)
