@@ -59,13 +59,12 @@ object Lm {
       case _ => higher(m - 4)
     }
     /** Releases the model's persisted count tables ([[train]] pins one
-     * MEMORY_AND_DISK entry per table so repeated consumers don't re-run
-     * the corpus counting pass). The model OWNS that cache: a job-shaped
-     * application lets the session end reclaim it; a long-lived driver
-     * training many models must call this when a model retires —
-     * otherwise one entry per table per model accumulates for the
-     * session. Scoring after release stays correct (the plans recompute),
-     * just unmemoized. */
+     * MEMORY_AND_DISK entry per count table so repeated consumers don't
+     * re-run the corpus counting pass). The model OWNS that cache: a
+     * job-shaped application lets the session end reclaim it; a
+     * long-lived driver training many models must call this when a model
+     * retires. Scoring after release stays correct (the plans
+     * recompute), just unmemoized. */
     def release(): Unit = {
       unigrams.unpersist(blocking = false)
       bigrams.unpersist(blocking = false)
@@ -98,7 +97,14 @@ object Lm {
     // the model tables are consumed repeatedly (score joins unigrams on
     // BOTH transition sides, stats derives from them, collocations joins
     // twice more) — persist the vocab-sized aggregates so the corpus-wide
-    // counting pass runs once, not once per consumer
+    // counting pass runs once, not once per consumer.
+    // (r19 opt note: fusing all orders into ONE null-padded (m, w1..wN)
+    // aggregate — one tokenize, one shuffle — was tried and MEASURED no
+    // faster to train (3.8 s → 3.4-4.4 s at the gate SF) and ~40% slower
+    // to score: every downstream broadcast build then filter-scans the
+    // whole combined cache instead of its own small per-order table.
+    // Per-order tables keep each consumer's scan proportional to the
+    // table it actually needs; reverted.)
     val uni = ws.select(explode(col("graft_ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
