@@ -286,6 +286,66 @@ object BatchPipeline {
       stageFrontDoor(spark, src, work)
     })
 
+  /**
+   * The LAZY pre-checkpoint gates frame: tier flags + quality/hygiene
+   * gates + the PII policy, over the one persisted base frame. Factored
+   * out of [[runChain]] so the plan is dumpable (plans/r20) and the gates
+   * stage A/B-benchable without running the whole chain.
+   *
+   * One left flag-join per tier, deliberately KEPT after an r20 A/B
+   * measured two "fused" rewrites slower (see OPTIMIZATION_r20.md): all
+   * three joins key on ingest_id, so locally the slim checkpointed id
+   * frames broadcast and all three probes fuse into ONE codegen stage
+   * (plan: 3×BroadcastHashJoin, zero corpus exchanges, min 0.58 s at
+   * sf0.1), and at scale — where the id sets outgrow the broadcast
+   * threshold — the three same-key sort-merge joins SHARE the single
+   * corpus exchange+sort (output partitioning/ordering propagates), so
+   * the text payload still crosses the network exactly once. The
+   * pre-combined variants (id-frames joined/aggregated first, one corpus
+   * join) measured 0.97 s / 0.70 s against 0.58 s: the corpus join's
+   * build side becomes a join/aggregate result, which locally either
+   * demotes the join to sort-merge (shuffling the corpus payload that
+   * the old shape never moves) or pays an extra slim shuffle for no
+   * payload saving at any scale.
+   */
+  private[graft] def gateFlags(base: DataFrame, urlIds: DataFrame,
+      textIds: DataFrame, nearIds: DataFrame, redact: Boolean): DataFrame = {
+    import graft.pipeline.{Pii, Text}
+    def surviveFlag(ids: DataFrame, name: String)(df: DataFrame): DataFrame =
+      df.join(ids.withColumn(name, lit(true)), Seq("ingest_id"), "left")
+        .withColumn(name, coalesce(col(name), lit(false)))
+    val gated = base
+      .transform(surviveFlag(urlIds, "f_url"))
+      .transform(surviveFlag(textIds, "f_text"))
+      .transform(surviveFlag(nearIds, "f_near"))
+      .withColumn("lang", Text.langId(col("text")))
+      .withColumn("f_tokens", col("tok") >= 20)
+      .withColumn("f_lang",
+        col("lang").isin("en", "es", "de", "fr", "zh"))
+      // the Gopher stop-word heuristic is an ENGLISH-table measure —
+      // applied blindly it silently deletes every non-English doc (the
+      // first 10x DataCard read 100% en for exactly this reason), so it
+      // gates en docs only; other languages are gated by tokens/langid.
+      // langid runs BEFORE gopher in the funnel so drops attribute to
+      // the right stage.
+      .withColumn("f_gopher", col("lang") =!= "en" ||
+        Text.gopherQuality(col("text"), minWords = 20).getField("pass"))
+    // pii policy: drop rejects any doc carrying a PII span whole;
+    // redact KEEPS the doc, scrubbing the spans and recomputing the
+    // token count — tok_raw preserves the pre-scrub mass so the funnel
+    // can charge the difference to the pii stage (chainFunnel)
+    if (redact) gated
+      .withColumn("f_pii", lit(true))
+      .withColumn("tok_raw", col("tok"))
+      .withColumn("text", Pii.redactPii(col("text")))
+      .withColumn("tok", Text.tokenCount(col("text")))
+    else gated
+      // match-only detection — provably redactPii(text) === text, minus
+      // four per-doc string copies and a full-text compare (r20 opt, see
+      // Pii.hasPii's equivalence argument + spec)
+      .withColumn("f_pii", !Pii.hasPii(col("text")))
+  }
+
   /** The chain's funnel order — fixed flag columns on the flagged frame,
    * shared by the live build and the stage-resume path. */
   private[graft] val chainGateCols: Seq[(String, Column)] = Seq(
@@ -399,46 +459,16 @@ object BatchPipeline {
 
     // ---- quality + hygiene flags on the one base frame
     val flagged = timed("gates") {
-      def surviveFlag(ids: DataFrame, name: String)(df: DataFrame): DataFrame =
-        df.join(ids.withColumn(name, lit(true)), Seq("ingest_id"), "left")
-          .withColumn(name, coalesce(col(name), lit(false)))
       // benchmark side: the %97 docs' ORIGINAL text (public eval fixture)
       val bench = spark.read.parquet(s"$src/documents.parquet")
         .where(col("doc_id") % 97 === 0).select(col("text"))
-      val gated = base
-        .transform(surviveFlag(afterUrlIds, "f_url"))
-        .transform(surviveFlag(afterTextIds, "f_text"))
-        .transform(surviveFlag(afterNearIds, "f_near"))
-        .withColumn("lang", Text.langId(col("text")))
-        .withColumn("f_tokens", col("tok") >= 20)
-        .withColumn("f_lang",
-          col("lang").isin("en", "es", "de", "fr", "zh"))
-        // the Gopher stop-word heuristic is an ENGLISH-table measure —
-        // applied blindly it silently deletes every non-English doc (the
-        // first 10x DataCard read 100% en for exactly this reason), so it
-        // gates en docs only; other languages are gated by tokens/langid.
-        // langid runs BEFORE gopher in the funnel so drops attribute to
-        // the right stage.
-        .withColumn("f_gopher", col("lang") =!= "en" ||
-          Text.gopherQuality(col("text"), minWords = 20).getField("pass"))
-      // pii policy: drop rejects any doc carrying a PII span whole;
-      // redact KEEPS the doc, scrubbing the spans and recomputing the
-      // token count — tok_raw preserves the pre-scrub mass so the funnel
-      // can charge the difference to the pii stage (chainFunnel)
-      val piiStaged =
-        if (redact) gated
-          .withColumn("f_pii", lit(true))
-          .withColumn("tok_raw", col("tok"))
-          .withColumn("text", Pii.redactPii(col("text")))
-          .withColumn("tok", Text.tokenCount(col("text")))
-        else gated
-          .withColumn("f_pii", Pii.redactPii(col("text")) === col("text"))
       // checkpoint BEFORE decontamination: every gate (and the redact
       // scrub) runs exactly once, and decon reads the post-pii text FROM
       // the materialized frame instead of re-scrubbing the corpus a
       // second time; truncation posture (local vs reliable) per the
       // session conf
-      val staged = graft.pipeline.Checkpoints.stage(piiStaged)
+      val staged = graft.pipeline.Checkpoints.stage(
+        gateFlags(base, afterUrlIds, afterTextIds, afterNearIds, redact))
       val leaking = Curation.decontaminate(
           staged, col("ingest_id"), col("text"), bench, col("text"),
           n = 8, minShared = 3)

@@ -582,6 +582,11 @@ object BatchConfig {
       // (column names come from flagColumnNames — the same table the
       // resumed-frame funnel reads, so they cannot drift)
       val colNames = flagColumnNames.map(_._2)
+      // one left flag-join per tier — deliberately kept after an r20 A/B
+      // measured the pre-combined variants slower (see
+      // BatchPipeline.gateFlags' scaladoc and OPTIMIZATION_r20.md): the
+      // same-key joins broadcast locally and share one corpus exchange in
+      // the sort-merge regime, so the payload never crosses per-tier.
       var flagged = base
       tierIds.zipWithIndex.foreach { case ((_, ids), i) =>
         val c = colNames(i)
@@ -602,8 +607,9 @@ object BatchConfig {
         val c = colNames(dedup.size + gates.size)
         p.policy match {
           case "drop" =>
-            flagged = flagged.withColumn(c,
-              Pii.redactPii(col(p.text)) === col(p.text))
+            // match-only detection — provably redactPii(text) === text
+            // without the four per-doc copies (r20 opt, Pii.hasPii)
+            flagged = flagged.withColumn(c, !Pii.hasPii(col(p.text)))
           case "redact" =>
             flagged = flagged
               .withColumn("graft_w_raw", weight.map(expr).getOrElse(lit(1L)))

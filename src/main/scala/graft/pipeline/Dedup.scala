@@ -527,6 +527,13 @@ object Dedup {
    * O(component diameter) rounds — the standard distributed CC shape, each
    * round one join + one aggregation, no driver-side graph state. Returns
    * (id, cluster_id) for every input row; singletons cluster to themselves.
+   *
+   * `checkpointInterval` is accepted for source compatibility but IGNORED
+   * since the r19 job-count optimization: every round's label frame now
+   * localCheckpoints unconditionally (the convergence count rides that one
+   * materializing action as an observed metric, so checkpointing IS the
+   * round's only job — skipping rounds would re-add a probe pass, not
+   * remove one).
    */
   def nearDupClusters(
       df: DataFrame, idCol: Column, textCol: Column,
@@ -578,17 +585,21 @@ object Dedup {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("label")).as("nlabel"))
       val obs = org.apache.spark.sql.Observation()
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      val nextP = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"), col("label"),
           coalesce(col("nlabel"), col("label")).as("nl"))
         .select(col("id"), least(col("label"), col("nl")).as("label"),
           (col("nl") < col("label")).as("graft_chg"))
         .observe(obs, sum(when(col("graft_chg"), 1L).otherwise(0L)).as("graft_n"))
         .localCheckpoint(true)
-        .select(col("id"), col("label"))
-      val changed = obs.get.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
+      // bounded metric read (ADVICE r19): if the listener bus dropped the
+      // execution-end event, recount directly off the checkpointed frame
+      val changed = Observed.long(obs, "graft_n") {
+        nextP.agg(coalesce(sum(when(col("graft_chg"), 1L).otherwise(0L)),
+          lit(0L))).head().getLong(0)
+      }
       iter += 1
-      labels = next
+      labels = nextP.select(col("id"), col("label"))
       converged = changed == 0
     }
     edges.unpersist()

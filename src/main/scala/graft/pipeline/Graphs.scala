@@ -167,20 +167,29 @@ object Graphs {
       if (weightCol == null) joined.localCheckpoint(true)
       else {
         val wObs = org.apache.spark.sql.Observation()
-        val p = joined.observe(wObs,
-          sum(when(col("graft_w") < 1L || col("graft_w") > 1000000L, 1L)
-            .otherwise(0L)).as("graft_bad")).localCheckpoint(true)
-        val bad = wObs.get.get("graft_bad").collect { case l: Long => l }.getOrElse(0L)
+        def badExpr = sum(when(col("graft_w") < 1L || col("graft_w") > 1000000L, 1L)
+          .otherwise(0L))
+        val p = joined.observe(wObs, badExpr.as("graft_bad")).localCheckpoint(true)
+        // bounded metric read (ADVICE r19): a dropped execution-end event
+        // must not hang the driver — recount off the checkpoint instead
+        val bad = Observed.long(wObs, "graft_bad") {
+          p.agg(coalesce(badExpr, lit(0L))).head().getLong(0)
+        }
         require(bad == 0L, s"$bad edges carry weights outside [1, 1e6]")
         p
       }
     }
 
-    val n = nodeObs.get.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
+    val nodeStats = Observed.metrics(nodeObs).getOrElse {
+      val r = nodesP.agg(count(lit(1)).as("graft_n"),
+        sum(when(col("graft_seed"), 1L).otherwise(0L)).as("graft_nseeds")).head()
+      Map("graft_n" -> r.getLong(0), "graft_nseeds" -> r.getLong(1))
+    }
+    val n = nodeStats.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
     require(n > 0, "rank needs at least one node")
     val nSeeds =
       if (seeds == null) n
-      else nodeObs.get.get("graft_nseeds").collect { case l: Long => l }.getOrElse(0L)
+      else nodeStats.get("graft_nseeds").collect { case l: Long => l }.getOrElse(0L)
     require(nSeeds > 0, "trustRankFixed: no seed is present in the node universe")
     val initRank = scale / nSeeds
     // the teleport term — constant across iterations, paid to seeds only
@@ -265,7 +274,9 @@ object Graphs {
       val obs = org.apache.spark.sql.Observation()
       val p = raw.observe(obs, max(col("graft_raw")).as("graft_max"))
         .localCheckpoint(true)
-      val mx = obs.get.get("graft_max").collect { case l: Long => l }.getOrElse(0L)
+      val mx = Observed.long(obs, "graft_max") {
+        p.agg(coalesce(max(col("graft_raw")), lit(0L))).head().getLong(0)
+      }
       p.select(col("id"),
         expr("graft_raw div " + (mx / scale + 1L) + "L").as("graft_score"))
     }
@@ -438,7 +449,7 @@ object Graphs {
         .withColumn("dist", lit(hop))
         .observe(obs, count(lit(1)).as("graft_n"))
         .localCheckpoint(true)
-      val n = obs.get.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
+      val n = Observed.long(obs, "graft_n")(next.count())
       if (n == 0L) advancing = false
       else {
         dist = dist.unionAll(next)
@@ -523,7 +534,12 @@ object Graphs {
           sum(when(col("core_degree") < k, 1L).otherwise(0L)).as("graft_below"),
           count(lit(1)).as("graft_nodes"))
         .localCheckpoint(true)
-      val m = obs.get
+      val m = Observed.metrics(obs).getOrElse {
+        val r = d.agg(
+          coalesce(sum(when(col("core_degree") < k, 1L).otherwise(0L)), lit(0L)),
+          count(lit(1))).head()
+        Map("graft_below" -> r.getLong(0), "graft_nodes" -> r.getLong(1))
+      }
       (d, m.get("graft_below").collect { case l: Long => l }.getOrElse(0L),
         m.get("graft_nodes").collect { case l: Long => l }.getOrElse(0L))
     }
@@ -591,7 +607,10 @@ object Graphs {
           (col("graft_nmin") < col("component")).as("graft_changed"))
         .observe(obs, sum(when(col("graft_changed"), 1L).otherwise(0L)).as("graft_n"))
         .localCheckpoint(true)
-      changed = obs.get.get("graft_n").collect { case l: Long => l }.getOrElse(0L)
+      changed = Observed.long(obs, "graft_n") {
+        next.agg(coalesce(sum(when(col("graft_changed"), 1L).otherwise(0L)),
+          lit(0L))).head().getLong(0)
+      }
       labels = next.select(col("id"), col("component"))
       iter += 1
     }

@@ -62,6 +62,28 @@ object Pii {
     regexp_replace(i, lit(phoneRe), lit("<PHONE>"))
   }
 
+  /** True iff [[redactPii]] would change `text` — the DETECTION face of
+   * the same contract, as four short-circuiting match tests instead of
+   * four full regexp_replace passes. `redactPii(t) === t` materializes
+   * four progressively-redacted copies of every document and compares
+   * the final copy byte-for-byte just to learn "did anything match";
+   * this form allocates nothing and stops at the first hit (r20 opt —
+   * at 100 TB the drop-policy pii gate runs over every surviving doc).
+   *
+   * Equivalence with `redactPii(t) =!= t` is exact, not heuristic:
+   * (a) a replacement can never leave the text unchanged — every marker
+   * (`<EMAIL>`…) lacks a character class its matched span must contain
+   * (@ / digits); (b) a later pattern matches the PARTIALLY-REDACTED
+   * text iff it matches the original OR an earlier pattern already fired
+   * (markers carry no digits, so earlier redactions never CREATE a later
+   * match, and a destroyed later match means the earlier pattern matched
+   * — inequality already established either way). Spec-pinned on the
+   * overlap cases (digit-run emails, SSN-inside-email, phone-vs-SSN).
+   */
+  def hasPii(text: Column): Column =
+    text.rlike(emailRe) || text.rlike(ssnRe) ||
+      text.rlike(ipv4Re) || text.rlike(phoneRe)
+
   /** Card-shaped digit runs (13–19 digits, single space/dash separators). */
   val cardRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
 

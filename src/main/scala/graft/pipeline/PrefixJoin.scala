@@ -52,6 +52,16 @@ object PrefixJoin {
    * All pairs (id_a < id_b) whose exact Jaccard over the distinct-token
    * sets meets `threshold`. Returns (id_a, id_b, overlap, jaccard).
    *
+   * EAGER: the call fully materializes the pair set before returning (the
+   * tokenized-set subtree feeds five plan consumers, so it is cached for
+   * the run and released behind an eager `localCheckpoint` of the — tiny —
+   * output; r19 opt). The returned frame is therefore a checkpointed RDD
+   * scan: cheap to reuse, but NOT recomputable from source lineage — on a
+   * real cluster a lost executor invalidates its blocks and downstream
+   * reads fail rather than recompute (the standing localCheckpoint caveat;
+   * persist the result to storage if you need durability across executor
+   * loss).
+   *
    * @param docs      input frame
    * @param idCol     64-bit id column
    * @param tokensCol array column of set members (deduplicated internally);
@@ -140,13 +150,12 @@ object PrefixJoin {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
     if (!materialize) out
-    else {
+    else
       // materialize-then-release (r15 #8 posture): the pair set is tiny
-      // next to the cached token sets it frees
-      val res = out.localCheckpoint(true)
-      base.unpersist(blocking = false)
-      res
-    }
+      // next to the cached token sets it frees; finally-released so a
+      // failed checkpoint job can't leak the cache (ADVICE r19)
+      try out.localCheckpoint(true)
+      finally base.unpersist(blocking = false)
   }
 
   /**
@@ -158,8 +167,10 @@ object PrefixJoin {
    * prefix completeness needs both sides cut by the same total order);
    * candidates join left prefixes to right prefixes on the token, sizes
    * pre-filtered by the ratio bound, verification exact. Same scale
-   * posture as [[similarityJoin]]; ids need not be disjoint (sides are
-   * tagged internally).
+   * posture as [[similarityJoin]] — including the EAGER materialization
+   * contract documented there: the call computes the pairs at call time
+   * and returns a checkpointed (non-lineage-recomputable) frame; ids need
+   * not be disjoint (sides are tagged internally).
    */
   def similarityJoinBetween(
       left: DataFrame, leftIdCol: Column, leftTokensCol: Column,
@@ -250,12 +261,14 @@ object PrefixJoin {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
     if (!materialize) out
-    else {
-      val res = out.localCheckpoint(true) // materialize-then-release (r15 #8)
-      lbase.unpersist(blocking = false)
-      rbase.unpersist(blocking = false)
-      res
-    }
+    else
+      // materialize-then-release (r15 #8); finally-released so a failed
+      // checkpoint job can't leak the two side caches (ADVICE r19)
+      try out.localCheckpoint(true)
+      finally {
+        lbase.unpersist(blocking = false)
+        rbase.unpersist(blocking = false)
+      }
   }
 
   /** [[similarityJoin]] over whitespace word sets of a text column —

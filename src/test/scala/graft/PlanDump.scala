@@ -41,6 +41,31 @@ object PlanDump {
       "q_lm_mkn" -> (() => {
         val m = graft.pipeline.Lm.train(docs, col("text"), order = 3)
         graft.pipeline.Lm.scoreMkn(m, scoreSet, col("doc_id"), col("t"))
+      }),
+      // the composed chain's GATES stage (the q_pipeline_* queries
+      // checkpoint it mid-chain, so the returned-frame plan hides it):
+      // ingest the staged front door and build the lazy pre-checkpoint
+      // gate frame exactly as runChain does — tier flags + langid/gopher/
+      // pii over the persisted base.
+      "q_pipeline_gates" -> (() => {
+        val (warcDir, jsonlDir) = BatchPipeline.stagedOnce(s, sfDir)
+        val (warcRows, _) = graft.sources.Warc.read(s, warcDir)
+        val jsonlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "url STRING, html STRING")
+        val (jsonlRows, _) = graft.sources.Jsonl.read(s, jsonlDir, jsonlSchema)
+        import graft.pipeline.Text
+        val raw = warcRows.select(col("url"), col("text").as("html"))
+          .unionAll(jsonlRows.select(col("url"), col("html")))
+        val base = raw.select(
+            xxhash64(col("url")).as("ingest_id"),
+            Text.urlCanonicalize(col("url")).as("url"),
+            Text.fixEncoding(
+              Text.extractHtml(col("html"), maxLinkDensity = 0.5)).as("text"))
+          .withColumn("tok", Text.tokenCount(col("text")))
+          .withColumn("domain", Text.registrableDomain(col("url")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (u, t, nr) = BatchPipeline.dedupTierIds(base)
+        BatchPipeline.gateFlags(base, u, t, nr, redact = false)
       }))
   }
 

@@ -963,6 +963,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(!rows(5).getBoolean(4) && rows(5).getString(5) == "")
   }
 
+  test("pii: hasPii is exactly redactPii-would-change (overlap cases included)") {
+    // the r20 drop-policy gate swaps redactPii(t) === t for the match-only
+    // !hasPii(t) — pin the equivalence on every category, the documented
+    // overlap traps (digit-run emails, SSN-inside-email, SSN-vs-phone,
+    // version-number lookalikes), and clean text
+    val texts = Seq(
+      "write to alice.smith+x@mail.example.org today",
+      "server at 192.168.0.12 responded",
+      "ssn 123-45-6789 on file",
+      "call +1 (555) 123-4567 or 555.123.4567",
+      "dates 2026-08-12 and ranges 10-20-30 stay; price 1234 stays",
+      "",
+      "123-45-6789@mail.example.org embeds an ssn in an email",
+      "v1.2.3.4 is a version not an ip? 999.999.999.999 too",
+      "plain prose with no personal data at all",
+      "<EMAIL> literal marker already present")
+    val got = texts.toDF("text").select(
+        Pii.hasPii(col("text")).as("h"),
+        (Pii.redactPii(col("text")) =!= col("text")).as("c"))
+      .collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getBoolean(0) == r.getBoolean(1),
+        s"hasPii diverged from redact-changed on: '$t'")
+    }
+  }
+
   test("pii: density gates on hits per word and is callable from SQL") {
     val d = Seq(("a@b.co x y z", 4), ("clean words only here", 0)).toDF("text", "n")
       .select(Pii.piiDensity(col("text")).as("d")).as[Double].collect()
